@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Tuned local SparkSession factory.
+  *
+  * Settings chosen for the 100 TB design point (AQE for runtime
+  * re-planning / skew splitting, shuffle partitions sized to cores in
+  * local mode — on a real cluster this would be ~2-3x total cores).
+  */
+object GraftSession {
+  def build(master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]",
+            appName: String = "graft"): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession
+      .builder()
+      .master(master)
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}
+
+/** Lazy parquet loaders for the driver-generated star schema
+  * (see /root/repo/TESTDATA.md).
+  */
+final case class Tables(spark: SparkSession, dir: String) {
+  def load(name: String) = spark.read.parquet(s"$dir/$name.parquet")
+  lazy val region     = load("region")
+  lazy val nation     = load("nation")
+  lazy val customer   = load("customer")
+  lazy val supplier   = load("supplier")
+  lazy val part       = load("part")
+  lazy val orders     = load("orders")
+  lazy val lineitem   = load("lineitem")
+  // events.ts is parquet TIMESTAMP(NANOS) — Spark has no nanosecond
+  // timestamp type, so read it as raw nanos (legacy conf) and floor to
+  // microseconds; DuckDB's epoch_us on TIMESTAMP_NS truncates the same.
+  lazy val events = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = load("events")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    raw.withColumn("ts",
+      org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+  }
+  lazy val documents  = load("documents")
+  lazy val embeddings = load("embeddings")
+}

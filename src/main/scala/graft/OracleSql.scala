@@ -1,0 +1,289 @@
+package graft
+
+import graft.text.TextOps
+
+/** DuckDB SQL twins of SparkEntry.queries, used by the driver's
+  * correctness gate. Must mirror the Spark computations EXACTLY —
+  * same aliases, same deterministic ORDER BY, same numeric policy
+  * (SURVEY.md §5).
+  */
+object OracleSql {
+
+  /** DuckDB expression: lowercase word tokens of `c`. */
+  private def toks(c: String) =
+    s"list_filter(string_split_regex(lower($c), '[^a-z0-9]+'), t -> t <> '')"
+
+  private def sqlList(words: Seq[String]) =
+    words.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  private val editScored =
+    """WITH src AS (SELECT DISTINCT trim(CAST(p_name AS VARCHAR)) AS source FROM part
+      |             WHERE p_name IS NOT NULL AND trim(CAST(p_name AS VARCHAR)) <> ''),
+      |tgt AS (SELECT DISTINCT trim(CAST(p_name AS VARCHAR)) AS target FROM part
+      |        WHERE p_size <= 25 AND p_name IS NOT NULL AND trim(CAST(p_name AS VARCHAR)) <> ''),
+      |scored AS (
+      |  SELECT source, target,
+      |         1.0 - CAST(levenshtein(source, target) AS DOUBLE)
+      |               / CAST(greatest(length(source), length(target)) AS DOUBLE) AS similarity
+      |  FROM src CROSS JOIN tgt),
+      |best AS (
+      |  SELECT source, target, similarity,
+      |         row_number() OVER (PARTITION BY source ORDER BY similarity DESC, target ASC) AS rn
+      |  FROM scored WHERE similarity >= 0.5)
+      |""".stripMargin
+
+  val all: Map[String, String] = Map(
+
+    "preview_domain" ->
+      """SELECT lang AS value_name, count(*) AS n FROM documents
+        |GROUP BY lang ORDER BY value_name""".stripMargin,
+
+    "match_values_edit" -> (editScored +
+      """SELECT s.source, b.target, b.similarity
+        |FROM src s LEFT JOIN (SELECT source, target, similarity FROM best WHERE rn = 1) b
+        |  USING (source)
+        |ORDER BY s.source""".stripMargin),
+
+    "match_values_topk" -> (editScored +
+      """SELECT source, target, similarity, CAST(rn AS BIGINT) AS "rank"
+        |FROM best WHERE rn <= 3 ORDER BY source, "rank"""".stripMargin),
+
+    "match_values_tfidf" ->
+      """WITH src AS (SELECT DISTINCT trim(CAST(p_name AS VARCHAR)) AS source FROM part
+        |             WHERE p_name IS NOT NULL AND trim(CAST(p_name AS VARCHAR)) <> ''),
+        |tgt AS (SELECT DISTINCT trim(CAST(p_name AS VARCHAR)) AS target FROM part
+        |        WHERE p_size > 25 AND p_name IS NOT NULL AND trim(CAST(p_name AS VARCHAR)) <> ''),
+        |sg AS (SELECT source, gram, CAST(count(*) AS DOUBLE) AS tf FROM (
+        |         SELECT source, unnest([substr(lower(source), i, 3)
+        |                                for i in generate_series(1, greatest(length(source) - 2, 0))]) AS gram
+        |         FROM src) GROUP BY source, gram),
+        |tg AS (SELECT target, gram, CAST(count(*) AS DOUBLE) AS tf FROM (
+        |         SELECT target, unnest([substr(lower(target), i, 3)
+        |                                for i in generate_series(1, greatest(length(target) - 2, 0))]) AS gram
+        |         FROM tgt) GROUP BY target, gram),
+        |nc AS (SELECT CAST((SELECT count(*) FROM src) + (SELECT count(*) FROM tgt) AS DOUBLE) AS n_corpus),
+        |dfg AS (SELECT gram, CAST(count(*) AS DOUBLE) AS df FROM (
+        |          SELECT gram, source AS v FROM sg UNION ALL SELECT gram, target AS v FROM tg)
+        |        GROUP BY gram),
+        |idf AS (SELECT gram, ln((1.0 + n_corpus) / (1.0 + df)) + 1.0 AS idf FROM dfg, nc),
+        |sw0 AS (SELECT source, gram, tf * idf AS w FROM sg JOIN idf USING (gram)),
+        |snorm AS (SELECT source, sqrt(sum(w * w)) AS norm FROM sw0 GROUP BY source),
+        |sw AS (SELECT source, gram, w / norm AS w FROM sw0 JOIN snorm USING (source)),
+        |tw0 AS (SELECT target, gram, tf * idf AS w FROM tg JOIN idf USING (gram)),
+        |tnorm AS (SELECT target, sqrt(sum(w * w)) AS norm FROM tw0 GROUP BY target),
+        |tw AS (SELECT target, gram, w / norm AS w FROM tw0 JOIN tnorm USING (target)),
+        |sims AS (SELECT source, target, round(sum(sw.w * tw.w), 6) AS similarity
+        |         FROM sw JOIN tw USING (gram) GROUP BY source, target
+        |         HAVING round(sum(sw.w * tw.w), 6) >= 0.3),
+        |best AS (SELECT source, target, similarity,
+        |                row_number() OVER (PARTITION BY source ORDER BY similarity DESC, target ASC) AS rn
+        |         FROM sims)
+        |SELECT s.source, b.target, b.similarity
+        |FROM src s LEFT JOIN (SELECT source, target, similarity FROM best WHERE rn = 1) b
+        |  USING (source)
+        |ORDER BY s.source""".stripMargin,
+
+    "match_schema_overlap" ->
+      """WITH sv AS (
+        |  SELECT DISTINCT 'l_returnflag' AS source, trim(CAST(l_returnflag AS VARCHAR)) AS value
+        |  FROM lineitem WHERE l_returnflag IS NOT NULL AND trim(CAST(l_returnflag AS VARCHAR)) <> ''
+        |  UNION
+        |  SELECT DISTINCT 'l_linestatus', trim(CAST(l_linestatus AS VARCHAR))
+        |  FROM lineitem WHERE l_linestatus IS NOT NULL AND trim(CAST(l_linestatus AS VARCHAR)) <> ''),
+        |tv AS (
+        |  SELECT DISTINCT 'o_orderstatus' AS target, trim(CAST(o_orderstatus AS VARCHAR)) AS value
+        |  FROM orders WHERE o_orderstatus IS NOT NULL AND trim(CAST(o_orderstatus AS VARCHAR)) <> ''
+        |  UNION
+        |  SELECT DISTINCT 'o_orderpriority', trim(CAST(o_orderpriority AS VARCHAR))
+        |  FROM orders WHERE o_orderpriority IS NOT NULL AND trim(CAST(o_orderpriority AS VARCHAR)) <> ''),
+        |ns AS (SELECT source, count(*) AS ns FROM sv GROUP BY source),
+        |nt AS (SELECT target, count(*) AS nt FROM tv GROUP BY target),
+        |inter AS (SELECT source, target, count(*) AS ni FROM sv JOIN tv USING (value) GROUP BY source, target),
+        |sims AS (
+        |  SELECT ns.source, nt.target,
+        |         CAST(coalesce(ni, 0) AS DOUBLE) / CAST(ns.ns + nt.nt - coalesce(ni, 0) AS DOUBLE) AS similarity
+        |  FROM ns CROSS JOIN nt LEFT JOIN inter ON inter.source = ns.source AND inter.target = nt.target),
+        |best AS (SELECT source, target, similarity,
+        |                row_number() OVER (PARTITION BY source ORDER BY similarity DESC, target ASC) AS rn
+        |         FROM sims)
+        |SELECT source, target, similarity FROM best WHERE rn = 1 ORDER BY source""".stripMargin,
+
+    "materialize_mapping" ->
+      """SELECT l_orderkey AS order_id, l_linenumber AS line_number,
+        |       CASE CAST(l_returnflag AS VARCHAR) WHEN 'A' THEN 'accepted' WHEN 'N' THEN 'none'
+        |            WHEN 'R' THEN 'returned' ELSE NULL END AS return_status,
+        |       l_quantity * 1000 AS quantity_grams
+        |FROM lineitem ORDER BY order_id, line_number""".stripMargin,
+
+    "merge_mappings" ->
+      """SELECT CASE CAST(l_returnflag AS VARCHAR) WHEN 'A' THEN 'accepted' WHEN 'N' THEN 'none'
+        |            WHEN 'R' THEN 'returned' ELSE NULL END AS return_status,
+        |       l_orderkey AS order_id, l_linenumber AS line_number, l_linestatus AS line_status
+        |FROM lineitem ORDER BY order_id, line_number""".stripMargin,
+
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       sum(l_quantity) AS sum_qty,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |                * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))) AS DOUBLE) AS sum_disc_price,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |                * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))
+        |                * CAST(1 + CAST(l_tax AS DECIMAL(4,2)) AS DECIMAL(4,2))) AS DOUBLE) AS sum_charge,
+        |       count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-01-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_join" ->
+      """SELECT l_orderkey,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |                * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+        |       epoch_us(o_orderdate) AS o_orderdate_us
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |     JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q5_multijoin" ->
+      """SELECT n_name,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |                * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+        |FROM region JOIN nation ON r_regionkey = n_regionkey
+        |     JOIN customer ON n_nationkey = c_nationkey
+        |     JOIN orders ON c_custkey = o_custkey
+        |     JOIN lineitem ON o_orderkey = l_orderkey
+        |     JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q6_filter" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |                * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+
+    "window_topn" ->
+      """SELECT segment, o_orderkey, o_totalprice, "rank" FROM (
+        |  SELECT c_mktsegment AS segment, o_orderkey, o_totalprice,
+        |         CAST(row_number() OVER (PARTITION BY c_mktsegment
+        |                                 ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS "rank"
+        |  FROM orders JOIN customer ON o_custkey = c_custkey)
+        |WHERE "rank" <= 3 ORDER BY segment, "rank"""".stripMargin,
+
+    "asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+        |           WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, epoch_us(ts) AS c_ts_us, max(event_id) AS last_click_id
+        |      FROM events WHERE event_type = 'click' GROUP BY user_id, epoch_us(ts))
+        |SELECT p.event_id, p.user_id, p.ts_us, c.last_click_id
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts_us >= c.c_ts_us
+        |ORDER BY p.event_id""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS doc_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
+
+    "dedup_jaccard" ->
+      s"""WITH tk AS (SELECT doc_id, ${toks("text")} AS tl FROM documents),
+         |sh AS (SELECT DISTINCT doc_id,
+         |         unnest([tl[i] || ' ' || tl[i+1] || ' ' || tl[i+2]
+         |                 for i in generate_series(1, greatest(len(tl) - 2, 0))]) AS sh
+         |       FROM tk),
+         |n AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |i AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS ni
+         |      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT id1, id2, jaccard FROM (
+         |  SELECT id1, id2, CAST(ni AS DOUBLE) / CAST(n1.sz + n2.sz - ni AS DOUBLE) AS jaccard
+         |  FROM i JOIN n n1 ON id1 = n1.doc_id JOIN n n2 ON id2 = n2.doc_id)
+         |WHERE jaccard >= 0.5 ORDER BY id1, id2""".stripMargin,
+
+    "dedup_embedding" ->
+      """SELECT id1, id2, similarity FROM (
+        |  SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |         list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS sim,
+        |         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS similarity
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        |WHERE sim >= 0.4 ORDER BY id1, id2""".stripMargin,
+
+    "ann_topk" ->
+      """SELECT query_id, neighbor_id, "rank", round(sim, 6) AS similarity FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS sim,
+        |         CAST(row_number() OVER (PARTITION BY q.vec_id
+        |                ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC,
+        |                         c.vec_id ASC) AS BIGINT) AS "rank"
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND c.vec_id <> q.vec_id)
+        |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin,
+
+    "text_stats" ->
+      s"""WITH tk AS (SELECT doc_id, text, ${toks("text")} AS tl FROM documents)
+         |SELECT doc_id,
+         |       CAST(length(text) AS BIGINT) AS n_chars,
+         |       CAST(len(tl) AS BIGINT) AS n_tokens,
+         |       CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS BIGINT) AS n_punct,
+         |       CAST(len(regexp_extract_all(text, '[A-Z]')) AS BIGINT) AS n_upper,
+         |       CAST(len(list_filter(tl, t -> list_contains(${sqlList(TextOps.stopwords.toMap.apply("en"))}, t))) AS BIGINT) AS n_stopwords,
+         |       CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS DOUBLE) / CAST(length(text) AS DOUBLE) AS punct_ratio,
+         |       CASE WHEN len(tl) > 0
+         |            THEN CAST(len(list_filter(tl, t -> list_contains(${sqlList(TextOps.stopwords.toMap.apply("en"))}, t))) AS DOUBLE) / CAST(len(tl) AS DOUBLE)
+         |            ELSE 0.0 END AS stopword_ratio,
+         |       CASE WHEN len(tl) > 0
+         |            THEN CAST(list_sum(list_transform(tl, t -> length(t))) AS DOUBLE) / CAST(len(tl) AS DOUBLE)
+         |            ELSE 0.0 END AS avg_token_len
+         |FROM tk ORDER BY doc_id""".stripMargin,
+
+    "lang_id" -> {
+      val scores = TextOps.stopwords.map { case (lang, words) =>
+        s"len(list_filter(dt, t -> list_contains(${sqlList(words)}, t))) AS s_$lang"
+      }.mkString(",\n       ")
+      val langs = TextOps.stopwords.map(_._1)
+      val mx = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+      val cases = langs.map(l => s"WHEN s_$l = mx THEN '$l'").mkString(" ")
+      s"""WITH tk AS (SELECT doc_id, list_distinct(${toks("text")}) AS dt FROM documents),
+         |sc AS (SELECT doc_id,
+         |       $scores
+         |       FROM tk),
+         |m AS (SELECT *, $mx AS mx FROM sc)
+         |SELECT doc_id, CASE WHEN mx = 0 THEN 'und' $cases END AS predicted_lang
+         |FROM m ORDER BY doc_id""".stripMargin
+    },
+
+    "token_count" ->
+      """SELECT doc_id,
+        |       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_tokens_bpe
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "events_window_agg" ->
+      """SELECT epoch_us(ts) - epoch_us(ts) % 3600000000 AS hour_start_us, event_type,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+        |       count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "events_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |l AS (SELECT *, lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev FROM e),
+        |f AS (SELECT *, CASE WHEN prev IS NULL OR ts_us - prev > 1800000000 THEN 1 ELSE 0 END AS new_session FROM l),
+        |s AS (SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                                       ROWS UNBOUNDED PRECEDING) AS session_no FROM f)
+        |SELECT user_id, min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,
+        |       count(*) AS n_events, count(DISTINCT event_type) AS n_types
+        |FROM s GROUP BY user_id, session_no ORDER BY user_id, session_start_us""".stripMargin,
+
+    "multimodal_meta" ->
+      """SELECT doc_id,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |       CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width,
+        |       CAST(octet_length(encode(text)) % 480 + 1 AS INTEGER) AS height,
+        |       CASE octet_length(encode(text)) % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

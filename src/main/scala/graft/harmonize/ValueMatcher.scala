@@ -1,0 +1,130 @@
+package graft.harmonize
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{functions => F}
+
+/** Distributed value matching: match distinct values of a source column
+  * against distinct values of a target domain, per the reference
+  * semantics (bdikit/api.py:333-402, bdikit/value_matching/polyfuzz.py).
+  *
+  * Design for scale: the match cost is |distinct source| x |distinct
+  * target| — never |rows|. Both sides are distinct-reduced first
+  * (map-side partial aggregation), and the target domain (a controlled
+  * vocabulary, small by definition) is broadcast. For the TF-IDF
+  * matcher the cross product is replaced by an inverted-index join on
+  * shared character n-grams, so cost is proportional to gram overlap.
+  */
+object ValueMatcher {
+
+  /** 1 - levenshtein/max(len) in [0,1], the normalized edit similarity
+    * used by the reference's edit-distance matcher
+    * (value_matching/polyfuzz.py:77, rapidfuzz fuzz.ratio analog).
+    */
+  def normalizedLevenshtein(src: Column, tgt: Column): Column =
+    F.lit(1.0) - F.levenshtein(src, tgt).cast("double") /
+      F.greatest(F.length(src), F.length(tgt)).cast("double")
+
+  /** Distinct, trimmed, non-empty string values of a column. Mirrors
+    * the reference's preprocessing (api.py:360: str(x).strip()).
+    */
+  def domain(df: DataFrame, col: String, as: String): DataFrame =
+    df.select(F.trim(F.col(col).cast("string")).as(as))
+      .where(F.col(as).isNotNull && F.col(as) =!= "")
+      .distinct()
+
+  /** Edit-distance value matching. Returns (source, target, similarity)
+    * with the best match per source value at `similarity >= threshold`;
+    * unmatched source values are kept with null target/similarity
+    * (reference keeps them as NaN, api.py:457-485). Deterministic
+    * tie-break: higher similarity first, then target ascending.
+    */
+  def editDistanceMatch(
+      source: DataFrame, sourceCol: String,
+      target: DataFrame, targetCol: String,
+      threshold: Double, topK: Int = 1): DataFrame = {
+    val src = domain(source, sourceCol, "source")
+    val tgt = domain(target, targetCol, "target")
+    val scored = src
+      .crossJoin(F.broadcast(tgt))
+      .withColumn("similarity", normalizedLevenshtein(F.col("source"), F.col("target")))
+      .where(F.col("similarity") >= threshold)
+    val w = Window.partitionBy("source")
+      .orderBy(F.col("similarity").desc, F.col("target").asc)
+    val best = scored.withColumn("rn", F.row_number().over(w))
+      .where(F.col("rn") <= topK)
+    if (topK == 1) {
+      src.join(best.drop("rn"), Seq("source"), "left")
+        .select("source", "target", "similarity")
+    } else {
+      best.select(F.col("source"), F.col("target"), F.col("similarity"),
+        F.col("rn").cast("long").as("rank"))
+    }
+  }
+
+  /** Character trigrams of the lowercased value, with term frequency. */
+  private def gramTf(dom: DataFrame, valueCol: String): DataFrame = {
+    val v = F.lower(F.col(valueCol))
+    val gramsCol = F.when(F.length(v) >= 3,
+      F.transform(F.sequence(F.lit(1), F.length(v) - 2), i => v.substr(i, F.lit(3))))
+      .otherwise(F.array())
+    dom.select(F.col(valueCol), F.explode(gramsCol).as("gram"))
+      .groupBy(valueCol, "gram").agg(F.count(F.lit(1)).as("tf"))
+  }
+
+  /** TF-IDF character-trigram cosine value matching, the reference's
+    * default matcher (value_matching/polyfuzz.py:48, polyfuzz TFIDF).
+    * IDF is ln((1+N)/(1+df))+1 (smoothed, sklearn formula) fit over the
+    * union of both domains; weights are L2-normalized; cosine computed
+    * by an inverted-index join on grams (no cross product).
+    * Output: best target per source with similarity rounded to 6
+    * decimals (cross-engine float-determinism), unmatched kept as null.
+    */
+  def tfidfMatch(
+      source: DataFrame, sourceCol: String,
+      target: DataFrame, targetCol: String,
+      threshold: Double, topK: Int = 1): DataFrame = {
+    val src = domain(source, sourceCol, "source")
+    val tgt = domain(target, targetCol, "target")
+    val srcG = gramTf(src, "source")
+    val tgtG = gramTf(tgt, "target")
+
+    // N = |union corpus|; computed distributed and broadcast (no collect)
+    val nDf = src.select(F.lit(1).as("one"))
+      .unionAll(tgt.select(F.lit(1).as("one")))
+      .agg(F.count(F.lit(1)).cast("double").as("n_corpus"))
+    val dfG = srcG.select(F.col("gram"), F.col("source").as("v"))
+      .unionAll(tgtG.select(F.col("gram"), F.col("target").as("v")))
+      .groupBy("gram").agg(F.count(F.lit(1)).cast("double").as("df"))
+    val idf = dfG.crossJoin(F.broadcast(nDf))
+      .select(F.col("gram"),
+        (F.log((F.lit(1.0) + F.col("n_corpus")) / (F.lit(1.0) + F.col("df"))) + F.lit(1.0)).as("idf"))
+
+    def weighted(g: DataFrame, valueCol: String): DataFrame = {
+      val w = g.join(F.broadcast(idf), "gram")
+        .select(F.col(valueCol), F.col("gram"), (F.col("tf") * F.col("idf")).as("w"))
+      val norms = w.groupBy(valueCol)
+        .agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).as("norm"))
+      w.join(norms, valueCol)
+        .select(F.col(valueCol), F.col("gram"), (F.col("w") / F.col("norm")).as("w"))
+    }
+    val sw = weighted(srcG, "source")
+    val tw = weighted(tgtG, "target")
+
+    val sims = sw.join(tw, "gram")
+      .groupBy("source", "target")
+      .agg(F.round(F.sum(sw("w") * tw("w")), 6).as("similarity"))
+      .where(F.col("similarity") >= threshold)
+    val win = Window.partitionBy("source")
+      .orderBy(F.col("similarity").desc, F.col("target").asc)
+    val best = sims.withColumn("rn", F.row_number().over(win))
+      .where(F.col("rn") <= topK)
+    if (topK == 1) {
+      src.join(best.drop("rn"), Seq("source"), "left")
+        .select("source", "target", "similarity")
+    } else {
+      best.select(F.col("source"), F.col("target"), F.col("similarity"),
+        F.col("rn").cast("long").as("rank"))
+    }
+  }
+}

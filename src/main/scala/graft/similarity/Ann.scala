@@ -1,0 +1,112 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{functions => F}
+
+/** Similarity search over an embedding column (array<float>).
+  *
+  * - cosine/topK: exact brute force — the correctness baseline. The
+  *   query side is broadcast, so the corpus is scanned exactly once
+  *   with no shuffle of the big side.
+  * - hyperplane LSH (Charikar 2002 random-projection signatures):
+  *   the scale path — bucket join replaces the full scan; hyperplanes
+  *   are pseudo-random from xxhash64 so signatures are deterministic
+  *   and reproducible across runs/executors with no driver state.
+  */
+object Ann {
+
+  /** Cosine similarity of two array<float/double> columns; the fold is
+    * left-to-right in doubles (deterministic accumulation order).
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val ad = F.transform(a, x => x.cast("double"))
+    val bd = F.transform(b, x => x.cast("double"))
+    val dot = F.aggregate(F.zip_with(ad, bd, (x, y) => x * y), F.lit(0.0), (acc, v) => acc + v)
+    val na = F.sqrt(F.aggregate(ad, F.lit(0.0), (acc, v) => acc + v * v))
+    val nb = F.sqrt(F.aggregate(bd, F.lit(0.0), (acc, v) => acc + v * v))
+    dot / (na * nb)
+  }
+
+  /** Exact top-k nearest corpus vectors per query vector (cosine).
+    * Queries are broadcast; tie-break on corpus id ascending.
+    * Output: (query_id, neighbor_id, rank, similarity[r6]).
+    */
+  def cosineTopK(queries: DataFrame, qId: String, qVec: String,
+                 corpus: DataFrame, cId: String, cVec: String,
+                 k: Int): DataFrame = {
+    val q = queries.select(F.col(qId).as("query_id"), F.col(qVec).as("qv"))
+    val c = corpus.select(F.col(cId).as("neighbor_id"), F.col(cVec).as("cv"))
+    val scored = c.crossJoin(F.broadcast(q))
+      .where(F.col("query_id") =!= F.col("neighbor_id"))
+      .withColumn("sim", cosine(F.col("qv"), F.col("cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(F.col("sim").desc, F.col("neighbor_id").asc)
+    scored.withColumn("rank", F.row_number().over(w).cast("long"))
+      .where(F.col("rank") <= k)
+      .select(F.col("query_id"), F.col("neighbor_id"), F.col("rank"),
+        F.round(F.col("sim"), 6).as("similarity"))
+  }
+
+  /** All pairs (id1 < id2) with cosine >= threshold — exact pair join
+    * (used as the dedup-by-embedding correctness baseline).
+    */
+  def cosinePairs(df: DataFrame, idCol: String, vecCol: String,
+                  threshold: Double): DataFrame = {
+    val a = df.select(F.col(idCol).as("id1"), F.col(vecCol).as("v1"))
+    val b = df.select(F.col(idCol).as("id2"), F.col(vecCol).as("v2"))
+    a.join(b, F.col("id1") < F.col("id2"))
+      .withColumn("sim", cosine(F.col("v1"), F.col("v2")))
+      .where(F.col("sim") >= threshold)
+      .select(F.col("id1"), F.col("id2"), F.round(F.col("sim"), 6).as("similarity"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component r[p][i] in {-1,+1}
+    * derived from xxhash64(p * 1024 + i).
+    */
+  private def rademacher(p: Column, i: Column): Column =
+    F.when(F.pmod(F.xxhash64(p * 1024 + i), F.lit(2)) === 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+
+  /** nPlanes-bit LSH signature of a vector: bit p = sign(v . r_p). */
+  def lshSignature(vec: Column, dim: Int, nPlanes: Int): Column = {
+    val vd = F.transform(vec, x => x.cast("double"))
+    F.aggregate(
+      F.sequence(F.lit(0), F.lit(nPlanes - 1)),
+      F.lit(0L),
+      (acc, p) => {
+        val dot = F.aggregate(
+          F.zip_with(vd, F.sequence(F.lit(0), F.lit(dim - 1)),
+            (x, i) => x * rademacher(p, i)),
+          F.lit(0.0), (a2, v) => a2 + v)
+        acc + F.when(dot > 0, F.pow(F.lit(2.0), p).cast("long")).otherwise(0L)
+      })
+  }
+
+  /** Approximate top-k: candidates share the query's LSH bucket (or a
+    * bucket within hamming 1, via multi-probe on single-bit flips),
+    * exact cosine re-rank within candidates.
+    */
+  def lshTopK(queries: DataFrame, qId: String, qVec: String,
+              corpus: DataFrame, cId: String, cVec: String,
+              k: Int, dim: Int, nPlanes: Int = 12): DataFrame = {
+    val sigC = corpus.select(F.col(cId).as("neighbor_id"), F.col(cVec).as("cv"),
+      lshSignature(F.col(cVec), dim, nPlanes).as("bucket"))
+    // multi-probe: the exact bucket plus all single-bit flips
+    val probes = F.array_union(
+      F.array(F.col("qsig")),
+      F.transform(F.sequence(F.lit(0), F.lit(nPlanes - 1)),
+        p => F.col("qsig").bitwiseXOR(F.pow(F.lit(2.0), p).cast("long"))))
+    val sigQ = queries.select(F.col(qId).as("query_id"), F.col(qVec).as("qv"),
+        lshSignature(F.col(qVec), dim, nPlanes).as("qsig"))
+      .select(F.col("query_id"), F.col("qv"), F.explode(probes).as("bucket"))
+    val scored = sigC.join(F.broadcast(sigQ), "bucket")
+      .where(F.col("query_id") =!= F.col("neighbor_id"))
+      .withColumn("sim", cosine(F.col("qv"), F.col("cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(F.col("sim").desc, F.col("neighbor_id").asc)
+    scored.withColumn("rank", F.row_number().over(w).cast("long"))
+      .where(F.col("rank") <= k)
+      .select(F.col("query_id"), F.col("neighbor_id"), F.col("rank"),
+        F.round(F.col("sim"), 6).as("similarity"))
+  }
+}

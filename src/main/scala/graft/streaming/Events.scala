@@ -1,0 +1,80 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{functions => F}
+
+/** Event-stream operators, each with a batch form (oracle-checkable)
+  * and a Structured-Streaming twin over the same logical computation.
+  *
+  * Timestamps are normalized to epoch microseconds (bigint) at the
+  * edges: integer domain arithmetic is bit-identical across engines
+  * and avoids parquet ns/us precision skew in comparisons.
+  *
+  * Scale: both operators shuffle once on their natural high-cardinality
+  * keys (hour bucket x type; user_id), so partitions stay balanced at
+  * 100 TB; the streaming twins keep only watermark-bounded state.
+  */
+object Events {
+
+  private val HOUR_US = 3600L * 1000 * 1000
+
+  // parquet timestamps load as TIMESTAMP_NTZ; unix_micros needs
+  // TimestampType — cast via the UTC session zone (deterministic).
+  private def usOf(c: org.apache.spark.sql.Column) =
+    F.unix_micros(c.cast("timestamp"))
+
+  /** Tumbling 1-hour window aggregation per event type.
+    * Output: (hour_start_us, event_type, n_events, sum_value, n_users).
+    * sum_value is an exact decimal(18,6) sum cast back to double.
+    */
+  def windowAgg(events: DataFrame): DataFrame = {
+    val us = usOf(F.col("ts"))
+    events
+      .select((us - F.pmod(us, F.lit(HOUR_US))).as("hour_start_us"),
+        F.col("event_type"), F.col("value").cast("decimal(18,6)").as("v"),
+        F.col("user_id"))
+      .groupBy("hour_start_us", "event_type")
+      .agg(F.count(F.lit(1)).as("n_events"),
+        F.sum("v").cast("double").as("sum_value"),
+        F.countDistinct("user_id").as("n_users"))
+  }
+
+  /** Session windows with a fixed inactivity gap: classic lag+cumsum.
+    * Output per session: (user_id, session_start_us, session_end_us,
+    * n_events, n_types). Partitioned by user_id — the natural
+    * high-cardinality key — one shuffle, window sort within partition.
+    */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val gapUs = gapMinutes * 60L * 1000 * 1000
+    val byUser = Window.partitionBy("user_id").orderBy(F.col("ts_us").asc, F.col("event_id").asc)
+    events
+      .select(F.col("user_id"), F.col("event_id"), F.col("event_type"),
+        usOf(F.col("ts")).as("ts_us"))
+      .withColumn("new_session",
+        F.when(F.col("ts_us") - F.lag("ts_us", 1).over(byUser) > gapUs, 1)
+          .when(F.lag("ts_us", 1).over(byUser).isNull, 1)
+          .otherwise(0))
+      .withColumn("session_no", F.sum("new_session").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_no")
+      .agg(F.min("ts_us").as("session_start_us"),
+        F.max("ts_us").as("session_end_us"),
+        F.count(F.lit(1)).as("n_events"),
+        F.countDistinct("event_type").as("n_types"))
+      .drop("session_no")
+  }
+
+  /** Streaming twin of windowAgg: watermark + tumbling window over an
+    * unbounded source (readStream / MemoryStream). State is bounded by
+    * the watermark horizon.
+    */
+  def streamingWindowAgg(stream: DataFrame, watermark: String = "2 hours"): DataFrame =
+    stream
+      .withWatermark("ts", watermark)
+      .groupBy(F.window(F.col("ts"), "1 hour"), F.col("event_type"))
+      .agg(F.count(F.lit(1)).as("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .select(usOf(F.col("window.start")).as("hour_start_us"),
+        F.col("event_type"), F.col("n_events"), F.col("sum_value"))
+}

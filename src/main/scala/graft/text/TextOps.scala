@@ -1,0 +1,112 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{functions => F}
+
+/** Per-row text analysis operators for large-scale training-data
+  * pipelines: tokenization, shingling, quality stats, language ID,
+  * BPE-ish token counting, winnowing fingerprints.
+  *
+  * All of these are pure per-row expressions — no shuffle, fully
+  * codegen-eligible, embarrassingly parallel at 100 TB.
+  */
+object TextOps {
+
+  /** Lowercase word tokens: split on runs of non-alphanumerics, empty
+    * strings dropped. Kept to character classes whose semantics are
+    * identical in Java regex and RE2 (oracle parity).
+    */
+  def tokens(text: Column): Column =
+    F.filter(F.split(F.lower(text), "[^a-z0-9]+"), t => t =!= "")
+
+  /** k-word shingles (space-joined) of the token array; empty if fewer
+    * than k tokens. Sequence-sensitive representation for near-dup
+    * detection (word sets saturate on small vocabularies).
+    */
+  def shingles(toks: Column, k: Int): Column =
+    F.when(F.size(toks) >= k,
+      F.transform(F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+        i => F.concat_ws(" ", (0 until k).map(j => F.element_at(toks, i + j)): _*)))
+      .otherwise(F.array().cast("array<string>"))
+
+  /** Small public stopword lists per language for the heuristic
+    * language identifier. Scoring uses DISTINCT-token intersection so
+    * the same logic is expressible in the DuckDB oracle.
+    */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine", "zu", "den", "von", "im", "auf"),
+    "en" -> Seq("the", "a", "an", "and", "is", "not", "with", "of", "to", "in", "on", "for", "it", "this"),
+    "es" -> Seq("el", "la", "los", "las", "y", "es", "no", "con", "un", "una", "de", "en", "por", "que"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "pas", "avec", "un", "une", "de", "en", "sur", "que", "pour"),
+    "zh" -> Seq("de", "shi", "bu", "le", "zai", "you", "wo", "ta", "men", "zhe", "na", "ge", "he", "ye"))
+
+  /** Count of distinct tokens that appear in `words`. */
+  private def distinctHits(toks: Column, words: Seq[String]): Column =
+    F.size(F.array_intersect(F.array_distinct(toks),
+      F.array(words.map(F.lit): _*)))
+
+  /** Heuristic language ID: argmax of per-language stopword hits over
+    * distinct tokens; 'und' (undetermined) when every score is 0; ties
+    * break to the alphabetically-first language code.
+    */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val scored = stopwords.map { case (lang, words) =>
+      F.struct(distinctHits(toks, words).as("score"), F.lit(lang).as("lang"))
+    }
+    // argmax with lang-asc tie-break: compare (score, reversed-lang)
+    val best = scored.reduce { (a, b) =>
+      F.when(b.getField("score") > a.getField("score"), b)
+        .when(b.getField("score") === a.getField("score") &&
+          b.getField("lang") < a.getField("lang"), b)
+        .otherwise(a)
+    }
+    F.when(best.getField("score") > 0, best.getField("lang")).otherwise(F.lit("und"))
+  }
+
+  /** BPE-ish token count: alpha runs, digit runs, and single
+    * non-alphanumeric-non-space characters each count as one token.
+    */
+  def bpeTokenCount(text: Column): Column =
+    F.regexp_count(F.lower(text), F.lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"))
+
+  /** Quality stats struct: counts are exact ints; ratios are
+    * single-division doubles (cross-engine deterministic).
+    */
+  def qualityStats(text: Column, stopLang: Seq[String]): Seq[(String, Column)] = {
+    val toks = tokens(text)
+    val nChars = F.length(text)
+    val nToks = F.size(toks)
+    val punct = F.regexp_count(text, F.lit("[^a-zA-Z0-9 ]"))
+    val upper = F.regexp_count(text, F.lit("[A-Z]"))
+    val stops = F.size(F.filter(toks, t =>
+      F.array_contains(F.array(stopLang.map(F.lit): _*), t)))
+    Seq(
+      "n_chars" -> nChars.cast("long"),
+      "n_tokens" -> nToks.cast("long"),
+      "n_punct" -> punct.cast("long"),
+      "n_upper" -> upper.cast("long"),
+      "n_stopwords" -> stops.cast("long"),
+      "punct_ratio" -> punct.cast("double") / nChars.cast("double"),
+      "stopword_ratio" -> F.when(nToks > 0, stops.cast("double") / nToks.cast("double")).otherwise(F.lit(0.0)),
+      "avg_token_len" -> F.when(nToks > 0,
+        F.aggregate(toks, F.lit(0L), (acc, t) => acc + F.length(t)).cast("double") / nToks.cast("double"))
+        .otherwise(F.lit(0.0)))
+  }
+
+  /** Winnowing document fingerprints (Schleimer et al., SIGMOD 2003):
+    * hash k-token shingles, slide a window of size w, keep each
+    * window's minimum hash; the distinct minima are the fingerprint
+    * set. Per-row expression — no shuffle.
+    */
+  def winnowFingerprints(text: Column, k: Int = 4, w: Int = 3): Column = {
+    val sh = shingles(tokens(text), k)
+    val hashes = F.transform(sh, s => F.xxhash64(s))
+    val mins = F.when(F.size(hashes) >= w,
+      F.transform(F.sequence(F.lit(1), F.size(hashes) - (w - 1)),
+        i => F.array_min(F.slice(hashes, i, F.lit(w)))))
+      .otherwise(F.when(F.size(hashes) > 0, F.array(F.array_min(hashes)))
+        .otherwise(F.array().cast("array<long>")))
+    F.array_sort(F.array_distinct(mins))
+  }
+}
