@@ -221,12 +221,15 @@ object SparkEntry {
     t.documents.select(F.col("doc_id"), TextOps.bpeTokenCount(F.col("text")).cast("long").as("n_tokens_bpe"))
       .orderBy("doc_id")
 
-  private def docFingerprint(t: Tables): DataFrame = {
-    val fp = TextOps.winnowFingerprints(F.col("text"))
-    t.documents.select(F.col("doc_id"), F.size(fp).cast("long").as("n_fp"),
-      F.element_at(fp, 1).as("fp_min"))
+  private def docFingerprint(t: Tables): DataFrame =
+    // two-step select keeps fp an attribute: CollapseProject won't
+    // inline a multiply-referenced non-cheap expression, so the
+    // fingerprint chain is evaluated once per row, not per use
+    t.documents
+      .select(F.col("doc_id"), TextOps.winnowFingerprints(F.col("text")).as("fp"))
+      .select(F.col("doc_id"), F.size(F.col("fp")).cast("long").as("n_fp"),
+        F.element_at(F.col("fp"), 1).as("fp_min"))
       .orderBy("doc_id")
-  }
 
   private def eventsWindowAgg(t: Tables): DataFrame =
     Events.windowAgg(t.events).orderBy("hour_start_us", "event_type")

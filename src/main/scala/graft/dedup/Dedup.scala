@@ -74,12 +74,12 @@ object Dedup {
       .where(F.col("jaccard") >= threshold)
   }
 
-  /** MinHash signature column: numHashes minima of per-shingle seeded
-    * xxhash64. One pass over the shingle array, no extra shuffle.
+  /** MinHash signature column: numHashes minima over the shingle array
+    * in a single native-expression pass (graft.functions.MinHashSig) —
+    * no shuffle, no per-permutation interpreted lambda.
     */
   def minhashSignature(shingleArr: Column, numHashes: Int): Column =
-    F.transform(F.sequence(F.lit(0), F.lit(numHashes - 1)),
-      i => F.array_min(F.transform(shingleArr, s => F.xxhash64(s, i))))
+    graft.functions.HashExprs.minhashSig(shingleArr, numHashes)
 
   /** Near-dup pairs via MinHash + LSH banding, then exact-Jaccard
     * verification of candidates (so output has no false positives;

@@ -1,0 +1,192 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftsql.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
+
+/** Native Catalyst expressions for the hash-sketch hot paths.
+  *
+  * The same computations are expressible with nested higher-order
+  * functions (transform/aggregate lambdas), but those evaluate
+  * interpreted per array element — MinHash over 128 permutations via
+  * `transform(sequence(0,127), i -> array_min(transform(shs, s ->
+  * xxhash64(s, i))))` costs 128 x |shingles| interpreted xxhash64
+  * calls per row (~minutes for a few hundred documents). These
+  * expressions do one tight JVM loop per row instead: the per-100 TB
+  * cost is what the arithmetic actually requires.
+  */
+object HashExprs {
+  /** numHashes MinHash values of a string array in one pass. */
+  def minhashSig(shingles: Column, numHashes: Int): Column =
+    Bridge.column(MinHashSig(Bridge.expression(shingles), numHashes))
+
+  /** Sorted distinct sliding-window minima of a long array (winnowing). */
+  def winnowMins(hashes: Column, w: Int): Column =
+    Bridge.column(WinnowMins(Bridge.expression(hashes), w))
+
+  /** Cosine similarity of two float/double array columns. */
+  def cosineSim(a: Column, b: Column): Column =
+    Bridge.column(CosineSim(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Random-hyperplane LSH signature (Charikar 2002) of a vector. */
+  def lshSig(vec: Column, nPlanes: Int): Column =
+    Bridge.column(LshSig(Bridge.expression(vec), nPlanes))
+}
+
+/** nPlanes-bit hyperplane LSH signature: bit p = sign(v . r_p) with
+  * pseudo-random Rademacher components r_p[i] = +-1 derived from
+  * xxh64(p * 1024 + i, seed 42) parity — deterministic across
+  * executors/runs with no driver state, one pass per row.
+  */
+case class LshSig(child: Expression, nPlanes: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(nPlanes >= 1 && nPlanes <= 63, "nPlanes in [1, 63]")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "lsh_sig"
+
+  private lazy val isFloatArr = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    var sig = 0L
+    var p = 0
+    while (p < nPlanes) {
+      var dot = 0.0
+      var i = 0
+      while (i < n) {
+        val x: Double = if (isFloatArr) v.getFloat(i).toDouble else v.getDouble(i)
+        val r = if ((XXH64.hashLong(p * 1024L + i, 42L) & 1L) == 0L) 1.0 else -1.0
+        dot += x * r
+        i += 1
+      }
+      if (dot > 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LshSig =
+    copy(child = newChild)
+}
+
+/** Cosine similarity dot(a,b)/(|a||b|) over array<float>/array<double>
+  * in one loop per row. Accumulation is left-to-right in doubles —
+  * bit-identical to the equivalent aggregate/zip_with fold, without the
+  * per-element interpreted lambda dispatch.
+  */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  private lazy val lFloat = isFloat(left)
+  private lazy val rFloat = isFloat(right)
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var nx = 0.0; var ny = 0.0
+    var i = 0
+    while (i < n) {
+      val xv: Double = if (lFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv: Double = if (rFloat) y.getFloat(i).toDouble else y.getDouble(i)
+      dot += xv * yv
+      nx += xv * xv
+      ny += yv * yv
+      i += 1
+    }
+    dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
+    copy(left = l, right = r)
+}
+
+/** MinHash signature (Broder 1997) of an array<string> of shingles.
+  *
+  * Permutation family via the Kirsch–Mitzenmacher double-hashing trick:
+  * h_j(s) = xxh64(s, seedA) + j * (xxh64(s, seedB) | 1), j in
+  * [0, numHashes) — two string hashes per shingle instead of numHashes,
+  * unsigned-compared so the minima are uniform over the full 64-bit ring.
+  */
+case class MinHashSig(child: Expression, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val mins = Array.fill(numHashes)(-1L) // unsigned max
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      val h1 = XXH64.hashUTF8String(s, 42L)
+      val step = XXH64.hashUTF8String(s, 0x9747b28cL) | 1L
+      var h = h1
+      var j = 0
+      while (j < numHashes) {
+        if (java.lang.Long.compareUnsigned(h, mins(j)) < 0) mins(j) = h
+        h += step
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** Winnowing fingerprint minima (Schleimer et al., SIGMOD 2003): the
+  * sorted distinct minima of every length-w sliding window over the
+  * shingle-hash array; a whole-array minimum when 0 < n < w; empty for
+  * empty input. O(n*w) with w small — one pass per row.
+  */
+case class WinnowMins(child: Expression, w: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(w >= 1, "window must be >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_mins"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return new GenericArrayData(Array.emptyLongArray)
+    val hs = arr.toLongArray()
+    val nWin = math.max(n - w + 1, 1)
+    val mins = new Array[Long](nWin)
+    var i = 0
+    while (i < nWin) {
+      var m = hs(i)
+      var j = i + 1
+      val end = math.min(i + w, n)
+      while (j < end) { if (hs(j) < m) m = hs(j); j += 1 }
+      mins(i) = m
+      i += 1
+    }
+    java.util.Arrays.sort(mins)
+    var uniq = 1
+    i = 1
+    while (i < nWin) {
+      if (mins(i) != mins(uniq - 1)) { mins(uniq) = mins(i); uniq += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(mins, uniq))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowMins =
+    copy(child = newChild)
+}

@@ -16,17 +16,12 @@ import org.apache.spark.sql.{functions => F}
   */
 object Ann {
 
-  /** Cosine similarity of two array<float/double> columns; the fold is
-    * left-to-right in doubles (deterministic accumulation order).
+  /** Cosine similarity of two array<float/double> columns; native
+    * single-pass expression, left-to-right double accumulation
+    * (deterministic order, no per-element lambda dispatch).
     */
-  def cosine(a: Column, b: Column): Column = {
-    val ad = F.transform(a, x => x.cast("double"))
-    val bd = F.transform(b, x => x.cast("double"))
-    val dot = F.aggregate(F.zip_with(ad, bd, (x, y) => x * y), F.lit(0.0), (acc, v) => acc + v)
-    val na = F.sqrt(F.aggregate(ad, F.lit(0.0), (acc, v) => acc + v * v))
-    val nb = F.sqrt(F.aggregate(bd, F.lit(0.0), (acc, v) => acc + v * v))
-    dot / (na * nb)
-  }
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.HashExprs.cosineSim(a, b)
 
   /** Exact top-k nearest corpus vectors per query vector (cosine).
     * Queries are broadcast; tie-break on corpus id ascending.
@@ -61,26 +56,12 @@ object Ann {
       .select(F.col("id1"), F.col("id2"), F.round(F.col("sim"), 6).as("similarity"))
   }
 
-  /** Deterministic pseudo-random hyperplane component r[p][i] in {-1,+1}
-    * derived from xxhash64(p * 1024 + i).
+  /** nPlanes-bit LSH signature of a vector: bit p = sign(v . r_p) with
+    * deterministic pseudo-random Rademacher hyperplanes from
+    * xxh64(p * 1024 + i) parity (native one-pass expression).
     */
-  private def rademacher(p: Column, i: Column): Column =
-    F.when(F.pmod(F.xxhash64(p * 1024 + i), F.lit(2)) === 0, F.lit(1.0)).otherwise(F.lit(-1.0))
-
-  /** nPlanes-bit LSH signature of a vector: bit p = sign(v . r_p). */
-  def lshSignature(vec: Column, dim: Int, nPlanes: Int): Column = {
-    val vd = F.transform(vec, x => x.cast("double"))
-    F.aggregate(
-      F.sequence(F.lit(0), F.lit(nPlanes - 1)),
-      F.lit(0L),
-      (acc, p) => {
-        val dot = F.aggregate(
-          F.zip_with(vd, F.sequence(F.lit(0), F.lit(dim - 1)),
-            (x, i) => x * rademacher(p, i)),
-          F.lit(0.0), (a2, v) => a2 + v)
-        acc + F.when(dot > 0, F.pow(F.lit(2.0), p).cast("long")).otherwise(0L)
-      })
-  }
+  def lshSignature(vec: Column, dim: Int, nPlanes: Int): Column =
+    graft.functions.HashExprs.lshSig(vec, nPlanes)
 
   /** Approximate top-k: candidates share the query's LSH bucket (or a
     * bucket within hamming 1, via multi-probe on single-bit flips),

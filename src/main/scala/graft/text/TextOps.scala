@@ -102,11 +102,9 @@ object TextOps {
   def winnowFingerprints(text: Column, k: Int = 4, w: Int = 3): Column = {
     val sh = shingles(tokens(text), k)
     val hashes = F.transform(sh, s => F.xxhash64(s))
-    val mins = F.when(F.size(hashes) >= w,
-      F.transform(F.sequence(F.lit(1), F.size(hashes) - (w - 1)),
-        i => F.array_min(F.slice(hashes, i, F.lit(w)))))
-      .otherwise(F.when(F.size(hashes) > 0, F.array(F.array_min(hashes)))
-        .otherwise(F.array().cast("array<long>")))
-    F.array_sort(F.array_distinct(mins))
+    // window minima + distinct + sort in one native pass; the naive
+    // slice(hashes, i, w)-per-window formulation re-evaluates the whole
+    // shingle chain per window (quadratic, interpreted).
+    graft.functions.HashExprs.winnowMins(hashes, w)
   }
 }

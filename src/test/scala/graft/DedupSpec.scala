@@ -1,0 +1,54 @@
+package graft
+
+import graft.dedup.Dedup
+import org.apache.spark.sql.{functions => F}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),        // exact dup of 1
+    (3L, "the quick brown fox jumps over the sleepy dog"),      // near dup of 1
+    (4L, "completely different words entirely unrelated text here"),
+    (5L, "")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts, keeps min id") {
+    val out = Dedup.exact(docs, "doc_id", "text")
+      .select("doc_id", "n_copies").as[(Long, Long)].collect().toMap
+    assert(out(1L) == 2L, "docs 1 and 2 collapse to min id 1")
+    assert(!out.contains(2L))
+    assert(out(3L) == 1L && out(4L) == 1L)
+  }
+
+  test("jaccardPairs finds near dups, no false pairs, exact scores") {
+    val out = Dedup.jaccardPairs(docs, "doc_id", "text", k = 3, threshold = 0.4)
+      .as[(Long, Long, Double)].collect()
+    val pairs = out.map(r => (r._1, r._2)).toSet
+    assert(pairs.contains((1L, 2L)), "exact dups are also jaccard dups")
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)), "one-word-change near dup")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), "unrelated doc pairs with nothing")
+    val j12 = out.find(r => r._1 == 1L && r._2 == 2L).get._3
+    assert(j12 == 1.0)
+    // doc1 vs doc3: 7 shingles each (9 tokens, k=3), 5 shared → J = 5/9
+    val j13 = out.find(r => r._1 == 1L && r._2 == 3L).get._3
+    assert(math.abs(j13 - 5.0 / 9.0) < 1e-12)
+  }
+
+  test("minhashLsh candidates verified exactly (no false positives)") {
+    val out = Dedup.minhashLsh(docs, "doc_id", "text", k = 3,
+      numHashes = 64, bands = 16, threshold = 0.4)
+      .as[(Long, Long, Double)].collect()
+    out.foreach { case (_, _, j) => assert(j >= 0.4) }
+    assert(out.exists(r => r._1 == 1L && r._2 == 2L), "identical docs always collide")
+  }
+
+  test("simhashPairs: identical docs at hamming 0; output within radius") {
+    val out = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .as[(Long, Long, Int)].collect()
+    val h12 = out.find(r => r._1 == 1L && r._2 == 2L)
+    assert(h12.exists(_._3 == 0), "identical texts have identical simhash")
+    out.foreach { case (_, _, h) => assert(h <= 3) }
+  }
+}

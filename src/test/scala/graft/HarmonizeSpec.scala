@@ -1,0 +1,60 @@
+package graft
+
+import graft.harmonize._
+import org.apache.spark.sql.{functions => F}
+
+class HarmonizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("editDistanceMatch: best target, threshold, unmatched kept as null") {
+    val src = Seq("lung cancer", "breast cancer", "qqqqqq").toDF("v")
+    val tgt = Seq("Lung Cancer NOS", "Breast Carcinoma", "Melanoma").toDF("v")
+    val out = ValueMatcher.editDistanceMatch(src, "v", tgt, "v", threshold = 0.3)
+      .as[(String, Option[String], Option[Double])].collect()
+      .map(r => r._1 -> r._2).toMap
+    assert(out("lung cancer").contains("Lung Cancer NOS"))
+    assert(out("qqqqqq").isEmpty, "no target within threshold → null (reference NaN)")
+  }
+
+  test("tfidfMatch: self-similarity is 1.0 and wins") {
+    val src = Seq("alpha beta", "gamma delta").toDF("v")
+    val tgt = Seq("alpha beta", "gamma delta", "epsilon").toDF("v")
+    val out = ValueMatcher.tfidfMatch(src, "v", tgt, "v", threshold = 0.1)
+      .as[(String, Option[String], Option[Double])].collect()
+    out.foreach { case (s, t, sim) =>
+      assert(t.contains(s), s"$s should match itself")
+      assert(sim.exists(x => math.abs(x - 1.0) < 1e-6))
+    }
+  }
+
+  test("valueOverlapMatch: identical domains score 1.0") {
+    val src = Seq(("A", "x"), ("B", "y")).toDF("c1", "c2")
+    val out = SchemaMatcher.valueOverlapMatch(src, Seq("c1"), src, Seq("c1", "c2"))
+      .as[(String, String, Double)].collect()
+    assert(out.length == 1)
+    assert(out.head == (("c1", "c1", 1.0)))
+  }
+
+  test("mergeMappings: user precedence on (source,target); dup detection") {
+    val auto = Seq(ColumnMapping("a", "x"), ColumnMapping("b", "y",
+      DictionaryMapper(Map("1" -> "auto"))))
+    val user = Seq(ColumnMapping("b", "y", DictionaryMapper(Map("1" -> "user"))))
+    val merged = Materialize.mergeMappings(auto, user)
+    assert(merged.length == 2)
+    val by = merged.find(m => m.source == "b").get.mapper
+      .asInstanceOf[DictionaryMapper].mapping("1")
+    assert(by == "user")
+    intercept[IllegalArgumentException] {
+      Materialize.mergeMappings(Seq(ColumnMapping("a", "x"), ColumnMapping("a", "x")), Nil)
+    }
+  }
+
+  test("materialize: identity, dictionary (missing → null), function mappers") {
+    val in = Seq(("A", 2.0), ("Z", 3.0)).toDF("flag", "qty")
+    val out = Materialize(in, Seq(
+      ColumnMapping("flag", "status", DictionaryMapper(Map("A" -> "accepted"))),
+      ColumnMapping("qty", "grams", FunctionMapper(_ * F.lit(1000)))))
+      .as[(Option[String], Double)].collect().toSet
+    assert(out == Set((Some("accepted"), 2000.0), (None, 3000.0)))
+  }
+}

@@ -1,0 +1,85 @@
+package graft
+
+import graft.operators.AsOfJoin
+import graft.streaming.Events
+import org.apache.spark.sql.{functions => F}
+
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asof join attaches latest right row at or before left time, per key") {
+    val left = Seq(
+      (1L, "u1", 100L), (2L, "u1", 205L), (3L, "u2", 50L), (4L, "u3", 10L)
+    ).toDF("event_id", "user_id", "ts_us")
+    val right = Seq(
+      ("u1", 100L, "a"), ("u1", 200L, "b"), ("u2", 60L, "c")
+    ).toDF("user_id", "r_ts", "payload")
+    val out = AsOfJoin(left, right, key = "user_id",
+      leftTime = "ts_us", rightTime = "r_ts", payload = Seq("payload"))
+      .select("event_id", "payload").as[(Long, Option[String])]
+      .collect().toMap
+    assert(out(1L).contains("a"), "equal timestamps match (<= semantics)")
+    assert(out(2L).contains("b"), "latest right row before left time wins")
+    assert(out(3L).isEmpty, "right row after left time is invisible")
+    assert(out(4L).isEmpty, "key with no right rows stays null")
+  }
+
+  test("sessionize splits on gap, aggregates per session") {
+    val us = 60L * 1000 * 1000 // 1 minute
+    val events = Seq(
+      (1L, "2024-01-01 00:00:00", 7L, "click"),
+      (2L, "2024-01-01 00:10:00", 7L, "view"),
+      (3L, "2024-01-01 01:00:00", 7L, "click"), // 50-min gap → new session
+      (4L, "2024-01-01 00:00:00", 8L, "click")
+    ).map { case (id, t, u, ty) => (id, java.sql.Timestamp.valueOf(t), u, ty) }
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = Events.sessionize(events, gapMinutes = 30)
+      .orderBy("user_id", "session_start_us")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(out.length == 3)
+    val (u7a, u7b, u8) = (out(0), out(1), out(2))
+    assert(u7a._4 == 2 && u7a._5 == 2, "first session: 2 events, 2 types")
+    assert(u7b._4 == 1)
+    assert(u8._1 == 8L && u8._4 == 1)
+    assert(u7a._3 - u7a._2 == 10 * us, "session span = first..last event")
+  }
+
+  test("streaming window agg equals batch window agg (MemoryStream)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val data = Seq(
+      ("2024-01-01 00:05:00", "click", 1.0, 7L),
+      ("2024-01-01 00:55:00", "click", 2.0, 8L),
+      ("2024-01-01 01:05:00", "view", 4.0, 7L),
+      ("2024-01-01 02:10:00", "click", 8.0, 9L)
+    ).map { case (t, ty, v, u) => (java.sql.Timestamp.valueOf(t), ty, v, u) }
+
+    val stream = MemoryStream[(java.sql.Timestamp, String, Double, Long)]
+    stream.addData(data: _*)
+    // watermark 0s: after each batch the watermark jumps to max seen
+    // event time, finalizing every window that has ended by then
+    val streamed = Events.streamingWindowAgg(
+      stream.toDF().toDF("ts", "event_type", "value", "user_id"),
+      watermark = "0 seconds")
+    val q = streamed.writeStream.format("memory")
+      .queryName("win_agg").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // sentinel far in the future closes the last real window; its own
+      // (still-open) window is never emitted
+      stream.addData((java.sql.Timestamp.valueOf("2024-01-01 09:00:00"), "sentinel", 0.0, 0L))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("win_agg")
+      .select("hour_start_us", "event_type", "n_events", "sum_value")
+      .as[(Long, String, Long, Double)].collect().toSet
+
+    val batch = Events.windowAgg(
+      data.toDF("ts", "event_type", "value", "user_id"))
+      .select("hour_start_us", "event_type", "n_events", "sum_value")
+      .as[(Long, String, Long, Double)].collect().toSet
+
+    assert(got == batch, s"streaming $got != batch $batch")
+  }
+}

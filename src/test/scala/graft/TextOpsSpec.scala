@@ -1,0 +1,61 @@
+package graft
+
+import graft.text.TextOps
+import graft.multimodal.BinaryMeta
+import org.apache.spark.sql.{functions => F}
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokens: lowercase, splits on non-alphanumerics, drops empties") {
+    val got = Seq("Hello, World!  42x ").toDF("t")
+      .select(TextOps.tokens($"t").as("tk")).as[Seq[String]].head()
+    assert(got == Seq("hello", "world", "42x"))
+  }
+
+  test("shingles: k-grams, short docs give empty") {
+    val df = Seq("a b c d", "a b").toDF("t")
+      .select(TextOps.shingles(TextOps.tokens($"t"), 3).as("sh"))
+    val got = df.as[Seq[String]].collect()
+    assert(got(0) == Seq("a b c", "b c d"))
+    assert(got(1).isEmpty)
+  }
+
+  test("langId picks the stopword-dominant language; und when none") {
+    val df = Seq(
+      "the cat is on the mat and it is happy",
+      "el gato es un animal y no es feliz",
+      "zzz kkk qqq").toDF("t")
+      .select(TextOps.langId($"t").as("l")).as[String].collect()
+    assert(df.toSeq == Seq("en", "es", "und"))
+  }
+
+  test("bpeTokenCount counts alpha runs, digit runs, and symbols") {
+    val got = Seq("ab12 cd! e").toDF("t")
+      .select(TextOps.bpeTokenCount($"t").as("n")).as[Int].head()
+    // ab | 12 | cd | ! | e
+    assert(got == 5)
+  }
+
+  test("qualityStats: exact counts on a known string") {
+    val stats = TextOps.qualityStats($"t", Seq("the", "a"))
+    val row = Seq("The cat, a hat.").toDF("t")
+      .select(stats.map { case (n, c) => c.as(n) }: _*)
+      .collect().head
+    assert(row.getAs[Long]("n_chars") == 15)
+    assert(row.getAs[Long]("n_tokens") == 4)
+    assert(row.getAs[Long]("n_punct") == 2) // comma and period
+    assert(row.getAs[Long]("n_upper") == 1)
+    assert(row.getAs[Long]("n_stopwords") == 2) // "the", "a"
+  }
+
+  test("multimodal decode stub: columnar and mapPartitions paths agree") {
+    val df = BinaryMeta.attachBlob(
+      Seq((1L, "hello"), (2L, "a much longer text payload")).toDF("doc_id", "text"), "text")
+    val colPath = BinaryMeta.decodeStubColumns(df)
+      .select($"doc_id".as("id"), $"n_bytes", $"width", $"height", $"format")
+    val mpPath = BinaryMeta.decodeStubPartitions(df, "doc_id")
+    assert(colPath.as[(Long, Long, Int, Int, String)].collect().toSet ==
+      mpPath.as[(Long, Long, Int, Int, String)].collect().toSet)
+  }
+}
