@@ -25,10 +25,16 @@ object Dedup {
     df.groupBy(F.md5(F.col(textCol).cast("binary")).as("text_hash"))
       .agg(F.min(F.col(idCol)).as(idCol), F.count(F.lit(1)).as("n_copies"))
 
-  /** (id, shingle) distinct pairs for a document table. */
+  /** (id, shingle-hash) distinct pairs for a document table. Shingles
+    * are xxhash64-reduced immediately after the explode so every
+    * downstream shuffle/join moves 8-byte longs instead of strings
+    * (collision odds are ~|shingles|^2 / 2^65 — vanishing, and
+    * deterministic for a given corpus).
+    */
   def docShingles(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
     df.select(F.col(idCol).as("id"),
-        F.explode(TextOps.shingles(TextOps.tokens(F.col(textCol)), k)).as("sh"))
+        F.explode(TextOps.shingles(TextOps.tokens(F.col(textCol)), k)).as("shs"))
+      .select(F.col("id"), F.xxhash64(F.col("shs")).as("sh"))
       .distinct()
 
   /** All pairs (id1 < id2) with shingle-set Jaccard >= threshold —
@@ -42,7 +48,8 @@ object Dedup {
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    k: Int, threshold: Double): DataFrame = {
     val tok = docShingles(df, idCol, textCol, k).cache()
-    val sizes = tok.groupBy("id").agg(F.count(F.lit(1)).as("sz"))
+    val sets = docShingleSets(tok)
+    val sizes = sets.select(F.col("id"), F.col("sz"))
     val dfreq = tok.groupBy("sh").agg(F.count(F.lit(1)).as("df"))
     val ranked = tok.join(dfreq, "sh")
       .withColumn("rk", F.row_number().over(
@@ -55,19 +62,26 @@ object Dedup {
       .where(F.col("a.id") < F.col("b.id"))
       .select(F.col("a.id").as("id1"), F.col("b.id").as("id2"))
       .distinct()
-    verifyJaccard(cands, tok, sizes, threshold)
+    verifyJaccard(cands, sets, threshold)
   }
 
-  /** Exact Jaccard for candidate pairs given the (id, shingle) table. */
-  private[dedup] def verifyJaccard(cands: DataFrame, tok: DataFrame,
-                                   sizes: DataFrame, threshold: Double): DataFrame = {
-    val t1 = tok.select(F.col("id").as("id1"), F.col("sh"))
-    val t2 = tok.select(F.col("id").as("id2"), F.col("sh"))
-    val inter = cands.join(t1, "id1").join(t2, Seq("id2", "sh"))
-      .groupBy("id1", "id2").agg(F.count(F.lit(1)).as("ni"))
-    inter
-      .join(sizes.select(F.col("id").as("id1"), F.col("sz").as("n1")), "id1")
-      .join(sizes.select(F.col("id").as("id2"), F.col("sz").as("n2")), "id2")
+  /** Per-doc sorted shingle-hash set: (id, shs sorted array, sz). */
+  private[graft] def docShingleSets(tok: DataFrame): DataFrame =
+    tok.groupBy("id").agg(
+      F.array_sort(F.collect_list("sh")).as("shs"),
+      F.count(F.lit(1)).as("sz"))
+
+  /** Exact Jaccard for candidate pairs: each pair is verified by a
+    * merge-scan intersection of the two docs' sorted shingle-hash
+    * arrays — O(|a|+|b|) per candidate, no join blow-up proportional
+    * to |candidates| x |shingles-per-doc|.
+    */
+  private[dedup] def verifyJaccard(cands: DataFrame, sets: DataFrame,
+                                   threshold: Double): DataFrame = {
+    val s1 = sets.select(F.col("id").as("id1"), F.col("shs").as("shs1"), F.col("sz").as("n1"))
+    val s2 = sets.select(F.col("id").as("id2"), F.col("shs").as("shs2"), F.col("sz").as("n2"))
+    cands.join(s1, "id1").join(s2, "id2")
+      .withColumn("ni", graft.functions.HashExprs.sortedIntersectCount(F.col("shs1"), F.col("shs2")))
       .select(F.col("id1"), F.col("id2"),
         (F.col("ni").cast("double") /
           (F.col("n1") + F.col("n2") - F.col("ni")).cast("double")).as("jaccard"))
@@ -102,38 +116,19 @@ object Dedup {
       .where(F.col("a.id") < F.col("b.id"))
       .select(F.col("a.id").as("id1"), F.col("b.id").as("id2"))
       .distinct()
-    val tok = docShingles(df, idCol, textCol, k)
-    val sizes = tok.groupBy("id").agg(F.count(F.lit(1)).as("sz"))
-    verifyJaccard(cands, tok, sizes, threshold)
+    verifyJaccard(cands, docShingleSets(docShingles(df, idCol, textCol, k)), threshold)
   }
-
-  /** Literal array of the 64 single-bit masks (1L << b), used to test
-    * and set signature bits inside lambda expressions (Spark's
-    * shiftleft/shiftright only accept Int literals for the shift).
-    */
-  private val bitMasks: Column =
-    F.array((0 until 64).map(b => F.lit(1L << b)): _*)
 
   /** 64-bit SimHash per document from token term frequencies: bit b of
     * the signature is set iff the tf-weighted sum of (+-1) votes from
-    * each token's xxhash64 bit b is positive.
+    * each token's xxhash64 bit b is positive. Per-row native expression
+    * (graft.functions.SimHash64) — the signature pass is shuffle-free.
+    * Documents with no tokens are dropped (no meaningful signature).
     */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tf = df.select(F.col(idCol).as("id"),
-        F.explode(TextOps.tokens(F.col(textCol))).as("tok"))
-      .groupBy("id", "tok").agg(F.count(F.lit(1)).as("tf"))
-      .select(F.col("id"), F.xxhash64(F.col("tok")).as("h"), F.col("tf"))
-    val bitVotes = tf.select(F.col("id"), F.explode(
-      F.transform(F.sequence(F.lit(0), F.lit(63)),
-        b => F.struct(b.as("bit"),
-          F.when(F.col("h").bitwiseAND(F.element_at(bitMasks, b + 1)) =!= 0, F.col("tf"))
-            .otherwise(-F.col("tf")).as("vote")))).as("bv"))
-      .select(F.col("id"), F.col("bv.bit").as("bit"), F.col("bv.vote").as("vote"))
-    bitVotes.groupBy("id", "bit").agg(F.sum("vote").as("v"))
-      .groupBy("id")
-      .agg(F.sum(F.when(F.col("v") > 0,
-        F.element_at(bitMasks, F.col("bit").cast("int") + 1)).otherwise(0L)).as("simhash"))
-  }
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(F.col(idCol).as("id"), TextOps.tokens(F.col(textCol)).as("toks"))
+      .where(F.size(F.col("toks")) > 0)
+      .select(F.col("id"), graft.functions.HashExprs.simhash64(F.col("toks")).as("simhash"))
 
   /** Near-dup pairs with hamming(simhash) <= maxHamming, found via the
     * pigeonhole band join: split 64 bits into (maxHamming+1) bands —

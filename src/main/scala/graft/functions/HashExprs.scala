@@ -5,7 +5,8 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftsql.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the hash-sketch hot paths.
   *
@@ -34,6 +35,136 @@ object HashExprs {
   /** Random-hyperplane LSH signature (Charikar 2002) of a vector. */
   def lshSig(vec: Column, nPlanes: Int): Column =
     Bridge.column(LshSig(Bridge.expression(vec), nPlanes))
+
+  /** Space-joined k-shingles of a token array (native one-pass). */
+  def shingleStrings(toks: Column, k: Int): Column =
+    Bridge.column(ShingleStrings(Bridge.expression(toks), k))
+
+  /** 64-bit SimHash of a token array (Charikar 2002), tf-weighted. */
+  def simhash64(toks: Column): Column =
+    Bridge.column(SimHash64(Bridge.expression(toks)))
+
+  /** |a ∩ b| for two SORTED long arrays (merge scan, O(|a|+|b|)). */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    Bridge.column(SortedIntersectCount(Bridge.expression(a), Bridge.expression(b)))
+}
+
+/** Intersection size of two sorted long arrays via a single merge
+  * scan. Used to verify similarity-join candidates: each candidate
+  * pair is checked in O(|a|+|b|) against the two docs' shingle-hash
+  * sets, instead of re-joining the exploded shingle tables (which
+  * materializes |candidates| x |shingles-per-doc| rows).
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sorted_intersect_count"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val (nx, ny) = (x.numElements(), y.numElements())
+    var i = 0; var j = 0; var c = 0L
+    while (i < nx && j < ny) {
+      val xv = x.getLong(i)
+      val yv = y.getLong(j)
+      if (xv == yv) { c += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedIntersectCount =
+    copy(left = l, right = r)
+}
+
+/** 64-bit SimHash (Charikar 2002) of a document's token array: bit b
+  * of the signature is set iff the term-frequency-weighted sum of
+  * (+-1) votes from each distinct token's xxh64 bit b is positive.
+  *
+  * Entirely per-row (term frequencies are within-document), so the
+  * whole fleet-wide simhash pass is shuffle-free — versus the
+  * relational formulation (explode tokens -> groupBy tf -> explode 64
+  * bit votes -> two more groupBys) which shuffles 64x|tokens| rows.
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    // tf on the token's 64-bit hash (collision odds ~2^-64 per pair)
+    val tf = new java.util.HashMap[java.lang.Long, Array[Int]]()
+    var i = 0
+    while (i < n) {
+      val h = XXH64.hashUTF8String(arr.getUTF8String(i), 42L)
+      val c = tf.get(h)
+      if (c == null) tf.put(h, Array(1)) else c(0) += 1
+      i += 1
+    }
+    val votes = new Array[Long](64)
+    val it = tf.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val h = e.getKey.longValue()
+      val t = e.getValue()(0).toLong
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += t else votes(b) -= t
+        b += 1
+      }
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** k-token shingles (space-joined) of a string array; empty when the
+  * array has fewer than k elements.
+  *
+  * The lambda formulation `transform(sequence(1, n-k+1), i ->
+  * concat_ws(' ', element_at(toks, i), ...))` textually duplicates the
+  * whole `toks` subtree into every element_at — when toks is itself a
+  * regex tokenization, each window re-tokenizes the document k times.
+  * Here the child is evaluated once per row.
+  */
+case class ShingleStrings(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k >= 1, "shingle size must be >= 1")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "shingle_strings"
+
+  private val sep = UTF8String.fromString(" ")
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val toks = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) { toks(i) = arr.getUTF8String(i); i += 1 }
+    val out = new Array[Any](n - k + 1)
+    i = 0
+    while (i <= n - k) {
+      out(i) = UTF8String.concatWs(sep, java.util.Arrays.copyOfRange(toks, i, i + k): _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleStrings =
+    copy(child = newChild)
 }
 
 /** nPlanes-bit hyperplane LSH signature: bit p = sign(v . r_p) with

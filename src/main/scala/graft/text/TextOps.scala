@@ -21,13 +21,12 @@ object TextOps {
 
   /** k-word shingles (space-joined) of the token array; empty if fewer
     * than k tokens. Sequence-sensitive representation for near-dup
-    * detection (word sets saturate on small vocabularies).
+    * detection (word sets saturate on small vocabularies). Native
+    * one-pass expression — see graft.functions.ShingleStrings for why
+    * the transform/element_at lambda form is quadratic.
     */
   def shingles(toks: Column, k: Int): Column =
-    F.when(F.size(toks) >= k,
-      F.transform(F.sequence(F.lit(1), F.size(toks) - (k - 1)),
-        i => F.concat_ws(" ", (0 until k).map(j => F.element_at(toks, i + j)): _*)))
-      .otherwise(F.array().cast("array<string>"))
+    graft.functions.HashExprs.shingleStrings(toks, k)
 
   /** Small public stopword lists per language for the heuristic
     * language identifier. Scoring uses DISTINCT-token intersection so
