@@ -108,6 +108,32 @@ object OracleSql {
         |         FROM sims)
         |SELECT source, target, similarity FROM best WHERE rn = 1 ORDER BY source""".stripMargin,
 
+    "match_schema_topk" ->
+      """WITH sv AS (
+        |  SELECT DISTINCT 'l_returnflag' AS source, trim(CAST(l_returnflag AS VARCHAR)) AS value
+        |  FROM lineitem WHERE l_returnflag IS NOT NULL AND trim(CAST(l_returnflag AS VARCHAR)) <> ''
+        |  UNION
+        |  SELECT DISTINCT 'l_linestatus', trim(CAST(l_linestatus AS VARCHAR))
+        |  FROM lineitem WHERE l_linestatus IS NOT NULL AND trim(CAST(l_linestatus AS VARCHAR)) <> ''),
+        |tv AS (
+        |  SELECT DISTINCT 'o_orderstatus' AS target, trim(CAST(o_orderstatus AS VARCHAR)) AS value
+        |  FROM orders WHERE o_orderstatus IS NOT NULL AND trim(CAST(o_orderstatus AS VARCHAR)) <> ''
+        |  UNION
+        |  SELECT DISTINCT 'o_orderpriority', trim(CAST(o_orderpriority AS VARCHAR))
+        |  FROM orders WHERE o_orderpriority IS NOT NULL AND trim(CAST(o_orderpriority AS VARCHAR)) <> ''),
+        |ns AS (SELECT source, count(*) AS ns FROM sv GROUP BY source),
+        |nt AS (SELECT target, count(*) AS nt FROM tv GROUP BY target),
+        |inter AS (SELECT source, target, count(*) AS ni FROM sv JOIN tv USING (value) GROUP BY source, target),
+        |sims AS (
+        |  SELECT ns.source, nt.target,
+        |         CAST(coalesce(ni, 0) AS DOUBLE) / CAST(ns.ns + nt.nt - coalesce(ni, 0) AS DOUBLE) AS similarity
+        |  FROM ns CROSS JOIN nt LEFT JOIN inter ON inter.source = ns.source AND inter.target = nt.target),
+        |ranked AS (SELECT source, target, similarity,
+        |                  row_number() OVER (PARTITION BY source ORDER BY similarity DESC, target ASC) AS rn
+        |           FROM sims)
+        |SELECT source, target, similarity, CAST(rn AS BIGINT) AS "rank"
+        |FROM ranked WHERE rn <= 2 ORDER BY source, "rank"""".stripMargin,
+
     "materialize_mapping" ->
       """SELECT l_orderkey AS order_id, l_linenumber AS line_number,
         |       CASE CAST(l_returnflag AS VARCHAR) WHEN 'A' THEN 'accepted' WHEN 'N' THEN 'none'

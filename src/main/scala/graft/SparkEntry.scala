@@ -65,6 +65,20 @@ object SparkEntry {
       t.orders, Seq("o_orderstatus", "o_orderpriority"))
       .orderBy("source")
 
+  private def matchSchemaTopk(t: Tables): DataFrame =
+    SchemaMatcher.topKPerSource(
+      SchemaMatcher.valueOverlapAll(
+        t.lineitem, Seq("l_returnflag", "l_linestatus"),
+        t.orders, Seq("o_orderstatus", "o_orderpriority")), k = 2)
+      .orderBy("source", "rank")
+
+  private def matchValuesEmbedding(t: Tables): DataFrame =
+    ValueMatcher.profileEmbeddingMatch(
+      t.part, "p_name",
+      t.part.where(F.col("p_size") <= 25), "p_name",
+      dim = 64, threshold = 0.5)
+      .orderBy("source")
+
   private def matchSchemaName(t: Tables): DataFrame =
     SchemaMatcher.nameSimilarityMatch(t.customer.sparkSession,
       t.customer.columns.toSeq, t.supplier.columns.toSeq)
@@ -255,6 +269,8 @@ object SparkEntry {
       "match_values_topk" -> q(matchValuesTopk),
       "match_values_tfidf" -> q(matchValuesTfidf),
       "match_schema_overlap" -> q(matchSchemaOverlap),
+      "match_schema_topk" -> q(matchSchemaTopk),
+      "match_values_embedding" -> q(matchValuesEmbedding),
       "match_schema_name" -> q(matchSchemaName),
       "materialize_mapping" -> q(materializeMapping),
       "merge_mappings" -> q(mergeMappingsQ),

@@ -62,6 +62,22 @@ object SchemaMatcher {
       tgt: DataFrame, tgtCols: Seq[String]): DataFrame =
     bestPerSource(valueOverlapAll(src, srcCols, tgt, tgtCols))
 
+  /** Top-k candidate target columns per source column with similarity,
+    * the reference's top_matches API (bdikit/api.py:99). Same window
+    * machinery as bestPerSource, rank exposed.
+    */
+  def topKPerSource(all: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("source")
+      .orderBy(F.col("similarity").desc, F.col("target").asc)
+    all.withColumn("rank", F.row_number().over(w).cast("long"))
+      .where(F.col("rank") <= k)
+  }
+
+  def valueOverlapTopK(
+      src: DataFrame, srcCols: Seq[String],
+      tgt: DataFrame, tgtCols: Seq[String], k: Int): DataFrame =
+    topKPerSource(valueOverlapAll(src, srcCols, tgt, tgtCols), k)
+
   /** Column-NAME similarity matching (normalized edit similarity on
     * column names) — the schema-only signal used by the reference's
     * name-based matchers. Names are driver-small; built as a tiny

@@ -72,6 +72,53 @@ object ValueMatcher {
       .groupBy(valueCol, "gram").agg(F.count(F.lit(1)).as("tf"))
   }
 
+  /** Embedding-style value matching with hashing-trick profile vectors
+    * (the container-friendly equivalent of the reference's
+    * embedding-cosine matcher, value_matching/polyfuzz.py:100): each
+    * value is embedded as a dim-dimensional signed character-trigram
+    * count projection (feature hashing, Weinberger et al. 2009), and
+    * values are matched by cosine of the L2-normalized profiles.
+    * Distributed as a sparse dot via join on the hashed component
+    * index — never materializes the dense cross product.
+    */
+  def profileEmbeddingMatch(
+      source: DataFrame, sourceCol: String,
+      target: DataFrame, targetCol: String,
+      dim: Int = 64, threshold: Double = 0.5, topK: Int = 1): DataFrame = {
+    val src = domain(source, sourceCol, "source")
+    val tgt = domain(target, targetCol, "target")
+    def profile(dom: DataFrame, valueCol: String): DataFrame = {
+      val comp = gramTf(dom, valueCol)
+        .select(F.col(valueCol),
+          F.pmod(F.xxhash64(F.col("gram")), F.lit(dim)).cast("int").as("idx"),
+          (F.col("tf") * F.when(F.pmod(F.xxhash64(F.col("gram"), F.lit(1)), F.lit(2)) === 0,
+            F.lit(1.0)).otherwise(F.lit(-1.0))).as("w0"))
+        .groupBy(valueCol, "idx").agg(F.sum("w0").as("w"))
+        .where(F.col("w") =!= 0.0)
+      val norms = comp.groupBy(valueCol)
+        .agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).as("norm"))
+      comp.join(norms, valueCol)
+        .select(F.col(valueCol), F.col("idx"), (F.col("w") / F.col("norm")).as("w"))
+    }
+    val sw = profile(src, "source")
+    val tw = profile(tgt, "target")
+    val sims = sw.join(tw, "idx")
+      .groupBy("source", "target")
+      .agg(F.round(F.sum(sw("w") * tw("w")), 6).as("similarity"))
+      .where(F.col("similarity") >= threshold)
+    val win = Window.partitionBy("source")
+      .orderBy(F.col("similarity").desc, F.col("target").asc)
+    val best = sims.withColumn("rn", F.row_number().over(win))
+      .where(F.col("rn") <= topK)
+    if (topK == 1) {
+      src.join(best.drop("rn"), Seq("source"), "left")
+        .select("source", "target", "similarity")
+    } else {
+      best.select(F.col("source"), F.col("target"), F.col("similarity"),
+        F.col("rn").cast("long").as("rank"))
+    }
+  }
+
   /** TF-IDF character-trigram cosine value matching, the reference's
     * default matcher (value_matching/polyfuzz.py:48, polyfuzz TFIDF).
     * IDF is ln((1+N)/(1+df))+1 (smoothed, sklearn formula) fit over the

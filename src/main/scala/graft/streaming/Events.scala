@@ -2,7 +2,17 @@ package graft.streaming
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.{functions => F}
+
+/** Row types for the stateful streaming sessionizer (top-level for
+  * stable Encoders).
+  */
+private[streaming] case class SessionEvent(user_id: Long, ts_us: Long, event_type: String,
+    ts: java.sql.Timestamp) // watermarked column must survive projection
+private[streaming] case class OpenSession(start: Long, end: Long, n: Long, types: Seq[String])
+private[streaming] case class SessionRow(user_id: Long, session_start_us: Long,
+    session_end_us: Long, n_events: Long, n_types: Long)
 
 /** Event-stream operators, each with a batch form (oracle-checkable)
   * and a Structured-Streaming twin over the same logical computation.
@@ -69,6 +79,64 @@ object Events {
     * unbounded source (readStream / MemoryStream). State is bounded by
     * the watermark horizon.
     */
+  /** Streaming twin of sessionize: custom session state per user via
+    * flatMapGroupsWithState with event-time timeout. A user's open
+    * session lives in state; events extend it or (after the gap) close
+    * it; the watermark passing session-end + gap fires the timeout that
+    * emits the final session. State per key is one small struct —
+    * bounded by active users within the watermark horizon, not by
+    * history.
+    */
+  def streamingSessionize(stream: DataFrame, gapMinutes: Int = 30,
+                          watermark: String = "2 hours"): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes * 60L * 1000 * 1000
+
+    def emit(uid: Long, s: OpenSession): SessionRow =
+      SessionRow(uid, s.start, s.end, s.n, s.types.distinct.length.toLong)
+
+    val evs = stream
+      .withWatermark("ts", watermark)
+      .select(F.col("user_id").cast("long").as("user_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")).as("ts_us"),
+        F.col("event_type"),
+        F.col("ts"))
+      .as[SessionEvent]
+
+    evs.groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, SessionRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[SessionEvent], state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val done = emit(uid, state.get)
+            state.remove()
+            Iterator.single(done)
+          } else {
+            val closed = scala.collection.mutable.ArrayBuffer.empty[SessionRow]
+            var cur = state.getOption
+            it.toSeq.sortBy(e => (e.ts_us, e.event_type)).foreach { e =>
+              cur match {
+                case Some(s) if e.ts_us - s.end > gapUs =>
+                  closed += emit(uid, s)
+                  cur = Some(OpenSession(e.ts_us, e.ts_us, 1, Seq(e.event_type)))
+                case Some(s) =>
+                  cur = Some(OpenSession(s.start, math.max(s.end, e.ts_us),
+                    s.n + 1, s.types :+ e.event_type))
+                case None =>
+                  cur = Some(OpenSession(e.ts_us, e.ts_us, 1, Seq(e.event_type)))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // fire once the watermark passes session end + gap (ms)
+              state.setTimeoutTimestamp(s.end / 1000 + gapMinutes * 60L * 1000)
+            }
+            closed.iterator
+          }
+      }.toDF()
+  }
+
   def streamingWindowAgg(stream: DataFrame, watermark: String = "2 hours"): DataFrame =
     stream
       .withWatermark("ts", watermark)

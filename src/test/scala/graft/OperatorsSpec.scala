@@ -44,6 +44,41 @@ class OperatorsSpec extends SparkSpec {
     assert(u7a._3 - u7a._2 == 10 * us, "session span = first..last event")
   }
 
+  test("streaming sessionize equals batch sessionize (flatMapGroupsWithState)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val data = Seq(
+      (1L, "2024-01-01 00:00:00", 7L, "click"),
+      (2L, "2024-01-01 00:10:00", 7L, "view"),
+      (3L, "2024-01-01 01:00:00", 7L, "click"), // 50-min gap → session 2
+      (4L, "2024-01-01 00:00:00", 8L, "click")
+    ).map { case (id, t, u, ty) => (id, java.sql.Timestamp.valueOf(t), u, ty) }
+
+    val stream = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+    stream.addData(data: _*)
+    val streamed = Events.streamingSessionize(
+      stream.toDF().toDF("event_id", "ts", "user_id", "event_type"),
+      gapMinutes = 30, watermark = "0 seconds")
+    val q = streamed.writeStream.format("memory")
+      .queryName("sessions").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // push watermark far past every session end + gap → timeouts fire
+      stream.addData((99L, java.sql.Timestamp.valueOf("2024-01-02 00:00:00"), 999L, "sentinel"))
+      q.processAllAvailable()
+      stream.addData((100L, java.sql.Timestamp.valueOf("2024-01-03 00:00:00"), 999L, "sentinel"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("sessions")
+      .where($"user_id" =!= 999L)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val batch = Events.sessionize(
+      data.toDF("event_id", "ts", "user_id", "event_type"), gapMinutes = 30)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == batch, s"streaming $got != batch $batch")
+  }
+
   test("streaming window agg equals batch window agg (MemoryStream)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq = spark.sqlContext
