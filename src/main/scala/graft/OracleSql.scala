@@ -217,6 +217,12 @@ object OracleSql {
       """SELECT md5(text) AS text_hash, min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
 
+    "dedup_materialize" ->
+      """SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars
+        |FROM documents
+        |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))
+        |ORDER BY doc_id""".stripMargin,
+
     "dedup_jaccard" ->
       s"""WITH tk AS (SELECT doc_id, ${toks("text")} AS tl FROM documents),
          |sh AS (SELECT DISTINCT doc_id,

@@ -205,6 +205,11 @@ object SparkEntry {
     Dedup.simhashPairs(t.documents, "doc_id", "text", maxHamming = 3)
       .orderBy("id1", "id2")
 
+  private def dedupMaterialize(t: Tables): DataFrame =
+    Dedup.keepFirst(t.documents, "doc_id", "text")
+      .select(F.col("doc_id"), F.col("lang"), F.length(F.col("text")).cast("long").as("n_chars"))
+      .orderBy("doc_id")
+
   private def dedupEmbedding(t: Tables): DataFrame =
     Ann.cosinePairs(t.embeddings, "vec_id", "embedding", threshold = 0.4)
       .orderBy("id1", "id2")
@@ -219,6 +224,12 @@ object SparkEntry {
     Ann.lshTopK(
       t.embeddings.where(F.col("vec_id") < 10), "vec_id", "embedding",
       t.embeddings, "vec_id", "embedding", k = 5, dim = 64, nPlanes = 12)
+      .orderBy("query_id", "rank")
+
+  private def annIvf(t: Tables): DataFrame =
+    Ann.ivfTopK(
+      t.embeddings.where(F.col("vec_id") < 10), "vec_id", "embedding",
+      t.embeddings, "vec_id", "embedding", k = 5, nCells = 16, nProbe = 4)
       .orderBy("query_id", "rank")
 
   private def textStats(t: Tables): DataFrame = {
@@ -281,12 +292,14 @@ object SparkEntry {
       "window_topn" -> q(windowTopn),
       "asof_join" -> q(asofJoin),
       "dedup_exact" -> q(dedupExact),
+      "dedup_materialize" -> q(dedupMaterialize),
       "dedup_jaccard" -> q(dedupJaccard),
       "dedup_minhash" -> q(dedupMinhash),
       "dedup_simhash" -> q(dedupSimhash),
       "dedup_embedding" -> q(dedupEmbedding),
       "ann_topk" -> q(annTopk),
       "ann_lsh" -> q(annLsh),
+      "ann_ivf" -> q(annIvf),
       "text_stats" -> q(textStats),
       "lang_id" -> q(langId),
       "token_count" -> q(tokenCount),

@@ -25,6 +25,14 @@ object Dedup {
     df.groupBy(F.md5(F.col(textCol).cast("binary")).as("text_hash"))
       .agg(F.min(F.col(idCol)).as(idCol), F.count(F.lit(1)).as("n_copies"))
 
+  /** Materialize the deduplicated corpus: the full rows of the winner
+    * (min-id) document per distinct text. One hash-shuffle groupBy +
+    * a semi join back — the standard "write the clean corpus" step
+    * after exact dedup.
+    */
+  def keepFirst(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.join(exact(df, idCol, textCol).select(F.col(idCol)), Seq(idCol), "left_semi")
+
   /** (id, shingle-hash) distinct pairs for a document table. Shingles
     * are xxhash64-reduced immediately after the explode so every
     * downstream shuffle/join moves 8-byte longs instead of strings

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftsql.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the hash-sketch hot paths.
@@ -47,6 +47,71 @@ object HashExprs {
   /** |a ∩ b| for two SORTED long arrays (merge scan, O(|a|+|b|)). */
   def sortedIntersectCount(a: Column, b: Column): Column =
     Bridge.column(SortedIntersectCount(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Indices of the n centroids most cosine-similar to the vector. */
+  def topCells(vec: Column, centroids: Seq[Seq[Double]], n: Int): Column =
+    Bridge.column(TopCells(Bridge.expression(vec), centroids.map(_.toArray).toArray, n))
+}
+
+/** Top-n centroid indices by cosine similarity for a float/double
+  * vector against a small fixed centroid matrix (the IVF coarse
+  * quantizer). One pass per row; the centroid matrix (nCells x dim,
+  * driver-trained) rides in the plan like a broadcast literal.
+  */
+case class TopCells(child: Expression, centroids: Array[Array[Double]], n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(centroids.nonEmpty && n >= 1)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "top_cells"
+
+  private lazy val isFloatArr = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  private lazy val norms: Array[Double] =
+    centroids.map(c => math.sqrt(c.map(x => x * x).sum))
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val nv = v.numElements()
+    val k = centroids.length
+    val scores = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      val cent = centroids(c)
+      val d = math.min(nv, cent.length)
+      var dot = 0.0
+      var i = 0
+      while (i < d) {
+        val x: Double = if (isFloatArr) v.getFloat(i).toDouble else v.getDouble(i)
+        dot += x * cent(i)
+        i += 1
+      }
+      scores(c) = if (norms(c) > 0) dot / norms(c) else Double.NegativeInfinity
+      c += 1
+    }
+    // top-n by (score desc, index asc) — n is tiny, selection scan
+    val nn = math.min(n, k)
+    val out = new Array[Any](nn)
+    val taken = new Array[Boolean](k)
+    var r = 0
+    while (r < nn) {
+      var best = -1
+      var bestScore = Double.NegativeInfinity
+      c = 0
+      while (c < k) {
+        if (!taken(c) && scores(c) > bestScore) { best = c; bestScore = scores(c) }
+        c += 1
+      }
+      taken(best) = true
+      out(r) = best
+      r += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TopCells =
+    copy(child = newChild)
 }
 
 /** Intersection size of two sorted long arrays via a single merge

@@ -63,6 +63,59 @@ object Ann {
   def lshSignature(vec: Column, dim: Int, nPlanes: Int): Column =
     graft.functions.HashExprs.lshSig(vec, nPlanes)
 
+  /** IVF (inverted-file) ANN: a coarse quantizer of nCells centroids is
+    * Lloyd-trained (few iterations — driver holds only the k x dim
+    * centroid matrix, like MLlib KMeans), the corpus is partitioned by
+    * nearest cell, and each query brute-forces only its nProbe nearest
+    * cells. The per-row cell assignment is a native expression with the
+    * centroid matrix riding in the plan; at 100 TB the corpus scan is
+    * one pass and the candidate join touches nProbe/nCells of the data.
+    * Centroid means use decimal accumulation so training is
+    * deterministic across partitionings.
+    */
+  def ivfTopK(queries: DataFrame, qId: String, qVec: String,
+              corpus: DataFrame, cId: String, cVec: String,
+              k: Int, nCells: Int = 16, nProbe: Int = 3,
+              iters: Int = 3): DataFrame = {
+    import graft.functions.HashExprs.topCells
+    val c = corpus.select(F.col(cId).as("neighbor_id"), F.col(cVec).as("cv"))
+
+    // deterministic init: the nCells lowest-id vectors
+    var cents: Seq[Seq[Double]] = c.orderBy("neighbor_id").limit(nCells)
+      .select(F.transform(F.col("cv"), x => x.cast("double")).as("v"))
+      .collect().map(_.getSeq[Double](0).toSeq).toSeq
+
+    for (_ <- 1 to iters) {
+      val assigned = c.select(
+        F.element_at(topCells(F.col("cv"), cents, 1), 1).as("cell"), F.col("cv"))
+      val means = assigned
+        .select(F.col("cell"), F.posexplode(F.col("cv")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos")
+        .agg(F.avg(F.col("x").cast("decimal(28,10)")).cast("double").as("m"))
+        .groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("m")))).as("pm"))
+        .select(F.col("cell"), F.transform(F.col("pm"), p => p.getField("m")).as("mean"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toMap
+      cents = cents.indices.map(i => means.getOrElse(i, cents(i)))
+    }
+
+    val corpusCells = c.select(F.col("neighbor_id"), F.col("cv"),
+      F.element_at(topCells(F.col("cv"), cents, 1), 1).as("cell"))
+    val queryCells = queries
+      .select(F.col(qId).as("query_id"), F.col(qVec).as("qv"),
+        topCells(F.col(qVec), cents, nProbe).as("cells"))
+      .select(F.col("query_id"), F.col("qv"), F.explode(F.col("cells")).as("cell"))
+    val scored = corpusCells.join(F.broadcast(queryCells), "cell")
+      .where(F.col("query_id") =!= F.col("neighbor_id"))
+      .withColumn("sim", cosine(F.col("qv"), F.col("cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(F.col("sim").desc, F.col("neighbor_id").asc)
+    scored.withColumn("rank", F.row_number().over(w).cast("long"))
+      .where(F.col("rank") <= k)
+      .select(F.col("query_id"), F.col("neighbor_id"), F.col("rank"),
+        F.round(F.col("sim"), 6).as("similarity"))
+  }
+
   /** Approximate top-k: candidates share the query's LSH bucket (or a
     * bucket within hamming 1, via multi-probe on single-bit flips),
     * exact cosine re-rank within candidates.

@@ -1,0 +1,54 @@
+package graft
+
+import graft.similarity.Ann
+import org.apache.spark.sql.{functions => F}
+import scala.util.Random
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  // deterministic clustered vectors: 4 well-separated centers + noise
+  private def corpus = {
+    val rnd = new Random(42)
+    val centers = Seq.fill(4)(Array.fill(16)(rnd.nextGaussian()))
+    (0 until 200).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(x => (x + 0.05 * rnd.nextGaussian()).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("ivfTopK probing all cells equals brute-force topK exactly") {
+    val q = corpus.where($"vec_id" < 5)
+    val brute = Ann.cosineTopK(q, "vec_id", "embedding", corpus, "vec_id", "embedding", k = 3)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Long)].collect().toSet
+    val ivf = Ann.ivfTopK(q, "vec_id", "embedding", corpus, "vec_id", "embedding",
+      k = 3, nCells = 8, nProbe = 8, iters = 2)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Long)].collect().toSet
+    assert(ivf == brute)
+  }
+
+  test("ivfTopK with few probes keeps high recall on clustered data") {
+    val q = corpus.where($"vec_id" < 20)
+    val brute = Ann.cosineTopK(q, "vec_id", "embedding", corpus, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Ann.ivfTopK(q, "vec_id", "embedding", corpus, "vec_id", "embedding",
+      k = 5, nCells = 8, nProbe = 2, iters = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = ivf.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.9, s"recall $recall below 0.9")
+  }
+
+  test("lshTopK returns ranked exact-cosine results from probed buckets") {
+    val q = corpus.where($"vec_id" < 5)
+    val out = Ann.lshTopK(q, "vec_id", "embedding", corpus, "vec_id", "embedding",
+      k = 3, dim = 16, nPlanes = 8)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      val ranks = rows.map(_._3).sorted.toSeq
+      assert(ranks == (1L to ranks.length), "ranks contiguous from 1")
+      val sims = rows.sortBy(_._3).map(_._4).toSeq
+      assert(sims == sims.sorted.reverse, "similarity non-increasing in rank")
+    }
+  }
+}
