@@ -134,6 +134,76 @@ object OracleSql {
         |SELECT source, target, similarity, CAST(rn AS BIGINT) AS "rank"
         |FROM ranked WHERE rn <= 2 ORDER BY source, "rank"""".stripMargin,
 
+    // twoPhaseMatch with topN=2 over exactly 2 target columns keeps
+    // every candidate pair, so phase 2 reduces to the value-overlap
+    // matcher — the oracle is the same computation.
+    "match_schema_twophase" ->
+      """WITH sv AS (
+        |  SELECT DISTINCT 'l_returnflag' AS source, trim(CAST(l_returnflag AS VARCHAR)) AS value
+        |  FROM lineitem WHERE l_returnflag IS NOT NULL AND trim(CAST(l_returnflag AS VARCHAR)) <> ''
+        |  UNION
+        |  SELECT DISTINCT 'l_linestatus', trim(CAST(l_linestatus AS VARCHAR))
+        |  FROM lineitem WHERE l_linestatus IS NOT NULL AND trim(CAST(l_linestatus AS VARCHAR)) <> ''),
+        |tv AS (
+        |  SELECT DISTINCT 'o_orderstatus' AS target, trim(CAST(o_orderstatus AS VARCHAR)) AS value
+        |  FROM orders WHERE o_orderstatus IS NOT NULL AND trim(CAST(o_orderstatus AS VARCHAR)) <> ''
+        |  UNION
+        |  SELECT DISTINCT 'o_orderpriority', trim(CAST(o_orderpriority AS VARCHAR))
+        |  FROM orders WHERE o_orderpriority IS NOT NULL AND trim(CAST(o_orderpriority AS VARCHAR)) <> ''),
+        |ns AS (SELECT source, count(*) AS ns FROM sv GROUP BY source),
+        |nt AS (SELECT target, count(*) AS nt FROM tv GROUP BY target),
+        |inter AS (SELECT source, target, count(*) AS ni FROM sv JOIN tv USING (value) GROUP BY source, target),
+        |sims AS (
+        |  SELECT ns.source, nt.target,
+        |         CAST(coalesce(ni, 0) AS DOUBLE) / CAST(ns.ns + nt.nt - coalesce(ni, 0) AS DOUBLE) AS similarity
+        |  FROM ns CROSS JOIN nt LEFT JOIN inter ON inter.source = ns.source AND inter.target = nt.target),
+        |best AS (SELECT source, target, similarity,
+        |                row_number() OVER (PARTITION BY source ORDER BY similarity DESC, target ASC) AS rn
+        |         FROM sims)
+        |SELECT source, target, similarity FROM best WHERE rn = 1 ORDER BY source""".stripMargin,
+
+    "match_schema_maxvalsim" ->
+      """WITH snames AS (SELECT unnest(['l_returnflag', 'l_linestatus']) AS source),
+        |tnames AS (SELECT unnest(['o_orderstatus', 'o_orderpriority']) AS target),
+        |cand AS (SELECT source, target,
+        |                1.0 - CAST(levenshtein(source, target) AS DOUBLE)
+        |                      / CAST(greatest(length(source), length(target)) AS DOUBLE) AS name_score
+        |         FROM snames CROSS JOIN tnames),
+        |sv AS (
+        |  SELECT DISTINCT 'l_returnflag' AS source, trim(CAST(l_returnflag AS VARCHAR)) AS sval
+        |  FROM lineitem WHERE l_returnflag IS NOT NULL AND trim(CAST(l_returnflag AS VARCHAR)) <> ''
+        |  UNION
+        |  SELECT DISTINCT 'l_linestatus', trim(CAST(l_linestatus AS VARCHAR))
+        |  FROM lineitem WHERE l_linestatus IS NOT NULL AND trim(CAST(l_linestatus AS VARCHAR)) <> ''),
+        |tv AS (
+        |  SELECT DISTINCT 'o_orderstatus' AS target, trim(CAST(o_orderstatus AS VARCHAR)) AS tval
+        |  FROM orders WHERE o_orderstatus IS NOT NULL AND trim(CAST(o_orderstatus AS VARCHAR)) <> ''
+        |  UNION
+        |  SELECT DISTINCT 'o_orderpriority', trim(CAST(o_orderpriority AS VARCHAR))
+        |  FROM orders WHERE o_orderpriority IS NOT NULL AND trim(CAST(o_orderpriority AS VARCHAR)) <> ''),
+        |ntv AS (SELECT target, count(*) AS n_tv FROM tv GROUP BY target),
+        |bestval AS (
+        |  SELECT c.source, c.target, c.name_score, sv.sval, max(
+        |           1.0 - CAST(levenshtein(sv.sval, tv.tval) AS DOUBLE)
+        |                 / CAST(greatest(length(sv.sval), length(tv.tval)) AS DOUBLE)) AS best
+        |  FROM cand c JOIN sv ON sv.source = c.source JOIN tv ON tv.target = c.target
+        |  WHERE 1.0 - CAST(levenshtein(sv.sval, tv.tval) AS DOUBLE)
+        |              / CAST(greatest(length(sv.sval), length(tv.tval)) AS DOUBLE) >= 0.5
+        |  GROUP BY 1, 2, 3, 4),
+        |vscore AS (SELECT source, target, name_score, sum(best) AS sum_best
+        |           FROM bestval GROUP BY 1, 2, 3),
+        |scored AS (
+        |  SELECT c.source, c.target,
+        |         round(coalesce((c.name_score + v.sum_best / ntv.n_tv) / 2.0,
+        |                        c.name_score / 2.0), 6) AS similarity
+        |  FROM cand c
+        |       LEFT JOIN vscore v ON v.source = c.source AND v.target = c.target
+        |       JOIN ntv ON ntv.target = c.target),
+        |best AS (SELECT source, target, similarity,
+        |                row_number() OVER (PARTITION BY source ORDER BY similarity DESC, target ASC) AS rn
+        |         FROM scored)
+        |SELECT source, target, similarity FROM best WHERE rn = 1 ORDER BY source""".stripMargin,
+
     "materialize_mapping" ->
       """SELECT l_orderkey AS order_id, l_linenumber AS line_number,
         |       CASE CAST(l_returnflag AS VARCHAR) WHEN 'A' THEN 'accepted' WHEN 'N' THEN 'none'

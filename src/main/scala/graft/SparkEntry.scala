@@ -79,6 +79,21 @@ object SparkEntry {
       dim = 64, threshold = 0.5)
       .orderBy("source")
 
+  private def matchSchemaTwophase(t: Tables): DataFrame =
+    SchemaMatcher.twoPhaseMatch(
+      t.lineitem, Seq("l_returnflag", "l_linestatus"),
+      t.orders, Seq("o_orderstatus", "o_orderpriority"), topN = 2)
+      .orderBy("source")
+
+  private def matchSchemaMaxvalsim(t: Tables): DataFrame =
+    SchemaMatcher.maxValSimMatch(
+      t.lineitem, Seq("l_returnflag", "l_linestatus"),
+      t.orders, Seq("o_orderstatus", "o_orderpriority"),
+      topN = 2, threshold = 0.5)
+      // round kills cross-engine double-summation-order noise
+      .select(F.col("source"), F.col("target"), F.round(F.col("similarity"), 6).as("similarity"))
+      .orderBy("source")
+
   private def matchSchemaName(t: Tables): DataFrame =
     SchemaMatcher.nameSimilarityMatch(t.customer.sparkSession,
       t.customer.columns.toSeq, t.supplier.columns.toSeq)
@@ -281,6 +296,8 @@ object SparkEntry {
       "match_values_tfidf" -> q(matchValuesTfidf),
       "match_schema_overlap" -> q(matchSchemaOverlap),
       "match_schema_topk" -> q(matchSchemaTopk),
+      "match_schema_twophase" -> q(matchSchemaTwophase),
+      "match_schema_maxvalsim" -> q(matchSchemaMaxvalsim),
       "match_values_embedding" -> q(matchValuesEmbedding),
       "match_schema_name" -> q(matchSchemaName),
       "materialize_mapping" -> q(materializeMapping),

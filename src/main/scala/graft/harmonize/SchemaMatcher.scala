@@ -78,20 +78,87 @@ object SchemaMatcher {
       tgt: DataFrame, tgtCols: Seq[String], k: Int): DataFrame =
     topKPerSource(valueOverlapAll(src, srcCols, tgt, tgtCols), k)
 
-  /** Column-NAME similarity matching (normalized edit similarity on
-    * column names) — the schema-only signal used by the reference's
-    * name-based matchers. Names are driver-small; built as a tiny
-    * broadcast-able DataFrame so the same window/tie-break machinery
-    * applies.
+  /** All (source, target) column-name pairs with normalized edit
+    * similarity — names are driver-small, so this is a tiny broadcast
+    * frame feeding the same window/tie-break machinery.
     */
-  def nameSimilarityMatch(
+  def nameSimilarityAll(
       spark: SparkSession, srcCols: Seq[String], tgtCols: Seq[String]): DataFrame = {
     import spark.implicits._
     val s = srcCols.toDF("source")
     val t = tgtCols.toDF("target")
-    val all = s.crossJoin(F.broadcast(t))
+    s.crossJoin(F.broadcast(t))
       .withColumn("similarity",
         ValueMatcher.normalizedLevenshtein(F.col("source"), F.col("target")))
+  }
+
+  /** Column-NAME similarity matching (normalized edit similarity on
+    * column names) — the schema-only signal used by the reference's
+    * name-based matchers.
+    */
+  def nameSimilarityMatch(
+      spark: SparkSession, srcCols: Seq[String], tgtCols: Seq[String]): DataFrame =
+    bestPerSource(nameSimilarityAll(spark, srcCols, tgtCols))
+
+  /** Two-phase schema matching (reference TwoPhaseSchemaMatcher,
+    * schema_matching/one2one/twophase.py:10): a cheap top-k matcher
+    * (here: column-name similarity) proposes candidate target columns
+    * per source column, then the instance-based value-overlap matcher
+    * re-ranks ONLY the candidate pairs. The unpivot is restricted to
+    * columns that survive phase 1, so the expensive distinct-value join
+    * touches candidates only — that restriction is the whole point of
+    * the two-phase design at scale.
+    */
+  def twoPhaseMatch(
+      src: DataFrame, srcCols: Seq[String],
+      tgt: DataFrame, tgtCols: Seq[String], topN: Int = 2): DataFrame = {
+    val cand = topKPerSource(
+      nameSimilarityAll(src.sparkSession, srcCols, tgtCols), topN)
+      .select("source", "target")
+    // candidate column-name lists are driver-small by definition
+    val candRows = cand.collect()
+    val candTgtCols = candRows.map(_.getString(1)).distinct.toSeq
+    val all = valueOverlapAll(src, srcCols, tgt, candTgtCols)
+      .join(cand, Seq("source", "target"), "left_semi")
+    bestPerSource(all)
+  }
+
+  /** Max-value-similarity schema matching (reference
+    * MaxValSimSchemaMatcher, schema_matching/one2one/maxvalsim.py:11):
+    * per candidate column pair, each distinct source value is matched
+    * to its best target value by normalized edit similarity (>=
+    * threshold); the column's value score is the sum of matched
+    * similarities / |distinct target values|, averaged with the
+    * phase-1 column score; argmax per source. Cost is |candidate
+    * pairs| x |distinct values|^2 — vocabulary-bounded, never row
+    * count — with the target side broadcast.
+    */
+  def maxValSimMatch(
+      src: DataFrame, srcCols: Seq[String],
+      tgt: DataFrame, tgtCols: Seq[String],
+      topN: Int = 2, threshold: Double = 0.8): DataFrame = {
+    val cand = topKPerSource(
+      nameSimilarityAll(src.sparkSession, srcCols, tgtCols), topN)
+      .select(F.col("source"), F.col("target"), F.col("similarity").as("name_score"))
+    val sv = unpivot(src, srcCols, "source").withColumnRenamed("value", "sval")
+    val tv = unpivot(tgt, tgtCols, "target").withColumnRenamed("value", "tval")
+    val ntv = tv.groupBy("target").agg(F.count(F.lit(1)).as("n_tv"))
+    val bestPerValue = cand.join(sv, "source").join(F.broadcast(tv), "target")
+      .withColumn("vsim",
+        ValueMatcher.normalizedLevenshtein(F.col("sval"), F.col("tval")))
+      .where(F.col("vsim") >= threshold)
+      .groupBy("source", "target", "name_score", "sval")
+      .agg(F.max("vsim").as("best"))
+    val vscore = bestPerValue
+      .groupBy("source", "target", "name_score")
+      .agg(F.sum("best").as("sum_best"))
+      .join(F.broadcast(ntv), "target")
+      .select(F.col("source"), F.col("target"),
+        ((F.col("name_score") + F.col("sum_best") / F.col("n_tv")) / 2.0).as("similarity"))
+    // candidates with zero value matches keep half their name score
+    val all = cand.join(vscore, Seq("source", "target"), "left")
+      .select(F.col("source"), F.col("target"),
+        F.coalesce(F.col("similarity"), F.col("name_score") / 2.0).as("similarity"))
     bestPerSource(all)
   }
 }

@@ -35,6 +35,28 @@ class HarmonizeSpec extends SparkSpec {
     assert(out.head == (("c1", "c1", 1.0)))
   }
 
+  test("twoPhaseMatch: phase-1 name candidates restrict phase-2 value overlap") {
+    // src col "status" shares values with tgt "status_code" (name-similar)
+    // AND with "zzz" (name-dissimilar); two-phase must pick status_code
+    // because zzz never survives phase 1 with topN=1
+    val src = Seq(("A", "x"), ("B", "y")).toDF("status", "other")
+    val tgt = Seq(("A", "A", "p"), ("B", "B", "q")).toDF("status_code", "zzz", "unrelated")
+    val out = SchemaMatcher.twoPhaseMatch(src, Seq("status"), tgt,
+      Seq("status_code", "zzz", "unrelated"), topN = 1)
+      .as[(String, String, Double)].collect()
+    assert(out.toSeq == Seq(("status", "status_code", 1.0)))
+  }
+
+  test("maxValSimMatch: value-level similarity breaks name-score ties") {
+    val src = Seq(("alpha", 1), ("beta", 2)).toDF("code", "n")
+    val tgt = Seq(("alpha", "zzzz"), ("beta", "wwww")).toDF("code_a", "code_b")
+    val out = SchemaMatcher.maxValSimMatch(src, Seq("code"), tgt,
+      Seq("code_a", "code_b"), topN = 2, threshold = 0.5)
+      .as[(String, String, Double)].collect()
+    // identical name scores (code_a vs code_b); code_a holds the values
+    assert(out.length == 1 && out.head._2 == "code_a")
+  }
+
   test("mergeMappings: user precedence on (source,target); dup detection") {
     val auto = Seq(ColumnMapping("a", "x"), ColumnMapping("b", "y",
       DictionaryMapper(Map("1" -> "auto"))))
