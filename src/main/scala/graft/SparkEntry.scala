@@ -99,6 +99,14 @@ object SparkEntry {
       t.customer.columns.toSeq, t.supplier.columns.toSeq)
       .orderBy("source")
 
+  private def matchSchemaSimflood(t: Tables): DataFrame = {
+    def meta(df: DataFrame) = df.schema.fields.toSeq.map(f => (f.name, f.dataType.simpleString))
+    SimilarityFlooding.matchColumns(t.customer.sparkSession,
+      meta(t.customer), meta(t.supplier))
+      .select(F.col("source"), F.col("target"), F.round(F.col("similarity"), 6).as("similarity"))
+      .orderBy("source")
+  }
+
   private val returnFlagDict = DictionaryMapper(Map(
     "A" -> "accepted", "N" -> "none", "R" -> "returned"))
 
@@ -300,6 +308,7 @@ object SparkEntry {
       "match_schema_maxvalsim" -> q(matchSchemaMaxvalsim),
       "match_values_embedding" -> q(matchValuesEmbedding),
       "match_schema_name" -> q(matchSchemaName),
+      "match_schema_simflood" -> q(matchSchemaSimflood),
       "materialize_mapping" -> q(materializeMapping),
       "merge_mappings" -> q(mergeMappingsQ),
       "q1_agg" -> q(q1),

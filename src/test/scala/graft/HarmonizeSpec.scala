@@ -57,6 +57,35 @@ class HarmonizeSpec extends SparkSpec {
     assert(out.length == 1 && out.head._2 == "code_a")
   }
 
+  test("similarity flooding: identical schemas match themselves") {
+    val cols = Seq(("id", "bigint"), ("name", "string"), ("price", "double"))
+    val out = SimilarityFlooding.matchColumns(spark, cols, cols)
+      .as[(String, String, Double)].collect().map(r => r._1 -> r._2).toMap
+    assert(out == Map("id" -> "id", "name" -> "name", "price" -> "price"))
+  }
+
+  test("similarity flooding: structure (types) disambiguates equal names") {
+    // src 'val' is numeric; tgt has 'vol' (numeric) and 'vale' (string):
+    // name similarity alone prefers 'vale' (sim 0.75 vs 0.33), but type
+    // structure floods more similarity into the numeric pair
+    val src = Seq(("val", "double"), ("label", "string"))
+    val tgt = Seq(("vol", "double"), ("vale", "string"), ("other", "bigint"))
+    val out = SimilarityFlooding.matchColumns(spark, src, tgt)
+      .as[(String, String, Double)].collect().map(r => r._1 -> r._2).toMap
+    assert(out("val") == "vol", s"expected type structure to win: $out")
+  }
+
+  test("saltedJoin equals the plain join") {
+    import graft.operators.Skew
+    val left = Seq((1L, "a"), (1L, "b"), (2L, "c"), (3L, "d")).toDF("k", "lv")
+    val right = Seq((1L, 10.0), (2L, 20.0)).toDF("k", "rv")
+    val plain = left.join(right, "k").select("k", "lv", "rv")
+      .as[(Long, String, Double)].collect().toSet
+    val salted = Skew.saltedJoin(left, right, "k", salts = 4)
+      .select("k", "lv", "rv").as[(Long, String, Double)].collect().toSet
+    assert(salted == plain)
+  }
+
   test("mergeMappings: user precedence on (source,target); dup detection") {
     val auto = Seq(ColumnMapping("a", "x"), ColumnMapping("b", "y",
       DictionaryMapper(Map("1" -> "auto"))))
