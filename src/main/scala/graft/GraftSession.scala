@@ -16,6 +16,7 @@ object GraftSession {
       .builder()
       .master(master)
       .appName(appName)
+      .withExtensions(new GraftExtensions) // SQL access to native kernels
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

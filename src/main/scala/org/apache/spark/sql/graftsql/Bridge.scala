@@ -1,15 +1,26 @@
 package org.apache.spark.sql.graftsql
 
-import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.classic.ExpressionUtils
 
-/** Bridge to Spark's private[sql] Column <-> Expression converters so
-  * graft's native Catalyst expressions can be used as Columns. Lives in
-  * an org.apache.spark.sql subpackage purely for access; contains no
-  * Spark code.
+/** Bridge to Spark's private[sql] Column <-> Expression converters and
+  * the live-session FunctionRegistry, so graft's native Catalyst
+  * expressions can be used as Columns and registered as SQL functions.
+  * Lives in an org.apache.spark.sql subpackage purely for access;
+  * contains no Spark code.
   */
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a SQL function into an already-built session. */
+  def registerFunction(spark: SparkSession, name: String, usage: String,
+                       builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry.registerFunction(
+        new FunctionIdentifier(name),
+        new ExpressionInfo("graft", null, name, usage, ""),
+        builder)
 }

@@ -1,0 +1,22 @@
+package graft
+
+class ExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("graft expressions are callable from SQL after extension injection") {
+    GraftExtensions.register(spark)
+
+    Seq(("a b c d e f", 1L)).toDF("text", "id").createOrReplaceTempView("sql_docs")
+    val row = spark.sql(
+      """SELECT simhash64(filter(split(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS sh,
+        |       size(minhash_sig(shingle_strings(
+        |         filter(split(lower(text), '[^a-z0-9]+'), t -> t <> ''), 3), 32)) AS n_sig,
+        |       cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS cs,
+        |       sorted_intersect_count(array(1L, 2L, 3L), array(2L, 3L, 9L)) AS ic
+        |FROM sql_docs""".stripMargin).collect().head
+    assert(row.getAs[Int]("n_sig") == 32)
+    assert(math.abs(row.getAs[Double]("cs") - 1.0) < 1e-12)
+    assert(row.getAs[Long]("ic") == 2L)
+    assert(row.getAs[Long]("sh") != 0L)
+  }
+}
