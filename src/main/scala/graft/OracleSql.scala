@@ -333,7 +333,9 @@ object OracleSql {
          |       CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS BIGINT) AS n_punct,
          |       CAST(len(regexp_extract_all(text, '[A-Z]')) AS BIGINT) AS n_upper,
          |       CAST(len(list_filter(tl, t -> list_contains(${sqlList(TextOps.stopwords.toMap.apply("en"))}, t))) AS BIGINT) AS n_stopwords,
-         |       CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS DOUBLE) / CAST(length(text) AS DOUBLE) AS punct_ratio,
+         |       CASE WHEN length(text) > 0
+         |            THEN CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS DOUBLE) / CAST(length(text) AS DOUBLE)
+         |            ELSE 0.0 END AS punct_ratio,
          |       CASE WHEN len(tl) > 0
          |            THEN CAST(len(list_filter(tl, t -> list_contains(${sqlList(TextOps.stopwords.toMap.apply("en"))}, t))) AS DOUBLE) / CAST(len(tl) AS DOUBLE)
          |            ELSE 0.0 END AS stopword_ratio,

@@ -137,6 +137,19 @@ object Events {
       }.toDF()
   }
 
+  /** Streaming exact dedup: drop events whose content hash was already
+    * seen within the watermark horizon — the streaming twin of
+    * Dedup.exact/keepFirst for an unbounded source. State is the set of
+    * hashes inside the watermark window (dropDuplicatesWithinWatermark
+    * evicts expired keys), so memory is bounded by arrival rate x
+    * horizon, not stream history.
+    */
+  def streamingDedup(stream: DataFrame, hashCols: Seq[String],
+                     watermark: String = "2 hours"): DataFrame =
+    stream
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(hashCols)
+
   def streamingWindowAgg(stream: DataFrame, watermark: String = "2 hours"): DataFrame =
     stream
       .withWatermark("ts", watermark)

@@ -86,7 +86,8 @@ object TextOps {
       "n_punct" -> punct.cast("long"),
       "n_upper" -> upper.cast("long"),
       "n_stopwords" -> stops.cast("long"),
-      "punct_ratio" -> punct.cast("double") / nChars.cast("double"),
+      "punct_ratio" -> F.when(nChars > 0,
+        punct.cast("double") / nChars.cast("double")).otherwise(F.lit(0.0)),
       "stopword_ratio" -> F.when(nToks > 0, stops.cast("double") / nToks.cast("double")).otherwise(F.lit(0.0)),
       "avg_token_len" -> F.when(nToks > 0,
         F.aggregate(toks, F.lit(0L), (acc, t) => acc + F.length(t)).cast("double") / nToks.cast("double"))

@@ -79,6 +79,30 @@ class OperatorsSpec extends SparkSpec {
     assert(got == batch, s"streaming $got != batch $batch")
   }
 
+  test("streaming dedup drops repeated content within the watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val deduped = Events.streamingDedup(
+      stream.toDF().toDF("event_id", "ts", "content_hash"),
+      hashCols = Seq("content_hash"), watermark = "1 hour")
+    val q = deduped.writeStream.format("memory")
+      .queryName("stream_dedup").outputMode("append").start()
+    try {
+      stream.addData(
+        (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "h1"),
+        (2L, java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), "h1"), // dup
+        (3L, java.sql.Timestamp.valueOf("2024-01-01 00:02:00"), "h2"))
+      q.processAllAvailable()
+      stream.addData(
+        (4L, java.sql.Timestamp.valueOf("2024-01-01 00:30:00"), "h1")) // dup, within horizon
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.table("stream_dedup").select("content_hash")
+      .as[String].collect().sorted.toSeq
+    assert(kept == Seq("h1", "h2"), s"got $kept")
+  }
+
   test("streaming window agg equals batch window agg (MemoryStream)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq = spark.sqlContext

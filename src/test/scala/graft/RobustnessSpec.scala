@@ -1,0 +1,67 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.functions.HashExprs
+import graft.text.TextOps
+import org.apache.spark.sql.{functions => F}
+import scala.util.Random
+
+class RobustnessSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("null and empty texts flow through text + dedup ops without errors") {
+    val docs = Seq(
+      (1L, "normal document with several words here"),
+      (2L, ""),
+      (3L, null.asInstanceOf[String]),
+      (4L, "    "),
+      (5L, "§±!@#$%^&*()")
+    ).toDF("doc_id", "text")
+
+    val stats = docs.select(F.col("doc_id") +:
+      TextOps.qualityStats(F.col("text"), Seq("the")).map { case (n, c) => c.as(n) }: _*)
+    assert(stats.count() == 5)
+
+    val lang = docs.select(TextOps.langId(F.col("text")).as("l")).collect()
+    assert(lang.length == 5)
+
+    val fp = docs.select(F.col("doc_id"),
+      TextOps.winnowFingerprints(F.col("text")).as("fp")).collect()
+    assert(fp.length == 5)
+
+    // pair ops: degenerate docs either hash-group or drop out cleanly
+    assert(Dedup.exact(docs, "doc_id", "text").count() >= 3)
+    assert(Dedup.jaccardPairs(docs, "doc_id", "text", k = 3, threshold = 0.5).count() == 0)
+    assert(Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3).count() == 0)
+    assert(Dedup.minhashLsh(docs, "doc_id", "text", k = 3,
+      numHashes = 32, bands = 8, threshold = 0.5).count() == 0)
+  }
+
+  test("property: winnowMins equals brute force on random arrays (seeded)") {
+    val rnd = new Random(7)
+    val cases = (0 until 30).map { _ =>
+      val n = rnd.nextInt(41)
+      (Seq.fill(n)(rnd.nextLong() / 2), 1 + rnd.nextInt(6))
+    }
+    cases.zipWithIndex.foreach { case ((xs, w), i) =>
+      val res = Seq(Tuple1(xs)).toDF("hs")
+        .select(HashExprs.winnowMins($"hs", w).as("m")).as[Seq[Long]].head()
+      val want =
+        if (xs.isEmpty) Seq.empty[Long]
+        else if (xs.length < w) Seq(xs.min)
+        else (0 to xs.length - w).map(j => xs.slice(j, j + w).min).distinct.sorted
+      assert(res == want, s"case $i: n=${xs.length} w=$w")
+    }
+  }
+
+  test("property: sortedIntersectCount equals set intersection size (seeded)") {
+    val rnd = new Random(11)
+    (0 until 30).foreach { i =>
+      val a = Seq.fill(rnd.nextInt(20))(rnd.nextLong() % 31).distinct.sorted
+      val b = Seq.fill(rnd.nextInt(20))(rnd.nextLong() % 31).distinct.sorted
+      val got = Seq((a, b)).toDF("a", "b")
+        .select(HashExprs.sortedIntersectCount($"a", $"b").as("c")).as[Long].head()
+      assert(got == a.toSet.intersect(b.toSet).size.toLong, s"case $i")
+    }
+  }
+}
