@@ -134,6 +134,18 @@ object OracleSql {
         |SELECT source, target, similarity, CAST(rn AS BIGINT) AS "rank"
         |FROM ranked WHERE rn <= 2 ORDER BY source, "rank"""".stripMargin,
 
+    "match_schema_name" ->
+      """WITH snames AS (SELECT unnest(['c_custkey', 'c_name', 'c_nationkey', 'c_acctbal', 'c_mktsegment']) AS source),
+        |tnames AS (SELECT unnest(['s_suppkey', 's_name', 's_nationkey', 's_acctbal']) AS target),
+        |scored AS (SELECT source, target,
+        |                  1.0 - CAST(levenshtein(source, target) AS DOUBLE)
+        |                        / CAST(greatest(length(source), length(target)) AS DOUBLE) AS similarity
+        |           FROM snames CROSS JOIN tnames),
+        |best AS (SELECT source, target, similarity,
+        |                row_number() OVER (PARTITION BY source ORDER BY similarity DESC, target ASC) AS rn
+        |         FROM scored)
+        |SELECT source, target, similarity FROM best WHERE rn = 1 ORDER BY source""".stripMargin,
+
     // twoPhaseMatch with topN=2 over exactly 2 target columns keeps
     // every candidate pair, so phase 2 reduces to the value-overlap
     // matcher — the oracle is the same computation.

@@ -45,8 +45,17 @@ object ValueMatcher {
       threshold: Double, topK: Int = 1): DataFrame = {
     val src = domain(source, sourceCol, "source")
     val tgt = domain(target, targetCol, "target")
+    // length-band pruning: normLev >= t implies lev <= (1-t)*maxlen,
+    // and lev >= |len(s)-len(t)| — so pairs outside the band cannot
+    // pass the threshold. Pure optimization: result-identical, but the
+    // (codegen'd) length filter runs before the O(len^2) levenshtein.
+    val lenBand =
+      F.abs(F.length(F.col("source")) - F.length(F.col("target"))).cast("double") <=
+        (F.lit(1.0) - F.lit(threshold)) *
+          F.greatest(F.length(F.col("source")), F.length(F.col("target"))).cast("double")
     val scored = src
       .crossJoin(F.broadcast(tgt))
+      .where(lenBand)
       .withColumn("similarity", normalizedLevenshtein(F.col("source"), F.col("target")))
       .where(F.col("similarity") >= threshold)
     val w = Window.partitionBy("source")
