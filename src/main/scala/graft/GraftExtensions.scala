@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSim, LshSig, MinHashSig, ShingleStrings, SimHash64, SortedIntersectCount, WinnowMins}
+import graft.functions.{CosineSim, LshSig, MinHashAgg, MinHashSig, ShingleStrings, SimHash64, SortedIntersectCount, WinnowMins}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -49,7 +49,9 @@ object GraftExtensions {
     ("simhash64", "_FUNC_(tokens) - 64-bit tf-weighted SimHash of a token array",
       (args: Seq[Expression]) => SimHash64(args(0))),
     ("sorted_intersect_count", "_FUNC_(a, b) - |a intersect b| for sorted long arrays",
-      (args: Seq[Expression]) => SortedIntersectCount(args(0), args(1))))
+      (args: Seq[Expression]) => SortedIntersectCount(args(0), args(1))),
+    ("minhash_agg", "_FUNC_(value, n) - n-component MinHash sketch of the group's distinct values",
+      (args: Seq[Expression]) => MinHashAgg(args(0), intArg(args(1), "numHashes"))))
 
   /** Register every function into an already-built session. */
   def register(spark: SparkSession): Unit =

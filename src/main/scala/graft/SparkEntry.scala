@@ -94,6 +94,12 @@ object SparkEntry {
       .select(F.col("source"), F.col("target"), F.round(F.col("similarity"), 6).as("similarity"))
       .orderBy("source")
 
+  private def matchSchemaSketch(t: Tables): DataFrame =
+    SchemaMatcher.valueOverlapSketchMatch(
+      t.lineitem, Seq("l_returnflag", "l_linestatus"),
+      t.orders, Seq("o_orderstatus", "o_orderpriority"), numHashes = 256)
+      .orderBy("source")
+
   private def matchSchemaName(t: Tables): DataFrame =
     SchemaMatcher.nameSimilarityMatch(t.customer.sparkSession,
       t.customer.columns.toSeq, t.supplier.columns.toSeq)
@@ -309,6 +315,7 @@ object SparkEntry {
       "match_values_embedding" -> q(matchValuesEmbedding),
       "match_schema_name" -> q(matchSchemaName),
       "match_schema_simflood" -> q(matchSchemaSimflood),
+      "match_schema_sketch" -> q(matchSchemaSketch),
       "materialize_mapping" -> q(materializeMapping),
       "merge_mappings" -> q(mergeMappingsQ),
       "q1_agg" -> q(q1),

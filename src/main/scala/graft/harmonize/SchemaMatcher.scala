@@ -78,6 +78,33 @@ object SchemaMatcher {
       tgt: DataFrame, tgtCols: Seq[String], k: Int): DataFrame =
     topKPerSource(valueOverlapAll(src, srcCols, tgt, tgtCols), k)
 
+  /** Sketch-based distribution matching — the 100 TB scale path for
+    * valueOverlapMatch: each column is reduced map-side to one MinHash
+    * signature of its distinct values (graft.functions.MinHashAgg), and
+    * column-pair Jaccard is ESTIMATED from positional signature
+    * agreement. No distinct-value join at all: the shuffle carries
+    * |columns| signatures of numHashes longs each.
+    */
+  def valueOverlapSketchMatch(
+      src: DataFrame, srcCols: Seq[String],
+      tgt: DataFrame, tgtCols: Seq[String],
+      numHashes: Int = 256): DataFrame = {
+    import graft.functions.MinHashAgg.minhashAgg
+    def sketches(df: DataFrame, cols: Seq[String], colAs: String): DataFrame =
+      unpivot(df, cols, colAs)
+        .groupBy(colAs).agg(minhashAgg(F.col("value"), numHashes).as("sig"))
+    val ss = sketches(src, srcCols, "source")
+    val ts = sketches(tgt, tgtCols, "target")
+    val agree = F.aggregate(
+      F.zip_with(F.col("ssig"), F.col("tsig"), (a, b) => F.when(a === b, 1).otherwise(0)),
+      F.lit(0), (acc, x) => acc + x)
+    val all = ss.withColumnRenamed("sig", "ssig")
+      .crossJoin(F.broadcast(ts.withColumnRenamed("sig", "tsig")))
+      .select(F.col("source"), F.col("target"),
+        (agree.cast("double") / F.lit(numHashes.toDouble)).as("similarity"))
+    bestPerSource(all)
+  }
+
   /** All (source, target) column-name pairs with normalized edit
     * similarity — names are driver-small, so this is a tiny broadcast
     * frame feeding the same window/tie-break machinery.

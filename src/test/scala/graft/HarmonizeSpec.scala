@@ -57,6 +57,26 @@ class HarmonizeSpec extends SparkSpec {
     assert(out.length == 1 && out.head._2 == "code_a")
   }
 
+  test("sketch-based overlap match approximates exact jaccard") {
+    val vals = (0 until 300).map(i => s"value_$i")
+    // colA and colB share 80% of values; colC is disjoint
+    val df = vals.map(v => (v, v, v + "_x")).toDF("colA", "colB2", "colC")
+      .withColumn("colB", F.when(F.rand(7) < 0.8, F.col("colB2"))
+        .otherwise(F.concat(F.col("colB2"), F.lit("_alt"))))
+    val out = SchemaMatcher.valueOverlapSketchMatch(
+      df, Seq("colA"), df, Seq("colB", "colC"), numHashes = 512)
+      .as[(String, String, Double)].collect()
+    assert(out.length == 1)
+    val (_, tgt, sim) = out.head
+    assert(tgt == "colB", s"sketch match picked $tgt")
+    // true J ≈ 0.8/1.2 ≈ 0.67; 512 components → tight-ish estimate
+    assert(sim > 0.5 && sim < 0.85, s"estimated jaccard $sim implausible")
+    val exact = SchemaMatcher.valueOverlapMatch(df, Seq("colA"), df, Seq("colB", "colC"))
+      .as[(String, String, Double)].collect().head
+    assert(math.abs(sim - exact._3) < 0.12,
+      s"sketch $sim vs exact ${exact._3} diverged")
+  }
+
   test("similarity flooding: identical schemas match themselves") {
     val cols = Seq(("id", "bigint"), ("name", "string"), ("price", "double"))
     val out = SimilarityFlooding.matchColumns(spark, cols, cols)
