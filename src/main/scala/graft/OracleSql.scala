@@ -295,6 +295,18 @@ object OracleSql {
         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts_us >= c.c_ts_us
         |ORDER BY p.event_id""".stripMargin,
 
+    "range_join" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+        |           WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, epoch_us(ts) AS c_ts FROM events WHERE event_type = 'click'),
+        |cnt AS (SELECT p.event_id, count(*) AS n
+        |        FROM p JOIN c ON c.user_id = p.user_id
+        |             AND c.c_ts >= p.ts_us - 3600000000 AND c.c_ts <= p.ts_us
+        |        GROUP BY p.event_id)
+        |SELECT p.event_id, p.user_id, p.ts_us, coalesce(cnt.n, 0) AS n_clicks_1h
+        |FROM p LEFT JOIN cnt USING (event_id)
+        |ORDER BY event_id""".stripMargin,
+
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin,

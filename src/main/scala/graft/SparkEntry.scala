@@ -216,6 +216,22 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  private def rangeJoinQ(t: Tables): DataFrame = {
+    val hourUs = 3600L * 1000 * 1000
+    val ev = t.events.select(F.col("event_id"), F.col("user_id"),
+      usOf(F.col("ts")).as("ts_us"), F.col("event_type"))
+    val purchases = ev.where(F.col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts_us")
+    val clicks = ev.where(F.col("event_type") === "click")
+      .select(F.col("user_id"), F.col("ts_us").as("c_ts_us"))
+    val cnt = operators.RangeJoin.timeRange(purchases, clicks, key = "user_id",
+      leftTime = "ts_us", rightTime = "c_ts_us", beforeUs = hourUs, afterUs = 0L)
+      .groupBy("event_id").agg(F.count(F.lit(1)).as("n_clicks_1h"))
+    purchases.join(cnt, Seq("event_id"), "left")
+      .na.fill(0L, Seq("n_clicks_1h"))
+      .orderBy("event_id")
+  }
+
   // ---------------------------------------------------------------- C-G. pipeline ops
 
   private def dedupExact(t: Tables): DataFrame =
@@ -324,6 +340,7 @@ object SparkEntry {
       "q6_filter" -> q(q6),
       "window_topn" -> q(windowTopn),
       "asof_join" -> q(asofJoin),
+      "range_join" -> q(rangeJoinQ),
       "dedup_exact" -> q(dedupExact),
       "dedup_materialize" -> q(dedupMaterialize),
       "dedup_jaccard" -> q(dedupJaccard),

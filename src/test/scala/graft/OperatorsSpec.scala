@@ -24,6 +24,22 @@ class OperatorsSpec extends SparkSpec {
     assert(out(4L).isEmpty, "key with no right rows stays null")
   }
 
+  test("bucketized range join equals the naive inequality join") {
+    val rnd = new scala.util.Random(3)
+    val left = (0 until 80).map(i =>
+      (i.toLong, (i % 5).toLong, rnd.nextInt(100000).toLong)).toDF("lid", "k", "lt")
+    val right = (0 until 120).map(i =>
+      (i.toLong, (i % 5).toLong, rnd.nextInt(100000).toLong)).toDF("rid", "k", "rt")
+    val (before, after) = (7000L, 3000L)
+    val naive = left.join(right, left("k") === right("k") &&
+        right("rt") >= left("lt") - before && right("rt") <= left("lt") + after)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    val bucketized = graft.operators.RangeJoin
+      .timeRange(left, right, "k", "lt", "rt", before, after)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(bucketized == naive)
+  }
+
   test("sessionize splits on gap, aggregates per session") {
     val us = 60L * 1000 * 1000 // 1 minute
     val events = Seq(
