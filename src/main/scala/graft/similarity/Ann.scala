@@ -78,7 +78,8 @@ object Ann {
               k: Int, nCells: Int = 16, nProbe: Int = 3,
               iters: Int = 3): DataFrame = {
     import graft.functions.HashExprs.topCells
-    val c = corpus.select(F.col(cId).as("neighbor_id"), F.col(cVec).as("cv"))
+    // cached: scanned once per Lloyd iteration plus the final assignment
+    val c = corpus.select(F.col(cId).as("neighbor_id"), F.col(cVec).as("cv")).cache()
 
     // deterministic init: the nCells lowest-id vectors
     var cents: Seq[Seq[Double]] = c.orderBy("neighbor_id").limit(nCells)

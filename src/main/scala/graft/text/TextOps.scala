@@ -39,29 +39,14 @@ object TextOps {
     "fr" -> Seq("le", "la", "les", "et", "est", "pas", "avec", "un", "une", "de", "en", "sur", "que", "pour"),
     "zh" -> Seq("de", "shi", "bu", "le", "zai", "you", "wo", "ta", "men", "zhe", "na", "ge", "he", "ye"))
 
-  /** Count of distinct tokens that appear in `words`. */
-  private def distinctHits(toks: Column, words: Seq[String]): Column =
-    F.size(F.array_intersect(F.array_distinct(toks),
-      F.array(words.map(F.lit): _*)))
-
   /** Heuristic language ID: argmax of per-language stopword hits over
     * distinct tokens; 'und' (undetermined) when every score is 0; ties
-    * break to the alphabetically-first language code.
+    * break to the alphabetically-first language code. Native one-pass
+    * expression (graft.functions.LangScore); `stopwords` is sorted by
+    * language code, which realizes the tie-break.
     */
-  def langId(text: Column): Column = {
-    val toks = tokens(text)
-    val scored = stopwords.map { case (lang, words) =>
-      F.struct(distinctHits(toks, words).as("score"), F.lit(lang).as("lang"))
-    }
-    // argmax with lang-asc tie-break: compare (score, reversed-lang)
-    val best = scored.reduce { (a, b) =>
-      F.when(b.getField("score") > a.getField("score"), b)
-        .when(b.getField("score") === a.getField("score") &&
-          b.getField("lang") < a.getField("lang"), b)
-        .otherwise(a)
-    }
-    F.when(best.getField("score") > 0, best.getField("lang")).otherwise(F.lit("und"))
-  }
+  def langId(text: Column): Column =
+    graft.functions.HashExprs.langScore(tokens(text), stopwords)
 
   /** BPE-ish token count: alpha runs, digit runs, and single
     * non-alphanumeric-non-space characters each count as one token.
