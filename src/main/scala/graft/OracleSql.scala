@@ -389,6 +389,21 @@ object OracleSql {
         |       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_tokens_bpe
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "text_scrub" ->
+      s"""WITH tk AS (SELECT doc_id, text, ${toks("text")} AS tl FROM documents),
+         |ex AS (SELECT doc_id, unnest(tl) AS tok FROM tk),
+         |tf AS (SELECT doc_id, tok, count(*) AS c FROM ex GROUP BY doc_id, tok),
+         |top AS (SELECT doc_id, max(c) AS m FROM tf GROUP BY doc_id)
+         |SELECT tk.doc_id,
+         |       regexp_replace(regexp_replace(tk.text,
+         |         '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z][a-zA-Z]+', '<EMAIL>', 'g'),
+         |         'https?://[^ ]+', '<URL>', 'g') AS clean_text,
+         |       round(CASE WHEN len(tk.tl) > 0
+         |             THEN CAST(top.m AS DOUBLE) / CAST(len(tk.tl) AS DOUBLE)
+         |             ELSE 0.0 END, 6) AS top_token_share
+         |FROM tk LEFT JOIN top USING (doc_id)
+         |ORDER BY tk.doc_id""".stripMargin,
+
     "events_window_agg" ->
       """SELECT epoch_us(ts) - epoch_us(ts) % 3600000000 AS hour_start_us, event_type,
         |       count(*) AS n_events,

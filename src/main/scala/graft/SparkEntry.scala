@@ -301,6 +301,14 @@ object SparkEntry {
         F.element_at(F.col("fp"), 1).as("fp_min"))
       .orderBy("doc_id")
 
+  private def textScrub(t: Tables): DataFrame =
+    t.documents
+      .select(F.col("doc_id"), F.col("text"), TextOps.tokens(F.col("text")).as("toks"))
+      .select(F.col("doc_id"),
+        TextOps.scrub(F.col("text")).as("clean_text"),
+        F.round(TextOps.topTokenShare(F.col("toks")), 6).as("top_token_share"))
+      .orderBy("doc_id")
+
   private def eventsWindowAgg(t: Tables): DataFrame =
     Events.windowAgg(t.events).orderBy("hour_start_us", "event_type")
 
@@ -354,6 +362,7 @@ object SparkEntry {
       "lang_id" -> q(langId),
       "token_count" -> q(tokenCount),
       "doc_fingerprint" -> q(docFingerprint),
+      "text_scrub" -> q(textScrub),
       "events_window_agg" -> q(eventsWindowAgg),
       "events_sessionize" -> q(eventsSessionize),
       "multimodal_meta" -> q(multimodalMeta))

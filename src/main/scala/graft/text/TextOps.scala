@@ -79,6 +79,30 @@ object TextOps {
         .otherwise(F.lit(0.0)))
   }
 
+  /** Scrub obvious PII-ish spans for training-data hygiene: emails and
+    * URLs are masked with typed placeholders. Regexes stay within the
+    * character-class subset that Java regex and RE2/DuckDB implement
+    * identically (SURVEY §5).
+    */
+  def scrub(text: Column): Column = {
+    val email = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z][a-zA-Z]+"
+    val url = "https?://[^ ]+"
+    F.regexp_replace(F.regexp_replace(text, email, "<EMAIL>"), url, "<URL>")
+  }
+
+  /** Repetition signal (Gopher-style quality heuristic): the most
+    * frequent token's share of all tokens. High values flag boilerplate
+    * / degenerate repetition. 0.0 for empty docs. Pass a MATERIALIZED
+    * token-array column (attribute), not a nested expression — the
+    * lambda references it per distinct token.
+    */
+  def topTokenShare(toks: Column): Column = {
+    val nToks = F.size(toks)
+    val topTf = F.array_max(F.transform(F.array_distinct(toks),
+      t => F.size(F.filter(toks, x => x === t))))
+    F.when(nToks > 0, topTf.cast("double") / nToks.cast("double")).otherwise(F.lit(0.0))
+  }
+
   /** Winnowing document fingerprints (Schleimer et al., SIGMOD 2003):
     * hash k-token shingles, slide a window of size w, keep each
     * window's minimum hash; the distinct minima are the fingerprint

@@ -49,6 +49,18 @@ class TextOpsSpec extends SparkSpec {
     assert(row.getAs[Long]("n_stopwords") == 2) // "the", "a"
   }
 
+  test("scrub masks emails and urls; topTokenShare flags repetition") {
+    val scrubbed = Seq("mail me at jane.doe+x@example.org or see https://ex.org/a?b=1 now")
+      .toDF("t").select(TextOps.scrub($"t").as("s")).as[String].head()
+    assert(scrubbed == "mail me at <EMAIL> or see <URL> now")
+    val shares = Seq("spam spam spam spam unique", "all words here differ", "")
+      .toDF("t").select(TextOps.tokens($"t").as("toks"))
+      .select(TextOps.topTokenShare($"toks").as("r")).as[Double].collect()
+    assert(math.abs(shares(0) - 0.8) < 1e-12)
+    assert(math.abs(shares(1) - 0.25) < 1e-12)
+    assert(shares(2) == 0.0)
+  }
+
   test("multimodal decode stub: columnar and mapPartitions paths agree") {
     val df = BinaryMeta.attachBlob(
       Seq((1L, "hello"), (2L, "a much longer text payload")).toDF("doc_id", "text"), "text")
