@@ -1,0 +1,58 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Format-agnostic table IO.
+  *
+  * Readers accept an EXPECTED schema: for self-describing formats
+  * (parquet) it is validated after load; for schemaless text formats
+  * (csv/json) it is imposed, which keeps ingestion deterministic and
+  * avoids the double-scan of schema inference — at 100 TB, inference
+  * IS a full extra pass over the data.
+  */
+object Sources {
+
+  def read(spark: SparkSession, path: String, format: String,
+           schema: Option[StructType] = None): DataFrame = {
+    val base = spark.read.format(format)
+    val df = (schema, format) match {
+      case (Some(s), "parquet") =>
+        val got = base.load(path)
+        val want = s.fields.map(f => f.name -> f.dataType).toMap
+        val mismatched = got.schema.fields.filter(f =>
+          want.get(f.name).exists(_ != f.dataType))
+        require(mismatched.isEmpty,
+          s"schema mismatch at $path: ${mismatched.map(_.name).mkString(", ")}")
+        got
+      case (Some(s), "csv") => base.schema(s).option("header", "true").load(path)
+      case (Some(s), _) => base.schema(s).load(path)
+      case (None, "csv") => base.option("header", "true").option("inferSchema", "true").load(path)
+      case (None, _) => base.load(path)
+    }
+    df
+  }
+
+  /** Partitioned columnar write — the shape every 100 TB sink takes:
+    * directory-partitioned by low-cardinality columns (enables
+    * partition pruning for downstream readers), optional bucketing by
+    * a high-cardinality key (enables shuffle-free joins downstream —
+    * bucketed tables need saveAsTable/metastore, so it is exposed but
+    * separate).
+    */
+  def writePartitioned(df: DataFrame, path: String,
+                       partitionBy: Seq[String] = Nil,
+                       format: String = "parquet",
+                       mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val w = df.write.format(format).mode(mode)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).save(path)
+  }
+
+  /** Bucketed managed-table write for co-located downstream joins. */
+  def writeBucketed(df: DataFrame, table: String, bucketBy: String,
+                    nBuckets: Int, sortBy: Option[String] = None): Unit = {
+    val w = df.write.format("parquet").mode(SaveMode.Overwrite)
+      .bucketBy(nBuckets, bucketBy)
+    sortBy.fold(w)(c => w.sortBy(c)).saveAsTable(table)
+  }
+}

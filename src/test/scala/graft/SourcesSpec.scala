@@ -1,0 +1,53 @@
+package graft
+
+import graft.sources.Sources
+import org.apache.spark.sql.{functions => F}
+
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sample = Seq(
+    (1L, "alpha", 1.5, "A"), (2L, "beta", 2.5, "B"), (3L, "gamma", 3.5, "A")
+  ).toDF("id", "name", "score", "grp")
+
+  test("csv and json roundtrip with imposed schema equals the source rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_src").toString
+    sample.write.option("header", "true").csv(s"$dir/csv")
+    sample.write.json(s"$dir/json")
+    val schema = sample.schema
+    val csv = Sources.read(spark, s"$dir/csv", "csv", Some(schema))
+    val json = Sources.read(spark, s"$dir/json", "json", Some(schema))
+    val want = sample.collect().map(_.toSeq).toSet
+    assert(csv.collect().map(_.toSeq).toSet == want)
+    assert(json.collect().map(_.toSeq).toSet == want)
+    // text formats impose nullable=true; compare names + types
+    def nt(s: org.apache.spark.sql.types.StructType) =
+      s.fields.map(f => (f.name, f.dataType)).toSeq
+    assert(nt(csv.schema) == nt(schema) && nt(json.schema) == nt(schema))
+  }
+
+  test("partitioned write produces prunable directories and roundtrips") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString + "/out"
+    Sources.writePartitioned(sample, dir, partitionBy = Seq("grp"))
+    assert(new java.io.File(dir).list().exists(_.startsWith("grp=")),
+      "expected hive-style partition directories")
+    val back = Sources.read(spark, dir, "parquet")
+    assert(back.count() == 3)
+    // partition pruning: only the grp=A directory is scanned
+    val pruned = back.where(F.col("grp") === "A")
+    val scan = pruned.queryExecution.executedPlan.toString()
+    assert(pruned.count() == 2)
+    assert(scan.contains("PartitionFilters") || !scan.contains("grp=B"))
+  }
+
+  test("parquet reader rejects wrong expected schema") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_schema").toString + "/p"
+    sample.write.parquet(dir)
+    val bad = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.StringType)))
+    intercept[IllegalArgumentException] {
+      Sources.read(spark, dir, "parquet", Some(bad))
+    }
+  }
+}
