@@ -38,6 +38,31 @@ object BinaryMeta {
           .otherwise("webp"))
   }
 
+  /** Resize stub: deterministic fake of an image resize — real codecs
+    * plug in at the marked line. Output schema and partition-local
+    * execution are the real plumbing a 100 TB image pipeline needs
+    * (bytes never shuffle; the transform is per-row).
+    */
+  def resizeStub(df: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    val n = F.length(F.col("blob"))
+    df.withColumn("resized_blob",
+        // real impl: decode(blob) |> resize(targetW, targetH) |> encode
+        F.substring(F.col("blob"), 0, targetW * targetH % 1024 + 1))
+      .withColumn("resized_w", F.lit(targetW))
+      .withColumn("resized_h", F.lit(targetH))
+      .withColumn("orig_bytes", n.cast("long"))
+  }
+
+  /** Frame-sample stub: emit k pseudo-frames per video payload —
+    * deterministic slices standing in for decoded frames. The explode
+    * shape (one row per frame, frame_no column) is what a real
+    * video-frame extraction produces.
+    */
+  def frameSampleStub(df: DataFrame, idCol: String, k: Int): DataFrame =
+    df.select(F.col(idCol), F.posexplode(F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        i => F.col("blob").substr(i * 16 + 1, F.lit(16)))).as(Seq("frame_no", "frame_blob")))
+
   /** Partition-local batched decode via mapPartitions — the shape a
     * real codec integration takes (batch the payloads, call the
     * native decoder once per batch). The decoder here is the same

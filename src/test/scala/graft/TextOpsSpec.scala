@@ -61,6 +61,18 @@ class TextOpsSpec extends SparkSpec {
     assert(shares(2) == 0.0)
   }
 
+  test("multimodal resize/frame-sample stubs keep schema and determinism") {
+    val df = BinaryMeta.attachBlob(
+      Seq((1L, "some fairly long payload standing in for image bytes")).toDF("doc_id", "text"), "text")
+    val resized = BinaryMeta.resizeStub(df, 64, 48)
+    val r = resized.select("resized_w", "resized_h", "orig_bytes").collect().head
+    assert(r.getInt(0) == 64 && r.getInt(1) == 48 && r.getLong(2) > 0)
+    val frames = BinaryMeta.frameSampleStub(df, "doc_id", k = 3)
+    assert(frames.columns.toSeq == Seq("doc_id", "frame_no", "frame_blob"))
+    assert(frames.count() == 3)
+    assert(frames.select("frame_no").as[Int].collect().sorted.toSeq == Seq(0, 1, 2))
+  }
+
   test("multimodal decode stub: columnar and mapPartitions paths agree") {
     val df = BinaryMeta.attachBlob(
       Seq((1L, "hello"), (2L, "a much longer text payload")).toDF("doc_id", "text"), "text")
