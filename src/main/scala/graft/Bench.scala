@@ -11,8 +11,22 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.build(appName = "graft-bench")
-    // warm up codegen/classloading so per-query numbers measure the queries
+    // Warm-up: JVM/codegen classloading, parquet footers + page cache,
+    // and the shared text/shingle pipeline — so per-query numbers
+    // measure steady-state work, not whichever query runs first.
     spark.range(1000000).selectExpr("sum(id)").collect()
+    locally {
+      import org.apache.spark.sql.{functions => F}
+      val t = Tables(spark, sfDir)
+      Seq(t.region, t.nation, t.customer, t.supplier, t.part,
+        t.orders, t.lineitem, t.events, t.documents, t.embeddings)
+        .foreach(_.count())
+      val warmed = t.documents.limit(64)
+        .select(F.explode(graft.text.TextOps.shingles(
+          graft.text.TextOps.tokens(F.col("text")), 3)).as("s"))
+        .groupBy("s").count().count()
+      require(warmed >= 0)
+    }
 
     // optional arg: comma-separated query names (iteration aid)
     val only: Option[Set[String]] =
