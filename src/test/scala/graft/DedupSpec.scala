@@ -44,6 +44,20 @@ class DedupSpec extends SparkSpec {
     assert(out.exists(r => r._1 == 1L && r._2 == 2L), "identical docs always collide")
   }
 
+  test("minhashLsh recall vs exact jaccard on the sf0.001 corpus") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val exact = Dedup.jaccardPairs(real, "doc_id", "text", k = 3, threshold = 0.5)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val approx = Dedup.minhashLsh(real, "doc_id", "text", k = 3,
+      numHashes = 128, bands = 32, threshold = 0.5)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(approx.subsetOf(exact), "verification guarantees no false positives")
+    if (exact.nonEmpty) {
+      val recall = approx.size.toDouble / exact.size
+      assert(recall >= 0.9, s"LSH recall $recall below 0.9 (|exact|=${exact.size})")
+    }
+  }
+
   test("simhashPairs: identical docs at hamming 0; output within radius") {
     val out = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
       .as[(Long, Long, Int)].collect()
