@@ -250,6 +250,11 @@ object SparkEntry {
     Dedup.simhashPairs(t.documents, "doc_id", "text", maxHamming = 3)
       .orderBy("id1", "id2")
 
+  private def dedupComponents(t: Tables): DataFrame =
+    Dedup.components(
+      Dedup.jaccardPairs(t.documents, "doc_id", "text", k = 3, threshold = 0.5))
+      .orderBy("id")
+
   private def dedupMaterialize(t: Tables): DataFrame =
     Dedup.keepFirst(t.documents, "doc_id", "text")
       .select(F.col("doc_id"), F.col("lang"), F.length(F.col("text")).cast("long").as("n_chars"))
@@ -351,6 +356,7 @@ object SparkEntry {
       "range_join" -> q(rangeJoinQ),
       "dedup_exact" -> q(dedupExact),
       "dedup_materialize" -> q(dedupMaterialize),
+      "dedup_components" -> q(dedupComponents),
       "dedup_jaccard" -> q(dedupJaccard),
       "dedup_minhash" -> q(dedupMinhash),
       "dedup_simhash" -> q(dedupSimhash),

@@ -96,6 +96,53 @@ object Dedup {
       .where(F.col("jaccard") >= threshold)
   }
 
+  /** Connected components over a near-dup pair table (id1 < id2):
+    * label propagation to the component minimum — each iteration every
+    * node takes the min label among itself and its neighbors; converges
+    * in O(component diameter) rounds (near-dup clusters are shallow).
+    * Driver holds only the did-anything-change flag per round; labels
+    * and edges stay distributed. Returns (id, component) where
+    * component = min doc id in the cluster.
+    */
+  def components(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(F.col("id1").as("a"), F.col("id2").as("b"))
+      .unionAll(pairs.select(F.col("id2").as("a"), F.col("id1").as("b")))
+      .distinct().cache()
+    var labels = edges.select(F.col("a").as("id")).distinct()
+      .select(F.col("id"), F.col("id").as("component"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "b2"),
+          F.col("b") === F.col("b2"))
+        .groupBy(F.col("a").as("id"))
+        .agg(F.min("component").as("nmin"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(F.col("id"),
+          F.least(F.col("component"), F.coalesce(F.col("nmin"), F.col("component")))
+            .as("component"))
+        .cache()
+      val changed = next.as("n").join(labels.as("o"), "id")
+        .where(F.col("n.component") =!= F.col("o.component")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
+  /** Canonical-document materialization for near-dup clusters: the full
+    * rows of each component's minimum-id document, plus every document
+    * that appears in no near-dup pair.
+    */
+  def keepCanonical(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val comp = components(pairs)
+    val losers = comp.where(F.col("id") =!= F.col("component"))
+      .select(F.col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** MinHash signature column: numHashes minima over the shingle array
     * in a single native-expression pass (graft.functions.MinHashSig) —
     * no shuffle, no per-permutation interpreted lambda.

@@ -44,6 +44,22 @@ class DedupSpec extends SparkSpec {
     assert(out.exists(r => r._1 == 1L && r._2 == 2L), "identical docs always collide")
   }
 
+  test("components: label propagation finds min-id clusters") {
+    // graph: {1-2, 2-3, 3-7} one chain, {10-11} a pair, 99 isolated (no edges)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 7L), (10L, 11L)).toDF("id1", "id2")
+    val comp = Dedup.components(pairs).as[(Long, Long)].collect().toMap
+    assert(comp(1L) == 1L && comp(2L) == 1L && comp(3L) == 1L && comp(7L) == 1L)
+    assert(comp(10L) == 10L && comp(11L) == 10L)
+    assert(!comp.contains(99L), "isolated nodes are not in the pair graph")
+  }
+
+  test("keepCanonical drops all but the min-id doc per near-dup cluster") {
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id1", "id2")
+    val kept = Dedup.keepCanonical(docs, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 4L, 5L), s"got $kept")
+  }
+
   test("minhashLsh recall vs exact jaccard on the sf0.001 corpus") {
     val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val exact = Dedup.jaccardPairs(real, "doc_id", "text", k = 3, threshold = 0.5)
