@@ -125,10 +125,14 @@ object Dedup {
         .cache()
       val changed = next.as("n").join(labels.as("o"), "id")
         .where(F.col("n.component") =!= F.col("o.component")).limit(1).count()
+      // next is materialized by the count above; previous round's cache
+      // can go (long chains would otherwise pile up cached label frames)
+      labels.unpersist()
       labels = next
       converged = changed == 0
       iter += 1
     }
+    edges.unpersist()
     labels
   }
 
