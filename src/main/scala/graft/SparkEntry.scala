@@ -192,6 +192,37 @@ object SparkEntry {
       .agg(F.sum(decEp() * decDisc).cast("double").as("revenue"),
         F.count(F.lit(1)).as("n_items"))
 
+  private def q7(t: Tables): DataFrame = {
+    val n1 = t.nation.select(F.col("n_nationkey").as("s_nk"), F.col("n_name").as("supp_nation"))
+    val n2 = t.nation.select(F.col("n_nationkey").as("c_nk"), F.col("n_name").as("cust_nation"))
+    t.lineitem
+      .where(F.col("l_shipdate") >= ts("1996-01-01") && F.col("l_shipdate") < ts("1998-01-01"))
+      .join(t.supplier, F.col("l_suppkey") === F.col("s_suppkey"))
+      .join(t.orders, F.col("l_orderkey") === F.col("o_orderkey"))
+      .join(t.customer, F.col("o_custkey") === F.col("c_custkey"))
+      .join(F.broadcast(n1), F.col("s_nationkey") === F.col("s_nk"))
+      .join(F.broadcast(n2), F.col("c_nationkey") === F.col("c_nk"))
+      .where((F.col("supp_nation") === "NATION_1" && F.col("cust_nation") === "NATION_2") ||
+        (F.col("supp_nation") === "NATION_2" && F.col("cust_nation") === "NATION_1"))
+      .groupBy(F.col("supp_nation"), F.col("cust_nation"),
+        F.year(F.col("l_shipdate")).as("l_year"))
+      .agg(F.sum(decEp() * oneMinusDisc).cast("double").as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  private def q18(t: Tables): DataFrame = {
+    val big = t.lineitem.groupBy(F.col("l_orderkey"))
+      .agg(F.sum("l_quantity").as("sum_qty"))
+      .where(F.col("sum_qty") > 180)
+    t.orders.join(big, F.col("o_orderkey") === F.col("l_orderkey"))
+      .join(t.customer, F.col("o_custkey") === F.col("c_custkey"))
+      .select(F.col("c_name"), F.col("c_custkey"), F.col("o_orderkey"),
+        usOf(F.col("o_orderdate")).as("o_orderdate_us"),
+        F.col("o_totalprice"), F.col("sum_qty"))
+      .orderBy(F.col("o_totalprice").desc, F.col("o_orderkey").asc)
+      .limit(20)
+  }
+
   private def windowTopn(t: Tables): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("c_mktsegment")
@@ -351,6 +382,8 @@ object SparkEntry {
       "q3_join" -> q(q3),
       "q5_multijoin" -> q(q5),
       "q6_filter" -> q(q6),
+      "q7_volume" -> q(q7),
+      "q18_bigorders" -> q(q18),
       "window_topn" -> q(windowTopn),
       "asof_join" -> q(asofJoin),
       "range_join" -> q(rangeJoinQ),
