@@ -104,10 +104,20 @@ object Dedup {
     * and edges stay distributed. Returns (id, component) where
     * component = min doc id in the cluster.
     */
+  /** Edge count below which the component graph is solved with driver
+    * union-find: near-dup pair graphs are tiny relative to the corpus
+    * (they contain only documents with a duplicate), and an iterative
+    * distributed fixpoint pays multiple shuffle jobs per round. 10M
+    * edges ~ 160 MB on the driver — comfortably collectable; larger
+    * graphs take the distributed label-propagation path.
+    */
+  private val SmallGraphEdges = 10L * 1000 * 1000
+
   def components(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(F.col("id1").as("a"), F.col("id2").as("b"))
       .unionAll(pairs.select(F.col("id2").as("a"), F.col("id1").as("b")))
       .distinct().cache()
+    if (edges.count() <= SmallGraphEdges) return componentsUnionFind(edges)
     var labels = edges.select(F.col("a").as("id")).distinct()
       .select(F.col("id"), F.col("id").as("component"))
     var converged = false
@@ -118,10 +128,17 @@ object Dedup {
           F.col("b") === F.col("b2"))
         .groupBy(F.col("a").as("id"))
         .agg(F.min("component").as("nmin"))
-      val next = labels.join(neighborMin, Seq("id"), "left")
+      val relabeled = labels.join(neighborMin, Seq("id"), "left")
         .select(F.col("id"),
           F.least(F.col("component"), F.coalesce(F.col("nmin"), F.col("component")))
             .as("component"))
+      // pointer jumping: follow component -> component-of-component, so
+      // chains collapse in O(log diameter) rounds instead of O(diameter)
+      val next = relabeled.as("x")
+        .join(relabeled.select(F.col("id").as("cid"), F.col("component").as("cc")).as("y"),
+          F.col("x.component") === F.col("y.cid"), "left")
+        .select(F.col("x.id").as("id"),
+          F.coalesce(F.col("y.cc"), F.col("x.component")).as("component"))
         .cache()
       val changed = next.as("n").join(labels.as("o"), "id")
         .where(F.col("n.component") =!= F.col("o.component")).limit(1).count()
@@ -134,6 +151,31 @@ object Dedup {
     }
     edges.unpersist()
     labels
+  }
+
+  /** Small-graph fast path: classic union-find with path compression
+    * and min-id roots, one collect + one createDataFrame.
+    */
+  private def componentsUnionFind(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val es = edges.as[(Long, Long)].collect()
+    edges.unpersist()
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    es.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    parent.keys.toSeq.sorted.map(id => (id, find(id))).toDF("id", "component")
   }
 
   /** Canonical-document materialization for near-dup clusters: the full
