@@ -18,5 +18,13 @@ class ExtensionsSpec extends SparkSpec {
     assert(math.abs(row.getAs[Double]("cs") - 1.0) < 1e-12)
     assert(row.getAs[Long]("ic") == 2L)
     assert(row.getAs[Long]("sh") != 0L)
+
+    // aggregate function path: one sketch per group
+    Seq((1L, "x"), (1L, "y"), (2L, "x")).toDF("g", "v").createOrReplaceTempView("sql_vals")
+    val sigs = spark.sql(
+      "SELECT g, minhash_agg(v, 16) AS sig FROM sql_vals GROUP BY g ORDER BY g")
+      .as[(Long, Seq[Long])].collect()
+    assert(sigs.length == 2 && sigs.forall(_._2.length == 16))
+    assert(sigs(0)._2 != sigs(1)._2, "different value sets give different sketches")
   }
 }
