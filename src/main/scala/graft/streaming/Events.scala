@@ -150,6 +150,19 @@ object Events {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(hashCols)
 
+  /** Stream-static enrichment: attach dimension attributes to an event
+    * stream by key. The static side is planned per micro-batch (and
+    * broadcast when small — same rules as batch joins), so the stream
+    * never shuffles; this is the standard shape for decorating a 100 TB
+    * event firehose with dimension tables.
+    */
+  def streamingEnrich(stream: DataFrame, dim: DataFrame, key: String,
+                      dimCols: Seq[String]): DataFrame =
+    stream.join(
+      org.apache.spark.sql.functions.broadcast(
+        dim.select((key +: dimCols).map(F.col): _*)),
+      Seq(key), "left")
+
   def streamingWindowAgg(stream: DataFrame, watermark: String = "2 hours"): DataFrame =
     stream
       .withWatermark("ts", watermark)

@@ -95,6 +95,24 @@ class OperatorsSpec extends SparkSpec {
     assert(got == batch, s"streaming $got != batch $batch")
   }
 
+  test("stream-static enrichment attaches dimension attributes per batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val dim = Seq((7L, "gold"), (8L, "basic")).toDF("user_id", "tier")
+    val stream = MemoryStream[(Long, Long)]
+    val enriched = Events.streamingEnrich(
+      stream.toDF().toDF("event_id", "user_id"), dim, "user_id", Seq("tier"))
+    val q = enriched.writeStream.format("memory")
+      .queryName("enriched").outputMode("append").start()
+    try {
+      stream.addData((1L, 7L), (2L, 8L), (3L, 99L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("enriched").select("event_id", "tier")
+      .as[(Long, Option[String])].collect().toMap
+    assert(got == Map(1L -> Some("gold"), 2L -> Some("basic"), 3L -> None))
+  }
+
   test("streaming dedup drops repeated content within the watermark") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq = spark.sqlContext
