@@ -166,9 +166,29 @@ case class TopCells(child: Expression, centroids: Array[Array[Double]], n: Int)
   * materializes |candidates| x |shingles-per-doc| rows).
   */
 case class SortedIntersectCount(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "sorted_intersect_count"
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      s"""
+         |int nx = $x.numElements();
+         |int ny = $y.numElements();
+         |int i = 0, j = 0;
+         |long c = 0L;
+         |while (i < nx && j < ny) {
+         |  long xv = $x.getLong(i);
+         |  long yv = $y.getLong(j);
+         |  if (xv == yv) { c++; i++; j++; }
+         |  else if (xv < yv) { i++; } else { j++; }
+         |}
+         |${ev.value} = c;
+         |""".stripMargin
+    })
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -323,7 +343,7 @@ case class LshSig(child: Expression, nPlanes: Int)
   * per-element interpreted lambda dispatch.
   */
 case class CosineSim(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = DoubleType
 
   private def isFloat(e: Expression): Boolean = e.dataType match {
@@ -332,6 +352,27 @@ case class CosineSim(left: Expression, right: Expression)
   }
   private lazy val lFloat = isFloat(left)
   private lazy val rFloat = isFloat(right)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val xe = if (lFloat) s"(double) $x.getFloat(i)" else s"$x.getDouble(i)"
+      val ye = if (rFloat) s"(double) $y.getFloat(i)" else s"$y.getDouble(i)"
+      s"""
+         |int n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double dot = 0.0, nx = 0.0, ny = 0.0;
+         |for (int i = 0; i < n; i++) {
+         |  double xv = $xe;
+         |  double yv = $ye;
+         |  dot += xv * yv;
+         |  nx += xv * xv;
+         |  ny += yv * yv;
+         |}
+         |${ev.value} = dot / (java.lang.Math.sqrt(nx) * java.lang.Math.sqrt(ny));
+         |""".stripMargin
+    })
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
