@@ -13,6 +13,10 @@ class PlanSpec extends SparkSpec {
     df.queryExecution.executedPlan.toString()
   }
 
+  test("driver entry smoke: flagship query returns rows at sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("q6: filters reach the parquet scan and columns are pruned") {
     val p = planOf("q6_filter")
     assert(p.contains("PushedFilters: ["), "no pushed filters in scan")
