@@ -1,0 +1,64 @@
+package graft.harmonize
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{functions => F}
+
+/** DataFrame-backed standard vocabulary, the equivalent of the
+  * reference's named standards (e.g. its bundled GDC dictionary —
+  * resource JSON not shipped here; any table of the same shape plugs
+  * in). A standard is (attribute, value) rows: one row per permitted
+  * value per standard attribute.
+  *
+  * Scale: vocabularies are small by definition (the reference's GDC
+  * dictionary is ~1k attributes); matching broadcasts the vocabulary
+  * side and distinct-reduces the data side, so cost tracks |distinct
+  * source values|, never corpus rows.
+  */
+final case class Standards(vocab: DataFrame,
+                           attrCol: String = "attribute",
+                           valueCol: String = "value") {
+  require(vocab.columns.contains(attrCol) && vocab.columns.contains(valueCol),
+    s"vocabulary must have columns $attrCol and $valueCol")
+
+  /** Permitted values of one standard attribute. */
+  def valueDomain(attribute: String): DataFrame =
+    vocab.where(F.col(attrCol) === attribute)
+      .select(F.col(valueCol).as("value_name")).distinct()
+
+  /** All attribute names in the standard. */
+  def attributes: DataFrame =
+    vocab.select(F.col(attrCol).as("attribute")).distinct()
+
+  /** Match a source column's values against one standard attribute's
+    * domain (reference: match_values(source, target="gdc", ...)).
+    */
+  def matchValues(source: DataFrame, sourceCol: String, attribute: String,
+                  method: String = "tfidf", threshold: Double = 0.3): DataFrame =
+    graft.Graft.matchValues(source, sourceCol,
+      valueDomain(attribute), "value_name", method, threshold)
+
+  /** Best-matching standard ATTRIBUTE per source column, by value
+    * overlap of the source columns against each attribute's domain
+    * (reference: match_schema(source, target="gdc")).
+    */
+  def matchSchema(source: DataFrame, sourceCols: Seq[String]): DataFrame = {
+    val sv = sourceCols.map(c =>
+        source.select(F.lit(c).as("source"), F.trim(F.col(c).cast("string")).as("value"))
+          .where(F.col("value").isNotNull && F.col("value") =!= ""))
+      .reduce(_ unionAll _).distinct()
+    val tv = vocab.select(F.col(attrCol).as("target"),
+        F.trim(F.col(valueCol).cast("string")).as("value"))
+      .where(F.col("value").isNotNull && F.col("value") =!= "").distinct()
+    val ns = sv.groupBy("source").agg(F.count(F.lit(1)).as("ns"))
+    val nt = tv.groupBy("target").agg(F.count(F.lit(1)).as("nt"))
+    val inter = sv.join(F.broadcast(tv), "value")
+      .groupBy("source", "target").agg(F.count(F.lit(1)).as("ni"))
+    val all = ns.crossJoin(F.broadcast(nt))
+      .join(inter, Seq("source", "target"), "left")
+      .na.fill(0L, Seq("ni"))
+      .select(F.col("source"), F.col("target"),
+        (F.col("ni").cast("double") /
+          (F.col("ns") + F.col("nt") - F.col("ni")).cast("double")).as("similarity"))
+    SchemaMatcher.bestPerSource(all)
+  }
+}

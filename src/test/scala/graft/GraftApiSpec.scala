@@ -18,6 +18,30 @@ class GraftApiSpec extends SparkSpec {
     intercept[IllegalArgumentException](Graft.matchSchema(src, tgt, "nope"))
   }
 
+  test("standards: DataFrame-backed vocabulary drives value and schema matching") {
+    import graft.harmonize.Standards
+    val vocab = Seq(
+      ("primary_diagnosis", "Lung Adenocarcinoma"),
+      ("primary_diagnosis", "Breast Carcinoma"),
+      ("vital_status", "Alive"),
+      ("vital_status", "Dead")).toDF("attribute", "value")
+    val std = Standards(vocab)
+    assert(std.attributes.count() == 2)
+    assert(std.valueDomain("vital_status").as[String].collect().toSet == Set("Alive", "Dead"))
+
+    val data = Seq(("lung adenocarcinoma", "Alive"), ("breast carcinoma", "Dead"))
+      .toDF("diagnosis", "status")
+    val vm = std.matchValues(data, "diagnosis", "primary_diagnosis",
+      method = "edit_distance", threshold = 0.3)
+      .as[(String, Option[String], Option[Double])].collect()
+      .map { case (s, t, _) => s -> t }.toMap
+    assert(vm("lung adenocarcinoma").contains("Lung Adenocarcinoma"))
+
+    val sm = std.matchSchema(data, Seq("diagnosis", "status"))
+      .as[(String, String, Double)].collect().map(r => r._1 -> r._2).toMap
+    assert(sm("status") == "vital_status", s"got $sm")
+  }
+
   test("facade value matching, preview, and materialization round-trip") {
     val vm = Graft.matchValues(src, "status", tgt, "status_code", method = "edit_distance",
       threshold = 0.5)
