@@ -31,10 +31,12 @@ object Graft {
         SchemaMatcher.twoPhaseMatch(source, sCols, target, tCols)
       case "max_val_sim" =>
         SchemaMatcher.maxValSimMatch(source, sCols, target, tCols)
+      case "coma" | "composite" =>
+        SchemaMatcher.compositeMatch(source, sCols, target, tCols)
       case other => throw new IllegalArgumentException(
         s"unknown match_schema method: $other (supported: similarity_flooding, " +
           "distribution_based, jaccard_distance, distribution_sketch, " +
-          "name_similarity, two_phase, max_val_sim)")
+          "name_similarity, two_phase, max_val_sim, coma/composite)")
     }
   }
 

@@ -127,6 +127,39 @@ object SchemaMatcher {
       spark: SparkSession, srcCols: Seq[String], tgtCols: Seq[String]): DataFrame =
     bestPerSource(nameSimilarityAll(spark, srcCols, tgtCols))
 
+  /** COMA-style composite matching (Do & Rahm, VLDB 2002 — the family
+    * behind the reference's coma method): independent matchers score
+    * every column pair — column-name edit similarity, instance value
+    * overlap, and data-type compatibility — and the composite is their
+    * weighted average. Aggregating evidence makes the match robust
+    * where any single signal is ambiguous.
+    */
+  def compositeMatch(
+      src: DataFrame, srcCols: Seq[String],
+      tgt: DataFrame, tgtCols: Seq[String],
+      wName: Double = 0.3, wValues: Double = 0.5, wType: Double = 0.2): DataFrame = {
+    val names = nameSimilarityAll(src.sparkSession, srcCols, tgtCols)
+      .withColumnRenamed("similarity", "name_sim")
+    val values = valueOverlapAll(src, srcCols, tgt, tgtCols)
+      .withColumnRenamed("similarity", "value_sim")
+    def typeOf(df: DataFrame, cols: Seq[String], colAs: String) = {
+      import df.sparkSession.implicits._
+      cols.map(c => (c, df.schema(c).dataType.simpleString)).toDF(colAs, s"${colAs}_type")
+    }
+    val st = typeOf(src, srcCols, "source")
+    val tt = typeOf(tgt, tgtCols, "target")
+    val all = names
+      .join(values, Seq("source", "target"), "left")
+      .na.fill(0.0, Seq("value_sim"))
+      .join(F.broadcast(st), "source")
+      .join(F.broadcast(tt), "target")
+      .select(F.col("source"), F.col("target"),
+        ((F.col("name_sim") * wName + F.col("value_sim") * wValues +
+          F.when(F.col("source_type") === F.col("target_type"), wType).otherwise(0.0))
+          / (wName + wValues + wType)).as("similarity"))
+    bestPerSource(all)
+  }
+
   /** Two-phase schema matching (reference TwoPhaseSchemaMatcher,
     * schema_matching/one2one/twophase.py:10): a cheap top-k matcher
     * (here: column-name similarity) proposes candidate target columns

@@ -10,7 +10,7 @@ class GraftApiSpec extends SparkSpec {
 
   test("facade dispatches every match_schema method") {
     val methods = Seq("similarity_flooding", "distribution_based",
-      "distribution_sketch", "name_similarity", "two_phase", "max_val_sim")
+      "distribution_sketch", "name_similarity", "two_phase", "max_val_sim", "coma")
     methods.foreach { m =>
       val out = Graft.matchSchema(src, tgt, method = m)
       assert(out.columns.contains("source") && out.count() > 0, s"method $m")

@@ -77,6 +77,18 @@ class HarmonizeSpec extends SparkSpec {
       s"sketch $sim vs exact ${exact._3} diverged")
   }
 
+  test("compositeMatch: aggregated evidence beats any single ambiguous signal") {
+    // tgt "stat" is name-closest to src "status" but holds no shared
+    // values and a different type; "state_code" shares all values and
+    // the type — the composite must pick it
+    val src = Seq(("A", 1), ("R", 2)).toDF("status", "n")
+    val tgt = Seq((9.5, "A", "x"), (8.5, "R", "y")).toDF("stat", "state_code", "other")
+    val out = SchemaMatcher.compositeMatch(src, Seq("status"), tgt,
+      Seq("stat", "state_code", "other"))
+      .as[(String, String, Double)].collect()
+    assert(out.length == 1 && out.head._2 == "state_code", s"got ${out.toSeq}")
+  }
+
   test("similarity flooding: identical schemas match themselves") {
     val cols = Seq(("id", "bigint"), ("name", "string"), ("price", "double"))
     val out = SimilarityFlooding.matchColumns(spark, cols, cols)
