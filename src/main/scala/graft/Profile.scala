@@ -23,7 +23,7 @@ object Profile {
     time("docShingles")(tok.count())
     val tokC = tok.cache()
     time("cache-mat")(tokC.count())
-    val sets = Dedup.docShingleSets(tokC)
+    val sets = Dedup.docShingleSets(docs, "doc_id", "text", 3)
     time("shingleSets")(sets.count())
     val sizes = sets.select(F.col("id"), F.col("sz"))
     val dfreq = tokC.groupBy("sh").agg(F.count(F.lit(1)).as("df"))

@@ -33,17 +33,21 @@ object Dedup {
   def keepFirst(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.join(exact(df, idCol, textCol).select(F.col(idCol)), Seq(idCol), "left_semi")
 
-  /** (id, shingle-hash) distinct pairs for a document table. Shingles
-    * are xxhash64-reduced immediately after the explode so every
-    * downstream shuffle/join moves 8-byte longs instead of strings
-    * (collision odds are ~|shingles|^2 / 2^65 — vanishing, and
-    * deterministic for a given corpus).
+  /** Per-row sorted distinct shingle-hash array. Shingles are
+    * xxhash64-reduced before dedup so everything downstream moves
+    * 8-byte longs instead of strings (collision odds are
+    * ~|shingles|^2 / 2^65 — vanishing, and deterministic for a given
+    * corpus), and the dedup is per-document array_distinct — a pure
+    * per-row expression, NOT a global distinct shuffle.
     */
+  private def shingleHashArr(textCol: Column, k: Int): Column =
+    F.array_sort(F.array_distinct(
+      F.transform(TextOps.shingles(TextOps.tokens(textCol), k), s => F.xxhash64(s))))
+
+  /** (id, shingle-hash) pairs, distinct within each document. */
   def docShingles(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
     df.select(F.col(idCol).as("id"),
-        F.explode(TextOps.shingles(TextOps.tokens(F.col(textCol)), k)).as("shs"))
-      .select(F.col("id"), F.xxhash64(F.col("shs")).as("sh"))
-      .distinct()
+      F.explode(shingleHashArr(F.col(textCol), k)).as("sh"))
 
   /** All pairs (id1 < id2) with shingle-set Jaccard >= threshold —
     * EXACT result, computed without the cross product:
@@ -56,7 +60,7 @@ object Dedup {
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    k: Int, threshold: Double): DataFrame = {
     val tok = docShingles(df, idCol, textCol, k).cache()
-    val sets = docShingleSets(tok)
+    val sets = docShingleSets(df, idCol, textCol, k)
     val sizes = sets.select(F.col("id"), F.col("sz"))
     val dfreq = tok.groupBy("sh").agg(F.count(F.lit(1)).as("df"))
     val ranked = tok.join(dfreq, "sh")
@@ -73,11 +77,16 @@ object Dedup {
     verifyJaccard(cands, sets, threshold)
   }
 
-  /** Per-doc sorted shingle-hash set: (id, shs sorted array, sz). */
-  private[graft] def docShingleSets(tok: DataFrame): DataFrame =
-    tok.groupBy("id").agg(
-      F.array_sort(F.collect_list("sh")).as("shs"),
-      F.count(F.lit(1)).as("sz"))
+  /** Per-doc sorted shingle-hash set (id, shs, sz) — built per row
+    * from the document text, zero shuffles (the old form re-grouped the
+    * exploded pairs, paying a groupBy that per-row arrays make
+    * unnecessary). Two-step select keeps the array an attribute so the
+    * size() reference does not duplicate the chain.
+    */
+  private[graft] def docShingleSets(df: DataFrame, idCol: String,
+                                    textCol: String, k: Int): DataFrame =
+    df.select(F.col(idCol).as("id"), shingleHashArr(F.col(textCol), k).as("shs"))
+      .select(F.col("id"), F.col("shs"), F.size(F.col("shs")).cast("long").as("sz"))
 
   /** Exact Jaccard for candidate pairs: each pair is verified by a
     * merge-scan intersection of the two docs' sorted shingle-hash
@@ -217,7 +226,7 @@ object Dedup {
       .where(F.col("a.id") < F.col("b.id"))
       .select(F.col("a.id").as("id1"), F.col("b.id").as("id2"))
       .distinct()
-    verifyJaccard(cands, docShingleSets(docShingles(df, idCol, textCol, k)), threshold)
+    verifyJaccard(cands, docShingleSets(df, idCol, textCol, k), threshold)
   }
 
   /** 64-bit SimHash per document from token term frequencies: bit b of
