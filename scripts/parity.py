@@ -7,7 +7,7 @@ and compares against the parquet that graft.Verify dumped: schema
 by name, values stringified with float rounding like a tolerant
 driver would NOT do — we compare exact first, then report near-misses).
 
-Usage: parity.py <sfdir> <verify_outdir>
+Usage: parity.py <sfdir> <verify_outdir> [comma-separated-names]
 """
 import sys, json, glob, os
 import duckdb
@@ -15,6 +15,7 @@ import pandas as pd
 import numpy as np
 
 sfdir, outdir = sys.argv[1], sys.argv[2]
+only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
 con = duckdb.connect()
 for f in glob.glob(f"{sfdir}/*.parquet"):
     name = os.path.basename(f).replace(".parquet", "")
@@ -29,6 +30,8 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 fails, passes = [], []
 for name in sorted(oracle):
+    if only is not None and name not in only:
+        continue
     sql = oracle[name]
     pq_dir = f"{outdir}/{name}"
     try:
@@ -69,6 +72,8 @@ for name in sorted(oracle):
 
 rowsonly = [q for q in json.load(open(f"{outdir}/queries.json"))] if os.path.exists(f"{outdir}/queries.json") else []
 for name in sorted(set(os.path.basename(d) for d in glob.glob(f"{outdir}/*") if os.path.isdir(d)) - set(oracle)):
+    if only is not None and name not in only:
+        continue
     try:
         n = len(duckdb.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet'").df())
         status = "rows-only OK" if n > 0 else "rows-only EMPTY!"

@@ -56,25 +56,55 @@ object Dedup {
     *    that order (prefix filter — complete by the PPJoin theorem);
     * 3. candidate pairs = docs sharing a prefix shingle;
     * 4. exact intersection counts for candidates only.
+    *
+    * The returned pair table is persisted and already materialized (the
+    * pipeline is multi-pass by nature — document frequencies need a
+    * global pass — so the operator runs eagerly and downstream
+    * consumers like components() read the small result from cache
+    * instead of re-running the pipeline). Callers that are fully done
+    * with the result may unpersist() it.
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                   k: Int, threshold: Double): DataFrame = {
-    val tok = docShingles(df, idCol, textCol, k).cache()
+                   k: Int, threshold: Double,
+                   dfCap: Option[Long] = None): DataFrame = {
     val sets = docShingleSets(df, idCol, textCol, k)
-    val sizes = sets.select(F.col("id"), F.col("sz"))
+    // jaccardCandidates returns the candidate set persisted+materialized
+    val cands = jaccardCandidates(df, idCol, textCol, k, threshold, dfCap)
+    val out = verifyJaccard(cands, sets, threshold).persist()
+    out.count() // verify once; output is the (small) near-dup pair set
+    cands.unpersist()
+    out
+  }
+
+  /** PPJoin candidate generation (steps 1-3 of jaccardPairs). With
+    * `dfCap` set, shingles appearing in more than dfCap documents are
+    * excluded from candidate generation — an explicit approximation
+    * for boilerplate-heavy corpora where one ubiquitous shingle would
+    * otherwise emit O(df^2) candidate pairs (the 100 TB guard).
+    * Default None keeps the result exact (PPJoin prefix theorem).
+    */
+  private[graft] def jaccardCandidates(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int, threshold: Double, dfCap: Option[Long] = None): DataFrame = {
+    val tok = docShingles(df, idCol, textCol, k).persist()
+    val sizes = df.select(F.col(idCol).as("id"),
+      F.size(shingleHashArr(F.col(textCol), k)).cast("long").as("sz"))
     val dfreq = tok.groupBy("sh").agg(F.count(F.lit(1)).as("df"))
     val ranked = tok.join(dfreq, "sh")
       .withColumn("rk", F.row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("id")
           .orderBy(F.col("df").asc, F.col("sh").asc)))
-    val prefix = ranked.join(sizes, "id")
+    val prefix0 = ranked.join(sizes, "id")
       .where(F.col("rk") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
+    val prefix = dfCap.fold(prefix0)(cap => prefix0.where(F.col("df") <= cap))
       .select("id", "sh")
     val cands = prefix.as("a").join(prefix.as("b"), Seq("sh"))
       .where(F.col("a.id") < F.col("b.id"))
       .select(F.col("a.id").as("id1"), F.col("b.id").as("id2"))
-      .distinct()
-    verifyJaccard(cands, sets, threshold)
+      .distinct().persist()
+    cands.count() // materialize while tok is cached, then drop the cache
+    tok.unpersist()
+    cands
   }
 
   /** Per-doc sorted shingle-hash set (id, shs, sz) — built per row
@@ -123,10 +153,21 @@ object Dedup {
   private val SmallGraphEdges = 10L * 1000 * 1000
 
   def components(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(F.col("id1").as("a"), F.col("id2").as("b"))
-      .unionAll(pairs.select(F.col("id2").as("a"), F.col("id1").as("b")))
-      .distinct().cache()
-    if (edges.count() <= SmallGraphEdges) return componentsUnionFind(edges)
+    // persist the pair input: it feeds the size probe plus every
+    // propagation round (or the union-find collect) — without this, an
+    // expensive upstream pipeline (e.g. jaccardPairs) would rerun per use
+    val p = pairs.select(F.col("id1"), F.col("id2")).persist()
+    val nPairs = p.count()
+    // size probe doubles as the materializing action; undirected edge
+    // count is at most 2x the pair count
+    if (2 * nPairs <= SmallGraphEdges) {
+      val out = componentsUnionFind(p)
+      p.unpersist()
+      return out
+    }
+    val edges = p.select(F.col("id1").as("a"), F.col("id2").as("b"))
+      .unionAll(p.select(F.col("id2").as("a"), F.col("id1").as("b")))
+      .distinct().persist()
     var labels = edges.select(F.col("a").as("id")).distinct()
       .select(F.col("id"), F.col("id").as("component"))
     var converged = false
@@ -159,32 +200,44 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    p.unpersist()
     labels
   }
 
   /** Small-graph fast path: classic union-find with path compression
-    * and min-id roots, one collect + one createDataFrame.
+    * and min-id roots, one collect + one createDataFrame. Generic over
+    * the id column type (long, string, ... — any atomic orderable
+    * type): keys are compared through Comparable, so string doc ids
+    * work the same as numeric ones (the distributed path is generic
+    * already via F.least/F.min).
     */
-  private def componentsUnionFind(edges: DataFrame): DataFrame = {
-    val spark = edges.sparkSession
-    import spark.implicits._
-    val es = edges.as[(Long, Long)].collect()
-    edges.unpersist()
-    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
-    def find(x: Long): Long = {
+  private def componentsUnionFind(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    val idType = pairs.schema.fields(0).dataType
+    def lt(a: Any, b: Any): Boolean =
+      a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+    val parent = new java.util.HashMap[Any, Any]()
+    def find(x: Any): Any = {
       var r = x
-      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      while (parent.getOrDefault(r, r) != r) r = parent.getOrDefault(r, r)
       var c = x
-      while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+      while (parent.getOrDefault(c, c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
       r
     }
-    es.foreach { case (a, b) =>
-      parent.getOrElseUpdate(a, a)
-      parent.getOrElseUpdate(b, b)
+    pairs.collect().foreach { row =>
+      val (a, b) = (row.get(0), row.get(1))
+      parent.putIfAbsent(a, a)
+      parent.putIfAbsent(b, b)
       val (ra, rb) = (find(a), find(b))
-      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      if (ra != rb) { if (lt(ra, rb)) parent.put(rb, ra) else parent.put(ra, rb) }
     }
-    parent.keys.toSeq.sorted.map(id => (id, find(id))).toDF("id", "component")
+    import scala.jdk.CollectionConverters._
+    val rows = parent.keySet().asScala.toSeq
+      .sortWith(lt)
+      .map(id => org.apache.spark.sql.Row(id, find(id)))
+    spark.createDataFrame(rows.asJava, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", idType, nullable = false),
+      org.apache.spark.sql.types.StructField("component", idType, nullable = false))))
   }
 
   /** Canonical-document materialization for near-dup clusters: the full
@@ -210,18 +263,30 @@ object Dedup {
     * recall is governed by bands/rows as usual for LSH).
     */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String, k: Int,
-                 numHashes: Int, bands: Int, threshold: Double): DataFrame = {
+                 numHashes: Int, bands: Int, threshold: Double,
+                 bucketCap: Option[Long] = None): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val shArr = F.array_distinct(TextOps.shingles(TextOps.tokens(F.col(textCol)), k))
     val sigs = df.select(F.col(idCol).as("id"), shArr.as("shs"))
       .where(F.size(F.col("shs")) > 0)
       .select(F.col("id"), minhashSignature(F.col("shs"), numHashes).as("sig"))
-    val banded = sigs.select(F.col("id"),
+    val bandedAll = sigs.select(F.col("id"),
       F.explode(F.transform(F.sequence(F.lit(0), F.lit(bands - 1)),
         b => F.struct(b.as("band"),
           F.xxhash64(b, F.slice(F.col("sig"), b * rows + 1, F.lit(rows))).as("key")))).as("bk"))
       .select(F.col("id"), F.col("bk.band").as("band"), F.col("bk.key").as("key"))
+    // bucketCap: drop LSH buckets bigger than cap before the self-join —
+    // a bucket of n docs emits O(n^2) candidates, and on boilerplate-heavy
+    // corpora a single degenerate bucket can dominate the whole job.
+    // Documented recall tradeoff: docs similar ONLY through an over-cap
+    // bucket are missed. Default None = all buckets (round-1 behavior).
+    val banded = bucketCap.fold(bandedAll) { cap =>
+      val ok = bandedAll.groupBy("band", "key")
+        .agg(F.count(F.lit(1)).as("bn")).where(F.col("bn") <= cap)
+        .select("band", "key")
+      bandedAll.join(ok, Seq("band", "key"), "left_semi")
+    }
     val cands = banded.as("a").join(banded.as("b"), Seq("band", "key"))
       .where(F.col("a.id") < F.col("b.id"))
       .select(F.col("a.id").as("id1"), F.col("b.id").as("id2"))
@@ -246,11 +311,19 @@ object Dedup {
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, "maxHamming in [0, 64)")
     val nBands = maxHamming + 1
-    val width = 64 / nBands
-    // per-band mask literals: band b covers bits [b*width, (b+1)*width)
-    val bandMasks = F.array((0 until nBands).map(b =>
-      F.lit(((1L << width) - 1) << (b * width))): _*)
+    // per-band mask literals: bands partition ALL 64 bits (pigeonhole
+    // needs full coverage), with floor/ceil widths when nBands does not
+    // divide 64; width 64 (maxHamming = 0) is the full mask — the band
+    // key is then the whole signature, i.e. exact-signature bucketing,
+    // not one global bucket (1L << 64 wraps to 1 and would zero the mask)
+    val bandMasks = F.array((0 until nBands).map { b =>
+      val lo = (b * 64) / nBands
+      val hi = ((b + 1) * 64) / nBands
+      val width = hi - lo
+      F.lit(if (width >= 64) -1L else ((1L << width) - 1) << lo)
+    }: _*)
     val sigs = simhash(df, idCol, textCol)
     val banded = sigs.select(F.col("id"), F.col("simhash"), F.explode(
       F.transform(F.sequence(F.lit(0), F.lit(nBands - 1)),

@@ -132,7 +132,10 @@ case class TopCells(child: Expression, centroids: Array[Array[Double]], n: Int)
         dot += x * cent(i)
         i += 1
       }
-      scores(c) = if (norms(c) > 0) dot / norms(c) else Double.NegativeInfinity
+      // zero-norm centroids score 0.0 (not -Inf): keeps every score
+      // finite so the selection below always finds an index, even in
+      // the degenerate all-zero-centroid case
+      scores(c) = if (norms(c) > 0) dot / norms(c) else 0.0
       c += 1
     }
     // top-n by (score desc, index asc) — n is tiny, selection scan
@@ -145,7 +148,7 @@ case class TopCells(child: Expression, centroids: Array[Array[Double]], n: Int)
       var bestScore = Double.NegativeInfinity
       c = 0
       while (c < k) {
-        if (!taken(c) && scores(c) > bestScore) { best = c; bestScore = scores(c) }
+        if (!taken(c) && (best < 0 || scores(c) > bestScore)) { best = c; bestScore = scores(c) }
         c += 1
       }
       taken(best) = true
@@ -299,8 +302,11 @@ case class ShingleStrings(child: Expression, k: Int)
 
 /** nPlanes-bit hyperplane LSH signature: bit p = sign(v . r_p) with
   * pseudo-random Rademacher components r_p[i] = +-1 derived from
-  * xxh64(p * 1024 + i, seed 42) parity — deterministic across
-  * executors/runs with no driver state, one pass per row.
+  * xxh64(i, seed 42 + p) parity — the plane index is mixed into the
+  * SEED, not the input (an input offset of p*C makes plane p share
+  * components with plane p+1 for dims > C, correlating signature bits
+  * at common embedding dims). Deterministic across executors/runs with
+  * no driver state, one pass per row.
   */
 case class LshSig(child: Expression, nPlanes: Int)
     extends UnaryExpression with CodegenFallback {
@@ -323,7 +329,7 @@ case class LshSig(child: Expression, nPlanes: Int)
       var i = 0
       while (i < n) {
         val x: Double = if (isFloatArr) v.getFloat(i).toDouble else v.getDouble(i)
-        val r = if ((XXH64.hashLong(p * 1024L + i, 42L) & 1L) == 0L) 1.0 else -1.0
+        val r = if ((XXH64.hashLong(i, 42L + p) & 1L) == 0L) 1.0 else -1.0
         dot += x * r
         i += 1
       }

@@ -58,16 +58,16 @@ object Ann {
 
   /** nPlanes-bit LSH signature of a vector: bit p = sign(v . r_p) with
     * deterministic pseudo-random Rademacher hyperplanes from
-    * xxh64(p * 1024 + i) parity (native one-pass expression).
+    * xxh64(i, seed 42 + p) parity (native one-pass expression).
     */
   def lshSignature(vec: Column, dim: Int, nPlanes: Int): Column =
     graft.functions.HashExprs.lshSig(vec, nPlanes)
 
   /** IVF (inverted-file) ANN: a coarse quantizer of nCells centroids is
-    * Lloyd-trained (few iterations — driver holds only the k x dim
-    * centroid matrix, like MLlib KMeans), the corpus is partitioned by
-    * nearest cell, and each query brute-forces only its nProbe nearest
-    * cells. The per-row cell assignment is a native expression with the
+    * Lloyd-trained on a bounded deterministic sample (few iterations —
+    * driver holds only the k x dim centroid matrix, like MLlib KMeans),
+    * the corpus is partitioned by nearest cell in a single pass, and
+    * each query brute-forces only its nProbe nearest cells. The per-row cell assignment is a native expression with the
     * centroid matrix riding in the plan; at 100 TB the corpus scan is
     * one pass and the candidate join touches nProbe/nCells of the data.
     * Centroid means use decimal accumulation so training is
@@ -76,18 +76,38 @@ object Ann {
   def ivfTopK(queries: DataFrame, qId: String, qVec: String,
               corpus: DataFrame, cId: String, cVec: String,
               k: Int, nCells: Int = 16, nProbe: Int = 3,
-              iters: Int = 3): DataFrame = {
+              iters: Int = 3, maxTrain: Int = 100000): DataFrame = {
     import graft.functions.HashExprs.topCells
-    // cached: scanned once per Lloyd iteration plus the final assignment
-    val c = corpus.select(F.col(cId).as("neighbor_id"), F.col(cVec).as("cv")).cache()
+    val c = corpus.select(F.col(cId).as("neighbor_id"), F.col(cVec).as("cv"))
 
-    // deterministic init: the nCells lowest-id vectors
-    var cents: Seq[Seq[Double]] = c.orderBy("neighbor_id").limit(nCells)
+    // Lloyd training runs on a BOUNDED sample, never the full corpus:
+    // at 100 TB, caching the corpus and re-scanning it per iteration is
+    // 1 + iters full passes; k-means centroid quality needs only a
+    // representative sample (standard practice — e.g. faiss trains IVF
+    // quantizers on a capped sample). Sampling is deterministic via an
+    // id-hash filter (pushdown-friendly, no driver state), hard-bounded
+    // by maxTrain, and the small sample is what gets cached.
+    val sampled = c.where(F.pmod(F.xxhash64(F.col("neighbor_id")), F.lit(16)) === 0)
+      .limit(maxTrain)
+    val train = sampled.persist()
+    val trainN = train.count()
+    val trainSet =
+      if (trainN >= nCells * 2L) train
+      else { // tiny corpora: the sample can undershoot nCells — train on
+             // up to maxTrain unsampled rows instead
+        train.unpersist()
+        val t = c.limit(maxTrain).persist()
+        t.count()
+        t
+      }
+
+    // deterministic init: the nCells lowest-id training vectors
+    var cents: Seq[Seq[Double]] = trainSet.orderBy("neighbor_id").limit(nCells)
       .select(F.transform(F.col("cv"), x => x.cast("double")).as("v"))
       .collect().map(_.getSeq[Double](0).toSeq).toSeq
 
     for (_ <- 1 to iters) {
-      val assigned = c.select(
+      val assigned = trainSet.select(
         F.element_at(topCells(F.col("cv"), cents, 1), 1).as("cell"), F.col("cv"))
       val means = assigned
         .select(F.col("cell"), F.posexplode(F.col("cv")).as(Seq("pos", "x")))
@@ -99,7 +119,10 @@ object Ann {
         .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toMap
       cents = cents.indices.map(i => means.getOrElse(i, cents(i)))
     }
+    trainSet.unpersist()
 
+    // ONE full-corpus pass: assign each vector to its cell on the fly —
+    // no cache, the assignment feeds the candidate join directly
     val corpusCells = c.select(F.col("neighbor_id"), F.col("cv"),
       F.element_at(topCells(F.col("cv"), cents, 1), 1).as("cell"))
     val queryCells = queries
