@@ -13,7 +13,10 @@ object Explain {
     val spark = GraftSession.build(appName = "graft-explain")
     names.foreach { n =>
       println(s"\n========== $n ==========")
-      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      val df = SparkEntry.queries(n)(spark, sfDir)
+      // simple tree first: the *(n) markers show WholeStageCodegen spans
+      println(df.queryExecution.executedPlan.toString)
+      df.explain("formatted")
     }
     spark.stop()
   }

@@ -37,12 +37,12 @@ object Dedup {
     * xxhash64-reduced before dedup so everything downstream moves
     * 8-byte longs instead of strings (collision odds are
     * ~|shingles|^2 / 2^65 — vanishing, and deterministic for a given
-    * corpus), and the dedup is per-document array_distinct — a pure
-    * per-row expression, NOT a global distinct shuffle.
+    * corpus), and the dedup is per-document — one fused native pass
+    * (tokens -> shingle hashes -> sorted distinct set,
+    * graft.functions.ShingleHashes), NOT a global distinct shuffle.
     */
   private def shingleHashArr(textCol: Column, k: Int): Column =
-    F.array_sort(F.array_distinct(
-      F.transform(TextOps.shingles(TextOps.tokens(textCol), k), s => F.xxhash64(s))))
+    graft.functions.HashExprs.shingleHashes(TextOps.tokens(textCol), k, sortedDistinct = true)
 
   /** (id, shingle-hash) pairs, distinct within each document. */
   def docShingles(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
@@ -271,11 +271,15 @@ object Dedup {
     val sigs = df.select(F.col(idCol).as("id"), shArr.as("shs"))
       .where(F.size(F.col("shs")) > 0)
       .select(F.col("id"), minhashSignature(F.col("shs"), numHashes).as("sig"))
-    val bandedAll = sigs.select(F.col("id"),
-      F.explode(F.transform(F.sequence(F.lit(0), F.lit(bands - 1)),
-        b => F.struct(b.as("band"),
-          F.xxhash64(b, F.slice(F.col("sig"), b * rows + 1, F.lit(rows))).as("key")))).as("bk"))
-      .select(F.col("id"), F.col("bk.band").as("band"), F.col("bk.key").as("key"))
+    // band explosion without a lambda (transform(sequence(...)) is an
+    // interpreted HOF and would knock the projection out of codegen):
+    // explode a literal band-index array, then slice + hash per row
+    val bandedAll = sigs
+      .select(F.col("id"), F.col("sig"),
+        F.explode(F.lit((0 until bands).toArray)).as("band"))
+      .select(F.col("id"), F.col("band"),
+        F.xxhash64(F.col("band"),
+          F.slice(F.col("sig"), F.col("band") * rows + 1, F.lit(rows))).as("key"))
     // bucketCap: drop LSH buckets bigger than cap before the self-join —
     // a bucket of n docs emits O(n^2) candidates, and on boilerplate-heavy
     // corpora a single degenerate bucket can dominate the whole job.
@@ -325,12 +329,12 @@ object Dedup {
       F.lit(if (width >= 64) -1L else ((1L << width) - 1) << lo)
     }: _*)
     val sigs = simhash(df, idCol, textCol)
-    val banded = sigs.select(F.col("id"), F.col("simhash"), F.explode(
-      F.transform(F.sequence(F.lit(0), F.lit(nBands - 1)),
-        b => F.struct(b.as("band"),
-          F.col("simhash").bitwiseAND(F.element_at(bandMasks, b + 1)).as("key")))).as("bk"))
+    // lambda-free band explosion (codegen-friendly, see minhashLsh)
+    val banded = sigs
       .select(F.col("id"), F.col("simhash"),
-        F.col("bk.band").as("band"), F.col("bk.key").as("key"))
+        F.explode(F.lit((0 until nBands).toArray)).as("band"))
+      .select(F.col("id"), F.col("simhash"), F.col("band"),
+        F.col("simhash").bitwiseAND(F.element_at(bandMasks, F.col("band") + 1)).as("key"))
     banded.as("a").join(banded.as("b"), Seq("band", "key"))
       .where(F.col("a.id") < F.col("b.id"))
       .select(F.col("a.id").as("id1"), F.col("b.id").as("id2"),

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftsql.Bridge
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType, StringType}
@@ -18,6 +18,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * calls per row (~minutes for a few hundred documents). These
   * expressions do one tight JVM loop per row instead: the per-100 TB
   * cost is what the arithmetic actually requires.
+  *
+  * Codegen: every expression implements doGenCode (none are
+  * CodegenFallback — a single fallback expression disqualifies its
+  * whole operator from WholeStageCodegen). The generated code calls
+  * the compiled `kernel` method through a plan reference
+  * (ctx.addReferenceObj): a direct virtual call per row, no
+  * reflection, no InternalRow round-trip, and the surrounding
+  * filter/project pipeline stays fused.
   */
 object HashExprs {
   /** numHashes MinHash values of a string array in one pass. */
@@ -55,6 +63,36 @@ object HashExprs {
   /** Stopword-argmax language ID over a token array (one pass). */
   def langScore(toks: Column, langs: Seq[(String, Seq[String])]): Column =
     Bridge.column(LangScore(Bridge.expression(toks), langs))
+
+  /** Most-frequent token's share of all tokens (one hash-map pass). */
+  def topTokenShare(toks: Column): Column =
+    Bridge.column(TopTokenShare(Bridge.expression(toks)))
+
+  /** Lowercase [a-z0-9]-run word tokens of a string (one byte pass). */
+  def tokenizeWords(text: Column): Column =
+    Bridge.column(TokenizeWords(Bridge.expression(text)))
+
+  /** xxhash64 of every k-token shingle; optionally the sorted set. */
+  def shingleHashes(toks: Column, k: Int, sortedDistinct: Boolean): Column =
+    Bridge.column(ShingleHashes(Bridge.expression(toks), k, sortedDistinct))
+
+  /** Count of tokens present in a fixed word set (one pass). */
+  def stopwordCount(toks: Column, words: Seq[String]): Column =
+    Bridge.column(StopwordCount(Bridge.expression(toks), words))
+
+  /** Sum of token lengths in characters (one pass). */
+  def sumTokenChars(toks: Column): Column =
+    Bridge.column(SumTokenChars(Bridge.expression(toks)))
+}
+
+/** Shared one-line doGenCode: evaluate the child null-safely, then call
+  * the expression's compiled kernel through a plan reference.
+  */
+private[functions] trait UnaryKernelCodegen extends UnaryExpression {
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj(prettyName, this, getClass.getName)
+    nullSafeCodeGen(ctx, ev, x => s"${ev.value} = $ref.kernel($x);")
+  }
 }
 
 /** Heuristic language ID: argmax over languages of DISTINCT-token
@@ -64,7 +102,7 @@ object HashExprs {
   * interpreted lambdas per document.
   */
 case class LangScore(child: Expression, langs: Seq[(String, Seq[String])])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with UnaryKernelCodegen {
   override def dataType: DataType = org.apache.spark.sql.types.StringType
   override def prettyName: String = "lang_score"
 
@@ -74,8 +112,10 @@ case class LangScore(child: Expression, langs: Seq[(String, Seq[String])])
     }
   @transient private lazy val und = UTF8String.fromString("und")
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[ArrayData])
+
+  def kernel(arr: ArrayData): UTF8String = {
     val n = arr.numElements()
     val present = new java.util.HashSet[UTF8String](math.max(16, n * 2))
     var i = 0
@@ -104,7 +144,7 @@ case class LangScore(child: Expression, langs: Seq[(String, Seq[String])])
   * driver-trained) rides in the plan like a broadcast literal.
   */
 case class TopCells(child: Expression, centroids: Array[Array[Double]], n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with UnaryKernelCodegen {
   require(centroids.nonEmpty && n >= 1)
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "top_cells"
@@ -116,8 +156,10 @@ case class TopCells(child: Expression, centroids: Array[Array[Double]], n: Int)
   private lazy val norms: Array[Double] =
     centroids.map(c => math.sqrt(c.map(x => x * x).sum))
 
-  override def nullSafeEval(input: Any): Any = {
-    val v = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[ArrayData])
+
+  def kernel(v: ArrayData): ArrayData = {
     val nv = v.numElements()
     val k = centroids.length
     val scores = new Array[Double](k)
@@ -222,12 +264,14 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   * bit votes -> two more groupBys) which shuffles 64x|tokens| rows.
   */
 case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with UnaryKernelCodegen {
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[ArrayData])
+
+  def kernel(arr: ArrayData): Long = {
     val n = arr.numElements()
     // tf on the token's 64-bit hash (collision odds ~2^-64 per pair)
     val tf = new java.util.HashMap[java.lang.Long, Array[Int]]()
@@ -273,15 +317,17 @@ case class SimHash64(child: Expression)
   * Here the child is evaluated once per row.
   */
 case class ShingleStrings(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with UnaryKernelCodegen {
   require(k >= 1, "shingle size must be >= 1")
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "shingle_strings"
 
   private val sep = UTF8String.fromString(" ")
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[ArrayData])
+
+  def kernel(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
     if (n < k) return new GenericArrayData(Array.empty[Any])
     val toks = new Array[UTF8String](n)
@@ -309,7 +355,7 @@ case class ShingleStrings(child: Expression, k: Int)
   * no driver state, one pass per row.
   */
 case class LshSig(child: Expression, nPlanes: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with UnaryKernelCodegen {
   require(nPlanes >= 1 && nPlanes <= 63, "nPlanes in [1, 63]")
   override def dataType: DataType = LongType
   override def prettyName: String = "lsh_sig"
@@ -319,8 +365,10 @@ case class LshSig(child: Expression, nPlanes: Int)
     case _ => false
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val v = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[ArrayData])
+
+  def kernel(v: ArrayData): Long = {
     val n = v.numElements()
     var sig = 0L
     var p = 0
@@ -409,12 +457,14 @@ case class CosineSim(left: Expression, right: Expression)
   * unsigned-compared so the minima are uniform over the full 64-bit ring.
   */
 case class MinHashSig(child: Expression, numHashes: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with UnaryKernelCodegen {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[ArrayData])
+
+  def kernel(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
     val mins = Array.fill(numHashes)(-1L) // unsigned max
     var i = 0
@@ -444,13 +494,15 @@ case class MinHashSig(child: Expression, numHashes: Int)
   * empty input. O(n*w) with w small — one pass per row.
   */
 case class WinnowMins(child: Expression, w: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with UnaryKernelCodegen {
   require(w >= 1, "window must be >= 1")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "winnow_mins"
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[ArrayData])
+
+  def kernel(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
     if (n == 0) return new GenericArrayData(Array.emptyLongArray)
     val hs = arr.toLongArray()
@@ -476,5 +528,181 @@ case class WinnowMins(child: Expression, w: Int)
   }
 
   override protected def withNewChildInternal(newChild: Expression): WinnowMins =
+    copy(child = newChild)
+}
+
+/** Most-frequent token's share of all tokens (the Gopher-style
+  * repetition signal): one hash-map counting pass per row, tracking the
+  * running mode. Replaces the nested transform(array_distinct, t ->
+  * size(filter(toks, x == t))) HOF — O(distinct x tokens) interpreted
+  * comparisons per row, ~10^8 for a 10k-token document — with O(tokens)
+  * compiled work. 0.0 for an empty array.
+  */
+case class TopTokenShare(child: Expression)
+    extends UnaryExpression with UnaryKernelCodegen {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "top_token_share"
+
+  override def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[ArrayData])
+
+  def kernel(arr: ArrayData): Double = {
+    val n = arr.numElements()
+    if (n == 0) return 0.0
+    val tf = new java.util.HashMap[UTF8String, Array[Int]](math.max(16, n * 2))
+    var max = 0
+    var i = 0
+    while (i < n) {
+      val t = arr.getUTF8String(i)
+      var c = tf.get(t)
+      if (c == null) { c = Array(0); tf.put(t, c) }
+      c(0) += 1
+      if (c(0) > max) max = c(0)
+      i += 1
+    }
+    max.toDouble / n
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TopTokenShare =
+    copy(child = newChild)
+}
+
+/** Lowercase word tokenization: maximal runs of [a-z0-9] after
+  * Unicode lowercasing — byte-for-byte the same tokens as
+  * `filter(split(lower(text), "[^a-z0-9]+"), t -> t != "")` (UTF-8
+  * multibyte units are >= 0x80, so byte-level scanning can never split
+  * inside a code point). The HOF form drags an interpreted lambda into
+  * every text operator's projection and disqualifies it from
+  * WholeStageCodegen; this is one compiled pass over the bytes.
+  */
+case class TokenizeWords(child: Expression)
+    extends UnaryExpression with UnaryKernelCodegen {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "tokenize_words"
+
+  override def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[UTF8String])
+
+  def kernel(s: UTF8String): ArrayData = {
+    val bytes = s.toLowerCase.getBytes
+    val n = bytes.length
+    val out = new java.util.ArrayList[Any]()
+    var i = 0
+    while (i < n) {
+      val b = bytes(i)
+      if ((b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')) {
+        var j = i + 1
+        while (j < n && {
+          val c = bytes(j); (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+        }) j += 1
+        out.add(UTF8String.fromBytes(bytes, i, j - i))
+        i = j
+      } else i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenizeWords =
+    copy(child = newChild)
+}
+
+/** xxhash64(seed 42) of every k-token shingle — the fused form of
+  * transform(shingle_strings(toks, k), s -> xxhash64(s)), whose lambda
+  * is interpreted and breaks codegen. sortedDistinct=true additionally
+  * folds in array_sort(array_distinct(...)) (the per-document shingle
+  * SET, as used by the Jaccard machinery); false keeps positional
+  * order (as needed by winnowing window minima).
+  */
+case class ShingleHashes(child: Expression, k: Int, sortedDistinct: Boolean)
+    extends UnaryExpression with UnaryKernelCodegen {
+  require(k >= 1, "shingle size must be >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String =
+    if (sortedDistinct) "shingle_hash_set" else "shingle_hashes"
+
+  private val sep = UTF8String.fromString(" ")
+
+  override def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[ArrayData])
+
+  def kernel(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    if (n < k) return new GenericArrayData(Array.emptyLongArray)
+    val toks = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) { toks(i) = arr.getUTF8String(i); i += 1 }
+    val hs = new Array[Long](n - k + 1)
+    i = 0
+    while (i <= n - k) {
+      val sh = UTF8String.concatWs(sep, java.util.Arrays.copyOfRange(toks, i, i + k): _*)
+      hs(i) = XXH64.hashUTF8String(sh, 42L)
+      i += 1
+    }
+    if (!sortedDistinct) return new GenericArrayData(hs)
+    java.util.Arrays.sort(hs)
+    var uniq = 1
+    i = 1
+    while (i < hs.length) {
+      if (hs(i) != hs(uniq - 1)) { hs(uniq) = hs(i); uniq += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(hs, uniq))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+/** Count of tokens (with multiplicity) that appear in a fixed word
+  * set — the stopword counter of the quality-stats struct, without the
+  * filter(toks, t -> array_contains(...)) interpreted lambda.
+  */
+case class StopwordCount(child: Expression, words: Seq[String])
+    extends UnaryExpression with UnaryKernelCodegen {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "stopword_count"
+
+  @transient private lazy val set: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](words.size * 2)
+    words.foreach(w => s.add(UTF8String.fromString(w)))
+    s
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[ArrayData])
+
+  def kernel(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    var c = 0L
+    var i = 0
+    while (i < n) { if (set.contains(arr.getUTF8String(i))) c += 1; i += 1 }
+    c
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): StopwordCount =
+    copy(child = newChild)
+}
+
+/** Sum of token lengths in characters (for avg token length) — the
+  * aggregate(toks, 0, (acc, t) -> acc + length(t)) fold without the
+  * interpreted lambda.
+  */
+case class SumTokenChars(child: Expression)
+    extends UnaryExpression with UnaryKernelCodegen {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sum_token_chars"
+
+  override def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[ArrayData])
+
+  def kernel(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    var c = 0L
+    var i = 0
+    while (i < n) { c += arr.getUTF8String(i).numChars(); i += 1 }
+    c
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SumTokenChars =
     copy(child = newChild)
 }

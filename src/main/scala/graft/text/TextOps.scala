@@ -12,12 +12,16 @@ import org.apache.spark.sql.{functions => F}
   */
 object TextOps {
 
-  /** Lowercase word tokens: split on runs of non-alphanumerics, empty
-    * strings dropped. Kept to character classes whose semantics are
-    * identical in Java regex and RE2 (oracle parity).
+  /** Lowercase word tokens: maximal [a-z0-9] runs after lowercasing —
+    * identical to splitting on runs of non-alphanumerics and dropping
+    * empties (the definition the DuckDB oracle mirrors; the class is
+    * one Java regex and RE2 implement identically). Native one-pass
+    * expression (graft.functions.TokenizeWords) — the filter(split(..))
+    * HOF form carries an interpreted lambda that also disqualifies
+    * every downstream projection from WholeStageCodegen.
     */
   def tokens(text: Column): Column =
-    F.filter(F.split(F.lower(text), "[^a-z0-9]+"), t => t =!= "")
+    graft.functions.HashExprs.tokenizeWords(text)
 
   /** k-word shingles (space-joined) of the token array; empty if fewer
     * than k tokens. Sequence-sensitive representation for near-dup
@@ -58,24 +62,26 @@ object TextOps {
     * single-division doubles (cross-engine deterministic).
     */
   def qualityStats(text: Column, stopLang: Seq[String]): Seq[(String, Column)] = {
+    import graft.functions.HashExprs.{stopwordCount, sumTokenChars}
     val toks = tokens(text)
     val nChars = F.length(text)
     val nToks = F.size(toks)
     val punct = F.regexp_count(text, F.lit("[^a-zA-Z0-9 ]"))
     val upper = F.regexp_count(text, F.lit("[A-Z]"))
-    val stops = F.size(F.filter(toks, t =>
-      F.array_contains(F.array(stopLang.map(F.lit): _*), t)))
+    // native one-pass counters: the filter/aggregate lambda forms are
+    // interpreted HOFs and would drop the projection out of codegen
+    val stops = stopwordCount(toks, stopLang)
     Seq(
       "n_chars" -> nChars.cast("long"),
       "n_tokens" -> nToks.cast("long"),
       "n_punct" -> punct.cast("long"),
       "n_upper" -> upper.cast("long"),
-      "n_stopwords" -> stops.cast("long"),
+      "n_stopwords" -> stops,
       "punct_ratio" -> F.when(nChars > 0,
         punct.cast("double") / nChars.cast("double")).otherwise(F.lit(0.0)),
       "stopword_ratio" -> F.when(nToks > 0, stops.cast("double") / nToks.cast("double")).otherwise(F.lit(0.0)),
       "avg_token_len" -> F.when(nToks > 0,
-        F.aggregate(toks, F.lit(0L), (acc, t) => acc + F.length(t)).cast("double") / nToks.cast("double"))
+        sumTokenChars(toks).cast("double") / nToks.cast("double"))
         .otherwise(F.lit(0.0)))
   }
 
@@ -92,16 +98,13 @@ object TextOps {
 
   /** Repetition signal (Gopher-style quality heuristic): the most
     * frequent token's share of all tokens. High values flag boilerplate
-    * / degenerate repetition. 0.0 for empty docs. Pass a MATERIALIZED
-    * token-array column (attribute), not a nested expression — the
-    * lambda references it per distinct token.
+    * / degenerate repetition. 0.0 for empty docs, null arrays coalesce
+    * to 0.0. Native one-pass mode count
+    * (graft.functions.TopTokenShare) — the transform(array_distinct,
+    * ...) HOF form is O(distinct x tokens) interpreted work per row.
     */
-  def topTokenShare(toks: Column): Column = {
-    val nToks = F.size(toks)
-    val topTf = F.array_max(F.transform(F.array_distinct(toks),
-      t => F.size(F.filter(toks, x => x === t))))
-    F.when(nToks > 0, topTf.cast("double") / nToks.cast("double")).otherwise(F.lit(0.0))
-  }
+  def topTokenShare(toks: Column): Column =
+    F.coalesce(graft.functions.HashExprs.topTokenShare(toks), F.lit(0.0))
 
   /** Winnowing document fingerprints (Schleimer et al., SIGMOD 2003):
     * hash k-token shingles, slide a window of size w, keep each
@@ -109,11 +112,12 @@ object TextOps {
     * set. Per-row expression — no shuffle.
     */
   def winnowFingerprints(text: Column, k: Int = 4, w: Int = 3): Column = {
-    val sh = shingles(tokens(text), k)
-    val hashes = F.transform(sh, s => F.xxhash64(s))
-    // window minima + distinct + sort in one native pass; the naive
-    // slice(hashes, i, w)-per-window formulation re-evaluates the whole
-    // shingle chain per window (quadratic, interpreted).
+    // positional shingle hashes + window minima, each one native pass;
+    // the naive slice(hashes, i, w)-per-window formulation re-evaluates
+    // the whole shingle chain per window (quadratic, interpreted), and
+    // a transform(sh, s -> xxhash64(s)) lambda would break codegen.
+    val hashes = graft.functions.HashExprs.shingleHashes(
+      tokens(text), k, sortedDistinct = false)
     graft.functions.HashExprs.winnowMins(hashes, w)
   }
 }

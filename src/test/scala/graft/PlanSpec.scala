@@ -49,4 +49,49 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange hashpartitioning"),
       "per-row text op should not hash-shuffle")
   }
+
+  test("kernel queries carry no CodegenFallback expressions") {
+    // a single CodegenFallback expression (native fallback kernel or an
+    // interpreted HOF lambda) disqualifies its whole operator from
+    // WholeStageCodegen — the sketch/text pipelines must have none
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    val queries = Seq("dedup_minhash", "dedup_simhash", "lang_id",
+      "doc_fingerprint", "text_scrub", "text_stats", "token_count")
+    for (q <- queries) {
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      val fb = scala.collection.mutable.ArrayBuffer[String]()
+      df.queryExecution.optimizedPlan.foreach { node =>
+        node.expressions.foreach(_.foreach {
+          case e: CodegenFallback => fb += e.prettyName
+          case _ =>
+        })
+      }
+      assert(fb.isEmpty, s"$q has CodegenFallback expressions: ${fb.distinct}")
+    }
+  }
+
+  test("sketch kernels execute inside WholeStageCodegen spans") {
+    // run two cheap kernel queries to finalize the adaptive plan (the
+    // session has spark.sql.codegen.fallback=false, so Janino failures
+    // would throw here instead of silently interpreting), then assert
+    // the *(n) whole-stage markers sit on the kernel projections
+    for ((q, kernel) <- Seq("lang_id" -> "lang_score(",
+                            "dedup_simhash" -> "simhash64(")) {
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      df.collect()
+      // keep only the final adaptive plan — the "== Initial Plan ==" tail
+      // repeats the pre-codegen tree and would always trip the assert
+      val p = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      // only operator lines that EVALUATE the kernel count — FileScan
+      // lines echo the kernel inside their DataFilters description
+      val lines = p.linesIterator.filter(l =>
+        l.contains(kernel) && !l.contains("FileScan")).toSeq
+      assert(lines.nonEmpty, s"$q: final plan never inlines $kernel")
+      lines.foreach { l =>
+        assert(l.contains("*("),
+          s"$q: operator evaluating $kernel is outside WholeStageCodegen:\n$l")
+      }
+    }
+  }
 }

@@ -12,6 +12,9 @@ object SparkSpec {
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "2")
     .config("spark.sql.session.timeZone", "UTC")
+    // strict codegen: a Janino compile failure in a generated stage
+    // fails the test instead of silently falling back to interpretation
+    .config("spark.sql.codegen.fallback", "false")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 }
