@@ -74,6 +74,46 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("dfCap bounds PPJoin candidates on a boilerplate-heavy corpus") {
+    // 120 docs, each 4 shared boilerplate shingles + 3 unique ones:
+    // the PPJoin prefix (|d| - ceil(t|d|) + 1 = 4) must include one
+    // shingle with document frequency 120, so that single ubiquitous
+    // shingle emits C(120,2) candidates — the quadratic blowup the cap
+    // guards — while pairwise Jaccard stays 4/10 = 0.4 < threshold
+    val docs = (1 to 120).map(i =>
+      (i.toLong, s"alpha beta gamma delta epsilon zeta u${i}a u${i}b u${i}c"))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.jaccardCandidates(docs, "doc_id", "text", 3, 0.5, None)
+    val capped = Dedup.jaccardCandidates(docs, "doc_id", "text", 3, 0.5, Some(10))
+    val (nu, nc) = (uncapped.count(), capped.count())
+    assert(nu > 5000, s"boilerplate corpus should explode candidates, got $nu")
+    assert(nc < 200, s"dfCap should bound candidates, got $nc")
+    // boilerplate pairs sit below the 0.5 threshold here, so capping
+    // candidates does not change the VERIFIED output at all
+    val full = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
+    val withCap = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5, Some(10))
+    assert(full.count() == withCap.count())
+    uncapped.unpersist(); capped.unpersist(); full.unpersist(); withCap.unpersist()
+  }
+
+  test("bucketCap bounds LSH bucket blowup; capped output stays a subset") {
+    // near-identical docs (one long shared text + unique token) collide
+    // into the same LSH buckets: bucket size ~n, candidates ~n^2
+    val base = "the quick brown fox jumps over the lazy dog while the cat " +
+      "sleeps on the warm mat near the old wooden door"
+    val docs = (1 to 60).map(i => (i.toLong, s"$base extra$i")).toDF("doc_id", "text")
+    val uncapped = Dedup.minhashLsh(docs, "doc_id", "text", k = 3,
+      numHashes = 64, bands = 16, threshold = 0.5)
+    val capped = Dedup.minhashLsh(docs, "doc_id", "text", k = 3,
+      numHashes = 64, bands = 16, threshold = 0.5, bucketCap = Some(10))
+    val all = uncapped.select("id1", "id2").as[(Long, Long)].collect().toSet
+    val sub = capped.select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(all.size > 1000, s"degenerate buckets should pair ~all docs, got ${all.size}")
+    assert(sub.subsetOf(all), "capping only ever drops pairs")
+    assert(sub.size < all.size,
+      "the documented recall tradeoff: over-cap buckets are skipped")
+  }
+
   test("simhashPairs: identical docs at hamming 0; output within radius") {
     val out = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
       .as[(Long, Long, Int)].collect()
