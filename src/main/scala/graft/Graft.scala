@@ -12,32 +12,53 @@ import org.apache.spark.sql.DataFrame
   */
 object Graft {
 
-  /** match_schema (api.py:43): 1:1 column mapping source -> target. */
+  /** match_schema (api.py:43): 1:1 column mapping source -> target.
+    *
+    * Every reference method name resolves (matcher_factory.py:17-19):
+    * similarity_flooding, coma, cupid, distribution_based,
+    * jaccard_distance, two_phase, max_val_sim — plus the graft-native
+    * distribution_sketch and name_similarity. ct_learning and gpt
+    * require an external model/network and raise a documented error
+    * (SURVEY.md par.6).
+    *
+    * @param oneToOne true applies valentine's strict 1:1 assignment
+    *                 (MatcherResults.one_to_one, valentine.py:24-27 —
+    *                 what the reference does to every matcher result);
+    *                 false (default) keeps argmax-per-source, which is
+    *                 a single distributed window pass.
+    */
   def matchSchema(source: DataFrame, target: DataFrame,
-                  method: String = "similarity_flooding"): DataFrame = {
+                  method: String = "similarity_flooding",
+                  oneToOne: Boolean = false): DataFrame = {
     val sCols = source.columns.toSeq
     val tCols = target.columns.toSeq
-    method match {
+    def meta(df: DataFrame) = df.schema.fields.toSeq.map(f => (f.name, f.dataType.simpleString))
+    val all = method match {
       case "similarity_flooding" =>
-        def meta(df: DataFrame) = df.schema.fields.toSeq.map(f => (f.name, f.dataType.simpleString))
-        SimilarityFlooding.matchColumns(source.sparkSession, meta(source), meta(target))
+        SimilarityFlooding.allPairs(source.sparkSession, meta(source), meta(target))
+      case "cupid" =>
+        Cupid.allPairs(source.sparkSession, meta(source), meta(target))
       case "distribution_based" | "jaccard_distance" =>
-        SchemaMatcher.valueOverlapMatch(source, sCols, target, tCols)
+        SchemaMatcher.valueOverlapAll(source, sCols, target, tCols)
       case "distribution_sketch" =>
-        SchemaMatcher.valueOverlapSketchMatch(source, sCols, target, tCols)
+        SchemaMatcher.valueOverlapSketchAll(source, sCols, target, tCols)
       case "name_similarity" =>
-        SchemaMatcher.nameSimilarityMatch(source.sparkSession, sCols, tCols)
+        SchemaMatcher.nameSimilarityAll(source.sparkSession, sCols, tCols)
       case "two_phase" =>
-        SchemaMatcher.twoPhaseMatch(source, sCols, target, tCols)
+        SchemaMatcher.twoPhaseAll(source, sCols, target, tCols)
       case "max_val_sim" =>
-        SchemaMatcher.maxValSimMatch(source, sCols, target, tCols)
+        SchemaMatcher.maxValSimAll(source, sCols, target, tCols)
       case "coma" | "composite" =>
-        SchemaMatcher.compositeMatch(source, sCols, target, tCols)
+        SchemaMatcher.compositeAll(source, sCols, target, tCols)
+      case "ct_learning" | "gpt" => throw new UnsupportedOperationException(
+        s"match_schema method '$method' needs an external model/network " +
+          "(none in scope); see SURVEY.md par.6 for the declared exclusions")
       case other => throw new IllegalArgumentException(
         s"unknown match_schema method: $other (supported: similarity_flooding, " +
-          "distribution_based, jaccard_distance, distribution_sketch, " +
-          "name_similarity, two_phase, max_val_sim, coma/composite)")
+          "cupid, coma/composite, distribution_based, jaccard_distance, " +
+          "distribution_sketch, name_similarity, two_phase, max_val_sim)")
     }
+    SchemaMatcher.assign(all, oneToOne)
   }
 
   /** top_matches (api.py:99): top-k target columns per source column. */
@@ -56,11 +77,19 @@ object Graft {
         ValueMatcher.tfidfMatch(source, sourceColumn, target, targetColumn, threshold)
       case "edit_distance" =>
         ValueMatcher.editDistanceMatch(source, sourceColumn, target, targetColumn, threshold)
-      case "embeddings" =>
+      // "fasttext" is the reference's embedding matcher name
+      // (value_matching/matcher_factory.py:17-20); the hashing-trick
+      // character-profile cosine is the declared public-knowledge
+      // stand-in for it (SURVEY.md par.6)
+      case "embeddings" | "fasttext" =>
         ValueMatcher.profileEmbeddingMatch(source, sourceColumn, target, targetColumn,
           threshold = threshold)
+      case "gpt" => throw new UnsupportedOperationException(
+        "match_values method 'gpt' needs an external model (none in scope); " +
+          "see SURVEY.md par.6")
       case other => throw new IllegalArgumentException(
-        s"unknown match_values method: $other (supported: tfidf, edit_distance, embeddings)")
+        s"unknown match_values method: $other (supported: tfidf, edit_distance, " +
+          "embeddings/fasttext)")
     }
 
   /** top_value_matches (api.py:222): top-k target values per source value. */
@@ -78,6 +107,49 @@ object Graft {
           threshold = threshold, topK = topK)
       case other => throw new IllegalArgumentException(s"unknown method: $other")
     }
+
+  /** match_values over a multi-pair column mapping (api.py:155-220,
+    * 333-402): one value-match result per mapped (source, target)
+    * column pair, unioned with column discriminators — the reference
+    * returns a list of per-pair frames; one tall frame is the
+    * Spark-native shape (a single plan, unioned scans).
+    */
+  def matchValuesMapping(source: DataFrame, target: DataFrame,
+                         columnMapping: Seq[(String, String)],
+                         method: String = "tfidf",
+                         threshold: Double = 0.3): DataFrame = {
+    require(columnMapping.nonEmpty, "column mapping must have at least one pair")
+    import org.apache.spark.sql.{functions => F}
+    columnMapping.map { case (sc, tc) =>
+      matchValues(source, sc, target, tc, method, threshold)
+        .select(F.lit(sc).as("source_column"), F.lit(tc).as("target_column"),
+          F.col("source"), F.col("target"), F.col("similarity"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** Match coverage per column pair (api.py:382-401): the fraction of
+    * distinct source values that found a target match. Takes the
+    * matchValuesMapping output (one row per distinct source value,
+    * null target when unmatched) — one small aggregation.
+    */
+  def valueMatchCoverage(matches: DataFrame): DataFrame = {
+    import org.apache.spark.sql.{functions => F}
+    matches.groupBy("source_column", "target_column")
+      .agg((F.count(F.col("target")).cast("double") /
+        F.count(F.lit(1)).cast("double")).as("coverage"))
+  }
+
+  /** create_mapper (api.py:740): a value-match result becomes a
+    * DictionaryMapper — closes the match -> plan -> materialize loop.
+    */
+  def createMapper(matches: DataFrame): DictionaryMapper =
+    Materialize.mapperFromMatches(matches)
+
+  /** Mapping-spec normalization (api.py:640): a match_schema-shaped
+    * DataFrame becomes an identity-mapped plan.
+    */
+  def mappingSpec(spec: DataFrame): Seq[ColumnMapping] =
+    Materialize.specFromDataFrame(spec)
 
   /** preview_domain (api.py:495): distinct values of a column. */
   def previewDomain(dataset: DataFrame, column: String, limit: Int = 0): DataFrame = {

@@ -44,6 +44,12 @@ object OracleSql {
         |  USING (source)
         |ORDER BY s.source""".stripMargin),
 
+    "match_values_coverage" -> (editScored +
+      """SELECT 'p_name' AS source_column, 'p_name' AS target_column,
+        |       round(CAST((SELECT count(DISTINCT source) FROM best WHERE rn = 1) AS DOUBLE)
+        |             / CAST((SELECT count(*) FROM src) AS DOUBLE), 6) AS coverage
+        |""".stripMargin),
+
     "match_values_topk" -> (editScored +
       """SELECT source, target, similarity, CAST(rn AS BIGINT) AS "rank"
         |FROM best WHERE rn <= 3 ORDER BY source, "rank"""".stripMargin),

@@ -113,6 +113,21 @@ object SparkEntry {
       .orderBy("source")
   }
 
+  private def matchSchemaCupid(t: Tables): DataFrame = {
+    def meta(df: DataFrame) = df.schema.fields.toSeq.map(f => (f.name, f.dataType.simpleString))
+    Cupid.matchColumns(t.customer.sparkSession, meta(t.customer), meta(t.supplier))
+      .select(F.col("source"), F.col("target"), F.round(F.col("similarity"), 6).as("similarity"))
+      .orderBy("source")
+  }
+
+  private def matchValuesCoverage(t: Tables): DataFrame =
+    Graft.valueMatchCoverage(Graft.matchValuesMapping(
+      t.part, t.part.where(F.col("p_size") <= 25),
+      Seq("p_name" -> "p_name"), method = "edit_distance", threshold = 0.5))
+      .select(F.col("source_column"), F.col("target_column"),
+        F.round(F.col("coverage"), 6).as("coverage"))
+      .orderBy("source_column")
+
   private val returnFlagDict = DictionaryMapper(Map(
     "A" -> "accepted", "N" -> "none", "R" -> "returned"))
 
@@ -375,7 +390,9 @@ object SparkEntry {
       "match_values_embedding" -> q(matchValuesEmbedding),
       "match_schema_name" -> q(matchSchemaName),
       "match_schema_simflood" -> q(matchSchemaSimflood),
+      "match_schema_cupid" -> q(matchSchemaCupid),
       "match_schema_sketch" -> q(matchSchemaSketch),
+      "match_values_coverage" -> q(matchValuesCoverage),
       "materialize_mapping" -> q(materializeMapping),
       "merge_mappings" -> q(mergeMappingsQ),
       "q1_agg" -> q(q1),

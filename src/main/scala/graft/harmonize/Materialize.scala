@@ -58,6 +58,43 @@ object Materialize {
     user ++ auto.filterNot(m => userTargets.contains((m.source, m.target)))
   }
 
+  /** create_mapper from value-match results (api.py:740-831 create_mapper,
+    * api.py:834 _create_mapper_from_value_matches): the (source, target)
+    * rows of a match_values output become a DictionaryMapper. Unmatched
+    * source values (null target) are dropped — applying the mapper then
+    * yields null for them, the reference's NaN semantics. Value-match
+    * results are vocabulary-bounded by definition (value matching
+    * operates on distinct domains), so collecting the dictionary is
+    * driver-small; ambiguity resolves to the highest-similarity target
+    * (ties to target ascending) when a similarity column is present.
+    */
+  def mapperFromMatches(matches: DataFrame): DictionaryMapper = {
+    val hasSim = matches.columns.contains("similarity")
+    val m = matches.where(F.col("target").isNotNull)
+    val ordered =
+      if (hasSim) m.orderBy(F.col("source"), F.col("similarity").desc, F.col("target").asc)
+      else m.orderBy("source", "target")
+    val dict = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    ordered.select("source", "target").collect().foreach { r =>
+      val s = r.getString(0)
+      if (!dict.contains(s)) dict(s) = r.getString(1)
+    }
+    DictionaryMapper(dict.toMap)
+  }
+
+  /** Mapping-spec normalization (api.py:640 _normalize_mapping_spec):
+    * a DataFrame with source/target columns — the match_schema output
+    * shape — becomes an identity-mapped harmonization plan (the
+    * reference creates an IdentityValueMapper when no mapper key is
+    * given).
+    */
+  def specFromDataFrame(spec: DataFrame): Seq[ColumnMapping] = {
+    require(Seq("source", "target").forall(spec.columns.contains),
+      s"mapping spec needs source/target columns, has: ${spec.columns.mkString(", ")}")
+    spec.select("source", "target").orderBy("source").collect().toSeq
+      .map(r => ColumnMapping(r.getString(0), r.getString(1)))
+  }
+
   /** Build the harmonized output table: one projected+mapped column per
     * spec entry (api.py:698 materialize_mapping).
     */

@@ -57,6 +57,39 @@ object SchemaMatcher {
       .where(F.col("rn") === 1).drop("rn")
   }
 
+  /** Valentine-style strict 1:1 assignment (the reference post-processes
+    * every matcher through MatcherResults.one_to_one, valentine.py:24-27):
+    * greedy assignment over the score matrix in (similarity desc, source
+    * asc, target asc) order — no source OR target is assigned twice, so
+    * two source columns can never map to the same target (argmax-per-
+    * source can double-assign on ambiguous inputs). The matrix is
+    * |srcCols| x |tgtCols| — driver-small by definition — so the greedy
+    * scan collects; all instance-scale work already happened producing
+    * the scores.
+    */
+  def oneToOne(all: DataFrame): DataFrame = {
+    val spark = all.sparkSession
+    import spark.implicits._
+    val sorted = all.select("source", "target", "similarity").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+      .sortBy { case (s, t, sim) => (-sim, s, t) }
+    val usedS = scala.collection.mutable.HashSet.empty[String]
+    val usedT = scala.collection.mutable.HashSet.empty[String]
+    val out = sorted.flatMap { case (s, t, sim) =>
+      if (!usedS.contains(s) && !usedT.contains(t)) {
+        usedS += s; usedT += t
+        Some((s, t, sim))
+      } else None
+    }
+    out.toSeq.toDF("source", "target", "similarity")
+  }
+
+  /** bestPerSource or oneToOne, by flag — the two assignment policies
+    * every matcher's all-pairs matrix can feed.
+    */
+  def assign(all: DataFrame, strictOneToOne: Boolean): DataFrame =
+    if (strictOneToOne) oneToOne(all) else bestPerSource(all)
+
   def valueOverlapMatch(
       src: DataFrame, srcCols: Seq[String],
       tgt: DataFrame, tgtCols: Seq[String]): DataFrame =
@@ -85,7 +118,7 @@ object SchemaMatcher {
     * agreement. No distinct-value join at all: the shuffle carries
     * |columns| signatures of numHashes longs each.
     */
-  def valueOverlapSketchMatch(
+  def valueOverlapSketchAll(
       src: DataFrame, srcCols: Seq[String],
       tgt: DataFrame, tgtCols: Seq[String],
       numHashes: Int = 256): DataFrame = {
@@ -98,12 +131,17 @@ object SchemaMatcher {
     val agree = F.aggregate(
       F.zip_with(F.col("ssig"), F.col("tsig"), (a, b) => F.when(a === b, 1).otherwise(0)),
       F.lit(0), (acc, x) => acc + x)
-    val all = ss.withColumnRenamed("sig", "ssig")
+    ss.withColumnRenamed("sig", "ssig")
       .crossJoin(F.broadcast(ts.withColumnRenamed("sig", "tsig")))
       .select(F.col("source"), F.col("target"),
         (agree.cast("double") / F.lit(numHashes.toDouble)).as("similarity"))
-    bestPerSource(all)
   }
+
+  def valueOverlapSketchMatch(
+      src: DataFrame, srcCols: Seq[String],
+      tgt: DataFrame, tgtCols: Seq[String],
+      numHashes: Int = 256): DataFrame =
+    bestPerSource(valueOverlapSketchAll(src, srcCols, tgt, tgtCols, numHashes))
 
   /** All (source, target) column-name pairs with normalized edit
     * similarity — names are driver-small, so this is a tiny broadcast
@@ -134,7 +172,7 @@ object SchemaMatcher {
     * weighted average. Aggregating evidence makes the match robust
     * where any single signal is ambiguous.
     */
-  def compositeMatch(
+  def compositeAll(
       src: DataFrame, srcCols: Seq[String],
       tgt: DataFrame, tgtCols: Seq[String],
       wName: Double = 0.3, wValues: Double = 0.5, wType: Double = 0.2): DataFrame = {
@@ -148,7 +186,7 @@ object SchemaMatcher {
     }
     val st = typeOf(src, srcCols, "source")
     val tt = typeOf(tgt, tgtCols, "target")
-    val all = names
+    names
       .join(values, Seq("source", "target"), "left")
       .na.fill(0.0, Seq("value_sim"))
       .join(F.broadcast(st), "source")
@@ -157,8 +195,13 @@ object SchemaMatcher {
         ((F.col("name_sim") * wName + F.col("value_sim") * wValues +
           F.when(F.col("source_type") === F.col("target_type"), wType).otherwise(0.0))
           / (wName + wValues + wType)).as("similarity"))
-    bestPerSource(all)
   }
+
+  def compositeMatch(
+      src: DataFrame, srcCols: Seq[String],
+      tgt: DataFrame, tgtCols: Seq[String],
+      wName: Double = 0.3, wValues: Double = 0.5, wType: Double = 0.2): DataFrame =
+    bestPerSource(compositeAll(src, srcCols, tgt, tgtCols, wName, wValues, wType))
 
   /** Two-phase schema matching (reference TwoPhaseSchemaMatcher,
     * schema_matching/one2one/twophase.py:10): a cheap top-k matcher
@@ -169,7 +212,7 @@ object SchemaMatcher {
     * touches candidates only — that restriction is the whole point of
     * the two-phase design at scale.
     */
-  def twoPhaseMatch(
+  def twoPhaseAll(
       src: DataFrame, srcCols: Seq[String],
       tgt: DataFrame, tgtCols: Seq[String], topN: Int = 2): DataFrame = {
     val cand = topKPerSource(
@@ -178,10 +221,14 @@ object SchemaMatcher {
     // candidate column-name lists are driver-small by definition
     val candRows = cand.collect()
     val candTgtCols = candRows.map(_.getString(1)).distinct.toSeq
-    val all = valueOverlapAll(src, srcCols, tgt, candTgtCols)
+    valueOverlapAll(src, srcCols, tgt, candTgtCols)
       .join(cand, Seq("source", "target"), "left_semi")
-    bestPerSource(all)
   }
+
+  def twoPhaseMatch(
+      src: DataFrame, srcCols: Seq[String],
+      tgt: DataFrame, tgtCols: Seq[String], topN: Int = 2): DataFrame =
+    bestPerSource(twoPhaseAll(src, srcCols, tgt, tgtCols, topN))
 
   /** Max-value-similarity schema matching (reference
     * MaxValSimSchemaMatcher, schema_matching/one2one/maxvalsim.py:11):
@@ -193,7 +240,7 @@ object SchemaMatcher {
     * pairs| x |distinct values|^2 — vocabulary-bounded, never row
     * count — with the target side broadcast.
     */
-  def maxValSimMatch(
+  def maxValSimAll(
       src: DataFrame, srcCols: Seq[String],
       tgt: DataFrame, tgtCols: Seq[String],
       topN: Int = 2, threshold: Double = 0.8): DataFrame = {
@@ -216,9 +263,14 @@ object SchemaMatcher {
       .select(F.col("source"), F.col("target"),
         ((F.col("name_score") + F.col("sum_best") / F.col("n_tv")) / 2.0).as("similarity"))
     // candidates with zero value matches keep half their name score
-    val all = cand.join(vscore, Seq("source", "target"), "left")
+    cand.join(vscore, Seq("source", "target"), "left")
       .select(F.col("source"), F.col("target"),
         F.coalesce(F.col("similarity"), F.col("name_score") / 2.0).as("similarity"))
-    bestPerSource(all)
   }
+
+  def maxValSimMatch(
+      src: DataFrame, srcCols: Seq[String],
+      tgt: DataFrame, tgtCols: Seq[String],
+      topN: Int = 2, threshold: Double = 0.8): DataFrame =
+    bestPerSource(maxValSimAll(src, srcCols, tgt, tgtCols, topN, threshold))
 }

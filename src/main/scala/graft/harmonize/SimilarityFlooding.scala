@@ -53,7 +53,15 @@ object SimilarityFlooding {
     */
   def matchColumns(spark: SparkSession,
                    srcCols: Seq[(String, String)], tgtCols: Seq[(String, String)],
-                   iters: Int = 10): DataFrame = {
+                   iters: Int = 10): DataFrame =
+    SchemaMatcher.bestPerSource(allPairs(spark, srcCols, tgtCols, iters))
+
+  /** The full (source, target, flood score) matrix, for either
+    * assignment policy (bestPerSource / oneToOne).
+    */
+  def allPairs(spark: SparkSession,
+               srcCols: Seq[(String, String)], tgtCols: Seq[(String, String)],
+               iters: Int = 10): DataFrame = {
     val gS = graph(srcCols)
     val gT = graph(tgtCols)
 
@@ -98,7 +106,6 @@ object SimilarityFlooding {
 
     import spark.implicits._
     val rows = sigma.toSeq.collect { case ((Col(a), Col(b)), v) => (a, b, v) }
-    val all = rows.toDF("source", "target", "similarity")
-    SchemaMatcher.bestPerSource(all)
+    rows.sortBy(r => (r._1, r._2)).toDF("source", "target", "similarity")
   }
 }

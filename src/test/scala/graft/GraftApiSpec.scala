@@ -9,13 +9,118 @@ class GraftApiSpec extends SparkSpec {
   private def tgt = Seq(("A", "y1"), ("R", "y2")).toDF("status_code", "other")
 
   test("facade dispatches every match_schema method") {
-    val methods = Seq("similarity_flooding", "distribution_based",
-      "distribution_sketch", "name_similarity", "two_phase", "max_val_sim", "coma")
+    // all model-free method names of the reference matrix
+    // (matcher_factory.py:17-19) plus the graft-native ones
+    val methods = Seq("similarity_flooding", "cupid", "distribution_based",
+      "jaccard_distance", "distribution_sketch", "name_similarity",
+      "two_phase", "max_val_sim", "coma")
     methods.foreach { m =>
       val out = Graft.matchSchema(src, tgt, method = m)
       assert(out.columns.contains("source") && out.count() > 0, s"method $m")
+      val strict = Graft.matchSchema(src, tgt, method = m, oneToOne = true)
+      assert(strict.count() > 0, s"method $m one-to-one")
+    }
+    // model-dependent names resolve to a documented error, not a typo error
+    Seq("ct_learning", "gpt").foreach { m =>
+      intercept[UnsupportedOperationException](Graft.matchSchema(src, tgt, m))
     }
     intercept[IllegalArgumentException](Graft.matchSchema(src, tgt, "nope"))
+  }
+
+  test("facade dispatches every match_values method incl. fasttext stand-in") {
+    Seq("tfidf", "edit_distance", "embeddings", "fasttext").foreach { m =>
+      val out = Graft.matchValues(src, "status", tgt, "status_code",
+        method = m, threshold = 0.0)
+      assert(out.columns.toSeq == Seq("source", "target", "similarity"), s"method $m")
+    }
+    intercept[UnsupportedOperationException](
+      Graft.matchValues(src, "status", tgt, "status_code", method = "gpt"))
+    intercept[IllegalArgumentException](
+      Graft.matchValues(src, "status", tgt, "status_code", method = "nope"))
+  }
+
+  test("one_to_one never double-assigns a target; argmax can") {
+    import graft.harmonize.SchemaMatcher
+    // ambiguous matrix: both sources prefer T1
+    val all = Seq(
+      ("s1", "t1", 0.9), ("s1", "t2", 0.8),
+      ("s2", "t1", 0.85), ("s2", "t2", 0.2)).toDF("source", "target", "similarity")
+    val argmax = SchemaMatcher.bestPerSource(all)
+      .as[(String, String, Double)].collect().map(r => r._1 -> r._2).toMap
+    assert(argmax("s1") == "t1" && argmax("s2") == "t1",
+      "argmax-per-source double-assigns t1 on this input")
+    val strict = SchemaMatcher.oneToOne(all)
+      .as[(String, String, Double)].collect().map(r => r._1 -> r._2).toMap
+    assert(strict("s1") == "t1" && strict("s2") == "t2",
+      s"greedy 1:1 must give s2 its second-best, got $strict")
+    assert(strict.values.toSeq.distinct.size == strict.size, "no target reused")
+  }
+
+  test("cupid: linguistic tokens + type compatibility rank the right targets") {
+    import graft.harmonize.Cupid
+    val srcMeta = Seq(("custKey", "bigint"), ("acct_bal", "double"), ("comment", "string"))
+    val tgtMeta = Seq(("cust_key", "bigint"), ("account_balance", "double"),
+      ("remark_text", "string"))
+    val out = Cupid.matchColumns(spark, srcMeta, tgtMeta)
+      .as[(String, String, Double)].collect().map(r => r._1 -> r._2).toMap
+    assert(out("custKey") == "cust_key", s"camel/snake tokens must align, got $out")
+    assert(out("acct_bal") == "account_balance", s"got $out")
+    // identical schemas match themselves with wsim 1.0
+    val self = Cupid.matchColumns(spark, srcMeta, srcMeta)
+      .as[(String, String, Double)].collect()
+    assert(self.forall(r => r._1 == r._2 && r._3 > 0.99), s"got ${self.toSeq}")
+  }
+
+  test("match -> auto plan -> materialize equals the hand-built plan") {
+    import graft.harmonize.{IdentityMapper, Materialize}
+    val patients = Seq(("p1", "alive", 34), ("p2", "dead", 55), ("p3", "alive", 41))
+      .toDF("patient_id", "vital_state", "age_years")
+    val standard = Seq(("x", "Alive", 0), ("y", "Dead", 0))
+      .toDF("patient_ref", "vital_status", "age")
+    // 1. schema match proposes column pairs (names here; any method works)
+    val schema = Graft.matchSchema(patients, standard,
+      method = "name_similarity", oneToOne = true)
+    val spec0 = Graft.mappingSpec(schema)
+    assert(spec0.map(m => m.source -> m.target).toSet ==
+      Set("patient_id" -> "patient_ref", "vital_state" -> "vital_status",
+        "age_years" -> "age"))
+    // 2. value match the categorical pair, auto-build its dictionary
+    val vm = Graft.matchValues(patients, "vital_state", standard, "vital_status",
+      method = "edit_distance", threshold = 0.3)
+    val mapper = Graft.createMapper(vm)
+    assert(mapper.mapping == Map("alive" -> "Alive", "dead" -> "Dead"))
+    // 3. merge: dictionary-mapped column wins over the identity auto plan
+    val plan = Graft.mergeMappings(spec0,
+      Seq(ColumnMapping("vital_state", "vital_status", mapper)))
+    val out = Graft.materializeMapping(patients, plan)
+    // equals the fully hand-built plan
+    val hand = Materialize(patients, Seq(
+      ColumnMapping("vital_state", "vital_status",
+        DictionaryMapper(Map("alive" -> "Alive", "dead" -> "Dead"))),
+      ColumnMapping("patient_id", "patient_ref", IdentityMapper),
+      ColumnMapping("age_years", "age", IdentityMapper)))
+    assert(out.columns.sorted.toSeq == hand.columns.sorted.toSeq)
+    val key = (df: org.apache.spark.sql.DataFrame) =>
+      df.select("patient_ref", "vital_status", "age").as[(String, String, Int)]
+        .collect().toSet
+    assert(key(out) == key(hand))
+  }
+
+  test("multi-pair match_values + coverage") {
+    val source = Seq(("alive", "lung adeno"), ("dead", "zzz nothing alike"))
+      .toDF("vital", "diag")
+    val target = Seq(("Alive", "Lung Adenocarcinoma"), ("Dead", "Breast Carcinoma"))
+      .toDF("vital_status", "diagnosis")
+    val matches = Graft.matchValuesMapping(source, target,
+      Seq("vital" -> "vital_status", "diag" -> "diagnosis"),
+      method = "edit_distance", threshold = 0.5)
+    assert(matches.columns.toSeq ==
+      Seq("source_column", "target_column", "source", "target", "similarity"))
+    val cov = Graft.valueMatchCoverage(matches)
+      .as[(String, String, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(cov("vital" -> "vital_status") == 1.0, s"got $cov")
+    assert(cov("diag" -> "diagnosis") < 1.0, s"unmatched diag value, got $cov")
   }
 
   test("standards: DataFrame-backed vocabulary drives value and schema matching") {
