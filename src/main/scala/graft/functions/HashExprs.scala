@@ -220,18 +220,23 @@ case class SortedIntersectCount(left: Expression, right: Expression)
       ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
       : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
     nullSafeCodeGen(ctx, ev, (x, y) => {
+      // fresh names: two instances of this expression can share one
+      // generated function (e.g. value + filter), fixed locals collide
+      val (nx, ny, i, j, c) = (ctx.freshName("nx"), ctx.freshName("ny"),
+        ctx.freshName("i"), ctx.freshName("j"), ctx.freshName("c"))
+      val (xv, yv) = (ctx.freshName("xv"), ctx.freshName("yv"))
       s"""
-         |int nx = $x.numElements();
-         |int ny = $y.numElements();
-         |int i = 0, j = 0;
-         |long c = 0L;
-         |while (i < nx && j < ny) {
-         |  long xv = $x.getLong(i);
-         |  long yv = $y.getLong(j);
-         |  if (xv == yv) { c++; i++; j++; }
-         |  else if (xv < yv) { i++; } else { j++; }
+         |int $nx = $x.numElements();
+         |int $ny = $y.numElements();
+         |int $i = 0, $j = 0;
+         |long $c = 0L;
+         |while ($i < $nx && $j < $ny) {
+         |  long $xv = $x.getLong($i);
+         |  long $yv = $y.getLong($j);
+         |  if ($xv == $yv) { $c++; $i++; $j++; }
+         |  else if ($xv < $yv) { $i++; } else { $j++; }
          |}
-         |${ev.value} = c;
+         |${ev.value} = $c;
          |""".stripMargin
     })
 
@@ -412,19 +417,24 @@ case class CosineSim(left: Expression, right: Expression)
       ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
       : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
     nullSafeCodeGen(ctx, ev, (x, y) => {
-      val xe = if (lFloat) s"(double) $x.getFloat(i)" else s"$x.getDouble(i)"
-      val ye = if (rFloat) s"(double) $y.getFloat(i)" else s"$y.getDouble(i)"
+      // fresh names: two instances of this expression can share one
+      // generated function (e.g. value + filter), fixed locals collide
+      val (n, i, dot, nx, ny) = (ctx.freshName("n"), ctx.freshName("i"),
+        ctx.freshName("dot"), ctx.freshName("nx"), ctx.freshName("ny"))
+      val (xv, yv) = (ctx.freshName("xv"), ctx.freshName("yv"))
+      val xe = if (lFloat) s"(double) $x.getFloat($i)" else s"$x.getDouble($i)"
+      val ye = if (rFloat) s"(double) $y.getFloat($i)" else s"$y.getDouble($i)"
       s"""
-         |int n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |double dot = 0.0, nx = 0.0, ny = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  double xv = $xe;
-         |  double yv = $ye;
-         |  dot += xv * yv;
-         |  nx += xv * xv;
-         |  ny += yv * yv;
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xv = $xe;
+         |  double $yv = $ye;
+         |  $dot += $xv * $yv;
+         |  $nx += $xv * $xv;
+         |  $ny += $yv * $yv;
          |}
-         |${ev.value} = dot / (java.lang.Math.sqrt(nx) * java.lang.Math.sqrt(ny));
+         |${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
          |""".stripMargin
     })
 

@@ -96,6 +96,13 @@ object ValueMatcher {
       dim: Int = 64, threshold: Double = 0.5, topK: Int = 1): DataFrame = {
     val src = domain(source, sourceCol, "source")
     val tgt = domain(target, targetCol, "target")
+    // dense L2-normalized profile vector per distinct value. Unlike the
+    // gram inverted index of tfidfMatch (selective: many distinct
+    // grams), hashed components have only `dim` distinct keys, so a
+    // component join degenerates to ~|src| x |tgt| x dim intermediate
+    // rows; with the target side a broadcast-small vocabulary, the
+    // right plan is dense vectors + broadcast product + one codegen'd
+    // dot (graft.functions.CosineSim) per candidate pair.
     def profile(dom: DataFrame, valueCol: String): DataFrame = {
       val comp = gramTf(dom, valueCol)
         .select(F.col(valueCol),
@@ -104,16 +111,19 @@ object ValueMatcher {
             F.lit(1.0)).otherwise(F.lit(-1.0))).as("w0"))
         .groupBy(valueCol, "idx").agg(F.sum("w0").as("w"))
         .where(F.col("w") =!= 0.0)
-      val norms = comp.groupBy(valueCol)
-        .agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).as("norm"))
-      comp.join(norms, valueCol)
-        .select(F.col(valueCol), F.col("idx"), (F.col("w") / F.col("norm")).as("w"))
+      val dense = comp.groupBy(valueCol)
+        .agg(F.map_from_entries(F.collect_list(F.struct(F.col("idx"), F.col("w")))).as("m"))
+        .select(F.col(valueCol),
+          F.transform(F.sequence(F.lit(0), F.lit(dim - 1)),
+            i => F.coalesce(F.element_at(F.col("m"), i), F.lit(0.0))).as("vec"))
+      dense
     }
     val sw = profile(src, "source")
     val tw = profile(tgt, "target")
-    val sims = sw.join(tw, "idx")
-      .groupBy("source", "target")
-      .agg(F.round(F.sum(sw("w") * tw("w")), 6).as("similarity"))
+    val sims = sw.crossJoin(F.broadcast(tw.select(F.col("target"), F.col("vec").as("tvec"))))
+      .select(F.col("source"), F.col("target"),
+        F.round(graft.functions.HashExprs.cosineSim(F.col("vec"), F.col("tvec")), 6)
+          .as("similarity"))
       .where(F.col("similarity") >= threshold)
     val win = Window.partitionBy("source")
       .orderBy(F.col("similarity").desc, F.col("target").asc)
