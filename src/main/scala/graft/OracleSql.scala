@@ -422,6 +422,49 @@ object OracleSql {
          |            ELSE 0.0 END AS avg_token_len
          |FROM tk ORDER BY doc_id""".stripMargin,
 
+    "curate_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE CAST((doc_id * 2654435761) % 1000000 AS DOUBLE) / 1000000.0 <
+        |      CASE WHEN lang = 'en' THEN 0.2 ELSE 1.0 END
+        |ORDER BY doc_id""".stripMargin,
+
+    "curate_quality" ->
+      s"""WITH tk AS (SELECT doc_id, text, ${toks("text")} AS tl FROM documents),
+         |ex AS (SELECT doc_id, unnest(tl) AS tok FROM tk),
+         |tf AS (SELECT doc_id, tok, count(*) AS c FROM ex GROUP BY doc_id, tok),
+         |top AS (SELECT doc_id, max(c) AS m FROM tf GROUP BY doc_id),
+         |meas AS (SELECT tk.doc_id,
+         |    len(tk.tl) AS n_tokens,
+         |    CASE WHEN len(tk.tl) > 0 THEN CAST(top.m AS DOUBLE) / CAST(len(tk.tl) AS DOUBLE)
+         |         ELSE 0.0 END AS top_share,
+         |    CASE WHEN length(tk.text) > 0
+         |         THEN CAST(len(regexp_extract_all(tk.text, '[^a-zA-Z0-9 ]')) AS DOUBLE)
+         |              / CAST(length(tk.text) AS DOUBLE)
+         |         ELSE 0.0 END AS punct_ratio,
+         |    len(list_filter(tk.tl, t -> list_contains(${sqlList(TextOps.stopwords.toMap.apply("en"))}, t))) AS n_stop
+         |  FROM tk LEFT JOIN top USING (doc_id)),
+         |verdict AS (SELECT doc_id,
+         |    CASE WHEN n_tokens < 5 THEN 'too_short'
+         |         WHEN n_tokens > 100000 THEN 'too_long'
+         |         WHEN top_share > 0.3 THEN 'repetitive'
+         |         WHEN punct_ratio > 0.3 THEN 'symbol_heavy'
+         |         WHEN n_stop < 1 THEN 'no_stopwords'
+         |         ELSE NULL END AS reason
+         |  FROM meas)
+         |SELECT doc_id, reason IS NULL AS keep, reason
+         |FROM verdict ORDER BY doc_id""".stripMargin,
+
+    "text_lm_score" ->
+      s"""WITH tk AS (SELECT doc_id, ${toks("text")} AS tl FROM documents),
+         |ex AS (SELECT doc_id, unnest(tl) AS tok FROM tk),
+         |cnt AS (SELECT tok, count(*) AS c FROM ex GROUP BY tok),
+         |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n_total, CAST(count(*) AS DOUBLE) AS n_vocab FROM cnt),
+         |pr AS (SELECT tok, ln(CAST(c + 1 AS DOUBLE) / (n_total + n_vocab)) AS logp FROM cnt, tot)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |       round(sum(logp) / count(*), 6) AS avg_logprob
+         |FROM ex JOIN pr USING (tok)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "lang_id" -> {
       val scores = TextOps.stopwords.map { case (lang, words) =>
         s"len(list_filter(dt, t -> list_contains(${sqlList(words)}, t))) AS s_$lang"

@@ -360,6 +360,24 @@ object SparkEntry {
         F.round(TextOps.topTokenShare(F.col("toks")), 6).as("top_token_share"))
       .orderBy("doc_id")
 
+  private def curateSample(t: Tables): DataFrame =
+    text.Curate.stratifiedSample(t.documents, "doc_id", "lang",
+      rates = Map("en" -> 0.2), defaultRate = 1.0)
+      .select(F.col("doc_id"), F.col("lang"))
+      .orderBy("doc_id")
+
+  private def curateQuality(t: Tables): DataFrame = {
+    val v = text.Curate.qualityVerdict(F.col("text"))
+    t.documents.select(F.col("doc_id") +: v.map { case (n, c) => c.as(n) }: _*)
+      .orderBy("doc_id")
+  }
+
+  private def textLmScore(t: Tables): DataFrame =
+    text.Curate.unigramLogProb(t.documents, "doc_id", "text")
+      .select(F.col("id").as("doc_id"), F.col("n_tokens"),
+        F.round(F.col("avg_logprob"), 6).as("avg_logprob"))
+      .orderBy("doc_id")
+
   private def eventsWindowAgg(t: Tables): DataFrame =
     Events.windowAgg(t.events).orderBy("hour_start_us", "event_type")
 
@@ -419,6 +437,9 @@ object SparkEntry {
       "token_count" -> q(tokenCount),
       "doc_fingerprint" -> q(docFingerprint),
       "text_scrub" -> q(textScrub),
+      "curate_sample" -> q(curateSample),
+      "curate_quality" -> q(curateQuality),
+      "text_lm_score" -> q(textLmScore),
       "events_window_agg" -> q(eventsWindowAgg),
       "events_sessionize" -> q(eventsSessionize),
       "multimodal_meta" -> q(multimodalMeta))
