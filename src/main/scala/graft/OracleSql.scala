@@ -363,6 +363,18 @@ object OracleSql {
          |  FROM i JOIN n n1 ON id1 = n1.doc_id JOIN n n2 ON id2 = n2.doc_id)
          |WHERE jaccard >= 0.5 ORDER BY id1, id2""".stripMargin,
 
+    "decontaminate" ->
+      s"""WITH tk AS (SELECT doc_id, ${toks("text")} AS tl FROM documents),
+         |sh AS (SELECT DISTINCT doc_id,
+         |         unnest([array_to_string(tl[i:i+2], ' ')
+         |                 for i in generate_series(1, greatest(len(tl) - 2, 0))]) AS sh
+         |       FROM tk),
+         |ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 20 = 0)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+         |FROM sh JOIN ev USING (sh)
+         |WHERE doc_id % 20 <> 0
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "dedup_components" ->
       s"""WITH RECURSIVE tk AS (SELECT doc_id, ${toks("text")} AS tl FROM documents),
          |sh AS (SELECT DISTINCT doc_id,

@@ -306,6 +306,18 @@ object SparkEntry {
       .select(F.col("doc_id"), F.col("lang"), F.length(F.col("text")).cast("long").as("n_chars"))
       .orderBy("doc_id")
 
+  private def decontaminate(t: Tables): DataFrame = {
+    // synthetic "benchmark" split: every 20th document is the eval set.
+    // k=3 (real pipelines use 8-13) because the synthetic corpus shares
+    // longer n-grams only inside dup clusters — small k exercises the
+    // op across many rows instead of two.
+    val eval = t.documents.where(F.col("doc_id") % 20 === 0)
+    val train = t.documents.where(F.col("doc_id") % 20 =!= 0)
+    dedup.Decontaminate.overlap(train, "doc_id", "text",
+      eval, "doc_id", "text", k = 3)
+      .orderBy("doc_id")
+  }
+
   private def dedupEmbedding(t: Tables): DataFrame =
     Ann.cosinePairs(t.embeddings, "vec_id", "embedding", threshold = 0.4)
       .orderBy("id1", "id2")
@@ -429,6 +441,7 @@ object SparkEntry {
       "dedup_minhash" -> q(dedupMinhash),
       "dedup_simhash" -> q(dedupSimhash),
       "dedup_embedding" -> q(dedupEmbedding),
+      "decontaminate" -> q(decontaminate),
       "ann_topk" -> q(annTopk),
       "ann_lsh" -> q(annLsh),
       "ann_ivf" -> q(annIvf),

@@ -114,6 +114,36 @@ class DedupSpec extends SparkSpec {
       "the documented recall tradeoff: over-cap buckets are skipped")
   }
 
+  test("decontaminate: overlap counts shared distinct shingles, clean drops hits") {
+    import graft.dedup.Decontaminate
+    val eval = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val hits = Decontaminate.overlap(docs, "doc_id", "text",
+      eval, "doc_id", "text", k = 3)
+      .as[(Long, Long)].collect().toMap
+    // docs 1/2 are the eval text verbatim: all 7 3-gram shingles shared
+    assert(hits(1L) == 7L && hits(2L) == 7L)
+    // doc 3 differs by one word: shares the 5 shingles not touching it
+    assert(hits(3L) == 5L)
+    assert(!hits.contains(4L) && !hits.contains(5L), "no overlap, no row")
+    val kept = Decontaminate.clean(docs, "doc_id", "text",
+      eval, "doc_id", "text", k = 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(4L, 5L), "contaminated docs dropped, rest intact")
+  }
+
+  test("decontaminate probes via a broadcast join (eval side is benchmark-sized)") {
+    import graft.dedup.Decontaminate
+    val eval = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val out = Decontaminate.overlap(docs, "doc_id", "text",
+      eval, "doc_id", "text", k = 3)
+    out.collect()
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      "the eval shingle set must broadcast — the corpus side streams")
+  }
+
   test("simhashPairs: identical docs at hamming 0; output within radius") {
     val out = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
       .as[(Long, Long, Int)].collect()
