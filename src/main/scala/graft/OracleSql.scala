@@ -434,6 +434,46 @@ object OracleSql {
          |            ELSE 0.0 END AS avg_token_len
          |FROM tk ORDER BY doc_id""".stripMargin,
 
+    "doc_profile" -> {
+      val stop = sqlList(TextOps.stopwords.toMap.apply("en"))
+      val scores = TextOps.stopwords.map { case (lang, words) =>
+        s"len(list_filter(list_distinct(tl), t -> list_contains(${sqlList(words)}, t))) AS s_$lang"
+      }.mkString(",\n       ")
+      val langs = TextOps.stopwords.map(_._1)
+      val mx = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+      val cases = langs.map(l => s"WHEN s_$l = mx THEN '$l'").mkString(" ")
+      s"""WITH tk AS (SELECT doc_id, text, ${toks("text")} AS tl FROM documents),
+         |ex AS (SELECT doc_id, unnest(tl) AS tok FROM tk),
+         |tf AS (SELECT doc_id, tok, count(*) AS c FROM ex GROUP BY doc_id, tok),
+         |top AS (SELECT doc_id, max(c) AS m FROM tf GROUP BY doc_id),
+         |sc AS (SELECT doc_id,
+         |       $scores
+         |       FROM tk),
+         |m AS (SELECT *, $mx AS mx FROM sc)
+         |SELECT tk.doc_id,
+         |       CAST(length(tk.text) AS BIGINT) AS n_chars,
+         |       CAST(len(tk.tl) AS BIGINT) AS n_tokens,
+         |       CAST(len(regexp_extract_all(tk.text, '[^a-zA-Z0-9 ]')) AS BIGINT) AS n_punct,
+         |       CAST(len(regexp_extract_all(tk.text, '[A-Z]')) AS BIGINT) AS n_upper,
+         |       CAST(len(list_filter(tk.tl, t -> list_contains($stop, t))) AS BIGINT) AS n_stopwords,
+         |       CASE WHEN length(tk.text) > 0
+         |            THEN CAST(len(regexp_extract_all(tk.text, '[^a-zA-Z0-9 ]')) AS DOUBLE) / CAST(length(tk.text) AS DOUBLE)
+         |            ELSE 0.0 END AS punct_ratio,
+         |       CASE WHEN len(tk.tl) > 0
+         |            THEN CAST(len(list_filter(tk.tl, t -> list_contains($stop, t))) AS DOUBLE) / CAST(len(tk.tl) AS DOUBLE)
+         |            ELSE 0.0 END AS stopword_ratio,
+         |       CASE WHEN len(tk.tl) > 0
+         |            THEN CAST(list_sum(list_transform(tk.tl, t -> length(t))) AS DOUBLE) / CAST(len(tk.tl) AS DOUBLE)
+         |            ELSE 0.0 END AS avg_token_len,
+         |       CASE WHEN m.mx = 0 THEN 'und' $cases END AS predicted_lang,
+         |       CAST(len(regexp_extract_all(lower(tk.text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_tokens_bpe,
+         |       round(CASE WHEN len(tk.tl) > 0
+         |             THEN CAST(top.m AS DOUBLE) / CAST(len(tk.tl) AS DOUBLE)
+         |             ELSE 0.0 END, 6) AS top_token_share
+         |FROM tk LEFT JOIN top USING (doc_id) JOIN m USING (doc_id)
+         |ORDER BY tk.doc_id""".stripMargin
+    },
+
     "curate_sample" ->
       """SELECT doc_id, lang FROM documents
         |WHERE CAST((doc_id * 2654435761) % 1000000 AS DOUBLE) / 1000000.0 <

@@ -372,6 +372,17 @@ object SparkEntry {
         F.round(TextOps.topTokenShare(F.col("toks")), 6).as("top_token_share"))
       .orderBy("doc_id")
 
+  private def docProfileQ(t: Tables): DataFrame =
+    // oracle-expressible subset; simhash/n_fp are covered by specs
+    TextOps.docProfile(t.documents, "doc_id", "text",
+      TextOps.stopwords.toMap.apply("en"))
+      .select(F.col("doc_id"), F.col("n_chars"), F.col("n_tokens"),
+        F.col("n_punct"), F.col("n_upper"), F.col("n_stopwords"),
+        F.col("punct_ratio"), F.col("stopword_ratio"), F.col("avg_token_len"),
+        F.col("predicted_lang"), F.col("n_tokens_bpe"),
+        F.round(F.col("top_token_share"), 6).as("top_token_share"))
+      .orderBy("doc_id")
+
   private def curateSample(t: Tables): DataFrame =
     text.Curate.stratifiedSample(t.documents, "doc_id", "lang",
       rates = Map("en" -> 0.2), defaultRate = 1.0)
@@ -450,6 +461,7 @@ object SparkEntry {
       "token_count" -> q(tokenCount),
       "doc_fingerprint" -> q(docFingerprint),
       "text_scrub" -> q(textScrub),
+      "doc_profile" -> q(docProfileQ),
       "curate_sample" -> q(curateSample),
       "curate_quality" -> q(curateQuality),
       "text_lm_score" -> q(textLmScore),

@@ -61,9 +61,16 @@ object TextOps {
   /** Quality stats struct: counts are exact ints; ratios are
     * single-division doubles (cross-engine deterministic).
     */
-  def qualityStats(text: Column, stopLang: Seq[String]): Seq[(String, Column)] = {
+  def qualityStats(text: Column, stopLang: Seq[String]): Seq[(String, Column)] =
+    qualityStatsFrom(text, tokens(text), stopLang)
+
+  /** qualityStats over a pre-tokenized column — pass an ATTRIBUTE
+    * (kept by a prior select) so the tokenize chain runs once per row
+    * instead of once per stat that references it.
+    */
+  def qualityStatsFrom(text: Column, toks: Column,
+                       stopLang: Seq[String]): Seq[(String, Column)] = {
     import graft.functions.HashExprs.{stopwordCount, sumTokenChars}
-    val toks = tokens(text)
     val nChars = F.length(text)
     val nToks = F.size(toks)
     val punct = F.regexp_count(text, F.lit("[^a-zA-Z0-9 ]"))
@@ -105,6 +112,39 @@ object TextOps {
     */
   def topTokenShare(toks: Column): Column =
     F.coalesce(graft.functions.HashExprs.topTokenShare(toks), F.lit(0.0))
+
+  /** Fused single-pass document profile: quality stats, language ID,
+    * BPE-ish token count, repetition share, 64-bit SimHash, and
+    * winnowing-fingerprint count — ONE scan, ONE codegen'd projection.
+    *
+    * At 100 TB this is the difference between reading the corpus once
+    * and reading it six times: every profile column is a per-row
+    * expression over the same (text, tokens) pair, so a pipeline that
+    * needs stats + langid + dedup signatures should call this instead
+    * of stacking the individual ops. The two-step select keeps the
+    * token array an attribute — CollapseProject will not inline a
+    * multiply-referenced non-cheap expression, so tokenization runs
+    * once per row, not once per derived column.
+    */
+  def docProfile(df: DataFrame, idCol: String, textCol: String,
+                 stopLang: Seq[String],
+                 fpK: Int = 4, fpW: Int = 3): DataFrame = {
+    import graft.functions.HashExprs
+    val base = df.select(F.col(idCol), F.col(textCol).as("__text"),
+      tokens(F.col(textCol)).as("__toks"))
+    val text = F.col("__text")
+    val toks = F.col("__toks")
+    val stats = qualityStatsFrom(text, toks, stopLang)
+    val derived = stats.map { case (n, c) => c.as(n) } ++ Seq(
+      HashExprs.langScore(toks, stopwords).as("predicted_lang"),
+      bpeTokenCount(text).cast("long").as("n_tokens_bpe"),
+      topTokenShare(toks).as("top_token_share"),
+      F.when(F.size(toks) > 0, HashExprs.simhash64(toks)).as("simhash"),
+      F.size(HashExprs.winnowMins(
+        HashExprs.shingleHashes(toks, fpK, sortedDistinct = false), fpW))
+        .cast("long").as("n_fp"))
+    base.select(F.col(idCol) +: derived: _*)
+  }
 
   /** Winnowing document fingerprints (Schleimer et al., SIGMOD 2003):
     * hash k-token shingles, slide a window of size w, keep each

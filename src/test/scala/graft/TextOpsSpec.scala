@@ -73,6 +73,41 @@ class TextOpsSpec extends SparkSpec {
     assert(frames.select("frame_no").as[Int].collect().sorted.toSeq == Seq(0, 1, 2))
   }
 
+  test("docProfile fuses the per-doc ops into one scan and matches them") {
+    val docs = Seq(
+      (1L, "The quick brown Fox! jumps over the lazy dog, twice."),
+      (2L, "el gato es un animal y no es feliz"),
+      (3L, "word word word word word"),
+      (4L, "")).toDF("doc_id", "text")
+    val en = TextOps.stopwords.toMap.apply("en")
+    val prof = TextOps.docProfile(docs, "doc_id", "text", en)
+    // one source scan: everything derives from a single projection
+    assert("LocalTableScan".r.findAllIn(
+      prof.queryExecution.executedPlan.toString).length == 1)
+    val p = prof.orderBy("doc_id").collect()
+    // column-by-column parity with the standalone operators
+    val stats = docs.select($"doc_id" +:
+      TextOps.qualityStats($"text", en).map { case (n, c) => c.as(n) }: _*)
+      .orderBy("doc_id").collect()
+    val langs = docs.select(TextOps.langId($"text")).orderBy("doc_id")
+    p.zip(stats.zip(langs.collect())).foreach { case (got, (st, lg)) =>
+      Seq("n_chars", "n_tokens", "n_punct", "n_upper", "n_stopwords",
+        "punct_ratio", "stopword_ratio", "avg_token_len").foreach { c =>
+        assert(got.getAs[Any](c) == st.getAs[Any](c), s"col $c")
+      }
+      assert(got.getAs[String]("predicted_lang") == lg.getString(0))
+    }
+    val byId = p.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(byId(3L).getAs[Double]("top_token_share") == 1.0)
+    assert(byId(4L).getAs[Long]("n_fp") == 0L)
+    assert(byId(4L).isNullAt(byId(4L).fieldIndex("simhash")),
+      "empty doc has no simhash")
+    assert(byId(1L).getAs[Long]("simhash") ==
+      docs.where($"doc_id" === 1L)
+        .select(graft.functions.HashExprs.simhash64(TextOps.tokens($"text")))
+        .head().getLong(0))
+  }
+
   test("multimodal decode stub: columnar and mapPartitions paths agree") {
     val df = BinaryMeta.attachBlob(
       Seq((1L, "hello"), (2L, "a much longer text payload")).toDF("doc_id", "text"), "text")
