@@ -480,6 +480,12 @@ object OracleSql {
         |      CASE WHEN lang = 'en' THEN 0.2 ELSE 1.0 END
         |ORDER BY doc_id""".stripMargin,
 
+    "curate_shards" ->
+      """SELECT CAST(floor(CAST((doc_id * 2654435761) % 1000000 AS DOUBLE)
+        |                  / 1000000.0 * 8) AS BIGINT) AS shard,
+        |       count(*) AS n_docs, min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin,
+
     "curate_quality" ->
       s"""WITH tk AS (SELECT doc_id, text, ${toks("text")} AS tl FROM documents),
          |ex AS (SELECT doc_id, unnest(tl) AS tok FROM tk),

@@ -389,6 +389,15 @@ object SparkEntry {
       .select(F.col("doc_id"), F.col("lang"))
       .orderBy("doc_id")
 
+  private def curateShards(t: Tables): DataFrame =
+    t.documents
+      .select(text.Curate.shardKey(F.col("doc_id"), nShards = 8).as("shard"),
+        F.col("doc_id"))
+      .groupBy("shard")
+      .agg(F.count(F.lit(1)).as("n_docs"),
+        F.min("doc_id").as("min_doc"), F.max("doc_id").as("max_doc"))
+      .orderBy("shard")
+
   private def curateQuality(t: Tables): DataFrame = {
     val v = text.Curate.qualityVerdict(F.col("text"))
     t.documents.select(F.col("doc_id") +: v.map { case (n, c) => c.as(n) }: _*)
@@ -463,6 +472,7 @@ object SparkEntry {
       "text_scrub" -> q(textScrub),
       "doc_profile" -> q(docProfileQ),
       "curate_sample" -> q(curateSample),
+      "curate_shards" -> q(curateShards),
       "curate_quality" -> q(curateQuality),
       "text_lm_score" -> q(textLmScore),
       "events_window_agg" -> q(eventsWindowAgg),

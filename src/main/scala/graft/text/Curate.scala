@@ -75,6 +75,37 @@ object Curate {
     Seq("keep" -> reason.isNull, "reason" -> reason)
   }
 
+  /** Deterministic shard assignment for training-data serving: shard =
+    * floor(sampleKey * nShards) — exact integer arithmetic on the id,
+    * so membership is identical on every engine, run, partitioning,
+    * and cluster size (unlike rand() or spark_partition_id). A pure
+    * per-row expression: no shuffle to COMPUTE the assignment; the
+    * shuffle happens only when the caller materializes shards.
+    */
+  def shardKey(id: Column, nShards: Int, salt: Long = 0L): Column = {
+    require(nShards >= 1, "nShards >= 1")
+    F.floor(sampleKey(id, salt) * nShards)
+  }
+
+  /** Globally shuffled, sharded training-data write: documents land in
+    * `nShards` directories (shard=K/), each shard's rows ordered by a
+    * second independent hash — the standard "shuffle once at write
+    * time so training readers stream sequentially" layout.
+    *
+    * Scale: ONE shuffle (repartition on the shard id), then a
+    * partition-local sort; both keys are per-row integer hashes, so
+    * the exchange is as balanced as the id space. Membership and order
+    * are reproducible bit-for-bit across clusters.
+    */
+  def writeShuffledShards(df: DataFrame, idCol: String, nShards: Int,
+                          path: String, salt: Long = 0L): Unit =
+    df.withColumn("shard", shardKey(F.col(idCol), nShards, salt))
+      .withColumn("__ord", sampleKey(F.col(idCol), salt + 1))
+      .repartition(nShards, F.col("shard"))
+      .sortWithinPartitions("shard", "__ord")
+      .drop("__ord")
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+
   /** Per-document unigram log-probability quality score: fit a unigram
     * LM on the corpus itself (one token-count aggregation — the only
     * shuffle), then score each document by its average per-token

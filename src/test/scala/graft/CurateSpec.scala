@@ -45,6 +45,34 @@ class CurateSpec extends SparkSpec {
     assert(out(5L) == ((false, Some("no_stopwords"))))
   }
 
+  test("shardKey: deterministic across partitionings, balanced, complete") {
+    val ids = (1L to 1000L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    def assign(df: org.apache.spark.sql.DataFrame) =
+      df.select(F.col("doc_id"), Curate.shardKey(F.col("doc_id"), 8).as("shard"))
+        .as[(Long, Long)].collect().toMap
+    val a = assign(ids)
+    val b = assign(ids.repartition(13))
+    assert(a == b, "membership is a pure function of the id")
+    assert(a.values.toSet.subsetOf((0L until 8L).toSet))
+    val sizes = a.values.groupBy(identity).view.mapValues(_.size)
+    assert(sizes.size == 8 && sizes.values.min > 60,
+      s"multiplicative hash balances sequential ids, got $sizes")
+  }
+
+  test("writeShuffledShards: reproducible sharded layout, roundtrip complete") {
+    val ids = (1L to 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("shards").toString
+    Curate.writeShuffledShards(ids, "doc_id", nShards = 4, dir)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 200L, "no rows lost")
+    // on-disk shard dirs match the declared assignment
+    val got = back.select("doc_id", "shard").as[(Long, Long)].collect().toMap
+    val want = ids.select(F.col("doc_id"),
+      Curate.shardKey(F.col("doc_id"), 4).as("s")).as[(Long, Long)].collect().toMap
+    assert(got == want)
+    assert(new java.io.File(dir).listFiles().count(_.getName.startsWith("shard=")) == 4)
+  }
+
   test("unigramLogProb matches the hand-computed add-one model") {
     val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
     val out = Curate.unigramLogProb(docs, "doc_id", "text")
