@@ -79,7 +79,19 @@ object Ann {
               iters: Int = 3, maxTrain: Int = 100000): DataFrame = {
     import graft.functions.HashExprs.topCells
     val c = corpus.select(F.col(cId).as("neighbor_id"), F.col(cVec).as("cv"))
+    val cents = trainCentroids(c, nCells, iters, maxTrain)
 
+    // ONE full-corpus pass: assign each vector to its cell on the fly —
+    // no cache, the assignment feeds the candidate join directly
+    val corpusCells = c.select(F.col("neighbor_id"), F.col("cv"),
+      F.element_at(topCells(F.col("cv"), cents, 1), 1).as("cell"))
+    probeAndRank(corpusCells, queries, qId, qVec, cents, k, nProbe)
+  }
+
+  /** Lloyd-trained coarse-quantizer centroids over (neighbor_id, cv). */
+  private def trainCentroids(c: DataFrame, nCells: Int, iters: Int,
+                             maxTrain: Int): Seq[Seq[Double]] = {
+    import graft.functions.HashExprs.topCells
     // Lloyd training runs on a BOUNDED sample, never the full corpus:
     // at 100 TB, caching the corpus and re-scanning it per iteration is
     // 1 + iters full passes; k-means centroid quality needs only a
@@ -120,11 +132,18 @@ object Ann {
       cents = cents.indices.map(i => means.getOrElse(i, cents(i)))
     }
     trainSet.unpersist()
+    cents
+  }
 
-    // ONE full-corpus pass: assign each vector to its cell on the fly —
-    // no cache, the assignment feeds the candidate join directly
-    val corpusCells = c.select(F.col("neighbor_id"), F.col("cv"),
-      F.element_at(topCells(F.col("cv"), cents, 1), 1).as("cell"))
+  /** Probe join + exact re-rank shared by the inline and persisted IVF
+    * paths: queries (broadcast) meet only the corpus rows of their
+    * nProbe nearest cells.
+    */
+  private def probeAndRank(corpusCells: DataFrame, queries: DataFrame,
+                           qId: String, qVec: String,
+                           cents: Seq[Seq[Double]], k: Int,
+                           nProbe: Int): DataFrame = {
+    import graft.functions.HashExprs.topCells
     val queryCells = queries
       .select(F.col(qId).as("query_id"), F.col(qVec).as("qv"),
         topCells(F.col(qVec), cents, nProbe).as("cells"))
@@ -138,6 +157,56 @@ object Ann {
       .where(F.col("rank") <= k)
       .select(F.col("query_id"), F.col("neighbor_id"), F.col("rank"),
         F.round(F.col("sim"), 6).as("similarity"))
+  }
+
+  /** Build a PERSISTED IVF index: train the coarse quantizer, assign
+    * every corpus vector to its cell in one pass, and write the corpus
+    * cell-partitioned to `path/index` (plus the centroid matrix to
+    * `path/centroids`). Repeated query batches then touch only their
+    * probed cells' files — partition pruning does the candidate
+    * selection at the STORAGE layer, so a 100 TB corpus serves a query
+    * batch by reading nProbe/nCells of its bytes, with no recurring
+    * training or assignment cost.
+    */
+  def ivfBuild(corpus: DataFrame, cId: String, cVec: String, path: String,
+               nCells: Int = 16, iters: Int = 3,
+               maxTrain: Int = 100000): Unit = {
+    import graft.functions.HashExprs.topCells
+    val c = corpus.select(F.col(cId).as("neighbor_id"), F.col(cVec).as("cv"))
+    val cents = trainCentroids(c, nCells, iters, maxTrain)
+    val spark = corpus.sparkSession
+    val centRows = cents.zipWithIndex.map { case (m, i) =>
+      org.apache.spark.sql.Row(i, m)
+    }
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(centRows.asJava, StructType(Seq(
+        StructField("cell", IntegerType, nullable = false),
+        StructField("mean", ArrayType(DoubleType, containsNull = false)))))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    c.select(F.col("neighbor_id"), F.col("cv"),
+        F.element_at(topCells(F.col("cv"), cents, 1), 1).as("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/index")
+  }
+
+  /** Query a persisted IVF index built by [[ivfBuild]]. The probed
+    * cell set (at most |queries| x nProbe distinct ints — query
+    * batches are driver-small by nature) becomes a LITERAL isin
+    * predicate on the index's partition column, so the scan prunes
+    * unprobed cells before reading a byte.
+    */
+  def ivfQueryIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                    queries: DataFrame, qId: String, qVec: String,
+                    k: Int, nProbe: Int = 3): DataFrame = {
+    import graft.functions.HashExprs.topCells
+    val cents: Seq[Seq[Double]] = spark.read.parquet(s"$path/centroids")
+      .orderBy("cell").collect().map(_.getSeq[Double](1).toSeq).toSeq
+    val probed = queries
+      .select(F.explode(topCells(F.col(qVec), cents, nProbe)).as("cell"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val index = spark.read.parquet(s"$path/index")
+      .where(F.col("cell").isin(probed: _*))
+    probeAndRank(index, queries, qId, qVec, cents, k, nProbe)
   }
 
   /** Approximate top-k: candidates share the query's LSH bucket (or a

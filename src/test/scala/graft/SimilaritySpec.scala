@@ -38,6 +38,25 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"recall $recall below 0.9")
   }
 
+  test("persisted IVF index: pruned query equals inline ivfTopK; scan prunes cells") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf").toString
+    Ann.ivfBuild(corpus, "vec_id", "embedding", dir, nCells = 8, iters = 2)
+    val q = corpus.where($"vec_id" < 5)
+    // probing every cell reproduces brute force, proving the persisted
+    // assignment is complete and the rerank is exact
+    val brute = Ann.cosineTopK(q, "vec_id", "embedding", corpus, "vec_id", "embedding", k = 3)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Long)].collect().toSet
+    val full = Ann.ivfQueryIndex(spark, dir, q, "vec_id", "embedding", k = 3, nProbe = 8)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Long)].collect().toSet
+    assert(full == brute)
+    // few probes: the index scan must carry a partition filter on cell
+    val few = Ann.ivfQueryIndex(spark, dir, q, "vec_id", "embedding", k = 3, nProbe = 2)
+    few.collect()
+    val p = few.queryExecution.executedPlan.toString
+    assert("""PartitionFilters: \[[^\]]*cell#\d+L? IN """.r.findFirstIn(p).isDefined,
+      s"probed-cell isin predicate must prune index partitions; plan:\n$p")
+  }
+
   test("lshTopK returns ranked exact-cosine results from probed buckets") {
     val q = corpus.where($"vec_id" < 5)
     val out = Ann.lshTopK(q, "vec_id", "embedding", corpus, "vec_id", "embedding",
