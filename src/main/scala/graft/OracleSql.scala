@@ -363,6 +363,25 @@ object OracleSql {
          |  FROM i JOIN n n1 ON id1 = n1.doc_id JOIN n n2 ON id2 = n2.doc_id)
          |WHERE jaccard >= 0.5 ORDER BY id1, id2""".stripMargin,
 
+    "boilerplate_ngrams" ->
+      s"""WITH tk AS (SELECT doc_id, ${toks("text")} AS tl FROM documents),
+         |sh AS (SELECT DISTINCT doc_id,
+         |         unnest([array_to_string(tl[i:i+1], ' ')
+         |                 for i in generate_series(1, greatest(len(tl) - 1, 0))]) AS shingle
+         |       FROM tk)
+         |SELECT shingle, count(*) AS n_docs FROM sh
+         |GROUP BY shingle HAVING count(*) >= 30
+         |ORDER BY n_docs DESC, shingle ASC LIMIT 20""".stripMargin,
+
+    "dedup_incremental" ->
+      """WITH inc AS (SELECT * FROM documents WHERE doc_id >= 250),
+        |firstseen AS (SELECT min(doc_id) AS doc_id FROM inc GROUP BY text)
+        |SELECT d.doc_id, d.lang FROM inc d
+        |JOIN firstseen USING (doc_id)
+        |WHERE NOT EXISTS (SELECT 1 FROM documents e
+        |                  WHERE e.doc_id < 250 AND e.text = d.text)
+        |ORDER BY d.doc_id""".stripMargin,
+
     "decontaminate" ->
       s"""WITH tk AS (SELECT doc_id, ${toks("text")} AS tl FROM documents),
          |sh AS (SELECT DISTINCT doc_id,

@@ -306,6 +306,21 @@ object SparkEntry {
       .select(F.col("doc_id"), F.col("lang"), F.length(F.col("text")).cast("long").as("n_chars"))
       .orderBy("doc_id")
 
+  private def boilerplateNgrams(t: Tables): DataFrame =
+    Dedup.boilerplateShingles(t.documents, "doc_id", "text", k = 2, minDocs = 30)
+      .orderBy(F.col("n_docs").desc, F.col("shingle").asc)
+      .limit(20)
+
+  private def dedupIncremental(t: Tables): DataFrame = {
+    // incremental ingest: the second half of the corpus arrives as a
+    // new batch against the already-ingested first half
+    val existing = t.documents.where(F.col("doc_id") < 250)
+    val incoming = t.documents.where(F.col("doc_id") >= 250)
+    Dedup.incrementalNew(incoming, existing, "doc_id", "text")
+      .select(F.col("doc_id"), F.col("lang"))
+      .orderBy("doc_id")
+  }
+
   private def decontaminate(t: Tables): DataFrame = {
     // synthetic "benchmark" split: every 20th document is the eval set.
     // k=3 (real pipelines use 8-13) because the synthetic corpus shares
@@ -462,6 +477,8 @@ object SparkEntry {
       "dedup_simhash" -> q(dedupSimhash),
       "dedup_embedding" -> q(dedupEmbedding),
       "decontaminate" -> q(decontaminate),
+      "boilerplate_ngrams" -> q(boilerplateNgrams),
+      "dedup_incremental" -> q(dedupIncremental),
       "ann_topk" -> q(annTopk),
       "ann_lsh" -> q(annLsh),
       "ann_ivf" -> q(annIvf),

@@ -251,6 +251,42 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Boilerplate n-gram report: the k-gram shingles occurring in at
+    * least `minDocs` DISTINCT documents, with their document
+    * frequencies — the corpus-analytics pass behind boilerplate
+    * stripping and the dfCap guard (ubiquitous shingles are both a
+    * quality and a candidate-blowup signal). One explode + one
+    * hash-shuffle groupBy; string shingles are kept (this is a report
+    * for humans/filters, not a join key), but each document
+    * contributes a shingle once, so the exchange carries per-doc
+    * DISTINCT shingles only.
+    */
+  def boilerplateShingles(df: DataFrame, idCol: String, textCol: String,
+                          k: Int, minDocs: Long): DataFrame =
+    df.select(F.col(idCol).as("id"),
+        F.array_distinct(TextOps.shingles(TextOps.tokens(F.col(textCol)), k)).as("shs"))
+      .select(F.col("id"), F.explode(F.col("shs")).as("shingle"))
+      .groupBy("shingle")
+      .agg(F.count(F.lit(1)).as("n_docs"))
+      .where(F.col("n_docs") >= minDocs)
+
+  /** Incremental corpus growth: of an incoming batch, keep only the
+    * documents whose text is (a) first-seen within the batch (min id
+    * wins) and (b) absent from the existing corpus. The existing side
+    * is reduced to DISTINCT 16-byte text hashes before the anti join —
+    * at 100 TB the incoming batch never joins against existing
+    * payloads, only against the deduplicated hash column.
+    */
+  def incrementalNew(incoming: DataFrame, existing: DataFrame,
+                     idCol: String, textCol: String): DataFrame = {
+    val seen = existing
+      .select(F.md5(F.col(textCol).cast("binary")).as("__seen_hash")).distinct()
+    keepFirst(incoming, idCol, textCol)
+      .withColumn("__h", F.md5(F.col(textCol).cast("binary")))
+      .join(seen, F.col("__h") === F.col("__seen_hash"), "left_anti")
+      .drop("__h")
+  }
+
   /** MinHash signature column: numHashes minima over the shingle array
     * in a single native-expression pass (graft.functions.MinHashSig) —
     * no shuffle, no per-permutation interpreted lambda.

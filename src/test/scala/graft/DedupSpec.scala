@@ -114,6 +114,28 @@ class DedupSpec extends SparkSpec {
       "the documented recall tradeoff: over-cap buckets are skipped")
   }
 
+  test("boilerplateShingles: per-doc distinct doc frequencies above floor") {
+    // "a b c" appears (once-per-doc) in docs 1..3; doc 3 repeats it
+    val df = Seq(
+      (1L, "a b c x"), (2L, "a b c y"), (3L, "a b c a b c"),
+      (4L, "q r s t")).toDF("doc_id", "text")
+    val out = Dedup.boilerplateShingles(df, "doc_id", "text", k = 3, minDocs = 3)
+      .as[(String, Long)].collect().toMap
+    assert(out == Map("a b c" -> 3L), s"got $out")
+  }
+
+  test("incrementalNew: batch-internal dups and already-seen texts dropped") {
+    val existing = Seq((1L, "seen text here"), (2L, "other old doc")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "seen text here"),   // already in the corpus
+      (11L, "brand new text"),
+      (12L, "brand new text"),   // batch-internal dup of 11
+      (13L, "another new one")).toDF("doc_id", "text")
+    val kept = Dedup.incrementalNew(incoming, existing, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(11L, 13L))
+  }
+
   test("decontaminate: overlap counts shared distinct shingles, clean drops hits") {
     import graft.dedup.Decontaminate
     val eval = Seq((100L, "the quick brown fox jumps over the lazy dog"))
