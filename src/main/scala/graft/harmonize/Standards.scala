@@ -14,6 +14,36 @@ import org.apache.spark.sql.{functions => F}
   * side and distinct-reduces the data side, so cost tracks |distinct
   * source values|, never corpus rows.
   */
+object Standards {
+
+  /** Load a standard from a GDC-shaped schema JSON — the reference's
+    * resource format (bdikit/standards/gdc.py:20-35): a top-level
+    * object of `{attribute: {column_description, value_data: {value:
+    * description}}}`. Dynamic keys rule out schema inference, so the
+    * file is read wholetext and exploded through an explicit MapType —
+    * vocabulary JSONs are megabytes, not terabytes; the resulting
+    * DataFrame is what scales (broadcast into every match).
+    */
+  def fromSchemaJson(spark: org.apache.spark.sql.SparkSession,
+                     path: String): Standards = {
+    import org.apache.spark.sql.types._
+    val shape = MapType(StringType, StructType(Seq(
+      StructField("column_description", StringType),
+      StructField("value_data", MapType(StringType, StringType)))))
+    val vocab = spark.read.option("wholetext", "true").text(path)
+      .select(F.explode(F.from_json(F.col("value"), shape))
+        .as(Seq("attribute", "meta")))
+      .select(F.col("attribute"),
+        F.col("meta.column_description").as("attr_description"),
+        F.explode_outer(F.col("meta.value_data"))
+          .as(Seq("value", "value_description")))
+    // explode_outer keeps attributes with EMPTY value_data as a
+    // null-value row, so `attributes` still lists them (reference
+    // get_columns does); the domain accessors filter nulls out
+    Standards(vocab)
+  }
+}
+
 final case class Standards(vocab: DataFrame,
                            attrCol: String = "attribute",
                            valueCol: String = "value") {
@@ -22,7 +52,7 @@ final case class Standards(vocab: DataFrame,
 
   /** Permitted values of one standard attribute. */
   def valueDomain(attribute: String): DataFrame =
-    vocab.where(F.col(attrCol) === attribute)
+    vocab.where(F.col(attrCol) === attribute && F.col(valueCol).isNotNull)
       .select(F.col(valueCol).as("value_name")).distinct()
 
   /** All attribute names in the standard. */

@@ -147,6 +147,29 @@ class GraftApiSpec extends SparkSpec {
     assert(sm("status") == "vital_status", s"got $sm")
   }
 
+  test("standards: GDC-shaped schema JSON loads into the vocabulary shape") {
+    import graft.harmonize.Standards
+    val json =
+      """{"vital_status": {"column_description": "Patient state.",
+        |                  "value_data": {"Alive": "still with us", "Dead": ""}},
+        | "aligned_reads": {"column_description": "", "value_data": {}}}""".stripMargin
+    val f = java.nio.file.Files.createTempFile("gdc", ".json")
+    java.nio.file.Files.writeString(f, json)
+    val std = Standards.fromSchemaJson(spark, f.toString)
+    // empty-domain attributes stay visible (reference get_columns does)
+    assert(std.attributes.as[String].collect().toSet ==
+      Set("vital_status", "aligned_reads"))
+    assert(std.valueDomain("vital_status").as[String].collect().toSet ==
+      Set("Alive", "Dead"))
+    assert(std.valueDomain("aligned_reads").isEmpty)
+    assert(std.vocab.where($"attribute" === "vital_status")
+      .select("attr_description").distinct().as[String].head() == "Patient state.")
+    val data = Seq(("Alive", 1), ("Dead", 2)).toDF("status", "n")
+    val sm = std.matchSchema(data, Seq("status"))
+      .as[(String, String, Double)].collect()
+    assert(sm.head._2 == "vital_status")
+  }
+
   test("facade value matching, preview, and materialization round-trip") {
     val vm = Graft.matchValues(src, "status", tgt, "status_code", method = "edit_distance",
       threshold = 0.5)
