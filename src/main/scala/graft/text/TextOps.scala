@@ -130,20 +130,45 @@ object TextOps {
                  stopLang: Seq[String],
                  fpK: Int = 4, fpW: Int = 3): DataFrame = {
     import graft.functions.HashExprs
+    import graft.functions.HashExprs.{stopwordCount, sumTokenChars}
     val base = df.select(F.col(idCol), F.col(textCol).as("__text"),
       tokens(F.col(textCol)).as("__toks"))
+    // stage the expensive per-row kernels (regexp scans, stopword and
+    // char counters) as attributes: each ratio below re-references its
+    // numerator, and without this projection boundary the optimizer
+    // inlines the kernel into every reference — the counts would run
+    // twice per row (exactly qualityStats' cost shape; here we pay
+    // each kernel once)
+    val mid = base.select(F.col(idCol), F.col("__text"), F.col("__toks"),
+      F.length(F.col("__text")).as("__nc"),
+      F.size(F.col("__toks")).as("__nt"),
+      F.regexp_count(F.col("__text"), F.lit("[^a-zA-Z0-9 ]")).as("__np"),
+      F.regexp_count(F.col("__text"), F.lit("[A-Z]")).as("__nu"),
+      stopwordCount(F.col("__toks"), stopLang).as("__ns"),
+      sumTokenChars(F.col("__toks")).as("__sc"))
     val text = F.col("__text")
     val toks = F.col("__toks")
-    val stats = qualityStatsFrom(text, toks, stopLang)
-    val derived = stats.map { case (n, c) => c.as(n) } ++ Seq(
+    val (nc, nt, np, nu, ns, sc) = (F.col("__nc"), F.col("__nt"),
+      F.col("__np"), F.col("__nu"), F.col("__ns"), F.col("__sc"))
+    mid.select(F.col(idCol),
+      nc.cast("long").as("n_chars"),
+      nt.cast("long").as("n_tokens"),
+      np.cast("long").as("n_punct"),
+      nu.cast("long").as("n_upper"),
+      ns.as("n_stopwords"),
+      F.when(nc > 0, np.cast("double") / nc.cast("double"))
+        .otherwise(F.lit(0.0)).as("punct_ratio"),
+      F.when(nt > 0, ns.cast("double") / nt.cast("double"))
+        .otherwise(F.lit(0.0)).as("stopword_ratio"),
+      F.when(nt > 0, sc.cast("double") / nt.cast("double"))
+        .otherwise(F.lit(0.0)).as("avg_token_len"),
       HashExprs.langScore(toks, stopwords).as("predicted_lang"),
       bpeTokenCount(text).cast("long").as("n_tokens_bpe"),
       topTokenShare(toks).as("top_token_share"),
-      F.when(F.size(toks) > 0, HashExprs.simhash64(toks)).as("simhash"),
+      F.when(nt > 0, HashExprs.simhash64(toks)).as("simhash"),
       F.size(HashExprs.winnowMins(
         HashExprs.shingleHashes(toks, fpK, sortedDistinct = false), fpW))
         .cast("long").as("n_fp"))
-    base.select(F.col(idCol) +: derived: _*)
   }
 
   /** Winnowing document fingerprints (Schleimer et al., SIGMOD 2003):
