@@ -355,11 +355,15 @@ object SparkEntry {
       t.embeddings, "vec_id", "embedding", k = 5, nCells = 16, nProbe = 4)
       .orderBy("query_id", "rank")
 
-  private def textStats(t: Tables): DataFrame = {
-    val stats = TextOps.qualityStats(F.col("text"), TextOps.stopwords.toMap.apply("en"))
-    t.documents.select(F.col("doc_id") +: stats.map { case (n, c) => c.as(n) }: _*)
+  private def textStats(t: Tables): DataFrame =
+    // via the staged profile: each counting kernel runs once per row
+    // (the raw qualityStats expression list re-evaluates shared counts
+    // inside every ratio that references them)
+    TextOps.docProfile(t.documents, "doc_id", "text",
+      TextOps.stopwords.toMap.apply("en"))
+      .select("doc_id", "n_chars", "n_tokens", "n_punct", "n_upper",
+        "n_stopwords", "punct_ratio", "stopword_ratio", "avg_token_len")
       .orderBy("doc_id")
-  }
 
   private def langId(t: Tables): DataFrame =
     t.documents.select(F.col("doc_id"), TextOps.langId(F.col("text")).as("predicted_lang"))
@@ -414,8 +418,15 @@ object SparkEntry {
       .orderBy("shard")
 
   private def curateQuality(t: Tables): DataFrame = {
-    val v = text.Curate.qualityVerdict(F.col("text"))
-    t.documents.select(F.col("doc_id") +: v.map { case (n, c) => c.as(n) }: _*)
+    // verdict over staged profile attributes, with `reason` itself
+    // staged so `keep` does not re-evaluate the when-chain
+    val prof = TextOps.docProfile(t.documents, "doc_id", "text",
+      TextOps.stopwords.toMap.apply("en"))
+    val reason = text.Curate.qualityVerdictFrom(
+      F.col("n_tokens"), F.col("top_token_share"),
+      F.col("punct_ratio"), F.col("n_stopwords")).toMap.apply("reason")
+    prof.select(F.col("doc_id"), reason.as("reason"))
+      .select(F.col("doc_id"), F.col("reason").isNull.as("keep"), F.col("reason"))
       .orderBy("doc_id")
   }
 

@@ -66,6 +66,24 @@ object Curate {
     val topShare = TextOps.topTokenShare(toks)
     val stops = graft.functions.HashExprs.stopwordCount(
       toks, TextOps.stopwords.toMap.apply("en"))
+    qualityVerdictFrom(nToks, topShare, punctRatio, stops,
+      minTokens, maxTokens, maxTopTokenShare, maxPunctRatio, minStopwords)
+  }
+
+  /** qualityVerdict from already-computed measures — pass ATTRIBUTES
+    * of a [[TextOps.docProfile]] output (n_tokens, top_token_share,
+    * punct_ratio, n_stopwords) and each kernel runs once per row;
+    * `keep` and `reason` referencing the same measures is then free.
+    * The inline [[qualityVerdict]] re-evaluates its when-chain for
+    * both output columns (expressions, not attributes) — fine for a
+    * one-off, wasteful inside a profile pipeline.
+    */
+  def qualityVerdictFrom(nToks: Column, topShare: Column,
+                         punctRatio: Column, stops: Column,
+                         minTokens: Int = 5, maxTokens: Int = 100000,
+                         maxTopTokenShare: Double = 0.3,
+                         maxPunctRatio: Double = 0.3,
+                         minStopwords: Int = 1): Seq[(String, Column)] = {
     val reason = F.when(nToks < minTokens, "too_short")
       .when(nToks > maxTokens, "too_long")
       .when(topShare > maxTopTokenShare, "repetitive")
