@@ -150,6 +150,26 @@ object Events {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(hashCols)
 
+  /** Streaming incremental ingest — the streaming twin of
+    * Dedup.incrementalNew: emit only documents first-seen in-stream
+    * (within the watermark horizon) AND absent from the existing
+    * corpus. The static corpus is reduced to DISTINCT 16-byte hashes
+    * and broadcast per micro-batch; in-stream dedup state is
+    * watermark-bounded. The stream itself never shuffles.
+    */
+  def streamingIncrementalNew(stream: DataFrame, existing: DataFrame,
+                              textCol: String,
+                              watermark: String = "2 hours"): DataFrame = {
+    val seen = existing
+      .select(F.md5(F.col(textCol).cast("binary")).as("__seen_hash")).distinct()
+    stream
+      .withColumn("__h", F.md5(F.col(textCol).cast("binary")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(Seq("__h"))
+      .join(F.broadcast(seen), F.col("__h") === F.col("__seen_hash"), "left_anti")
+      .drop("__h")
+  }
+
   /** Stream-static enrichment: attach dimension attributes to an event
     * stream by key. The static side is planned per micro-batch (and
     * broadcast when small — same rules as batch joins), so the stream

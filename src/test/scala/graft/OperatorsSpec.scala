@@ -137,6 +137,27 @@ class OperatorsSpec extends SparkSpec {
     assert(kept == Seq("h1", "h2"), s"got $kept")
   }
 
+  test("streaming incremental ingest: in-stream dups and corpus-seen texts dropped") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val existing = Seq((1L, "seen text here")).toDF("doc_id", "text")
+    val stream = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val out = Events.streamingIncrementalNew(
+      stream.toDF().toDF("doc_id", "ts", "text"), existing, "text",
+      watermark = "1 hour")
+    val q = out.writeStream.format("memory")
+      .queryName("stream_incr").outputMode("append").start()
+    try {
+      stream.addData(
+        (10L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "seen text here"),
+        (11L, java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), "brand new text"),
+        (12L, java.sql.Timestamp.valueOf("2024-01-01 00:02:00"), "brand new text"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.table("stream_incr").select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(11L), s"got $kept")
+  }
+
   test("streaming window agg equals batch window agg (MemoryStream)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq = spark.sqlContext
