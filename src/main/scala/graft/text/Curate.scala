@@ -101,7 +101,9 @@ object Curate {
     * shuffle happens only when the caller materializes shards.
     */
   def shardKey(id: Column, nShards: Int, salt: Long = 0L): Column = {
-    require(nShards >= 1, "nShards >= 1")
+    // sampleKey has 1e-6 granularity; beyond ~1e5 shards assignments
+    // would quantize visibly, so refuse rather than degrade silently
+    require(nShards >= 1 && nShards <= 100000, "nShards in [1, 100000]")
     F.floor(sampleKey(id, salt) * nShards)
   }
 

@@ -37,6 +37,34 @@ class RobustnessSpec extends SparkSpec {
       numHashes = 32, bands = 8, threshold = 0.5).count() == 0)
   }
 
+  test("new pipeline ops: degenerate inputs flow through cleanly") {
+    import graft.dedup.Decontaminate
+    import graft.text.Curate
+    val docs = Seq(
+      (1L, "normal document with several words here"),
+      (2L, ""),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val emptyEval = docs.where(F.lit(false))
+    // empty eval corpus: nothing is contaminated, everything survives
+    assert(Decontaminate.overlap(docs, "doc_id", "text",
+      emptyEval, "doc_id", "text", k = 3).count() == 0)
+    assert(Decontaminate.clean(docs, "doc_id", "text",
+      emptyEval, "doc_id", "text", k = 3).count() == 3)
+    // empty existing corpus: incremental keeps all first-seen rows
+    // (null text hash-groups like any other value)
+    assert(Dedup.incrementalNew(docs, docs.where(F.lit(false)),
+      "doc_id", "text").count() == 3)
+    // single shard: everything lands in shard 0
+    val oneShard = docs.select(Curate.shardKey(F.col("doc_id"), 1).as("s"))
+      .as[Long].collect().toSet
+    assert(oneShard == Set(0L))
+    // profile over degenerate docs: one row each, no errors
+    assert(TextOps.docProfile(docs, "doc_id", "text", Seq("the")).count() == 3)
+    // boilerplate report on a corpus with no repeated ngrams
+    assert(Dedup.boilerplateShingles(docs, "doc_id", "text",
+      k = 3, minDocs = 2).count() == 0)
+  }
+
   test("property: winnowMins equals brute force on random arrays (seeded)") {
     val rnd = new Random(7)
     val cases = (0 until 30).map { _ =>
