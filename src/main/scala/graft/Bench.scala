@@ -39,7 +39,13 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // cache hygiene between queries: pipelines that legitimately
+      // persist intermediates (pair tables, vocabularies) must not
+      // accumulate across the run — leftover cached frames shift later
+      // queries' numbers via storage/GC pressure, not plan quality
+      spark.catalog.clearCache()
+      name -> dt
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -29,11 +29,16 @@ object Graft {
     */
   def matchSchema(source: DataFrame, target: DataFrame,
                   method: String = "similarity_flooding",
-                  oneToOne: Boolean = false): DataFrame = {
+                  oneToOne: Boolean = false): DataFrame =
+    SchemaMatcher.assign(allPairsFor(source, target, method), oneToOne)
+
+  /** The all-pairs score matrix behind one match_schema method. */
+  private def allPairsFor(source: DataFrame, target: DataFrame,
+                          method: String): DataFrame = {
     val sCols = source.columns.toSeq
     val tCols = target.columns.toSeq
     def meta(df: DataFrame) = df.schema.fields.toSeq.map(f => (f.name, f.dataType.simpleString))
-    val all = method match {
+    method match {
       case "similarity_flooding" =>
         SimilarityFlooding.allPairs(source.sparkSession, meta(source), meta(target))
       case "cupid" =>
@@ -58,13 +63,17 @@ object Graft {
           "cupid, coma/composite, distribution_based, jaccard_distance, " +
           "distribution_sketch, name_similarity, two_phase, max_val_sim)")
     }
-    SchemaMatcher.assign(all, oneToOne)
   }
 
-  /** top_matches (api.py:99): top-k target columns per source column. */
-  def topMatches(source: DataFrame, target: DataFrame, topK: Int = 10): DataFrame =
-    SchemaMatcher.valueOverlapTopK(source, source.columns.toSeq,
-      target, target.columns.toSeq, topK)
+  /** top_matches (api.py:99): top-k target columns per source column,
+    * with the same method dispatch as [[matchSchema]] (the reference
+    * routes top_matches through a matcher family too —
+    * schema_matching/topk/matcher_factory.py; here every matcher that
+    * exposes an all-pairs score matrix is offered as a topk method).
+    */
+  def topMatches(source: DataFrame, target: DataFrame, topK: Int = 10,
+                 method: String = "distribution_based"): DataFrame =
+    SchemaMatcher.topKPerSource(allPairsFor(source, target, method), topK)
 
   /** match_values (api.py:333): per mapped column pair, match distinct
     * source values to target values.
@@ -165,4 +174,82 @@ object Graft {
   /** materialize_mapping (api.py:698): build the harmonized table. */
   def materializeMapping(table: DataFrame, spec: Seq[ColumnMapping]): DataFrame =
     Materialize(table, spec)
+
+  // ------------------------------------------------------------------
+  // Name-dispatched standards: the reference's main entry points accept
+  // a standard NAME for the target (api.py:43-56 `target: Union[str,
+  // pd.DataFrame] = "gdc"`, resolved via api.py:88
+  // _load_table_for_standard / standards/standard_factory.py). The
+  // registry plays standard_factory's role; the bundled GDC resource
+  // JSON is reference data and is not shipped (SURVEY par.6), so names
+  // are registered explicitly — typically from a GDC-shaped schema
+  // JSON via [[Standards.fromSchemaJson]].
+  // ------------------------------------------------------------------
+
+  private val standardRegistry =
+    scala.collection.concurrent.TrieMap.empty[String, Standards]
+
+  /** Register a vocabulary under a standard name (standard_factory's
+    * role); subsequent string-target calls resolve it.
+    */
+  def registerStandard(name: String, std: Standards): Unit =
+    standardRegistry.put(name, std)
+
+  /** Load a GDC-shaped schema JSON and register it in one step. */
+  def registerStandard(name: String,
+                       spark: org.apache.spark.sql.SparkSession,
+                       schemaJsonPath: String): Standards = {
+    val std = Standards.fromSchemaJson(spark, schemaJsonPath)
+    registerStandard(name, std)
+    std
+  }
+
+  /** Resolve a registered standard name (api.py:88). */
+  def standard(name: String): Standards =
+    standardRegistry.getOrElse(name, throw new IllegalArgumentException(
+      s"unknown standard: '$name' — register it first with " +
+        "Graft.registerStandard(name, Standards.fromSchemaJson(spark, path)) " +
+        "(the reference's bundled vocabularies are reference data and not shipped)"))
+
+  /** match_schema against a NAMED standard (api.py:43 with target="gdc"):
+    * best-matching standard attribute per source column by value
+    * overlap of the column against each attribute's domain.
+    */
+  def matchSchema(source: DataFrame, target: String): DataFrame =
+    standard(target).matchSchema(source, source.columns.toSeq)
+
+  /** match_values against a NAMED standard's attribute (api.py:333 with
+    * target="gdc"): source values match the attribute's permitted-value
+    * domain.
+    */
+  def matchValues(source: DataFrame, sourceColumn: String,
+                  target: String, attribute: String,
+                  method: String, threshold: Double): DataFrame =
+    standard(target).matchValues(source, sourceColumn, attribute, method, threshold)
+
+  def matchValues(source: DataFrame, sourceColumn: String,
+                  target: String, attribute: String): DataFrame =
+    matchValues(source, sourceColumn, target, attribute, "tfidf", 0.3)
+
+  /** view_value_matches (api.py:291-330): the value-match results
+    * arranged for display — grouped by mapped column pair, each group's
+    * rows sorted by similarity descending (the reference sorts each
+    * group the same way before display). Accepts the tall
+    * [[matchValuesMapping]] frame or a single [[matchValues]] result
+    * (which lacks the column discriminators); returns a DataFrame
+    * rather than rendering, the engine-side equivalent of the
+    * reference's notebook display call.
+    */
+  def viewValueMatches(matches: DataFrame): DataFrame = {
+    import org.apache.spark.sql.{functions => F}
+    val hasPairCols = matches.columns.contains("source_column") &&
+      matches.columns.contains("target_column")
+    val tall =
+      if (hasPairCols) matches
+      else matches.select(F.lit("source").as("source_column"),
+        F.lit("target").as("target_column"),
+        F.col("source"), F.col("target"), F.col("similarity"))
+    tall.orderBy(F.col("source_column").asc, F.col("target_column").asc,
+      F.col("similarity").desc_nulls_last, F.col("source").asc)
+  }
 }

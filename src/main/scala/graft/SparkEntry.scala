@@ -283,13 +283,24 @@ object SparkEntry {
   private def dedupExact(t: Tables): DataFrame =
     Dedup.exact(t.documents, "doc_id", "text").orderBy("doc_id")
 
+  // production 100 TB guards, ON in the wired queries: shingles in more
+  // than dfCap documents are boilerplate (each would emit O(df^2)
+  // candidate pairs); LSH buckets above bucketCap are degenerate
+  // collisions. Both caps only drop pathological candidate mass — at
+  // these thresholds the true near-dup pairs ride on rare shingles, so
+  // parity with the exact oracle is unchanged (asserted per-round).
+  private val JaccardDfCap = Some(200L)
+  private val MinhashBucketCap = Some(1000L)
+
   private def dedupJaccard(t: Tables): DataFrame =
-    Dedup.jaccardPairs(t.documents, "doc_id", "text", k = 3, threshold = 0.5)
+    Dedup.jaccardPairs(t.documents, "doc_id", "text", k = 3, threshold = 0.5,
+      dfCap = JaccardDfCap)
       .orderBy("id1", "id2")
 
   private def dedupMinhash(t: Tables): DataFrame =
     Dedup.minhashLsh(t.documents, "doc_id", "text", k = 3,
-      numHashes = 128, bands = 32, threshold = 0.5)
+      numHashes = 128, bands = 32, threshold = 0.5,
+      bucketCap = MinhashBucketCap)
       .orderBy("id1", "id2")
 
   private def dedupSimhash(t: Tables): DataFrame =
@@ -297,8 +308,12 @@ object SparkEntry {
       .orderBy("id1", "id2")
 
   private def dedupComponents(t: Tables): DataFrame =
+    // releaseInput: components is the pair table's terminal consumer
+    // here, so it drops the materialized pair cache on completion
     Dedup.components(
-      Dedup.jaccardPairs(t.documents, "doc_id", "text", k = 3, threshold = 0.5))
+      Dedup.jaccardPairs(t.documents, "doc_id", "text", k = 3, threshold = 0.5,
+        dfCap = JaccardDfCap),
+      releaseInput = true)
       .orderBy("id")
 
   private def dedupMaterialize(t: Tables): DataFrame =
@@ -335,6 +350,12 @@ object SparkEntry {
 
   private def dedupEmbedding(t: Tables): DataFrame =
     Ann.cosinePairs(t.embeddings, "vec_id", "embedding", threshold = 0.4)
+      .orderBy("id1", "id2")
+
+  private def dedupEmbeddingLsh(t: Tables): DataFrame =
+    // the scale path: banded hyperplane signatures + exact verify — no
+    // all-pairs join anywhere in the plan (asserted in PlanSpec)
+    Ann.cosinePairsLsh(t.embeddings, "vec_id", "embedding", threshold = 0.4)
       .orderBy("id1", "id2")
 
   private def annTopk(t: Tables): DataFrame =
@@ -487,6 +508,7 @@ object SparkEntry {
       "dedup_minhash" -> q(dedupMinhash),
       "dedup_simhash" -> q(dedupSimhash),
       "dedup_embedding" -> q(dedupEmbedding),
+      "dedup_embedding_lsh" -> q(dedupEmbeddingLsh),
       "decontaminate" -> q(decontaminate),
       "boilerplate_ngrams" -> q(boilerplateNgrams),
       "dedup_incremental" -> q(dedupIncremental),

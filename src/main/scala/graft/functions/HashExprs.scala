@@ -174,10 +174,11 @@ case class TopCells(child: Expression, centroids: Array[Array[Double]], n: Int)
         dot += x * cent(i)
         i += 1
       }
-      // zero-norm centroids score 0.0 (not -Inf): keeps every score
-      // finite so the selection below always finds an index, even in
-      // the degenerate all-zero-centroid case
-      scores(c) = if (norms(c) > 0) dot / norms(c) else 0.0
+      // zero-norm (dead) centroids score -Inf so a vector whose cosine
+      // to every LIVE centroid is negative is still routed to a live
+      // one; the (best < 0) guard in the selection below covers the
+      // degenerate all-dead case without needing finite scores here
+      scores(c) = if (norms(c) > 0) dot / norms(c) else Double.NegativeInfinity
       c += 1
     }
     // top-n by (score desc, index asc) — n is tiny, selection scan

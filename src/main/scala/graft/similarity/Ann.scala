@@ -43,14 +43,74 @@ object Ann {
         F.round(F.col("sim"), 6).as("similarity"))
   }
 
-  /** All pairs (id1 < id2) with cosine >= threshold — exact pair join
-    * (used as the dedup-by-embedding correctness baseline).
+  /** All pairs (id1 < id2) with cosine >= threshold — exact pair join.
+    * This is the CORRECTNESS BASELINE only: the inequality join is a
+    * nested-loop product, O(n^2) compute AND O(n^2) plan shape. At
+    * corpus scale use [[cosinePairsLsh]], which generates candidates
+    * through a banded-signature equi-join and verifies them exactly.
     */
   def cosinePairs(df: DataFrame, idCol: String, vecCol: String,
                   threshold: Double): DataFrame = {
     val a = df.select(F.col(idCol).as("id1"), F.col(vecCol).as("v1"))
     val b = df.select(F.col(idCol).as("id2"), F.col(vecCol).as("v2"))
     a.join(b, F.col("id1") < F.col("id2"))
+      .withColumn("sim", cosine(F.col("v1"), F.col("v2")))
+      .where(F.col("sim") >= threshold)
+      .select(F.col("id1"), F.col("id2"), F.round(F.col("sim"), 6).as("similarity"))
+  }
+
+  /** All pairs with cosine >= threshold via hyperplane-LSH banding —
+    * the scale path for embedding near-dup. The nPlanes-bit signature
+    * is split into `bands` bands of nPlanes/bands bits; candidate
+    * pairs share a band key exactly (or within hamming 1 when
+    * `probeFlips`, via single-bit-flip probes on one join side), and
+    * every candidate is verified with the exact cosine, so precision
+    * is 1.0 by construction and only recall is probabilistic:
+    * P(detect) = 1 - (1 - p_band)^bands with p_band = p^b + b*p^(b-1)*(1-p)
+    * under flips, p = 1 - theta/pi per plane. The banded frames carry
+    * (id, band, key) only — vectors rejoin for verification — so the
+    * shuffled band table is O(n * bands) longs, never O(n^2).
+    *
+    * Cost model (honest): candidates ~ bands * probes * n^2 / 2^b, so
+    * the bucketing wins when 2^b >> bands * probes — the high-threshold
+    * regime (cosine >= ~0.8, p >= ~0.8) that embedding near-dup targets
+    * in production. As the threshold drops toward 0.4 the per-plane
+    * agreement approaches a coin flip and ANY sublinear scheme loses
+    * selectivity (LSH theory: candidate exponent 1+ln(1/p1)/ln(1/p2));
+    * the defaults here (15 bands x 4 bits + flips, within the 63-bit
+    * signature kernel) are tuned for near-complete recall at the
+    * verification spec's thresholds.
+    */
+  def cosinePairsLsh(df: DataFrame, idCol: String, vecCol: String,
+                     threshold: Double, nPlanes: Int = 60, bands: Int = 15,
+                     probeFlips: Boolean = true): DataFrame = {
+    require(nPlanes >= 1 && nPlanes <= 63, "nPlanes in [1, 63]")
+    require(bands >= 1 && nPlanes % bands == 0, "bands must divide nPlanes")
+    val bits = nPlanes / bands
+    val maskL = if (bits >= 64) -1L else (1L << bits) - 1
+    val sigs = df.select(F.col(idCol).as("id"),
+      lshSignature(F.col(vecCol), 0, nPlanes).as("sig"))
+    // lambda-free band explosion (codegen-friendly); arithmetic shift +
+    // mask equals logical extraction because the mask keeps only bits
+    // that came from inside the 64-bit signature
+    val banded = sigs
+      .select(F.col("id"), F.col("sig"),
+        F.explode(F.lit((0 until bands).toArray)).as("band"))
+      .select(F.col("id"), F.col("band"),
+        F.expr(s"shiftright(sig, band * $bits) & ${maskL}L").as("key"))
+    val probe =
+      if (!probeFlips) banded
+      else banded.select(F.col("id"), F.col("band"),
+        F.explode(F.array(F.col("key") +: (0 until bits).map(j =>
+          F.col("key").bitwiseXOR(F.lit(1L << j))): _*)).as("key"))
+    val cands = banded.as("a").join(probe.as("b"), Seq("band", "key"))
+      .where(F.col("a.id") =!= F.col("b.id"))
+      .select(F.least(F.col("a.id"), F.col("b.id")).as("id1"),
+        F.greatest(F.col("a.id"), F.col("b.id")).as("id2"))
+      .distinct()
+    val v1 = df.select(F.col(idCol).as("id1"), F.col(vecCol).as("v1"))
+    val v2 = df.select(F.col(idCol).as("id2"), F.col(vecCol).as("v2"))
+    cands.join(v1, "id1").join(v2, "id2")
       .withColumn("sim", cosine(F.col("v1"), F.col("v2")))
       .where(F.col("sim") >= threshold)
       .select(F.col("id1"), F.col("id2"), F.round(F.col("sim"), 6).as("similarity"))
@@ -96,22 +156,18 @@ object Ann {
     // at 100 TB, caching the corpus and re-scanning it per iteration is
     // 1 + iters full passes; k-means centroid quality needs only a
     // representative sample (standard practice — e.g. faiss trains IVF
-    // quantizers on a capped sample). Sampling is deterministic via an
-    // id-hash filter (pushdown-friendly, no driver state), hard-bounded
-    // by maxTrain, and the small sample is what gets cached.
-    val sampled = c.where(F.pmod(F.xxhash64(F.col("neighbor_id")), F.lit(16)) === 0)
-      .limit(maxTrain)
-    val train = sampled.persist()
-    val trainN = train.count()
-    val trainSet =
-      if (trainN >= nCells * 2L) train
-      else { // tiny corpora: the sample can undershoot nCells — train on
-             // up to maxTrain unsampled rows instead
-        train.unpersist()
-        val t = c.limit(maxTrain).persist()
-        t.count()
-        t
-      }
+    // quantizers on a capped sample). The sample is the maxTrain rows
+    // with the LOWEST id-hash — a uniform pseudo-random subset whose
+    // membership is a pure function of the ids (TakeOrdered with a
+    // total order; a bare .limit would take a partition-order-dependent
+    // subset, making centroids — and every downstream cell assignment —
+    // vary across partitionings/cluster layouts). One corpus pass;
+    // corpora smaller than maxTrain train on all rows, so no tiny-corpus
+    // fallback branch is needed.
+    val trainSet = c
+      .orderBy(F.xxhash64(F.col("neighbor_id")), F.col("neighbor_id"))
+      .limit(maxTrain).persist()
+    trainSet.count()
 
     // deterministic init: the nCells lowest-id training vectors
     var cents: Seq[Seq[Double]] = trainSet.orderBy("neighbor_id").limit(nCells)

@@ -122,7 +122,12 @@ object Curate {
     df.withColumn("shard", shardKey(F.col(idCol), nShards, salt))
       .withColumn("__ord", sampleKey(F.col(idCol), salt + 1))
       .repartition(nShards, F.col("shard"))
-      .sortWithinPartitions("shard", "__ord")
+      // the id is the final tiebreaker: sampleKey has only 1e6 distinct
+      // values, so any shard beyond ~10^3 docs gets key ties (birthday
+      // bound) and intra-tie order would otherwise depend on input
+      // partition layout — with the id the sort key is total and the
+      // written order is reproducible at real corpus sizes
+      .sortWithinPartitions(F.col("shard"), F.col("__ord"), F.col(idCol))
       .drop("__ord")
       .write.mode("overwrite").partitionBy("shard").parquet(path)
 
@@ -134,22 +139,44 @@ object Curate {
     * classic cheap perplexity proxy when no external LM is available.
     *
     * Two corpus passes, both linear: tokens are exploded once for
-    * counting and once for scoring; the score join is on the token
-    * (high-cardinality, evenly distributed — no skew pathology).
-    * Output: (id, n_tokens, avg_logprob).
+    * counting (map-side partial aggregation absorbs the skew there)
+    * and once for scoring. The scoring join is Zipf-SKEWED by nature —
+    * natural-language token frequencies follow a power law ("the"
+    * alone is ~5% of English tokens; at 100 TB that is one reducer
+    * receiving billions of rows in a plain shuffle join) — so it is
+    * split: the `headK` most frequent tokens' log-probs ride as a
+    * BROADCAST map-side join (the head carries most of the mass and
+    * never shuffles), and only the long tail — whose per-token counts
+    * are bounded below the head cutoff by construction — takes the
+    * shuffle join. Output: (id, n_tokens, avg_logprob).
     */
-  def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String,
+                     headK: Int = 10000): DataFrame = {
     val docToks = df.select(F.col(idCol).as("id"),
       F.explode(TextOps.tokens(F.col(textCol))).as("tok"))
-    val counts = docToks.groupBy("tok").agg(F.count(F.lit(1)).as("c"))
+    // vocabulary-sized (small vs the corpus) and read by the head
+    // TakeOrdered, the tail anti-join, and the totals agg — cached so
+    // the corpus-wide token count runs once
+    val counts = docToks.groupBy("tok").agg(F.count(F.lit(1)).as("c")).persist()
     // corpus totals: one tiny agg, broadcast into the probability expr
     val totals = counts.agg(F.sum("c").as("n_total"), F.count(F.lit(1)).as("n_vocab"))
     val probs = counts.crossJoin(F.broadcast(totals))
-      .select(F.col("tok"),
+      .select(F.col("tok"), F.col("c"),
         F.log((F.col("c") + 1).cast("double") /
           (F.col("n_total") + F.col("n_vocab")).cast("double")).as("logp"))
-    docToks.join(probs, "tok")
-      .groupBy("id")
+    // head = top-headK tokens by count (deterministic tie-break) — a
+    // TakeOrdered over the vocabulary, broadcastable by construction
+    val head = probs
+      .orderBy(F.col("c").desc, F.col("tok").asc).limit(headK)
+      .select("tok", "logp")
+    val tail = probs.join(F.broadcast(head.select("tok")), Seq("tok"), "left_anti")
+      .select("tok", "logp")
+    val tagged = docToks.join(F.broadcast(head), Seq("tok"), "left")
+    val scored = tagged.where(F.col("logp").isNotNull)
+      .select("id", "logp")
+      .unionAll(tagged.where(F.col("logp").isNull).drop("logp")
+        .join(tail, "tok").select("id", "logp"))
+    scored.groupBy("id")
       .agg(F.count(F.lit(1)).as("n_tokens"),
         (F.sum("logp") / F.count(F.lit(1))).as("avg_logprob"))
   }

@@ -73,6 +73,40 @@ class CurateSpec extends SparkSpec {
     assert(new java.io.File(dir).listFiles().count(_.getName.startsWith("shard=")) == 4)
   }
 
+  test("writeShuffledShards: intra-shard order survives input repartitioning") {
+    // the sort key is (shard, __ord, id) — with only the 1e6-granular
+    // __ord, key ties would leave intra-tie order to the input layout
+    val ids = (1L to 300L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    def writtenOrder(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] = {
+      val dir = java.nio.file.Files.createTempDirectory("shardord").toString
+      Curate.writeShuffledShards(df, "doc_id", nShards = 3, dir)
+      (0L until 3L).map { s =>
+        s -> spark.read.parquet(s"$dir/shard=$s").coalesce(1)
+          .select("doc_id").as[Long].collect().toSeq
+      }.toMap
+    }
+    val a = writtenOrder(ids.repartition(7))
+    val b = writtenOrder(ids.repartition(2))
+    assert(a == b, "written order must not depend on input partitioning")
+  }
+
+  test("unigramLogProb: head/tail skew split equals the plain shuffle join") {
+    // Zipf-ish corpus: 'the' dominates (the head token a plain shuffle
+    // join would funnel to one reducer); split path must be a pure
+    // execution-strategy change, not a semantic one
+    val docs = (1L to 60L).map { i =>
+      (i, ("the " * 20) + s"rare$i word${i % 7}")
+    }.toDF("doc_id", "text")
+    def collect(headK: Int) =
+      Curate.unigramLogProb(docs, "doc_id", "text", headK = headK)
+        .select(F.col("id"), F.col("n_tokens"), F.round(F.col("avg_logprob"), 9))
+        .as[(Long, Long, Double)].collect().toSet
+    val split = collect(3)     // 'the' + two more in the broadcast head
+    val shuffleOnly = collect(0) // empty head: every token takes the tail join
+    assert(split == shuffleOnly)
+    assert(split.size == 60)
+  }
+
   test("unigramLogProb matches the hand-computed add-one model") {
     val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
     val out = Curate.unigramLogProb(docs, "doc_id", "text")

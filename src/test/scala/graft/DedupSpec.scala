@@ -53,6 +53,16 @@ class DedupSpec extends SparkSpec {
     assert(!comp.contains(99L), "isolated nodes are not in the pair graph")
   }
 
+  test("components releaseInput drops a cached pair table; output unaffected") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id1", "id2").persist()
+    pairs.count()
+    val comp = Dedup.components(pairs, releaseInput = true)
+      .as[(Long, Long)].collect().toMap
+    assert(comp(3L) == 1L && comp(11L) == 10L)
+    assert(pairs.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "terminal consumer must release the input cache")
+  }
+
   test("keepCanonical drops all but the min-id doc per near-dup cluster") {
     val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id1", "id2")
     val kept = Dedup.keepCanonical(docs, "doc_id", pairs)

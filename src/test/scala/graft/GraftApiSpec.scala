@@ -170,6 +170,81 @@ class GraftApiSpec extends SparkSpec {
     assert(sm.head._2 == "vital_status")
   }
 
+  test("name-dispatched standards: string targets resolve through the registry") {
+    import graft.harmonize.Standards
+    val vocab = Seq(
+      ("primary_diagnosis", "Lung Adenocarcinoma"),
+      ("primary_diagnosis", "Breast Carcinoma"),
+      ("vital_status", "Alive"),
+      ("vital_status", "Dead")).toDF("attribute", "value")
+    val std = Standards(vocab)
+    Graft.registerStandard("gdc_test", std)
+
+    val data = Seq(("lung adenocarcinoma", "Alive"), ("breast carcinoma", "Dead"))
+      .toDF("diagnosis", "status")
+    // match_values(source, target="gdc", ...) — the reference call shape
+    val viaName = Graft.matchValues(data, "diagnosis", "gdc_test",
+      "primary_diagnosis", "edit_distance", 0.3)
+      .as[(String, Option[String], Option[Double])].collect().toSet
+    val direct = std.matchValues(data, "diagnosis", "primary_diagnosis",
+      method = "edit_distance", threshold = 0.3)
+      .as[(String, Option[String], Option[Double])].collect().toSet
+    assert(viaName == direct && viaName.nonEmpty)
+    // match_schema(source, target="gdc")
+    val sm = Graft.matchSchema(data, "gdc_test")
+      .as[(String, String, Double)].collect().map(r => r._1 -> r._2).toMap
+    assert(sm("status") == "vital_status", s"got $sm")
+    // a JSON path registers in one step and resolves identically
+    val json = """{"vital_status": {"column_description": "",
+                 |  "value_data": {"Alive": "", "Dead": ""}}}""".stripMargin
+    val f = java.nio.file.Files.createTempFile("std", ".json")
+    java.nio.file.Files.writeString(f, json)
+    Graft.registerStandard("gdc_json", spark, f.toString)
+    assert(Graft.standard("gdc_json").attributes.count() == 1)
+    val err = intercept[IllegalArgumentException](Graft.standard("nope"))
+    assert(err.getMessage.contains("registerStandard"))
+  }
+
+  test("topMatches dispatches the matcher families; ranks are dense per source") {
+    for (m <- Seq("distribution_based", "name_similarity", "distribution_sketch")) {
+      val tm = Graft.topMatches(src, tgt, topK = 2, method = m)
+      val rows = tm.select("source", "target", "rank")
+        .as[(String, String, Long)].collect()
+      assert(rows.nonEmpty, s"method $m returned nothing")
+      val bySource = rows.groupBy(_._1)
+      bySource.foreach { case (s, rs) =>
+        assert(rs.map(_._3).sorted.toSeq == (1L to rs.length), s"$m/$s ranks not dense")
+        assert(rs.length <= 2, s"$m/$s returned more than topK")
+      }
+    }
+  }
+
+  test("view_value_matches: grouped by column pair, similarity-descending within") {
+    val source = Seq(("alive", "lung adeno"), ("dead", "zzz nothing alike"))
+      .toDF("vital", "diag")
+    val target = Seq(("Alive", "Lung Adenocarcinoma"), ("Dead", "Breast Carcinoma"))
+      .toDF("vital_status", "diagnosis")
+    val matches = Graft.matchValuesMapping(source, target,
+      Seq("vital" -> "vital_status", "diag" -> "diagnosis"),
+      method = "edit_distance", threshold = 0.3)
+    val view = Graft.viewValueMatches(matches)
+      .as[(String, String, String, Option[String], Option[Double])].collect()
+    // groups are contiguous and ordered by the column pair
+    val groups = view.map(r => (r._1, r._2)).distinct.toSeq
+    assert(groups == groups.sorted, s"groups not ordered: $groups")
+    // within a group, similarity never increases (nulls last)
+    view.groupBy(r => (r._1, r._2)).foreach { case (g, rs) =>
+      val sims = rs.flatMap(_._5)
+      assert(sims.sameElements(sims.sortBy(-_)), s"group $g not sorted desc")
+    }
+    // single-pair match result (no discriminator columns) is accepted too
+    val single = Graft.viewValueMatches(
+      Graft.matchValues(source, "vital", target, "vital_status",
+        method = "edit_distance", threshold = 0.3))
+    assert(single.columns.take(2).toSeq == Seq("source_column", "target_column"))
+    assert(single.count() == 2)
+  }
+
   test("facade value matching, preview, and materialization round-trip") {
     val vm = Graft.matchValues(src, "status", tgt, "status_code", method = "edit_distance",
       threshold = 0.5)

@@ -50,6 +50,26 @@ class PlanSpec extends SparkSpec {
       "per-row text op should not hash-shuffle")
   }
 
+  test("text_stats/curate_quality prune the unused profile kernels") {
+    // both route through docProfile's 13-column projection but consume
+    // only the cheap counting columns — ColumnPruning must drop the
+    // simhash / winnowing / language-ID kernels from their plans, or
+    // each would silently pay the full profile cost
+    for (q <- Seq("text_stats", "curate_quality")) {
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      val p = df.queryExecution.optimizedPlan.toString()
+      for (kernel <- Seq("simhash64", "winnow_mins", "lang_score"))
+        assert(!p.contains(kernel),
+          s"$q plan still evaluates pruned-away kernel $kernel")
+    }
+  }
+
+  test("embedding near-dup scale path never plans a product join") {
+    val p = planOf("dedup_embedding_lsh")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "banded pair generation degenerated to an all-pairs product plan")
+  }
+
   test("kernel queries carry no CodegenFallback expressions") {
     // a single CodegenFallback expression (native fallback kernel or an
     // interpreted HOF lambda) disqualifies its whole operator from

@@ -17,6 +17,33 @@ class SimilaritySpec extends SparkSpec {
     }.toDF("vec_id", "embedding")
   }
 
+  test("cosinePairsLsh: banded candidates + exact verify equal the exact pair join") {
+    // clustered corpus: every within-cluster pair sits far above the
+    // threshold, cross-cluster pairs far below — the regime the banded
+    // path targets. Exact verification makes precision 1.0 by
+    // construction; this asserts recall is complete here too.
+    val exact = Ann.cosinePairs(corpus, "vec_id", "embedding", threshold = 0.9)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val lsh = Ann.cosinePairsLsh(corpus, "vec_id", "embedding", threshold = 0.9)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "test corpus must contain near-dup pairs")
+    assert(lsh == exact, s"missed=${(exact -- lsh).size} extra=${(lsh -- exact).size}")
+  }
+
+  test("cosinePairsLsh matches the exact join on the driver corpus at its threshold") {
+    // the wired dedup_embedding_lsh configuration, against the real
+    // test embeddings: deterministic signatures, so this either holds
+    // or it does not — no run-to-run variance
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val exact = Ann.cosinePairs(emb, "vec_id", "embedding", threshold = 0.4)
+      .select("id1", "id2", "similarity").as[(Long, Long, Double)].collect().toSet
+    val lsh = Ann.cosinePairsLsh(emb, "vec_id", "embedding", threshold = 0.4)
+      .select("id1", "id2", "similarity").as[(Long, Long, Double)].collect().toSet
+    assert(lsh.subsetOf(exact), "exact verify forbids false positives")
+    assert(lsh == exact,
+      s"recall ${lsh.size}/${exact.size} — retune bands/probes if this ever drops")
+  }
+
   test("ivfTopK probing all cells equals brute-force topK exactly") {
     val q = corpus.where($"vec_id" < 5)
     val brute = Ann.cosineTopK(q, "vec_id", "embedding", corpus, "vec_id", "embedding", k = 3)
