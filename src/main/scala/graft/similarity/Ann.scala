@@ -77,12 +77,13 @@ object Ann {
     * in production. As the threshold drops toward 0.4 the per-plane
     * agreement approaches a coin flip and ANY sublinear scheme loses
     * selectivity (LSH theory: candidate exponent 1+ln(1/p1)/ln(1/p2));
-    * the defaults here (15 bands x 4 bits + flips, within the 63-bit
+    * the defaults here (12 bands x 5 bits + flips, within the 63-bit
     * signature kernel) are tuned for near-complete recall at the
-    * verification spec's thresholds.
+    * verification spec's thresholds with the smallest candidate volume
+    * among the tested 63-bit band layouts.
     */
   def cosinePairsLsh(df: DataFrame, idCol: String, vecCol: String,
-                     threshold: Double, nPlanes: Int = 60, bands: Int = 15,
+                     threshold: Double, nPlanes: Int = 60, bands: Int = 12,
                      probeFlips: Boolean = true): DataFrame = {
     require(nPlanes >= 1 && nPlanes <= 63, "nPlanes in [1, 63]")
     require(bands >= 1 && nPlanes % bands == 0, "bands must divide nPlanes")
