@@ -70,12 +70,15 @@ object Dedup {
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    k: Int, threshold: Double,
                    dfCap: Option[Long] = None): DataFrame = {
-    val sets = docShingleSets(df, idCol, textCol, k)
-    val tok = docShingles(df, idCol, textCol, k).persist()
-    val cands = candidatesFromShingles(tok, df, idCol, textCol, k, threshold, dfCap)
+    // ONE tokenize+shingle kernel pass over the corpus: the cached
+    // per-doc set table feeds everything downstream — the exploded
+    // (id, sh) pairs and the doc sizes for candidate generation, and
+    // the sorted arrays for merge-scan verification
+    val sets = docShingleSets(df, idCol, textCol, k).persist()
+    val cands = candidatesFromSets(sets, threshold, dfCap)
     val out = verifyJaccard(cands, sets, threshold).persist()
     out.count() // the ONLY materializing action: candidates + verify, one job
-    tok.unpersist()
+    sets.unpersist()
     out
   }
 
@@ -89,24 +92,23 @@ object Dedup {
   private[graft] def jaccardCandidates(
       df: DataFrame, idCol: String, textCol: String,
       k: Int, threshold: Double, dfCap: Option[Long] = None): DataFrame = {
-    val tok = docShingles(df, idCol, textCol, k).persist()
-    val cands = candidatesFromShingles(tok, df, idCol, textCol, k, threshold, dfCap)
-      .persist()
-    cands.count() // materialize while tok is cached, then drop the cache
-    tok.unpersist()
+    val sets = docShingleSets(df, idCol, textCol, k).persist()
+    val cands = candidatesFromSets(sets, threshold, dfCap).persist()
+    cands.count() // materialize while the set table is cached, then drop it
+    sets.unpersist()
     cands
   }
 
-  /** Lazy PPJoin candidate plan over an (id, sh) shingle table the
-    * caller persists — the shingle table feeds both the document
-    * frequency aggregation and the prefix join, so a single downstream
-    * action fills its cache once and reuses it across both branches.
+  /** Lazy PPJoin candidate plan over the cached (id, shs, sz) set
+    * table — the exploded shingle pairs, the document-frequency
+    * aggregation, and the per-doc sizes all derive from it, so a single
+    * downstream action fills one cache and every branch reuses it (no
+    * second tokenization pass anywhere).
     */
-  private def candidatesFromShingles(
-      tok: DataFrame, df: DataFrame, idCol: String, textCol: String,
-      k: Int, threshold: Double, dfCap: Option[Long]): DataFrame = {
-    val sizes = df.select(F.col(idCol).as("id"),
-      F.size(shingleHashArr(F.col(textCol), k)).cast("long").as("sz"))
+  private def candidatesFromSets(sets: DataFrame, threshold: Double,
+                                 dfCap: Option[Long]): DataFrame = {
+    val tok = sets.select(F.col("id"), F.explode(F.col("shs")).as("sh"))
+    val sizes = sets.select(F.col("id"), F.col("sz"))
     val dfreq = tok.groupBy("sh").agg(F.count(F.lit(1)).as("df"))
     val ranked = tok.join(dfreq, "sh")
       .withColumn("rk", F.row_number().over(

@@ -165,9 +165,14 @@ object Ann {
     // vary across partitionings/cluster layouts). One corpus pass;
     // corpora smaller than maxTrain train on all rows, so no tiny-corpus
     // fallback branch is needed.
+    // TakeOrdered collapses to one partition; respread so the Lloyd
+    // aggregations below parallelize (assignment order is irrelevant —
+    // means use decimal accumulation, deterministic under any layout)
     val trainSet = c
       .orderBy(F.xxhash64(F.col("neighbor_id")), F.col("neighbor_id"))
-      .limit(maxTrain).persist()
+      .limit(maxTrain)
+      .repartition(c.sparkSession.sparkContext.defaultParallelism)
+      .persist()
     trainSet.count()
 
     // deterministic init: the nCells lowest-id training vectors
