@@ -231,6 +231,21 @@ object Graft {
                   target: String, attribute: String): DataFrame =
     matchValues(source, sourceColumn, target, attribute, "tfidf", 0.3)
 
+  /** top_value_matches against a NAMED standard's attribute
+    * (api.py:222 with target="gdc").
+    */
+  def topValueMatches(source: DataFrame, sourceColumn: String,
+                      target: String, attribute: String,
+                      topK: Int, method: String,
+                      threshold: Double): DataFrame =
+    topValueMatches(source, sourceColumn,
+      standard(target).valueDomain(attribute), "value_name",
+      topK, method, threshold)
+
+  def topValueMatches(source: DataFrame, sourceColumn: String,
+                      target: String, attribute: String): DataFrame =
+    topValueMatches(source, sourceColumn, target, attribute, 5, "tfidf", 0.3)
+
   /** view_value_matches (api.py:291-330): the value-match results
     * arranged for display — grouped by mapped column pair, each group's
     * rows sorted by similarity descending (the reference sorts each

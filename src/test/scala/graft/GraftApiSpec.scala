@@ -203,6 +203,10 @@ class GraftApiSpec extends SparkSpec {
     assert(Graft.standard("gdc_json").attributes.count() == 1)
     val err = intercept[IllegalArgumentException](Graft.standard("nope"))
     assert(err.getMessage.contains("registerStandard"))
+    // top_value_matches(source, target="gdc", ...) call shape
+    val tv = Graft.topValueMatches(data, "diagnosis", "gdc_test",
+      "primary_diagnosis", 2, "edit_distance", 0.0)
+    assert(tv.columns.contains("rank") && tv.count() > 0)
   }
 
   test("topMatches dispatches the matcher families; ranks are dense per source") {
