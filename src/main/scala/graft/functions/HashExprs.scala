@@ -435,7 +435,8 @@ case class CosineSim(left: Expression, right: Expression)
          |  $nx += $xv * $xv;
          |  $ny += $yv * $yv;
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+         |double ${dot}_den = java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny);
+         |${ev.value} = ${dot}_den > 0.0 ? $dot / ${dot}_den : 0.0;
          |""".stripMargin
     })
 
@@ -453,7 +454,11 @@ case class CosineSim(left: Expression, right: Expression)
       ny += yv * yv
       i += 1
     }
-    dot / (math.sqrt(nx) * math.sqrt(ny))
+    // zero-norm vectors have no direction: similarity 0, never NaN —
+    // 0/0 would yield NaN, which Spark ORDERS ABOVE every number, so a
+    // NaN "similarity" would pass >= thresholds and rank first in top-k
+    val den = math.sqrt(nx) * math.sqrt(ny)
+    if (den > 0.0) dot / den else 0.0
   }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =

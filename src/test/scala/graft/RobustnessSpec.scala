@@ -65,6 +65,27 @@ class RobustnessSpec extends SparkSpec {
       k = 3, minDocs = 2).count() == 0)
   }
 
+  test("embedding LSH pairs and split LM score: degenerate inputs flow cleanly") {
+    import graft.similarity.Ann
+    import graft.text.Curate
+    // zero vectors and an empty corpus: no pairs, no errors
+    val vecs = Seq(
+      (1L, Seq.fill(8)(0.0f)),
+      (2L, Seq.fill(8)(0.0f)),
+      (3L, (1 to 8).map(_.toFloat))).toDF("vec_id", "embedding")
+    assert(Ann.cosinePairsLsh(vecs, "vec_id", "embedding", threshold = 0.5,
+      nPlanes = 12, bands = 4).count() == 0,
+      "zero-norm vectors have cosine 0 to everything")
+    assert(Ann.cosinePairsLsh(vecs.where(F.lit(false)), "vec_id", "embedding",
+      threshold = 0.5, nPlanes = 12, bands = 4).count() == 0)
+    // LM score over empty/null docs: empty docs contribute no tokens
+    val docs = Seq((1L, "a a b"), (2L, ""), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val lm = Curate.unigramLogProb(docs, "doc_id", "text", headK = 1)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._2).toMap
+    assert(lm == Map(1L -> 3L), s"got $lm")
+  }
+
   test("property: winnowMins equals brute force on random arrays (seeded)") {
     val rnd = new Random(7)
     val cases = (0 until 30).map { _ =>
