@@ -167,11 +167,14 @@ object Ann {
     // fallback branch is needed.
     // TakeOrdered collapses to one partition; respread so the Lloyd
     // aggregations below parallelize (assignment order is irrelevant —
-    // means use decimal accumulation, deterministic under any layout)
+    // means use decimal accumulation, deterministic under any layout).
+    // Partition count is sized from the sample BOUND, not the cluster:
+    // a ~25k-vector slice per partition keeps per-job scheduling
+    // overhead flat when the actual sample is far below maxTrain.
     val trainSet = c
       .orderBy(F.xxhash64(F.col("neighbor_id")), F.col("neighbor_id"))
       .limit(maxTrain)
-      .repartition(c.sparkSession.sparkContext.defaultParallelism)
+      .repartition(math.max(1, maxTrain / 25000))
       .persist()
     trainSet.count()
 

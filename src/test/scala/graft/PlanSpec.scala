@@ -70,6 +70,20 @@ class PlanSpec extends SparkSpec {
       "banded pair generation degenerated to an all-pairs product plan")
   }
 
+  test("exact dedup aggregates map-side before the hash shuffle") {
+    // partial_min/partial_count markers prove the combine happens
+    // before the exchange — at 100 TB the shuffle carries one row per
+    // (partition, text-hash), not one per document
+    val p = planOf("dedup_exact")
+    assert(p.contains("partial_"), "no map-side partial aggregation in plan")
+  }
+
+  test("deterministic sampling is a pure per-row predicate: no exchange") {
+    val p = planOf("curate_sample")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "sampling must not shuffle — it is a pushdown-friendly filter")
+  }
+
   test("kernel queries carry no CodegenFallback expressions") {
     // a single CodegenFallback expression (native fallback kernel or an
     // interpreted HOF lambda) disqualifies its whole operator from
