@@ -104,10 +104,13 @@ object Ann {
       else banded.select(F.col("id"), F.col("band"),
         F.explode(F.array(F.col("key") +: (0 until bits).map(j =>
           F.col("key").bitwiseXOR(F.lit(1L << j))): _*)).as("key"))
+    // a.id < b.id keeps exactly one direction of every symmetric match
+    // and halves the pre-distinct candidate volume: for hamming <= 1
+    // within a band, EACH side's probe set covers the other's exact
+    // key, so the surviving direction alone has full recall
     val cands = banded.as("a").join(probe.as("b"), Seq("band", "key"))
-      .where(F.col("a.id") =!= F.col("b.id"))
-      .select(F.least(F.col("a.id"), F.col("b.id")).as("id1"),
-        F.greatest(F.col("a.id"), F.col("b.id")).as("id2"))
+      .where(F.col("a.id") < F.col("b.id"))
+      .select(F.col("a.id").as("id1"), F.col("b.id").as("id2"))
       .distinct()
     val v1 = df.select(F.col(idCol).as("id1"), F.col(vecCol).as("v1"))
     val v2 = df.select(F.col(idCol).as("id2"), F.col(vecCol).as("v2"))
