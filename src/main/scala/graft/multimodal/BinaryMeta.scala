@@ -63,6 +63,38 @@ object BinaryMeta {
         F.sequence(F.lit(0), F.lit(k - 1)),
         i => F.col("blob").substr(i * 16 + 1, F.lit(16)))).as(Seq("frame_no", "frame_blob")))
 
+  /** Feature-extract stub: a deterministic pseudo-embedding per
+    * payload, standing in for a batched vision/audio encoder call. The
+    * shape is the real integration point — partition-local
+    * mapPartitions, payloads batched per model invocation, output
+    * (id, array<float>) — so the extracted column feeds the similarity
+    * suite directly: attachBlob |> extractFeaturesStub |>
+    * Ann.cosinePairsLsh / ivfBuild is the end-to-end multimodal
+    * dedup/search composition. Swap `fakeEncode` for the real encoder.
+    */
+  def extractFeaturesStub(df: DataFrame, idCol: String, dim: Int = 16): DataFrame = {
+    val out = StructType(Seq(
+      StructField("id", LongType),
+      StructField("feature", ArrayType(FloatType, containsNull = false))))
+    def fakeEncode(bytes: Array[Byte]): Array[Float] = {
+      // deterministic pseudo-embedding: byte histogram folded into dim
+      // buckets, L2-normalized — direction depends only on content
+      val acc = new Array[Float](dim)
+      var i = 0
+      while (i < bytes.length) { acc((bytes(i) & 0xff) % dim) += 1f; i += 1 }
+      val norm = math.sqrt(acc.map(x => x.toDouble * x).sum)
+      if (norm > 0) acc.map(x => (x / norm).toFloat) else acc
+    }
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(out)
+    df.select(F.col(idCol).cast("long").as("id"), F.col("blob"))
+      .mapPartitions { rows =>
+        // real integrations batch here (one encoder call per 64 payloads)
+        rows.grouped(64).flatMap(_.map { r =>
+          Row(r.getLong(0), fakeEncode(r.getAs[Array[Byte]]("blob")).toSeq)
+        })
+      }(enc)
+  }
+
   /** Partition-local batched decode via mapPartitions — the shape a
     * real codec integration takes (batch the payloads, call the
     * native decoder once per batch). The decoder here is the same

@@ -108,6 +108,25 @@ class TextOpsSpec extends SparkSpec {
         .head().getLong(0))
   }
 
+  test("multimodal feature extraction feeds the similarity suite end to end") {
+    import graft.similarity.Ann
+    // duplicate payloads (1,2), a distinct one (3): the extracted
+    // embedding column plugs straight into the pair/search operators
+    val df = BinaryMeta.attachBlob(Seq(
+      (1L, "identical multimodal payload bytes"),
+      (2L, "identical multimodal payload bytes"),
+      (3L, "completely different content here zzz qqq")).toDF("doc_id", "text"), "text")
+    val feats = BinaryMeta.extractFeaturesStub(df, "doc_id", dim = 16)
+    assert(feats.columns.toSeq == Seq("id", "feature"))
+    // unit-normalized, deterministic
+    val v1 = feats.where($"id" === 1L).select("feature").as[Seq[Float]].head()
+    assert(math.abs(v1.map(x => x.toDouble * x).sum - 1.0) < 1e-6)
+    val pairs = Ann.cosinePairs(feats, "id", "feature", threshold = 0.999)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)),
+      s"identical payloads must pair, distinct must not: ${pairs.toSeq}")
+  }
+
   test("multimodal decode stub: columnar and mapPartitions paths agree") {
     val df = BinaryMeta.attachBlob(
       Seq((1L, "hello"), (2L, "a much longer text payload")).toDF("doc_id", "text"), "text")
