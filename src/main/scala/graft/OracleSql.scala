@@ -416,6 +416,43 @@ object OracleSql {
          |SELECT a AS id, least(a, min(b)) AS component
          |FROM closure GROUP BY a ORDER BY id""".stripMargin,
 
+    "dedup_canonical" ->
+      s"""WITH RECURSIVE tk AS (SELECT doc_id, ${toks("text")} AS tl FROM documents),
+         |sh AS (SELECT DISTINCT doc_id,
+         |         unnest([tl[i] || ' ' || tl[i+1] || ' ' || tl[i+2]
+         |                 for i in generate_series(1, greatest(len(tl) - 2, 0))]) AS sh
+         |       FROM tk),
+         |n AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |i AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS ni
+         |      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT id1, id2 FROM (
+         |    SELECT id1, id2, CAST(ni AS DOUBLE) / CAST(n1.sz + n2.sz - ni AS DOUBLE) AS jaccard
+         |    FROM i JOIN n n1 ON id1 = n1.doc_id JOIN n n2 ON id2 = n2.doc_id)
+         |  WHERE jaccard >= 0.5),
+         |e AS (SELECT id1 AS a, id2 AS b FROM pairs UNION SELECT id2, id1 FROM pairs),
+         |closure AS (
+         |  SELECT a, b FROM e
+         |  UNION
+         |  SELECT closure.a, e.b FROM closure JOIN e ON closure.b = e.a),
+         |losers AS (SELECT a AS id FROM closure GROUP BY a HAVING least(a, min(b)) <> a)
+         |SELECT doc_id, lang FROM documents
+         |WHERE doc_id NOT IN (SELECT id FROM losers)
+         |ORDER BY doc_id""".stripMargin,
+
+    "decontaminate_clean" ->
+      s"""WITH tk AS (SELECT doc_id, ${toks("text")} AS tl FROM documents),
+         |sh AS (SELECT DISTINCT doc_id,
+         |         unnest([array_to_string(tl[i:i+2], ' ')
+         |                 for i in generate_series(1, greatest(len(tl) - 2, 0))]) AS sh
+         |       FROM tk),
+         |ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 20 = 0),
+         |bad AS (SELECT DISTINCT s.doc_id FROM sh s JOIN ev USING (sh)
+         |        WHERE s.doc_id % 20 <> 0)
+         |SELECT doc_id, lang FROM documents
+         |WHERE doc_id % 20 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
+         |ORDER BY doc_id""".stripMargin,
+
     "dedup_embedding" ->
       """SELECT id1, id2, similarity FROM (
         |  SELECT a.vec_id AS id1, b.vec_id AS id2,

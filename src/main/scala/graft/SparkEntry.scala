@@ -316,6 +316,16 @@ object SparkEntry {
       releaseInput = true)
       .orderBy("id")
 
+  private def dedupCanonical(t: Tables): DataFrame =
+    // the "write the clean corpus" step after near-dup clustering: one
+    // canonical (min-id) document per cluster plus every unpaired doc
+    Dedup.keepCanonical(t.documents, "doc_id",
+      Dedup.jaccardPairs(t.documents, "doc_id", "text", k = 3, threshold = 0.5,
+        dfCap = JaccardDfCap),
+      releaseInput = true)
+      .select(F.col("doc_id"), F.col("lang"))
+      .orderBy("doc_id")
+
   private def dedupMaterialize(t: Tables): DataFrame =
     Dedup.keepFirst(t.documents, "doc_id", "text")
       .select(F.col("doc_id"), F.col("lang"), F.length(F.col("text")).cast("long").as("n_chars"))
@@ -345,6 +355,17 @@ object SparkEntry {
     val train = t.documents.where(F.col("doc_id") % 20 =!= 0)
     dedup.Decontaminate.overlap(train, "doc_id", "text",
       eval, "doc_id", "text", k = 3)
+      .orderBy("doc_id")
+  }
+
+  private def decontaminateClean(t: Tables): DataFrame = {
+    // the materialized complement of `decontaminate`: the training
+    // corpus with every contaminated document dropped
+    val eval = t.documents.where(F.col("doc_id") % 20 === 0)
+    val train = t.documents.where(F.col("doc_id") % 20 =!= 0)
+    dedup.Decontaminate.clean(train, "doc_id", "text",
+      eval, "doc_id", "text", k = 3)
+      .select(F.col("doc_id"), F.col("lang"))
       .orderBy("doc_id")
   }
 
@@ -504,12 +525,14 @@ object SparkEntry {
       "dedup_exact" -> q(dedupExact),
       "dedup_materialize" -> q(dedupMaterialize),
       "dedup_components" -> q(dedupComponents),
+      "dedup_canonical" -> q(dedupCanonical),
       "dedup_jaccard" -> q(dedupJaccard),
       "dedup_minhash" -> q(dedupMinhash),
       "dedup_simhash" -> q(dedupSimhash),
       "dedup_embedding" -> q(dedupEmbedding),
       "dedup_embedding_lsh" -> q(dedupEmbeddingLsh),
       "decontaminate" -> q(decontaminate),
+      "decontaminate_clean" -> q(decontaminateClean),
       "boilerplate_ngrams" -> q(boilerplateNgrams),
       "dedup_incremental" -> q(dedupIncremental),
       "ann_topk" -> q(annTopk),

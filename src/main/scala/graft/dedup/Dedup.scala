@@ -275,8 +275,9 @@ object Dedup {
     * rows of each component's minimum-id document, plus every document
     * that appears in no near-dup pair.
     */
-  def keepCanonical(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
-    val comp = components(pairs)
+  def keepCanonical(df: DataFrame, idCol: String, pairs: DataFrame,
+                    releaseInput: Boolean = false): DataFrame = {
+    val comp = components(pairs, releaseInput = releaseInput)
     val losers = comp.where(F.col("id") =!= F.col("component"))
       .select(F.col("id").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")
