@@ -113,6 +113,39 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Map(1L -> Some("gold"), 2L -> Some("basic"), 3L -> None))
   }
 
+  test("streaming curation: stateless quality filter equals its batch twin") {
+    // the whole per-row curation suite (quality verdicts, sampling,
+    // scrubbing, profile kernels) is stateless, so it composes onto a
+    // stream UNCHANGED — the ingest-time filtering shape of a
+    // training-data pipeline; no watermark, no state store
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.text.Curate
+    implicit val sq = spark.sqlContext
+    val docs = Seq(
+      (1L, "the cat sat on the mat with a dog"),
+      (2L, "tiny"),
+      (3L, "spam spam spam spam spam the and is of it"),
+      (4L, "a second clean document is here for it"))
+    def curateCols(df: org.apache.spark.sql.DataFrame) = {
+      val v = Curate.qualityVerdict(F.col("text")).toMap
+      df.select(F.col("doc_id"), v("keep").as("keep"), v("reason").as("reason"))
+        .where(F.col("keep"))
+        .select("doc_id")
+    }
+    val batch = curateCols(docs.toDF("doc_id", "text")).as[Long].collect().toSet
+    val stream = MemoryStream[(Long, String)]
+    val q = curateCols(stream.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("stream_curate")
+      .outputMode("append").start()
+    try {
+      stream.addData(docs.take(2): _*)
+      stream.addData(docs.drop(2): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("stream_curate").as[Long].collect().toSet
+    assert(got == batch && got == Set(1L, 4L), s"stream $got != batch $batch")
+  }
+
   test("streaming dedup drops repeated content within the watermark") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq = spark.sqlContext
