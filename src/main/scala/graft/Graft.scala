@@ -86,6 +86,12 @@ object Graft {
         ValueMatcher.tfidfMatch(source, sourceColumn, target, targetColumn, threshold)
       case "edit_distance" =>
         ValueMatcher.editDistanceMatch(source, sourceColumn, target, targetColumn, threshold)
+      // the reference's edit matcher scores with rapidfuzz fuzz.ratio
+      // (indel similarity); offered under an explicit name — the plain
+      // "edit_distance" keeps the SQL-expressible normalized levenshtein
+      case "edit_distance_ratio" | "ratio" =>
+        ValueMatcher.editDistanceMatch(source, sourceColumn, target, targetColumn,
+          threshold, scorer = "ratio")
       // "fasttext" is the reference's embedding matcher name
       // (value_matching/matcher_factory.py:17-20); the hashing-trick
       // character-profile cosine is the declared public-knowledge
@@ -98,7 +104,7 @@ object Graft {
           "see SURVEY.md par.6")
       case other => throw new IllegalArgumentException(
         s"unknown match_values method: $other (supported: tfidf, edit_distance, " +
-          "embeddings/fasttext)")
+          "edit_distance_ratio/ratio, embeddings/fasttext)")
     }
 
   /** top_value_matches (api.py:222): top-k target values per source value. */

@@ -36,6 +36,12 @@ object HashExprs {
   def winnowMins(hashes: Column, w: Int): Column =
     Bridge.column(WinnowMins(Bridge.expression(hashes), w))
 
+  /** Indel similarity 2*LCS/(|a|+|b|) of two strings — rapidfuzz
+    * fuzz.ratio semantics (the reference's edit-distance scorer).
+    */
+  def indelSim(a: Column, b: Column): Column =
+    Bridge.column(IndelSim(Bridge.expression(a), Bridge.expression(b)))
+
   /** Cosine similarity of two float/double array columns. */
   def cosineSim(a: Column, b: Column): Column =
     Bridge.column(CosineSim(Bridge.expression(a), Bridge.expression(b)))
@@ -462,6 +468,73 @@ case class CosineSim(left: Expression, right: Expression)
   }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
+    copy(left = l, right = r)
+}
+
+/** Indel similarity of two strings: 2*LCS/(|a|+|b|) — exactly rapidfuzz
+  * fuzz.ratio/100 (edit distance where substitution is forbidden),
+  * the scorer behind the reference's EditDistanceValueMatcher
+  * (value_matching/polyfuzz.py:84 fuzz.ratio). Case-sensitive, no
+  * preprocessing; two equal empty strings score 1.0. One O(n*m) DP
+  * pass per pair with two rolling rows — pairs are distinct-reduced,
+  * length-banded VALUES, so n*m stays tiny.
+  */
+case class IndelSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "indel_sim"
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val (a, b, n, m, i, j) = (ctx.freshName("a"), ctx.freshName("b"),
+        ctx.freshName("n"), ctx.freshName("m"), ctx.freshName("i"), ctx.freshName("j"))
+      val (prev, cur, tmp) = (ctx.freshName("prev"), ctx.freshName("cur"), ctx.freshName("tmp"))
+      s"""
+         |String $a = $x.toString();
+         |String $b = $y.toString();
+         |int $n = $a.length(); int $m = $b.length();
+         |if ($n + $m == 0) { ${ev.value} = 1.0; } else {
+         |  int[] $prev = new int[$m + 1];
+         |  int[] $cur = new int[$m + 1];
+         |  for (int $i = 1; $i <= $n; $i++) {
+         |    $cur[0] = 0;
+         |    for (int $j = 1; $j <= $m; $j++) {
+         |      $cur[$j] = $a.charAt($i - 1) == $b.charAt($j - 1)
+         |        ? $prev[$j - 1] + 1
+         |        : java.lang.Math.max($prev[$j], $cur[$j - 1]);
+         |    }
+         |    int[] $tmp = $prev; $prev = $cur; $cur = $tmp;
+         |  }
+         |  ${ev.value} = 2.0 * $prev[$m] / ($n + $m);
+         |}
+         |""".stripMargin
+    })
+
+  override def nullSafeEval(x: Any, y: Any): Any = {
+    val a = x.toString; val b = y.toString
+    val n = a.length; val m = b.length
+    if (n + m == 0) return 1.0
+    var prev = new Array[Int](m + 1)
+    var cur = new Array[Int](m + 1)
+    var i = 1
+    while (i <= n) {
+      cur(0) = 0
+      var j = 1
+      while (j <= m) {
+        cur(j) = if (a.charAt(i - 1) == b.charAt(j - 1)) prev(j - 1) + 1
+                 else math.max(prev(j), cur(j - 1))
+        j += 1
+      }
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    2.0 * prev(m) / (n + m)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): IndelSim =
     copy(left = l, right = r)
 }
 

@@ -19,14 +19,18 @@ case object IdentityMapper extends ValueMapper {
   def compile(in: Column): Column = in
 }
 
-/** Maps via a dictionary; missing keys become null (reference uses NaN,
-  * mapping_functions.py:51 DictionaryMapper).
+/** Maps via a dictionary; missing keys become `missingValue` — null by
+  * default (reference default is NaN; mapping_functions.py:51
+  * DictionaryMapper takes the same `missing_key_value` override).
   */
-final case class DictionaryMapper(mapping: Map[String, String]) extends ValueMapper {
+final case class DictionaryMapper(mapping: Map[String, String],
+                                  missingValue: Option[String] = None)
+    extends ValueMapper {
   def compile(in: Column): Column = {
     val m = F.map(mapping.toSeq.sortBy(_._1)
       .flatMap { case (k, v) => Seq(F.lit(k), F.lit(v)) }: _*)
-    F.element_at(m, in.cast("string"))
+    val looked = F.element_at(m, in.cast("string"))
+    missingValue.fold(looked)(d => F.coalesce(looked, F.lit(d)))
   }
 }
 

@@ -17,9 +17,9 @@ import org.apache.spark.sql.{functions => F}
   */
 object ValueMatcher {
 
-  /** 1 - levenshtein/max(len) in [0,1], the normalized edit similarity
-    * used by the reference's edit-distance matcher
-    * (value_matching/polyfuzz.py:77, rapidfuzz fuzz.ratio analog).
+  /** 1 - levenshtein/max(len) in [0,1] — the SQL-expressible normalized
+    * edit similarity (the default scorer; the reference's exact
+    * fuzz.ratio scorer is available as scorer = "ratio").
     */
   def normalizedLevenshtein(src: Column, tgt: Column): Column =
     F.lit(1.0) - F.levenshtein(src, tgt).cast("double") /
@@ -38,25 +38,43 @@ object ValueMatcher {
     * unmatched source values are kept with null target/similarity
     * (reference keeps them as NaN, api.py:457-485). Deterministic
     * tie-break: higher similarity first, then target ascending.
+    *
+    * Scorers: "levenshtein" (default) is 1 - lev/maxlen — expressible
+    * in standard SQL, hence the oracle-checked default; "ratio" is the
+    * reference's exact scorer (rapidfuzz fuzz.ratio = indel similarity
+    * 2*LCS/(l1+l2), polyfuzz.py:84), as a native expression.
     */
   def editDistanceMatch(
       source: DataFrame, sourceCol: String,
       target: DataFrame, targetCol: String,
-      threshold: Double, topK: Int = 1): DataFrame = {
+      threshold: Double, topK: Int = 1,
+      scorer: String = "levenshtein"): DataFrame = {
     val src = domain(source, sourceCol, "source")
     val tgt = domain(target, targetCol, "target")
-    // length-band pruning: normLev >= t implies lev <= (1-t)*maxlen,
-    // and lev >= |len(s)-len(t)| — so pairs outside the band cannot
-    // pass the threshold. Pure optimization: result-identical, but the
-    // (codegen'd) length filter runs before the O(len^2) levenshtein.
-    val lenBand =
-      F.abs(F.length(F.col("source")) - F.length(F.col("target"))).cast("double") <=
-        (F.lit(1.0) - F.lit(threshold)) *
-          F.greatest(F.length(F.col("source")), F.length(F.col("target"))).cast("double")
+    // length-band pruning — pure optimization, result-identical, the
+    // (codegen'd) length filter runs before the O(len^2) scorer:
+    // levenshtein: sim >= t implies lev <= (1-t)*maxlen and
+    //   lev >= |len(s)-len(t)|, so pairs outside the band cannot pass;
+    // ratio: LCS <= minlen, so sim <= 2*minlen/(l1+l2) — below-band
+    //   pairs cannot reach t.
+    val (lenBand, simExpr) = scorer match {
+      case "levenshtein" => (
+        F.abs(F.length(F.col("source")) - F.length(F.col("target"))).cast("double") <=
+          (F.lit(1.0) - F.lit(threshold)) *
+            F.greatest(F.length(F.col("source")), F.length(F.col("target"))).cast("double"),
+        normalizedLevenshtein(F.col("source"), F.col("target")))
+      case "ratio" => (
+        F.lit(2.0) * F.least(F.length(F.col("source")), F.length(F.col("target"))).cast("double") >=
+          F.lit(threshold) *
+            (F.length(F.col("source")) + F.length(F.col("target"))).cast("double"),
+        graft.functions.HashExprs.indelSim(F.col("source"), F.col("target")))
+      case other => throw new IllegalArgumentException(
+        s"unknown edit scorer: $other (supported: levenshtein, ratio)")
+    }
     val scored = src
       .crossJoin(F.broadcast(tgt))
       .where(lenBand)
-      .withColumn("similarity", normalizedLevenshtein(F.col("source"), F.col("target")))
+      .withColumn("similarity", simExpr)
       .where(F.col("similarity") >= threshold)
     val w = Window.partitionBy("source")
       .orderBy(F.col("similarity").desc, F.col("target").asc)

@@ -103,6 +103,29 @@ class RobustnessSpec extends SparkSpec {
     }
   }
 
+  test("property: indelSim equals brute-force 2*LCS/(m+n) (seeded)") {
+    val rnd = new Random(23)
+    def lcs(a: String, b: String): Int = {
+      val dp = Array.ofDim[Int](a.length + 1, b.length + 1)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = if (a(i - 1) == b(j - 1)) dp(i - 1)(j - 1) + 1
+                   else math.max(dp(i - 1)(j), dp(i)(j - 1))
+      dp(a.length)(b.length)
+    }
+    val alpha = "abcAB "
+    val cases = (0 until 40).map { _ =>
+      def s() = Seq.fill(rnd.nextInt(12))(alpha(rnd.nextInt(alpha.length))).mkString
+      (s(), s())
+    } :+ ("", "") :+ ("", "x")
+    cases.zipWithIndex.foreach { case ((a, b), i) =>
+      val got = Seq((a, b)).toDF("a", "b")
+        .select(HashExprs.indelSim($"a", $"b").as("s")).as[Double].head()
+      val want = if (a.isEmpty && b.isEmpty) 1.0
+                 else 2.0 * lcs(a, b) / (a.length + b.length)
+      assert(math.abs(got - want) < 1e-12, s"case $i: '$a' vs '$b'")
+    }
+  }
+
   test("property: sortedIntersectCount equals set intersection size (seeded)") {
     val rnd = new Random(11)
     (0 until 30).foreach { i =>
