@@ -142,6 +142,24 @@ object Graft {
     }.reduce(_ unionAll _)
   }
 
+  /** matchValuesMapping against a NAMED standard (api.py:155-220 with
+    * target="gdc"): each pair maps a source column to a standard
+    * ATTRIBUTE whose value domain is the match target.
+    */
+  def matchValuesMapping(source: DataFrame, target: String,
+                         columnMapping: Seq[(String, String)],
+                         method: String,
+                         threshold: Double): DataFrame = {
+    require(columnMapping.nonEmpty, "column mapping must have at least one pair")
+    import org.apache.spark.sql.{functions => F}
+    val std = standard(target)
+    columnMapping.map { case (sc, attr) =>
+      matchValues(source, sc, std.valueDomain(attr), "value_name", method, threshold)
+        .select(F.lit(sc).as("source_column"), F.lit(attr).as("target_column"),
+          F.col("source"), F.col("target"), F.col("similarity"))
+    }.reduce(_ unionAll _)
+  }
+
   /** Match coverage per column pair (api.py:382-401): the fraction of
     * distinct source values that found a target match. Takes the
     * matchValuesMapping output (one row per distinct source value,

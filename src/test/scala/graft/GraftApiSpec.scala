@@ -207,6 +207,15 @@ class GraftApiSpec extends SparkSpec {
     val tv = Graft.topValueMatches(data, "diagnosis", "gdc_test",
       "primary_diagnosis", 2, "edit_distance", 0.0)
     assert(tv.columns.contains("rank") && tv.count() > 0)
+    // multi-pair mapping against the named standard
+    val mm = Graft.matchValuesMapping(data, "gdc_test",
+      Seq("diagnosis" -> "primary_diagnosis", "status" -> "vital_status"),
+      "edit_distance", 0.3)
+    assert(mm.select("target_column").distinct().as[String].collect().toSet ==
+      Set("primary_diagnosis", "vital_status"))
+    val cov = Graft.valueMatchCoverage(mm)
+      .as[(String, String, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(cov("status") == 1.0, s"got $cov")
   }
 
   test("topMatches dispatches the matcher families; ranks are dense per source") {
