@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSim, LshSig, MinHashAgg, MinHashSig, ShingleStrings, SimHash64, SortedIntersectCount, WinnowMins}
+import graft.functions.{CosineSim, IndelSim, LshSig, MinHashAgg, MinHashSig, ShingleStrings, SimHash64, SortedIntersectCount, WinnowMins}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -50,6 +50,8 @@ object GraftExtensions {
       (args: Seq[Expression]) => SimHash64(args(0))),
     ("sorted_intersect_count", "_FUNC_(a, b) - |a intersect b| for sorted long arrays",
       (args: Seq[Expression]) => SortedIntersectCount(args(0), args(1))),
+    ("indel_sim", "_FUNC_(a, b) - indel similarity 2*LCS/(|a|+|b|) (rapidfuzz ratio)",
+      (args: Seq[Expression]) => IndelSim(args(0), args(1))),
     ("minhash_agg", "_FUNC_(value, n) - n-component MinHash sketch of the group's distinct values",
       (args: Seq[Expression]) => MinHashAgg(args(0), intArg(args(1), "numHashes"))))
 

@@ -12,11 +12,13 @@ class ExtensionsSpec extends SparkSpec {
         |       size(minhash_sig(shingle_strings(
         |         filter(split(lower(text), '[^a-z0-9]+'), t -> t <> ''), 3), 32)) AS n_sig,
         |       cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS cs,
-        |       sorted_intersect_count(array(1L, 2L, 3L), array(2L, 3L, 9L)) AS ic
+        |       sorted_intersect_count(array(1L, 2L, 3L), array(2L, 3L, 9L)) AS ic,
+        |       indel_sim('Red Apple', 'apple') AS isim
         |FROM sql_docs""".stripMargin).collect().head
     assert(row.getAs[Int]("n_sig") == 32)
     assert(math.abs(row.getAs[Double]("cs") - 1.0) < 1e-12)
     assert(row.getAs[Long]("ic") == 2L)
+    assert(math.abs(row.getAs[Double]("isim") - 8.0 / 14) < 1e-12)
     assert(row.getAs[Long]("sh") != 0L)
 
     // aggregate function path: one sketch per group
