@@ -70,6 +70,17 @@ class PlanSpec extends SparkSpec {
       "banded pair generation degenerated to an all-pairs product plan")
   }
 
+  test("corpus-materialization queries keep equi/anti joins only") {
+    // keepCanonical and Decontaminate.clean anti-join the corpus
+    // against small id sets — a product plan here would scan-multiply
+    // the full corpus
+    for (q <- Seq("dedup_canonical", "decontaminate_clean")) {
+      val p = planOf(q)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$q planned a product join")
+    }
+  }
+
   test("exact dedup aggregates map-side before the hash shuffle") {
     // partial_min/partial_count markers prove the combine happens
     // before the exchange — at 100 TB the shuffle carries one row per
