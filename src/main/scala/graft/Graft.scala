@@ -117,10 +117,18 @@ object Graft {
         ValueMatcher.tfidfMatch(source, sourceColumn, target, targetColumn, threshold, topK)
       case "edit_distance" =>
         ValueMatcher.editDistanceMatch(source, sourceColumn, target, targetColumn, threshold, topK)
-      case "embeddings" =>
+      case "edit_distance_ratio" | "ratio" =>
+        ValueMatcher.editDistanceMatch(source, sourceColumn, target, targetColumn, threshold,
+          topK, scorer = "ratio")
+      case "embeddings" | "fasttext" =>
         ValueMatcher.profileEmbeddingMatch(source, sourceColumn, target, targetColumn,
           threshold = threshold, topK = topK)
-      case other => throw new IllegalArgumentException(s"unknown method: $other")
+      case "gpt" => throw new UnsupportedOperationException(
+        "top_value_matches method 'gpt' needs an external model (none in scope); " +
+          "see SURVEY.md par.6")
+      case other => throw new IllegalArgumentException(
+        s"unknown method: $other (supported: tfidf, edit_distance, " +
+          "edit_distance_ratio/ratio, embeddings/fasttext)")
     }
 
   /** match_values over a multi-pair column mapping (api.py:155-220,

@@ -359,27 +359,35 @@ object Dedup {
     // this the full MinHash signature pipeline over the corpus runs
     // twice, doubling the dominant cost exactly on the boilerplate-heavy
     // corpora the cap targets.
-    val cands = bucketCap match {
+    bucketCap match {
       case None =>
-        bandedAll.as("a").join(bandedAll.as("b"), Seq("band", "key"))
+        val cands = bandedAll.as("a").join(bandedAll.as("b"), Seq("band", "key"))
           .where(F.col("a.id") < F.col("b.id"))
           .select(F.col("a.id").as("id1"), F.col("b.id").as("id2"))
           .distinct()
+        verifyJaccard(cands, docShingleSets(df, idCol, textCol, k), threshold)
       case Some(cap) =>
+        // the cap path references the banded table three times (bucket
+        // counting, the pruning semi-join, and the candidate self-join),
+        // so it is persisted across ONE eager materializing action —
+        // jaccardPairs' pattern: the verified output is what stays
+        // cached (small near-dup pair set, caller may unpersist), the
+        // signature pipeline cache is dropped here
         val banded = bandedAll.persist()
         val ok = banded.groupBy("band", "key")
           .agg(F.count(F.lit(1)).as("bn")).where(F.col("bn") <= cap)
           .select("band", "key")
         val kept = banded.join(ok, Seq("band", "key"), "left_semi")
-        val c = kept.as("a").join(kept.as("b"), Seq("band", "key"))
+        val cands = kept.as("a").join(kept.as("b"), Seq("band", "key"))
           .where(F.col("a.id") < F.col("b.id"))
           .select(F.col("a.id").as("id1"), F.col("b.id").as("id2"))
-          .distinct().persist()
-        c.count() // materialize candidates, then drop the signature cache
+          .distinct()
+        val out = verifyJaccard(cands, docShingleSets(df, idCol, textCol, k),
+          threshold).persist()
+        out.count()
         banded.unpersist()
-        c
+        out
     }
-    verifyJaccard(cands, docShingleSets(df, idCol, textCol, k), threshold)
   }
 
   /** 64-bit SimHash per document from token term frequencies: bit b of

@@ -493,16 +493,16 @@ case class IndelSim(left: Expression, right: Expression)
         ctx.freshName("n"), ctx.freshName("m"), ctx.freshName("i"), ctx.freshName("j"))
       val (prev, cur, tmp) = (ctx.freshName("prev"), ctx.freshName("cur"), ctx.freshName("tmp"))
       s"""
-         |String $a = $x.toString();
-         |String $b = $y.toString();
-         |int $n = $a.length(); int $m = $b.length();
+         |int[] $a = $x.toString().codePoints().toArray();
+         |int[] $b = $y.toString().codePoints().toArray();
+         |int $n = $a.length; int $m = $b.length;
          |if ($n + $m == 0) { ${ev.value} = 1.0; } else {
          |  int[] $prev = new int[$m + 1];
          |  int[] $cur = new int[$m + 1];
          |  for (int $i = 1; $i <= $n; $i++) {
          |    $cur[0] = 0;
          |    for (int $j = 1; $j <= $m; $j++) {
-         |      $cur[$j] = $a.charAt($i - 1) == $b.charAt($j - 1)
+         |      $cur[$j] = $a[$i - 1] == $b[$j - 1]
          |        ? $prev[$j - 1] + 1
          |        : java.lang.Math.max($prev[$j], $cur[$j - 1]);
          |    }
@@ -514,7 +514,11 @@ case class IndelSim(left: Expression, right: Expression)
     })
 
   override def nullSafeEval(x: Any, y: Any): Any = {
-    val a = x.toString; val b = y.toString
+    // code points, not UTF-16 units — rapidfuzz scores over code
+    // points, and astral-plane chars (emoji, rare CJK) would otherwise
+    // count double and diverge from the claimed parity
+    val a = x.toString.codePoints().toArray
+    val b = y.toString.codePoints().toArray
     val n = a.length; val m = b.length
     if (n + m == 0) return 1.0
     var prev = new Array[Int](m + 1)
@@ -524,7 +528,7 @@ case class IndelSim(left: Expression, right: Expression)
       cur(0) = 0
       var j = 1
       while (j <= m) {
-        cur(j) = if (a.charAt(i - 1) == b.charAt(j - 1)) prev(j - 1) + 1
+        cur(j) = if (a(i - 1) == b(j - 1)) prev(j - 1) + 1
                  else math.max(prev(j), cur(j - 1))
         j += 1
       }

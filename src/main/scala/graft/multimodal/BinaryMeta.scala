@@ -87,6 +87,8 @@ object BinaryMeta {
     }
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(out)
     df.select(F.col(idCol).cast("long").as("id"), F.col("blob"))
+      // null ids/payloads carry nothing to encode — dropped, not NPE'd
+      .where(F.col("id").isNotNull && F.col("blob").isNotNull)
       .mapPartitions { rows =>
         // real integrations batch here (one encoder call per 64 payloads)
         rows.grouped(64).flatMap(_.map { r =>

@@ -168,15 +168,25 @@ object Ann {
     // vary across partitionings/cluster layouts). One corpus pass;
     // corpora smaller than maxTrain train on all rows, so no tiny-corpus
     // fallback branch is needed.
-    // TakeOrdered collapses to one partition; respread so the Lloyd
-    // aggregations below parallelize (assignment order is irrelevant —
-    // means use decimal accumulation, deterministic under any layout).
-    // Partition count is sized from the sample BOUND, not the cluster:
-    // a ~25k-vector slice per partition keeps per-job scheduling
-    // overhead flat when the actual sample is far below maxTrain.
+    // Two-stage deterministic sample, so the corpus never funnels
+    // through one reducer: (1) a hash-threshold FILTER (pure per-row
+    // predicate, M derived from the corpus count) cuts the corpus to
+    // ~2x maxTrain expected rows; (2) TakeOrdered by (id hash, id) —
+    // a total order, so membership is a pure function of the ids —
+    // applies the exact bound over the pre-filtered slice only. A bare
+    // .limit would be partition-order-dependent; TakeOrdered alone
+    // would gather every partition's top-maxTrain (full vector
+    // payloads) into a single task at corpus scale.
+    val n = c.count()
+    val m = math.max(1L, n / math.max(1L, 2L * maxTrain))
     val trainSet = c
+      .where(F.pmod(F.xxhash64(F.col("neighbor_id")), F.lit(m)) === 0)
       .orderBy(F.xxhash64(F.col("neighbor_id")), F.col("neighbor_id"))
       .limit(maxTrain)
+      // TakeOrdered emits one partition; respread (~25k vectors per
+      // slice at the design bound) so the Lloyd aggregations below
+      // parallelize — assignment order is irrelevant, means use
+      // decimal accumulation, deterministic under any layout
       .repartition(math.max(1, maxTrain / 25000))
       .persist()
     trainSet.count()

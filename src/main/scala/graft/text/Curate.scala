@@ -138,9 +138,14 @@ object Curate {
     * Low scores flag gibberish / vocabulary-divergent documents; the
     * classic cheap perplexity proxy when no external LM is available.
     *
-    * Two corpus passes, both linear: tokens are exploded once for
-    * counting (map-side partial aggregation absorbs the skew there)
-    * and once for scoring. The scoring join is Zipf-SKEWED by nature —
+    * Three linear corpus passes, no corpus-sized caching: one
+    * tokenize+explode for counting (map-side partial aggregation
+    * absorbs the skew there) and one per scoring branch — scans are
+    * the cheap currency at 100 TB; shuffles are not. The
+    * vocabulary-sized token-count table is cached for the round and
+    * stays cached after return (release with the session's cache
+    * cleanup if calling repeatedly). The scoring join is Zipf-SKEWED
+    * by nature —
     * natural-language token frequencies follow a power law ("the"
     * alone is ~5% of English tokens; at 100 TB that is one reducer
     * receiving billions of rows in a plain shuffle join) — so it is
