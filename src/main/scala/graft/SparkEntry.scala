@@ -305,6 +305,14 @@ object SparkEntry {
       bucketCap = MinhashBucketCap)
       .orderBy("id1", "id2")
 
+  private def dedupCapReport(t: Tables): DataFrame =
+    // per-run record of what the production caps dropped (advisor ask:
+    // a future parity break on the capped queries is then immediately
+    // attributable to cap pressure vs a real regression)
+    Dedup.capReport(t.documents, "doc_id", "text", k = 3,
+      dfCap = JaccardDfCap.get, numHashes = 128, bands = 32,
+      bucketCap = MinhashBucketCap.get)
+
   private def dedupSimhash(t: Tables): DataFrame =
     Dedup.simhashPairs(t.documents, "doc_id", "text", maxHamming = 3)
       .orderBy("id1", "id2")
@@ -530,6 +538,7 @@ object SparkEntry {
       "dedup_canonical" -> q(dedupCanonical),
       "dedup_jaccard" -> q(dedupJaccard),
       "dedup_minhash" -> q(dedupMinhash),
+      "dedup_cap_report" -> q(dedupCapReport),
       "dedup_simhash" -> q(dedupSimhash),
       "dedup_embedding" -> q(dedupEmbedding),
       "dedup_embedding_lsh" -> q(dedupEmbeddingLsh),

@@ -170,7 +170,8 @@ object Dedup {
   private val SmallGraphEdges = 10L * 1000 * 1000
 
   def components(pairs: DataFrame, maxIter: Int = 20,
-                 releaseInput: Boolean = false): DataFrame = {
+                 releaseInput: Boolean = false,
+                 smallGraphLimit: Long = SmallGraphEdges): DataFrame = {
     // persist the pair input: it feeds the size probe plus every
     // propagation round (or the union-find collect) — without this, an
     // expensive upstream pipeline (e.g. jaccardPairs) would rerun per
@@ -194,7 +195,7 @@ object Dedup {
     val nPairs = p.count()
     // size probe doubles as the materializing action; undirected edge
     // count is at most 2x the pair count
-    if (2 * nPairs <= SmallGraphEdges) {
+    if (2 * nPairs <= smallGraphLimit) {
       return done(componentsUnionFind(p))
     }
     val edges = p.select(F.col("id1").as("a"), F.col("id2").as("b"))
@@ -231,8 +232,22 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
+    // The loop's final labels frame is cached, but its LINEAGE still
+    // walks through edges (unpersisted next line) and the caller's
+    // pair pipeline (dropped when releaseInput) — an executor loss
+    // would silently re-run the entire upstream near-dup pipeline to
+    // rebuild evicted label partitions. Truncate the lineage before
+    // releasing the supports: a reliable checkpoint when the session
+    // has a checkpoint dir (the cluster deployment), else an eager
+    // localCheckpoint (single-JVM runs, where losing an executor
+    // means losing the app anyway).
+    val pinned =
+      if (labels.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        labels.checkpoint()
+      else labels.localCheckpoint(true)
+    labels.unpersist()
     edges.unpersist()
-    done(labels)
+    done(pinned)
   }
 
   /** Small-graph fast path: classic union-find with path compression
@@ -326,6 +341,28 @@ object Dedup {
   def minhashSignature(shingleArr: Column, numHashes: Int): Column =
     graft.functions.HashExprs.minhashSig(shingleArr, numHashes)
 
+  /** (id, band, key) LSH-bucket table: per-doc MinHash signature in
+    * one native pass, then band explosion without a lambda
+    * (transform(sequence(...)) is an interpreted HOF and would knock
+    * the projection out of codegen) — explode a literal band-index
+    * array, then slice + hash per row.
+    */
+  private def minhashBanded(df: DataFrame, idCol: String, textCol: String,
+                            k: Int, numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val shArr = F.array_distinct(TextOps.shingles(TextOps.tokens(F.col(textCol)), k))
+    val sigs = df.select(F.col(idCol).as("id"), shArr.as("shs"))
+      .where(F.size(F.col("shs")) > 0)
+      .select(F.col("id"), minhashSignature(F.col("shs"), numHashes).as("sig"))
+    sigs
+      .select(F.col("id"), F.col("sig"),
+        F.explode(F.lit((0 until bands).toArray)).as("band"))
+      .select(F.col("id"), F.col("band"),
+        F.xxhash64(F.col("band"),
+          F.slice(F.col("sig"), F.col("band") * rows + 1, F.lit(rows))).as("key"))
+  }
+
   /** Near-dup pairs via MinHash + LSH banding, then exact-Jaccard
     * verification of candidates (so output has no false positives;
     * recall is governed by bands/rows as usual for LSH).
@@ -333,21 +370,7 @@ object Dedup {
   def minhashLsh(df: DataFrame, idCol: String, textCol: String, k: Int,
                  numHashes: Int, bands: Int, threshold: Double,
                  bucketCap: Option[Long] = None): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
-    val shArr = F.array_distinct(TextOps.shingles(TextOps.tokens(F.col(textCol)), k))
-    val sigs = df.select(F.col(idCol).as("id"), shArr.as("shs"))
-      .where(F.size(F.col("shs")) > 0)
-      .select(F.col("id"), minhashSignature(F.col("shs"), numHashes).as("sig"))
-    // band explosion without a lambda (transform(sequence(...)) is an
-    // interpreted HOF and would knock the projection out of codegen):
-    // explode a literal band-index array, then slice + hash per row
-    val bandedAll = sigs
-      .select(F.col("id"), F.col("sig"),
-        F.explode(F.lit((0 until bands).toArray)).as("band"))
-      .select(F.col("id"), F.col("band"),
-        F.xxhash64(F.col("band"),
-          F.slice(F.col("sig"), F.col("band") * rows + 1, F.lit(rows))).as("key"))
+    val bandedAll = minhashBanded(df, idCol, textCol, k, numHashes, bands)
     // bucketCap: drop LSH buckets bigger than cap before the self-join —
     // a bucket of n docs emits O(n^2) candidates, and on boilerplate-heavy
     // corpora a single degenerate bucket can dominate the whole job.
@@ -388,6 +411,48 @@ object Dedup {
         banded.unpersist()
         out
     }
+  }
+
+  /** Diagnostics for the two 100 TB candidate-blowup guards: how much
+    * each cap actually dropped on THIS corpus. Running it alongside the
+    * capped dedup queries makes a future oracle-parity break immediately
+    * attributable — if a data refresh puts true near-dup pairs onto
+    * boilerplate shingles or degenerate buckets, these counters move
+    * first. Output rows (metric, value):
+    *  - jaccard_shingles_over_dfcap: distinct shingle hashes whose doc
+    *    frequency exceeds dfCap (each excluded from candidate
+    *    generation);
+    *  - jaccard_postings_dropped: inverted-index postings riding on
+    *    those shingles (the candidate-generation mass removed);
+    *  - minhash_buckets_over_cap: LSH (band, key) buckets larger than
+    *    bucketCap (pruned whole);
+    *  - minhash_band_entries_dropped: banded signature rows inside
+    *    those buckets.
+    * Two linear passes (shingle pipeline, signature pipeline), each
+    * reduced map-side to per-key counts before the tiny final aggs.
+    */
+  def capReport(df: DataFrame, idCol: String, textCol: String, k: Int,
+                dfCap: Long, numHashes: Int, bands: Int,
+                bucketCap: Long): DataFrame = {
+    val dfreq = docShingles(df, idCol, textCol, k)
+      .groupBy("sh").agg(F.count(F.lit(1)).as("df"))
+      .where(F.col("df") > dfCap)
+    val jac = dfreq.agg(
+      F.count(F.lit(1)).as("jaccard_shingles_over_dfcap"),
+      F.coalesce(F.sum("df"), F.lit(0L)).as("jaccard_postings_dropped"))
+    val buckets = minhashBanded(df, idCol, textCol, k, numHashes, bands)
+      .groupBy("band", "key").agg(F.count(F.lit(1)).as("bn"))
+      .where(F.col("bn") > bucketCap)
+    val mh = buckets.agg(
+      F.count(F.lit(1)).as("minhash_buckets_over_cap"),
+      F.coalesce(F.sum("bn"), F.lit(0L)).as("minhash_band_entries_dropped"))
+    def unpivot(d: DataFrame): DataFrame = {
+      val cols = d.columns
+      d.select(F.explode(F.map(
+        cols.flatMap(c => Seq(F.lit(c), F.col(c).cast("long"))): _*)))
+        .toDF("metric", "value")
+    }
+    unpivot(jac).unionAll(unpivot(mh)).orderBy("metric")
   }
 
   /** 64-bit SimHash per document from token term frequencies: bit b of

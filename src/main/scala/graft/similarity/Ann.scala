@@ -140,10 +140,11 @@ object Ann {
   def ivfTopK(queries: DataFrame, qId: String, qVec: String,
               corpus: DataFrame, cId: String, cVec: String,
               k: Int, nCells: Int = 16, nProbe: Int = 3,
-              iters: Int = 3, maxTrain: Int = 100000): DataFrame = {
+              iters: Int = 3, maxTrain: Int = 100000,
+              rowCountHint: Option[Long] = None): DataFrame = {
     import graft.functions.HashExprs.topCells
     val c = corpus.select(F.col(cId).as("neighbor_id"), F.col(cVec).as("cv"))
-    val cents = trainCentroids(c, nCells, iters, maxTrain)
+    val cents = trainCentroids(c, nCells, iters, maxTrain, rowCountHint)
 
     // ONE full-corpus pass: assign each vector to its cell on the fly —
     // no cache, the assignment feeds the candidate join directly
@@ -154,7 +155,8 @@ object Ann {
 
   /** Lloyd-trained coarse-quantizer centroids over (neighbor_id, cv). */
   private def trainCentroids(c: DataFrame, nCells: Int, iters: Int,
-                             maxTrain: Int): Seq[Seq[Double]] = {
+                             maxTrain: Int,
+                             rowCountHint: Option[Long] = None): Seq[Seq[Double]] = {
     import graft.functions.HashExprs.topCells
     // Lloyd training runs on a BOUNDED sample, never the full corpus:
     // at 100 TB, caching the corpus and re-scanning it per iteration is
@@ -170,14 +172,36 @@ object Ann {
     // fallback branch is needed.
     // Two-stage deterministic sample, so the corpus never funnels
     // through one reducer: (1) a hash-threshold FILTER (pure per-row
-    // predicate, M derived from the corpus count) cuts the corpus to
+    // predicate, M sized from a row-count hint / plan stats — no extra
+    // counting pass) cuts the corpus to
     // ~2x maxTrain expected rows; (2) TakeOrdered by (id hash, id) —
     // a total order, so membership is a pure function of the ids —
     // applies the exact bound over the pre-filtered slice only. A bare
     // .limit would be partition-order-dependent; TakeOrdered alone
     // would gather every partition's top-maxTrain (full vector
     // payloads) into a single task at corpus scale.
-    val n = c.count()
+    // n drives ONLY the pre-filter modulus (an order-of-magnitude knob,
+    // not a correctness input), so avoid a dedicated count() job where
+    // cheaper evidence exists: a caller-supplied hint first, then
+    // Catalyst's plan statistics (exact for freshly-written tables,
+    // size-derived estimates otherwise), and a real count() only as the
+    // last resort — that extra pass was a doubled training-stage read
+    // at the 100 TB design point.
+    val n = rowCountHint.getOrElse {
+      val plan = c.queryExecution.optimizedPlan
+      plan.stats.rowCount.map(_.longValue).getOrElse {
+        val bytes = plan.stats.sizeInBytes
+        // fall back to a bytes/row estimate, deliberately UNDER-
+        // estimating (vector rows are >=256 B even compressed): a low n
+        // gives a small modulus, which keeps MORE rows than the 2x
+        // target — the TakeOrdered bound still caps the sample exactly,
+        // while over-estimating would silently shrink the training set
+        // below maxTrain. For a stored table sizeInBytes is stable, so
+        // the sample stays a pure function of (table, ids).
+        if (bytes > 0 && bytes < BigInt(Long.MaxValue)) math.max(1L, (bytes / 512).longValue)
+        else c.count()
+      }
+    }
     val m = math.max(1L, n / math.max(1L, 2L * maxTrain))
     val trainSet = c
       .where(F.pmod(F.xxhash64(F.col("neighbor_id")), F.lit(m)) === 0)
@@ -248,10 +272,11 @@ object Ann {
     */
   def ivfBuild(corpus: DataFrame, cId: String, cVec: String, path: String,
                nCells: Int = 16, iters: Int = 3,
-               maxTrain: Int = 100000): Unit = {
+               maxTrain: Int = 100000,
+               rowCountHint: Option[Long] = None): Unit = {
     import graft.functions.HashExprs.topCells
     val c = corpus.select(F.col(cId).as("neighbor_id"), F.col(cVec).as("cv"))
-    val cents = trainCentroids(c, nCells, iters, maxTrain)
+    val cents = trainCentroids(c, nCells, iters, maxTrain, rowCountHint)
     val spark = corpus.sparkSession
     val centRows = cents.zipWithIndex.map { case (m, i) =>
       org.apache.spark.sql.Row(i, m)

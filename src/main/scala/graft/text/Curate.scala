@@ -138,14 +138,14 @@ object Curate {
     * Low scores flag gibberish / vocabulary-divergent documents; the
     * classic cheap perplexity proxy when no external LM is available.
     *
-    * Three linear corpus passes, no corpus-sized caching: one
+    * Three linear corpus passes, NO caching at all: one
     * tokenize+explode for counting (map-side partial aggregation
     * absorbs the skew there) and one per scoring branch — scans are
-    * the cheap currency at 100 TB; shuffles are not. The
-    * vocabulary-sized token-count table is cached for the round and
-    * stays cached after return (release with the session's cache
-    * cleanup if calling repeatedly). The scoring join is Zipf-SKEWED
-    * by nature —
+    * the cheap currency at 100 TB; shuffles are not. The token-count
+    * shuffle is referenced by three consumers inside the returned
+    * plan and deduplicated by ReuseExchange at execution, so repeated
+    * calls leave nothing pinned in executor memory. The scoring join
+    * is Zipf-SKEWED by nature —
     * natural-language token frequencies follow a power law ("the"
     * alone is ~5% of English tokens; at 100 TB that is one reducer
     * receiving billions of rows in a plain shuffle join) — so it is
@@ -159,10 +159,14 @@ object Curate {
                      headK: Int = 10000): DataFrame = {
     val docToks = df.select(F.col(idCol).as("id"),
       F.explode(TextOps.tokens(F.col(textCol))).as("tok"))
-    // vocabulary-sized (small vs the corpus) and read by the head
-    // TakeOrdered, the tail anti-join, and the totals agg — cached so
-    // the corpus-wide token count runs once
-    val counts = docToks.groupBy("tok").agg(F.count(F.lit(1)).as("c")).persist()
+    // The token-count aggregation feeds the head TakeOrdered, the tail
+    // anti-join, and the totals agg. NOT cached: all three consumers
+    // sit inside the one returned plan, where ReuseExchange dedupes the
+    // identical count-shuffle — the corpus-wide tokenize+shuffle runs
+    // once per materialization with no session-lifetime cache left
+    // behind (a previous persist here leaked a vocabulary-sized cache
+    // on every call until someone cleared the whole session cache).
+    val counts = docToks.groupBy("tok").agg(F.count(F.lit(1)).as("c"))
     // corpus totals: one tiny agg, broadcast into the probability expr
     val totals = counts.agg(F.sum("c").as("n_total"), F.count(F.lit(1)).as("n_vocab"))
     val probs = counts.crossJoin(F.broadcast(totals))

@@ -107,6 +107,21 @@ class CurateSpec extends SparkSpec {
     assert(split.size == 60)
   }
 
+  test("unigramLogProb leaves no cache behind; count shuffle reused in-plan") {
+    val docs = (1L to 40L).map(i => (i, s"alpha beta tok$i")).toDF("doc_id", "text")
+    spark.catalog.clearCache()
+    val out = Curate.unigramLogProb(docs, "doc_id", "text", headK = 2)
+    out.collect()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "scoring must not pin a vocabulary cache for the session")
+    // the token-count aggregation feeds head/tail/totals inside ONE
+    // plan; ReuseExchange must dedupe the count shuffle, not re-run the
+    // corpus tokenize per consumer
+    val executed = out.queryExecution.executedPlan.toString
+    assert(executed.contains("ReusedExchange"),
+      "token-count exchange must be reused across its in-plan consumers")
+  }
+
   test("unigramLogProb matches the hand-computed add-one model") {
     val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
     val out = Curate.unigramLogProb(docs, "doc_id", "text")

@@ -63,6 +63,46 @@ class DedupSpec extends SparkSpec {
       "terminal consumer must release the input cache")
   }
 
+  test("components distributed path: labels survive upstream cache release") {
+    // smallGraphLimit = 0 forces the label-propagation path on a small
+    // graph; releaseInput drops the caller's pair cache. The returned
+    // labels must have TRUNCATED lineage (checkpointed), so collecting
+    // them after a full cache purge cannot re-walk the released input.
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 7L), (10L, 11L))
+      .toDF("id1", "id2").persist()
+    pairs.count()
+    val labels = Dedup.components(pairs, releaseInput = true, smallGraphLimit = 0)
+    spark.catalog.clearCache() // simulate eviction of every cached frame
+    val comp = labels.as[(Long, Long)].collect().toMap
+    assert(comp(1L) == 1L && comp(2L) == 1L && comp(3L) == 1L && comp(7L) == 1L)
+    assert(comp(10L) == 10L && comp(11L) == 10L)
+    assert(!labels.queryExecution.optimizedPlan.toString.contains("Join"),
+      "truncated lineage must not reach the propagation join pipeline")
+  }
+
+  test("capReport counts what dfCap and bucketCap drop") {
+    // 30 docs sharing one boilerplate sentence + unique tails: the
+    // shared shingles have df=30 > dfCap=10, and every doc lands in the
+    // same full-signature buckets only if identical — use exact dups to
+    // force an over-cap bucket
+    val boiler = (1 to 30).map(i =>
+      (i.toLong, s"shared boilerplate sentence common to all docs plus unique tail $i"))
+    val dups = (31 to 40).map(i => (i.toLong, "exactly the same text every time"))
+    val corpus = (boiler ++ dups).toDF("doc_id", "text")
+    val rep = Dedup.capReport(corpus, "doc_id", "text", k = 3,
+      dfCap = 10, numHashes = 16, bands = 4, bucketCap = 5)
+      .as[(String, Long)].collect().toMap
+    assert(rep("jaccard_shingles_over_dfcap") > 0,
+      "30-doc boilerplate shingles exceed dfCap=10")
+    assert(rep("jaccard_postings_dropped") >= 11 * rep("jaccard_shingles_over_dfcap"),
+      "each over-cap shingle carries more than dfCap postings")
+    assert(rep("minhash_buckets_over_cap") >= 4,
+      "10 identical docs collide in all 4 bands; each bucket has 10 > 5")
+    assert(rep("minhash_band_entries_dropped") >= 40,
+      "4 over-cap buckets x 10 docs")
+    assert(rep.keySet.size == 4)
+  }
+
   test("keepCanonical drops all but the min-id doc per near-dup cluster") {
     val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id1", "id2")
     val kept = Dedup.keepCanonical(docs, "doc_id", pairs)
