@@ -6,10 +6,19 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR and prints one JSON line. Each query is fully
   * materialized through the noop sink (count() would let Catalyst
   * prune the computed columns away and under-report).
+  *
+  * Each query runs SPARK_GRAFT_BENCH_REPS times (default 3) and the
+  * reported per-query number is the MEDIAN; min/max ride along in
+  * "queries_min"/"queries_max". Single-rep timings on a shared-JVM
+  * 55-query session swing 3-5x run-to-run (GC, page cache, scheduler
+  * phase — measured in round 4 by isolated re-runs), which is wider
+  * than any regression worth detecting; the median across reps with
+  * cache-cleared boundaries is stable within ~20%.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
     val spark = GraftSession.build(appName = "graft-bench")
     // Warm-up: JVM/codegen classloading, parquet footers + page cache,
     // and the shared text/shingle pipeline — so per-query numbers
@@ -34,23 +43,31 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // cache hygiene between queries: pipelines that legitimately
-      // persist intermediates (pair tables, vocabularies) must not
-      // accumulate across the run — leftover cached frames shift later
-      // queries' numbers via storage/GC pressure, not plan quality
-      spark.catalog.clearCache()
-      name -> dt
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // cache hygiene between reps AND queries: pipelines that
+        // legitimately persist intermediates (pair tables, vocabularies)
+        // must not accumulate across the run — leftover cached frames
+        // shift later numbers via storage/GC pressure, not plan quality
+        spark.catalog.clearCache()
+        dt
+      }.sorted
+      // lower median for even rep counts — deterministic, no averaging
+      name -> (times((times.length - 1) / 2), times.head, times.last)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def obj(f: ((String, (Double, Double, Double))) => Double): String =
+      results.map { case (k, v) => "\"" + k + "\":" + f((k, v)) }
+        .mkString("{", ",", "}")
+    val qs = obj(_._2._1)
+    val qmin = obj(_._2._2)
+    val qmax = obj(_._2._3)
+    val total = results.map(_._2._1).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"queries_min":$qmin,"queries_max":$qmax,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -92,11 +92,12 @@ object Graft {
       case "edit_distance_ratio" | "ratio" =>
         ValueMatcher.editDistanceMatch(source, sourceColumn, target, targetColumn,
           threshold, scorer = "ratio")
-      // "fasttext" is the reference's embedding matcher name
-      // (value_matching/matcher_factory.py:17-20); the hashing-trick
-      // character-profile cosine is the declared public-knowledge
-      // stand-in for it (SURVEY.md par.6)
-      case "embeddings" | "fasttext" =>
+      // "embedding" and "fasttext" are the reference's two embedding
+      // matcher names (value_matching/matcher_factory.py:13-20, both
+      // registered verbatim); the hashing-trick character-profile
+      // cosine is the declared public-knowledge stand-in for both
+      // (SURVEY.md par.6) — "embeddings" stays as a lenient alias
+      case "embedding" | "embeddings" | "fasttext" =>
         ValueMatcher.profileEmbeddingMatch(source, sourceColumn, target, targetColumn,
           threshold = threshold)
       case "gpt" => throw new UnsupportedOperationException(
@@ -104,7 +105,7 @@ object Graft {
           "see SURVEY.md par.6")
       case other => throw new IllegalArgumentException(
         s"unknown match_values method: $other (supported: tfidf, edit_distance, " +
-          "edit_distance_ratio/ratio, embeddings/fasttext)")
+          "edit_distance_ratio/ratio, embedding/embeddings/fasttext)")
     }
 
   /** top_value_matches (api.py:222): top-k target values per source value. */
@@ -120,7 +121,7 @@ object Graft {
       case "edit_distance_ratio" | "ratio" =>
         ValueMatcher.editDistanceMatch(source, sourceColumn, target, targetColumn, threshold,
           topK, scorer = "ratio")
-      case "embeddings" | "fasttext" =>
+      case "embedding" | "embeddings" | "fasttext" =>
         ValueMatcher.profileEmbeddingMatch(source, sourceColumn, target, targetColumn,
           threshold = threshold, topK = topK)
       case "gpt" => throw new UnsupportedOperationException(
@@ -128,7 +129,7 @@ object Graft {
           "see SURVEY.md par.6")
       case other => throw new IllegalArgumentException(
         s"unknown method: $other (supported: tfidf, edit_distance, " +
-          "edit_distance_ratio/ratio, embeddings/fasttext)")
+          "edit_distance_ratio/ratio, embedding/embeddings/fasttext)")
     }
 
   /** match_values over a multi-pair column mapping (api.py:155-220,

@@ -9,8 +9,20 @@ import org.apache.spark.sql.SparkSession
   * local mode — on a real cluster this would be ~2-3x total cores).
   */
 object GraftSession {
+  /** @param checkpointDir optional RELIABLE checkpoint location
+    *        (HDFS/object-store path on a cluster). When set,
+    *        lineage-truncating operators (Dedup.components) take the
+    *        `checkpoint()` branch, so an executor loss re-reads pinned
+    *        labels instead of silently re-running a released upstream
+    *        pipeline; unset (the single-JVM default) they fall back to
+    *        an eager localCheckpoint. Also settable via the
+    *        SPARK_GRAFT_CHECKPOINT_DIR env var — cluster deployments
+    *        should set one of the two.
+    */
   def build(master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]",
-            appName: String = "graft"): SparkSession = {
+            appName: String = "graft",
+            checkpointDir: Option[String] =
+              sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR")): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession
       .builder()
@@ -26,6 +38,7 @@ object GraftSession {
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
     spark
   }
 }

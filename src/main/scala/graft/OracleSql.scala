@@ -32,6 +32,25 @@ object OracleSql {
       |  FROM scored WHERE similarity >= 0.5)
       |""".stripMargin
 
+  /** Exact word-3-gram-shingle Jaccard pairs at threshold 0.5 — the
+    * oracle for BOTH dedup_jaccard (PPJoin exact) and dedup_minhash
+    * (banded approximate with exact verification): precision is 1.0 by
+    * construction for both, so equality == full recall.
+    */
+  private val exactJaccardPairs =
+    s"""WITH tk AS (SELECT doc_id, ${toks("text")} AS tl FROM documents),
+       |sh AS (SELECT DISTINCT doc_id,
+       |         unnest([tl[i] || ' ' || tl[i+1] || ' ' || tl[i+2]
+       |                 for i in generate_series(1, greatest(len(tl) - 2, 0))]) AS sh
+       |       FROM tk),
+       |n AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+       |i AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS ni
+       |      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+       |SELECT id1, id2, jaccard FROM (
+       |  SELECT id1, id2, CAST(ni AS DOUBLE) / CAST(n1.sz + n2.sz - ni AS DOUBLE) AS jaccard
+       |  FROM i JOIN n n1 ON id1 = n1.doc_id JOIN n n2 ON id2 = n2.doc_id)
+       |WHERE jaccard >= 0.5 ORDER BY id1, id2""".stripMargin
+
   val all: Map[String, String] = Map(
 
     "preview_domain" ->
@@ -349,19 +368,15 @@ object OracleSql {
         |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))
         |ORDER BY doc_id""".stripMargin,
 
-    "dedup_jaccard" ->
-      s"""WITH tk AS (SELECT doc_id, ${toks("text")} AS tl FROM documents),
-         |sh AS (SELECT DISTINCT doc_id,
-         |         unnest([tl[i] || ' ' || tl[i+1] || ' ' || tl[i+2]
-         |                 for i in generate_series(1, greatest(len(tl) - 2, 0))]) AS sh
-         |       FROM tk),
-         |n AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-         |i AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS ni
-         |      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
-         |SELECT id1, id2, jaccard FROM (
-         |  SELECT id1, id2, CAST(ni AS DOUBLE) / CAST(n1.sz + n2.sz - ni AS DOUBLE) AS jaccard
-         |  FROM i JOIN n n1 ON id1 = n1.doc_id JOIN n n2 ON id2 = n2.doc_id)
-         |WHERE jaccard >= 0.5 ORDER BY id1, id2""".stripMargin,
+    "dedup_jaccard" -> exactJaccardPairs,
+
+    // the wired query generates candidates via MinHash(128)+LSH banding
+    // and verifies them with the exact Jaccard; the oracle is the EXACT
+    // pair join (same as dedup_jaccard), so the parity gate doubles as a
+    // per-round full-recall check on the banded scale path — signatures
+    // are deterministic (hash-derived permutations, no RNG), so this
+    // either holds at the gate's SF or fails loudly
+    "dedup_minhash" -> exactJaccardPairs,
 
     "boilerplate_ngrams" ->
       s"""WITH tk AS (SELECT doc_id, ${toks("text")} AS tl FROM documents),
@@ -453,7 +468,10 @@ object OracleSql {
          |WHERE doc_id % 20 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
          |ORDER BY doc_id""".stripMargin,
 
-    "dedup_embedding" ->
+    // the wired query computes the pairs via banded LSH + exact verify;
+    // the oracle is the EXACT pair join, so the parity gate doubles as a
+    // per-round full-recall check on the scale path
+    "dedup_embedding_lsh" ->
       """SELECT id1, id2, similarity FROM (
         |  SELECT a.vec_id AS id1, b.vec_id AS id2,
         |         list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS sim,

@@ -379,13 +379,15 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
-  private def dedupEmbedding(t: Tables): DataFrame =
-    Ann.cosinePairs(t.embeddings, "vec_id", "embedding", threshold = 0.4)
-      .orderBy("id1", "id2")
-
   private def dedupEmbeddingLsh(t: Tables): DataFrame =
     // the scale path: banded hyperplane signatures + exact verify — no
-    // all-pairs join anywhere in the plan (asserted in PlanSpec)
+    // all-pairs join anywhere in the plan (asserted in PlanSpec). This
+    // is also the ORACLE-checked embedding near-dup query: the DuckDB
+    // twin is the exact pair join, so any recall shortfall fails the
+    // parity gate — exactly the guard we want on the scale path. The
+    // exact product-join baseline (Ann.cosinePairs) is spec-only at
+    // sf0.001 (SimilaritySpec), keeping the wired query set free of
+    // nested-loop product plans.
     Ann.cosinePairsLsh(t.embeddings, "vec_id", "embedding", threshold = 0.4)
       .orderBy("id1", "id2")
 
@@ -540,7 +542,6 @@ object SparkEntry {
       "dedup_minhash" -> q(dedupMinhash),
       "dedup_cap_report" -> q(dedupCapReport),
       "dedup_simhash" -> q(dedupSimhash),
-      "dedup_embedding" -> q(dedupEmbedding),
       "dedup_embedding_lsh" -> q(dedupEmbeddingLsh),
       "decontaminate" -> q(decontaminate),
       "decontaminate_clean" -> q(decontaminateClean),

@@ -347,8 +347,8 @@ object Dedup {
     * the projection out of codegen) — explode a literal band-index
     * array, then slice + hash per row.
     */
-  private def minhashBanded(df: DataFrame, idCol: String, textCol: String,
-                            k: Int, numHashes: Int, bands: Int): DataFrame = {
+  private[graft] def minhashBanded(df: DataFrame, idCol: String, textCol: String,
+                                   k: Int, numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val shArr = F.array_distinct(TextOps.shingles(TextOps.tokens(F.col(textCol)), k))
@@ -433,14 +433,26 @@ object Dedup {
     */
   def capReport(df: DataFrame, idCol: String, textCol: String, k: Int,
                 dfCap: Long, numHashes: Int, bands: Int,
-                bucketCap: Long): DataFrame = {
-    val dfreq = docShingles(df, idCol, textCol, k)
+                bucketCap: Long): DataFrame =
+    capReport(docShingles(df, idCol, textCol, k),
+      minhashBanded(df, idCol, textCol, k, numHashes, bands),
+      dfCap, bucketCap)
+
+  /** capReport over PRE-BUILT pipeline frames: callers already running
+    * the capped dedup queries can hand in the (id, sh) shingle table
+    * and the (id, band, key) banded signature table (persisted or not)
+    * instead of paying two fresh corpus passes — the counters are
+    * identical by construction (same frames, same aggregations).
+    */
+  def capReport(docShingles: DataFrame, minhashBanded: DataFrame,
+                dfCap: Long, bucketCap: Long): DataFrame = {
+    val dfreq = docShingles
       .groupBy("sh").agg(F.count(F.lit(1)).as("df"))
       .where(F.col("df") > dfCap)
     val jac = dfreq.agg(
       F.count(F.lit(1)).as("jaccard_shingles_over_dfcap"),
       F.coalesce(F.sum("df"), F.lit(0L)).as("jaccard_postings_dropped"))
-    val buckets = minhashBanded(df, idCol, textCol, k, numHashes, bands)
+    val buckets = minhashBanded
       .groupBy("band", "key").agg(F.count(F.lit(1)).as("bn"))
       .where(F.col("bn") > bucketCap)
     val mh = buckets.agg(

@@ -223,4 +223,57 @@ class DedupSpec extends SparkSpec {
     assert(h12.exists(_._3 == 0), "identical texts have identical simhash")
     out.foreach { case (_, _, h) => assert(h <= 3) }
   }
+
+  test("capReport over pre-built frames equals the from-scratch counters") {
+    // a caller already running the capped dedup queries hands in the
+    // shingle and banded-signature tables it built — same counters,
+    // two corpus passes saved
+    val boiler = (1 to 30).map(i =>
+      (i.toLong, s"shared boilerplate sentence common to all docs plus unique tail $i"))
+    val dups = (31 to 40).map(i => (i.toLong, "exactly the same text every time"))
+    val corpus = (boiler ++ dups).toDF("doc_id", "text")
+    val scratch = Dedup.capReport(corpus, "doc_id", "text", k = 3,
+      dfCap = 10, numHashes = 16, bands = 4, bucketCap = 5)
+      .as[(String, Long)].collect().toMap
+    val shingles = Dedup.docShingles(corpus, "doc_id", "text", k = 3).persist()
+    val banded = Dedup.minhashBanded(corpus, "doc_id", "text",
+      k = 3, numHashes = 16, bands = 4).persist()
+    val shared = Dedup.capReport(shingles, banded, dfCap = 10, bucketCap = 5)
+      .as[(String, Long)].collect().toMap
+    shingles.unpersist(); banded.unpersist()
+    assert(shared == scratch, s"shared-frame counters drifted: $shared vs $scratch")
+  }
+
+  test("components takes the RELIABLE checkpoint branch when a dir is set") {
+    // cluster deployments set a checkpoint dir (GraftSession.build knob /
+    // SPARK_GRAFT_CHECKPOINT_DIR); the distributed-path labels must then
+    // be pinned by a reliable checkpoint() — files on the checkpoint
+    // store — so an executor loss re-reads them instead of re-running
+    // the released upstream pair pipeline
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 7L), (10L, 11L))
+      .toDF("id1", "id2").persist()
+    pairs.count()
+    val labels = Dedup.components(pairs, releaseInput = true, smallGraphLimit = 0)
+    spark.catalog.clearCache()
+    val comp = labels.as[(Long, Long)].collect().toMap
+    assert(comp(7L) == 1L && comp(11L) == 10L)
+    assert(!labels.queryExecution.optimizedPlan.toString.contains("Join"),
+      "checkpointed labels must not re-walk the propagation pipeline")
+    val ckptFiles = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(java.nio.file.Files.isRegularFile(_)).count()
+    assert(ckptFiles > 0, "reliable checkpoint wrote no files — branch not taken")
+  }
+
+  test("GraftSession.build checkpointDir knob reaches the SparkContext") {
+    // getOrCreate returns the shared test session, so the knob must
+    // apply to the ACTIVE context — which is exactly the deployment
+    // contract (one session, its context carries the checkpoint dir)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-knob").toString
+    val s = GraftSession.build(master = "local[2]", checkpointDir = Some(dir))
+    assert(s.sparkContext.getCheckpointDir.exists(_.contains(
+      java.nio.file.Paths.get(dir).getFileName.toString)),
+      s"checkpoint dir not applied: ${s.sparkContext.getCheckpointDir}")
+  }
 }

@@ -28,7 +28,7 @@ class GraftApiSpec extends SparkSpec {
   }
 
   test("facade dispatches every match_values method incl. fasttext stand-in") {
-    Seq("tfidf", "edit_distance", "embeddings", "fasttext").foreach { m =>
+    Seq("tfidf", "edit_distance", "embedding", "embeddings", "fasttext").foreach { m =>
       val out = Graft.matchValues(src, "status", tgt, "status_code",
         method = m, threshold = 0.0)
       assert(out.columns.toSeq == Seq("source", "target", "similarity"), s"method $m")

@@ -70,6 +70,36 @@ class PlanSpec extends SparkSpec {
       "banded pair generation degenerated to an all-pairs product plan")
   }
 
+  // Queries whose plans legitimately contain a BroadcastNestedLoopJoin:
+  // every entry broadcasts a side BOUNDED BY CONSTRUCTION — a distinct
+  // value domain (value matching scores all pairs of DISTINCT values,
+  // the reference semantics; cost is |distinct|^2, never |rows|^2), a
+  // column-name list, a single-row corpus total, or a driver-small
+  // query batch (ann_topk is the declared brute-force baseline). A BNLJ
+  // over an UNBOUNDED side — like the retired dedup_embedding exact
+  // pair join over the whole corpus — is the scale-killer this test
+  // exists to catch.
+  private val boundedBroadcastBnlj = Set(
+    "match_values_edit", "match_values_topk", "match_values_tfidf",
+    "match_values_embedding", "match_values_coverage",
+    "match_schema_name", "match_schema_sketch", "match_schema_twophase",
+    "match_schema_maxvalsim", "match_schema_overlap", "match_schema_topk",
+    "text_lm_score", "ann_topk")
+
+  test("no wired query plans a CartesianProduct; BNLJ only on bounded-broadcast baselines") {
+    val withBnlj = scala.collection.mutable.Set[String]()
+    for ((name, _) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val p = planOf(name)
+      assert(!p.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct — a shuffled product join")
+      if (p.contains("BroadcastNestedLoopJoin")) withBnlj += name
+    }
+    assert(withBnlj == boundedBroadcastBnlj,
+      s"BNLJ set drifted: unexpected=${(withBnlj -- boundedBroadcastBnlj).toSeq.sorted} " +
+        s"stale-allowlist=${(boundedBroadcastBnlj -- withBnlj).toSeq.sorted} — " +
+        "a new entry needs a bounded-broadcast justification above")
+  }
+
   test("corpus-materialization queries keep equi/anti joins only") {
     // keepCanonical and Decontaminate.clean anti-join the corpus
     // against small id sets — a product plan here would scan-multiply
