@@ -37,7 +37,7 @@ object OracleSql {
     * (banded approximate with exact verification): precision is 1.0 by
     * construction for both, so equality == full recall.
     */
-  private val exactJaccardPairs =
+  private val jaccardPairsCte =
     s"""WITH tk AS (SELECT doc_id, ${toks("text")} AS tl FROM documents),
        |sh AS (SELECT DISTINCT doc_id,
        |         unnest([tl[i] || ' ' || tl[i+1] || ' ' || tl[i+2]
@@ -45,11 +45,16 @@ object OracleSql {
        |       FROM tk),
        |n AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
        |i AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS ni
-       |      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
-       |SELECT id1, id2, jaccard FROM (
-       |  SELECT id1, id2, CAST(ni AS DOUBLE) / CAST(n1.sz + n2.sz - ni AS DOUBLE) AS jaccard
-       |  FROM i JOIN n n1 ON id1 = n1.doc_id JOIN n n2 ON id2 = n2.doc_id)
-       |WHERE jaccard >= 0.5 ORDER BY id1, id2""".stripMargin
+       |      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT id1, id2, jaccard FROM (
+       |    SELECT id1, id2, CAST(ni AS DOUBLE) / CAST(n1.sz + n2.sz - ni AS DOUBLE) AS jaccard
+       |    FROM i JOIN n n1 ON id1 = n1.doc_id JOIN n n2 ON id2 = n2.doc_id)
+       |  WHERE jaccard >= 0.5)
+       |""".stripMargin
+
+  private val exactJaccardPairs = jaccardPairsCte +
+    "SELECT id1, id2, jaccard FROM pairs ORDER BY id1, id2"
 
   val all: Map[String, String] = Map(
 
@@ -377,6 +382,31 @@ object OracleSql {
     // are deterministic (hash-derived permutations, no RNG), so this
     // either holds at the gate's SF or fails loudly
     "dedup_minhash" -> exactJaccardPairs,
+
+    "dedup_cross_source" -> (jaccardPairsCte +
+      """SELECT least(d1.source, d2.source) AS source_1,
+        |       greatest(d1.source, d2.source) AS source_2,
+        |       count(*) AS n_pairs
+        |FROM pairs p JOIN documents d1 ON p.id1 = d1.doc_id
+        |             JOIN documents d2 ON p.id2 = d2.doc_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    "corpus_stats" ->
+      s"""WITH tk AS (SELECT source, lang, length(text) AS nc,
+         |                   len(${toks("text")}) AS nt FROM documents)
+         |SELECT source, lang, count(*) AS n_docs,
+         |       CAST(sum(nc) AS BIGINT) AS sum_chars,
+         |       CAST(min(nc) AS BIGINT) AS min_chars,
+         |       CAST(max(nc) AS BIGINT) AS max_chars,
+         |       CAST(sum(nt) AS BIGINT) AS sum_tokens
+         |FROM tk GROUP BY source, lang ORDER BY source, lang""".stripMargin,
+
+    "events_json" ->
+      """SELECT event_type, count(*) AS n_events,
+        |       CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+        |       CAST(min(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS min_k,
+        |       CAST(max(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "boilerplate_ngrams" ->
       s"""WITH tk AS (SELECT doc_id, ${toks("text")} AS tl FROM documents),

@@ -490,6 +490,30 @@ object SparkEntry {
         F.round(F.col("avg_logprob"), 6).as("avg_logprob"))
       .orderBy("doc_id")
 
+  private def corpusStatsQ(t: Tables): DataFrame =
+    text.Curate.corpusStats(t.documents, Seq("source", "lang"), "text")
+      .orderBy("source", "lang")
+
+  private def dedupCrossSource(t: Tables): DataFrame =
+    // provenance: which sources near-duplicate each other — the signal
+    // behind source mixing weights; rides on the same PPJoin pipeline
+    // as dedup_jaccard, plus two (id, source)-only joins
+    Dedup.pairGroupReport(
+      Dedup.jaccardPairs(t.documents, "doc_id", "text", k = 3, threshold = 0.5,
+        dfCap = JaccardDfCap),
+      t.documents, "doc_id", "source")
+      .orderBy("source_1", "source_2")
+
+  private def eventsJson(t: Tables): DataFrame =
+    // semi-structured sidecar: typed extraction from the JSON props
+    // column (explicit DDL schema, no inference pass) + per-type agg
+    graft.sources.Sources.parseJsonColumn(t.events, "props", "k BIGINT")
+      .select(F.col("event_type"), F.col("parsed").getField("k").as("k"))
+      .groupBy("event_type")
+      .agg(F.count(F.lit(1)).as("n_events"), F.sum("k").as("sum_k"),
+        F.min("k").as("min_k"), F.max("k").as("max_k"))
+      .orderBy("event_type")
+
   private def eventsWindowAgg(t: Tables): DataFrame =
     Events.windowAgg(t.events).orderBy("hour_start_us", "event_type")
 
@@ -560,6 +584,9 @@ object SparkEntry {
       "curate_shards" -> q(curateShards),
       "curate_quality" -> q(curateQuality),
       "text_lm_score" -> q(textLmScore),
+      "corpus_stats" -> q(corpusStatsQ),
+      "dedup_cross_source" -> q(dedupCrossSource),
+      "events_json" -> q(eventsJson),
       "events_window_agg" -> q(eventsWindowAgg),
       "events_sessionize" -> q(eventsSessionize),
       "multimodal_meta" -> q(multimodalMeta))

@@ -298,6 +298,27 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Provenance report over a near-dup pair table: every (id1, id2)
+    * pair is annotated with a grouping attribute of BOTH documents
+    * (source, crawl, domain, shard ...) and counted per unordered
+    * attribute pair — which sources duplicate each other, the signal
+    * behind source-level mixing weights and cross-source contamination
+    * checks. The pair table is near-dup-sized (tiny relative to the
+    * corpus); the attribute join ships only (id, group) columns, so at
+    * 100 TB the corpus payloads never move. Output:
+    * ({group}_1, {group}_2, n_pairs) with group_1 <= group_2.
+    */
+  def pairGroupReport(pairs: DataFrame, df: DataFrame, idCol: String,
+                      groupCol: String): DataFrame = {
+    val g1 = df.select(F.col(idCol).as("id1"), F.col(groupCol).as("__g1"))
+    val g2 = df.select(F.col(idCol).as("id2"), F.col(groupCol).as("__g2"))
+    pairs.select("id1", "id2").join(g1, "id1").join(g2, "id2")
+      .select(F.least(F.col("__g1"), F.col("__g2")).as(s"${groupCol}_1"),
+        F.greatest(F.col("__g1"), F.col("__g2")).as(s"${groupCol}_2"))
+      .groupBy(s"${groupCol}_1", s"${groupCol}_2")
+      .agg(F.count(F.lit(1)).as("n_pairs"))
+  }
+
   /** Boilerplate n-gram report: the k-gram shingles occurring in at
     * least `minDocs` DISTINCT documents, with their document
     * frequencies — the corpus-analytics pass behind boilerplate

@@ -55,4 +55,19 @@ object Sources {
       .bucketBy(nBuckets, bucketBy)
     sortBy.fold(w)(c => w.sortBy(c)).saveAsTable(table)
   }
+
+  /** Parse a JSON string column into a typed struct with an EXPLICIT
+    * DDL schema — the semi-structured sidecar pattern (event props,
+    * per-doc metadata riding next to the payload). No inference: at
+    * 100 TB, sampling-based schema inference is an extra read of the
+    * corpus, and a schema drift mid-dataset would silently change the
+    * inferred type. Malformed rows yield null fields (Spark's
+    * PERMISSIVE default), keeping ingestion total — filter on
+    * `as IS NULL` to quarantine them.
+    */
+  def parseJsonColumn(df: DataFrame, column: String, ddl: String,
+                      as: String = "parsed"): DataFrame =
+    df.withColumn(as,
+      org.apache.spark.sql.functions.from_json(
+        org.apache.spark.sql.functions.col(column), StructType.fromDDL(ddl)))
 }

@@ -189,4 +189,25 @@ object Curate {
       .agg(F.count(F.lit(1)).as("n_tokens"),
         (F.sum("logp") / F.count(F.lit(1))).as("avg_logprob"))
   }
+
+  /** Per-group corpus report — the pass every mixing/curation decision
+    * starts from: document counts, character and token volumes per
+    * (source, language, shard, ...) group. One map-side-combined
+    * hash-shuffle aggregation; token counting is the codegen'd tokens
+    * kernel, so the corpus is read exactly once and the exchange
+    * carries one row per group. Exact integer arithmetic only (counts,
+    * sums, min/max) — engine-portable, no float accumulation order.
+    */
+  def corpusStats(df: DataFrame, groupCols: Seq[String], textCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one grouping column")
+    val base = df.select(groupCols.map(F.col) ++ Seq(
+      F.length(F.col(textCol)).cast("long").as("__chars"),
+      F.size(TextOps.tokens(F.col(textCol))).cast("long").as("__toks")): _*)
+    base.groupBy(groupCols.map(F.col): _*)
+      .agg(F.count(F.lit(1)).as("n_docs"),
+        F.sum("__chars").as("sum_chars"),
+        F.min("__chars").as("min_chars"),
+        F.max("__chars").as("max_chars"),
+        F.sum("__toks").as("sum_tokens"))
+  }
 }

@@ -133,4 +133,24 @@ class CurateSpec extends SparkSpec {
     assert(out(2L)._1 == 2L)
     assert(math.abs(out(2L)._2 - (math.log(pb) + math.log(pc)) / 2) < 1e-12)
   }
+
+  test("corpusStats: exact per-group counts/volumes, one partial-agg shuffle") {
+    val docs = Seq(
+      ("web", "en", "one two three"),
+      ("web", "en", "four five"),
+      ("web", "de", "sechs"),
+      ("books", "en", "a b c d")).toDF("source", "lang", "text")
+    val out = Curate.corpusStats(docs, Seq("source", "lang"), "text")
+      .orderBy("source", "lang")
+      .as[(String, String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      ("books", "en", 1L, 7L, 7L, 7L, 4L),
+      ("web", "de", 1L, 5L, 5L, 5L, 1L),
+      ("web", "en", 2L, 22L, 9L, 13L, 5L)))
+    // map-side combine before the exchange: the shuffle carries one row
+    // per (source, lang), not one per document
+    val p = Curate.corpusStats(docs, Seq("source", "lang"), "text")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("partial_"), "no map-side partial aggregation")
+  }
 }

@@ -224,6 +224,19 @@ class DedupSpec extends SparkSpec {
     out.foreach { case (_, _, h) => assert(h <= 3) }
   }
 
+  test("pairGroupReport: unordered group pairs counted; within-group kept") {
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L)).toDF("id1", "id2")
+    val meta = Seq((1L, "web"), (2L, "books"), (3L, "web"),
+      (4L, "books"), (5L, "books")).toDF("doc_id", "source")
+    val out = Dedup.pairGroupReport(pairs, meta, "doc_id", "source")
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // (1,2) web-books; (1,3) web-web; (2,3) books-web; (4,5) books-books
+    assert(out(("books", "web")) == 2L, s"got $out")
+    assert(out(("web", "web")) == 1L)
+    assert(out(("books", "books")) == 1L)
+  }
+
   test("capReport over pre-built frames equals the from-scratch counters") {
     // a caller already running the capped dedup queries hands in the
     // shingle and banded-signature tables it built — same counters,

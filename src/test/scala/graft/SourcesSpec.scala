@@ -50,4 +50,21 @@ class SourcesSpec extends SparkSpec {
       Sources.read(spark, dir, "parquet", Some(bad))
     }
   }
+
+  test("parseJsonColumn: typed extraction, malformed and missing keys go null") {
+    import spark.implicits._
+    import org.apache.spark.sql.{functions => F}
+    val df = Seq(
+      (1L, """{"k": 42, "extra": "x"}"""), // extra keys ignored
+      (2L, """{"other": 1}"""),            // missing key -> null field
+      (3L, """not json at all"""),         // malformed -> null field
+      (4L, """{"k": -7}""")
+    ).toDF("id", "props")
+    val out = graft.sources.Sources.parseJsonColumn(df, "props", "k BIGINT")
+      .select($"id", F.col("parsed").getField("k").as("k"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(out(1L).contains(42L) && out(4L).contains(-7L))
+    assert(out(2L).isEmpty && out(3L).isEmpty,
+      "missing/malformed must be null, not a thrown parse error")
+  }
 }
