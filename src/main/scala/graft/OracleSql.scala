@@ -401,6 +401,23 @@ object OracleSql {
          |       CAST(sum(nt) AS BIGINT) AS sum_tokens
          |FROM tk GROUP BY source, lang ORDER BY source, lang""".stripMargin,
 
+    "corpus_quantiles" ->
+      s"""WITH tk AS (SELECT lang, len(${toks("text")}) AS nt FROM documents)
+         |SELECT lang, round(quantile_cont(nt, 0.5), 6) AS p50,
+         |       round(quantile_cont(nt, 0.9), 6) AS p90,
+         |       round(quantile_cont(nt, 0.99), 6) AS p99
+         |FROM tk GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "corpus_vocab" ->
+      s"""WITH tok AS (SELECT lang, unnest(${toks("text")}) AS tok FROM documents),
+         |c AS (SELECT lang, tok, count(*) AS n FROM tok GROUP BY 1, 2),
+         |r AS (SELECT lang, tok, n,
+         |        CAST(row_number() OVER (PARTITION BY lang
+         |               ORDER BY n DESC, tok ASC) AS BIGINT) AS "rank"
+         |      FROM c)
+         |SELECT lang, tok, n, "rank" FROM r WHERE "rank" <= 10
+         |ORDER BY lang, "rank"""".stripMargin,
+
     "events_json" ->
       """SELECT event_type, count(*) AS n_events,
         |       CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,

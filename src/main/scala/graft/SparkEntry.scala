@@ -494,6 +494,14 @@ object SparkEntry {
     text.Curate.corpusStats(t.documents, Seq("source", "lang"), "text")
       .orderBy("source", "lang")
 
+  private def corpusQuantiles(t: Tables): DataFrame =
+    text.Curate.lengthQuantiles(t.documents, "lang", "text")
+      .orderBy("lang")
+
+  private def corpusVocab(t: Tables): DataFrame =
+    text.Curate.topTokens(t.documents, "lang", "text", k = 10)
+      .orderBy("lang", "rank")
+
   private def dedupCrossSource(t: Tables): DataFrame =
     // provenance: which sources near-duplicate each other — the signal
     // behind source mixing weights; rides on the same PPJoin pipeline
@@ -585,6 +593,8 @@ object SparkEntry {
       "curate_quality" -> q(curateQuality),
       "text_lm_score" -> q(textLmScore),
       "corpus_stats" -> q(corpusStatsQ),
+      "corpus_quantiles" -> q(corpusQuantiles),
+      "corpus_vocab" -> q(corpusVocab),
       "dedup_cross_source" -> q(dedupCrossSource),
       "events_json" -> q(eventsJson),
       "events_window_agg" -> q(eventsWindowAgg),

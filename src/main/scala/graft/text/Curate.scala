@@ -210,4 +210,43 @@ object Curate {
         F.max("__chars").as("max_chars"),
         F.sum("__toks").as("sum_tokens"))
   }
+
+  /** Per-group token-count quantiles — the length distribution that
+    * drives truncation / sequence-packing decisions. Uses Spark's
+    * EXACT `percentile` aggregate (ANSI linear interpolation, the same
+    * formula as DuckDB quantile_cont): its aggregation state is a
+    * value -> count map, and the doc-length DOMAIN is bounded (distinct
+    * token counts, not documents), so the state stays small at any
+    * corpus size — percentile_approx's sketch is unnecessary here and
+    * would break engine parity.
+    */
+  def lengthQuantiles(df: DataFrame, groupCol: String, textCol: String,
+                      quantiles: Seq[(String, Double)] =
+                        Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99)): DataFrame = {
+    require(quantiles.nonEmpty, "need at least one quantile")
+    val base = df.select(F.col(groupCol),
+      F.size(TextOps.tokens(F.col(textCol))).cast("long").as("__nt"))
+    val arr = F.expr(s"percentile(__nt, array(${quantiles.map(_._2).mkString(", ")}))")
+    base.groupBy(groupCol)
+      .agg(arr.as("__q"))
+      .select(F.col(groupCol) +: quantiles.zipWithIndex.map { case ((nm, _), i) =>
+        F.round(F.element_at(F.col("__q"), i + 1), 6).as(nm) }: _*)
+  }
+
+  /** Per-group top-k token report — tokenizer/vocabulary audits and
+    * stopword discovery. The explode shuffles (group, token) pairs with
+    * map-side partial counting, so the exchange carries one row per
+    * distinct (group, token): the window's input is VOCABULARY-sized,
+    * never corpus-sized. Deterministic tie-break (count desc, token
+    * asc).
+    */
+  def topTokens(df: DataFrame, groupCol: String, textCol: String, k: Int): DataFrame = {
+    val counts = df
+      .select(F.col(groupCol), F.explode(TextOps.tokens(F.col(textCol))).as("tok"))
+      .groupBy(F.col(groupCol), F.col("tok")).agg(F.count(F.lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(F.col("n").desc, F.col("tok").asc)
+    counts.withColumn("rank", F.row_number().over(w).cast("long"))
+      .where(F.col("rank") <= k)
+  }
 }

@@ -153,4 +153,30 @@ class CurateSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(p.contains("partial_"), "no map-side partial aggregation")
   }
+
+  test("lengthQuantiles: ANSI linear interpolation on a known distribution") {
+    // token counts 1..4 in one group: p50 = 2.5 (interpolated),
+    // p90 = 1 + 0.9*3 = 3.7, p99 = 3.97
+    val docs = Seq(("en", "a"), ("en", "a b"), ("en", "a b c"), ("en", "a b c d"))
+      .toDF("lang", "text")
+    val out = Curate.lengthQuantiles(docs, "lang", "text")
+      .as[(String, Double, Double, Double)].collect().toSeq
+    assert(out == Seq(("en", 2.5, 3.7, 3.97)), s"got $out")
+  }
+
+  test("topTokens: vocabulary-sized window input, deterministic tie-break") {
+    val docs = Seq(("en", "b b a a c"), ("en", "a"), ("de", "x y y"))
+      .toDF("lang", "text")
+    val out = Curate.topTokens(docs, "lang", "text", k = 2)
+      .orderBy("lang", "rank")
+      .as[(String, String, Long, Long)].collect().toSeq
+    // en: a=3, b=2; de: y=2, x=1 — 'a' beats 'b' on count, not alpha luck
+    assert(out == Seq(("de", "y", 2L, 1L), ("de", "x", 1L, 2L),
+      ("en", "a", 3L, 1L), ("en", "b", 2L, 2L)), s"got $out")
+    // the count aggregation combines map-side BEFORE the window's
+    // group shuffle — the window never sees per-document rows
+    val p = Curate.topTokens(docs, "lang", "text", k = 2)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("partial_count"), "token counts must combine map-side")
+  }
 }
