@@ -408,6 +408,20 @@ object OracleSql {
          |       round(quantile_cont(nt, 0.99), 6) AS p99
          |FROM tk GROUP BY lang ORDER BY lang""".stripMargin,
 
+    "curate_pack" ->
+      s"""WITH tk AS (SELECT doc_id,
+         |  CAST(floor(CAST((doc_id * 2654435761) % 1000000 AS DOUBLE)
+         |             / 1000000.0 * 4) AS BIGINT) AS shard,
+         |  len(${toks("text")}) AS nt FROM documents),
+         |c AS (SELECT doc_id, shard, nt,
+         |  coalesce(sum(nt) OVER (PARTITION BY shard ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS strt
+         |  FROM tk)
+         |SELECT shard, CAST(strt // 2048 AS BIGINT) AS pack_id,
+         |       count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS sum_tokens,
+         |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "corpus_vocab" ->
       s"""WITH tok AS (SELECT lang, unnest(${toks("text")}) AS tok FROM documents),
          |c AS (SELECT lang, tok, count(*) AS n FROM tok GROUP BY 1, 2),

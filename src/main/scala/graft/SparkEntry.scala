@@ -494,6 +494,16 @@ object SparkEntry {
     text.Curate.corpusStats(t.documents, Seq("source", "lang"), "text")
       .orderBy("source", "lang")
 
+  private def curatePack(t: Tables): DataFrame =
+    // per-pack report of the deterministic concat-and-split packing:
+    // how many docs/tokens land in each fixed-budget training sequence
+    text.Curate.packSequences(t.documents, "doc_id", "text",
+      budget = 2048, nShards = 4)
+      .groupBy("shard", "pack_id")
+      .agg(F.count(F.lit(1)).as("n_docs"), F.sum("n_tokens").as("sum_tokens"),
+        F.min("doc_id").as("first_doc"), F.max("doc_id").as("last_doc"))
+      .orderBy("shard", "pack_id")
+
   private def corpusQuantiles(t: Tables): DataFrame =
     text.Curate.lengthQuantiles(t.documents, "lang", "text")
       .orderBy("lang")
@@ -594,6 +604,7 @@ object SparkEntry {
       "text_lm_score" -> q(textLmScore),
       "corpus_stats" -> q(corpusStatsQ),
       "corpus_quantiles" -> q(corpusQuantiles),
+      "curate_pack" -> q(curatePack),
       "corpus_vocab" -> q(corpusVocab),
       "dedup_cross_source" -> q(dedupCrossSource),
       "events_json" -> q(eventsJson),

@@ -233,6 +233,33 @@ object Curate {
         F.round(F.element_at(F.col("__q"), i + 1), 6).as(nm) }: _*)
   }
 
+  /** Deterministic sequence packing (concat-and-split accounting): the
+    * corpus is laid out in stable (shard, id) order and cut into fixed
+    * token-budget packs — each document's pack is the one containing
+    * its FIRST token, pack_id = exclusive-running-token-count div
+    * budget (GPT-style corpus concatenation: long documents straddle
+    * pack boundaries and are accounted to their start pack). Exact
+    * integer arithmetic end to end, so the packing is reproducible
+    * across engines, runs, and partitionings. ONE window shuffle
+    * partitioned by shard; shards' running sums are independent, so
+    * nShards is the packing parallelism knob at corpus scale (the
+    * within-shard window is a single partition-local sorted pass).
+    * Output: (id, shard, n_tokens, pack_id).
+    */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+                    budget: Long, nShards: Int, salt: Long = 0L): DataFrame = {
+    require(budget >= 1, "budget >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(idCol)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.select(F.col(idCol),
+        shardKey(F.col(idCol), nShards, salt).as("shard"),
+        F.size(TextOps.tokens(F.col(textCol))).cast("long").as("n_tokens"))
+      .withColumn("__start", F.coalesce(F.sum("n_tokens").over(w), F.lit(0L)))
+      .withColumn("pack_id", F.expr(s"__start div ${budget}L"))
+      .drop("__start")
+  }
+
   /** Per-group top-k token report — tokenizer/vocabulary audits and
     * stopword discovery. The explode shuffles (group, token) pairs with
     * map-side partial counting, so the exchange carries one row per

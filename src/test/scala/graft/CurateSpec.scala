@@ -164,6 +164,22 @@ class CurateSpec extends SparkSpec {
     assert(out == Seq(("en", 2.5, 3.7, 3.97)), s"got $out")
   }
 
+  test("packSequences: exclusive-cumsum packing, straddlers to start pack") {
+    // one shard (nShards = 1): token counts 3, 2, 4 in id order with
+    // budget 5 -> start offsets 0, 3, 5 -> packs 0, 0, 1; doc 2 (start
+    // 3, ends at 5) straddles the boundary and stays in pack 0
+    val docs = Seq((1L, "a b c"), (2L, "d e"), (3L, "f g h i"))
+      .toDF("doc_id", "text")
+    val out = Curate.packSequences(docs, "doc_id", "text", budget = 5, nShards = 1)
+      .select("doc_id", "pack_id").as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 1L), s"got $out")
+    // reproducible under any input partitioning (the window re-sorts)
+    val repart = Curate.packSequences(docs.repartition(3), "doc_id", "text",
+      budget = 5, nShards = 1)
+      .select("doc_id", "pack_id").as[(Long, Long)].collect().toMap
+    assert(repart == out)
+  }
+
   test("topTokens: vocabulary-sized window input, deterministic tie-break") {
     val docs = Seq(("en", "b b a a c"), ("en", "a"), ("de", "x y y"))
       .toDF("lang", "text")
