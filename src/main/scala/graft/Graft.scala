@@ -144,7 +144,20 @@ object Graft {
                          threshold: Double = 0.3): DataFrame = {
     require(columnMapping.nonEmpty, "column mapping must have at least one pair")
     import org.apache.spark.sql.{functions => F}
-    columnMapping.map { case (sc, tc) =>
+    // the reference SKIPS numeric source columns entirely — the pair
+    // contributes no result frame (api.py:356-357 via _skip_values,
+    // api.py:488-492: value matching is for categorical/string
+    // domains; numeric columns harmonize through FunctionMappers).
+    // A schema check, so the skip costs no job. (Divergence note: the
+    // reference also drops pairs whose TARGET domain is empty at
+    // runtime — data-dependent, an extra action per pair here; an
+    // empty domain instead yields all-unmatched rows, which
+    // valueMatchCoverage reports as coverage 0.)
+    val kept = columnMapping.filterNot { case (sc, _) =>
+      source.schema(sc).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
+    }
+    if (kept.isEmpty) emptyTallMatches(source)
+    else kept.map { case (sc, tc) =>
       matchValues(source, sc, target, tc, method, threshold)
         .select(F.lit(sc).as("source_column"), F.lit(tc).as("target_column"),
           F.col("source"), F.col("target"), F.col("similarity"))
@@ -162,11 +175,31 @@ object Graft {
     require(columnMapping.nonEmpty, "column mapping must have at least one pair")
     import org.apache.spark.sql.{functions => F}
     val std = standard(target)
-    columnMapping.map { case (sc, attr) =>
+    // same numeric-source skip as the DataFrame-target overload — the
+    // reference's _match_values applies it on every path (api.py:356)
+    val kept = columnMapping.filterNot { case (sc, _) =>
+      source.schema(sc).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
+    }
+    if (kept.isEmpty) return emptyTallMatches(source)
+    kept.map { case (sc, attr) =>
       matchValues(source, sc, std.valueDomain(attr), "value_name", method, threshold)
         .select(F.lit(sc).as("source_column"), F.lit(attr).as("target_column"),
           F.col("source"), F.col("target"), F.col("similarity"))
     }.reduce(_ unionAll _)
+  }
+
+  /** The tall matchValuesMapping schema with zero rows — what an
+    * all-skipped mapping (every source column numeric) produces, like
+    * the reference's empty result list.
+    */
+  private def emptyTallMatches(source: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    source.sparkSession.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      StructType(Seq(
+        StructField("source_column", StringType), StructField("target_column", StringType),
+        StructField("source", StringType), StructField("target", StringType),
+        StructField("similarity", DoubleType))))
   }
 
   /** Match coverage per column pair (api.py:382-401): the fraction of

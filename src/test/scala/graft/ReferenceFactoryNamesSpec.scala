@@ -60,6 +60,24 @@ class ReferenceFactoryNamesSpec extends SparkSpec {
     intercept[IllegalArgumentException](Graft.matchSchema(src, tgt, "simflood"))
   }
 
+  test("numeric source columns are skipped in multi-pair value matching") {
+    // reference semantics (api.py:356-357 + _skip_values api.py:488-492):
+    // a numeric source column contributes NO result frame
+    val src = Seq(("alive", 34), ("deceased", 55)).toDF("status", "age")
+    val tgt = Seq(("Alive", 30), ("Deceased", 50)).toDF("status_code", "age_years")
+    val out = Graft.matchValuesMapping(src, tgt,
+      Seq("status" -> "status_code", "age" -> "age_years"),
+      method = "edit_distance", threshold = 0.0)
+    val pairs = out.select("source_column").distinct()
+      .as[String].collect().toSet
+    assert(pairs == Set("status"), s"numeric 'age' pair must be skipped, got $pairs")
+    // an all-numeric mapping yields an empty frame with the tall schema
+    val empty = Graft.matchValuesMapping(src, tgt, Seq("age" -> "age_years"))
+    assert(empty.columns.toSeq == Seq("source_column", "target_column",
+      "source", "target", "similarity"))
+    assert(empty.count() == 0)
+  }
+
   test("TopkMatchers factory name raises the documented exclusion via topMatches") {
     topkExcluded.foreach { m =>
       intercept[UnsupportedOperationException](
