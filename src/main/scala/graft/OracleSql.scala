@@ -408,6 +408,14 @@ object OracleSql {
          |       round(quantile_cont(nt, 0.99), 6) AS p99
          |FROM tk GROUP BY lang ORDER BY lang""".stripMargin,
 
+    "curate_take" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+        |    ORDER BY CAST((doc_id * 2654435761) % 1000000 AS DOUBLE) / 1000000.0 ASC,
+        |             doc_id ASC) AS rk
+        |  FROM documents)
+        |WHERE rk <= 20 ORDER BY doc_id""".stripMargin,
+
     "curate_pack" ->
       s"""WITH tk AS (SELECT doc_id,
          |  CAST(floor(CAST((doc_id * 2654435761) % 1000000 AS DOUBLE)

@@ -494,6 +494,12 @@ object SparkEntry {
     text.Curate.corpusStats(t.documents, Seq("source", "lang"), "text")
       .orderBy("source", "lang")
 
+  private def curateTake(t: Tables): DataFrame =
+    // exact-count eval-split construction: 20 deterministic docs per lang
+    text.Curate.takePerStratum(t.documents, "doc_id", "lang", n = 20)
+      .select(F.col("doc_id"), F.col("lang"))
+      .orderBy("doc_id")
+
   private def curatePack(t: Tables): DataFrame =
     // per-pack report of the deterministic concat-and-split packing:
     // how many docs/tokens land in each fixed-budget training sequence
@@ -605,6 +611,7 @@ object SparkEntry {
       "corpus_stats" -> q(corpusStatsQ),
       "corpus_quantiles" -> q(corpusQuantiles),
       "curate_pack" -> q(curatePack),
+      "curate_take" -> q(curateTake),
       "corpus_vocab" -> q(corpusVocab),
       "dedup_cross_source" -> q(dedupCrossSource),
       "events_json" -> q(eventsJson),

@@ -233,6 +233,25 @@ object Curate {
         F.round(F.element_at(F.col("__q"), i + 1), 6).as(nm) }: _*)
   }
 
+  /** Deterministic exact-count selection per stratum: the N
+    * pseudo-random-lowest documents of each stratum (by the same Knuth
+    * sampleKey order as hashSample, id tie-break), e.g. "exactly 100
+    * held-out docs per language" for eval-split construction — where
+    * rate-based sampling can't hit an exact count. One window shuffle
+    * partitioned by stratum; the rank predicate discards everything
+    * past N during the partition-local sort, and membership is a pure
+    * function of the ids (stable across runs/engines/partitionings).
+    */
+  def takePerStratum(df: DataFrame, idCol: String, stratumCol: String,
+                     n: Int, salt: Long = 0L): DataFrame = {
+    require(n >= 1, "n >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratumCol)
+      .orderBy(sampleKey(F.col(idCol), salt).asc, F.col(idCol).asc)
+    df.withColumn("__rk", F.row_number().over(w))
+      .where(F.col("__rk") <= n).drop("__rk")
+  }
+
   /** Deterministic sequence packing (concat-and-split accounting): the
     * corpus is laid out in stable (shard, id) order and cut into fixed
     * token-budget packs — each document's pack is the one containing

@@ -164,6 +164,20 @@ class CurateSpec extends SparkSpec {
     assert(out == Seq(("en", 2.5, 3.7, 3.97)), s"got $out")
   }
 
+  test("takePerStratum: exact N per stratum, stable across partitionings") {
+    val docs = (1L to 50L).map(i => (i, if (i % 3 == 0) "de" else "en"))
+      .toDF("doc_id", "lang")
+    val take = Curate.takePerStratum(docs, "doc_id", "lang", n = 5)
+      .as[(Long, String)].collect().toSet
+    assert(take.count(_._2 == "en") == 5 && take.count(_._2 == "de") == 5)
+    val repart = Curate.takePerStratum(docs.repartition(7), "doc_id", "lang", n = 5)
+      .as[(Long, String)].collect().toSet
+    assert(repart == take, "membership must be a pure function of the ids")
+    // strata smaller than n are kept whole, not padded
+    val tiny = Curate.takePerStratum(docs.where($"doc_id" <= 2), "doc_id", "lang", n = 5)
+    assert(tiny.count() == 2)
+  }
+
   test("packSequences: exclusive-cumsum packing, straddlers to start pack") {
     // one shard (nShards = 1): token counts 3, 2, 4 in id order with
     // budget 5 -> start offsets 0, 3, 5 -> packs 0, 0, 1; doc 2 (start
