@@ -21,7 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftExtensions.all.foreach { case (name, usage, builder) =>
       ext.injectFunction((
         new FunctionIdentifier(name),
-        new ExpressionInfo("graft", null, name, usage, ""),
+        new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "built-in"),
         builder))
     }
 }

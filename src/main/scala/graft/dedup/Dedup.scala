@@ -482,7 +482,7 @@ object Dedup {
     def unpivot(d: DataFrame): DataFrame = {
       val cols = d.columns
       d.select(F.explode(F.map(
-        cols.flatMap(c => Seq(F.lit(c), F.col(c).cast("long"))): _*)))
+        cols.toSeq.flatMap(c => Seq(F.lit(c), F.col(c).cast("long"))): _*)))
         .toDF("metric", "value")
     }
     unpivot(jac).unionAll(unpivot(mh)).orderBy("metric")

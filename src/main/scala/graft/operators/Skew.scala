@@ -22,7 +22,7 @@ object Skew {
   def saltedJoin(left: DataFrame, right: DataFrame, key: String, salts: Int): DataFrame = {
     require(salts >= 1)
     val l = left.withColumn("_salt",
-      F.pmod(F.xxhash64(left.columns.map(F.col): _*), F.lit(salts)).cast("int"))
+      F.pmod(F.xxhash64(left.columns.toSeq.map(F.col): _*), F.lit(salts)).cast("int"))
     val r = right.withColumn("_salt",
       F.explode(F.sequence(F.lit(0), F.lit(salts - 1))))
     l.join(r, Seq(key, "_salt")).drop("_salt")

@@ -21,6 +21,6 @@ object Bridge {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry.registerFunction(
         new FunctionIdentifier(name),
-        new ExpressionInfo("graft", null, name, usage, ""),
+        new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "built-in"),
         builder)
 }
