@@ -280,19 +280,26 @@ object Curate {
   }
 
   /** Per-group top-k token report — tokenizer/vocabulary audits and
-    * stopword discovery. The explode shuffles (group, token) pairs with
-    * map-side partial counting, so the exchange carries one row per
-    * distinct (group, token): the window's input is VOCABULARY-sized,
-    * never corpus-sized. Deterministic tie-break (count desc, token
-    * asc).
+    * stopword discovery. Two bounded aggregations, no window: (1) the
+    * explode shuffles (group, token) pairs with map-side partial
+    * counting, so that exchange carries one row per distinct (group,
+    * token); (2) the finalized counts feed the exact bounded
+    * topk_by_count aggregate (TopKCountAgg) — partial top-k sets merge
+    * map-side, so the second exchange carries AT MOST k entries per
+    * partition per group. The equivalent rank-window formulation ships
+    * the entire per-group vocabulary into one partition for a full
+    * sort — a single-partition sort of billions of rows at web-corpus
+    * scale. Deterministic tie-break (count desc, token asc).
     */
   def topTokens(df: DataFrame, groupCol: String, textCol: String, k: Int): DataFrame = {
     val counts = df
       .select(F.col(groupCol), F.explode(TextOps.tokens(F.col(textCol))).as("tok"))
       .groupBy(F.col(groupCol), F.col("tok")).agg(F.count(F.lit(1)).as("n"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(groupCol).orderBy(F.col("n").desc, F.col("tok").asc)
-    counts.withColumn("rank", F.row_number().over(w).cast("long"))
-      .where(F.col("rank") <= k)
+    counts
+      .groupBy(F.col(groupCol))
+      .agg(graft.functions.TopKCountAgg.topKByCount(F.col("n"), F.col("tok"), k).as("__tk"))
+      .select(F.col(groupCol), F.posexplode(F.col("__tk")))
+      .select(F.col(groupCol), F.col("col.key").as("tok"), F.col("col.n").as("n"),
+        (F.col("pos") + 1).cast("long").as("rank"))
   }
 }

@@ -203,10 +203,35 @@ class CurateSpec extends SparkSpec {
     // en: a=3, b=2; de: y=2, x=1 — 'a' beats 'b' on count, not alpha luck
     assert(out == Seq(("de", "y", 2L, 1L), ("de", "x", 1L, 2L),
       ("en", "a", 3L, 1L), ("en", "b", 2L, 2L)), s"got $out")
-    // the count aggregation combines map-side BEFORE the window's
-    // group shuffle — the window never sees per-document rows
+    // scale shape: counts combine map-side, the top-k is the bounded
+    // topk_by_count aggregate — NO rank window (whose exchange would
+    // ship the whole per-group vocabulary into one partition)
     val p = Curate.topTokens(docs, "lang", "text", k = 2)
       .queryExecution.executedPlan.toString
     assert(p.contains("partial_count"), "token counts must combine map-side")
+    assert(p.contains("partial_topk_by_count"),
+      "top-k must partial-aggregate map-side")
+    assert(!p.contains("Window"), "top-k must not use a rank window")
+  }
+
+  test("topTokens bounded aggregate equals the rank-window formulation") {
+    import org.apache.spark.sql.{functions => F}
+    // adversarial distribution: many ties at the k boundary, tokens
+    // spread across partitions so partial buffers must merge correctly
+    val docs = (1 to 400).map { i =>
+      val lang = if (i % 2 == 0) "en" else "de"
+      (lang, s"t${i % 23} t${i % 7} t${i % 23} common")
+    }.toDF("lang", "text").repartition(13)
+    val fast = Curate.topTokens(docs, "lang", "text", k = 8)
+      .as[(String, String, Long, Long)].collect().toSet
+    val counts = docs
+      .select($"lang", F.explode(graft.text.TextOps.tokens($"text")).as("tok"))
+      .groupBy("lang", "tok").agg(F.count(F.lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(F.col("n").desc, F.col("tok").asc)
+    val slow = counts.withColumn("rank", F.row_number().over(w).cast("long"))
+      .where($"rank" <= 8)
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(fast == slow, s"missing=${slow -- fast} extra=${fast -- slow}")
   }
 }
