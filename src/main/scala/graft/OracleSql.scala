@@ -537,9 +537,11 @@ object OracleSql {
          |WHERE doc_id % 20 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
          |ORDER BY doc_id""".stripMargin,
 
-    // the wired query computes the pairs via banded LSH + exact verify;
-    // the oracle is the EXACT pair join, so the parity gate doubles as a
-    // per-round full-recall check on the scale path
+    // the wired queries compute pairs via banded LSH + exact verify; the
+    // oracles are the EXACT pair join, so the parity gate doubles as a
+    // per-round full-recall check on the scale path — at the corpus's
+    // low-threshold stress regime (0.4, full-width vectors) and at the
+    // production threshold (0.8, 8-dim coarse prefix projection)
     "dedup_embedding_lsh" ->
       """SELECT id1, id2, similarity FROM (
         |  SELECT a.vec_id AS id1, b.vec_id AS id2,
@@ -547,6 +549,14 @@ object OracleSql {
         |         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS similarity
         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
         |WHERE sim >= 0.4 ORDER BY id1, id2""".stripMargin,
+
+    "dedup_embedding_lsh_hi" ->
+      """SELECT id1, id2, similarity FROM (
+        |  SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |         list_cosine_similarity(CAST(a.embedding[1:8] AS DOUBLE[]), CAST(b.embedding[1:8] AS DOUBLE[])) AS sim,
+        |         round(list_cosine_similarity(CAST(a.embedding[1:8] AS DOUBLE[]), CAST(b.embedding[1:8] AS DOUBLE[])), 6) AS similarity
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        |WHERE sim >= 0.8 ORDER BY id1, id2""".stripMargin,
 
     "ann_topk" ->
       """SELECT query_id, neighbor_id, "rank", round(sim, 6) AS similarity FROM (

@@ -308,10 +308,15 @@ object SparkEntry {
   private def dedupCapReport(t: Tables): DataFrame =
     // per-run record of what the production caps dropped (advisor ask:
     // a future parity break on the capped queries is then immediately
-    // attributable to cap pressure vs a real regression)
+    // attributable to cap pressure vs a real regression); the embedding
+    // band-bucket counters ride along so all three guards report in one
+    // (metric, value) frame
     Dedup.capReport(t.documents, "doc_id", "text", k = 3,
       dfCap = JaccardDfCap.get, numHashes = 128, bands = 32,
       bucketCap = MinhashBucketCap.get)
+      .unionAll(Ann.capReport(t.embeddings, "vec_id", "embedding",
+        nPlanes = 60, bands = 12, bucketCap = EmbeddingBucketCap.get))
+      .orderBy("metric")
 
   private def dedupSimhash(t: Tables): DataFrame =
     Dedup.simhashPairs(t.documents, "doc_id", "text", maxHamming = 3)
@@ -379,6 +384,10 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  // degenerate-bucket guard for the embedding band self-join, ON in the
+  // wired query (the minhash bucketCap's twin — see Ann.cosinePairsLsh)
+  private val EmbeddingBucketCap = Some(1000L)
+
   private def dedupEmbeddingLsh(t: Tables): DataFrame =
     // the scale path: banded hyperplane signatures + exact verify — no
     // all-pairs join anywhere in the plan (asserted in PlanSpec). This
@@ -387,8 +396,27 @@ object SparkEntry {
     // parity gate — exactly the guard we want on the scale path. The
     // exact product-join baseline (Ann.cosinePairs) is spec-only at
     // sf0.001 (SimilaritySpec), keeping the wired query set free of
-    // nested-loop product plans.
-    Ann.cosinePairsLsh(t.embeddings, "vec_id", "embedding", threshold = 0.4)
+    // nested-loop product plans. 0.4 is the LOW-threshold stress
+    // regime (the synthetic full-width embeddings top out at cosine
+    // ~0.51, so this is where this corpus's true pairs live); the
+    // production high-threshold regime is wired separately as
+    // dedup_embedding_lsh_hi, and the degenerate-bucket cap is ON here.
+    Ann.cosinePairsLsh(t.embeddings, "vec_id", "embedding", threshold = 0.4,
+      bucketCap = EmbeddingBucketCap)
+      .orderBy("id1", "id2")
+
+  private def dedupEmbeddingLshHi(t: Tables): DataFrame =
+    // the production regime the cost model defends (tau >= ~0.8: high
+    // per-plane agreement, selective banding). The full-width synthetic
+    // embeddings have no pairs above cosine 0.51, so the high-threshold
+    // entry runs on the 8-dim coarse prefix projection — a standard
+    // cheap-first-pass trick (truncated/PCA'd features), and on THIS
+    // corpus it yields a genuine >=0.8 pair population (~600 pairs at
+    // the gate SF). Oracle = exact pair join over the same projection,
+    // so the parity gate is a full-recall check at production tau.
+    Ann.cosinePairsLsh(
+      t.embeddings.select(F.col("vec_id"), F.slice(F.col("embedding"), 1, 8).as("embedding")),
+      "vec_id", "embedding", threshold = 0.8, bucketCap = EmbeddingBucketCap)
       .orderBy("id1", "id2")
 
   private def annTopk(t: Tables): DataFrame =
@@ -591,6 +619,7 @@ object SparkEntry {
       "dedup_cap_report" -> q(dedupCapReport),
       "dedup_simhash" -> q(dedupSimhash),
       "dedup_embedding_lsh" -> q(dedupEmbeddingLsh),
+      "dedup_embedding_lsh_hi" -> q(dedupEmbeddingLshHi),
       "decontaminate" -> q(decontaminate),
       "decontaminate_clean" -> q(decontaminateClean),
       "boilerplate_ngrams" -> q(boilerplateNgrams),

@@ -84,40 +84,108 @@ object Ann {
     */
   def cosinePairsLsh(df: DataFrame, idCol: String, vecCol: String,
                      threshold: Double, nPlanes: Int = 60, bands: Int = 12,
-                     probeFlips: Boolean = true): DataFrame = {
+                     probeFlips: Boolean = true,
+                     bucketCap: Option[Long] = None): DataFrame = {
     require(nPlanes >= 1 && nPlanes <= 63, "nPlanes in [1, 63]")
     require(bands >= 1 && nPlanes % bands == 0, "bands must divide nPlanes")
     val bits = nPlanes / bands
+
+    def flips(d: DataFrame): DataFrame =
+      if (!probeFlips) d
+      else d.select(F.col("id"), F.col("band"),
+        F.explode(F.array(F.col("key") +: (0 until bits).map(j =>
+          F.col("key").bitwiseXOR(F.lit(1L << j))): _*)).as("key"))
+
+    def verified(cands: DataFrame): DataFrame = {
+      val v1 = df.select(F.col(idCol).as("id1"), F.col(vecCol).as("v1"))
+      val v2 = df.select(F.col(idCol).as("id2"), F.col(vecCol).as("v2"))
+      cands.join(v1, "id1").join(v2, "id2")
+        .withColumn("sim", cosine(F.col("v1"), F.col("v2")))
+        .where(F.col("sim") >= threshold)
+        .select(F.col("id1"), F.col("id2"), F.round(F.col("sim"), 6).as("similarity"))
+    }
+
+    // bucketCap: drop band buckets bigger than cap before the self-join
+    // — the same degenerate-bucket guard as Dedup.minhashLsh. A corpus
+    // with many near-identical (or zero-norm: sign(0) collapses every
+    // plane the same way) embeddings lands them all on one band key and
+    // emits O(n^2) candidates with nothing else to stop it. Pruning the
+    // EXACT-key side alone suffices: every candidate's a-side row must
+    // sit in a kept bucket, and each kept bucket holds <= cap rows whose
+    // <= (bits+1) probe keys are the only routes in — so per-bucket
+    // candidates are <= cap^2 * (bits+1), bounded. Recall tradeoff as
+    // documented on minhashLsh: pairs similar ONLY through an over-cap
+    // bucket are missed. Default None = exact banding (no drop).
+    bucketCap match {
+      case None =>
+        val banded = bandedSignatures(df, idCol, vecCol, nPlanes, bands)
+        // a.id < b.id keeps exactly one direction of every symmetric match
+        // and halves the pre-distinct candidate volume: for hamming <= 1
+        // within a band, EACH side's probe set covers the other's exact
+        // key, so the surviving direction alone has full recall
+        val cands = banded.as("a").join(flips(banded).as("b"), Seq("band", "key"))
+          .where(F.col("a.id") < F.col("b.id"))
+          .select(F.col("a.id").as("id1"), F.col("b.id").as("id2"))
+          .distinct()
+        verified(cands)
+      case Some(cap) =>
+        // the cap path references the banded table three times (bucket
+        // counting, the pruning semi-join, the candidate join), so it is
+        // persisted across ONE eager materializing action and released
+        // here — mirroring Dedup.minhashLsh's cache hygiene
+        val banded = bandedSignatures(df, idCol, vecCol, nPlanes, bands).persist()
+        val ok = banded.groupBy("band", "key")
+          .agg(F.count(F.lit(1)).as("bn")).where(F.col("bn") <= cap)
+          .select("band", "key")
+        val kept = banded.join(ok, Seq("band", "key"), "left_semi")
+        val cands = kept.as("a").join(flips(kept).as("b"), Seq("band", "key"))
+          .where(F.col("a.id") < F.col("b.id"))
+          .select(F.col("a.id").as("id1"), F.col("b.id").as("id2"))
+          .distinct()
+        val out = verified(cands).persist()
+        out.count()
+        banded.unpersist()
+        out
+    }
+  }
+
+  /** (id, band, key) banded-signature table shared by the capped and
+    * uncapped [[cosinePairsLsh]] paths and by [[capReport]]: nPlanes-bit
+    * hyperplane signature per vector, then a lambda-free band explosion
+    * (codegen-friendly); arithmetic shift + mask equals logical
+    * extraction because the mask keeps only bits that came from inside
+    * the 64-bit signature.
+    */
+  private[graft] def bandedSignatures(df: DataFrame, idCol: String, vecCol: String,
+                                      nPlanes: Int, bands: Int): DataFrame = {
+    val bits = nPlanes / bands
     val maskL = if (bits >= 64) -1L else (1L << bits) - 1
-    val sigs = df.select(F.col(idCol).as("id"),
-      lshSignature(F.col(vecCol), 0, nPlanes).as("sig"))
-    // lambda-free band explosion (codegen-friendly); arithmetic shift +
-    // mask equals logical extraction because the mask keeps only bits
-    // that came from inside the 64-bit signature
-    val banded = sigs
+    df.select(F.col(idCol).as("id"),
+        lshSignature(F.col(vecCol), 0, nPlanes).as("sig"))
       .select(F.col("id"), F.col("sig"),
         F.explode(F.lit((0 until bands).toArray)).as("band"))
       .select(F.col("id"), F.col("band"),
         F.expr(s"shiftright(sig, band * $bits) & ${maskL}L").as("key"))
-    val probe =
-      if (!probeFlips) banded
-      else banded.select(F.col("id"), F.col("band"),
-        F.explode(F.array(F.col("key") +: (0 until bits).map(j =>
-          F.col("key").bitwiseXOR(F.lit(1L << j))): _*)).as("key"))
-    // a.id < b.id keeps exactly one direction of every symmetric match
-    // and halves the pre-distinct candidate volume: for hamming <= 1
-    // within a band, EACH side's probe set covers the other's exact
-    // key, so the surviving direction alone has full recall
-    val cands = banded.as("a").join(probe.as("b"), Seq("band", "key"))
-      .where(F.col("a.id") < F.col("b.id"))
-      .select(F.col("a.id").as("id1"), F.col("b.id").as("id2"))
-      .distinct()
-    val v1 = df.select(F.col(idCol).as("id1"), F.col(vecCol).as("v1"))
-    val v2 = df.select(F.col(idCol).as("id2"), F.col(vecCol).as("v2"))
-    cands.join(v1, "id1").join(v2, "id2")
-      .withColumn("sim", cosine(F.col("v1"), F.col("v2")))
-      .where(F.col("sim") >= threshold)
-      .select(F.col("id1"), F.col("id2"), F.round(F.col("sim"), 6).as("similarity"))
+  }
+
+  /** Diagnostics for the embedding-LSH bucketCap guard, shaped like
+    * Dedup.capReport (metric, value) rows: how many band buckets exceed
+    * the cap on THIS corpus and how many banded rows sit inside them —
+    * run alongside the capped near-dup query so a future parity break
+    * is immediately attributable to cap pressure vs a real regression.
+    * One linear signature pass reduced map-side to per-bucket counts.
+    */
+  def capReport(df: DataFrame, idCol: String, vecCol: String,
+                nPlanes: Int, bands: Int, bucketCap: Long): DataFrame = {
+    val over = bandedSignatures(df, idCol, vecCol, nPlanes, bands)
+      .groupBy("band", "key").agg(F.count(F.lit(1)).as("bn"))
+      .where(F.col("bn") > bucketCap)
+    val agg = over.agg(
+      F.count(F.lit(1)).as("embedding_buckets_over_cap"),
+      F.coalesce(F.sum("bn"), F.lit(0L)).as("embedding_band_entries_dropped"))
+    agg.select(F.explode(F.map(agg.columns.toSeq.flatMap(c =>
+        Seq(F.lit(c), F.col(c).cast("long"))): _*)))
+      .toDF("metric", "value")
   }
 
   /** nPlanes-bit LSH signature of a vector: bit p = sign(v . r_p) with

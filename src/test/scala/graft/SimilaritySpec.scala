@@ -37,11 +37,63 @@ class SimilaritySpec extends SparkSpec {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val exact = Ann.cosinePairs(emb, "vec_id", "embedding", threshold = 0.4)
       .select("id1", "id2", "similarity").as[(Long, Long, Double)].collect().toSet
-    val lsh = Ann.cosinePairsLsh(emb, "vec_id", "embedding", threshold = 0.4)
+    val lsh = Ann.cosinePairsLsh(emb, "vec_id", "embedding", threshold = 0.4,
+      bucketCap = Some(1000L))
       .select("id1", "id2", "similarity").as[(Long, Long, Double)].collect().toSet
     assert(lsh.subsetOf(exact), "exact verify forbids false positives")
     assert(lsh == exact,
       s"recall ${lsh.size}/${exact.size} — retune bands/probes if this ever drops")
+  }
+
+  test("cosinePairsLsh matches exact at the wired production threshold with the cap ON") {
+    // the EXACT wired dedup_embedding_lsh_hi configuration (tau=0.8 on
+    // the 8-dim coarse prefix, bucketCap on) replayed at sf0.001 — the
+    // driver gate's sf0.01 parity check, in miniature, every test run
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", F.slice($"embedding", 1, 8).as("embedding"))
+    val exact = Ann.cosinePairs(emb, "vec_id", "embedding", threshold = 0.8)
+      .select("id1", "id2", "similarity").as[(Long, Long, Double)].collect().toSet
+    val lsh = Ann.cosinePairsLsh(emb, "vec_id", "embedding", threshold = 0.8,
+      bucketCap = Some(1000L))
+      .select("id1", "id2", "similarity").as[(Long, Long, Double)].collect().toSet
+    assert(exact.nonEmpty, "prefix-projected corpus must contain pairs above 0.8")
+    assert(lsh == exact,
+      s"recall ${lsh.size}/${exact.size} — retune bands/probes or cap if this drops")
+  }
+
+  test("bucketCap bounds the degenerate-bucket blowup; capped output is a subset") {
+    // degenerate corpus: 150 near-identical vectors collapse into one
+    // band key per band — the O(n^2) case the cap exists for — plus a
+    // handful of distinct clustered vectors that still pair up normally
+    val rnd = new Random(7)
+    val base = Array.fill(16)(rnd.nextGaussian())
+    val degen = (0 until 150).map { i =>
+      (i.toLong, base.map(x => (x + 1e-4 * rnd.nextGaussian()).toFloat).toSeq)
+    }
+    val other = corpus.where($"vec_id" < 40)
+      .select($"vec_id" + 1000, $"embedding").as[(Long, Seq[Float])].collect().toSeq
+    val df = (degen ++ other).toDF("vec_id", "embedding")
+    val uncapped = Ann.cosinePairsLsh(df, "vec_id", "embedding", threshold = 0.9)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val capped = Ann.cosinePairsLsh(df, "vec_id", "embedding", threshold = 0.9,
+      bucketCap = Some(100L))
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(capped.subsetOf(uncapped), "capping only ever drops pairs")
+    // the degenerate cluster's C(150,2) pairs ride only on over-cap
+    // buckets and are dropped; the normal clusters' pairs survive
+    assert(capped.nonEmpty, "under-cap buckets keep their pairs")
+    // (145 not 150: the 1e-4 noise can flip a near-zero plane for a
+    // couple of rows, splitting them off the degenerate bucket)
+    assert(uncapped.size - capped.size >= 145 * 144 / 2,
+      "the documented recall tradeoff: over-cap buckets are skipped")
+    // and the counters see exactly that pressure
+    val rep = Ann.capReport(df, "vec_id", "embedding",
+        nPlanes = 60, bands = 12, bucketCap = 100L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rep("embedding_buckets_over_cap") >= 12,
+      "one over-cap bucket per band from the degenerate cluster")
+    assert(rep("embedding_band_entries_dropped") >= 12L * 145,
+      "nearly every degenerate row sits in an over-cap bucket in every band")
   }
 
   test("ivfTopK probing all cells equals brute-force topK exactly") {
