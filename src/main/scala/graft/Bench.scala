@@ -43,31 +43,41 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
+      val timed = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            false
+          }
         val dt = (System.nanoTime() - t0) / 1e9
         // cache hygiene between reps AND queries: pipelines that
         // legitimately persist intermediates (pair tables, vocabularies)
         // must not accumulate across the run — leftover cached frames
         // shift later numbers via storage/GC pressure, not plan quality
         spark.catalog.clearCache()
-        dt
-      }.sorted
-      // lower median for even rep counts — deterministic, no averaging
-      name -> (times((times.length - 1) / 2), times.head, times.last)
+        (dt, ok)
+      }
+      // only SUCCESSFUL reps count: a query that starts failing fast
+      // must read as a failure in the tracked artifact, never as a
+      // performance win — no successful rep -> null + "failed" entry
+      val times = timed.filter(_._2).map(_._1).sorted
+      name -> times
     }
-    def obj(f: ((String, (Double, Double, Double))) => Double): String =
-      results.map { case (k, v) => "\"" + k + "\":" + f((k, v)) }
-        .mkString("{", ",", "}")
-    val qs = obj(_._2._1)
-    val qmin = obj(_._2._2)
-    val qmax = obj(_._2._3)
-    val total = results.map(_._2._1).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"queries_min":$qmin,"queries_max":$qmax,"sf":"$sfDir"}""")
+    // lower median for even rep counts — deterministic, no averaging
+    def obj(f: Seq[Double] => Double): String =
+      results.map { case (k, ts) =>
+        "\"" + k + "\":" + (if (ts.isEmpty) "null" else f(ts).toString)
+      }.mkString("{", ",", "}")
+    val qs = obj(ts => ts((ts.length - 1) / 2))
+    val qmin = obj(_.head)
+    val qmax = obj(_.last)
+    val failed = results.collect { case (k, ts) if ts.isEmpty => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.flatMap { case (_, ts) =>
+      ts.drop((ts.length - 1) / 2).headOption }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"failed":$failed,"queries":$qs,"queries_min":$qmin,"queries_max":$qmax,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -2,11 +2,12 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graftsql.Bridge
-import org.apache.spark.sql.types._
+import org.apache.spark.sql.types.{AbstractDataType, _}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Exact bounded top-k-by-count aggregate: per group, the k (count,
@@ -33,6 +34,19 @@ case class TopKCountAgg(num: Expression, key: Expression, k: Int,
     extends TypedImperativeAggregate[java.util.TreeSet[(Long, UTF8String)]] {
 
   require(k >= 1, "k >= 1")
+
+  // strict input types, checked at ANALYSIS time: a wrong column type
+  // is a clear analysis error instead of a ClassCastException inside
+  // the aggregation buffer at runtime (the topKByCount wrapper casts
+  // for convenience; this guards direct expression construction)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (num.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName count must be BIGINT, got ${num.dataType.simpleString}")
+    else if (key.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName key must be STRING, got ${key.dataType.simpleString}")
+    else TypeCheckResult.TypeCheckSuccess
 
   override def children: Seq[Expression] = Seq(num, key)
   override def nullable: Boolean = false
@@ -135,9 +149,11 @@ case class TopKCountAgg(num: Expression, key: Expression, k: Int,
 
 object TopKCountAgg {
   /** Column wrapper: top-k (count, key) entries of the group, best
-    * first — feed it FINALIZED counts (each key once).
+    * first — feed it FINALIZED counts (each key once). Counts are cast
+    * to long and keys to string here, so int counts / non-string keys
+    * work; direct expression construction stays strictly typed.
     */
   def topKByCount(num: Column, key: Column, k: Int): Column =
-    Bridge.column(TopKCountAgg(Bridge.expression(num), Bridge.expression(key), k)
-      .toAggregateExpression())
+    Bridge.column(TopKCountAgg(Bridge.expression(num.cast("long")),
+      Bridge.expression(key.cast("string")), k).toAggregateExpression())
 }
