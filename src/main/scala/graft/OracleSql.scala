@@ -164,6 +164,35 @@ object OracleSql {
         |SELECT source, target, similarity, CAST(rn AS BIGINT) AS "rank"
         |FROM ranked WHERE rn <= 2 ORDER BY source, "rank"""".stripMargin,
 
+    // assignment-only twin of the sketch matcher: the EXACT Jaccard
+    // argmax per source column — the MinHash estimate's induced
+    // assignment must agree with the exact computation's (scores are
+    // estimates and deliberately not compared)
+    "match_schema_sketch" ->
+      """WITH sv AS (
+        |  SELECT DISTINCT 'l_returnflag' AS source, trim(CAST(l_returnflag AS VARCHAR)) AS value
+        |  FROM lineitem WHERE l_returnflag IS NOT NULL AND trim(CAST(l_returnflag AS VARCHAR)) <> ''
+        |  UNION
+        |  SELECT DISTINCT 'l_linestatus', trim(CAST(l_linestatus AS VARCHAR))
+        |  FROM lineitem WHERE l_linestatus IS NOT NULL AND trim(CAST(l_linestatus AS VARCHAR)) <> ''),
+        |tv AS (
+        |  SELECT DISTINCT 'o_orderstatus' AS target, trim(CAST(o_orderstatus AS VARCHAR)) AS value
+        |  FROM orders WHERE o_orderstatus IS NOT NULL AND trim(CAST(o_orderstatus AS VARCHAR)) <> ''
+        |  UNION
+        |  SELECT DISTINCT 'o_orderpriority', trim(CAST(o_orderpriority AS VARCHAR))
+        |  FROM orders WHERE o_orderpriority IS NOT NULL AND trim(CAST(o_orderpriority AS VARCHAR)) <> ''),
+        |ns AS (SELECT source, count(*) AS ns FROM sv GROUP BY source),
+        |nt AS (SELECT target, count(*) AS nt FROM tv GROUP BY target),
+        |inter AS (SELECT source, target, count(*) AS ni FROM sv JOIN tv USING (value) GROUP BY source, target),
+        |sims AS (
+        |  SELECT ns.source, nt.target,
+        |         CAST(coalesce(ni, 0) AS DOUBLE) / CAST(ns.ns + nt.nt - coalesce(ni, 0) AS DOUBLE) AS similarity
+        |  FROM ns CROSS JOIN nt LEFT JOIN inter ON inter.source = ns.source AND inter.target = nt.target),
+        |best AS (SELECT source, target, similarity,
+        |                row_number() OVER (PARTITION BY source ORDER BY similarity DESC, target ASC) AS rn
+        |         FROM sims)
+        |SELECT source, target FROM best WHERE rn = 1 ORDER BY source""".stripMargin,
+
     "match_schema_name" ->
       """WITH snames AS (SELECT unnest(['c_custkey', 'c_name', 'c_nationkey', 'c_acctbal', 'c_mktsegment']) AS source),
         |tnames AS (SELECT unnest(['s_suppkey', 's_name', 's_nationkey', 's_acctbal']) AS target),
@@ -567,6 +596,18 @@ object OracleSql {
         |                         c.vec_id ASC) AS BIGINT) AS "rank"
         |  FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND c.vec_id <> q.vec_id)
         |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin,
+
+    // the approximate-ANN recall gates: the Spark side computes
+    // recall@5 per query against its own in-plan brute-force truth and
+    // emits a floor boolean; the oracle is the LITERAL all-true table,
+    // so any query dropping below the floor fails the hash match
+    "ann_lsh_recall" ->
+      """SELECT vec_id AS query_id, true AS recall_ok FROM embeddings
+        |WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
+
+    "ann_ivf_recall" ->
+      """SELECT vec_id AS query_id, true AS recall_ok FROM embeddings
+        |WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
 
     "text_stats" ->
       s"""WITH tk AS (SELECT doc_id, text, ${toks("text")} AS tl FROM documents)

@@ -91,10 +91,7 @@ object Ann {
     val bits = nPlanes / bands
 
     def flips(d: DataFrame): DataFrame =
-      if (!probeFlips) d
-      else d.select(F.col("id"), F.col("band"),
-        F.explode(F.array(F.col("key") +: (0 until bits).map(j =>
-          F.col("key").bitwiseXOR(F.lit(1L << j))): _*)).as("key"))
+      if (!probeFlips) d else withFlipProbes(d, bits)
 
     def verified(cands: DataFrame): DataFrame = {
       val v1 = df.select(F.col(idCol).as("id1"), F.col(vecCol).as("v1"))
@@ -167,6 +164,15 @@ object Ann {
       .select(F.col("id"), F.col("band"),
         F.expr(s"shiftright(sig, band * $bits) & ${maskL}L").as("key"))
   }
+
+  /** Expand a banded table's keys to the multi-probe set: the exact
+    * key plus all single-bit flips within the band — hamming-1
+    * coverage on one join side (the other side keeps exact keys).
+    */
+  private def withFlipProbes(banded: DataFrame, bits: Int): DataFrame =
+    banded.select(banded.columns.filter(_ != "key").map(F.col) :+
+      F.explode(F.array(F.col("key") +: (0 until bits).map(j =>
+        F.col("key").bitwiseXOR(F.lit(1L << j))): _*)).as("key"): _*)
 
   /** Diagnostics for the embedding-LSH bucketCap guard, shaped like
     * Dedup.capReport (metric, value) rows: how many band buckets exceed
@@ -380,25 +386,65 @@ object Ann {
     probeAndRank(index, queries, qId, qVec, cents, k, nProbe)
   }
 
-  /** Approximate top-k: candidates share the query's LSH bucket (or a
-    * bucket within hamming 1, via multi-probe on single-bit flips),
-    * exact cosine re-rank within candidates.
+  /** Per-query recall of an approximate top-k result against an exact
+    * truth set — both shaped (query_id, neighbor_id, ...), e.g.
+    * [[lshTopK]]/[[ivfTopK]] vs [[cosineTopK]]. The standard ANN
+    * tuning/regression metric, computed in-plan: truth and approx are
+    * joined on (query_id, neighbor_id), so the cost is two top-k
+    * tables, never the corpus. Output (query_id, recall in [0,1]).
+    */
+  def recallPerQuery(approx: DataFrame, truth: DataFrame): DataFrame = {
+    val t = truth.select("query_id", "neighbor_id")
+    val hits = t.join(approx.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(F.count(F.lit(1)).as("__hit"))
+    t.groupBy("query_id").agg(F.count(F.lit(1)).as("__true"))
+      .join(hits, Seq("query_id"), "left")
+      .select(F.col("query_id"),
+        (F.coalesce(F.col("__hit"), F.lit(0L)).cast("double") /
+          F.col("__true").cast("double")).as("recall"))
+  }
+
+  /** Approximate top-k via BANDED hyperplane LSH: the nPlanes-bit
+    * signature splits into `bands` bands of nPlanes/bands bits, and a
+    * corpus vector is a candidate when it shares ANY band key with the
+    * query (or a key within hamming 1 of one, via single-bit-flip
+    * probes on the broadcast query side); candidates are re-ranked by
+    * exact cosine. OR-amplification over bands is what makes recall
+    * tunable at a fixed scan budget — a single monolithic bucket
+    * (bands=1) needs ALL planes to agree and its recall collapses for
+    * any neighbor short of near-identical, which the per-query recall
+    * gate (ann_lsh_recall) would catch. Expected scanned corpus
+    * fraction ~ bands * (bits+1) / 2^bits with flips on; the defaults
+    * (7 bands x 8 bits) probe ~25% — tuned for usable recall on even a
+    * near-random corpus. Clustered production corpora support far
+    * higher bits at the same recall.
+    *
+    * Scale shape: the banded corpus table carries (id, band, key)
+    * longs only; vectors rejoin AFTER the candidate distinct, so the
+    * corpus payload is read where it lies and only candidate rows'
+    * vectors move. Queries (driver-small by nature) are broadcast —
+    * the corpus is never shuffled.
     */
   def lshTopK(queries: DataFrame, qId: String, qVec: String,
               corpus: DataFrame, cId: String, cVec: String,
-              k: Int, dim: Int, nPlanes: Int = 12): DataFrame = {
-    val sigC = corpus.select(F.col(cId).as("neighbor_id"), F.col(cVec).as("cv"),
-      lshSignature(F.col(cVec), dim, nPlanes).as("bucket"))
-    // multi-probe: the exact bucket plus all single-bit flips
-    val probes = F.array_union(
-      F.array(F.col("qsig")),
-      F.transform(F.sequence(F.lit(0), F.lit(nPlanes - 1)),
-        p => F.col("qsig").bitwiseXOR(F.pow(F.lit(2.0), p).cast("long"))))
-    val sigQ = queries.select(F.col(qId).as("query_id"), F.col(qVec).as("qv"),
-        lshSignature(F.col(qVec), dim, nPlanes).as("qsig"))
-      .select(F.col("query_id"), F.col("qv"), F.explode(probes).as("bucket"))
-    val scored = sigC.join(F.broadcast(sigQ), "bucket")
+              k: Int, nPlanes: Int = 56, bands: Int = 7,
+              probeFlips: Boolean = true): DataFrame = {
+    require(nPlanes >= 1 && nPlanes <= 63, "nPlanes in [1, 63]")
+    require(bands >= 1 && nPlanes % bands == 0, "bands must divide nPlanes")
+    val bits = nPlanes / bands
+    val c = corpus.select(F.col(cId).as("neighbor_id"), F.col(cVec).as("cv"))
+    val q = queries.select(F.col(qId).as("query_id"), F.col(qVec).as("qv"))
+    val bandedC = bandedSignatures(c, "neighbor_id", "cv", nPlanes, bands)
+      .withColumnRenamed("id", "neighbor_id")
+    val bandedQ = bandedSignatures(q, "query_id", "qv", nPlanes, bands)
+      .withColumnRenamed("id", "query_id")
+    val probes = if (probeFlips) withFlipProbes(bandedQ, bits) else bandedQ
+    val cands = bandedC.join(F.broadcast(probes), Seq("band", "key"))
       .where(F.col("query_id") =!= F.col("neighbor_id"))
+      .select("query_id", "neighbor_id")
+      .distinct()
+    val scored = cands.join(c, "neighbor_id").join(F.broadcast(q), "query_id")
       .withColumn("sim", cosine(F.col("qv"), F.col("cv")))
     val w = Window.partitionBy("query_id")
       .orderBy(F.col("sim").desc, F.col("neighbor_id").asc)

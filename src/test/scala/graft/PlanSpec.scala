@@ -75,7 +75,9 @@ class PlanSpec extends SparkSpec {
   // value domain (value matching scores all pairs of DISTINCT values,
   // the reference semantics; cost is |distinct|^2, never |rows|^2), a
   // column-name list, a single-row corpus total, or a driver-small
-  // query batch (ann_topk is the declared brute-force baseline). A BNLJ
+  // query batch (ann_topk is the declared brute-force baseline; the
+  // ann_*_recall gates embed the same broadcast-query brute-force
+  // truth to compare the approximate paths against). A BNLJ
   // over an UNBOUNDED side — like the retired dedup_embedding exact
   // pair join over the whole corpus — is the scale-killer this test
   // exists to catch.
@@ -84,7 +86,7 @@ class PlanSpec extends SparkSpec {
     "match_values_embedding", "match_values_coverage",
     "match_schema_name", "match_schema_sketch", "match_schema_twophase",
     "match_schema_maxvalsim", "match_schema_overlap", "match_schema_topk",
-    "text_lm_score", "ann_topk")
+    "text_lm_score", "ann_topk", "ann_lsh_recall", "ann_ivf_recall")
 
   test("no wired query plans a CartesianProduct; BNLJ only on bounded-broadcast baselines") {
     val withBnlj = scala.collection.mutable.Set[String]()

@@ -139,7 +139,7 @@ class SimilaritySpec extends SparkSpec {
   test("lshTopK returns ranked exact-cosine results from probed buckets") {
     val q = corpus.where($"vec_id" < 5)
     val out = Ann.lshTopK(q, "vec_id", "embedding", corpus, "vec_id", "embedding",
-      k = 3, dim = 16, nPlanes = 8)
+      k = 3, nPlanes = 8, bands = 2)
       .as[(Long, Long, Long, Double)].collect()
     assert(out.nonEmpty)
     out.groupBy(_._1).foreach { case (_, rows) =>
