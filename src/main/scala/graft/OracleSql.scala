@@ -495,6 +495,14 @@ object OracleSql {
         |                  WHERE e.doc_id < 250 AND e.text = d.text)
         |ORDER BY d.doc_id""".stripMargin,
 
+    // batch-touching subset of the exact near-dup pairs: the wired
+    // query generates candidates by band-joining ONLY the incoming
+    // batch's signatures, so parity against the full exact computation
+    // restricted to batch pairs is the incremental path's recall gate
+    "dedup_incremental_near" -> (jaccardPairsCte +
+      """SELECT id1, id2, jaccard FROM pairs
+        |WHERE id1 >= 250 OR id2 >= 250 ORDER BY id1, id2""".stripMargin),
+
     "decontaminate" ->
       s"""WITH tk AS (SELECT doc_id, ${toks("text")} AS tl FROM documents),
          |sh AS (SELECT DISTINCT doc_id,

@@ -367,6 +367,22 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  private def dedupIncrementalNear(t: Tables): DataFrame = {
+    // the daily-crawl operator: near-dup pairs touching the incoming
+    // batch, via a band join of the batch's signatures against the
+    // existing corpus's signature table (computed inline here; the
+    // persisted bucketed-index path is spec'd in DedupSpec) + the
+    // batch's own — then exact-verified, so the DuckDB twin is the
+    // exact Jaccard of batch x (existing UNION batch)
+    val existing = t.documents.where(F.col("doc_id") < 250)
+    val incoming = t.documents.where(F.col("doc_id") >= 250)
+    val existingBanded = Dedup.minhashBanded(existing, "doc_id", "text",
+      k = 3, numHashes = 128, bands = 32)
+    Dedup.incrementalNearDupPairs(incoming, existing, existingBanded,
+      "doc_id", "text", k = 3, numHashes = 128, bands = 32, threshold = 0.5)
+      .orderBy("id1", "id2")
+  }
+
   private def decontaminate(t: Tables): DataFrame = {
     // synthetic "benchmark" split: every 20th document is the eval set.
     // k=3 (real pipelines use 8-13) because the synthetic corpus shares
@@ -675,6 +691,7 @@ object SparkEntry {
       "decontaminate_clean" -> q(decontaminateClean),
       "boilerplate_ngrams" -> q(boilerplateNgrams),
       "dedup_incremental" -> q(dedupIncremental),
+      "dedup_incremental_near" -> q(dedupIncrementalNear),
       "ann_topk" -> q(annTopk),
       "ann_lsh" -> q(annLsh),
       "ann_lsh_recall" -> q(annLshRecall),

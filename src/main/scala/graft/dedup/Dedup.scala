@@ -355,6 +355,66 @@ object Dedup {
       .drop("__h")
   }
 
+  /** Persist the corpus's banded MinHash signature table as a BUCKETED
+    * managed table — the index an incremental near-dup pipeline builds
+    * once and band-joins every incoming batch against. Bucketed (and
+    * sorted) by the FULL join key (band, key) — Spark's co-partition
+    * check requires all cluster keys by default, so subset bucketing
+    * would still shuffle — which lets the corpus-sized signature side
+    * be read in place while only the (small) batch side moves. The
+    * table carries (id, band, key) longs only, ~bands x 24 bytes per
+    * document: at 100 TB of text this index is ~3 orders of magnitude
+    * smaller than the corpus.
+    */
+  def minhashIndexBuild(corpus: DataFrame, idCol: String, textCol: String,
+                        k: Int, numHashes: Int, bands: Int,
+                        table: String, nBuckets: Int = 64): Unit =
+    graft.sources.Sources.writeBucketedMulti(
+      minhashBanded(corpus, idCol, textCol, k, numHashes, bands),
+      table, bucketBy = Seq("band", "key"), nBuckets = nBuckets,
+      sortBy = Seq("band", "key"))
+
+  /** Incremental NEAR-dup ingest — the operator a crawl pipeline runs
+    * per batch: all pairs (id1 < id2) with exact shingle Jaccard >=
+    * threshold TOUCHING the incoming batch, i.e. batch x (existing
+    * UNION batch). Candidates come from a band join of the batch's
+    * banded signatures against the existing signature table (pass the
+    * frame read back from [[minhashIndexBuild]]'s table, or any
+    * (id, band, key) frame) unioned with the batch's own — the batch
+    * side is the probe, so existing x existing pairs are never
+    * regenerated. Existing corpus TEXT is touched only to exact-verify
+    * candidate ids (semi-join pushes the id set into the scan): per
+    * batch, the existing corpus costs one signature-index read plus
+    * candidate-row lookups — never a full re-shingling.
+    */
+  def incrementalNearDupPairs(incoming: DataFrame, existing: DataFrame,
+                              existingBanded: DataFrame,
+                              idCol: String, textCol: String, k: Int,
+                              numHashes: Int, bands: Int,
+                              threshold: Double): DataFrame = {
+    // the batch signature table feeds both the probe side and the
+    // union — persisted across the single materializing action below
+    val batchBanded =
+      minhashBanded(incoming, idCol, textCol, k, numHashes, bands).persist()
+    val allBanded = existingBanded.select("id", "band", "key").unionAll(batchBanded)
+    val cands = batchBanded.as("a").join(allBanded.as("b"), Seq("band", "key"))
+      .where(F.col("a.id") =!= F.col("b.id"))
+      .select(F.least(F.col("a.id"), F.col("b.id")).as("id1"),
+        F.greatest(F.col("a.id"), F.col("b.id")).as("id2"))
+      .distinct()
+    val corpus = existing.select(F.col(idCol), F.col(textCol))
+      .unionAll(incoming.select(F.col(idCol), F.col(textCol)))
+    val candIds = cands
+      .select(F.explode(F.array(F.col("id1"), F.col("id2"))).as("__cid"))
+      .distinct()
+    val candDocs = corpus.join(candIds, F.col(idCol) === F.col("__cid"), "left_semi")
+    val out = verifyJaccard(cands,
+      docShingleSets(candDocs, idCol, textCol, k), threshold).persist()
+    out.count()
+    batchBanded.unpersist()
+    out
+  }
+
   /** MinHash signature column: numHashes minima over the shingle array
     * in a single native-expression pass (graft.functions.MinHashSig) —
     * no shuffle, no per-permutation interpreted lambda.

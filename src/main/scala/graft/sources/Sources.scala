@@ -50,10 +50,21 @@ object Sources {
 
   /** Bucketed managed-table write for co-located downstream joins. */
   def writeBucketed(df: DataFrame, table: String, bucketBy: String,
-                    nBuckets: Int, sortBy: Option[String] = None): Unit = {
+                    nBuckets: Int, sortBy: Option[String] = None): Unit =
+    writeBucketedMulti(df, table, Seq(bucketBy), nBuckets, sortBy.toSeq)
+
+  /** Multi-column bucketing: bucket columns should cover the FULL
+    * downstream join key — Spark's co-partition check requires all
+    * cluster keys by default (spark.sql.requireAllClusterKeysForCoPartition),
+    * so a subset-bucketed table still shuffles.
+    */
+  def writeBucketedMulti(df: DataFrame, table: String, bucketBy: Seq[String],
+                         nBuckets: Int, sortBy: Seq[String] = Nil): Unit = {
+    require(bucketBy.nonEmpty, "need at least one bucket column")
     val w = df.write.format("parquet").mode(SaveMode.Overwrite)
-      .bucketBy(nBuckets, bucketBy)
-    sortBy.fold(w)(c => w.sortBy(c)).saveAsTable(table)
+      .bucketBy(nBuckets, bucketBy.head, bucketBy.tail: _*)
+    (if (sortBy.nonEmpty) w.sortBy(sortBy.head, sortBy.tail: _*) else w)
+      .saveAsTable(table)
   }
 
   /** Parse a JSON string column into a typed struct with an EXPLICIT
