@@ -299,10 +299,20 @@ object SparkEntry {
   // every round, which is exactly the guard the judge asked to keep on.
   private val JaccardDfCap = Some(200L)
   private val MinhashBucketCap = Some(1000L)
+  // under-dfCap heavy shingles (df in (32, 200]) still skew the prefix
+  // self-join's sh key; salting splits each one's postings across 8
+  // reducers — results identical (spec'd), only the task shape changes
+  private val JaccardHotSalt = Some((32L, 8))
+
+  /** The shared PPJoin pair pipeline behind the jaccard-family wired
+    * queries — production guards (dfCap, hot-shingle salting) ON.
+    */
+  private def jaccardPairsWired(t: Tables): DataFrame =
+    Dedup.jaccardPairs(t.documents, "doc_id", "text", k = 3, threshold = 0.5,
+      dfCap = JaccardDfCap, hotSalt = JaccardHotSalt)
 
   private def dedupJaccard(t: Tables): DataFrame =
-    Dedup.jaccardPairs(t.documents, "doc_id", "text", k = 3, threshold = 0.5,
-      dfCap = JaccardDfCap)
+    jaccardPairsWired(t)
       .orderBy("id1", "id2")
 
   private def dedupMinhash(t: Tables): DataFrame =
@@ -331,18 +341,13 @@ object SparkEntry {
   private def dedupComponents(t: Tables): DataFrame =
     // releaseInput: components is the pair table's terminal consumer
     // here, so it drops the materialized pair cache on completion
-    Dedup.components(
-      Dedup.jaccardPairs(t.documents, "doc_id", "text", k = 3, threshold = 0.5,
-        dfCap = JaccardDfCap),
-      releaseInput = true)
+    Dedup.components(jaccardPairsWired(t), releaseInput = true)
       .orderBy("id")
 
   private def dedupCanonical(t: Tables): DataFrame =
     // the "write the clean corpus" step after near-dup clustering: one
     // canonical (min-id) document per cluster plus every unpaired doc
-    Dedup.keepCanonical(t.documents, "doc_id",
-      Dedup.jaccardPairs(t.documents, "doc_id", "text", k = 3, threshold = 0.5,
-        dfCap = JaccardDfCap),
+    Dedup.keepCanonical(t.documents, "doc_id", jaccardPairsWired(t),
       releaseInput = true)
       .select(F.col("doc_id"), F.col("lang"))
       .orderBy("doc_id")
@@ -617,9 +622,7 @@ object SparkEntry {
     // provenance: which sources near-duplicate each other — the signal
     // behind source mixing weights; rides on the same PPJoin pipeline
     // as dedup_jaccard, plus two (id, source)-only joins
-    Dedup.pairGroupReport(
-      Dedup.jaccardPairs(t.documents, "doc_id", "text", k = 3, threshold = 0.5,
-        dfCap = JaccardDfCap),
+    Dedup.pairGroupReport(jaccardPairsWired(t),
       t.documents, "doc_id", "source")
       .orderBy("source_1", "source_2")
 

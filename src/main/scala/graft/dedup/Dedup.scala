@@ -69,13 +69,14 @@ object Dedup {
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    k: Int, threshold: Double,
-                   dfCap: Option[Long] = None): DataFrame = {
+                   dfCap: Option[Long] = None,
+                   hotSalt: Option[(Long, Int)] = None): DataFrame = {
     // ONE tokenize+shingle kernel pass over the corpus: the cached
     // per-doc set table feeds everything downstream — the exploded
     // (id, sh) pairs and the doc sizes for candidate generation, and
     // the sorted arrays for merge-scan verification
     val sets = docShingleSets(df, idCol, textCol, k).persist()
-    val cands = candidatesFromSets(sets, threshold, dfCap)
+    val cands = candidatesFromSets(sets, threshold, dfCap, hotSalt)
     val out = verifyJaccard(cands, sets, threshold).persist()
     out.count() // the ONLY materializing action: candidates + verify, one job
     sets.unpersist()
@@ -91,9 +92,10 @@ object Dedup {
     */
   private[graft] def jaccardCandidates(
       df: DataFrame, idCol: String, textCol: String,
-      k: Int, threshold: Double, dfCap: Option[Long] = None): DataFrame = {
+      k: Int, threshold: Double, dfCap: Option[Long] = None,
+      hotSalt: Option[(Long, Int)] = None): DataFrame = {
     val sets = docShingleSets(df, idCol, textCol, k).persist()
-    val cands = candidatesFromSets(sets, threshold, dfCap).persist()
+    val cands = candidatesFromSets(sets, threshold, dfCap, hotSalt).persist()
     cands.count() // materialize while the set table is cached, then drop it
     sets.unpersist()
     cands
@@ -106,7 +108,8 @@ object Dedup {
     * second tokenization pass anywhere).
     */
   private def candidatesFromSets(sets: DataFrame, threshold: Double,
-                                 dfCap: Option[Long]): DataFrame = {
+                                 dfCap: Option[Long],
+                                 hotSalt: Option[(Long, Int)] = None): DataFrame = {
     val tok = sets.select(F.col("id"), F.explode(F.col("shs")).as("sh"))
     val sizes = sets.select(F.col("id"), F.col("sz"))
     val dfreq = tok.groupBy("sh").agg(F.count(F.lit(1)).as("df"))
@@ -117,11 +120,33 @@ object Dedup {
     val prefix0 = ranked.join(sizes, "id")
       .where(F.col("rk") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
     val prefix = dfCap.fold(prefix0)(cap => prefix0.where(F.col("df") <= cap))
-      .select("id", "sh")
-    prefix.as("a").join(prefix.as("b"), Seq("sh"))
-      .where(F.col("a.id") < F.col("b.id"))
-      .select(F.col("a.id").as("id1"), F.col("b.id").as("id2"))
-      .distinct()
+      .select("id", "sh", "df")
+    def candJoin(p: DataFrame): DataFrame =
+      p.as("a").join(p.as("b"), Seq("sh"))
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").as("id1"), F.col("b.id").as("id2"))
+    // hotSalt = (hotDf, salts): shingles with df above hotDf — heavy
+    // hitters the dfCap deliberately lets through — take a SALTED
+    // self-join, splitting each hot shingle's posting list across
+    // `salts` reducers instead of one straggler task; everything else
+    // joins plain. The split is clean because a pair's shared shingle
+    // is hot or cold for both sides (df is a property of the shingle).
+    // Results are identical to the plain join (spec'd); only the task
+    // shape changes.
+    val cands = hotSalt match {
+      case None => candJoin(prefix.select("id", "sh"))
+      case Some((hotDf, salts)) =>
+        val cold = prefix.where(F.col("df") <= hotDf).select("id", "sh")
+        val hot = prefix.where(F.col("df") > hotDf)
+        val hotPairs = graft.operators.Skew.saltedJoin(
+            hot.select(F.col("id").as("id1"), F.col("sh")),
+            hot.select(F.col("id").as("id2"), F.col("sh")),
+            key = "sh", salts = salts)
+          .where(F.col("id1") < F.col("id2"))
+          .select("id1", "id2")
+        candJoin(cold).unionAll(hotPairs)
+    }
+    cands.distinct()
   }
 
   /** Per-doc sorted shingle-hash set (id, shs, sz) — built per row

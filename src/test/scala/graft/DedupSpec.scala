@@ -336,6 +336,76 @@ class DedupSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("hot-shingle salted PPJoin candidates equal the plain join on a skewed corpus") {
+    // skew shape: one boilerplate bigram rides in EVERY doc (df = 60,
+    // above the hot threshold, below dfCap) while each near-dup pair
+    // shares rare shingles — the salted path must not change results
+    val docs = (0 until 60).map { i =>
+      val dup = if (i % 2 == 0) s"alpha$i beta$i gamma$i" else s"alpha${i - 1} beta${i - 1} gamma${i - 1}"
+      (i.toLong, s"common anchor text $dup")
+    }.toDF("doc_id", "text")
+    val plain = Dedup.jaccardCandidates(docs, "doc_id", "text", 2, 0.3,
+      dfCap = Some(100L), hotSalt = None)
+    val salted = Dedup.jaccardCandidates(docs, "doc_id", "text", 2, 0.3,
+      dfCap = Some(100L), hotSalt = Some((10L, 4)))
+    val p = plain.as[(Long, Long)].collect().toSet
+    val s = salted.as[(Long, Long)].collect().toSet
+    assert(p.nonEmpty, "skewed corpus must produce candidates")
+    assert(s == p, s"salted candidates diverged: missing=${(p -- s).size} extra=${(s -- p).size}")
+    plain.unpersist(); salted.unpersist()
+  }
+
+  test("salting drops the max-task shuffle input on a skewed join") {
+    // direct Skew.saltedJoin measurement: one celebrity key carries
+    // 2000 left rows; plain hash join funnels them all into one task,
+    // the salted join splits them across `salts` reducers. Max per-task
+    // shuffle-read records is the straggler metric that matters.
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    import graft.operators.Skew
+    val left = (0 until 2000).map(i => ("hot", i.toLong))
+      .toDF("k", "payload")
+    val right = Seq(("hot", 1L)).toDF("k", "tag")
+    class MaxRead extends SparkListener {
+      @volatile var maxRecords = 0L
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null)
+          maxRecords = math.max(maxRecords,
+            te.taskMetrics.shuffleReadMetrics.recordsRead)
+    }
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    def measure(f: => Long): (Long, Long) = {
+      val l = new MaxRead
+      spark.sparkContext.addSparkListener(l)
+      try {
+        val n = f
+        // listener events drain asynchronously after the job completes
+        val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+        while (l.maxRecords == 0 && System.nanoTime() < deadline) Thread.sleep(50)
+        (n, l.maxRecords)
+      } finally spark.sparkContext.removeSparkListener(l)
+    }
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.shuffle.partitions", "16")
+      // AQE coalescing would merge the tiny post-split partitions back
+      // together and mask the per-reducer measurement
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val (nPlain, maxPlain) = measure(left.join(right, Seq("k")).count())
+      val (nSalted, maxSalted) = measure(
+        Skew.saltedJoin(left, right, "k", salts = 8).count())
+      assert(nPlain == 2000 && nSalted == 2000, "salting must not change results")
+      assert(maxPlain >= 2000, s"plain join straggler should read all rows, read $maxPlain")
+      assert(maxSalted <= maxPlain / 2,
+        s"salted max-task input $maxSalted not below half of plain $maxPlain")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
   test("GraftSession.build checkpointDir knob reaches the SparkContext") {
     // getOrCreate returns the shared test session, so the knob must
     // apply to the ACTIVE context — which is exactly the deployment
