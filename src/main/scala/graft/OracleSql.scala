@@ -459,6 +459,44 @@ object OracleSql {
          |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
          |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // the composed curation chain: quality verdict (same thresholds as
+    // curate_quality) -> keep-first exact dedup -> shard + pack (same
+    // budget/shards as curate_pack) -> per-pack report
+    "curate_pipeline" ->
+      s"""WITH tk AS (SELECT doc_id, text, ${toks("text")} AS tl FROM documents),
+         |ex AS (SELECT doc_id, unnest(tl) AS tok FROM tk),
+         |tf AS (SELECT doc_id, tok, count(*) AS c FROM ex GROUP BY doc_id, tok),
+         |top AS (SELECT doc_id, max(c) AS m FROM tf GROUP BY doc_id),
+         |meas AS (SELECT tk.doc_id, tk.text,
+         |    len(tk.tl) AS n_tokens,
+         |    CASE WHEN len(tk.tl) > 0 THEN CAST(top.m AS DOUBLE) / CAST(len(tk.tl) AS DOUBLE)
+         |         ELSE 0.0 END AS top_share,
+         |    CASE WHEN length(tk.text) > 0
+         |         THEN CAST(len(regexp_extract_all(tk.text, '[^a-zA-Z0-9 ]')) AS DOUBLE)
+         |              / CAST(length(tk.text) AS DOUBLE)
+         |         ELSE 0.0 END AS punct_ratio,
+         |    len(list_filter(tk.tl, t -> list_contains(${sqlList(TextOps.stopwords.toMap.apply("en"))}, t))) AS n_stop
+         |  FROM tk LEFT JOIN top USING (doc_id)),
+         |kept AS (SELECT doc_id, text, n_tokens FROM meas
+         |  WHERE NOT (n_tokens < 5 OR n_tokens > 100000 OR top_share > 0.3
+         |             OR punct_ratio > 0.3 OR n_stop < 1)),
+         |dd AS (SELECT doc_id, n_tokens FROM (
+         |    SELECT doc_id, n_tokens,
+         |           row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rk
+         |    FROM kept) WHERE rk = 1),
+         |sh AS (SELECT doc_id, n_tokens,
+         |    CAST(floor(CAST((doc_id * 2654435761) % 1000000 AS DOUBLE)
+         |               / 1000000.0 * 4) AS BIGINT) AS shard
+         |  FROM dd),
+         |c AS (SELECT doc_id, shard, n_tokens,
+         |    coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS strt
+         |  FROM sh)
+         |SELECT shard, CAST(strt // 2048 AS BIGINT) AS pack_id,
+         |       count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+         |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "corpus_vocab" ->
       s"""WITH tok AS (SELECT lang, unnest(${toks("text")}) AS tok FROM documents),
          |c AS (SELECT lang, tok, count(*) AS n FROM tok GROUP BY 1, 2),

@@ -610,6 +610,14 @@ object SparkEntry {
         F.min("doc_id").as("first_doc"), F.max("doc_id").as("last_doc"))
       .orderBy("shard", "pack_id")
 
+  private def curatePipeline(t: Tables): DataFrame =
+    // the full curation chain (quality -> dedup -> pack) as one plan
+    // over one corpus scan — asserted in PlanSpec; same thresholds as
+    // curate_quality, same budget/shards as curate_pack
+    text.Curate.pipelineReport(t.documents, "doc_id", "text",
+      budget = 2048, nShards = 4, stop = TextOps.stopwords.toMap.apply("en"))
+      .orderBy("shard", "pack_id")
+
   private def corpusQuantiles(t: Tables): DataFrame =
     text.Curate.lengthQuantiles(t.documents, "lang", "text")
       .orderBy("lang")
@@ -713,6 +721,7 @@ object SparkEntry {
       "corpus_stats" -> q(corpusStatsQ),
       "corpus_quantiles" -> q(corpusQuantiles),
       "curate_pack" -> q(curatePack),
+      "curate_pipeline" -> q(curatePipeline),
       "curate_take" -> q(curateTake),
       "corpus_vocab" -> q(corpusVocab),
       "dedup_cross_source" -> q(dedupCrossSource),

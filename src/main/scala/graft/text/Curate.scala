@@ -279,6 +279,57 @@ object Curate {
       .drop("__start")
   }
 
+  /** End-to-end curation pipeline — quality filter -> exact dedup ->
+    * deterministic shard + sequence packing — composed in ONE plan
+    * over ONE corpus scan, returning the per-(shard, pack) report a
+    * training-data build job emits. The composition is the point:
+    *  - the quality verdict and token counts are per-row staged
+    *    expressions on the same scan (no second read);
+    *  - exact dedup is the single-scan window form (min-id row per
+    *    text hash) rather than keepFirst's agg + semi-join back,
+    *    which would re-scan the corpus;
+    *  - packing reuses the already-computed token counts.
+    * Two shuffles total at any scale: the dedup window's hash
+    * partition and the per-shard packing window (whose partitioning
+    * the final aggregation reuses).
+    */
+  def pipelineReport(df: DataFrame, idCol: String, textCol: String,
+                     budget: Long, nShards: Int,
+                     stop: Seq[String], salt: Long = 0L): DataFrame = {
+    require(budget >= 1, "budget >= 1")
+    import graft.functions.HashExprs.stopwordCount
+    val base = df.select(F.col(idCol), F.col(textCol).as("__text"),
+      TextOps.tokens(F.col(textCol)).as("__toks"))
+    // stage each counting kernel once (docProfile's projection-boundary
+    // trick) — the verdict references them multiple times
+    val mid = base.select(F.col(idCol), F.col("__text"),
+      F.size(F.col("__toks")).as("__nt"),
+      F.length(F.col("__text")).as("__nc"),
+      F.regexp_count(F.col("__text"), F.lit("[^a-zA-Z0-9 ]")).as("__np"),
+      stopwordCount(F.col("__toks"), stop).as("__ns"),
+      TextOps.topTokenShare(F.col("__toks")).as("__tts"))
+    val punctRatio = F.when(F.col("__nc") > 0,
+      F.col("__np").cast("double") / F.col("__nc").cast("double")).otherwise(F.lit(0.0))
+    val reason = qualityVerdictFrom(F.col("__nt"), F.col("__tts"),
+      punctRatio, F.col("__ns")).toMap.apply("reason")
+    val kept = mid.where(reason.isNull)
+    val wDup = org.apache.spark.sql.expressions.Window
+      .partitionBy(F.md5(F.col("__text").cast("binary"))).orderBy(idCol)
+    val deduped = kept.withColumn("__rk", F.row_number().over(wDup))
+      .where(F.col("__rk") === 1)
+    val wPack = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(idCol)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    deduped.select(F.col(idCol),
+        shardKey(F.col(idCol), nShards, salt).as("shard"),
+        F.col("__nt").cast("long").as("n_tokens"))
+      .withColumn("__start", F.coalesce(F.sum("n_tokens").over(wPack), F.lit(0L)))
+      .withColumn("pack_id", F.expr(s"__start div ${budget}L"))
+      .groupBy("shard", "pack_id")
+      .agg(F.count(F.lit(1)).as("n_docs"), F.sum("n_tokens").as("sum_tokens"),
+        F.min(idCol).as("first_doc"), F.max(idCol).as("last_doc"))
+  }
+
   /** Per-group top-k token report — tokenizer/vocabulary audits and
     * stopword discovery. Two bounded aggregations, no window: (1) the
     * explode shuffles (group, token) pairs with map-side partial

@@ -113,6 +113,19 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("curate_pipeline: quality -> dedup -> pack composes into ONE corpus scan") {
+    // the end-to-end chain must not re-read the corpus per stage: one
+    // FileScan, and only the two structural shuffles (dedup window's
+    // hash partition + the per-shard packing window, whose partitioning
+    // the final aggregation reuses)
+    val df = SparkEntry.queries("curate_pipeline")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    val scans = "FileScan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected exactly 1 corpus scan, got $scans:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 2, s"expected <=2 hash exchanges, got $exchanges:\n$p")
+  }
+
   test("exact dedup aggregates map-side before the hash shuffle") {
     // partial_min/partial_count markers prove the combine happens
     // before the exchange — at 100 TB the shuffle carries one row per
