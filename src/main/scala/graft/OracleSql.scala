@@ -816,12 +816,19 @@ object OracleSql {
         |       count(*) AS n_events, count(DISTINCT event_type) AS n_types
         |FROM s GROUP BY user_id, session_no ORDER BY user_id, session_start_us""".stripMargin,
 
+    // the Spark side BUILDS real PNG/JPEG/GIF header bytes from
+    // doc-derived dimensions and PARSES them back with the pure-JVM
+    // header decoder; the oracle recomputes the expected metadata
+    // arithmetically (blob sizes are the fixed per-format header
+    // lengths: PNG sig+IHDR = 33, JPEG SOI+APP0+SOF0+EOI = 41, GIF
+    // header+screen descriptor = 13) — a parser or builder bug breaks
+    // the hash match
     "multimodal_meta" ->
       """SELECT doc_id,
-        |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        |       CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width,
-        |       CAST(octet_length(encode(text)) % 480 + 1 AS INTEGER) AS height,
-        |       CASE octet_length(encode(text)) % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format
+        |       CAST(CASE doc_id % 3 WHEN 0 THEN 33 WHEN 1 THEN 41 ELSE 13 END AS BIGINT) AS n_bytes,
+        |       CAST(doc_id % 640 + 1 AS INTEGER) AS width,
+        |       CAST(doc_id % 480 + 1 AS INTEGER) AS height,
+        |       CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'gif' END AS format
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

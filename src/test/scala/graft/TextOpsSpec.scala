@@ -73,6 +73,52 @@ class TextOpsSpec extends SparkSpec {
     assert(frames.select("frame_no").as[Int].collect().sorted.toSeq == Seq(0, 1, 2))
   }
 
+  test("ImageHeaders parses hand-written PNG/GIF/JPEG headers and rejects garbage") {
+    import graft.multimodal.ImageHeaders
+    // fixtures written out byte-by-byte from the public specs —
+    // independent of the Spark-side blob builder
+    def hex(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // PNG, 2x3: sig, IHDR len 13, "IHDR", w=2, h=3, depth/color/etc, crc
+    val png = hex("89504E470D0A1A0A" + "0000000D" + "49484452" +
+      "00000002" + "00000003" + "0806000000" + "DEADBEEF")
+    assert(ImageHeaders.decode(png).contains((2, 3, "png")))
+    // GIF89a, 320x200 little-endian: 0x140 -> 40 01, 0xC8 -> C8 00
+    val gif = hex("474946383961" + "4001" + "C800" + "F70000")
+    assert(ImageHeaders.decode(gif).contains((320, 200, "gif")))
+    // JPEG: SOI, COM segment (skipped), SOF2 (progressive), h=16 w=17
+    val jpg = hex("FFD8" + "FFFE0004ABCD" + "FFC2000B08" + "0010" + "0011" +
+      "01012200" + "FFD9")
+    assert(ImageHeaders.decode(jpg).contains((17, 16, "jpeg")))
+    // garbage, truncation, and a JPEG that ends before any SOF
+    assert(ImageHeaders.decode(null).isEmpty)
+    assert(ImageHeaders.decode("not an image at all".getBytes).isEmpty)
+    assert(ImageHeaders.decode(png.take(20)).isEmpty)
+    assert(ImageHeaders.decode(hex("FFD8FFD9")).isEmpty)
+    assert(ImageHeaders.decode(hex("FFD8FFFE0004ABCD")).isEmpty)
+  }
+
+  test("synthetic blobs round-trip through the real header decoder") {
+    val docs = Seq((0L, ""), (1L, ""), (2L, ""), (3L, "")).toDF("doc_id", "text")
+    val blobs = docs.select($"doc_id",
+      BinaryMeta.syntheticImageBlob(
+        ($"doc_id" % 640 + 101).cast("int"),
+        ($"doc_id" % 480 + 57).cast("int"),
+        ($"doc_id" % 3).cast("int")).as("blob"))
+    val got = BinaryMeta.decodeMeta(blobs, "doc_id")
+      .orderBy("id")
+      .select("id", "n_bytes", "width", "height", "format")
+      .as[(Long, Long, Int, Int, String)].collect().toSeq
+    assert(got == Seq(
+      (0L, 33L, 101, 57, "png"), (1L, 41L, 102, 58, "jpeg"),
+      (2L, 13L, 103, 59, "gif"), (3L, 33L, 104, 60, "png")))
+    // unknown bytes surface as an explicit row, not a task failure
+    val junk = Seq((9L, "")).toDF("doc_id", "text")
+      .select($"doc_id", F.lit("junk".getBytes).as("blob"))
+    val u = BinaryMeta.decodeMeta(junk, "doc_id").collect().head
+    assert(u.getString(4) == "unknown" && u.isNullAt(2) && u.isNullAt(3))
+  }
+
   test("docProfile fuses the per-doc ops into one scan and matches them") {
     val docs = Seq(
       (1L, "The quick brown Fox! jumps over the lazy dog, twice."),
