@@ -399,6 +399,20 @@ object Dedup {
       table, bucketBy = Seq("band", "key"), nBuckets = nBuckets,
       sortBy = Seq("band", "key"))
 
+  /** Append a batch's banded signatures to an existing
+    * [[minhashIndexBuild]] table (same bucket spec enforced by Spark),
+    * so the NEXT batch's band probe sees this one — the write half of
+    * the per-batch ingest loop.
+    */
+  def minhashIndexAppend(batch: DataFrame, idCol: String, textCol: String,
+                         k: Int, numHashes: Int, bands: Int,
+                         table: String, nBuckets: Int = 64): Unit =
+    graft.sources.Sources.writeBucketedMulti(
+      minhashBanded(batch, idCol, textCol, k, numHashes, bands),
+      table, bucketBy = Seq("band", "key"), nBuckets = nBuckets,
+      sortBy = Seq("band", "key"),
+      mode = org.apache.spark.sql.SaveMode.Append)
+
   /** Incremental NEAR-dup ingest — the operator a crawl pipeline runs
     * per batch: all pairs (id1 < id2) with exact shingle Jaccard >=
     * threshold TOUCHING the incoming batch, i.e. batch x (existing

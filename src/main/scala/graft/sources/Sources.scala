@@ -59,9 +59,10 @@ object Sources {
     * so a subset-bucketed table still shuffles.
     */
   def writeBucketedMulti(df: DataFrame, table: String, bucketBy: Seq[String],
-                         nBuckets: Int, sortBy: Seq[String] = Nil): Unit = {
+                         nBuckets: Int, sortBy: Seq[String] = Nil,
+                         mode: SaveMode = SaveMode.Overwrite): Unit = {
     require(bucketBy.nonEmpty, "need at least one bucket column")
-    val w = df.write.format("parquet").mode(SaveMode.Overwrite)
+    val w = df.write.format("parquet").mode(mode)
       .bucketBy(nBuckets, bucketBy.head, bucketBy.tail: _*)
     (if (sortBy.nonEmpty) w.sortBy(sortBy.head, sortBy.tail: _*) else w)
       .saveAsTable(table)

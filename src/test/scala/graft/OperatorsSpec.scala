@@ -113,6 +113,59 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Map(1L -> Some("gold"), 2L -> Some("basic"), 3L -> None))
   }
 
+  test("streaming near-dup ingest: each batch probes all PRIOR batches via the persisted index") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.dedup.Dedup
+    import graft.streaming.StreamingDedup
+    implicit val sq = spark.sqlContext
+    // bootstrap: empty corpus + signature index tables (clear leftovers
+    // from a crashed previous run first — catalog entry AND location)
+    for (t <- Seq("stream_nd_corpus", "stream_nd_idx")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = java.nio.file.Paths.get(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      if (java.nio.file.Files.exists(loc))
+        java.nio.file.Files.walk(loc).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => { java.nio.file.Files.delete(p); () })
+    }
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    empty.write.saveAsTable("stream_nd_corpus")
+    Dedup.minhashIndexBuild(empty, "doc_id", "text", k = 3,
+      numHashes = 64, bands = 16, table = "stream_nd_idx", nBuckets = 4)
+    val perBatch = scala.collection.mutable.Map[Long, Set[(Long, Long)]]()
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamingDedup.nearDupIngest(
+      stream.toDF().toDF("doc_id", "text"),
+      "stream_nd_corpus", "stream_nd_idx",
+      "doc_id", "text", k = 3, numHashes = 64, bands = 16,
+      threshold = 0.4, nBuckets = 4) { (pairs, batchId) =>
+      perBatch.synchronized {
+        perBatch(batchId) = pairs.select("id1", "id2")
+          .as[(Long, Long)].collect().toSet
+      }
+    }
+    try {
+      stream.addData(
+        (1L, "the quick brown fox jumps over the lazy dog"),
+        (2L, "the quick brown fox jumps over the lazy dog"))
+      q.processAllAvailable()
+      stream.addData(
+        (10L, "the quick brown fox jumps over the sleepy dog"),
+        (11L, "completely different words entirely unrelated text here"))
+      q.processAllAvailable()
+    } finally q.stop()
+    // batch 0: only the within-batch exact pair
+    assert(perBatch(0L) == Set((1L, 2L)), s"batch0=${perBatch.get(0L)}")
+    // batch 1: cross-batch near-dups found through the APPENDED index;
+    // prior existing x existing pairs are not re-emitted
+    assert(perBatch(1L) == Set((1L, 10L), (2L, 10L)), s"batch1=${perBatch.get(1L)}")
+    // and the state tables now hold the whole history
+    assert(spark.table("stream_nd_corpus").count() == 4)
+    assert(spark.table("stream_nd_idx").select("id").distinct().count() == 4)
+    for (t <- Seq("stream_nd_corpus", "stream_nd_idx"))
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("streaming curation: stateless quality filter equals its batch twin") {
     // the whole per-row curation suite (quality verdicts, sampling,
     // scrubbing, profile kernels) is stateless, so it composes onto a
