@@ -15,7 +15,14 @@ import org.apache.spark.sql.{functions => F}
   */
 object SchemaMatcher {
 
-  /** Unpivot selected string columns to (col_name, value), distinct. */
+  /** Unpivot selected columns to (col_name, value), distinct.
+    *
+    * NOTE every column is cast to string first, so NUMERIC columns
+    * participate in value overlap as their string renderings ("1.0"
+    * matches "1.0", not 1) — deliberately mirroring the reference's
+    * str() coercion in its distribution-based matchers; a numeric
+    * column pair whose formats differ ("1" vs "1.0") scores 0.
+    */
   private def unpivot(df: DataFrame, cols: Seq[String], colAs: String): DataFrame = {
     val pairs = cols.map(c =>
       df.select(F.lit(c).as(colAs), F.trim(F.col(c).cast("string")).as("value"))

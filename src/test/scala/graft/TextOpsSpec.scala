@@ -98,6 +98,28 @@ class TextOpsSpec extends SparkSpec {
     assert(ImageHeaders.decode(hex("FFD8FFFE0004ABCD")).isEmpty)
   }
 
+  test("ImageHeaders never throws on arbitrary bytes") {
+    import graft.multimodal.ImageHeaders
+    // a 100 TB crawl contains every possible byte garbage; the parser
+    // must return None (or a parse), never raise. Deterministic seeded
+    // fuzz, including format-prefixed garbage that enters each branch.
+    val rnd = new scala.util.Random(1234)
+    val prefixes = Seq[Array[Byte]](
+      Array.empty,
+      Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte),
+      "GIF89a".getBytes,
+      Array(0xff, 0xd8).map(_.toByte))
+    for (i <- 0 until 500) {
+      val body = Array.fill(rnd.nextInt(64))(rnd.nextInt(256).toByte)
+      val bytes = prefixes(i % prefixes.length) ++ body
+      ImageHeaders.decode(bytes) match {
+        case Some((w, h, fmt)) =>
+          assert(w > 0 && h > 0 && Seq("png", "gif", "jpeg").contains(fmt))
+        case None => ()
+      }
+    }
+  }
+
   test("synthetic blobs round-trip through the real header decoder") {
     val docs = Seq((0L, ""), (1L, ""), (2L, ""), (3L, "")).toDF("doc_id", "text")
     val blobs = docs.select($"doc_id",
