@@ -164,6 +164,48 @@ object OracleSql {
         |SELECT source, target, similarity, CAST(rn AS BIGINT) AS "rank"
         |FROM ranked WHERE rn <= 2 ORDER BY source, "rank"""".stripMargin,
 
+    // structural matchers (Similarity Flooding fixpoint, Cupid
+    // linguistic+structural) produce kernel-specific SCORES, but on
+    // this name-aligned schema pair their induced ASSIGNMENT must
+    // recover the name-evident alignment — computed independently here
+    // as the exact normalized-levenshtein argmax (same construction as
+    // match_schema_name, assignment projection only)
+    "match_schema_simflood" ->
+      """WITH snames AS (SELECT unnest(['c_custkey', 'c_name', 'c_nationkey', 'c_acctbal', 'c_mktsegment']) AS source),
+        |tnames AS (SELECT unnest(['s_suppkey', 's_name', 's_nationkey', 's_acctbal']) AS target),
+        |scored AS (SELECT source, target,
+        |                  1.0 - CAST(levenshtein(source, target) AS DOUBLE)
+        |                        / CAST(greatest(length(source), length(target)) AS DOUBLE) AS similarity
+        |           FROM snames CROSS JOIN tnames),
+        |best AS (SELECT source, target, similarity,
+        |                row_number() OVER (PARTITION BY source ORDER BY similarity DESC, target ASC) AS rn
+        |         FROM scored)
+        |SELECT source, target FROM best WHERE rn = 1 ORDER BY source""".stripMargin,
+
+    "match_schema_cupid" ->
+      """WITH snames AS (SELECT unnest(['c_custkey', 'c_name', 'c_nationkey', 'c_acctbal', 'c_mktsegment']) AS source),
+        |tnames AS (SELECT unnest(['s_suppkey', 's_name', 's_nationkey', 's_acctbal']) AS target),
+        |scored AS (SELECT source, target,
+        |                  1.0 - CAST(levenshtein(source, target) AS DOUBLE)
+        |                        / CAST(greatest(length(source), length(target)) AS DOUBLE) AS similarity
+        |           FROM snames CROSS JOIN tnames),
+        |best AS (SELECT source, target, similarity,
+        |                row_number() OVER (PARTITION BY source ORDER BY similarity DESC, target ASC) AS rn
+        |         FROM scored)
+        |SELECT source, target FROM best WHERE rn = 1 ORDER BY source""".stripMargin,
+
+    // identity-recovery gate for the hashing-trick profile matcher:
+    // every source value on this dataset also appears in the target
+    // domain (every part name occurs at some size <= 25), and identical
+    // strings have identical profiles, so cosine 1.0 identity matches
+    // are the REQUIRED output — recomputed here without the kernel.
+    // (Data-coupled like the doc_id-arithmetic curation oracles: if a
+    // testdata refresh drops a name from the target domain, revisit.)
+    "match_values_embedding" ->
+      """WITH src AS (SELECT DISTINCT trim(CAST(p_name AS VARCHAR)) AS source FROM part
+        |             WHERE p_name IS NOT NULL AND trim(CAST(p_name AS VARCHAR)) <> '')
+        |SELECT source, source AS target, 1.0 AS similarity FROM src ORDER BY source""".stripMargin,
+
     // assignment-only twin of the sketch matcher: the EXACT Jaccard
     // argmax per source column — the MinHash estimate's induced
     // assignment must agree with the exact computation's (scores are

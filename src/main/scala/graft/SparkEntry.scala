@@ -111,18 +111,25 @@ object SparkEntry {
       t.customer.columns.toSeq, t.supplier.columns.toSeq)
       .orderBy("source")
 
+  // Structural-matcher ASSIGNMENT projections: fixpoint/propagation
+  // scores are kernel-specific and can never hash-match an external
+  // engine, but on a name-aligned schema pair the assignment each
+  // matcher induces must recover the name-evident alignment — which
+  // DuckDB computes independently as the exact normalized-levenshtein
+  // argmax. Scores remain spec-checked (HarmonizeSpec); the driver
+  // gate checks what the matcher is FOR (picking the right target).
   private def matchSchemaSimflood(t: Tables): DataFrame = {
     def meta(df: DataFrame) = df.schema.fields.toSeq.map(f => (f.name, f.dataType.simpleString))
     SimilarityFlooding.matchColumns(t.customer.sparkSession,
       meta(t.customer), meta(t.supplier))
-      .select(F.col("source"), F.col("target"), F.round(F.col("similarity"), 6).as("similarity"))
+      .select("source", "target")
       .orderBy("source")
   }
 
   private def matchSchemaCupid(t: Tables): DataFrame = {
     def meta(df: DataFrame) = df.schema.fields.toSeq.map(f => (f.name, f.dataType.simpleString))
     Cupid.matchColumns(t.customer.sparkSession, meta(t.customer), meta(t.supplier))
-      .select(F.col("source"), F.col("target"), F.round(F.col("similarity"), 6).as("similarity"))
+      .select("source", "target")
       .orderBy("source")
   }
 
