@@ -302,11 +302,13 @@ object Curate {
       TextOps.tokens(F.col(textCol)).as("__toks"))
     // stage each counting kernel once (docProfile's projection-boundary
     // trick) — the verdict references them multiple times
+    // nulls coalesce to 0 so a null-text row fails `too_short` instead
+    // of slipping past the when-chain on null comparisons
     val mid = base.select(F.col(idCol), F.col("__text"),
-      F.size(F.col("__toks")).as("__nt"),
-      F.length(F.col("__text")).as("__nc"),
-      F.regexp_count(F.col("__text"), F.lit("[^a-zA-Z0-9 ]")).as("__np"),
-      stopwordCount(F.col("__toks"), stop).as("__ns"),
+      F.coalesce(F.size(F.col("__toks")), F.lit(0)).as("__nt"),
+      F.coalesce(F.length(F.col("__text")), F.lit(0)).as("__nc"),
+      F.coalesce(F.regexp_count(F.col("__text"), F.lit("[^a-zA-Z0-9 ]")), F.lit(0)).as("__np"),
+      F.coalesce(stopwordCount(F.col("__toks"), stop), F.lit(0)).as("__ns"),
       TextOps.topTokenShare(F.col("__toks")).as("__tts"))
     val punctRatio = F.when(F.col("__nc") > 0,
       F.col("__np").cast("double") / F.col("__nc").cast("double")).otherwise(F.lit(0.0))

@@ -86,6 +86,47 @@ class RobustnessSpec extends SparkSpec {
     assert(lm == Map(1L -> 3L), s"got $lm")
   }
 
+  test("round-7 ops: degenerate inputs flow cleanly, results partition-invariant") {
+    import graft.text.Curate
+    import graft.similarity.Ann
+    val docs = (1L to 40L).map { i =>
+      val text =
+        if (i % 13 == 0) null.asInstanceOf[String]
+        else if (i % 7 == 0) ""
+        else s"the document number ${i % 5} has some plain words in the body"
+      (i, text)
+    }.toDF("doc_id", "text")
+    val stop = Seq("the", "in", "has", "some")
+    // pipelineReport: null/empty texts drop at the quality stage (no
+    // crash, no null packs), and the report is bit-identical across
+    // input partitionings — the determinism claim, exercised
+    def report(parts: Int) =
+      Curate.pipelineReport(docs.repartition(parts), "doc_id", "text",
+        budget = 16, nShards = 2, stop = stop)
+        .orderBy("shard", "pack_id").collect().toSeq.map(_.toSeq)
+    val r1 = report(1)
+    assert(r1.nonEmpty && r1 == report(7))
+    // incremental near-dup: empty batch and empty existing both fine
+    val empty = docs.where(F.lit(false))
+    val bandedDocs = Dedup.minhashBanded(docs, "doc_id", "text", 3, 16, 4)
+    val bandedEmpty = Dedup.minhashBanded(empty, "doc_id", "text", 3, 16, 4)
+    assert(Dedup.incrementalNearDupPairs(empty, docs, bandedDocs,
+      "doc_id", "text", 3, 16, 4, 0.5).count() == 0)
+    assert(Dedup.incrementalNearDupPairs(docs, empty, bandedEmpty,
+      "doc_id", "text", 3, 16, 4, 0.99).count() > 0,
+      "within-batch exact dups found even with no existing corpus")
+    // capped embedding LSH on an empty frame: no pairs, no errors
+    val noVecs = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    assert(Ann.cosinePairsLsh(noVecs, "vec_id", "embedding", threshold = 0.5,
+      bucketCap = Some(10L)).count() == 0)
+    // header decode: empty blob is an unknown row, not a crash
+    import graft.multimodal.BinaryMeta
+    val blobs = Seq((1L, Array.empty[Byte]), (2L, null.asInstanceOf[Array[Byte]]))
+      .toDF("doc_id", "blob")
+    val meta = BinaryMeta.decodeMeta(blobs, "doc_id").collect()
+    assert(meta.length == 2 && meta.forall(_.getString(4) == "unknown"))
+  }
+
   test("property: winnowMins equals brute force on random arrays (seeded)") {
     val rnd = new Random(7)
     val cases = (0 until 30).map { _ =>
