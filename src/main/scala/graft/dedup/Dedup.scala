@@ -511,16 +511,21 @@ object Dedup {
         verifyJaccard(cands, docShingleSets(df, idCol, textCol, k), threshold)
       case Some(cap) =>
         // the cap path references the banded table three times (bucket
-        // counting, the pruning semi-join, and the candidate self-join),
+        // counting, the pruning anti-join, and the candidate self-join),
         // so it is persisted across ONE eager materializing action —
         // jaccardPairs' pattern: the verified output is what stays
         // cached (small near-dup pair set, caller may unpersist), the
-        // signature pipeline cache is dropped here
+        // signature pipeline cache is dropped here.
+        // Prune against the OVER-cap bucket set, not the under-cap one:
+        // over-cap buckets are heavy-hitter-few by construction, so the
+        // anti side broadcasts — the under-cap complement is the whole
+        // bucket universe (corpus-sized at 100 TB) and semi-joining it
+        // would shuffle everything to drop almost nothing
         val banded = bandedAll.persist()
-        val ok = banded.groupBy("band", "key")
-          .agg(F.count(F.lit(1)).as("bn")).where(F.col("bn") <= cap)
+        val over = banded.groupBy("band", "key")
+          .agg(F.count(F.lit(1)).as("bn")).where(F.col("bn") > cap)
           .select("band", "key")
-        val kept = banded.join(ok, Seq("band", "key"), "left_semi")
+        val kept = banded.join(F.broadcast(over), Seq("band", "key"), "left_anti")
         val cands = kept.as("a").join(kept.as("b"), Seq("band", "key"))
           .where(F.col("a.id") < F.col("b.id"))
           .select(F.col("a.id").as("id1"), F.col("b.id").as("id2"))

@@ -127,14 +127,16 @@ object Ann {
         verified(cands)
       case Some(cap) =>
         // the cap path references the banded table three times (bucket
-        // counting, the pruning semi-join, the candidate join), so it is
+        // counting, the pruning anti-join, the candidate join), so it is
         // persisted across ONE eager materializing action and released
-        // here — mirroring Dedup.minhashLsh's cache hygiene
+        // here — mirroring Dedup.minhashLsh's cache hygiene. As there,
+        // prune against the heavy-hitter-few OVER-cap buckets with a
+        // broadcast anti-join, never the corpus-sized under-cap set
         val banded = bandedSignatures(df, idCol, vecCol, nPlanes, bands).persist()
-        val ok = banded.groupBy("band", "key")
-          .agg(F.count(F.lit(1)).as("bn")).where(F.col("bn") <= cap)
+        val over = banded.groupBy("band", "key")
+          .agg(F.count(F.lit(1)).as("bn")).where(F.col("bn") > cap)
           .select("band", "key")
-        val kept = banded.join(ok, Seq("band", "key"), "left_semi")
+        val kept = banded.join(F.broadcast(over), Seq("band", "key"), "left_anti")
         val cands = kept.as("a").join(flips(kept).as("b"), Seq("band", "key"))
           .where(F.col("a.id") < F.col("b.id"))
           .select(F.col("a.id").as("id1"), F.col("b.id").as("id2"))
