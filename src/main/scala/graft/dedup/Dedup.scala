@@ -436,11 +436,16 @@ object Dedup {
     val batchBanded =
       minhashBanded(incoming, idCol, textCol, k, numHashes, bands).persist()
     val allBanded = existingBanded.select("id", "band", "key").unionAll(batchBanded)
+    // persisted: the candidate table feeds the final verify join AND
+    // the candIds semi-join, which Catalyst pushes through BOTH corpus
+    // union branches — unpersisted, the band-join + distinct pipeline
+    // would run three times per batch (seen in the executed plan)
     val cands = batchBanded.as("a").join(allBanded.as("b"), Seq("band", "key"))
       .where(F.col("a.id") =!= F.col("b.id"))
       .select(F.least(F.col("a.id"), F.col("b.id")).as("id1"),
         F.greatest(F.col("a.id"), F.col("b.id")).as("id2"))
       .distinct()
+      .persist()
     val corpus = existing.select(F.col(idCol), F.col(textCol))
       .unionAll(incoming.select(F.col(idCol), F.col(textCol)))
     val candIds = cands
@@ -451,6 +456,7 @@ object Dedup {
       docShingleSets(candDocs, idCol, textCol, k), threshold).persist()
     out.count()
     batchBanded.unpersist()
+    cands.unpersist()
     out
   }
 
