@@ -59,23 +59,26 @@ object Bench {
         spark.catalog.clearCache()
         (dt, ok)
       }
-      // only SUCCESSFUL reps count: a query that starts failing fast
-      // must read as a failure in the tracked artifact, never as a
-      // performance win — no successful rep -> null + "failed" entry
+      // only SUCCESSFUL reps count toward timings: a query that starts
+      // failing must read as a failure in the tracked artifact, never
+      // as a performance win — ANY failed rep puts the query in
+      // "failed" (a flaky partial failure is still a failure; the
+      // surviving reps' median rides along for diagnosis), and zero
+      // successful reps null the timing out entirely
       val times = timed.filter(_._2).map(_._1).sorted
-      name -> times
+      name -> (times, timed.count(!_._2))
     }
     // lower median for even rep counts — deterministic, no averaging
     def obj(f: Seq[Double] => Double): String =
-      results.map { case (k, ts) =>
+      results.map { case (k, (ts, _)) =>
         "\"" + k + "\":" + (if (ts.isEmpty) "null" else f(ts).toString)
       }.mkString("{", ",", "}")
     val qs = obj(ts => ts((ts.length - 1) / 2))
     val qmin = obj(_.head)
     val qmax = obj(_.last)
-    val failed = results.collect { case (k, ts) if ts.isEmpty => "\"" + k + "\"" }
+    val failed = results.collect { case (k, (_, nf)) if nf > 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.flatMap { case (_, ts) =>
+    val total = results.flatMap { case (_, (ts, _)) =>
       ts.drop((ts.length - 1) / 2).headOption }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"failed":$failed,"queries":$qs,"queries_min":$qmin,"queries_max":$qmax,"sf":"$sfDir"}""")
     spark.stop()

@@ -56,6 +56,24 @@ object OracleSql {
   private val exactJaccardPairs = jaccardPairsCte +
     "SELECT id1, id2, jaccard FROM pairs ORDER BY id1, id2"
 
+  /** Exact normalized-levenshtein argmax assignment over the
+    * customer/supplier column names — the independent twin shared by
+    * every structural matcher's assignment gate (simflood, cupid): on
+    * this name-aligned schema pair each matcher must recover the
+    * name-evident alignment.
+    */
+  private val nameArgmaxAssignment =
+    """WITH snames AS (SELECT unnest(['c_custkey', 'c_name', 'c_nationkey', 'c_acctbal', 'c_mktsegment']) AS source),
+      |tnames AS (SELECT unnest(['s_suppkey', 's_name', 's_nationkey', 's_acctbal']) AS target),
+      |scored AS (SELECT source, target,
+      |                  1.0 - CAST(levenshtein(source, target) AS DOUBLE)
+      |                        / CAST(greatest(length(source), length(target)) AS DOUBLE) AS similarity
+      |           FROM snames CROSS JOIN tnames),
+      |best AS (SELECT source, target, similarity,
+      |                row_number() OVER (PARTITION BY source ORDER BY similarity DESC, target ASC) AS rn
+      |         FROM scored)
+      |SELECT source, target FROM best WHERE rn = 1 ORDER BY source""".stripMargin
+
   val all: Map[String, String] = Map(
 
     "preview_domain" ->
@@ -167,32 +185,12 @@ object OracleSql {
     // structural matchers (Similarity Flooding fixpoint, Cupid
     // linguistic+structural) produce kernel-specific SCORES, but on
     // this name-aligned schema pair their induced ASSIGNMENT must
-    // recover the name-evident alignment — computed independently here
-    // as the exact normalized-levenshtein argmax (same construction as
-    // match_schema_name, assignment projection only)
-    "match_schema_simflood" ->
-      """WITH snames AS (SELECT unnest(['c_custkey', 'c_name', 'c_nationkey', 'c_acctbal', 'c_mktsegment']) AS source),
-        |tnames AS (SELECT unnest(['s_suppkey', 's_name', 's_nationkey', 's_acctbal']) AS target),
-        |scored AS (SELECT source, target,
-        |                  1.0 - CAST(levenshtein(source, target) AS DOUBLE)
-        |                        / CAST(greatest(length(source), length(target)) AS DOUBLE) AS similarity
-        |           FROM snames CROSS JOIN tnames),
-        |best AS (SELECT source, target, similarity,
-        |                row_number() OVER (PARTITION BY source ORDER BY similarity DESC, target ASC) AS rn
-        |         FROM scored)
-        |SELECT source, target FROM best WHERE rn = 1 ORDER BY source""".stripMargin,
+    // recover the name-evident alignment — computed independently as
+    // the exact normalized-levenshtein argmax (shared CTE; same
+    // construction as match_schema_name, assignment projection only)
+    "match_schema_simflood" -> nameArgmaxAssignment,
 
-    "match_schema_cupid" ->
-      """WITH snames AS (SELECT unnest(['c_custkey', 'c_name', 'c_nationkey', 'c_acctbal', 'c_mktsegment']) AS source),
-        |tnames AS (SELECT unnest(['s_suppkey', 's_name', 's_nationkey', 's_acctbal']) AS target),
-        |scored AS (SELECT source, target,
-        |                  1.0 - CAST(levenshtein(source, target) AS DOUBLE)
-        |                        / CAST(greatest(length(source), length(target)) AS DOUBLE) AS similarity
-        |           FROM snames CROSS JOIN tnames),
-        |best AS (SELECT source, target, similarity,
-        |                row_number() OVER (PARTITION BY source ORDER BY similarity DESC, target ASC) AS rn
-        |         FROM scored)
-        |SELECT source, target FROM best WHERE rn = 1 ORDER BY source""".stripMargin,
+    "match_schema_cupid" -> nameArgmaxAssignment,
 
     // identity-recovery gate for the hashing-trick profile matcher:
     // every source value on this dataset also appears in the target

@@ -339,6 +339,13 @@ object SparkEntry {
       bucketCap = MinhashBucketCap.get)
       .unionAll(Ann.capReport(t.embeddings, "vec_id", "embedding",
         nPlanes = 60, bands = 12, bucketCap = EmbeddingBucketCap.get))
+      // the hi query band-hashes the 8-dim PREFIX — a different, far
+      // more collision-prone signature space, so its cap pressure is
+      // counted on the same projection it actually runs on
+      .unionAll(Ann.capReport(
+        t.embeddings.select(F.col("vec_id"), F.slice(F.col("embedding"), 1, 8).as("embedding")),
+        "vec_id", "embedding", nPlanes = 60, bands = 12,
+        bucketCap = EmbeddingBucketCap.get, metricPrefix = "embedding_hi"))
       .orderBy("metric")
 
   private def dedupSimhash(t: Tables): DataFrame =

@@ -451,7 +451,12 @@ object Dedup {
     val candIds = cands
       .select(F.explode(F.array(F.col("id1"), F.col("id2"))).as("__cid"))
       .distinct()
+    // dedup by id AFTER the semi-join (candidate-sized, cheap): absorbs
+    // duplicate corpus rows — e.g. a crashed-and-retried at-least-once
+    // ingest appending a batch twice — which would otherwise multiply
+    // rows through the verify join
     val candDocs = corpus.join(candIds, F.col(idCol) === F.col("__cid"), "left_semi")
+      .dropDuplicates(idCol)
     val out = verifyJaccard(cands,
       docShingleSets(candDocs, idCol, textCol, k), threshold).persist()
     out.count()

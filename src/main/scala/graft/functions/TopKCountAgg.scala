@@ -3,11 +3,11 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, GenericInternalRow}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graftsql.Bridge
-import org.apache.spark.sql.types.{AbstractDataType, _}
+import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Exact bounded top-k-by-count aggregate: per group, the k (count,
@@ -37,12 +37,24 @@ case class TopKCountAgg(num: Expression, key: Expression, k: Int,
 
   // strict input types, checked at ANALYSIS time: a wrong column type
   // is a clear analysis error instead of a ClassCastException inside
-  // the aggregation buffer at runtime (the topKByCount wrapper casts
-  // for convenience; this guards direct expression construction)
+  // the aggregation buffer at runtime. The topKByCount wrapper casts
+  // for convenience, so the count check also looks THROUGH casts: a
+  // wrapped fractional column would otherwise be silently floored by
+  // cast-to-long and rank keys by truncated counts.
+  private def castBase(e: Expression): Expression = e match {
+    case c: Cast => castBase(c.child)
+    case other => other
+  }
+
   override def checkInputDataTypes(): TypeCheckResult =
     if (num.dataType != LongType)
       TypeCheckResult.TypeCheckFailure(
         s"$prettyName count must be BIGINT, got ${num.dataType.simpleString}")
+    else if (!Seq[DataType](ByteType, ShortType, IntegerType, LongType)
+               .contains(castBase(num).dataType))
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName count must be integral before any cast, got " +
+          castBase(num).dataType.simpleString + " (a fractional count would be floored)")
     else if (key.dataType != StringType)
       TypeCheckResult.TypeCheckFailure(
         s"$prettyName key must be STRING, got ${key.dataType.simpleString}")

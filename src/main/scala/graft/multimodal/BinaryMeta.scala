@@ -111,11 +111,18 @@ object BinaryMeta {
                          height: org.apache.spark.sql.Column,
                          fmt: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     def hexLit(h: String) = F.unhex(F.lit(h))
-    def be16(c: org.apache.spark.sql.Column) = F.unhex(F.lpad(F.hex(c), 4, "0"))
+    // JPEG/GIF dimensions are uint16 on the wire; lpad TRUNCATES hex
+    // strings longer than 4 chars (keeping the HIGH digits — silent
+    // garbage), so over-range dims null the field and, via concat null
+    // propagation, the whole blob — an explicit "cannot encode" row
+    // instead of a structurally-valid header with wrong dimensions
+    def be16(c: org.apache.spark.sql.Column) =
+      F.when(c.between(0, 65535), F.unhex(F.lpad(F.hex(c), 4, "0")))
     def be32(c: org.apache.spark.sql.Column) = F.unhex(F.lpad(F.hex(c), 8, "0"))
     def le16(c: org.apache.spark.sql.Column) = {
       val h = F.lpad(F.hex(c), 4, "0")
-      F.unhex(F.concat(F.substring(h, 3, 2), F.substring(h, 1, 2)))
+      F.when(c.between(0, 65535),
+        F.unhex(F.concat(F.substring(h, 3, 2), F.substring(h, 1, 2))))
     }
     // PNG: signature, IHDR length=13, "IHDR", w, h, bit depth 8, color
     // type 6, compression/filter/interlace 0, CRC placeholder (the

@@ -160,7 +160,7 @@ object Ann {
     val bits = nPlanes / bands
     val maskL = if (bits >= 64) -1L else (1L << bits) - 1
     df.select(F.col(idCol).as("id"),
-        lshSignature(F.col(vecCol), 0, nPlanes).as("sig"))
+        lshSignature(F.col(vecCol), nPlanes).as("sig"))
       .select(F.col("id"), F.col("sig"),
         F.explode(F.lit((0 until bands).toArray)).as("band"))
       .select(F.col("id"), F.col("band"),
@@ -184,13 +184,14 @@ object Ann {
     * One linear signature pass reduced map-side to per-bucket counts.
     */
   def capReport(df: DataFrame, idCol: String, vecCol: String,
-                nPlanes: Int, bands: Int, bucketCap: Long): DataFrame = {
+                nPlanes: Int, bands: Int, bucketCap: Long,
+                metricPrefix: String = "embedding"): DataFrame = {
     val over = bandedSignatures(df, idCol, vecCol, nPlanes, bands)
       .groupBy("band", "key").agg(F.count(F.lit(1)).as("bn"))
       .where(F.col("bn") > bucketCap)
     val agg = over.agg(
-      F.count(F.lit(1)).as("embedding_buckets_over_cap"),
-      F.coalesce(F.sum("bn"), F.lit(0L)).as("embedding_band_entries_dropped"))
+      F.count(F.lit(1)).as(s"${metricPrefix}_buckets_over_cap"),
+      F.coalesce(F.sum("bn"), F.lit(0L)).as(s"${metricPrefix}_band_entries_dropped"))
     agg.select(F.explode(F.map(agg.columns.toSeq.flatMap(c =>
         Seq(F.lit(c), F.col(c).cast("long"))): _*)))
       .toDF("metric", "value")
@@ -198,9 +199,12 @@ object Ann {
 
   /** nPlanes-bit LSH signature of a vector: bit p = sign(v . r_p) with
     * deterministic pseudo-random Rademacher hyperplanes from
-    * xxh64(i, seed 42 + p) parity (native one-pass expression).
+    * xxh64(i, seed 42 + p) parity (native one-pass expression). The
+    * hyperplanes are generated per-component on the fly, so no vector
+    * dimension argument is needed (r7: the old dead `dim` parameter —
+    * always ignored — is gone).
     */
-  def lshSignature(vec: Column, dim: Int, nPlanes: Int): Column =
+  def lshSignature(vec: Column, nPlanes: Int): Column =
     graft.functions.HashExprs.lshSig(vec, nPlanes)
 
   /** IVF (inverted-file) ANN: a coarse quantizer of nCells centroids is

@@ -1,14 +1,15 @@
 package graft.streaming
 
 import graft.dedup.Dedup
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SaveMode}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.{functions => F}
 
 /** Streaming twin of the incremental near-dup ingest loop
   * (Dedup.minhashIndexBuild / incrementalNearDupPairs): a document
   * stream where each micro-batch is
-  *  1. band-probed against everything ingested SO FAR — the persisted
-  *     signature index plus the batch's own signatures — and
+  *  1. band-probed against everything ingested in PRIOR batches — the
+  *     persisted signature index plus the batch's own signatures — and
   *     exact-verified, the resulting near-dup pairs handed to `sink`;
   *  2. appended to the corpus table and its signatures to the index,
   *     so the NEXT batch sees this one.
@@ -16,16 +17,47 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * memory: no state store grows with the corpus (watermark-based
   * streaming dedup caps state by time; a near-dup index over the whole
   * history cannot be time-capped, so it lives in storage where a 100 TB
-  * corpus's signatures belong), restarts resume from the tables, and
-  * the per-batch cost is the batch-sized probe — never a corpus
-  * re-shingle (see incrementalNearDupPairs).
+  * corpus's signatures belong), and the per-batch cost is the
+  * batch-sized probe — never a corpus re-shingle.
+  *
+  * At-least-once correctness (foreachBatch may re-run a batch after a
+  * failure, including after PARTIAL table appends):
+  *  - every appended row carries its `ingest_batch` id, and batch N's
+  *    probe reads only rows with ingest_batch < N — a re-run never
+  *    sees its own partial leftovers;
+  *  - duplicate appends from a crashed run are absorbed at read time:
+  *    candidate generation is distinct over (id1, id2) and the verify
+  *    step deduplicates candidate docs by id, so later batches compute
+  *    correct pairs even if some batch's rows were appended twice
+  *    (storage duplication is bounded by failure count — compact
+  *    offline if it matters);
+  *  - the sink receives `batchId` and, as always under at-least-once
+  *    delivery, must be idempotent per batch id (e.g. overwrite a
+  *    batchId-keyed partition).
   *
   * foreachBatch (not a stateful operator) because both halves are
   * BATCH operations on tables — exactly what foreachBatch exists for.
-  * Bootstrap: create the corpus table and run minhashIndexBuild (an
-  * empty corpus works) before starting the query.
+  * Run [[bootstrap]] (an empty initial corpus works) before starting.
   */
 object StreamingDedup {
+
+  /** Create the corpus + signature-index tables from an initial corpus
+    * frame (may be empty) with the `ingest_batch` lineage column the
+    * ingest loop's idempotence depends on. The index is bucketed and
+    * sorted by the full (band, key) join key, like minhashIndexBuild.
+    */
+  def bootstrap(initial: DataFrame, corpusTable: String, indexTable: String,
+                idCol: String, textCol: String, k: Int,
+                numHashes: Int, bands: Int, nBuckets: Int = 64): Unit = {
+    initial.select(F.col(idCol), F.col(textCol))
+      .withColumn("ingest_batch", F.lit(-1L))
+      .write.mode(SaveMode.Overwrite).saveAsTable(corpusTable)
+    graft.sources.Sources.writeBucketedMulti(
+      Dedup.minhashBanded(initial, idCol, textCol, k, numHashes, bands)
+        .withColumn("ingest_batch", F.lit(-1L)),
+      indexTable, bucketBy = Seq("band", "key"), nBuckets = nBuckets,
+      sortBy = Seq("band", "key"))
+  }
 
   def nearDupIngest(stream: DataFrame, corpusTable: String, indexTable: String,
                     idCol: String, textCol: String, k: Int,
@@ -33,21 +65,31 @@ object StreamingDedup {
                     nBuckets: Int = 64)
                    (sink: (DataFrame, Long) => Unit): StreamingQuery =
     stream.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-      val spark = batch.sparkSession
+      val spark: SparkSession = batch.sparkSession
       // resolve the tables INSIDE the batch so each micro-batch sees
       // the files previous batches appended (a frame captured outside
-      // would pin the query start's file listing)
+      // would pin the query start's file listing); exclude this
+      // batch's own ingest_batch — a re-run after a partial append
+      // must not probe its own leftovers
       val existing = spark.table(corpusTable)
+        .where(F.col("ingest_batch") < batchId)
+        .select(idCol, textCol)
       val banded = spark.table(indexTable)
+        .where(F.col("ingest_batch") < batchId)
+        .select("id", "band", "key")
       val pairs = Dedup.incrementalNearDupPairs(batch.toDF(), existing, banded,
         idCol, textCol, k, numHashes, bands, threshold)
       sink(pairs, batchId)
       pairs.unpersist()
       // probe BEFORE append: a batch must not band-join its own index
       // rows (its self-pairs already come from the in-memory union)
-      batch.select(idCol, textCol).write.mode(SaveMode.Append)
-        .saveAsTable(corpusTable)
-      Dedup.minhashIndexAppend(batch.toDF(), idCol, textCol, k, numHashes,
-        bands, indexTable, nBuckets)
+      batch.select(F.col(idCol), F.col(textCol))
+        .withColumn("ingest_batch", F.lit(batchId))
+        .write.mode(SaveMode.Append).saveAsTable(corpusTable)
+      graft.sources.Sources.writeBucketedMulti(
+        Dedup.minhashBanded(batch.toDF(), idCol, textCol, k, numHashes, bands)
+          .withColumn("ingest_batch", F.lit(batchId)),
+        indexTable, bucketBy = Seq("band", "key"), nBuckets = nBuckets,
+        sortBy = Seq("band", "key"), mode = SaveMode.Append)
     }.start()
 }

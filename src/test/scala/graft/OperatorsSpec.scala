@@ -129,9 +129,8 @@ class OperatorsSpec extends SparkSpec {
           .forEach(p => { java.nio.file.Files.delete(p); () })
     }
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
-    empty.write.saveAsTable("stream_nd_corpus")
-    Dedup.minhashIndexBuild(empty, "doc_id", "text", k = 3,
-      numHashes = 64, bands = 16, table = "stream_nd_idx", nBuckets = 4)
+    StreamingDedup.bootstrap(empty, "stream_nd_corpus", "stream_nd_idx",
+      "doc_id", "text", k = 3, numHashes = 64, bands = 16, nBuckets = 4)
     val perBatch = scala.collection.mutable.Map[Long, Set[(Long, Long)]]()
     val stream = MemoryStream[(Long, String)]
     val q = StreamingDedup.nearDupIngest(
@@ -159,9 +158,12 @@ class OperatorsSpec extends SparkSpec {
     // batch 1: cross-batch near-dups found through the APPENDED index;
     // prior existing x existing pairs are not re-emitted
     assert(perBatch(1L) == Set((1L, 10L), (2L, 10L)), s"batch1=${perBatch.get(1L)}")
-    // and the state tables now hold the whole history
+    // and the state tables now hold the whole history, each row tagged
+    // with its ingest batch (the at-least-once idempotence lineage)
     assert(spark.table("stream_nd_corpus").count() == 4)
     assert(spark.table("stream_nd_idx").select("id").distinct().count() == 4)
+    assert(spark.table("stream_nd_corpus").select("ingest_batch")
+      .as[Long].collect().toSet == Set(0L, 1L))
     for (t <- Seq("stream_nd_corpus", "stream_nd_idx"))
       spark.sql(s"DROP TABLE IF EXISTS $t")
   }

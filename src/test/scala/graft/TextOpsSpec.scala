@@ -139,6 +139,22 @@ class TextOpsSpec extends SparkSpec {
       .select($"doc_id", F.lit("junk".getBytes).as("blob"))
     val u = BinaryMeta.decodeMeta(junk, "doc_id").collect().head
     assert(u.getString(4) == "unknown" && u.isNullAt(2) && u.isNullAt(3))
+    // uint16-overflow dims null the blob (lpad would otherwise keep the
+    // HIGH hex digits — a structurally valid header with garbage dims)
+    val over = Seq((5L, "")).toDF("doc_id", "text")
+      .select($"doc_id", BinaryMeta.syntheticImageBlob(
+        F.lit(70000), F.lit(10), F.lit(1)).as("blob"))
+    assert(over.where($"blob".isNull).count() == 1)
+  }
+
+  test("topKByCount rejects fractional counts at analysis time") {
+    import graft.functions.TopKCountAgg
+    val df = Seq(("a", 1.5), ("b", 2.9)).toDF("tok", "w")
+    val e = intercept[Exception] {
+      df.agg(TopKCountAgg.topKByCount(F.col("w"), F.col("tok"), 2)).collect()
+    }
+    assert(e.getMessage.contains("integral"),
+      s"expected the floored-count analysis error, got: ${e.getMessage}")
   }
 
   test("docProfile fuses the per-doc ops into one scan and matches them") {
