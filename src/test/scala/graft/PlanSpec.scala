@@ -68,6 +68,16 @@ class PlanSpec extends SparkSpec {
     val p = planOf("dedup_embedding_lsh")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       "banded pair generation degenerated to an all-pairs product plan")
+    // the wired (capped) query runs eagerly and caches, so its plan
+    // string can collapse to an InMemoryTableScan — ALSO assert the
+    // underlying lazy pipeline's shape directly
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val lazyPlan = graft.similarity.Ann
+      .cosinePairsLsh(emb, "vec_id", "embedding", threshold = 0.8)
+      .queryExecution.executedPlan.toString
+    assert(!lazyPlan.contains("BroadcastNestedLoopJoin")
+        && !lazyPlan.contains("CartesianProduct"),
+      s"uncapped banded pipeline plans a product join:\n$lazyPlan")
   }
 
   // Queries whose plans legitimately contain a BroadcastNestedLoopJoin:
