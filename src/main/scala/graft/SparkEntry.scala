@@ -238,6 +238,32 @@ object SparkEntry {
       .orderBy("supp_nation", "cust_nation", "l_year")
   }
 
+  private def q4(t: Tables): DataFrame =
+    // TPC-H Q4 spirit: orders in a window with at least one LATE line
+    // item (shipped >60 days after ordering) — the relational
+    // EXISTS/semi-join shape: the probe side never duplicates orders
+    // however many late items each has
+    t.orders
+      .where(F.col("o_orderdate") >= ts("1996-01-01") && F.col("o_orderdate") < ts("1997-01-01"))
+      .join(t.lineitem,
+        F.col("l_orderkey") === F.col("o_orderkey") &&
+          F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(F.count(F.lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+
+  private def q22(t: Tables): DataFrame =
+    // TPC-H Q22 spirit: dormant customers — no orders on/after the
+    // cutoff — via NOT EXISTS/anti join; the order side reduces to the
+    // filtered key column before the anti join
+    t.customer
+      .join(t.orders.where(F.col("o_orderdate") >= ts("1998-01-01"))
+          .select("o_custkey"),
+        F.col("o_custkey") === F.col("c_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_acctbal")
+      .orderBy("c_custkey")
+
   private def q18(t: Tables): DataFrame = {
     val big = t.lineitem.groupBy(F.col("l_orderkey"))
       .agg(F.sum("l_quantity").as("sum_qty"))
@@ -711,7 +737,9 @@ object SparkEntry {
       "q5_multijoin" -> q(q5),
       "q6_filter" -> q(q6),
       "q7_volume" -> q(q7),
+      "q4_late_orders" -> q(q4),
       "q18_bigorders" -> q(q18),
+      "q22_dormant" -> q(q22),
       "window_topn" -> q(windowTopn),
       "asof_join" -> q(asofJoin),
       "range_join" -> q(rangeJoinQ),

@@ -17,7 +17,10 @@ object Sources {
            schema: Option[StructType] = None): DataFrame = {
     val base = spark.read.format(format)
     val df = (schema, format) match {
-      case (Some(s), "parquet") =>
+      case (Some(s), "parquet" | "orc") =>
+        // self-describing columnar formats: VALIDATE the stored schema
+        // instead of imposing one (an imposed schema would silently
+        // cast; a drifted table should fail loudly)
         val got = base.load(path)
         val want = s.fields.map(f => f.name -> f.dataType).toMap
         val mismatched = got.schema.fields.filter(f =>

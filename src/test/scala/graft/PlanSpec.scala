@@ -123,6 +123,15 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q4/q22 plan genuine semi/anti hash joins, never row-duplicating inner joins") {
+    val p4 = planOf("q4_late_orders")
+    assert(p4.contains("LeftSemi"), s"q4 must semi-join (EXISTS shape):\n$p4")
+    val p22 = planOf("q22_dormant")
+    assert(p22.contains("LeftAnti"), s"q22 must anti-join (NOT EXISTS shape):\n$p22")
+    for (p <- Seq(p4, p22))
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("curate_pipeline: quality -> dedup -> pack composes into ONE corpus scan") {
     // the end-to-end chain must not re-read the corpus per stage: one
     // FileScan, and only the two structural shuffles (dedup window's

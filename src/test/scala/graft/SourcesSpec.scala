@@ -26,6 +26,28 @@ class SourcesSpec extends SparkSpec {
     assert(nt(csv.schema) == nt(schema) && nt(json.schema) == nt(schema))
   }
 
+  test("orc roundtrip: self-describing schema validated, wrong schema rejected") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString + "/orc"
+    Sources.writePartitioned(sample, dir, format = "orc")
+    val back = Sources.read(spark, dir, "orc", Some(sample.schema))
+    assert(back.collect().map(_.toSeq).toSet == sample.collect().map(_.toSeq).toSet)
+    val bad = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.StringType)))
+    intercept[IllegalArgumentException] {
+      Sources.read(spark, dir, "orc", Some(bad))
+    }
+  }
+
+  test("text format reads raw corpus lines into a single string column") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_txt").toString + "/t"
+    Seq("first line", "second line", "third").toDF("value").write.text(dir)
+    val back = Sources.read(spark, dir, "text")
+    assert(back.columns.toSeq == Seq("value"))
+    assert(back.as[String].collect().toSet ==
+      Set("first line", "second line", "third"))
+  }
+
   test("partitioned write produces prunable directories and roundtrips") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString + "/out"
     Sources.writePartitioned(sample, dir, partitionBy = Seq("grp"))
