@@ -836,6 +836,21 @@ object OracleSql {
          |FROM m ORDER BY doc_id""".stripMargin
     },
 
+    // ordered-list formulation so the float accumulation order matches
+    // the Spark kernel's ascending-code-point sum exactly (binary UTF-8
+    // string order == code-point order)
+    "text_entropy" ->
+      """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents),
+        |cnt AS (SELECT doc_id, c, CAST(count(*) AS DOUBLE) AS n FROM ch GROUP BY 1, 2),
+        |g AS (SELECT doc_id, list(n ORDER BY c) AS l, sum(n) AS t FROM cnt GROUP BY 1)
+        |SELECT d.doc_id,
+        |       -- + 0.0 normalizes the IEEE -0.0 a negated zero-entropy
+        |       -- sum produces (single-char-class docs); Spark's kernel
+        |       -- always yields +0.0 there
+        |       coalesce(round(-list_sum(list_transform(g.l, n -> (n / g.t) * ln(n / g.t))), 6), 0.0) + 0.0 AS char_entropy
+        |FROM documents d LEFT JOIN g USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
     "token_count" ->
       """SELECT doc_id,
         |       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_tokens_bpe

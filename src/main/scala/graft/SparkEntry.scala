@@ -567,6 +567,15 @@ object SparkEntry {
     t.documents.select(F.col("doc_id"), TextOps.bpeTokenCount(F.col("text")).cast("long").as("n_tokens_bpe"))
       .orderBy("doc_id")
 
+  private def textEntropy(t: Tables): DataFrame =
+    // character-entropy quality signal (gibberish/repetition detector)
+    // — shuffle-free codegen'd kernel; cross-engine float determinism
+    // from the ascending-code-point summation order (see CharEntropy)
+    t.documents.select(F.col("doc_id"),
+      F.round(graft.functions.HashExprs.charEntropy(F.col("text")), 6)
+        .as("char_entropy"))
+      .orderBy("doc_id")
+
   private def docFingerprint(t: Tables): DataFrame =
     // two-step select keeps fp an attribute: CollapseProject won't
     // inline a multiply-referenced non-cheap expression, so the
@@ -767,6 +776,7 @@ object SparkEntry {
       "lang_id" -> q(langId),
       "token_count" -> q(tokenCount),
       "doc_fingerprint" -> q(docFingerprint),
+      "text_entropy" -> q(textEntropy),
       "text_scrub" -> q(textScrub),
       "doc_profile" -> q(docProfileQ),
       "curate_sample" -> q(curateSample),

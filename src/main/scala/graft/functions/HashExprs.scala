@@ -74,6 +74,10 @@ object HashExprs {
   def topTokenShare(toks: Column): Column =
     Bridge.column(TopTokenShare(Bridge.expression(toks)))
 
+  /** Shannon entropy (nats) of the text's code-point distribution. */
+  def charEntropy(text: Column): Column =
+    Bridge.column(CharEntropy(Bridge.expression(text)))
+
   /** Lowercase [a-z0-9]-run word tokens of a string (one byte pass). */
   def tokenizeWords(text: Column): Column =
     Bridge.column(TokenizeWords(Bridge.expression(text)))
@@ -657,6 +661,51 @@ case class TopTokenShare(child: Expression)
   }
 
   override protected def withNewChildInternal(newChild: Expression): TopTokenShare =
+    copy(child = newChild)
+}
+
+/** Character-entropy quality signal: Shannon entropy (nats) of the
+  * text's Unicode code-point distribution — near zero for degenerate
+  * repetition, anomalously high for random gibberish; the classic
+  * cheap detector used alongside the Gopher ratios. The final sum
+  * runs in ASCENDING code-point order (TreeMap iteration), which the
+  * DuckDB oracle mirrors with list(n ORDER BY c) — UTF-8 binary
+  * string order is code-point order, so the float accumulation order
+  * is identical cross-engine and the rounded value hash-matches.
+  * One compiled pass per row; empty text scores 0.
+  */
+case class CharEntropy(child: Expression)
+    extends UnaryExpression with UnaryKernelCodegen {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "char_entropy"
+
+  override def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[UTF8String])
+
+  def kernel(s: UTF8String): Double = {
+    val str = s.toString
+    val counts = new java.util.TreeMap[Integer, Array[Long]]()
+    var i = 0
+    var n = 0L
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      var c = counts.get(cp)
+      if (c == null) { c = Array(0L); counts.put(cp, c) }
+      c(0) += 1
+      n += 1
+      i += Character.charCount(cp)
+    }
+    if (n == 0L) return 0.0
+    var h = 0.0
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val p = it.next()(0).toDouble / n
+      h -= p * math.log(p)
+    }
+    h
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CharEntropy =
     copy(child = newChild)
 }
 

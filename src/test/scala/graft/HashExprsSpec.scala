@@ -49,6 +49,26 @@ class HashExprsSpec extends SparkSpec {
     assert(got(1).isEmpty)
   }
 
+  test("charEntropy: known distributions, ordered-sum determinism, degenerate inputs") {
+    import graft.functions.HashExprs
+    def ent(s: String): Double = {
+      val df = Seq(Tuple1(s)).toDF("t")
+      df.select(HashExprs.charEntropy(F.col("t"))).as[Double].collect().head
+    }
+    // uniform over 4 chars -> ln(4); single char class -> exactly +0.0
+    assert(math.abs(ent("abcd") - math.log(4)) < 1e-12)
+    assert(java.lang.Double.doubleToRawLongBits(ent("aaaa")) == 0L,
+      "zero entropy must be +0.0, not -0.0")
+    assert(ent("") == 0.0)
+    // "aab": -(2/3 ln 2/3 + 1/3 ln 1/3)
+    val expected = -(2.0 / 3 * math.log(2.0 / 3) + 1.0 / 3 * math.log(1.0 / 3))
+    assert(math.abs(ent("aab") - expected) < 1e-12)
+    // permutations of the same multiset agree bit-for-bit (ordered sum)
+    assert(ent("abcabc") == ent("ccbbaa"))
+    // supplementary code points count as ONE character each
+    assert(math.abs(ent(new String(Character.toChars(0x1F600)) + "a") - math.log(2)) < 1e-12)
+  }
+
   test("cosineSim: known geometry") {
     val df = Seq(
       (Seq(1.0f, 0.0f), Seq(1.0f, 0.0f), 1.0),

@@ -165,7 +165,8 @@ class PlanSpec extends SparkSpec {
     // WholeStageCodegen — the sketch/text pipelines must have none
     import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
     val queries = Seq("dedup_minhash", "dedup_simhash", "lang_id",
-      "doc_fingerprint", "text_scrub", "text_stats", "token_count")
+      "doc_fingerprint", "text_scrub", "text_stats", "token_count",
+      "text_entropy")
     for (q <- queries) {
       val df = SparkEntry.queries(q)(spark, sfDir)
       val fb = scala.collection.mutable.ArrayBuffer[String]()
