@@ -461,6 +461,34 @@ object OracleSql {
 
     "dedup_jaccard" -> exactJaccardPairs,
 
+    // the cap-guard diagnostic as a GATE: the two shingle-frequency
+    // counters are recomputed independently (same shingle pipeline as
+    // the jaccard CTE; hashed-vs-string shingles share doc frequencies
+    // modulo vanishing hash collisions, as every jaccard oracle already
+    // relies on), and the signature-kernel counters are pinned at the
+    // clean-corpus expectation of ZERO — any counter moving at the gate
+    // SF fails parity loudly and attributes it to cap pressure
+    "dedup_cap_report" ->
+      s"""WITH tk AS (SELECT doc_id, ${toks("text")} AS tl FROM documents),
+         |sh AS (SELECT DISTINCT doc_id,
+         |         unnest([tl[i] || ' ' || tl[i+1] || ' ' || tl[i+2]
+         |                 for i in generate_series(1, greatest(len(tl) - 2, 0))]) AS sh
+         |       FROM tk),
+         |dfq AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh),
+         |over AS (SELECT CAST(count(*) AS BIGINT) AS c,
+         |                CAST(coalesce(sum(df), 0) AS BIGINT) AS s
+         |         FROM dfq WHERE df > 200)
+         |SELECT metric, value FROM (
+         |  SELECT 'jaccard_shingles_over_dfcap' AS metric, c AS value FROM over
+         |  UNION ALL SELECT 'jaccard_postings_dropped', s FROM over
+         |  UNION ALL SELECT 'minhash_buckets_over_cap', CAST(0 AS BIGINT)
+         |  UNION ALL SELECT 'minhash_band_entries_dropped', CAST(0 AS BIGINT)
+         |  UNION ALL SELECT 'embedding_buckets_over_cap', CAST(0 AS BIGINT)
+         |  UNION ALL SELECT 'embedding_band_entries_dropped', CAST(0 AS BIGINT)
+         |  UNION ALL SELECT 'embedding_hi_buckets_over_cap', CAST(0 AS BIGINT)
+         |  UNION ALL SELECT 'embedding_hi_band_entries_dropped', CAST(0 AS BIGINT))
+         |ORDER BY metric""".stripMargin,
+
     // the wired query generates candidates via MinHash(128)+LSH banding
     // and verifies them with the exact Jaccard; the oracle is the EXACT
     // pair join (same as dedup_jaccard), so the parity gate doubles as a
