@@ -544,6 +544,23 @@ object OracleSql {
          |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
          |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // mixture planning: weight literals cast to DOUBLE so the
+    // floor(weight * budget) multiplication is the same IEEE double
+    // product as Spark's (DuckDB numeric literals default to DECIMAL)
+    "curate_mix" ->
+      s"""WITH tk AS (SELECT source, len(${toks("text")}) AS nt FROM documents),
+         |a AS (SELECT source, CAST(sum(nt) AS BIGINT) AS available_tokens
+         |      FROM tk GROUP BY source),
+         |w AS (SELECT source, available_tokens,
+         |  CAST(floor(CASE source WHEN 'src0' THEN CAST(0.25 AS DOUBLE)
+         |                         WHEN 'src1' THEN CAST(0.1 AS DOUBLE)
+         |                         ELSE CAST(0.02 AS DOUBLE) END * 4000) AS BIGINT) AS target_tokens
+         |  FROM a)
+         |SELECT source, available_tokens, target_tokens,
+         |       round(least(1.0, CAST(target_tokens AS DOUBLE)
+         |                        / CAST(available_tokens AS DOUBLE)), 6) AS rate
+         |FROM w ORDER BY source""".stripMargin,
+
     // the composed curation chain: quality verdict (same thresholds as
     // curate_quality) -> keep-first exact dedup -> shard + pack (same
     // budget/shards as curate_pack) -> per-pack report

@@ -659,6 +659,15 @@ object SparkEntry {
         F.min("doc_id").as("first_doc"), F.max("doc_id").as("last_doc"))
       .orderBy("shard", "pack_id")
 
+  private def curateMix(t: Tables): DataFrame =
+    // source-mixing plan: upweight two sources, trickle the rest; the
+    // budget is sized so the upweighted sources land at genuine
+    // fractional rates (and any under-supplied source would pin at 1.0)
+    text.Curate.mixtureRates(t.documents, "source", "text",
+      weights = Map("src0" -> 0.25, "src1" -> 0.1),
+      defaultWeight = 0.02, budgetTokens = 4000)
+      .orderBy("source")
+
   private def curatePipeline(t: Tables): DataFrame =
     // the full curation chain (quality -> dedup -> pack) as one plan
     // over one corpus scan — asserted in PlanSpec; same thresholds as
@@ -787,6 +796,7 @@ object SparkEntry {
       "corpus_quantiles" -> q(corpusQuantiles),
       "curate_pack" -> q(curatePack),
       "curate_pipeline" -> q(curatePipeline),
+      "curate_mix" -> q(curateMix),
       "curate_take" -> q(curateTake),
       "corpus_vocab" -> q(corpusVocab),
       "dedup_cross_source" -> q(dedupCrossSource),

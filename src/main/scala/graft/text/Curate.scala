@@ -279,6 +279,36 @@ object Curate {
       .drop("__start")
   }
 
+  /** Source-mixture planning — the step between [[corpusStats]] and
+    * the sampling pass in a data-mixing pipeline: given per-source
+    * target weights (fraction of the token budget) and a total token
+    * budget, report each source's available tokens, its target
+    * allocation (floor(weight * budget)), and the deterministic keep
+    * rate min(1, target/available) to feed [[stratifiedSample]].
+    * One map-side-combined aggregation over the corpus; weights ride
+    * as a literal when-chain, no join. A rate of exactly 1.0 with
+    * target > available flags an UNDER-SUPPLIED source — upsampling /
+    * repetition is a caller decision, never silent. rate is
+    * round(, 6) for engine parity.
+    */
+  def mixtureRates(df: DataFrame, sourceCol: String, textCol: String,
+                   weights: Map[String, Double], defaultWeight: Double,
+                   budgetTokens: Long): DataFrame = {
+    require(budgetTokens >= 0, "budgetTokens >= 0")
+    require(defaultWeight >= 0 && weights.values.forall(_ >= 0), "weights >= 0")
+    val wExpr = weights.toSeq.sortBy(_._1).foldLeft(F.lit(defaultWeight)) {
+      case (acc, (s, w)) => F.when(F.col("source") === s, F.lit(w)).otherwise(acc)
+    }
+    df.select(F.col(sourceCol).as("source"),
+        F.size(TextOps.tokens(F.col(textCol))).cast("long").as("__nt"))
+      .groupBy("source").agg(F.sum("__nt").as("available_tokens"))
+      .withColumn("target_tokens",
+        F.floor(wExpr * budgetTokens).cast("long"))
+      .withColumn("rate", F.round(F.least(F.lit(1.0),
+        F.col("target_tokens").cast("double") /
+          F.col("available_tokens").cast("double")), 6))
+  }
+
   /** End-to-end curation pipeline — quality filter -> exact dedup ->
     * deterministic shard + sequence packing — composed in ONE plan
     * over ONE corpus scan, returning the per-(shard, pack) report a

@@ -234,4 +234,24 @@ class CurateSpec extends SparkSpec {
       .as[(String, String, Long, Long)].collect().toSet
     assert(fast == slow, s"missing=${slow -- fast} extra=${fast -- slow}")
   }
+
+  test("mixtureRates: allocations, under-supply pinning, default weight") {
+    // srcA: 10 tokens available; srcB: 4; srcC: 6 (default weight)
+    val docs = Seq(
+      ("srcA", "one two three four five six seven eight nine ten"),
+      ("srcB", "just four tokens here"),
+      ("srcC", "six more tokens live in here")
+    ).toDF("source", "text")
+    val out = Curate.mixtureRates(docs, "source", "text",
+        weights = Map("srcA" -> 0.5, "srcB" -> 1.0), defaultWeight = 0.25,
+        budgetTokens = 8)
+      .orderBy("source")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    // srcA: target floor(0.5*8)=4 of 10 -> 0.4; srcB: floor(1.0*8)=8 of
+    // 4 -> pinned at 1.0 (under-supplied); srcC: floor(0.25*8)=2 of 6
+    assert(out == Seq(
+      ("srcA", 10L, 4L, 0.4),
+      ("srcB", 4L, 8L, 1.0),
+      ("srcC", 6L, 2L, math.rint(2.0 / 6.0 * 1e6) / 1e6)), s"got $out")
+  }
 }
