@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSim, IndelSim, LshSig, MinHashAgg, MinHashSig, ShingleStrings, SimHash64, SortedIntersectCount, WinnowMins}
+import graft.functions.{CharEntropy, CosineSim, IndelSim, LshSig, MinHashAgg, MinHashSig, ShingleStrings, SimHash64, SortedIntersectCount, WinnowMins}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -53,7 +53,9 @@ object GraftExtensions {
     ("indel_sim", "_FUNC_(a, b) - indel similarity 2*LCS/(|a|+|b|) (rapidfuzz ratio)",
       (args: Seq[Expression]) => IndelSim(args(0), args(1))),
     ("minhash_agg", "_FUNC_(value, n) - n-component MinHash sketch of the group's distinct values",
-      (args: Seq[Expression]) => MinHashAgg(args(0), intArg(args(1), "numHashes"))))
+      (args: Seq[Expression]) => MinHashAgg(args(0), intArg(args(1), "numHashes"))),
+    ("char_entropy", "_FUNC_(text) - Shannon entropy (nats) of the code-point distribution",
+      (args: Seq[Expression]) => CharEntropy(args(0))))
 
   /** Register every function into an already-built session. */
   def register(spark: SparkSession): Unit =
