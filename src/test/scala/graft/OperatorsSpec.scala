@@ -168,6 +168,32 @@ class OperatorsSpec extends SparkSpec {
       spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("at-least-once replay: duplicated appends do not corrupt later batches") {
+    // simulate a crashed-and-retried ingest: batch A's corpus rows and
+    // index rows exist TWICE; a later batch B must still compute each
+    // near-dup pair exactly once with the correct jaccard (candidate
+    // distinct + candidate-sized id dedup absorb the duplicates)
+    import graft.dedup.Dedup
+    val batchA = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely different words entirely unrelated text here")
+    ).toDF("doc_id", "text")
+    val batchB = Seq(
+      (10L, "the quick brown fox jumps over the sleepy dog")
+    ).toDF("doc_id", "text")
+    val dupCorpus = batchA.unionAll(batchA) // replayed append
+    val dupBanded = Dedup.minhashBanded(dupCorpus, "doc_id", "text", 3, 64, 16)
+    val got = Dedup.incrementalNearDupPairs(batchB, dupCorpus, dupBanded,
+        "doc_id", "text", k = 3, numHashes = 64, bands = 16, threshold = 0.4)
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+    val clean = Dedup.incrementalNearDupPairs(batchB, batchA,
+        Dedup.minhashBanded(batchA, "doc_id", "text", 3, 64, 16),
+        "doc_id", "text", k = 3, numHashes = 64, bands = 16, threshold = 0.4)
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+    assert(got == clean && got.map(p => (p._1, p._2)) == Seq((1L, 10L)),
+      s"duplicated state changed the result: got=$got clean=$clean")
+  }
+
   test("streaming curation: stateless quality filter equals its batch twin") {
     // the whole per-row curation suite (quality verdicts, sampling,
     // scrubbing, profile kernels) is stateless, so it composes onto a
