@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CharEntropy, CosineSim, IndelSim, LshSig, MinHashAgg, MinHashSig, ShingleStrings, SimHash64, SortedIntersectCount, WinnowMins}
+import graft.functions.{CharEntropy, CosineSim, IndelSim, LshSig, MinHashAgg, MinHashSig, ShingleStrings, SimHash64, SortedIntersectCount, TopKCountAgg, WinnowMins}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -55,7 +55,9 @@ object GraftExtensions {
     ("minhash_agg", "_FUNC_(value, n) - n-component MinHash sketch of the group's distinct values",
       (args: Seq[Expression]) => MinHashAgg(args(0), intArg(args(1), "numHashes"))),
     ("char_entropy", "_FUNC_(text) - Shannon entropy (nats) of the code-point distribution",
-      (args: Seq[Expression]) => CharEntropy(args(0))))
+      (args: Seq[Expression]) => CharEntropy(args(0))),
+    ("topk_by_count", "_FUNC_(n, key, k) - exact bounded top-k (count, key) entries of the group, best first (feed finalized counts)",
+      (args: Seq[Expression]) => TopKCountAgg(args(0), args(1), intArg(args(2), "k"))))
 
   /** Register every function into an already-built session. */
   def register(spark: SparkSession): Unit =

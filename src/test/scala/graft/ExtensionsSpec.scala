@@ -30,5 +30,14 @@ class ExtensionsSpec extends SparkSpec {
       .as[(Long, Seq[Long])].collect()
     assert(sigs.length == 2 && sigs.forall(_._2.length == 16))
     assert(sigs(0)._2 != sigs(1)._2, "different value sets give different sketches")
+
+    // bounded top-k aggregate from SQL (finalized counts in, best first)
+    Seq(("x", 5L), ("y", 9L), ("z", 2L)).toDF("k", "n")
+      .createOrReplaceTempView("sql_counts")
+    val tk = spark.sql(
+      "SELECT topk_by_count(n, k, 2) AS tk FROM sql_counts")
+      .selectExpr("transform(tk, e -> e.key) AS keys").as[Seq[String]]
+      .collect().head
+    assert(tk == Seq("y", "x"), s"got $tk")
   }
 }
