@@ -68,19 +68,36 @@ object Bench {
       val times = timed.filter(_._2).map(_._1).sorted
       name -> (times, timed.count(!_._2))
     }
-    // lower median for even rep counts — deterministic, no averaging
+    // lower median for even rep counts — deterministic, no averaging.
+    // Timings rounded to ms: the run-to-run noise floor is ~20% (see
+    // above), so sub-ms digits are pure artifact bytes.
+    def r3(x: Double): String = BigDecimal(x).setScale(3,
+      BigDecimal.RoundingMode.HALF_UP).toString
     def obj(f: Seq[Double] => Double): String =
       results.map { case (k, (ts, _)) =>
-        "\"" + k + "\":" + (if (ts.isEmpty) "null" else f(ts).toString)
+        "\"" + k + "\":" + (if (ts.isEmpty) "null" else r3(f(ts)))
       }.mkString("{", ",", "}")
     val qs = obj(ts => ts((ts.length - 1) / 2))
     val qmin = obj(_.head)
     val qmax = obj(_.last)
+    val anyFailed = results.exists(_._2._2 > 0)
     val failed = results.collect { case (k, (_, nf)) if nf > 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.flatMap { case (_, (ts, _)) =>
-      ts.drop((ts.length - 1) / 2).headOption }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"failed":$failed,"queries":$qs,"queries_min":$qmin,"queries_max":$qmax,"sf":"$sfDir"}""")
+    val total = r3(results.flatMap { case (_, (ts, _)) =>
+      ts.drop((ts.length - 1) / 2).headOption }.sum)
+    // headline `value` is NULL whenever any query failed: a run where a
+    // query stops completing must never read as a speedup to a consumer
+    // comparing headline totals across rounds — the passing-only sum
+    // rides along as total_passing for diagnosis
+    val value = if (anyFailed) "null" else total
+    // TWO lines, compact medians line FIRST and min/max detail second:
+    // the driver's artifact keeps a bounded slice of this output, and
+    // in rounds 6-7 a single fat line survived only up to its LAST key
+    // (queries_max) — cold-rep outliers that manufactured phantom
+    // regressions. The signal (total + medians) now lives on its own
+    // small line so any truncation spares it.
+    println(s"""{"metric":"total","value":$value,"unit":"sec","reps":$reps,"sf":"$sfDir","failed":$failed,"total_passing":$total,"queries":$qs}""")
+    println(s"""{"metric":"detail","queries_min":$qmin,"queries_max":$qmax}""")
     spark.stop()
   }
 }

@@ -716,16 +716,17 @@ object OracleSql {
 
     // the wired queries compute pairs via banded LSH + exact verify; the
     // oracles are the EXACT pair join, so the parity gate doubles as a
-    // per-round full-recall check on the scale path — at the corpus's
-    // low-threshold stress regime (0.4, full-width vectors) and at the
-    // production threshold (0.8, 8-dim coarse prefix projection)
+    // per-round full-recall check on the scale path — both on the
+    // clustered 8-dim coarse prefix projection, at the mid threshold
+    // (0.65) and the production threshold (0.8). The low-threshold
+    // full-width stress regime is spec-only (SimilaritySpec) since r8.
     "dedup_embedding_lsh" ->
       """SELECT id1, id2, similarity FROM (
         |  SELECT a.vec_id AS id1, b.vec_id AS id2,
-        |         list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS sim,
-        |         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS similarity
+        |         list_cosine_similarity(CAST(a.embedding[1:8] AS DOUBLE[]), CAST(b.embedding[1:8] AS DOUBLE[])) AS sim,
+        |         round(list_cosine_similarity(CAST(a.embedding[1:8] AS DOUBLE[]), CAST(b.embedding[1:8] AS DOUBLE[])), 6) AS similarity
         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
-        |WHERE sim >= 0.4 ORDER BY id1, id2""".stripMargin,
+        |WHERE sim >= 0.65 ORDER BY id1, id2""".stripMargin,
 
     "dedup_embedding_lsh_hi" ->
       """SELECT id1, id2, similarity FROM (

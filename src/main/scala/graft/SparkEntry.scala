@@ -363,11 +363,15 @@ object SparkEntry {
     Dedup.capReport(t.documents, "doc_id", "text", k = 3,
       dfCap = JaccardDfCap.get, numHashes = 128, bands = 32,
       bucketCap = MinhashBucketCap.get)
-      .unionAll(Ann.capReport(t.embeddings, "vec_id", "embedding",
-        nPlanes = 60, bands = 12, bucketCap = EmbeddingBucketCap.get))
-      // the hi query band-hashes the 8-dim PREFIX — a different, far
-      // more collision-prone signature space, so its cap pressure is
-      // counted on the same projection it actually runs on
+      // BOTH embedding entries band-hash the 8-dim coarse PREFIX as of
+      // r8 (the mid- and high-threshold wired regimes share the
+      // projection; only tau differs, and cap pressure is a property
+      // of the signature space, not the threshold) — so each prefix's
+      // counters run on the projection its query actually runs on
+      .unionAll(Ann.capReport(
+        t.embeddings.select(F.col("vec_id"), F.slice(F.col("embedding"), 1, 8).as("embedding")),
+        "vec_id", "embedding", nPlanes = 60, bands = 15,
+        bucketCap = EmbeddingBucketCap.get))
       .unionAll(Ann.capReport(
         t.embeddings.select(F.col("vec_id"), F.slice(F.col("embedding"), 1, 8).as("embedding")),
         "vec_id", "embedding", nPlanes = 60, bands = 12,
@@ -458,17 +462,30 @@ object SparkEntry {
   private def dedupEmbeddingLsh(t: Tables): DataFrame =
     // the scale path: banded hyperplane signatures + exact verify — no
     // all-pairs join anywhere in the plan (asserted in PlanSpec). This
-    // is also the ORACLE-checked embedding near-dup query: the DuckDB
+    // is also an ORACLE-checked embedding near-dup query: the DuckDB
     // twin is the exact pair join, so any recall shortfall fails the
     // parity gate — exactly the guard we want on the scale path. The
     // exact product-join baseline (Ann.cosinePairs) is spec-only at
     // sf0.001 (SimilaritySpec), keeping the wired query set free of
-    // nested-loop product plans. 0.4 is the LOW-threshold stress
-    // regime (the synthetic full-width embeddings top out at cosine
-    // ~0.51, so this is where this corpus's true pairs live); the
-    // production high-threshold regime is wired separately as
-    // dedup_embedding_lsh_hi, and the degenerate-bucket cap is ON here.
-    Ann.cosinePairsLsh(t.embeddings, "vec_id", "embedding", threshold = 0.4,
+    // nested-loop product plans.
+    // MID-threshold regime (tau=0.65) on the clustered 8-dim coarse
+    // prefix — the projection where banding selectivity is real (the
+    // full-width synthetic embeddings are weakly correlated and top
+    // out at cosine ~0.51; their tau=0.4 stress configuration, whose
+    // own cost model concedes more candidates than brute force at
+    // fixed bit width, is DEMOTED to SimilaritySpec as of r8 — no
+    // wired entry carries a config its own cost model disclaims).
+    // bucketCap ON bounds candidates at O(bands*probes*cap*n) — see
+    // Ann.cosinePairsLsh's cost model. The production high-threshold
+    // regime is wired separately as dedup_embedding_lsh_hi.
+    // 15 bands x 4 bits (vs the 12 x 5 default): at tau=0.65 the
+    // marginal-pair per-band hit rate needs the wider OR-amplification
+    // — measured complete recall at sf0.001/0.01/0.1 (12 x 5 missed
+    // one marginal pair at sf0.001); per-pair miss probability at the
+    // threshold is ~(1-p_band)^15 ~ 2e-8
+    Ann.cosinePairsLsh(
+      t.embeddings.select(F.col("vec_id"), F.slice(F.col("embedding"), 1, 8).as("embedding")),
+      "vec_id", "embedding", threshold = 0.65, nPlanes = 60, bands = 15,
       bucketCap = EmbeddingBucketCap)
       .orderBy("id1", "id2")
 

@@ -528,15 +528,20 @@ object Dedup {
         // cached (small near-dup pair set, caller may unpersist), the
         // signature pipeline cache is dropped here.
         // Prune against the OVER-cap bucket set, not the under-cap one:
-        // over-cap buckets are heavy-hitter-few by construction, so the
-        // anti side broadcasts — the under-cap complement is the whole
-        // bucket universe (corpus-sized at 100 TB) and semi-joining it
-        // would shuffle everything to drop almost nothing
+        // over-cap buckets are heavy-hitter-few by construction — the
+        // under-cap complement is the whole bucket universe
+        // (corpus-sized at 100 TB) and semi-joining it would shuffle
+        // everything to drop almost nothing. No FORCED broadcast hint,
+        // though: |over| is bounded only by bandedRows/cap, so a
+        // pathological corpus with many buckets just over the cap could
+        // OOM the driver through a hint that bypasses
+        // autoBroadcastJoinThreshold. AQE sees the aggregate's actual
+        // runtime size and picks broadcast exactly when it is safe.
         val banded = bandedAll.persist()
         val over = banded.groupBy("band", "key")
           .agg(F.count(F.lit(1)).as("bn")).where(F.col("bn") > cap)
           .select("band", "key")
-        val kept = banded.join(F.broadcast(over), Seq("band", "key"), "left_anti")
+        val kept = banded.join(over, Seq("band", "key"), "left_anti")
         val cands = kept.as("a").join(kept.as("b"), Seq("band", "key"))
           .where(F.col("a.id") < F.col("b.id"))
           .select(F.col("a.id").as("id1"), F.col("b.id").as("id2"))

@@ -71,16 +71,32 @@ object Ann {
     * (id, band, key) only — vectors rejoin for verification — so the
     * shuffled band table is O(n * bands) longs, never O(n^2).
     *
-    * Cost model (honest): candidates ~ bands * probes * n^2 / 2^b, so
-    * the bucketing wins when 2^b >> bands * probes — the high-threshold
-    * regime (cosine >= ~0.8, p >= ~0.8) that embedding near-dup targets
-    * in production. As the threshold drops toward 0.4 the per-plane
-    * agreement approaches a coin flip and ANY sublinear scheme loses
-    * selectivity (LSH theory: candidate exponent 1+ln(1/p1)/ln(1/p2));
-    * the defaults here (12 bands x 5 bits + flips, within the 63-bit
-    * signature kernel) are tuned for near-complete recall at the
-    * verification spec's thresholds with the smallest candidate volume
-    * among the tested 63-bit band layouts.
+    * Cost model (honest, two regimes):
+    *  - UNCAPPED banding is a constant-factor device: candidates ~
+    *    bands * probes * E[q^b] * n^2/2 with q the per-plane agreement
+    *    of a pair — Theta(n^2) for any fixed bit width, profitable
+    *    exactly when true-pair agreement p_1^b far exceeds the
+    *    unrelated-pair floor q_0^b (high-threshold / clustered
+    *    corpora); as the threshold drops toward 0.4, p_1 approaches
+    *    q_0 and ANY fixed-width scheme loses selectivity (LSH theory:
+    *    candidate exponent 1+ln(1/p1)/ln(1/p2)). That is why the
+    *    low-threshold full-width stress configuration is SPEC-ONLY
+    *    (SimilaritySpec), never a wired query.
+    *  - bucketCap ON (every wired near-dup entry) is the at-scale
+    *    guarantee: each kept (band, key) bucket holds <= cap rows, and
+    *    per band sum(n_k^2) <= cap * sum(n_k) = cap * n, so candidates
+    *    <= bands * probes * cap * n — LINEAR in the corpus, at the
+    *    documented drop-over-cap recall tradeoff. At the gate SFs
+    *    (n << bands * probes * cap) the bound is loose; at 100 TB
+    *    (n in the billions) it is the binding term and beats the
+    *    brute-force n^2/2 by ~n / (bands * probes * cap).
+    *  - Growing the corpus 100x: raise `bands`' bit width with log(n)
+    *    (and/or lower the cap) and re-gate recall — the exact-join
+    *    parity oracle on the wired entries is exactly that gate.
+    * The defaults (12 bands x 5 bits + flips, within the 63-bit
+    * signature kernel) are tuned for complete measured recall at the
+    * wired thresholds on the gate corpora with the smallest candidate
+    * volume among the tested 63-bit band layouts.
     */
   def cosinePairsLsh(df: DataFrame, idCol: String, vecCol: String,
                      threshold: Double, nPlanes: Int = 60, bands: Int = 12,
@@ -130,13 +146,16 @@ object Ann {
         // counting, the pruning anti-join, the candidate join), so it is
         // persisted across ONE eager materializing action and released
         // here — mirroring Dedup.minhashLsh's cache hygiene. As there,
-        // prune against the heavy-hitter-few OVER-cap buckets with a
-        // broadcast anti-join, never the corpus-sized under-cap set
+        // prune against the heavy-hitter-few OVER-cap buckets, never the
+        // corpus-sized under-cap set — and with no FORCED broadcast
+        // hint: |over| is bounded only by bandedRows/cap, so AQE's
+        // runtime-size decision (not a hint that bypasses
+        // autoBroadcastJoinThreshold) picks broadcast when it is safe
         val banded = bandedSignatures(df, idCol, vecCol, nPlanes, bands).persist()
         val over = banded.groupBy("band", "key")
           .agg(F.count(F.lit(1)).as("bn")).where(F.col("bn") > cap)
           .select("band", "key")
-        val kept = banded.join(F.broadcast(over), Seq("band", "key"), "left_anti")
+        val kept = banded.join(over, Seq("band", "key"), "left_anti")
         val cands = kept.as("a").join(flips(kept).as("b"), Seq("band", "key"))
           .where(F.col("a.id") < F.col("b.id"))
           .select(F.col("a.id").as("id1"), F.col("b.id").as("id2"))

@@ -59,12 +59,28 @@ object StreamingDedup {
       sortBy = Seq("band", "key"))
   }
 
+  /** @param checkpointDir checkpoint location for the streaming query.
+    *        This is a HARD CORRECTNESS requirement, not a tuning
+    *        option: the `ingest_batch < batchId` probe and the
+    *        duplicate-absorption replay story both assume batch ids
+    *        increase monotonically across restarts, which only a
+    *        checkpoint guarantees. Without one, a restarted query
+    *        resets batchId to 0 — the probe then silently skips every
+    *        previously ingested row (missed cross-run pairs) and new
+    *        appends REUSE already-taken ingest_batch ids, permanently
+    *        corrupting the lineage column. `None` is allowed only for
+    *        single-run tests that never restart (e.g. MemoryStream
+    *        specs); production callers must pass a durable path.
+    */
   def nearDupIngest(stream: DataFrame, corpusTable: String, indexTable: String,
                     idCol: String, textCol: String, k: Int,
                     numHashes: Int, bands: Int, threshold: Double,
-                    nBuckets: Int = 64)
-                   (sink: (DataFrame, Long) => Unit): StreamingQuery =
-    stream.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+                    nBuckets: Int = 64,
+                    checkpointDir: Option[String] = None)
+                   (sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    val writer = stream.writeStream
+    checkpointDir.foreach(writer.option("checkpointLocation", _))
+    writer.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
       val spark: SparkSession = batch.sparkSession
       // resolve the tables INSIDE the batch so each micro-batch sees
       // the files previous batches appended (a frame captured outside
@@ -92,4 +108,5 @@ object StreamingDedup {
         indexTable, bucketBy = Seq("band", "key"), nBuckets = nBuckets,
         sortBy = Seq("band", "key"), mode = SaveMode.Append)
     }.start()
+  }
 }

@@ -296,12 +296,16 @@ object Curate {
                    budgetTokens: Long): DataFrame = {
     require(budgetTokens >= 0, "budgetTokens >= 0")
     require(defaultWeight >= 0 && weights.values.forall(_ >= 0), "weights >= 0")
+    // one constant names the output column the select below aliases
+    // sourceCol to AND the weight when-chain references — the chain is
+    // correct for ANY input column name, not just "source"
+    val out = "source"
     val wExpr = weights.toSeq.sortBy(_._1).foldLeft(F.lit(defaultWeight)) {
-      case (acc, (s, w)) => F.when(F.col("source") === s, F.lit(w)).otherwise(acc)
+      case (acc, (s, w)) => F.when(F.col(out) === s, F.lit(w)).otherwise(acc)
     }
-    df.select(F.col(sourceCol).as("source"),
+    df.select(F.col(sourceCol).as(out),
         F.size(TextOps.tokens(F.col(textCol))).cast("long").as("__nt"))
-      .groupBy("source").agg(F.sum("__nt").as("available_tokens"))
+      .groupBy(out).agg(F.sum("__nt").as("available_tokens"))
       .withColumn("target_tokens",
         F.floor(wExpr * budgetTokens).cast("long"))
       .withColumn("rate", F.round(F.least(F.lit(1.0),

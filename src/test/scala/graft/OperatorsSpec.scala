@@ -137,7 +137,12 @@ class OperatorsSpec extends SparkSpec {
       stream.toDF().toDF("doc_id", "text"),
       "stream_nd_corpus", "stream_nd_idx",
       "doc_id", "text", k = 3, numHashes = 64, bands = 16,
-      threshold = 0.4, nBuckets = 4) { (pairs, batchId) =>
+      threshold = 0.4, nBuckets = 4,
+      // the checkpoint is a hard correctness requirement across
+      // restarts (monotone batch ids) — exercised here even though a
+      // single-run MemoryStream test never restarts
+      checkpointDir = Some(java.nio.file.Files
+        .createTempDirectory("stream_nd_ckpt").toString)) { (pairs, batchId) =>
       perBatch.synchronized {
         perBatch(batchId) = pairs.select("id1", "id2")
           .as[(Long, Long)].collect().toSet

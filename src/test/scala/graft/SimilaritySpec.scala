@@ -30,10 +30,12 @@ class SimilaritySpec extends SparkSpec {
     assert(lsh == exact, s"missed=${(exact -- lsh).size} extra=${(lsh -- exact).size}")
   }
 
-  test("cosinePairsLsh matches the exact join on the driver corpus at its threshold") {
-    // the wired dedup_embedding_lsh configuration, against the real
-    // test embeddings: deterministic signatures, so this either holds
-    // or it does not — no run-to-run variance
+  test("STRESS (spec-only since r8): low-threshold full-width config still matches exact") {
+    // tau=0.4 on the weakly-correlated full-width vectors — the regime
+    // where fixed-bit-width banding's own cost model concedes MORE
+    // candidates than brute force (LSH theory), so it is deliberately
+    // NOT a wired driver query; recall completeness is still asserted
+    // here (deterministic signatures: holds or fails, no variance)
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val exact = Ann.cosinePairs(emb, "vec_id", "embedding", threshold = 0.4)
       .select("id1", "id2", "similarity").as[(Long, Long, Double)].collect().toSet
@@ -43,6 +45,23 @@ class SimilaritySpec extends SparkSpec {
     assert(lsh.subsetOf(exact), "exact verify forbids false positives")
     assert(lsh == exact,
       s"recall ${lsh.size}/${exact.size} — retune bands/probes if this ever drops")
+  }
+
+  test("cosinePairsLsh matches exact at the wired MID threshold with the cap ON") {
+    // the EXACT wired dedup_embedding_lsh configuration since r8
+    // (tau=0.65 on the clustered 8-dim coarse prefix, 15 bands x 4
+    // bits, bucketCap on) replayed at sf0.001 — the driver gate's
+    // parity check in miniature
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", F.slice($"embedding", 1, 8).as("embedding"))
+    val exact = Ann.cosinePairs(emb, "vec_id", "embedding", threshold = 0.65)
+      .select("id1", "id2", "similarity").as[(Long, Long, Double)].collect().toSet
+    val lsh = Ann.cosinePairsLsh(emb, "vec_id", "embedding", threshold = 0.65,
+      nPlanes = 60, bands = 15, bucketCap = Some(1000L))
+      .select("id1", "id2", "similarity").as[(Long, Long, Double)].collect().toSet
+    assert(exact.nonEmpty, "prefix-projected corpus must contain pairs above 0.65")
+    assert(lsh == exact,
+      s"recall ${lsh.size}/${exact.size} — retune bands/probes or cap if this drops")
   }
 
   test("cosinePairsLsh matches exact at the wired production threshold with the cap ON") {
