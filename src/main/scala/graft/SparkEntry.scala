@@ -379,8 +379,22 @@ object SparkEntry {
       .orderBy("metric")
 
   private def dedupSimhash(t: Tables): DataFrame =
+    // ORACLE-checked since r8 via the materialized-signature twin: the
+    // companion dedup_simhash_sig query dumps (id, simhash), and the
+    // DuckDB twin recomputes the pigeonhole band join + hamming<=3
+    // from those emitted signatures — the banding/hamming logic is
+    // SQL-gated; only the signature kernel itself stays spec-only
+    // (HashExprsSpec), the match_schema_sketch trick applied again
     Dedup.simhashPairs(t.documents, "doc_id", "text", maxHamming = 3)
+      .withColumn("hamming", F.col("hamming").cast("long"))
       .orderBy("id1", "id2")
+
+  private def dedupSimhashSig(t: Tables): DataFrame =
+    // raw 64-bit SimHash signatures — the materialized evidence the
+    // dedup_simhash twin recomputes pairs from (rows-only itself: a
+    // hash-kernel dump has no independent SQL twin)
+    Dedup.simhash(t.documents, "doc_id", "text")
+      .orderBy("id")
 
   private def dedupComponents(t: Tables): DataFrame =
     // releaseInput: components is the pair table's terminal consumer
@@ -786,6 +800,7 @@ object SparkEntry {
       "dedup_minhash" -> q(dedupMinhash),
       "dedup_cap_report" -> q(dedupCapReport),
       "dedup_simhash" -> q(dedupSimhash),
+      "dedup_simhash_sig" -> q(dedupSimhashSig),
       "dedup_embedding_lsh" -> q(dedupEmbeddingLsh),
       "dedup_embedding_lsh_hi" -> q(dedupEmbeddingLshHi),
       "decontaminate" -> q(decontaminate),

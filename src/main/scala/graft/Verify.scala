@@ -37,7 +37,16 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // __VERIFY_OUT__ placeholder -> this run's absolute output dir:
+    // SELF-REFERENTIAL twins (dedup_simhash, ann_lsh, ann_ivf) read a
+    // COMPANION query's emitted parquet (signatures / returned pairs)
+    // and independently recompute the derived logic (banding + hamming,
+    // exact cosine + rank order) in DuckDB — the hash-kernel values
+    // themselves stay spec-checked, the SQL gates the logic above them.
+    // Substituted at dump time because only Verify knows the outDir.
+    val absOut = new java.io.File(outDir).getAbsolutePath
     val json = SparkEntry.oracleSql
+      .map { case (k, v) => k -> v.replace("__VERIFY_OUT__", absOut) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
