@@ -141,6 +141,25 @@ object SparkEntry {
         F.round(F.col("coverage"), 6).as("coverage"))
       .orderBy("source_column")
 
+  private def matchValuesStandard(t: Tables): DataFrame = {
+    // the reference's headline biomedical flow (api.py:43-56 with
+    // target="gdc"): a named, DataFrame-backed standard vocabulary is
+    // registered once, then value matching dispatches through the
+    // registry by (standard, attribute) name. The vocabulary here is
+    // GDC-SHAPED ((attribute, value) rows) but built from testdata —
+    // the reference's bundled dictionary is reference data and not
+    // shipped — so the oracle recomputes the same edit-distance match
+    // against the identically-constructed domain in SQL.
+    val vocab = t.part.where(F.col("p_size") <= 25)
+      .select(F.lit("part_name").as("attribute"),
+        F.col("p_name").cast("string").as("value"))
+      .distinct()
+    Graft.registerStandard("gdc_shaped", Standards(vocab))
+    Graft.matchValues(t.part, "p_name", "gdc_shaped", "part_name",
+      method = "edit_distance", threshold = 0.5)
+      .orderBy("source")
+  }
+
   private val returnFlagDict = DictionaryMapper(Map(
     "A" -> "accepted", "N" -> "none", "R" -> "returned"))
 
@@ -446,6 +465,26 @@ object SparkEntry {
       .orderBy("id1", "id2")
   }
 
+  private def dedupIncrementalNearIdx(t: Tables): DataFrame = {
+    // the PERSISTED-index variant of dedup_incremental_near: the
+    // existing corpus's banded signatures come from an actual managed
+    // table bucketed+sorted by the full (band, key) join key — the
+    // storage layout minhashIndexBuild ships for the daily-crawl loop,
+    // where the corpus-sized index side is read in place and only the
+    // batch shuffles. Same parameters and same exact-Jaccard oracle as
+    // the inline query, so parity also proves the bucketed read path
+    // returns identical pairs.
+    val existing = t.documents.where(F.col("doc_id") < 250)
+    val incoming = t.documents.where(F.col("doc_id") >= 250)
+    val table = "graft_nd_index_" + java.lang.Integer.toHexString(t.dir.hashCode)
+    Dedup.minhashIndexBuild(existing, "doc_id", "text",
+      k = 3, numHashes = 128, bands = 32, table = table, nBuckets = 8)
+    Dedup.incrementalNearDupPairs(incoming, existing,
+      t.spark.table(table), "doc_id", "text",
+      k = 3, numHashes = 128, bands = 32, threshold = 0.5)
+      .orderBy("id1", "id2")
+  }
+
   private def decontaminate(t: Tables): DataFrame = {
     // synthetic "benchmark" split: every 20th document is the eval set.
     // k=3 (real pipelines use 8-13) because the synthetic corpus shares
@@ -534,6 +573,25 @@ object SparkEntry {
       t.embeddings.where(F.col("vec_id") < 10), "vec_id", "embedding",
       t.embeddings, "vec_id", "embedding", k = 5, nCells = 16, nProbe = 4)
       .orderBy("query_id", "rank")
+
+  private def annIvfIndex(t: Tables): DataFrame = {
+    // the PERSISTED-index variant of ann_ivf: ivfBuild writes the
+    // corpus cell-partitioned (+ the centroid matrix) to storage, and
+    // ivfQueryIndex serves the query batch through partition pruning —
+    // the probed cells become a literal isin predicate on the index's
+    // partition column, so unprobed cells are never read (asserted in
+    // SimilaritySpec). Training is deterministic, so with identical
+    // parameters this MUST return exactly ann_ivf's rows — the oracle
+    // is ann_ivf's own dumped output, an equality gate between the
+    // storage-layer path and the inline path.
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index_" +
+      java.lang.Integer.toHexString(t.dir.hashCode)
+    Ann.ivfBuild(t.embeddings, "vec_id", "embedding", path, nCells = 16)
+    Ann.ivfQueryIndex(t.spark, path,
+      t.embeddings.where(F.col("vec_id") < 10), "vec_id", "embedding",
+      k = 5, nProbe = 4)
+      .orderBy("query_id", "rank")
+  }
 
   // Recall floors for the wired approximate-ANN configurations. The
   // driver-checked gate: per query id, recall@5 vs the in-plan
@@ -779,6 +837,7 @@ object SparkEntry {
       "match_schema_cupid" -> q(matchSchemaCupid),
       "match_schema_sketch" -> q(matchSchemaSketch),
       "match_values_coverage" -> q(matchValuesCoverage),
+      "match_values_standard" -> q(matchValuesStandard),
       "materialize_mapping" -> q(materializeMapping),
       "merge_mappings" -> q(mergeMappingsQ),
       "q1_agg" -> q(q1),
@@ -808,10 +867,12 @@ object SparkEntry {
       "boilerplate_ngrams" -> q(boilerplateNgrams),
       "dedup_incremental" -> q(dedupIncremental),
       "dedup_incremental_near" -> q(dedupIncrementalNear),
+      "dedup_incremental_near_idx" -> q(dedupIncrementalNearIdx),
       "ann_topk" -> q(annTopk),
       "ann_lsh" -> q(annLsh),
       "ann_lsh_recall" -> q(annLshRecall),
       "ann_ivf" -> q(annIvf),
+      "ann_ivf_index" -> q(annIvfIndex),
       "ann_ivf_recall" -> q(annIvfRecall),
       "text_stats" -> q(textStats),
       "lang_id" -> q(langId),
