@@ -816,6 +816,25 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  private def multimodalPixels(t: Tables): DataFrame = {
+    // REAL PNG pixel decode (r8): each document gets an actual
+    // deflate-compressed, scanline-filtered PNG (filters cycle per
+    // row, so all five unfilters are on the decode path) with
+    // closed-form sample values; the pure-JVM decoder (PngCodec:
+    // Inflater + unfilter) reconstructs them and emits exact integer
+    // aggregates. The oracle recomputes those aggregates from the
+    // closed form alone — parity proves genuine DEFLATE + filter
+    // inversion, no codec library involved. JPEG/GIF pixels remain
+    // the declared stub (entropy decode needs a native codec).
+    val blobs = BinaryMeta.syntheticPngBlobs(t.documents.select("doc_id"), "doc_id")
+    BinaryMeta.decodePixelStats(blobs, "id")
+      .select(F.col("id").as("doc_id"), F.col("width"), F.col("height"),
+        F.col("channels"), F.col("n_samples"), F.col("sum_val"), F.col("sum_sq"),
+        F.round(F.col("sum_val").cast("double") /
+          F.col("n_samples").cast("double"), 6).as("mean_val"))
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------- wiring
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -896,7 +915,8 @@ object SparkEntry {
       "events_json" -> q(eventsJson),
       "events_window_agg" -> q(eventsWindowAgg),
       "events_sessionize" -> q(eventsSessionize),
-      "multimodal_meta" -> q(multimodalMeta))
+      "multimodal_meta" -> q(multimodalMeta),
+      "multimodal_pixels" -> q(multimodalPixels))
   }
 
   /** DuckDB-runnable ANSI SQL twin for every SQL-expressible query. */

@@ -98,6 +98,48 @@ class TextOpsSpec extends SparkSpec {
     assert(ImageHeaders.decode(hex("FFD8FFFE0004ABCD")).isEmpty)
   }
 
+  test("PngCodec round-trips real deflate+filtered pixels to exact integer stats") {
+    import graft.multimodal.PngCodec
+    // every (dims, channels) shape hits all five filter types (height
+    // >= 5 rows cycles the full set) plus the degenerate single-column
+    // and single-row edges where Sub/Up have no left/up neighbor
+    for ((w, h, ch) <- Seq((7, 6, 1), (7, 6, 3), (1, 9, 3), (9, 1, 1), (16, 12, 3))) {
+      val value: Long => Int = s => ((s * 31 + 5) % 256).toInt
+      val blob = PngCodec.encode(w, h, ch, value)
+      // the blob is ALSO a valid container for the header parser
+      assert(graft.multimodal.ImageHeaders.decode(blob).contains((w, h, "png")))
+      val n = w.toLong * h * ch
+      val expSum = (0L until n).map(s => value(s).toLong).sum
+      val expSq = (0L until n).map(s => { val v = value(s).toLong; v * v }).sum
+      val got = PngCodec.decodeStats(blob)
+      assert(got.contains(PngCodec.PixelStats(w, h, ch, n, expSum, expSq)),
+        s"($w x $h x $ch) got $got want sums ($expSum, $expSq)")
+    }
+  }
+
+  test("PngCodec.decodeStats rejects garbage, truncation, and unsupported layouts") {
+    import graft.multimodal.PngCodec
+    val good = PngCodec.encode(5, 5, 3, s => (s % 251).toInt)
+    assert(PngCodec.decodeStats(good).isDefined)
+    assert(PngCodec.decodeStats(null).isEmpty)
+    assert(PngCodec.decodeStats(Array.emptyByteArray).isEmpty)
+    assert(PngCodec.decodeStats("not a png".getBytes).isEmpty)
+    // truncate inside IDAT: chunk layout breaks -> None, no throw
+    assert(PngCodec.decodeStats(good.take(good.length - 13)).isEmpty)
+    // corrupt the zlib stream body (flip a byte INSIDE the deflate
+    // data, located via the IDAT tag — not the unvalidated chunk CRC)
+    val idatAt = good.sliding(4).indexWhere(_.sameElements("IDAT".getBytes))
+    val corrupt = good.clone()
+    corrupt(idatAt + 10) = (corrupt(idatAt + 10) ^ 0x5a).toByte
+    assert(PngCodec.decodeStats(corrupt).isEmpty ||
+      PngCodec.decodeStats(corrupt) != PngCodec.decodeStats(good))
+    // 16-bit depth and interlace are declared unsupported -> None
+    val deep = good.clone(); deep(24) = 16 // IHDR bit-depth byte
+    assert(PngCodec.decodeStats(deep).isEmpty)
+    val inter = good.clone(); inter(28) = 1 // IHDR interlace byte
+    assert(PngCodec.decodeStats(inter).isEmpty)
+  }
+
   test("ImageHeaders never throws on arbitrary bytes") {
     import graft.multimodal.ImageHeaders
     // a 100 TB crawl contains every possible byte garbage; the parser
