@@ -656,14 +656,22 @@ object SparkEntry {
     t.documents.select(F.col("doc_id"), TextOps.bpeTokenCount(F.col("text")).cast("long").as("n_tokens_bpe"))
       .orderBy("doc_id")
 
-  private def textEntropy(t: Tables): DataFrame =
+  private def textEntropy(t: Tables): DataFrame = {
     // character-entropy quality signal (gibberish/repetition detector)
     // — shuffle-free codegen'd kernel; cross-engine float determinism
-    // from the ascending-code-point summation order (see CharEntropy)
-    t.documents.select(F.col("doc_id"),
-      F.round(graft.functions.HashExprs.charEntropy(F.col("text")), 6)
-        .as("char_entropy"))
+    // from the ascending-code-point summation order (see CharEntropy).
+    // A synthetic probe row (doc_id = -1: combining sequence +
+    // supplementary-plane char, shared constant with the twin) rides
+    // along so the gate itself exercises the cross-engine code-point
+    // segmentation assumption on content the corpus may never contain
+    val probe = t.documents.sparkSession.range(1)
+      .select(F.lit(-1L).as("doc_id"), F.lit(OracleSql.entropyProbeText).as("text"))
+    t.documents.select(F.col("doc_id"), F.col("text")).unionAll(probe)
+      .select(F.col("doc_id"),
+        F.round(graft.functions.HashExprs.charEntropy(F.col("text")), 6)
+          .as("char_entropy"))
       .orderBy("doc_id")
+  }
 
   private def docFingerprint(t: Tables): DataFrame =
     // two-step select keeps fp an attribute: CollapseProject won't
