@@ -94,6 +94,9 @@ class PlanSpec extends SparkSpec {
   private val boundedBroadcastBnlj = Set(
     "match_values_edit", "match_values_topk", "match_values_tfidf",
     "match_values_embedding", "match_values_coverage",
+    // match_values_standard routes through the same edit matcher over
+    // DISTINCT values (vocabulary side broadcast-bounded by definition)
+    "match_values_standard",
     "match_schema_name", "match_schema_sketch", "match_schema_twophase",
     "match_schema_maxvalsim", "match_schema_overlap", "match_schema_topk",
     "text_lm_score", "ann_topk", "ann_lsh_recall", "ann_ivf_recall")
@@ -110,6 +113,17 @@ class PlanSpec extends SparkSpec {
       s"BNLJ set drifted: unexpected=${(withBnlj -- boundedBroadcastBnlj).toSeq.sorted} " +
         s"stale-allowlist=${(boundedBroadcastBnlj -- withBnlj).toSeq.sorted} — " +
         "a new entry needs a bounded-broadcast justification above")
+  }
+
+  test("ann_ivf_index: the persisted-index probe scan prunes unprobed cells") {
+    // the wired query's own executed plan (not just the operator spec)
+    // must show the probed-cell literals as PARTITION filters on the
+    // index scan — the storage-layer candidate selection that lets a
+    // query batch read nProbe/nCells of a 100 TB corpus
+    val p = planOf("ann_ivf_index")
+    assert(p.contains("PartitionFilters: [") && p.contains("cell"),
+      s"index scan shows no cell partition filters:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
   test("corpus-materialization queries keep equi/anti joins only") {
