@@ -127,6 +127,28 @@ class RobustnessSpec extends SparkSpec {
     assert(meta.length == 2 && meta.forall(_.getString(4) == "unknown"))
   }
 
+  test("round-8 multimodal pixel plumbing: degenerate inputs flow cleanly") {
+    import graft.multimodal.BinaryMeta
+    // non-PNG / null / empty blobs: null-stats rows, never a crash
+    val junk = Seq((1L, "definitely not a png".getBytes),
+      (2L, null.asInstanceOf[Array[Byte]]),
+      (3L, Array.empty[Byte])).toDF("doc_id", "blob")
+    val stats = BinaryMeta.decodePixelStats(junk, "doc_id").collect()
+    assert(stats.length == 3 && stats.forall(_.isNullAt(1)))
+    // negative / null ids are filtered by the generator, not encoded
+    val ids = Seq(Some(5L), Some(-3L), None).toDF("doc_id")
+    val blobs = BinaryMeta.syntheticPngBlobs(ids, "doc_id")
+    val out = BinaryMeta.decodePixelStats(blobs, "id")
+      .as[(Long, Option[Int], Option[Int], Option[Int], Option[Long], Option[Long], Option[Long])]
+      .collect()
+    assert(out.map(_._1).toSeq == Seq(5L))
+    // id 5: 6x6 RGB (5%16+1, 5%12+1, odd -> 3 channels), decoded stats
+    // equal the closed form the oracle uses
+    val n = 6L * 6 * 3
+    val expSum = (0L until n).map(s => (s * 31 + 5) % 256).sum
+    assert(out.head._5.contains(n) && out.head._6.contains(expSum))
+  }
+
   test("property: winnowMins equals brute force on random arrays (seeded)") {
     val rnd = new Random(7)
     val cases = (0 until 30).map { _ =>
