@@ -133,6 +133,38 @@ object SparkEntry {
       .orderBy("source")
   }
 
+  private def matchSchemaComa(t: Tables): DataFrame =
+    // COMA-style composite evidence (Do & Rahm VLDB'02): weighted
+    // name + instance + type signals. Assignment projection like
+    // simflood/cupid — on the name-aligned customer/supplier pair the
+    // composite must recover the name-evident alignment, which the
+    // oracle recomputes as the exact levenshtein argmax; composite
+    // weighting/scores stay spec-checked (GraftApiSpec)
+    Graft.matchSchema(t.customer, t.supplier, method = "coma")
+      .select("source", "target")
+      .orderBy("source")
+
+  private def matchSchemaStandard(t: Tables): DataFrame = {
+    // match_schema against a NAMED standard (api.py:43 target="gdc"):
+    // best standard ATTRIBUTE per source column by value overlap of
+    // the column against each attribute's domain. Vocabulary built
+    // from the orders table (GDC-shaped (attribute, value) rows), so
+    // the oracle recomputes the same jaccard argmax independently —
+    // including the zero-overlap tie broken alphabetically
+    val vocab = t.orders
+      .select(F.lit("order_status").as("attribute"),
+        F.col("o_orderstatus").cast("string").as("value"))
+      .unionAll(t.orders.select(F.lit("order_priority").as("attribute"),
+        F.col("o_orderpriority").cast("string").as("value")))
+      .distinct()
+    Graft.registerStandard("gdc_shaped_schema", Standards(vocab))
+    Graft.matchSchema(t.lineitem.select("l_returnflag", "l_linestatus"),
+      "gdc_shaped_schema")
+      .select(F.col("source"), F.col("target"),
+        F.round(F.col("similarity"), 6).as("similarity"))
+      .orderBy("source")
+  }
+
   private def matchValuesCoverage(t: Tables): DataFrame =
     Graft.valueMatchCoverage(Graft.matchValuesMapping(
       t.part, t.part.where(F.col("p_size") <= 25),
@@ -872,6 +904,8 @@ object SparkEntry {
       "match_schema_simflood" -> q(matchSchemaSimflood),
       "match_schema_cupid" -> q(matchSchemaCupid),
       "match_schema_sketch" -> q(matchSchemaSketch),
+      "match_schema_coma" -> q(matchSchemaComa),
+      "match_schema_standard" -> q(matchSchemaStandard),
       "match_values_coverage" -> q(matchValuesCoverage),
       "match_values_standard" -> q(matchValuesStandard),
       "materialize_mapping" -> q(materializeMapping),

@@ -99,6 +99,10 @@ class PlanSpec extends SparkSpec {
     "match_values_standard",
     "match_schema_name", "match_schema_sketch", "match_schema_twophase",
     "match_schema_maxvalsim", "match_schema_overlap", "match_schema_topk",
+    // coma crosses the column-name score matrices (driver-small);
+    // the standard match crosses per-COLUMN counts with the
+    // vocabulary's per-ATTRIBUTE counts (both column-count-bounded)
+    "match_schema_coma", "match_schema_standard",
     "text_lm_score", "ann_topk", "ann_lsh_recall", "ann_ivf_recall")
 
   test("no wired query plans a CartesianProduct; BNLJ only on bounded-broadcast baselines") {
