@@ -509,15 +509,10 @@ object SparkEntry {
     val existing = t.documents.where(F.col("doc_id") < 250)
     val incoming = t.documents.where(F.col("doc_id") >= 250)
     val table = "graft_nd_index_" + java.lang.Integer.toHexString(t.dir.hashCode)
-    // a PREVIOUS JVM's leftover warehouse directory is invisible to
-    // this session's in-memory catalog but still blocks saveAsTable —
-    // drop both the catalog entry and the stale location first
-    t.spark.sql(s"DROP TABLE IF EXISTS $table")
-    val loc = java.nio.file.Paths.get(
-      t.spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), table)
-    if (java.nio.file.Files.exists(loc))
-      java.nio.file.Files.walk(loc).sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => { java.nio.file.Files.delete(p); () })
+    // stale-location recovery (a previous JVM's leftover warehouse
+    // directory with no catalog entry) now lives in
+    // Sources.writeBucketedMulti, shared by every bucketed-table
+    // writer — StreamingDedup's tables get the same protection
     Dedup.minhashIndexBuild(existing, "doc_id", "text",
       k = 3, numHashes = 128, bands = 32, table = table, nBuckets = 8)
     Dedup.incrementalNearDupPairs(incoming, existing,

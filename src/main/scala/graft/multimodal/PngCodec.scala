@@ -99,10 +99,22 @@ object PngCodec {
       var got = 0
       while (got < raw.length && !inf.finished()) {
         val n = inf.inflate(raw, got, raw.length - got)
-        if (n == 0 && inf.needsInput()) return None // truncated stream
+        // with output space available, a zero-byte round means the
+        // inflater CANNOT progress — truncated input, or a preset-
+        // dictionary (FDICT) stream we will never feed; treating only
+        // needsInput() as terminal left FDICT spinning forever (an
+        // adversarial blob could hang an executor task permanently)
+        if (n == 0 && !inf.finished()) return None
         got += n
       }
       if (got < raw.length) return None
+      // the stream must END here: an IDAT that inflates to MORE than
+      // height * (1 + stride) bytes is malformed (the doc contract
+      // promises None, not plausible stats over a prefix). One extra
+      // probe byte both detects surplus data and lets the inflater
+      // consume the zlib trailer so finished() is authoritative.
+      val probe = new Array[Byte](1)
+      if (inf.inflate(probe, 0, 1) > 0 || !inf.finished()) return None
     } catch { case _: java.util.zip.DataFormatException => return None }
     finally inf.end()
 
@@ -183,7 +195,6 @@ object PngCodec {
         x += 1
       }
       Array.copy(cur, 0, prev, 0, stride)
-      off += 0
     }
 
     val defl = new Deflater()

@@ -65,10 +65,33 @@ object Sources {
                          nBuckets: Int, sortBy: Seq[String] = Nil,
                          mode: SaveMode = SaveMode.Overwrite): Unit = {
     require(bucketBy.nonEmpty, "need at least one bucket column")
+    // saveAsTable refuses a warehouse LOCATION left behind by a
+    // previous JVM whose in-memory catalog entry is gone (an unclean
+    // shutdown mid-pipeline). An Overwrite caller has already declared
+    // the table's contents replaceable, so clear the stale directory —
+    // but ONLY when the catalog has no entry (a cataloged table goes
+    // through saveAsTable's own overwrite path, and Append must never
+    // delete anything).
+    if (mode == SaveMode.Overwrite && !df.sparkSession.catalog.tableExists(table))
+      deleteStaleTableLocation(df.sparkSession, table)
     val w = df.write.format("parquet").mode(mode)
       .bucketBy(nBuckets, bucketBy.head, bucketBy.tail: _*)
     (if (sortBy.nonEmpty) w.sortBy(sortBy.head, sortBy.tail: _*) else w)
       .saveAsTable(table)
+  }
+
+  /** Delete the default-database warehouse location of `table` if it
+    * exists — through the Hadoop FileSystem API, so it works for ANY
+    * warehouse scheme (local file:, HDFS, object stores), not just
+    * local paths. Managed-table locations are lowercase under the
+    * warehouse dir for the default database.
+    */
+  def deleteStaleTableLocation(spark: org.apache.spark.sql.SparkSession,
+                               table: String): Unit = {
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val loc = new org.apache.hadoop.fs.Path(warehouse, table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) { fs.delete(loc, true); () }
   }
 
   /** Parse a JSON string column into a typed struct with an EXPLICIT

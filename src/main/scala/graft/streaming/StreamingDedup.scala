@@ -49,6 +49,11 @@ object StreamingDedup {
   def bootstrap(initial: DataFrame, corpusTable: String, indexTable: String,
                 idCol: String, textCol: String, k: Int,
                 numHashes: Int, bands: Int, nBuckets: Int = 64): Unit = {
+    // stale-location recovery mirrors Sources.writeBucketedMulti's
+    // (which already guards the index table below): a crashed previous
+    // JVM's warehouse directory must not block the bootstrap
+    if (!initial.sparkSession.catalog.tableExists(corpusTable))
+      graft.sources.Sources.deleteStaleTableLocation(initial.sparkSession, corpusTable)
     initial.select(F.col(idCol), F.col(textCol))
       .withColumn("ingest_batch", F.lit(-1L))
       .write.mode(SaveMode.Overwrite).saveAsTable(corpusTable)

@@ -138,6 +138,18 @@ class TextOpsSpec extends SparkSpec {
     assert(PngCodec.decodeStats(deep).isEmpty)
     val inter = good.clone(); inter(28) = 1 // IHDR interlace byte
     assert(PngCodec.decodeStats(inter).isEmpty)
+    // FDICT zlib header (0x78 0x20 — valid FCHECK, preset-dictionary
+    // bit set): the inflater can never progress without a dictionary
+    // we will never feed; must return None promptly, NOT spin forever
+    // (this hung the decode loop before the n==0 && !finished guard)
+    val fdict = good.clone()
+    fdict(idatAt + 4) = 0x78.toByte; fdict(idatAt + 5) = 0x20.toByte
+    assert(PngCodec.decodeStats(fdict).isEmpty)
+    // over-long inflate: shrink the claimed IHDR height so the stream
+    // inflates to MORE than height*(1+stride) — the doc contract says
+    // None, never plausible stats over a prefix
+    val shrunk = good.clone(); shrunk(23) = 4 // height 5 -> 4
+    assert(PngCodec.decodeStats(shrunk).isEmpty)
   }
 
   test("ImageHeaders never throws on arbitrary bytes") {
