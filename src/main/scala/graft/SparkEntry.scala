@@ -879,6 +879,22 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  private def multimodalAudio(t: Tables): DataFrame = {
+    // REAL WAV audio decode (r8): each document gets genuine RIFF/PCM
+    // bytes (rate/channels/frames from doc_id, samples closed-form)
+    // and the pure-JVM WavCodec chunk-walks + sample-scans them back
+    // into exact integer aggregates. The oracle recomputes those
+    // aggregates from the closed form alone, so parity proves real
+    // container+PCM inversion — audio is a fully REAL modality (PCM
+    // needs no entropy codec), unlike the declared JPEG/GIF stub.
+    val blobs = BinaryMeta.syntheticWavBlobs(t.documents.select("doc_id"), "doc_id")
+    BinaryMeta.decodeAudioStats(blobs, "id")
+      .select(F.col("id").as("doc_id"), F.col("sample_rate"), F.col("channels"),
+        F.col("n_frames"), F.col("n_samples"), F.col("sum_val"), F.col("sum_sq"),
+        F.col("peak_abs"), F.col("duration_us"))
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------- wiring
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -962,7 +978,8 @@ object SparkEntry {
       "events_window_agg" -> q(eventsWindowAgg),
       "events_sessionize" -> q(eventsSessionize),
       "multimodal_meta" -> q(multimodalMeta),
-      "multimodal_pixels" -> q(multimodalPixels))
+      "multimodal_pixels" -> q(multimodalPixels),
+      "multimodal_audio" -> q(multimodalAudio))
   }
 
   /** DuckDB-runnable ANSI SQL twin for every SQL-expressible query. */

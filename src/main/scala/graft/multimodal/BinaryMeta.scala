@@ -231,6 +231,62 @@ object BinaryMeta {
       }(enc)
   }
 
+  /** Deterministic real WAV payloads: frames / channels / sample rate
+    * derived from the id, samples from a closed form — the audio twin
+    * of [[syntheticPngBlobs]]. [[WavCodec.encode]] emits genuine
+    * RIFF/PCM bytes any decoder accepts.
+    */
+  def syntheticWavBlobs(df: DataFrame, idCol: String): DataFrame = {
+    val out = StructType(Seq(
+      StructField("id", LongType),
+      StructField("blob", BinaryType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(out)
+    df.select(F.col(idCol).cast("long").as("id"))
+      .where(F.col("id").isNotNull && F.col("id") >= 0)
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val rate = (8000 + (id % 4) * 4000).toInt
+          val ch = (id % 2 + 1).toInt
+          val frames = (id % 200 + 20).toInt
+          Row(id, WavCodec.encode(rate, ch, frames,
+            s => ((s * 37 + id * 11) % 4001 - 2000).toInt))
+        }
+      }(enc)
+  }
+
+  /** REAL batched WAV PCM decode via mapPartitions ([[WavCodec
+    * .decodeStats]]): container chunk walk + sample scan emitting
+    * per-clip exact integer aggregates — the metadata/quality-pass
+    * shape (stats, never a waveform shuffle). Undecodable payloads
+    * yield null stats instead of failing the task.
+    */
+  def decodeAudioStats(df: DataFrame, idCol: String): DataFrame = {
+    val out = StructType(Seq(
+      StructField("id", LongType),
+      StructField("sample_rate", IntegerType),
+      StructField("channels", IntegerType),
+      StructField("n_frames", LongType),
+      StructField("n_samples", LongType),
+      StructField("sum_val", LongType),
+      StructField("sum_sq", LongType),
+      StructField("peak_abs", IntegerType),
+      StructField("duration_us", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(out)
+    df.select(F.col(idCol).cast("long").as("id"), F.col("blob"))
+      .mapPartitions { rows =>
+        // positional access: chained mapPartitions rows carry no schema
+        rows.grouped(64).flatMap(_.map { r =>
+          WavCodec.decodeStats(r.getAs[Array[Byte]](1)) match {
+            case Some(s) => Row(r.getLong(0), s.sampleRate, s.channels,
+              s.nFrames, s.nSamples, s.sumVal, s.sumSq, s.peakAbs, s.durationUs)
+            case None => Row(r.getLong(0), null, null, null, null, null, null,
+              null, null)
+          }
+        })
+      }(enc)
+  }
+
   /** Partition-local batched decode via mapPartitions — the shape a
     * real codec integration takes (batch the payloads, call the
     * native decoder once per batch). The decoder here is the same

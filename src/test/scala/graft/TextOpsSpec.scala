@@ -152,6 +152,69 @@ class TextOpsSpec extends SparkSpec {
     assert(PngCodec.decodeStats(shrunk).isEmpty)
   }
 
+  test("WavCodec round-trips real RIFF/PCM bytes to exact integer stats") {
+    import graft.multimodal.WavCodec
+    for ((rate, ch, frames) <- Seq((8000, 1, 240), (16000, 2, 100),
+                                   (44100, 2, 1), (12000, 1, 0))) {
+      val value: Long => Int = s => ((s * 37 + 11) % 4001 - 2000).toInt
+      val blob = WavCodec.encode(rate, ch, frames, value)
+      val n = frames.toLong * ch
+      val vals = (0L until n).map(s => value(s).toLong)
+      val got = WavCodec.decodeStats(blob)
+      assert(got.contains(WavCodec.AudioStats(rate, ch, 16, frames, n,
+        vals.sum, vals.map(v => v * v).sum,
+        if (vals.isEmpty) 0 else vals.map(math.abs).max.toInt,
+        frames.toLong * 1000000L / rate)),
+        s"($rate Hz x $ch ch x $frames frames) got $got")
+    }
+    // sample clamping: out-of-range generator values store as s16 rails
+    val railed = WavCodec.decodeStats(WavCodec.encode(8000, 1, 2,
+      s => if (s == 0) 99999 else -99999)).get
+    assert(railed.peakAbs == 32768 && railed.sumVal == 32767L - 32768L)
+  }
+
+  test("WavCodec.decodeStats rejects garbage and honours RIFF layout rules") {
+    import graft.multimodal.WavCodec
+    val good = WavCodec.encode(8000, 2, 50, s => (s % 997).toInt)
+    val base = WavCodec.decodeStats(good)
+    assert(base.isDefined)
+    assert(WavCodec.decodeStats(null).isEmpty)
+    assert(WavCodec.decodeStats(Array.emptyByteArray).isEmpty)
+    assert(WavCodec.decodeStats("RIFFnot really a wav".getBytes).isEmpty)
+    // truncation inside data: chunk overruns payload -> None, no throw
+    assert(WavCodec.decodeStats(good.take(good.length - 7)).isEmpty)
+    // non-PCM audioFormat -> None (compressed WAVs need a codec)
+    val alaw = good.clone(); alaw(20) = 6
+    assert(WavCodec.decodeStats(alaw).isEmpty)
+    // ragged data (not a whole number of frames) -> None
+    val ragged = WavCodec.encode(8000, 2, 50, _ => 1).clone()
+    ragged(40) = (((ragged(40) & 0xff) - 2) & 0xff).toByte // dataLen -= 2
+    assert(WavCodec.decodeStats(ragged.take(ragged.length - 2)).isEmpty)
+    // an odd-length ancillary chunk before fmt must be skipped with
+    // its RIFF pad byte — real encoders emit LIST/fact chunks freely
+    val extra = {
+      val tag = "LIST".getBytes
+      val payload = Array[Byte](1, 2, 3) // odd length -> 1 pad byte
+      val lenLe = Array[Byte](3, 0, 0, 0)
+      good.take(12) ++ tag ++ lenLe ++ payload ++ Array[Byte](0) ++ good.drop(12)
+    }
+    assert(WavCodec.decodeStats(extra) == base)
+    // seeded fuzz: arbitrary bytes (including RIFF-prefixed garbage)
+    // must never throw or hang — a 100 TB crawl contains everything
+    val rnd = new scala.util.Random(4321)
+    for (_ <- 1 to 200) {
+      val b = new Array[Byte](rnd.nextInt(120))
+      rnd.nextBytes(b)
+      val prefixed =
+        if (b.length >= 12 && rnd.nextBoolean()) {
+          System.arraycopy("RIFF".getBytes, 0, b, 0, 4)
+          System.arraycopy("WAVE".getBytes, 0, b, 8, 4)
+          b
+        } else b
+      WavCodec.decodeStats(prefixed)
+    }
+  }
+
   test("ImageHeaders never throws on arbitrary bytes") {
     import graft.multimodal.ImageHeaders
     // a 100 TB crawl contains every possible byte garbage; the parser
