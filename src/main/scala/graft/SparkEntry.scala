@@ -879,6 +879,20 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  private def multimodalResize(t: Tables): DataFrame = {
+    // REAL image resize (r8): full PNG raster decode + nearest-
+    // neighbor resample to 4x4 (source index = floor(target*src/dst),
+    // exact integer arithmetic), aggregates of the RESIZED image out.
+    // The oracle replays the index arithmetic on the closed-form
+    // sample values with no codec: a hash match proves decode AND
+    // resample, including which source pixels survive selection.
+    val blobs = BinaryMeta.syntheticPngBlobs(t.documents.select("doc_id"), "doc_id")
+    BinaryMeta.resizePixelStats(blobs, "id", targetW = 4, targetH = 4)
+      .select(F.col("id").as("doc_id"), F.col("width"), F.col("height"),
+        F.col("channels"), F.col("n_samples"), F.col("sum_val"), F.col("sum_sq"))
+      .orderBy("doc_id")
+  }
+
   private def multimodalAudio(t: Tables): DataFrame = {
     // REAL WAV audio decode (r8): each document gets genuine RIFF/PCM
     // bytes (rate/channels/frames from doc_id, samples closed-form)
@@ -979,6 +993,7 @@ object SparkEntry {
       "events_sessionize" -> q(eventsSessionize),
       "multimodal_meta" -> q(multimodalMeta),
       "multimodal_pixels" -> q(multimodalPixels),
+      "multimodal_resize" -> q(multimodalResize),
       "multimodal_audio" -> q(multimodalAudio))
   }
 

@@ -231,6 +231,37 @@ object BinaryMeta {
       }(enc)
   }
 
+  /** REAL batched PNG resize via mapPartitions ([[PngCodec
+    * .resizeStats]]): full raster decode + nearest-neighbor resample
+    * to (targetW, targetH), emitting the resized image's exact
+    * integer aggregates — the thumbnail pass shape (decode and
+    * resize partition-local, stats out, rasters never shuffled).
+    * Undecodable payloads yield null stats.
+    */
+  def resizePixelStats(df: DataFrame, idCol: String,
+                       targetW: Int, targetH: Int): DataFrame = {
+    val out = StructType(Seq(
+      StructField("id", LongType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("channels", IntegerType),
+      StructField("n_samples", LongType),
+      StructField("sum_val", LongType),
+      StructField("sum_sq", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(out)
+    df.select(F.col(idCol).cast("long").as("id"), F.col("blob"))
+      .mapPartitions { rows =>
+        // positional access: chained mapPartitions rows carry no schema
+        rows.grouped(64).flatMap(_.map { r =>
+          PngCodec.resizeStats(r.getAs[Array[Byte]](1), targetW, targetH) match {
+            case Some(s) => Row(r.getLong(0), s.width, s.height, s.channels,
+              s.nSamples, s.sumVal, s.sumSq)
+            case None => Row(r.getLong(0), null, null, null, null, null, null)
+          }
+        })
+      }(enc)
+  }
+
   /** Deterministic real WAV payloads: frames / channels / sample rate
     * derived from the id, samples from a closed form — the audio twin
     * of [[syntheticPngBlobs]]. [[WavCodec.encode]] emits genuine

@@ -42,14 +42,13 @@ object PngCodec {
     if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
   }
 
-  /** Decode a PNG's pixels to [[PixelStats]], or None for anything
-    * unsupported (bit depth != 8, palette/alpha color types,
-    * interlaced) or malformed (bad signature/chunk layout, truncated
-    * or over-long inflate, unknown filter byte) — callers map None to
-    * an explicit null-stats row, never an exception (garbage-safe,
-    * like [[ImageHeaders.decode]]).
+  /** Chunk walk + zlib inflate to the FILTERED scanline buffer
+    * (height rows of 1 filter byte + width*channels samples), shared
+    * by the streaming-stats and raster decodes. None for anything
+    * unsupported or malformed — every guard documented on
+    * [[decodeStats]] lives here.
     */
-  def decodeStats(bytes: Array[Byte]): Option[PixelStats] = {
+  private def inflateFiltered(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = {
     if (bytes == null || bytes.length < Sig.length + 12) return None
     var i = 0
     while (i < Sig.length) { if (bytes(i) != Sig(i)) return None; i += 1 }
@@ -117,10 +116,25 @@ object PngCodec {
       if (inf.inflate(probe, 0, 1) > 0 || !inf.finished()) return None
     } catch { case _: java.util.zip.DataFormatException => return None }
     finally inf.end()
+    Some((width, height, channels, raw))
+  }
 
+  /** Decode a PNG's pixels to [[PixelStats]], or None for anything
+    * unsupported (bit depth != 8, palette/alpha color types,
+    * interlaced) or malformed (bad signature/chunk layout, truncated
+    * or over-long inflate, unknown filter byte) — callers map None to
+    * an explicit null-stats row, never an exception (garbage-safe,
+    * like [[ImageHeaders.decode]]).
+    */
+  def decodeStats(bytes: Array[Byte]): Option[PixelStats] = {
+    val (width, height, channels, raw) = inflateFiltered(bytes) match {
+      case Some(t) => t
+      case None => return None
+    }
     // reverse the per-scanline filters, accumulating exact integer
     // sums as each byte reconstructs (no second pass, no pixel buffer
     // beyond the current and previous rows)
+    val stride = width.toLong * channels
     val bpp = channels
     val w = stride.toInt
     var prev = new Array[Int](w)
@@ -155,6 +169,90 @@ object PngCodec {
       y += 1
     }
     Some(PixelStats(width, height, channels, stride * height, sum, sumSq))
+  }
+
+  /** A decoded raster: flat row-major unsigned samples (mask 0xff on
+    * read). Only materialized by [[decodePixels]]/[[resizeStats]] —
+    * the stats path above stays two-scanline streaming by design.
+    */
+  final case class Pixels(width: Int, height: Int, channels: Int,
+                          data: Array[Byte]) {
+    def sample(x: Int, y: Int, c: Int): Int =
+      data((y.toLong * width * channels + x.toLong * channels + c).toInt) & 0xff
+  }
+
+  /** Decode the full pixel raster (same support envelope and
+    * garbage-safety as [[decodeStats]]). The raster is bounded by the
+    * shared 256 MiB inflate guard — transform-layer callers
+    * (resize, feature extraction) get real samples to work on.
+    */
+  def decodePixels(bytes: Array[Byte]): Option[Pixels] = {
+    val (width, height, channels, raw) = inflateFiltered(bytes) match {
+      case Some(t) => t
+      case None => return None
+    }
+    val bpp = channels
+    val w = width * channels
+    val out = new Array[Byte](w * height)
+    var off = 0
+    var y = 0
+    while (y < height) {
+      val ft = raw(off) & 0xff; off += 1
+      if (ft > 4) return None
+      val rowBase = y * w
+      var x = 0
+      while (x < w) {
+        val f = raw(off + x) & 0xff
+        val a = if (x >= bpp) out(rowBase + x - bpp) & 0xff else 0
+        val b = if (y > 0) out(rowBase - w + x) & 0xff else 0
+        val c = if (x >= bpp && y > 0) out(rowBase - w + x - bpp) & 0xff else 0
+        val v = ft match {
+          case 0 => f
+          case 1 => (f + a) & 0xff
+          case 2 => (f + b) & 0xff
+          case 3 => (f + ((a + b) >> 1)) & 0xff
+          case 4 => (f + paeth(a, b, c)) & 0xff
+        }
+        out(rowBase + x) = v.toByte
+        x += 1
+      }
+      off += w
+      y += 1
+    }
+    Some(Pixels(width, height, channels, out))
+  }
+
+  /** REAL nearest-neighbor resize on the decoded raster (PIL NEAREST
+    * semantics: source index floor(target * src / dst) — exact integer
+    * arithmetic, works for down- and up-sampling), reduced to the
+    * exact integer aggregates of the RESIZED image. The thumbnail
+    * pass a multimodal curation pipeline runs at scale: decode,
+    * resize, emit stats — never shuffle a raster.
+    */
+  def resizeStats(bytes: Array[Byte], tw: Int, th: Int): Option[PixelStats] = {
+    require(tw > 0 && th > 0, "positive target dimensions")
+    decodePixels(bytes).map { px =>
+      var sum = 0L
+      var sumSq = 0L
+      var y = 0
+      while (y < th) {
+        val sy = (y.toLong * px.height / th).toInt
+        var x = 0
+        while (x < tw) {
+          val sx = (x.toLong * px.width / tw).toInt
+          var c = 0
+          while (c < px.channels) {
+            val v = px.sample(sx, sy, c)
+            sum += v
+            sumSq += v.toLong * v
+            c += 1
+          }
+          x += 1
+        }
+        y += 1
+      }
+      PixelStats(tw, th, px.channels, tw.toLong * th * px.channels, sum, sumSq)
+    }
   }
 
   /** Encode real PNG bytes (signature + IHDR + one zlib IDAT + IEND,

@@ -152,6 +152,30 @@ class TextOpsSpec extends SparkSpec {
     assert(PngCodec.decodeStats(shrunk).isEmpty)
   }
 
+  test("PngCodec.resizeStats: nearest-neighbor on the real decoded raster") {
+    import graft.multimodal.PngCodec
+    val value: Long => Int = s => ((s * 31 + 7) % 256).toInt
+    for ((w, h, ch, tw, th) <- Seq((8, 6, 3, 4, 3), (16, 12, 1, 4, 4),
+                                   (3, 2, 3, 7, 5), (5, 5, 1, 5, 5))) {
+      val blob = PngCodec.encode(w, h, ch, value)
+      // independent reference: sample the closed form at the
+      // nearest-neighbor source indices, no codec involved
+      val vals = for {
+        y <- 0 until th; x <- 0 until tw; c <- 0 until ch
+      } yield value(((y.toLong * h / th) * w + (x.toLong * w / tw)) * ch + c).toLong
+      val got = PngCodec.resizeStats(blob, tw, th)
+      assert(got.contains(PngCodec.PixelStats(tw, th, ch,
+        tw.toLong * th * ch, vals.sum, vals.map(v => v * v).sum)),
+        s"($w x $h x $ch -> $tw x $th) got $got")
+    }
+    // identity resize must agree exactly with the streaming stats path
+    val blob = PngCodec.encode(9, 4, 3, value)
+    assert(PngCodec.resizeStats(blob, 9, 4) == PngCodec.decodeStats(blob))
+    // same garbage contract as the other decodes
+    assert(PngCodec.resizeStats("not a png".getBytes, 4, 4).isEmpty)
+    assert(PngCodec.decodePixels(blob.take(30)).isEmpty)
+  }
+
   test("WavCodec round-trips real RIFF/PCM bytes to exact integer stats") {
     import graft.multimodal.WavCodec
     for ((rate, ch, frames) <- Seq((8000, 1, 240), (16000, 2, 100),
