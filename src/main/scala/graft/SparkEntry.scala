@@ -6,7 +6,7 @@ import graft.multimodal.BinaryMeta
 import graft.operators.AsOfJoin
 import graft.similarity.Ann
 import graft.streaming.Events
-import graft.text.TextOps
+import graft.text.{Curate, TextOps}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.{functions => F}
 
@@ -879,6 +879,13 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  private def curateChunks(t: Tables): DataFrame =
+    // RAG chunking: 32-token windows every 24 tokens (8-token overlap)
+    // — narrow, shuffle-free; the retrieval-preprocessing pass
+    Curate.chunkTokens(t.documents, "doc_id", "text",
+        chunkSize = 32, stride = 24)
+      .orderBy("doc_id", "chunk_id")
+
   private def multimodalResize(t: Tables): DataFrame = {
     // REAL image resize (r8): full PNG raster decode + nearest-
     // neighbor resample to 4x4 (source index = floor(target*src/dst),
@@ -985,6 +992,7 @@ object SparkEntry {
       "curate_pack" -> q(curatePack),
       "curate_pipeline" -> q(curatePipeline),
       "curate_mix" -> q(curateMix),
+      "curate_chunks" -> q(curateChunks),
       "curate_take" -> q(curateTake),
       "corpus_vocab" -> q(corpusVocab),
       "dedup_cross_source" -> q(dedupCrossSource),

@@ -252,6 +252,46 @@ object Curate {
       .where(F.col("__rk") <= n).drop("__rk")
   }
 
+  /** RAG-style document chunking: overlapping token windows of
+    * `chunkSize` tokens every `stride` tokens (overlap = chunkSize -
+    * stride). Chunk k of a document covers tokens [k·stride,
+    * k·stride + chunkSize); the final window may run short; documents
+    * shorter than one window yield exactly one chunk; empty documents
+    * yield none. Output: (id, chunk_id, start_tok, n_tokens,
+    * chunk_text).
+    *
+    * Scale design: a pure NARROW op — tokenize, per-row chunk-count
+    * arithmetic, sequence + explode, array slice — no shuffle
+    * anywhere, fully parallel over input splits, and the blowup
+    * factor is the user's own overlap choice. This is the
+    * embed-for-retrieval preprocessing pass: its output feeds the
+    * embedding + ANN suite.
+    */
+  def chunkTokens(df: DataFrame, idCol: String, textCol: String,
+                  chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize >= 1, "chunkSize >= 1")
+    require(stride >= 1 && stride <= chunkSize, "stride in [1, chunkSize]")
+    val n = F.size(F.col("__toks"))
+    // last chunk index: 0 when the doc fits one window, else
+    // ceil((n - chunkSize) / stride) — positive-int ceil via
+    // (n - chunkSize + stride - 1) / stride in exact arithmetic
+    val last = F.when(n <= chunkSize, F.lit(0))
+      .otherwise(F.floor((n - chunkSize + (stride - 1)).cast("long") / stride)
+        .cast("int"))
+    df.select(F.col(idCol), TextOps.tokens(F.col(textCol)).as("__toks"))
+      .where(F.size(F.col("__toks")) > 0)
+      .select(F.col(idCol), F.col("__toks"),
+        F.explode(F.sequence(F.lit(0), last)).as("chunk_id"))
+      .select(F.col(idCol),
+        F.col("chunk_id").cast("int").as("chunk_id"),
+        (F.col("chunk_id") * stride).cast("int").as("start_tok"),
+        F.slice(F.col("__toks"), F.col("chunk_id") * stride + 1,
+          F.lit(chunkSize)).as("__sl"))
+      .select(F.col(idCol), F.col("chunk_id"), F.col("start_tok"),
+        F.size(F.col("__sl")).as("n_tokens"),
+        F.array_join(F.col("__sl"), " ").as("chunk_text"))
+  }
+
   /** Deterministic sequence packing (concat-and-split accounting): the
     * corpus is laid out in stable (shard, id) order and cut into fixed
     * token-budget packs — each document's pack is the one containing

@@ -178,6 +178,35 @@ class CurateSpec extends SparkSpec {
     assert(tiny.count() == 2)
   }
 
+  test("chunkTokens: overlapping windows, short tails, empty docs dropped") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 toks, 2 chunks
+      (2L, (1 to 4).map(i => s"s$i").mkString(" ")),  // fits one window
+      (3L, (1 to 13).map(i => s"u$i").mkString(" ")), // exact last window
+      (4L, ""),                                       // empty: no chunks
+      (5L, "solo")).toDF("doc_id", "text")
+    val got = Curate.chunkTokens(docs, "doc_id", "text",
+        chunkSize = 7, stride = 6)
+      .orderBy("doc_id", "chunk_id")
+      .as[(Long, Int, Int, Int, String)].collect()
+    assert(got.map(_._1).toSet == Set(1L, 2L, 3L, 5L), "empty doc yields none")
+    // doc 1: [t1..t7] then [t7..t10] (1-token overlap, short tail)
+    val d1 = got.filter(_._1 == 1L)
+    assert(d1.map(r => (r._2, r._3, r._4)).toSeq == Seq((0, 0, 7), (1, 6, 4)))
+    assert(d1(0)._5 == (1 to 7).map(i => s"t$i").mkString(" "))
+    assert(d1(1)._5 == (7 to 10).map(i => s"t$i").mkString(" "))
+    // doc 3: 13 toks = 7 + stride 6 exactly -> chunks at 0 and 6, full
+    assert(got.filter(_._1 == 3L).map(r => (r._2, r._4)).toSeq ==
+      Seq((0, 7), (1, 7)))
+    // single-word and sub-window docs give exactly one chunk
+    assert(got.filter(_._1 == 2L).map(_._4).toSeq == Seq(4))
+    assert(got.filter(_._1 == 5L).map(_._5).toSeq == Seq("solo"))
+    // narrow plan: no exchange anywhere in the chunking itself
+    val plan = Curate.chunkTokens(docs, "doc_id", "text", 7, 6)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunking must not shuffle:\n$plan")
+  }
+
   test("packSequences: exclusive-cumsum packing, straddlers to start pack") {
     // one shard (nShards = 1): token counts 3, 2, 4 in id order with
     // budget 5 -> start offsets 0, 3, 5 -> packs 0, 0, 1; doc 2 (start
