@@ -879,6 +879,18 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  private def curateSplit(t: Tables): DataFrame =
+    // leakage-free train/val/test: split assigned per near-dup CLUSTER
+    // (connected components over the shared exact-Jaccard pair
+    // pipeline), so near-duplicates never straddle splits — the
+    // eval-contamination guard a naive per-doc random split lacks
+    Curate.leakageFreeSplit(t.documents, "doc_id", jaccardPairsWired(t),
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
+        releaseInput = true)
+      .select(F.col("doc_id"), F.col("group_id").cast("long").as("group_id"),
+        F.col("split"))
+      .orderBy("doc_id")
+
   private def curateChunks(t: Tables): DataFrame =
     // RAG chunking: 32-token windows every 24 tokens (8-token overlap)
     // — narrow, shuffle-free; the retrieval-preprocessing pass
@@ -993,6 +1005,7 @@ object SparkEntry {
       "curate_pipeline" -> q(curatePipeline),
       "curate_mix" -> q(curateMix),
       "curate_chunks" -> q(curateChunks),
+      "curate_split" -> q(curateSplit),
       "curate_take" -> q(curateTake),
       "corpus_vocab" -> q(corpusVocab),
       "dedup_cross_source" -> q(dedupCrossSource),

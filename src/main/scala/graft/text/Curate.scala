@@ -252,6 +252,43 @@ object Curate {
       .where(F.col("__rk") <= n).drop("__rk")
   }
 
+  /** Leakage-free train/val/test split: every document is assigned a
+    * split by hashing its near-dup CLUSTER representative (connected
+    * components over `pairs`; unpaired documents represent
+    * themselves), so near-duplicates can never straddle a split — the
+    * eval-contamination failure mode of naive per-document random
+    * splits. `splits` are (name, weight) with weights summing to 1;
+    * assignment cuts the deterministic [[sampleKey]] of the group id
+    * at the cumulative weights, so membership is a pure function of
+    * the ids — stable across engines, runs, and partitionings.
+    *
+    * Scale design: the component map is pair-table-sized (tiny
+    * relative to the corpus — only documents with a near-dup edge
+    * appear), so the join broadcasts; document payloads never move;
+    * the assignment itself is a per-row expression. Output: the input
+    * plus (group_id, split).
+    */
+  def leakageFreeSplit(df: DataFrame, idCol: String, pairs: DataFrame,
+                       splits: Seq[(String, Double)],
+                       salt: Long = 0L,
+                       releaseInput: Boolean = false): DataFrame = {
+    require(splits.nonEmpty, "at least one split")
+    require(splits.forall(_._2 > 0), "positive weights")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9, "weights sum to 1")
+    val comp = graft.dedup.Dedup.components(pairs, releaseInput = releaseInput)
+      .withColumnRenamed("id", idCol)
+    val key = sampleKey(F.col("group_id"), salt)
+    val cuts = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+    val assign = splits.init.zip(cuts.init).foldLeft(Option.empty[Column]) {
+      case (acc, ((name, _), cut)) =>
+        Some(acc.fold(F.when(key < cut, name))(_.when(key < cut, name)))
+    }.fold(F.lit(splits.last._1))(_.otherwise(splits.last._1))
+    df.join(comp, Seq(idCol), "left")
+      .withColumn("group_id", F.coalesce(F.col("component"), F.col(idCol)))
+      .drop("component")
+      .withColumn("split", assign)
+  }
+
   /** RAG-style document chunking: overlapping token windows of
     * `chunkSize` tokens every `stride` tokens (overlap = chunkSize -
     * stride). Chunk k of a document covers tokens [k·stride,

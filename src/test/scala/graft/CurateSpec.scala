@@ -178,6 +178,33 @@ class CurateSpec extends SparkSpec {
     assert(tiny.count() == 2)
   }
 
+  test("leakageFreeSplit: clusters stay whole; unpaired docs self-assign") {
+    val df = spark.range(2000).toDF("id")
+    // chain 10<->11<->12 plus pair 100<->200 (cross-"split" ids)
+    val pairs = Seq((10L, 11L), (11L, 12L), (100L, 200L)).toDF("id1", "id2")
+    val got = Curate.leakageFreeSplit(df, "id", pairs,
+      Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+      .as[(Long, Long, String)].collect()
+    val byId = got.map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got.length == 2000, "every document assigned")
+    // every cluster member carries the min-id group and ONE split
+    assert(Seq(10L, 11L, 12L).map(byId(_)._1).distinct == Seq(10L))
+    assert(Seq(10L, 11L, 12L).map(byId(_)._2).distinct.length == 1)
+    assert(byId(100L) == byId(200L))
+    // unpaired docs represent themselves
+    assert(byId(42L)._1 == 42L)
+    // split proportions track the weights (deterministic hash, so
+    // exact counts are stable — just bound them loosely here)
+    val counts = got.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(counts("train") > 1600 && counts("val") > 40 && counts("test") > 40,
+      s"proportions off: $counts")
+    // deterministic across invocations
+    val again = Curate.leakageFreeSplit(df, "id", pairs,
+      Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+      .as[(Long, Long, String)].collect()
+    assert(got.sortBy(_._1).sameElements(again.sortBy(_._1)))
+  }
+
   test("chunkTokens: overlapping windows, short tails, empty docs dropped") {
     val docs = Seq(
       (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 toks, 2 chunks
