@@ -879,6 +879,30 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  private def curateGopher(t: Tables): DataFrame = {
+    // the corpus text is single-line, so the line-repetition rules
+    // would be vacuous on it; reshape each document into 2-token
+    // lines first (deterministic, replayed by the oracle) so the
+    // line-dedup measures act on genuine line structure
+    val toks = TextOps.tokens(F.col("text"))
+    val nLines = F.ceil(F.size(toks).cast("double") / 2).cast("int")
+    val lined = F.when(F.size(toks) === 0, F.lit(""))
+      .otherwise(F.array_join(
+        F.transform(F.sequence(F.lit(0), nLines - 1),
+          i => F.array_join(F.slice(toks, i * 2 + 1, F.lit(2)), " ")), "\n"))
+    val reshaped = t.documents.select(F.col("doc_id"), lined.as("text"))
+    // thresholds tightened below the Rae'21 defaults (the API's
+    // defaults): this synthetic corpus is far cleaner than web crawl
+    // (max dup_line_frac 0.13, max top-2gram 0.17), so the published
+    // numbers would pass everything and the verdict chain would go
+    // unexercised by the parity gate
+    Curate.gopherProfile(reshaped, "doc_id", "text",
+        maxDupLineFrac = 0.05, maxDupLineCharFrac = 0.06,
+        maxTop2GramShare = 0.10, maxTop3GramShare = 0.09,
+        meanWordLen = (3.8, 10.0), minAlphaRatio = 0.80)
+      .orderBy("doc_id")
+  }
+
   private def curateSplit(t: Tables): DataFrame =
     // leakage-free train/val/test: split assigned per near-dup CLUSTER
     // (connected components over the shared exact-Jaccard pair
@@ -1006,6 +1030,7 @@ object SparkEntry {
       "curate_mix" -> q(curateMix),
       "curate_chunks" -> q(curateChunks),
       "curate_split" -> q(curateSplit),
+      "curate_gopher" -> q(curateGopher),
       "curate_take" -> q(curateTake),
       "corpus_vocab" -> q(corpusVocab),
       "dedup_cross_source" -> q(dedupCrossSource),

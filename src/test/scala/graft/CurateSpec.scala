@@ -178,6 +178,50 @@ class CurateSpec extends SparkSpec {
     assert(tiny.count() == 2)
   }
 
+  test("gopherProfile: hand-computed repetition measures and verdicts") {
+    val docs = Seq(
+      // 5 lines, "same line" twice: dup_line_frac exactly 0.2 (at the
+      // threshold, not over), dup chars 9/62, top-2gram 2/12 — passes
+      (1L, "same line\nother wordy words\nsame line\nmore here also now\nand extra"),
+      // degenerate bigram repetition on one line -> top_2gram = 1.0
+      (2L, "ab ab ab ab ab"),
+      // numeric tokens, mean length inside the window -> alpha floor
+      (3L, "123 456 789 1011 1213 1415 1617 1819"),
+      // 11 distinct very long words: every earlier rule passes, mean
+      // word length blows the [3, 10] window
+      (4L, "extraordinarily incomprehensibilities floccinaucinihilipilification" +
+        " antidisestablishmentarianism hippopotomonstrosesquippedaliophobia" +
+        " pseudopseudohypoparathyroidism supercalifragilisticexpialidocious" +
+        " pneumonoultramicroscopicsilicovolcanoconiosis electroencephalographically" +
+        " otorhinolaryngological uncharacteristically"),
+      (5L, "")).toDF("doc_id", "text")
+    val got = Curate.gopherProfile(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val byId = got.map(r => r.getLong(0) -> r).toMap
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val d1 = byId(1L)
+    assert(d1.getAs[Int]("n_lines") == 5)
+    assert(d1.getAs[Double]("dup_line_frac") == 0.2)
+    assert(d1.getAs[Double]("dup_line_char_frac") == r6(9.0 / 62.0))
+    assert(d1.getAs[Double]("top_2gram_share") == r6(2.0 / 12.0))
+    assert(d1.getAs[Boolean]("keep"), s"doc1 should pass: $d1")
+    val d2 = byId(2L)
+    assert(d2.getAs[Double]("top_2gram_share") == 1.0)
+    assert(d2.getAs[String]("reason") == "top_2gram", s"got $d2")
+    assert(byId(3L).getAs[String]("reason") == "non_alpha",
+      s"got ${byId(3L)}")
+    assert(byId(4L).getAs[String]("reason") == "word_length",
+      s"got ${byId(4L)}")
+    // empty text: one empty line, zero tokens -> mean length 0 fails
+    // the word-length window (never keep-able garbage)
+    assert(!byId(5L).getAs[Boolean]("keep"))
+    // narrow: profiling itself must not shuffle
+    val plan = Curate.gopherProfile(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"gopherProfile must not shuffle:\n$plan")
+  }
+
   test("leakageFreeSplit: clusters stay whole; unpaired docs self-assign") {
     val df = spark.range(2000).toDF("id")
     // chain 10<->11<->12 plus pair 100<->200 (cross-"split" ids)
