@@ -645,6 +645,7 @@ object SparkEntry {
   //    (its 25% probe budget holds 0.6+ even on near-random data).
   private val AnnLshRecallFloor = 0.6
   private val AnnIvfRecallFloor = 0.5
+  private val AnnPqRecallFloor = 0.5
 
   private def annRecallQ(t: Tables, floor: Double, strongSim: Option[Double],
                          project: DataFrame => DataFrame,
@@ -673,6 +674,26 @@ object SparkEntry {
       approx = (q, c) =>
         Ann.ivfTopK(q, "vec_id", "embedding", c, "vec_id", "embedding",
           k = 5, nCells = 16, nProbe = 4))
+
+  private def annPq(t: Tables): DataFrame =
+    // product-quantization ANN: 8 subspaces x 16 codes over the 64-dim
+    // embeddings (32x smaller scan payload than raw vectors), ADC-
+    // style approximate scan over reconstructions, exact re-rank of
+    // the top rerank*k candidates (an ABSOLUTE budget — the scanned
+    // fraction shrinks as the corpus grows); same arithmetic twin as
+    // ann_lsh/ann_ivf. rerank=12 covers this weakly-clustered
+    // corpus's ADC noise (recall gated by ann_pq_recall)
+    Ann.pqTopK(
+      t.embeddings.where(F.col("vec_id") < 10), "vec_id", "embedding",
+      t.embeddings, "vec_id", "embedding", k = 5, m = 8, ksub = 16,
+      rerank = 12)
+      .orderBy("query_id", "rank")
+
+  private def annPqRecall(t: Tables): DataFrame =
+    annRecallQ(t, AnnPqRecallFloor, strongSim = None, project = identity,
+      approx = (q, c) =>
+        Ann.pqTopK(q, "vec_id", "embedding", c, "vec_id", "embedding",
+          k = 5, m = 8, ksub = 16, rerank = 12))
 
   private def textStats(t: Tables): DataFrame =
     // via the staged profile: each counting kernel runs once per row
@@ -1012,6 +1033,8 @@ object SparkEntry {
       "ann_ivf" -> q(annIvf),
       "ann_ivf_index" -> q(annIvfIndex),
       "ann_ivf_recall" -> q(annIvfRecall),
+      "ann_pq" -> q(annPq),
+      "ann_pq_recall" -> q(annPqRecall),
       "text_stats" -> q(textStats),
       "lang_id" -> q(langId),
       "token_count" -> q(tokenCount),

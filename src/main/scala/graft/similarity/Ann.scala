@@ -252,12 +252,11 @@ object Ann {
     probeAndRank(corpusCells, queries, qId, qVec, cents, k, nProbe)
   }
 
-  /** Lloyd-trained coarse-quantizer centroids over (neighbor_id, cv). */
-  private def trainCentroids(c: DataFrame, nCells: Int, iters: Int,
-                             maxTrain: Int,
-                             rowCountHint: Option[Long] = None): Seq[Seq[Double]] = {
-    import graft.functions.HashExprs.topCells
-    // Lloyd training runs on a BOUNDED sample, never the full corpus:
+  /** Bounded deterministic training sample over (neighbor_id, cv),
+    * shared by the IVF coarse quantizer and the PQ codebooks —
+    * returned PERSISTED and materialized; the caller unpersists.
+    *
+    * Lloyd training runs on a BOUNDED sample, never the full corpus:
     // at 100 TB, caching the corpus and re-scanning it per iteration is
     // 1 + iters full passes; k-means centroid quality needs only a
     // representative sample (standard practice — e.g. faiss trains IVF
@@ -286,6 +285,9 @@ object Ann {
     // size-derived estimates otherwise), and a real count() only as the
     // last resort — that extra pass was a doubled training-stage read
     // at the 100 TB design point.
+    */
+  private def boundedTrainSample(c: DataFrame, maxTrain: Int,
+                                 rowCountHint: Option[Long]): DataFrame = {
     val n = rowCountHint.getOrElse {
       val plan = c.queryExecution.optimizedPlan
       plan.stats.rowCount.map(_.longValue).getOrElse {
@@ -313,6 +315,15 @@ object Ann {
       .repartition(math.max(1, maxTrain / 25000))
       .persist()
     trainSet.count()
+    trainSet
+  }
+
+  /** Lloyd-trained coarse-quantizer centroids over (neighbor_id, cv). */
+  private def trainCentroids(c: DataFrame, nCells: Int, iters: Int,
+                             maxTrain: Int,
+                             rowCountHint: Option[Long] = None): Seq[Seq[Double]] = {
+    import graft.functions.HashExprs.topCells
+    val trainSet = boundedTrainSample(c, maxTrain, rowCountHint)
 
     // deterministic init: the nCells lowest-id training vectors
     var cents: Seq[Seq[Double]] = trainSet.orderBy("neighbor_id").limit(nCells)
@@ -409,6 +420,139 @@ object Ann {
     val index = spark.read.parquet(s"$path/index")
       .where(F.col("cell").isin(probed: _*))
     probeAndRank(index, queries, qId, qVec, cents, k, nProbe)
+  }
+
+  /** Train per-subspace product-quantization codebooks (Jégou,
+    * Douze & Schmid, "Product quantization for nearest neighbor
+    * search", IEEE PAMI 2011): the dim-d vector splits into m
+    * contiguous subspaces of d/m dims; each gets its own
+    * ksub-centroid Lloyd codebook. ONE bounded deterministic sample
+    * (shared machinery with the IVF quantizer) is exploded into
+    * (sub, subvector) rows, and every subspace trains
+    * SIMULTANEOUSLY — the per-iteration aggregation groups by
+    * (sub, cell, pos), so adding subspaces adds no passes.
+    * Assignment maximizes cosine-to-centroid (the file's metric
+    * everywhere); means use decimal accumulation for
+    * partitioning-determinism. Returns (subDim, codebooks[m][<=ksub]).
+    */
+  private def trainPqCodebooks(c: DataFrame, m: Int, ksub: Int,
+                               iters: Int, maxTrain: Int,
+                               rowCountHint: Option[Long])
+      : (Int, IndexedSeq[IndexedSeq[Seq[Double]]]) = {
+    import graft.functions.HashExprs.topCells
+    val sample = boundedTrainSample(c, maxTrain, rowCountHint)
+    val dim = sample.select(F.size(F.col("cv")).as("d")).limit(1)
+      .collect().headOption.map(_.getInt(0)).getOrElse(0)
+    require(dim > 0, "PQ training needs a non-empty corpus")
+    require(dim % m == 0, s"vector dim $dim must be divisible by m=$m")
+    val subDim = dim / m
+    val subs = sample
+      .select(F.col("neighbor_id"),
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).as("sub"), F.col("cv"))
+      .select(F.col("neighbor_id"), F.col("sub"),
+        F.slice(F.col("cv"), F.col("sub") * subDim + 1, F.lit(subDim)).as("sv"))
+      .persist()
+    subs.count()
+    sample.unpersist()
+
+    // deterministic init: per subspace, the ksub lowest-id subvectors
+    val init = subs
+      .withColumn("__rk", F.row_number().over(
+        Window.partitionBy("sub").orderBy("neighbor_id")))
+      .where(F.col("__rk") <= ksub)
+      .select(F.col("sub"), F.col("__rk"),
+        F.transform(F.col("sv"), x => x.cast("double")).as("v"))
+      .collect()
+      .groupBy(_.getInt(0))
+      .map { case (sub, rows) =>
+        sub -> rows.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toSeq).toIndexedSeq
+      }
+    var cbs: IndexedSeq[IndexedSeq[Seq[Double]]] =
+      (0 until m).map(j => init.getOrElse(j, IndexedSeq.empty))
+
+    for (_ <- 1 to iters) {
+      // per-sub assignment: a when-chain dispatching to each
+      // subspace's centroid matrix (m literal matrices in the plan —
+      // m * ksub * subDim doubles, driver-small by construction)
+      val assign = (0 until m).foldLeft(Option.empty[Column]) { (acc, j) =>
+        val a = F.element_at(topCells(F.col("sv"), cbs(j), 1), 1)
+        Some(acc.fold(F.when(F.col("sub") === j, a))(_.when(F.col("sub") === j, a)))
+      }.get
+      val means = subs.select(F.col("sub"), assign.as("cell"), F.col("sv"))
+        .select(F.col("sub"), F.col("cell"),
+          F.posexplode(F.col("sv")).as(Seq("pos", "x")))
+        .groupBy("sub", "cell", "pos")
+        .agg(F.avg(F.col("x").cast("decimal(28,10)")).cast("double").as("mv"))
+        .groupBy("sub", "cell")
+        .agg(F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("mv")))).as("pm"))
+        .select(F.col("sub"), F.col("cell"),
+          F.transform(F.col("pm"), p => p.getField("mv")).as("mean"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toSeq).toMap
+      cbs = cbs.zipWithIndex.map { case (cb, j) =>
+        cb.indices.map(ci => means.getOrElse((j, ci), cb(ci))).toIndexedSeq
+      }
+    }
+    subs.unpersist()
+    (subDim, cbs)
+  }
+
+  /** Product-quantization ANN: encode each corpus vector as m small
+    * codes (nearest sub-centroid per subspace), score queries against
+    * the RECONSTRUCTED vectors (codes decoded through the codebook —
+    * cosine(q, recon) telescopes into the per-subspace ADC sum
+    * Σ_j dot(q_j, cent_j[code_j]) over centroid norms), keep the
+    * top rerank·k candidates per query, and re-rank exactly from the
+    * original vectors. Output matches [[cosineTopK]].
+    *
+    * Scale story: the scoring scan touches m · ksub · subDim-double
+    * codebooks (plan literals) and per-row codes — in an index
+    * deployment the persisted code table is ~dim·4/m bytes per vector
+    * smaller than the raw embeddings (32x at the wired 8-sub/64-dim
+    * shape), which is the IO and memory bound of a 100 TB ANN scan;
+    * full vectors are read only for the rerank·k candidate semi-join.
+    * Queries broadcast; the corpus never shuffles. Guard recall with
+    * [[recallPerQuery]] — the ann_pq_recall gate does.
+    */
+  def pqTopK(queries: DataFrame, qId: String, qVec: String,
+             corpus: DataFrame, cId: String, cVec: String,
+             k: Int, m: Int = 8, ksub: Int = 16, rerank: Int = 4,
+             iters: Int = 3, maxTrain: Int = 100000,
+             rowCountHint: Option[Long] = None): DataFrame = {
+    import graft.functions.HashExprs.topCells
+    require(m >= 1 && ksub >= 1 && rerank >= 1, "positive PQ parameters")
+    val c = corpus.select(F.col(cId).as("neighbor_id"), F.col(cVec).as("cv"))
+    val (subDim, cbs) = trainPqCodebooks(c, m, ksub, iters, maxTrain, rowCountHint)
+    // encode: nearest sub-centroid per subspace — the codes an index
+    // build would persist; two-step select keeps them attributes so
+    // the reconstruction below reads, not recomputes, them
+    val codeCols = (0 until m).map { j =>
+      F.element_at(topCells(
+        F.slice(F.col("cv"), j * subDim + 1, subDim), cbs(j), 1), 1).as(s"__c$j")
+    }
+    val encoded = c.select(F.col("neighbor_id") +: codeCols: _*)
+    val recon = F.flatten(F.array((0 until m).map { j =>
+      F.element_at(F.typedlit(cbs(j).map(_.toSeq).toSeq), F.col(s"__c$j") + 1)
+    }: _*))
+    val compact = encoded.select(F.col("neighbor_id"), recon.as("recon"))
+    val q = queries.select(F.col(qId).as("query_id"), F.col(qVec).as("qv"))
+    val approx = compact.crossJoin(F.broadcast(q))
+      .where(F.col("query_id") =!= F.col("neighbor_id"))
+      .withColumn("asim", cosine(F.col("qv"), F.col("recon")))
+    val wa = Window.partitionBy("query_id")
+      .orderBy(F.col("asim").desc, F.col("neighbor_id").asc)
+    val cands = approx.withColumn("__rk", F.row_number().over(wa))
+      .where(F.col("__rk") <= k.toLong * rerank)
+      .select("query_id", "neighbor_id")
+    // exact re-rank: only the candidate rows' full vectors are read
+    val scored = cands.join(c, "neighbor_id").join(F.broadcast(q), "query_id")
+      .withColumn("sim", cosine(F.col("qv"), F.col("cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(F.col("sim").desc, F.col("neighbor_id").asc)
+    scored.withColumn("rank", F.row_number().over(w).cast("long"))
+      .where(F.col("rank") <= k)
+      .select(F.col("query_id"), F.col("neighbor_id"), F.col("rank"),
+        F.round(F.col("sim"), 6).as("similarity"))
   }
 
   /** Per-query recall of an approximate top-k result against an exact

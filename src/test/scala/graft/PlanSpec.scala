@@ -103,7 +103,11 @@ class PlanSpec extends SparkSpec {
     // the standard match crosses per-COLUMN counts with the
     // vocabulary's per-ATTRIBUTE counts (both column-count-bounded)
     "match_schema_coma", "match_schema_standard",
-    "text_lm_score", "ann_topk", "ann_lsh_recall", "ann_ivf_recall")
+    "text_lm_score", "ann_topk", "ann_lsh_recall", "ann_ivf_recall",
+    // PQ's ADC scan crossJoins the BROADCAST query batch against the
+    // compact (id, reconstruction) table — query-side bounded like
+    // ann_topk; the recall gate adds the exact-truth baseline on top
+    "ann_pq", "ann_pq_recall")
 
   test("no wired query plans a CartesianProduct; BNLJ only on bounded-broadcast baselines") {
     val withBnlj = scala.collection.mutable.Set[String]()

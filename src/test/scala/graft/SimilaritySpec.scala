@@ -136,6 +136,64 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"recall $recall below 0.9")
   }
 
+  test("pqTopK: rerank covering the corpus equals brute force exactly") {
+    val q = corpus.where($"vec_id" < 5)
+    val brute = Ann.cosineTopK(q, "vec_id", "embedding",
+      corpus, "vec_id", "embedding", k = 3)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    // rerank * k >= corpus size: every row survives the ADC cut, so
+    // the exact re-rank IS brute force — proves encode/reconstruct/
+    // rerank plumbing loses nothing
+    val pq = Ann.pqTopK(q, "vec_id", "embedding",
+      corpus, "vec_id", "embedding", k = 3, m = 4, ksub = 8, rerank = 100,
+      iters = 2)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(pq == brute)
+  }
+
+  test("pqTopK: bounded rerank budget keeps high recall on clustered data") {
+    // rerank = 10 -> 50 ADC candidates out of 200: within a tight
+    // cluster the reconstruction distortion dominates the tiny true
+    // sim differences (classic PQ behavior), so the budget must cover
+    // the cluster; cross-cluster confusion is what PQ excludes
+    val q = corpus.where($"vec_id" < 20)
+    val brute = Ann.cosineTopK(q, "vec_id", "embedding",
+      corpus, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val pq = Ann.pqTopK(q, "vec_id", "embedding",
+      corpus, "vec_id", "embedding", k = 5, m = 4, ksub = 16, rerank = 10,
+      iters = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = pq.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.9, s"recall $recall below 0.9")
+    // returned similarities are EXACT (re-ranked from the original
+    // vectors), so each returned pair's sim matches brute force where
+    // the pair appears in both
+    val bsim = Ann.cosineTopK(q, "vec_id", "embedding",
+      corpus, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id", "similarity")
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val psim = Ann.pqTopK(q, "vec_id", "embedding",
+      corpus, "vec_id", "embedding", k = 5, m = 4, ksub = 16, rerank = 10,
+      iters = 3)
+      .select("query_id", "neighbor_id", "similarity")
+      .as[(Long, Long, Double)].collect()
+    psim.foreach { case (qid, nid, s) =>
+      bsim.get((qid, nid)).foreach(b => assert(b == s, s"sim drift ($qid,$nid)"))
+    }
+  }
+
+  test("pqTopK is deterministic across input partitionings") {
+    val q = corpus.where($"vec_id" < 5)
+    def run(c: org.apache.spark.sql.DataFrame) =
+      Ann.pqTopK(q, "vec_id", "embedding", c, "vec_id", "embedding",
+        k = 3, m = 4, ksub = 8, rerank = 4, iters = 2)
+        .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._3))
+    assert(run(corpus).sameElements(run(corpus.repartition(13))),
+      "codebooks and codes must be partitioning-invariant")
+  }
+
   test("persisted IVF index: pruned query equals inline ivfTopK; scan prunes cells") {
     val dir = java.nio.file.Files.createTempDirectory("ivf").toString
     Ann.ivfBuild(corpus, "vec_id", "embedding", dir, nCells = 8, iters = 2)
