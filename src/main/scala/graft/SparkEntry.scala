@@ -689,6 +689,22 @@ object SparkEntry {
       rerank = 12)
       .orderBy("query_id", "rank")
 
+  private def annPqIndex(t: Tables): DataFrame = {
+    // the PERSISTED-index variant of ann_pq: pqBuild writes the
+    // 32x-compressed codes table + codebooks; pqQueryIndex's ADC scan
+    // reads ONLY that compact table, with full vectors touched solely
+    // by the candidate re-rank semi-join. Deterministic training ->
+    // identical parameters MUST reproduce ann_pq row-for-row, so the
+    // oracle is ann_pq's own dumped output (the ann_ivf_index trick)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_pq_index_" +
+      java.lang.Integer.toHexString(t.dir.hashCode)
+    Ann.pqBuild(t.embeddings, "vec_id", "embedding", path, m = 8, ksub = 16)
+    Ann.pqQueryIndex(t.spark, path,
+      t.embeddings.where(F.col("vec_id") < 10), "vec_id", "embedding",
+      t.embeddings, "vec_id", "embedding", k = 5, rerank = 12)
+      .orderBy("query_id", "rank")
+  }
+
   private def annPqRecall(t: Tables): DataFrame =
     annRecallQ(t, AnnPqRecallFloor, strongSim = None, project = identity,
       approx = (q, c) =>
@@ -1034,6 +1050,7 @@ object SparkEntry {
       "ann_ivf_index" -> q(annIvfIndex),
       "ann_ivf_recall" -> q(annIvfRecall),
       "ann_pq" -> q(annPq),
+      "ann_pq_index" -> q(annPqIndex),
       "ann_pq_recall" -> q(annPqRecall),
       "text_stats" -> q(textStats),
       "lang_id" -> q(langId),

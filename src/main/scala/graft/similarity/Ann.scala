@@ -519,22 +519,45 @@ object Ann {
              k: Int, m: Int = 8, ksub: Int = 16, rerank: Int = 4,
              iters: Int = 3, maxTrain: Int = 100000,
              rowCountHint: Option[Long] = None): DataFrame = {
-    import graft.functions.HashExprs.topCells
     require(m >= 1 && ksub >= 1 && rerank >= 1, "positive PQ parameters")
     val c = corpus.select(F.col(cId).as("neighbor_id"), F.col(cVec).as("cv"))
     val (subDim, cbs) = trainPqCodebooks(c, m, ksub, iters, maxTrain, rowCountHint)
-    // encode: nearest sub-centroid per subspace — the codes an index
-    // build would persist; two-step select keeps them attributes so
-    // the reconstruction below reads, not recomputes, them
-    val codeCols = (0 until m).map { j =>
+    pqScanAndRank(pqEncode(c, subDim, cbs), cbs, queries, qId, qVec, c, k, rerank)
+  }
+
+  /** Encode (neighbor_id, cv) to PQ codes: nearest sub-centroid per
+    * subspace — the compact column an index build persists (m small
+    * ints per vector vs dim floats).
+    */
+  private def pqEncode(c: DataFrame, subDim: Int,
+                       cbs: IndexedSeq[IndexedSeq[Seq[Double]]]): DataFrame = {
+    import graft.functions.HashExprs.topCells
+    val codeCols = cbs.indices.map { j =>
       F.element_at(topCells(
         F.slice(F.col("cv"), j * subDim + 1, subDim), cbs(j), 1), 1).as(s"__c$j")
     }
     val encoded = c.select(F.col("neighbor_id") +: codeCols: _*)
-    val recon = F.flatten(F.array((0 until m).map { j =>
-      F.element_at(F.typedlit(cbs(j).map(_.toSeq).toSeq), F.col(s"__c$j") + 1)
+    encoded.select(F.col("neighbor_id"),
+      F.array(cbs.indices.map(j => F.col(s"__c$j")): _*).as("codes"))
+  }
+
+  /** ADC-style scan + exact re-rank shared by the inline and
+    * persisted-index PQ paths: decode codes through the codebook
+    * literals into reconstructions, score the broadcast query batch
+    * against them, keep rerank·k candidates per query, re-rank those
+    * exactly from the full corpus vectors (candidate semi-join — the
+    * raw embeddings are read only for candidates).
+    */
+  private def pqScanAndRank(codesDf: DataFrame,
+                            cbs: IndexedSeq[IndexedSeq[Seq[Double]]],
+                            queries: DataFrame, qId: String, qVec: String,
+                            corpusVecs: DataFrame, k: Int,
+                            rerank: Int): DataFrame = {
+    val recon = F.flatten(F.array(cbs.indices.map { j =>
+      F.element_at(F.typedlit(cbs(j).map(_.toSeq).toSeq),
+        F.element_at(F.col("codes"), j + 1) + 1)
     }: _*))
-    val compact = encoded.select(F.col("neighbor_id"), recon.as("recon"))
+    val compact = codesDf.select(F.col("neighbor_id"), recon.as("recon"))
     val q = queries.select(F.col(qId).as("query_id"), F.col(qVec).as("qv"))
     val approx = compact.crossJoin(F.broadcast(q))
       .where(F.col("query_id") =!= F.col("neighbor_id"))
@@ -545,7 +568,8 @@ object Ann {
       .where(F.col("__rk") <= k.toLong * rerank)
       .select("query_id", "neighbor_id")
     // exact re-rank: only the candidate rows' full vectors are read
-    val scored = cands.join(c, "neighbor_id").join(F.broadcast(q), "query_id")
+    val scored = cands.join(corpusVecs, "neighbor_id")
+      .join(F.broadcast(q), "query_id")
       .withColumn("sim", cosine(F.col("qv"), F.col("cv")))
     val w = Window.partitionBy("query_id")
       .orderBy(F.col("sim").desc, F.col("neighbor_id").asc)
@@ -553,6 +577,57 @@ object Ann {
       .where(F.col("rank") <= k)
       .select(F.col("query_id"), F.col("neighbor_id"), F.col("rank"),
         F.round(F.col("sim"), 6).as("similarity"))
+  }
+
+  /** Build a PERSISTED PQ index: train the codebooks, encode the
+    * corpus, write `$path/codebooks` ((sub, cell, mean) rows + the
+    * subDim implied by mean length) and `$path/codes`
+    * ((neighbor_id, codes)) — the 32x-compressed table a 100 TB ANN
+    * deployment scans instead of raw embeddings. Training is
+    * deterministic (bounded id-hash sample, decimal means), so a
+    * rebuild with identical parameters reproduces the index exactly.
+    */
+  def pqBuild(corpus: DataFrame, cId: String, cVec: String, path: String,
+              m: Int = 8, ksub: Int = 16, iters: Int = 3,
+              maxTrain: Int = 100000,
+              rowCountHint: Option[Long] = None): Unit = {
+    val c = corpus.select(F.col(cId).as("neighbor_id"), F.col(cVec).as("cv"))
+    val (subDim, cbs) = trainPqCodebooks(c, m, ksub, iters, maxTrain, rowCountHint)
+    val spark = corpus.sparkSession
+    val cbRows = for {
+      (cb, sub) <- cbs.zipWithIndex
+      (mean, cell) <- cb.zipWithIndex
+    } yield org.apache.spark.sql.Row(sub, cell, mean)
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(cbRows.asJava, StructType(Seq(
+        StructField("sub", IntegerType, nullable = false),
+        StructField("cell", IntegerType, nullable = false),
+        StructField("mean", ArrayType(DoubleType, containsNull = false)))))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    pqEncode(c, subDim, cbs)
+      .write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  /** Query a persisted PQ index built by [[pqBuild]]: the ADC scan
+    * reads ONLY the compact codes table (+ the driver-small codebook);
+    * `corpus` supplies full vectors solely for the candidate re-rank
+    * semi-join. Identical parameters reproduce [[pqTopK]] exactly.
+    */
+  def pqQueryIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                   queries: DataFrame, qId: String, qVec: String,
+                   corpus: DataFrame, cId: String, cVec: String,
+                   k: Int, rerank: Int = 4): DataFrame = {
+    val cbs: IndexedSeq[IndexedSeq[Seq[Double]]] =
+      spark.read.parquet(s"$path/codebooks")
+        .orderBy("sub", "cell").collect()
+        .groupBy(_.getInt(0)).toIndexedSeq.sortBy(_._1)
+        .map { case (_, rows) =>
+          rows.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toSeq).toIndexedSeq
+        }
+    val codes = spark.read.parquet(s"$path/codes")
+    val c = corpus.select(F.col(cId).as("neighbor_id"), F.col(cVec).as("cv"))
+    pqScanAndRank(codes, cbs, queries, qId, qVec, c, k, rerank)
   }
 
   /** Per-query recall of an approximate top-k result against an exact

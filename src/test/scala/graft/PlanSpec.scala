@@ -107,7 +107,7 @@ class PlanSpec extends SparkSpec {
     // PQ's ADC scan crossJoins the BROADCAST query batch against the
     // compact (id, reconstruction) table — query-side bounded like
     // ann_topk; the recall gate adds the exact-truth baseline on top
-    "ann_pq", "ann_pq_recall")
+    "ann_pq", "ann_pq_index", "ann_pq_recall")
 
   test("no wired query plans a CartesianProduct; BNLJ only on bounded-broadcast baselines") {
     val withBnlj = scala.collection.mutable.Set[String]()

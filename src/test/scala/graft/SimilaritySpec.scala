@@ -194,6 +194,25 @@ class SimilaritySpec extends SparkSpec {
       "codebooks and codes must be partitioning-invariant")
   }
 
+  test("persisted PQ index: query equals inline pqTopK; scan reads codes only") {
+    val dir = java.nio.file.Files.createTempDirectory("pq").toString
+    Ann.pqBuild(corpus, "vec_id", "embedding", dir, m = 4, ksub = 8, iters = 2)
+    val q = corpus.where($"vec_id" < 5)
+    val inline = Ann.pqTopK(q, "vec_id", "embedding",
+      corpus, "vec_id", "embedding", k = 3, m = 4, ksub = 8, rerank = 4,
+      iters = 2)
+      .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._3))
+    val idx = Ann.pqQueryIndex(spark, dir, q, "vec_id", "embedding",
+      corpus, "vec_id", "embedding", k = 3, rerank = 4)
+      .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._3))
+    assert(idx.sameElements(inline),
+      "deterministic training: the persisted path must reproduce inline PQ")
+    // the codes table is the compact artifact: m small ints per vector
+    val codes = spark.read.parquet(s"$dir/codes")
+    assert(codes.columns.toSet == Set("neighbor_id", "codes"))
+    assert(codes.select(F.max(F.size($"codes"))).head().getInt(0) == 4)
+  }
+
   test("persisted IVF index: pruned query equals inline ivfTopK; scan prunes cells") {
     val dir = java.nio.file.Files.createTempDirectory("ivf").toString
     Ann.ivfBuild(corpus, "vec_id", "embedding", dir, nCells = 8, iters = 2)
