@@ -304,6 +304,53 @@ object SparkEntry {
       .agg(F.count(F.lit(1)).as("n_orders"))
       .orderBy("o_orderpriority")
 
+  private def q10(t: Tables): DataFrame =
+    // TPC-H Q10 spirit: top-20 customers by returned-item revenue in a
+    // half-year window — fact-fact equi-join + dim joins, exact
+    // decimal revenue, global top-k with a total (revenue, custkey)
+    // tie-break
+    t.lineitem.where(F.col("l_returnflag") === "R")
+      .join(t.orders.where(F.col("o_orderdate") >= ts("1996-01-01") &&
+          F.col("o_orderdate") < ts("1996-07-01")),
+        F.col("l_orderkey") === F.col("o_orderkey"))
+      .join(t.customer, F.col("o_custkey") === F.col("c_custkey"))
+      .join(F.broadcast(t.nation), F.col("c_nationkey") === F.col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "n_name")
+      .agg(F.sum(decEp() * oneMinusDisc).cast("double").as("revenue"))
+      .orderBy(F.col("revenue").desc, F.col("c_custkey").asc)
+      .limit(20)
+
+  private def q12(t: Tables): DataFrame =
+    // TPC-H Q12 spirit (shipmode column absent from this schema:
+    // grouped by returnflag instead): per group, how many lines
+    // belong to URGENT/HIGH-priority orders vs the rest — the
+    // conditional-aggregation shape over a fact-fact join
+    t.lineitem
+      .where(F.col("l_shipdate") >= ts("1996-01-01") &&
+        F.col("l_shipdate") < ts("1997-01-01"))
+      .join(t.orders, F.col("l_orderkey") === F.col("o_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(
+        F.sum(F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        F.sum(F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+          .otherwise(1L)).as("low_line_count"))
+      .orderBy("l_returnflag")
+
+  private def q14(t: Tables): DataFrame =
+    // TPC-H Q14 spirit: promo revenue share for one month — the
+    // ratio-of-conditional-sums shape; both sums aggregate exactly in
+    // decimal, the ratio rounds once at the end
+    t.lineitem
+      .where(F.col("l_shipdate") >= ts("1996-03-01") &&
+        F.col("l_shipdate") < ts("1996-04-01"))
+      .join(F.broadcast(t.part), F.col("l_partkey") === F.col("p_partkey"))
+      .agg(F.round(
+        F.lit(100.0) *
+          F.sum(F.when(F.col("p_type") === "PROMO", decEp() * oneMinusDisc)
+            .otherwise(F.lit(0).cast("decimal(12,2)"))).cast("double") /
+          F.sum(decEp() * oneMinusDisc).cast("double"), 6).as("promo_revenue"))
+
   private def q22(t: Tables): DataFrame =
     // TPC-H Q22 spirit: dormant customers — no orders on/after the
     // cutoff — via NOT EXISTS/anti join; the order side reduces to the
@@ -1021,6 +1068,9 @@ object SparkEntry {
       "q6_filter" -> q(q6),
       "q7_volume" -> q(q7),
       "q4_late_orders" -> q(q4),
+      "q10_returns" -> q(q10),
+      "q12_priority" -> q(q12),
+      "q14_promo" -> q(q14),
       "q18_bigorders" -> q(q18),
       "q22_dormant" -> q(q22),
       "window_topn" -> q(windowTopn),
