@@ -1036,6 +1036,19 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  private def multimodalAudioSeg(t: Tables): DataFrame = {
+    // REAL audio frame-sampling (r8): each WAV clip explodes into
+    // 32-frame segment rows with exact integer aggregates — the
+    // explode shape of video frame-sampling, fully real for audio.
+    // The oracle replays the windowing arithmetic over the closed-form
+    // samples codec-free.
+    val blobs = BinaryMeta.syntheticWavBlobs(t.documents.select("doc_id"), "doc_id")
+    BinaryMeta.decodeAudioSegments(blobs, "id", windowFrames = 32)
+      .select(F.col("id").as("doc_id"), F.col("segment"), F.col("start_frame"),
+        F.col("n_frames"), F.col("sum_val"), F.col("peak_abs"))
+      .orderBy("doc_id", "segment")
+  }
+
   // ---------------------------------------------------------------- wiring
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -1130,7 +1143,8 @@ object SparkEntry {
       "multimodal_meta" -> q(multimodalMeta),
       "multimodal_pixels" -> q(multimodalPixels),
       "multimodal_resize" -> q(multimodalResize),
-      "multimodal_audio" -> q(multimodalAudio))
+      "multimodal_audio" -> q(multimodalAudio),
+      "multimodal_audio_seg" -> q(multimodalAudioSeg))
   }
 
   /** DuckDB-runnable ANSI SQL twin for every SQL-expressible query. */

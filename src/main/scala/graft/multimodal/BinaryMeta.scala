@@ -318,6 +318,36 @@ object BinaryMeta {
       }(enc)
   }
 
+  /** REAL audio frame-sampling via mapPartitions + flatMap
+    * ([[WavCodec.decodeSegments]]): each clip explodes into fixed
+    * frame-window rows with per-segment aggregates — the explode
+    * shape video frame-sampling takes, fully real for audio (PCM
+    * needs no codec). Undecodable payloads yield zero rows (their
+    * absence is the signal; the per-clip null-stats row lives in
+    * [[decodeAudioStats]]).
+    */
+  def decodeAudioSegments(df: DataFrame, idCol: String,
+                          windowFrames: Int): DataFrame = {
+    val out = StructType(Seq(
+      StructField("id", LongType),
+      StructField("segment", IntegerType),
+      StructField("start_frame", LongType),
+      StructField("n_frames", LongType),
+      StructField("sum_val", LongType),
+      StructField("peak_abs", IntegerType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(out)
+    df.select(F.col(idCol).cast("long").as("id"), F.col("blob"))
+      .mapPartitions { rows =>
+        rows.grouped(64).flatMap(_.flatMap { r =>
+          val id = r.getLong(0)
+          WavCodec.decodeSegments(r.getAs[Array[Byte]](1), windowFrames)
+            .getOrElse(Seq.empty)
+            .map(s => Row(id, s.segment, s.startFrame, s.nFrames,
+              s.sumVal, s.peakAbs))
+        })
+      }(enc)
+  }
+
   /** Partition-local batched decode via mapPartitions — the shape a
     * real codec integration takes (batch the payloads, call the
     * native decoder once per batch). The decoder here is the same

@@ -104,6 +104,56 @@ object WavCodec {
       sum, sumSq, peak, nFrames * 1000000L / sampleRate))
   }
 
+  /** Per-segment aggregates over fixed frame windows — the
+    * frame-sample shape for audio: segment s covers frames
+    * [s·window, min((s+1)·window, nFrames)); the tail may run short.
+    * Sample values follow the [[decodeStats]] conventions. Returns
+    * None exactly when [[decodeStats]] would.
+    */
+  final case class SegmentStats(segment: Int, startFrame: Long,
+                                nFrames: Long, sumVal: Long, peakAbs: Int)
+
+  def decodeSegments(bytes: Array[Byte], windowFrames: Int): Option[Seq[SegmentStats]] = {
+    require(windowFrames >= 1, "windowFrames >= 1")
+    // reparse the container via decodeStats' walk by reusing it for
+    // validation, then segment-scan the data chunk directly
+    val stats = decodeStats(bytes) match {
+      case Some(s) => s
+      case None => return None
+    }
+    // locate the data chunk again (decodeStats validated the layout)
+    var pos = 12
+    var dataOff = -1
+    while (pos + 8 <= bytes.length) {
+      val len = le32(bytes, pos + 4)
+      if (ascii(bytes, pos, "data")) dataOff = pos + 8
+      pos += 8 + len.toInt + (len.toInt & 1)
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[SegmentStats]
+    var seg = 0
+    var f = 0L
+    while (f < stats.nFrames) {
+      val end = math.min(f + windowFrames, stats.nFrames)
+      var sum = 0L
+      var peak = 0
+      var i = f * stats.channels
+      val iEnd = end * stats.channels
+      while (i < iEnd) {
+        val v =
+          if (stats.bitsPerSample == 16) le16s(bytes, dataOff + (i * 2).toInt)
+          else (bytes(dataOff + i.toInt) & 0xff) - 128
+        sum += v
+        val a = if (v < 0) -v else v
+        if (a > peak) peak = a
+        i += 1
+      }
+      out += SegmentStats(seg, f, end - f, sum, peak)
+      seg += 1
+      f = end
+    }
+    Some(out.toSeq)
+  }
+
   /** Encode real 16-bit PCM WAV bytes (RIFF + fmt + data) with flat
     * interleaved sample s valued `value(s)` (clamped to s16).
     * Frames × channels samples; standard 44-byte header any player

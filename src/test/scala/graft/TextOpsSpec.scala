@@ -197,6 +197,24 @@ class TextOpsSpec extends SparkSpec {
     assert(railed.peakAbs == 32768 && railed.sumVal == 32767L - 32768L)
   }
 
+  test("WavCodec.decodeSegments: fixed windows, short tail, garbage-safe") {
+    import graft.multimodal.WavCodec
+    val value: Long => Int = s => ((s * 13 + 5) % 3001 - 1500).toInt
+    val blob = WavCodec.encode(8000, 2, 70, value) // 70 frames, 2 ch
+    val segs = WavCodec.decodeSegments(blob, windowFrames = 32).get
+    assert(segs.map(s => (s.segment, s.startFrame, s.nFrames)) ==
+      Seq((0, 0L, 32L), (1, 32L, 32L), (2, 64L, 6L)))
+    // window sums/peaks recompute from the closed form; they also sum
+    // to the whole-clip aggregate
+    val whole = WavCodec.decodeStats(blob).get
+    assert(segs.map(_.sumVal).sum == whole.sumVal)
+    assert(segs.map(_.peakAbs).max == whole.peakAbs)
+    val s1 = (32L * 2 until 64L * 2).map(i => value(i).toLong)
+    assert(segs(1).sumVal == s1.sum && segs(1).peakAbs == s1.map(math.abs).max)
+    assert(WavCodec.decodeSegments("garbage".getBytes, 32).isEmpty)
+    assert(WavCodec.decodeSegments(blob.take(50), 32).isEmpty)
+  }
+
   test("WavCodec.decodeStats rejects garbage and honours RIFF layout rules") {
     import graft.multimodal.WavCodec
     val good = WavCodec.encode(8000, 2, 50, s => (s % 997).toInt)
