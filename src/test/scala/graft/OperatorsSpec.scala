@@ -232,6 +232,37 @@ class OperatorsSpec extends SparkSpec {
     assert(got == batch && got == Set(1L, 4L), s"stream $got != batch $batch")
   }
 
+  test("streaming chunking: the narrow chunk op equals its batch twin") {
+    // chunkTokens is a pure narrow transformation (tokenize, sequence
+    // explode, slice) — it composes onto a stream unchanged, the
+    // ingest-time chunking pass of a RAG indexing pipeline; no
+    // watermark, no state store
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.text.Curate
+    implicit val sq = spark.sqlContext
+    val docs = Seq(
+      (1L, (1 to 19).map(i => s"w$i").mkString(" ")),
+      (2L, "short doc"),
+      (3L, ""))
+    def chunks(df: org.apache.spark.sql.DataFrame) =
+      Curate.chunkTokens(df, "doc_id", "text", chunkSize = 8, stride = 6)
+    val batch = chunks(docs.toDF("doc_id", "text"))
+      .as[(Long, Int, Int, Int, String)].collect().toSet
+    val stream = MemoryStream[(Long, String)]
+    val q = chunks(stream.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("stream_chunks")
+      .outputMode("append").start()
+    try {
+      stream.addData(docs.take(1): _*)
+      stream.addData(docs.drop(1): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("stream_chunks")
+      .as[(Long, Int, Int, Int, String)].collect().toSet
+    assert(got == batch, s"stream $got != batch $batch")
+    assert(batch.count(_._1 == 1L) == 3 && batch.count(_._1 == 2L) == 1)
+  }
+
   test("streaming dedup drops repeated content within the watermark") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq = spark.sqlContext

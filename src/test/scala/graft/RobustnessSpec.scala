@@ -2,6 +2,7 @@ package graft
 
 import graft.dedup.Dedup
 import graft.functions.HashExprs
+import graft.similarity.Ann
 import graft.text.TextOps
 import org.apache.spark.sql.{functions => F}
 import scala.util.Random
@@ -147,6 +148,45 @@ class RobustnessSpec extends SparkSpec {
     val n = 6L * 6 * 3
     val expSum = (0L until n).map(s => (s * 31 + 5) % 256).sum
     assert(out.head._5.contains(n) && out.head._6.contains(expSum))
+  }
+
+  test("round-8 second-half ops: degenerate inputs flow cleanly") {
+    import graft.multimodal.BinaryMeta
+    import graft.text.Curate
+    // audio plumbing: junk / null / empty blobs -> null stats (per-
+    // clip path) and zero rows (segment explode path), never a crash
+    val junk = Seq((1L, "not riff".getBytes),
+      (2L, null.asInstanceOf[Array[Byte]]),
+      (3L, Array.empty[Byte])).toDF("doc_id", "blob")
+    val astats = BinaryMeta.decodeAudioStats(junk, "doc_id").collect()
+    assert(astats.length == 3 && astats.forall(_.isNullAt(1)))
+    assert(BinaryMeta.decodeAudioSegments(junk, "doc_id", 32).count() == 0)
+    // resize on junk: null-stats rows
+    val rstats = BinaryMeta.resizePixelStats(junk, "doc_id", 4, 4).collect()
+    assert(rstats.length == 3 && rstats.forall(_.isNullAt(1)))
+    // chunking: empty frame and all-empty texts produce no chunks
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Curate.chunkTokens(noDocs, "doc_id", "text", 8, 4).count() == 0)
+    val blank = Seq((1L, ""), (2L, "   "), (3L, "...")).toDF("doc_id", "text")
+    assert(Curate.chunkTokens(blank, "doc_id", "text", 8, 4).count() == 0)
+    // gopher profile: nulls coalesce through the tokenizer contract
+    val gp = Curate.gopherProfile(
+      Seq((1L, null.asInstanceOf[String]), (2L, "")).toDF("doc_id", "text"),
+      "doc_id", "text").collect()
+    assert(gp.length == 2, "null text must not drop or crash rows")
+    // leakage-free split with NO pairs: every doc self-represents
+    val solo = Curate.leakageFreeSplit(
+      spark.range(50).toDF("id"),
+      "id", Seq.empty[(Long, Long)].toDF("id1", "id2"),
+      Seq("train" -> 0.9, "val" -> 0.1))
+      .select("id", "group_id").as[(Long, Long)].collect()
+    assert(solo.length == 50 && solo.forall(r => r._1 == r._2))
+    // PQ on a batch of zero queries: empty result, no failure
+    val emb = (0 until 40).map(i =>
+      (i.toLong, Seq.fill(8)(((i * 7 + 3) % 17).toFloat))).toDF("vec_id", "embedding")
+    assert(Ann.pqTopK(emb.where(F.lit(false)), "vec_id", "embedding",
+      emb, "vec_id", "embedding", k = 3, m = 2, ksub = 4, iters = 1)
+      .count() == 0)
   }
 
   test("property: winnowMins equals brute force on random arrays (seeded)") {
