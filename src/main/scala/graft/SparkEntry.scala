@@ -1049,6 +1049,23 @@ object SparkEntry {
       .orderBy("doc_id", "segment")
   }
 
+  private def textScrubPii(t: Tables): DataFrame = {
+    // the corpus has no natural phones/IPs, so each doc gets a
+    // deterministic PII suffix derived from doc_id (replayed by the
+    // twin) — the gate then proves the masking chain actually fires
+    // on every row, not that nothing matched
+    val pii = F.format_string(
+      " call 2%02d-555-%04d or visit 10.0.%d.%d for help",
+      F.pmod(F.col("doc_id"), F.lit(100)),
+      F.pmod(F.col("doc_id") * 7, F.lit(10000)),
+      F.pmod(F.col("doc_id"), F.lit(256)),
+      F.pmod(F.col("doc_id") * 3, F.lit(256)))
+    t.documents
+      .select(F.col("doc_id"),
+        TextOps.scrubPii(F.concat(F.col("text"), pii)).as("clean_text"))
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------- wiring
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -1121,6 +1138,7 @@ object SparkEntry {
       "doc_fingerprint" -> q(docFingerprint),
       "text_entropy" -> q(textEntropy),
       "text_scrub" -> q(textScrub),
+      "text_scrub_pii" -> q(textScrubPii),
       "doc_profile" -> q(docProfileQ),
       "curate_sample" -> q(curateSample),
       "curate_shards" -> q(curateShards),

@@ -103,6 +103,21 @@ object TextOps {
     F.regexp_replace(F.regexp_replace(text, email, "<EMAIL>"), url, "<URL>")
   }
 
+  /** Full PII masking pass: [[scrub]]'s email/URL rules plus NANP-ish
+    * phone numbers (ddd-ddd-dddd with -/./space separators) and
+    * dotted-quad IPv4 literals — the redaction breadth a training
+    * corpus gets before release. The four patterns match disjoint
+    * shapes, but the application order (email, url, ip, phone) is
+    * still pinned so the output is deterministic and the DuckDB twin
+    * can replay the exact same chain; all patterns are RE2-safe.
+    */
+  def scrubPii(text: Column): Column = {
+    val phone = "\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b"
+    val ip = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+    F.regexp_replace(F.regexp_replace(scrub(text), ip, "<IP>"),
+      phone, "<PHONE>")
+  }
+
   /** Repetition signal (Gopher-style quality heuristic): the most
     * frequent token's share of all tokens. High values flag boilerplate
     * / degenerate repetition. 0.0 for empty docs, null arrays coalesce

@@ -31,6 +31,27 @@ class PlanSpec extends SparkSpec {
     assert(broadcasts >= 4, s"expected >=4 broadcast joins at this SF, got $broadcasts")
   }
 
+  test("r8 queries: broadcast dims, narrow chunking, codes-only PQ scan") {
+    // q10: every dim join broadcasts, the fact side never sort-merges
+    val q10 = planOf("q10_returns")
+    assert("BroadcastHashJoin".r.findAllIn(q10).length >= 3 &&
+      !q10.contains("SortMergeJoin"), s"q10 joins regressed")
+    // curate_split: the pair-sized component map joins broadcast —
+    // document payloads must never shuffle for a split assignment
+    val split = planOf("curate_split")
+    assert(split.contains("BroadcastHashJoin"), "split map join not broadcast")
+    assert(!split.contains("SortMergeJoin"),
+      "split must not shuffle the corpus against the tiny component map")
+    // curate_chunks/gopher: one exchange TOTAL, and only for the
+    // driver contract's ORDER BY — the operators themselves are narrow
+    for (name <- Seq("curate_chunks", "curate_gopher", "multimodal_audio",
+        "multimodal_audio_seg", "multimodal_resize")) {
+      val p = planOf(name)
+      assert("Exchange".r.findAllIn(p).length <= 1,
+        s"$name grew a shuffle beyond the output sort:\n$p")
+    }
+  }
+
   test("asof join: one exchange feeds the window (union-merge, no per-key blowup)") {
     val p = planOf("asof_join")
     assert(p.contains("Window"), "window operator missing")

@@ -53,6 +53,10 @@ class TextOpsSpec extends SparkSpec {
     val scrubbed = Seq("mail me at jane.doe+x@example.org or see https://ex.org/a?b=1 now")
       .toDF("t").select(TextOps.scrub($"t").as("s")).as[String].head()
     assert(scrubbed == "mail me at <EMAIL> or see <URL> now")
+    val pii = Seq("ring 555-123-4567 or 555.123.4567, ssh 192.168.001.1; v2.1.3 stays")
+      .toDF("t").select(TextOps.scrubPii($"t").as("s")).as[String].head()
+    assert(pii == "ring <PHONE> or <PHONE>, ssh <IP>; v2.1.3 stays",
+      s"got: $pii")
     val shares = Seq("spam spam spam spam unique", "all words here differ", "")
       .toDF("t").select(TextOps.tokens($"t").as("toks"))
       .select(TextOps.topTokenShare($"toks").as("r")).as[Double].collect()
