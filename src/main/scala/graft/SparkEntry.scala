@@ -1066,6 +1066,16 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  private def eventsFunnel(t: Tables): DataFrame =
+    // conversion funnel view -> click -> purchase with a 48-hour step
+    // gap (this corpus's inter-event gaps are hours-to-days: the
+    // median first-view->click gap is ~32 h, so 48 h splits users
+    // into a genuine completion distribution instead of stalling
+    // everyone at stage 1); per-user stage timestamps + depth
+    Events.funnel(t.events, Seq("view", "click", "purchase"),
+        maxGapMinutes = 48 * 60)
+      .orderBy("user_id")
+
   // ---------------------------------------------------------------- wiring
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -1156,6 +1166,7 @@ object SparkEntry {
       "corpus_vocab" -> q(corpusVocab),
       "dedup_cross_source" -> q(dedupCrossSource),
       "events_json" -> q(eventsJson),
+      "events_funnel" -> q(eventsFunnel),
       "events_window_agg" -> q(eventsWindowAgg),
       "events_sessionize" -> q(eventsSessionize),
       "multimodal_meta" -> q(multimodalMeta),

@@ -183,6 +183,42 @@ object Events {
         dim.select((key +: dimCols).map(F.col): _*)),
       Seq(key), "left")
 
+  /** Ordered-step funnel: per user, the EARLIEST greedy completion of
+    * `steps` — stage i+1 is the first event of its type strictly
+    * after stage i's timestamp and within `maxGapMinutes` of it.
+    * Output: (user_id, t1_us .. tk_us nullable, steps_completed) for
+    * every user who completed stage 1.
+    *
+    * Scale shape: one (user, type, ts) projection (persisted across
+    * stages so the event payload is read once), then per stage a
+    * filtered aggregation joined back on user_id — k-1 hash
+    * shuffles of per-user MINIMA, never of raw events. The classic
+    * conversion-analysis operator; k is small by definition.
+    */
+  def funnel(events: DataFrame, steps: Seq[String],
+             maxGapMinutes: Int = 30): DataFrame = {
+    require(steps.size >= 2, "a funnel needs at least two steps")
+    val gapUs = maxGapMinutes * 60L * 1000 * 1000
+    val e = events.select(F.col("user_id"), F.col("event_type"),
+      usOf(F.col("ts")).as("us")).persist()
+    val s1 = e.where(F.col("event_type") === steps.head)
+      .groupBy("user_id").agg(F.min("us").as("t1_us"))
+    val full = steps.zipWithIndex.drop(1).foldLeft(s1) {
+      case (acc, (step, i)) =>
+        val prev = s"t${i}_us"
+        val cur = s"t${i + 1}_us"
+        val next = e.where(F.col("event_type") === step)
+          .join(acc.select(F.col("user_id"), F.col(prev).as("__p")), "user_id")
+          .where(F.col("us") > F.col("__p") && F.col("us") <= F.col("__p") + gapUs)
+          .groupBy("user_id").agg(F.min("us").as(cur))
+        acc.join(next, Seq("user_id"), "left")
+    }
+    val completed = steps.indices.drop(1).map(i =>
+      F.when(F.col(s"t${i + 1}_us").isNotNull, 1).otherwise(0))
+      .foldLeft(F.lit(1))(_ + _)
+    full.withColumn("steps_completed", completed.cast("int"))
+  }
+
   def streamingWindowAgg(stream: DataFrame, watermark: String = "2 hours"): DataFrame =
     stream
       .withWatermark("ts", watermark)

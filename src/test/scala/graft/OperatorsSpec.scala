@@ -232,6 +232,31 @@ class OperatorsSpec extends SparkSpec {
     assert(got == batch && got == Set(1L, 4L), s"stream $got != batch $batch")
   }
 
+  test("funnel: greedy earliest completion, gap cutoffs, order sensitivity") {
+    def ev(u: Long, t: Long, typ: String) =
+      (u * 1000 + t, new java.sql.Timestamp(t * 60000L), u, typ)
+    val events = Seq(
+      // user 1 completes all three in order within the gap
+      ev(1, 0, "view"), ev(1, 10, "click"), ev(1, 20, "purchase"),
+      // user 2: click BEFORE the first view never counts; the later
+      // click is past the 30-min gap -> depth 1
+      ev(2, 0, "click"), ev(2, 5, "view"), ev(2, 40, "click"),
+      // user 3: click in gap, purchase too late after it -> depth 2
+      ev(3, 0, "view"), ev(3, 29, "click"), ev(3, 65, "purchase"),
+      // user 4: no view at all -> absent from the funnel
+      ev(4, 0, "click"), ev(4, 1, "purchase"),
+      // user 5: GREEDY earliest click (t=5) is binding even though
+      // the later click (t=25) would let the purchase (t=50) land
+      ev(5, 0, "view"), ev(5, 5, "click"), ev(5, 25, "click"),
+      ev(5, 50, "purchase"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = Events.funnel(events, Seq("view", "click", "purchase"),
+        maxGapMinutes = 30)
+      .orderBy("user_id")
+      .select("user_id", "steps_completed").as[(Long, Int)].collect()
+    assert(got.toSeq == Seq((1L, 3), (2L, 1), (3L, 2), (5L, 2)), got.toSeq)
+  }
+
   test("streaming chunking: the narrow chunk op equals its batch twin") {
     // chunkTokens is a pure narrow transformation (tokenize, sequence
     // explode, slice) — it composes onto a stream unchanged, the
