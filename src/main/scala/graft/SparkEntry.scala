@@ -1076,6 +1076,14 @@ object SparkEntry {
         maxGapMinutes = 48 * 60)
       .orderBy("user_id")
 
+  private def eventsRetention(t: Tables): DataFrame =
+    // DAILY cohort retention matrix, offsets 0..30 (this corpus's
+    // first events spread over 3 days and users are active ~23 of 35
+    // days — daily cohorts give a genuine multi-cohort matrix where
+    // weekly collapse to one full cohort)
+    Events.retention(t.events, periodDays = 1, maxPeriods = 30)
+      .orderBy("cohort_period_us", "period_offset")
+
   // ---------------------------------------------------------------- wiring
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -1167,6 +1175,7 @@ object SparkEntry {
       "dedup_cross_source" -> q(dedupCrossSource),
       "events_json" -> q(eventsJson),
       "events_funnel" -> q(eventsFunnel),
+      "events_retention" -> q(eventsRetention),
       "events_window_agg" -> q(eventsWindowAgg),
       "events_sessionize" -> q(eventsSessionize),
       "multimodal_meta" -> q(multimodalMeta),

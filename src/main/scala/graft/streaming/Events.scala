@@ -219,6 +219,37 @@ object Events {
     full.withColumn("steps_completed", completed.cast("int"))
   }
 
+  /** Cohort retention: users are cohorted by the period (day/week —
+    * `periodDays`) of their FIRST event; for each (cohort period,
+    * period offset) the count of cohort members active in that later
+    * period. The classic retention matrix. Output:
+    * (cohort_period_us, period_offset, n_users).
+    *
+    * Scale shape: one per-user min aggregation (shuffle of (user, ts)
+    * pairs), then the event stream reduced to DISTINCT
+    * (user, period) before joining the per-user cohort — the join and
+    * final count move at most users × active-periods rows, never raw
+    * events.
+    */
+  def retention(events: DataFrame, periodDays: Int = 7,
+                maxPeriods: Int = 8): DataFrame = {
+    require(periodDays >= 1 && maxPeriods >= 1, "positive period/horizon")
+    val periodUs = periodDays * 24L * 3600 * 1000 * 1000
+    def periodOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      c - F.pmod(c, F.lit(periodUs))
+    val e = events.select(F.col("user_id"), usOf(F.col("ts")).as("us"))
+    val cohort = e.groupBy("user_id")
+      .agg(periodOf(F.min("us")).as("cohort_period_us"))
+    val active = e.select(F.col("user_id"), periodOf(F.col("us")).as("period_us"))
+      .distinct()
+    active.join(cohort, "user_id")
+      .withColumn("period_offset",
+        ((F.col("period_us") - F.col("cohort_period_us")) / periodUs).cast("int"))
+      .where(F.col("period_offset").between(0, maxPeriods))
+      .groupBy("cohort_period_us", "period_offset")
+      .agg(F.count(F.lit(1)).as("n_users"))
+  }
+
   def streamingWindowAgg(stream: DataFrame, watermark: String = "2 hours"): DataFrame =
     stream
       .withWatermark("ts", watermark)

@@ -257,6 +257,28 @@ class OperatorsSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 3), (2L, 1), (3L, 2), (5L, 2)), got.toSeq)
   }
 
+  test("retention: cohort by first-event period, offsets counted once") {
+    val day = 24L * 3600 * 1000
+    def ev(u: Long, d: Long, i: Long) =
+      (u * 100 + i, new java.sql.Timestamp(d * day + i * 60000), u, "view")
+    val events = Seq(
+      // user 1: cohort day 0, active days 0, 1, 3 (two events day 1
+      // must count once)
+      ev(1, 0, 1), ev(1, 1, 2), ev(1, 1, 3), ev(1, 3, 4),
+      // user 2: cohort day 1, active days 1, 2
+      ev(2, 1, 1), ev(2, 2, 2),
+      // user 3: cohort day 0, active day 0 only
+      ev(3, 0, 1))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = Events.retention(events, periodDays = 1, maxPeriods = 8)
+      .orderBy("cohort_period_us", "period_offset")
+      .select("period_offset", "n_users")
+      .as[(Int, Long)].collect().toSeq
+    // day-0 cohort: offsets 0 (u1+u3), 1 (u1), 3 (u1);
+    // day-1 cohort: offsets 0 (u2), 1 (u2)
+    assert(got == Seq((0, 2L), (1, 1L), (3, 1L), (0, 1L), (1, 1L)), got)
+  }
+
   test("streaming chunking: the narrow chunk op equals its batch twin") {
     // chunkTokens is a pure narrow transformation (tokenize, sequence
     // explode, slice) — it composes onto a stream unchanged, the
