@@ -362,6 +362,148 @@ object SparkEntry {
       .select("c_custkey", "c_name", "c_acctbal")
       .orderBy("c_custkey")
 
+  private def q8(t: Tables): DataFrame = {
+    // TPC-H Q8 spirit: national market share — of all revenue flowing
+    // to ASIA-market customers over two years, the fraction supplied by
+    // NATION_3, per order year: the per-group conditional-sum-ratio
+    // shape. The customer side reduces to a key column before the semi
+    // join; the supplier→nation dim is broadcast.
+    val asiaCust = t.region.where(F.col("r_name") === "ASIA")
+      .join(t.nation, F.col("r_regionkey") === F.col("n_regionkey"))
+      .join(t.customer, F.col("n_nationkey") === F.col("c_nationkey"))
+      .select("c_custkey")
+    val suppNation = t.supplier
+      .join(F.broadcast(t.nation.select(F.col("n_nationkey").as("sn_nk"),
+        F.col("n_name").as("supp_nation"))),
+        F.col("s_nationkey") === F.col("sn_nk"))
+      .select("s_suppkey", "supp_nation")
+    t.orders
+      .where(F.col("o_orderdate") >= ts("1996-01-01") && F.col("o_orderdate") < ts("1998-01-01"))
+      .join(asiaCust, F.col("o_custkey") === F.col("c_custkey"), "left_semi")
+      .join(t.lineitem, F.col("o_orderkey") === F.col("l_orderkey"))
+      .join(suppNation, F.col("l_suppkey") === F.col("s_suppkey"))
+      .groupBy(F.year(F.col("o_orderdate")).as("o_year"))
+      .agg(F.round(
+        F.sum(F.when(F.col("supp_nation") === "NATION_3", decEp() * oneMinusDisc)
+          .otherwise(F.lit(0).cast("decimal(12,2)"))).cast("double") /
+          F.sum(decEp() * oneMinusDisc).cast("double"), 6).as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  private def q13(t: Tables): DataFrame =
+    // TPC-H Q13 spirit: order-count distribution per customer INCLUDING
+    // zero-order customers — the left-outer-join + two-level-aggregation
+    // shape (count(col) skips the outer join's nulls, so empty customers
+    // land in the c_count=0 bucket instead of vanishing)
+    t.customer
+      .join(t.orders.where(F.col("o_orderpriority") =!= "1-URGENT"),
+        F.col("c_custkey") === F.col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(F.count(F.col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(F.count(F.lit(1)).as("custdist"))
+      .orderBy(F.col("custdist").desc, F.col("c_count").desc)
+
+  private def q15(t: Tables): DataFrame = {
+    // TPC-H Q15 spirit: the top supplier(s) by quarterly revenue — agg
+    // then a global-max scalar joined back. The max side is a 1-row
+    // aggregate so the equality join broadcasts; revenue stays decimal
+    // through the comparison (exact tie semantics), double only at
+    // output. The revenue subtree is computed twice (once under the
+    // max) — both sides are the same partial-agg pipeline over one scan
+    // each, no collect.
+    val rev = t.lineitem
+      .where(F.col("l_shipdate") >= ts("1996-01-01") && F.col("l_shipdate") < ts("1996-04-01"))
+      .groupBy(F.col("l_suppkey"))
+      .agg(F.sum(decEp() * oneMinusDisc).as("total_rev"))
+    val top = rev.agg(F.max("total_rev").as("mx"))
+    rev.join(F.broadcast(top), F.col("total_rev") === F.col("mx"))
+      .join(t.supplier, F.col("l_suppkey") === F.col("s_suppkey"))
+      .select(F.col("s_suppkey"), F.col("s_name"),
+        F.col("total_rev").cast("double").as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  private def q16(t: Tables): DataFrame =
+    // TPC-H Q16 spirit: how many distinct suppliers stock each
+    // (brand, size) of mid-size parts, excluding flagged suppliers —
+    // the NOT-IN → anti-join + count-distinct shape. The exclusion set
+    // reduces to its key column before the anti join; part is the
+    // broadcast dim.
+    t.lineitem
+      .join(F.broadcast(t.part.where(F.col("p_size").between(10, 20))),
+        F.col("l_partkey") === F.col("p_partkey"))
+      .join(t.supplier.where(F.col("s_acctbal") < 0).select("s_suppkey"),
+        F.col("l_suppkey") === F.col("s_suppkey"), "left_anti")
+      .groupBy("p_brand", "p_size")
+      .agg(F.countDistinct("l_suppkey").as("supplier_cnt"))
+      .orderBy(F.col("supplier_cnt").desc, F.col("p_brand").asc, F.col("p_size").asc)
+
+  private def q17(t: Tables): DataFrame = {
+    // TPC-H Q17 spirit: revenue locked in small-quantity outlier lines
+    // — the correlated per-key scalar (avg quantity per part) joined
+    // back as a threshold. The avg comparison is cross-multiplied into
+    // exact decimal (qty * 5 * n < sum(qty), i.e. qty < 0.2 * avg) so
+    // neither engine divides: no float-rounding divergence at the
+    // boundary, and the per-part aggregate shuffles only (key, sum, n).
+    val perPart = t.lineitem.groupBy(F.col("l_partkey").as("ap_partkey"))
+      .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).as("qty_sum"),
+        F.count(F.lit(1)).cast("decimal(10,0)").as("qty_n"))
+    t.lineitem
+      .join(F.broadcast(t.part.where(F.col("p_brand") === "Brand#7")),
+        F.col("l_partkey") === F.col("p_partkey"))
+      .join(perPart, F.col("l_partkey") === F.col("ap_partkey"))
+      .where(F.col("l_quantity").cast("decimal(12,2)")
+        * F.lit(5).cast("decimal(2,0)") * F.col("qty_n") < F.col("qty_sum"))
+      .agg(F.sum(decEp()).cast("double").as("small_qty_revenue"),
+        F.count(F.lit(1)).as("n_lines"))
+  }
+
+  private def q19(t: Tables): DataFrame =
+    // TPC-H Q19 spirit: a disjunction of conjunctive brand/size/quantity
+    // ranges — the OR-of-ANDs predicate shape. Catalyst extracts the
+    // common l_partkey = p_partkey equi-key for the hash join and keeps
+    // the residual OR as a post-join filter; part is broadcast.
+    t.lineitem
+      .join(F.broadcast(t.part), F.col("l_partkey") === F.col("p_partkey"))
+      .where(
+        (F.col("p_brand") === "Brand#1" && F.col("p_size").between(1, 10)
+          && F.col("l_quantity").between(1, 15)) ||
+        (F.col("p_brand") === "Brand#2" && F.col("p_size").between(5, 20)
+          && F.col("l_quantity").between(10, 25)) ||
+        (F.col("p_brand") === "Brand#3" && F.col("p_size").between(10, 30)
+          && F.col("l_quantity").between(20, 35)))
+      .agg(F.sum(decEp() * oneMinusDisc).cast("double").as("revenue"),
+        F.count(F.lit(1)).as("n_lines"))
+
+  private def q21(t: Tables): DataFrame = {
+    // TPC-H Q21 spirit: suppliers who kept a finished multi-supplier
+    // order waiting — their line shipped late (>60 days after the
+    // order date; this schema has no commit/receipt dates) while EVERY
+    // other supplier's lines were on time. The exists + not-exists
+    // composition: two hash semi/anti joins on the order key with a
+    // different-supplier residual; only (orderkey, suppkey) pairs
+    // shuffle, never payloads.
+    val lo = t.lineitem
+      .join(t.orders.where(F.col("o_orderstatus") === "F"),
+        F.col("l_orderkey") === F.col("o_orderkey"))
+      .select(F.col("l_orderkey").as("ok"), F.col("l_suppkey").as("sk"),
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).as("late"))
+    val lateLines = lo.where(F.col("late")).select("ok", "sk").distinct()
+    val allLines = lo.select("ok", "sk").distinct()
+    val withOthers = lateLines.as("l1").join(allLines.as("l2"),
+      F.col("l1.ok") === F.col("l2.ok") && F.col("l1.sk") =!= F.col("l2.sk"), "left_semi")
+    val soleLate = withOthers.as("w").join(lateLines.as("l3"),
+      F.col("w.ok") === F.col("l3.ok") && F.col("w.sk") =!= F.col("l3.sk"), "left_anti")
+    soleLate.join(t.supplier, F.col("sk") === F.col("s_suppkey"))
+      .join(F.broadcast(t.nation.where(
+        F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3"))),
+        F.col("s_nationkey") === F.col("n_nationkey"))
+      .groupBy("s_name")
+      .agg(F.count(F.lit(1)).as("numwait"))
+      .orderBy(F.col("numwait").desc, F.col("s_name").asc)
+  }
+
   private def q18(t: Tables): DataFrame = {
     val big = t.lineitem.groupBy(F.col("l_orderkey"))
       .agg(F.sum("l_quantity").as("sum_qty"))
@@ -1119,6 +1261,13 @@ object SparkEntry {
       "q10_returns" -> q(q10),
       "q12_priority" -> q(q12),
       "q14_promo" -> q(q14),
+      "q8_share" -> q(q8),
+      "q13_custdist" -> q(q13),
+      "q15_top_supplier" -> q(q15),
+      "q16_brand_suppliers" -> q(q16),
+      "q17_small_qty" -> q(q17),
+      "q19_disjunctive" -> q(q19),
+      "q21_waiting" -> q(q21),
       "q18_bigorders" -> q(q18),
       "q22_dormant" -> q(q22),
       "window_topn" -> q(windowTopn),
