@@ -1105,6 +1105,25 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  private def dedupParagraphs(t: Tables): DataFrame =
+    // C4-style cross-doc repeated-paragraph removal. width=3: the
+    // synthetic corpus repeats 3-token spans across documents (231
+    // spans in >=3 docs at sf0.01) while wider windows never collide —
+    // so this is the width where the drop/keep distribution genuinely
+    // splits and the parity gate exercises both branches; production
+    // crawl text would split on '\n\n' instead of a token window
+    Dedup.dropRepeatedParagraphs(t.documents, "doc_id", "text",
+        width = 3, minDf = 3)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
+  private def curateBuckets(t: Tables): DataFrame =
+    // CCNet head/middle/tail by unigram-LM score — equal-population
+    // thirds in the total (score desc, id asc) order
+    Curate.qualityBuckets(t.documents, "doc_id", "text", buckets = 3)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
   private def curateGopher(t: Tables): DataFrame = {
     // the corpus text is single-line, so the line-repetition rules
     // would be vacuous on it; reshape each document into 2-token
@@ -1319,6 +1338,8 @@ object SparkEntry {
       "curate_chunks" -> q(curateChunks),
       "curate_split" -> q(curateSplit),
       "curate_gopher" -> q(curateGopher),
+      "curate_buckets" -> q(curateBuckets),
+      "dedup_paragraphs" -> q(dedupParagraphs),
       "curate_take" -> q(curateTake),
       "corpus_vocab" -> q(corpusVocab),
       "dedup_cross_source" -> q(dedupCrossSource),

@@ -652,4 +652,71 @@ object Dedup {
       .distinct()
       .where(F.col("hamming") <= maxHamming)
   }
+
+  /** C4/RefinedWeb-style cross-document repeated-paragraph removal
+    * (Raffel et al. 2020 §2.2 "three-sentence span" rule; Penedo et
+    * al. 2023): a paragraph that occurs in >= minDf distinct documents
+    * is corpus boilerplate (headers, license blurbs, navigation) and
+    * is dropped from EVERY document, then each document is reassembled
+    * from its surviving paragraphs in order.
+    *
+    * "Paragraph" here is a non-overlapping `width`-token window of the
+    * tokenized text — this corpus has no newlines, so the window IS the
+    * paragraph boundary; on real crawl text the split would be on
+    * '\n\n' and everything downstream is unchanged.
+    *
+    * Scale shape (two corpus shuffles, one slim):
+    *  1. df-count: paragraphs shuffle as (xxhash64(chunk), id) pairs —
+    *     8-byte keys, never the text — one map-side-combined count.
+    *  2. the over-df drop set is boilerplate-small by construction
+    *     (bounded by n_paragraphs/minDf); the anti join against it
+    *     broadcasts under AQE's runtime size decision, so the corpus
+    *     text itself takes exactly ONE shuffle: the per-document
+    *     reassembly groupBy.
+    * A 64-bit hash collision could drop an innocent paragraph; at
+    * corpus scale that risk is the standard xxhash64 birthday bound,
+    * and the DuckDB parity twin (grouping on raw paragraph text)
+    * catches any collision on the gated corpora.
+    *
+    * Output: (id, n_chunks, n_dropped, clean_text) — one row per input
+    * document, clean_text = '' when everything was boilerplate.
+    */
+  def dropRepeatedParagraphs(df: DataFrame, idCol: String, textCol: String,
+                             width: Int = 50, minDf: Long = 3): DataFrame = {
+    require(width > 0, s"width must be positive, got $width")
+    require(minDf >= 2, s"minDf below 2 drops every paragraph, got $minDf")
+    val toksC = TextOps.tokens(F.col(textCol))
+    val nChunksC = F.ceil(F.size(toksC).cast("double") / width).cast("int")
+    val base = df.select(F.col(idCol).as("id"), toksC.as("__ts"),
+      nChunksC.as("n_chunks"))
+    // sequence(0, n-1) DESCENDS when n = 0 (empty doc) — guard to an
+    // empty int array so zero-token documents contribute no chunks
+    val idxs = F.when(F.col("n_chunks") > 0,
+      F.sequence(F.lit(0), F.col("n_chunks") - 1))
+      .otherwise(F.array().cast("array<int>"))
+    val chunks = base.select(F.col("id"),
+      F.posexplode(F.transform(idxs,
+        i => F.array_join(F.slice(F.col("__ts"), i * width + 1, F.lit(width)), " "))))
+      .toDF("id", "chunk_idx", "chunk")
+      .withColumn("chunk_h", F.xxhash64(F.col("chunk")))
+    val dropSet = chunks.groupBy("chunk_h")
+      .agg(F.count_distinct(F.col("id")).as("df"))
+      .where(F.col("df") >= minDf)
+      .select("chunk_h")
+    val kept = chunks.join(dropSet, Seq("chunk_h"), "left_anti")
+    val rebuilt = kept.groupBy("id")
+      .agg(F.count(F.lit(1)).as("n_kept"),
+        F.array_join(
+          F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("chunk_idx"), F.col("chunk")))),
+            s => s.getField("chunk")),
+          " ").as("clean_text"))
+    base.select("id", "n_chunks")
+      .join(rebuilt, Seq("id"), "left")
+      .select(F.col("id"),
+        F.col("n_chunks").cast("long").as("n_chunks"),
+        (F.col("n_chunks").cast("long") - F.coalesce(F.col("n_kept"), F.lit(0L)))
+          .as("n_dropped"),
+        F.coalesce(F.col("clean_text"), F.lit("")).as("clean_text"))
+  }
 }

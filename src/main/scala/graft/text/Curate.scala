@@ -233,6 +233,42 @@ object Curate {
         F.round(F.element_at(F.col("__q"), i + 1), 6).as(nm) }: _*)
   }
 
+  /** CCNet-style quality bucketing (Wenzek et al., LREC 2020 §4.4):
+    * rank the corpus by unigram-LM average log-probability
+    * (unigramLogProb — the public-knowledge stand-in for CCNet's
+    * KenLM perplexity) and split it into equal-population buckets:
+    * head (best-scoring), middle, tail. Downstream mixing then
+    * oversamples head and drops or down-weights tail.
+    *
+    * Assignment is ntile over the TOTAL order (rounded score desc, id
+    * asc) — deterministic across engines and runs, and immune to
+    * float-boundary sensitivity: no document is ever compared against
+    * an interpolated cutoff value, ties break by id.
+    *
+    * Scale note: the exactly-equal-population guarantee is inherently
+    * a global rank. Each document is first reduced to a (id, score)
+    * pair, so the unpartitioned window sorts 16-byte rows, not text;
+    * where even that is too large, assign by exact-percentile cutoffs
+    * (the lengthQuantiles machinery) + broadcast comparison and accept
+    * cutoff-tie population skew.
+    *
+    * Output: (id, score, bucket, bucket_name), bucket 1..buckets.
+    */
+  def qualityBuckets(df: DataFrame, idCol: String, textCol: String,
+                     buckets: Int = 3, headK: Int = 10000): DataFrame = {
+    require(buckets >= 2, s"need at least 2 buckets, got $buckets")
+    val scored = unigramLogProb(df, idCol, textCol, headK)
+      .select(F.col("id"), F.round(F.col("avg_logprob"), 6).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(F.col("score").desc, F.col("id").asc)
+    val name = F.when(F.col("bucket") === 1, "head")
+      .when(F.col("bucket") === buckets, "tail")
+      .otherwise("middle")
+    scored.withColumn("bucket", F.ntile(buckets).over(w))
+      .select(F.col("id"), F.col("score"), F.col("bucket").cast("long").as("bucket"),
+        name.as("bucket_name"))
+  }
+
   /** Deterministic exact-count selection per stratum: the N
     * pseudo-random-lowest documents of each stratum (by the same Knuth
     * sampleKey order as hashSample, id tie-break), e.g. "exactly 100

@@ -335,6 +335,39 @@ class CurateSpec extends SparkSpec {
     assert(fast == slow, s"missing=${slow -- fast} extra=${fast -- slow}")
   }
 
+  test("qualityBuckets: equal populations, head gets the best scores, id tie-break") {
+    // 9 docs over a tiny shared vocabulary; rare-token docs score lower
+    val docs = (1L to 9L).map { i =>
+      val body = if (i <= 3) "common common common common"
+      else if (i <= 6) "common common rare common"
+      else "rare rarer common rarest"
+      (i, body)
+    }.toDF("doc_id", "text")
+    val out = Curate.qualityBuckets(docs, "doc_id", "text", buckets = 3)
+      .as[(Long, Double, Long, String)].collect()
+    assert(out.length == 9)
+    val byBucket = out.groupBy(_._3).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byBucket(1L) == Set(1L, 2L, 3L), s"head: ${byBucket(1L)}")
+    assert(byBucket(2L) == Set(4L, 5L, 6L), s"middle: ${byBucket(2L)}")
+    assert(byBucket(3L) == Set(7L, 8L, 9L), s"tail: ${byBucket(3L)}")
+    val names = out.map(r => r._3 -> r._4).toSet
+    assert(names == Set(1L -> "head", 2L -> "middle", 3L -> "tail"))
+    // within a bucket of identical scores, assignment came from the id
+    // tie-break — re-running must reproduce it exactly
+    val again = Curate.qualityBuckets(docs, "doc_id", "text", buckets = 3)
+      .as[(Long, Double, Long, String)].collect().toSet
+    assert(again == out.toSet, "bucket assignment must be deterministic")
+  }
+
+  test("qualityBuckets: uneven split puts the remainder in the leading buckets") {
+    val docs = (1L to 7L).map(i => (i, s"tok$i common words here"))
+      .toDF("doc_id", "text")
+    val sizes = Curate.qualityBuckets(docs, "doc_id", "text", buckets = 3)
+      .groupBy("bucket").count()
+      .as[(Long, Long)].collect().toMap
+    assert(sizes == Map(1L -> 3L, 2L -> 2L, 3L -> 2L), s"got $sizes")
+  }
+
   test("mixtureRates: allocations, under-supply pinning, default weight") {
     // srcA: 10 tokens available; srcB: 4; srcC: 6 (default weight)
     val docs = Seq(

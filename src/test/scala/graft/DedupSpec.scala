@@ -406,6 +406,43 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("dropRepeatedParagraphs: corpus boilerplate dropped, order kept, remainder chunks") {
+    // width=2 chunks: "legal boilerplate" appears in docs 1,2,3 (df=3,
+    // dropped); every other chunk is unique (kept). Doc 4 is ALL
+    // boilerplate; doc 5 has an odd token count (remainder chunk).
+    val docs = Seq(
+      (1L, "legal boilerplate alpha bravo charlie delta"),
+      (2L, "echo foxtrot legal boilerplate golf hotel"),
+      (3L, "india juliet kilo lima legal boilerplate"),
+      (4L, "legal boilerplate"),
+      (5L, "mike november oscar")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dropRepeatedParagraphs(docs, "doc_id", "text",
+        width = 2, minDf = 3)
+      .orderBy("id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, 3L, 1L, "alpha bravo charlie delta"),
+      (2L, 3L, 1L, "echo foxtrot golf hotel"),
+      (3L, 3L, 1L, "india juliet kilo lima"),
+      (4L, 1L, 1L, ""),
+      (5L, 2L, 0L, "mike november oscar")), s"got $out")
+  }
+
+  test("dropRepeatedParagraphs: below-minDf repeats survive; empty docs are zero-chunk rows") {
+    val docs = Seq(
+      (1L, "shared pair unique one"),
+      (2L, "shared pair unique two"),   // df=2 < minDf=3 -> kept
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dropRepeatedParagraphs(docs, "doc_id", "text",
+        width = 2, minDf = 3)
+      .orderBy("id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, 2L, 0L, "shared pair unique one"),
+      (2L, 2L, 0L, "shared pair unique two"),
+      (3L, 0L, 0L, "")), s"got $out")
+  }
+
   test("GraftSession.build checkpointDir knob reaches the SparkContext") {
     // getOrCreate returns the shared test session, so the knob must
     // apply to the ACTIVE context — which is exactly the deployment

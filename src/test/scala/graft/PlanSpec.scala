@@ -124,7 +124,10 @@ class PlanSpec extends SparkSpec {
     // the standard match crosses per-COLUMN counts with the
     // vocabulary's per-ATTRIBUTE counts (both column-count-bounded)
     "match_schema_coma", "match_schema_standard",
-    "text_lm_score", "ann_topk", "ann_lsh_recall", "ann_ivf_recall",
+    // curate_buckets scores through the same unigram LM (1-row totals
+    // crossJoin) before its rank window
+    "text_lm_score", "curate_buckets",
+    "ann_topk", "ann_lsh_recall", "ann_ivf_recall",
     // PQ's ADC scan crossJoins the BROADCAST query batch against the
     // compact (id, reconstruction) table — query-side bounded like
     // ann_topk; the recall gate adds the exact-truth baseline on top
