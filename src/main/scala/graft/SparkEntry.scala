@@ -1105,6 +1105,25 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  private def multimodalVideo(t: Tables): DataFrame = {
+    // REAL video frame sampling (r8): each document gets an actual
+    // RIFF('AVI ') container with uncompressed 24-bit DIB frames and
+    // closed-form sample values; the pure-JVM codec (AviCodec) walks
+    // the nested chunk layout and decodes every 2nd frame to exact
+    // integer aggregates. The oracle recomputes those aggregates from
+    // the closed form alone — parity proves genuine container + DIB
+    // inversion (bottom-up rows, 4-byte row padding, canonical sample
+    // order). Compressed video (H.264 etc.) is the declared stub, as
+    // entropy decode needs a codec library.
+    val blobs = BinaryMeta.syntheticAviBlobs(t.documents.select("doc_id"), "doc_id")
+    BinaryMeta.decodeVideoFrames(blobs, "id", stride = 2)
+      .select(F.col("id").as("doc_id"), F.col("frame_no"), F.col("width"),
+        F.col("height"), F.col("n_samples"), F.col("sum_val"), F.col("sum_sq"),
+        F.round(F.col("sum_val").cast("double") /
+          F.col("n_samples").cast("double"), 6).as("mean_val"))
+      .orderBy("doc_id", "frame_no")
+  }
+
   private def dedupParagraphs(t: Tables): DataFrame =
     // C4-style cross-doc repeated-paragraph removal. width=3: the
     // synthetic corpus repeats 3-token spans across documents (231
@@ -1352,7 +1371,8 @@ object SparkEntry {
       "multimodal_pixels" -> q(multimodalPixels),
       "multimodal_resize" -> q(multimodalResize),
       "multimodal_audio" -> q(multimodalAudio),
-      "multimodal_audio_seg" -> q(multimodalAudioSeg))
+      "multimodal_audio_seg" -> q(multimodalAudioSeg),
+      "multimodal_video" -> q(multimodalVideo))
   }
 
   /** DuckDB-runnable ANSI SQL twin for every SQL-expressible query. */

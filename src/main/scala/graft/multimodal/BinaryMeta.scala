@@ -348,6 +348,63 @@ object BinaryMeta {
       }(enc)
   }
 
+  /** Deterministic real AVI payloads: dimensions / frame count from
+    * the id, per-frame samples from a closed form — the video twin of
+    * [[syntheticPngBlobs]] / [[syntheticWavBlobs]]. [[AviCodec
+    * .encode]] emits a genuine RIFF('AVI ') container with
+    * uncompressed 24-bit DIB frames.
+    */
+  def syntheticAviBlobs(df: DataFrame, idCol: String): DataFrame = {
+    val out = StructType(Seq(
+      StructField("id", LongType),
+      StructField("blob", BinaryType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(out)
+    df.select(F.col(idCol).cast("long").as("id"))
+      .where(F.col("id").isNotNull && F.col("id") >= 0)
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val w = (id % 6 + 2).toInt
+          val h = (id % 4 + 2).toInt
+          val nf = (id % 5 + 2).toInt
+          Row(id, AviCodec.encode(w, h, nf, usPerFrame = 33333L,
+            (f, s) => ((s * 31 + f * 7 + id) % 256).toInt))
+        }
+      }(enc)
+  }
+
+  /** REAL batched video frame sampling via mapPartitions ([[AviCodec
+    * .decodeFrameStats]]): RIFF walk + every `stride`-th frame's DIB
+    * decoded to exact integer aggregates — the "one frame per second,
+    * not thirty" pass (skipped frames cost a chunk-header hop, rasters
+    * never shuffle). Undecodable payloads contribute no rows.
+    */
+  def decodeVideoFrames(df: DataFrame, idCol: String, stride: Int): DataFrame = {
+    val out = StructType(Seq(
+      StructField("id", LongType),
+      StructField("frame_no", IntegerType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("n_samples", LongType),
+      StructField("sum_val", LongType),
+      StructField("sum_sq", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(out)
+    df.select(F.col(idCol).cast("long").as("id"), F.col("blob"))
+      .mapPartitions { rows =>
+        rows.grouped(64).flatMap(_.flatMap { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          AviCodec.decodeMeta(bytes) match {
+            case Some(m) =>
+              AviCodec.decodeFrameStats(bytes, stride).getOrElse(Seq.empty)
+                .map(s => Row(id, s.frameNo, m.width, m.height,
+                  s.nSamples, s.sumVal, s.sumSq))
+            case None => Seq.empty
+          }
+        })
+      }(enc)
+  }
+
   /** Partition-local batched decode via mapPartitions — the shape a
     * real codec integration takes (batch the payloads, call the
     * native decoder once per batch). The decoder here is the same

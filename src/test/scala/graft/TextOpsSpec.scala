@@ -383,4 +383,95 @@ class TextOpsSpec extends SparkSpec {
     assert(colPath.as[(Long, Long, Int, Int, String)].collect().toSet ==
       mpPath.as[(Long, Long, Int, Int, String)].collect().toSet)
   }
+
+  test("AviCodec round-trips real RIFF/DIB video to exact per-frame stats") {
+    import graft.multimodal.AviCodec
+    // width 5 -> rowBytes 16 (padding on every row); width 4 -> none
+    for ((w, h, nf) <- Seq((5, 3, 4), (4, 2, 1), (1, 1, 7), (6, 4, 0))) {
+      val value: (Int, Long) => Int = (f, s) => ((s * 31 + f * 7 + 3) % 256).toInt
+      val blob = AviCodec.encode(w, h, nf, usPerFrame = 40000L, value)
+      val meta = AviCodec.decodeMeta(blob)
+      assert(meta.contains(AviCodec.VideoMeta(w, h, nf, 40000L, nf * 40000L)),
+        s"(${w}x$h x$nf) got $meta")
+      val frames = AviCodec.decodeFrameStats(blob).get
+      assert(frames.map(_.frameNo) == (0 until nf))
+      for (fr <- frames) {
+        val vals = (0L until w.toLong * h * 3).map(s => value(fr.frameNo, s).toLong)
+        assert(fr.nSamples == vals.length.toLong)
+        assert(fr.sumVal == vals.sum, s"frame ${fr.frameNo} of ${w}x$h")
+        assert(fr.sumSq == vals.map(v => v * v).sum)
+      }
+      // stride 2 keeps exactly the even frames with identical stats
+      val sampled = AviCodec.decodeFrameStats(blob, stride = 2).get
+      assert(sampled == frames.filter(_.frameNo % 2 == 0))
+    }
+  }
+
+  test("AviCodec rejects garbage and honours the nested RIFF layout") {
+    import graft.multimodal.AviCodec
+    val good = AviCodec.encode(5, 3, 4, 33333L, (f, s) => (s + f).toInt)
+    assert(AviCodec.decodeMeta(good).isDefined)
+    assert(AviCodec.decodeMeta(null).isEmpty)
+    assert(AviCodec.decodeMeta(Array.emptyByteArray).isEmpty)
+    assert(AviCodec.decodeMeta("RIFFnot an avi at all".getBytes).isEmpty)
+    // truncation anywhere -> None, no throw (chunk overruns payload)
+    assert(AviCodec.decodeMeta(good.take(good.length - 5)).isEmpty)
+    assert(AviCodec.decodeFrameStats(good.take(good.length - 5)).isEmpty)
+    // compressed stream (biCompression != BI_RGB) -> unsupported
+    val compressed = good.clone()
+    // strf data starts after RIFF(12) + LIST hdrl hdr(8) + 'hdrl'... locate it
+    val strfOff = {
+      var i = 0
+      var found = -1
+      while (found < 0 && i + 4 <= compressed.length) {
+        if (compressed(i) == 's' && compressed(i + 1) == 't' &&
+          compressed(i + 2) == 'r' && compressed(i + 3) == 'f') found = i
+        i += 1
+      }
+      found
+    }
+    compressed(strfOff + 8 + 16) = 1 // biCompression = BI_RLE8
+    assert(AviCodec.decodeMeta(compressed).isEmpty)
+    // header-vs-frame disagreement: avih claims height 4, every '00db'
+    // chunk carries a height-3 DIB -> expected-length mismatch -> None
+    val wrongH = good.clone()
+    val avihOff0 = {
+      var i = 0
+      var found = -1
+      while (found < 0 && i + 4 <= wrongH.length) {
+        if (wrongH(i) == 'a' && wrongH(i + 1) == 'v' &&
+          wrongH(i + 2) == 'i' && wrongH(i + 3) == 'h') found = i
+        i += 1
+      }
+      found
+    }
+    wrongH(avihOff0 + 8 + 36) = 4 // dwHeight (strf still says 3 -> it's
+    // avih the layout trusts for frame sizing)
+    assert(AviCodec.decodeFrameStats(wrongH).isEmpty)
+    // header claims 5 frames but movi carries 4 -> count mismatch
+    val miscount = good.clone()
+    val avihOff = {
+      var i = 0
+      var found = -1
+      while (found < 0 && i + 4 <= miscount.length) {
+        if (miscount(i) == 'a' && miscount(i + 1) == 'v' &&
+          miscount(i + 2) == 'i' && miscount(i + 3) == 'h') found = i
+        i += 1
+      }
+      found
+    }
+    miscount(avihOff + 8 + 16) = 5 // dwTotalFrames
+    assert(AviCodec.decodeFrameStats(miscount).isEmpty)
+    // seeded fuzz: arbitrary bytes must never throw or hang
+    val rnd = new scala.util.Random(8642)
+    for (_ <- 1 to 200) {
+      val b = new Array[Byte](rnd.nextInt(160))
+      rnd.nextBytes(b)
+      AviCodec.decodeMeta(b)
+      AviCodec.decodeFrameStats(b)
+      val prefixed = "RIFF".getBytes ++ b
+      AviCodec.decodeMeta(prefixed)
+      AviCodec.decodeFrameStats(prefixed)
+    }
+  }
 }
