@@ -1143,6 +1143,16 @@ object SparkEntry {
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id")
 
+  private def textBigramLm(t: Tables): DataFrame =
+    Curate.bigramLogProb(t.documents, "doc_id", "text")
+      .select(F.col("id").as("doc_id"), F.col("n_bigrams"),
+        F.round(F.col("avg_logprob"), 6).as("avg_logprob"))
+      .orderBy("doc_id")
+
+  private def eventsOutliers(t: Tables): DataFrame =
+    Events.valueOutliers(t.events, q = 0.99)
+      .orderBy("event_id")
+
   private def curateGopher(t: Tables): DataFrame = {
     // the corpus text is single-line, so the line-repetition rules
     // would be vacuous on it; reshape each document into 2-token
@@ -1349,6 +1359,7 @@ object SparkEntry {
       "curate_shards" -> q(curateShards),
       "curate_quality" -> q(curateQuality),
       "text_lm_score" -> q(textLmScore),
+      "text_bigram_lm" -> q(textBigramLm),
       "corpus_stats" -> q(corpusStatsQ),
       "corpus_quantiles" -> q(corpusQuantiles),
       "curate_pack" -> q(curatePack),
@@ -1364,6 +1375,7 @@ object SparkEntry {
       "dedup_cross_source" -> q(dedupCrossSource),
       "events_json" -> q(eventsJson),
       "events_funnel" -> q(eventsFunnel),
+      "events_outliers" -> q(eventsOutliers),
       "events_retention" -> q(eventsRetention),
       "events_window_agg" -> q(eventsWindowAgg),
       "events_sessionize" -> q(eventsSessionize),

@@ -250,6 +250,33 @@ object Events {
       .agg(F.count(F.lit(1)).as("n_users"))
   }
 
+  /** Per-type tail-value outliers: events whose value exceeds their
+    * type's q-quantile — the monitoring/anomaly pass. The cutoff uses
+    * Spark's EXACT `percentile` aggregate (value->count map state,
+    * bounded by the value DOMAIN, not event count — same argument as
+    * Curate.lengthQuantiles) and is rounded to 6dp before the
+    * comparison so both engines compare the same literal. One
+    * partial-agg shuffle for the per-type cutoffs (broadcast back) —
+    * the event stream itself never shuffles.
+    *
+    * Boundary safety: with interpolation between adjacent order
+    * statistics a and b, the cutoff sits >= 0.05*(b-a) from either, or
+    * exactly ON a value when a = b — either way the float noise
+    * (~1e-13) never spans the gap between the cutoff and the nearest
+    * comparable value, so `value > p_q` is engine-stable.
+    *
+    * Output: (event_id, event_type, value, cutoff) for outliers only.
+    */
+  def valueOutliers(events: DataFrame, q: Double = 0.99): DataFrame = {
+    require(q > 0 && q < 1, s"quantile in (0,1), got $q")
+    val ev = events.select(F.col("event_id"), F.col("event_type"), F.col("value"))
+    val cuts = ev.groupBy("event_type")
+      .agg(F.round(F.expr(s"percentile(value, $q)"), 6).as("cutoff"))
+    ev.join(F.broadcast(cuts), Seq("event_type"))
+      .where(F.col("value") > F.col("cutoff"))
+      .select("event_id", "event_type", "value", "cutoff")
+  }
+
   def streamingWindowAgg(stream: DataFrame, watermark: String = "2 hours"): DataFrame =
     stream
       .withWatermark("ts", watermark)

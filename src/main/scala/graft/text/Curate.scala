@@ -190,6 +190,52 @@ object Curate {
         (F.sum("logp") / F.count(F.lit(1))).as("avg_logprob"))
   }
 
+  /** Conditional bigram LM scoring with add-one smoothing — the next
+    * quality-signal step up from [[unigramLogProb]]: per document, the
+    * mean of ln((c(w1,w2) + 1) / (c(w1) + V)) over its consecutive
+    * token pairs, where c(w1,w2) is the corpus bigram count, c(w1) the
+    * corpus unigram count over ALL positions (the documented
+    * denominator choice), and V the distinct-token vocabulary size.
+    * Fluent text scores high; shuffled/garbled text scores low even
+    * when its unigram profile is typical — which is exactly the
+    * failure mode unigram scoring can't see.
+    *
+    * Bigram extraction is the codegen'd 2-shingle kernel. Scale shape
+    * mirrors unigramLogProb: counts shuffle on (8-byte-hashable)
+    * bigram strings with map-side combine; the corpus totals are a
+    * 1-row broadcast; the per-doc score is one groupBy. The
+    * doc-bigrams-to-probability join shuffles on the bigram key —
+    * bounded by bigram vocabulary, and the natural next step at
+    * extreme scale is the same head-broadcast/tail-shuffle split the
+    * unigram scorer implements.
+    *
+    * Documents with fewer than 2 tokens have no bigrams and emit no
+    * row. Output: (id, n_bigrams, avg_logprob).
+    */
+  def bigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = TextOps.tokens(F.col(textCol))
+    val docBg = df.select(F.col(idCol).as("id"),
+        F.explode(TextOps.shingles(toks, 2)).as("bg"))
+    val docToks = df.select(F.col(idCol).as("id"),
+      F.explode(TextOps.tokens(F.col(textCol))).as("tok"))
+    val cu = docToks.groupBy("tok").agg(F.count(F.lit(1)).as("c1"))
+    val totals = cu.agg(F.count(F.lit(1)).as("n_vocab"))
+    val cb = docBg.groupBy("bg").agg(F.count(F.lit(1)).as("c"))
+    // tokens contain no spaces (the tokenizer splits on non-alnum), so
+    // the shingle's first space is the w1/w2 boundary
+    val probs = cb
+      .withColumn("tok", F.substring_index(F.col("bg"), " ", 1))
+      .join(cu, "tok")
+      .crossJoin(F.broadcast(totals))
+      .select(F.col("bg"),
+        F.log((F.col("c") + 1).cast("double") /
+          (F.col("c1") + F.col("n_vocab")).cast("double")).as("logp"))
+    docBg.join(probs, "bg")
+      .groupBy("id")
+      .agg(F.count(F.lit(1)).as("n_bigrams"),
+        (F.sum("logp") / F.count(F.lit(1))).as("avg_logprob"))
+  }
+
   /** Per-group corpus report — the pass every mixing/curation decision
     * starts from: document counts, character and token volumes per
     * (source, language, shard, ...) group. One map-side-combined

@@ -368,6 +368,28 @@ class CurateSpec extends SparkSpec {
     assert(sizes == Map(1L -> 3L, 2L -> 2L, 3L -> 2L), s"got $sizes")
   }
 
+  test("bigramLogProb: add-one conditional bigram scores, hand-computed") {
+    val docs = Seq(
+      (1L, "a b a b"), // bigrams: "a b" x2, "b a"
+      (2L, "a b"),
+      (3L, "b b"),
+      (4L, "c")        // single token -> no bigrams, no row
+    ).toDF("doc_id", "text")
+    // unigram counts: a=3, b=5, c=1; V=3
+    // P(b|a) = (3+1)/(3+3), P(a|b) = (1+1)/(5+3), P(b|b) = (1+1)/(5+3)
+    val pAB = math.log(4.0 / 6.0)
+    val pBA = math.log(2.0 / 8.0)
+    val pBB = math.log(2.0 / 8.0)
+    val got = Curate.bigramLogProb(docs, "doc_id", "text")
+      .orderBy("id").as[(Long, Long, Double)].collect().toSeq
+    assert(got.map(_._1) == Seq(1L, 2L, 3L), s"got $got")
+    assert(got.map(_._2) == Seq(3L, 1L, 1L), s"got $got")
+    val want = Seq((2 * pAB + pBA) / 3, pAB, pBB)
+    got.map(_._3).zip(want).foreach { case (g, w) =>
+      assert(math.abs(g - w) < 1e-12, s"got $got want $want")
+    }
+  }
+
   test("mixtureRates: allocations, under-supply pinning, default weight") {
     // srcA: 10 tokens available; srcB: 4; srcC: 6 (default weight)
     val docs = Seq(

@@ -279,6 +279,22 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Seq((0, 2L), (1, 1L), (3, 1L), (0, 1L), (1, 1L)), got)
   }
 
+  test("valueOutliers: per-type exact-percentile cutoff, strict exceedance") {
+    // type A: values 1..100 -> p90 cutoff interpolates to 90.1; only
+    // 91..100 exceed it. type B: constant values -> cutoff == value,
+    // strict > keeps nothing.
+    val events = ((1 to 100).map(i =>
+      (i.toLong, new java.sql.Timestamp(i * 1000L), 1L, "A", i.toDouble, "")) ++
+      (1 to 10).map(i =>
+        (1000L + i, new java.sql.Timestamp(i * 1000L), 2L, "B", 5.0, "")))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Events.valueOutliers(events, q = 0.9)
+      .orderBy("event_id")
+      .as[(Long, String, Double, Double)].collect().toSeq
+    assert(got.map(_._1) == (91L to 100L), s"got $got")
+    assert(got.forall(r => r._2 == "A" && r._4 == 90.1), s"got $got")
+  }
+
   test("streaming chunking: the narrow chunk op equals its batch twin") {
     // chunkTokens is a pure narrow transformation (tokenize, sequence
     // explode, slice) — it composes onto a stream unchanged, the
