@@ -618,6 +618,28 @@ object SparkEntry {
         bucketCap = EmbeddingBucketCap.get, metricPrefix = "embedding_hi"))
       .orderBy("metric")
 
+  private def dedupCapBands(t: Tables): DataFrame = {
+    // materialized banded-signature evidence for the cap_report twin:
+    // all three signature spaces the production caps guard, tagged by
+    // space. The DuckDB twin recomputes every *_buckets_over_cap /
+    // *_band_entries_dropped counter from this dump (GROUP BY space,
+    // band, key HAVING count > cap), so the cap_report parity gate
+    // validates the counter logic against the actual signatures
+    // instead of pinning clean-corpus zeros (rows-only itself: the
+    // xxhash / hyperplane kernels have no SQL twin — the simhash_sig
+    // pattern applied to the cap guards).
+    val pre = t.embeddings.select(F.col("vec_id"),
+      F.slice(F.col("embedding"), 1, 8).as("embedding"))
+    Dedup.minhashBanded(t.documents, "doc_id", "text", k = 3,
+        numHashes = 128, bands = 32)
+      .select(F.lit("minhash").as("space"), F.col("id"), F.col("band"), F.col("key"))
+      .unionAll(Ann.bandedSignatures(pre, "vec_id", "embedding", nPlanes = 60, bands = 15)
+        .select(F.lit("embedding").as("space"), F.col("id"), F.col("band"), F.col("key")))
+      .unionAll(Ann.bandedSignatures(pre, "vec_id", "embedding", nPlanes = 60, bands = 12)
+        .select(F.lit("embedding_hi").as("space"), F.col("id"), F.col("band"), F.col("key")))
+      .orderBy("space", "id", "band")
+  }
+
   private def dedupSimhash(t: Tables): DataFrame =
     // ORACLE-checked since r8 via the materialized-signature twin: the
     // companion dedup_simhash_sig query dumps (id, simhash), and the
@@ -1328,6 +1350,7 @@ object SparkEntry {
       "dedup_jaccard" -> q(dedupJaccard),
       "dedup_minhash" -> q(dedupMinhash),
       "dedup_cap_report" -> q(dedupCapReport),
+      "dedup_cap_bands" -> q(dedupCapBands),
       "dedup_simhash" -> q(dedupSimhash),
       "dedup_simhash_sig" -> q(dedupSimhashSig),
       "dedup_embedding_lsh" -> q(dedupEmbeddingLsh),

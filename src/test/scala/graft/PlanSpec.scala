@@ -127,6 +127,9 @@ class PlanSpec extends SparkSpec {
     // curate_buckets scores through the same unigram LM (1-row totals
     // crossJoin) before its rank window
     "text_lm_score", "curate_buckets",
+    // bigram LM: same 1-row vocabulary-size totals crossJoin as the
+    // unigram scorer (the bigram/unigram count joins are hash joins)
+    "text_bigram_lm",
     "ann_topk", "ann_lsh_recall", "ann_ivf_recall",
     // PQ's ADC scan crossJoins the BROADCAST query batch against the
     // compact (id, reconstruction) table — query-side bounded like
