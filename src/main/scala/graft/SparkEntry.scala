@@ -672,6 +672,17 @@ object SparkEntry {
       .select(F.col("doc_id"), F.col("lang"))
       .orderBy("doc_id")
 
+  private def dedupKeepBest(t: Tables): DataFrame =
+    // quality-ranked canonicalization: per near-dup cluster keep the
+    // LONGEST member (C4/RefinedWeb policy), ties to min id; every doc
+    // maps to its survivor so the output is the corpus rewrite table
+    Dedup.keepBest(t.documents, "doc_id", jaccardPairsWired(t),
+      t.documents.select(F.col("doc_id").as("id"),
+        F.size(TextOps.tokens(F.col("text"))).as("score")),
+      releaseInput = true)
+      .select(F.col("id").as("doc_id"), F.col("kept_id"))
+      .orderBy("doc_id")
+
   private def dedupMaterialize(t: Tables): DataFrame =
     Dedup.keepFirst(t.documents, "doc_id", "text")
       .select(F.col("doc_id"), F.col("lang"), F.length(F.col("text")).cast("long").as("n_chars"))
@@ -1351,6 +1362,7 @@ object SparkEntry {
       "dedup_minhash" -> q(dedupMinhash),
       "dedup_cap_report" -> q(dedupCapReport),
       "dedup_cap_bands" -> q(dedupCapBands),
+      "dedup_keep_best" -> q(dedupKeepBest),
       "dedup_simhash" -> q(dedupSimhash),
       "dedup_simhash_sig" -> q(dedupSimhashSig),
       "dedup_embedding_lsh" -> q(dedupEmbeddingLsh),

@@ -323,6 +323,39 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Quality-ranked cluster canonicalization — [[keepCanonical]] with
+    * the survivor chosen by SCORE instead of min id: per near-dup
+    * cluster keep the member with the highest score (ties -> min id),
+    * the C4/RefinedWeb "keep the longest duplicate" policy generalized
+    * to any deterministic quality signal. Returns (id, kept_id) for
+    * EVERY input document — cluster members map to their survivor,
+    * unpaired documents map to themselves — so the output doubles as
+    * the rewrite table for downstream provenance joins.
+    *
+    * Scale shape: the component map covers only PAIRED documents (the
+    * tiny slice of a deduplicated corpus), so the rank window and the
+    * winner join run on near-dup rows only; the full corpus is touched
+    * once by the final left join on the id hash. `scored` must carry
+    * one (id, score) row per document; only paired ids are read.
+    */
+  def keepBest(df: DataFrame, idCol: String, pairs: DataFrame,
+               scored: DataFrame, releaseInput: Boolean = false): DataFrame = {
+    val comp = components(pairs, releaseInput = releaseInput)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("component")
+      .orderBy(F.col("score").desc, F.col("id").asc)
+    val winners = comp.join(scored, "id")
+      .withColumn("rk", F.row_number().over(w))
+      .where(F.col("rk") === 1)
+      .select(F.col("component"), F.col("id").as("kept_id"))
+    val mapped = comp.join(winners, "component")
+      .select(F.col("id"), F.col("kept_id"))
+    df.select(F.col(idCol).as("id"))
+      .join(mapped, Seq("id"), "left")
+      .select(F.col("id"),
+        F.coalesce(F.col("kept_id"), F.col("id")).as("kept_id"))
+  }
+
   /** Provenance report over a near-dup pair table: every (id1, id2)
     * pair is annotated with a grouping attribute of BOTH documents
     * (source, crawl, domain, shard ...) and counted per unordered

@@ -110,6 +110,20 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(1L, 4L, 5L), s"got $kept")
   }
 
+  test("keepBest maps every doc to its cluster's top-score member") {
+    // cluster {1,2,3}: scores 5,9,9 -> survivor 2 (max score, tie min
+    // id); cluster {6,7}: survivor 7; 4 and 5 are singletons
+    val members = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L)
+    val docs7 = members.map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (6L, 7L)).toDF("id1", "id2")
+    val scored = Seq((1L, 5), (2L, 9), (3L, 9), (4L, 1), (5L, 2),
+      (6L, 3), (7L, 8)).toDF("id", "score")
+    val got = Dedup.keepBest(docs7, "doc_id", pairs, scored)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(got == Seq(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 4L,
+      5L -> 5L, 6L -> 7L, 7L -> 7L), s"got $got")
+  }
+
   test("minhashLsh recall vs exact jaccard on the sf0.001 corpus") {
     val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val exact = Dedup.jaccardPairs(real, "doc_id", "text", k = 3, threshold = 0.5)
