@@ -504,6 +504,48 @@ object SparkEntry {
       .orderBy(F.col("numwait").desc, F.col("s_name").asc)
   }
 
+  private def q2(t: Tables): DataFrame = {
+    // TPC-H Q2 spirit (no partsupp in this schema — lineitem is the
+    // offer fact): for each small part, the supplier(s) that shipped
+    // it at its MINIMUM extended price. The per-group-min join-back
+    // shape: aggregate once, then equi-join the fact against its own
+    // (group, min) — never a correlated per-group re-scan. The part
+    // filter pushes below the aggregate (semi-join on the filtered
+    // dim), so the min is computed only over qualifying parts.
+    val small = t.part.where(F.col("p_size") < 15).select("p_partkey")
+    val offers = t.lineitem
+      .join(small, F.col("l_partkey") === F.col("p_partkey"), "left_semi")
+      .select(F.col("l_partkey"), F.col("l_suppkey"), decEp().as("price"))
+    val minp = offers.groupBy("l_partkey").agg(F.min("price").as("min_price"))
+    val winners = offers.join(minp, Seq("l_partkey"))
+      .where(F.col("price") === F.col("min_price"))
+      .select(F.col("l_partkey"), F.col("l_suppkey"), F.col("min_price"))
+      .distinct()
+    winners.join(t.supplier, F.col("l_suppkey") === F.col("s_suppkey"))
+      .join(F.broadcast(t.nation), F.col("s_nationkey") === F.col("n_nationkey"))
+      .select(F.col("l_partkey").as("p_partkey"), F.col("s_name"), F.col("n_name"),
+        F.col("min_price").cast("double").as("min_price"))
+      .orderBy("p_partkey", "s_name")
+  }
+
+  private def q11(t: Tables): DataFrame = {
+    // TPC-H Q11 spirit (traded lineitem value as the stock proxy):
+    // parts whose total value exceeds 1.4x the all-parts average —
+    // the HAVING-against-a-scalar-subquery shape: the per-group
+    // aggregate crossJoins its own ONE-ROW re-aggregate (a broadcast
+    // of one row, never a second fact scan). Both engines compare in
+    // DOUBLE built from the exact decimal sums by the same casts, so
+    // the threshold is bit-identical cross-engine.
+    val v = t.lineitem.groupBy("l_partkey")
+      .agg(F.sum(decEp() * oneMinusDisc).as("value"))
+    val avg = v.agg((F.sum("value").cast("double") /
+      F.count(F.lit(1)).cast("double")).as("avg_value"))
+    v.crossJoin(avg)
+      .where(F.col("value").cast("double") > F.lit(1.4) * F.col("avg_value"))
+      .select(F.col("l_partkey"), F.col("value").cast("double").as("value"))
+      .orderBy(F.col("value").desc, F.col("l_partkey").asc)
+  }
+
   private def q18(t: Tables): DataFrame = {
     val big = t.lineitem.groupBy(F.col("l_orderkey"))
       .agg(F.sum("l_quantity").as("sum_qty"))
@@ -1428,6 +1470,8 @@ object SparkEntry {
       "q17_small_qty" -> q(q17),
       "q19_disjunctive" -> q(q19),
       "q21_waiting" -> q(q21),
+      "q2_mincost" -> q(q2),
+      "q11_important" -> q(q11),
       "q18_bigorders" -> q(q18),
       "q22_dormant" -> q(q22),
       "window_topn" -> q(windowTopn),

@@ -138,7 +138,10 @@ class PlanSpec extends SparkSpec {
     // the SemDeDup recall gate's exact-truth baseline: probe slice
     // (200 ids) against the corpus via an inequality join — the same
     // O(probe x corpus) bounded-broadcast shape as the ann gates
-    "dedup_semantic_recall")
+    "dedup_semantic_recall",
+    // q11's scalar-subquery HAVING: the per-part aggregate crossJoins
+    // its own ONE-ROW global re-aggregate (1-row broadcast)
+    "q11_important")
 
   test("no wired query plans a CartesianProduct; BNLJ only on bounded-broadcast baselines") {
     val withBnlj = scala.collection.mutable.Set[String]()
