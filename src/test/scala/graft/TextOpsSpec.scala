@@ -121,6 +121,124 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("GifCodec round-trips real LZW streams to exact palette-expanded stats") {
+    import graft.multimodal.GifCodec
+    for ((w, h) <- Seq((7, 6), (1, 9), (9, 1), (14, 10), (16, 12))) {
+      val value: Int => Int = s => (s * 37 + 5) % 256
+      val blob = GifCodec.encode(w, h, value)
+      assert(graft.multimodal.ImageHeaders.decode(blob).contains((w, h, "gif")))
+      val n = w * h
+      // grayscale palette: every pixel contributes its index 3 times
+      val expSum = 3L * (0 until n).map(s => value(s).toLong).sum
+      val expSq = 3L * (0 until n).map(s => { val v = value(s).toLong; v * v }).sum
+      val got = GifCodec.decodeStats(blob)
+      assert(got.contains(graft.multimodal.PngCodec.PixelStats(
+        w, h, 3, 3L * n, expSum, expSq)), s"($w x $h) got $got")
+    }
+  }
+
+  test("GifCodec decodes GENUINELY compressed LZW (table growth, width bumps, KwKwK)") {
+    import graft.multimodal.GifCodec
+    // independent test-side LZW compressor with a REAL string table —
+    // it emits multi-symbol codes, grows the dictionary, and widens
+    // the code exactly when a decoder's table would overflow the
+    // current width, so the decoder's general path (not just the
+    // encoder's root-code regime) is what this exercises
+    def compress(indices: Array[Int], minCode: Int): Array[Byte] = {
+      val clear = 1 << minCode
+      var width = minCode + 1
+      var encNext = clear + 2
+      var decNext = clear + 2 // the decoder's table-size simulation
+      var emitted = 0
+      val dict = scala.collection.mutable.HashMap[Vector[Int], Int]()
+      val out = new java.io.ByteArrayOutputStream()
+      var acc = 0L; var bits = 0
+      def put(code: Int): Unit = {
+        acc |= code.toLong << bits; bits += width
+        while (bits >= 8) { out.write((acc & 0xff).toInt); acc >>>= 8; bits -= 8 }
+        emitted += 1
+        // the decoder defines an entry from the 2nd DATA code on (the
+        // first after a clear has no prev); widths must track ITS table
+        if (emitted >= 2 && decNext < 4096) {
+          decNext += 1
+          if (decNext < 4096 && decNext == (1 << width) && width < 12) width += 1
+        }
+      }
+      def codeOf(s: Vector[Int]): Int = if (s.length == 1) s(0) else dict(s)
+      put(clear); emitted = 0 // data-code count restarts after a clear
+      var cur = Vector(indices(0))
+      for (k <- 1 until indices.length) {
+        val ext = cur :+ indices(k)
+        if (ext.length == 1 || dict.contains(ext)) cur = ext
+        else {
+          put(codeOf(cur))
+          if (encNext < 4096) { dict(ext) = encNext; encNext += 1 }
+          cur = Vector(indices(k))
+        }
+      }
+      put(codeOf(cur))
+      put(clear + 1) // EOI
+      if (bits > 0) out.write((acc & 0xff).toInt)
+      out.toByteArray
+    }
+    def container(w: Int, h: Int, minCode: Int, lzw: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      def w8(v: Int): Unit = bos.write(v & 0xff)
+      def w16(v: Int): Unit = { w8(v); w8(v >> 8) }
+      bos.write("GIF89a".getBytes("US-ASCII"))
+      w16(w); w16(h); w8(0x80 | (minCode - 1)); w8(0); w8(0)
+      val n = 1 << minCode
+      for (i <- 0 until n) { w8(i * 17 % 256); w8(i * 17 % 256); w8(i * 17 % 256) }
+      w8(0x2c); w16(0); w16(0); w16(w); w16(h); w8(0)
+      w8(minCode)
+      var off = 0
+      while (off < lzw.length) {
+        val len = math.min(255, lzw.length - off)
+        w8(len); bos.write(lzw, off, len); off += len
+      }
+      w8(0); w8(0x3b)
+      bos.toByteArray
+    }
+    // KwKwK on its own: [1,1,1,1] compresses to (clear, 1, NEXT, 1, eoi)
+    // where NEXT is a code the decoder has not defined yet
+    val kw = Array(1, 1, 1, 1)
+    val kwBlob = container(2, 2, 2, compress(kw, 2))
+    val kwStats = GifCodec.decodeStats(kwBlob)
+    val kwVal = 17L // palette entry 1
+    assert(kwStats.contains(graft.multimodal.PngCodec.PixelStats(
+      2, 2, 3, 12, 12 * kwVal, 12 * kwVal * kwVal)), s"got $kwStats")
+    // a long repetitive stream: the dictionary grows through several
+    // width bumps (3 -> 8 bits) before the pixels run out
+    val reps = Array.tabulate(40 * 25)(i => (i / 7) % 4)
+    val repBlob = container(40, 25, 2, compress(reps, 2))
+    val expVals = reps.map(i => (i * 17 % 256).toLong)
+    val repStats = GifCodec.decodeStats(repBlob)
+    assert(repStats.contains(graft.multimodal.PngCodec.PixelStats(
+      40, 25, 3, 3L * 1000, 3L * expVals.sum, 3L * expVals.map(v => v * v).sum)),
+      s"got $repStats")
+  }
+
+  test("GifCodec.decodeStats rejects garbage, truncation, and fuzzed payloads") {
+    import graft.multimodal.GifCodec
+    val good = GifCodec.encode(9, 7, s => (s * 13) % 256)
+    assert(GifCodec.decodeStats(good).isDefined)
+    assert(GifCodec.decodeStats(null).isEmpty)
+    assert(GifCodec.decodeStats(Array.emptyByteArray).isEmpty)
+    assert(GifCodec.decodeStats("not a gif at all".getBytes).isEmpty)
+    // every truncation point either fails cleanly or (before the image
+    // data) never returns stats — no throw, no hang
+    for (cut <- 1 until good.length by 7) {
+      GifCodec.decodeStats(good.take(cut)) // must not throw
+    }
+    // deterministic byte-flip fuzz across the whole payload
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 200) {
+      val m = good.clone()
+      m(rnd.nextInt(m.length)) = (rnd.nextInt(256)).toByte
+      GifCodec.decodeStats(m) // any result, but never a throw
+    }
+  }
+
   test("PngCodec.decodeStats rejects garbage, truncation, and unsupported layouts") {
     import graft.multimodal.PngCodec
     val good = PngCodec.encode(5, 5, 3, s => (s % 251).toInt)
