@@ -752,6 +752,41 @@ object SparkEntry {
       .orderBy("vec_id")
   }
 
+  private def dedupSemanticIngest(t: Tables): DataFrame = {
+    // incremental semantic near-dup ingest against the PERSISTED cell
+    // index (the embedding-space daily-crawl operator): the quantizer
+    // trains on the EXISTING corpus only and is frozen — the batch is
+    // assigned under it, never retrained — and the corpus cells are
+    // read back from the bucketed managed table semanticIndexBuild
+    // wrote, so the corpus side is read in place and only the batch
+    // shuffles. The twin replays candidates -> cap -> exact cosine
+    // from the companion cell dump, restricted to batch-touching
+    // pairs (id1 < batch bound, since id1 is the pair minimum).
+    val batch = t.embeddings.where(F.col("vec_id") < SemanticProbeIds)
+    val existing = t.embeddings.where(F.col("vec_id") >= SemanticProbeIds)
+    val table = "graft_sem_index_" + java.lang.Integer.toHexString(t.dir.hashCode)
+    val dir = java.nio.file.Files.createTempDirectory("semidx").toString
+    val cents = Ann.semanticIndexBuild(existing, "vec_id", "embedding",
+      table, s"$dir/centroids", nCells = SemanticNCells,
+      nProbe = SemanticNProbe)
+    Ann.semanticIngestPairs(batch, existing, t.spark.table(table), cents,
+      "vec_id", "embedding", SemanticTau, SemanticNProbe, SemanticCellCap)
+      .orderBy("id1", "id2")
+  }
+
+  private def dedupSemanticIngestCells(t: Tables): DataFrame = {
+    // companion dump for the ingest twin: existing UNION batch cells
+    // under the EXISTING-trained quantizer — deterministic training,
+    // so these are exactly the cells the ingest query used
+    val existing = t.embeddings.where(F.col("vec_id") >= SemanticProbeIds)
+    val cents = Ann.trainQuantizer(existing, "vec_id", "embedding",
+      nCells = SemanticNCells)
+    Ann.semanticCellsWith(t.embeddings, "vec_id", "embedding", cents,
+      SemanticNProbe)
+      .select(F.col("id").as("vec_id"), F.col("cell"))
+      .orderBy("vec_id", "cell")
+  }
+
   private def dedupSemanticRecall(t: Tables): DataFrame = {
     // cell-boundary loss, measured: truth = EXACT cosine pairs over
     // the deterministic probe slice (left endpoint id < 200 — O(probe
@@ -1508,6 +1543,8 @@ object SparkEntry {
       "dedup_semantic" -> q(dedupSemantic),
       "dedup_semantic_assign" -> q(dedupSemanticAssign),
       "dedup_semantic_recall" -> q(dedupSemanticRecall),
+      "dedup_semantic_ingest" -> q(dedupSemanticIngest),
+      "dedup_semantic_ingest_cells" -> q(dedupSemanticIngestCells),
       "dedup_simhash" -> q(dedupSimhash),
       "dedup_simhash_sig" -> q(dedupSimhashSig),
       "dedup_embedding_lsh" -> q(dedupEmbeddingLsh),

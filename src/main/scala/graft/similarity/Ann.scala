@@ -761,6 +761,125 @@ object Ann {
     semanticPairsFromCells(df, idCol, vecCol, cells, threshold, cellCap)
   }
 
+  /** The Lloyd-trained quantizer alone (deterministic: bounded
+    * hash-sampled training set, decimal mean accumulation) — public so
+    * an ingest pipeline can train once on the existing corpus and
+    * assign every future batch with the SAME centroids, and so a
+    * driver query and its oracle-companion dump can rebuild identical
+    * centroids independently.
+    */
+  def trainQuantizer(df: DataFrame, idCol: String, vecCol: String,
+                     nCells: Int = 16, iters: Int = 3,
+                     maxTrain: Int = 100000,
+                     rowCountHint: Option[Long] = None): Seq[Seq[Double]] =
+    trainCentroids(df.select(F.col(idCol).as("neighbor_id"),
+      F.col(vecCol).as("cv")), nCells, iters, maxTrain, rowCountHint)
+
+  /** Multi-probe cell assignment under a FIXED quantizer — the
+    * no-training half of [[semanticCells]], used per ingest batch
+    * (centroids come from the index, so batch cells are consistent
+    * with the stored corpus cells without retraining).
+    */
+  def semanticCellsWith(df: DataFrame, idCol: String, vecCol: String,
+                        cents: Seq[Seq[Double]], nProbe: Int): DataFrame = {
+    import graft.functions.HashExprs.topCells
+    df.select(F.col(idCol).as("id"),
+      F.explode(topCells(F.col(vecCol), cents, nProbe)).as("cell"))
+  }
+
+  /** Persisted semantic cell index (the SemDeDup ingest artifact):
+    * the corpus's multi-probe cell table written as a managed table
+    * BUCKETED+SORTED BY cell — the pair probe's join key — so a daily
+    * embedding batch band-probes the corpus side read in place (no
+    * corpus shuffle, no reassignment), plus the centroid matrix to
+    * `centroidPath` so future batches are assigned under the SAME
+    * quantizer. Returns the centroids for immediate use.
+    */
+  def semanticIndexBuild(corpus: DataFrame, idCol: String, vecCol: String,
+                         table: String, centroidPath: String,
+                         nCells: Int = 16, nProbe: Int = 4, iters: Int = 3,
+                         maxTrain: Int = 100000, nBuckets: Int = 16,
+                         rowCountHint: Option[Long] = None): Seq[Seq[Double]] = {
+    val cents = trainQuantizer(corpus, idCol, vecCol, nCells, iters,
+      maxTrain, rowCountHint)
+    graft.sources.Sources.writeBucketedMulti(
+      semanticCellsWith(corpus, idCol, vecCol, cents, nProbe),
+      table, bucketBy = Seq("cell"), nBuckets = nBuckets,
+      sortBy = Seq("cell"))
+    val spark = corpus.sparkSession
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      cents.zipWithIndex.map { case (c, i) =>
+        org.apache.spark.sql.Row(i, c) }.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cell",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("centroid",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType), nullable = false))))
+      .coalesce(1).write.mode("overwrite").parquet(centroidPath)
+    cents
+  }
+
+  /** Incremental semantic near-dup ingest — [[semanticPairs]] for the
+    * daily-batch regime: all cosine pairs >= threshold TOUCHING the
+    * incoming batch (batch x (existing UNION batch)), with candidates
+    * from the batch's cells (assigned under the index's FIXED
+    * quantizer) probing the persisted corpus cell table unioned with
+    * the batch's own. The batch side is the probe, so existing x
+    * existing pairs are never regenerated; existing VECTORS are
+    * touched only to verify candidate ids (semi-join pushes the id
+    * set into the scan). cellCap applies to the COMBINED cell
+    * occupancy, mirroring the inline operator.
+    */
+  def semanticIngestPairs(incoming: DataFrame, existing: DataFrame,
+                          existingCells: DataFrame,
+                          cents: Seq[Seq[Double]],
+                          idCol: String, vecCol: String,
+                          threshold: Double, nProbe: Int,
+                          cellCap: Option[Long] = None): DataFrame = {
+    val batchCells =
+      semanticCellsWith(incoming, idCol, vecCol, cents, nProbe).persist()
+    val allCells = existingCells.select("id", "cell").unionAll(batchCells)
+    val (keptAll, keptBatch) = cellCap match {
+      case None => (allCells, batchCells)
+      case Some(cap) =>
+        // cap on the COMBINED occupancy; the over-cap set is
+        // heavy-hitter-few (<= rows/cap) and AQE picks the strategy
+        val over = allCells.groupBy("cell")
+          .agg(F.count(F.lit(1)).as("cn")).where(F.col("cn") > cap)
+          .select("cell")
+        (allCells.join(over, Seq("cell"), "left_anti"),
+          batchCells.join(over, Seq("cell"), "left_anti"))
+    }
+    val cands = keptBatch.as("a").join(keptAll.as("b"), Seq("cell"))
+      .where(F.col("a.id") =!= F.col("b.id"))
+      .select(F.least(F.col("a.id"), F.col("b.id")).as("id1"),
+        F.greatest(F.col("a.id"), F.col("b.id")).as("id2"))
+      .distinct()
+      .persist()
+    val corpus = existing.select(F.col(idCol).as("__vid"), F.col(vecCol).as("__v"))
+      .unionAll(incoming.select(F.col(idCol), F.col(vecCol)))
+    val candIds = cands
+      .select(F.explode(F.array(F.col("id1"), F.col("id2"))).as("__cid"))
+      .distinct()
+    // dedup AFTER the semi-join (candidate-sized): absorbs duplicate
+    // corpus rows from an at-least-once re-appended batch
+    val candVecs = corpus.join(candIds, F.col("__vid") === F.col("__cid"), "left_semi")
+      .dropDuplicates("__vid")
+    val v1 = candVecs.select(F.col("__vid").as("id1"), F.col("__v").as("v1"))
+    val v2 = candVecs.select(F.col("__vid").as("id2"), F.col("__v").as("v2"))
+    val out = cands.join(v1, "id1").join(v2, "id2")
+      .withColumn("sim", cosine(F.col("v1"), F.col("v2")))
+      .where(F.col("sim") >= threshold)
+      .select(F.col("id1"), F.col("id2"), F.round(F.col("sim"), 6).as("similarity"))
+      .persist()
+    out.count()
+    batchCells.unpersist()
+    cands.unpersist()
+    out
+  }
+
   /** Pair generation + exact verify over a PRECOMPUTED (id, cell)
     * table — split out so a wired query can dump the very cell table
     * its oracle twin replays (the materialized-signature trick), and

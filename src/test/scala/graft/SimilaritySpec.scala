@@ -270,6 +270,32 @@ class SimilaritySpec extends SparkSpec {
     assert(loose == uncapped)
   }
 
+  test("semanticIngestPairs equals the frozen-quantizer inline join on batch-touching pairs") {
+    val batch = corpus.where($"vec_id" < 40)
+    val existing = corpus.where($"vec_id" >= 40)
+    // frozen quantizer: trained on EXISTING only, like the index build
+    val cents = Ann.trainQuantizer(existing, "vec_id", "embedding", nCells = 8)
+    val cells = Ann.semanticCellsWith(corpus, "vec_id", "embedding", cents, nProbe = 2)
+    val inline = Ann.semanticPairsFromCells(corpus, "vec_id", "embedding",
+      cells, threshold = 0.9)
+      .where($"id1" < 40) // id1 = pair minimum, so this is "touching"
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val ingest = Ann.semanticIngestPairs(batch, existing,
+      Ann.semanticCellsWith(existing, "vec_id", "embedding", cents, nProbe = 2),
+      cents, "vec_id", "embedding", threshold = 0.9, nProbe = 2)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(inline.nonEmpty, "split must produce batch-touching pairs")
+    assert(ingest == inline,
+      s"missed=${(inline -- ingest).size} extra=${(ingest -- inline).size}")
+    // re-appending the batch (at-least-once replay) must not change
+    // the verified pair set: duplicate corpus rows are absorbed
+    val replay = Ann.semanticIngestPairs(batch, existing.unionAll(batch),
+      Ann.semanticCellsWith(existing, "vec_id", "embedding", cents, nProbe = 2),
+      cents, "vec_id", "embedding", threshold = 0.9, nProbe = 2)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(replay == inline)
+  }
+
   test("lshTopK returns ranked exact-cosine results from probed buckets") {
     val q = corpus.where($"vec_id" < 5)
     val out = Ann.lshTopK(q, "vec_id", "embedding", corpus, "vec_id", "embedding",
