@@ -1216,6 +1216,17 @@ object SparkEntry {
       defaultWeight = 0.02, budgetTokens = 4000)
       .orderBy("source")
 
+  private def curateTemperature(t: Tables): DataFrame =
+    // multilingual alpha-sampling over the corpus's genuinely skewed
+    // language distribution (en ~0.41 vs de ~0.13): alpha=0.3 (mC4)
+    // flattens it; budget 20k tokens lands the languages at honestly
+    // DIFFERENT keep rates (some near or at 1.0 = upsampling, the
+    // high-resource head well below) at every SF
+    text.Curate.temperatureRates(t.documents, "lang", "text",
+      alpha = 0.3, budgetTokens = 20000)
+      .withColumnRenamed("group", "lang")
+      .orderBy("lang")
+
   private def curatePipeline(t: Tables): DataFrame =
     // the full curation chain (quality -> dedup -> pack) as one plan
     // over one corpus scan — asserted in PlanSpec; same thresholds as
@@ -1582,6 +1593,7 @@ object SparkEntry {
       "curate_pack" -> q(curatePack),
       "curate_pipeline" -> q(curatePipeline),
       "curate_mix" -> q(curateMix),
+      "curate_temperature" -> q(curateTemperature),
       "curate_chunks" -> q(curateChunks),
       "curate_split" -> q(curateSplit),
       "curate_gopher" -> q(curateGopher),

@@ -539,6 +539,55 @@ object Curate {
           F.col("available_tokens").cast("double")), 6))
   }
 
+  /** Temperature-scaled mixture planning (multilingual alpha-sampling
+    * — Conneau & Lample NeurIPS'19 §3.1, XLM-R, mC4's alpha=0.3):
+    * sampling share q_i proportional to p_i^alpha where p_i is group
+    * i's natural token share — alpha < 1 flattens the distribution,
+    * upsampling low-resource groups. Per group: available tokens, the
+    * natural and temperature shares, the token target under `budget`,
+    * the per-doc keep rate (capped at 1), and the effective epoch
+    * count (> 1 = the group repeats — the upsampling the papers
+    * report).
+    *
+    * Cross-engine numeric policy: pow() is the one op whose last ulp
+    * can differ between libm implementations, so its result is
+    * rounded to 9 decimals and then cast to DECIMAL — making the
+    * normalizing sum EXACT and order-free (double summation order
+    * would otherwise differ between engines). Shares divide the
+    * decimals back in double with identical casts on both sides.
+    * One aggregate per group + two one-row/window re-aggregates —
+    * group cardinality (languages, sources) is tiny at any corpus
+    * scale, so the unpartitioned window is driver-cheap.
+    */
+  def temperatureRates(df: DataFrame, groupCol: String, textCol: String,
+                       alpha: Double, budgetTokens: Long): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "alpha in (0, 1]")
+    require(budgetTokens >= 0, "budgetTokens >= 0")
+    val avail = df.select(F.col(groupCol).as("group"),
+        F.size(TextOps.tokens(F.col(textCol))).cast("long").as("__nt"))
+      .groupBy("group").agg(F.sum("__nt").as("available_tokens"))
+    val tot = avail.agg(F.sum("available_tokens").as("__tot"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    val shareD = F.col("__w").cast("double") / F.col("__totw").cast("double")
+    avail.crossJoin(tot)
+      .withColumn("__p",
+        F.col("available_tokens").cast("double") / F.col("__tot").cast("double"))
+      .withColumn("__w",
+        F.round(F.pow(F.col("__p"), F.lit(alpha)), 9).cast("decimal(22,12)"))
+      .withColumn("__totw", F.sum("__w").over(w))
+      .withColumn("target_tokens",
+        F.floor(shareD * F.lit(budgetTokens.toDouble)).cast("long"))
+      .select(F.col("group"), F.col("available_tokens"),
+        F.round(F.col("__p"), 6).as("natural_share"),
+        F.round(shareD, 6).as("temp_share"),
+        F.col("target_tokens"),
+        F.round(F.least(F.lit(1.0),
+          F.col("target_tokens").cast("double") /
+            F.col("available_tokens").cast("double")), 6).as("rate"),
+        F.round(F.col("target_tokens").cast("double") /
+          F.col("available_tokens").cast("double"), 6).as("epochs"))
+  }
+
   /** End-to-end curation pipeline — quality filter -> exact dedup ->
     * deterministic shard + sequence packing — composed in ONE plan
     * over ONE corpus scan, returning the per-(shard, pack) report a

@@ -409,4 +409,29 @@ class CurateSpec extends SparkSpec {
       ("srcB", 4L, 8L, 1.0),
       ("srcC", 6L, 2L, math.rint(2.0 / 6.0 * 1e6) / 1e6)), s"got $out")
   }
+
+  test("temperatureRates: alpha=1 reproduces natural shares, alpha<1 flattens toward uniform") {
+    // three groups with 8:2:1 token skew ("w" repeated per doc)
+    val docs = Seq.tabulate(11)(i =>
+      (i.toLong, if (i < 8) "g0" else if (i < 10) "g1" else "g2", "w w w w"))
+      .toDF("id", "grp", "text")
+    val at1 = Curate.temperatureRates(docs, "grp", "text", alpha = 1.0,
+        budgetTokens = 22)
+      .select("group", "natural_share", "temp_share")
+      .as[(String, Double, Double)].collect().sortBy(_._1)
+    at1.foreach { case (g, p, q) =>
+      assert(math.abs(p - q) < 1e-6, s"$g: alpha=1 must leave shares unchanged") }
+    val at3 = Curate.temperatureRates(docs, "grp", "text", alpha = 0.3,
+        budgetTokens = 22)
+      .select("group", "natural_share", "temp_share", "epochs")
+      .as[(String, Double, Double, Double)].collect().sortBy(_._1).toSeq
+    val byG = at3.map(r => r._1 -> r).toMap
+    // the head compresses, the tail expands, ordering is preserved
+    assert(byG("g0")._3 < byG("g0")._2, "high-resource share must shrink")
+    assert(byG("g2")._3 > byG("g2")._2, "low-resource share must grow")
+    assert(byG("g0")._3 > byG("g1")._3 && byG("g1")._3 > byG("g2")._3,
+      "flattening must not reorder groups")
+    // low-resource upsampling: g2's effective epochs exceed the head's
+    assert(byG("g2")._4 > byG("g0")._4)
+  }
 }

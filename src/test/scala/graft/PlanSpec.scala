@@ -141,7 +141,10 @@ class PlanSpec extends SparkSpec {
     "dedup_semantic_recall",
     // q11's scalar-subquery HAVING: the per-part aggregate crossJoins
     // its own ONE-ROW global re-aggregate (1-row broadcast)
-    "q11_important")
+    "q11_important",
+    // temperature mixing crossJoins the one-row token total into the
+    // tiny per-group frame (group cardinality = languages/sources)
+    "curate_temperature")
 
   test("no wired query plans a CartesianProduct; BNLJ only on bounded-broadcast baselines") {
     val withBnlj = scala.collection.mutable.Set[String]()
