@@ -1264,6 +1264,13 @@ object SparkEntry {
   private def eventsWindowAgg(t: Tables): DataFrame =
     Events.windowAgg(t.events).orderBy("hour_start_us", "event_type")
 
+  private def eventsSliding(t: Tables): DataFrame =
+    // 1h windows sliding by 15min: every event lands in exactly 4
+    // windows (epoch-aligned starts); the twin replays the explode as
+    // a 4-element unnest of slide-aligned starts
+    Events.slidingAgg(t.events, windowMin = 60, slideMin = 15)
+      .orderBy("window_start_us", "event_type")
+
   private def eventsSessionize(t: Tables): DataFrame =
     Events.sessionize(t.events, gapMinutes = 30)
       .orderBy("user_id", "session_start_us")
@@ -1607,6 +1614,7 @@ object SparkEntry {
       "events_outliers" -> q(eventsOutliers),
       "events_retention" -> q(eventsRetention),
       "events_window_agg" -> q(eventsWindowAgg),
+      "events_sliding" -> q(eventsSliding),
       "events_sessionize" -> q(eventsSessionize),
       "multimodal_meta" -> q(multimodalMeta),
       "multimodal_pixels" -> q(multimodalPixels),

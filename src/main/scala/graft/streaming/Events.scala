@@ -285,4 +285,44 @@ object Events {
         F.sum(F.col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
       .select(usOf(F.col("window.start")).as("hour_start_us"),
         F.col("event_type"), F.col("n_events"), F.col("sum_value"))
+
+  /** SLIDING-window aggregation (window length `windowMin`, slide
+    * `slideMin`): each event contributes to windowMin/slideMin
+    * overlapping windows — F.window's epoch-aligned explode shape,
+    * the standard rate/leaderboard metric. Same decimal-sum policy as
+    * [[windowAgg]]; the explode multiplies ROWS INTO THE SHUFFLE by
+    * the overlap factor (4 here), which is the operator's documented
+    * cost — the aggregation itself stays partial/map-side combined.
+    */
+  def slidingAgg(events: DataFrame, windowMin: Int = 60,
+                 slideMin: Int = 15): DataFrame = {
+    require(windowMin % slideMin == 0, "slide must divide window")
+    events
+      .select(F.window(F.col("ts"), s"$windowMin minutes", s"$slideMin minutes").as("w"),
+        F.col("event_type"), F.col("value").cast("decimal(18,6)").as("v"),
+        F.col("user_id"))
+      .groupBy("w", "event_type")
+      .agg(F.count(F.lit(1)).as("n_events"),
+        F.sum("v").cast("double").as("sum_value"),
+        F.countDistinct("user_id").as("n_users"))
+      .select(usOf(F.col("w.start")).as("window_start_us"),
+        F.col("event_type"), F.col("n_events"), F.col("sum_value"),
+        F.col("n_users"))
+  }
+
+  /** Structured Streaming twin of [[slidingAgg]] (no countDistinct —
+    * distinct users need a state store; streams report the additive
+    * aggregates, the batch form reports the full set).
+    */
+  def streamingSlidingAgg(stream: DataFrame, windowMin: Int = 60,
+                          slideMin: Int = 15,
+                          watermark: String = "2 hours"): DataFrame =
+    stream
+      .withWatermark("ts", watermark)
+      .groupBy(F.window(F.col("ts"), s"$windowMin minutes", s"$slideMin minutes"),
+        F.col("event_type"))
+      .agg(F.count(F.lit(1)).as("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .select(usOf(F.col("window.start")).as("window_start_us"),
+        F.col("event_type"), F.col("n_events"), F.col("sum_value"))
 }

@@ -409,4 +409,42 @@ class OperatorsSpec extends SparkSpec {
 
     assert(got == batch, s"streaming $got != batch $batch")
   }
+
+  test("streaming SLIDING window agg equals batch slidingAgg (MemoryStream)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val data = Seq(
+      ("2024-01-01 00:05:00", "click", 1.0, 7L),
+      ("2024-01-01 00:20:00", "click", 2.0, 8L),
+      ("2024-01-01 00:55:00", "view", 4.0, 7L),
+      ("2024-01-01 01:40:00", "click", 8.0, 9L)
+    ).map { case (t, ty, v, u) => (java.sql.Timestamp.valueOf(t), ty, v, u) }
+
+    val stream = MemoryStream[(java.sql.Timestamp, String, Double, Long)]
+    stream.addData(data: _*)
+    val streamed = Events.streamingSlidingAgg(
+      stream.toDF().toDF("ts", "event_type", "value", "user_id"),
+      watermark = "0 seconds")
+    val q = streamed.writeStream.format("memory")
+      .queryName("slide_agg").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      stream.addData((java.sql.Timestamp.valueOf("2024-01-01 09:00:00"), "sentinel", 0.0, 0L))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("slide_agg")
+      .select("window_start_us", "event_type", "n_events", "sum_value")
+      .as[(Long, String, Long, Double)].collect().toSet
+
+    val batch = Events.slidingAgg(
+      data.toDF("ts", "event_type", "value", "user_id"))
+      .select("window_start_us", "event_type", "n_events", "sum_value")
+      .as[(Long, String, Long, Double)].collect().toSet
+
+    assert(got == batch, s"streaming $got != batch $batch")
+    // every event must appear in exactly window/slide = 4 windows
+    val n = batch.toSeq.map(_._3).sum
+    assert(n == 4L * data.length, s"overlap factor: $n != ${4 * data.length}")
+  }
 }
