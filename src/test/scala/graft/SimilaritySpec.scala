@@ -296,6 +296,48 @@ class SimilaritySpec extends SparkSpec {
     assert(replay == inline)
   }
 
+  test("persisted semantic cell index: bucketed read, probe-only exchange, equals direct cells") {
+    val existing = corpus.where($"vec_id" >= 40)
+    val batch = corpus.where($"vec_id" < 40)
+    spark.sql("DROP TABLE IF EXISTS sem_cell_idx")
+    val loc = java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), "sem_cell_idx")
+    if (java.nio.file.Files.exists(loc))
+      java.nio.file.Files.walk(loc).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { java.nio.file.Files.delete(p); () })
+    val dir = java.nio.file.Files.createTempDirectory("semidx").toString
+    val cents = Ann.semanticIndexBuild(existing, "vec_id", "embedding",
+      "sem_cell_idx", s"$dir/centroids", nCells = 8, nProbe = 2, nBuckets = 4)
+    val loaded = spark.table("sem_cell_idx")
+    // stored cells equal a direct assignment under the same centroids
+    val direct = Ann.semanticCellsWith(existing, "vec_id", "embedding", cents, 2)
+      .as[(Long, Int)].collect().toSet
+    assert(loaded.as[(Long, Int)].collect().toSet == direct)
+    // the at-scale plan shape: with broadcast off, the cell join reads
+    // the index bucketed and exchanges only the batch side
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = loaded.join(
+        Ann.semanticCellsWith(batch, "vec_id", "embedding", cents, 2)
+          .withColumnRenamed("id", "bid"), Seq("cell"))
+        .queryExecution.executedPlan.toString
+      assert(p.contains("Bucketed: true"), s"index scan not bucket-aware:\n$p")
+      assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+        s"expected exactly one exchange (probe side only):\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    // ingest through the TABLE equals ingest through the direct cells
+    val viaTable = Ann.semanticIngestPairs(batch, existing, loaded, cents,
+      "vec_id", "embedding", threshold = 0.9, nProbe = 2)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val viaDirect = Ann.semanticIngestPairs(batch, existing,
+      Ann.semanticCellsWith(existing, "vec_id", "embedding", cents, 2), cents,
+      "vec_id", "embedding", threshold = 0.9, nProbe = 2)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(viaTable == viaDirect && viaTable.nonEmpty)
+    spark.sql("DROP TABLE sem_cell_idx")
+  }
+
   test("lshTopK returns ranked exact-cosine results from probed buckets") {
     val q = corpus.where($"vec_id" < 5)
     val out = Ann.lshTopK(q, "vec_id", "embedding", corpus, "vec_id", "embedding",
