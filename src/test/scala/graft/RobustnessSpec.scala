@@ -189,6 +189,46 @@ class RobustnessSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("round-8 third-session ops: degenerate inputs flow cleanly") {
+    import graft.multimodal.GifCodec
+    import graft.text.Curate
+    import graft.streaming.Events
+    import graft.dedup.Dedup
+    // semantic dedup on a tiny corpus (fewer rows than cells): trains
+    // on what exists, returns the exact pair set
+    val tiny = (0 until 6).map(i =>
+      (i.toLong, Seq.fill(8)(((i % 2) * 10 + 1).toFloat))).toDF("vec_id", "embedding")
+    val p = Ann.semanticPairs(tiny, "vec_id", "embedding", threshold = 0.99,
+      nCells = 16, nProbe = 16)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val exact = Ann.cosinePairs(tiny, "vec_id", "embedding", 0.99)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(p == exact && p.nonEmpty)
+    // keepBest with an EMPTY pair table: everyone survives as self
+    val m = Dedup.keepBest(tiny.toDF("doc_id", "v"), "doc_id",
+      Seq.empty[(Long, Long)].toDF("id1", "id2"),
+      tiny.select(F.col("vec_id").as("id"), F.lit(1).as("score")))
+      .as[(Long, Long)].collect()
+    assert(m.length == 6 && m.forall(r => r._1 == r._2))
+    // temperature rates: single group -> share 1.0 regardless of alpha
+    val one = Seq((1L, "g", "w w w")).toDF("id", "grp", "text")
+    val tr = Curate.temperatureRates(one, "grp", "text", 0.3, 10)
+      .select("temp_share").as[Double].head()
+    assert(tr == 1.0)
+    // sliding agg over zero events: empty, no failure
+    val noEv = Seq.empty[(java.sql.Timestamp, String, Double, Long)]
+      .toDF("ts", "event_type", "value", "user_id")
+    assert(Events.slidingAgg(noEv).count() == 0)
+    // GIF stats on junk rows through the sniffing decode path
+    val junk = Seq((1L, "GIF89a".getBytes), // header only, no image
+      (2L, null.asInstanceOf[Array[Byte]]),
+      (3L, GifCodec.encode(3, 2, _ => 7))).toDF("doc_id", "blob")
+    val stats = graft.multimodal.BinaryMeta.decodePixelStats(junk, "doc_id")
+      .orderBy("id").collect()
+    assert(stats.length == 3 && stats(0).isNullAt(1) && stats(1).isNullAt(1)
+      && !stats(2).isNullAt(1))
+  }
+
   test("property: winnowMins equals brute force on random arrays (seeded)") {
     val rnd = new Random(7)
     val cases = (0 until 30).map { _ =>
