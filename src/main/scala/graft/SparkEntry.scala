@@ -583,6 +583,23 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  private def asofJoinForward(t: Tables): DataFrame = {
+    // the FORWARD as-of: for each purchase, the NEXT click at or after
+    // it ("first quote after the trade") — same single-shuffle
+    // union-merge, the window frame flipped; DuckDB's native forward
+    // ASOF (<=) is the twin
+    val purchases = t.events.where(F.col("event_type") === "purchase")
+      .select(F.col("event_id"), F.col("user_id"), usOf(F.col("ts")).as("ts_us"))
+    val clicks = t.events.where(F.col("event_type") === "click")
+      .groupBy(F.col("user_id"), usOf(F.col("ts")).as("c_ts_us"))
+      .agg(F.max("event_id").as("next_click_id"))
+    AsOfJoin(purchases, clicks, key = "user_id",
+      leftTime = "ts_us", rightTime = "c_ts_us",
+      payload = Seq("next_click_id"), direction = "forward")
+      .select("event_id", "user_id", "ts_us", "next_click_id")
+      .orderBy("event_id")
+  }
+
   private def rangeJoinQ(t: Tables): DataFrame = {
     val hourUs = 3600L * 1000 * 1000
     val ev = t.events.select(F.col("event_id"), F.col("user_id"),
@@ -1548,6 +1565,7 @@ object SparkEntry {
       "q22_dormant" -> q(q22),
       "window_topn" -> q(windowTopn),
       "asof_join" -> q(asofJoin),
+      "asof_join_forward" -> q(asofJoinForward),
       "range_join" -> q(rangeJoinQ),
       "dedup_exact" -> q(dedupExact),
       "dedup_materialize" -> q(dedupMaterialize),

@@ -24,10 +24,17 @@ object AsOfJoin {
     * @param leftTime  event-time column (any orderable type) on left
     * @param rightTime event-time column on right
     * @param payload   right columns to attach (must not clash with left)
+    * @param direction "backward" (default — most recent right with
+    *        right.time <= left.time) or "forward" (next right with
+    *        right.time >= left.time, the "first quote after the
+    *        trade" variant); same single-shuffle union-merge either
+    *        way, only the window frame flips
     */
   def apply(left: DataFrame, right: DataFrame, key: String,
             leftTime: String, rightTime: String,
-            payload: Seq[String]): DataFrame = {
+            payload: Seq[String], direction: String = "backward"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      "direction is 'backward' or 'forward'")
     val leftCols = left.columns.toSeq
     val l = left
       .withColumn("_t", F.col(leftTime))
@@ -39,11 +46,24 @@ object AsOfJoin {
       .withColumn("_side", F.lit(0))
       .select((leftCols.map(c => if (c == key) F.col(key) else F.lit(null).cast(left.schema(c).dataType).as(c)) :+
         F.col("_t") :+ F.col("_side")) ++ payload.map(F.col): _*)
-    val w = Window.partitionBy(key).orderBy(F.col("_t").asc, F.col("_side").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payload.foldLeft(l.unionByName(r)) { (df, p) =>
-      df.withColumn(p, F.last(F.col(p), ignoreNulls = true).over(w))
-    }
+    val merged = l.unionByName(r)
+    val carried =
+      if (direction == "backward") {
+        // right rows sort BEFORE left on equal time -> "<=" inclusive
+        val w = Window.partitionBy(key).orderBy(F.col("_t").asc, F.col("_side").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        payload.foldLeft(merged) { (df, p) =>
+          df.withColumn(p, F.last(F.col(p), ignoreNulls = true).over(w))
+        }
+      } else {
+        // left rows sort BEFORE right on equal time, and the frame
+        // looks ahead -> ">=" inclusive
+        val w = Window.partitionBy(key).orderBy(F.col("_t").asc, F.col("_side").desc)
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        payload.foldLeft(merged) { (df, p) =>
+          df.withColumn(p, F.first(F.col(p), ignoreNulls = true).over(w))
+        }
+      }
     carried.where(F.col("_side") === 1).drop("_t", "_side")
   }
 }

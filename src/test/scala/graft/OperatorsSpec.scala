@@ -22,6 +22,16 @@ class OperatorsSpec extends SparkSpec {
     assert(out(2L).contains("b"), "latest right row before left time wins")
     assert(out(3L).isEmpty, "right row after left time is invisible")
     assert(out(4L).isEmpty, "key with no right rows stays null")
+    // FORWARD direction on the same data: the mirror-image contract
+    val fwd = AsOfJoin(left, right, key = "user_id",
+      leftTime = "ts_us", rightTime = "r_ts", payload = Seq("payload"),
+      direction = "forward")
+      .select("event_id", "payload").as[(Long, Option[String])]
+      .collect().toMap
+    assert(fwd(1L).contains("a"), "equal timestamps match (>= semantics)")
+    assert(fwd(2L).isEmpty, "no right row at or after 205")
+    assert(fwd(3L).contains("c"), "next right row after left time wins")
+    assert(fwd(4L).isEmpty, "key with no right rows stays null")
   }
 
   test("bucketized range join equals the naive inequality join") {
