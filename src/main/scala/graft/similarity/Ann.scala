@@ -412,8 +412,7 @@ object Ann {
                     queries: DataFrame, qId: String, qVec: String,
                     k: Int, nProbe: Int = 3): DataFrame = {
     import graft.functions.HashExprs.topCells
-    val cents: Seq[Seq[Double]] = spark.read.parquet(s"$path/centroids")
-      .orderBy("cell").collect().map(_.getSeq[Double](1).toSeq).toSeq
+    val cents = readCentroids(spark, s"$path/centroids")
     val probed = queries
       .select(F.explode(topCells(F.col(qVec), cents, nProbe)).as("cell"))
       .distinct().collect().map(_.getInt(0)).toSeq
@@ -806,7 +805,16 @@ object Ann {
       semanticCellsWith(corpus, idCol, vecCol, cents, nProbe),
       table, bucketBy = Seq("cell"), nBuckets = nBuckets,
       sortBy = Seq("cell"))
-    val spark = corpus.sparkSession
+    writeCentroids(corpus.sparkSession, cents, centroidPath)
+    cents
+  }
+
+  /** The (cell, centroid) matrix as a one-file parquet — shared by the
+    * batch index build and the streaming bootstrap; read back with
+    * [[readCentroids]].
+    */
+  def writeCentroids(spark: org.apache.spark.sql.SparkSession,
+                     cents: Seq[Seq[Double]], path: String): Unit = {
     import scala.jdk.CollectionConverters._
     spark.createDataFrame(
       cents.zipWithIndex.map { case (c, i) =>
@@ -817,9 +825,13 @@ object Ann {
         org.apache.spark.sql.types.StructField("centroid",
           org.apache.spark.sql.types.ArrayType(
             org.apache.spark.sql.types.DoubleType), nullable = false))))
-      .coalesce(1).write.mode("overwrite").parquet(centroidPath)
-    cents
+      .coalesce(1).write.mode("overwrite").parquet(path)
   }
+
+  def readCentroids(spark: org.apache.spark.sql.SparkSession,
+                    path: String): Seq[Seq[Double]] =
+    spark.read.parquet(path)
+      .orderBy("cell").collect().map(_.getSeq[Double](1).toSeq).toSeq
 
   /** Incremental semantic near-dup ingest — [[semanticPairs]] for the
     * daily-batch regime: all cosine pairs >= threshold TOUCHING the

@@ -114,4 +114,84 @@ object StreamingDedup {
         sortBy = Seq("band", "key"), mode = SaveMode.Append)
     }.start()
   }
+
+  /** Bootstrap for the SEMANTIC streaming ingest: trains the coarse
+    * quantizer ONCE on the initial corpus and freezes it (writes the
+    * centroid matrix to `centroidPath`) — the defining property of an
+    * online semantic index: every future batch is assigned under the
+    * bootstrap centroids, because retraining would silently invalidate
+    * every stored cell. The initial corpus must be NON-empty (a
+    * quantizer needs training vectors); re-bootstrap offline when
+    * drift warrants new centroids, rewriting the cell table with them.
+    * Tables carry the same `ingest_batch` lineage as the text loop.
+    */
+  def semanticBootstrap(initial: DataFrame, corpusTable: String,
+                        cellTable: String, centroidPath: String,
+                        idCol: String, vecCol: String,
+                        nCells: Int, nProbe: Int, iters: Int = 3,
+                        maxTrain: Int = 100000,
+                        nBuckets: Int = 16): Seq[Seq[Double]] = {
+    require(initial.limit(1).count() > 0,
+      "semantic bootstrap needs a non-empty initial corpus to train the quantizer")
+    import graft.similarity.Ann
+    val spark = initial.sparkSession
+    if (!spark.catalog.tableExists(corpusTable))
+      graft.sources.Sources.deleteStaleTableLocation(spark, corpusTable)
+    initial.select(F.col(idCol), F.col(vecCol))
+      .withColumn("ingest_batch", F.lit(-1L))
+      .write.mode(SaveMode.Overwrite).saveAsTable(corpusTable)
+    val cents = Ann.trainQuantizer(initial, idCol, vecCol, nCells, iters, maxTrain)
+    graft.sources.Sources.writeBucketedMulti(
+      Ann.semanticCellsWith(initial, idCol, vecCol, cents, nProbe)
+        .withColumn("ingest_batch", F.lit(-1L)),
+      cellTable, bucketBy = Seq("cell"), nBuckets = nBuckets,
+      sortBy = Seq("cell"))
+    Ann.writeCentroids(spark, cents, centroidPath)
+    cents
+  }
+
+  /** Streaming twin of the SEMANTIC incremental ingest
+    * ([[graft.similarity.Ann.semanticIngestPairs]]): per micro-batch,
+    * assign the batch under the FROZEN bootstrap quantizer, probe the
+    * persisted cell table (prior batches only — `ingest_batch <
+    * batchId`), exact-verify, hand the cosine pairs to `sink`, then
+    * append the batch's vectors and cells so the next batch sees
+    * them. Same at-least-once story as [[nearDupIngest]] (lineage
+    * probe, read-time duplicate absorption, idempotent sink per
+    * batchId) and the same checkpoint requirement.
+    */
+  def semanticIngest(stream: DataFrame, corpusTable: String,
+                     cellTable: String, centroidPath: String,
+                     idCol: String, vecCol: String,
+                     threshold: Double, nProbe: Int,
+                     cellCap: Option[Long] = None,
+                     nBuckets: Int = 16,
+                     checkpointDir: Option[String] = None)
+                    (sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    import graft.similarity.Ann
+    val writer = stream.writeStream
+    checkpointDir.foreach(writer.option("checkpointLocation", _))
+    writer.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+      val spark: SparkSession = batch.sparkSession
+      val cents = Ann.readCentroids(spark, centroidPath)
+      val existing = spark.table(corpusTable)
+        .where(F.col("ingest_batch") < batchId)
+        .select(idCol, vecCol)
+      val cells = spark.table(cellTable)
+        .where(F.col("ingest_batch") < batchId)
+        .select("id", "cell")
+      val pairs = Ann.semanticIngestPairs(batch.toDF(), existing, cells,
+        cents, idCol, vecCol, threshold, nProbe, cellCap)
+      sink(pairs, batchId)
+      pairs.unpersist()
+      batch.select(F.col(idCol), F.col(vecCol))
+        .withColumn("ingest_batch", F.lit(batchId))
+        .write.mode(SaveMode.Append).saveAsTable(corpusTable)
+      graft.sources.Sources.writeBucketedMulti(
+        Ann.semanticCellsWith(batch.toDF(), idCol, vecCol, cents, nProbe)
+          .withColumn("ingest_batch", F.lit(batchId)),
+        cellTable, bucketBy = Seq("cell"), nBuckets = nBuckets,
+        sortBy = Seq("cell"), mode = SaveMode.Append)
+    }.start()
+  }
 }

@@ -381,6 +381,60 @@ class OperatorsSpec extends SparkSpec {
     assert(kept == Set(11L), s"got $kept")
   }
 
+  test("streaming SEMANTIC ingest: batches probe prior batches under the frozen quantizer") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingDedup
+    implicit val sq = spark.sqlContext
+    for (t <- Seq("stream_sem_corpus", "stream_sem_cells")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = java.nio.file.Paths.get(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      if (java.nio.file.Files.exists(loc))
+        java.nio.file.Files.walk(loc).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => { java.nio.file.Files.delete(p); () })
+    }
+    def vec(seed: Int): Seq[Float] =
+      Seq.tabulate(8)(j => (seed * 10 + j).toFloat)
+    // initial corpus: two well-separated directions
+    val initial = Seq((100L, vec(1)), (101L, vec(5))).toDF("vec_id", "embedding")
+    val cdir = java.nio.file.Files.createTempDirectory("sem_cents").toString
+    StreamingDedup.semanticBootstrap(initial, "stream_sem_corpus",
+      "stream_sem_cells", s"$cdir/centroids", "vec_id", "embedding",
+      nCells = 2, nProbe = 2, nBuckets = 2)
+    val perBatch = scala.collection.mutable.Map[Long, Set[(Long, Long)]]()
+    val stream = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingDedup.semanticIngest(
+      stream.toDF().toDF("vec_id", "embedding"),
+      "stream_sem_corpus", "stream_sem_cells", s"$cdir/centroids",
+      "vec_id", "embedding", threshold = 0.999, nProbe = 2, nBuckets = 2,
+      checkpointDir = Some(java.nio.file.Files
+        .createTempDirectory("stream_sem_ckpt").toString)) { (pairs, batchId) =>
+      perBatch.synchronized {
+        perBatch(batchId) = pairs.select("id1", "id2")
+          .as[(Long, Long)].collect().toSet
+      }
+    }
+    try {
+      // batch 0: one vector parallel to corpus doc 100, one orthogonal-ish
+      stream.addData((10L, vec(1).map(_ * 2)), (11L, vec(9)))
+      q.processAllAvailable()
+      // batch 1: parallel to batch 0's 11 — found via the APPENDED cells
+      stream.addData((20L, vec(9).map(_ * 3)))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(perBatch(0L).contains((10L, 100L)),
+      s"batch0 must pair with the bootstrap corpus: ${perBatch.get(0L)}")
+    assert(perBatch(1L).contains((11L, 20L)),
+      s"batch1 must pair with batch0 via the appended cells: ${perBatch.get(1L)}")
+    assert(!perBatch(1L).contains((10L, 100L)),
+      "prior existing pairs are not re-emitted")
+    assert(spark.table("stream_sem_corpus").count() == 5)
+    assert(spark.table("stream_sem_cells").select("ingest_batch")
+      .as[Long].collect().toSet == Set(-1L, 0L, 1L))
+    for (t <- Seq("stream_sem_corpus", "stream_sem_cells"))
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("streaming window agg equals batch window agg (MemoryStream)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq = spark.sqlContext
