@@ -1348,6 +1348,20 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  private def multimodalFeatures(t: Tables): DataFrame =
+    // REAL image features (r8): 2x2 mean-pool over the DECODED PNG
+    // raster, emitted in the pre-normalization integer form (pixel
+    // count + channel-sample sum per grid cell) so the twin recomputes
+    // the pooling arithmetic from the closed-form samples exactly —
+    // parity proves raster decode AND correct cell binning; the
+    // float vector form (pooledVector) feeds the ANN suite (spec'd)
+    BinaryMeta.extractPooledFeatures(
+      BinaryMeta.syntheticPngBlobs(t.documents.select("doc_id"), "doc_id"),
+      "id", gy = 2, gx = 2)
+      .select(F.col("id").as("doc_id"), F.col("cy"), F.col("cx"),
+        F.col("n_px"), F.col("n_samples"), F.col("sum_val"))
+      .orderBy("doc_id", "cy", "cx")
+
   private def multimodalVideo(t: Tables): DataFrame = {
     // REAL video frame sampling (r8): each document gets an actual
     // RIFF('AVI ') container with uncompressed 24-bit DIB frames and
@@ -1637,6 +1651,7 @@ object SparkEntry {
       "multimodal_meta" -> q(multimodalMeta),
       "multimodal_pixels" -> q(multimodalPixels),
       "multimodal_gif" -> q(multimodalGif),
+      "multimodal_features" -> q(multimodalFeatures),
       "multimodal_resize" -> q(multimodalResize),
       "multimodal_audio" -> q(multimodalAudio),
       "multimodal_audio_seg" -> q(multimodalAudioSeg),

@@ -97,6 +97,99 @@ object BinaryMeta {
       }(enc)
   }
 
+  /** REAL image feature extraction from the DECODED raster (PNG or
+    * GIF via the sniffing decode): the image is mean-pooled onto a
+    * gy x gx grid — pixel (x, y) lands in cell (y*gy/h, x*gx/w),
+    * integer floor — and each non-empty cell emits its EXACT integer
+    * pixel count and channel-sample sum, the pre-normalization form
+    * of the pooled feature vector (mean = sum / (n_px * channels)).
+    * Integer sums make the arithmetic oracle exact; [[pooledVector]]
+    * turns the same rows into the array<float> the ANN suite eats.
+    * This replaces the hashed-byte stand-in for every format the
+    * pixel codecs cover — the learned-encoder path (a model) is the
+    * part that genuinely needs external weights.
+    */
+  def extractPooledFeatures(df: DataFrame, idCol: String,
+                            gy: Int = 4, gx: Int = 4): DataFrame = {
+    require(gy >= 1 && gx >= 1, "grid dims >= 1")
+    val out = StructType(Seq(
+      StructField("id", LongType),
+      StructField("cy", IntegerType),
+      StructField("cx", IntegerType),
+      StructField("n_px", LongType),
+      StructField("n_samples", LongType),
+      StructField("sum_val", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(out)
+    df.select(F.col(idCol).cast("long").as("id"), F.col("blob"))
+      .mapPartitions { rows =>
+        rows.grouped(64).flatMap(_.flatMap { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val isGif = bytes != null && bytes.length >= 3 &&
+            bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F'
+          val raster: Option[PngCodec.Pixels] =
+            if (isGif) GifCodec.decodeIndexed(bytes).map { case (w, h, pal, idx) =>
+              // palette-expand to an RGB raster so both formats share
+              // the pooling path
+              val data = new Array[Byte](idx.length * 3)
+              var i = 0
+              while (i < idx.length) {
+                val p = (idx(i) & 0xff) * 3
+                data(i * 3) = pal(p); data(i * 3 + 1) = pal(p + 1)
+                data(i * 3 + 2) = pal(p + 2)
+                i += 1
+              }
+              PngCodec.Pixels(w, h, 3, data)
+            }
+            else PngCodec.decodePixels(bytes)
+          raster match {
+            case None => Seq.empty[Row]
+            case Some(px) =>
+              val n = new Array[Long](gy * gx)
+              val s = new Array[Long](gy * gx)
+              var y = 0
+              while (y < px.height) {
+                val cy = y * gy / px.height
+                var x = 0
+                while (x < px.width) {
+                  val cell = cy * gx + x * gx / px.width
+                  n(cell) += 1
+                  var c = 0
+                  while (c < px.channels) {
+                    s(cell) += px.sample(x, y, c); c += 1
+                  }
+                  x += 1
+                }
+                y += 1
+              }
+              (0 until gy * gx).filter(n(_) > 0).map(cell =>
+                Row(id, cell / gx, cell % gx, n(cell),
+                  n(cell) * px.channels, s(cell)))
+          }
+        })
+      }(enc)
+  }
+
+  /** The [[extractPooledFeatures]] rows folded into one dense
+    * array<float> per image (cells in (cy, cx) row-major order, mean
+    * sample value per cell, empty cells 0f) — the real-feature drop-in
+    * for [[extractFeaturesStub]]'s output shape, ready for the ANN /
+    * pair suite. Channel-count-free: the mean divides by the emitted
+    * sample count, so gray and RGB images mix in one corpus.
+    */
+  def pooledVector(pooled: DataFrame, gy: Int = 4, gx: Int = 4): DataFrame =
+    pooled
+      .select(F.col("id"), (F.col("cy") * gx + F.col("cx")).as("cell"),
+        (F.col("sum_val").cast("double") /
+          F.col("n_samples").cast("double")).as("mean"))
+      .groupBy("id")
+      .agg(F.map_from_entries(F.collect_list(F.struct(F.col("cell"), F.col("mean"))))
+        .as("__m"))
+      .select(F.col("id"),
+        F.transform(F.sequence(F.lit(0), F.lit(gy * gx - 1)),
+          i => F.coalesce(F.element_at(F.col("__m"), i), F.lit(0.0)).cast("float"))
+          .as("feature"))
+
   /** Synthetic image blob with REAL container headers: (width, height)
     * encoded into a minimal PNG (signature + IHDR), GIF89a (logical
     * screen descriptor), or JPEG (SOI + JFIF APP0 + SOF0 + EOI) byte

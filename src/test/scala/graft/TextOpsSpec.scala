@@ -239,6 +239,34 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("pooled features: cell sums reconcile with whole-image stats; vectors feed ANN") {
+    import graft.multimodal.{BinaryMeta, PngCodec}
+    val ids = (0L until 24L).toDF("doc_id")
+    val blobs = BinaryMeta.syntheticPngBlobs(ids, "doc_id").persist()
+    val pooled = BinaryMeta.extractPooledFeatures(blobs, "id", gy = 2, gx = 2).persist()
+    // per image: cell pixel counts sum to w*h and cell sums to the
+    // whole-image sample sum (the decodeStats cross-check)
+    val byImage = pooled.groupBy("id")
+      .agg(F.sum("n_px").as("n"), F.sum("sum_val").as("s"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    blobs.collect().foreach { r =>
+      val id = r.getLong(0)
+      val st = PngCodec.decodeStats(r.getAs[Array[Byte]](1)).get
+      assert(byImage(id)._1 == st.width.toLong * st.height, s"pixel count for $id")
+      assert(byImage(id)._2 == st.sumVal, s"sample sum for $id")
+    }
+    // the dense vector form is ANN-ready: identical images (same dims,
+    // same closed form) give cosine-1 self-similar top matches
+    val vecs = BinaryMeta.pooledVector(pooled, gy = 2, gx = 2)
+    assert(vecs.count() == 24)
+    val top = graft.similarity.Ann.cosineTopK(
+      vecs.where(F.col("id") < 2).withColumnRenamed("feature", "embedding"),
+      "id", "embedding",
+      vecs.withColumnRenamed("feature", "embedding"), "id", "embedding", k = 3)
+    assert(top.where(F.col("rank") === 1).count() == 2)
+    blobs.unpersist(); pooled.unpersist()
+  }
+
   test("PngCodec.decodeStats rejects garbage, truncation, and unsupported layouts") {
     import graft.multimodal.PngCodec
     val good = PngCodec.encode(5, 5, 3, s => (s % 251).toInt)
