@@ -1260,6 +1260,13 @@ object SparkEntry {
     text.Curate.topTokens(t.documents, "lang", "text", k = 10)
       .orderBy("lang", "rank")
 
+  private def corpusBigrams(t: Tables): DataFrame =
+    // collocation mining: per-language top bigrams via the same
+    // partial-top-k aggregate as corpus_vocab (never a full per-group
+    // sort), bigram explode shared with the dedup shingle kernels
+    text.Curate.topNgrams(t.documents, "lang", "text", ngram = 2, k = 10)
+      .orderBy("lang", "rank")
+
   private def dedupCrossSource(t: Tables): DataFrame =
     // provenance: which sources near-duplicate each other — the signal
     // behind source mixing weights; rides on the same PPJoin pipeline
@@ -1640,6 +1647,7 @@ object SparkEntry {
       "dedup_paragraphs" -> q(dedupParagraphs),
       "curate_take" -> q(curateTake),
       "corpus_vocab" -> q(corpusVocab),
+      "corpus_bigrams" -> q(corpusBigrams),
       "dedup_cross_source" -> q(dedupCrossSource),
       "events_json" -> q(eventsJson),
       "events_funnel" -> q(eventsFunnel),

@@ -653,15 +653,29 @@ object Curate {
     * sort — a single-partition sort of billions of rows at web-corpus
     * scale. Deterministic tie-break (count desc, token asc).
     */
-  def topTokens(df: DataFrame, groupCol: String, textCol: String, k: Int): DataFrame = {
-    val counts = df
-      .select(F.col(groupCol), F.explode(TextOps.tokens(F.col(textCol))).as("tok"))
+  def topTokens(df: DataFrame, groupCol: String, textCol: String, k: Int): DataFrame =
+    topKTail(df
+      .select(F.col(groupCol), F.explode(TextOps.tokens(F.col(textCol))).as("tok")),
+      groupCol, k)
+
+  /** Per-group top-k word n-grams by count (collocation mining — the
+    * n-gram generalization of [[topTokens]], same two-shuffle partial
+    * top-k shape; n-gram explode multiplies rows by ~tokens-per-doc,
+    * identical to the dedup shingle pipelines).
+    */
+  def topNgrams(df: DataFrame, groupCol: String, textCol: String,
+                ngram: Int, k: Int): DataFrame =
+    topKTail(df
+      .select(F.col(groupCol),
+        F.explode(TextOps.shingles(TextOps.tokens(F.col(textCol)), ngram)).as("tok")),
+      groupCol, k)
+
+  private def topKTail(exploded: DataFrame, groupCol: String, k: Int): DataFrame =
+    exploded
       .groupBy(F.col(groupCol), F.col("tok")).agg(F.count(F.lit(1)).as("n"))
-    counts
       .groupBy(F.col(groupCol))
       .agg(graft.functions.TopKCountAgg.topKByCount(F.col("n"), F.col("tok"), k).as("__tk"))
       .select(F.col(groupCol), F.posexplode(F.col("__tk")))
       .select(F.col(groupCol), F.col("col.key").as("tok"), F.col("col.n").as("n"),
         (F.col("pos") + 1).cast("long").as("rank"))
-  }
 }
