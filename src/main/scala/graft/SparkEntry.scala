@@ -1151,6 +1151,19 @@ object SparkEntry {
         F.element_at(F.col("fp"), 1).as("fp_min"))
       .orderBy("doc_id")
 
+  private def docFingerprintHashes(t: Tables): DataFrame =
+    // positional shingle-hash dump — the materialized evidence the
+    // doc_fingerprint twin recomputes the winnowing from (rows-only
+    // itself: a hash-kernel dump, the simhash_sig pattern): the twin
+    // replays the sliding-window minima, the short-document global-min
+    // rule, and the sorted-distinct fingerprint set entirely in SQL,
+    // leaving only the rolling-hash kernel spec-side
+    t.documents.select(F.col("doc_id"),
+      F.posexplode(graft.functions.HashExprs.shingleHashes(
+        TextOps.tokens(F.col("text")), 4, sortedDistinct = false))
+        .as(Seq("pos", "hash")))
+      .orderBy("doc_id", "pos")
+
   private def textScrub(t: Tables): DataFrame =
     t.documents
       .select(F.col("doc_id"), F.col("text"), TextOps.tokens(F.col("text")).as("toks"))
@@ -1625,6 +1638,7 @@ object SparkEntry {
       "lang_id" -> q(langId),
       "token_count" -> q(tokenCount),
       "doc_fingerprint" -> q(docFingerprint),
+      "doc_fingerprint_hashes" -> q(docFingerprintHashes),
       "text_entropy" -> q(textEntropy),
       "text_scrub" -> q(textScrub),
       "text_scrub_pii" -> q(textScrubPii),
