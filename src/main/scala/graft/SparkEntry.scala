@@ -1382,6 +1382,19 @@ object SparkEntry {
         F.col("n_px"), F.col("n_samples"), F.col("sum_val"))
       .orderBy("doc_id", "cy", "cx")
 
+  private def multimodalVideoFeatures(t: Tables): DataFrame =
+    // per-frame pooled features (r8): every 2nd frame of each real AVI
+    // binned onto a 2x2 grid in the exact-integer form; the twin
+    // replays frame sampling + cell binning from the closed-form
+    // samples (canonical top-down coords — parity also proves the
+    // bottom-up DIB inversion per cell, which whole-frame sums can't)
+    BinaryMeta.decodeVideoFrameFeatures(
+      BinaryMeta.syntheticAviBlobs(t.documents.select("doc_id"), "doc_id"),
+      "id", stride = 2, gy = 2, gx = 2)
+      .select(F.col("id").as("doc_id"), F.col("frame_no"), F.col("cy"),
+        F.col("cx"), F.col("n_px"), F.col("n_samples"), F.col("sum_val"))
+      .orderBy("doc_id", "frame_no", "cy", "cx")
+
   private def multimodalVideo(t: Tables): DataFrame = {
     // REAL video frame sampling (r8): each document gets an actual
     // RIFF('AVI ') container with uncompressed 24-bit DIB frames and
@@ -1677,7 +1690,8 @@ object SparkEntry {
       "multimodal_resize" -> q(multimodalResize),
       "multimodal_audio" -> q(multimodalAudio),
       "multimodal_audio_seg" -> q(multimodalAudioSeg),
-      "multimodal_video" -> q(multimodalVideo))
+      "multimodal_video" -> q(multimodalVideo),
+      "multimodal_video_features" -> q(multimodalVideoFeatures))
   }
 
   /** DuckDB-runnable ANSI SQL twin for every SQL-expressible query. */

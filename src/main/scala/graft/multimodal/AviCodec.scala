@@ -178,6 +178,69 @@ object AviCodec {
     Some(out.toSeq)
   }
 
+  final case class FramePooled(frameNo: Int, cy: Int, cx: Int,
+                               nPx: Long, nSamples: Long, sumVal: Long)
+
+  /** Per-frame grid mean-pooling over every `stride`-th frame — the
+    * video half of the pooled-feature extractor: each sampled frame's
+    * DIB raster is binned onto a gy x gx grid (canonical top-down
+    * coordinates: stored row r is logical y = height-1-r, bottom-up
+    * DIB) with exact integer counts and channel-sample sums per cell.
+    * Same walk and guards as [[decodeFrameStats]].
+    */
+  def decodeFramePooled(bytes: Array[Byte], stride: Int = 1,
+                        gy: Int = 2, gx: Int = 2): Option[Seq[FramePooled]] = {
+    require(stride >= 1 && gy >= 1 && gx >= 1, "stride and grid dims >= 1")
+    val l = parseLayout(bytes) match {
+      case Some(x) => x
+      case None => return None
+    }
+    val rb = rowBytes(l.width)
+    val expectLen = rb.toLong * l.height
+    val out = scala.collection.mutable.ArrayBuffer.empty[FramePooled]
+    var frame = 0
+    var pos = l.moviOff
+    while (pos + 8 <= l.moviEnd) {
+      val len = le32(bytes, pos + 4)
+      if (pos + 8 + len > l.moviEnd) return None
+      if (ascii(bytes, pos, "00db")) {
+        if (len != expectLen) return None
+        if (frame % stride == 0) {
+          val n = new Array[Long](gy * gx)
+          val s = new Array[Long](gy * gx)
+          val dataOff = pos + 8
+          var r = 0
+          while (r < l.height) {
+            val y = l.height - 1 - r
+            val cyBase = (y * gy / l.height) * gx
+            val rowOff = dataOff + r * rb
+            var x = 0
+            while (x < l.width) {
+              val cell = cyBase + x * gx / l.width
+              n(cell) += 1
+              var i = rowOff + x * 3
+              val iEnd = i + 3
+              while (i < iEnd) { s(cell) += bytes(i) & 0xff; i += 1 }
+              x += 1
+            }
+            r += 1
+          }
+          var cell = 0
+          while (cell < gy * gx) {
+            if (n(cell) > 0)
+              out += FramePooled(frame, cell / gx, cell % gx,
+                n(cell), n(cell) * 3, s(cell))
+            cell += 1
+          }
+        }
+        frame += 1
+      }
+      pos += 8 + len.toInt + (len.toInt & 1)
+    }
+    if (frame != l.nFrames) return None
+    Some(out.toSeq)
+  }
+
   /** Encode a real AVI: RIFF('AVI ') + LIST hdrl (avih, LIST strl
     * (strh 'vids'/'DIB ', strf BITMAPINFOHEADER BI_RGB 24bpp)) + LIST
     * movi with one '00db' uncompressed DIB chunk per frame. Sample s

@@ -529,6 +529,35 @@ object BinaryMeta {
       }(enc)
   }
 
+  /** REAL per-frame video features ([[AviCodec.decodeFramePooled]]):
+    * every `stride`-th frame mean-pooled onto a gy x gx grid, emitted
+    * in the exact-integer pre-normalization form — the frame-level
+    * feature pass a video near-dup pipeline runs (frame vectors feed
+    * the same similarity machinery as image features; rasters never
+    * leave the partition). Undecodable payloads contribute no rows.
+    */
+  def decodeVideoFrameFeatures(df: DataFrame, idCol: String, stride: Int,
+                               gy: Int = 2, gx: Int = 2): DataFrame = {
+    val out = StructType(Seq(
+      StructField("id", LongType),
+      StructField("frame_no", IntegerType),
+      StructField("cy", IntegerType),
+      StructField("cx", IntegerType),
+      StructField("n_px", LongType),
+      StructField("n_samples", LongType),
+      StructField("sum_val", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(out)
+    df.select(F.col(idCol).cast("long").as("id"), F.col("blob"))
+      .mapPartitions { rows =>
+        rows.grouped(64).flatMap(_.flatMap { r =>
+          val id = r.getLong(0)
+          AviCodec.decodeFramePooled(r.getAs[Array[Byte]](1), stride, gy, gx)
+            .getOrElse(Seq.empty)
+            .map(p => Row(id, p.frameNo, p.cy, p.cx, p.nPx, p.nSamples, p.sumVal))
+        })
+      }(enc)
+  }
+
   /** Partition-local batched decode via mapPartitions — the shape a
     * real codec integration takes (batch the payloads, call the
     * native decoder once per batch). The decoder here is the same

@@ -267,6 +267,28 @@ class TextOpsSpec extends SparkSpec {
     blobs.unpersist(); pooled.unpersist()
   }
 
+  test("video frame pooling reconciles with whole-frame stats and inverts DIB row order") {
+    import graft.multimodal.AviCodec
+    // asymmetric value function: top row bright, bottom dark — a
+    // decoder that forgets the bottom-up DIB inversion puts the bright
+    // mass in the wrong grid cell
+    val w = 4; val h = 4
+    val blob = AviCodec.encode(w, h, nFrames = 3, usPerFrame = 1000L,
+      (f, s) => { val y = (s / 3) / w; if (y < 2) 200 + f else 10 + f })
+    val pooled = AviCodec.decodeFramePooled(blob, stride = 1, gy = 2, gx = 2).get
+    val stats = AviCodec.decodeFrameStats(blob, stride = 1).get
+    for (f <- 0 until 3) {
+      val cells = pooled.filter(_.frameNo == f)
+      assert(cells.map(_.nSamples).sum == stats(f).nSamples)
+      assert(cells.map(_.sumVal).sum == stats(f).sumVal)
+      // canonical top rows (cy=0) carry the bright samples
+      val bright = cells.filter(_.cy == 0).map(_.sumVal).sum
+      val dark = cells.filter(_.cy == 1).map(_.sumVal).sum
+      assert(bright == (200L + f) * 2 * w * 3 && dark == (10L + f) * 2 * w * 3,
+        s"frame $f: DIB bottom-up rows not mapped to canonical coords")
+    }
+  }
+
   test("PngCodec.decodeStats rejects garbage, truncation, and unsupported layouts") {
     import graft.multimodal.PngCodec
     val good = PngCodec.encode(5, 5, 3, s => (s % 251).toInt)
