@@ -1301,6 +1301,12 @@ object SparkEntry {
   private def eventsWindowAgg(t: Tables): DataFrame =
     Events.windowAgg(t.events).orderBy("hour_start_us", "event_type")
 
+  private def eventsRollingUsers(t: Tables): DataFrame =
+    // DAU + trailing-7-day WAU per observed day (30 days of events ->
+    // a genuine ramp-up then steady window)
+    Events.rollingActiveUsers(t.events, windowDays = 7)
+      .orderBy("day_us")
+
   private def eventsSliding(t: Tables): DataFrame =
     // 1h windows sliding by 15min: every event lands in exactly 4
     // windows (epoch-aligned starts); the twin replays the explode as
@@ -1682,6 +1688,7 @@ object SparkEntry {
       "events_retention" -> q(eventsRetention),
       "events_window_agg" -> q(eventsWindowAgg),
       "events_sliding" -> q(eventsSliding),
+      "events_rolling_users" -> q(eventsRollingUsers),
       "events_sessionize" -> q(eventsSessionize),
       "multimodal_meta" -> q(multimodalMeta),
       "multimodal_pixels" -> q(multimodalPixels),

@@ -250,6 +250,33 @@ object Events {
       .agg(F.count(F.lit(1)).as("n_users"))
   }
 
+  /** Rolling active users — per observed day, distinct users that day
+    * (DAU) and over the trailing `windowDays` days (WAU/MAU with 7/
+    * 30): the growth-analytics staple. Rolling DISTINCT cannot
+    * map-side-combine like a sum, so the scale shape is: reduce to
+    * distinct (user, day) pairs FIRST (map-side, |user-days| <<
+    * |events|), then fan each pair out to the <= windowDays window-end
+    * days it serves and count distinct per day — shuffle volume is
+    * windowDays * |user-days|, independent of the raw event count.
+    * Only observed days are emitted (inner join with the DAU side).
+    */
+  def rollingActiveUsers(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, "positive window")
+    val dayUs = 24L * 3600 * 1000 * 1000
+    val us = usOf(F.col("ts"))
+    val ud = events
+      .select((us - F.pmod(us, F.lit(dayUs))).as("day_us"), F.col("user_id"))
+      .distinct()
+    val dau = ud.groupBy("day_us").agg(F.countDistinct("user_id").as("dau"))
+    val wau = ud
+      .select(F.col("user_id"),
+        F.explode(F.sequence(F.lit(0L), F.lit(windowDays - 1L))).as("off"),
+        F.col("day_us"))
+      .select((F.col("day_us") + F.col("off") * dayUs).as("day_us"), F.col("user_id"))
+      .groupBy("day_us").agg(F.countDistinct("user_id").as("wau"))
+    dau.join(wau, Seq("day_us"))
+  }
+
   /** Per-type tail-value outliers: events whose value exceeds their
     * type's q-quantile — the monitoring/anomaly pass. The cutoff uses
     * Spark's EXACT `percentile` aggregate (value->count map state,
