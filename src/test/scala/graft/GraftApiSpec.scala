@@ -258,6 +258,28 @@ class GraftApiSpec extends SparkSpec {
     assert(single.count() == 2)
   }
 
+  test("driver contract: every oracle names a wired query; rows-only set is the documented dumps") {
+    val queries = SparkEntry.queries.keySet
+    val oracles = SparkEntry.oracleSql.keySet
+    val orphans = oracles -- queries
+    assert(orphans.isEmpty, s"oracles without a wired query: $orphans")
+    // queries WITHOUT an oracle get only a rows>0 check from the
+    // driver — each must be a companion evidence dump whose content is
+    // replayed by another query's twin (the materialized-signature
+    // pattern), never a first-class operator
+    val rowsOnly = queries -- oracles
+    val companionDumps = Set(
+      "dedup_cap_bands",          // cap_report twin recomputes counters
+      "dedup_simhash_sig",        // dedup_simhash twin replays bands
+      "dedup_semantic_assign",    // dedup_semantic twin replays cells
+      "dedup_semantic_ingest_cells", // ingest twin replays cells
+      "doc_fingerprint_hashes")   // doc_fingerprint twin replays winnowing
+    assert(rowsOnly == companionDumps,
+      s"rows-only drift: unexpected=${(rowsOnly -- companionDumps).toSeq.sorted} " +
+        s"stale=${(companionDumps -- rowsOnly).toSeq.sorted} — a new query " +
+        "needs an oracleSql twin (or a companion-dump justification here)")
+  }
+
   test("facade value matching, preview, and materialization round-trip") {
     val vm = Graft.matchValues(src, "status", tgt, "status_code", method = "edit_distance",
       threshold = 0.5)
