@@ -993,6 +993,14 @@ object SparkEntry {
       t.embeddings, "vec_id", "embedding", k = 5)
       .orderBy("query_id", "rank")
 
+  private def annRange(t: Tables): DataFrame =
+    // radius 0.35 splits genuinely at every SF (7/12/44 rows) — the
+    // fixed-threshold complement of ann_topk
+    Ann.cosineRange(
+      t.embeddings.where(F.col("vec_id") < 10), "vec_id", "embedding",
+      t.embeddings, "vec_id", "embedding", radius = 0.35)
+      .orderBy(F.col("query_id"), F.col("similarity").desc, F.col("neighbor_id"))
+
   private def annLsh(t: Tables): DataFrame =
     Ann.lshTopK(
       t.embeddings.where(F.col("vec_id") < 10), "vec_id", "embedding",
@@ -1645,6 +1653,7 @@ object SparkEntry {
       "dedup_incremental_near" -> q(dedupIncrementalNear),
       "dedup_incremental_near_idx" -> q(dedupIncrementalNearIdx),
       "ann_topk" -> q(annTopk),
+      "ann_range" -> q(annRange),
       "ann_lsh" -> q(annLsh),
       "ann_lsh_recall" -> q(annLshRecall),
       "ann_ivf" -> q(annIvf),

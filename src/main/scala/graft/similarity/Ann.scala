@@ -43,6 +43,30 @@ object Ann {
         F.round(F.col("sim"), 6).as("similarity"))
   }
 
+  /** Cosine RANGE search: for each query vector, every corpus vector
+    * with similarity >= radius (the fixed-threshold complement of the
+    * top-k API — "all near-duplicates of these items", result size
+    * data-dependent). Queries are broadcast and the corpus is scanned
+    * exactly once with no shuffle of the big side — for the
+    * small-query-batch regime this IS the optimal plan at any corpus
+    * size (every candidate must be cosine-checked anyway unless an
+    * index prunes; for indexed batches compose [[semanticCellsWith]]
+    * or the banded machinery instead). Ordered (query_id, sim desc,
+    * neighbor_id) deterministic.
+    */
+  def cosineRange(queries: DataFrame, qId: String, qVec: String,
+                  corpus: DataFrame, cId: String, cVec: String,
+                  radius: Double): DataFrame = {
+    val q = queries.select(F.col(qId).as("query_id"), F.col(qVec).as("qv"))
+    val c = corpus.select(F.col(cId).as("neighbor_id"), F.col(cVec).as("cv"))
+    c.crossJoin(F.broadcast(q))
+      .where(F.col("query_id") =!= F.col("neighbor_id"))
+      .withColumn("sim", cosine(F.col("qv"), F.col("cv")))
+      .where(F.col("sim") >= radius)
+      .select(F.col("query_id"), F.col("neighbor_id"),
+        F.round(F.col("sim"), 6).as("similarity"))
+  }
+
   /** All pairs (id1 < id2) with cosine >= threshold — exact pair join.
     * This is the CORRECTNESS BASELINE only: the inequality join is a
     * nested-loop product, O(n^2) compute AND O(n^2) plan shape. At
