@@ -1396,6 +1396,18 @@ object SparkEntry {
         F.col("n_px"), F.col("n_samples"), F.col("sum_val"))
       .orderBy("doc_id", "cy", "cx")
 
+  private def multimodalAudioFp(t: Tables): DataFrame =
+    // duration-independent audio fingerprint shape (r8): every real
+    // WAV pooled onto 4 proportional time bins with exact integer
+    // count/sum/energy per bin; twin replays the f*4//nFrames binning
+    // from the closed-form waveform
+    BinaryMeta.decodeAudioFeatures(
+      BinaryMeta.syntheticWavBlobs(t.documents.select("doc_id"), "doc_id"),
+      "id", nBins = 4)
+      .select(F.col("id").as("doc_id"), F.col("bin"), F.col("n_frames"),
+        F.col("n_samples"), F.col("sum_val"), F.col("sum_abs"))
+      .orderBy("doc_id", "bin")
+
   private def multimodalVideoFeatures(t: Tables): DataFrame =
     // per-frame pooled features (r8): every 2nd frame of each real AVI
     // binned onto a 2x2 grid in the exact-integer form; the twin
@@ -1707,7 +1719,8 @@ object SparkEntry {
       "multimodal_audio" -> q(multimodalAudio),
       "multimodal_audio_seg" -> q(multimodalAudioSeg),
       "multimodal_video" -> q(multimodalVideo),
-      "multimodal_video_features" -> q(multimodalVideoFeatures))
+      "multimodal_video_features" -> q(multimodalVideoFeatures),
+      "multimodal_audio_fp" -> q(multimodalAudioFp))
   }
 
   /** DuckDB-runnable ANSI SQL twin for every SQL-expressible query. */

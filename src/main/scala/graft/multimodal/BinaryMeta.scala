@@ -529,6 +529,32 @@ object BinaryMeta {
       }(enc)
   }
 
+  /** REAL audio time-bin features ([[WavCodec.decodeTimeBins]]): each
+    * clip pooled onto a fixed nBins time grid (duration-independent —
+    * the fingerprint shape) with exact integer counts, signed sums,
+    * and energy sums per bin. Undecodable payloads contribute no rows.
+    */
+  def decodeAudioFeatures(df: DataFrame, idCol: String,
+                          nBins: Int = 4): DataFrame = {
+    val out = StructType(Seq(
+      StructField("id", LongType),
+      StructField("bin", IntegerType),
+      StructField("n_frames", LongType),
+      StructField("n_samples", LongType),
+      StructField("sum_val", LongType),
+      StructField("sum_abs", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(out)
+    df.select(F.col(idCol).cast("long").as("id"), F.col("blob"))
+      .mapPartitions { rows =>
+        rows.grouped(64).flatMap(_.flatMap { r =>
+          val id = r.getLong(0)
+          WavCodec.decodeTimeBins(r.getAs[Array[Byte]](1), nBins)
+            .getOrElse(Seq.empty)
+            .map(b => Row(id, b.bin, b.nFrames, b.nSamples, b.sumVal, b.sumAbs))
+        })
+      }(enc)
+  }
+
   /** REAL per-frame video features ([[AviCodec.decodeFramePooled]]):
     * every `stride`-th frame mean-pooled onto a gy x gx grid, emitted
     * in the exact-integer pre-normalization form — the frame-level

@@ -154,6 +154,54 @@ object WavCodec {
     Some(out.toSeq)
   }
 
+  /** Proportional time-bin pooling — the audio feature extractor:
+    * frame f lands in bin f·nBins/nFrames (integer floor, so every
+    * clip maps onto the SAME fixed-length bin grid regardless of its
+    * duration), each non-empty bin emitting exact integer frame and
+    * sample counts, the signed sample sum, and the absolute-value sum
+    * (the energy term an audio fingerprint wants). Returns None
+    * exactly when [[decodeStats]] would.
+    */
+  final case class TimeBin(bin: Int, nFrames: Long, nSamples: Long,
+                           sumVal: Long, sumAbs: Long)
+
+  def decodeTimeBins(bytes: Array[Byte], nBins: Int): Option[Seq[TimeBin]] = {
+    require(nBins >= 1, "nBins >= 1")
+    val stats = decodeStats(bytes) match {
+      case Some(s) => s
+      case None => return None
+    }
+    if (stats.nFrames == 0) return Some(Seq.empty)
+    var pos = 12
+    var dataOff = -1
+    while (pos + 8 <= bytes.length) {
+      val len = le32(bytes, pos + 4)
+      if (ascii(bytes, pos, "data")) dataOff = pos + 8
+      pos += 8 + len.toInt + (len.toInt & 1)
+    }
+    val nf = new Array[Long](nBins)
+    val sum = new Array[Long](nBins)
+    val sab = new Array[Long](nBins)
+    var f = 0L
+    while (f < stats.nFrames) {
+      val bin = (f * nBins / stats.nFrames).toInt
+      nf(bin) += 1
+      var i = f * stats.channels
+      val iEnd = i + stats.channels
+      while (i < iEnd) {
+        val v =
+          if (stats.bitsPerSample == 16) le16s(bytes, dataOff + (i * 2).toInt)
+          else (bytes(dataOff + i.toInt) & 0xff) - 128
+        sum(bin) += v
+        sab(bin) += (if (v < 0) -v else v)
+        i += 1
+      }
+      f += 1
+    }
+    Some((0 until nBins).filter(nf(_) > 0).map(b =>
+      TimeBin(b, nf(b), nf(b) * stats.channels, sum(b), sab(b))))
+  }
+
   /** Encode real 16-bit PCM WAV bytes (RIFF + fmt + data) with flat
     * interleaved sample s valued `value(s)` (clamped to s16).
     * Frames × channels samples; standard 44-byte header any player

@@ -267,6 +267,24 @@ class TextOpsSpec extends SparkSpec {
     blobs.unpersist(); pooled.unpersist()
   }
 
+  test("audio time bins reconcile with whole-clip stats; binning is duration-proportional") {
+    import graft.multimodal.WavCodec
+    val blob = WavCodec.encode(8000, 2, nFrames = 103, s => ((s * 13) % 400 - 200).toInt)
+    val bins = WavCodec.decodeTimeBins(blob, nBins = 4).get
+    val stats = WavCodec.decodeStats(blob).get
+    assert(bins.map(_.nFrames).sum == stats.nFrames)
+    assert(bins.map(_.nSamples).sum == stats.nSamples)
+    assert(bins.map(_.sumVal).sum == stats.sumVal)
+    // proportional grid: 103 frames over 4 bins -> 26/26/26/25 (floor
+    // binning f*4/103), order preserved
+    assert(bins.map(b => (b.bin, b.nFrames)) == Seq((0, 26L), (1, 26L), (2, 26L), (3, 25L)),
+      s"got ${bins.map(b => (b.bin, b.nFrames))}")
+    // clip shorter than the grid still maps onto it (empty bins skipped)
+    val tiny = WavCodec.encode(8000, 1, nFrames = 2, _ => 5)
+    val tb = WavCodec.decodeTimeBins(tiny, nBins = 4).get
+    assert(tb.map(_.bin) == Seq(0, 2) && tb.forall(_.nFrames == 1))
+  }
+
   test("video frame pooling reconciles with whole-frame stats and inverts DIB row order") {
     import graft.multimodal.AviCodec
     // asymmetric value function: top row bright, bottom dark — a
