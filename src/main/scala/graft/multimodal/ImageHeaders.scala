@@ -1,8 +1,8 @@
 package graft.multimodal
 
-/** Pure-JVM image CONTAINER-HEADER parsers for PNG, GIF, and JPEG —
-  * no codec library, because a metadata-extraction pass needs only the
-  * public header layout, not pixel decoding:
+/** Pure-JVM image CONTAINER-HEADER parsers for PNG, GIF, JPEG, and
+  * WebP — no codec library, because a metadata-extraction pass needs
+  * only the public header layout, not pixel decoding:
   *  - PNG (ISO/IEC 15948 §11.2.2): 8-byte signature, then the IHDR
   *    chunk — width/height are the two big-endian int32s at offsets
   *    16/20.
@@ -32,7 +32,44 @@ object ImageHeaders {
     */
   def decode(b: Array[Byte]): Option[(Int, Int, String)] =
     if (b == null) None
-    else png(b).orElse(gif(b)).orElse(jpeg(b))
+    else png(b).orElse(gif(b)).orElse(webp(b)).orElse(jpeg(b))
+
+  /** WebP (RIFF container, Google's public container/bitstream specs):
+    * "RIFF" + size + "WEBP", then the first chunk decides the layout —
+    *  - "VP8 " (lossy): 3-byte frame tag, 0x9d012a start code, then
+    *    14-bit little-endian width/height (scale bits masked off);
+    *  - "VP8L" (lossless): 0x2f signature byte, then width-1 /
+    *    height-1 as two 14-bit fields packed LSB-first;
+    *  - "VP8X" (extended): canvas width-1 / height-1 as 24-bit
+    *    little-endian at payload offsets 4 / 7.
+    */
+  private def webp(b: Array[Byte]): Option[(Int, Int, String)] = {
+    if (b.length < 30 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F'
+        || b(8) != 'W' || b(9) != 'E' || b(10) != 'B' || b(11) != 'P') return None
+    val tag = new String(b, 12, 4, "US-ASCII")
+    val p = 20 // first chunk payload
+    val dims = tag match {
+      case "VP8 " =>
+        // keyframe: frame tag then start code then 16-bit w/h fields,
+        // 14 data bits each (upper 2 bits are the rescale hint)
+        if (u8(b, p + 3) != 0x9d || u8(b, p + 4) != 0x01 || u8(b, p + 5) != 0x2a)
+          None
+        else Some((le16(b, p + 6) & 0x3fff, le16(b, p + 8) & 0x3fff))
+      case "VP8L" =>
+        if (u8(b, p) != 0x2f) None
+        else {
+          val bits = u8(b, p + 1).toLong | (u8(b, p + 2).toLong << 8) |
+            (u8(b, p + 3).toLong << 16) | (u8(b, p + 4).toLong << 24)
+          Some((((bits & 0x3fff) + 1).toInt, (((bits >> 14) & 0x3fff) + 1).toInt))
+        }
+      case "VP8X" =>
+        val w = u8(b, p + 4) | (u8(b, p + 5) << 8) | (u8(b, p + 6) << 16)
+        val h = u8(b, p + 7) | (u8(b, p + 8) << 8) | (u8(b, p + 9) << 16)
+        Some((w + 1, h + 1))
+      case _ => None
+    }
+    dims.collect { case (w, h) if w > 0 && h > 0 => (w, h, "webp") }
+  }
 
   private def png(b: Array[Byte]): Option[(Int, Int, String)] =
     if (b.length >= 24 && b.startsWith(PngSig)

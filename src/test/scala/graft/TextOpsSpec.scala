@@ -100,6 +100,23 @@ class TextOpsSpec extends SparkSpec {
     assert(ImageHeaders.decode(png.take(20)).isEmpty)
     assert(ImageHeaders.decode(hex("FFD8FFD9")).isEmpty)
     assert(ImageHeaders.decode(hex("FFD8FFFE0004ABCD")).isEmpty)
+    // WebP, all three first-chunk layouts (public container spec):
+    // lossy VP8: frame tag x3, start code 9D012A, w=160 h=120 (14-bit LE)
+    val vp8 = hex("52494646" + "24000000" + "57454250" + "56503820" + "18000000" +
+      "000000" + "9D012A" + "A000" + "7800" + "0000000000000000")
+    assert(ImageHeaders.decode(vp8).contains((160, 120, "webp")))
+    // lossless VP8L: 0x2F then (w-1)=29, (h-1)=16 packed 14+14 LSB-first:
+    // bits = 29 | 16<<14 = 0x04001D -> bytes 1D 00 04 00
+    val vp8l = hex("52494646" + "20000000" + "57454250" + "5650384C" + "10000000" +
+      "2F" + "1D000400" + "00000000000000000000")
+    assert(ImageHeaders.decode(vp8l).contains((30, 17, "webp")))
+    // extended VP8X: canvas (w-1)=639, (h-1)=479 as 24-bit LE at +4/+7
+    val vp8x = hex("52494646" + "20000000" + "57454250" + "56503858" + "0A000000" +
+      "00" + "000000" + "7F0200" + "DF0100" + "000000000000")
+    assert(ImageHeaders.decode(vp8x).contains((640, 480, "webp")))
+    // truncated / wrong-signature RIFF stays unknown
+    assert(ImageHeaders.decode(vp8.take(24)).isEmpty)
+    assert(ImageHeaders.decode(hex("52494646" + "10000000" + "57415645" + "64617461")).isEmpty)
   }
 
   test("PngCodec round-trips real deflate+filtered pixels to exact integer stats") {
