@@ -1265,6 +1265,16 @@ object SparkEntry {
       .withColumnRenamed("group", "lang")
       .orderBy("lang")
 
+  private def curateApplyMix(t: Tables): DataFrame =
+    // plan -> corpus closure: the temperature plan's per-language keep
+    // rates applied row-by-row with the deterministic id-hash key; the
+    // twin recomputes the full rate chain AND the per-row predicate
+    text.Curate.applyMixture(t.documents, "doc_id", "lang",
+      text.Curate.temperatureRates(t.documents, "lang", "text",
+        alpha = 0.3, budgetTokens = 20000))
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+
   private def curatePipeline(t: Tables): DataFrame =
     // the full curation chain (quality -> dedup -> pack) as one plan
     // over one corpus scan — asserted in PlanSpec; same thresholds as
@@ -1694,6 +1704,7 @@ object SparkEntry {
       "curate_pipeline" -> q(curatePipeline),
       "curate_mix" -> q(curateMix),
       "curate_temperature" -> q(curateTemperature),
+      "curate_apply_mix" -> q(curateApplyMix),
       "curate_chunks" -> q(curateChunks),
       "curate_split" -> q(curateSplit),
       "curate_gopher" -> q(curateGopher),

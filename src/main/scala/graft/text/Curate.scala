@@ -588,6 +588,21 @@ object Curate {
           F.col("available_tokens").cast("double"), 6).as("epochs"))
   }
 
+  /** Apply a mixture plan ([[mixtureRates]] / [[temperatureRates]]
+    * output) to the corpus: keep each document with its group's rate
+    * via the deterministic id-hash key — the materialization half of
+    * the plan/apply pair. The rate table is group-cardinality-small
+    * by construction (languages/sources), so it broadcasts; the keep
+    * decision stays a pure per-row predicate on the corpus scan.
+    * Two corpus passes total across plan + apply — inherent to
+    * "measure, then sample to target".
+    */
+  def applyMixture(df: DataFrame, idCol: String, groupCol: String,
+                   rates: DataFrame, salt: Long = 0L): DataFrame =
+    df.join(F.broadcast(rates.select(F.col("group").as(groupCol), F.col("rate"))),
+        Seq(groupCol))
+      .where(sampleKey(F.col(idCol), salt) < F.col("rate"))
+
   /** End-to-end curation pipeline — quality filter -> exact dedup ->
     * deterministic shard + sequence packing — composed in ONE plan
     * over ONE corpus scan, returning the per-(shard, pack) report a

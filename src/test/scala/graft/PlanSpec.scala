@@ -144,8 +144,9 @@ class PlanSpec extends SparkSpec {
     // its own ONE-ROW global re-aggregate (1-row broadcast)
     "q11_important",
     // temperature mixing crossJoins the one-row token total into the
-    // tiny per-group frame (group cardinality = languages/sources)
-    "curate_temperature")
+    // tiny per-group frame (group cardinality = languages/sources);
+    // apply_mix embeds the same plan under its broadcast rate join
+    "curate_temperature", "curate_apply_mix")
 
   test("no wired query plans a CartesianProduct; BNLJ only on bounded-broadcast baselines") {
     val withBnlj = scala.collection.mutable.Set[String]()
