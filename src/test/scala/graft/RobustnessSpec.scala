@@ -229,6 +229,24 @@ class RobustnessSpec extends SparkSpec {
       && !stats(2).isNullAt(1))
   }
 
+  test("property: GifCodec round-trips random dims and values exactly (seeded)") {
+    import graft.multimodal.{GifCodec, PngCodec}
+    val rnd = new Random(11)
+    for (i <- 0 until 20) {
+      val w = 1 + rnd.nextInt(40)
+      val h = 1 + rnd.nextInt(30)
+      val seed = rnd.nextInt(1 << 20)
+      val value: Int => Int = s => ((s.toLong * 2654435761L + seed) % 256).toInt & 0xff
+      val blob = GifCodec.encode(w, h, value)
+      val n = w * h
+      val vals = (0 until n).map(s => value(s).toLong)
+      val got = GifCodec.decodeStats(blob)
+      assert(got.contains(PngCodec.PixelStats(
+        w, h, 3, 3L * n, 3L * vals.sum, 3L * vals.map(v => v * v).sum)),
+        s"case $i ($w x $h seed=$seed): got $got")
+    }
+  }
+
   test("property: winnowMins equals brute force on random arrays (seeded)") {
     val rnd = new Random(7)
     val cases = (0 until 30).map { _ =>
