@@ -1128,6 +1128,18 @@ object SparkEntry {
     t.documents.select(F.col("doc_id"), TextOps.langId(F.col("text")).as("predicted_lang"))
       .orderBy("doc_id")
 
+  private def langConfusion(t: Tables): DataFrame =
+    // classifier audit: the lang_id heuristic's confusion matrix
+    // against the corpus's labeled lang column — per (label,
+    // prediction) cell counts, the drift report a production
+    // pipeline runs after every classifier change. One scan + one
+    // tiny groupBy (cells <= |langs|^2).
+    t.documents
+      .select(F.col("lang"), TextOps.langId(F.col("text")).as("predicted_lang"))
+      .groupBy("lang", "predicted_lang")
+      .agg(F.count(F.lit(1)).as("n_docs"))
+      .orderBy("lang", "predicted_lang")
+
   private def tokenCount(t: Tables): DataFrame =
     t.documents.select(F.col("doc_id"), TextOps.bpeTokenCount(F.col("text")).cast("long").as("n_tokens_bpe"))
       .orderBy("doc_id")
@@ -1686,6 +1698,7 @@ object SparkEntry {
       "ann_pq_recall" -> q(annPqRecall),
       "text_stats" -> q(textStats),
       "lang_id" -> q(langId),
+      "lang_confusion" -> q(langConfusion),
       "token_count" -> q(tokenCount),
       "doc_fingerprint" -> q(docFingerprint),
       "doc_fingerprint_hashes" -> q(docFingerprintHashes),
