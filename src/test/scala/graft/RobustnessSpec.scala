@@ -229,6 +229,35 @@ class RobustnessSpec extends SparkSpec {
       && !stats(2).isNullAt(1))
   }
 
+  test("round-8 closing ops: degenerate inputs flow cleanly") {
+    import graft.text.Curate
+    import graft.streaming.Events
+    import graft.multimodal.WavCodec
+    // applyMixture with an empty rate table keeps nothing; with a
+    // rate-1.0 table keeps everything
+    val docs = Seq((1L, "g", "w"), (2L, "g", "w w")).toDF("id", "grp", "text")
+    val none = Curate.applyMixture(docs, "id", "grp",
+      Seq.empty[(String, Double)].toDF("group", "rate"))
+    assert(none.count() == 0)
+    val all = Curate.applyMixture(docs, "id", "grp",
+      Seq(("g", 1.0)).toDF("group", "rate"))
+    assert(all.count() == 2)
+    // rolling users over zero events: empty, no failure
+    val noEv = Seq.empty[(java.sql.Timestamp, String, Double, Long)]
+      .toDF("ts", "event_type", "value", "user_id")
+    assert(Events.rollingActiveUsers(noEv).count() == 0)
+    // time bins on junk / zero-frame clips
+    assert(WavCodec.decodeTimeBins("junk".getBytes, 4).isEmpty)
+    assert(WavCodec.decodeTimeBins(null, 4).isEmpty)
+    assert(WavCodec.decodeTimeBins(WavCodec.encode(8000, 1, 0, _ => 0), 4)
+      .contains(Seq.empty))
+    // range search with an empty query batch: empty result
+    val emb = (0 until 10).map(i =>
+      (i.toLong, Seq.fill(4)((i + 1).toFloat))).toDF("vec_id", "embedding")
+    assert(Ann.cosineRange(emb.where(F.lit(false)), "vec_id", "embedding",
+      emb, "vec_id", "embedding", radius = 0.5).count() == 0)
+  }
+
   test("property: GifCodec round-trips random dims and values exactly (seeded)") {
     import graft.multimodal.{GifCodec, PngCodec}
     val rnd = new Random(11)
