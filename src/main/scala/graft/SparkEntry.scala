@@ -546,6 +546,28 @@ object SparkEntry {
       .orderBy(F.col("value").desc, F.col("l_partkey").asc)
   }
 
+  private def q9(t: Tables): DataFrame = {
+    // TPC-H Q9 spirit (no partsupp — part retail price as the cost
+    // basis): profit by nation and ship year over parts whose name
+    // matches a substring. The agg expression spans THREE joined
+    // tables (lineitem price/discount/quantity x part cost x supplier
+    // nation) — exact decimal arithmetic with both operands forced to
+    // one scale before the subtract so the sum is engine-exact.
+    val revenue = (decEp() * oneMinusDisc).cast("decimal(20,4)")
+    val cost = ((F.lit(0.6).cast("decimal(2,1)") *
+      F.col("p_retailprice").cast("decimal(12,2)")).cast("decimal(14,3)") *
+      F.col("l_quantity").cast("decimal(12,2)")).cast("decimal(20,4)")
+    t.lineitem
+      .join(t.part.where(F.col("p_name").like("%a%")),
+        F.col("l_partkey") === F.col("p_partkey"))
+      .join(t.supplier, F.col("l_suppkey") === F.col("s_suppkey"))
+      .join(F.broadcast(t.nation), F.col("s_nationkey") === F.col("n_nationkey"))
+      .groupBy(F.col("n_name").as("nation"),
+        F.year(F.col("l_shipdate")).as("o_year"))
+      .agg(F.sum(revenue - cost).cast("double").as("sum_profit"))
+      .orderBy(F.col("nation").asc, F.col("o_year").desc)
+  }
+
   private def q18(t: Tables): DataFrame = {
     val big = t.lineitem.groupBy(F.col("l_orderkey"))
       .agg(F.sum("l_quantity").as("sum_qty"))
@@ -1655,6 +1677,7 @@ object SparkEntry {
       "q19_disjunctive" -> q(q19),
       "q21_waiting" -> q(q21),
       "q2_mincost" -> q(q2),
+      "q9_profit" -> q(q9),
       "q11_important" -> q(q11),
       "q18_bigorders" -> q(q18),
       "q22_dormant" -> q(q22),
