@@ -258,6 +258,119 @@ class RobustnessSpec extends SparkSpec {
       emb, "vec_id", "embedding", radius = 0.5).count() == 0)
   }
 
+  test("property: AsOfJoin both directions equal brute force on random data (seeded)") {
+    import graft.operators.AsOfJoin
+    val rnd = new Random(17)
+    val left = (0 until 120).map(i =>
+      (i.toLong, s"k${rnd.nextInt(6)}", rnd.nextInt(50).toLong)).toSeq
+    val right = (0 until 80).map(i =>
+      (s"k${rnd.nextInt(8)}", rnd.nextInt(50).toLong, s"p$i")).toSeq
+    val lDf = left.toDF("event_id", "k", "t")
+    val rDf = right.toDF("k", "rt", "payload")
+    // deterministic tie-break inside equal (k, rt) groups: keep max payload
+    val rBest = rDf.groupBy("k", "rt").agg(F.max("payload").as("payload"))
+    val bestMap = right.groupBy(r => (r._1, r._2)).map { case (k, rs) =>
+      k -> rs.map(_._3).max }
+    def brute(dir: String): Map[Long, Option[String]] = left.map { case (id, k, t) =>
+      val cands = bestMap.filter { case ((rk, rt), _) =>
+        rk == k && (if (dir == "backward") rt <= t else rt >= t) }
+      id -> (if (cands.isEmpty) None
+             else Some(cands.minBy { case ((_, rt), _) =>
+               if (dir == "backward") -rt else rt }._2))
+    }.toMap
+    for (dir <- Seq("backward", "forward")) {
+      val got = AsOfJoin(lDf, rBest, key = "k", leftTime = "t", rightTime = "rt",
+        payload = Seq("payload"), direction = dir)
+        .select("event_id", "payload").as[(Long, Option[String])]
+        .collect().toMap
+      assert(got == brute(dir), s"direction=$dir")
+    }
+  }
+
+  test("property: GifCodec LZW decoder equals the compressing encoder on random streams (seeded)") {
+    import graft.multimodal.GifCodec
+    // the TextOpsSpec test-side compressor, reused property-style:
+    // random alphabets and run-heavy patterns across minCode widths
+    def compress(indices: Array[Int], minCode: Int): Array[Byte] = {
+      val clear = 1 << minCode
+      var width = minCode + 1
+      var encNext = clear + 2
+      var decNext = clear + 2
+      var emitted = 0
+      val dict = scala.collection.mutable.HashMap[Vector[Int], Int]()
+      val out = new java.io.ByteArrayOutputStream()
+      var acc = 0L; var bits = 0
+      def put(code: Int): Unit = {
+        acc |= code.toLong << bits; bits += width
+        while (bits >= 8) { out.write((acc & 0xff).toInt); acc >>>= 8; bits -= 8 }
+        emitted += 1
+        if (emitted >= 2 && decNext < 4096) {
+          decNext += 1
+          if (decNext < 4096 && decNext == (1 << width) && width < 12) width += 1
+        }
+      }
+      def codeOf(s: Vector[Int]): Int = if (s.length == 1) s(0) else dict(s)
+      put(clear); emitted = 0
+      var cur = Vector(indices(0))
+      for (k <- 1 until indices.length) {
+        val ext = cur :+ indices(k)
+        if (ext.length == 1 || dict.contains(ext)) cur = ext
+        else {
+          put(codeOf(cur))
+          if (encNext < 4096) { dict(ext) = encNext; encNext += 1 }
+          cur = Vector(indices(k))
+        }
+      }
+      put(codeOf(cur))
+      put(clear + 1)
+      if (bits > 0) out.write((acc & 0xff).toInt)
+      out.toByteArray
+    }
+    def container(w: Int, h: Int, minCode: Int, lzw: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      def w8(v: Int): Unit = bos.write(v & 0xff)
+      def w16(v: Int): Unit = { w8(v); w8(v >> 8) }
+      bos.write("GIF89a".getBytes("US-ASCII"))
+      w16(w); w16(h); w8(0x80 | (minCode - 1)); w8(0); w8(0)
+      for (i <- 0 until (1 << minCode)) { val g = i * 31 % 256; w8(g); w8(g); w8(g) }
+      w8(0x2c); w16(0); w16(0); w16(w); w16(h); w8(0)
+      w8(minCode)
+      var off = 0
+      while (off < lzw.length) {
+        val len = math.min(255, lzw.length - off)
+        w8(len); bos.write(lzw, off, len); off += len
+      }
+      w8(0); w8(0x3b)
+      bos.toByteArray
+    }
+    val rnd = new Random(29)
+    for (i <- 0 until 12) {
+      val minCode = 2 + rnd.nextInt(7) // 2..8
+      val w = 5 + rnd.nextInt(60)
+      val h = 5 + rnd.nextInt(40)
+      val n = w * h
+      val alpha = 1 << minCode
+      // mix random symbols with runs (runs drive dictionary growth)
+      val idx = new Array[Int](n)
+      var j = 0
+      while (j < n) {
+        if (rnd.nextBoolean()) { idx(j) = rnd.nextInt(alpha); j += 1 }
+        else {
+          val run = 1 + rnd.nextInt(20)
+          val v = rnd.nextInt(alpha)
+          var r = 0
+          while (r < run && j < n) { idx(j) = v; j += 1; r += 1 }
+        }
+      }
+      val blob = container(w, h, minCode, compress(idx, minCode))
+      val vals = idx.map(v => (v * 31 % 256).toLong)
+      val got = GifCodec.decodeStats(blob)
+      assert(got.contains(graft.multimodal.PngCodec.PixelStats(
+        w, h, 3, 3L * n, 3L * vals.sum, 3L * vals.map(v => v * v).sum)),
+        s"case $i (minCode=$minCode ${w}x$h): got $got")
+    }
+  }
+
   test("property: GifCodec round-trips random dims and values exactly (seeded)") {
     import graft.multimodal.{GifCodec, PngCodec}
     val rnd = new Random(11)
