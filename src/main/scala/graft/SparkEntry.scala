@@ -173,6 +173,14 @@ object SparkEntry {
         F.round(F.col("coverage"), 6).as("coverage"))
       .orderBy("source_column")
 
+  private def profileNumeric(t: Tables): DataFrame =
+    // one-scan numeric profiling of the fact table — the stats pass
+    // the distribution matchers consume; the twin recomputes every
+    // column's aggregate independently
+    harmonize.Profile.numeric(t.lineitem,
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+      .orderBy("column")
+
   private def matchValuesStandard(t: Tables): DataFrame = {
     // the reference's headline biomedical flow (api.py:43-56 with
     // target="gdc"): a named, DataFrame-backed standard vocabulary is
@@ -1642,6 +1650,7 @@ object SparkEntry {
       (s, dir) => f(Tables(s, dir))
     Map(
       "preview_domain" -> q(previewDomain),
+      "profile_numeric" -> q(profileNumeric),
       "match_values_edit" -> q(matchValuesEdit),
       "match_values_topk" -> q(matchValuesTopk),
       "match_values_tfidf" -> q(matchValuesTfidf),

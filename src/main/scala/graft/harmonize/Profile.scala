@@ -1,0 +1,47 @@
+package graft.harmonize
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{functions => F}
+
+/** Column profiling — the statistics pass harmonization matchers
+  * consume (the reference's distribution-based and max-val-sim
+  * matchers build per-column profiles internally; api.py surfaces
+  * only preview_domain). One corpus scan computes every column's
+  * stats simultaneously; the long-format pivot happens on the ONE
+  * aggregated row, so profiling N columns costs one pass regardless
+  * of N (the multi-countDistinct EXPAND multiplies scan rows by the
+  * distinct-agg count — the standard Spark trade for exact distinct
+  * counts in one job; swap to approx_count_distinct at 100 TB if the
+  * exactness isn't worth that constant).
+  */
+object Profile {
+
+  /** Per-column stats for NUMERIC columns: row count, null count,
+    * min/max/sum (double), exact distinct count. Output long-format
+    * (column, n, n_null, min_val, max_val, sum_val, n_distinct) —
+    * one row per profiled column.
+    */
+  def numeric(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "at least one column")
+    val aggs = cols.flatMap { c =>
+      Seq(F.count(F.col(c)).as(s"__n_$c"),
+        F.sum(F.when(F.col(c).isNull, 1L).otherwise(0L)).as(s"__nn_$c"),
+        F.min(F.col(c)).cast("double").as(s"__mn_$c"),
+        F.max(F.col(c)).cast("double").as(s"__mx_$c"),
+        // DECIMAL accumulation: a double sum's value depends on
+        // partition order (not reproducible, and not cross-engine)
+        F.sum(F.col(c).cast("decimal(18,6)")).cast("double").as(s"__sm_$c"),
+        F.countDistinct(F.col(c)).as(s"__nd_$c"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = F.explode(F.array(cols.map(c =>
+      F.struct(F.lit(c).as("column"),
+        F.col(s"__n_$c").as("n"),
+        F.col(s"__nn_$c").as("n_null"),
+        F.col(s"__mn_$c").as("min_val"),
+        F.col(s"__mx_$c").as("max_val"),
+        F.round(F.col(s"__sm_$c"), 6).as("sum_val"),
+        F.col(s"__nd_$c").as("n_distinct"))): _*))
+    one.select(stacked.as("p")).select("p.*")
+  }
+}
