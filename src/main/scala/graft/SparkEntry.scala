@@ -1079,6 +1079,7 @@ object SparkEntry {
   private val AnnLshRecallFloor = 0.6
   private val AnnIvfRecallFloor = 0.5
   private val AnnPqRecallFloor = 0.5
+  private val PqRerank = 40
 
   private def annRecallQ(t: Tables, floor: Double, strongSim: Option[Double],
                          project: DataFrame => DataFrame,
@@ -1114,12 +1115,17 @@ object SparkEntry {
     // style approximate scan over reconstructions, exact re-rank of
     // the top rerank*k candidates (an ABSOLUTE budget — the scanned
     // fraction shrinks as the corpus grows); same arithmetic twin as
-    // ann_lsh/ann_ivf. rerank=12 covers this weakly-clustered
-    // corpus's ADC noise (recall gated by ann_pq_recall)
+    // ann_lsh/ann_ivf. The rerank budget must cover the LARGEST gate
+    // corpus: within-cluster ADC ordering is reconstruction-noise-
+    // dominated on this weakly-clustered data, so the absolute
+    // rerank*k candidate count has to reach the true neighbors at
+    // sf0.1's 2000 vectors too — rerank=12 cleared the floor only up
+    // to sf0.01 (5/10 queries failed at sf0.1, caught by the r8
+    // cross-SF parity sweep); PqRerank=40 clears it at all three SFs
     Ann.pqTopK(
       t.embeddings.where(F.col("vec_id") < 10), "vec_id", "embedding",
       t.embeddings, "vec_id", "embedding", k = 5, m = 8, ksub = 16,
-      rerank = 12)
+      rerank = PqRerank)
       .orderBy("query_id", "rank")
 
   private def annPqIndex(t: Tables): DataFrame = {
@@ -1134,7 +1140,7 @@ object SparkEntry {
     Ann.pqBuild(t.embeddings, "vec_id", "embedding", path, m = 8, ksub = 16)
     Ann.pqQueryIndex(t.spark, path,
       t.embeddings.where(F.col("vec_id") < 10), "vec_id", "embedding",
-      t.embeddings, "vec_id", "embedding", k = 5, rerank = 12)
+      t.embeddings, "vec_id", "embedding", k = 5, rerank = PqRerank)
       .orderBy("query_id", "rank")
   }
 
@@ -1142,7 +1148,7 @@ object SparkEntry {
     annRecallQ(t, AnnPqRecallFloor, strongSim = None, project = identity,
       approx = (q, c) =>
         Ann.pqTopK(q, "vec_id", "embedding", c, "vec_id", "embedding",
-          k = 5, m = 8, ksub = 16, rerank = 12))
+          k = 5, m = 8, ksub = 16, rerank = PqRerank))
 
   private def textStats(t: Tables): DataFrame =
     // via the staged profile: each counting kernel runs once per row
