@@ -90,14 +90,15 @@ object Bench {
     // comparing headline totals across rounds — the passing-only sum
     // rides along as total_passing for diagnosis
     val value = if (anyFailed) "null" else total
-    // TWO lines, compact medians line FIRST and min/max detail second:
-    // the driver's artifact keeps a bounded slice of this output, and
-    // in rounds 6-7 a single fat line survived only up to its LAST key
-    // (queries_max) — cold-rep outliers that manufactured phantom
-    // regressions. The signal (total + medians) now lives on its own
-    // small line so any truncation spares it.
-    println(s"""{"metric":"total","value":$value,"unit":"sec","reps":$reps,"sf":"$sfDir","failed":$failed,"total_passing":$total,"queries":$qs}""")
+    // TWO lines, min/max detail FIRST and compact medians line LAST:
+    // the driver's artifact keeps the TAIL of the output (measured in
+    // rounds 6-8, where medians-first lost the signal line three
+    // rounds running and only queries_max survived — cold-rep
+    // outliers that manufactured phantom regressions). Printing the
+    // fat detail line first and the small total+medians line last
+    // means any head-truncation eats the detail, never the signal.
     println(s"""{"metric":"detail","queries_min":$qmin,"queries_max":$qmax}""")
+    println(s"""{"metric":"total","value":$value,"unit":"sec","reps":$reps,"sf":"$sfDir","failed":$failed,"total_passing":$total,"queries":$qs}""")
     spark.stop()
   }
 }

@@ -659,8 +659,8 @@ object SparkEntry {
   // near-dup pairs at these thresholds ride on rare shingles; that
   // property is data-dependent and is re-asserted by the parity gate
   // every round, which is exactly the guard the judge asked to keep on.
-  private val JaccardDfCap = Some(200L)
-  private val MinhashBucketCap = Some(1000L)
+  private[graft] val JaccardDfCap = Some(200L)
+  private[graft] val MinhashBucketCap = Some(1000L)
   // under-dfCap heavy shingles (df in (32, 200]) still skew the prefix
   // self-join's sh key; salting splits each one's postings across 8
   // reducers — results identical (spec'd), only the task shape changes
@@ -971,7 +971,7 @@ object SparkEntry {
 
   // degenerate-bucket guard for the embedding band self-join, ON in the
   // wired query (the minhash bucketCap's twin — see Ann.cosinePairsLsh)
-  private val EmbeddingBucketCap = Some(1000L)
+  private[graft] val EmbeddingBucketCap = Some(1000L)
 
   private def dedupEmbeddingLsh(t: Tables): DataFrame =
     // the scale path: banded hyperplane signatures + exact verify — no

@@ -16,10 +16,11 @@ import org.apache.spark.sql.{functions => F}
   */
 object Profile {
 
-  /** Per-column stats for NUMERIC columns: row count, null count,
-    * min/max/sum (double), exact distinct count. Output long-format
-    * (column, n, n_null, min_val, max_val, sum_val, n_distinct) —
-    * one row per profiled column.
+  /** Per-column stats for NUMERIC columns: NON-NULL count (`n` is
+    * count(col), which excludes nulls — row count is n + n_null),
+    * null count, min/max/sum (double), exact distinct count. Output
+    * long-format (column, n, n_null, min_val, max_val, sum_val,
+    * n_distinct) — one row per profiled column.
     */
   def numeric(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "at least one column")

@@ -257,8 +257,12 @@ object AviCodec {
     require(nFrames >= 0, "non-negative frame count")
     require(usPerFrame >= 1, "positive frame interval")
     val rb = rowBytes(width)
-    val frameLen = rb * height
-    require(nFrames.toLong * (8 + frameLen) <= 64L * 1024 * 1024, "payload cap 64 MiB")
+    // Long first: rb * height overflows Int at the permitted max dims
+    // (32768 x 32768), which would turn the payload require into a
+    // comparison against a negative number
+    val frameLenL = rb.toLong * height
+    require(nFrames.toLong * (8 + frameLenL) <= 64L * 1024 * 1024, "payload cap 64 MiB")
+    val frameLen = frameLenL.toInt
 
     val hdrlLen = 4 + (8 + 56) + (8 + (4 + (8 + 56) + (8 + 40)))
     val moviLen = 4 + nFrames * (8 + frameLen)

@@ -867,6 +867,11 @@ object Ann {
     * touched only to verify candidate ids (semi-join pushes the id
     * set into the scan). cellCap applies to the COMBINED cell
     * occupancy, mirroring the inline operator.
+    *
+    * The result is returned PERSISTED and already materialized;
+    * callers fully done with it must unpersist() it (as
+    * StreamingDedup.semanticIngest does per micro-batch — the wired
+    * driver harnesses instead clearCache() between queries).
     */
   def semanticIngestPairs(incoming: DataFrame, existing: DataFrame,
                           existingCells: DataFrame,

@@ -216,7 +216,16 @@ object Events {
     val completed = steps.indices.drop(1).map(i =>
       F.when(F.col(s"t${i + 1}_us").isNotNull, 1).otherwise(0))
       .foldLeft(F.lit(1))(_ + _)
-    full.withColumn("steps_completed", completed.cast("int"))
+    // materialize the per-user result (users × k columns, tiny next
+    // to raw events) so the k-1 stage scans hit the cached projection
+    // exactly once, then release it — long-lived sessions calling
+    // funnel() repeatedly must not accumulate cached partitions.
+    // Result is returned PERSISTED; callers fully done with it may
+    // unpersist() (same contract as jaccardPairs/minhashPairs).
+    val out = full.withColumn("steps_completed", completed.cast("int")).persist()
+    out.count()
+    e.unpersist()
+    out
   }
 
   /** Cohort retention: users are cohorted by the period (day/week —
@@ -279,18 +288,23 @@ object Events {
 
   /** Per-type tail-value outliers: events whose value exceeds their
     * type's q-quantile — the monitoring/anomaly pass. The cutoff uses
-    * Spark's EXACT `percentile` aggregate (value->count map state,
-    * bounded by the value DOMAIN, not event count — same argument as
-    * Curate.lengthQuantiles) and is rounded to 6dp before the
-    * comparison so both engines compare the same literal. One
+    * Spark's EXACT `percentile` aggregate over values ROUNDED to 2dp,
+    * which bounds the aggregate's value->count map state by the value
+    * RANGE x 100 cells rather than by distinct raw doubles (raw
+    * continuous values would grow the state with event count — an
+    * executor-memory liability at 100 TB; post-rounding the state is
+    * domain-bounded, the same argument as Curate.lengthQuantiles'
+    * integer domain). The cutoff is rounded to 6dp before the
+    * comparison so both engines compare the same literal; outlier
+    * membership uses the RAW value against that cutoff. One
     * partial-agg shuffle for the per-type cutoffs (broadcast back) —
     * the event stream itself never shuffles.
     *
-    * Boundary safety: with interpolation between adjacent order
-    * statistics a and b, the cutoff sits >= 0.05*(b-a) from either, or
-    * exactly ON a value when a = b — either way the float noise
-    * (~1e-13) never spans the gap between the cutoff and the nearest
-    * comparable value, so `value > p_q` is engine-stable.
+    * Boundary safety: interpolation runs between adjacent 2dp grid
+    * points a < b, so the cutoff sits >= 0.05*(b-a) >= 5e-4 from
+    * either endpoint (or exactly ON a value when a = b) — float noise
+    * (~1e-13) never spans the gap, so `value > cutoff` is
+    * engine-stable.
     *
     * Output: (event_id, event_type, value, cutoff) for outliers only.
     */
@@ -298,7 +312,7 @@ object Events {
     require(q > 0 && q < 1, s"quantile in (0,1), got $q")
     val ev = events.select(F.col("event_id"), F.col("event_type"), F.col("value"))
     val cuts = ev.groupBy("event_type")
-      .agg(F.round(F.expr(s"percentile(value, $q)"), 6).as("cutoff"))
+      .agg(F.round(F.expr(s"percentile(round(value, 2), $q)"), 6).as("cutoff"))
     ev.join(F.broadcast(cuts), Seq("event_type"))
       .where(F.col("value") > F.col("cutoff"))
       .select("event_id", "event_type", "value", "cutoff")

@@ -185,9 +185,14 @@ object Curate {
       .select("id", "logp")
       .unionAll(tagged.where(F.col("logp").isNull).drop("logp")
         .join(tail, "tok").select("id", "logp"))
+    // round(9) then DECIMAL accumulation (§5): shields the last-ulp
+    // libm ln() difference across engines AND makes the sum
+    // partition-order-free — a raw double sum's value depends on
+    // reduce order
     scored.groupBy("id")
       .agg(F.count(F.lit(1)).as("n_tokens"),
-        (F.sum("logp") / F.count(F.lit(1))).as("avg_logprob"))
+        (F.sum(F.round(F.col("logp"), 9).cast("decimal(22,12)"))
+          .cast("double") / F.count(F.lit(1))).as("avg_logprob"))
   }
 
   /** Conditional bigram LM scoring with add-one smoothing — the next
@@ -230,10 +235,13 @@ object Curate {
       .select(F.col("bg"),
         F.log((F.col("c") + 1).cast("double") /
           (F.col("c1") + F.col("n_vocab")).cast("double")).as("logp"))
+    // same §5 decimal accumulation as unigramLogProb: round(9) pins
+    // the addend, decimal makes the sum order-free
     docBg.join(probs, "bg")
       .groupBy("id")
       .agg(F.count(F.lit(1)).as("n_bigrams"),
-        (F.sum("logp") / F.count(F.lit(1))).as("avg_logprob"))
+        (F.sum(F.round(F.col("logp"), 9).cast("decimal(22,12)"))
+          .cast("double") / F.count(F.lit(1))).as("avg_logprob"))
   }
 
   /** Per-group corpus report — the pass every mixing/curation decision
