@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver captures the TAIL of `sbt runMain` output and parses the
+// LAST line as JSON. sbt's "[success] Total time: ..." epilogue has
+// been that last line every round (BENCH_r01-r09 all show
+// parsed:null) — suppress it so Bench's own compact JSON line is
+// genuinely last.
+Global / showSuccess := false
+// ...and don't let sbt's logger prefix the forked run's stdout with
+// "[info] " — pass it through verbatim so the JSON line parses.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

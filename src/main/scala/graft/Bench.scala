@@ -90,15 +90,28 @@ object Bench {
     // comparing headline totals across rounds — the passing-only sum
     // rides along as total_passing for diagnosis
     val value = if (anyFailed) "null" else total
-    // TWO lines, min/max detail FIRST and compact medians line LAST:
-    // the driver's artifact keeps the TAIL of the output (measured in
-    // rounds 6-8, where medians-first lost the signal line three
-    // rounds running and only queries_max survived — cold-rep
-    // outliers that manufactured phantom regressions). Printing the
-    // fat detail line first and the small total+medians line last
-    // means any head-truncation eats the detail, never the signal.
+    // THREE lines, fattest first, and the LAST line kept SMALL: the
+    // driver's artifact keeps only the TAIL (~2 kB) of the output and
+    // parses the LAST line as the result JSON. Rounds 6-9 lost the
+    // signal twice over: sbt's "[success]" epilogue was the last line
+    // (parse failed every round — now suppressed via showSuccess :=
+    // false in build.sbt), and the full 128-query medians map is
+    // ~3 kB, wider than the tail window, so tail-truncation ate its
+    // head ("metric":"total" included). Order: min/max detail, full
+    // medians, then a compact total line bounded to the TOPK slowest
+    // medians — guaranteed to fit the tail whole; the full medians
+    // line immediately above partially survives as bonus.
+    val topK = 40
+    val qtop = results
+      .collect { case (k, (ts, _)) if ts.nonEmpty => k -> ts((ts.length - 1) / 2) }
+      .sortBy(-_._2).take(topK)
+      .map { case (k, m) => "\"" + k + "\":" + r3(m) }
+      .mkString("{", ",", "}")
     println(s"""{"metric":"detail","queries_min":$qmin,"queries_max":$qmax}""")
-    println(s"""{"metric":"total","value":$value,"unit":"sec","reps":$reps,"sf":"$sfDir","failed":$failed,"total_passing":$total,"queries":$qs}""")
+    println(s"""{"metric":"medians","queries":$qs}""")
+    // key stays "queries" (the driver's documented schema) — it holds
+    // the top-K slowest medians; the full map is the line above
+    println(s"""{"metric":"total","value":$value,"unit":"sec","reps":$reps,"sf":"$sfDir","n_queries":${results.size},"queries_truncated_to":$topK,"failed":$failed,"total_passing":$total,"queries":$qtop}""")
     spark.stop()
   }
 }
