@@ -697,14 +697,19 @@ object SparkEntry {
       // projection; only tau differs, and cap pressure is a property
       // of the signature space, not the threshold) — so each prefix's
       // counters run on the projection its query actually runs on
-      .unionAll(Ann.capReport(
-        t.embeddings.select(F.col("vec_id"), F.slice(F.col("embedding"), 1, 8).as("embedding")),
-        "vec_id", "embedding", nPlanes = 60, bands = 15,
-        bucketCap = EmbeddingBucketCap.get))
-      .unionAll(Ann.capReport(
-        t.embeddings.select(F.col("vec_id"), F.slice(F.col("embedding"), 1, 8).as("embedding")),
-        "vec_id", "embedding", nPlanes = 60, bands = 12,
-        bucketCap = EmbeddingBucketCap.get, metricPrefix = "embedding_hi"))
+      .unionAll {
+        val pre = t.embeddings.select(F.col("vec_id"),
+          F.slice(F.col("embedding"), 1, 8).as("embedding"))
+        val n = pre.count()
+        val (bMid, wMid) = embeddingLayoutMid(n)
+        val (bHi, wHi) = embeddingLayoutHi(n)
+        Ann.capReport(pre, "vec_id", "embedding",
+            nPlanes = bMid * wMid, bands = bMid,
+            bucketCap = EmbeddingBucketCap.get)
+          .unionAll(Ann.capReport(pre, "vec_id", "embedding",
+            nPlanes = bHi * wHi, bands = bHi,
+            bucketCap = EmbeddingBucketCap.get, metricPrefix = "embedding_hi"))
+      }
       .orderBy("metric")
 
   private def dedupCapBands(t: Tables): DataFrame = {
@@ -719,12 +724,17 @@ object SparkEntry {
     // pattern applied to the cap guards).
     val pre = t.embeddings.select(F.col("vec_id"),
       F.slice(F.col("embedding"), 1, 8).as("embedding"))
+    val n = pre.count()
+    val (bMid, wMid) = embeddingLayoutMid(n)
+    val (bHi, wHi) = embeddingLayoutHi(n)
     Dedup.minhashBanded(t.documents, "doc_id", "text", k = 3,
         numHashes = 128, bands = 32)
       .select(F.lit("minhash").as("space"), F.col("id"), F.col("band"), F.col("key"))
-      .unionAll(Ann.bandedSignatures(pre, "vec_id", "embedding", nPlanes = 60, bands = 15)
+      .unionAll(Ann.bandedSignatures(pre, "vec_id", "embedding",
+          nPlanes = bMid * wMid, bands = bMid)
         .select(F.lit("embedding").as("space"), F.col("id"), F.col("band"), F.col("key")))
-      .unionAll(Ann.bandedSignatures(pre, "vec_id", "embedding", nPlanes = 60, bands = 12)
+      .unionAll(Ann.bandedSignatures(pre, "vec_id", "embedding",
+          nPlanes = bHi * wHi, bands = bHi)
         .select(F.lit("embedding_hi").as("space"), F.col("id"), F.col("band"), F.col("key")))
       .orderBy("space", "id", "band")
   }
@@ -973,6 +983,21 @@ object SparkEntry {
   // wired query (the minhash bucketCap's twin — see Ann.cosinePairsLsh)
   private[graft] val EmbeddingBucketCap = Some(1000L)
 
+  // Size-derived band layouts for the two wired embedding regimes
+  // (Ann.lshLayout): the floors pin the gate corpora to the
+  // MEASURED-complete layouts (15x4 at tau=0.65, 12x5 at tau=0.8 —
+  // complete recall at sf0.001/0.01/0.1), and above the former recall
+  // cliff (n ~ cap * 2^bits) bits grows with log(n) and bands with the
+  // recall formula instead of needing manual retuning. cap_report /
+  // cap_bands compute the SAME layout so their counters always
+  // describe the banding the wired queries actually run.
+  private def embeddingLayoutMid(n: Long): (Int, Int) =
+    Ann.lshLayout(n, threshold = 0.65, bucketCap = EmbeddingBucketCap.get,
+      minBands = 15, minBits = 4)
+  private def embeddingLayoutHi(n: Long): (Int, Int) =
+    Ann.lshLayout(n, threshold = 0.8, bucketCap = EmbeddingBucketCap.get,
+      minBands = 12, minBits = 5)
+
   private def dedupEmbeddingLsh(t: Tables): DataFrame =
     // the scale path: banded hyperplane signatures + exact verify — no
     // all-pairs join anywhere in the plan (asserted in PlanSpec). This
@@ -992,15 +1017,15 @@ object SparkEntry {
     // bucketCap ON bounds candidates at O(bands*probes*cap*n) — see
     // Ann.cosinePairsLsh's cost model. The production high-threshold
     // regime is wired separately as dedup_embedding_lsh_hi.
-    // 15 bands x 4 bits (vs the 12 x 5 default): at tau=0.65 the
-    // marginal-pair per-band hit rate needs the wider OR-amplification
-    // — measured complete recall at sf0.001/0.01/0.1 (12 x 5 missed
-    // one marginal pair at sf0.001); per-pair miss probability at the
-    // threshold is ~(1-p_band)^15 ~ 2e-8
-    Ann.cosinePairsLsh(
+    // Band layout is SIZE-DERIVED (embeddingLayoutMid): resolves to
+    // the measured-complete 15 bands x 4 bits at every gate SF (12 x 5
+    // missed one marginal pair at sf0.001; per-pair miss probability
+    // at the threshold is ~(1-p_band)^15 ~ 2e-8) and widens
+    // automatically past n ~ cap * 2^bits — the r8 recall cliff.
+    Ann.cosinePairsLshAdaptive(
       t.embeddings.select(F.col("vec_id"), F.slice(F.col("embedding"), 1, 8).as("embedding")),
-      "vec_id", "embedding", threshold = 0.65, nPlanes = 60, bands = 15,
-      bucketCap = EmbeddingBucketCap)
+      "vec_id", "embedding", threshold = 0.65,
+      bucketCap = EmbeddingBucketCap.get, minBands = 15, minBits = 4)
       .orderBy("id1", "id2")
 
   private def dedupEmbeddingLshHi(t: Tables): DataFrame =
@@ -1012,9 +1037,12 @@ object SparkEntry {
     // corpus it yields a genuine >=0.8 pair population (~600 pairs at
     // the gate SF). Oracle = exact pair join over the same projection,
     // so the parity gate is a full-recall check at production tau.
-    Ann.cosinePairsLsh(
+    // Size-derived layout (embeddingLayoutHi): the measured-complete
+    // 12 bands x 5 bits at every gate SF, widening past the cliff.
+    Ann.cosinePairsLshAdaptive(
       t.embeddings.select(F.col("vec_id"), F.slice(F.col("embedding"), 1, 8).as("embedding")),
-      "vec_id", "embedding", threshold = 0.8, bucketCap = EmbeddingBucketCap)
+      "vec_id", "embedding", threshold = 0.8,
+      bucketCap = EmbeddingBucketCap.get, minBands = 12, minBits = 5)
       .orderBy("id1", "id2")
 
   private def annTopk(t: Tables): DataFrame =

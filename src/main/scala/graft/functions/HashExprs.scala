@@ -50,6 +50,12 @@ object HashExprs {
   def lshSig(vec: Column, nPlanes: Int): Column =
     Bridge.column(LshSig(Bridge.expression(vec), nPlanes))
 
+  /** Per-band LSH keys (array of `bands` longs, each `bits` wide) —
+    * the unbounded-plane generalization of [[lshSig]].
+    */
+  def lshBandKeys(vec: Column, bands: Int, bits: Int): Column =
+    Bridge.column(LshBandKeys(Bridge.expression(vec), bands, bits))
+
   /** Space-joined k-shingles of a token array (native one-pass). */
   def shingleStrings(toks: Column, k: Int): Column =
     Bridge.column(ShingleStrings(Bridge.expression(toks), k))
@@ -404,6 +410,61 @@ case class LshSig(child: Expression, nPlanes: Int)
   }
 
   override protected def withNewChildInternal(newChild: Expression): LshSig =
+    copy(child = newChild)
+}
+
+/** Per-band LSH keys: band b's key bit j is sign(v . r_p) for GLOBAL
+  * plane index p = b*bits + j, with the same xxh64(i, 42 + p)
+  * Rademacher hyperplanes as [[LshSig]]. For bands*bits <= 63 each key
+  * is BIT-IDENTICAL to extracting bits [b*bits, (b+1)*bits) from
+  * lsh_sig's single-long signature (same planes, same seeds) — and
+  * beyond 63 the total plane budget is unbounded (each KEY stays
+  * <= 63 bits), which is what lets band width grow with log(corpus)
+  * at scale instead of hitting the single-long ceiling. One pass,
+  * O(bands*bits*dim) per row, same constant as LshSig per plane.
+  */
+case class LshBandKeys(child: Expression, bands: Int, bits: Int)
+    extends UnaryExpression with UnaryKernelCodegen {
+  require(bands >= 1, "bands >= 1")
+  require(bits >= 1 && bits <= 63, "bits per band in [1, 63]")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "lsh_band_keys"
+
+  private lazy val isFloatArr = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[ArrayData])
+
+  def kernel(v: ArrayData): ArrayData = {
+    val n = v.numElements()
+    val keys = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var key = 0L
+      var j = 0
+      while (j < bits) {
+        val p = b * bits + j
+        var dot = 0.0
+        var i = 0
+        while (i < n) {
+          val x: Double = if (isFloatArr) v.getFloat(i).toDouble else v.getDouble(i)
+          val r = if ((XXH64.hashLong(i, 42L + p) & 1L) == 0L) 1.0 else -1.0
+          dot += x * r
+          i += 1
+        }
+        if (dot > 0) key |= (1L << j)
+        j += 1
+      }
+      keys(b) = key
+      b += 1
+    }
+    new GenericArrayData(keys)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LshBandKeys =
     copy(child = newChild)
 }
 

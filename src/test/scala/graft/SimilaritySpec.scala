@@ -115,6 +115,116 @@ class SimilaritySpec extends SparkSpec {
       "nearly every degenerate row sits in an over-cap bucket in every band")
   }
 
+  test("LshBandKeys generalizes the single-long signature bit-for-bit") {
+    // band b's key from the array kernel must equal extracting bits
+    // [b*bits, (b+1)*bits) from LshSig's 60-plane signature — the
+    // compatibility contract that keeps every pre-r10 wired layout
+    // (and its parity-gated output) byte-identical while lifting the
+    // 63-plane total ceiling for the size-derived layouts
+    val df = corpus.limit(50)
+    val bands = 12; val bits = 5
+    val viaSig = df.select($"vec_id",
+        Ann.lshSignature($"embedding", nPlanes = bands * bits).as("sig"),
+        F.explode(F.lit((0 until bands).toArray)).as("band"))
+      .select($"vec_id", $"band",
+        F.expr(s"shiftright(sig, band * $bits) & ${(1L << bits) - 1}L").as("key"))
+      .as[(Long, Int, Long)].collect().toSet
+    val viaBands = df.select($"vec_id",
+        F.posexplode(graft.functions.HashExprs.lshBandKeys($"embedding", bands, bits))
+          .as(Seq("band", "key")))
+      .as[(Long, Int, Long)].collect().toSet
+    assert(viaBands == viaSig, "band-key kernel diverged from the signature layout")
+  }
+
+  test("lshLayout: gate floors hold; bits widens with corpus size") {
+    // at gate scale the floors pin the measured-complete layouts, so
+    // the wired queries' plans (and their parity baselines) are
+    // unchanged by the adaptive chooser
+    assert(Ann.lshLayout(2000, 0.65, 1000, minBands = 15, minBits = 4) == (15, 4))
+    assert(Ann.lshLayout(200, 0.8, 1000, minBands = 12, minBits = 5) == (12, 5))
+    // the r8 cliff scale: at n ~ cap * 2^bits the fixed 4-bit layout's
+    // AVERAGE bucket crosses the cap; the chooser must have widened
+    // well before that
+    val (bandsCliff, bitsCliff) = Ann.lshLayout(16000, 0.65, 1000, minBands = 15, minBits = 4)
+    assert(bitsCliff > 4, s"bits must widen by n=16k, got $bitsCliff")
+    assert(bandsCliff >= 15, "bands never drop below the measured floor")
+    // 100x further: bits tracks log(n), bands tracks the recall formula
+    val (bands1m, bits1m) = Ann.lshLayout(1600000, 0.65, 1000, minBands = 15, minBits = 4)
+    assert(bits1m > bitsCliff && bands1m >= bandsCliff,
+      s"layout must keep widening: ($bands1m, $bits1m) vs ($bandsCliff, $bitsCliff)")
+    // avg bucket stays at cap/4: n / 2^bits <= cap/4 (up to ceil)
+    assert(1600000.0 / (1L << bits1m) <= 250.0,
+      "average bucket must track a quarter of the cap")
+  }
+
+  test("SCALE: adaptive layout keeps recall >= 0.9 at 52k vectors where the fixed layout collapses") {
+    // The r8 recall cliff, reproduced and removed. 25k planted twin
+    // pairs (cosine ~0.93) + a 2000-row identical blob. At n=52k the
+    // OLD fixed 15x4 layout puts n/16 ~ 3250 rows in the AVERAGE
+    // bucket — every bucket crosses any sane cap, the kept side
+    // empties, recall -> 0. The size-derived layout widens bits so
+    // typical buckets sit at ~cap/4 and only the genuinely degenerate
+    // blob crosses the cap (the documented tradeoff).
+    val d = 16
+    val rnd = new Random(1234)
+    val rows = new scala.collection.mutable.ArrayBuffer[(Long, Seq[Float])](52000)
+    var i = 0
+    while (i < 25000) {
+      val base = Array.fill(d)(rnd.nextGaussian())
+      // twin = base + 0.38*noise: E[cos] = 1/sqrt(1+0.38^2) ~ 0.935
+      val twin = base.map(x => x + 0.38 * rnd.nextGaussian())
+      rows += ((i.toLong * 2, base.map(_.toFloat).toSeq))
+      rows += ((i.toLong * 2 + 1, twin.map(_.toFloat).toSeq))
+      i += 1
+    }
+    val blobBase = Array.fill(d)(rnd.nextGaussian()).map(_.toFloat).toSeq
+    (0 until 2000).foreach(j => rows += ((100000L + j, blobBase)))
+    val df = rows.toSeq.toDF("vec_id", "embedding")
+      .repartition(32).persist()
+    df.count()
+    val cap = 8L
+    val tau = 0.8
+    // recallTarget 0.95 keeps the test-sized band count; planted pairs
+    // sit at ~0.93 >> tau, so their per-band hit rate is far above the
+    // at-threshold worst case the formula budgets for
+    val (bands, bits) = Ann.lshLayout(52000, tau, cap,
+      recallTarget = 0.95, minBands = 12, minBits = 4)
+    assert(bits >= 12, s"52k vectors at cap=$cap must widen well past 4 bits, got $bits")
+    val found = Ann.cosinePairsLsh(df, "vec_id", "embedding", threshold = tau,
+        nPlanes = bands * bits, bands = bands, bucketCap = Some(cap))
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    // ground truth for the planted population only (exact all-pairs at
+    // 52k is O(n^2) — the planted ids make slice recall exact): a twin
+    // pair is IN the truth set iff its true cosine clears tau
+    val truth = df.where($"vec_id" < 100000L && $"vec_id" % 2 === 0)
+      .select($"vec_id".as("id1"), $"embedding".as("v1"))
+      .join(df.where($"vec_id" < 100000L && $"vec_id" % 2 === 1)
+        .select($"vec_id".as("id2"), $"embedding".as("v2")),
+        F.col("id2") === F.col("id1") + 1)
+      .where(graft.functions.HashExprs.cosineSim($"v1", $"v2") >= tau)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(truth.size > 15000, s"planted population too small: ${truth.size}")
+    val recall = (found & truth).size.toDouble / truth.size
+    assert(recall >= 0.9, s"adaptive recall $recall < 0.9 (${(found & truth).size}/${truth.size})")
+    // the cap genuinely binds on this corpus: the blob's bucket is
+    // over cap in every band
+    val rep = Ann.capReport(df, "vec_id", "embedding",
+        nPlanes = bands * bits, bands = bands, bucketCap = cap)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rep("embedding_buckets_over_cap") >= bands,
+      s"blob must cross the cap in every band: ${rep("embedding_buckets_over_cap")}")
+    // and the OLD fixed layout on the same corpus: every bucket over
+    // cap -> kept side empties -> recall collapses (the cliff)
+    val fixedFound = Ann.cosinePairsLsh(df, "vec_id", "embedding", threshold = tau,
+        nPlanes = 60, bands = 15, bucketCap = Some(cap))
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val fixedRecall = (fixedFound & truth).size.toDouble / truth.size
+    assert(fixedRecall < 0.1,
+      s"fixed 15x4 should collapse at this scale (got $fixedRecall) — if this " +
+        "starts passing the corpus no longer reproduces the cliff")
+    df.unpersist()
+  }
+
   test("ivfTopK probing all cells equals brute-force topK exactly") {
     val q = corpus.where($"vec_id" < 5)
     val brute = Ann.cosineTopK(q, "vec_id", "embedding", corpus, "vec_id", "embedding", k = 3)
