@@ -58,7 +58,12 @@ final case class Tables(spark: SparkSession, dir: String) {
   // events.ts is parquet TIMESTAMP(NANOS) — Spark has no nanosecond
   // timestamp type, so read it as raw nanos (legacy conf) and floor to
   // microseconds; DuckDB's epoch_us on TIMESTAMP_NS truncates the same.
-  lazy val events = {
+  // The conf toggle is session-GLOBAL and schema inference happens
+  // inside load(), so concurrent events loads (parallel test suites on
+  // the shared session) must serialize through one lock or a thread
+  // can see the conf flipped back mid-inference and resolve ts as
+  // TIMESTAMP_NTZ (an intermittent PlanSpec analysis failure, r10).
+  lazy val events = Tables.nanosLock.synchronized {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = load("events")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
@@ -68,4 +73,12 @@ final case class Tables(spark: SparkSession, dir: String) {
   }
   lazy val documents  = load("documents")
   lazy val embeddings = load("embeddings")
+}
+
+object Tables {
+  /** Serializes the nanosAsLong conf toggle in [[Tables.events]] —
+    * one JVM-wide lock because the conf is per-session and the test
+    * session is shared across concurrently-running suites.
+    */
+  private[graft] val nanosLock = new Object
 }

@@ -56,6 +56,71 @@ object OracleSql {
   private val exactJaccardPairs = jaccardPairsCte +
     "SELECT id1, id2, jaccard FROM pairs ORDER BY id1, id2"
 
+  /** match_schema_distribution twin: full replay of the quantile-
+    * vector Wasserstein-1 matcher (SchemaMatcher.distributionAll) —
+    * shared rank domain per pair, the SAME 257 dyadic fraction
+    * literals (SchemaMatcher.DistributionFractions — exact doubles in
+    * both engines), quantile_cont (ANSI interpolation, matches Spark's
+    * exact percentile — the corpus_quantiles precedent), each |diff|
+    * rounded to 6 dp and DECIMAL-summed so the sum is order-free, then
+    * the argmax-per-source window. Mixed-type pairs are literal 0.0
+    * rows by the matcher's contract.
+    */
+  private def distPairCtes(k: Int, srcTab: String, sCol: String,
+                           tgtTab: String, tCol: String,
+                           numeric: Boolean): String = {
+    val fracs = graft.harmonize.SchemaMatcher.DistributionFractions
+      .mkString("[", ", ", "]")
+    val nf = graft.harmonize.SchemaMatcher.DistributionFractions.size
+    def v(col: String) =
+      if (numeric) s"CAST($col AS DOUBLE)"
+      else s"trim(CAST($col AS VARCHAR))"
+    def filt(col: String) =
+      if (numeric) s"$col IS NOT NULL"
+      else s"$col IS NOT NULL AND trim(CAST($col AS VARCHAR)) <> ''"
+    s"""dom$k AS (SELECT value, CAST(row_number() OVER (ORDER BY value ASC) AS BIGINT) AS rnk FROM (
+       |  SELECT DISTINCT ${v(sCol)} AS value FROM $srcTab WHERE ${filt(sCol)}
+       |  UNION SELECT DISTINCT ${v(tCol)} FROM $tgtTab WHERE ${filt(tCol)})),
+       |sq$k AS (SELECT quantile_cont(rnk, $fracs) AS q
+       |         FROM $srcTab JOIN dom$k ON ${v(sCol)} = dom$k.value),
+       |tq$k AS (SELECT quantile_cont(rnk, $fracs) AS q
+       |         FROM $tgtTab JOIN dom$k ON ${v(tCol)} = dom$k.value),
+       |n$k AS (SELECT max(rnk) AS nmax FROM dom$k),
+       |d$k AS (SELECT sum(CAST(round(abs(sq$k.q[g.i] - tq$k.q[g.i]), 6) AS DECIMAL(28,6))) AS s
+       |        FROM (SELECT unnest(generate_series(1, $nf)) AS i) g, sq$k, tq$k),
+       |p$k AS (SELECT '$sCol' AS source, '$tCol' AS target,
+       |  CASE WHEN sq$k.q IS NULL OR tq$k.q IS NULL THEN 0.0
+       |       WHEN n$k.nmax <= 1 THEN 1.0
+       |       ELSE round(1.0 - CAST(d$k.s AS DOUBLE)
+       |                  / (CAST($nf AS DOUBLE) * CAST(n$k.nmax - 1 AS DOUBLE)), 6)
+       |  END AS similarity
+       |  FROM n$k, d$k, sq$k, tq$k)""".stripMargin
+  }
+
+  private val distributionSql: String = {
+    val pairs = Seq(
+      ("customer", "c_acctbal",    "supplier", "s_acctbal",   true),
+      ("customer", "c_acctbal",    "supplier", "s_nationkey", true),
+      ("customer", "c_nationkey",  "supplier", "s_acctbal",   true),
+      ("customer", "c_nationkey",  "supplier", "s_nationkey", true),
+      ("customer", "c_mktsegment", "supplier", "s_name",      false))
+    val mixed = Seq(
+      ("c_acctbal", "s_name"), ("c_nationkey", "s_name"),
+      ("c_mktsegment", "s_acctbal"), ("c_mktsegment", "s_nationkey"))
+    val ctes = pairs.zipWithIndex
+      .map { case ((st, sc, tt, tc, num), i) => distPairCtes(i + 1, st, sc, tt, tc, num) }
+      .mkString(",\n")
+    val sims = (pairs.indices.map(i => s"SELECT * FROM p${i + 1}") ++
+      mixed.map { case (s, t) => s"SELECT '$s' AS source, '$t' AS target, 0.0 AS similarity" })
+      .mkString("\nUNION ALL ")
+    s"""WITH $ctes,
+       |sims AS ($sims),
+       |best AS (SELECT source, target, similarity,
+       |                row_number() OVER (PARTITION BY source ORDER BY similarity DESC, target ASC) AS rn
+       |         FROM sims)
+       |SELECT source, target, similarity FROM best WHERE rn = 1 ORDER BY source""".stripMargin
+  }
+
   /** Synthetic text_entropy probe row (doc_id = -1), unioned onto the
     * corpus by BOTH the wired query and its twin: a combining sequence
     * (e + U+0301) and a supplementary-plane character (U+1D11E, beyond
@@ -202,6 +267,8 @@ object OracleSql {
         |FROM src s LEFT JOIN (SELECT source, target, similarity FROM best WHERE rn = 1) b
         |  USING (source)
         |ORDER BY s.source""".stripMargin,
+
+    "match_schema_distribution" -> distributionSql,
 
     "match_schema_overlap" ->
       """WITH sv AS (
@@ -1923,6 +1990,29 @@ object OracleSql {
         |       CAST(3 * sum(val * val) AS BIGINT) AS sum_sq,
         |       round(CAST(3 * sum(val) AS DOUBLE) / (3 * count(*)), 6) AS mean_val
         |FROM v GROUP BY 1, 2, 3 ORDER BY doc_id""".stripMargin,
+
+    // JPEG DC-only twin: pixel (x, y) takes its 8x8 block's
+    // closed-form gray level (block index row-major over the
+    // ceil(w/8)-wide grid) — codec-free, so a hash match proves the
+    // Huffman/EXTEND/DC-predictor entropy layer inverted correctly
+    "multimodal_jpeg" ->
+      """WITH d AS (SELECT doc_id,
+        |                  CAST(doc_id % 28 + 1 AS INTEGER) AS width,
+        |                  CAST(doc_id % 20 + 1 AS INTEGER) AS height
+        |           FROM documents),
+        |s AS (SELECT doc_id, width, height,
+        |             unnest(generate_series(0, width * height - 1)) AS i
+        |      FROM d),
+        |v AS (SELECT doc_id, width, height,
+        |             (((i // width) // 8) * ((width + 7) // 8) + (i % width) // 8) AS blk
+        |      FROM s),
+        |px AS (SELECT doc_id, width, height, (blk * 53 + doc_id * 7) % 256 AS val FROM v)
+        |SELECT doc_id, width, height, CAST(1 AS INTEGER) AS channels,
+        |       CAST(count(*) AS BIGINT) AS n_samples,
+        |       CAST(sum(val) AS BIGINT) AS sum_val,
+        |       CAST(sum(val * val) AS BIGINT) AS sum_sq,
+        |       round(CAST(sum(val) AS DOUBLE) / count(*), 6) AS mean_val
+        |FROM px GROUP BY 1, 2, 3 ORDER BY doc_id""".stripMargin,
 
     // pooled-feature twin: replays pixel -> 2x2 grid-cell binning
     // (cy = y*2//h, cx = x*2//w, integer floor) and the exact integer

@@ -312,16 +312,42 @@ object BinaryMeta {
       }(enc)
   }
 
+  /** Deterministic real JPEG payloads: per-id dimensions and a
+    * closed-form per-block gray level — the JPEG twin of
+    * [[syntheticGifBlobs]]. [[JpegCodec.encode]] emits genuine
+    * DC-only baseline JFIF bytes (real DQT/DHT/SOF0/SOS segments,
+    * Huffman-coded differential DC chain, FF-stuffed scan) any JPEG
+    * reader accepts. Dimensions span multiple 8x8 blocks so the DC
+    * predictor chain is genuinely exercised.
+    */
+  def syntheticJpegBlobs(df: DataFrame, idCol: String): DataFrame = {
+    val out = StructType(Seq(
+      StructField("id", LongType),
+      StructField("blob", BinaryType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(out)
+    df.select(F.col(idCol).cast("long").as("id"))
+      .where(F.col("id").isNotNull && F.col("id") >= 0)
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val (w, h) = ((id % 28 + 1).toInt, (id % 20 + 1).toInt)
+          Row(id, JpegCodec.encode(w, h, b => ((b * 53 + id * 7) % 256).toInt))
+        }
+      }(enc)
+  }
+
   /** REAL batched pixel decode via mapPartitions, format-sniffed per
     * payload: PNG takes inflate + per-scanline unfilter
     * ([[PngCodec.decodeStats]]), GIF takes the variable-width LZW
-    * engine + palette expansion ([[GifCodec.decodeStats]]); both emit
-    * per-image exact integer aggregates (n_samples, sum_val, sum_sq)
-    * — the metadata/quality-pass shape (stats, never a raster
-    * shuffle). Undecodable payloads yield null stats instead of
-    * failing the task. JPEG pixels stay stubbed (DCT entropy decode
-    * needs a codec library); PNG's compression ships in the JDK and
-    * GIF's LZW is implemented in [[GifCodec]].
+    * engine + palette expansion ([[GifCodec.decodeStats]]), JPEG
+    * takes the baseline entropy layer for the DC-only subset
+    * ([[JpegCodec.decodeStats]] — real marker walk, DHT Huffman
+    * tables, differential DC chain; AC-bearing blocks return null
+    * stats, the honest remaining gap). All emit per-image exact
+    * integer aggregates (n_samples, sum_val, sum_sq) — the
+    * metadata/quality-pass shape (stats, never a raster shuffle).
+    * Undecodable payloads yield null stats instead of failing the
+    * task.
     */
   def decodePixelStats(df: DataFrame, idCol: String): DataFrame = {
     val out = StructType(Seq(
@@ -343,8 +369,11 @@ object BinaryMeta {
           val bytes = r.getAs[Array[Byte]](1)
           val isGif = bytes != null && bytes.length >= 3 &&
             bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F'
+          val isJpeg = bytes != null && bytes.length >= 2 &&
+            (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8
           val stats =
             if (isGif) GifCodec.decodeStats(bytes)
+            else if (isJpeg) JpegCodec.decodeStats(bytes)
             else PngCodec.decodeStats(bytes)
           stats match {
             case Some(s) => Row(r.getLong(0), s.width, s.height, s.channels,

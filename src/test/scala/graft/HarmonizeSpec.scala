@@ -35,6 +35,54 @@ class HarmonizeSpec extends SparkSpec {
     assert(out.head == (("c1", "c1", 1.0)))
   }
 
+  test("distributionAll: same distribution with disjoint values scores high where jaccard scores 0") {
+    // the case that motivates distribution matching (Zhang SIGMOD'11 /
+    // Valentine DistributionBased): two columns independently sampled
+    // from the same uniform grid share NO exact values, so value-set
+    // jaccard = 0, but their rank distributions coincide
+    val src = (0 until 500).map(i => i * 2.0 + 0.25).toDF("bal")        // evens + .25
+    val tgt = (0 until 500).map(i => i * 2.0 + 1.25).toDF("bal")        // odds + .25
+    val jac = SchemaMatcher.valueOverlapAll(src, Seq("bal"), tgt, Seq("bal"))
+      .select("similarity").as[Double].head()
+    assert(jac == 0.0, "value sets are disjoint by construction")
+    val dist = SchemaMatcher.distributionAll(src, Seq("bal"), tgt, Seq("bal"))
+      .select("similarity").as[Double].head()
+    assert(dist > 0.99, s"same-shape disjoint-value columns must score high, got $dist")
+  }
+
+  test("distributionAll: identical column scores 1.0; frequency shift scores below it") {
+    val src = (Seq.fill(90)(1.0) ++ Seq.fill(10)(2.0)).toDF("v")
+    val skew = (Seq.fill(10)(1.0) ++ Seq.fill(90)(2.0)).toDF("v")
+    val self = SchemaMatcher.distributionAll(src, Seq("v"), src, Seq("v"))
+      .select("similarity").as[Double].head()
+    assert(self == 1.0, "identical distribution must score exactly 1")
+    val shifted = SchemaMatcher.distributionAll(src, Seq("v"), skew, Seq("v"))
+      .select("similarity").as[Double].head()
+    assert(shifted < 0.5,
+      s"same value SET, opposite frequencies — jaccard would say 1.0, " +
+        s"distribution must punish it, got $shifted")
+  }
+
+  test("distributionAll: mixed-type pairs score 0; facade methods no longer collapse") {
+    val src = Seq((1.0, "a"), (2.0, "b")).toDF("num", "txt")
+    val all = SchemaMatcher.distributionAll(src, Seq("num", "txt"), src, Seq("num", "txt"))
+      .as[(String, String, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(all(("num", "txt")) == 0.0 && all(("txt", "num")) == 0.0)
+    assert(all(("num", "num")) == 1.0 && all(("txt", "txt")) == 1.0)
+    // dispatch: distribution_based now routes to the quantile matcher,
+    // jaccard_distance keeps value-set overlap — on disjoint same-shape
+    // numeric columns they must DISAGREE (r8 verdict #5: the two
+    // reference methods used to collapse to one matcher)
+    val a = (0 until 200).map(i => i * 2.0).toDF("bal")
+    val b = (0 until 200).map(i => i * 2.0 + 1.0).toDF("bal")
+    val viaDist = Graft.matchSchema(a, b, method = "distribution_based")
+      .select("similarity").as[Double].head()
+    val viaJac = Graft.matchSchema(a, b, method = "jaccard_distance")
+      .select("similarity").as[Double].head()
+    assert(viaJac == 0.0 && viaDist > 0.99,
+      s"methods must diverge: jaccard=$viaJac dist=$viaDist")
+  }
+
   test("twoPhaseMatch: phase-1 name candidates restrict phase-2 value overlap") {
     // src col "status" shares values with tgt "status_code" (name-similar)
     // AND with "zzz" (name-dissimilar); two-phase must pick status_code

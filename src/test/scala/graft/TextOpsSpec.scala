@@ -235,6 +235,79 @@ class TextOpsSpec extends SparkSpec {
       s"got $repStats")
   }
 
+  test("JpegCodec round-trips DC-only baseline JFIF through the real entropy layer") {
+    import graft.multimodal.JpegCodec
+    // dims spanning 1 block to a 4x3 block grid with ragged edges —
+    // multi-block images exercise the differential DC predictor chain
+    for ((w, h) <- Seq((8, 8), (1, 1), (28, 20), (17, 9), (8, 24), (25, 1))) {
+      val bw = (w + 7) / 8
+      val bh = (h + 7) / 8
+      val value: Int => Int = b => (b * 53 + 11) % 256
+      val blob = JpegCodec.encode(w, h, value)
+      assert(graft.multimodal.ImageHeaders.decode(blob).contains((w, h, "jpeg")),
+        s"($w x $h): header walk must see the SOF0 dims")
+      // expected: every pixel takes its block's closed-form gray level
+      var expSum = 0L
+      var expSq = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = value((y / 8) * bw + (x / 8)).toLong
+        expSum += v; expSq += v * v
+      }
+      val got = JpegCodec.decodeStats(blob)
+      assert(got.contains(graft.multimodal.PngCodec.PixelStats(
+        w, h, 1, w.toLong * h, expSum, expSq)), s"($w x $h) got $got")
+      assert(bw * bh >= 1 && (bw > 1 || bh > 1 || (w <= 8 && h <= 8)))
+    }
+  }
+
+  test("JpegCodec builds Huffman tables FROM the stream and walks unknown segments") {
+    import graft.multimodal.JpegCodec
+    // splice an APPn comment segment after SOI: the marker walk must
+    // skip it; decode must be unchanged (tables still come from DHT)
+    val blob = JpegCodec.encode(10, 6, b => 40 + b * 10)
+    val app = Array[Byte](0xff.toByte, 0xe7.toByte, 0, 9) ++ "graft!!".getBytes
+    val spliced = blob.take(2) ++ app ++ blob.drop(2)
+    assert(JpegCodec.decodeStats(spliced) == JpegCodec.decodeStats(blob))
+    // progressive SOF2 must be declined, not mis-decoded
+    val prog = blob.clone()
+    val sof = (0 until prog.length - 1).find(i =>
+      (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xc0).get
+    prog(sof + 1) = 0xc2.toByte
+    assert(JpegCodec.decodeStats(prog).isEmpty)
+  }
+
+  test("JpegCodec.decodeStats rejects garbage, truncation, and fuzzed payloads") {
+    import graft.multimodal.JpegCodec
+    val good = JpegCodec.encode(12, 10, b => (b * 77) % 256)
+    assert(JpegCodec.decodeStats(good).isDefined)
+    assert(JpegCodec.decodeStats(null).isEmpty)
+    assert(JpegCodec.decodeStats(Array.emptyByteArray).isEmpty)
+    assert(JpegCodec.decodeStats("definitely not a jpeg".getBytes).isEmpty)
+    for (cut <- 1 until good.length by 5) {
+      JpegCodec.decodeStats(good.take(cut)) // must not throw
+    }
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 200) {
+      val m = good.clone()
+      m(rnd.nextInt(m.length)) = (rnd.nextInt(256)).toByte
+      JpegCodec.decodeStats(m) // any result, but never a throw
+    }
+  }
+
+  test("decodePixelStats sniffs JPEG alongside PNG and GIF") {
+    import graft.multimodal.{BinaryMeta, GifCodec, JpegCodec, PngCodec}
+    import spark.implicits._
+    val blobs = Seq(
+      (1L, PngCodec.encode(4, 3, 1, s => ((s * 7) % 256).toInt)),
+      (2L, GifCodec.encode(3, 2, s => (s * 5) % 256)),
+      (3L, JpegCodec.encode(9, 9, b => 100 + b))).toDF("id", "blob")
+    val out = BinaryMeta.decodePixelStats(blobs, "id")
+      .orderBy("id")
+      .select("id", "channels", "n_samples")
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(out == Seq((1L, 1, 12L), (2L, 3, 18L), (3L, 1, 81L)))
+  }
+
   test("GifCodec.decodeStats rejects garbage, truncation, and fuzzed payloads") {
     import graft.multimodal.GifCodec
     val good = GifCodec.encode(9, 7, s => (s * 13) % 256)
