@@ -282,7 +282,7 @@ object Ann {
     * key plus all single-bit flips within the band — hamming-1
     * coverage on one join side (the other side keeps exact keys).
     */
-  private def withFlipProbes(banded: DataFrame, bits: Int): DataFrame =
+  private[graft] def withFlipProbes(banded: DataFrame, bits: Int): DataFrame =
     banded.select(banded.columns.filter(_ != "key").map(F.col) :+
       F.explode(F.array(F.col("key") +: (0 until bits).map(j =>
         F.col("key").bitwiseXOR(F.lit(1L << j))): _*)).as("key"): _*)

@@ -115,6 +115,55 @@ class SimilaritySpec extends SparkSpec {
       "nearly every degenerate row sits in an over-cap bucket in every band")
   }
 
+  test("SCALE: adaptive layout + cap keep banded candidate volume ~linear across 4x corpus growth") {
+    // r8 verdict #8: assert the candidate-volume bound IN-PLAN, not
+    // just via the SF-pinned parity gate. Replays the capped path's
+    // exact candidate construction (banded -> over-cap anti-join ->
+    // band self-join with flip probes) at n and 4n under the
+    // size-derived layout and counts candidate rows BEFORE the
+    // distinct/verify — the number that must not go quadratic. A
+    // regression in the cap/adaptive logic (fixed bits, dropped
+    // anti-join, cap ignored) sends the ratio toward 16x.
+    def corpus(n: Int, seed: Int) = {
+      val rnd = new Random(seed)
+      (0 until n).map(i =>
+        (i.toLong, Seq.fill(8)((rnd.nextGaussian() * 0.5).toFloat)))
+        .toDF("vec_id", "embedding").repartition(8)
+    }
+    val cap = 64L
+    def candidates(n: Int): Long = {
+      val df = corpus(n, 7).persist()
+      df.count()
+      val (bands, bits) = Ann.lshLayout(n, threshold = 0.8, bucketCap = cap)
+      val banded = Ann.bandedSignatures(df, "vec_id", "embedding",
+        nPlanes = bands * bits, bands = bands).persist()
+      banded.count()
+      val over = banded.groupBy("band", "key")
+        .agg(F.count(F.lit(1)).as("bn")).where(F.col("bn") > cap)
+        .select("band", "key")
+      val kept = banded.join(over, Seq("band", "key"), "left_anti")
+      val c = kept.as("a")
+        .join(Ann.withFlipProbes(kept, bits).as("b"), Seq("band", "key"))
+        .where(F.col("a.id") < F.col("b.id")).count()
+      banded.unpersist(); df.unpersist()
+      c
+    }
+    val c1 = candidates(4000)
+    val c2 = candidates(16000)
+    assert(c1 > 0 && c2 > 0, s"candidate stream must be non-empty: $c1, $c2")
+    // quadratic would be 16x; the adaptive layout widens bits with n so
+    // typical buckets track cap/4 and growth stays ~linear (bands can
+    // grow a little with the widened bits — hence 6x headroom, not 4x)
+    assert(c2 <= 6 * c1,
+      s"candidate volume must stay ~linear under the cap: $c1 -> $c2 " +
+        s"(${c2.toDouble / c1}x for a 4x corpus)")
+    // and the per-row formula bound the cost model documents:
+    // candidates <= n * bands * (bits+1) * cap for each size
+    val (b2, w2) = Ann.lshLayout(16000, threshold = 0.8, bucketCap = cap)
+    assert(c2 <= 16000L * b2 * (w2 + 1) * cap,
+      "the documented O(n * bands * probes * cap) bound must hold")
+  }
+
   test("LshBandKeys generalizes the single-long signature bit-for-bit") {
     // band b's key from the array kernel must equal extracting bits
     // [b*bits, (b+1)*bits) from LshSig's 60-plane signature — the
