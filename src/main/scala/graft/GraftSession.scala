@@ -55,21 +55,31 @@ final case class Tables(spark: SparkSession, dir: String) {
   lazy val part       = load("part")
   lazy val orders     = load("orders")
   lazy val lineitem   = load("lineitem")
-  // events.ts is parquet TIMESTAMP(NANOS) — Spark has no nanosecond
-  // timestamp type, so read it as raw nanos (legacy conf) and floor to
-  // microseconds; DuckDB's epoch_us on TIMESTAMP_NS truncates the same.
-  // The conf toggle is session-GLOBAL and schema inference happens
-  // inside load(), so concurrent events loads (parallel test suites on
-  // the shared session) must serialize through one lock or a thread
-  // can see the conf flipped back mid-inference and resolve ts as
-  // TIMESTAMP_NTZ (an intermittent PlanSpec analysis failure, r10).
+  // events.ts has shipped as parquet TIMESTAMP(NANOS) in some rounds
+  // (Spark has no nanos type — read as raw longs via the legacy conf
+  // and floor to micros, like DuckDB's epoch_us truncation) and as
+  // TIMESTAMP(MICROS) in others (r10 regeneration — arrives as
+  // TIMESTAMP_NTZ). Normalize BOTH layouts to the session-TZ (UTC)
+  // TimestampType every query compares against; dispatch on the
+  // INFERRED type, never on an assumed layout. The conf toggle is
+  // session-GLOBAL and schema inference happens inside load(), so
+  // concurrent events loads (parallel test suites on the shared
+  // session) serialize through one lock.
   lazy val events = Tables.nanosLock.synchronized {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    import org.apache.spark.sql.{functions => F}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = load("events")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
-    raw.withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    raw.schema("ts").dataType match {
+      case LongType => // TIMESTAMP(NANOS) read as raw nanos
+        raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+      case TimestampNTZType => // TIMESTAMP(MICROS), no UTC flag
+        // session TZ is UTC, so this cast reinterprets the same micros
+        // as the LTZ instant DuckDB's naive reading compares equal to
+        raw.withColumn("ts", F.col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
   lazy val documents  = load("documents")
   lazy val embeddings = load("embeddings")

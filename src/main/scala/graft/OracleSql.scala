@@ -56,6 +56,60 @@ object OracleSql {
   private val exactJaccardPairs = jaccardPairsCte +
     "SELECT id1, id2, jaccard FROM pairs ORDER BY id1, id2"
 
+  /** BPE-training twins: the 8 merge stages unrolled as CTEs. Stage k
+    * recounts all overlapping adjacent symbol pairs of the current
+    * padded representations (weighted by word frequency), takes the
+    * (count desc, pair asc) argmax, and applies the merge with the
+    * SAME single-pass left-to-right `replace` semantics Spark's
+    * `replace` has (both resume the scan after each replacement).
+    * Char split via string_split(word, '') = Spark's
+    * filter(split(word, ''), c -> c <> '').
+    */
+  private val bpeMerges = 8
+
+  private def bpeStageCtes: String = {
+    // every stage CTE is MATERIALIZED: DuckDB would otherwise inline
+    // each reference, and the k-th stage's expression tree re-derives
+    // the whole prefix — exponential blowup across 8 unrolled stages
+    val wc =
+      s"""wc AS MATERIALIZED (SELECT tok AS word, count(*) AS cnt
+         |       FROM (SELECT unnest(${toks("text")}) AS tok FROM documents) GROUP BY tok),
+         |w0 AS MATERIALIZED (SELECT ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS repr, cnt FROM wc)""".stripMargin
+    val stages = (1 to bpeMerges).map { k =>
+      s"""p$k AS MATERIALIZED (SELECT pair, CAST(sum(cnt) AS BIGINT) AS c
+         |  FROM (SELECT cnt, unnest([l[i] || ' ' || l[i+1]
+         |                            for i in generate_series(1, greatest(len(l) - 1, 0))]) AS pair
+         |        FROM (SELECT string_split(trim(repr), ' ') AS l, cnt FROM w${k - 1}))
+         |  GROUP BY pair),
+         |b$k AS MATERIALIZED (SELECT pair, c FROM p$k ORDER BY c DESC, pair ASC LIMIT 1),
+         |w$k AS MATERIALIZED (SELECT replace(repr, ' ' || (SELECT pair FROM b$k) || ' ',
+         |                       ' ' || replace((SELECT pair FROM b$k), ' ', '') || ' ') AS repr, cnt
+         |        FROM w${k - 1})""".stripMargin
+    }
+    (wc +: stages).mkString(",\n")
+  }
+
+  private val bpeTrainSql: String = {
+    val rows = (1 to bpeMerges).map(k =>
+      s"SELECT CAST($k AS BIGINT) AS step, pair, replace(pair, ' ', '') AS merged, c AS cnt FROM b$k")
+    s"WITH $bpeStageCtes\n${rows.mkString("\nUNION ALL ")}\nORDER BY step"
+  }
+
+  private val bpeTokensSql: String = {
+    // nested replace chain applying the learned merges in step order
+    val applied = (1 to bpeMerges).foldLeft(
+      "' ' || array_to_string(string_split(w, ''), ' ') || ' '") { (acc, k) =>
+      s"replace($acc, ' ' || (SELECT pair FROM b$k) || ' ', ' ' || replace((SELECT pair FROM b$k), ' ', '') || ' ')"
+    }
+    s"""WITH $bpeStageCtes,
+       |td AS (SELECT doc_id, ${toks("text")} AS tl FROM documents),
+       |sw AS (SELECT doc_id, CAST(sum(len(string_split(trim($applied), ' '))) AS BIGINT) AS n_subwords
+       |       FROM (SELECT doc_id, unnest(tl) AS w FROM td) GROUP BY doc_id)
+       |SELECT td.doc_id, CAST(len(tl) AS BIGINT) AS n_tokens,
+       |       coalesce(sw.n_subwords, 0) AS n_subwords
+       |FROM td LEFT JOIN sw USING (doc_id) ORDER BY td.doc_id""".stripMargin
+  }
+
   /** match_schema_distribution twin: full replay of the quantile-
     * vector Wasserstein-1 matcher (SchemaMatcher.distributionAll) —
     * shared rank domain per pair, the SAME 257 dyadic fraction
@@ -269,6 +323,10 @@ object OracleSql {
         |ORDER BY s.source""".stripMargin,
 
     "match_schema_distribution" -> distributionSql,
+
+    "curate_bpe" -> bpeTrainSql,
+
+    "curate_bpe_tokens" -> bpeTokensSql,
 
     "match_schema_overlap" ->
       """WITH sv AS (

@@ -1391,6 +1391,30 @@ object SparkEntry {
     text.Curate.topNgrams(t.documents, "lang", "text", ngram = 2, k = 10)
       .orderBy("lang", "rank")
 
+  private def curateBpe(t: Tables): DataFrame =
+    // BPE tokenizer TRAINING (r10, Sennrich ACL'16): learn the top-8
+    // byte-pair merges over the corpus. The corpus is scanned ONCE
+    // (word counts); every merge iteration runs on the vocabulary-
+    // sized word-frequency table — K merges = K tiny shuffles, each
+    // argmax a 1-row driver reduce (the k-means-centroid pattern).
+    // Deterministic: exact integer pair counts, (count desc, pair asc)
+    // tie-break. The twin replays all 8 unrolled stages in SQL —
+    // identical char-split, overlapping pair counting, and the shared
+    // single-pass left-to-right replace semantics.
+    text.Curate.bpeTrain(t.documents, "text", nMerges = 8)
+      .orderBy("step")
+
+  private def curateBpeTokens(t: Tables): DataFrame = {
+    // the trained tokenizer APPLIED: per doc, raw token count vs
+    // subword count after the 8 learned merges (the compression-ratio
+    // audit). Merges are driver-small literals in the plan, so the
+    // apply pass is one shuffle-free corpus scan (spec-asserted).
+    val merges = text.Curate.bpeTrain(t.documents, "text", nMerges = 8)
+      .orderBy("step").select("pair").collect().map(_.getString(0)).toSeq
+    text.Curate.bpeSubwordCounts(t.documents, "doc_id", "text", merges)
+      .orderBy("doc_id")
+  }
+
   private def dedupCrossSource(t: Tables): DataFrame =
     // provenance: which sources near-duplicate each other — the signal
     // behind source mixing weights; rides on the same PPJoin pipeline
@@ -1832,6 +1856,8 @@ object SparkEntry {
       "curate_take" -> q(curateTake),
       "corpus_vocab" -> q(corpusVocab),
       "corpus_bigrams" -> q(corpusBigrams),
+      "curate_bpe" -> q(curateBpe),
+      "curate_bpe_tokens" -> q(curateBpeTokens),
       "dedup_cross_source" -> q(dedupCrossSource),
       "events_json" -> q(eventsJson),
       "events_funnel" -> q(eventsFunnel),

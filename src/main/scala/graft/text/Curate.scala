@@ -701,4 +701,112 @@ object Curate {
       .select(F.col(groupCol), F.posexplode(F.col("__tk")))
       .select(F.col(groupCol), F.col("col.key").as("tok"), F.col("col.n").as("n"),
         (F.col("pos") + 1).cast("long").as("rank"))
+
+  // ---------------------------------------------------------------
+  // BPE tokenizer training (Sennrich, Haddow & Birch, ACL 2016)
+  // ---------------------------------------------------------------
+
+  /** The padded symbol-sequence representation BPE iterates on:
+    * " c1 c2 ... cn " (space-separated characters, one leading and
+    * trailing space) — padding makes every symbol boundary a space so
+    * a merge is the plain string replace " a b " -> " ab ".
+    */
+  private def bpeInitRepr(word: Column): Column =
+    F.concat(F.lit(" "),
+      F.array_join(F.filter(F.split(word, ""), c => c =!= ""), " "),
+      F.lit(" "))
+
+  /** Adjacent symbol pairs (space-joined, all overlapping occurrences
+    * — the Sennrich counting rule) of a padded representation.
+    */
+  private def bpePairs(repr: Column): Column =
+    graft.functions.HashExprs.shingleStrings(F.split(F.trim(repr), " "), 2)
+
+  /** One merge applied to a padded representation: single-pass
+    * left-to-right non-overlapping string replace in BOTH engines
+    * (Spark `replace` and DuckDB `replace` share the Java semantics:
+    * the scan resumes after each replacement). On a run of the same
+    * pair ("b b b b") this merges alternate occurrences rather than
+    * re-pairing maximally — deterministic, engine-portable, and
+    * documented; reference BPE implementations themselves differ on
+    * this edge.
+    */
+  private def bpeApplyMerge(repr: Column, pair: String): Column =
+    F.replace(repr, F.lit(s" $pair "), F.lit(s" ${pair.replace(" ", "")} "))
+
+  /** TRAIN a BPE tokenizer on the corpus: learn the top `nMerges`
+    * byte-pair merges (Sennrich ACL'16 — the algorithm behind the
+    * GPT-2/RoBERTa tokenizer family, here over the shared word
+    * tokenizer's alphabet). Output: one row per learned merge —
+    * (step, pair, merged, cnt), step ascending.
+    *
+    * Scale design — the reason BPE training is feasible at 100 TB:
+    * the corpus is scanned ONCE (word-count aggregation, map-side
+    * combined); every merge iteration then runs on the WORD-FREQUENCY
+    * table, whose size is the vocabulary (millions of rows at web
+    * scale), not the corpus. Each step is one vocabulary-sized
+    * aggregate + a 1-row argmax (driver-collected, like the k-means
+    * centroid reduce) + one narrow replace projection. K merges = K
+    * tiny shuffles after the single corpus pass. The per-step persist
+    * is released as soon as the next representation materializes.
+    *
+    * Determinism: pair counts are exact integers; the argmax
+    * tie-breaks (count desc, pair asc), so the learned merge table is
+    * a pure function of the corpus.
+    */
+  def bpeTrain(docs: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(nMerges >= 1, "nMerges >= 1")
+    var words = docs
+      .select(F.explode(TextOps.tokens(F.col(textCol))).as("word"))
+      .groupBy("word").agg(F.count(F.lit(1)).as("cnt"))
+      .select(bpeInitRepr(F.col("word")).as("repr"), F.col("cnt"))
+      .persist()
+    words.count()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= nMerges && !exhausted) {
+      val best = words
+        .select(F.col("cnt"), F.explode(bpePairs(F.col("repr"))).as("pair"))
+        .groupBy("pair").agg(F.sum("cnt").as("c"))
+        .orderBy(F.col("c").desc, F.col("pair").asc)
+        .limit(1).as[(String, Long)].collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (pair, c) = best.head
+        merges += ((step.toLong, pair, pair.replace(" ", ""), c))
+        val next = words
+          .select(bpeApplyMerge(F.col("repr"), pair).as("repr"), F.col("cnt"))
+          .persist()
+        next.count()
+        words.unpersist()
+        words = next
+        step += 1
+      }
+    }
+    words.unpersist()
+    merges.toSeq.toDF("step", "pair", "merged", "cnt")
+  }
+
+  /** APPLY a trained merge table: per document, tokenize with the
+    * shared tokenizer, run every word through the merge sequence in
+    * step order, and report the resulting subword count next to the
+    * raw token count — the compression-ratio view a tokenizer audit
+    * reads. Pure narrow op: the merges are literals in the plan
+    * (driver-small by construction), so the corpus is one scan with
+    * no shuffle.
+    */
+  def bpeSubwordCounts(docs: DataFrame, idCol: String, textCol: String,
+                       merges: Seq[String]): DataFrame = {
+    def subCount(w: Column): Column =
+      F.size(F.split(F.trim(merges.foldLeft(bpeInitRepr(w))(bpeApplyMerge)), " "))
+        .cast("long")
+    docs.select(F.col(idCol), TextOps.tokens(F.col(textCol)).as("__toks"))
+      .select(F.col(idCol),
+        F.size(F.col("__toks")).cast("long").as("n_tokens"),
+        F.aggregate(F.col("__toks"), F.lit(0L),
+          (acc, w) => acc + subCount(w)).as("n_subwords"))
+  }
 }

@@ -395,6 +395,51 @@ class CurateSpec extends SparkSpec {
     }
   }
 
+  test("bpeTrain learns the hand-computed Sennrich merges in order") {
+    // the classic example corpus: low x7 (5+2 as 'lower' prefix...
+    // spelled out), newest x6, widest x3. Hand-computed:
+    //   step 1: pairs e-s (6+3=9) and s-t (9) tie -> 'e s' wins asc
+    //   step 2: es-t = 9 beats l-o/o-w = 7 -> 'es t'
+    //   step 3: l-o (7) ties o-w (7) -> 'l o' wins asc
+    val docs = Seq(
+      (1L, Array.fill(5)("low").mkString(" ")),
+      (2L, Array.fill(2)("lower").mkString(" ")),
+      (3L, Array.fill(6)("newest").mkString(" ")),
+      (4L, Array.fill(3)("widest").mkString(" "))).toDF("doc_id", "text")
+    val got = Curate.bpeTrain(docs, "text", nMerges = 3)
+      .orderBy("step").as[(Long, String, String, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, "e s", "es", 9L),
+      (2L, "es t", "est", 9L),
+      (3L, "l o", "lo", 7L)), s"got $got")
+  }
+
+  test("bpeSubwordCounts applies merges in step order, shuffle-free") {
+    val docs = Seq((1L, "low newest"), (2L, "widest"), (3L, "")).toDF("doc_id", "text")
+    // merges from the spec above: low -> 'lo w' (2), newest ->
+    // 'n e w est' (4), widest -> 'w i d est' (4)
+    val out = Curate.bpeSubwordCounts(docs, "doc_id", "text",
+      Seq("e s", "es t", "l o"))
+    val got = out.orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 6L), (2L, 1L, 4L), (3L, 0L, 0L)), s"got $got")
+    // apply is a pure per-row projection: no exchange anywhere
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"apply pass must be shuffle-free:\n$plan")
+  }
+
+  test("bpeTrain is partitioning-invariant and exhausts gracefully") {
+    val docs = (1L to 40L).map(i => (i, "ab" * (i % 3 + 1).toInt)).toDF("doc_id", "text")
+    val a = Curate.bpeTrain(docs, "text", 4)
+      .orderBy("step").as[(Long, String, String, Long)].collect().toSeq
+    val b = Curate.bpeTrain(docs.repartition(7), "text", 4)
+      .orderBy("step").as[(Long, String, String, Long)].collect().toSeq
+    assert(a == b, "merge table must be a pure function of the corpus")
+    // single-char vocabulary exhausts: 'z' has no pairs at all
+    val tiny = Seq((1L, "z z z")).toDF("doc_id", "text")
+    assert(Curate.bpeTrain(tiny, "text", 5).count() == 0,
+      "no adjacent pairs -> empty merge table, not a failure")
+  }
+
   test("mixtureRates: allocations, under-supply pinning, default weight") {
     // srcA: 10 tokens available; srcB: 4; srcC: 6 (default weight)
     val docs = Seq(

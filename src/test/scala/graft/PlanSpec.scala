@@ -146,7 +146,11 @@ class PlanSpec extends SparkSpec {
     // temperature mixing crossJoins the one-row token total into the
     // tiny per-group frame (group cardinality = languages/sources);
     // apply_mix embeds the same plan under its broadcast rate join
-    "curate_temperature", "curate_apply_mix")
+    "curate_temperature", "curate_apply_mix",
+    // distribution matching combines THREE one-row frames per column
+    // pair (source quantile vector x target quantile vector x domain
+    // size) — 1-row-by-1-row broadcast products by construction
+    "match_schema_distribution")
 
   test("no wired query plans a CartesianProduct; BNLJ only on bounded-broadcast baselines") {
     val withBnlj = scala.collection.mutable.Set[String]()
