@@ -1560,6 +1560,30 @@ object OracleSql {
         |  FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND c.vec_id <> q.vec_id)
         |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin,
 
+    // kNN label-agreement twin: brute-force rank (sim desc, id asc),
+    // 5-NN vote, (votes desc, label asc) majority — both tie-breaks
+    // replayed
+    "ann_knn_label" ->
+      """WITH nn AS (
+        |  SELECT query_id, n_label FROM (
+        |    SELECT q.vec_id AS query_id, c.label AS n_label,
+        |           row_number() OVER (PARTITION BY q.vec_id
+        |             ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                                             CAST(c.embedding AS DOUBLE[])) DESC,
+        |                      c.vec_id ASC) AS rk
+        |    FROM embeddings q JOIN embeddings c
+        |      ON q.vec_id < 200 AND c.vec_id <> q.vec_id)
+        |  WHERE rk <= 5),
+        |votes AS (SELECT query_id, n_label, count(*) AS v FROM nn GROUP BY 1, 2),
+        |pred AS (SELECT query_id, n_label AS predicted FROM (
+        |    SELECT query_id, n_label,
+        |           row_number() OVER (PARTITION BY query_id
+        |             ORDER BY v DESC, n_label ASC) AS rn FROM votes)
+        |  WHERE rn = 1)
+        |SELECT q.vec_id, q.label, p.predicted, q.label = p.predicted AS correct
+        |FROM embeddings q JOIN pred p ON q.vec_id = p.query_id
+        |WHERE q.vec_id < 200 ORDER BY q.vec_id""".stripMargin,
+
     // the approximate-ANN recall gates: the Spark side computes
     // recall@5 per query against its own in-plan brute-force truth and
     // emits a floor boolean; the oracle is the LITERAL all-true table,

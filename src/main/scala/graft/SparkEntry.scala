@@ -1068,6 +1068,17 @@ object SparkEntry {
       t.embeddings, "vec_id", "embedding", k = 5)
       .orderBy("query_id", "rank")
 
+  private def annKnnLabel(t: Tables): DataFrame =
+    // kNN label-agreement probe (r10): majority label of the 5 nearest
+    // neighbors vs the query's own label — the embedding-quality eval
+    // run before trusting a space for retrieval/clustering; uses the
+    // embeddings table's labeled column. 200-query probe slice, corpus
+    // scanned once, queries broadcast. Twin replays the brute-force
+    // rank, the vote, and both tie-breaks.
+    Ann.knnLabelEval(t.embeddings, "vec_id", "embedding", "label",
+      t.embeddings.where(F.col("vec_id") < 200), k = 5)
+      .orderBy("vec_id")
+
   private def annRange(t: Tables): DataFrame =
     // radius 0.35 splits genuinely at every SF (7/12/44 rows) — the
     // fixed-threshold complement of ann_topk
@@ -1817,6 +1828,7 @@ object SparkEntry {
       "dedup_incremental_near" -> q(dedupIncrementalNear),
       "dedup_incremental_near_idx" -> q(dedupIncrementalNearIdx),
       "ann_topk" -> q(annTopk),
+      "ann_knn_label" -> q(annKnnLabel),
       "ann_range" -> q(annRange),
       "ann_lsh" -> q(annLsh),
       "ann_lsh_recall" -> q(annLshRecall),

@@ -43,6 +43,37 @@ object Ann {
         F.round(F.col("sim"), 6).as("similarity"))
   }
 
+  /** kNN label-agreement evaluation — the standard embedding-quality
+    * probe ("does the embedding space cluster the labels?"): for each
+    * query vector, the majority label among its k nearest corpus
+    * neighbors (cosine, self excluded) is compared to the query's own
+    * label. Deterministic: neighbor set from [[cosineTopK]]'s total
+    * order, majority vote tie-broken (votes desc, label asc). Output
+    * (id, label, predicted, correct).
+    *
+    * Scale: the query batch broadcasts (probe batches are small by
+    * construction); the corpus is scanned once; the vote/agg frames
+    * are batch-sized. For full-corpus sweeps compose the IVF/PQ/LSH
+    * index paths instead of the brute-force probe.
+    */
+  def knnLabelEval(emb: DataFrame, idCol: String, vecCol: String,
+                   labelCol: String, queries: DataFrame, k: Int): DataFrame = {
+    val nn = cosineTopK(queries, idCol, vecCol, emb, idCol, vecCol, k)
+    val labels = emb.select(F.col(idCol).as("neighbor_id"),
+      F.col(labelCol).as("n_label"))
+    val votes = nn.join(labels, "neighbor_id")
+      .groupBy("query_id", "n_label").agg(F.count(F.lit(1)).as("votes"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(F.col("votes").desc, F.col("n_label").asc)
+    val pred = votes.withColumn("rn", F.row_number().over(w))
+      .where(F.col("rn") === 1)
+      .select(F.col("query_id"), F.col("n_label").as("predicted"))
+    queries.select(F.col(idCol).as("query_id"), F.col(labelCol).as("label"))
+      .join(pred, "query_id")
+      .select(F.col("query_id").as(idCol), F.col("label"),
+        F.col("predicted"), (F.col("label") === F.col("predicted")).as("correct"))
+  }
+
   /** Cosine RANGE search: for each query vector, every corpus vector
     * with similarity >= radius (the fixed-threshold complement of the
     * top-k API — "all near-duplicates of these items", result size

@@ -389,6 +389,28 @@ class RobustnessSpec extends SparkSpec {
     }
   }
 
+  test("property: JpegCodec round-trips random dims and block values exactly (seeded)") {
+    import graft.multimodal.{JpegCodec, PngCodec}
+    val rnd = new Random(13)
+    for (i <- 0 until 20) {
+      val w = 1 + rnd.nextInt(48)
+      val h = 1 + rnd.nextInt(36)
+      val seed = rnd.nextInt(1 << 20)
+      val bw = (w + 7) / 8
+      val value: Int => Int = b => ((b.toLong * 2654435761L + seed) % 256).toInt & 0xff
+      val blob = JpegCodec.encode(w, h, value)
+      var s = 0L
+      var sq = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = value((y / 8) * bw + (x / 8)).toLong
+        s += v; sq += v * v
+      }
+      val got = JpegCodec.decodeStats(blob)
+      assert(got.contains(PngCodec.PixelStats(w, h, 1, w.toLong * h, s, sq)),
+        s"case $i ($w x $h seed=$seed): got $got")
+    }
+  }
+
   test("property: winnowMins equals brute force on random arrays (seeded)") {
     val rnd = new Random(7)
     val cases = (0 until 30).map { _ =>

@@ -164,6 +164,26 @@ class SimilaritySpec extends SparkSpec {
       "the documented O(n * bands * probes * cap) bound must hold")
   }
 
+  test("knnLabelEval: hand-computed majority vote with both tie-breaks") {
+    // two clean clusters on the axes plus a bridge point; k=2 forces a
+    // vote tie for the axis-1 queries (nearest = own cluster, second =
+    // the label-0 bridge), exercising the (votes desc, label asc) rule
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f), 0),
+      (2L, Seq(0.9f, 0.1f), 0),
+      (3L, Seq(0.0f, 1.0f), 1),
+      (4L, Seq(0.1f, 0.9f), 1),
+      (5L, Seq(0.6f, 0.5f), 0)).toDF("vec_id", "embedding", "label")
+    val got = Ann.knnLabelEval(emb, "vec_id", "embedding", "label", emb, k = 2)
+      .orderBy("vec_id").as[(Long, Int, Int, Boolean)].collect().toSeq
+    assert(got == Seq(
+      (1L, 0, 0, true),
+      (2L, 0, 0, true),
+      (3L, 1, 0, false), // 2-NN = {id4 (label 1), id5 (label 0)} -> tie -> label asc
+      (4L, 1, 0, false),
+      (5L, 0, 0, true)), s"got $got")
+  }
+
   test("LshBandKeys generalizes the single-long signature bit-for-bit") {
     // band b's key from the array kernel must equal extracting bits
     // [b*bits, (b+1)*bits) from LshSig's 60-plane signature — the
