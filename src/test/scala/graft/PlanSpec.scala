@@ -130,8 +130,9 @@ class PlanSpec extends SparkSpec {
     // bigram LM: same 1-row vocabulary-size totals crossJoin as the
     // unigram scorer (the bigram/unigram count joins are hash joins)
     "text_bigram_lm",
-    // ann_range: same broadcast-query corpus scan as ann_topk
-    "ann_topk", "ann_range", "ann_lsh_recall", "ann_ivf_recall",
+    // ann_range / ann_knn_label: same broadcast-query corpus scan as
+    // ann_topk (the kNN probe is cosineTopK + batch-sized vote frames)
+    "ann_topk", "ann_range", "ann_knn_label", "ann_lsh_recall", "ann_ivf_recall",
     // PQ's ADC scan crossJoins the BROADCAST query batch against the
     // compact (id, reconstruction) table — query-side bounded like
     // ann_topk; the recall gate adds the exact-truth baseline on top
