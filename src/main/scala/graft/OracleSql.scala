@@ -1560,6 +1560,37 @@ object OracleSql {
         |  FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND c.vec_id <> q.vec_id)
         |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin,
 
+    // duplicated-span twin: 5-token windows with >= 2 distinct docs,
+    // consecutive-position runs (pos - row_number), interval-union
+    // sweep via the running max end — every stage exact integers
+    "dedup_spans" ->
+      s"""WITH tk AS (SELECT doc_id, ${toks("text")} AS tl FROM documents),
+         |w AS (SELECT doc_id, i - 1 AS pos, array_to_string(tl[i:i+4], ' ') AS sh
+         |      FROM (SELECT doc_id, tl,
+         |              unnest(generate_series(1, greatest(len(tl) - 4, 0))) AS i FROM tk)),
+         |dup AS (SELECT sh FROM (SELECT sh, count(DISTINCT doc_id) AS nd FROM w GROUP BY sh)
+         |        WHERE nd >= 2),
+         |dp AS (SELECT doc_id, pos FROM w JOIN dup USING (sh)),
+         |runs AS (SELECT doc_id, pos,
+         |                pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos ASC) AS grp
+         |         FROM dp),
+         |spans AS (SELECT doc_id, min(pos) AS strt, max(pos) + 5 AS e
+         |          FROM runs GROUP BY doc_id, grp),
+         |sweep AS (SELECT doc_id, strt, e,
+         |                 coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY strt ASC
+         |                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev_e
+         |          FROM spans),
+         |cov AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         |               CAST(sum(greatest(e - greatest(strt, prev_e), 0)) AS BIGINT) AS dup_tokens
+         |        FROM sweep GROUP BY doc_id)
+         |SELECT tk.doc_id, CAST(len(tl) AS BIGINT) AS n_tokens,
+         |       coalesce(n_spans, 0) AS n_spans,
+         |       coalesce(dup_tokens, 0) AS dup_tokens,
+         |       CASE WHEN len(tl) = 0 THEN 0.0
+         |            ELSE round(CAST(coalesce(dup_tokens, 0) AS DOUBLE) / len(tl), 6)
+         |       END AS dup_ratio
+         |FROM tk LEFT JOIN cov USING (doc_id) ORDER BY tk.doc_id""".stripMargin,
+
     // kNN label-agreement twin: brute-force rank (sim desc, id asc),
     // 5-NN vote, (votes desc, label asc) majority — both tie-breaks
     // replayed

@@ -923,6 +923,17 @@ object SparkEntry {
       .orderBy(F.col("n_docs").desc, F.col("shingle").asc)
       .limit(20)
 
+  private def dedupSpans(t: Tables): DataFrame =
+    // exact-substring duplication accounting (r10, Lee et al. ACL'22
+    // modality): per doc, maximal runs of 5-token windows shared with
+    // >= 2 docs, coverage as interval-UNION length (adjacent runs can
+    // overlap by k-1). One shingle shuffle + semi join + two per-doc
+    // windows; twin replays runs, sweep, and ratio exactly.
+    Dedup.duplicatedSpans(t.documents, "doc_id", "text", k = 5, minDocs = 2)
+      .select(F.col("id").as("doc_id"), F.col("n_tokens"), F.col("n_spans"),
+        F.col("dup_tokens"), F.col("dup_ratio"))
+      .orderBy("doc_id")
+
   private def dedupIncremental(t: Tables): DataFrame = {
     // incremental ingest: the second half of the corpus arrives as a
     // new batch against the already-ingested first half
@@ -1824,6 +1835,7 @@ object SparkEntry {
       "decontaminate" -> q(decontaminate),
       "decontaminate_clean" -> q(decontaminateClean),
       "boilerplate_ngrams" -> q(boilerplateNgrams),
+      "dedup_spans" -> q(dedupSpans),
       "dedup_incremental" -> q(dedupIncremental),
       "dedup_incremental_near" -> q(dedupIncrementalNear),
       "dedup_incremental_near_idx" -> q(dedupIncrementalNearIdx),

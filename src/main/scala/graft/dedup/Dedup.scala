@@ -2,6 +2,7 @@ package graft.dedup
 
 import graft.text.TextOps
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.{functions => F}
 
 /** Deduplication suite for document corpora.
@@ -395,6 +396,67 @@ object Dedup {
       .groupBy("shingle")
       .agg(F.count(F.lit(1)).as("n_docs"))
       .where(F.col("n_docs") >= minDocs)
+
+  /** Cross-document duplicated-SPAN accounting — the exact-substring
+    * dedup modality (Lee et al. ACL'22, "Deduplicating Training Data
+    * Makes Language Models Better", there via suffix arrays): a
+    * k-token window occurring in >= minDocs distinct documents marks a
+    * duplicated position; maximal runs of consecutive duplicated
+    * positions are SPANS, and per document we report the span count
+    * plus the number of distinct token positions covered (spans from
+    * nearby runs can overlap by up to k-1 tokens, so coverage is the
+    * interval-UNION length via a running-max sweep, never a naive
+    * sum). Output: (id, n_tokens, n_spans, dup_tokens, dup_ratio) for
+    * every document, zeros where nothing repeats.
+    *
+    * Distinct from [[boilerplateShingles]] (reports the n-grams, not
+    * per-doc span structure) and [[dedupParagraphs]] (within-doc
+    * repetition): this is the per-document contamination accounting a
+    * substring-dedup policy thresholds on.
+    *
+    * Scale: one shingle explode (the shared kernel), one frequency
+    * shuffle on shingle strings, a semi join back, and two per-doc
+    * windows (partitioned by doc id — high-cardinality, even). All
+    * arithmetic exact integers; the DuckDB twin replays every stage.
+    */
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+                      k: Int, minDocs: Long = 2L): DataFrame = {
+    val base = df.select(F.col(idCol).as("id"),
+      TextOps.tokens(F.col(textCol)).as("__toks"))
+    val docs = base.select(F.col("id"),
+      F.size(F.col("__toks")).cast("long").as("n_tokens"))
+    val win = base
+      .select(F.col("id"), F.posexplode(TextOps.shingles(F.col("__toks"), k))
+        .as(Seq("pos", "sh")))
+    val dup = win.groupBy("sh")
+      .agg(F.countDistinct("id").as("nd")).where(F.col("nd") >= minDocs)
+      .select("sh")
+    val dupPos = win.join(dup, "sh").select("id", "pos")
+    // maximal runs of consecutive positions: pos - row_number is
+    // constant within a run
+    val wOrd = Window.partitionBy("id").orderBy(F.col("pos").asc)
+    val spans = dupPos
+      .withColumn("grp", F.col("pos") - F.row_number().over(wOrd))
+      .groupBy("id", "grp")
+      .agg(F.min("pos").as("start"), (F.max("pos") + k).as("end"))
+    // interval-union sweep: tokens covered beyond the running max end
+    val wSweep = Window.partitionBy("id").orderBy(F.col("start").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val covered = spans
+      .withColumn("prev_end", F.coalesce(F.max("end").over(wSweep), F.lit(0L)))
+      .withColumn("cov",
+        F.greatest(F.col("end") - F.greatest(F.col("start"), F.col("prev_end")),
+          F.lit(0L)))
+      .groupBy("id")
+      .agg(F.count(F.lit(1)).as("n_spans"), F.sum("cov").as("dup_tokens"))
+    docs.join(covered, Seq("id"), "left")
+      .na.fill(0L, Seq("n_spans", "dup_tokens"))
+      .select(F.col("id"), F.col("n_tokens"), F.col("n_spans"),
+        F.col("dup_tokens"),
+        F.when(F.col("n_tokens") === 0, 0.0)
+          .otherwise(F.round(F.col("dup_tokens").cast("double") /
+            F.col("n_tokens").cast("double"), 6)).as("dup_ratio"))
+  }
 
   /** Incremental corpus growth: of an incoming batch, keep only the
     * documents whose text is (a) first-seen within the batch (min id

@@ -457,6 +457,27 @@ class DedupSpec extends SparkSpec {
       (3L, 0L, 0L, "")), s"got $out")
   }
 
+  test("duplicatedSpans: runs, interval-union sweep, and zero rows — hand-computed") {
+    // doc 1/2 share a 6-token prefix -> one 3-gram run each, span
+    // [0, 6). doc 10 is untouched. docs 8/9 share "m n o" and "o p q"
+    // but NOT the middle window: two runs whose token intervals OVERLAP in doc 8
+    // ([0,3) and [2,5)) — union 5, a naive sum says 6
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d e f x y"),
+      (8L, "m n o p q"),
+      (9L, "m n o z o p q"),
+      (10L, "q w r t z u i o p")).toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpans(docs, "doc_id", "text", k = 3, minDocs = 2)
+      .orderBy("id").as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, 8L, 1L, 6L, 0.75),
+      (2L, 8L, 1L, 6L, 0.75),
+      (8L, 5L, 2L, 5L, 1.0),   // union length, not 3+3
+      (9L, 7L, 2L, 6L, 0.857143),
+      (10L, 9L, 0L, 0L, 0.0)), s"got $got")
+  }
+
   test("GraftSession.build checkpointDir knob reaches the SparkContext") {
     // getOrCreate returns the shared test session, so the knob must
     // apply to the ACTIVE context — which is exactly the deployment
