@@ -340,10 +340,11 @@ object BinaryMeta {
     * payload: PNG takes inflate + per-scanline unfilter
     * ([[PngCodec.decodeStats]]), GIF takes the variable-width LZW
     * engine + palette expansion ([[GifCodec.decodeStats]]), JPEG
-    * takes the baseline entropy layer for the DC-only subset
-    * ([[JpegCodec.decodeStats]] — real marker walk, DHT Huffman
-    * tables, differential DC chain; AC-bearing blocks return null
-    * stats, the honest remaining gap). All emit per-image exact
+    * takes the full baseline grayscale decoder
+    * ([[JpegCodec.decodeStats]] — real marker walk, stream-defined
+    * DHT Huffman tables, differential DC chain, zigzag dequant, and
+    * a real 2-D IDCT for AC-bearing blocks; DC-only blocks keep the
+    * exact-integer closed form the parity oracle replays). All emit per-image exact
     * integer aggregates (n_samples, sum_val, sum_sq) — the
     * metadata/quality-pass shape (stats, never a raster shuffle).
     * Undecodable payloads yield null stats instead of failing the

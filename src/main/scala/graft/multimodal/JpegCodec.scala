@@ -2,12 +2,12 @@ package graft.multimodal
 
 import graft.multimodal.PngCodec.PixelStats
 
-/** Pure-JVM JPEG codec for the DC-ONLY BASELINE subset (ITU-T T.81 /
-  * ISO 10918-1, public specification; JFIF container). With this the
-  * declared multimodal pixel stubs shrink to general (AC-coefficient)
-  * JPEG and the learned feature encoder — see SURVEY.md §6.
+/** Pure-JVM BASELINE JPEG decoder (ITU-T T.81 / ISO 10918-1, public
+  * specification; JFIF container) — grayscale baseline needs no codec
+  * library at all, so with this the declared multimodal pixel stub
+  * shrinks to the learned feature encoder alone (SURVEY.md §6).
   *
-  * What is REAL here — the full entropy layer of baseline JPEG:
+  * The full entropy layer is real:
   *  - marker segment walk (SOI, APPn/COM skip, DQT quantization
   *    tables, DHT Huffman tables, DRI restart interval, SOF0, SOS);
   *  - canonical Huffman table construction from DHT BITS/HUFFVAL
@@ -18,21 +18,23 @@ import graft.multimodal.PngCodec.PixelStats
   *    byte-unstuffing, RSTn restart handling (bit-realign + DC
   *    predictor reset), the DC difference chain (category code +
   *    T.81 F.2.2.1 EXTEND sign reconstruction, cumulative predictor),
-  *    and AC run/size symbol decoding (EOB / ZRL / (r,s) skip) to
-  *    stay bit-aligned through every block.
+  *    and AC run/size decoding (EOB / ZRL / (r,s)) through the
+  *    zigzag order into the natural-order coefficient block.
   *
-  * What is NOT: blocks carrying a nonzero AC coefficient need the
-  * 2-D inverse DCT — that general case returns None (honestly "not
-  * DC-only") rather than a wrong raster. For a DC-only block the
-  * IDCT collapses to a closed form: every sample equals
-  * round(DC * Q(0,0) / 8) + 128 (level shift), clamped to [0,255] —
-  * so decode is exact integer arithmetic and the parity oracle can
-  * recompute the aggregates with no codec at all.
+  * Reconstruction takes two paths:
+  *  - DC-only blocks (every AC zero) use the exact closed form —
+  *    all 64 samples = round(DC * Q(0,0) / 8) + 128, clamped — pure
+  *    integer arithmetic, which is what lets the multimodal_jpeg
+  *    parity oracle recompute aggregates with no codec;
+  *  - AC-bearing blocks go through dequantization and a real
+  *    separable 2-D inverse DCT (floating point, rounded + clamped
+  *    per the spec) — plain math, gated by round-trip specs against
+  *    an independent test-side forward-DCT encoder (the GifCodec
+  *    general-LZW pattern).
   *
   * Decoder scope: 8-bit baseline (SOF0), single-component
-  * (grayscale), 1x1 sampling — the shape [[encode]] emits and the
-  * shape a DC-only thumbnail/probe pass reads. Garbage-safe like the
-  * other codecs: malformed or truncated payloads return None.
+  * (grayscale), 1x1 sampling. Garbage-safe like the other codecs:
+  * malformed or truncated payloads return None.
   */
 object JpegCodec {
 
@@ -131,6 +133,58 @@ object JpegCodec {
     else if (v < (1 << (s - 1))) v - (1 << s) + 1
     else v
 
+  /** T.81 Figure A.6 zigzag order: ZigZag(k) = the natural (row-major)
+    * position of the k-th coefficient in transmission order.
+    */
+  private val ZigZag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** cos((2x+1) u pi / 16) * C(u)/2 for the 2-D IDCT, precomputed —
+    * IDCT is plain math, no codec library: f(x,y) = sum_u sum_v
+    * basis(x,u) * basis(y,v) * F(u,v).
+    */
+  private val IdctBasis: Array[Array[Double]] = Array.tabulate(8, 8) { (x, u) =>
+    val c = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+    0.5 * c * math.cos((2 * x + 1) * u * math.Pi / 16.0)
+  }
+
+  /** Full 8x8 inverse DCT of dequantized coefficients (natural order)
+    * + level shift + clamp. Separable: rows then columns.
+    */
+  private def idctBlock(coef: Array[Int]): Array[Int] = {
+    val tmp = new Array[Double](64)
+    var y = 0
+    while (y < 8) { // 1-D over u for each row y? separable: first columns (v), then rows (u)
+      var x = 0
+      while (x < 8) {
+        var s = 0.0
+        var v = 0
+        while (v < 8) { s += IdctBasis(x)(v) * coef(y * 8 + v); v += 1 }
+        tmp(y * 8 + x) = s
+        x += 1
+      }
+      y += 1
+    }
+    val out = new Array[Int](64)
+    var x = 0
+    while (x < 8) {
+      var yy = 0
+      while (yy < 8) {
+        var s = 0.0
+        var u = 0
+        while (u < 8) { s += IdctBasis(yy)(u) * tmp(u * 8 + x); u += 1 }
+        val p = 128 + Math.round(s).toInt
+        out(yy * 8 + x) = if (p < 0) 0 else if (p > 255) 255 else p
+        yy += 1
+      }
+      x += 1
+    }
+    out
+  }
+
   private def decodeHuff(r: BitReader, t: HuffTable): Int = {
     var code = 0
     var len = 0
@@ -145,11 +199,65 @@ object JpegCodec {
     -1
   }
 
-  /** Decode a DC-only baseline grayscale JPEG to exact integer
-    * aggregates. None for anything outside the documented scope —
-    * including a stream with genuine AC coefficients.
+  /** Decode a baseline grayscale JPEG to exact integer aggregates.
+    * None for anything outside the documented scope.
     */
   def decodeStats(bytes: Array[Byte]): Option[PixelStats] = {
+    var sum = 0L
+    var sumSq = 0L
+    decodeBlocks(bytes, (_, _) => ()) { (_, _, nx, ny, flat, px) =>
+      if (px == null) { // DC-only closed form: one value for the block
+        val cnt = nx.toLong * ny
+        sum += flat.toLong * cnt
+        sumSq += flat.toLong * flat * cnt
+      } else {
+        var yy = 0
+        while (yy < ny) {
+          var xx = 0
+          while (xx < nx) {
+            val v = px(yy * 8 + xx).toLong
+            sum += v
+            sumSq += v * v
+            xx += 1
+          }
+          yy += 1
+        }
+      }
+    }.map { case (w, h) =>
+      PixelStats(w, h, 1, w.toLong * h, sum, sumSq)
+    }
+  }
+
+  /** Full decoded raster (row-major), for spec-side pixel comparison
+    * against the independent forward-DCT test encoder.
+    */
+  private[graft] def decodeRaster(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    var out: Array[Int] = null
+    var w0 = 0
+    decodeBlocks(bytes, (w, h) => { w0 = w; out = new Array[Int](w * h) }) {
+      (bx, by, nx, ny, flat, px) =>
+        var yy = 0
+        while (yy < ny) {
+          var xx = 0
+          while (xx < nx) {
+            out((by * 8 + yy) * w0 + bx * 8 + xx) =
+              if (px == null) flat else px(yy * 8 + xx)
+            xx += 1
+          }
+          yy += 1
+        }
+    }.map { case (w, h) => (w, h, out) }
+  }
+
+  /** Shared marker-walk + entropy-decode core. `onDims` fires once
+    * after the headers parse (before any block); `onBlock` receives,
+    * per block, its grid position, the in-image sample window
+    * (nx, ny), and EITHER a flat DC-only value (px == null) or the
+    * 8x8 IDCT raster. Returns the image dims, or None on anything
+    * malformed.
+    */
+  private def decodeBlocks(bytes: Array[Byte], onDims: (Int, Int) => Unit)(
+      onBlock: (Int, Int, Int, Int, Int, Array[Int]) => Unit): Option[(Int, Int)] = {
     if (bytes == null || bytes.length < 4) return None
     if ((bytes(0) & 0xff) != 0xff || (bytes(1) & 0xff) != 0xd8) return None
     val quant = new Array[Array[Int]](4)
@@ -246,15 +354,15 @@ object JpegCodec {
       }
       if (width == 0 || tq < 0 || quant(tq) == null ||
         dcTabs(td) == null || acTabs(ta) == null) return None
-      val q00 = quant(tq)(0)
+      val qt = quant(tq) // zigzag-ordered, per DQT
+      val q00 = qt(0)
       val dcT = dcTabs(td)
       val acT = acTabs(ta)
       val bw = (width + 7) / 8
       val bh = (height + 7) / 8
+      onDims(width, height)
       val r = new BitReader(bytes, scanStart)
       var dcPred = 0
-      var sum = 0L
-      var sumSq = 0L
       var blocksUntilRestart =
         if (restartInterval > 0) restartInterval else Int.MaxValue
       var by = 0
@@ -268,8 +376,10 @@ object JpegCodec {
           val diffBits = if (s == 0) 0 else r.bits(s)
           if (diffBits < 0) return None
           dcPred += extend(diffBits, s)
-          // AC: must be all zero for the DC-only closed form; decode
-          // the run/size stream for bit alignment and reject nonzeros
+          // AC: run/size symbols in zigzag order, dequantized into the
+          // natural-order coefficient block
+          val coef = new Array[Int](64)
+          var anyAc = false
           var k = 1
           var eob = false
           while (!eob && k <= 63) {
@@ -282,20 +392,31 @@ object JpegCodec {
               val size = rs & 0x0f
               val v = r.bits(size)
               if (v < 0) return None
-              if (extend(v, size) != 0) return None // genuine AC: out of scope
-              k += run + 1
+              k += run
+              if (k > 63) return None
+              val ac = extend(v, size)
+              if (ac != 0) {
+                coef(ZigZag(k)) = ac * qt(k) // quant table is zigzag-ordered
+                anyAc = true
+              }
+              k += 1
             }
-          }
-          // DC-only IDCT closed form: all 64 samples = DC*Q00/8 + 128
-          val v = {
-            val x = 128 + Math.round(dcPred.toDouble * q00 / 8.0).toInt
-            if (x < 0) 0 else if (x > 255) 255 else x
           }
           val nx = math.min(8, width - bx * 8)
           val ny = math.min(8, height - by * 8)
-          val cnt = nx.toLong * ny
-          sum += v.toLong * cnt
-          sumSq += v.toLong * v * cnt
+          if (!anyAc) {
+            // DC-only IDCT closed form: all 64 samples = DC*Q00/8+128
+            // — exact integer arithmetic, the oracle-gated path
+            val v = {
+              val x = 128 + Math.round(dcPred.toDouble * q00 / 8.0).toInt
+              if (x < 0) 0 else if (x > 255) 255 else x
+            }
+            onBlock(bx, by, nx, ny, v, null)
+          } else {
+            // the general baseline path: full dequant + 2-D IDCT
+            coef(0) = dcPred * q00
+            onBlock(bx, by, nx, ny, 0, idctBlock(coef))
+          }
           blocksUntilRestart -= 1
           if (blocksUntilRestart == 0) {
             blocksUntilRestart = restartInterval
@@ -305,7 +426,7 @@ object JpegCodec {
         }
         by += 1
       }
-      Some(PixelStats(width, height, 1, width.toLong * height, sum, sumSq))
+      Some((width, height))
     } catch {
       case _: ArrayIndexOutOfBoundsException => None
     }

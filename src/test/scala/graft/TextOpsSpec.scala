@@ -276,6 +276,153 @@ class TextOpsSpec extends SparkSpec {
     assert(JpegCodec.decodeStats(prog).isEmpty)
   }
 
+  // ----- independent test-side FULL baseline JPEG encoder: forward
+  // DCT + quantization + zigzag + run-length Huffman (its own tables,
+  // written into DHT) — the GifCodec compressing-encoder pattern, so
+  // the decoder's general AC path is exercised by genuinely
+  // independent math (fDCT here, iDCT there)
+  private object TestJpegEncoder {
+    val zig: Array[Int] = Array(
+      0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+      12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+      35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+      58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+    private val basis = Array.tabulate(8, 8) { (x, u) =>
+      val c = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+      0.5 * c * math.cos((2 * x + 1) * u * math.Pi / 16.0)
+    }
+    // DC: categories 0..11 at 4 bits; AC: EOB, ZRL and every (run
+    // 0-15, size 1-10) symbol at 8 bits — canonical, all-ones unused
+    private def codes(bits: Array[Int], vals: Seq[Int]): Map[Int, (Int, Int)] = {
+      var code = 0; var vi = 0
+      val out = Map.newBuilder[Int, (Int, Int)]
+      for (l <- 1 to 16) {
+        for (_ <- 0 until bits(l - 1)) {
+          out += vals(vi) -> ((code, l)); code += 1; vi += 1
+        }
+        code <<= 1
+      }
+      out.result()
+    }
+    private val dcVals = (0 to 11)
+    private val acVals = Seq(0x00, 0xf0) ++
+      (for (r <- 0 to 15; s <- 1 to 10) yield (r << 4) | s)
+    private val dcBits = Array(0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    private val acBits = Array(0, 0, 0, 0, 0, 0, 0, 162, 0, 0, 0, 0, 0, 0, 0, 0)
+    private val dcC = codes(dcBits, dcVals)
+    private val acC = codes(acBits, acVals)
+
+    def encode(w: Int, h: Int, pixel: (Int, Int) => Int,
+               qdc: Int, qac: Int): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      def w8(v: Int): Unit = bos.write(v & 0xff)
+      def w16(v: Int): Unit = { w8(v >> 8); w8(v) }
+      def seg(m: Int, body: Array[Byte]): Unit = {
+        w8(0xff); w8(m); w16(body.length + 2); bos.write(body)
+      }
+      w8(0xff); w8(0xd8)
+      seg(0xdb, Array.tabulate[Byte](65)(i =>
+        if (i == 0) 0 else if (i == 1) qdc.toByte else qac.toByte))
+      seg(0xc0, Array[Byte](8, (h >> 8).toByte, h.toByte,
+        (w >> 8).toByte, w.toByte, 1, 1, 0x11, 0))
+      seg(0xc4, Array[Byte](0x00) ++ dcBits.map(_.toByte) ++ dcVals.map(_.toByte))
+      seg(0xc4, Array[Byte](0x11) ++ acBits.map(_.toByte) ++ acVals.map(_.toByte))
+      seg(0xda, Array[Byte](1, 1, 0x01, 0, 63, 0))
+      var acc = 0L; var nb = 0
+      def put(code: Int, len: Int): Unit = {
+        acc = (acc << len) | (code & ((1L << len) - 1)); nb += len
+        while (nb >= 8) {
+          val b = ((acc >>> (nb - 8)) & 0xff).toInt
+          w8(b); if (b == 0xff) w8(0); nb -= 8
+        }
+      }
+      val bw = (w + 7) / 8; val bh = (h + 7) / 8
+      var pred = 0
+      for (by <- 0 until bh; bx <- 0 until bw) {
+        // sample with edge replication, level shift, forward DCT
+        val f = Array.tabulate(8, 8) { (y, x) =>
+          pixel(math.min(bx * 8 + x, w - 1), math.min(by * 8 + y, h - 1)) - 128.0
+        }
+        val q = new Array[Int](64)
+        for (u <- 0 until 8; v <- 0 until 8) {
+          var s = 0.0
+          for (x <- 0 until 8; y <- 0 until 8)
+            s += basis(x)(u) * basis(y)(v) * f(y)(x)
+          val qq = if (u == 0 && v == 0) qdc else qac
+          q(v * 8 + u) = Math.round(s / qq).toInt
+        }
+        // DC diff
+        val dc = q(0); val diff = dc - pred; pred = dc
+        val sz = if (diff == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+        val (c, cl) = dcC(sz); put(c, cl)
+        if (sz > 0) put(if (diff >= 0) diff else diff - 1 + (1 << sz), sz)
+        // AC run-length over zigzag order
+        var run = 0
+        var lastNz = 0
+        for (k <- 1 to 63) if (q(zig(k)) != 0) lastNz = k
+        for (k <- 1 to lastNz) {
+          val v = q(zig(k))
+          if (v == 0) run += 1
+          else {
+            while (run > 15) { val (z, zl) = acC(0xf0); put(z, zl); run -= 16 }
+            val asz = 32 - Integer.numberOfLeadingZeros(math.abs(v))
+            assert(asz <= 10, s"test encoder AC size $asz out of table")
+            val (ac, al) = acC((run << 4) | asz); put(ac, al)
+            put(if (v >= 0) v else v - 1 + (1 << asz), asz)
+            run = 0
+          }
+        }
+        if (lastNz < 63) { val (e, el) = acC(0x00); put(e, el) }
+      }
+      if (nb > 0) { val pad = 8 - nb; put((1 << pad) - 1, pad) }
+      w8(0xff); w8(0xd9)
+      bos.toByteArray
+    }
+  }
+
+  test("JpegCodec decodes AC-bearing baseline streams: fDCT round-trip within rounding bounds") {
+    import graft.multimodal.JpegCodec
+    // q=1 everywhere: coefficients are rounded exact-DCT values, so
+    // |decoded - original| per pixel is bounded by the accumulated
+    // coefficient rounding (~4 gray levels) — any zigzag, dequant,
+    // run-length, or IDCT bug produces wild errors instead
+    val rnd = new scala.util.Random(17)
+    for (trial <- 0 until 6) {
+      val w = 1 + rnd.nextInt(30)
+      val h = 1 + rnd.nextInt(22)
+      val img = Array.fill(h, w)(64 + rnd.nextInt(128))
+      val blob = TestJpegEncoder.encode(w, h, (x, y) => img(y)(x), qdc = 1, qac = 1)
+      val (dw, dh, px) = JpegCodec.decodeRaster(blob).getOrElse(
+        fail(s"trial $trial ($w x $h): general decode returned None"))
+      assert((dw, dh) == ((w, h)))
+      var maxErr = 0
+      for (y <- 0 until h; x <- 0 until w)
+        maxErr = math.max(maxErr, math.abs(px(y * w + x) - img(y)(x)))
+      assert(maxErr <= 4, s"trial $trial ($w x $h): max pixel error $maxErr")
+      // and the streaming stats agree with the raster
+      val st = JpegCodec.decodeStats(blob).get
+      assert(st.sumVal == px.map(_.toLong).sum && st.nSamples == w.toLong * h)
+    }
+  }
+
+  test("JpegCodec general path: coarse quantization still decodes consistently") {
+    import graft.multimodal.JpegCodec
+    // a smooth gradient under q=8: reconstruction error is bounded by
+    // ~half the quant step per coefficient; the mean must survive
+    val (w, h) = (24, 16)
+    def pix(x: Int, y: Int): Int = 60 + 4 * x + 3 * y
+    val blob = TestJpegEncoder.encode(w, h, pix, qdc = 8, qac = 8)
+    val (_, _, px) = JpegCodec.decodeRaster(blob).get
+    val origMean = (for (y <- 0 until h; x <- 0 until w) yield pix(x, y)).sum.toDouble / (w * h)
+    val decMean = px.map(_.toDouble).sum / (w * h)
+    assert(math.abs(decMean - origMean) < 2.0,
+      s"mean drifted: $decMean vs $origMean")
+    var maxErr = 0
+    for (y <- 0 until h; x <- 0 until w)
+      maxErr = math.max(maxErr, math.abs(px(y * w + x) - pix(x, y)))
+    assert(maxErr <= 24, s"max error $maxErr exceeds the q=8 bound")
+  }
+
   test("JpegCodec.decodeStats rejects garbage, truncation, and fuzzed payloads") {
     import graft.multimodal.JpegCodec
     val good = JpegCodec.encode(12, 10, b => (b * 77) % 256)
