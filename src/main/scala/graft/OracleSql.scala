@@ -967,6 +967,12 @@ object OracleSql {
          |       round(quantile_cont(nt, 0.99), 6) AS p99
          |FROM tk GROUP BY lang ORDER BY lang""".stripMargin,
 
+    // sketch-error gate: literal all-true — any quantile falling
+    // outside the exact rank window fails the hash match
+    "corpus_quantiles_approx" ->
+      """SELECT lang, true AS p50_ok, true AS p90_ok, true AS p99_ok
+        |FROM (SELECT DISTINCT lang FROM documents) ORDER BY lang""".stripMargin,
+
     "curate_take" ->
       """SELECT doc_id, lang FROM (
         |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang

@@ -1402,6 +1402,14 @@ object SparkEntry {
     text.Curate.lengthQuantiles(t.documents, "lang", "text")
       .orderBy("lang")
 
+  private def corpusQuantilesApprox(t: Tables): DataFrame =
+    // the at-scale quantile path as a GATED driver row (r10): the
+    // mergeable approx_percentile sketch vs the exact rank window —
+    // literal-true oracle, so a sketch regression fails parity loudly
+    // (the ann_*_recall pattern applied to the sketch)
+    text.Curate.lengthQuantilesApproxGate(t.documents, "lang", "text")
+      .orderBy("lang")
+
   private def corpusVocab(t: Tables): DataFrame =
     text.Curate.topTokens(t.documents, "lang", "text", k = 10)
       .orderBy("lang", "rank")
@@ -1880,6 +1888,7 @@ object SparkEntry {
       "curate_take" -> q(curateTake),
       "corpus_vocab" -> q(corpusVocab),
       "corpus_bigrams" -> q(corpusBigrams),
+      "corpus_quantiles_approx" -> q(corpusQuantilesApprox),
       "curate_bpe" -> q(curateBpe),
       "curate_bpe_tokens" -> q(curateBpeTokens),
       "dedup_cross_source" -> q(dedupCrossSource),

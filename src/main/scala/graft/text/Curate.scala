@@ -287,6 +287,41 @@ object Curate {
         F.round(F.element_at(F.col("__q"), i + 1), 6).as(nm) }: _*)
   }
 
+  /** The 100 TB quantile path, wired WITH its own error gate:
+    * [[lengthQuantiles]]' exact percentile is defended by its bounded
+    * integer domain, but the general at-scale answer is a mergeable
+    * sketch — Spark's approx_percentile (Greenwald-Khanna style,
+    * bounded state independent of group size, rank error <=
+    * 1/accuracy). This emits, per group and quantile, whether the
+    * sketch's answer lands inside the exact rank window
+    * [p - 1/accuracy, p + 1/accuracy] (+-1 value slack absorbs
+    * interpolated-vs-element discreteness on integer domains) — the
+    * recall-gate pattern: the driver oracle is the literal all-true
+    * table, so a sketch regression fails the hash match rather than
+    * silently shipping a wrong distribution report.
+    */
+  def lengthQuantilesApproxGate(df: DataFrame, groupCol: String, textCol: String,
+                                accuracy: Int = 10000,
+                                quantiles: Seq[(String, Double)] =
+                                  Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99)): DataFrame = {
+    require(quantiles.nonEmpty && accuracy >= 100, "quantiles + accuracy >= 100")
+    val d = 1.0 / accuracy
+    val base = df.select(F.col(groupCol),
+      F.size(TextOps.tokens(F.col(textCol))).cast("long").as("__nt"))
+    val qsApprox = quantiles.map(_._2)
+    val lo = quantiles.map { case (_, p) => math.max(0.0, p - d) }
+    val hi = quantiles.map { case (_, p) => math.min(1.0, p + d) }
+    val agg = base.groupBy(groupCol).agg(
+      F.expr(s"approx_percentile(__nt, array(${qsApprox.mkString(", ")}), $accuracy)").as("__a"),
+      F.expr(s"percentile(__nt, array(${lo.mkString(", ")}))").as("__lo"),
+      F.expr(s"percentile(__nt, array(${hi.mkString(", ")}))").as("__hi"))
+    agg.select(F.col(groupCol) +: quantiles.zipWithIndex.map { case ((nm, _), i) =>
+      (F.element_at(F.col("__a"), i + 1).cast("double") >=
+        F.element_at(F.col("__lo"), i + 1) - 1.0 &&
+        F.element_at(F.col("__a"), i + 1).cast("double") <=
+          F.element_at(F.col("__hi"), i + 1) + 1.0).as(s"${nm}_ok") }: _*)
+  }
+
   /** CCNet-style quality bucketing (Wenzek et al., LREC 2020 §4.4):
     * rank the corpus by unigram-LM average log-probability
     * (unigramLogProb — the public-knowledge stand-in for CCNet's

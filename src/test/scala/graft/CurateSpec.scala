@@ -395,6 +395,19 @@ class CurateSpec extends SparkSpec {
     }
   }
 
+  test("lengthQuantilesApproxGate: sketch lands in the exact rank window; sketch agg in-plan") {
+    // heavy-tailed lengths across two groups; with accuracy 10000 and
+    // these group sizes the sketch must sit inside the rank window
+    val docs = ((1 to 400).map(i => ("en", ("w " * (i % 37 + 1)).trim)) ++
+      (1 to 300).map(i => ("de", ("w " * (i * i % 97 + 1)).trim))).toDF("lang", "text")
+    val out = Curate.lengthQuantilesApproxGate(docs, "lang", "text")
+    val got = out.orderBy("lang").as[(String, Boolean, Boolean, Boolean)].collect().toSeq
+    assert(got == Seq(("de", true, true, true), ("en", true, true, true)), s"got $got")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("approx_percentile"),
+      "the gate must exercise the SKETCH aggregate, not exact percentile only")
+  }
+
   test("bpeTrain learns the hand-computed Sennrich merges in order") {
     // the classic example corpus: low x7 (5+2 as 'lower' prefix...
     // spelled out), newest x6, widest x3. Hand-computed:
