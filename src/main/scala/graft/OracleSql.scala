@@ -1597,6 +1597,32 @@ object OracleSql {
          |       END AS dup_ratio
          |FROM tk LEFT JOIN cov USING (doc_id) ORDER BY tk.doc_id""".stripMargin,
 
+    // substring-dedup rewrite twin: ownership (min doc per duplicated
+    // window), covered-position explode, anti-join survival, ordered
+    // string_agg reassembly
+    "dedup_spans_clean" ->
+      s"""WITH tk AS (SELECT doc_id, ${toks("text")} AS tl FROM documents),
+         |w AS (SELECT doc_id, i - 1 AS pos, array_to_string(tl[i:i+4], ' ') AS sh
+         |      FROM (SELECT doc_id, tl,
+         |              unnest(generate_series(1, greatest(len(tl) - 4, 0))) AS i FROM tk)),
+         |owned AS (SELECT sh, min(doc_id) AS owner
+         |          FROM w GROUP BY sh HAVING count(DISTINCT doc_id) >= 2),
+         |dp AS (SELECT DISTINCT w.doc_id, pos + j AS t
+         |       FROM w JOIN owned USING (sh), unnest(generate_series(0, 4)) AS u(j)
+         |       WHERE w.doc_id <> owned.owner),
+         |toksx AS (SELECT doc_id, i - 1 AS t, tl[i] AS word
+         |          FROM (SELECT doc_id, tl,
+         |                  unnest(generate_series(1, len(tl))) AS i FROM tk)),
+         |keptx AS (SELECT tx.doc_id, tx.t, tx.word FROM toksx tx
+         |          ANTI JOIN dp ON tx.doc_id = dp.doc_id AND tx.t = dp.t),
+         |reb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         |               string_agg(word, ' ' ORDER BY t) AS text_clean
+         |        FROM keptx GROUP BY doc_id)
+         |SELECT tk.doc_id, CAST(len(tl) AS BIGINT) AS n_tokens,
+         |       coalesce(n_kept, 0) AS n_kept,
+         |       coalesce(text_clean, '') AS text_clean
+         |FROM tk LEFT JOIN reb USING (doc_id) ORDER BY tk.doc_id""".stripMargin,
+
     // kNN label-agreement twin: brute-force rank (sim desc, id asc),
     // 5-NN vote, (votes desc, label asc) majority — both tie-breaks
     // replayed

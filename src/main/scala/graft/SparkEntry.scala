@@ -934,6 +934,17 @@ object SparkEntry {
         F.col("dup_tokens"), F.col("dup_ratio"))
       .orderBy("doc_id")
 
+  private def dedupSpansClean(t: Tables): DataFrame =
+    // the substring-dedup REWRITE (r10): min-id-owned occurrences
+    // survive, every other doc loses the covered token positions and
+    // is reassembled in order — exactly one copy of each duplicated
+    // region corpus-wide; twin replays ownership, the position
+    // explode, and the ordered string_agg reassembly
+    Dedup.stripDuplicatedSpans(t.documents, "doc_id", "text", k = 5, minDocs = 2)
+      .select(F.col("id").as("doc_id"), F.col("n_tokens"), F.col("n_kept"),
+        F.col("text_clean"))
+      .orderBy("doc_id")
+
   private def dedupIncremental(t: Tables): DataFrame = {
     // incremental ingest: the second half of the corpus arrives as a
     // new batch against the already-ingested first half
@@ -1844,6 +1855,7 @@ object SparkEntry {
       "decontaminate_clean" -> q(decontaminateClean),
       "boilerplate_ngrams" -> q(boilerplateNgrams),
       "dedup_spans" -> q(dedupSpans),
+      "dedup_spans_clean" -> q(dedupSpansClean),
       "dedup_incremental" -> q(dedupIncremental),
       "dedup_incremental_near" -> q(dedupIncrementalNear),
       "dedup_incremental_near_idx" -> q(dedupIncrementalNearIdx),

@@ -458,6 +458,52 @@ object Dedup {
             F.col("n_tokens").cast("double"), 6)).as("dup_ratio"))
   }
 
+  /** The MATERIALIZATION counterpart of [[duplicatedSpans]] — the
+    * Lee et al. ACL'22 rewrite ("drop all but one occurrence of each
+    * duplicated substring") under a deterministic ownership policy:
+    * each duplicated k-token window is OWNED by the minimum doc id
+    * containing it; every token position covered by a duplicated
+    * window the document does NOT own is dropped, and the surviving
+    * tokens are reassembled in order. Owner documents keep their
+    * spans, so exactly one copy of every duplicated region survives
+    * corpus-wide. Output: (id, n_tokens, n_kept, text_clean).
+    *
+    * Scale: the drop set explodes positions by at most k per window
+    * (the same multiplier as the shingle pipelines); reassembly is a
+    * per-doc sort bounded by document length. Every step is exact
+    * integer/set logic — the twin replays it all in SQL.
+    */
+  def stripDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+                           k: Int, minDocs: Long = 2L): DataFrame = {
+    val base = df.select(F.col(idCol).as("id"),
+      TextOps.tokens(F.col(textCol)).as("__toks"))
+    val win = base.select(F.col("id"),
+      F.posexplode(TextOps.shingles(F.col("__toks"), k)).as(Seq("pos", "sh")))
+    val owned = win.groupBy("sh")
+      .agg(F.countDistinct("id").as("nd"), F.min("id").as("owner"))
+      .where(F.col("nd") >= minDocs)
+      .select("sh", "owner")
+    val dropPos = win.join(owned, "sh")
+      .where(F.col("id") =!= F.col("owner"))
+      .select(F.col("id"),
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).as("t"))
+      .distinct()
+    val toks = base.select(F.col("id"),
+      F.size(F.col("__toks")).cast("long").as("n_tokens"),
+      F.posexplode(F.col("__toks")).as(Seq("t", "w")))
+    val kept = toks.join(dropPos, Seq("id", "t"), "left_anti")
+    val rebuilt = kept.groupBy("id", "n_tokens")
+      .agg(F.count(F.lit(1)).as("n_kept"),
+        F.array_join(F.transform(
+          F.array_sort(F.collect_list(F.struct(F.col("t"), F.col("w")))),
+          x => x.getField("w")), " ").as("text_clean"))
+    // empty docs (no tokens to explode) come back with zero counts
+    base.select(F.col("id"), F.size(F.col("__toks")).cast("long").as("n_tokens"))
+      .join(rebuilt.drop("n_tokens"), Seq("id"), "left")
+      .na.fill(0L, Seq("n_kept")).na.fill("", Seq("text_clean"))
+      .select("id", "n_tokens", "n_kept", "text_clean")
+  }
+
   /** Incremental corpus growth: of an incoming batch, keep only the
     * documents whose text is (a) first-seen within the batch (min id
     * wins) and (b) absent from the existing corpus. The existing side

@@ -478,6 +478,22 @@ class DedupSpec extends SparkSpec {
       (10L, 9L, 0L, 0L, 0.0)), s"got $got")
   }
 
+  test("stripDuplicatedSpans: min-id owner keeps spans, others lose covered positions") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"),   // owner of the shared prefix windows
+      (2L, "a b c d e f x y"),   // loses tokens 0..5, keeps "x y"
+      (3L, "q w r t z u i o")).toDF("doc_id", "text")
+    val got = Dedup.stripDuplicatedSpans(docs, "doc_id", "text", k = 3, minDocs = 2)
+      .orderBy("id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 8L, 8L, "a b c d e f g h"),
+      (2L, 8L, 2L, "x y"),
+      (3L, 8L, 8L, "q w r t z u i o")), s"got $got")
+    // exactly one copy of the duplicated region survives corpus-wide
+    val allText = got.map(_._4).mkString(" ")
+    assert("a b c d e f".r.findAllIn(allText).length == 1)
+  }
+
   test("GraftSession.build checkpointDir knob reaches the SparkContext") {
     // getOrCreate returns the shared test session, so the knob must
     // apply to the ACTIVE context — which is exactly the deployment
