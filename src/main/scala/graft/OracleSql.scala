@@ -1996,6 +1996,29 @@ object OracleSql {
         |FROM j WHERE period_offset BETWEEN 0 AND 30
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // disorder-audit twin: same injected arrival mixer, running
+    // event-time max per (type, user) stream in arrival order, exact
+    // integer lateness aggregates
+    "events_late_arrivals" ->
+      """WITH e AS (SELECT event_type, user_id,
+        |                  (event_id * 2654435761) % 1000000007 AS arrival,
+        |                  epoch_us(ts) AS us FROM events),
+        |m AS (SELECT *, max(us) OVER (PARTITION BY event_type, user_id
+        |        ORDER BY arrival ASC, us ASC
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM e),
+        |x AS (SELECT event_type, user_id,
+        |             CASE WHEN pm IS NOT NULL AND pm > us THEN 1 ELSE 0 END AS late,
+        |             CASE WHEN pm IS NOT NULL AND pm > us THEN pm - us ELSE 0 END AS lat
+        |      FROM m)
+        |SELECT event_type,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |       CAST(sum(late) AS BIGINT) AS late_events,
+        |       CAST(count(DISTINCT CASE WHEN late = 1 THEN user_id END) AS BIGINT) AS late_users,
+        |       CAST(sum(lat) AS BIGINT) AS total_late_us,
+        |       CAST(max(lat) AS BIGINT) AS max_late_us
+        |FROM x GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "events_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events),
         |l AS (SELECT *, lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev FROM e),

@@ -1456,6 +1456,20 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  private def eventsLateArrivals(t: Tables): DataFrame =
+    // event-time disorder audit (r10): the synthetic stream is
+    // perfectly time-ordered by event_id, so the wired query INJECTS a
+    // deterministic adversarial arrival order (the Knuth sampleKey
+    // mixer — the text_scrub_pii injected-proof pattern) to prove the
+    // audit genuinely fires; max_late_us is the minimal lossless
+    // watermark delay under that arrival order. Twin replays the
+    // mixer, the running-max window, and every aggregate.
+    streaming.Events.lateArrivals(
+      t.events.withColumn("arrival",
+        F.expr("(event_id * 2654435761) % 1000000007")),
+      "event_type", "user_id", "arrival", "ts")
+      .orderBy("event_type")
+
   private def dedupCrossSource(t: Tables): DataFrame =
     // provenance: which sources near-duplicate each other — the signal
     // behind source mixing weights; rides on the same PPJoin pipeline
@@ -1905,6 +1919,7 @@ object SparkEntry {
       "curate_bpe_tokens" -> q(curateBpeTokens),
       "dedup_cross_source" -> q(dedupCrossSource),
       "events_json" -> q(eventsJson),
+      "events_late_arrivals" -> q(eventsLateArrivals),
       "events_funnel" -> q(eventsFunnel),
       "events_outliers" -> q(eventsOutliers),
       "events_retention" -> q(eventsRetention),

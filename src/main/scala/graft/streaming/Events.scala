@@ -366,4 +366,42 @@ object Events {
         F.sum(F.col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
       .select(usOf(F.col("window.start")).as("window_start_us"),
         F.col("event_type"), F.col("n_events"), F.col("sum_value"))
+
+  /** Event-time DISORDER audit — the profile read before configuring
+    * a streaming watermark: per (type, user) stream in ARRIVAL order,
+    * an event is LATE when some earlier-arriving event of the same
+    * stream carries a later event time; its lateness is the gap to
+    * the running event-time maximum (exactly the quantity a watermark
+    * of delay D must exceed to keep the event). Per type:
+    * event/user totals, late counts, exact total and max lateness in
+    * microseconds — max_late_us IS the minimum watermark delay that
+    * would have lost nothing.
+    *
+    * Scale: one window partitioned by (type, user) — high-cardinality
+    * keys, even shuffle — then one map-side-combined aggregate; exact
+    * integer arithmetic throughout.
+    */
+  def lateArrivals(events: DataFrame, typeCol: String, userCol: String,
+                   arrivalCol: String, tsCol: String): DataFrame = {
+    val e = events.select(F.col(typeCol).as("event_type"),
+      F.col(userCol).as("user_id"),
+      F.col(arrivalCol).as("arrival"),
+      F.unix_micros(F.col(tsCol)).as("us"))
+    val w = Window.partitionBy("event_type", "user_id")
+      .orderBy(F.col("arrival").asc, F.col("us").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val m = e.withColumn("pm", F.max("us").over(w))
+      .withColumn("late",
+        F.when(F.col("pm").isNotNull && F.col("pm") > F.col("us"), 1L).otherwise(0L))
+      .withColumn("lat",
+        F.when(F.col("pm").isNotNull && F.col("pm") > F.col("us"),
+          F.col("pm") - F.col("us")).otherwise(0L))
+    m.groupBy("event_type").agg(
+      F.count(F.lit(1)).as("n_events"),
+      F.countDistinct("user_id").as("n_users"),
+      F.sum("late").as("late_events"),
+      F.countDistinct(F.when(F.col("late") === 1, F.col("user_id"))).as("late_users"),
+      F.sum("lat").as("total_late_us"),
+      F.max("lat").as("max_late_us"))
+  }
 }

@@ -435,6 +435,29 @@ class OperatorsSpec extends SparkSpec {
       spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("lateArrivals: hand-computed disorder — running max, lateness gaps, per-type rollup") {
+    import graft.streaming.Events
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    // user 1 'click': arrival order carries times 100, 50, 120, 110 —
+    // arrivals 2/4 are late by 50 s and 10 s; user 2 'click' is in
+    // order; user 3 'view' has one late event by 5 s
+    val events = Seq(
+      ("click", 1L, 1L, ts(100)),
+      ("click", 1L, 2L, ts(50)),
+      ("click", 1L, 3L, ts(120)),
+      ("click", 1L, 4L, ts(110)),
+      ("click", 2L, 1L, ts(10)),
+      ("click", 2L, 2L, ts(20)),
+      ("view", 3L, 1L, ts(7)),
+      ("view", 3L, 2L, ts(2))).toDF("event_type", "user_id", "arrival", "ts")
+    val got = Events.lateArrivals(events, "event_type", "user_id", "arrival", "ts")
+      .orderBy("event_type")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("click", 6L, 2L, 2L, 1L, 60000000L, 50000000L),
+      ("view", 2L, 1L, 1L, 1L, 5000000L, 5000000L)), s"got $got")
+  }
+
   test("streaming window agg equals batch window agg (MemoryStream)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq = spark.sqlContext
