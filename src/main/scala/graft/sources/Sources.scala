@@ -103,6 +103,43 @@ object Sources {
     * PERMISSIVE default), keeping ingestion total — filter on
     * `as IS NULL` to quarantine them.
     */
+  /** Small-file COMPACTION — the operational pass a long-running
+    * ingest leaves behind: streaming sinks and per-batch appends
+    * accumulate thousands of tiny files, and at 100 TB the per-file
+    * open/footer overhead (plus NameNode/listing pressure) dominates
+    * scan time. Rewrites the table at `path` into
+    * ceil(totalBytes / targetFileBytes) files (floor 1) sized by the
+    * ACTUAL on-disk bytes, not a guessed partition count. Returns
+    * (filesBefore, filesAfter, totalBytes). The rewrite goes to
+    * `outPath` — compaction must never overwrite its own input
+    * mid-job (a failed overwrite-in-place loses the table).
+    */
+  def compact(spark: SparkSession, path: String, outPath: String,
+              targetFileBytes: Long = 128L * 1024 * 1024,
+              format: String = "parquet"): (Long, Long, Long) = {
+    require(targetFileBytes > 0, "targetFileBytes > 0")
+    require(path != outPath, "compaction must not overwrite its input in place")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    def dataFiles(p: String) = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(p), true)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.LocatedFileStatus]
+      while (it.hasNext) {
+        val f = it.next()
+        val n = f.getPath.getName
+        if (!n.startsWith("_") && !n.startsWith(".")) buf += f
+      }
+      buf.toSeq
+    }
+    val before = dataFiles(path)
+    val totalBytes = before.map(_.getLen).sum
+    val nOut = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes)
+    spark.read.format(format).load(path)
+      .repartition(nOut.toInt)
+      .write.format(format).mode(SaveMode.Overwrite).save(outPath)
+    (before.size.toLong, dataFiles(outPath).size.toLong, totalBytes)
+  }
+
   def parseJsonColumn(df: DataFrame, column: String, ddl: String,
                       as: String = "parsed"): DataFrame =
     df.withColumn(as,

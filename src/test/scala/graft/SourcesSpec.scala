@@ -73,6 +73,29 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("compact: many tiny files collapse to the byte-derived count; data identical") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    val in = s"$dir/in"
+    val out = s"$dir/out"
+    // 40 partitions of a small table -> 40 tiny parquet files
+    spark.range(0, 4000).selectExpr("id", "id * 3 AS v")
+      .repartition(40).write.parquet(in)
+    val (before, after, bytes) = Sources.compact(spark, in, out,
+      targetFileBytes = 1L * 1024 * 1024)
+    assert(before == 40L, s"expected 40 input files, got $before")
+    assert(after < before && after >= 1, s"compaction must reduce file count, got $after")
+    assert(bytes > 0)
+    // ceil(bytes / target) with these sizes is 1 file
+    assert(after == math.max(1L, (bytes + (1L << 20) - 1) / (1L << 20)))
+    val a = spark.read.parquet(in).orderBy("id").collect().toSeq
+    val b = spark.read.parquet(out).orderBy("id").collect().toSeq
+    assert(a == b, "compaction must preserve the data exactly")
+    // refuses to clobber its own input
+    intercept[IllegalArgumentException] {
+      Sources.compact(spark, in, in)
+    }
+  }
+
   test("parseJsonColumn: typed extraction, malformed and missing keys go null") {
     import spark.implicits._
     import org.apache.spark.sql.{functions => F}
