@@ -967,6 +967,13 @@ object OracleSql {
          |       round(quantile_cont(nt, 0.99), 6) AS p99
          |FROM tk GROUP BY lang ORDER BY lang""".stripMargin,
 
+    // HLL-sketch distinct-count gate: literal all-true per profiled
+    // column — a sketch drifting past 4x rsd fails the hash match
+    "profile_numeric_approx" ->
+      """SELECT c AS "column", true AS distinct_ok FROM (VALUES
+        |  ('l_discount'), ('l_extendedprice'), ('l_quantity'), ('l_tax')) t(c)
+        |ORDER BY c""".stripMargin,
+
     // sketch-error gate: literal all-true — any quantile falling
     // outside the exact rank window fails the hash match
     "corpus_quantiles_approx" ->

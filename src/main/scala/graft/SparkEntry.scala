@@ -198,6 +198,15 @@ object SparkEntry {
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
       .orderBy("column")
 
+  private def profileNumericApprox(t: Tables): DataFrame =
+    // the at-scale distinct-count path as a GATED row (r10): HLL++
+    // sketch vs the exact count within 4x-rsd relative error —
+    // literal-true oracle (the corpus_quantiles_approx pattern); the
+    // production profile swaps countDistinct's EXPAND for this sketch
+    harmonize.Profile.numericApproxGate(t.lineitem,
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+      .orderBy("column")
+
   private def matchValuesStandard(t: Tables): DataFrame = {
     // the reference's headline biomedical flow (api.py:43-56 with
     // target="gdc"): a named, DataFrame-backed standard vocabulary is
@@ -1803,6 +1812,7 @@ object SparkEntry {
     Map(
       "preview_domain" -> q(previewDomain),
       "profile_numeric" -> q(profileNumeric),
+      "profile_numeric_approx" -> q(profileNumericApprox),
       "match_values_edit" -> q(matchValuesEdit),
       "match_values_topk" -> q(matchValuesTopk),
       "match_values_tfidf" -> q(matchValuesTfidf),

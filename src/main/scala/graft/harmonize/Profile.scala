@@ -45,4 +45,31 @@ object Profile {
         F.col(s"__nd_$c").as("n_distinct"))): _*))
     one.select(stacked.as("p")).select("p.*")
   }
+
+  /** The 100 TB distinct-count path, wired WITH its own error gate
+    * (the corpus_quantiles_approx pattern applied here): profiling's
+    * exact multi-countDistinct costs an EXPAND that multiplies scan
+    * rows by the distinct-agg count; the at-scale swap is HLL++
+    * (approx_count_distinct — one pass, NO expand, mergeable sketch
+    * with relative standard deviation `rsd`). Per column this emits
+    * whether the sketch landed within `tol` relative error of the
+    * exact count — the driver oracle is the literal all-true table,
+    * so a sketch regression fails parity loudly. tol = 4 x rsd gives
+    * ~4 sigma of headroom; the exact side here is the gate's
+    * reference, the production plan runs the sketch alone.
+    */
+  def numericApproxGate(df: DataFrame, cols: Seq[String],
+                        rsd: Double = 0.05, tol: Double = 0.20): DataFrame = {
+    require(cols.nonEmpty, "at least one column")
+    val aggs = cols.flatMap { c =>
+      Seq(F.countDistinct(F.col(c)).as(s"__nd_$c"),
+        F.approx_count_distinct(F.col(c), rsd).as(s"__ad_$c"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = F.explode(F.array(cols.map(c =>
+      F.struct(F.lit(c).as("column"),
+        (F.abs(F.col(s"__ad_$c").cast("double") - F.col(s"__nd_$c").cast("double")) <=
+          F.col(s"__nd_$c").cast("double") * tol).as("distinct_ok"))): _*))
+    one.select(stacked.as("p")).select("p.*")
+  }
 }

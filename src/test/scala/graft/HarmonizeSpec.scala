@@ -83,6 +83,28 @@ class HarmonizeSpec extends SparkSpec {
       s"methods must diverge: jaccard=$viaJac dist=$viaDist")
   }
 
+  test("numericApproxGate: HLL sketch within tolerance; production shape has no EXPAND") {
+    val df = (1 to 20000).map(i => (i.toDouble, (i % 97).toDouble))
+      .toDF("wide", "narrow")
+    val got = Profile.numericApproxGate(df, Seq("wide", "narrow"))
+      .orderBy("column").as[(String, Boolean)].collect().toSeq
+    assert(got == Seq(("narrow", true), ("wide", true)), s"got $got")
+    // the production plan (sketch only, no exact reference) must not
+    // pay the multi-countDistinct EXPAND — that is the entire point
+    // of the swap; the gate query itself carries the exact side only
+    // as its reference
+    val prod = df.agg(
+      F.approx_count_distinct(F.col("wide")).as("a"),
+      F.approx_count_distinct(F.col("narrow")).as("b"))
+    assert(!prod.queryExecution.executedPlan.toString.contains("Expand"),
+      "sketch-only aggregation must be EXPAND-free")
+    val exact = df.agg(
+      F.countDistinct(F.col("wide")).as("a"),
+      F.countDistinct(F.col("narrow")).as("b"))
+    assert(exact.queryExecution.executedPlan.toString.contains("Expand"),
+      "the exact multi-distinct really does pay EXPAND (the trade being avoided)")
+  }
+
   test("twoPhaseMatch: phase-1 name candidates restrict phase-2 value overlap") {
     // src col "status" shares values with tgt "status_code" (name-similar)
     // AND with "zzz" (name-dissimilar); two-phase must pick status_code
