@@ -329,12 +329,13 @@ object SchemaMatcher {
     * Scale: the per-pair cost is dominated by one distinct-reduce and
     * one sort of the pair's domain (a single skinny column) plus a
     * rank join; pairs = |srcCols| x |tgtCols| (schema-sized). The
-    * domain rank uses a global-order window (one partition) — correct
-    * at any size but serial; at 100 TB swap row_number for a
-    * range-partitioned sort + partition-offset rank, or feed
-    * approx_percentile directly on values (the quantile grid then
-    * needs no rank join at all). The exactness here is what the
-    * DuckDB parity gate checks.
+    * domain rank is computed by [[graft.operators.Ranks.globalRank]] —
+    * a range-partitioned sort with per-partition offsets, NOT a
+    * single-partition window — so for a numeric column at 100 TB
+    * (|distinct| ~ |rows|) each task sorts |domain|/p values and no
+    * serial stage exists anywhere in the plan (PlanSpec asserts no
+    * partition-less Window survives in any wired query). The rank is
+    * exact, so the DuckDB parity gate is unchanged.
     */
   def distributionAll(
       src: DataFrame, srcCols: Seq[String],
@@ -368,9 +369,9 @@ object SchemaMatcher {
           .where(F.col("value").isNotNull && F.col("value") =!= "")
     val sv = vals(src, s)
     val tv = vals(tgt, t)
-    val dom = sv.distinct().union(tv.distinct()).distinct()
-      .withColumn("rnk",
-        F.row_number().over(Window.orderBy(F.col("value").asc)).cast("long"))
+    val dom = graft.operators.Ranks.globalRank(
+      sv.distinct().union(tv.distinct()).distinct(),
+      Seq(F.col("value").asc))
     val qExpr =
       F.expr(s"percentile(rnk, array(${DistributionFractions.mkString(",")}))")
     val qs = sv.join(dom, "value").agg(qExpr.as("qs"))

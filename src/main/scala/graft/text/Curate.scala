@@ -329,17 +329,22 @@ object Curate {
     * head (best-scoring), middle, tail. Downstream mixing then
     * oversamples head and drops or down-weights tail.
     *
-    * Assignment is ntile over the TOTAL order (rounded score desc, id
-    * asc) — deterministic across engines and runs, and immune to
-    * float-boundary sensitivity: no document is ever compared against
-    * an interpolated cutoff value, ties break by id.
+    * Assignment is SQL-ntile semantics over the TOTAL order (rounded
+    * score desc, id asc) — deterministic across engines and runs, and
+    * immune to float-boundary sensitivity: no document is ever
+    * compared against an interpolated cutoff value, ties break by id.
     *
     * Scale note: the exactly-equal-population guarantee is inherently
-    * a global rank. Each document is first reduced to a (id, score)
-    * pair, so the unpartitioned window sorts 16-byte rows, not text;
-    * where even that is too large, assign by exact-percentile cutoffs
-    * (the lengthQuantiles machinery) + broadcast comparison and accept
-    * cutoff-tie population skew.
+    * a global rank, but NOT inherently a single-partition window. The
+    * rank comes from [[graft.operators.Ranks.globalRank]]
+    * (range-partitioned sort + per-partition offsets over 16-byte
+    * (id, score) pairs — each task sorts |corpus|/p), and the bucket
+    * is then the closed-form ntile function of (rank, n, buckets):
+    * with q = n div b and r0 = n mod b, the first r0 buckets hold
+    * q + 1 rows and the rest q — exactly the SQL NTILE fill order, so
+    * the assignment is bit-identical to the old global-window ntile
+    * and the DuckDB parity gate is unchanged. The one-row row-count
+    * frame rides in on a broadcast (the q11 pattern).
     *
     * Output: (id, score, bucket, bucket_name), bucket 1..buckets.
     */
@@ -348,12 +353,20 @@ object Curate {
     require(buckets >= 2, s"need at least 2 buckets, got $buckets")
     val scored = unigramLogProb(df, idCol, textCol, headK)
       .select(F.col("id"), F.round(F.col("avg_logprob"), 6).as("score"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(F.col("score").desc, F.col("id").asc)
+    val ranked = graft.operators.Ranks.globalRank(
+      scored, Seq(F.col("score").desc, F.col("id").asc))
+    val n = ranked.agg(F.max("rnk").as("__n"))
     val name = F.when(F.col("bucket") === 1, "head")
       .when(F.col("bucket") === buckets, "tail")
       .otherwise("middle")
-    scored.withColumn("bucket", F.ntile(buckets).over(w))
+    ranked.crossJoin(F.broadcast(n))
+      .withColumn("__q", F.expr(s"__n div $buckets"))
+      .withColumn("__r0", F.expr(s"__n - __q * $buckets"))
+      .withColumn("bucket",
+        F.expr(s"""CASE WHEN rnk <= __r0 * (__q + 1)
+                   THEN (rnk - 1) div (__q + 1) + 1
+                   ELSE __r0 + (rnk - __r0 * (__q + 1) - 1) div greatest(__q, 1L) + 1
+                   END"""))
       .select(F.col("id"), F.col("score"), F.col("bucket").cast("long").as("bucket"),
         name.as("bucket_name"))
   }

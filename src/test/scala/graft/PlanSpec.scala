@@ -151,7 +151,10 @@ class PlanSpec extends SparkSpec {
     // distribution matching combines THREE one-row frames per column
     // pair (source quantile vector x target quantile vector x domain
     // size) — 1-row-by-1-row broadcast products by construction
-    "match_schema_distribution")
+    "match_schema_distribution",
+    // quality bucketing broadcasts its ONE-ROW corpus-size frame into
+    // the ranked corpus for the closed-form ntile (the q11 pattern)
+    "curate_buckets")
 
   test("no wired query plans a CartesianProduct; BNLJ only on bounded-broadcast baselines") {
     val withBnlj = scala.collection.mutable.Set[String]()
@@ -165,6 +168,38 @@ class PlanSpec extends SparkSpec {
       s"BNLJ set drifted: unexpected=${(withBnlj -- boundedBroadcastBnlj).toSeq.sorted} " +
         s"stale-allowlist=${(boundedBroadcastBnlj -- withBnlj).toSeq.sorted} — " +
         "a new entry needs a bounded-broadcast justification above")
+  }
+
+  // Partition-less windows whose INPUT is bounded by construction
+  // (group-cardinality frames, never corpus-sized rows), so the single
+  // partition holds a handful of rows at any corpus scale:
+  private val boundedFrameWindows = Set(
+    // temperature mixing normalizes per-LANGUAGE weight shares — the
+    // window input is the groupBy(lang) aggregate (|langs| rows);
+    // apply_mix embeds the same tiny frame under its rate join
+    "curate_temperature", "curate_apply_mix")
+
+  test("no wired query plans a partition-less window over corpus-sized input") {
+    // a Window with an empty partitionBy forces ONE task to sort the
+    // whole input — the r10 weak flags (match_schema_distribution,
+    // curate_buckets) were exactly this shape over corpus-sized rows.
+    // Both now rank through Ranks.globalRank; assert the scale-killer
+    // never comes back in ANY wired query (bounded group-sized frames
+    // above are the only sanctioned exceptions).
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val withGlobalWindow = scala.collection.mutable.Set[String]()
+    for ((name, _) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val bad = df.queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }
+      if (bad.nonEmpty) withGlobalWindow += name
+    }
+    assert(withGlobalWindow.toSet == boundedFrameWindows,
+      s"partition-less Window set drifted: " +
+        s"unexpected=${(withGlobalWindow.toSet -- boundedFrameWindows).toSeq.sorted} " +
+        s"stale-allowlist=${(boundedFrameWindows -- withGlobalWindow).toSeq.sorted} — " +
+        "a new entry needs a bounded-frame justification above")
   }
 
   test("ann_ivf_index: the persisted-index probe scan prunes unprobed cells") {
