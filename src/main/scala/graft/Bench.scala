@@ -14,8 +14,26 @@ import org.apache.spark.sql.SparkSession
   * phase — measured in round 4 by isolated re-runs), which is wider
   * than any regression worth detecting; the median across reps with
   * cache-cleared boundaries is stable within ~20%.
+  *
+  * Noise adjudication: three of round 10's driver numbers looked like
+  * 3-4x regressions and were proven phantom only by solo re-runs. So
+  * every rep now records the 1-minute system load average and the
+  * JVM's delta GC ms next to its timing ("rep_detail" on the detail
+  * line: [sec, load, gc_ms] per rep), and the compact line carries
+  * run-level "load_1m_start"/"load_1m_end"/"gc_ms_total" — a judge
+  * can attribute a per-query swing to host load or GC pressure from
+  * the artifact alone.
   */
 object Bench {
+  private def loadAvg(): Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+
+  private def gcMsTotal(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(_.getCollectionTime).filter(_ >= 0L).sum
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
@@ -40,10 +58,13 @@ object Bench {
     // optional arg: comma-separated query names (iteration aid)
     val only: Option[Set[String]] =
       if (args.nonEmpty) Some(args(0).split(",").toSet) else None
+    val loadStart = loadAvg()
+    val gcStart = gcMsTotal()
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
       val timed = (1 to reps).map { _ =>
+        val gc0 = gcMsTotal()
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -57,7 +78,7 @@ object Bench {
         // must not accumulate across the run — leftover cached frames
         // shift later numbers via storage/GC pressure, not plan quality
         spark.catalog.clearCache()
-        (dt, ok)
+        (dt, ok, loadAvg(), gcMsTotal() - gc0)
       }
       // only SUCCESSFUL reps count toward timings: a query that starts
       // failing must read as a failure in the tracked artifact, never
@@ -66,7 +87,7 @@ object Bench {
       // surviving reps' median rides along for diagnosis), and zero
       // successful reps null the timing out entirely
       val times = timed.filter(_._2).map(_._1).sorted
-      name -> (times, timed.count(!_._2))
+      name -> (times, timed.count(!_._2), timed)
     }
     // lower median for even rep counts — deterministic, no averaging.
     // Timings rounded to ms: the run-to-run noise floor is ~20% (see
@@ -74,16 +95,16 @@ object Bench {
     def r3(x: Double): String = BigDecimal(x).setScale(3,
       BigDecimal.RoundingMode.HALF_UP).toString
     def obj(f: Seq[Double] => Double): String =
-      results.map { case (k, (ts, _)) =>
+      results.map { case (k, (ts, _, _)) =>
         "\"" + k + "\":" + (if (ts.isEmpty) "null" else r3(f(ts)))
       }.mkString("{", ",", "}")
     val qs = obj(ts => ts((ts.length - 1) / 2))
     val qmin = obj(_.head)
     val qmax = obj(_.last)
     val anyFailed = results.exists(_._2._2 > 0)
-    val failed = results.collect { case (k, (_, nf)) if nf > 0 => "\"" + k + "\"" }
+    val failed = results.collect { case (k, (_, nf, _)) if nf > 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = r3(results.flatMap { case (_, (ts, _)) =>
+    val total = r3(results.flatMap { case (_, (ts, _, _)) =>
       ts.drop((ts.length - 1) / 2).headOption }.sum)
     // headline `value` is NULL whenever any query failed: a run where a
     // query stops completing must never read as a speedup to a consumer
@@ -103,15 +124,28 @@ object Bench {
     // line immediately above partially survives as bonus.
     val topK = 40
     val qtop = results
-      .collect { case (k, (ts, _)) if ts.nonEmpty => k -> ts((ts.length - 1) / 2) }
+      .collect { case (k, (ts, _, _)) if ts.nonEmpty => k -> ts((ts.length - 1) / 2) }
       .sortBy(-_._2).take(topK)
       .map { case (k, m) => "\"" + k + "\":" + r3(m) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"detail","queries_min":$qmin,"queries_max":$qmax}""")
+    // per-rep [sec, 1m-load-avg, gc_ms] in run order, FAILED reps
+    // included — a 3x timing swing whose rep shows load 30 or a 2 s GC
+    // pause is host noise, adjudicable without a solo re-run
+    def r2(x: Double): String =
+      if (x < 0) "null"
+      else BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+    val repDetail = results.map { case (k, (_, _, reps0)) =>
+      "\"" + k + "\":" + reps0.map { case (dt, _, ld, gc) =>
+        s"[${r3(dt)},${r2(ld)},$gc]"
+      }.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val loadEnd = loadAvg()
+    val gcTotal = gcMsTotal() - gcStart
+    println(s"""{"metric":"detail","queries_min":$qmin,"queries_max":$qmax,"rep_detail":$repDetail}""")
     println(s"""{"metric":"medians","queries":$qs}""")
     // key stays "queries" (the driver's documented schema) — it holds
     // the top-K slowest medians; the full map is the line above
-    println(s"""{"metric":"total","value":$value,"unit":"sec","reps":$reps,"sf":"$sfDir","n_queries":${results.size},"queries_truncated_to":$topK,"failed":$failed,"total_passing":$total,"queries":$qtop}""")
+    println(s"""{"metric":"total","value":$value,"unit":"sec","reps":$reps,"sf":"$sfDir","n_queries":${results.size},"load_1m_start":${r2(loadStart)},"load_1m_end":${r2(loadEnd)},"gc_ms_total":$gcTotal,"queries_truncated_to":$topK,"failed":$failed,"total_passing":$total,"queries":$qtop}""")
     spark.stop()
   }
 }

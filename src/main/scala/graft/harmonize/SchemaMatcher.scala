@@ -372,17 +372,25 @@ object SchemaMatcher {
     val dom = graft.operators.Ranks.globalRank(
       sv.distinct().union(tv.distinct()).distinct(),
       Seq(F.col("value").asc))
-    val qExpr =
-      F.expr(s"percentile(rnk, array(${DistributionFractions.mkString(",")}))")
-    val qs = sv.join(dom, "value").agg(qExpr.as("qs"))
-    val qt = tv.join(dom, "value").agg(qExpr.as("qt"))
-    val n = dom.agg(F.max("rnk").as("n"))
+    // ONE consumption of the ranked domain: tag each side, rank-join
+    // once, and fold both quantile vectors plus the domain size into a
+    // single one-row aggregate (every domain value occurs on at least
+    // one side, so max(rnk) over the join IS |domain|). The old shape
+    // (separate qs / qt / n frames crossJoined) re-executed the domain
+    // subtree three times per pair.
+    val tagged = sv.select(F.col("value"), F.lit(true).as("__s"))
+      .unionAll(tv.select(F.col("value"), F.lit(false).as("__s")))
+    val fr = DistributionFractions.mkString(",")
+    val row = tagged.join(dom, "value").agg(
+      F.expr(s"percentile(CASE WHEN __s THEN rnk END, array($fr))").as("qs"),
+      F.expr(s"percentile(CASE WHEN NOT __s THEN rnk END, array($fr))").as("qt"),
+      F.max("rnk").as("n"))
     val sumDiff = F.aggregate(
       F.zip_with(F.col("qs"), F.col("qt"),
         (a, b) => F.round(F.abs(a - b), 6).cast("decimal(28,6)")),
       F.lit(BigDecimal(0)).cast("decimal(32,6)"),
       (acc, x) => (acc + x).cast("decimal(32,6)"))
-    qs.crossJoin(qt).crossJoin(n).select(
+    row.select(
       F.lit(s).as("source"), F.lit(t).as("target"),
       F.when(F.col("qs").isNull || F.col("qt").isNull, 0.0)
         .when(F.col("n") <= 1, 1.0)

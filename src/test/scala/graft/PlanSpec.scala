@@ -148,10 +148,6 @@ class PlanSpec extends SparkSpec {
     // tiny per-group frame (group cardinality = languages/sources);
     // apply_mix embeds the same plan under its broadcast rate join
     "curate_temperature", "curate_apply_mix",
-    // distribution matching combines THREE one-row frames per column
-    // pair (source quantile vector x target quantile vector x domain
-    // size) — 1-row-by-1-row broadcast products by construction
-    "match_schema_distribution",
     // quality bucketing broadcasts its ONE-ROW corpus-size frame into
     // the ranked corpus for the closed-form ntile (the q11 pattern)
     "curate_buckets")
