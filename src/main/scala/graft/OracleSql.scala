@@ -82,8 +82,8 @@ object OracleSql {
          |        FROM (SELECT string_split(trim(repr), ' ') AS l, cnt FROM w${k - 1}))
          |  GROUP BY pair),
          |b$k AS MATERIALIZED (SELECT pair, c FROM p$k ORDER BY c DESC, pair ASC LIMIT 1),
-         |w$k AS MATERIALIZED (SELECT replace(repr, ' ' || (SELECT pair FROM b$k) || ' ',
-         |                       ' ' || replace((SELECT pair FROM b$k), ' ', '') || ' ') AS repr, cnt
+         |w$k AS MATERIALIZED (SELECT replace(repr, ' ' || coalesce((SELECT pair FROM b$k), chr(1) || chr(2)) || ' ',
+         |                       ' ' || replace(coalesce((SELECT pair FROM b$k), chr(1) || chr(2)), ' ', '') || ' ') AS repr, cnt
          |        FROM w${k - 1})""".stripMargin
     }
     (wc +: stages).mkString(",\n")
@@ -96,10 +96,17 @@ object OracleSql {
   }
 
   private val bpeTokensSql: String = {
-    // nested replace chain applying the learned merges in step order
+    // nested replace chain applying the learned merges in step order.
+    // An EXHAUSTED stage (corpus yields fewer than bpeMerges merges)
+    // has an empty b$k: the scalar subquery is NULL, and a bare
+    // replace(acc, NULL, ...) would NULL the whole chain while Spark
+    // just applies the shorter learned list — coalesce to an
+    // unmatchable control-char sentinel so exhausted stages are
+    // identity in both engines (same guard as the w$k training chain).
     val applied = (1 to bpeMerges).foldLeft(
       "' ' || array_to_string(string_split(w, ''), ' ') || ' '") { (acc, k) =>
-      s"replace($acc, ' ' || (SELECT pair FROM b$k) || ' ', ' ' || replace((SELECT pair FROM b$k), ' ', '') || ' ')"
+      s"replace($acc, ' ' || coalesce((SELECT pair FROM b$k), chr(1) || chr(2)) || ' ', " +
+        s"' ' || replace(coalesce((SELECT pair FROM b$k), chr(1) || chr(2)), ' ', '') || ' ')"
     }
     s"""WITH $bpeStageCtes,
        |td AS (SELECT doc_id, ${toks("text")} AS tl FROM documents),

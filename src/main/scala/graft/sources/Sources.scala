@@ -118,11 +118,18 @@ object Sources {
               targetFileBytes: Long = 128L * 1024 * 1024,
               format: String = "parquet"): (Long, Long, Long) = {
     require(targetFileBytes > 0, "targetFileBytes > 0")
-    require(path != outPath, "compaction must not overwrite its input in place")
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
-    def dataFiles(p: String) = {
-      val it = fs.listFiles(new org.apache.hadoop.fs.Path(p), true)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val inP = new org.apache.hadoop.fs.Path(path)
+    val outP = new org.apache.hadoop.fs.Path(outPath)
+    val fs = inP.getFileSystem(conf)
+    val outFs = outP.getFileSystem(conf)
+    // in-place guard on QUALIFIED paths: raw string equality lets
+    // equivalent spellings through ('/a/b' vs '/a/b/' vs 'file:/a/b')
+    // and a failed overwrite-in-place loses the table
+    require(fs.makeQualified(inP) != outFs.makeQualified(outP),
+      "compaction must not overwrite its input in place")
+    def dataFiles(fsx: org.apache.hadoop.fs.FileSystem, p: String) = {
+      val it = fsx.listFiles(new org.apache.hadoop.fs.Path(p), true)
       val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.LocatedFileStatus]
       while (it.hasNext) {
         val f = it.next()
@@ -131,13 +138,13 @@ object Sources {
       }
       buf.toSeq
     }
-    val before = dataFiles(path)
+    val before = dataFiles(fs, path)
     val totalBytes = before.map(_.getLen).sum
     val nOut = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes)
     spark.read.format(format).load(path)
       .repartition(nOut.toInt)
       .write.format(format).mode(SaveMode.Overwrite).save(outPath)
-    (before.size.toLong, dataFiles(outPath).size.toLong, totalBytes)
+    (before.size.toLong, dataFiles(outFs, outPath).size.toLong, totalBytes)
   }
 
   def parseJsonColumn(df: DataFrame, column: String, ddl: String,

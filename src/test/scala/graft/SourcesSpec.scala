@@ -90,9 +90,16 @@ class SourcesSpec extends SparkSpec {
     val a = spark.read.parquet(in).orderBy("id").collect().toSeq
     val b = spark.read.parquet(out).orderBy("id").collect().toSeq
     assert(a == b, "compaction must preserve the data exactly")
-    // refuses to clobber its own input
+    // refuses to clobber its own input — including equivalent
+    // spellings that raw string equality would let through
     intercept[IllegalArgumentException] {
       Sources.compact(spark, in, in)
+    }
+    intercept[IllegalArgumentException] {
+      Sources.compact(spark, in, in + "/")
+    }
+    intercept[IllegalArgumentException] {
+      Sources.compact(spark, in, "file:" + in)
     }
   }
 
