@@ -415,9 +415,16 @@ object Dedup {
     * substring-dedup policy thresholds on.
     *
     * Scale: one shingle explode (the shared kernel), one frequency
-    * shuffle on shingle strings, a semi join back, and two per-doc
+    * shuffle on 8-byte xxhash64 shingle HASHES — the k-token window
+    * strings (~10x the bytes at k=5) are hashed partition-locally
+    * before the exchange and never move, the same trade every other
+    * shingle kernel here makes (a 64-bit collision conflating two
+    * windows is vanishingly unlikely and only ever adds a duplicated
+    * position) — a semi join back on the hash, and two per-doc
     * windows (partitioned by doc id — high-cardinality, even). All
-    * arithmetic exact integers; the DuckDB twin replays every stage.
+    * arithmetic exact integers; the DuckDB twin replays every stage
+    * on the strings themselves, which is the same answer absent a
+    * hash collision.
     */
   def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
                       k: Int, minDocs: Long = 2L): DataFrame = {
@@ -428,6 +435,7 @@ object Dedup {
     val win = base
       .select(F.col("id"), F.posexplode(TextOps.shingles(F.col("__toks"), k))
         .as(Seq("pos", "sh")))
+      .select(F.col("id"), F.col("pos"), F.xxhash64(F.col("sh")).as("sh"))
     val dup = win.groupBy("sh")
       .agg(F.countDistinct("id").as("nd")).where(F.col("nd") >= minDocs)
       .select("sh")
@@ -470,8 +478,11 @@ object Dedup {
     *
     * Scale: the drop set explodes positions by at most k per window
     * (the same multiplier as the shingle pipelines); reassembly is a
-    * per-doc sort bounded by document length. Every step is exact
-    * integer/set logic — the twin replays it all in SQL.
+    * per-doc sort bounded by document length. As in
+    * [[duplicatedSpans]], the ownership shuffle moves 8-byte xxhash64
+    * window hashes, never the window strings. Every step is exact
+    * integer/set logic — the twin replays it all in SQL on the
+    * strings, the same answer absent a 64-bit collision.
     */
   def stripDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
                            k: Int, minDocs: Long = 2L): DataFrame = {
@@ -479,6 +490,7 @@ object Dedup {
       TextOps.tokens(F.col(textCol)).as("__toks"))
     val win = base.select(F.col("id"),
       F.posexplode(TextOps.shingles(F.col("__toks"), k)).as(Seq("pos", "sh")))
+      .select(F.col("id"), F.col("pos"), F.xxhash64(F.col("sh")).as("sh"))
     val owned = win.groupBy("sh")
       .agg(F.countDistinct("id").as("nd"), F.min("id").as("owner"))
       .where(F.col("nd") >= minDocs)
