@@ -70,13 +70,17 @@ object JpegCodec {
   }
 
   /** MSB-first bit reader over the entropy-coded segment with FF00
-    * unstuffing; FFD0-FFD7 (restart) realigns and signals the caller;
-    * any other marker ends the scan.
+    * unstuffing. A restart marker (FFD0-FFD7) is a hard boundary:
+    * fill() STOPS in front of it without consuming it and without
+    * touching already-buffered bits — the undecoded pre-marker
+    * entropy bits stay available to the current interval's last MCU.
+    * The caller realigns at the MCU-count boundary via [[resync]],
+    * which discards only the (sub-byte) pad bits left in the buffer
+    * and then consumes the marker. Any other marker ends the scan.
     */
   private final class BitReader(b: Array[Byte], var pos: Int) {
     private var acc = 0
     private var nbits = 0
-    var sawRestart = false
     var ended = false
 
     private def fill(): Unit = {
@@ -89,9 +93,7 @@ object JpegCodec {
           if (m == 0x00) {
             acc = (acc << 8) | 0xff; nbits += 8; pos += 2
           } else if (m >= 0xd0 && m <= 0xd7) {
-            // restart marker: byte-aligned by construction; drop any
-            // pad bits, consume the marker, tell the caller to reset
-            acc = 0; nbits = 0; pos += 2; sawRestart = true; return
+            return // stop AT the marker; only resync() may cross it
           } else { ended = true; return } // EOI or next segment
         } else {
           acc = (acc << 8) | v; nbits += 8; pos += 1
@@ -99,16 +101,34 @@ object JpegCodec {
       }
     }
 
-    /** Next single bit, or -1 at end of scan data. A restart marker
-      * makes fill() return empty-handed once (so the caller can see
-      * sawRestart at the next block boundary); the loop re-fills from
-      * past the marker.
+    /** Next single bit, or -1 when no bit is available — end of scan
+      * data, or stalled in front of a restart marker (a well-formed
+      * caller resync()s at the MCU boundary before that happens).
       */
     def bit(): Int = {
-      while (nbits == 0 && !ended) fill()
-      if (nbits == 0) return -1
+      if (nbits == 0) {
+        fill()
+        if (nbits == 0) return -1
+      }
       nbits -= 1
       (acc >>> nbits) & 1
+    }
+
+    /** Restart-interval boundary: every byte before the marker is
+      * already buffered (the interval's last data bit forced its byte
+      * in, and padding is sub-byte by T.81), so whatever remains in
+      * the buffer is 1-padding — discard it, then require and consume
+      * the RSTn marker. False if the marker isn't there (corrupt or
+      * mis-declared DRI).
+      */
+    def resync(): Boolean = {
+      acc = 0; nbits = 0
+      if (pos + 1 >= b.length) { ended = true; return false }
+      if ((b(pos) & 0xff) == 0xff) {
+        val m = b(pos + 1) & 0xff
+        if (m >= 0xd0 && m <= 0xd7) { pos += 2; return true }
+      }
+      false
     }
 
     /** n bits MSB-first, or -1 on exhaustion. */
@@ -369,7 +389,6 @@ object JpegCodec {
       while (by < bh) {
         var bx = 0
         while (bx < bw) {
-          if (r.sawRestart) { r.sawRestart = false; dcPred = 0 }
           // DC: category + EXTEND, differential vs previous block
           val s = decodeHuff(r, dcT)
           if (s < 0 || s > 11) return None
@@ -418,9 +437,13 @@ object JpegCodec {
             onBlock(bx, by, nx, ny, 0, idctBlock(coef))
           }
           blocksUntilRestart -= 1
-          if (blocksUntilRestart == 0) {
+          val lastBlock = bx == bw - 1 && by == bh - 1
+          if (blocksUntilRestart == 0 && !lastBlock) {
+            // interval boundary: drop pad bits, consume RSTn, reset
+            // the DC predictor — T.81 E.2.4
+            if (!r.resync()) return None
             blocksUntilRestart = restartInterval
-            dcPred = 0 // predictor resets AT the marker; reader realigns lazily
+            dcPred = 0
           }
           bx += 1
         }
@@ -470,9 +493,16 @@ object JpegCodec {
     * block value EXACTLY (DC = value - 128, samples = DC*8/8 + 128).
     * The DC differences flow through the real category/EXTEND coding,
     * so multi-block images exercise the whole predictor chain.
+    *
+    * `restartInterval > 0` declares DRI and emits a real restart
+    * sequence every that-many blocks (1-pad to the byte boundary,
+    * FFD0+(n mod 8), DC predictor reset — T.81 E.2.4), which is what
+    * the DRI round-trip specs decode back.
     */
-  def encode(width: Int, height: Int, blockValue: Int => Int): Array[Byte] = {
+  def encode(width: Int, height: Int, blockValue: Int => Int,
+             restartInterval: Int = 0): Array[Byte] = {
     require(width > 0 && height > 0, "positive dimensions")
+    require(restartInterval >= 0, "restartInterval >= 0")
     val bos = new java.io.ByteArrayOutputStream()
     def w8(v: Int): Unit = bos.write(v & 0xff)
     def w16(v: Int): Unit = { w8(v >> 8); w8(v) }
@@ -498,6 +528,9 @@ object JpegCodec {
       })
     dht(0, 0, EncDcBits, EncDcVals) // DC class, table id 0
     dht(1, 1, EncAcBits, EncAcVals) // AC class, table id 1 (SOS Ta=1)
+    if (restartInterval > 0)
+      segment(0xdd, Array[Byte]((restartInterval >> 8).toByte,
+        (restartInterval & 0xff).toByte)) // DRI
     segment(0xda, Array[Byte](1, 1, 0x01, 0, 63, 0)) // SOS: comp 1, DC 0 / AC 1
     // entropy-coded scan with MSB-first packing and FF-stuffing
     val dcCodes = canonicalCodes(EncDcBits, EncDcVals)
@@ -516,8 +549,13 @@ object JpegCodec {
     }
     val bw = (width + 7) / 8
     val bh = (height + 7) / 8
+    def padToByte(): Unit = if (nbits > 0) { // 1-pad to byte boundary
+      val pad = 8 - nbits
+      putBits((1 << pad) - 1, pad)
+    }
     var pred = 0
     var blk = 0
+    var rstN = 0
     while (blk < bw * bh) {
       val target = ((blockValue(blk) % 256) + 256) % 256
       val dc = target - 128
@@ -530,11 +568,14 @@ object JpegCodec {
       val (e, el) = acCodes(0x00) // EOB: every AC coefficient is zero
       putBits(e, el)
       blk += 1
+      if (restartInterval > 0 && blk % restartInterval == 0 && blk < bw * bh) {
+        padToByte()
+        marker(0xd0 + (rstN & 7)) // RSTn, cyclic modulo 8
+        rstN += 1
+        pred = 0
+      }
     }
-    if (nbits > 0) { // 1-pad to byte boundary
-      val pad = 8 - nbits
-      putBits((1 << pad) - 1, pad)
-    }
+    padToByte()
     marker(0xd9) // EOI
     bos.toByteArray
   }

@@ -313,7 +313,7 @@ class TextOpsSpec extends SparkSpec {
     private val acC = codes(acBits, acVals)
 
     def encode(w: Int, h: Int, pixel: (Int, Int) => Int,
-               qdc: Int, qac: Int): Array[Byte] = {
+               qdc: Int, qac: Int, restartInterval: Int = 0): Array[Byte] = {
       val bos = new java.io.ByteArrayOutputStream()
       def w8(v: Int): Unit = bos.write(v & 0xff)
       def w16(v: Int): Unit = { w8(v >> 8); w8(v) }
@@ -327,6 +327,9 @@ class TextOpsSpec extends SparkSpec {
         (w >> 8).toByte, w.toByte, 1, 1, 0x11, 0))
       seg(0xc4, Array[Byte](0x00) ++ dcBits.map(_.toByte) ++ dcVals.map(_.toByte))
       seg(0xc4, Array[Byte](0x11) ++ acBits.map(_.toByte) ++ acVals.map(_.toByte))
+      if (restartInterval > 0)
+        seg(0xdd, Array[Byte]((restartInterval >> 8).toByte,
+          (restartInterval & 0xff).toByte))
       seg(0xda, Array[Byte](1, 1, 0x01, 0, 63, 0))
       var acc = 0L; var nb = 0
       def put(code: Int, len: Int): Unit = {
@@ -338,7 +341,16 @@ class TextOpsSpec extends SparkSpec {
       }
       val bw = (w + 7) / 8; val bh = (h + 7) / 8
       var pred = 0
+      var nBlk = 0
+      var rstN = 0
       for (by <- 0 until bh; bx <- 0 until bw) {
+        if (restartInterval > 0 && nBlk > 0 && nBlk % restartInterval == 0) {
+          // T.81 E.2.4: pad to the byte boundary, emit RSTn, reset DC
+          if (nb > 0) { val pad = 8 - nb; put((1 << pad) - 1, pad) }
+          w8(0xff); w8(0xd0 + (rstN & 7)); rstN += 1
+          pred = 0
+        }
+        nBlk += 1
         // sample with edge replication, level shift, forward DCT
         val f = Array.tabulate(8, 8) { (y, x) =>
           pixel(math.min(bx * 8 + x, w - 1), math.min(by * 8 + y, h - 1)) - 128.0
@@ -402,6 +414,65 @@ class TextOpsSpec extends SparkSpec {
       // and the streaming stats agree with the raster
       val st = JpegCodec.decodeStats(blob).get
       assert(st.sumVal == px.map(_.toLong).sum && st.nSamples == w.toLong * h)
+    }
+  }
+
+  test("JpegCodec DRI: DC-only restart streams round-trip exactly at every interval") {
+    import graft.multimodal.{JpegCodec, PngCodec}
+    // a 4x3-block gradient (distinct per-block values) so a predictor
+    // that fails to reset, or a reader that drops pre-marker bits or
+    // misaligns after the marker, corrupts later blocks loudly
+    val (w, h) = (32, 24)
+    val bw = (w + 7) / 8
+    val value: Int => Int = b => (17 + b * 19) % 256
+    for (interval <- Seq(1, 2, 3, 5, 7, 11, 12)) {
+      val blob = JpegCodec.encode(w, h, value, restartInterval = interval)
+      val (dw, dh, px) = JpegCodec.decodeRaster(blob).getOrElse(
+        fail(s"interval=$interval: decode returned None"))
+      assert((dw, dh) == ((w, h)))
+      for (y <- 0 until h; x <- 0 until w)
+        assert(px(y * w + x) == value((y / 8) * bw + (x / 8)),
+          s"interval=$interval pixel ($x,$y)")
+      var s = 0L; var sq = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = value((y / 8) * bw + (x / 8)).toLong; s += v; sq += v * v
+      }
+      assert(JpegCodec.decodeStats(blob)
+        .contains(PngCodec.PixelStats(w, h, 1, w.toLong * h, s, sq)))
+    }
+    // a declared DRI whose markers are absent must fail cleanly, not
+    // decode garbage: splice the no-restart scan after a DRI header
+    val withDri = JpegCodec.encode(w, h, value, restartInterval = 2)
+    val noRst = JpegCodec.encode(w, h, value)
+    // find both SOS offsets and graft plain scan onto DRI headers
+    def sosOff(b: Array[Byte]): Int = {
+      var i = 2
+      while (!((b(i) & 0xff) == 0xff && (b(i + 1) & 0xff) == 0xda)) i += 1
+      i
+    }
+    val spliced = withDri.take(sosOff(withDri)) ++ noRst.drop(sosOff(noRst))
+    assert(JpegCodec.decodeStats(spliced).isEmpty,
+      "mis-declared DRI (no markers in scan) must return None")
+  }
+
+  test("JpegCodec DRI: AC-bearing restart streams from the independent fDCT encoder") {
+    import graft.multimodal.JpegCodec
+    val rnd = new scala.util.Random(23)
+    for (trial <- 0 until 4) {
+      val w = 9 + rnd.nextInt(24)
+      val h = 9 + rnd.nextInt(16)
+      val interval = 1 + rnd.nextInt(4)
+      val img = Array.fill(h, w)(64 + rnd.nextInt(128))
+      val blob = TestJpegEncoder.encode(w, h, (x, y) => img(y)(x),
+        qdc = 1, qac = 1, restartInterval = interval)
+      val (dw, dh, px) = JpegCodec.decodeRaster(blob).getOrElse(
+        fail(s"trial $trial ($w x $h interval=$interval): decode returned None"))
+      assert((dw, dh) == ((w, h)))
+      var maxErr = 0
+      for (y <- 0 until h; x <- 0 until w)
+        maxErr = math.max(maxErr, math.abs(px(y * w + x) - img(y)(x)))
+      assert(maxErr <= 4,
+        s"trial $trial ($w x $h interval=$interval): max pixel error $maxErr")
     }
   }
 
