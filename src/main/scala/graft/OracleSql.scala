@@ -2196,6 +2196,48 @@ object OracleSql {
         |       round(CAST(sum(val) AS DOUBLE) / count(*), 6) AS mean_val
         |FROM px GROUP BY 1, 2, 3 ORDER BY doc_id""".stripMargin,
 
+    // COLOR JPEG twin: pixel -> padded-block-grid index per plane
+    // (4:2:0 on even ids: Y over the 2*ceil(w/16)-wide padded grid,
+    // chroma one block per 16x16 MCU; 4:4:4 on odd ids: every plane
+    // on the ceil(w/8) grid) -> closed-form Y/Cb/Cr levels -> the
+    // SAME 16.16 fixed-point JFIF transform the decoder runs (the
+    // +8589934592 bias keeps the dividend positive so integer
+    // division IS floor) — codec-free and float-free, so a hash match
+    // proves the interleaved entropy layer, the subsampling geometry,
+    // and the color math
+    "multimodal_jpeg_color" ->
+      """WITH d AS (SELECT doc_id,
+        |                  CAST(doc_id % 24 + 9 AS INTEGER) AS w,
+        |                  CAST(doc_id % 18 + 5 AS INTEGER) AS h,
+        |                  (doc_id % 2 = 0) AS s420
+        |           FROM documents),
+        |s AS (SELECT doc_id, w, h, s420,
+        |             unnest(generate_series(0, w * h - 1)) AS i
+        |      FROM d),
+        |c AS (SELECT doc_id, w, h, s420, i % w AS x, i // w AS y FROM s),
+        |b AS (SELECT doc_id, w, h,
+        |             CASE WHEN s420 THEN (y // 8) * (2 * ((w + 15) // 16)) + (x // 8)
+        |                  ELSE (y // 8) * ((w + 7) // 8) + (x // 8) END AS yb,
+        |             CASE WHEN s420 THEN (y // 16) * ((w + 15) // 16) + (x // 16)
+        |                  ELSE (y // 8) * ((w + 7) // 8) + (x // 8) END AS cbk
+        |      FROM c),
+        |v AS (SELECT doc_id, w, h,
+        |             (yb * 29 + doc_id * 5) % 256 AS yv,
+        |             (cbk * 17 + doc_id * 3) % 256 AS cbv,
+        |             (cbk * 23 + doc_id * 11) % 256 AS crv
+        |      FROM b),
+        |rgb AS (SELECT doc_id, w, h,
+        |               greatest(0, least(255, (65536 * yv + 91881 * (crv - 128) + 32768 + 8589934592) // 65536 - 131072)) AS r,
+        |               greatest(0, least(255, (65536 * yv - 22554 * (cbv - 128) - 46802 * (crv - 128) + 32768 + 8589934592) // 65536 - 131072)) AS g,
+        |               greatest(0, least(255, (65536 * yv + 116130 * (cbv - 128) + 32768 + 8589934592) // 65536 - 131072)) AS b2
+        |        FROM v)
+        |SELECT doc_id, w AS width, h AS height, CAST(3 AS INTEGER) AS channels,
+        |       CAST(3 * count(*) AS BIGINT) AS n_samples,
+        |       CAST(sum(r + g + b2) AS BIGINT) AS sum_val,
+        |       CAST(sum(r * r + g * g + b2 * b2) AS BIGINT) AS sum_sq,
+        |       round(CAST(sum(r + g + b2) AS DOUBLE) / (3 * count(*)), 6) AS mean_val
+        |FROM rgb GROUP BY 1, 2, 3 ORDER BY doc_id""".stripMargin,
+
     // pooled-feature twin: replays pixel -> 2x2 grid-cell binning
     // (cy = y*2//h, cx = x*2//w, integer floor) and the exact integer
     // count/sum aggregates over the closed-form samples — codec-free,

@@ -336,6 +336,34 @@ object BinaryMeta {
       }(enc)
   }
 
+  /** Deterministic real COLOR JPEG payloads: per-id dimensions, a
+    * per-id subsampling choice (even ids 4:2:0, odd 4:4:4), and
+    * closed-form per-block Y/Cb/Cr levels over each plane's padded
+    * block grid — see [[JpegCodec.encodeColor]] for the exact grid
+    * indexing the oracle twin replays. Dimensions span multiple MCUs
+    * in both modes so the interleaved per-component DC predictor
+    * chains are genuinely exercised.
+    */
+  def syntheticColorJpegBlobs(df: DataFrame, idCol: String): DataFrame = {
+    val out = StructType(Seq(
+      StructField("id", LongType),
+      StructField("blob", BinaryType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(out)
+    df.select(F.col(idCol).cast("long").as("id"))
+      .where(F.col("id").isNotNull && F.col("id") >= 0)
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val (w, h) = ((id % 24 + 9).toInt, (id % 18 + 5).toInt)
+          Row(id, JpegCodec.encodeColor(w, h,
+            b => ((b * 29 + id * 5) % 256).toInt,
+            b => ((b * 17 + id * 3) % 256).toInt,
+            b => ((b * 23 + id * 11) % 256).toInt,
+            subsample420 = id % 2 == 0))
+        }
+      }(enc)
+  }
+
   /** REAL batched pixel decode via mapPartitions, format-sniffed per
     * payload: PNG takes inflate + per-scanline unfilter
     * ([[PngCodec.decodeStats]]), GIF takes the variable-width LZW

@@ -3,9 +3,9 @@ package graft.multimodal
 import graft.multimodal.PngCodec.PixelStats
 
 /** Pure-JVM BASELINE JPEG decoder (ITU-T T.81 / ISO 10918-1, public
-  * specification; JFIF container) — grayscale baseline needs no codec
-  * library at all, so with this the declared multimodal pixel stub
-  * shrinks to the learned feature encoder alone (SURVEY.md §6).
+  * specification; JFIF container) — baseline needs no codec library
+  * at all, so with this the declared multimodal pixel stub shrinks to
+  * the learned feature encoder alone (SURVEY.md §6).
   *
   * The full entropy layer is real:
   *  - marker segment walk (SOI, APPn/COM skip, DQT quantization
@@ -15,8 +15,8 @@ import graft.multimodal.PngCodec.PixelStats
   *    the decoder reads WHATEVER tables the stream declares, it has
   *    no tables of its own;
   *  - the entropy-coded scan: MSB-first bit unpacking with 0xFF00
-  *    byte-unstuffing, RSTn restart handling (bit-realign + DC
-  *    predictor reset), the DC difference chain (category code +
+  *    byte-unstuffing, RSTn restart handling (MCU-boundary resync +
+  *    DC predictor reset), the DC difference chain (category code +
   *    T.81 F.2.2.1 EXTEND sign reconstruction, cumulative predictor),
   *    and AC run/size decoding (EOB / ZRL / (r,s)) through the
   *    zigzag order into the natural-order coefficient block.
@@ -32,9 +32,16 @@ import graft.multimodal.PngCodec.PixelStats
   *    an independent test-side forward-DCT encoder (the GifCodec
   *    general-LZW pattern).
   *
-  * Decoder scope: 8-bit baseline (SOF0), single-component
-  * (grayscale), 1x1 sampling. Garbage-safe like the other codecs:
-  * malformed or truncated payloads return None.
+  * Decoder scope: 8-bit baseline (SOF0), grayscale (1 component,
+  * 1x1 sampling) AND 3-component YCbCr color with 4:4:4, 4:2:2 or
+  * 4:2:0 subsampling (interleaved scan, per-component DC predictors,
+  * nearest-replication chroma upsampling). The YCbCr -> RGB
+  * transform is the standard JFIF one in 16.16 FIXED-POINT integer
+  * arithmetic (libjpeg-style constants: 1.402 -> 91881/65536 etc.),
+  * so color reconstruction from DC-only streams is exact integer math
+  * the parity oracle replays in SQL with no float drift.
+  * Garbage-safe like the other codecs: malformed or truncated
+  * payloads return None.
   */
 object JpegCodec {
 
@@ -219,13 +226,16 @@ object JpegCodec {
     -1
   }
 
-  /** Decode a baseline grayscale JPEG to exact integer aggregates.
-    * None for anything outside the documented scope.
+  /** Decode a baseline JPEG (grayscale or YCbCr color) to exact
+    * integer aggregates — grayscale over the gray samples
+    * (channels = 1), color over the interleaved RGB samples
+    * (channels = 3, n_samples = 3wh). None for anything outside the
+    * documented scope.
     */
   def decodeStats(bytes: Array[Byte]): Option[PixelStats] = {
     var sum = 0L
     var sumSq = 0L
-    decodeBlocks(bytes, (_, _) => ()) { (_, _, nx, ny, flat, px) =>
+    val gray = decodeBlocks(bytes, (_, _) => ()) { (_, _, nx, ny, flat, px) =>
       if (px == null) { // DC-only closed form: one value for the block
         val cnt = nx.toLong * ny
         sum += flat.toLong * cnt
@@ -245,6 +255,16 @@ object JpegCodec {
       }
     }.map { case (w, h) =>
       PixelStats(w, h, 1, w.toLong * h, sum, sumSq)
+    }
+    gray.orElse {
+      sum = 0L
+      sumSq = 0L
+      decodeColorPixels(bytes) { (_, _, r, g, b) =>
+        sum += r.toLong + g + b
+        sumSq += r.toLong * r + g.toLong * g + b.toLong * b
+      }.map { case (w, h) =>
+        PixelStats(w, h, 3, 3L * w * h, sum, sumSq)
+      }
     }
   }
 
@@ -269,15 +289,29 @@ object JpegCodec {
     }.map { case (w, h) => (w, h, out) }
   }
 
-  /** Shared marker-walk + entropy-decode core. `onDims` fires once
-    * after the headers parse (before any block); `onBlock` receives,
-    * per block, its grid position, the in-image sample window
-    * (nx, ny), and EITHER a flat DC-only value (px == null) or the
-    * 8x8 IDCT raster. Returns the image dims, or None on anything
-    * malformed.
+  /** One scan component: SOF sampling factors + quant table id, SOS
+    * entropy table ids (filled at SOS time).
     */
-  private def decodeBlocks(bytes: Array[Byte], onDims: (Int, Int) => Unit)(
-      onBlock: (Int, Int, Int, Int, Int, Array[Int]) => Unit): Option[(Int, Int)] = {
+  private final class Comp(val h: Int, val v: Int, val tq: Int) {
+    var td = 0
+    var ta = 0
+  }
+
+  /** Everything the marker walk yields up to (and including) SOS. */
+  private final class Hdr(val width: Int, val height: Int,
+                          val quant: Array[Array[Int]],
+                          val dcTabs: Array[HuffTable],
+                          val acTabs: Array[HuffTable],
+                          val comps: Array[Comp],
+                          val restartInterval: Int,
+                          val scanStart: Int)
+
+  /** Marker segment walk (SOI .. SOS): DQT/DHT/DRI/SOF0 into an
+    * [[Hdr]]. Scope gate lives here: 8-bit baseline, 1 component at
+    * 1x1, or 3 components with chroma 1x1 and luma factors in {1,2}
+    * (4:4:4 / 4:2:2 / 4:2:0). None for anything else or malformed.
+    */
+  private def parseHeaders(bytes: Array[Byte]): Option[Hdr] = {
     if (bytes == null || bytes.length < 4) return None
     if ((bytes(0) & 0xff) != 0xff || (bytes(1) & 0xff) != 0xd8) return None
     val quant = new Array[Array[Int]](4)
@@ -285,15 +319,11 @@ object JpegCodec {
     val acTabs = new Array[HuffTable](4)
     var width = 0
     var height = 0
-    var tq = -1 // quant table id of the single component
-    var td = -1
-    var ta = -1
+    var comps: Array[Comp] = null
     var restartInterval = 0
     var pos = 2
-    var scanStart = -1
     try {
-      var done = false
-      while (!done) {
+      while (true) {
         if (pos + 1 >= bytes.length) return None
         if ((bytes(pos) & 0xff) != 0xff) return None
         var marker = bytes(pos + 1) & 0xff
@@ -349,100 +379,158 @@ object JpegCodec {
                 height = be16(bytes, p + 1)
                 width = be16(bytes, p + 3)
                 val nc = bytes(p + 5) & 0xff
-                if (precision != 8 || nc != 1) return None // documented scope
+                if (precision != 8 || (nc != 1 && nc != 3)) return None
                 if (width <= 0 || height <= 0 ||
                   width.toLong * height > MaxPixels) return None
-                val sampling = bytes(p + 7) & 0xff
-                if (sampling != 0x11) return None
-                tq = bytes(p + 8) & 0x0f
+                comps = new Array[Comp](nc)
+                var ci = 0
+                var q = p + 6
+                while (ci < nc) {
+                  val hv = bytes(q + 1) & 0xff
+                  val ch = hv >> 4
+                  val cv = hv & 0x0f
+                  comps(ci) = new Comp(ch, cv, bytes(q + 2) & 0x0f)
+                  q += 3
+                  ci += 1
+                }
+                if (nc == 1) {
+                  if (comps(0).h != 1 || comps(0).v != 1) return None
+                } else {
+                  // luma in {1,2} each axis, chroma strictly 1x1:
+                  // 4:4:4, 4:2:2 and 4:2:0 — the baseline family
+                  if (comps(0).h < 1 || comps(0).h > 2 ||
+                    comps(0).v < 1 || comps(0).v > 2) return None
+                  if (comps(1).h != 1 || comps(1).v != 1 ||
+                    comps(2).h != 1 || comps(2).v != 1) return None
+                }
               case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 |
                    0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
                 return None // non-baseline SOF
               case 0xdd => // DRI
                 restartInterval = be16(bytes, p)
               case 0xda => // SOS
+                if (comps == null) return None
                 val ns = bytes(p) & 0xff
-                if (ns != 1) return None
-                td = (bytes(p + 2) & 0xff) >> 4
-                ta = bytes(p + 2) & 0x0f
-                scanStart = end // entropy data begins after the header
-                done = true
+                if (ns != comps.length) return None
+                var ci = 0
+                var q = p + 1
+                while (ci < ns) { // component-selector order == SOF order
+                  comps(ci).td = (bytes(q + 1) & 0xff) >> 4
+                  comps(ci).ta = bytes(q + 1) & 0x0f
+                  q += 2
+                  ci += 1
+                }
+                for (c <- comps)
+                  if (quant(c.tq) == null || dcTabs(c.td) == null ||
+                    acTabs(c.ta) == null) return None
+                return Some(new Hdr(width, height, quant, dcTabs, acTabs,
+                  comps, restartInterval, end))
               case _ => // APPn, COM, anything else: skip
             }
             pos = end
         }
       }
-      if (width == 0 || tq < 0 || quant(tq) == null ||
-        dcTabs(td) == null || acTabs(ta) == null) return None
-      val qt = quant(tq) // zigzag-ordered, per DQT
-      val q00 = qt(0)
-      val dcT = dcTabs(td)
-      val acT = acTabs(ta)
-      val bw = (width + 7) / 8
-      val bh = (height + 7) / 8
-      onDims(width, height)
-      val r = new BitReader(bytes, scanStart)
+      None
+    } catch {
+      case _: ArrayIndexOutOfBoundsException => None
+    }
+  }
+
+  /** Decode one 8x8 block through the shared DC + AC entropy layer.
+    * Returns null on malformed data; otherwise (newDcPred, flatValue,
+    * raster) where raster == null marks the DC-only closed form
+    * (flatValue is the exact integer sample for all 64 positions).
+    */
+  private def decodeBlock(r: BitReader, dcT: HuffTable, acT: HuffTable,
+                          qt: Array[Int], pred: Int): (Int, Int, Array[Int]) = {
+    // DC: category + EXTEND, differential vs previous block
+    val s = decodeHuff(r, dcT)
+    if (s < 0 || s > 11) return null
+    val diffBits = if (s == 0) 0 else r.bits(s)
+    if (diffBits < 0) return null
+    val dc = pred + extend(diffBits, s)
+    // AC: run/size symbols in zigzag order, dequantized into the
+    // natural-order coefficient block
+    val coef = new Array[Int](64)
+    var anyAc = false
+    var k = 1
+    var eob = false
+    while (!eob && k <= 63) {
+      val rs = decodeHuff(r, acT)
+      if (rs < 0) return null
+      if (rs == 0x00) eob = true
+      else if (rs == 0xf0) k += 16 // ZRL: sixteen zeros
+      else {
+        val run = rs >> 4
+        val size = rs & 0x0f
+        val v = r.bits(size)
+        if (v < 0) return null
+        k += run
+        if (k > 63) return null
+        val ac = extend(v, size)
+        if (ac != 0) {
+          coef(ZigZag(k)) = ac * qt(k) // quant table is zigzag-ordered
+          anyAc = true
+        }
+        k += 1
+      }
+    }
+    if (!anyAc) {
+      // DC-only IDCT closed form: all 64 samples = DC*Q00/8+128
+      // — exact integer arithmetic, the oracle-gated path
+      val x = 128 + Math.round(dc.toDouble * qt(0) / 8.0).toInt
+      val v = if (x < 0) 0 else if (x > 255) 255 else x
+      (dc, v, null)
+    } else {
+      // the general baseline path: full dequant + 2-D IDCT
+      coef(0) = dc * qt(0)
+      (dc, 0, idctBlock(coef))
+    }
+  }
+
+  /** Grayscale entropy-decode core. `onDims` fires once after the
+    * headers parse (before any block); `onBlock` receives, per block,
+    * its grid position, the in-image sample window (nx, ny), and
+    * EITHER a flat DC-only value (px == null) or the 8x8 IDCT raster.
+    * Returns the image dims; None for malformed input or a color
+    * stream (see [[decodeColorPixels]]).
+    */
+  private def decodeBlocks(bytes: Array[Byte], onDims: (Int, Int) => Unit)(
+      onBlock: (Int, Int, Int, Int, Int, Array[Int]) => Unit): Option[(Int, Int)] = {
+    val hdr = parseHeaders(bytes).getOrElse(return None)
+    if (hdr.comps.length != 1) return None
+    val c0 = hdr.comps(0)
+    val qt = hdr.quant(c0.tq) // zigzag-ordered, per DQT
+    val dcT = hdr.dcTabs(c0.td)
+    val acT = hdr.acTabs(c0.ta)
+    val width = hdr.width
+    val height = hdr.height
+    val bw = (width + 7) / 8
+    val bh = (height + 7) / 8
+    onDims(width, height)
+    try {
+      val r = new BitReader(bytes, hdr.scanStart)
       var dcPred = 0
       var blocksUntilRestart =
-        if (restartInterval > 0) restartInterval else Int.MaxValue
+        if (hdr.restartInterval > 0) hdr.restartInterval else Int.MaxValue
       var by = 0
       while (by < bh) {
         var bx = 0
         while (bx < bw) {
-          // DC: category + EXTEND, differential vs previous block
-          val s = decodeHuff(r, dcT)
-          if (s < 0 || s > 11) return None
-          val diffBits = if (s == 0) 0 else r.bits(s)
-          if (diffBits < 0) return None
-          dcPred += extend(diffBits, s)
-          // AC: run/size symbols in zigzag order, dequantized into the
-          // natural-order coefficient block
-          val coef = new Array[Int](64)
-          var anyAc = false
-          var k = 1
-          var eob = false
-          while (!eob && k <= 63) {
-            val rs = decodeHuff(r, acT)
-            if (rs < 0) return None
-            if (rs == 0x00) eob = true
-            else if (rs == 0xf0) k += 16 // ZRL: sixteen zeros
-            else {
-              val run = rs >> 4
-              val size = rs & 0x0f
-              val v = r.bits(size)
-              if (v < 0) return None
-              k += run
-              if (k > 63) return None
-              val ac = extend(v, size)
-              if (ac != 0) {
-                coef(ZigZag(k)) = ac * qt(k) // quant table is zigzag-ordered
-                anyAc = true
-              }
-              k += 1
-            }
-          }
+          val blk = decodeBlock(r, dcT, acT, qt, dcPred)
+          if (blk == null) return None
+          dcPred = blk._1
           val nx = math.min(8, width - bx * 8)
           val ny = math.min(8, height - by * 8)
-          if (!anyAc) {
-            // DC-only IDCT closed form: all 64 samples = DC*Q00/8+128
-            // — exact integer arithmetic, the oracle-gated path
-            val v = {
-              val x = 128 + Math.round(dcPred.toDouble * q00 / 8.0).toInt
-              if (x < 0) 0 else if (x > 255) 255 else x
-            }
-            onBlock(bx, by, nx, ny, v, null)
-          } else {
-            // the general baseline path: full dequant + 2-D IDCT
-            coef(0) = dcPred * q00
-            onBlock(bx, by, nx, ny, 0, idctBlock(coef))
-          }
+          if (blk._3 == null) onBlock(bx, by, nx, ny, blk._2, null)
+          else onBlock(bx, by, nx, ny, 0, blk._3)
           blocksUntilRestart -= 1
           val lastBlock = bx == bw - 1 && by == bh - 1
           if (blocksUntilRestart == 0 && !lastBlock) {
             // interval boundary: drop pad bits, consume RSTn, reset
             // the DC predictor — T.81 E.2.4
             if (!r.resync()) return None
-            blocksUntilRestart = restartInterval
+            blocksUntilRestart = hdr.restartInterval
             dcPred = 0
           }
           bx += 1
@@ -453,6 +541,135 @@ object JpegCodec {
     } catch {
       case _: ArrayIndexOutOfBoundsException => None
     }
+  }
+
+  // 16.16 fixed-point JFIF YCbCr -> RGB (libjpeg-style constants:
+  // 1.402, 0.344136, 0.714136, 1.772 scaled by 65536). The +32768 is
+  // the rounding half; the BIAS keeps the dividend positive so plain
+  // integer division IS floor division — the same expression is
+  // integer-exact in SQL, which is what the color parity twin relies
+  // on.
+  private val FixBias = 131072L * 65536L
+
+  private def clamp8(v: Long): Int =
+    if (v < 0) 0 else if (v > 255) 255 else v.toInt
+
+  private def ycbcrToRgb(y: Int, cb: Int, cr: Int): (Int, Int, Int) = {
+    val r = clamp8((65536L * y + 91881L * (cr - 128) + 32768L + FixBias) / 65536L - 131072L)
+    val g = clamp8((65536L * y - 22554L * (cb - 128) - 46802L * (cr - 128) + 32768L + FixBias) / 65536L - 131072L)
+    val b = clamp8((65536L * y + 116130L * (cb - 128) + 32768L + FixBias) / 65536L - 131072L)
+    (r, g, b)
+  }
+
+  /** Color (3-component YCbCr) entropy-decode core: interleaved MCUs
+    * in SOF component order, per-component DC predictors, restart
+    * intervals counted in MCUs, nearest-replication chroma
+    * upsampling, fixed-point color transform. `onPixel` receives
+    * every in-image pixel's (x, y, r, g, b) in MCU-scan order.
+    * Returns the dims; None for malformed input or a grayscale
+    * stream.
+    */
+  private def decodeColorPixels(bytes: Array[Byte])(
+      onPixel: (Int, Int, Int, Int, Int) => Unit): Option[(Int, Int)] = {
+    val hdr = parseHeaders(bytes).getOrElse(return None)
+    if (hdr.comps.length != 3) return None
+    val width = hdr.width
+    val height = hdr.height
+    val comps = hdr.comps
+    val hMax = comps.map(_.h).max
+    val vMax = comps.map(_.v).max
+    val mcuW = 8 * hMax
+    val mcuH = 8 * vMax
+    val mcusX = (width + mcuW - 1) / mcuW
+    val mcusY = (height + mcuH - 1) / mcuH
+    try {
+      val r = new BitReader(bytes, hdr.scanStart)
+      val preds = new Array[Int](3)
+      // per component, h*v decoded blocks per MCU: (flat, rasterOrNull)
+      val flat = Array.ofDim[Int](3, hMax * vMax)
+      val rast = Array.ofDim[Array[Int]](3, hMax * vMax)
+      var mcusUntilRestart =
+        if (hdr.restartInterval > 0) hdr.restartInterval else Int.MaxValue
+      var my = 0
+      while (my < mcusY) {
+        var mx = 0
+        while (mx < mcusX) {
+          var ci = 0
+          while (ci < 3) {
+            val c = comps(ci)
+            val qt = hdr.quant(c.tq)
+            val dcT = hdr.dcTabs(c.td)
+            val acT = hdr.acTabs(c.ta)
+            var vy = 0
+            while (vy < c.v) {
+              var vx = 0
+              while (vx < c.h) {
+                val blk = decodeBlock(r, dcT, acT, qt, preds(ci))
+                if (blk == null) return None
+                preds(ci) = blk._1
+                flat(ci)(vy * c.h + vx) = blk._2
+                rast(ci)(vy * c.h + vx) = blk._3
+                vx += 1
+              }
+              vy += 1
+            }
+            ci += 1
+          }
+          // emit the MCU's in-image pixels through upsample + color
+          // transform
+          val x0 = mx * mcuW
+          val y0 = my * mcuH
+          var py = 0
+          while (py < mcuH && y0 + py < height) {
+            var px = 0
+            while (px < mcuW && x0 + px < width) {
+              def sample(ci: Int): Int = {
+                val c = comps(ci)
+                val cx = px * c.h / hMax // nearest-replication downscale
+                val cy = py * c.v / vMax
+                val bj = (cy / 8) * c.h + (cx / 8)
+                val ra = rast(ci)(bj)
+                if (ra == null) flat(ci)(bj)
+                else ra((cy % 8) * 8 + (cx % 8))
+              }
+              val (rr, gg, bb) = ycbcrToRgb(sample(0), sample(1), sample(2))
+              onPixel(x0 + px, y0 + py, rr, gg, bb)
+              px += 1
+            }
+            py += 1
+          }
+          mcusUntilRestart -= 1
+          val lastMcu = mx == mcusX - 1 && my == mcusY - 1
+          if (mcusUntilRestart == 0 && !lastMcu) {
+            if (!r.resync()) return None
+            mcusUntilRestart = hdr.restartInterval
+            var i = 0
+            while (i < 3) { preds(i) = 0; i += 1 }
+          }
+          mx += 1
+        }
+        my += 1
+      }
+      Some((width, height))
+    } catch {
+      case _: ArrayIndexOutOfBoundsException => None
+    }
+  }
+
+  /** Full decoded RGB raster (row-major, interleaved r,g,b), for
+    * spec-side comparison against closed-form expectations.
+    */
+  private[graft] def decodeColorRaster(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    var out: Array[Int] = null
+    var w0 = 0
+    val dims = parseHeaders(bytes).filter(_.comps.length == 3).map { h =>
+      w0 = h.width; out = new Array[Int](h.width * h.height * 3)
+    }
+    if (dims.isEmpty) return None
+    decodeColorPixels(bytes) { (x, y, r, g, b) =>
+      val i = (y * w0 + x) * 3
+      out(i) = r; out(i + 1) = g; out(i + 2) = b
+    }.map { case (w, h) => (w, h, out) }
   }
 
   // ---------------------------------------------------------------
@@ -574,6 +791,138 @@ object JpegCodec {
         rstN += 1
         pred = 0
       }
+    }
+    padToByte()
+    marker(0xd9) // EOI
+    bos.toByteArray
+  }
+
+  /** Encode a genuine DC-only baseline COLOR (3-component YCbCr)
+    * JFIF payload. Per-plane flat 8x8 block values come from the
+    * index functions over each plane's PADDED block grid:
+    *
+    *  - 4:4:4 (`subsample420 = false`): one MCU = one block per
+    *    component; all three functions are indexed by the MCU index,
+    *    row-major over ceil(w/8) x ceil(h/8).
+    *  - 4:2:0 (`subsample420 = true`): one MCU = four Y blocks + Cb +
+    *    Cr; `yBlock` is indexed row-major over the padded Y grid
+    *    (2*ceil(w/16) columns x 2*ceil(h/16) rows), `cbBlock` /
+    *    `crBlock` by the MCU index over ceil(w/16) x ceil(h/16) —
+    *    each chroma value covers its whole 16x16 MCU.
+    *
+    * Q(0,0) = 8 so each decoded component sample equals its block
+    * value exactly (the grayscale closed form, per plane); the RGB
+    * the decoder emits is then the exact fixed-point transform of
+    * those values — closed-form replayable with no codec and no
+    * floats, which is what the color parity oracle does.
+    * `restartInterval` > 0 declares DRI and restarts every that-many
+    * MCUs (all three DC predictors reset).
+    */
+  def encodeColor(width: Int, height: Int,
+                  yBlock: Int => Int, cbBlock: Int => Int, crBlock: Int => Int,
+                  subsample420: Boolean,
+                  restartInterval: Int = 0): Array[Byte] = {
+    require(width > 0 && height > 0, "positive dimensions")
+    require(restartInterval >= 0, "restartInterval >= 0")
+    val bos = new java.io.ByteArrayOutputStream()
+    def w8(v: Int): Unit = bos.write(v & 0xff)
+    def w16(v: Int): Unit = { w8(v >> 8); w8(v) }
+    def marker(m: Int): Unit = { w8(0xff); w8(m) }
+    def segment(m: Int, body: Array[Byte]): Unit = {
+      marker(m); w16(body.length + 2); bos.write(body)
+    }
+    val yhv = if (subsample420) 0x22 else 0x11
+    marker(0xd8) // SOI
+    segment(0xe0, Array[Byte]('J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
+    segment(0xdb, Array.tabulate[Byte](65)(i => if (i == 0) 0 else 8)) // DQT id 0, all 8
+    segment(0xc0, { // SOF0: 8-bit, 3 components, shared quant 0
+      val b = new java.io.ByteArrayOutputStream()
+      b.write(8); b.write(height >> 8); b.write(height & 0xff)
+      b.write(width >> 8); b.write(width & 0xff)
+      b.write(3)
+      b.write(1); b.write(yhv); b.write(0)  // Y
+      b.write(2); b.write(0x11); b.write(0) // Cb
+      b.write(3); b.write(0x11); b.write(0) // Cr
+      b.toByteArray
+    })
+    def dht(tc: Int, th: Int, bits: Array[Int], vals: Array[Byte]): Unit =
+      segment(0xc4, {
+        val b = new java.io.ByteArrayOutputStream()
+        b.write((tc << 4) | th); bits.foreach(b.write); b.write(vals, 0, vals.length)
+        b.toByteArray
+      })
+    dht(0, 0, EncDcBits, EncDcVals)
+    dht(1, 1, EncAcBits, EncAcVals)
+    if (restartInterval > 0)
+      segment(0xdd, Array[Byte]((restartInterval >> 8).toByte,
+        (restartInterval & 0xff).toByte)) // DRI
+    segment(0xda, Array[Byte](3, 1, 0x01, 2, 0x01, 3, 0x01, 0, 63, 0))
+    val dcCodes = canonicalCodes(EncDcBits, EncDcVals)
+    val acCodes = canonicalCodes(EncAcBits, EncAcVals)
+    var acc = 0L
+    var nbits = 0
+    def putBits(code: Int, len: Int): Unit = {
+      acc = (acc << len) | (code & ((1L << len) - 1))
+      nbits += len
+      while (nbits >= 8) {
+        val b = ((acc >>> (nbits - 8)) & 0xff).toInt
+        w8(b)
+        if (b == 0xff) w8(0x00)
+        nbits -= 8
+      }
+    }
+    def padToByte(): Unit = if (nbits > 0) {
+      val pad = 8 - nbits
+      putBits((1 << pad) - 1, pad)
+    }
+    val preds = new Array[Int](3)
+    def putBlock(ci: Int, value: Int): Unit = {
+      val target = ((value % 256) + 256) % 256
+      val dc = target - 128
+      val diff = dc - preds(ci)
+      preds(ci) = dc
+      val s = if (diff == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+      val (c, cl) = dcCodes(s)
+      putBits(c, cl)
+      if (s > 0) putBits(if (diff >= 0) diff else diff - 1 + (1 << s), s)
+      val (e, el) = acCodes(0x00) // EOB
+      putBits(e, el)
+    }
+    val mcuSpan = if (subsample420) 16 else 8
+    val mcusX = (width + mcuSpan - 1) / mcuSpan
+    val mcusY = (height + mcuSpan - 1) / mcuSpan
+    var rstN = 0
+    var nMcu = 0
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
+        if (restartInterval > 0 && nMcu > 0 && nMcu % restartInterval == 0) {
+          padToByte()
+          marker(0xd0 + (rstN & 7))
+          rstN += 1
+          preds(0) = 0; preds(1) = 0; preds(2) = 0
+        }
+        val mcuIdx = my * mcusX + mx
+        if (subsample420) {
+          var vy = 0
+          while (vy < 2) {
+            var vx = 0
+            while (vx < 2) {
+              putBlock(0, yBlock((my * 2 + vy) * (2 * mcusX) + (mx * 2 + vx)))
+              vx += 1
+            }
+            vy += 1
+          }
+        } else {
+          putBlock(0, yBlock(mcuIdx))
+        }
+        putBlock(1, cbBlock(mcuIdx))
+        putBlock(2, crBlock(mcuIdx))
+        nMcu += 1
+        mx += 1
+      }
+      my += 1
     }
     padToByte()
     marker(0xd9) // EOI

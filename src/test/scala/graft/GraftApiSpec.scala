@@ -293,6 +293,12 @@ class GraftApiSpec extends SparkSpec {
     val unlisted = SparkEntry.queries.keySet -- listed
     assert(unlisted.isEmpty,
       s"wired queries missing from SURVEY §2: ${unlisted.toSeq.sorted}")
+    // row-id hygiene (r10 verdict #8): §2 row labels must be unique —
+    // E2 reused 25o/25p/25q for two operators each until r11
+    val rowIds = "(?m)^\\| ([0-9]+[a-z0-9']*) \\|".r
+      .findAllMatchIn(s2).map(_.group(1)).toSeq
+    val dupIds = rowIds.groupBy(identity).collect { case (id, v) if v.size > 1 => id }
+    assert(dupIds.isEmpty, s"SURVEY §2 reuses row ids: ${dupIds.toSeq.sorted}")
   }
 
   test("facade value matching, preview, and materialization round-trip") {

@@ -476,6 +476,78 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("JpegCodec color: DC-only 4:4:4 / 4:2:0 round-trips the exact fixed-point transform") {
+    import graft.multimodal.JpegCodec
+    // independent replay of the documented closed form: per-plane
+    // block value -> fixed-point JFIF YCbCr->RGB (floorDiv keeps it
+    // pure integer — the same arithmetic the SQL twin uses)
+    def xform(y: Int, cb: Int, cr: Int): (Int, Int, Int) = {
+      def cl(v: Long) = math.max(0L, math.min(255L, v)).toInt
+      (cl(Math.floorDiv(65536L * y + 91881L * (cr - 128) + 32768L, 65536L)),
+        cl(Math.floorDiv(65536L * y - 22554L * (cb - 128) - 46802L * (cr - 128) + 32768L, 65536L)),
+        cl(Math.floorDiv(65536L * y + 116130L * (cb - 128) + 32768L, 65536L)))
+    }
+    val yF: Int => Int = b => (13 + 29 * b) % 256
+    val cbF: Int => Int = b => (211 + 17 * b) % 256
+    val crF: Int => Int = b => (97 + 23 * b) % 256
+    for (sub420 <- Seq(false, true);
+         (w, h) <- Seq((1, 1), (8, 8), (17, 9), (24, 20), (33, 18))) {
+      val blob = JpegCodec.encodeColor(w, h, yF, cbF, crF, sub420)
+      val (dw, dh, px) = JpegCodec.decodeColorRaster(blob).getOrElse(
+        fail(s"color decode None: sub420=$sub420 ${w}x$h"))
+      assert((dw, dh) == ((w, h)))
+      var s = 0L; var sq = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val (yv, cbv, crv) =
+          if (sub420) {
+            val mcusX = (w + 15) / 16
+            (yF((y / 8) * (2 * mcusX) + (x / 8)),
+              cbF((y / 16) * mcusX + (x / 16)), crF((y / 16) * mcusX + (x / 16)))
+          } else {
+            val bw = (w + 7) / 8
+            val i = (y / 8) * bw + (x / 8)
+            (yF(i), cbF(i), crF(i))
+          }
+        val (er, eg, eb) = xform(yv, cbv, crv)
+        val i = (y * w + x) * 3
+        assert(px(i) == er && px(i + 1) == eg && px(i + 2) == eb,
+          s"pixel ($x,$y) sub420=$sub420 ${w}x$h: got (${px(i)},${px(i + 1)},${px(i + 2)}) want ($er,$eg,$eb)")
+        s += er.toLong + eg + eb
+        sq += er.toLong * er + eg.toLong * eg + eb.toLong * eb
+      }
+      // streaming stats agree with the raster: 3 channels, 3wh samples
+      val st = JpegCodec.decodeStats(blob).get
+      assert(st.channels == 3 && st.nSamples == 3L * w * h &&
+        st.sumVal == s && st.sumSq == sq, s"stats sub420=$sub420 ${w}x$h: $st")
+    }
+  }
+
+  test("JpegCodec color DRI: restart streams decode identically; fuzz never throws") {
+    import graft.multimodal.JpegCodec
+    val yF: Int => Int = b => (7 + 31 * b) % 256
+    val cbF: Int => Int = b => (151 + 13 * b) % 256
+    val crF: Int => Int = b => (61 + 41 * b) % 256
+    for (sub420 <- Seq(false, true); interval <- Seq(1, 2, 3)) {
+      val (w, h) = (33, 18)
+      val plain = JpegCodec.encodeColor(w, h, yF, cbF, crF, sub420)
+      val rst = JpegCodec.encodeColor(w, h, yF, cbF, crF, sub420,
+        restartInterval = interval)
+      val a = JpegCodec.decodeColorRaster(plain).get
+      val b = JpegCodec.decodeColorRaster(rst).getOrElse(
+        fail(s"DRI color decode None: sub420=$sub420 interval=$interval"))
+      assert(a._1 == b._1 && a._2 == b._2 && a._3.sameElements(b._3),
+        s"sub420=$sub420 interval=$interval: restart stream diverged")
+    }
+    val good = JpegCodec.encodeColor(17, 9, yF, cbF, crF, subsample420 = true)
+    for (cut <- 1 until good.length by 7) JpegCodec.decodeStats(good.take(cut))
+    val rnd = new scala.util.Random(71)
+    for (_ <- 1 to 200) {
+      val m = good.clone()
+      m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      JpegCodec.decodeStats(m) // any result, never a throw
+    }
+  }
+
   test("JpegCodec general path: coarse quantization still decodes consistently") {
     import graft.multimodal.JpegCodec
     // a smooth gradient under q=8: reconstruction error is bounded by
