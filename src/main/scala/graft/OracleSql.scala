@@ -433,6 +433,38 @@ object OracleSql {
         |SELECT source, target, round(similarity, 6) AS similarity
         |FROM best WHERE rn = 1 ORDER BY source""".stripMargin,
 
+    // fromSchemaJson end-to-end: the Spark side loads the vocabulary
+    // from a GDC-format schema JSON resource file; the twin re-states
+    // that file's fixed literal content as VALUES rows (empty_attr
+    // contributes no value rows and is filtered from matching on both
+    // sides) and recomputes the same jaccard argmax
+    "match_schema_standard_json" ->
+      """WITH sv AS (
+        |  SELECT DISTINCT 'o_orderstatus' AS source, trim(CAST(o_orderstatus AS VARCHAR)) AS value
+        |  FROM orders WHERE o_orderstatus IS NOT NULL AND trim(CAST(o_orderstatus AS VARCHAR)) <> ''
+        |  UNION
+        |  SELECT DISTINCT 'o_orderpriority', trim(CAST(o_orderpriority AS VARCHAR))
+        |  FROM orders WHERE o_orderpriority IS NOT NULL AND trim(CAST(o_orderpriority AS VARCHAR)) <> ''),
+        |tv AS (
+        |  SELECT * FROM (VALUES
+        |    ('order_status', 'F'), ('order_status', 'O'), ('order_status', 'P'),
+        |    ('order_priority', '1-URGENT'), ('order_priority', '2-HIGH'),
+        |    ('order_priority', '3-MEDIUM'), ('order_priority', '0-CRITICAL'),
+        |    ('region_name', 'AFRICA'), ('region_name', 'AMERICA'), ('region_name', 'ASIA'),
+        |    ('region_name', 'EUROPE'), ('region_name', 'MIDDLE EAST')) AS v(target, value)),
+        |ns AS (SELECT source, count(*) AS ns FROM sv GROUP BY source),
+        |nt AS (SELECT target, count(*) AS nt FROM tv GROUP BY target),
+        |inter AS (SELECT source, target, count(*) AS ni FROM sv JOIN tv USING (value) GROUP BY source, target),
+        |sims AS (
+        |  SELECT ns.source, nt.target,
+        |         CAST(coalesce(ni, 0) AS DOUBLE) / CAST(ns.ns + nt.nt - coalesce(ni, 0) AS DOUBLE) AS similarity
+        |  FROM ns CROSS JOIN nt LEFT JOIN inter ON inter.source = ns.source AND inter.target = nt.target),
+        |best AS (SELECT source, target, similarity,
+        |                row_number() OVER (PARTITION BY source ORDER BY similarity DESC, target ASC) AS rn
+        |         FROM sims)
+        |SELECT source, target, round(similarity, 6) AS similarity
+        |FROM best WHERE rn = 1 ORDER BY source""".stripMargin,
+
     // identity-recovery gate for the hashing-trick profile matcher:
     // every source value on this dataset also appears in the target
     // domain (every part name occurs at some size <= 25), and identical
@@ -805,6 +837,26 @@ object OracleSql {
         |                  WHERE l3.ok = l1.ok AND l3.sk <> l1.sk)
         |GROUP BY s_name
         |ORDER BY numwait DESC, s_name""".stripMargin,
+
+    "q20_excess" ->
+      """WITH per_ps AS (
+        |  SELECT l_partkey, l_suppkey,
+        |         sum(CASE WHEN year(l_shipdate) = 1996
+        |                  THEN CAST(l_quantity AS DECIMAL(12,2))
+        |                  ELSE CAST(0 AS DECIMAL(12,2)) END) AS qty_1996,
+        |         sum(CAST(l_quantity AS DECIMAL(12,2))) AS qty_all
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_name LIKE '%blue%'
+        |  GROUP BY l_partkey, l_suppkey),
+        |hot AS (
+        |  SELECT l_suppkey, count(*) AS n_excess_parts
+        |  FROM per_ps
+        |  WHERE qty_1996 * CAST(2 AS DECIMAL(2,0)) > qty_all
+        |  GROUP BY l_suppkey)
+        |SELECT s_name, n_name, n_excess_parts
+        |FROM hot JOIN supplier ON l_suppkey = s_suppkey
+        |         JOIN nation ON s_nationkey = n_nationkey
+        |ORDER BY s_name, n_name""".stripMargin,
 
     "q14_promo" ->
       """SELECT round(CAST(100.0 AS DOUBLE)

@@ -182,6 +182,53 @@ object SparkEntry {
       .orderBy("source")
   }
 
+  /** The GDC-format resource file written once per JVM; content is a
+    * fixed literal so the DuckDB twin can re-state the vocabulary as
+    * VALUES rows.
+    */
+  private lazy val standardsJsonPath: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-std")
+    val f = dir.resolve("synthetic_gdc.json")
+    // GDC schema shape (standards/gdc.py:20-35): {attribute:
+    // {column_description, value_data: {value: description}}}.
+    // order_priority carries 4 real priorities + 1 fake (jaccard 2/3
+    // against the 5-value live domain); order_status covers the full
+    // F/O/P domain; region_name overlaps nothing; empty_attr has no
+    // value_data at all and must survive loading as an attribute.
+    val json =
+      """{
+        |  "order_status": {"column_description": "order fulfillment state",
+        |    "value_data": {"F": "finished", "O": "open", "P": "pending"}},
+        |  "order_priority": {"column_description": "order urgency class",
+        |    "value_data": {"1-URGENT": "highest", "2-HIGH": "high",
+        |                   "3-MEDIUM": "medium", "0-CRITICAL": "synthetic, not in data"}},
+        |  "region_name": {"column_description": "geographic region",
+        |    "value_data": {"AFRICA": "", "AMERICA": "", "ASIA": "", "EUROPE": "", "MIDDLE EAST": ""}},
+        |  "empty_attr": {"column_description": "attribute with no enumerated domain",
+        |    "value_data": {}}
+        |}""".stripMargin
+    java.nio.file.Files.write(f, json.getBytes("UTF-8"))
+    f.toString
+  }
+
+  private def matchSchemaStandardJson(t: Tables): DataFrame = {
+    // the reference's headline biomedical flow END-TO-END (api.py:43
+    // target="gdc" + standards/gdc.py:20-35): a GDC-format schema JSON
+    // resource file is loaded by Standards.fromSchemaJson, registered
+    // under a name, and matched against — the full path from resource
+    // file to match result, not a pre-built DataFrame vocabulary. The
+    // JSON content is a fixed literal, so the oracle recomputes the
+    // identical jaccard argmax from VALUES rows; o_orderstatus's
+    // domain may genuinely miss 'P' at tiny SF and both engines see
+    // the same live domain, so parity holds at every SF.
+    Graft.registerStandard("gdc_from_json", t.orders.sparkSession, standardsJsonPath)
+    Graft.matchSchema(t.orders.select("o_orderstatus", "o_orderpriority"),
+      "gdc_from_json")
+      .select(F.col("source"), F.col("target"),
+        F.round(F.col("similarity"), 6).as("similarity"))
+      .orderBy("source")
+  }
+
   private def matchValuesCoverage(t: Tables): DataFrame =
     Graft.valueMatchCoverage(Graft.matchValuesMapping(
       t.part, t.part.where(F.col("p_size") <= 25),
@@ -536,6 +583,34 @@ object SparkEntry {
       .groupBy("s_name")
       .agg(F.count(F.lit(1)).as("numwait"))
       .orderBy(F.col("numwait").desc, F.col("s_name").asc)
+  }
+
+  private def q20(t: Tables): DataFrame = {
+    // TPC-H Q20 spirit (no partsupp — shipped volume is the stock
+    // proxy): suppliers holding EXCESS recent volume of blue parts —
+    // (part, supplier) groups whose 1996 shipped quantity is more than
+    // half their all-time shipped quantity — rolled up to the supplier
+    // with the count of such parts, then joined into the supplier and
+    // nation dims. The reference query's nested-IN chain flattens to
+    // one aggregate + one roll-up + broadcast dim joins; only
+    // (partkey, suppkey, two decimal sums) ever shuffle. The half-of
+    // comparison cross-multiplies in exact decimal (2*recent > all)
+    // so neither engine divides at the boundary.
+    val dq = F.col("l_quantity").cast("decimal(12,2)")
+    val blue = t.part.where(F.col("p_name").like("%blue%")).select("p_partkey")
+    val perPS = t.lineitem
+      .join(F.broadcast(blue), F.col("l_partkey") === F.col("p_partkey"))
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(F.sum(F.when(F.year(F.col("l_shipdate")) === 1996, dq)
+          .otherwise(F.lit(0).cast("decimal(12,2)"))).as("qty_1996"),
+        F.sum(dq).as("qty_all"))
+    val hot = perPS
+      .where(F.col("qty_1996") * F.lit(2).cast("decimal(2,0)") > F.col("qty_all"))
+      .groupBy("l_suppkey").agg(F.count(F.lit(1)).as("n_excess_parts"))
+    hot.join(t.supplier, F.col("l_suppkey") === F.col("s_suppkey"))
+      .join(F.broadcast(t.nation), F.col("s_nationkey") === F.col("n_nationkey"))
+      .select(F.col("s_name"), F.col("n_name"), F.col("n_excess_parts"))
+      .orderBy("s_name", "n_name")
   }
 
   private def q2(t: Tables): DataFrame = {
@@ -1846,6 +1921,7 @@ object SparkEntry {
       "match_schema_sketch" -> q(matchSchemaSketch),
       "match_schema_coma" -> q(matchSchemaComa),
       "match_schema_standard" -> q(matchSchemaStandard),
+      "match_schema_standard_json" -> q(matchSchemaStandardJson),
       "match_values_coverage" -> q(matchValuesCoverage),
       "match_values_standard" -> q(matchValuesStandard),
       "materialize_mapping" -> q(materializeMapping),
@@ -1865,6 +1941,7 @@ object SparkEntry {
       "q16_brand_suppliers" -> q(q16),
       "q17_small_qty" -> q(q17),
       "q19_disjunctive" -> q(q19),
+      "q20_excess" -> q(q20),
       "q21_waiting" -> q(q21),
       "q2_mincost" -> q(q2),
       "q9_profit" -> q(q9),

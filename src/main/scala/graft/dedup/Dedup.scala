@@ -193,7 +193,7 @@ object Dedup {
     * edges ~ 160 MB on the driver — comfortably collectable; larger
     * graphs take the distributed label-propagation path.
     */
-  private val SmallGraphEdges = 10L * 1000 * 1000
+  private[graft] val SmallGraphEdges = 10L * 1000 * 1000
 
   def components(pairs: DataFrame, maxIter: Int = 20,
                  releaseInput: Boolean = false,
@@ -317,8 +317,10 @@ object Dedup {
     * that appears in no near-dup pair.
     */
   def keepCanonical(df: DataFrame, idCol: String, pairs: DataFrame,
-                    releaseInput: Boolean = false): DataFrame = {
-    val comp = components(pairs, releaseInput = releaseInput)
+                    releaseInput: Boolean = false,
+                    smallGraphLimit: Long = SmallGraphEdges): DataFrame = {
+    val comp = components(pairs, releaseInput = releaseInput,
+      smallGraphLimit = smallGraphLimit)
     val losers = comp.where(F.col("id") =!= F.col("component"))
       .select(F.col("id").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")
@@ -340,8 +342,10 @@ object Dedup {
     * one (id, score) row per document; only paired ids are read.
     */
   def keepBest(df: DataFrame, idCol: String, pairs: DataFrame,
-               scored: DataFrame, releaseInput: Boolean = false): DataFrame = {
-    val comp = components(pairs, releaseInput = releaseInput)
+               scored: DataFrame, releaseInput: Boolean = false,
+               smallGraphLimit: Long = SmallGraphEdges): DataFrame = {
+    val comp = components(pairs, releaseInput = releaseInput,
+      smallGraphLimit = smallGraphLimit)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("component")
       .orderBy(F.col("score").desc, F.col("id").asc)

@@ -314,9 +314,9 @@ object Ann {
     * coverage on one join side (the other side keeps exact keys).
     */
   private[graft] def withFlipProbes(banded: DataFrame, bits: Int): DataFrame =
-    banded.select(banded.columns.filter(_ != "key").map(F.col) :+
+    banded.select((banded.columns.filter(_ != "key").map(F.col).toIndexedSeq :+
       F.explode(F.array(F.col("key") +: (0 until bits).map(j =>
-        F.col("key").bitwiseXOR(F.lit(1L << j))): _*)).as("key"): _*)
+        F.col("key").bitwiseXOR(F.lit(1L << j))): _*)).as("key")): _*)
 
   /** Diagnostics for the embedding-LSH bucketCap guard, shaped like
     * Dedup.capReport (metric, value) rows: how many band buckets exceed

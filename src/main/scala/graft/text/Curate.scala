@@ -476,11 +476,13 @@ object Curate {
   def leakageFreeSplit(df: DataFrame, idCol: String, pairs: DataFrame,
                        splits: Seq[(String, Double)],
                        salt: Long = 0L,
-                       releaseInput: Boolean = false): DataFrame = {
+                       releaseInput: Boolean = false,
+                       smallGraphLimit: Long = graft.dedup.Dedup.SmallGraphEdges): DataFrame = {
     require(splits.nonEmpty, "at least one split")
     require(splits.forall(_._2 > 0), "positive weights")
     require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9, "weights sum to 1")
-    val comp = graft.dedup.Dedup.components(pairs, releaseInput = releaseInput)
+    val comp = graft.dedup.Dedup.components(pairs, releaseInput = releaseInput,
+        smallGraphLimit = smallGraphLimit)
       .withColumnRenamed("id", idCol)
     val key = sampleKey(F.col("group_id"), salt)
     val cuts = splits.map(_._2).scanLeft(0.0)(_ + _).tail

@@ -110,6 +110,49 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(1L, 4L, 5L), s"got $kept")
   }
 
+  test("distributed components branch end-to-end: keepCanonical and leakageFreeSplit equal the union-find path") {
+    // The union-find fast path wins at every gate-scale graph size, so
+    // the label-propagation branch would otherwise only run in its own
+    // unit tests. Drive BOTH branches through the full driver-shaped
+    // pipelines — jaccardPairs -> keepCanonical and jaccardPairs ->
+    // leakageFreeSplit — by forcing smallGraphLimit = 0, and assert the
+    // outputs are IDENTICAL to the fast path's: same survivors, same
+    // (id, group_id, split) assignment. Both branches must implement
+    // the same min-id component contract or the corpus a cluster run
+    // deduplicates would differ from what the gate certified.
+    val corpus = (0 until 30).flatMap { c =>
+      val base = s"cluster $c shares one sentence body with enough tokens to shingle " +
+        s"reliably across every member of the group"
+      (0 until (c % 3) + 1).map(j => (c * 10L + j, base))
+    } ++ Seq((900L, "a lonely document about something entirely different"),
+      (901L, "another unpaired text with its own vocabulary and no twin"))
+    val df = corpus.toDF("doc_id", "text")
+    def pairs = Dedup.jaccardPairs(df, "doc_id", "text", k = 3, threshold = 0.8)
+      .select("id1", "id2")
+    val keptFast = Dedup.keepCanonical(df, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().toSet
+    val keptDist = Dedup.keepCanonical(df, "doc_id", pairs, smallGraphLimit = 0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptFast == keptDist,
+      s"branches disagree: fast-only=${keptFast -- keptDist} dist-only=${keptDist -- keptFast}")
+    // min-id survivors: every cluster keeps c*10, both singletons stay
+    val expect = (0 until 30).map(_ * 10L).toSet ++ Set(900L, 901L)
+    assert(keptFast == expect)
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    def splitRows(limit: Long) =
+      graft.text.Curate.leakageFreeSplit(df, "doc_id", pairs, splits,
+          smallGraphLimit = limit)
+        .select("doc_id", "group_id", "split")
+        .as[(Long, Long, String)].collect().toSet
+    val sFast = splitRows(Long.MaxValue)
+    val sDist = splitRows(0L)
+    assert(sFast == sDist,
+      s"split assignment diverges: ${(sFast diff sDist) ++ (sDist diff sFast)}")
+    // leakage-free contract holds under the distributed labels too:
+    // every group lands in exactly one split
+    assert(sDist.groupBy(_._2).forall { case (_, rows) => rows.map(_._3).toSet.size == 1 })
+  }
+
   test("keepBest maps every doc to its cluster's top-score member") {
     // cluster {1,2,3}: scores 5,9,9 -> survivor 2 (max score, tie min
     // id); cluster {6,7}: survivor 7; 4 and 5 are singletons

@@ -124,6 +124,10 @@ class PlanSpec extends SparkSpec {
     // the standard match crosses per-COLUMN counts with the
     // vocabulary's per-ATTRIBUTE counts (both column-count-bounded)
     "match_schema_coma", "match_schema_standard",
+    // the fromSchemaJson flow shares match_schema_standard's shape:
+    // per-COLUMN counts crossed with the JSON vocabulary's
+    // per-ATTRIBUTE counts (both column/attribute-count-bounded)
+    "match_schema_standard_json",
     // curate_buckets scores through the same unigram LM (1-row totals
     // crossJoin) before its rank window
     "text_lm_score", "curate_buckets",
