@@ -1932,6 +1932,47 @@ object OracleSql {
          |FROM docs d LEFT JOIN g USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
 
+    // BM25 replay: every arithmetic input (tf, df, dl, N, Σdl) is an
+    // exact integer, the double chain mirrors the Spark expression's
+    // operand order and literal casts, contributions round to 9dp and
+    // sum in DECIMAL, the score rounds to 6dp — bit-identical
+    // cross-engine (ln within rounding tolerance, like char_entropy)
+    "text_search_bm25" ->
+      s"""WITH qt AS (
+         |  SELECT * FROM (VALUES
+         |    (0, 'spark'), (0, 'window'), (0, 'join'),
+         |    (1, 'dup'), (1, 'stream'), (1, 'batch'),
+         |    (2, 'fast'), (2, 'hash'), (2, 'scan'), (2, 'merge')) AS v(query_id, term)),
+         |docs AS (SELECT doc_id, ${toks("text")} AS tl FROM documents),
+         |stats AS (SELECT count(*) AS n, sum(len(tl)) AS sum_dl FROM docs),
+         |ex AS (SELECT doc_id, len(tl) AS dl, unnest(tl) AS term FROM docs),
+         |post AS (SELECT doc_id, term, dl, count(*) AS tf FROM ex
+         |         WHERE term IN (SELECT DISTINCT term FROM qt)
+         |         GROUP BY doc_id, term, dl),
+         |dft AS (SELECT term, count(*) AS df FROM post GROUP BY term),
+         |contrib AS (
+         |  SELECT qt.query_id, p.doc_id,
+         |         CAST(round(
+         |           ln(CAST(1.0 AS DOUBLE)
+         |              + (CAST(s.n - d.df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+         |                / (CAST(d.df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+         |           * (CAST(p.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1))
+         |           / (CAST(p.tf AS DOUBLE)
+         |              + CAST(1.2 AS DOUBLE)
+         |                * (CAST(0.25 AS DOUBLE)
+         |                   + CAST(0.75 AS DOUBLE) * CAST(p.dl AS DOUBLE)
+         |                     / (CAST(s.sum_dl AS DOUBLE) / CAST(s.n AS DOUBLE)))), 9)
+         |         AS DECIMAL(20,9)) AS c
+         |  FROM post p JOIN qt USING (term) JOIN dft d USING (term) CROSS JOIN stats s),
+         |scored AS (SELECT query_id, doc_id, round(CAST(sum(c) AS DOUBLE), 6) AS score
+         |           FROM contrib GROUP BY query_id, doc_id),
+         |top AS (SELECT query_id, doc_id, score,
+         |               row_number() OVER (PARTITION BY query_id
+         |                                  ORDER BY score DESC, doc_id ASC) AS rank
+         |        FROM scored)
+         |SELECT query_id, doc_id, score, rank FROM top
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
     "token_count" ->
       """SELECT doc_id,
         |       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_tokens_bpe

@@ -1359,6 +1359,20 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** BM25 query batch shared with the oracle twin: hits the corpus's
+    * skewed term (dup, df≈26 at sf0.01 vs ≈900 for the rest) so idf
+    * genuinely differentiates, plus multi-term queries with partial
+    * overlap.
+    */
+  private val bm25Queries = Seq(
+    0 -> "spark window join",
+    1 -> "dup stream batch",
+    2 -> "fast hash scan merge")
+
+  private def textSearchBm25(t: Tables): DataFrame =
+    text.Search.bm25TopK(t.documents, "doc_id", "text", bm25Queries, k = 10)
+      .orderBy("query_id", "rank")
+
   private def docFingerprint(t: Tables): DataFrame =
     // two-step select keeps fp an attribute: CollapseProject won't
     // inline a multiply-referenced non-cheap expression, so the
@@ -1996,6 +2010,7 @@ object SparkEntry {
       "doc_fingerprint" -> q(docFingerprint),
       "doc_fingerprint_hashes" -> q(docFingerprintHashes),
       "text_entropy" -> q(textEntropy),
+      "text_search_bm25" -> q(textSearchBm25),
       "text_scrub" -> q(textScrub),
       "text_scrub_pii" -> q(textScrubPii),
       "doc_profile" -> q(docProfileQ),

@@ -1,0 +1,91 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{functions => F}
+
+/** Full-text retrieval over a document corpus — the query capability a
+  * training-data pipeline uses for corpus inspection, contamination
+  * triage, and quality auditing (reference analog: the value-domain
+  * keyword lookups behind bdikit/api.py preview/matching flows, raised
+  * to ranked retrieval).
+  *
+  * Scale design (100 TB): the query batch is driver-literal, so its
+  * term set prunes the exploded token stream BEFORE the only
+  * corpus-keyed shuffle — posting volume is bounded by Σ_t df(t)
+  * (documents actually containing a query term), never corpus token
+  * count. Document-length stats aggregate to ONE row (broadcast back);
+  * per-term df is a ≤|query-terms|-key aggregate; scoring is a
+  * broadcast join + per-row arithmetic; the final top-k window is
+  * partitioned by query id. Nothing corpus-sized ever sorts globally.
+  */
+object Search {
+
+  /** Driver-side twin of [[TextOps.tokens]] for query strings (tiny,
+    * literal): lowercase maximal [a-z0-9] runs.
+    */
+  private[graft] def tokenizeQuery(q: String): Seq[String] =
+    q.toLowerCase.split("[^a-z0-9]+").toSeq.filter(_.nonEmpty)
+
+  /** BM25 top-k retrieval (Robertson et al. TREC-3; the Lucene
+    * practical variant): for each query, the k highest-scoring
+    * documents under
+    *
+    *   score(q,d) = Σ_{t ∈ q} idf(t) · tf(t,d)·(k1+1) /
+    *                (tf(t,d) + k1·(1 − b + b·|d|/avgdl)),
+    *   idf(t) = ln(1 + (N − df(t) + 0.5)/(df(t) + 0.5))
+    *
+    * Duplicate query terms count once (query terms are a set). All
+    * inputs to the per-term expression are exact integers (tf, df, dl,
+    * N, Σdl), so the double chain is deterministic cross-engine;
+    * contributions round to 9dp and accumulate in DECIMAL so the
+    * per-document sum is addition-order-free, then the score rounds to
+    * 6dp. Ties break on ascending doc id.
+    *
+    * Output: (query_id, doc_id, score, rank), rank 1..k per query.
+    */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+               queries: Seq[(Int, String)], k: Int = 10,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queries.nonEmpty, "at least one query")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val qtPairs = queries.flatMap { case (qid, q) =>
+      tokenizeQuery(q).distinct.map(t => (qid, t))
+    }.distinct
+    val terms = qtPairs.map(_._2).distinct
+    val qt = qtPairs.toDF("query_id", "term")
+    val docs = df.select(F.col(idCol).as("doc_id"),
+      TextOps.tokens(F.col(textCol)).as("tl"))
+    // one-row exact-integer corpus stats; avgdl = Σdl/N is a single
+    // double division of exact integers — no accumulation-order drift
+    val stats = docs.agg(F.count(F.lit(1)).as("n"),
+      F.sum(F.size($"tl")).as("sum_dl"))
+    val post = docs
+      .select($"doc_id", F.size($"tl").as("dl"), F.explode($"tl").as("term"))
+      .where(F.col("term").isin(terms: _*))
+      .groupBy("doc_id", "term", "dl")
+      .agg(F.count(F.lit(1)).as("tf"))
+    // postings are unique per (doc, term), so count(*) IS df(t)
+    val dft = post.groupBy("term").agg(F.count(F.lit(1)).as("df"))
+    val avgdl = F.col("sum_dl").cast("double") / F.col("n").cast("double")
+    val idf = F.log(F.lit(1.0) +
+      (F.col("n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5)))
+    val tfNorm = (F.col("tf") * F.lit(k1 + 1)) /
+      (F.col("tf") + F.lit(k1) *
+        (F.lit(1 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")))
+    val contrib = post
+      .join(F.broadcast(qt), "term")
+      .join(F.broadcast(dft), "term")
+      .crossJoin(F.broadcast(stats))
+      .withColumn("avgdl", avgdl)
+      .withColumn("c", F.round(idf * tfNorm, 9).cast("decimal(20,9)"))
+    val scored = contrib.groupBy("query_id", "doc_id")
+      .agg(F.round(F.sum("c").cast("double"), 6).as("score"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(F.col("score").desc, F.col("doc_id").asc)
+    scored.withColumn("rank", F.row_number().over(w))
+      .where(F.col("rank") <= k)
+      .select("query_id", "doc_id", "score", "rank")
+  }
+}

@@ -148,6 +148,9 @@ class PlanSpec extends SparkSpec {
     // q11's scalar-subquery HAVING: the per-part aggregate crossJoins
     // its own ONE-ROW global re-aggregate (1-row broadcast)
     "q11_important",
+    // BM25 crossJoins its ONE-ROW corpus length-stats frame into the
+    // query-term-pruned posting table (the q11 pattern)
+    "text_search_bm25",
     // temperature mixing crossJoins the one-row token total into the
     // tiny per-group frame (group cardinality = languages/sources);
     // apply_mix embeds the same plan under its broadcast rate join

@@ -13,6 +13,43 @@ class TextOpsSpec extends SparkSpec {
     assert(got == Seq("hello", "world", "42x"))
   }
 
+  test("bm25TopK: hand-computed scores, idf ordering, tie/rank contract") {
+    // corpus: apple appears only in d1 (rare -> high idf), cherry in
+    // d2 and d3. N=3, dl = 3/2/4, avgdl = 3 exactly.
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "cherry cherry cherry cherry")).toDF("doc_id", "text")
+    val got = graft.text.Search.bm25TopK(docs, "doc_id", "text",
+        Seq(0 -> "apple cherry"), k = 10)
+      .orderBy("rank").as[(Int, Long, Double, Int)].collect()
+    def bm25(tf: Long, df: Long, dl: Int, n: Long, avgdl: Double): Double = {
+      val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+      val c = idf * (tf * (1.2 + 1)) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+      math.rint(c * 1e9) / 1e9 // HALF_EVEN is fine away from ties
+    }
+    val exp = Seq(
+      (1L, bm25(2, 1, 3, 3, 3.0)), // d1: apple only
+      (3L, bm25(4, 2, 4, 3, 3.0)), // d3: cherry, high tf
+      (2L, bm25(1, 2, 2, 3, 3.0))) // d2: cherry once
+    assert(got.map(_._2).toSeq == exp.map(_._1), s"ranking order: $got")
+    got.zip(exp).foreach { case ((_, id, score, _), (eid, escore)) =>
+      assert(id == eid && math.abs(score - escore) < 1e-6, s"doc $id: $score vs $escore")
+    }
+    assert(got.map(_._4).toSeq == Seq(1, 2, 3), "dense ranks from 1")
+    assert(got.forall(_._1 == 0))
+    // duplicate query terms count once: "apple apple" == "apple"
+    val dup = graft.text.Search.bm25TopK(docs, "doc_id", "text",
+      Seq(0 -> "apple apple"), k = 10).as[(Int, Long, Double, Int)].collect()
+    val single = graft.text.Search.bm25TopK(docs, "doc_id", "text",
+      Seq(0 -> "apple"), k = 10).as[(Int, Long, Double, Int)].collect()
+    assert(dup.toSeq == single.toSeq)
+    // k truncates: only the top-1 row survives
+    val top1 = graft.text.Search.bm25TopK(docs, "doc_id", "text",
+      Seq(0 -> "apple cherry"), k = 1).as[(Int, Long, Double, Int)].collect()
+    assert(top1.length == 1 && top1.head._2 == 1L)
+  }
+
   test("shingles: k-grams, short docs give empty") {
     val df = Seq("a b c d", "a b").toDF("t")
       .select(TextOps.shingles(TextOps.tokens($"t"), 3).as("sh"))
