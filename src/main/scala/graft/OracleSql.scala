@@ -1632,6 +1632,20 @@ object OracleSql {
         |  FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND c.vec_id <> q.vec_id)
         |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin,
 
+    // filtered (hybrid) search twin: the label predicate restricts the
+    // CANDIDATE set before ranking — pre-filter semantics, full-k
+    // lists from the slice
+    "ann_topk_filtered" ->
+      """SELECT query_id, neighbor_id, "rank", round(sim, 6) AS similarity FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS sim,
+        |         CAST(row_number() OVER (PARTITION BY q.vec_id
+        |                ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC,
+        |                         c.vec_id ASC) AS BIGINT) AS "rank"
+        |  FROM embeddings q JOIN embeddings c
+        |    ON q.vec_id < 10 AND c.vec_id <> q.vec_id AND c.label = 7)
+        |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin,
+
     // duplicated-span twin: 5-token windows with >= 2 distinct docs,
     // consecutive-position runs (pos - row_number), interval-union
     // sweep via the running max end — every stage exact integers

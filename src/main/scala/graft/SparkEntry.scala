@@ -1185,6 +1185,20 @@ object SparkEntry {
       t.embeddings.where(F.col("vec_id") < 200), k = 5)
       .orderBy("vec_id")
 
+  private def annTopkFiltered(t: Tables): DataFrame =
+    // metadata-filtered (hybrid) search: top-5 among label=7 vectors
+    // only — selective enough (~10% of the corpus) that post-filtering
+    // an unfiltered top-5 would return short lists; the PRE-filter
+    // semantics this wires returns full-k lists from the slice. The
+    // label predicate reaches the parquet scan (PlanSpec asserts
+    // PushedFilters); the filtered-IVF composition is spec'd in
+    // SimilaritySpec.
+    Ann.cosineTopKFiltered(
+      t.embeddings.where(F.col("vec_id") < 10), "vec_id", "embedding",
+      t.embeddings, "vec_id", "embedding",
+      predicate = F.col("label") === 7, k = 5)
+      .orderBy("query_id", "rank")
+
   private def annRange(t: Tables): DataFrame =
     // radius 0.35 splits genuinely at every SF (7/12/44 rows) — the
     // fixed-threshold complement of ann_topk
@@ -2011,6 +2025,7 @@ object SparkEntry {
       "doc_fingerprint_hashes" -> q(docFingerprintHashes),
       "text_entropy" -> q(textEntropy),
       "text_search_bm25" -> q(textSearchBm25),
+      "ann_topk_filtered" -> q(annTopkFiltered),
       "text_scrub" -> q(textScrub),
       "text_scrub_pii" -> q(textScrubPii),
       "doc_profile" -> q(docProfileQ),

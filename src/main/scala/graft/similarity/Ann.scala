@@ -74,6 +74,23 @@ object Ann {
         F.col("predicted"), (F.col("label") === F.col("predicted")).as("correct"))
   }
 
+  /** Metadata-FILTERED top-k search (hybrid search): exact top-k over
+    * the corpus slice satisfying `predicate` — "nearest items WHERE
+    * label = c / lang = 'en' / license permits". PRE-filtering
+    * (predicate before scoring) is the correct semantics at every
+    * selectivity: post-filtering an unfiltered k-list truncates below
+    * k whenever the filter is selective — the standard failure mode of
+    * filter-after-ANN. The predicate composes with the corpus scan, so
+    * Catalyst pushes simple comparisons into the source
+    * (PushedFilters) and the filtered slice never materializes; for
+    * indexed corpora [[ivfQueryIndex]] takes the same predicate and
+    * applies it inside the partition-pruned cell scan.
+    */
+  def cosineTopKFiltered(queries: DataFrame, qId: String, qVec: String,
+                         corpus: DataFrame, cId: String, cVec: String,
+                         predicate: Column, k: Int): DataFrame =
+    cosineTopK(queries, qId, qVec, corpus.where(predicate), cId, cVec, k)
+
   /** Cosine RANGE search: for each query vector, every corpus vector
     * with similarity >= radius (the fixed-threshold complement of the
     * top-k API — "all near-duplicates of these items", result size
@@ -506,9 +523,11 @@ object Ann {
   def ivfBuild(corpus: DataFrame, cId: String, cVec: String, path: String,
                nCells: Int = 16, iters: Int = 3,
                maxTrain: Int = 100000,
-               rowCountHint: Option[Long] = None): Unit = {
+               rowCountHint: Option[Long] = None,
+               extraCols: Seq[String] = Nil): Unit = {
     import graft.functions.HashExprs.topCells
-    val c = corpus.select(F.col(cId).as("neighbor_id"), F.col(cVec).as("cv"))
+    val c = corpus.select((Seq(F.col(cId).as("neighbor_id"), F.col(cVec).as("cv"))
+      ++ extraCols.map(F.col)): _*)
     val cents = trainCentroids(c, nCells, iters, maxTrain, rowCountHint)
     val spark = corpus.sparkSession
     val centRows = cents.zipWithIndex.map { case (m, i) =>
@@ -520,8 +539,9 @@ object Ann {
         StructField("cell", IntegerType, nullable = false),
         StructField("mean", ArrayType(DoubleType, containsNull = false)))))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-    c.select(F.col("neighbor_id"), F.col("cv"),
+    c.select((Seq(F.col("neighbor_id"), F.col("cv"),
         F.element_at(topCells(F.col("cv"), cents, 1), 1).as("cell"))
+      ++ extraCols.map(F.col)): _*)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/index")
   }
 
@@ -533,14 +553,20 @@ object Ann {
     */
   def ivfQueryIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                     queries: DataFrame, qId: String, qVec: String,
-                    k: Int, nProbe: Int = 3): DataFrame = {
+                    k: Int, nProbe: Int = 3,
+                    filter: Option[Column] = None): DataFrame = {
     import graft.functions.HashExprs.topCells
     val cents = readCentroids(spark, s"$path/centroids")
     val probed = queries
       .select(F.explode(topCells(F.col(qVec), cents, nProbe)).as("cell"))
       .distinct().collect().map(_.getInt(0)).toSeq
-    val index = spark.read.parquet(s"$path/index")
-      .where(F.col("cell").isin(probed: _*))
+    // metadata predicate (filtered/hybrid search) lands INSIDE the
+    // cell-pruned scan: partition pruning cuts the files, the pushed
+    // filter cuts the rows — both before a byte of vector payload
+    // reaches the probe join
+    val index = filter.foldLeft(
+      spark.read.parquet(s"$path/index")
+        .where(F.col("cell").isin(probed: _*)))(_ where _)
     probeAndRank(index, queries, qId, qVec, cents, k, nProbe)
   }
 

@@ -25,6 +25,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("ReadSchema: struct<l_orderkey"), "scan reads unpruned schema")
   }
 
+  test("ann_topk_filtered: the label predicate pushes into the corpus scan") {
+    val p = planOf("ann_topk_filtered")
+    assert("""PushedFilters: \[[^\]]*EqualTo\(label,7\)""".r.findFirstIn(p).isDefined,
+      s"pre-filter predicate must reach the parquet scan; plan:\n$p")
+  }
+
   test("q5: dimension joins are broadcast") {
     val p = planOf("q5_multijoin")
     val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
@@ -137,6 +143,9 @@ class PlanSpec extends SparkSpec {
     // ann_range / ann_knn_label: same broadcast-query corpus scan as
     // ann_topk (the kNN probe is cosineTopK + batch-sized vote frames)
     "ann_topk", "ann_range", "ann_knn_label", "ann_lsh_recall", "ann_ivf_recall",
+    // the filtered variant is ann_topk over the pre-filtered slice —
+    // same broadcast-query corpus scan
+    "ann_topk_filtered",
     // PQ's ADC scan crossJoins the BROADCAST query batch against the
     // compact (id, reconstruction) table — query-side bounded like
     // ann_topk; the recall gate adds the exact-truth baseline on top

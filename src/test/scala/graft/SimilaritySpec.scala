@@ -411,6 +411,54 @@ class SimilaritySpec extends SparkSpec {
       s"probed-cell isin predicate must prune index partitions; plan:\n$p")
   }
 
+  test("filtered search: pre-filter returns full-k from the slice; filtered IVF prunes cells AND pushes the predicate") {
+    // label striped mod 5 — DELIBERATELY coprime with the 4 clusters,
+    // so every cluster mixes all labels: a query's unfiltered top-3
+    // (same-cluster) rarely holds 3 label-2 rows, while the label-2
+    // slice still spans every cluster
+    val labeled = corpus.withColumn("label", (F.col("vec_id") % 5).cast("int"))
+    val q = labeled.where($"vec_id" < 5)
+    // exact filtered top-k == brute force over the pre-filtered slice
+    val filtered = Ann.cosineTopKFiltered(q, "vec_id", "embedding",
+      labeled, "vec_id", "embedding", predicate = $"label" === 2, k = 3)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Long)].collect()
+    val slice = Ann.cosineTopK(q, "vec_id", "embedding",
+      labeled.where($"label" === 2), "vec_id", "embedding", k = 3)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Long)].collect()
+    assert(filtered.toSet == slice.toSet)
+    assert(filtered.groupBy(_._1).forall(_._2.length == 3),
+      "pre-filter semantics must return full-k lists from the slice")
+    assert(filtered.forall { case (_, n, _) => n % 5 == 2 })
+    // post-filtering the UNFILTERED top-3 would truncate: with labels
+    // striped 0-3, an unfiltered top-3 rarely holds 3 label-2 rows
+    val post = Ann.cosineTopK(q, "vec_id", "embedding",
+        labeled, "vec_id", "embedding", k = 3)
+      .join(labeled.select($"vec_id".as("neighbor_id"), $"label"), "neighbor_id")
+      .where($"label" === 2)
+    val postCounts = post.select("query_id").as[Long].collect()
+    assert((0L until 5L).map(qid => postCounts.count(_ == qid)).min < 3,
+      "fixture must demonstrate the post-filter truncation failure mode")
+    // filtered persisted-IVF: metadata rides the index; the probe scan
+    // carries BOTH the cell partition filter and the pushed label
+    // predicate, and full-probe equals the exact filtered answer
+    val dir = java.nio.file.Files.createTempDirectory("ivf_filt").toString
+    Ann.ivfBuild(labeled, "vec_id", "embedding", dir, nCells = 8, iters = 2,
+      extraCols = Seq("label"))
+    val ivfFull = Ann.ivfQueryIndex(spark, dir, q, "vec_id", "embedding",
+      k = 3, nProbe = 8, filter = Some($"label" === 2))
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Long)].collect()
+    assert(ivfFull.toSet == slice.toSet,
+      "full-probe filtered IVF must equal the exact filtered answer")
+    val few = Ann.ivfQueryIndex(spark, dir, q, "vec_id", "embedding",
+      k = 3, nProbe = 2, filter = Some($"label" === 2))
+    few.collect()
+    val p = few.queryExecution.executedPlan.toString
+    assert("""PartitionFilters: \[[^\]]*cell#\d+L? IN """.r.findFirstIn(p).isDefined,
+      s"probed-cell isin predicate must prune index partitions; plan:\n$p")
+    assert("""PushedFilters: \[[^\]]*EqualTo\(label,2\)""".r.findFirstIn(p).isDefined,
+      s"label predicate must push into the index scan; plan:\n$p")
+  }
+
   test("semanticPairs: full-probe recall is exact; clustered single-probe finds within-cluster pairs") {
     val exact = Ann.cosinePairs(corpus, "vec_id", "embedding", threshold = 0.9)
       .select("id1", "id2").as[(Long, Long)].collect().toSet
