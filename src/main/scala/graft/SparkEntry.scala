@@ -1387,6 +1387,26 @@ object SparkEntry {
     text.Search.bm25TopK(t.documents, "doc_id", "text", bm25Queries, k = 10)
       .orderBy("query_id", "rank")
 
+  private def textSearchHybrid(t: Tables): DataFrame = {
+    // hybrid retrieval (r11): RRF fusion of the lexical arm (BM25 over
+    // the bm25Queries text batch) with the dense arm (exact cosine
+    // top-k from the query batch's embeddings — by the corpus
+    // convention doc_id and vec_id share the id space, so query i's
+    // text and its vector probe the same collection). Each arm is
+    // top-20-truncated BEFORE fusion, so the fused aggregate sees at
+    // most |queries|·20·2 rows regardless of corpus size; rank-based
+    // RRF needs no cross-arm score calibration. n_arms flags the
+    // both-arms-agree docs a production hybrid stack boosts.
+    val lex = text.Search.bm25TopK(t.documents, "doc_id", "text", bm25Queries, k = 20)
+      .select(F.col("query_id"), F.col("doc_id"), F.col("rank"))
+    val dense = Ann.cosineTopK(
+      t.embeddings.where(F.col("vec_id") < 3), "vec_id", "embedding",
+      t.embeddings, "vec_id", "embedding", k = 20)
+      .select(F.col("query_id"), F.col("neighbor_id").as("doc_id"), F.col("rank"))
+    text.Search.rrfFuse(Seq(lex, dense), k = 10)
+      .orderBy("query_id", "rank")
+  }
+
   private def docFingerprint(t: Tables): DataFrame =
     // two-step select keeps fp an attribute: CollapseProject won't
     // inline a multiply-referenced non-cheap expression, so the
@@ -2026,6 +2046,7 @@ object SparkEntry {
       "text_entropy" -> q(textEntropy),
       "text_search_bm25" -> q(textSearchBm25),
       "ann_topk_filtered" -> q(annTopkFiltered),
+      "text_search_hybrid" -> q(textSearchHybrid),
       "text_scrub" -> q(textScrub),
       "text_scrub_pii" -> q(textScrubPii),
       "doc_profile" -> q(docProfileQ),

@@ -88,4 +88,39 @@ object Search {
       .where(F.col("rank") <= k)
       .select("query_id", "doc_id", "score", "rank")
   }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher SIGIR'09) of
+    * ranked retrieval arms — the standard hybrid-search combiner
+    * (lexical BM25 + dense vector, or any number of arms):
+    *
+    *   rrf(q,d) = Σ_{arms containing (q,d)} 1 / (kRrf + rank_arm(q,d))
+    *
+    * Rank-based, so the arms' score scales never need calibrating.
+    * Each arm is a (query_id, doc_id, rank) DataFrame already truncated
+    * to its own top-k, so the union the fusion aggregates is bounded by
+    * |queries|·k·|arms| rows — at 100 TB the corpus-sized work happened
+    * inside the arms (each with its own scale story); fusion itself
+    * shuffles only the short lists. Contributions are exact rationals
+    * of integer ranks rounded to 9dp and accumulated in DECIMAL, so the
+    * fused score is addition-order-free cross-engine; ties break on
+    * ascending doc id. `n_arms` reports how many arms surfaced the doc
+    * (the agreement diagnostic hybrid deployments alert on).
+    *
+    * Output: (query_id, doc_id, rrf_score, n_arms, rank), rank 1..k.
+    */
+  def rrfFuse(arms: Seq[DataFrame], k: Int = 10, kRrf: Int = 60): DataFrame = {
+    require(arms.nonEmpty, "at least one ranked arm")
+    val unioned = arms.map(_.select(F.col("query_id"), F.col("doc_id"),
+      F.col("rank").cast("long").as("rank"))).reduce(_ unionByName _)
+    val contrib = unioned.withColumn("c",
+      F.round(F.lit(1.0) / (F.lit(kRrf) + F.col("rank")), 9).cast("decimal(20,9)"))
+    val fused = contrib.groupBy("query_id", "doc_id")
+      .agg(F.round(F.sum("c").cast("double"), 6).as("rrf_score"),
+        F.count(F.lit(1)).as("n_arms"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(F.col("rrf_score").desc, F.col("doc_id").asc)
+    fused.withColumn("rank", F.row_number().over(w))
+      .where(F.col("rank") <= k)
+      .select("query_id", "doc_id", "rrf_score", "n_arms", "rank")
+  }
 }

@@ -160,6 +160,10 @@ class PlanSpec extends SparkSpec {
     // BM25 crossJoins its ONE-ROW corpus length-stats frame into the
     // query-term-pruned posting table (the q11 pattern)
     "text_search_bm25",
+    // hybrid fusion embeds BOTH bounded arms: BM25's one-row stats
+    // crossJoin and ann_topk's broadcast-query corpus scan; the RRF
+    // combine itself aggregates only the truncated top-k union
+    "text_search_hybrid",
     // temperature mixing crossJoins the one-row token total into the
     // tiny per-group frame (group cardinality = languages/sources);
     // apply_mix embeds the same plan under its broadcast rate join

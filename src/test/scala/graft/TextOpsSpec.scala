@@ -50,6 +50,32 @@ class TextOpsSpec extends SparkSpec {
     assert(top1.length == 1 && top1.head._2 == 1L)
   }
 
+  test("rrfFuse: hand-computed fusion, agreement beats single-arm, rank contract") {
+    // arm A ranks docs 10,11,12; arm B ranks 11,13. Doc 11 appears in
+    // both arms (rank 2 + rank 1) and must outrank every single-arm
+    // doc: 1/62 + 1/61 > 1/61 (doc 10, A rank 1 only).
+    val armA = Seq((0, 10L, 1L), (0, 11L, 2L), (0, 12L, 3L)).toDF("query_id", "doc_id", "rank")
+    val armB = Seq((0, 11L, 1L), (0, 13L, 2L)).toDF("query_id", "doc_id", "rank")
+    val got = graft.text.Search.rrfFuse(Seq(armA, armB), k = 10)
+      .orderBy("rank").as[(Int, Long, Double, Long, Int)].collect()
+    def rrf(ranks: Long*) =
+      math.rint(ranks.map(r => math.rint(1e9 / (60.0 + r)) / 1e9).sum * 1e6) / 1e6
+    assert(got.map(_._2).toSeq == Seq(11L, 10L, 13L, 12L), s"fusion order: ${got.toSeq}")
+    val expScore = Map(11L -> rrf(2, 1), 10L -> rrf(1), 13L -> rrf(2), 12L -> rrf(3))
+    got.foreach { case (_, id, score, nArms, _) =>
+      assert(math.abs(score - expScore(id)) < 1e-9, s"doc $id: $score")
+      assert(nArms == (if (id == 11L) 2L else 1L), s"n_arms for $id")
+    }
+    assert(got.map(_._5).toSeq == Seq(1, 2, 3, 4), "dense ranks from 1")
+    // k truncates the fused list
+    val top2 = graft.text.Search.rrfFuse(Seq(armA, armB), k = 2).count()
+    assert(top2 == 2)
+    // single arm: fusion is a monotone transform — order preserved
+    val solo = graft.text.Search.rrfFuse(Seq(armA), k = 10)
+      .orderBy("rank").as[(Int, Long, Double, Long, Int)].collect()
+    assert(solo.map(_._2).toSeq == Seq(10L, 11L, 12L))
+  }
+
   test("shingles: k-grams, short docs give empty") {
     val df = Seq("a b c d", "a b").toDF("t")
       .select(TextOps.shingles(TextOps.tokens($"t"), 3).as("sh"))
