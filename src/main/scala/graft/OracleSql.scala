@@ -2048,6 +2048,58 @@ object OracleSql {
          |SELECT query_id, doc_id, rrf_score, n_arms, rank FROM top
          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
+    // Naive Bayes twin: replays closed-form training (per-class token
+    // counts, totals, priors, |V|), add-1 smoothed 9dp-decimal
+    // log-likelihood accumulation, the label-asc argmax, and the
+    // prior-argmax fallback for all-OOV documents
+    "text_classify_nb" ->
+      s"""WITH tr AS (SELECT doc_id, lang, ${toks("text")} AS tl FROM documents
+         |            WHERE doc_id % 5 <> 0),
+         |te AS (SELECT doc_id, lang, ${toks("text")} AS tl FROM documents
+         |       WHERE doc_id % 5 = 0),
+         |trtok AS (SELECT lang, unnest(tl) AS tok FROM tr),
+         |cnt AS (SELECT lang, tok, count(*) AS cnt FROM trtok GROUP BY lang, tok),
+         |tot AS (SELECT lang, sum(cnt) AS tot FROM cnt GROUP BY lang),
+         |vs AS (SELECT count(DISTINCT tok) AS v FROM cnt),
+         |pri AS (SELECT lang, count(*) AS n_docs FROM tr GROUP BY lang),
+         |nall AS (SELECT count(*) AS n_all FROM tr),
+         |classes AS (
+         |  SELECT t.lang AS cl, t.tot,
+         |         CAST(round(ln(CAST(p.n_docs AS DOUBLE) / CAST(a.n_all AS DOUBLE)), 9)
+         |              AS DECIMAL(20,9)) AS prior_c
+         |  FROM tot t JOIN pri p ON t.lang = p.lang CROSS JOIN nall a),
+         |tetf AS (
+         |  SELECT doc_id, tok, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest(tl) AS tok FROM te)
+         |  WHERE tok IN (SELECT DISTINCT tok FROM cnt)
+         |  GROUP BY doc_id, tok),
+         |contrib AS (
+         |  SELECT f.doc_id, k.cl,
+         |         CAST(round(f.tf * ln((CAST(coalesce(c.cnt, 0) AS DOUBLE) + 1)
+         |                              / CAST(k.tot + v.v AS DOUBLE)), 9)
+         |              AS DECIMAL(20,9)) AS c
+         |  FROM tetf f CROSS JOIN classes k
+         |  LEFT JOIN cnt c ON c.lang = k.cl AND c.tok = f.tok
+         |  CROSS JOIN vs v),
+         |scored AS (
+         |  SELECT s.doc_id, s.cl, s.ll + k.prior_c AS score
+         |  FROM (SELECT doc_id, cl, sum(c) AS ll FROM contrib GROUP BY doc_id, cl) s
+         |  JOIN classes k ON k.cl = s.cl),
+         |pred AS (
+         |  SELECT doc_id, cl AS predicted FROM (
+         |    SELECT doc_id, cl,
+         |           row_number() OVER (PARTITION BY doc_id
+         |                              ORDER BY score DESC, cl ASC) AS rk
+         |    FROM scored) WHERE rk = 1),
+         |fb AS (SELECT cl AS fallback FROM classes
+         |       ORDER BY prior_c DESC, cl ASC LIMIT 1)
+         |SELECT e.doc_id AS id, e.lang AS label,
+         |       coalesce(p.predicted, f.fallback) AS predicted,
+         |       CASE WHEN coalesce(p.predicted, f.fallback) = e.lang
+         |            THEN 1 ELSE 0 END AS correct
+         |FROM te e LEFT JOIN pred p ON p.doc_id = e.doc_id CROSS JOIN fb f
+         |ORDER BY id""".stripMargin,
+
     "token_count" ->
       """SELECT doc_id,
         |       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_tokens_bpe

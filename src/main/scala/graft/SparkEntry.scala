@@ -1407,6 +1407,19 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  private def textClassifyNb(t: Tables): DataFrame = {
+    // trained language classifier (r11): multinomial Naive Bayes on
+    // the deterministic doc_id%5 split (4/5 train, 1/5 held out),
+    // predicting lang from bag-of-words — the supervised stage the
+    // n-gram lang_id heuristic feeds at scale. Per-doc rows keep the
+    // confusion structure inspectable; the twin replays training
+    // counts, smoothing, decimal log-likelihoods, and the argmax.
+    val train = t.documents.where(F.col("doc_id") % 5 =!= 0)
+    val test = t.documents.where(F.col("doc_id") % 5 === 0)
+    text.Classify.naiveBayes(train, test, "doc_id", "text", "lang")
+      .orderBy("id")
+  }
+
   private def docFingerprint(t: Tables): DataFrame =
     // two-step select keeps fp an attribute: CollapseProject won't
     // inline a multiply-referenced non-cheap expression, so the
@@ -2047,6 +2060,7 @@ object SparkEntry {
       "text_search_bm25" -> q(textSearchBm25),
       "ann_topk_filtered" -> q(annTopkFiltered),
       "text_search_hybrid" -> q(textSearchHybrid),
+      "text_classify_nb" -> q(textClassifyNb),
       "text_scrub" -> q(textScrub),
       "text_scrub_pii" -> q(textScrubPii),
       "doc_profile" -> q(docProfileQ),

@@ -1,0 +1,99 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{functions => F}
+
+/** Trained document classification — the supervised complement of the
+  * n-gram lang_id heuristic (reference analog: the quality/language
+  * filtering stage every training-data pipeline runs; the public
+  * method is the fastText linear classifier of Joulin et al. '16 —
+  * model-free here, so the classical multinomial Naive Bayes of
+  * McCallum & Nigam AAAI'98 stands in: same bag-of-words features,
+  * closed-form training, no gradient loop).
+  *
+  * Training IS aggregation: per-(class, token) counts, per-class token
+  * totals, per-class document priors, and the training vocabulary size
+  * — all one groupBy pass over the train split. Scoring is
+  *
+  *   score(d, c) = ln P(c) + Σ_{t ∈ d} tf(t,d) · ln((cnt(c,t)+1) / (tot(c)+V))
+  *
+  * with add-1 (Laplace) smoothing; out-of-vocabulary test tokens drop
+  * (the standard convention). Every ln() argument is a ratio of exact
+  * integers; per-token contributions round to 9dp and accumulate in
+  * DECIMAL so per-document scores are addition-order-free
+  * cross-engine; argmax ties break on ascending class label.
+  *
+  * Scale (100 TB): the count model is class-conditional aggregate
+  * state — |vocab|·|classes| rows, shuffled once at training. Scoring
+  * shuffles test tokens joined against that model on the token key
+  * (never corpus × corpus); the class dimension multiplies the
+  * token stream by |classes| (small constant); the argmax window
+  * partitions by document (|classes| rows per partition). The one-row
+  * frames (vocabulary size, corpus doc count) broadcast.
+  */
+object Classify {
+
+  /** Train multinomial NB on `train` and classify `test`. Both need
+    * (idCol, textCol, labelCol — label read from train only). Output:
+    * (id, label, predicted, correct 0/1) per test document.
+    */
+  def naiveBayes(train: DataFrame, test: DataFrame,
+                 idCol: String, textCol: String, labelCol: String): DataFrame = {
+    val tr = train.select(F.col(idCol).as("id"), F.col(labelCol).as("label"),
+      TextOps.tokens(F.col(textCol)).as("tl"))
+    val te = test.select(F.col(idCol).as("id"), F.col(labelCol).as("label"),
+      TextOps.tokens(F.col(textCol)).as("tl"))
+
+    // the model: per-(class, token) counts, class totals, priors, |V|
+    val trTok = tr.select(F.col("label"), F.explode(F.col("tl")).as("tok"))
+    val cnt = trTok.groupBy("label", "tok").agg(F.count(F.lit(1)).as("cnt"))
+    val tot = cnt.groupBy("label").agg(F.sum("cnt").as("tot"))
+    val vocabSize = cnt.select("tok").distinct()
+      .agg(F.count(F.lit(1)).as("v"))
+    val priors = tr.groupBy("label").agg(F.count(F.lit(1)).as("n_docs"))
+    val nTotal = tr.agg(F.count(F.lit(1)).as("n_all"))
+    // classes frame: label, tot, prior contribution (9dp decimal) —
+    // |classes| rows, broadcast everywhere below
+    val classes = tot.join(priors, "label").crossJoin(nTotal)
+      .select(F.col("label").as("cl"), F.col("tot"),
+        F.round(F.log(F.col("n_docs").cast("double") / F.col("n_all").cast("double")), 9)
+          .cast("decimal(20,9)").as("prior_c"))
+
+    // test term frequencies, restricted to the training vocabulary
+    val vocab = cnt.select("tok").distinct()
+    val teTf = te.select(F.col("id"), F.explode(F.col("tl")).as("tok"))
+      .groupBy("id", "tok").agg(F.count(F.lit(1)).as("tf"))
+      .join(vocab, "tok")
+
+    // per-(doc, class, token) smoothed log-likelihood contributions
+    val contrib = teTf
+      .crossJoin(F.broadcast(classes))
+      .join(cnt.withColumnRenamed("label", "cl"), Seq("cl", "tok"), "left")
+      .na.fill(0L, Seq("cnt"))
+      .crossJoin(F.broadcast(vocabSize))
+      .withColumn("c", F.round(F.col("tf") *
+        F.log((F.col("cnt") + F.lit(1)).cast("double") /
+          (F.col("tot") + F.col("v")).cast("double")), 9).cast("decimal(20,9)"))
+
+    val scored = contrib.groupBy("id", "cl")
+      .agg(F.sum("c").as("ll"))
+      .join(F.broadcast(classes.select("cl", "prior_c")), "cl")
+      .withColumn("score", F.col("ll") + F.col("prior_c"))
+    val w = Window.partitionBy("id")
+      .orderBy(F.col("score").desc, F.col("cl").asc)
+    val pred = scored.withColumn("rk", F.row_number().over(w))
+      .where(F.col("rk") === 1)
+      .select(F.col("id"), F.col("cl").as("predicted"))
+
+    // a test doc with zero in-vocabulary tokens scores every class by
+    // its prior alone — the argmax-prior class (ties on label asc)
+    val topPrior = classes.orderBy(F.col("prior_c").desc, F.col("cl").asc)
+      .limit(1).select(F.col("cl").as("fallback"))
+    te.select("id", "label").join(pred, Seq("id"), "left")
+      .crossJoin(F.broadcast(topPrior))
+      .withColumn("predicted", F.coalesce(F.col("predicted"), F.col("fallback")))
+      .select(F.col("id"), F.col("label"), F.col("predicted"),
+        F.when(F.col("predicted") === F.col("label"), 1).otherwise(0).as("correct"))
+  }
+}

@@ -164,6 +164,11 @@ class PlanSpec extends SparkSpec {
     // crossJoin and ann_topk's broadcast-query corpus scan; the RRF
     // combine itself aggregates only the truncated top-k union
     "text_search_hybrid",
+    // NB classification crossJoins |classes|-row and ONE-ROW model
+    // frames (class table, vocabulary size, prior-argmax fallback)
+    // into the token stream — all broadcast, class count a small
+    // constant; the token-key count join is a hash join
+    "text_classify_nb",
     // temperature mixing crossJoins the one-row token total into the
     // tiny per-group frame (group cardinality = languages/sources);
     // apply_mix embeds the same plan under its broadcast rate join

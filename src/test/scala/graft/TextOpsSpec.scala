@@ -76,6 +76,33 @@ class TextOpsSpec extends SparkSpec {
     assert(solo.map(_._2).toSeq == Seq(10L, 11L, 12L))
   }
 
+  test("naiveBayes: hand-computed posteriors, smoothing, OOV fallback") {
+    // train: class a sees {x x y}, class b sees {y z}; V = 3
+    val train = Seq(
+      (1L, "x x y", "a"),
+      (2L, "y z", "b")).toDF("doc_id", "text", "lang")
+    // t10 = "x": P(x|a)=(2+1)/(3+3)=1/2 vs P(x|b)=(0+1)/(2+3)=1/5 -> a
+    // t11 = "z z": (0+1)/6 squared vs (1+1)/5 squared -> b
+    // t12 = "q" (OOV): falls back to the argmax-prior class; priors
+    //       tie at 1/2 -> label-asc tiebreak -> a
+    val test = Seq(
+      (10L, "x", "a"),
+      (11L, "z z", "b"),
+      (12L, "q", "b")).toDF("doc_id", "text", "lang")
+    val got = graft.text.Classify.naiveBayes(train, test, "doc_id", "text", "lang")
+      .orderBy("id").as[(Long, String, String, Int)].collect()
+    assert(got.toSeq == Seq(
+      (10L, "a", "a", 1),
+      (11L, "b", "b", 1),
+      (12L, "b", "a", 0)), s"got ${got.toSeq}")
+    // exact posterior check for t10: score(a) = ln(1/2) + ln(3/6),
+    // score(b) = ln(1/2) + ln(1/5), each addend rounded to 9dp
+    def r9(x: Double) = math.rint(x * 1e9) / 1e9
+    val sa = r9(math.log(0.5)) + r9(math.log(3.0 / 6))
+    val sb = r9(math.log(0.5)) + r9(math.log(1.0 / 5))
+    assert(sa > sb) // the margin the argmax rests on
+  }
+
   test("shingles: k-grams, short docs give empty") {
     val df = Seq("a b c d", "a b").toDF("t")
       .select(TextOps.shingles(TextOps.tokens($"t"), 3).as("sh"))
