@@ -2064,10 +2064,13 @@ object OracleSql {
          |pri AS (SELECT lang, count(*) AS n_docs FROM tr GROUP BY lang),
          |nall AS (SELECT count(*) AS n_all FROM tr),
          |classes AS (
-         |  SELECT t.lang AS cl, t.tot,
+         |  -- rooted at priors (LEFT JOIN to token totals, tot=0 when
+         |  -- absent) mirroring Classify.naiveBayes: an all-empty-token
+         |  -- class still scores via smoothing and keeps its prior
+         |  SELECT p.lang AS cl, coalesce(t.tot, 0) AS tot,
          |         CAST(round(ln(CAST(p.n_docs AS DOUBLE) / CAST(a.n_all AS DOUBLE)), 9)
          |              AS DECIMAL(20,9)) AS prior_c
-         |  FROM tot t JOIN pri p ON t.lang = p.lang CROSS JOIN nall a),
+         |  FROM pri p LEFT JOIN tot t ON t.lang = p.lang CROSS JOIN nall a),
          |tetf AS (
          |  SELECT doc_id, tok, count(*) AS tf
          |  FROM (SELECT doc_id, unnest(tl) AS tok FROM te)

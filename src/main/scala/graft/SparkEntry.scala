@@ -1399,8 +1399,12 @@ object SparkEntry {
     // both-arms-agree docs a production hybrid stack boosts.
     val lex = text.Search.bm25TopK(t.documents, "doc_id", "text", bm25Queries, k = 20)
       .select(F.col("query_id"), F.col("doc_id"), F.col("rank"))
+    // dense-arm query slice derives from bm25Queries.size so the two
+    // arms always fuse over the SAME query_id set; the oracle twin
+    // hardcodes the matching bound (vec_id < |bm25Queries|) — growing
+    // the batch means updating the twin's literal alongside
     val dense = Ann.cosineTopK(
-      t.embeddings.where(F.col("vec_id") < 3), "vec_id", "embedding",
+      t.embeddings.where(F.col("vec_id") < bm25Queries.size), "vec_id", "embedding",
       t.embeddings, "vec_id", "embedding", k = 20)
       .select(F.col("query_id"), F.col("neighbor_id").as("doc_id"), F.col("rank"))
     text.Search.rrfFuse(Seq(lex, dense), k = 10)

@@ -34,9 +34,12 @@ import org.apache.spark.sql.{functions => F}
   */
 object Classify {
 
-  /** Train multinomial NB on `train` and classify `test`. Both need
-    * (idCol, textCol, labelCol — label read from train only). Output:
-    * (id, label, predicted, correct 0/1) per test document.
+  /** Train multinomial NB on `train` and classify `test`. Both frames
+    * need all three of (idCol, textCol, labelCol): train's label is
+    * the supervision signal, test's label is the ground truth behind
+    * the output's `correct` flag — a test frame lacking labelCol
+    * fails at analysis. Output: (id, label, predicted, correct 0/1)
+    * per test document.
     */
   def naiveBayes(train: DataFrame, test: DataFrame,
                  idCol: String, textCol: String, labelCol: String): DataFrame = {
@@ -54,8 +57,13 @@ object Classify {
     val priors = tr.groupBy("label").agg(F.count(F.lit(1)).as("n_docs"))
     val nTotal = tr.agg(F.count(F.lit(1)).as("n_all"))
     // classes frame: label, tot, prior contribution (9dp decimal) —
-    // |classes| rows, broadcast everywhere below
-    val classes = tot.join(priors, "label").crossJoin(nTotal)
+    // |classes| rows, broadcast everywhere below. Rooted at priors
+    // (every TRAINED class, left-joined to token totals with tot=0
+    // when absent) so a class whose documents all tokenize to empty
+    // still scores via smoothing and participates in the prior-argmax
+    // fallback, instead of silently dropping out of the model
+    val classes = priors.join(tot, Seq("label"), "left")
+      .na.fill(0L, Seq("tot")).crossJoin(nTotal)
       .select(F.col("label").as("cl"), F.col("tot"),
         F.round(F.log(F.col("n_docs").cast("double") / F.col("n_all").cast("double")), 9)
           .cast("decimal(20,9)").as("prior_c"))

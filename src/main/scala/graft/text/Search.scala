@@ -106,6 +106,13 @@ object Search {
     * ascending doc id. `n_arms` reports how many arms surfaced the doc
     * (the agreement diagnostic hybrid deployments alert on).
     *
+    * PRECONDITION: each arm must emit UNIQUE (query_id, doc_id) pairs
+    * — the natural shape of a ranked top-k list, and what [[bm25TopK]]
+    * and the ANN top-k operators produce. A duplicated doc inside one
+    * arm would double-count its contribution and inflate n_arms; no
+    * dedup is applied here because such a duplicate means the arm is
+    * broken, not that the fusion should paper over it.
+    *
     * Output: (query_id, doc_id, rrf_score, n_arms, rank), rank 1..k.
     */
   def rrfFuse(arms: Seq[DataFrame], k: Int = 10, kRrf: Int = 60): DataFrame = {

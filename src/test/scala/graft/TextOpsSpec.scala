@@ -58,8 +58,12 @@ class TextOpsSpec extends SparkSpec {
     val armB = Seq((0, 11L, 1L), (0, 13L, 2L)).toDF("query_id", "doc_id", "rank")
     val got = graft.text.Search.rrfFuse(Seq(armA, armB), k = 10)
       .orderBy("rank").as[(Int, Long, Double, Long, Int)].collect()
+    // HALF_UP like Spark's F.round on doubles (math.rint is half-even
+    // and could diverge on exact-half 9dp/6dp values)
+    def rUp(x: Double, dp: Int): Double =
+      BigDecimal(x).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toDouble
     def rrf(ranks: Long*) =
-      math.rint(ranks.map(r => math.rint(1e9 / (60.0 + r)) / 1e9).sum * 1e6) / 1e6
+      rUp(ranks.map(r => rUp(1.0 / (60.0 + r), 9)).sum, 6)
     assert(got.map(_._2).toSeq == Seq(11L, 10L, 13L, 12L), s"fusion order: ${got.toSeq}")
     val expScore = Map(11L -> rrf(2, 1), 10L -> rrf(1), 13L -> rrf(2), 12L -> rrf(3))
     got.foreach { case (_, id, score, nArms, _) =>
