@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.storage.StorageLevel
 
 /** Exact global rank at scale.
   *
@@ -12,24 +13,42 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * per-partition offsets, so every task sorts |rows|/p and no
   * single-partition window ever appears in the plan.
   *
-  * Mechanics: `repartitionByRange(order) + sortWithinPartitions(order)`
-  * yields a totally-ordered RDD whose partition i holds ranks
-  * (offset_i, offset_i + count_i]; `zipWithIndex` materializes those
-  * offsets with one lightweight count pass over the shuffle output and
-  * stamps each row with its global index. The RangePartitioner is
-  * constructed exactly once (when the physical plan is instantiated by
-  * `.rdd`), so the boundaries used by the count pass and the data pass
-  * are the same object — the offsets cannot drift between passes. As
-  * long as the order is TOTAL (callers must include a unique
-  * tie-break column), the resulting rank is a pure function of the
-  * data, independent of the sampled boundaries.
+  * Mechanics (fully inside the SQL engine — no RDD detour): the input
+  * is range-partitioned and sorted within partitions on `order`, then
+  * stamped with `monotonically_increasing_id()` — whose documented
+  * layout is (partitionId << 33) + row-index-within-partition, i.e.
+  * exactly (partition ordinal, intra-partition sorted position). The
+  * stamped frame is PERSISTED so the partition layout is pinned once;
+  * a tiny aggregate over the high bits yields per-partition row
+  * counts, the driver prefix-sums them into offsets (p entries, a
+  * plan literal), and the global rank is
+  * `offset(pid) + low33(mid) + 1` — pure per-row arithmetic, no
+  * second shuffle, no window, whole-stage-codegen throughout. The
+  * r11 `.rdd + zipWithIndex` implementation computed the same thing
+  * but paid an InternalRow->Row->InternalRow round-trip over the full
+  * ranked input and severed Catalyst/AQE at the boundary.
+  *
+  * Correctness of the two passes: both the counts aggregate and the
+  * returned frame read the SAME InMemoryRelation, so the partition
+  * layout (and thus every pid/mid) is identical by construction; a
+  * lost cached block recomputes through the relation's own fixed
+  * lineage, reproducing the same sampled range boundaries. As long as
+  * the order is TOTAL (callers must include a unique tie-break
+  * column), the resulting rank is a pure function of the data.
   *
   * Ordering semantics are Spark SQL's own (UTF8String binary
   * comparison for strings, NaN-last / signed-zero-normalized doubles)
   * because the sort happens inside the SQL engine — the ranks agree
   * bit-for-bit with what `Window.orderBy(order)` would have produced.
+  *
+  * The persisted intermediate (the ranked input, narrow by
+  * construction at the call sites) stays cached for downstream reuse;
+  * Verify/Bench clear the cache per query, and a long-lived session
+  * can `spark.catalog.clearCache()` when done.
   */
 object Ranks {
+
+  private val Low33Mask = (1L << 33) - 1
 
   /** Append `rankCol` = the exact 1-based global rank of each row
     * under `order`. `order` must be a total order (include a unique
@@ -39,14 +58,31 @@ object Ranks {
   def globalRank(df: DataFrame, order: Seq[Column],
                  rankCol: String = "rnk", parts: Int = 0): DataFrame = {
     require(order.nonEmpty, "globalRank needs at least one order column")
-    val spark = df.sparkSession
     val p0 = if (parts > 0) parts
-             else math.max(1, spark.sessionState.conf.numShufflePartitions)
-    val sorted = df.repartitionByRange(p0, order: _*).sortWithinPartitions(order: _*)
-    val out = StructType(df.schema.fields :+ StructField(rankCol, LongType, nullable = false))
-    val ranked = sorted.rdd.zipWithIndex().map { case (row, i) =>
-      Row.fromSeq(row.toSeq :+ (i + 1L))
-    }
-    spark.createDataFrame(ranked, out)
+             else math.max(1, df.sparkSession.sessionState.conf.numShufflePartitions)
+    val stamped = df.repartitionByRange(p0, order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn("__gr_mid", F.monotonically_increasing_id())
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val pid = F.shiftrightunsigned(F.col("__gr_mid"), 33)
+    // p rows after map-side partial aggregation — driver-small
+    val counts = stamped.groupBy(pid.as("__gr_pid"))
+      .agg(F.count(F.lit(1)).as("__gr_cnt"))
+      .orderBy("__gr_pid")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    var acc = 0L
+    val offsets: Map[Long, Long] = counts.map { case (p, c) =>
+      val entry = p -> acc; acc += c; entry
+    }.toMap
+    // offsets as a literal map lookup (p entries) — the coalesce is
+    // unreachable (every pid present in the cache appears in counts)
+    // but keeps the rank expression non-null for downstream schemas
+    val offExpr =
+      if (offsets.isEmpty) F.lit(0L)
+      else F.coalesce(F.element_at(F.typedlit(offsets), pid), F.lit(0L))
+    stamped
+      .withColumn(rankCol,
+        offExpr + F.col("__gr_mid").bitwiseAND(F.lit(Low33Mask)) + F.lit(1L))
+      .drop("__gr_mid")
   }
 }
