@@ -1743,6 +1743,14 @@ object OracleSql {
       """SELECT vec_id AS query_id, true AS recall_ok FROM embeddings
         |WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
 
+    // composed IVFPQ index: precision + ordering of the returned set
+    // (recall gates separately through the floor below)
+    "ann_ivfpq" -> annArithmeticTwin("ann_ivfpq"),
+
+    "ann_ivfpq_recall" ->
+      """SELECT vec_id AS query_id, true AS recall_ok FROM embeddings
+        |WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
+
     // winnowing twin (Schleimer et al. SIGMOD'03): the companion
     // doc_fingerprint_hashes dump carries every positional shingle
     // hash; this replays the w=3 sliding-window minima, the

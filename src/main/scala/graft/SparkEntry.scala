@@ -1256,6 +1256,12 @@ object SparkEntry {
   private val AnnIvfRecallFloor = 0.5
   private val AnnPqRecallFloor = 0.5
   private val PqRerank = 40
+  // IVFPQ composes BOTH approximations (cell pruning x reconstruction
+  // noise), so its floor sits below the single-stage gates; probing
+  // nProbe=6/16 cells (vs IVF's 4) buys back cell-miss recall that PQ
+  // noise would otherwise stack on. Measured at the three gate SFs.
+  private val IvfpqNProbe = 6
+  private val AnnIvfpqRecallFloor = 0.4
 
   private def annRecallQ(t: Tables, floor: Double, strongSim: Option[Double],
                          project: DataFrame => DataFrame,
@@ -1325,6 +1331,33 @@ object SparkEntry {
       approx = (q, c) =>
         Ann.pqTopK(q, "vec_id", "embedding", c, "vec_id", "embedding",
           k = 5, m = 8, ksub = 16, rerank = PqRerank))
+
+  private def annIvfpq(t: Tables): DataFrame = {
+    // the COMPOSED index (r12): IVF cell pruning x PQ compression —
+    // ivfpqBuild writes the codes table cell-PARTITIONED, so the query
+    // batch's probed cells are partition-pruned file selection
+    // (PartitionFilters asserted in SimilaritySpec) over rows that are
+    // 32x smaller than raw vectors; full vectors surface only in the
+    // candidate re-rank semi-join. Precision + ordering of the
+    // returned set gate through the arithmetic twin; recall gates
+    // through ann_ivfpq_recall's floor.
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_index_" +
+      java.lang.Integer.toHexString(t.dir.hashCode)
+    Ann.ivfpqBuild(t.embeddings, "vec_id", "embedding", path,
+      nCells = 16, m = 8, ksub = 16)
+    Ann.ivfpqQueryIndex(t.spark, path,
+      t.embeddings.where(F.col("vec_id") < 10), "vec_id", "embedding",
+      t.embeddings, "vec_id", "embedding", k = 5, nProbe = IvfpqNProbe,
+      rerank = PqRerank)
+      .orderBy("query_id", "rank")
+  }
+
+  private def annIvfpqRecall(t: Tables): DataFrame =
+    annRecallQ(t, AnnIvfpqRecallFloor, strongSim = None, project = identity,
+      approx = (q, c) =>
+        Ann.ivfpqTopK(q, "vec_id", "embedding", c, "vec_id", "embedding",
+          k = 5, nCells = 16, nProbe = IvfpqNProbe, m = 8, ksub = 16,
+          rerank = PqRerank))
 
   private def textStats(t: Tables): DataFrame =
     // via the staged profile: each counting kernel runs once per row
@@ -2054,6 +2087,8 @@ object SparkEntry {
       "ann_pq" -> q(annPq),
       "ann_pq_index" -> q(annPqIndex),
       "ann_pq_recall" -> q(annPqRecall),
+      "ann_ivfpq" -> q(annIvfpq),
+      "ann_ivfpq_recall" -> q(annIvfpqRecall),
       "text_stats" -> q(textStats),
       "lang_id" -> q(langId),
       "lang_confusion" -> q(langConfusion),

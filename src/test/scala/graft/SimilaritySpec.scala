@@ -411,6 +411,45 @@ class SimilaritySpec extends SparkSpec {
       s"probed-cell isin predicate must prune index partitions; plan:\n$p")
   }
 
+  test("IVFPQ: full probes + covering rerank equal brute force; index equals inline; codes scan prunes cells") {
+    val q = corpus.where($"vec_id" < 5)
+    // probing every cell with a corpus-covering rerank budget makes
+    // the composed path lossless: cell pruning excludes nothing and
+    // every ADC candidate survives to the exact re-rank
+    val brute = Ann.cosineTopK(q, "vec_id", "embedding",
+      corpus, "vec_id", "embedding", k = 3)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val full = Ann.ivfpqTopK(q, "vec_id", "embedding",
+      corpus, "vec_id", "embedding", k = 3, nCells = 8, nProbe = 8,
+      m = 4, ksub = 8, rerank = 100, iters = 2)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(full == brute,
+      "all-cells + covering-rerank IVFPQ must equal brute force")
+    // persisted index with identical parameters reproduces inline
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq").toString
+    Ann.ivfpqBuild(corpus, "vec_id", "embedding", dir,
+      nCells = 8, m = 4, ksub = 8, iters = 2)
+    val inline = Ann.ivfpqTopK(q, "vec_id", "embedding",
+      corpus, "vec_id", "embedding", k = 3, nCells = 8, nProbe = 2,
+      m = 4, ksub = 8, rerank = 4, iters = 2)
+      .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._3))
+    val idx = Ann.ivfpqQueryIndex(spark, dir, q, "vec_id", "embedding",
+      corpus, "vec_id", "embedding", k = 3, nProbe = 2, rerank = 4)
+    val idxRows = idx.as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._3))
+    assert(idxRows.sameElements(inline),
+      "deterministic training: the persisted IVFPQ path must reproduce inline")
+    // the probed-cell isin predicate prunes codes-table partitions —
+    // the storage half of the composition
+    val p = idx.queryExecution.executedPlan.toString
+    assert("""PartitionFilters: \[[^\]]*cell#\d+L? IN """.r.findFirstIn(p).isDefined,
+      s"probed-cell isin predicate must prune codes partitions; plan:\n$p")
+    // and the scanned table is the COMPACT one: m small ints + the
+    // cell partition column, no vector payload
+    val codes = spark.read.parquet(s"$dir/codes")
+    assert(codes.columns.toSet == Set("neighbor_id", "codes", "cell"))
+    assert(codes.select(F.max(F.size($"codes"))).head().getInt(0) == 4)
+  }
+
   test("filtered search: pre-filter returns full-k from the slice; filtered IVF prunes cells AND pushes the predicate") {
     // label striped mod 5 — DELIBERATELY coprime with the 4 clusters,
     // so every cluster mixes all labels: a query's unfiltered top-3
