@@ -1444,6 +1444,63 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  private def bm25IndexNames(t: Tables): (String, String) = {
+    val h = java.lang.Integer.toHexString(t.dir.hashCode)
+    ("graft_bm25_idx_" + h,
+      s"${System.getProperty("java.io.tmpdir")}/graft_bm25_stats_$h")
+  }
+
+  private def textSearchBm25Idx(t: Tables): DataFrame = {
+    // the PERSISTED-index variant of text_search_bm25 (r12): bm25Build
+    // tokenizes the corpus ONCE into a term-bucketed postings table +
+    // one-row stats; bm25QueryIndex serves the batch from the pruned
+    // postings read (bucket pruning + pushed isin on the sorted-by-
+    // term files) with the IDENTICAL scoring chain — so with the same
+    // corpus and parameters this MUST equal text_search_bm25
+    // row-for-row, and the oracle is that query's own dumped output
+    // (the ann_ivf_index equality-gate trick).
+    val (table, statsPath) = bm25IndexNames(t)
+    text.Search.bm25Build(t.documents, "doc_id", "text", table, statsPath,
+      nBuckets = 8)
+    text.Search.bm25QueryIndex(t.spark, table, statsPath, bm25Queries, k = 10)
+      .orderBy("query_id", "rank")
+  }
+
+  private def textSearchHybridIdxDense(t: Tables): DataFrame = {
+    // the hybrid's dense arm served from the PERSISTED IVF index
+    // (companion dump for text_search_hybrid_idx): probed cells prune
+    // the index scan, so the arm never scans the full vector corpus.
+    // Precision + ordering of the returned lists gate through the
+    // arithmetic twin; the fusion's use of them is gated by
+    // text_search_hybrid_idx's full replay.
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index_" +
+      java.lang.Integer.toHexString(t.dir.hashCode)
+    Ann.ivfBuild(t.embeddings, "vec_id", "embedding", path, nCells = 16)
+    Ann.ivfQueryIndex(t.spark, path,
+      t.embeddings.where(F.col("vec_id") < bm25Queries.size), "vec_id",
+      "embedding", k = 20, nProbe = 4)
+      .orderBy("query_id", "rank")
+  }
+
+  private def textSearchHybridIdx(t: Tables): DataFrame = {
+    // hybrid retrieval with BOTH arms on persisted indexes (r12): the
+    // lexical arm probes the term-bucketed BM25 postings table, the
+    // dense arm probes the cell-partitioned IVF index — at 100 TB a
+    // query batch touches Σdf(t) postings + nProbe/nCells of the
+    // vector bytes, with NO full-corpus scan in either arm (asserted
+    // in PlanSpec). Fusion sees only the two truncated top-20 lists.
+    val (table, statsPath) = bm25IndexNames(t)
+    text.Search.bm25Build(t.documents, "doc_id", "text", table, statsPath,
+      nBuckets = 8)
+    val lex = text.Search.bm25QueryIndex(t.spark, table, statsPath,
+      bm25Queries, k = 20)
+      .select(F.col("query_id"), F.col("doc_id"), F.col("rank"))
+    val dense = textSearchHybridIdxDense(t)
+      .select(F.col("query_id"), F.col("neighbor_id").as("doc_id"), F.col("rank"))
+    text.Search.rrfFuse(Seq(lex, dense), k = 10)
+      .orderBy("query_id", "rank")
+  }
+
   private def textClassifyNb(t: Tables): DataFrame = {
     // trained language classifier (r11): multinomial Naive Bayes on
     // the deterministic doc_id%5 split (4/5 train, 1/5 held out),
@@ -2097,8 +2154,11 @@ object SparkEntry {
       "doc_fingerprint_hashes" -> q(docFingerprintHashes),
       "text_entropy" -> q(textEntropy),
       "text_search_bm25" -> q(textSearchBm25),
+      "text_search_bm25_idx" -> q(textSearchBm25Idx),
       "ann_topk_filtered" -> q(annTopkFiltered),
       "text_search_hybrid" -> q(textSearchHybrid),
+      "text_search_hybrid_idx" -> q(textSearchHybridIdx),
+      "text_search_hybrid_idx_dense" -> q(textSearchHybridIdxDense),
       "text_classify_nb" -> q(textClassifyNb),
       "text_scrub" -> q(textScrub),
       "text_scrub_pii" -> q(textScrubPii),

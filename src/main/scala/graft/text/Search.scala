@@ -50,11 +50,7 @@ object Search {
     require(queries.nonEmpty, "at least one query")
     val spark = df.sparkSession
     import spark.implicits._
-    val qtPairs = queries.flatMap { case (qid, q) =>
-      tokenizeQuery(q).distinct.map(t => (qid, t))
-    }.distinct
-    val terms = qtPairs.map(_._2).distinct
-    val qt = qtPairs.toDF("query_id", "term")
+    val terms = queries.flatMap(q => tokenizeQuery(q._2)).distinct
     val docs = df.select(F.col(idCol).as("doc_id"),
       TextOps.tokens(F.col(textCol)).as("tl"))
     // one-row exact-integer corpus stats; avgdl = Σdl/N is a single
@@ -66,7 +62,24 @@ object Search {
       .where(F.col("term").isin(terms: _*))
       .groupBy("doc_id", "term", "dl")
       .agg(F.count(F.lit(1)).as("tf"))
-    // postings are unique per (doc, term), so count(*) IS df(t)
+    scoreAndRank(post, stats, queries, k, k1, b)
+  }
+
+  /** The scoring chain shared by the inline and persisted-index BM25
+    * paths: `post` holds (doc_id, term, dl, tf) postings ALREADY
+    * restricted to (or prunable by) the query term set, `stats` the
+    * one-row (n, sum_dl). Per-term df derives from the pruned postings
+    * (unique per (doc, term), so count(*) IS df(t)) — never persisted,
+    * always consistent with the postings.
+    */
+  private def scoreAndRank(post: DataFrame, stats: DataFrame,
+                           queries: Seq[(Int, String)], k: Int,
+                           k1: Double, b: Double): DataFrame = {
+    val spark = post.sparkSession
+    import spark.implicits._
+    val qt = queries.flatMap { case (qid, q) =>
+      tokenizeQuery(q).distinct.map(t => (qid, t))
+    }.distinct.toDF("query_id", "term")
     val dft = post.groupBy("term").agg(F.count(F.lit(1)).as("df"))
     val avgdl = F.col("sum_dl").cast("double") / F.col("n").cast("double")
     val idf = F.log(F.lit(1.0) +
@@ -87,6 +100,52 @@ object Search {
     scored.withColumn("rank", F.row_number().over(w))
       .where(F.col("rank") <= k)
       .select("query_id", "doc_id", "score", "rank")
+  }
+
+  /** Build a PERSISTED BM25 index: the FULL postings table
+    * (doc_id, term, dl, tf) as a managed table BUCKETED (and sorted)
+    * by term, plus the one-row exact-integer corpus stats at
+    * `statsPath`. [[bm25TopK]] re-tokenizes the corpus per query
+    * batch; at 100 TB that is a full-corpus scan per batch. The index
+    * pays that scan ONCE — afterwards a query batch's driver-literal
+    * term set prunes the postings read to its terms' buckets (bucket
+    * pruning + a pushed isin filter on the sorted-by-term files), so
+    * serving cost is bounded by Σ_t df(t) postings, independent of
+    * corpus size. Per-term df is NOT persisted: it derives from the
+    * pruned postings at query time (a ≤|terms|-key aggregate), so the
+    * index has no derived column to drift out of sync.
+    */
+  def bm25Build(df: DataFrame, idCol: String, textCol: String,
+                table: String, statsPath: String, nBuckets: Int = 64): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val docs = df.select(F.col(idCol).as("doc_id"),
+      TextOps.tokens(F.col(textCol)).as("tl"))
+    val post = docs
+      .select($"doc_id", F.size($"tl").as("dl"), F.explode($"tl").as("term"))
+      .groupBy("doc_id", "term", "dl")
+      .agg(F.count(F.lit(1)).as("tf"))
+    graft.sources.Sources.writeBucketedMulti(post, table,
+      bucketBy = Seq("term"), nBuckets = nBuckets, sortBy = Seq("term"))
+    docs.agg(F.count(F.lit(1)).as("n"), F.sum(F.size($"tl")).as("sum_dl"))
+      .coalesce(1).write.mode("overwrite").parquet(statsPath)
+  }
+
+  /** Query a persisted BM25 index built by [[bm25Build]]. Identical
+    * scoring chain and arithmetic as [[bm25TopK]] — with the same
+    * corpus and parameters the results are row-for-row equal (the
+    * text_search_bm25_idx equality gate) — but the corpus is never
+    * re-tokenized: the query terms prune the bucketed postings scan.
+    */
+  def bm25QueryIndex(spark: org.apache.spark.sql.SparkSession,
+                     table: String, statsPath: String,
+                     queries: Seq[(Int, String)], k: Int = 10,
+                     k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queries.nonEmpty, "at least one query")
+    val terms = queries.flatMap(q => tokenizeQuery(q._2)).distinct
+    val post = spark.table(table).where(F.col("term").isin(terms: _*))
+    val stats = spark.read.parquet(statsPath)
+    scoreAndRank(post, stats, queries, k, k1, b)
   }
 
   /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher SIGIR'09) of

@@ -234,6 +234,28 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("text_search_hybrid_idx: both arms serve from indexes — no corpus scan in the fused plan") {
+    // after the eager index builds, the served plan must read ONLY the
+    // bucketed postings table and the cell-pruned IVF index: neither
+    // raw corpus file appears, and the dense arm's scan carries the
+    // probed-cell partition filters — the whole point of the
+    // index-backed hybrid at 100 TB
+    val p = planOf("text_search_hybrid_idx")
+    assert(!p.contains("documents.parquet"),
+      s"lexical arm re-scanned the raw corpus:\n$p")
+    // embeddings.parquet may appear ONLY as the 3-row query batch
+    // (pushed vec_id bound) — never as an unfiltered corpus scan
+    val embScans =
+      """FileScan parquet [^\n]*embeddings\.parquet[^\n]*""".r.findAllIn(p).toSeq
+    assert(embScans.forall(_.contains("LessThan(vec_id")),
+      s"dense arm re-scanned the raw vectors:\n${embScans.mkString("\n")}")
+    assert(p.contains("PartitionFilters: [") && p.contains("cell"),
+      s"dense arm's index scan shows no cell partition filters:\n$p")
+    // the postings read is term-pruned (pushed isin/In on term)
+    assert("""PushedFilters: \[[^\]]*In\(term""".r.findFirstIn(p).isDefined,
+      s"postings scan shows no pushed term filter:\n$p")
+  }
+
   test("corpus-materialization queries keep equi/anti joins only") {
     // keepCanonical and Decontaminate.clean anti-join the corpus
     // against small id sets — a product plan here would scan-multiply
