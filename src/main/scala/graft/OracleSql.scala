@@ -2178,6 +2178,19 @@ object OracleSql {
          |FROM te e LEFT JOIN pred p ON p.doc_id = e.doc_id CROSS JOIN fb f
          |ORDER BY id""".stripMargin,
 
+    // NB learning-collapse gate: n_test and n_boiler replay the split
+    // and the token-derived labeling; the two booleans are literal
+    // TRUE, so a Spark-side accuracy/recall collapse flips the row and
+    // fails the hash match (the ann_lsh_recall floor pattern)
+    "text_classify_nb_gate" ->
+      s"""WITH te AS (SELECT doc_id, ${toks("text")} AS tl FROM documents
+         |            WHERE doc_id % 5 = 0)
+         |SELECT CAST(count(*) AS BIGINT) AS n_test,
+         |       CAST(count(*) FILTER (len(list_filter(tl, x -> x = 'dup')) > 0)
+         |            AS BIGINT) AS n_boiler,
+         |       true AS acc_ok, true AS recall_ok
+         |FROM te""".stripMargin,
+
     "token_count" ->
       """SELECT doc_id,
         |       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_tokens_bpe

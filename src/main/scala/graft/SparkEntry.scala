@@ -1514,6 +1514,52 @@ object SparkEntry {
       .orderBy("id")
   }
 
+  // text_classify_nb_gate floors: minority-class (boilerplate) recall
+  // is the loud alarm — a learning collapse predicts the majority
+  // class everywhere, zeroing recall (observed recall 1.0 / 0.667 /
+  // 1.0 at sf0.001/0.01/0.1; the 0.6 floor keeps margin over zero,
+  // under the imbalanced-NB sf0.01 dip). The accuracy floor cannot
+  // catch that collapse (majority share ~0.95 clears any sane floor);
+  // it backstops the opposite failure, a majority FLIP (everything
+  // predicted boiler -> accuracy ~0.05).
+  private val NbGateAccFloor = 0.9
+  private val NbGateRecallFloor = 0.6
+
+  private def textClassifyNbGate(t: Tables): DataFrame = {
+    // aggregate quality gate for the NB trainer (r12): the corpus's
+    // lang label is by construction text-independent (every lang draws
+    // the same synthetic vocabulary), so text_classify_nb's per-doc
+    // dump gates ARITHMETIC parity but a silent learning collapse
+    // (tokenizer regression, count/smoothing bug) would just reshuffle
+    // predictions toward the majority prior without failing anything —
+    // collapse would in fact RAISE lang accuracy toward the 0.4
+    // majority share. This gate trains the same NB on a label with
+    // REAL bag-of-words signal — whether the doc carries the corpus's
+    // boilerplate marker token 'dup', the boilerplate-detection task a
+    // curation pipeline runs — and asserts held-out accuracy and
+    // minority-class recall against literal-true oracle floors.
+    // n_test/n_boiler replay in SQL, so the labeling itself is gated;
+    // any break in tokenize -> count -> smooth -> score -> argmax
+    // zeroes boiler recall and flips recall_ok.
+    val labeled = t.documents.select(F.col("doc_id"), F.col("text"),
+      F.when(F.array_contains(TextOps.tokens(F.col("text")), "dup"), "boiler")
+        .otherwise("clean").as("y"))
+    val train = labeled.where(F.col("doc_id") % 5 =!= 0)
+    val test = labeled.where(F.col("doc_id") % 5 === 0)
+    val out = text.Classify.naiveBayes(train, test, "doc_id", "text", "y")
+    out.agg(
+        F.count(F.lit(1)).as("n_test"),
+        F.sum(F.when(F.col("label") === "boiler", 1L).otherwise(0L)).as("n_boiler"),
+        F.sum("correct").as("n_correct"),
+        F.sum(F.when(F.col("label") === "boiler", F.col("correct"))
+          .otherwise(0L)).as("n_boiler_correct"))
+      .select(F.col("n_test"), F.col("n_boiler"),
+        (F.col("n_correct").cast("double") / F.col("n_test").cast("double")
+          >= NbGateAccFloor).as("acc_ok"),
+        (F.col("n_boiler_correct").cast("double") / F.col("n_boiler").cast("double")
+          >= NbGateRecallFloor).as("recall_ok"))
+  }
+
   private def docFingerprint(t: Tables): DataFrame =
     // two-step select keeps fp an attribute: CollapseProject won't
     // inline a multiply-referenced non-cheap expression, so the
@@ -2160,6 +2206,7 @@ object SparkEntry {
       "text_search_hybrid_idx" -> q(textSearchHybridIdx),
       "text_search_hybrid_idx_dense" -> q(textSearchHybridIdxDense),
       "text_classify_nb" -> q(textClassifyNb),
+      "text_classify_nb_gate" -> q(textClassifyNbGate),
       "text_scrub" -> q(textScrub),
       "text_scrub_pii" -> q(textScrubPii),
       "doc_profile" -> q(docProfileQ),
