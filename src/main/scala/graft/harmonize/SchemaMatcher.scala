@@ -1,6 +1,6 @@
 package graft.harmonize
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.{functions => F}
 
@@ -326,79 +326,106 @@ object SchemaMatcher {
     * and order-free in both engines; the final similarity is rounded
     * to 6 dp.
     *
-    * Scale: the per-pair cost is dominated by one distinct-reduce and
-    * one sort of the pair's domain (a single skinny column) plus a
-    * rank join; pairs = |srcCols| x |tgtCols| (schema-sized). The
-    * domain rank is computed by [[graft.operators.Ranks.globalRank]] —
-    * a range-partitioned sort with per-partition offsets, NOT a
-    * single-partition window — so for a numeric column at 100 TB
-    * (|distinct| ~ |rows|) each task sorts |domain|/p values and no
-    * serial stage exists anywhere in the plan (PlanSpec asserts no
-    * partition-less Window survives in any wired query). The rank is
-    * exact, so the DuckDB parity gate is unchanged.
+    * Scale (r12 single-plan shape): plan size is O(cols), not
+    * O(pairs) — each (table, type class) is MELTED once (one FileScan
+    * feeding every column's (col, value) stream via Dataset.unpivot)
+    * and reduced to per-column value HISTOGRAMS (domain-sized, never
+    * row-sized, since the quantiles are frequency-weighted —
+    * percentile's frequency argument replays row multiplicity
+    * exactly). Histograms cross the OTHER side's literal column-name
+    * list to form per-pair domains, ranked by a row_number window
+    * partitioned BY PAIR and folded into per-pair quantile aggregates
+    * — one grouped pipeline for all |srcCols| x |tgtCols| pairs, so a
+    * GDC-sized standard (~1k attributes, ~10^6 pairs) costs ~10
+    * operators, not ~10^6 unioned subtrees (the r11 shape, where the
+    * optimizer — and one eager driver job per pair — became the
+    * bottleneck before the data did). Per-pair memory is bounded by
+    * the pair's combined distinct domain in BOTH shapes (exact
+    * percentile state is domain-sized regardless), so the grouped
+    * window loses nothing; parallelism now comes from the pair count.
+    * The rank is exact, so the DuckDB parity gate is unchanged.
     */
   def distributionAll(
       src: DataFrame, srcCols: Seq[String],
       tgt: DataFrame, tgtCols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.types.NumericType
     val spark = src.sparkSession
+    import spark.implicits._
     def isNum(df: DataFrame, c: String) =
       df.schema(c).dataType.isInstanceOf[NumericType]
-    val frames = for (s <- srcCols; t <- tgtCols) yield {
-      val (sn, tn) = (isNum(src, s), isNum(tgt, t))
-      if (sn != tn)
-        spark.range(1).select(F.lit(s).as("source"), F.lit(t).as("target"),
-          F.lit(0.0).as("similarity"))
-      else distributionPair(src, s, tgt, t, numeric = sn)
-    }
-    frames.reduce(_ unionAll _)
-  }
+    val (srcNum, srcTxt) = srcCols.partition(isNum(src, _))
+    val (tgtNum, tgtTxt) = tgtCols.partition(isNum(tgt, _))
 
-  /** One (source col, target col) distribution score — see
-    * [[distributionAll]] for the contract.
-    */
-  private def distributionPair(
-      src: DataFrame, s: String, tgt: DataFrame, t: String,
-      numeric: Boolean): DataFrame = {
-    def vals(df: DataFrame, c: String): DataFrame =
-      if (numeric)
-        df.select(F.col(c).cast("double").as("value"))
-          .where(F.col("value").isNotNull)
-      else
-        df.select(F.trim(F.col(c).cast("string")).as("value"))
-          .where(F.col("value").isNotNull && F.col("value") =!= "")
-    val sv = vals(src, s)
-    val tv = vals(tgt, t)
-    val dom = graft.operators.Ranks.globalRank(
-      sv.distinct().union(tv.distinct()).distinct(),
-      Seq(F.col("value").asc))
-    // ONE consumption of the ranked domain: tag each side, rank-join
-    // once, and fold both quantile vectors plus the domain size into a
-    // single one-row aggregate (every domain value occurs on at least
-    // one side, so max(rnk) over the join IS |domain|). The old shape
-    // (separate qs / qt / n frames crossJoined) re-executed the domain
-    // subtree three times per pair.
-    val tagged = sv.select(F.col("value"), F.lit(true).as("__s"))
-      .unionAll(tv.select(F.col("value"), F.lit(false).as("__s")))
-    val fr = DistributionFractions.mkString(",")
-    val row = tagged.join(dom, "value").agg(
-      F.expr(s"percentile(CASE WHEN __s THEN rnk END, array($fr))").as("qs"),
-      F.expr(s"percentile(CASE WHEN NOT __s THEN rnk END, array($fr))").as("qt"),
-      F.max("rnk").as("n"))
-    val sumDiff = F.aggregate(
-      F.zip_with(F.col("qs"), F.col("qt"),
-        (a, b) => F.round(F.abs(a - b), 6).cast("decimal(28,6)")),
-      F.lit(BigDecimal(0)).cast("decimal(32,6)"),
-      (acc, x) => (acc + x).cast("decimal(32,6)"))
-    row.select(
-      F.lit(s).as("source"), F.lit(t).as("target"),
-      F.when(F.col("qs").isNull || F.col("qt").isNull, 0.0)
-        .when(F.col("n") <= 1, 1.0)
-        .otherwise(F.round(
-          F.lit(1.0) - sumDiff.cast("double") /
-            (F.lit(DistributionFractions.size.toDouble) *
-              (F.col("n") - 1).cast("double")), 6))
-        .as("similarity"))
+    // one melt per (table, type class): a single scan yields every
+    // column's (col, value, cnt) histogram
+    def hist(df: DataFrame, cols: Seq[String], numeric: Boolean): DataFrame = {
+      val casted = df.select(cols.map { c =>
+        (if (numeric) F.col(c).cast("double")
+         else F.trim(F.col(c).cast("string"))).as(c)
+      }: _*)
+      val melted = casted.unpivot(Array.empty[Column],
+        cols.map(F.col).toArray, "col", "value")
+      val filtered =
+        if (numeric) melted.where(F.col("value").isNotNull)
+        else melted.where(F.col("value").isNotNull && F.col("value") =!= "")
+      filtered.groupBy("col", "value").agg(F.count(F.lit(1)).as("cnt"))
+    }
+
+    // all same-type-class pairs of one class in ONE grouped pipeline
+    def groupSims(sCols: Seq[String], tCols: Seq[String],
+                  numeric: Boolean): Option[DataFrame] = {
+      if (sCols.isEmpty || tCols.isEmpty) return None
+      val sh = hist(src, sCols, numeric)
+      val th = hist(tgt, tCols, numeric)
+      val ps = sh.withColumnRenamed("col", "source")
+        .crossJoin(F.broadcast(tCols.toDF("target")))
+        .select(F.col("source"), F.col("target"), F.col("value"),
+          F.col("cnt").as("cs"), F.lit(0L).as("ct"))
+      val pt = th.withColumnRenamed("col", "target")
+        .crossJoin(F.broadcast(sCols.toDF("source")))
+        .select(F.col("source"), F.col("target"), F.col("value"),
+          F.lit(0L).as("cs"), F.col("cnt").as("ct"))
+      // per-pair combined distinct domain, with each side's frequency
+      val dom = ps.unionAll(pt).groupBy("source", "target", "value")
+        .agg(F.sum("cs").as("cs"), F.sum("ct").as("ct"))
+      val w = Window.partitionBy("source", "target").orderBy(F.col("value").asc)
+      val ranked = dom.withColumn("rnk", F.row_number().over(w).cast("long"))
+      val fr = DistributionFractions.mkString(",")
+      // frequency-weighted exact percentile == the row-level percentile
+      // over the rank-joined rows (greatest(...,1) keeps the frequency
+      // operand positive on the rows the CASE already nulls out)
+      val row = ranked.groupBy("source", "target").agg(
+        F.expr(s"percentile(CASE WHEN cs > 0 THEN rnk END, array($fr), greatest(cs, 1L))").as("qs"),
+        F.expr(s"percentile(CASE WHEN ct > 0 THEN rnk END, array($fr), greatest(ct, 1L))").as("qt"),
+        F.max("rnk").as("n"))
+      val sumDiff = F.aggregate(
+        F.zip_with(F.col("qs"), F.col("qt"),
+          (a, b) => F.round(F.abs(a - b), 6).cast("decimal(28,6)")),
+        F.lit(BigDecimal(0)).cast("decimal(32,6)"),
+        (acc, x) => (acc + x).cast("decimal(32,6)"))
+      Some(row.select(
+        F.col("source"), F.col("target"),
+        F.when(F.col("qs").isNull || F.col("qt").isNull, 0.0)
+          .when(F.col("n") <= 1, 1.0)
+          .otherwise(F.round(
+            F.lit(1.0) - sumDiff.cast("double") /
+              (F.lit(DistributionFractions.size.toDouble) *
+                (F.col("n") - 1).cast("double")), 6))
+          .as("similarity")))
+    }
+
+    val sims = Seq(groupSims(srcNum, tgtNum, numeric = true),
+      groupSims(srcTxt, tgtTxt, numeric = false)).flatten
+    // the full literal matrix backfills what the grouped pipelines
+    // cannot emit: mixed-type pairs (0.0 by contract) and pairs whose
+    // domains are entirely null/empty (0.0, matching the r11 shape)
+    val full = srcCols.toDF("source")
+      .crossJoin(F.broadcast(tgtCols.toDF("target")))
+    val joined = sims.reduceOption(_ unionAll _)
+      .fold(full.withColumn("similarity", F.lit(0.0)))(s =>
+        full.join(s, Seq("source", "target"), "left")
+          .na.fill(0.0, Seq("similarity")))
+    joined
   }
 
   def distributionMatch(
