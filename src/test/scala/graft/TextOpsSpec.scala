@@ -445,40 +445,117 @@ class TextOpsSpec extends SparkSpec {
           pred = 0
         }
         nBlk += 1
-        // sample with edge replication, level shift, forward DCT
-        val f = Array.tabulate(8, 8) { (y, x) =>
-          pixel(math.min(bx * 8 + x, w - 1), math.min(by * 8 + y, h - 1)) - 128.0
+        pred = fdctAndEmit(pixel, bx * 8, by * 8, w, h, qdc, qac, pred, put)
+      }
+      if (nb > 0) { val pad = 8 - nb; put((1 << pad) - 1, pad) }
+      w8(0xff); w8(0xd9)
+      bos.toByteArray
+    }
+
+    /** Forward-DCT, quantize, and entropy-emit ONE 8x8 block sampled
+      * from `pixel` at origin (ox, oy) with edge replication against
+      * (maxW, maxH); returns the new DC predictor. Shared by the
+      * grayscale and color test encoders.
+      */
+    private def fdctAndEmit(pixel: (Int, Int) => Int, ox: Int, oy: Int,
+                            maxW: Int, maxH: Int, qdc: Int, qac: Int,
+                            pred: Int, put: (Int, Int) => Unit): Int = {
+      val f = Array.tabulate(8, 8) { (y, x) =>
+        pixel(math.min(ox + x, maxW - 1), math.min(oy + y, maxH - 1)) - 128.0
+      }
+      val q = new Array[Int](64)
+      for (u <- 0 until 8; v <- 0 until 8) {
+        var s = 0.0
+        for (x <- 0 until 8; y <- 0 until 8)
+          s += basis(x)(u) * basis(y)(v) * f(y)(x)
+        val qq = if (u == 0 && v == 0) qdc else qac
+        q(v * 8 + u) = Math.round(s / qq).toInt
+      }
+      // DC diff
+      val dc = q(0); val diff = dc - pred
+      val sz = if (diff == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+      val (c, cl) = dcC(sz); put(c, cl)
+      if (sz > 0) put(if (diff >= 0) diff else diff - 1 + (1 << sz), sz)
+      // AC run-length over zigzag order
+      var run = 0
+      var lastNz = 0
+      for (k <- 1 to 63) if (q(zig(k)) != 0) lastNz = k
+      for (k <- 1 to lastNz) {
+        val v = q(zig(k))
+        if (v == 0) run += 1
+        else {
+          while (run > 15) { val (z, zl) = acC(0xf0); put(z, zl); run -= 16 }
+          val asz = 32 - Integer.numberOfLeadingZeros(math.abs(v))
+          assert(asz <= 10, s"test encoder AC size $asz out of table")
+          val (ac, al) = acC((run << 4) | asz); put(ac, al)
+          put(if (v >= 0) v else v - 1 + (1 << asz), asz)
+          run = 0
         }
-        val q = new Array[Int](64)
-        for (u <- 0 until 8; v <- 0 until 8) {
-          var s = 0.0
-          for (x <- 0 until 8; y <- 0 until 8)
-            s += basis(x)(u) * basis(y)(v) * f(y)(x)
-          val qq = if (u == 0 && v == 0) qdc else qac
-          q(v * 8 + u) = Math.round(s / qq).toInt
+      }
+      if (lastNz < 63) { val (e, el) = acC(0x00); put(e, el) }
+      dc
+    }
+
+    /** Full AC-bearing baseline COLOR encoder: three planes (Y at
+      * full resolution, Cb/Cr at the subsampled grid when sub420),
+      * interleaved MCUs in SOF order, per-component DC predictors,
+      * restart intervals counted in MCUs — the independent fDCT
+      * counterpart of JpegCodec.decodeColorPixels' interleaved scan.
+      * One shared quant table (q everywhere) and one shared DC/AC
+      * Huffman table pair serve all three components.
+      */
+    def encodeColor(w: Int, h: Int,
+                    yPix: (Int, Int) => Int,
+                    cbPix: (Int, Int) => Int,
+                    crPix: (Int, Int) => Int,
+                    sub420: Boolean, q: Int = 1,
+                    restartInterval: Int = 0): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      def w8(v: Int): Unit = bos.write(v & 0xff)
+      def w16(v: Int): Unit = { w8(v >> 8); w8(v) }
+      def seg(m: Int, body: Array[Byte]): Unit = {
+        w8(0xff); w8(m); w16(body.length + 2); bos.write(body)
+      }
+      val hs = if (sub420) 2 else 1
+      w8(0xff); w8(0xd8)
+      seg(0xdb, Array.tabulate[Byte](65)(i => if (i == 0) 0 else q.toByte))
+      seg(0xc0, Array[Byte](8, (h >> 8).toByte, h.toByte,
+        (w >> 8).toByte, w.toByte, 3,
+        1, ((hs << 4) | hs).toByte, 0, 2, 0x11, 0, 3, 0x11, 0))
+      seg(0xc4, Array[Byte](0x00) ++ dcBits.map(_.toByte) ++ dcVals.map(_.toByte))
+      seg(0xc4, Array[Byte](0x11) ++ acBits.map(_.toByte) ++ acVals.map(_.toByte))
+      if (restartInterval > 0)
+        seg(0xdd, Array[Byte]((restartInterval >> 8).toByte,
+          (restartInterval & 0xff).toByte))
+      // Td=0 / Ta=1 per component (the AC table is written with id 1)
+      seg(0xda, Array[Byte](3, 1, 0x01, 2, 0x01, 3, 0x01, 0, 63, 0))
+      var acc = 0L; var nb = 0
+      def put(code: Int, len: Int): Unit = {
+        acc = (acc << len) | (code & ((1L << len) - 1)); nb += len
+        while (nb >= 8) {
+          val b = ((acc >>> (nb - 8)) & 0xff).toInt
+          w8(b); if (b == 0xff) w8(0); nb -= 8
         }
-        // DC diff
-        val dc = q(0); val diff = dc - pred; pred = dc
-        val sz = if (diff == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(diff))
-        val (c, cl) = dcC(sz); put(c, cl)
-        if (sz > 0) put(if (diff >= 0) diff else diff - 1 + (1 << sz), sz)
-        // AC run-length over zigzag order
-        var run = 0
-        var lastNz = 0
-        for (k <- 1 to 63) if (q(zig(k)) != 0) lastNz = k
-        for (k <- 1 to lastNz) {
-          val v = q(zig(k))
-          if (v == 0) run += 1
-          else {
-            while (run > 15) { val (z, zl) = acC(0xf0); put(z, zl); run -= 16 }
-            val asz = 32 - Integer.numberOfLeadingZeros(math.abs(v))
-            assert(asz <= 10, s"test encoder AC size $asz out of table")
-            val (ac, al) = acC((run << 4) | asz); put(ac, al)
-            put(if (v >= 0) v else v - 1 + (1 << asz), asz)
-            run = 0
-          }
+      }
+      val mcuW = 8 * hs; val mcuH = 8 * hs
+      val mcusX = (w + mcuW - 1) / mcuW
+      val mcusY = (h + mcuH - 1) / mcuH
+      val cw = (w + hs - 1) / hs
+      val ch = (h + hs - 1) / hs
+      val preds = Array(0, 0, 0)
+      var nMcu = 0; var rstN = 0
+      for (my <- 0 until mcusY; mx <- 0 until mcusX) {
+        if (restartInterval > 0 && nMcu > 0 && nMcu % restartInterval == 0) {
+          if (nb > 0) { val pad = 8 - nb; put((1 << pad) - 1, pad) }
+          w8(0xff); w8(0xd0 + (rstN & 7)); rstN += 1
+          preds(0) = 0; preds(1) = 0; preds(2) = 0
         }
-        if (lastNz < 63) { val (e, el) = acC(0x00); put(e, el) }
+        nMcu += 1
+        for (vy <- 0 until hs; vx <- 0 until hs)
+          preds(0) = fdctAndEmit(yPix, mx * mcuW + vx * 8, my * mcuH + vy * 8,
+            w, h, q, q, preds(0), put)
+        preds(1) = fdctAndEmit(cbPix, mx * 8, my * 8, cw, ch, q, q, preds(1), put)
+        preds(2) = fdctAndEmit(crPix, mx * 8, my * 8, cw, ch, q, q, preds(2), put)
       }
       if (nb > 0) { val pad = 8 - nb; put((1 << pad) - 1, pad) }
       w8(0xff); w8(0xd9)
@@ -613,6 +690,77 @@ class TextOpsSpec extends SparkSpec {
       val st = JpegCodec.decodeStats(blob).get
       assert(st.channels == 3 && st.nSamples == 3L * w * h &&
         st.sumVal == s && st.sumSq == sq, s"stats sub420=$sub420 ${w}x$h: $st")
+    }
+  }
+
+  test("JpegCodec color AC: independent-fDCT 4:4:4 / 4:2:0 streams decode within rounding bounds") {
+    import graft.multimodal.JpegCodec
+    // q=1 color streams from the test-side forward-DCT encoder: every
+    // coefficient (DC and AC, all three planes) flows through the real
+    // interleaved entropy layer, so a zigzag, dequant, predictor-chain,
+    // upsampling, or IDCT bug in the color path produces wild errors.
+    // Per-plane reconstruction error is bounded by coefficient
+    // rounding (~4 levels, the grayscale AC bound); the fixed-point
+    // transform amplifies chroma error by <= 1.772, so per-channel
+    // RGB error stays under ~4 + 1.772*4 + 1 — asserted at 12.
+    def xform(y: Int, cb: Int, cr: Int): (Int, Int, Int) = {
+      def cl(v: Long) = math.max(0L, math.min(255L, v)).toInt
+      (cl(Math.floorDiv(65536L * y + 91881L * (cr - 128) + 32768L, 65536L)),
+        cl(Math.floorDiv(65536L * y - 22554L * (cb - 128) - 46802L * (cr - 128) + 32768L, 65536L)),
+        cl(Math.floorDiv(65536L * y + 116130L * (cb - 128) + 32768L, 65536L)))
+    }
+    val rnd = new scala.util.Random(29)
+    for (sub420 <- Seq(false, true); trial <- 0 until 3) {
+      val w = 1 + rnd.nextInt(34)
+      val h = 1 + rnd.nextInt(26)
+      val hs = if (sub420) 2 else 1
+      val cw = (w + hs - 1) / hs
+      val ch = (h + hs - 1) / hs
+      // amplitudes bounded so every coefficient fits the test table's
+      // size-10 AC categories (|sample-128| <= 50 -> |coef| <= 400)
+      val yP = Array.fill(h, w)(78 + rnd.nextInt(101))
+      val cbP = Array.fill(ch, cw)(78 + rnd.nextInt(101))
+      val crP = Array.fill(ch, cw)(78 + rnd.nextInt(101))
+      val blob = TestJpegEncoder.encodeColor(w, h,
+        (x, y) => yP(y)(x), (x, y) => cbP(y)(x), (x, y) => crP(y)(x), sub420)
+      val (dw, dh, px) = JpegCodec.decodeColorRaster(blob).getOrElse(
+        fail(s"color AC decode None: sub420=$sub420 trial=$trial ${w}x$h"))
+      assert((dw, dh) == ((w, h)))
+      var maxErr = 0
+      for (y <- 0 until h; x <- 0 until w) {
+        val (er, eg, eb) = xform(yP(y)(x), cbP(y / hs)(x / hs), crP(y / hs)(x / hs))
+        val i = (y * w + x) * 3
+        maxErr = math.max(maxErr, math.max(math.abs(px(i) - er),
+          math.max(math.abs(px(i + 1) - eg), math.abs(px(i + 2) - eb))))
+      }
+      assert(maxErr <= 12,
+        s"sub420=$sub420 trial=$trial ${w}x$h: max channel error $maxErr")
+      // streaming stats agree with the raster
+      val st = JpegCodec.decodeStats(blob).get
+      assert(st.channels == 3 && st.nSamples == 3L * w * h)
+      var s = 0L
+      for (i <- px.indices) s += px(i)
+      assert(st.sumVal == s, s"stats/raster sum drift sub420=$sub420")
+    }
+    // AC-bearing color DRI: the restart stream must decode identically
+    // to the plain stream at several intervals (predictor resets and
+    // MCU-counted markers on the full interleaved AC path)
+    val w = 33; val h = 18
+    val yP = Array.fill(h, w)(78 + rnd.nextInt(101))
+    val cbP = Array.fill(h, w)(78 + rnd.nextInt(101))
+    val crP = Array.fill(h, w)(78 + rnd.nextInt(101))
+    for (sub420 <- Seq(false, true); interval <- Seq(1, 2, 3)) {
+      val hs = if (sub420) 2 else 1
+      def cp(p: Array[Array[Int]]): (Int, Int) => Int = (x, y) => p(y)(x)
+      val plain = TestJpegEncoder.encodeColor(w, h, cp(yP), cp(cbP), cp(crP), sub420)
+      val rst = TestJpegEncoder.encodeColor(w, h, cp(yP), cp(cbP), cp(crP),
+        sub420, restartInterval = interval)
+      require(hs >= 1)
+      val a = JpegCodec.decodeColorRaster(plain).get
+      val b = JpegCodec.decodeColorRaster(rst).getOrElse(
+        fail(s"AC color DRI decode None: sub420=$sub420 interval=$interval"))
+      assert(a._1 == b._1 && a._2 == b._2 && a._3.sameElements(b._3),
+        s"sub420=$sub420 interval=$interval: AC restart stream diverged")
     }
   }
 
