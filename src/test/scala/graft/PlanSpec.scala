@@ -175,7 +175,23 @@ class PlanSpec extends SparkSpec {
     "curate_temperature", "curate_apply_mix",
     // quality bucketing broadcasts its ONE-ROW corpus-size frame into
     // the ranked corpus for the closed-form ntile (the q11 pattern)
-    "curate_buckets")
+    "curate_buckets",
+    // r12 additions — all the established bounded shapes:
+    // the IVFPQ recall gate embeds the exact-truth baseline
+    // (broadcast-query corpus scan, the ann_pq_recall shape)
+    "ann_ivfpq_recall",
+    // the persisted-BM25 paths keep BM25's one-row stats crossJoin
+    // (now read from the index's stats file); hybrid_idx embeds it
+    // alongside the cell-pruned dense arm
+    "text_search_bm25_idx", "text_search_hybrid_idx",
+    // the NB gate aggregates text_classify_nb's plan (the same
+    // |classes|-row and one-row model-frame crossJoins)
+    "text_classify_nb_gate",
+    // the r12 grouped distribution matcher crossJoins each side's
+    // histogram with the OTHER side's literal column-name list
+    // (|cols| rows, broadcast) and the full literal pair matrix —
+    // schema-sized frames, never instance data
+    "match_schema_distribution")
 
   test("no wired query plans a CartesianProduct; BNLJ only on bounded-broadcast baselines") {
     val withBnlj = scala.collection.mutable.Set[String]()
