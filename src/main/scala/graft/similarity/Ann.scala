@@ -458,12 +458,19 @@ object Ann {
     trainSet
   }
 
-  /** Lloyd-trained coarse-quantizer centroids over (neighbor_id, cv). */
+  /** Lloyd-trained coarse-quantizer centroids over (neighbor_id, cv).
+    * `sharedSample` lets a composed trainer (IVFPQ) pass ONE persisted
+    * [[boundedTrainSample]] to both quantizers — the sample is a pure
+    * function of the ids, so sharing changes nothing numerically and
+    * saves a full corpus sampling pass; the owner unpersists it.
+    */
   private def trainCentroids(c: DataFrame, nCells: Int, iters: Int,
                              maxTrain: Int,
-                             rowCountHint: Option[Long] = None): Seq[Seq[Double]] = {
+                             rowCountHint: Option[Long] = None,
+                             sharedSample: Option[DataFrame] = None): Seq[Seq[Double]] = {
     import graft.functions.HashExprs.topCells
-    val trainSet = boundedTrainSample(c, maxTrain, rowCountHint)
+    val trainSet = sharedSample.getOrElse(
+      boundedTrainSample(c, maxTrain, rowCountHint))
 
     // deterministic init: the nCells lowest-id training vectors
     var cents: Seq[Seq[Double]] = trainSet.orderBy("neighbor_id").limit(nCells)
@@ -483,7 +490,7 @@ object Ann {
         .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toMap
       cents = cents.indices.map(i => means.getOrElse(i, cents(i)))
     }
-    trainSet.unpersist()
+    if (sharedSample.isEmpty) trainSet.unpersist()
     cents
   }
 
@@ -585,10 +592,12 @@ object Ann {
     */
   private def trainPqCodebooks(c: DataFrame, m: Int, ksub: Int,
                                iters: Int, maxTrain: Int,
-                               rowCountHint: Option[Long])
+                               rowCountHint: Option[Long],
+                               sharedSample: Option[DataFrame] = None)
       : (Int, IndexedSeq[IndexedSeq[Seq[Double]]]) = {
     import graft.functions.HashExprs.topCells
-    val sample = boundedTrainSample(c, maxTrain, rowCountHint)
+    val sample = sharedSample.getOrElse(
+      boundedTrainSample(c, maxTrain, rowCountHint))
     val dim = sample.select(F.size(F.col("cv")).as("d")).limit(1)
       .collect().headOption.map(_.getInt(0)).getOrElse(0)
     require(dim > 0, "PQ training needs a non-empty corpus")
@@ -601,7 +610,7 @@ object Ann {
         F.slice(F.col("cv"), F.col("sub") * subDim + 1, F.lit(subDim)).as("sv"))
       .persist()
     subs.count()
-    sample.unpersist()
+    if (sharedSample.isEmpty) sample.unpersist()
 
     // deterministic init: per subspace, the ksub lowest-id subvectors
     val init = subs
@@ -813,8 +822,13 @@ object Ann {
                 rowCountHint: Option[Long] = None): DataFrame = {
     import graft.functions.HashExprs.topCells
     val c = corpus.select(F.col(cId).as("neighbor_id"), F.col(cVec).as("cv"))
-    val cents = trainCentroids(c, nCells, iters, maxTrain, rowCountHint)
-    val (subDim, cbs) = trainPqCodebooks(c, m, ksub, iters, maxTrain, rowCountHint)
+    // ONE bounded sampling pass feeds BOTH quantizers (the sample is a
+    // pure function of the ids, so this is numerically identical to
+    // sampling twice — it just halves the training-stage corpus reads)
+    val sample = boundedTrainSample(c, maxTrain, rowCountHint)
+    val cents = trainCentroids(c, nCells, iters, maxTrain, rowCountHint, Some(sample))
+    val (subDim, cbs) = trainPqCodebooks(c, m, ksub, iters, maxTrain, rowCountHint, Some(sample))
+    sample.unpersist()
     val withCell = c.select(F.col("neighbor_id"), F.col("cv"),
       F.element_at(topCells(F.col("cv"), cents, 1), 1).as("cell"))
     val codes = pqEncode(withCell, subDim, cbs, extra = Seq("cell"))
@@ -835,8 +849,11 @@ object Ann {
                  rowCountHint: Option[Long] = None): Unit = {
     import graft.functions.HashExprs.topCells
     val c = corpus.select(F.col(cId).as("neighbor_id"), F.col(cVec).as("cv"))
-    val cents = trainCentroids(c, nCells, iters, maxTrain, rowCountHint)
-    val (subDim, cbs) = trainPqCodebooks(c, m, ksub, iters, maxTrain, rowCountHint)
+    // one shared sampling pass for both quantizers (see ivfpqTopK)
+    val sample = boundedTrainSample(c, maxTrain, rowCountHint)
+    val cents = trainCentroids(c, nCells, iters, maxTrain, rowCountHint, Some(sample))
+    val (subDim, cbs) = trainPqCodebooks(c, m, ksub, iters, maxTrain, rowCountHint, Some(sample))
+    sample.unpersist()
     val spark = corpus.sparkSession
     writeCentroids(spark, cents, s"$path/centroids")
     val cbRows = for {
