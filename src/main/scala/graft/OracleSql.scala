@@ -2004,6 +2004,14 @@ object OracleSql {
         |FROM read_parquet('__VERIFY_OUT__/text_search_bm25/*.parquet')
         |ORDER BY query_id, "rank"""".stripMargin,
 
+    // ingest-loop BM25: build on the first slice + append the rest
+    // must lose nothing vs a full rebuild — row-for-row equality with
+    // the inline full-corpus query's dump
+    "text_search_bm25_incr" ->
+      """SELECT query_id, doc_id, score, "rank"
+        |FROM read_parquet('__VERIFY_OUT__/text_search_bm25/*.parquet')
+        |ORDER BY query_id, "rank"""".stripMargin,
+
     // the hybrid's IVF-served dense arm: precision + ordering of the
     // returned lists, recomputed from raw embeddings (the ANN
     // arithmetic-twin gate; the fusion replay below consumes the dump)

@@ -1466,6 +1466,26 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  private def textSearchBm25Incr(t: Tables): DataFrame = {
+    // the INGEST-LOOP variant (r12): build the postings index on the
+    // first corpus slice, bm25IndexAppend the rest (only the batch is
+    // tokenized; stats are additive exact integers), then query — a
+    // per-batch crawl pipeline's write path. Must equal the
+    // full-corpus text_search_bm25 row-for-row, so the oracle is that
+    // query's dump (the equality-gate trick), proving the append path
+    // loses nothing vs a full rebuild.
+    val h = java.lang.Integer.toHexString(t.dir.hashCode)
+    val table = "graft_bm25_incr_" + h
+    val statsPath =
+      s"${System.getProperty("java.io.tmpdir")}/graft_bm25_incr_stats_$h"
+    text.Search.bm25Build(t.documents.where(F.col("doc_id") < 250),
+      "doc_id", "text", table, statsPath, nBuckets = 8)
+    text.Search.bm25IndexAppend(t.documents.where(F.col("doc_id") >= 250),
+      "doc_id", "text", table, statsPath, nBuckets = 8)
+    text.Search.bm25QueryIndex(t.spark, table, statsPath, bm25Queries, k = 10)
+      .orderBy("query_id", "rank")
+  }
+
   private def textSearchHybridIdxDense(t: Tables): DataFrame = {
     // the hybrid's dense arm served from the PERSISTED IVF index
     // (companion dump for text_search_hybrid_idx): probed cells prune
@@ -2201,6 +2221,7 @@ object SparkEntry {
       "text_entropy" -> q(textEntropy),
       "text_search_bm25" -> q(textSearchBm25),
       "text_search_bm25_idx" -> q(textSearchBm25Idx),
+      "text_search_bm25_incr" -> q(textSearchBm25Incr),
       "ann_topk_filtered" -> q(annTopkFiltered),
       "text_search_hybrid" -> q(textSearchHybrid),
       "text_search_hybrid_idx" -> q(textSearchHybridIdx),

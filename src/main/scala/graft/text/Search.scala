@@ -131,6 +131,40 @@ object Search {
       .coalesce(1).write.mode("overwrite").parquet(statsPath)
   }
 
+  /** Append a document batch to an existing [[bm25Build]] index — the
+    * write half of the per-batch ingest loop (the minhashIndexAppend
+    * pattern): the batch's postings append into the term-bucketed
+    * table (same bucket spec, enforced by Spark) and the one-row
+    * corpus stats are re-written as the exact-integer sums of old and
+    * batch (n, Σdl are additive). Batch doc ids must be NEW — BM25's
+    * postings are unique per (doc, term), so re-ingesting an existing
+    * id would double its rows. After the append, [[bm25QueryIndex]]
+    * over the index equals [[bm25TopK]] over the unioned corpus
+    * row-for-row (the text_search_bm25_incr equality gate); only the
+    * BATCH is tokenized — the existing corpus is never re-read.
+    */
+  def bm25IndexAppend(batch: DataFrame, idCol: String, textCol: String,
+                      table: String, statsPath: String,
+                      nBuckets: Int = 64): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val docs = batch.select(F.col(idCol).as("doc_id"),
+      TextOps.tokens(F.col(textCol)).as("tl"))
+    val post = docs
+      .select($"doc_id", F.size($"tl").as("dl"), F.explode($"tl").as("term"))
+      .groupBy("doc_id", "term", "dl")
+      .agg(F.count(F.lit(1)).as("tf"))
+    graft.sources.Sources.writeBucketedMulti(post, table,
+      bucketBy = Seq("term"), nBuckets = nBuckets, sortBy = Seq("term"),
+      mode = org.apache.spark.sql.SaveMode.Append)
+    val old = spark.read.parquet(statsPath)
+      .select(F.col("n"), F.col("sum_dl")).head()
+    docs.agg(
+        (F.count(F.lit(1)) + F.lit(old.getLong(0))).as("n"),
+        (F.coalesce(F.sum(F.size($"tl")), F.lit(0L)) + F.lit(old.getLong(1))).as("sum_dl"))
+      .coalesce(1).write.mode("overwrite").parquet(statsPath)
+  }
+
   /** Query a persisted BM25 index built by [[bm25Build]]. Identical
     * scoring chain and arithmetic as [[bm25TopK]] — with the same
     * corpus and parameters the results are row-for-row equal (the

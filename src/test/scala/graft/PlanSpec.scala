@@ -183,7 +183,7 @@ class PlanSpec extends SparkSpec {
     // the persisted-BM25 paths keep BM25's one-row stats crossJoin
     // (now read from the index's stats file); hybrid_idx embeds it
     // alongside the cell-pruned dense arm
-    "text_search_bm25_idx", "text_search_hybrid_idx",
+    "text_search_bm25_idx", "text_search_bm25_incr", "text_search_hybrid_idx",
     // the NB gate aggregates text_classify_nb's plan (the same
     // |classes|-row and one-row model-frame crossJoins)
     "text_classify_nb_gate",
