@@ -228,14 +228,14 @@ object OracleSql {
     * gated here (the returned set defines the universe); that is the
     * recall queries' job.
     */
-  private def annArithmeticTwin(name: String): String =
+  private def annArithmeticTwin(name: String, corpusCond: String = ""): String =
     s"""WITH got AS (SELECT query_id, neighbor_id
        |            FROM read_parquet('__VERIFY_OUT__/$name/*.parquet')),
        |j AS (SELECT g.query_id, g.neighbor_id,
        |        list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
        |                               CAST(c.embedding AS DOUBLE[])) AS sim
        |      FROM got g JOIN embeddings q ON q.vec_id = g.query_id
-       |                 JOIN embeddings c ON c.vec_id = g.neighbor_id)
+       |                 JOIN embeddings c ON c.vec_id = g.neighbor_id$corpusCond)
        |SELECT query_id, neighbor_id,
        |       CAST(row_number() OVER (PARTITION BY query_id
        |              ORDER BY sim DESC, neighbor_id ASC) AS BIGINT) AS "rank",
@@ -1746,6 +1746,12 @@ object OracleSql {
     // composed IVFPQ index: precision + ordering of the returned set
     // (recall gates separately through the floor below)
     "ann_ivfpq" -> annArithmeticTwin("ann_ivfpq"),
+
+    // filtered composed-index search: the label constraint is folded
+    // into the twin's corpus join, so a returned row violating the
+    // predicate DROPS from the twin and fails row parity — on top of
+    // the usual exact-cosine precision + ordering recomputation
+    "ann_ivfpq_filtered" -> annArithmeticTwin("ann_ivfpq_filtered", " AND c.label = 7"),
 
     "ann_ivfpq_recall" ->
       """SELECT vec_id AS query_id, true AS recall_ok FROM embeddings

@@ -1352,6 +1352,26 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  private def annIvfpqFiltered(t: Tables): DataFrame = {
+    // metadata-filtered search over the COMPOSED index (r12): the
+    // label rides in the codes table (ivfpqBuild extraCols), so the
+    // predicate cuts rows INSIDE the cell-pruned 32x-compressed scan —
+    // pre-filter semantics (top-k over the label slice) with both
+    // storage levers stacked. The twin folds the label constraint into
+    // its corpus join: a returned row violating the predicate drops
+    // from the twin and fails row parity, on top of the exact-cosine
+    // precision + ordering recomputation.
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpqf_index_" +
+      java.lang.Integer.toHexString(t.dir.hashCode)
+    Ann.ivfpqBuild(t.embeddings, "vec_id", "embedding", path,
+      nCells = 16, m = 8, ksub = 16, extraCols = Seq("label"))
+    Ann.ivfpqQueryIndex(t.spark, path,
+      t.embeddings.where(F.col("vec_id") < 10), "vec_id", "embedding",
+      t.embeddings, "vec_id", "embedding", k = 5, nProbe = IvfpqNProbe,
+      rerank = PqRerank, filter = Some(F.col("label") === 7))
+      .orderBy("query_id", "rank")
+  }
+
   private def annIvfpqRecall(t: Tables): DataFrame =
     annRecallQ(t, AnnIvfpqRecallFloor, strongSim = None, project = identity,
       approx = (q, c) =>
@@ -2211,6 +2231,7 @@ object SparkEntry {
       "ann_pq_index" -> q(annPqIndex),
       "ann_pq_recall" -> q(annPqRecall),
       "ann_ivfpq" -> q(annIvfpq),
+      "ann_ivfpq_filtered" -> q(annIvfpqFiltered),
       "ann_ivfpq_recall" -> q(annIvfpqRecall),
       "text_stats" -> q(textStats),
       "lang_id" -> q(langId),

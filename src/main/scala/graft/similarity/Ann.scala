@@ -846,9 +846,11 @@ object Ann {
   def ivfpqBuild(corpus: DataFrame, cId: String, cVec: String, path: String,
                  nCells: Int = 16, m: Int = 8, ksub: Int = 16,
                  iters: Int = 3, maxTrain: Int = 100000,
-                 rowCountHint: Option[Long] = None): Unit = {
+                 rowCountHint: Option[Long] = None,
+                 extraCols: Seq[String] = Nil): Unit = {
     import graft.functions.HashExprs.topCells
-    val c = corpus.select(F.col(cId).as("neighbor_id"), F.col(cVec).as("cv"))
+    val c = corpus.select((Seq(F.col(cId).as("neighbor_id"), F.col(cVec).as("cv"))
+      ++ extraCols.map(F.col)): _*)
     // one shared sampling pass for both quantizers (see ivfpqTopK)
     val sample = boundedTrainSample(c, maxTrain, rowCountHint)
     val cents = trainCentroids(c, nCells, iters, maxTrain, rowCountHint, Some(sample))
@@ -867,9 +869,10 @@ object Ann {
         StructField("cell", IntegerType, nullable = false),
         StructField("mean", ArrayType(DoubleType, containsNull = false)))))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
-    val withCell = c.select(F.col("neighbor_id"), F.col("cv"),
-      F.element_at(topCells(F.col("cv"), cents, 1), 1).as("cell"))
-    pqEncode(withCell, subDim, cbs, extra = Seq("cell"))
+    val withCell = c.select((Seq(F.col("neighbor_id"), F.col("cv"),
+        F.element_at(topCells(F.col("cv"), cents, 1), 1).as("cell"))
+      ++ extraCols.map(F.col)): _*)
+    pqEncode(withCell, subDim, cbs, extra = "cell" +: extraCols)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
   }
 
@@ -883,15 +886,22 @@ object Ann {
   def ivfpqQueryIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                       queries: DataFrame, qId: String, qVec: String,
                       corpus: DataFrame, cId: String, cVec: String,
-                      k: Int, nProbe: Int = 4, rerank: Int = 4): DataFrame = {
+                      k: Int, nProbe: Int = 4, rerank: Int = 4,
+                      filter: Option[Column] = None): DataFrame = {
     import graft.functions.HashExprs.topCells
     val cents = readCentroids(spark, s"$path/centroids")
     val cbs = readCodebooks(spark, s"$path/codebooks")
     val probed = queries
       .select(F.explode(topCells(F.col(qVec), cents, nProbe)).as("cell"))
       .distinct().collect().map(_.getInt(0)).toSeq
-    val codes = spark.read.parquet(s"$path/codes")
-      .where(F.col("cell").isin(probed: _*))
+    // metadata predicate (filtered/hybrid search over the composed
+    // index — needs the column in ivfpqBuild's extraCols): partition
+    // pruning cuts the files, the pushed filter cuts the rows, BOTH
+    // before any ADC arithmetic — pre-filter semantics, so the
+    // top-k is over the predicate-selected slice
+    val codes = filter.foldLeft(
+      spark.read.parquet(s"$path/codes")
+        .where(F.col("cell").isin(probed: _*)))(_ where _)
     val c = corpus.select(F.col(cId).as("neighbor_id"), F.col(cVec).as("cv"))
     ivfpqScanAndRank(codes, cbs, cents, queries, qId, qVec, c, k, nProbe, rerank)
   }

@@ -450,6 +450,36 @@ class SimilaritySpec extends SparkSpec {
     assert(codes.select(F.max(F.size($"codes"))).head().getInt(0) == 4)
   }
 
+  test("filtered IVFPQ: predicate cuts inside the cell-pruned codes scan; lossless config equals exact filtered top-k") {
+    val labeled = corpus.withColumn("label", (F.col("vec_id") % 5).cast("int"))
+    val dir = java.nio.file.Files.createTempDirectory("ivfpqf").toString
+    Ann.ivfpqBuild(labeled, "vec_id", "embedding", dir,
+      nCells = 8, m = 4, ksub = 8, iters = 2, extraCols = Seq("label"))
+    val q = labeled.where($"vec_id" < 5)
+    // all cells + covering rerank: the composed filtered path must
+    // equal the exact pre-filter top-k over the label slice
+    val res = Ann.ivfpqQueryIndex(spark, dir, q, "vec_id", "embedding",
+      labeled, "vec_id", "embedding", k = 3, nProbe = 8, rerank = 100,
+      filter = Some(F.col("label") === 2))
+    val got = res.as[(Long, Long, Long, Double)].collect().toSet
+    val brute = Ann.cosineTopKFiltered(q, "vec_id", "embedding",
+      labeled, "vec_id", "embedding", predicate = F.col("label") === 2, k = 3)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got == brute,
+      "lossless filtered IVFPQ must equal exact pre-filter top-k")
+    // both storage levers in ONE scan: probed-cell partition filters
+    // AND the pushed label predicate on the compact codes table
+    val few = Ann.ivfpqQueryIndex(spark, dir, q, "vec_id", "embedding",
+      labeled, "vec_id", "embedding", k = 3, nProbe = 2, rerank = 4,
+      filter = Some(F.col("label") === 2))
+    few.collect()
+    val p = few.queryExecution.executedPlan.toString
+    assert("""PartitionFilters: \[[^\]]*cell#\d+L? IN """.r.findFirstIn(p).isDefined,
+      s"probed-cell isin must prune codes partitions; plan:\n$p")
+    assert("""PushedFilters: \[[^\]]*EqualTo\(label,2\)""".r.findFirstIn(p).isDefined,
+      s"label predicate must push into the codes scan; plan:\n$p")
+  }
+
   test("filtered search: pre-filter returns full-k from the slice; filtered IVF prunes cells AND pushes the predicate") {
     // label striped mod 5 — DELIBERATELY coprime with the 4 clusters,
     // so every cluster mixes all labels: a query's unfiltered top-3
