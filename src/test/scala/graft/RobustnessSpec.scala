@@ -258,6 +258,54 @@ class RobustnessSpec extends SparkSpec {
       emb, "vec_id", "embedding", radius = 0.5).count() == 0)
   }
 
+  test("round-12 ops: degenerate inputs flow cleanly") {
+    import graft.text.{Classify, Search}
+    import graft.similarity.Ann
+    val docs = Seq((1L, "alpha beta gamma alpha"), (2L, ""),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    // query terms absent from the corpus / tokenizing to nothing:
+    // empty ranked lists, never an error
+    assert(Search.bm25TopK(docs, "doc_id", "text",
+      Seq(0 -> "zzz qqq"), k = 5).count() == 0)
+    assert(Search.bm25TopK(docs, "doc_id", "text",
+      Seq(0 -> "!!! ..."), k = 5).count() == 0)
+    // persisted index on the tiny corpus: unknown-term probe is empty;
+    // an EMPTY appended batch changes nothing (stats stay additive),
+    // and the served result still equals the inline query
+    val dir = java.nio.file.Files.createTempDirectory("bm25rob").toString
+    val table = "graft_bm25_rob_" + java.lang.Long.toHexString(System.nanoTime())
+    Search.bm25Build(docs, "doc_id", "text", table, s"$dir/stats", nBuckets = 2)
+    assert(Search.bm25QueryIndex(spark, table, s"$dir/stats",
+      Seq(0 -> "zzz"), k = 5).count() == 0)
+    Search.bm25IndexAppend(docs.where(F.lit(false)), "doc_id", "text",
+      table, s"$dir/stats", nBuckets = 2)
+    val viaIdx = Search.bm25QueryIndex(spark, table, s"$dir/stats",
+      Seq(0 -> "alpha"), k = 5)
+      .as[(Int, Long, Double, Int)].collect().toSeq
+    val inline = Search.bm25TopK(docs, "doc_id", "text",
+      Seq(0 -> "alpha"), k = 5)
+      .as[(Int, Long, Double, Int)].collect().toSeq
+    assert(viaIdx == inline && viaIdx.nonEmpty)
+    // fusion with one arm empty degrades to the other arm's order
+    val armA = Seq((0, 10L, 1L), (0, 11L, 2L)).toDF("query_id", "doc_id", "rank")
+    assert(Search.rrfFuse(Seq(armA, armA.where(F.lit(false))), k = 5)
+      .count() == 2)
+    // NB with an all-OOV test doc falls back to the prior argmax; an
+    // empty test frame yields an empty result, no errors
+    val tr = Seq((1L, "x x y", "a"), (2L, "y z", "b")).toDF("id", "text", "y")
+    val te = Seq((3L, "qq ww", "a")).toDF("id", "text", "y")
+    val nb = Classify.naiveBayes(tr, te, "id", "text", "y").collect()
+    assert(nb.length == 1 && !nb(0).isNullAt(2))
+    assert(Classify.naiveBayes(tr, te.where(F.lit(false)),
+      "id", "text", "y").count() == 0)
+    // composed IVFPQ with an empty query batch: empty, no failure
+    val emb = (0 until 40).map(i =>
+      (i.toLong, Seq.fill(8)(((i * 5 + 1) % 13).toFloat))).toDF("vec_id", "embedding")
+    assert(Ann.ivfpqTopK(emb.where(F.lit(false)), "vec_id", "embedding",
+      emb, "vec_id", "embedding", k = 3, nCells = 4, nProbe = 2,
+      m = 2, ksub = 4, iters = 1).count() == 0)
+  }
+
   test("property: AsOfJoin both directions equal brute force on random data (seeded)") {
     import graft.operators.AsOfJoin
     val rnd = new Random(17)
