@@ -2192,6 +2192,57 @@ object OracleSql {
          |FROM te e LEFT JOIN pred p ON p.doc_id = e.doc_id CROSS JOIN fb f
          |ORDER BY id""".stripMargin,
 
+    // classifier-driven curation: full replay of NB training on the
+    // seed slice (token-derived boilerplate label), corpus-wide
+    // scoring with smoothing + decimal accumulation, argmax +
+    // prior-argmax fallback, and the predicted-clean keep filter
+    "curate_classify_filter" ->
+      s"""WITH lab AS (SELECT doc_id, lang, ${toks("text")} AS tl,
+         |              CASE WHEN len(list_filter(${toks("text")}, x -> x = 'dup')) > 0
+         |                   THEN 'boiler' ELSE 'clean' END AS y
+         |            FROM documents),
+         |tr AS (SELECT * FROM lab WHERE doc_id % 5 <> 0),
+         |trtok AS (SELECT y, unnest(tl) AS tok FROM tr),
+         |cnt AS (SELECT y, tok, count(*) AS cnt FROM trtok GROUP BY y, tok),
+         |tot AS (SELECT y, sum(cnt) AS tot FROM cnt GROUP BY y),
+         |vs AS (SELECT count(DISTINCT tok) AS v FROM cnt),
+         |pri AS (SELECT y, count(*) AS n_docs FROM tr GROUP BY y),
+         |nall AS (SELECT count(*) AS n_all FROM tr),
+         |classes AS (
+         |  SELECT p.y AS cl, coalesce(t.tot, 0) AS tot,
+         |         CAST(round(ln(CAST(p.n_docs AS DOUBLE) / CAST(a.n_all AS DOUBLE)), 9)
+         |              AS DECIMAL(20,9)) AS prior_c
+         |  FROM pri p LEFT JOIN tot t ON t.y = p.y CROSS JOIN nall a),
+         |tetf AS (
+         |  SELECT doc_id, tok, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest(tl) AS tok FROM lab)
+         |  WHERE tok IN (SELECT DISTINCT tok FROM cnt)
+         |  GROUP BY doc_id, tok),
+         |contrib AS (
+         |  SELECT f.doc_id, k.cl,
+         |         CAST(round(f.tf * ln((CAST(coalesce(c.cnt, 0) AS DOUBLE) + 1)
+         |                              / CAST(k.tot + v.v AS DOUBLE)), 9)
+         |              AS DECIMAL(20,9)) AS c
+         |  FROM tetf f CROSS JOIN classes k
+         |  LEFT JOIN cnt c ON c.y = k.cl AND c.tok = f.tok
+         |  CROSS JOIN vs v),
+         |scored AS (
+         |  SELECT s.doc_id, s.cl, s.ll + k.prior_c AS score
+         |  FROM (SELECT doc_id, cl, sum(c) AS ll FROM contrib GROUP BY doc_id, cl) s
+         |  JOIN classes k ON k.cl = s.cl),
+         |pred AS (
+         |  SELECT doc_id, cl AS predicted FROM (
+         |    SELECT doc_id, cl,
+         |           row_number() OVER (PARTITION BY doc_id
+         |                              ORDER BY score DESC, cl ASC) AS rk
+         |    FROM scored) WHERE rk = 1),
+         |fb AS (SELECT cl AS fallback FROM classes
+         |       ORDER BY prior_c DESC, cl ASC LIMIT 1)
+         |SELECT l.doc_id, l.lang
+         |FROM lab l LEFT JOIN pred p ON p.doc_id = l.doc_id CROSS JOIN fb f
+         |WHERE coalesce(p.predicted, f.fallback) = 'clean'
+         |ORDER BY l.doc_id""".stripMargin,
+
     // NB learning-collapse gate: n_test and n_boiler replay the split
     // and the token-derived labeling; the two booleans are literal
     // TRUE, so a Spark-side accuracy/recall collapse flips the row and

@@ -1600,6 +1600,22 @@ object SparkEntry {
           >= NbGateRecallFloor).as("recall_ok"))
   }
 
+  private def curateClassifyFilter(t: Tables): DataFrame = {
+    // model-based curation (r12): the classifier-driven filter stage
+    // (the fastText-quality-classifier pattern) — train NB on the
+    // labeled seed slice (the same token-derivable boilerplate label
+    // the nb_gate uses), score EVERY corpus document, keep the
+    // predicted-clean ones. Twin replays training, corpus-wide
+    // scoring, argmax + fallback, and the keep semi-join end-to-end.
+    val labeled = t.documents.select(F.col("doc_id"), F.col("text"),
+      F.when(F.array_contains(TextOps.tokens(F.col("text")), "dup"), "boiler")
+        .otherwise("clean").as("y"))
+    val train = labeled.where(F.col("doc_id") % 5 =!= 0)
+    text.Classify.nbFilter(train, t.documents, "doc_id", "text", "y",
+      keepLabel = "clean")
+      .select("doc_id", "lang").orderBy("doc_id")
+  }
+
   private def docFingerprint(t: Tables): DataFrame =
     // two-step select keeps fp an attribute: CollapseProject won't
     // inline a multiply-referenced non-cheap expression, so the
@@ -2249,6 +2265,7 @@ object SparkEntry {
       "text_search_hybrid_idx_dense" -> q(textSearchHybridIdxDense),
       "text_classify_nb" -> q(textClassifyNb),
       "text_classify_nb_gate" -> q(textClassifyNbGate),
+      "curate_classify_filter" -> q(curateClassifyFilter),
       "text_scrub" -> q(textScrub),
       "text_scrub_pii" -> q(textScrubPii),
       "doc_profile" -> q(docProfileQ),

@@ -43,9 +43,24 @@ object Classify {
     */
   def naiveBayes(train: DataFrame, test: DataFrame,
                  idCol: String, textCol: String, labelCol: String): DataFrame = {
+    val pred = classify(train, test, idCol, textCol, labelCol)
+    test.select(F.col(idCol).as("id"), F.col(labelCol).as("label"))
+      .join(pred, "id")
+      .select(F.col("id"), F.col("label"), F.col("predicted"),
+        F.when(F.col("predicted") === F.col("label"), 1).otherwise(0).as("correct"))
+  }
+
+  /** Train on `train` (needs labelCol) and predict for every `docs`
+    * row (needs only idCol/textCol — no ground truth required).
+    * Output: (id, predicted), one row per docs row; all-OOV documents
+    * get the prior-argmax fallback. The label-free half of
+    * [[naiveBayes]], and the scoring engine behind [[nbFilter]].
+    */
+  def classify(train: DataFrame, docs: DataFrame,
+               idCol: String, textCol: String, labelCol: String): DataFrame = {
     val tr = train.select(F.col(idCol).as("id"), F.col(labelCol).as("label"),
       TextOps.tokens(F.col(textCol)).as("tl"))
-    val te = test.select(F.col(idCol).as("id"), F.col(labelCol).as("label"),
+    val te = docs.select(F.col(idCol).as("id"),
       TextOps.tokens(F.col(textCol)).as("tl"))
 
     // the model: per-(class, token) counts, class totals, priors, |V|
@@ -94,14 +109,35 @@ object Classify {
       .where(F.col("rk") === 1)
       .select(F.col("id"), F.col("cl").as("predicted"))
 
-    // a test doc with zero in-vocabulary tokens scores every class by
-    // its prior alone — the argmax-prior class (ties on label asc)
+    // a doc with zero in-vocabulary tokens scores every class by its
+    // prior alone — the argmax-prior class (ties on label asc)
     val topPrior = classes.orderBy(F.col("prior_c").desc, F.col("cl").asc)
       .limit(1).select(F.col("cl").as("fallback"))
-    te.select("id", "label").join(pred, Seq("id"), "left")
+    te.select("id").join(pred, Seq("id"), "left")
       .crossJoin(F.broadcast(topPrior))
-      .withColumn("predicted", F.coalesce(F.col("predicted"), F.col("fallback")))
-      .select(F.col("id"), F.col("label"), F.col("predicted"),
-        F.when(F.col("predicted") === F.col("label"), 1).otherwise(0).as("correct"))
+      .select(F.col("id"),
+        F.coalesce(F.col("predicted"), F.col("fallback")).as("predicted"))
+  }
+
+  /** Model-based corpus filtering — the classifier-driven curation
+    * stage a training-data pipeline runs after heuristics (the public
+    * pattern is a fastText quality classifier gating the crawl;
+    * Joulin '16 / the quality-filter stage in Rae et al.'s Gopher and
+    * Brown et al.'s GPT-3 data work): train NB on a labeled seed set,
+    * score EVERY corpus document, keep those predicted `keepLabel`.
+    * Returns the kept documents' original rows (all `docs` columns).
+    *
+    * Scale: scoring is [[classify]] — |vocab|·|classes| model state
+    * joined on the token key, never corpus×corpus; the keep set
+    * applies as a semi-join of predictions back to the corpus on the
+    * id, so document payloads move only for kept rows.
+    */
+  def nbFilter(train: DataFrame, docs: DataFrame,
+               idCol: String, textCol: String, labelCol: String,
+               keepLabel: String): DataFrame = {
+    val keep = classify(train, docs, idCol, textCol, labelCol)
+      .where(F.col("predicted") === keepLabel)
+      .select(F.col("id").as(idCol))
+    docs.join(keep, Seq(idCol), "left_semi")
   }
 }

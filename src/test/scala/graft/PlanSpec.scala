@@ -185,8 +185,9 @@ class PlanSpec extends SparkSpec {
     // alongside the cell-pruned dense arm
     "text_search_bm25_idx", "text_search_bm25_incr", "text_search_hybrid_idx",
     // the NB gate aggregates text_classify_nb's plan (the same
-    // |classes|-row and one-row model-frame crossJoins)
-    "text_classify_nb_gate",
+    // |classes|-row and one-row model-frame crossJoins), and the
+    // classifier-driven curation filter scores the corpus through it
+    "text_classify_nb_gate", "curate_classify_filter",
     // the r12 grouped distribution matcher crossJoins each side's
     // histogram with the OTHER side's literal column-name list
     // (|cols| rows, broadcast) and the full literal pair matrix —
