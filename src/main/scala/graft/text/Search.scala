@@ -72,9 +72,9 @@ object Search {
     * (unique per (doc, term), so count(*) IS df(t)) — never persisted,
     * always consistent with the postings.
     */
-  private def scoreAndRank(post: DataFrame, stats: DataFrame,
-                           queries: Seq[(Int, String)], k: Int,
-                           k1: Double, b: Double): DataFrame = {
+  private[graft] def scoreAndRank(post: DataFrame, stats: DataFrame,
+                                  queries: Seq[(Int, String)], k: Int,
+                                  k1: Double, b: Double): DataFrame = {
     val spark = post.sparkSession
     import spark.implicits._
     val qt = queries.flatMap { case (qid, q) =>

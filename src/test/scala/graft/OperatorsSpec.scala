@@ -435,6 +435,54 @@ class OperatorsSpec extends SparkSpec {
       spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("streaming SEARCH ingest: live index equals the batch scorer; stats roll-up replay-idempotent") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingSearch
+    implicit val sq = spark.sqlContext
+    for (t <- Seq("stream_bm25_post", "stream_bm25_stats"))
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+    val initial = Seq((1L, "apple banana apple"), (2L, "banana cherry"))
+      .toDF("doc_id", "text")
+    StreamingSearch.bootstrap(initial, "stream_bm25_post",
+      "stream_bm25_stats", "doc_id", "text", nBuckets = 2)
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamingSearch.ingest(stream.toDF().toDF("doc_id", "text"),
+      "stream_bm25_post", "stream_bm25_stats", "doc_id", "text", nBuckets = 2)
+    try {
+      stream.addData((3L, "apple date date"), (4L, ""))
+      q.processAllAvailable()
+      stream.addData((5L, "cherry apple banana"))
+      q.processAllAvailable()
+    } finally q.stop()
+    // the live index must score exactly like the inline batch operator
+    // over the same (initial + streamed) corpus
+    val corpus = initial.unionAll(Seq((3L, "apple date date"), (4L, ""),
+      (5L, "cherry apple banana")).toDF("doc_id", "text"))
+    val queries = Seq(0 -> "apple cherry", 1 -> "date")
+    val live = StreamingSearch.query(spark, "stream_bm25_post",
+        "stream_bm25_stats", queries, k = 10)
+      .as[(Int, Long, Double, Int)].collect().sortBy(r => (r._1, r._4)).toSeq
+    val inline = graft.text.Search.bm25TopK(corpus, "doc_id", "text",
+        queries, k = 10)
+      .as[(Int, Long, Double, Int)].collect().sortBy(r => (r._1, r._4)).toSeq
+    assert(live == inline && live.nonEmpty, s"live=$live inline=$inline")
+    // replay idempotence of the stats roll-up: a duplicated per-batch
+    // stats row (foreachBatch at-least-once) must not change scores
+    spark.table("stream_bm25_stats").where(F.col("ingest_batch") === 1L)
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .saveAsTable("stream_bm25_stats")
+    val replayed = StreamingSearch.query(spark, "stream_bm25_post",
+        "stream_bm25_stats", queries, k = 10)
+      .as[(Int, Long, Double, Int)].collect().sortBy(r => (r._1, r._4)).toSeq
+    assert(replayed == inline, "duplicate stats row must collapse")
+    // lineage column present on the postings for partition-filter
+    // cleanup of a crashed batch
+    assert(spark.table("stream_bm25_post").select("ingest_batch")
+      .as[Long].collect().toSet == Set(-1L, 0L, 1L))
+    for (t <- Seq("stream_bm25_post", "stream_bm25_stats"))
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("lateArrivals: hand-computed disorder — running max, lateness gaps, per-type rollup") {
     import graft.streaming.Events
     def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
