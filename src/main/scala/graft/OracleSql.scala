@@ -1743,6 +1743,21 @@ object OracleSql {
       """SELECT vec_id AS query_id, true AS recall_ok FROM embeddings
         |WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
 
+    // int8 scalar quantization: exact per-dimension min/max bounds and
+    // the identical IEEE double chain round((x-lo)/(hi-lo)*255) —
+    // float inputs widen to doubles exactly, so codes match with no
+    // tolerance; constant dims code to 0 by the hi=lo guard
+    "embedding_quantize" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |ex AS (SELECT vec_id, i - 1 AS pos, v[i] AS x FROM (
+        |         SELECT vec_id, v, unnest(generate_series(1, len(v))) AS i FROM e)),
+        |b AS (SELECT pos, min(x) AS lo, max(x) AS hi FROM ex GROUP BY pos)
+        |SELECT vec_id, pos,
+        |       CAST(CASE WHEN hi = lo THEN 0
+        |            ELSE round((x - lo) / (hi - lo) * 255) END AS BIGINT) AS code
+        |FROM ex JOIN b USING (pos)
+        |ORDER BY vec_id, pos""".stripMargin,
+
     // composed IVFPQ index: precision + ordering of the returned set
     // (recall gates separately through the floor below)
     "ann_ivfpq" -> annArithmeticTwin("ann_ivfpq"),

@@ -1352,6 +1352,16 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  private def embeddingQuantize(t: Tables): DataFrame =
+    // int8 scalar quantization (r12): per-dimension exact min/max
+    // bounds (one map-side-reduced pass), then a shuffle-free encode
+    // against the broadcast-literal grid — 4x smaller vector storage
+    // with error <= half a grid step (spec-gated); every code is an
+    // exact IEEE double chain both engines evaluate identically, so
+    // the twin replays bounds + codes with no tolerance.
+    similarity.ScalarQuant.sqEncodeExploded(t.embeddings, "vec_id", "embedding")
+      .orderBy("vec_id", "pos")
+
   private def annIvfpqFiltered(t: Tables): DataFrame = {
     // metadata-filtered search over the COMPOSED index (r12): the
     // label rides in the codes table (ivfpqBuild extraCols), so the
@@ -2248,6 +2258,7 @@ object SparkEntry {
       "ann_pq_recall" -> q(annPqRecall),
       "ann_ivfpq" -> q(annIvfpq),
       "ann_ivfpq_filtered" -> q(annIvfpqFiltered),
+      "embedding_quantize" -> q(embeddingQuantize),
       "ann_ivfpq_recall" -> q(annIvfpqRecall),
       "text_stats" -> q(textStats),
       "lang_id" -> q(langId),

@@ -450,6 +450,36 @@ class SimilaritySpec extends SparkSpec {
     assert(codes.select(F.max(F.size($"codes"))).head().getInt(0) == 4)
   }
 
+  test("scalar quantization: codes in range, reconstruction within half a grid step, constant dims exact, shuffle-free encode") {
+    import graft.similarity.ScalarQuant
+    // 8-dim vectors with a CONSTANT dim (3) and mixed ranges
+    val vecs = (0 until 50).map { i =>
+      (i.toLong, Seq.tabulate(8)(j =>
+        if (j == 3) 4.25f else ((i * (j + 7) * 31) % 997 - 498) / 37.0f))
+    }.toDF("vec_id", "embedding")
+    val (lo, hi) = ScalarQuant.sqTrain(vecs, "embedding")
+    assert(lo.length == 8 && lo(3) == 4.25 && hi(3) == 4.25)
+    val enc = ScalarQuant.sqEncode(vecs, "vec_id", "embedding", lo, hi)
+    val codes = enc.select(F.explode($"codes")).as[Long].collect()
+    assert(codes.forall(c => c >= 0 && c <= 255), "codes must fit a byte")
+    // round-trip error bound: half a grid step per dimension; the
+    // constant dim reconstructs exactly
+    val err = ScalarQuant.sqDecode(enc, "vec_id", "codes", lo, hi)
+      .join(vecs, "vec_id")
+      .select(F.posexplode(F.zip_with($"recon",
+        F.transform($"embedding", x => x.cast("double")),
+        (r, x) => F.abs(r - x))).as(Seq("pos", "e")))
+      .groupBy("pos").agg(F.max("e").as("maxe"))
+      .as[(Int, Double)].collect().toMap
+    for (j <- 0 until 8) {
+      val bound = if (hi(j) == lo(j)) 0.0 else (hi(j) - lo(j)) / 255.0 / 2.0
+      assert(err(j) <= bound + 1e-12, s"dim $j error ${err(j)} > $bound")
+    }
+    // encode is a shuffle-free projection against literal bounds
+    val p = enc.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"encode must not shuffle:\n$p")
+  }
+
   test("filtered IVFPQ: predicate cuts inside the cell-pruned codes scan; lossless config equals exact filtered top-k") {
     val labeled = corpus.withColumn("label", (F.col("vec_id") % 5).cast("int"))
     val dir = java.nio.file.Files.createTempDirectory("ivfpqf").toString
