@@ -1743,6 +1743,33 @@ object OracleSql {
       """SELECT vec_id AS query_id, true AS recall_ok FROM embeddings
         |WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
 
+    // PCA projection twin: replays EVERY projection coordinate from
+    // the dumped (mean, component) matrix — per-term 9dp rounding,
+    // DECIMAL accumulation (order-free), 6dp final round, exactly the
+    // Spark chain; the eigensolve itself is gated by
+    // embedding_pca_gate's orthonormality/eigenvalue-match booleans
+    "embedding_pca" ->
+      """WITH cm AS (SELECT comp, pos, w
+        |            FROM read_parquet('__VERIFY_OUT__/embedding_pca_components/*.parquet')),
+        |mu AS (SELECT pos, w AS m FROM cm WHERE comp = -1),
+        |c AS (SELECT comp, pos, w FROM cm WHERE comp >= 0),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |ex AS (SELECT vec_id, i - 1 AS pos, v[i] AS x FROM (
+        |         SELECT vec_id, v, unnest(generate_series(1, len(v))) AS i FROM e)),
+        |terms AS (SELECT ex.vec_id, c.comp,
+        |                 CAST(round(c.w * (ex.x - mu.m), 9) AS DECIMAL(28,9)) AS t
+        |          FROM ex JOIN mu USING (pos) JOIN c USING (pos))
+        |SELECT vec_id, comp, round(CAST(sum(t) AS DOUBLE), 6) AS proj
+        |FROM terms GROUP BY vec_id, comp
+        |ORDER BY vec_id, comp""".stripMargin,
+
+    // literal-true training gate (the recall-floor pattern): k replays
+    // as a literal; the booleans assert orthonormality and the
+    // sample-variance == eigenvalue identity end-to-end
+    "embedding_pca_gate" ->
+      """SELECT 4 AS k, true AS orthonormal_ok, true AS variance_order_ok,
+        |       true AS eigen_match_ok""".stripMargin,
+
     // int8 scalar quantization: exact per-dimension min/max bounds and
     // the identical IEEE double chain round((x-lo)/(hi-lo)*255) —
     // float inputs widen to doubles exactly, so codes match with no

@@ -1352,6 +1352,41 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  private val PcaK = 4
+
+  private def embeddingPca(t: Tables): DataFrame = {
+    // PCA projection (r12): deterministic training (bounded id-hash
+    // sample -> decimal covariance -> driver Jacobi eigensolve, sign-
+    // normalized), then a shuffle-free projection whose coordinates
+    // are 9dp-term decimal dot products — the twin replays every
+    // projection from the dumped component matrix, so only the d x d
+    // eigensolve (driver math, gated by embedding_pca_gate's
+    // orthonormality + eigenvalue-match booleans) stays SQL-free.
+    val (mu, comps, _) = similarity.Pca.pcaTrain(
+      t.embeddings, "vec_id", "embedding", k = PcaK)
+    similarity.Pca.pcaProject(t.embeddings, "vec_id", "embedding", mu, comps)
+      .select(F.col("vec_id"), F.posexplode(F.col("proj")).as(Seq("comp", "proj")))
+      .orderBy("vec_id", "comp")
+  }
+
+  private def embeddingPcaComponents(t: Tables): DataFrame = {
+    // companion dump (rows-only): the trained mean (comp = -1) and
+    // component matrix — the embedding_pca twin's input, the
+    // doc_fingerprint_hashes pattern
+    val (mu, comps, _) = similarity.Pca.pcaTrain(
+      t.embeddings, "vec_id", "embedding", k = PcaK)
+    val rows = mu.zipWithIndex.map { case (m, p) => (-1, p, m) } ++
+      comps.zipWithIndex.flatMap { case (w, c) =>
+        w.zipWithIndex.map { case (x, p) => (c, p, x) }
+      }
+    val spark = t.spark
+    import spark.implicits._
+    rows.toDF("comp", "pos", "w").orderBy("comp", "pos")
+  }
+
+  private def embeddingPcaGate(t: Tables): DataFrame =
+    similarity.Pca.trainGate(t.embeddings, "vec_id", "embedding", k = PcaK)
+
   private def embeddingQuantize(t: Tables): DataFrame =
     // int8 scalar quantization (r12): per-dimension exact min/max
     // bounds (one map-side-reduced pass), then a shuffle-free encode
@@ -2259,6 +2294,9 @@ object SparkEntry {
       "ann_ivfpq" -> q(annIvfpq),
       "ann_ivfpq_filtered" -> q(annIvfpqFiltered),
       "embedding_quantize" -> q(embeddingQuantize),
+      "embedding_pca" -> q(embeddingPca),
+      "embedding_pca_components" -> q(embeddingPcaComponents),
+      "embedding_pca_gate" -> q(embeddingPcaGate),
       "ann_ivfpq_recall" -> q(annIvfpqRecall),
       "text_stats" -> q(textStats),
       "lang_id" -> q(langId),

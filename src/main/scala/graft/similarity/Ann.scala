@@ -426,8 +426,8 @@ object Ann {
     // last resort — that extra pass was a doubled training-stage read
     // at the 100 TB design point.
     */
-  private def boundedTrainSample(c: DataFrame, maxTrain: Int,
-                                 rowCountHint: Option[Long]): DataFrame = {
+  private[similarity] def boundedTrainSample(c: DataFrame, maxTrain: Int,
+                                             rowCountHint: Option[Long]): DataFrame = {
     val n = rowCountHint.getOrElse {
       val plan = c.queryExecution.optimizedPlan
       plan.stats.rowCount.map(_.longValue).getOrElse {

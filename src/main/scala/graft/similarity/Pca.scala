@@ -1,0 +1,204 @@
+package graft.similarity
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{functions => F}
+
+/** Deterministic PCA for embedding columns — the dimensionality
+  * reduction an embedding store runs before indexing (the classic
+  * pre-ANN transform: FAISS's PCAMatrix / OPQ pre-rotations are the
+  * public pattern; Jolliffe's PCA is the method itself).
+  *
+  * Split of work, sized to what each side is good at:
+  *  - DISTRIBUTED: the mean vector and the d×d covariance of a
+  *    bounded deterministic sample (the shared ANN trainer sample —
+  *    a pure function of the ids) — one explode to (i ≤ j) cell
+  *    contributions, decimal-accumulated so the matrix is
+  *    partitioning-invariant. d is a small constant (64 here), so the
+  *    shuffle carries d(d+1)/2 keys with map-side partial aggregation.
+  *  - DRIVER: the d×d symmetric eigensolve (cyclic Jacobi, fixed
+  *    sweep order → deterministic) — O(d^3) scalar math on a matrix
+  *    that is driver-small BY CONSTRUCTION; distributing it would be
+  *    all overhead.
+  *  - DISTRIBUTED again: projection is a shuffle-free per-row
+  *    transform against the literal (mean, components) — each
+  *    projection coordinate is Σ_j w_j·(x_j − μ_j) with per-term 9dp
+  *    rounding and DECIMAL accumulation, so the value is
+  *    addition-order-free and the SQL twin replays it exactly from
+  *    the dumped component matrix.
+  *
+  * Sign convention: each eigenvector's largest-|w| element (lowest
+  * index on ties) is made positive — eigenvectors are only defined up
+  * to sign, and the convention pins the output for parity.
+  */
+object Pca {
+
+  /** Mean vector + top-k principal components of the bounded sample's
+    * covariance (population convention, divisor n). Returns
+    * (mean[d], components[k][d], eigenvalues[k]) with components
+    * orthonormal, eigenvalue-descending, sign-normalized.
+    */
+  def pcaTrain(df: DataFrame, idCol: String, vecCol: String, k: Int,
+               maxTrain: Int = 100000,
+               rowCountHint: Option[Long] = None)
+      : (Seq[Double], Seq[Seq[Double]], Seq[Double]) = {
+    require(k >= 1, "k >= 1")
+    val c = df.select(F.col(idCol).as("neighbor_id"), F.col(vecCol).as("cv"))
+    val sample = Ann.boundedTrainSample(c, maxTrain, rowCountHint)
+    val n = sample.count().toDouble
+    require(n >= 2, "PCA needs at least two sample vectors")
+    // mean per dimension, decimal-accumulated
+    val mu = sample
+      .select(F.posexplode(F.transform(F.col("cv"), x => x.cast("double")))
+        .as(Seq("pos", "x")))
+      .groupBy("pos")
+      .agg(F.avg(F.col("x").cast("decimal(28,10)")).cast("double").as("m"))
+      .orderBy("pos").collect().map(_.getDouble(1))
+    val d = mu.length
+    require(k <= d, s"k=$k exceeds dimension $d")
+    val muL = F.typedlit(mu.toSeq)
+    // centered upper-triangle covariance cells (i <= j): explode each
+    // vector to its d(d+1)/2 products — decimal sums, then /n
+    val centered = sample.select(
+      F.zip_with(F.transform(F.col("cv"), x => x.cast("double")),
+        F.sequence(F.lit(0), F.lit(d - 1)),
+        (x, i) => x - F.element_at(muL, i + 1)).as("cv0"))
+    val cells = centered
+      .select(F.posexplode(F.col("cv0")).as(Seq("i", "xi")), F.col("cv0"))
+      .select(F.col("i"), F.col("xi"), F.posexplode(F.col("cv0")).as(Seq("j", "xj")))
+      .where(F.col("j") >= F.col("i"))
+      .groupBy("i", "j")
+      .agg(F.sum((F.col("xi") * F.col("xj")).cast("decimal(30,12)"))
+        .cast("double").as("s"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2) / n).toMap
+    sample.unpersist()
+    val cov = Array.tabulate(d, d)((i, j) =>
+      cells.getOrElse((math.min(i, j), math.max(i, j)), 0.0))
+    val (evals, evecs) = jacobiEigen(cov)
+    // top-k by eigenvalue desc, index asc on ties; sign-normalize
+    val order = evals.indices.sortBy(i => (-evals(i), i)).take(k)
+    val comps = order.map { ci =>
+      val v = evecs.map(_(ci))
+      val pivot = v.indices.maxBy(j => (math.abs(v(j)), -j))
+      val sgn = if (v(pivot) < 0) -1.0 else 1.0
+      v.map(_ * sgn).toSeq
+    }
+    (mu.toSeq, comps, order.map(evals(_)))
+  }
+
+  /** Cyclic Jacobi eigensolve of a symmetric matrix: returns
+    * (eigenvalues, eigenvector matrix with vectors in COLUMNS).
+    * Fixed (p, q) sweep order and a pure function of the input —
+    * deterministic. Converges quadratically; 30 sweeps is far beyond
+    * what a 64x64 covariance needs.
+    */
+  private[graft] def jacobiEigen(a: Array[Array[Double]])
+      : (Array[Double], Array[Array[Double]]) = {
+    val n = a.length
+    val m = Array.tabulate(n, n)((i, j) => a(i)(j))
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    def off(): Double = {
+      var s = 0.0
+      for (i <- 0 until n; j <- i + 1 until n) s += m(i)(j) * m(i)(j)
+      s
+    }
+    while (sweep < 30 && off() > 1e-22) {
+      for (p <- 0 until n - 1; q <- p + 1 until n) {
+        val apq = m(p)(q)
+        if (math.abs(apq) > 1e-300) {
+          val theta = (m(q)(q) - m(p)(p)) / (2.0 * apq)
+          val t =
+            if (theta >= 0) 1.0 / (theta + math.sqrt(theta * theta + 1.0))
+            else -1.0 / (-theta + math.sqrt(theta * theta + 1.0))
+          val c = 1.0 / math.sqrt(t * t + 1.0)
+          val s = t * c
+          for (i <- 0 until n) {
+            val mip = m(i)(p); val miq = m(i)(q)
+            m(i)(p) = c * mip - s * miq
+            m(i)(q) = s * mip + c * miq
+          }
+          for (i <- 0 until n) {
+            val mpi = m(p)(i); val mqi = m(q)(i)
+            m(p)(i) = c * mpi - s * mqi
+            m(q)(i) = s * mpi + c * mqi
+          }
+          for (i <- 0 until n) {
+            val vip = v(i)(p); val viq = v(i)(q)
+            v(i)(p) = c * vip - s * viq
+            v(i)(q) = s * vip + c * viq
+          }
+        }
+      }
+      sweep += 1
+    }
+    (Array.tabulate(n)(i => m(i)(i)), v)
+  }
+
+  /** Project every vector onto the components — shuffle-free against
+    * the literal (mean, components); each coordinate is the 9dp-term
+    * DECIMAL-accumulated dot product rounded to 6dp (order-free, SQL-
+    * replayable). Output: (idCol, proj array<double> of length k).
+    */
+  def pcaProject(df: DataFrame, idCol: String, vecCol: String,
+                 mean: Seq[Double], comps: Seq[Seq[Double]]): DataFrame = {
+    val muL = F.typedlit(mean)
+    val d = mean.size
+    val projCols = comps.map { w =>
+      val wL = F.typedlit(w)
+      val terms = F.zip_with(
+        F.transform(F.col(vecCol), x => x.cast("double")),
+        F.sequence(F.lit(0), F.lit(d - 1)),
+        (x, i) => F.round(F.element_at(wL, i + 1) * (x - F.element_at(muL, i + 1)), 9)
+          .cast("decimal(28,9)"))
+      // accumulator precision 30: (30,9) + (28,9) promotes to (31,9),
+      // within the 38 cap — a (38,9) accumulator would promote to
+      // (39,9) and trip Spark's precision-loss rule, which silently
+      // REDUCES THE SCALE to 8dp on every addition (caught by the
+      // embedding_pca parity gate in round 12)
+      F.round(F.aggregate(terms,
+          F.lit(BigDecimal(0)).cast("decimal(30,9)"),
+          (acc, t) => (acc + t).cast("decimal(30,9)")).cast("double"), 6)
+    }
+    df.select(F.col(idCol), F.array(projCols: _*).as("proj"))
+  }
+
+  /** End-to-end training gate, one boolean row: (a) the component
+    * matrix is orthonormal (driver math over the literals, |VᵀV − I|
+    * max element); (b) the per-component variance of the TRAINING
+    * SAMPLE's projections is non-increasing and matches the reported
+    * eigenvalues — in exact arithmetic sample-projection variance
+    * under the population convention IS the eigenvalue, so this ties
+    * the distributed covariance, the driver eigensolve, and the
+    * projection arithmetic together: break any of them and a boolean
+    * flips (the literal-true oracle pattern). Tolerances absorb only
+    * the documented 9dp/12dp decimal roundings.
+    */
+  def trainGate(df: DataFrame, idCol: String, vecCol: String, k: Int,
+                maxTrain: Int = 100000,
+                rowCountHint: Option[Long] = None): DataFrame = {
+    val (mu, comps, evals) = pcaTrain(df, idCol, vecCol, k, maxTrain, rowCountHint)
+    val d = mu.size
+    val orthoErr = (for (a <- comps.indices; b <- comps.indices) yield {
+      val dot = (0 until d).map(j => comps(a)(j) * comps(b)(j)).sum
+      math.abs(dot - (if (a == b) 1.0 else 0.0))
+    }).max
+    val c = df.select(F.col(idCol).as("neighbor_id"), F.col(vecCol).as("cv"))
+    val sample = Ann.boundedTrainSample(c, maxTrain, rowCountHint)
+    val stats = pcaProject(sample, "neighbor_id", "cv", mu, comps)
+      .select(F.posexplode(F.col("proj")).as(Seq("comp", "p")))
+      .groupBy("comp")
+      .agg(F.avg(F.col("p").cast("decimal(28,10)")).cast("double").as("m"),
+        F.avg((F.col("p") * F.col("p")).cast("decimal(28,10)")).cast("double").as("m2"))
+      .orderBy("comp").collect()
+      .map(r => r.getDouble(1) -> r.getDouble(2))
+    sample.unpersist()
+    val vars = stats.map { case (m, m2) => m2 - m * m }
+    val tol = 1e-4 * math.max(1.0, evals.headOption.getOrElse(1.0))
+    val ordered = vars.indices.drop(1).forall(i => vars(i) <= vars(i - 1) + tol)
+    val eigenMatch = vars.indices.forall(i => math.abs(vars(i) - evals(i)) <= tol)
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((k, orthoErr < 1e-9, ordered, eigenMatch))
+      .toDF("k", "orthonormal_ok", "variance_order_ok", "eigen_match_ok")
+  }
+}

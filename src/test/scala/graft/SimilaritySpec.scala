@@ -450,6 +450,30 @@ class SimilaritySpec extends SparkSpec {
     assert(codes.select(F.max(F.size($"codes"))).head().getInt(0) == 4)
   }
 
+  test("PCA: Jacobi recovers a hand spectrum; trained components find the planted dominant direction") {
+    import graft.similarity.Pca
+    // hand 2x2: [[2,1],[1,2]] -> eigenvalues {3,1}, vectors (1,1)/sqrt2, (1,-1)/sqrt2
+    val (ev, v) = Pca.jacobiEigen(Array(Array(2.0, 1.0), Array(1.0, 2.0)))
+    val byVal = ev.indices.sortBy(i => -ev(i))
+    assert(math.abs(ev(byVal(0)) - 3.0) < 1e-12 && math.abs(ev(byVal(1)) - 1.0) < 1e-12)
+    val top = Array(v(0)(byVal(0)), v(1)(byVal(0)))
+    assert(math.abs(math.abs(top(0)) - math.sqrt(0.5)) < 1e-12 &&
+      math.abs(top(0) - top(1)) < 1e-12, "top eigenvector must be (1,1)/sqrt(2) up to sign")
+    // planted data: dim 2 carries 20x the variance of the rest — the
+    // first trained component must align with e_2 and training must be
+    // partitioning-invariant
+    val data = (0 until 300).map { i =>
+      val r = new scala.util.Random(i) // per-row seed: deterministic data
+      (i.toLong, Seq.tabulate(6)(j =>
+        (if (j == 2) 20.0 * (r.nextDouble() - 0.5) else r.nextDouble() - 0.5).toFloat))
+    }.toDF("vec_id", "embedding")
+    val (mu1, c1, e1) = Pca.pcaTrain(data, "vec_id", "embedding", k = 2)
+    val (mu2, c2, e2) = Pca.pcaTrain(data.repartition(7), "vec_id", "embedding", k = 2)
+    assert(mu1 == mu2 && c1 == c2 && e1 == e2, "training must be partitioning-invariant")
+    assert(math.abs(c1.head(2)) > 0.99, s"first component must align with the planted axis: ${c1.head}")
+    assert(e1.head > 10 * e1(1), "planted variance must dominate the spectrum")
+  }
+
   test("scalar quantization: codes in range, reconstruction within half a grid step, constant dims exact, shuffle-free encode") {
     import graft.similarity.ScalarQuant
     // 8-dim vectors with a CONSTANT dim (3) and mixed ranges
