@@ -273,7 +273,11 @@ class GraftApiSpec extends SparkSpec {
       "dedup_simhash_sig",        // dedup_simhash twin replays bands
       "dedup_semantic_assign",    // dedup_semantic twin replays cells
       "dedup_semantic_ingest_cells", // ingest twin replays cells
-      "doc_fingerprint_hashes")   // doc_fingerprint twin replays winnowing
+      "doc_fingerprint_hashes",   // doc_fingerprint twin replays winnowing
+      "embedding_pca_components") // embedding_pca twin replays projections
+                                  // from this mean+component dump; the
+                                  // eigensolve is gated by
+                                  // embedding_pca_gate's booleans
     assert(rowsOnly == companionDumps,
       s"rows-only drift: unexpected=${(rowsOnly -- companionDumps).toSeq.sorted} " +
         s"stale=${(companionDumps -- rowsOnly).toSeq.sorted} — a new query " +
