@@ -1743,6 +1743,14 @@ object OracleSql {
       """SELECT vec_id AS query_id, true AS recall_ok FROM embeddings
         |WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
 
+    // SQ-ANN over the persisted int8 index: precision + ordering of
+    // the returned set (recall gates separately through the floor)
+    "ann_sq" -> annArithmeticTwin("ann_sq"),
+
+    "ann_sq_recall" ->
+      """SELECT vec_id AS query_id, true AS recall_ok FROM embeddings
+        |WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
+
     // PCA projection twin: replays EVERY projection coordinate from
     // the dumped (mean, component) matrix — per-term 9dp rounding,
     // DECIMAL accumulation (order-free), 6dp final round, exactly the

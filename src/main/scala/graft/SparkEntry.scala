@@ -1352,6 +1352,32 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  // SQ reconstruction is within half a grid step per dim, so the
+  // approximate ordering tracks exact cosine closely — observed
+  // recall 1.0 at every gate SF; floor 0.8 leaves noise margin.
+  private val AnnSqRecallFloor = 0.8
+
+  private def annSq(t: Tables): DataFrame = {
+    // SQ-ANN (r12): the persisted int8 index — the approximate scan
+    // reads ONLY the 4x-compressed codes table (reconstruction
+    // through bounds literals), with raw vectors touched solely by
+    // the candidate re-rank semi-join (plan-asserted in
+    // SimilaritySpec). Precision/ordering via the arithmetic twin,
+    // recall via ann_sq_recall's floor.
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_sq_index_" +
+      java.lang.Integer.toHexString(t.dir.hashCode)
+    similarity.ScalarQuant.sqBuild(t.embeddings, "vec_id", "embedding", path)
+    similarity.ScalarQuant.sqQueryIndex(t.spark, path,
+      t.embeddings.where(F.col("vec_id") < 10), "vec_id", "embedding",
+      t.embeddings, "vec_id", "embedding", k = 5, rerank = 4)
+      .orderBy("query_id", "rank")
+  }
+
+  private def annSqRecall(t: Tables): DataFrame =
+    annRecallQ(t, AnnSqRecallFloor, strongSim = None, project = identity,
+      approx = (q, c) => similarity.ScalarQuant.sqTopK(
+        q, "vec_id", "embedding", c, "vec_id", "embedding", k = 5, rerank = 4))
+
   private val PcaK = 4
 
   private def embeddingPca(t: Tables): DataFrame = {
@@ -2294,6 +2320,8 @@ object SparkEntry {
       "ann_ivfpq" -> q(annIvfpq),
       "ann_ivfpq_filtered" -> q(annIvfpqFiltered),
       "embedding_quantize" -> q(embeddingQuantize),
+      "ann_sq" -> q(annSq),
+      "ann_sq_recall" -> q(annSqRecall),
       "embedding_pca" -> q(embeddingPca),
       "embedding_pca_components" -> q(embeddingPcaComponents),
       "embedding_pca_gate" -> q(embeddingPcaGate),

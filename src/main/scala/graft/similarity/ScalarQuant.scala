@@ -87,4 +87,78 @@ object ScalarQuant {
     sqEncode(df, idCol, vecCol, lo, hi)
       .select(F.col(idCol), F.posexplode(F.col("codes")).as(Seq("pos", "code")))
   }
+
+  /** Build a PERSISTED SQ-ANN index: the int8 codes table plus the
+    * (pos, lo, hi) bounds — the 4x-smaller table an embedding store
+    * scans instead of raw floats (the Lucene 9 int8-KNN storage
+    * shape). Deterministic: identical inputs reproduce the index.
+    */
+  def sqBuild(corpus: DataFrame, cId: String, cVec: String, path: String): Unit = {
+    val (lo, hi) = sqTrain(corpus, cVec)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    lo.indices.map(i => (i, lo(i), hi(i))).toDF("pos", "lo", "hi")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/bounds")
+    sqEncode(corpus, cId, cVec, lo, hi)
+      .withColumnRenamed(cId, "neighbor_id")
+      .write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  /** Approximate top-k over a persisted SQ index: the scan reads ONLY
+    * the compact codes table, reconstructs through the bounds
+    * literals, scores the broadcast query batch, keeps rerank·k
+    * candidates, and re-ranks them exactly from the raw vectors
+    * (candidate semi-join — the same shape as the PQ/IVFPQ paths,
+    * with SQ's much tighter reconstruction in place of codebooks).
+    * Output matches cosineTopK; gate recall with the floor pattern.
+    */
+  def sqQueryIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                   queries: DataFrame, qId: String, qVec: String,
+                   corpus: DataFrame, cId: String, cVec: String,
+                   k: Int, rerank: Int = 4): DataFrame = {
+    val b = spark.read.parquet(s"$path/bounds").orderBy("pos").collect()
+    val lo = b.map(_.getDouble(1)).toSeq
+    val hi = b.map(_.getDouble(2)).toSeq
+    val codes = spark.read.parquet(s"$path/codes")
+    sqScanAndRank(codes, lo, hi, queries, qId, qVec,
+      corpus.select(F.col(cId).as("neighbor_id"), F.col(cVec).as("cv")), k, rerank)
+  }
+
+  /** Inline twin of the persisted path (train + encode in-plan) —
+    * identical results with identical inputs.
+    */
+  def sqTopK(queries: DataFrame, qId: String, qVec: String,
+             corpus: DataFrame, cId: String, cVec: String,
+             k: Int, rerank: Int = 4): DataFrame = {
+    val c = corpus.select(F.col(cId).as("neighbor_id"), F.col(cVec).as("cv"))
+    val (lo, hi) = sqTrain(c, "cv")
+    sqScanAndRank(sqEncode(c, "neighbor_id", "cv", lo, hi), lo, hi,
+      queries, qId, qVec, c, k, rerank)
+  }
+
+  private def sqScanAndRank(codes: DataFrame, lo: Seq[Double], hi: Seq[Double],
+                            queries: DataFrame, qId: String, qVec: String,
+                            corpusVecs: DataFrame, k: Int,
+                            rerank: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val recon = sqDecode(codes, "neighbor_id", "codes", lo, hi)
+    val q = queries.select(F.col(qId).as("query_id"), F.col(qVec).as("qv"))
+    val approx = recon.crossJoin(F.broadcast(q))
+      .where(F.col("query_id") =!= F.col("neighbor_id"))
+      .withColumn("asim", Ann.cosine(F.col("qv"), F.col("recon")))
+    val wa = Window.partitionBy("query_id")
+      .orderBy(F.col("asim").desc, F.col("neighbor_id").asc)
+    val cands = approx.withColumn("__rk", F.row_number().over(wa))
+      .where(F.col("__rk") <= k.toLong * rerank)
+      .select("query_id", "neighbor_id")
+    val scored = cands.join(corpusVecs, "neighbor_id")
+      .join(F.broadcast(q), "query_id")
+      .withColumn("sim", Ann.cosine(F.col("qv"), F.col("cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(F.col("sim").desc, F.col("neighbor_id").asc)
+    scored.withColumn("rank", F.row_number().over(w).cast("long"))
+      .where(F.col("rank") <= k)
+      .select(F.col("query_id"), F.col("neighbor_id"), F.col("rank"),
+        F.round(F.col("sim"), 6).as("similarity"))
+  }
 }

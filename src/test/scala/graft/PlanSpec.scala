@@ -177,9 +177,10 @@ class PlanSpec extends SparkSpec {
     // the ranked corpus for the closed-form ntile (the q11 pattern)
     "curate_buckets",
     // r12 additions — all the established bounded shapes:
-    // the IVFPQ recall gate embeds the exact-truth baseline
-    // (broadcast-query corpus scan, the ann_pq_recall shape)
-    "ann_ivfpq_recall",
+    // the IVFPQ/SQ recall gates embed the exact-truth baseline
+    // (broadcast-query corpus scan, the ann_pq_recall shape); the SQ
+    // ADC scan itself is the same broadcast-query crossJoin as ann_pq
+    "ann_ivfpq_recall", "ann_sq", "ann_sq_recall",
     // the persisted-BM25 paths keep BM25's one-row stats crossJoin
     // (now read from the index's stats file); hybrid_idx embeds it
     // alongside the cell-pruned dense arm

@@ -450,6 +450,37 @@ class SimilaritySpec extends SparkSpec {
     assert(codes.select(F.max(F.size($"codes"))).head().getInt(0) == 4)
   }
 
+  test("SQ-ANN: covering rerank equals brute force; persisted index equals inline; ADC scan reads codes only") {
+    import graft.similarity.ScalarQuant
+    val q = corpus.where($"vec_id" < 5)
+    // rerank covering the corpus: every row survives the ADC cut, so
+    // the exact re-rank IS brute force
+    val brute = Ann.cosineTopK(q, "vec_id", "embedding",
+      corpus, "vec_id", "embedding", k = 3)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val full = ScalarQuant.sqTopK(q, "vec_id", "embedding",
+      corpus, "vec_id", "embedding", k = 3, rerank = 100)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(full == brute, "covering-rerank SQ must equal brute force")
+    // persisted index reproduces inline exactly (deterministic bounds)
+    val dir = java.nio.file.Files.createTempDirectory("sqann").toString
+    ScalarQuant.sqBuild(corpus, "vec_id", "embedding", dir)
+    val inline = ScalarQuant.sqTopK(q, "vec_id", "embedding",
+      corpus, "vec_id", "embedding", k = 3, rerank = 4)
+      .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._3))
+    val idx = ScalarQuant.sqQueryIndex(spark, dir, q, "vec_id", "embedding",
+      corpus, "vec_id", "embedding", k = 3, rerank = 4)
+    val idxRows = idx.as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._3))
+    assert(idxRows.sameElements(inline), "persisted SQ path must reproduce inline")
+    // the approximate scan reads the COMPACT codes table; raw vectors
+    // appear only behind the candidate re-rank join (i.e. the plan's
+    // corpus scans are joined post-candidates, codes feed the ADC)
+    val p = idx.queryExecution.executedPlan.toString
+    assert(p.contains(s"$dir/codes"), s"ADC scan must read the codes table:\n$p")
+    val codes = spark.read.parquet(s"$dir/codes")
+    assert(codes.columns.toSet == Set("neighbor_id", "codes"))
+  }
+
   test("PCA: Jacobi recovers a hand spectrum; trained components find the planted dominant direction") {
     import graft.similarity.Pca
     // hand 2x2: [[2,1],[1,2]] -> eigenvalues {3,1}, vectors (1,1)/sqrt2, (1,-1)/sqrt2
