@@ -1747,6 +1747,13 @@ object OracleSql {
     // the returned set (recall gates separately through the floor)
     "ann_sq" -> annArithmeticTwin("ann_sq"),
 
+    // dimensionality-reduced (PCA-space) ANN: same gate pair
+    "ann_pca" -> annArithmeticTwin("ann_pca"),
+
+    "ann_pca_recall" ->
+      """SELECT vec_id AS query_id, true AS recall_ok FROM embeddings
+        |WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
+
     "ann_sq_recall" ->
       """SELECT vec_id AS query_id, true AS recall_ok FROM embeddings
         |WHERE vec_id < 10 ORDER BY query_id""".stripMargin,

@@ -1379,6 +1379,31 @@ object SparkEntry {
         q, "vec_id", "embedding", c, "vec_id", "embedding", k = 5, rerank = 4))
 
   private val PcaK = 4
+  // search-path PCA keeps more dims than the 4-component wired
+  // projection: on this weakly-structured corpus (near-flat spectrum)
+  // 16/64 dims left one sf0.1 query at recall 0.4 — 24/64 clears the
+  // 0.5 floor with margin at every gate SF while still cutting the
+  // approximate scan's arithmetic (and an index's stored bytes) 2.7x
+  private val AnnPcaDim = 24
+  private val AnnPcaRecallFloor = 0.5
+
+  private def annPca(t: Tables): DataFrame =
+    // dimensionality-reduced ANN (r12): approximate scan in the
+    // 16-dim PCA space (1/4 the scan arithmetic; in an index
+    // deployment, 1/4 the stored bytes), exact re-rank of rerank*k
+    // candidates from the full vectors. Precision/ordering via the
+    // arithmetic twin; recall via ann_pca_recall's floor.
+    similarity.Pca.pcaTopK(
+      t.embeddings.where(F.col("vec_id") < 10), "vec_id", "embedding",
+      t.embeddings, "vec_id", "embedding", k = 5, kDim = AnnPcaDim,
+      rerank = PqRerank)
+      .orderBy("query_id", "rank")
+
+  private def annPcaRecall(t: Tables): DataFrame =
+    annRecallQ(t, AnnPcaRecallFloor, strongSim = None, project = identity,
+      approx = (q, c) => similarity.Pca.pcaTopK(
+        q, "vec_id", "embedding", c, "vec_id", "embedding",
+        k = 5, kDim = AnnPcaDim, rerank = PqRerank))
 
   private def embeddingPca(t: Tables): DataFrame = {
     // PCA projection (r12): deterministic training (bounded id-hash
@@ -2325,6 +2350,8 @@ object SparkEntry {
       "embedding_pca" -> q(embeddingPca),
       "embedding_pca_components" -> q(embeddingPcaComponents),
       "embedding_pca_gate" -> q(embeddingPcaGate),
+      "ann_pca" -> q(annPca),
+      "ann_pca_recall" -> q(annPcaRecall),
       "ann_ivfpq_recall" -> q(annIvfpqRecall),
       "text_stats" -> q(textStats),
       "lang_id" -> q(langId),

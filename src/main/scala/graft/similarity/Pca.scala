@@ -162,6 +162,48 @@ object Pca {
     df.select(F.col(idCol), F.array(projCols: _*).as("proj"))
   }
 
+  /** ANN in the PCA-projected space — the classic dimensionality-
+    * reduced first pass (FAISS PCAMatrix + flat search): corpus and
+    * queries project to kDim coordinates, the approximate scan scores
+    * cosine in THAT space (kDim/d of the scan arithmetic and, in an
+    * index deployment, of the stored bytes), the top rerank·k
+    * candidates re-rank exactly from the full vectors. Precision and
+    * ordering of the returned set are exact (re-rank); recall depends
+    * on how much variance kDim captures — gate it with the floor
+    * pattern (ann_pca_recall).
+    */
+  def pcaTopK(queries: DataFrame, qId: String, qVec: String,
+              corpus: DataFrame, cId: String, cVec: String,
+              k: Int, kDim: Int = 16, rerank: Int = 4,
+              maxTrain: Int = 100000,
+              rowCountHint: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (mu, comps, _) = pcaTrain(corpus, cId, cVec, kDim, maxTrain, rowCountHint)
+    val pc = pcaProject(corpus, cId, cVec, mu, comps)
+      .select(F.col(cId).as("neighbor_id"), F.col("proj").as("pc"))
+    val pq = pcaProject(queries, qId, qVec, mu, comps)
+      .select(F.col(qId).as("query_id"), F.col("proj").as("pq"))
+    val approx = pc.crossJoin(F.broadcast(pq))
+      .where(F.col("query_id") =!= F.col("neighbor_id"))
+      .withColumn("asim", Ann.cosine(F.col("pq"), F.col("pc")))
+    val wa = Window.partitionBy("query_id")
+      .orderBy(F.col("asim").desc, F.col("neighbor_id").asc)
+    val cands = approx.withColumn("__rk", F.row_number().over(wa))
+      .where(F.col("__rk") <= k.toLong * rerank)
+      .select("query_id", "neighbor_id")
+    val q = queries.select(F.col(qId).as("query_id"), F.col(qVec).as("qv"))
+    val c = corpus.select(F.col(cId).as("neighbor_id"), F.col(cVec).as("cv"))
+    val scored = cands.join(c, "neighbor_id")
+      .join(F.broadcast(q), "query_id")
+      .withColumn("sim", Ann.cosine(F.col("qv"), F.col("cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(F.col("sim").desc, F.col("neighbor_id").asc)
+    scored.withColumn("rank", F.row_number().over(w).cast("long"))
+      .where(F.col("rank") <= k)
+      .select(F.col("query_id"), F.col("neighbor_id"), F.col("rank"),
+        F.round(F.col("sim"), 6).as("similarity"))
+  }
+
   /** End-to-end training gate, one boolean row: (a) the component
     * matrix is orthonormal (driver math over the literals, |VᵀV − I|
     * max element); (b) the per-component variance of the TRAINING

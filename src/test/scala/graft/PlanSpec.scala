@@ -180,7 +180,7 @@ class PlanSpec extends SparkSpec {
     // the IVFPQ/SQ recall gates embed the exact-truth baseline
     // (broadcast-query corpus scan, the ann_pq_recall shape); the SQ
     // ADC scan itself is the same broadcast-query crossJoin as ann_pq
-    "ann_ivfpq_recall", "ann_sq", "ann_sq_recall",
+    "ann_ivfpq_recall", "ann_sq", "ann_sq_recall", "ann_pca", "ann_pca_recall",
     // the persisted-BM25 paths keep BM25's one-row stats crossJoin
     // (now read from the index's stats file); hybrid_idx embeds it
     // alongside the cell-pruned dense arm
