@@ -30,14 +30,17 @@ import org.apache.spark.sql.SparkSession
   * adjudication evidence now lives on the LAST line, bounded: against
   * the checked-in reference medians (bench_ref.json, a quiet-box
   * median-of-3 run committed with the round), any query whose median
-  * exceeds 2.5x its reference (and 0.2 s absolute) is a SUSPECT; the
-  * top-8 suspects get (a) their per-rep [sec, load, gc_ms] evidence
-  * ("suspect_reps") and (b) ONE fresh end-of-run re-run each
-  * ("rerun": [sec, load, gc_ms]) on the final line — a phantom
-  * regression re-runs near its reference and is adjudicated from the
-  * artifact alone; a real one reproduces. The final line is
-  * size-bounded by shrinking the topK medians map until it fits the
-  * tail window.
+  * exceeds 2x its reference with >0.2 s of absolute excess is a
+  * SUSPECT. Round 13: suspects rank by ABSOLUTE excess seconds (the
+  * r12 ratio ranking let the round's largest absolute excess, +8.8 s
+  * on dedup_embedding_lsh, miss the re-run cut behind sub-second
+  * blips). Up to 16 suspects get ONE fresh end-of-run re-run each
+  * ("rerun": [sec, load, gc_ms]); the worst 8 also carry their
+  * per-rep [sec, load, gc_ms] evidence ("suspect_reps") on the final
+  * line — a phantom regression re-runs near its reference and is
+  * adjudicated from the artifact alone; a real one reproduces. The
+  * final line is size-bounded by shrinking the topK medians map until
+  * it fits the tail window.
   */
 object Bench {
   private def loadAvg(): Double =
@@ -167,21 +170,27 @@ object Bench {
     }.mkString("{", ",", "}")
 
     // self-adjudication vs the checked-in reference medians: queries
-    // whose median exceeds 2.5x reference (and 0.2 s absolute — a
-    // 60 ms query tripling is pure noise) are suspects; the worst 8 by
-    // ratio carry per-rep evidence AND one fresh end-of-run re-run on
-    // the tail-surviving final line, so a phantom regression (host
-    // load / GC / scheduler phase during the main pass) is provable
-    // from the artifact alone
+    // whose median exceeds 2x reference (and 0.2 s of ABSOLUTE excess
+    // — a 60 ms query tripling is pure noise) are suspects. Ranked by
+    // absolute excess seconds, NOT ratio (r12 lesson: ratio ranking
+    // re-ran a 2.4 s blip on a sub-second query while the round's
+    // largest absolute excess, +8.8 s, missed the cut and needed a
+    // judge solo re-run). Up to 16 suspects each get ONE fresh
+    // end-of-run re-run; the worst 8 by excess also carry their
+    // per-rep [sec, load, gc_ms] evidence on the tail-surviving final
+    // line — a phantom regression (host load / GC / scheduler phase
+    // during the main pass) is provable from the artifact alone.
     val ref = loadRef()
     val medians = results.collect {
       case (k, (ts, _, _)) if ts.nonEmpty => k -> ts((ts.length - 1) / 2)
     }.toMap
-    val suspects = medians.toSeq
+    val suspectsRanked = medians.toSeq
       .flatMap { case (k, m) =>
-        ref.get(k).collect { case r if m > 2.5 * r && m > 0.2 => (k, m / r) }
+        ref.get(k).collect { case r if m > 2.0 * r && m - r > 0.2 => (k, m - r) }
       }
-      .sortBy(-_._2).take(8).map(_._1)
+      .sortBy(-_._2).map(_._1)
+    val suspects = suspectsRanked.take(16)
+    val evidenceSuspects = suspectsRanked.take(8).toSet
     val fnByName = SparkEntry.queries
     val rerun = suspects.map { k =>
       val gc0 = gcMsTotal()
@@ -195,7 +204,7 @@ object Bench {
     val rerunJson = rerun.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val suspectReps = results.collect {
-      case (k, (_, _, reps0)) if suspects.contains(k) =>
+      case (k, (_, _, reps0)) if evidenceSuspects.contains(k) =>
         "\"" + k + "\":" + repsJson(reps0)
     }.mkString("{", ",", "}")
 

@@ -1389,10 +1389,11 @@ object SparkEntry {
 
   private def annPca(t: Tables): DataFrame =
     // dimensionality-reduced ANN (r12): approximate scan in the
-    // 16-dim PCA space (1/4 the scan arithmetic; in an index
-    // deployment, 1/4 the stored bytes), exact re-rank of rerank*k
-    // candidates from the full vectors. Precision/ordering via the
-    // arithmetic twin; recall via ann_pca_recall's floor.
+    // AnnPcaDim-dim PCA space (64/AnnPcaDim ~ 2.7x less scan
+    // arithmetic; in an index deployment, the same factor in stored
+    // bytes), exact re-rank of rerank*k candidates from the full
+    // vectors. Precision/ordering via the arithmetic twin; recall via
+    // ann_pca_recall's floor.
     similarity.Pca.pcaTopK(
       t.embeddings.where(F.col("vec_id") < 10), "vec_id", "embedding",
       t.embeddings, "vec_id", "embedding", k = 5, kDim = AnnPcaDim,

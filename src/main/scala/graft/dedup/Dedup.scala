@@ -189,11 +189,24 @@ object Dedup {
   /** Edge count below which the component graph is solved with driver
     * union-find: near-dup pair graphs are tiny relative to the corpus
     * (they contain only documents with a duplicate), and an iterative
-    * distributed fixpoint pays multiple shuffle jobs per round. 10M
-    * edges ~ 160 MB on the driver — comfortably collectable; larger
-    * graphs take the distributed label-propagation path.
+    * distributed fixpoint pays multiple shuffle jobs per round.
+    *
+    * The bound is derived from the DRIVER'S heap, not a constant: the
+    * collect holds boxed (id1, id2) rows plus a HashMap of up to 2
+    * entries per edge — ~300 bytes/edge of generic-boxed driver heap,
+    * conservatively. A flat 10M ceiling (the pre-r13 constant) is
+    * ~3 GB at the boundary: fine on this 128 GiB box, an OOM on a
+    * default 1-4 GiB driver. Budget: at most 1/16 of Runtime
+    * .maxMemory at 300 B/edge — 10M edges needs a ~48 GiB driver;
+    * a 2 GiB driver caps at ~420k edges and larger graphs take the
+    * distributed label-propagation path, which needs no driver
+    * residency at all. Hard ceiling 10M regardless (beyond that the
+    * single-threaded union-find loop itself is the bottleneck).
     */
-  private[graft] val SmallGraphEdges = 10L * 1000 * 1000
+  private[graft] def SmallGraphEdges: Long = {
+    val budget = Runtime.getRuntime.maxMemory / 16 / 300
+    math.min(10L * 1000 * 1000, math.max(100L * 1000, budget))
+  }
 
   def components(pairs: DataFrame, maxIter: Int = 20,
                  releaseInput: Boolean = false,

@@ -56,7 +56,21 @@ object Ranks {
     * parallelism.
     */
   def globalRank(df: DataFrame, order: Seq[Column],
-                 rankCol: String = "rnk", parts: Int = 0): DataFrame = {
+                 rankCol: String = "rnk", parts: Int = 0): DataFrame =
+    globalRankReleasable(df, order, rankCol, parts)._1
+
+  /** [[globalRank]] plus a release handle that unpersists the pinned
+    * intermediate. The plain overload leaves the cache for downstream
+    * reuse (Verify/Bench clear per query); a long-lived session making
+    * repeated calls should use this variant and call the handle once
+    * the result is fully consumed — otherwise each call accumulates a
+    * MEMORY_AND_DISK copy of its ranked input until a clearCache.
+    * Calling the handle before consumption is safe (the frame
+    * recomputes through its own lineage) but forfeits the layout pin,
+    * so don't.
+    */
+  def globalRankReleasable(df: DataFrame, order: Seq[Column],
+                 rankCol: String = "rnk", parts: Int = 0): (DataFrame, () => Unit) = {
     require(order.nonEmpty, "globalRank needs at least one order column")
     val p0 = if (parts > 0) parts
              else math.max(1, df.sparkSession.sessionState.conf.numShufflePartitions)
@@ -65,11 +79,29 @@ object Ranks {
       .withColumn("__gr_mid", F.monotonically_increasing_id())
       .persist(StorageLevel.MEMORY_AND_DISK)
     val pid = F.shiftrightunsigned(F.col("__gr_mid"), 33)
-    // p rows after map-side partial aggregation — driver-small
-    val counts = stamped.groupBy(pid.as("__gr_pid"))
+    // p rows after map-side partial aggregation — driver-small. The
+    // counts group on spark_partition_id (the TRUE partition ordinal),
+    // not the mid's high bits: monotonically_increasing_id allocates
+    // only 33 bits to the intra-partition index, so a partition with
+    // > 2^33 rows silently bleeds ids into the NEXT pid's space —
+    // grouping on the decoded bits could never see the overflow (each
+    // decoded pid tops out at 2^33 by construction). With no overflow
+    // the two ids agree exactly; on overflow the true-pid count trips
+    // the loud guard below instead of corrupting every rank.
+    val counts = stamped
+      // projected first: nondeterministic expressions are legal in a
+      // Project but rejected inside a grouping expression
+      .select(F.spark_partition_id().cast("long").as("__gr_pid"))
+      .groupBy("__gr_pid")
       .agg(F.count(F.lit(1)).as("__gr_cnt"))
       .orderBy("__gr_pid")
       .collect().map(r => (r.getLong(0), r.getLong(1)))
+    counts.find(_._2 > Low33Mask + 1).foreach { case (p, c) =>
+      throw new IllegalStateException(
+        s"globalRank: partition $p holds $c rows, above the 2^33 " +
+          s"monotonically_increasing_id intra-partition capacity — " +
+          s"increase `parts` (currently $p0)")
+    }
     var acc = 0L
     val offsets: Map[Long, Long] = counts.map { case (p, c) =>
       val entry = p -> acc; acc += c; entry
@@ -80,9 +112,10 @@ object Ranks {
     val offExpr =
       if (offsets.isEmpty) F.lit(0L)
       else F.coalesce(F.element_at(F.typedlit(offsets), pid), F.lit(0L))
-    stamped
+    val out = stamped
       .withColumn(rankCol,
         offExpr + F.col("__gr_mid").bitwiseAND(F.lit(Low33Mask)) + F.lit(1L))
       .drop("__gr_mid")
+    (out, () => { stamped.unpersist(); () })
   }
 }

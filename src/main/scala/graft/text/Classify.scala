@@ -58,6 +58,16 @@ object Classify {
     */
   def classify(train: DataFrame, docs: DataFrame,
                idCol: String, textCol: String, labelCol: String): DataFrame = {
+    // fail fast on a degenerate seed set: zero training rows means
+    // zero classes, which would make the prior-fallback crossJoin
+    // collapse EVERY docs row to nothing — downstream nbFilter would
+    // then silently wipe the corpus, the worst failure mode a
+    // curation filter can have. (All-empty-token training is fine:
+    // classes root at the document priors, so smoothing + the prior
+    // argmax still classify.) The probe is a limit-1 job on the seed
+    // frame — driver-small by contract.
+    require(!train.isEmpty,
+      "classify: empty training frame — zero classes would silently drop every document")
     val tr = train.select(F.col(idCol).as("id"), F.col(labelCol).as("label"),
       TextOps.tokens(F.col(textCol)).as("tl"))
     val te = docs.select(F.col(idCol).as("id"),

@@ -125,6 +125,11 @@ object Search {
       .select($"doc_id", F.size($"tl").as("dl"), F.explode($"tl").as("term"))
       .groupBy("doc_id", "term", "dl")
       .agg(F.count(F.lit(1)).as("tf"))
+      // ingest_batch lineage (the StreamingSearch convention, -1 =
+      // initial build): a crashed bm25IndexAppend is cleaned by
+      // rewriting the table without that batch's rows — without the
+      // column a partial append is indistinguishable from the corpus
+      .withColumn("ingest_batch", F.lit(-1L))
     graft.sources.Sources.writeBucketedMulti(post, table,
       bucketBy = Seq("term"), nBuckets = nBuckets, sortBy = Seq("term"))
     docs.agg(F.count(F.lit(1)).as("n"), F.sum(F.size($"tl")).as("sum_dl"))
@@ -142,10 +147,18 @@ object Search {
     * over the index equals [[bm25TopK]] over the unioned corpus
     * row-for-row (the text_search_bm25_incr equality gate); only the
     * BATCH is tokenized — the existing corpus is never re-read.
+    *
+    * Crash recovery: postings append FIRST, stats overwrite second. A
+    * crash between the two leaves postings whose df the stats don't
+    * reflect — the index would silently mis-score. Every appended
+    * posting is stamped `ingest_batch = batchId` (initial build rows
+    * carry -1), so the recovery is mechanical: rewrite the table
+    * keeping `ingest_batch != batchId` (stats were never touched),
+    * then re-run the append.
     */
   def bm25IndexAppend(batch: DataFrame, idCol: String, textCol: String,
                       table: String, statsPath: String,
-                      nBuckets: Int = 64): Unit = {
+                      nBuckets: Int = 64, batchId: Long = 0L): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
     val docs = batch.select(F.col(idCol).as("doc_id"),
@@ -154,6 +167,7 @@ object Search {
       .select($"doc_id", F.size($"tl").as("dl"), F.explode($"tl").as("term"))
       .groupBy("doc_id", "term", "dl")
       .agg(F.count(F.lit(1)).as("tf"))
+      .withColumn("ingest_batch", F.lit(batchId))
     graft.sources.Sources.writeBucketedMulti(post, table,
       bucketBy = Seq("term"), nBuckets = nBuckets, sortBy = Seq("term"),
       mode = org.apache.spark.sql.SaveMode.Append)

@@ -31,6 +31,23 @@ class PlanSpec extends SparkSpec {
       s"pre-filter predicate must reach the parquet scan; plan:\n$p")
   }
 
+  test("flat ANN top-k: the rank-limit pushdown (WindowGroupLimit) fires") {
+    // cosineTopK / pqTopK / sqTopK / pcaTopK express per-query top-k
+    // as row_number() <= k over Window.partitionBy(query_id); what
+    // keeps that scalable is Spark's WindowGroupLimit rewrite — a
+    // MAP-SIDE partial limit that bounds the shuffle at
+    // parts x queries x k rows instead of n x queries. An expression
+    // change breaking the rewrite pattern (or a conf flip disabling
+    // it) would silently revert these scans to corpus-sized sorts;
+    // assert the operator is actually present in the executed plan.
+    for (name <- Seq("ann_topk", "ann_pq", "ann_sq", "ann_pca")) {
+      val p = planOf(name)
+      assert(p.contains("WindowGroupLimit"),
+        s"$name lost the WindowGroupLimit rank-limit pushdown — its " +
+          s"top-k shuffle is corpus-sized again; plan:\n$p")
+    }
+  }
+
   test("q5: dimension joins are broadcast") {
     val p = planOf("q5_multijoin")
     val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
