@@ -2768,6 +2768,183 @@ object OracleSql {
         |       CAST(sum(val) AS BIGINT) AS sum_val,
         |       CAST(max(abs(val)) AS INTEGER) AS peak_abs
         |FROM v GROUP BY doc_id, segment, start_frame, end_frame
-        |ORDER BY doc_id, segment""".stripMargin
+        |ORDER BY doc_id, segment""".stripMargin,
+
+    // ---------------------------------------------------- r13 twins
+
+    "profile_inclusion" -> {
+      val cols = Seq(
+        ("nation.n_nationkey", "nation", "n_nationkey"),
+        ("nation.n_regionkey", "nation", "n_regionkey"),
+        ("region.r_regionkey", "region", "r_regionkey"),
+        ("customer.c_custkey", "customer", "c_custkey"),
+        ("customer.c_nationkey", "customer", "c_nationkey"),
+        ("supplier.s_suppkey", "supplier", "s_suppkey"),
+        ("supplier.s_nationkey", "supplier", "s_nationkey"),
+        ("part.p_partkey", "part", "p_partkey"),
+        ("orders.o_orderkey", "orders", "o_orderkey"),
+        ("orders.o_custkey", "orders", "o_custkey"),
+        ("lineitem.l_orderkey", "lineitem", "l_orderkey"),
+        ("lineitem.l_partkey", "lineitem", "l_partkey"),
+        ("lineitem.l_suppkey", "lineitem", "l_suppkey"))
+      val d = cols.map { case (label, tab, c) =>
+        s"SELECT DISTINCT '$label' AS col, CAST($c AS VARCHAR) AS v FROM $tab WHERE $c IS NOT NULL"
+      }.mkString("\nUNION ALL ")
+      s"""WITH d AS (
+         |$d),
+         |cnt AS (SELECT col, count(*) AS n FROM d GROUP BY col),
+         |inter AS (SELECT a.col AS src_col, b.col AS tgt_col, count(*) AS n_inter
+         |          FROM d a JOIN d b ON a.v = b.v WHERE a.col <> b.col GROUP BY 1, 2),
+         |pairs AS (SELECT a.col AS src_col, b.col AS tgt_col
+         |          FROM cnt a CROSS JOIN cnt b WHERE a.col <> b.col)
+         |SELECT p.src_col, p.tgt_col, c.n AS n_src,
+         |       coalesce(i.n_inter, 0) AS n_inter,
+         |       round(CAST(coalesce(i.n_inter, 0) AS DOUBLE) / CAST(c.n AS DOUBLE), 6) AS containment,
+         |       CASE WHEN coalesce(i.n_inter, 0) = c.n THEN 1 ELSE 0 END AS is_ind
+         |FROM pairs p
+         |JOIN cnt c ON c.col = p.src_col
+         |LEFT JOIN inter i ON i.src_col = p.src_col AND i.tgt_col = p.tgt_col
+         |ORDER BY 1, 2""".stripMargin
+    },
+
+    "profile_fd" -> {
+      val checks = Seq(
+        ("orders", "o_orderkey", "o_custkey"),
+        ("orders", "o_orderkey", "o_orderpriority"),
+        ("orders", "o_custkey", "o_orderpriority"),
+        ("nation", "n_nationkey", "n_regionkey"),
+        ("lineitem", "l_orderkey", "l_suppkey"))
+      checks.map { case (tab, det, dep) =>
+        s"""SELECT '$tab' AS tab, '$det' AS determinant, '$dep' AS dependent,
+           |       count(*) AS n_groups,
+           |       CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS violating_groups,
+           |       max(nd) AS max_branching,
+           |       CASE WHEN sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0 THEN 1 ELSE 0 END AS fd_holds
+           |FROM (SELECT $det, count(DISTINCT $dep) AS nd FROM $tab GROUP BY $det)""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY tab, determinant, dependent")
+    },
+
+    // same decimal-moment chain as the Spark kernel: exact (18,6)
+    // quantization, exact decimal products/sums, correlations in
+    // DOUBLE from the exact sums with the identical expression shape
+    "profile_correlation" -> {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      // quantize at (18,6) — the value-fixing cast that matches the
+      // Spark side — then widen to (19,6) so DuckDB's multiply types
+      // as DECIMAL(38,12) on hugeint storage (w1+w2 <= 38 is its hard
+      // multiply rule; 18+18 stays on int64 and overflows)
+      def dec(c: String) = s"CAST(CAST($c AS DECIMAL(18,6)) AS DECIMAL(19,6))"
+      val pairs = for { i <- cols.indices; j <- (i + 1) until cols.size }
+        yield (cols(i), cols(j))
+      val sums = cols.flatMap(c => Seq(
+        s"sum(CAST($c AS DECIMAL(18,6))) AS s_$c",
+        s"sum(${dec(c)} * ${dec(c)}) AS q_$c")) ++
+        pairs.map { case (x, y) => s"sum(${dec(x)} * ${dec(y)}) AS p_${x}__$y" }
+      val rows = pairs.map { case (x, y) =>
+        val n = "CAST(n AS DOUBLE)"
+        s"""SELECT '$x' AS col_x, '$y' AS col_y, n,
+           |       round(($n * CAST(p_${x}__$y AS DOUBLE) - CAST(s_$x AS DOUBLE) * CAST(s_$y AS DOUBLE))
+           |             / sqrt(($n * CAST(q_$x AS DOUBLE) - CAST(s_$x AS DOUBLE) * CAST(s_$x AS DOUBLE))
+           |                  * ($n * CAST(q_$y AS DOUBLE) - CAST(s_$y AS DOUBLE) * CAST(s_$y AS DOUBLE))), 6) AS corr
+           |FROM m""".stripMargin
+      }
+      s"""WITH m AS (SELECT count(*) AS n, ${sums.mkString(",\n       ")}
+         |           FROM lineitem)
+         |${rows.mkString("", "\nUNION ALL\n", "")}
+         |ORDER BY col_x, col_y""".stripMargin
+    },
+
+    "profile_histogram" -> {
+      def one(c: String, bins: Int) =
+        s"""SELECT '$c' AS "column", bucket,
+           |       round(mn + bucket * (mx - mn) / $bins, 6) AS lo,
+           |       round(mn + (bucket + 1) * (mx - mn) / $bins, 6) AS hi,
+           |       count(*) AS cnt
+           |FROM (SELECT CASE WHEN mx = mn THEN CAST(0 AS BIGINT)
+           |                  ELSE least(CAST(floor((CAST($c AS DOUBLE) - mn) * $bins / (mx - mn)) AS BIGINT),
+           |                             CAST(${bins - 1} AS BIGINT)) END AS bucket,
+           |             mn, mx
+           |      FROM lineitem,
+           |           (SELECT CAST(min($c) AS DOUBLE) AS mn, CAST(max($c) AS DOUBLE) AS mx
+           |            FROM lineitem)
+           |      WHERE $c IS NOT NULL)
+           |GROUP BY bucket, mn, mx""".stripMargin
+      Seq(one("l_quantity", 10), one("l_extendedprice", 10))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\", bucket")
+    },
+
+    "graph_pagerank" -> pageRankSql(iters = 5),
+
+    "graph_degree" ->
+      s"""WITH $shipmentEdgesCte,
+         |o AS (SELECT src AS node, count(*) AS degree FROM e0 GROUP BY 1),
+         |i AS (SELECT dst AS node, count(*) AS degree FROM e0 GROUP BY 1)
+         |SELECT 'out' AS side, degree, count(*) AS n_nodes FROM o GROUP BY degree
+         |UNION ALL
+         |SELECT 'in' AS side, degree, count(*) AS n_nodes FROM i GROUP BY degree
+         |ORDER BY side, degree""".stripMargin,
+
+    "graph_triangles" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |pr AS (SELECT x.pk AS a, y.pk AS b
+        |       FROM op x JOIN op y ON x.ok = y.ok AND x.pk < y.pk
+        |       GROUP BY 1, 2 HAVING count(*) >= 2),
+        |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |        FROM pr e1
+        |        JOIN pr e2 ON e1.b = e2.a
+        |        JOIN pr e3 ON e1.a = e3.a AND e2.b = e3.b),
+        |nodes AS (SELECT x AS node FROM tri
+        |          UNION ALL SELECT y FROM tri
+        |          UNION ALL SELECT z FROM tri)
+        |SELECT node, count(*) AS n_triangles FROM nodes GROUP BY node
+        |ORDER BY n_triangles DESC, node ASC LIMIT 20""".stripMargin
   )
+
+  /** Shared edge CTE for the graph twins: the supplier→customer
+    * shipment digraph (weight = line items shipped).
+    */
+  private def shipmentEdgesCte: String =
+    """e0 AS (SELECT concat('s', l_suppkey) AS src, concat('c', o_custkey) AS dst,
+      |              count(*) AS w
+      |       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |       GROUP BY 1, 2)""".stripMargin
+
+  /** Unrolled deterministic PageRank replay — the same fixed rounds,
+    * decimal contribution accumulation, and double affine update as
+    * Graph.pageRank. Every fractional literal is CAST(... AS DOUBLE):
+    * DuckDB parses bare decimal-point literals as DECIMAL, whose exact
+    * arithmetic would diverge from the Spark side's IEEE doubles
+    * (1.0-0.85 is 0.15 in decimal but 0.15000000000000002 in binary).
+    */
+  private def pageRankSql(iters: Int): String = {
+    val base =
+      s"""WITH $shipmentEdgesCte,
+         |ow AS (SELECT src, sum(w) AS outw FROM e0 GROUP BY src),
+         |ew AS (SELECT e0.src, e0.dst, CAST(e0.w AS DOUBLE) / CAST(ow.outw AS DOUBLE) AS frac
+         |       FROM e0 JOIN ow ON e0.src = ow.src),
+         |nd AS (SELECT src AS node FROM e0 UNION SELECT dst AS node FROM e0),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nd),
+         |snk AS (SELECT node FROM nd WHERE node NOT IN (SELECT src FROM e0)),
+         |r0 AS (SELECT node, CAST(round(CAST(1.0 AS DOUBLE) / n, 12) AS DECIMAL(26,12)) AS rank
+         |       FROM nd, nn)""".stripMargin
+    val rounds = (1 to iters).map { k =>
+      val prev = s"r${k - 1}"
+      s"""c$k AS (SELECT ew.dst AS node,
+         |        CAST(round(CAST(r.rank AS DOUBLE) * ew.frac, 12) AS DECIMAL(26,12)) AS c
+         |        FROM ew JOIN $prev r ON ew.src = r.node),
+         |is$k AS (SELECT node, sum(c) AS insum FROM c$k GROUP BY node),
+         |dg$k AS (SELECT coalesce(sum(r.rank), CAST(0 AS DECIMAL(26,12))) AS dang
+         |         FROM snk JOIN $prev r ON snk.node = r.node),
+         |r$k AS (SELECT nd.node,
+         |        CAST(round((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / n
+         |                   + CAST(0.85 AS DOUBLE) *
+         |                     (CAST(coalesce(is$k.insum, CAST(0 AS DECIMAL(38,12))) AS DOUBLE)
+         |                      + CAST(dg$k.dang AS DOUBLE) / n), 12) AS DECIMAL(26,12)) AS rank
+         |        FROM nd LEFT JOIN is$k ON nd.node = is$k.node
+         |        CROSS JOIN dg$k CROSS JOIN nn)""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    s"""$base$rounds
+       |SELECT node, round(CAST(rank AS DOUBLE), 9) AS rank
+       |FROM r$iters ORDER BY rank DESC, node ASC LIMIT 20""".stripMargin
+  }
 }

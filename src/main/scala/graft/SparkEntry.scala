@@ -2250,6 +2250,98 @@ object SparkEntry {
     Events.retention(t.events, periodDays = 1, maxPeriods = 30)
       .orderBy("cohort_period_us", "period_offset")
 
+  // ------------------------------------------------- discovery (r13)
+
+  /** The IND candidate set: every key-ish column of the star schema,
+    * labeled table.column. The discovered containments ARE the
+    * schema's join paths (l_orderkey ⊆ o_orderkey, c_nationkey ⊆
+    * n_nationkey, ...) plus the non-inclusions that prove direction.
+    */
+  private def profileInclusion(t: Tables): DataFrame =
+    harmonize.Discovery.inclusion(Seq(
+      ("nation.n_nationkey", t.nation, "n_nationkey"),
+      ("nation.n_regionkey", t.nation, "n_regionkey"),
+      ("region.r_regionkey", t.region, "r_regionkey"),
+      ("customer.c_custkey", t.customer, "c_custkey"),
+      ("customer.c_nationkey", t.customer, "c_nationkey"),
+      ("supplier.s_suppkey", t.supplier, "s_suppkey"),
+      ("supplier.s_nationkey", t.supplier, "s_nationkey"),
+      ("part.p_partkey", t.part, "p_partkey"),
+      ("orders.o_orderkey", t.orders, "o_orderkey"),
+      ("orders.o_custkey", t.orders, "o_custkey"),
+      ("lineitem.l_orderkey", t.lineitem, "l_orderkey"),
+      ("lineitem.l_partkey", t.lineitem, "l_partkey"),
+      ("lineitem.l_suppkey", t.lineitem, "l_suppkey")))
+      .orderBy("src_col", "tgt_col")
+
+  private def profileFd(t: Tables): DataFrame =
+    // FD audit: keys determine (o_orderkey→o_custkey, n_nationkey→
+    // n_regionkey hold); non-keys genuinely don't (o_custkey→priority,
+    // l_orderkey→l_suppkey branch) — both verdicts exercised
+    harmonize.Discovery.fdAudit("orders", t.orders, "o_orderkey",
+        Seq("o_custkey", "o_orderpriority"))
+      .unionAll(harmonize.Discovery.fdAudit("orders", t.orders, "o_custkey",
+        Seq("o_orderpriority")))
+      .unionAll(harmonize.Discovery.fdAudit("nation", t.nation, "n_nationkey",
+        Seq("n_regionkey")))
+      .unionAll(harmonize.Discovery.fdAudit("lineitem", t.lineitem, "l_orderkey",
+        Seq("l_suppkey")))
+      .orderBy("tab", "determinant", "dependent")
+
+  private def profileCorrelation(t: Tables): DataFrame =
+    // exact-decimal Pearson matrix over the fact numerics in ONE scan
+    harmonize.Profile.correlation(t.lineitem,
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+      .orderBy("col_x", "col_y")
+
+  private def profileHistogram(t: Tables): DataFrame =
+    harmonize.Profile.histogram(t.lineitem,
+      Seq("l_quantity", "l_extendedprice"), nBins = 10)
+      .orderBy("column", "bucket")
+
+  // ----------------------------------------------------- graph (r13)
+
+  /** Supplier→customer shipment digraph: an edge per (supplier,
+    * customer) with weight = number of line items shipped. Node ids
+    * prefix the key space ("s"/"c") so the two key domains coexist.
+    */
+  private def shipmentEdges(t: Tables): DataFrame =
+    t.lineitem.join(t.orders,
+        F.col("l_orderkey") === F.col("o_orderkey"))
+      .groupBy(F.concat(F.lit("s"), F.col("l_suppkey")).as("src"),
+        F.concat(F.lit("c"), F.col("o_custkey")).as("dst"))
+      .agg(F.count(F.lit(1)).as("w"))
+
+  private def graphPagerank(t: Tables): DataFrame =
+    // 5 fixed deterministic rounds; customers are all sinks, so the
+    // dangling-mass redistribution is genuinely load-bearing here
+    operators.Graph.pageRank(shipmentEdges(t), iters = 5)
+      .select(F.col("node"),
+        F.round(F.col("rank").cast("double"), 9).as("rank"))
+      .orderBy(F.col("rank").desc, F.col("node").asc)
+      .limit(20)
+
+  private def graphDegree(t: Tables): DataFrame =
+    operators.Graph.degreeDistribution(shipmentEdges(t))
+      .orderBy("side", "degree")
+
+  private def graphTriangles(t: Tables): DataFrame = {
+    // co-order part graph: parts appearing in the same order, kept at
+    // co-occurrence >= 2 (the support filter that bounds the 2-path
+    // join's deg² blowup before triangle closure)
+    val op = t.lineitem.select(F.col("l_orderkey").as("ok"),
+      F.col("l_partkey").as("pk")).distinct()
+    val pairs = op.as("x").join(op.as("y"),
+        F.col("x.ok") === F.col("y.ok") && F.col("x.pk") < F.col("y.pk"))
+      .groupBy(F.col("x.pk").as("a"), F.col("y.pk").as("b"))
+      .agg(F.count(F.lit(1)).as("cooc"))
+      .where(F.col("cooc") >= 2)
+      .select("a", "b")
+    operators.Graph.triangleParticipation(pairs)
+      .orderBy(F.col("n_triangles").desc, F.col("node").asc)
+      .limit(20)
+  }
+
   // ---------------------------------------------------------------- wiring
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -2418,7 +2510,14 @@ object SparkEntry {
       "multimodal_audio_seg" -> q(multimodalAudioSeg),
       "multimodal_video" -> q(multimodalVideo),
       "multimodal_video_features" -> q(multimodalVideoFeatures),
-      "multimodal_audio_fp" -> q(multimodalAudioFp))
+      "multimodal_audio_fp" -> q(multimodalAudioFp),
+      "profile_inclusion" -> q(profileInclusion),
+      "profile_fd" -> q(profileFd),
+      "profile_correlation" -> q(profileCorrelation),
+      "profile_histogram" -> q(profileHistogram),
+      "graph_pagerank" -> q(graphPagerank),
+      "graph_degree" -> q(graphDegree),
+      "graph_triangles" -> q(graphTriangles))
   }
 
   /** DuckDB-runnable ANSI SQL twin for every SQL-expressible query. */

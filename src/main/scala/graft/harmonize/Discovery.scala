@@ -1,0 +1,105 @@
+package graft.harmonize
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** Metadata discovery over raw tables — the profiling pass a
+  * data-integration workflow runs BEFORE schema matching: which
+  * columns reference which (inclusion dependencies → join-path /
+  * foreign-key candidates) and which columns determine which
+  * (functional dependencies → key candidates, denormalization
+  * evidence). The reference consumes such metadata implicitly (its
+  * matchers assume the analyst already knows the join paths); these
+  * operators compute it from the data, the way the dedicated
+  * discovery literature does (SPIDER, Bauckmann et al. 2007, for
+  * INDs; TANE-style violation counting for FDs).
+  */
+object Discovery {
+
+  /** Inclusion-dependency discovery across tables: for every ordered
+    * pair of candidate columns (A, B), the fraction of A's distinct
+    * values contained in B's distinct set. containment = 1.0 flags
+    * A ⊆ B — a foreign-key / join-path candidate.
+    *
+    * Input: (label, frame, column) triples; labels name the output
+    * rows (convention "table.column"). Values compare as strings
+    * (lossless for the integral key columns this targets; mixed-type
+    * columns compare on their canonical string forms).
+    *
+    * Scale (the SPIDER shape): each column contributes its DISTINCT
+    * (label, value) pairs — one map-side-combined distinct per
+    * column, cost proportional to distinct counts, never row counts.
+    * ALL pairwise intersections then come from ONE value-keyed
+    * self-join of that union: a value appearing in k columns expands
+    * to k² rows — bounded by (#columns)², a constant, so no skew
+    * blowup. No per-pair jobs: N columns cost one shuffle, not N²
+    * joins. Zero-intersection pairs are preserved by left-joining the
+    * driver-literal pair list.
+    */
+  def inclusion(cols: Seq[(String, DataFrame, String)]): DataFrame = {
+    require(cols.size >= 2, "inclusion discovery needs at least two columns")
+    require(cols.map(_._1).distinct.size == cols.size, "labels must be unique")
+    val spark = cols.head._2.sparkSession
+    val d = cols.map { case (label, df, c) =>
+      df.select(F.lit(label).as("col"), F.col(c).cast("string").as("v"))
+        .where(F.col("v").isNotNull).distinct()
+    }.reduce(_ unionAll _)
+    val counts = d.groupBy("col").agg(F.count(F.lit(1)).as("n_distinct"))
+    val inter = d.as("a").join(d.as("b"), "v")
+      .where(F.col("a.col") =!= F.col("b.col"))
+      .groupBy(F.col("a.col").as("src_col"), F.col("b.col").as("tgt_col"))
+      .agg(F.count(F.lit(1)).as("n_inter"))
+    val names = cols.map(_._1)
+    val allPairs = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        names.flatMap(a => names.filter(_ != a).map(b => Row(a, b))), 1),
+      StructType(Seq(StructField("src_col", StringType, nullable = false),
+        StructField("tgt_col", StringType, nullable = false))))
+    allPairs
+      .join(inter, Seq("src_col", "tgt_col"), "left")
+      .na.fill(0L, Seq("n_inter"))
+      .join(F.broadcast(counts.withColumnRenamed("col", "src_col")
+        .withColumnRenamed("n_distinct", "n_src")), "src_col")
+      .select(F.col("src_col"), F.col("tgt_col"), F.col("n_src"),
+        F.col("n_inter"),
+        F.round(F.col("n_inter").cast("double") / F.col("n_src").cast("double"), 6)
+          .as("containment"),
+        F.when(F.col("n_inter") === F.col("n_src"), 1).otherwise(0).as("is_ind"))
+  }
+
+  /** Functional-dependency audit within one table: does `det`
+    * determine each of `deps`? Per dependency the output reports the
+    * determinant's group count, how many groups see more than one
+    * dependent value (violations), the worst branching factor, and
+    * the verdict. FD holds ⟺ every determinant value maps to exactly
+    * one dependent value.
+    *
+    * One scan per determinant regardless of |deps|: a single
+    * groupBy(det) computes every dependency's per-group distinct
+    * count (the multi-countDistinct EXPAND trade documented on
+    * Profile.numeric — scan rows multiply by |deps|), then a second
+    * tiny aggregate folds groups into the one-row-per-dep verdicts.
+    * Output long-format: (tab, determinant, dependent, n_groups,
+    * violating_groups, max_branching, fd_holds).
+    */
+  def fdAudit(tab: String, df: DataFrame, det: String,
+              deps: Seq[String]): DataFrame = {
+    require(deps.nonEmpty, "at least one dependent column")
+    val aggs = deps.map(dep => F.countDistinct(F.col(dep)).as(s"__nd_$dep"))
+    val grouped = df.groupBy(F.col(det)).agg(aggs.head, aggs.tail: _*)
+    val folds = deps.flatMap { dep =>
+      Seq(F.sum(F.when(F.col(s"__nd_$dep") > 1, 1L).otherwise(0L)).as(s"__v_$dep"),
+        F.max(F.col(s"__nd_$dep")).as(s"__m_$dep"))
+    } :+ F.count(F.lit(1)).as("__g")
+    val one = grouped.agg(folds.head, folds.tail: _*)
+    val stacked = F.explode(F.array(deps.map(dep =>
+      F.struct(F.lit(tab).as("tab"), F.lit(det).as("determinant"),
+        F.lit(dep).as("dependent"),
+        F.col("__g").as("n_groups"),
+        F.col(s"__v_$dep").as("violating_groups"),
+        F.col(s"__m_$dep").as("max_branching"),
+        F.when(F.col(s"__v_$dep") === 0L, 1).otherwise(0).as("fd_holds"))): _*))
+    one.select(stacked.as("p")).select("p.*")
+  }
+}

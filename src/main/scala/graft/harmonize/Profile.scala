@@ -46,6 +46,93 @@ object Profile {
     one.select(stacked.as("p")).select("p.*")
   }
 
+  /** Pearson correlation matrix over numeric columns — ONE scan for
+    * every unordered pair: the aggregate computes each column's exact
+    * decimal Σx and Σx² plus every pair's exact Σxy, and the
+    * correlations assemble from those sums on the single aggregated
+    * row. N columns cost one pass with O(N²) accumulators, not O(N²)
+    * scans.
+    *
+    * Numeric policy (SURVEY §5): the moments accumulate in DECIMAL —
+    * `F.corr`'s double accumulation is partition-order-dependent and
+    * not reproducible cross-engine. Inputs quantize to decimal(18,6)
+    * (the Profile.numeric convention); products are decimal(37,12),
+    * exact; sums widen to (38,12), exact while |Σx²| < 1e26 — holds
+    * to ~1e15 rows of this data, far past the design point. The final
+    *   corr = (n·Σxy − Σx·Σy) / √((n·Σx² − (Σx)²)(n·Σy² − (Σy)²))
+    * evaluates in double FROM the exact sums — a fixed handful of
+    * IEEE ops the twin replays with the identical expression shape.
+    * Output: (col_x, col_y, n, corr) per pair, corr rounded to 6dp
+    * (null when either column is constant — zero variance).
+    */
+  def correlation(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "correlation needs at least two columns")
+    val pairs = for { i <- cols.indices; j <- (i + 1) until cols.size }
+      yield (cols(i), cols(j))
+    def dec(c: String) = F.col(c).cast("decimal(18,6)")
+    val aggs = cols.flatMap(c => Seq(
+      F.sum(dec(c)).as(s"__s_$c"),
+      F.sum(dec(c) * dec(c)).as(s"__q_$c"))) ++
+      pairs.map { case (x, y) => F.sum(dec(x) * dec(y)).as(s"__p_${x}__$y") } :+
+      F.count(F.lit(1)).as("__n")
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    def d(name: String) = F.col(name).cast("double")
+    val stacked = F.explode(F.array(pairs.map { case (x, y) =>
+      val n = d("__n")
+      val cov = n * d(s"__p_${x}__$y") - d(s"__s_$x") * d(s"__s_$y")
+      val vx = n * d(s"__q_$x") - d(s"__s_$x") * d(s"__s_$x")
+      val vy = n * d(s"__q_$y") - d(s"__s_$y") * d(s"__s_$y")
+      F.struct(F.lit(x).as("col_x"), F.lit(y).as("col_y"),
+        F.col("__n").as("n"),
+        F.when(vx > 0 && vy > 0,
+          F.round(cov / F.sqrt(vx * vy), 6)).as("corr"))
+    }: _*))
+    one.select(stacked.as("p")).select("p.*")
+  }
+
+  /** Equi-width histogram per numeric column: two passes — a one-row
+    * min/max aggregate (broadcast), then one bucketing groupBy with
+    * at most |cols|·nBins groups. The explode unpivots |cols| values
+    * per row, so N columns cost one scan at N× the row stream, the
+    * same trade as [[numeric]]'s EXPAND.
+    *
+    * bucket = least(⌊(x − min)·nBins / (max − min)⌋, nBins−1) — the
+    * max value folds into the last bucket; a constant column (max =
+    * min) degenerates to the single bucket 0. All bucketing
+    * arithmetic is double with a fixed expression shape (multiply
+    * before divide) so the twin reproduces bucket boundaries
+    * bit-for-bit. Output: (column, bucket, lo, hi, cnt) for OCCUPIED
+    * buckets, lo/hi the bucket's edges rounded to 6dp.
+    */
+  def histogram(df: DataFrame, cols: Seq[String], nBins: Int = 10): DataFrame = {
+    require(cols.nonEmpty, "at least one column")
+    require(nBins >= 1, "at least one bucket")
+    val bAggs = cols.flatMap(c => Seq(
+      F.min(F.col(c)).cast("double").as(s"__mn_$c"),
+      F.max(F.col(c)).cast("double").as(s"__mx_$c")))
+    val bounds = df.agg(bAggs.head, bAggs.tail: _*)
+    val stacked = df.select(F.explode(F.array(cols.map(c =>
+      F.struct(F.lit(c).as("column"), F.col(c).cast("double").as("x"))): _*)).as("p"))
+      .select("p.*").where(F.col("x").isNotNull)
+    def perCol(f: String => org.apache.spark.sql.Column) =
+      cols.tail.foldLeft(F.when(F.col("column") === cols.head, f(cols.head))) {
+        (acc, c) => acc.when(F.col("column") === c, f(c))
+      }
+    val mn = perCol(c => F.col(s"__mn_$c"))
+    val mx = perCol(c => F.col(s"__mx_$c"))
+    val bucket = F.when(mx === mn, F.lit(0L)).otherwise(
+      F.least(F.floor((F.col("x") - mn) * F.lit(nBins) / (mx - mn)),
+        F.lit(nBins - 1L)))
+    val w = stacked.crossJoin(F.broadcast(bounds))
+      .select(F.col("column"), bucket.as("bucket"), mn.as("__mn"), mx.as("__mx"))
+    w.groupBy("column", "bucket", "__mn", "__mx")
+      .agg(F.count(F.lit(1)).as("cnt"))
+      .select(F.col("column"), F.col("bucket"),
+        F.round(F.col("__mn") + F.col("bucket") * (F.col("__mx") - F.col("__mn")) / F.lit(nBins), 6).as("lo"),
+        F.round(F.col("__mn") + (F.col("bucket") + 1) * (F.col("__mx") - F.col("__mn")) / F.lit(nBins), 6).as("hi"),
+        F.col("cnt"))
+  }
+
   /** The 100 TB distinct-count path, wired WITH its own error gate
     * (the corpus_quantiles_approx pattern applied here): profiling's
     * exact multi-countDistinct costs an EXPAND that multiplies scan

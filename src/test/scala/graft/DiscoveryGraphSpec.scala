@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.{functions => F}
+import graft.harmonize.{Discovery, Profile}
+import graft.operators.Graph
+
+/** Unit specs for the r13 discovery (IND/FD/correlation/histogram)
+  * and graph (pagerank/degree/triangles) operators on hand-built
+  * inputs with closed-form expected outputs.
+  */
+class DiscoveryGraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("inclusion: containment direction, full INDs, zero-overlap pairs") {
+    val fk = Seq(1L, 2L, 2L, 3L).toDF("fk") // distinct {1,2,3}
+    val pk = Seq(1L, 2L, 3L, 4L).toDF("pk") // distinct {1,2,3,4}
+    val other = Seq(99L).toDF("o")
+    val out = Discovery.inclusion(Seq(
+      ("a.fk", fk, "fk"), ("b.pk", pk, "pk"), ("c.o", other, "o")))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getInt(5))).toMap
+    assert(out(("a.fk", "b.pk")) == ((3L, 3L, 1.0, 1)))    // fk ⊆ pk
+    assert(out(("b.pk", "a.fk")) == ((4L, 3L, 0.75, 0)))   // not the reverse
+    assert(out(("a.fk", "c.o")) == ((3L, 0L, 0.0, 0)))     // disjoint preserved
+    assert(out.size == 6) // all ordered pairs present
+  }
+
+  test("fdAudit: held and violated dependencies with branching counts") {
+    val df = Seq(
+      (1, "x", "p"), (1, "x", "q"), // det=1: dep1 fine, dep2 branches 2
+      (2, "y", "r"), (2, "y", "r"),
+      (3, "z", "s")).toDF("k", "d1", "d2")
+    val rows = Discovery.fdAudit("t", df, "k", Seq("d1", "d2"))
+      .collect().map(r => r.getString(2) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getInt(6))).toMap
+    assert(rows("d1") == ((3L, 0L, 1L, 1)))  // k -> d1 holds
+    assert(rows("d2") == ((3L, 1L, 2L, 0)))  // k -> d2: 1 group branches
+  }
+
+  test("correlation: perfect linear, anti-linear, and constant columns") {
+    val df = Seq((1.0, 2.0, -1.0, 5.0), (2.0, 4.0, -2.0, 5.0),
+      (3.0, 6.0, -3.0, 5.0)).toDF("x", "y", "z", "c")
+    val rows = Profile.correlation(df, Seq("x", "y", "z", "c"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(rows(("x", "y")).contains(1.0))
+    assert(rows(("x", "z")).contains(-1.0))
+    assert(rows(("x", "c")).isEmpty) // zero variance -> null, not NaN
+  }
+
+  test("histogram: bucket boundaries, max in last bucket, constant column") {
+    val df = (0 to 100).map(_.toDouble).toDF("v")
+      .withColumn("k", F.lit(7.0))
+    val h = Profile.histogram(df, Seq("v", "k"), nBins = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getLong(4))).toMap
+    // v in [0,100], 10 buckets of width 10; bucket 9 takes [90,100]
+    assert(h(("v", 0L)) == ((0.0, 10.0, 10L)))
+    assert(h(("v", 9L)) == ((90.0, 100.0, 11L))) // 90..100 incl. max
+    assert(h.keys.count(_._1 == "v") == 10)
+    assert(h(("k", 0L))._3 == 101L) // constant column: one bucket, all rows
+  }
+
+  test("pageRank: mass conserved, hub ranks highest, deterministic") {
+    // star + chain: everyone links to h; h links to t
+    val edges = Seq(("a", "h", 1L), ("b", "h", 1L), ("c", "h", 2L),
+      ("h", "t", 1L)).toDF("src", "dst", "w")
+    val pr = Graph.pageRank(edges, iters = 5)
+    val ranks = pr.collect().map(r => r.getString(0) ->
+      r.getDecimal(1).doubleValue()).toMap
+    assert(ranks.size == 5)
+    // dangling redistribution keeps total mass ~1 every round
+    assert(math.abs(ranks.values.sum - 1.0) < 1e-6,
+      s"mass leaked: ${ranks.values.sum}")
+    // t receives all of h's (large) rank: highest; h next
+    assert(ranks("t") > ranks("h") && ranks("h") > ranks("a"))
+    assert(ranks("a") == ranks("b") && ranks("b") == ranks("c"))
+    val again = Graph.pageRank(edges, iters = 5).collect()
+      .map(r => r.getString(0) -> r.getDecimal(1).doubleValue()).toMap
+    assert(again == ranks) // bit-identical across runs
+  }
+
+  test("degreeDistribution: in/out sides with node counts per degree") {
+    val edges = Seq(("a", "x"), ("a", "y"), ("b", "x")).toDF("src", "dst")
+    val d = Graph.degreeDistribution(edges)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(d(("out", 2L)) == 1L) // a
+    assert(d(("out", 1L)) == 1L) // b
+    assert(d(("in", 2L)) == 1L)  // x
+    assert(d(("in", 1L)) == 1L)  // y
+  }
+
+  test("triangleParticipation: counts per node, open triads excluded") {
+    // triangle {1,2,3} + pendant edge (3,4): 4 is in no triangle
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val t = Graph.triangleParticipation(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(t == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+}

@@ -157,6 +157,12 @@ class PlanSpec extends SparkSpec {
     // bigram LM: same 1-row vocabulary-size totals crossJoin as the
     // unigram scorer (the bigram/unigram count joins are hash joins)
     "text_bigram_lm",
+    // histogram bucketing crosses the ONE-ROW min/max bounds frame
+    // into the value stream (graph_pagerank has the same one-row
+    // dangling-mass crossJoin per round, but its per-round lineage
+    // pin truncates the plan, so the BNLJ never reaches the final
+    // executed plan this guard inspects)
+    "profile_histogram",
     // ann_range / ann_knn_label: same broadcast-query corpus scan as
     // ann_topk (the kNN probe is cosineTopK + batch-sized vote frames)
     "ann_topk", "ann_range", "ann_knn_label", "ann_lsh_recall", "ann_ivf_recall",
