@@ -2875,6 +2875,96 @@ object OracleSql {
 
     "graph_pagerank" -> pageRankSql(iters = 5),
 
+    "text_keywords" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(${toks("text")}) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |ndoc AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+         |sc AS (SELECT doc_id, term,
+         |         round(CAST(tf AS DOUBLE) *
+         |               ln((n_docs + CAST(1 AS DOUBLE)) / (CAST(df AS DOUBLE) + CAST(1 AS DOUBLE))), 9) AS score
+         |       FROM tf JOIN dfq USING (term), ndoc),
+         |r AS (SELECT doc_id, term, score,
+         |        CAST(row_number() OVER (PARTITION BY doc_id
+         |               ORDER BY score DESC, term ASC) AS INTEGER) AS "rank"
+         |      FROM sc)
+         |SELECT doc_id, term, score, "rank" FROM r WHERE "rank" <= 3
+         |ORDER BY doc_id, "rank"""".stripMargin,
+
+    // ln(u)/w priority replay — u is the deterministic id hash, the
+    // +0.5 offset keeps it strictly inside (0,1); key rounds to 9dp
+    // BEFORE the top-k so the selection boundary matches the kernel
+    "curate_weighted_sample" ->
+      """WITH k AS (SELECT doc_id, n_chars,
+        |             round(ln((CAST((doc_id + 0) * 2654435761 % 1000000 AS DOUBLE) + 0.5)
+        |                      / 1000000.0)
+        |                   / CAST(n_chars AS DOUBLE), 9) AS sample_key
+        |           FROM documents),
+        |top AS (SELECT doc_id, n_chars, sample_key FROM k
+        |        ORDER BY sample_key DESC, doc_id ASC LIMIT 100)
+        |SELECT doc_id, n_chars, sample_key FROM top ORDER BY doc_id""".stripMargin,
+
+    "scd2_apply" ->
+      """WITH dim AS (SELECT c_custkey AS k, c_mktsegment AS seg FROM customer),
+        |ch AS (SELECT c_custkey AS k, 'DELINQUENT' AS nseg,
+        |              CAST(86400000000 AS BIGINT) AS ts
+        |       FROM customer WHERE c_acctbal < 0
+        |       UNION ALL
+        |       SELECT c_custkey, c_mktsegment, CAST(86400000000 AS BIGINT)
+        |       FROM customer WHERE c_acctbal >= 0 AND c_acctbal < 100
+        |       UNION ALL
+        |       SELECT c_custkey + 10000000, 'FIRSTCONTACT', CAST(86400000000 AS BIGINT)
+        |       FROM customer WHERE c_acctbal > 9000),
+        |j AS (SELECT dim.k, dim.seg, ch.nseg, ch.ts
+        |      FROM dim LEFT JOIN ch ON dim.k = ch.k),
+        |kept AS (SELECT k AS c_custkey, seg AS c_mktsegment,
+        |                CAST(0 AS BIGINT) AS valid_from_us,
+        |                CASE WHEN nseg IS NOT NULL AND nseg <> seg THEN ts END AS valid_to_us,
+        |                NOT (nseg IS NOT NULL AND nseg <> seg) AS is_current
+        |         FROM j),
+        |fresh AS (SELECT k, nseg, ts, CAST(NULL AS BIGINT), true
+        |          FROM j WHERE nseg IS NOT NULL AND nseg <> seg),
+        |novel AS (SELECT ch.k, ch.nseg, ch.ts, CAST(NULL AS BIGINT), true
+        |          FROM ch LEFT JOIN dim ON ch.k = dim.k WHERE dim.k IS NULL)
+        |SELECT * FROM kept
+        |UNION ALL SELECT * FROM fresh
+        |UNION ALL SELECT * FROM novel
+        |ORDER BY c_custkey, valid_from_us""".stripMargin,
+
+    // daily counts -> exact-decimal CUSUM -> per-type peak |S| argmax
+    "events_changepoint" ->
+      """WITH daily AS (SELECT event_type,
+        |                      epoch_us(ts) - epoch_us(ts) % 86400000000 AS day_us,
+        |                      count(*) AS x
+        |               FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |              CAST(round(CAST(sum(x) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+        |                   AS DECIMAL(20,6)) AS mean
+        |       FROM daily GROUP BY 1),
+        |cs AS (SELECT d.event_type, d.day_us, st.n_days,
+        |              sum(CAST(d.x AS DECIMAL(20,6)) - st.mean)
+        |                OVER (PARTITION BY d.event_type ORDER BY d.day_us
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+        |       FROM daily d JOIN st ON d.event_type = st.event_type),
+        |r AS (SELECT event_type, day_us, n_days, s,
+        |        row_number() OVER (PARTITION BY event_type
+        |               ORDER BY abs(s) DESC, day_us ASC) AS rk
+        |      FROM cs)
+        |SELECT event_type, day_us AS cp_day_us,
+        |       round(CAST(abs(s) AS DOUBLE), 6) AS peak_abs_cusum, n_days
+        |FROM r WHERE rk = 1 ORDER BY event_type""".stripMargin,
+
+    "zorder_key" -> {
+      // the same 16-bit interleave as Sources.zValue, unrolled
+      def interleave(col: String, off: Int) = (0 until 16).map(i =>
+        s"((($col >> $i) & 1) * ${1L << (2 * i + off)})").mkString(" + ")
+      s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         |       ${interleave("l_partkey", 0)}
+         |       + ${interleave("l_suppkey", 1)} AS zval
+         |FROM lineitem
+         |ORDER BY zval ASC, l_orderkey ASC, l_linenumber ASC LIMIT 50""".stripMargin
+    },
+
     "graph_degree" ->
       s"""WITH $shipmentEdgesCte,
          |o AS (SELECT src AS node, count(*) AS degree FROM e0 GROUP BY 1),

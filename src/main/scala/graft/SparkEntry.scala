@@ -2342,6 +2342,55 @@ object SparkEntry {
       .limit(20)
   }
 
+  // -------------------------------------------- pipeline ops (r13b)
+
+  private def textKeywords(t: Tables): DataFrame =
+    text.TextOps.keywords(t.documents, "doc_id", "text", k = 3)
+      .orderBy("doc_id", "rank")
+
+  private def curateWeightedSample(t: Tables): DataFrame =
+    // length-weighted Efraimidis-Spirakis draw of 100 docs — the
+    // proportional-to-size sample a mixing stage takes from a source
+    text.Curate.weightedSample(t.documents, "doc_id", "n_chars", k = 100)
+      .select("doc_id", "n_chars", "sample_key")
+      .orderBy("doc_id")
+
+  private val Scd2BatchTs = 86400000000L // the change batch's effective ts
+
+  private def scd2Apply(t: Tables): DataFrame = {
+    // dimension = customer segments; the batch exercises all three
+    // paths: real changes (delinquents re-segmented), no-ops (same
+    // segment re-sent), and brand-new keys (shifted id space)
+    val dim = operators.Scd.scd2Init(
+      t.customer.select("c_custkey", "c_mktsegment"),
+      "c_custkey", Seq("c_mktsegment"))
+    val ts = F.lit(Scd2BatchTs).as("change_ts_us")
+    val changes = t.customer.where(F.col("c_acctbal") < 0)
+        .select(F.col("c_custkey"), F.lit("DELINQUENT").as("c_mktsegment"), ts)
+      .unionAll(t.customer
+        .where(F.col("c_acctbal") >= 0 && F.col("c_acctbal") < 100)
+        .select(F.col("c_custkey"), F.col("c_mktsegment"), ts))
+      .unionAll(t.customer.where(F.col("c_acctbal") > 9000)
+        .select((F.col("c_custkey") + F.lit(10000000L)).as("c_custkey"),
+          F.lit("FIRSTCONTACT").as("c_mktsegment"), ts))
+    operators.Scd.scd2Apply(dim, changes, "c_custkey", Seq("c_mktsegment"))
+      .orderBy("c_custkey", "valid_from_us")
+  }
+
+  private def eventsChangepoint(t: Tables): DataFrame =
+    streaming.Events.changepoint(t.events).orderBy("event_type")
+
+  private def zorderKey(t: Tables): DataFrame =
+    // the Morton-curve key itself, oracle-replayed bit-for-bit; the
+    // file-level locality it buys is spec-asserted on writeZOrdered
+    t.lineitem.select(F.col("l_orderkey"), F.col("l_linenumber"),
+        F.col("l_partkey"), F.col("l_suppkey"),
+        graft.sources.Sources.zValue(
+          F.col("l_partkey"), F.col("l_suppkey"), bits = 16).as("zval"))
+      .orderBy(F.col("zval").asc, F.col("l_orderkey").asc,
+        F.col("l_linenumber").asc)
+      .limit(50)
+
   // ---------------------------------------------------------------- wiring
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -2517,7 +2566,12 @@ object SparkEntry {
       "profile_histogram" -> q(profileHistogram),
       "graph_pagerank" -> q(graphPagerank),
       "graph_degree" -> q(graphDegree),
-      "graph_triangles" -> q(graphTriangles))
+      "graph_triangles" -> q(graphTriangles),
+      "text_keywords" -> q(textKeywords),
+      "curate_weighted_sample" -> q(curateWeightedSample),
+      "scd2_apply" -> q(scd2Apply),
+      "events_changepoint" -> q(eventsChangepoint),
+      "zorder_key" -> q(zorderKey))
   }
 
   /** DuckDB-runnable ANSI SQL twin for every SQL-expressible query. */

@@ -286,6 +286,46 @@ object Events {
     dau.join(wau, Seq("day_us"))
   }
 
+  /** CUSUM changepoint detection per event type (Page, Biometrika
+    * '54): over the type's DAILY event counts x_1..x_T the cumulative
+    * deviation S_t = Σ_{i<=t} (x_i − x̄) peaks in magnitude at the
+    * day the mean shifts — the standard offline single-changepoint
+    * locator a pipeline-health monitor runs over ingest volumes.
+    * Emits per type: the argmax day, the peak |S| (the shift
+    * evidence), and the day count.
+    *
+    * Determinism: x̄ = round(Σx/T, 6) as a decimal; deviations are
+    * exact decimals, so the running sum (a window ordered by day) is
+    * addition-order-free and the argmax (|S| desc, day asc) is total.
+    * Scale: daily counts aggregate map-side (|types|·|days| rows
+    * total); the cumulative window partitions by type — bounded
+    * partitions, no global window.
+    */
+  def changepoint(events: DataFrame): DataFrame = {
+    val dayUs = 24L * 3600 * 1000 * 1000
+    val us = usOf(F.col("ts"))
+    val daily = events
+      .select(F.col("event_type"), (us - F.pmod(us, F.lit(dayUs))).as("day_us"))
+      .groupBy("event_type", "day_us").agg(F.count(F.lit(1)).as("x"))
+    val stats = daily.groupBy("event_type")
+      .agg(F.count(F.lit(1)).as("n_days"),
+        F.round(F.sum("x").cast("double") / F.count(F.lit(1)).cast("double"), 6)
+          .cast("decimal(20,6)").as("mean"))
+    val wRun = Window.partitionBy("event_type").orderBy("day_us")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cusum = daily.join(F.broadcast(stats), "event_type")
+      .select(F.col("event_type"), F.col("day_us"), F.col("n_days"),
+        (F.col("x").cast("decimal(20,6)") - F.col("mean")).as("dev"))
+      .withColumn("s", F.sum("dev").over(wRun))
+    val wTop = Window.partitionBy("event_type")
+      .orderBy(F.abs(F.col("s")).desc, F.col("day_us").asc)
+    cusum.withColumn("rk", F.row_number().over(wTop))
+      .where(F.col("rk") === 1)
+      .select(F.col("event_type"), F.col("day_us").as("cp_day_us"),
+        F.round(F.abs(F.col("s")).cast("double"), 6).as("peak_abs_cusum"),
+        F.col("n_days"))
+  }
+
   /** Per-type tail-value outliers: events whose value exceeds their
     * type's q-quantile — the monitoring/anomaly pass. The cutoff uses
     * Spark's EXACT `percentile` aggregate over values ROUNDED to 2dp,

@@ -32,6 +32,32 @@ object Curate {
     df.where(sampleKey(F.col(idCol), salt) < rate)
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement (Efraimidis
+    * & Spirakis IPL'06, the A-ES scheme): each row draws a priority
+    *   key = ln(u) / w      (order-equivalent to the classic u^(1/w))
+    * from a deterministic per-id uniform u ∈ (0,1), and the k largest
+    * keys are the sample — inclusion probability proportional to the
+    * weight, reproducible across runs and engines (no RNG state).
+    * The key rounds to 9dp BEFORE ranking so the selection boundary
+    * itself is cross-engine stable; ties break on ascending id.
+    *
+    * Scale: the key is one codegen'd per-row expression (the
+    * [[sampleKey]] hash), and top-k-by-key is a TakeOrdered — a
+    * per-partition heap + driver merge of k rows, never a global
+    * sort. Weights must be strictly positive.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     k: Int, salt: Long = 0L): DataFrame = {
+    require(k > 0, "sample size must be positive")
+    // u strictly inside (0,1): the +0.5 offset keeps ln() finite
+    val u = (F.pmod((F.col(idCol).cast("long") + F.lit(salt)) * F.lit(2654435761L),
+      F.lit(1000000L)).cast("double") + F.lit(0.5)) / F.lit(1000000.0)
+    val key = F.round(F.log(u) / F.col(weightCol).cast("double"), 9)
+    df.withColumn("sample_key", key)
+      .orderBy(F.col("sample_key").desc, F.col(idCol).asc)
+      .limit(k)
+  }
+
   /** Stratified deterministic sampling: per-stratum keep rates (e.g.
     * downsample boilerplate languages, keep all rare ones). Rates ride
     * in the plan as a literal map — no join, still one codegen'd

@@ -128,6 +128,45 @@ object TextOps {
   def topTokenShare(toks: Column): Column =
     F.coalesce(graft.functions.HashExprs.topTokenShare(toks), F.lit(0.0))
 
+  /** Per-document TF-IDF keyword extraction: each document's top-k
+    * terms by tf·idf, the classic unsupervised summarizer (Salton &
+    * Buckley '88; the keyword column a curation pipeline feeds to
+    * topic mixing or index enrichment).
+    *
+    *   idf(t) = ln((N + 1) / (df(t) + 1))  (smoothed — never 0/0)
+    *   score(d, t) = tf(d, t) · idf(t), rounded to 9dp
+    *
+    * Rounding BEFORE the rank window makes the ordering itself
+    * cross-engine reproducible (ties then break on ascending term).
+    *
+    * Scale: one tokenize+explode pass → groupBy (doc, term) for tf;
+    * df is a term-keyed rollup of that SAME aggregate (no second
+    * corpus scan); the one-row corpus count broadcasts; the top-k
+    * window partitions by document (WindowGroupLimit bounds it
+    * map-side). Nothing is ever corpus × corpus.
+    */
+  def keywords(df: DataFrame, idCol: String, textCol: String,
+               k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = df.select(F.col(idCol).as("doc_id"),
+        F.explode(tokens(F.col(textCol))).as("term"))
+    val tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).as("tf"))
+      .persist()
+    val dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).as("df"))
+    val nDocs = df.agg(F.count(F.lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, "term")
+      .crossJoin(F.broadcast(nDocs))
+      .select(F.col("doc_id"), F.col("term"),
+        F.round(F.col("tf").cast("double") *
+          F.log((F.col("n_docs").cast("double") + F.lit(1.0)) /
+            (F.col("df").cast("double") + F.lit(1.0))), 9).as("score"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(F.col("score").desc, F.col("term").asc)
+    scored.withColumn("rank", F.row_number().over(w))
+      .where(F.col("rank") <= k)
+      .select("doc_id", "term", "score", "rank")
+  }
+
   /** Fused single-pass document profile: quality stats, language ID,
     * BPE-ish token count, repetition share, 64-bit SimHash, and
     * winnowing-fingerprint count — ONE scan, ONE codegen'd projection.

@@ -157,6 +157,9 @@ class PlanSpec extends SparkSpec {
     // bigram LM: same 1-row vocabulary-size totals crossJoin as the
     // unigram scorer (the bigram/unigram count joins are hash joins)
     "text_bigram_lm",
+    // keywords crosses the ONE-ROW corpus-count frame into the
+    // tf/df join (the idf denominator)
+    "text_keywords",
     // histogram bucketing crosses the ONE-ROW min/max bounds frame
     // into the value stream (graph_pagerank has the same one-row
     // dangling-mass crossJoin per round, but its per-round lineage
