@@ -2807,6 +2807,38 @@ object OracleSql {
          |ORDER BY 1, 2""".stripMargin
     },
 
+    // sketch-error gate: all-true over the IN-SCOPE ordered pairs
+    // (distinct-count ratio <= 4 — the estimator's honest operating
+    // range, recomputed here from exact counts so the scope itself
+    // is part of the gate); an estimator regression fails loudly
+    "profile_inclusion_sketch" -> {
+      val cols = Seq(
+        ("nation.n_nationkey", "nation", "n_nationkey"),
+        ("nation.n_regionkey", "nation", "n_regionkey"),
+        ("region.r_regionkey", "region", "r_regionkey"),
+        ("customer.c_custkey", "customer", "c_custkey"),
+        ("customer.c_nationkey", "customer", "c_nationkey"),
+        ("supplier.s_suppkey", "supplier", "s_suppkey"),
+        ("supplier.s_nationkey", "supplier", "s_nationkey"),
+        ("part.p_partkey", "part", "p_partkey"),
+        ("orders.o_orderkey", "orders", "o_orderkey"),
+        ("orders.o_custkey", "orders", "o_custkey"),
+        ("lineitem.l_orderkey", "lineitem", "l_orderkey"),
+        ("lineitem.l_partkey", "lineitem", "l_partkey"),
+        ("lineitem.l_suppkey", "lineitem", "l_suppkey"))
+      val cnt = cols.map { case (label, tab, c) =>
+        s"SELECT '$label' AS col, count(DISTINCT $c) AS n FROM $tab WHERE $c IS NOT NULL"
+      }.mkString("\nUNION ALL ")
+      s"""WITH cnt AS (
+         |$cnt)
+         |SELECT a.col AS src_col, b.col AS tgt_col, true AS containment_ok
+         |FROM cnt a CROSS JOIN cnt b
+         |WHERE a.col <> b.col
+         |  AND greatest(CAST(a.n AS DOUBLE) / CAST(b.n AS DOUBLE),
+         |               CAST(b.n AS DOUBLE) / CAST(a.n AS DOUBLE)) <= 4.0
+         |ORDER BY 1, 2""".stripMargin
+    },
+
     "profile_fd" -> {
       val checks = Seq(
         ("orders", "o_orderkey", "o_custkey"),

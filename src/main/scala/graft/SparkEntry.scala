@@ -2257,21 +2257,30 @@ object SparkEntry {
     * schema's join paths (l_orderkey ⊆ o_orderkey, c_nationkey ⊆
     * n_nationkey, ...) plus the non-inclusions that prove direction.
     */
+  private def indCandidates(t: Tables): Seq[(String, DataFrame, String)] = Seq(
+    ("nation.n_nationkey", t.nation, "n_nationkey"),
+    ("nation.n_regionkey", t.nation, "n_regionkey"),
+    ("region.r_regionkey", t.region, "r_regionkey"),
+    ("customer.c_custkey", t.customer, "c_custkey"),
+    ("customer.c_nationkey", t.customer, "c_nationkey"),
+    ("supplier.s_suppkey", t.supplier, "s_suppkey"),
+    ("supplier.s_nationkey", t.supplier, "s_nationkey"),
+    ("part.p_partkey", t.part, "p_partkey"),
+    ("orders.o_orderkey", t.orders, "o_orderkey"),
+    ("orders.o_custkey", t.orders, "o_custkey"),
+    ("lineitem.l_orderkey", t.lineitem, "l_orderkey"),
+    ("lineitem.l_partkey", t.lineitem, "l_partkey"),
+    ("lineitem.l_suppkey", t.lineitem, "l_suppkey"))
+
   private def profileInclusion(t: Tables): DataFrame =
-    harmonize.Discovery.inclusion(Seq(
-      ("nation.n_nationkey", t.nation, "n_nationkey"),
-      ("nation.n_regionkey", t.nation, "n_regionkey"),
-      ("region.r_regionkey", t.region, "r_regionkey"),
-      ("customer.c_custkey", t.customer, "c_custkey"),
-      ("customer.c_nationkey", t.customer, "c_nationkey"),
-      ("supplier.s_suppkey", t.supplier, "s_suppkey"),
-      ("supplier.s_nationkey", t.supplier, "s_nationkey"),
-      ("part.p_partkey", t.part, "p_partkey"),
-      ("orders.o_orderkey", t.orders, "o_orderkey"),
-      ("orders.o_custkey", t.orders, "o_custkey"),
-      ("lineitem.l_orderkey", t.lineitem, "l_orderkey"),
-      ("lineitem.l_partkey", t.lineitem, "l_partkey"),
-      ("lineitem.l_suppkey", t.lineitem, "l_suppkey")))
+    harmonize.Discovery.inclusion(indCandidates(t))
+      .orderBy("src_col", "tgt_col")
+
+  private def profileInclusionSketch(t: Tables): DataFrame =
+    // the no-distinct-shuffle IND path as a GATED row: per-column
+    // MinHash + HLL sketches estimate every containment within 0.15
+    // absolute of the exact self-join value (literal-true oracle)
+    harmonize.Discovery.inclusionSketchGate(indCandidates(t))
       .orderBy("src_col", "tgt_col")
 
   private def profileFd(t: Tables): DataFrame =
@@ -2329,8 +2338,10 @@ object SparkEntry {
     // co-order part graph: parts appearing in the same order, kept at
     // co-occurrence >= 2 (the support filter that bounds the 2-path
     // join's deg² blowup before triangle closure)
+    // persisted: both sides of the pair-building self-join read this
+    // distinct — unpinned, the corpus scan + distinct shuffle run twice
     val op = t.lineitem.select(F.col("l_orderkey").as("ok"),
-      F.col("l_partkey").as("pk")).distinct()
+      F.col("l_partkey").as("pk")).distinct().persist()
     val pairs = op.as("x").join(op.as("y"),
         F.col("x.ok") === F.col("y.ok") && F.col("x.pk") < F.col("y.pk"))
       .groupBy(F.col("x.pk").as("a"), F.col("y.pk").as("b"))
@@ -2561,6 +2572,7 @@ object SparkEntry {
       "multimodal_video_features" -> q(multimodalVideoFeatures),
       "multimodal_audio_fp" -> q(multimodalAudioFp),
       "profile_inclusion" -> q(profileInclusion),
+      "profile_inclusion_sketch" -> q(profileInclusionSketch),
       "profile_fd" -> q(profileFd),
       "profile_correlation" -> q(profileCorrelation),
       "profile_histogram" -> q(profileHistogram),

@@ -41,10 +41,13 @@ object Discovery {
     require(cols.size >= 2, "inclusion discovery needs at least two columns")
     require(cols.map(_._1).distinct.size == cols.size, "labels must be unique")
     val spark = cols.head._2.sparkSession
+    // persisted: the distinct union feeds BOTH sides of the self-join
+    // plus the per-column counts — without the pin the N distinct
+    // shuffles over the source tables run three times over
     val d = cols.map { case (label, df, c) =>
       df.select(F.lit(label).as("col"), F.col(c).cast("string").as("v"))
         .where(F.col("v").isNotNull).distinct()
-    }.reduce(_ unionAll _)
+    }.reduce(_ unionAll _).persist()
     val counts = d.groupBy("col").agg(F.count(F.lit(1)).as("n_distinct"))
     val inter = d.as("a").join(d.as("b"), "v")
       .where(F.col("a.col") =!= F.col("b.col"))
@@ -66,6 +69,85 @@ object Discovery {
         F.round(F.col("n_inter").cast("double") / F.col("n_src").cast("double"), 6)
           .as("containment"),
         F.when(F.col("n_inter") === F.col("n_src"), 1).otherwise(0).as("is_ind"))
+  }
+
+  /** The 100 TB inclusion-discovery path, wired WITH its own error
+    * gate (the profile_numeric_approx pattern): [[inclusion]]'s exact
+    * self-join shuffles every distinct value; the at-scale swap
+    * reduces each column MAP-SIDE to one MinHash signature
+    * (functions.MinHashAgg — numHashes longs, merged associatively,
+    * no distinct shuffle at all) plus an HLL++ distinct estimate, and
+    * containment is estimated from the sketches:
+    *
+    *   Ĵ from positional signature agreement,
+    *   |A ∩ B| = Ĵ·|A ∪ B| = Ĵ·(d̂A + d̂B)/(1 + Ĵ),
+    *   containment(A→B) = |A ∩ B| / d̂A  (clamped to [0,1]).
+    *
+    * The shuffle carries |columns| sketch rows — constant in the
+    * corpus size; all pairs then score in one driver-small broadcast
+    * cross.
+    *
+    * SCOPE — the estimator's honest operating range: the containment
+    * formula amplifies the Jaccard estimate's error by (dA + dB)/dA,
+    * so for heavily asymmetric pairs (a 25-value key inside a
+    * 10⁹-value fact column) no fixed signature width can bound the
+    * absolute error. The gate therefore covers ordered pairs whose
+    * distinct counts are within `maxRatio` of each other — where the
+    * amplification is ≤ maxRatio + 1 and 2σ stays inside `tol`. That
+    * routing is also the right PRODUCTION hybrid: an asymmetric
+    * pair's exact check is the cheap one (semi-join the tiny side's
+    * distinct set against the big column — cost ∝ the small side),
+    * while comparable-cardinality pairs, where the exact self-join is
+    * at its most expensive, are exactly where the sketch serves.
+    *
+    * Per in-scope ordered pair this emits whether the estimate landed
+    * within `tol` ABSOLUTE error of the exact containment — the
+    * driver oracle recomputes the (exact-count-based) pair scope and
+    * states the literal all-true column, so estimator regression
+    * fails parity loudly. Production runs the sketch side alone; the
+    * exact side here is the gate's reference.
+    */
+  def inclusionSketchGate(cols: Seq[(String, DataFrame, String)],
+                          numHashes: Int = 1024, rsd: Double = 0.05,
+                          tol: Double = 0.2, maxRatio: Double = 4.0): DataFrame = {
+    import graft.functions.MinHashAgg.minhashAgg
+    val exactAll = inclusion(cols)
+    val nByCol = exactAll.groupBy(F.col("src_col").as("c"))
+      .agg(F.max("n_src").as("n"))
+    val exact = exactAll
+      .join(F.broadcast(nByCol), F.col("src_col") === F.col("c"))
+      .withColumnRenamed("n", "n_a").drop("c")
+      .join(F.broadcast(nByCol), F.col("tgt_col") === F.col("c"))
+      .withColumnRenamed("n", "n_b").drop("c")
+      .where(F.greatest(
+        F.col("n_a").cast("double") / F.col("n_b").cast("double"),
+        F.col("n_b").cast("double") / F.col("n_a").cast("double")) <= maxRatio)
+      .select(F.col("src_col"), F.col("tgt_col"), F.col("containment"))
+    val sk = cols.map { case (label, df, c) =>
+      df.select(F.lit(label).as("col"), F.col(c).cast("string").as("v"))
+        .where(F.col("v").isNotNull)
+    }.reduce(_ unionAll _)
+      .groupBy("col")
+      .agg(minhashAgg(F.col("v"), numHashes).as("sig"),
+        F.approx_count_distinct(F.col("v"), rsd).as("nd"))
+    val agree = F.aggregate(
+      F.zip_with(F.col("asig"), F.col("bsig"),
+        (x, y) => F.when(x === y, 1).otherwise(0)),
+      F.lit(0), (acc, x) => acc + x)
+    val jhat = agree.cast("double") / F.lit(numHashes.toDouble)
+    val est0 = (jhat * (F.col("da").cast("double") + F.col("db").cast("double")) /
+      ((F.lit(1.0) + jhat) * F.col("da").cast("double")))
+    val est = F.least(F.lit(1.0), F.greatest(F.lit(0.0), est0))
+    val pairs = sk.select(F.col("col").as("src_col"), F.col("sig").as("asig"),
+        F.col("nd").as("da"))
+      .crossJoin(F.broadcast(sk.select(F.col("col").as("tgt_col"),
+        F.col("sig").as("bsig"), F.col("nd").as("db"))))
+      .where(F.col("src_col") =!= F.col("tgt_col"))
+      .select(F.col("src_col"), F.col("tgt_col"), est.as("est"))
+    exact.join(pairs, Seq("src_col", "tgt_col"))
+      .select(F.col("src_col"), F.col("tgt_col"),
+        (F.abs(F.col("est") - F.col("containment")) <= F.lit(tol))
+          .as("containment_ok"))
   }
 
   /** Functional-dependency audit within one table: does `det`

@@ -24,21 +24,28 @@ object Scd {
     *  - key absent from dim → fresh insert, open from change_ts_us.
     * Historical (already-closed) rows pass through untouched.
     *
-    * Scale: ONE equi-join of the dimension against the (small) change
-    * batch — broadcast when it fits, hash otherwise; untouched
-    * dimension rows never shuffle wider than that join, and the
-    * appended versions derive from the batch side alone. No window,
-    * no global sort. One change per key per call (the per-batch
-    * contract; intra-batch ordering is the caller's concern — enforce
-    * upstream with a latest-per-key dedup).
+    * Scale: ONE equi-join of the dimension against the change batch
+    * (broadcast by default — the per-load batch is small by contract;
+    * pass broadcastChanges = false for a backfill-sized batch and the
+    * optimizer plans a key-shuffled hash join instead) plus a
+    * key-only anti join for the novel inserts — the dimension side of
+    * that anti join is pruned to its key column, so nothing
+    * row-width-sized shuffles twice. Untouched dimension rows never
+    * move wider than the main join, and the appended versions derive
+    * from the batch side alone. No window, no global sort. One change
+    * per key per call (the per-batch contract; intra-batch ordering
+    * is the caller's concern — enforce upstream with a latest-per-key
+    * dedup).
     */
   def scd2Apply(dim: DataFrame, changes: DataFrame, keyCol: String,
-                attrCols: Seq[String]): DataFrame = {
+                attrCols: Seq[String],
+                broadcastChanges: Boolean = true): DataFrame = {
     require(attrCols.nonEmpty, "at least one tracked attribute")
-    val ch = changes.select(
+    val ch0 = changes.select(
       F.col(keyCol) +: F.col("change_ts_us") +:
         attrCols.map(c => F.col(c).as(s"__new_$c")): _*)
-    val joined = dim.join(F.broadcast(ch), Seq(keyCol), "left")
+    val ch = if (broadcastChanges) F.broadcast(ch0) else ch0
+    val joined = dim.join(ch, Seq(keyCol), "left")
     val changed = F.col("change_ts_us").isNotNull &&
       F.col("is_current") &&
       attrCols.map(c => !(F.col(c) <=> F.col(s"__new_$c")))
@@ -68,6 +75,44 @@ object Scd {
           F.lit(null).cast("long").as("valid_to_us") :+
           F.lit(true).as("is_current"): _*)
     kept.unionAll(fresh).unionAll(novel)
+  }
+
+  /** Continuous dimension maintenance: apply each micro-batch of
+    * changes to the dimension at `root` (a [[graft.sources.Versioned]]
+    * table) through [[scd2Apply]] — the streaming half of the
+    * warehouse-upkeep story. Each batch reads the CURRENT committed
+    * snapshot, merges, and commits a NEW version atomically: an
+    * in-flight reader keeps its old snapshot, a crash mid-write
+    * leaves an invisible partial directory, and the streaming
+    * checkpoint's monotone batch ids make replay idempotent at the
+    * version level (a replayed batch re-merges against whatever
+    * snapshot is current; supply latest-per-key batches upstream).
+    * Batches are deduped to one change per key (max change_ts_us,
+    * ties broken by the larger attribute tuple is NOT defined — feed
+    * unambiguous batches) before the merge.
+    */
+  def scd2Ingest(changes: DataFrame, root: String, keyCol: String,
+                 attrCols: Seq[String],
+                 checkpointDir: Option[String] = None)
+                (onBatch: (Long, Long) => Unit = (_, _) => ())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = changes.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val dim = graft.sources.Versioned.read(spark, root)
+          // latest change per key wins within the batch
+          val wk = org.apache.spark.sql.expressions.Window
+            .partitionBy(keyCol).orderBy(F.col("change_ts_us").desc)
+          val dedup = batch.withColumn("__rk", F.row_number().over(wk))
+            .where(F.col("__rk") === 1).drop("__rk")
+          val merged = scd2Apply(dim, dedup, keyCol, attrCols)
+          val v = graft.sources.Versioned.commit(merged, root)
+          onBatch(batchId, v)
+        }
+      }
+    checkpointDir.foreach(d => w.option("checkpointLocation", d))
+    w.start()
   }
 
   /** Wrap a flat table as the initial versioned dimension: every row

@@ -160,6 +160,10 @@ class PlanSpec extends SparkSpec {
     // keywords crosses the ONE-ROW corpus-count frame into the
     // tf/df join (the idf denominator)
     "text_keywords",
+    // the IND sketch gate crosses the |columns|-row sketch frame with
+    // itself (13x13 pairs — column-count-bounded, like the schema
+    // matchers above)
+    "profile_inclusion_sketch",
     // histogram bucketing crosses the ONE-ROW min/max bounds frame
     // into the value stream (graph_pagerank has the same one-row
     // dangling-mass crossJoin per round, but its per-round lineage

@@ -87,6 +87,60 @@ class R13OpsSpec extends SparkSpec {
     assert(z == 7L) // a bits 1,1 -> 1+4; b bit 1 -> 2
   }
 
+  test("Versioned: atomic snapshot commits, time travel, vacuum") {
+    import graft.sources.Versioned
+    val root = java.nio.file.Files.createTempDirectory("vtab").toString + "/t"
+    assert(Versioned.currentVersion(spark, root).isEmpty)
+    val v1 = Versioned.commit(Seq((1L, "a")).toDF("k", "s"), root)
+    assert(v1 == 1L)
+    // a reader resolves its snapshot now...
+    val oldReader = Versioned.read(spark, root)
+    val v2 = Versioned.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "s"), root)
+    assert(v2 == 2L && Versioned.currentVersion(spark, root).contains(2L))
+    // ...new reads see v2, the in-flight reader still scans v1 files
+    assert(Versioned.read(spark, root).count() == 2)
+    assert(oldReader.count() == 1)
+    // time travel inside the un-vacuumed window
+    assert(Versioned.read(spark, root, version = Some(1L)).count() == 1)
+    assert(Versioned.vacuum(spark, root) == Seq(1L))
+    // vacuumed: only the current version remains on disk
+    assert(Versioned.currentVersion(spark, root).contains(2L))
+    intercept[Exception](Versioned.read(spark, root, version = Some(1L)).count())
+  }
+
+  test("scd2Ingest: streaming batches version the dimension through commits") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.sources.Versioned
+    implicit val sq = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("scd2s").toString + "/dim"
+    Versioned.commit(Scd.scd2Init(
+      Seq((1L, "A"), (2L, "B")).toDF("k", "seg"), "k", Seq("seg")), root)
+    val versions = scala.collection.mutable.Map[Long, Long]()
+    val stream = MemoryStream[(Long, String, Long)]
+    val q = Scd.scd2Ingest(
+      stream.toDF().toDF("k", "seg", "change_ts_us"), root, "k", Seq("seg"),
+      checkpointDir = Some(java.nio.file.Files
+        .createTempDirectory("scd2s_ckpt").toString)) { (b, v) =>
+      versions.synchronized { versions(b) = v }
+    }
+    try {
+      stream.addData((1L, "X", 100L), (1L, "Y", 200L)) // latest-per-key: Y wins
+      q.processAllAvailable()
+      stream.addData((9L, "N", 300L))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(versions.toMap == Map(0L -> 2L, 1L -> 3L))
+    val fin = Versioned.read(spark, root)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getLong(2), if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        r.getBoolean(4))).toSet
+    assert(fin == Set(
+      (1L, "A", 0L, Some(200L), false),
+      (1L, "Y", 200L, None, true),
+      (2L, "B", 0L, None, true),
+      (9L, "N", 300L, None, true)))
+  }
+
   test("writeZOrdered: per-file ranges tighten on BOTH dims vs linear sort") {
     val dir = java.nio.file.Files.createTempDirectory("zorder").toString
     val grid = (0 until 64).flatMap(x => (0 until 64).map(y => (x.toLong, y.toLong)))
