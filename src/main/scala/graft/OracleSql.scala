@@ -2839,6 +2839,14 @@ object OracleSql {
          |ORDER BY 1, 2""".stripMargin
     },
 
+    // sketch-error gate: literal all-true per join pair — the exact
+    // join count is the Spark side's own reference
+    "profile_joinsize_sketch" ->
+      """SELECT p AS join_pair, true AS size_ok FROM (VALUES
+        |  ('lineitem*orders.orderkey'), ('lineitem*part.partkey'),
+        |  ('orders*customer.custkey')) t(p)
+        |ORDER BY 1""".stripMargin,
+
     "profile_fd" -> {
       val checks = Seq(
         ("orders", "o_orderkey", "o_custkey"),
@@ -2906,6 +2914,25 @@ object OracleSql {
     },
 
     "graph_pagerank" -> pageRankSql(iters = 5),
+
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        |       sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS revenue,
+        |       CAST(GROUPING(l_returnflag, l_linestatus) AS INTEGER) AS gid
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag ASC NULLS LAST, l_linestatus ASC NULLS LAST""".stripMargin,
+
+    "q_pivot" -> {
+      val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+      val cells = prios.map { p =>
+        val a = p.replaceAll("[^A-Za-z0-9]+", "_").toLowerCase
+        s"""CAST(count(*) FILTER (o_orderpriority = '$p') AS BIGINT) AS "$a""""
+      }.mkString(",\n       ")
+      s"""SELECT o_orderstatus,
+         |       $cells
+         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+    },
 
     "text_keywords" ->
       s"""WITH tok AS (SELECT doc_id, unnest(${toks("text")}) AS term FROM documents),

@@ -2283,6 +2283,16 @@ object SparkEntry {
     harmonize.Discovery.inclusionSketchGate(indCandidates(t))
       .orderBy("src_col", "tgt_col")
 
+  private def profileJoinsizeSketch(t: Tables): DataFrame =
+    // three join shapes: 1:N fact-dim on both key sides, plus the
+    // partial-key o_custkey (not every customer orders) — the
+    // estimator must land within 15% of each without running the join
+    harmonize.Discovery.joinSizeSketchGate(Seq(
+      ("lineitem*orders.orderkey", t.lineitem, "l_orderkey", t.orders, "o_orderkey"),
+      ("lineitem*part.partkey", t.lineitem, "l_partkey", t.part, "p_partkey"),
+      ("orders*customer.custkey", t.orders, "o_custkey", t.customer, "c_custkey")))
+      .orderBy("join_pair")
+
   private def profileFd(t: Tables): DataFrame =
     // FD audit: keys determine (o_orderkey→o_custkey, n_nationkey→
     // n_regionkey hold); non-keys genuinely don't (o_custkey→priority,
@@ -2354,6 +2364,34 @@ object SparkEntry {
   }
 
   // -------------------------------------------- pipeline ops (r13b)
+
+  private def qRollup(t: Tables): DataFrame =
+    // multi-level OLAP aggregation in one pass: ROLLUP emits the
+    // (flag, status), per-flag subtotal, and grand-total rows from a
+    // single Expand+aggregate — no self-union of three groupBys;
+    // grouping_id disambiguates NULL-as-subtotal from NULL data
+    t.lineitem.rollup(F.col("l_returnflag"), F.col("l_linestatus"))
+      .agg(F.count(F.lit(1)).as("n_rows"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).as("revenue"),
+        F.grouping_id().cast("int").as("gid"))
+      .orderBy(F.col("gid"), F.col("l_returnflag").asc_nulls_last,
+        F.col("l_linestatus").asc_nulls_last)
+
+  private val PivotPriorities =
+    Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+  private def qPivot(t: Tables): DataFrame =
+    // wide-format cross-tab with an EXPLICIT value list (the dynamic
+    // variant would scan once just to discover columns — at 100 TB
+    // the caller names the spine): order counts per status x priority
+    t.orders.groupBy(F.col("o_orderstatus"))
+      .pivot("o_orderpriority", PivotPriorities)
+      .agg(F.count(F.lit(1)))
+      .na.fill(0L, PivotPriorities)
+      .select(F.col("o_orderstatus") +:
+        PivotPriorities.map(p => F.col(p).as(p.replaceAll("[^A-Za-z0-9]+", "_")
+          .toLowerCase)): _*)
+      .orderBy("o_orderstatus")
 
   private def textKeywords(t: Tables): DataFrame =
     text.TextOps.keywords(t.documents, "doc_id", "text", k = 3)
@@ -2573,6 +2611,7 @@ object SparkEntry {
       "multimodal_audio_fp" -> q(multimodalAudioFp),
       "profile_inclusion" -> q(profileInclusion),
       "profile_inclusion_sketch" -> q(profileInclusionSketch),
+      "profile_joinsize_sketch" -> q(profileJoinsizeSketch),
       "profile_fd" -> q(profileFd),
       "profile_correlation" -> q(profileCorrelation),
       "profile_histogram" -> q(profileHistogram),
@@ -2583,7 +2622,9 @@ object SparkEntry {
       "curate_weighted_sample" -> q(curateWeightedSample),
       "scd2_apply" -> q(scd2Apply),
       "events_changepoint" -> q(eventsChangepoint),
-      "zorder_key" -> q(zorderKey))
+      "zorder_key" -> q(zorderKey),
+      "q_rollup" -> q(qRollup),
+      "q_pivot" -> q(qPivot))
   }
 
   /** DuckDB-runnable ANSI SQL twin for every SQL-expressible query. */

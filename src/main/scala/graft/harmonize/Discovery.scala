@@ -150,6 +150,40 @@ object Discovery {
           .as("containment_ok"))
   }
 
+  /** Sketch-based equi-join cardinality estimation as a GATED row —
+    * the query-planning primitive: how big is A ⋈ B on this key,
+    * WITHOUT executing (or shuffling for) the join? Each side reduces
+    * map-side to an F-AGMS sign sketch (functions.AmsSketchAgg —
+    * depth·width longs, associatively merged, constant in corpus
+    * size); the estimate is the median per-row counter dot product,
+    * unbiased with σ ≈ √(F2(A)·F2(B)/width). Per pair this emits
+    * whether the estimate landed within `tol` RELATIVE error of the
+    * exact join count (the gate's reference — production runs the
+    * sketches alone and never executes the join).
+    */
+  def joinSizeSketchGate(
+      pairs: Seq[(String, DataFrame, String, DataFrame, String)],
+      depth: Int = 5, width: Int = 4096, tol: Double = 0.15): DataFrame = {
+    import graft.functions.AmsSketchAgg.{amsSketchAgg, joinSizeEstimate}
+    require(pairs.nonEmpty, "at least one join pair")
+    require(depth % 2 == 1, "odd depth (median row)")
+    pairs.map { case (label, dfA, cA, dfB, cB) =>
+      def sk(df: DataFrame, c: String, as: String) =
+        df.where(F.col(c).isNotNull)
+          .agg(amsSketchAgg(F.col(c).cast("string"), depth, width).as(as))
+      val est = sk(dfA, cA, "ska").crossJoin(F.broadcast(sk(dfB, cB, "skb")))
+        .select(joinSizeEstimate(F.col("ska"), F.col("skb"), depth, width)
+          .as("est"))
+      val exact = dfA.select(F.col(cA).as("__k"))
+        .join(dfB.select(F.col(cB).as("__k")), "__k")
+        .agg(F.count(F.lit(1)).as("exact"))
+      est.crossJoin(F.broadcast(exact))
+        .select(F.lit(label).as("join_pair"),
+          (F.abs(F.col("est").cast("double") - F.col("exact").cast("double"))
+            <= F.lit(tol) * F.col("exact").cast("double")).as("size_ok"))
+    }.reduce(_ unionAll _)
+  }
+
   /** Functional-dependency audit within one table: does `det`
     * determine each of `deps`? Per dependency the output reports the
     * determinant's group count, how many groups see more than one

@@ -25,6 +25,23 @@ class DiscoveryGraphSpec extends SparkSpec {
     assert(out.size == 6) // all ordered pairs present
   }
 
+  test("AMS sketch: join size within tolerance, near-zero for disjoint keys") {
+    import graft.functions.AmsSketchAgg.{amsSketchAgg, joinSizeEstimate}
+    val a = (1 to 100).flatMap(i => Seq(i, i)).toDF("k")     // 100 keys x2
+    val b = (1 to 50).flatMap(i => Seq(i, i, i)).toDF("k")   // 50 keys x3
+    val c = (1000 to 1050).toDF("k")                         // disjoint
+    def sk(df: org.apache.spark.sql.DataFrame) =
+      df.agg(amsSketchAgg(F.col("k").cast("string"), 5, 4096).as("s"))
+    def est(x: org.apache.spark.sql.DataFrame, y: org.apache.spark.sql.DataFrame) =
+      sk(x).crossJoin(sk(y).withColumnRenamed("s", "t"))
+        .select(joinSizeEstimate(F.col("s"), F.col("t"), 5, 4096))
+        .as[Long].head()
+    val e = est(a, b) // exact join size: 50 keys x 2 x 3 = 300
+    assert(math.abs(e - 300L) <= 45, s"est=$e want ~300")
+    assert(math.abs(est(a, c)) < 50, "disjoint keys must estimate ~0")
+    assert(est(a, b) == e) // deterministic: no RNG state
+  }
+
   test("fdAudit: held and violated dependencies with branching counts") {
     val df = Seq(
       (1, "x", "p"), (1, "x", "q"), // det=1: dep1 fine, dep2 branches 2

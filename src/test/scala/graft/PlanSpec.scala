@@ -162,8 +162,9 @@ class PlanSpec extends SparkSpec {
     "text_keywords",
     // the IND sketch gate crosses the |columns|-row sketch frame with
     // itself (13x13 pairs — column-count-bounded, like the schema
-    // matchers above)
-    "profile_inclusion_sketch",
+    // matchers above); the join-size gate crosses ONE-ROW sketch and
+    // exact-count frames per pair
+    "profile_inclusion_sketch", "profile_joinsize_sketch",
     // histogram bucketing crosses the ONE-ROW min/max bounds frame
     // into the value stream (graph_pagerank has the same one-row
     // dangling-mass crossJoin per round, but its per-round lineage
