@@ -39,8 +39,10 @@ import org.apache.spark.sql.SparkSession
   * per-rep [sec, load, gc_ms] evidence ("suspect_reps") on the final
   * line — a phantom regression re-runs near its reference and is
   * adjudicated from the artifact alone; a real one reproduces. The
-  * final line is size-bounded by shrinking the topK medians map until
-  * it fits the tail window.
+  * final line is size-bounded: the topK medians map shrinks first,
+  * then the per-rep suspect evidence, and only last the rerun map
+  * (every rerun still executes; the full evidence is on the detail
+  * line).
   */
 object Bench {
   private def loadAvg(): Double =
@@ -190,7 +192,6 @@ object Bench {
       }
       .sortBy(-_._2).map(_._1)
     val suspects = suspectsRanked.take(16)
-    val evidenceSuspects = suspectsRanked.take(8).toSet
     val fnByName = SparkEntry.queries
     val rerun = suspects.map { k =>
       val gc0 = gcMsTotal()
@@ -201,13 +202,6 @@ object Bench {
       spark.catalog.clearCache()
       k -> s"[${if (ok) r3(dt) else "null"},${r2(loadAvg())},${gcMsTotal() - gc0}]"
     }
-    val rerunJson = rerun.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val suspectReps = results.collect {
-      case (k, (_, _, reps0)) if evidenceSuspects.contains(k) =>
-        "\"" + k + "\":" + repsJson(reps0)
-    }.mkString("{", ",", "}")
-
     val loadEnd = loadAvg()
     val gcTotal = gcMsTotal() - gcStart
     println(s"""{"metric":"detail","queries_min":$qmin,"queries_max":$qmax,"rep_detail":$repDetail}""")
@@ -216,14 +210,29 @@ object Bench {
     // top-K slowest medians; the full map is the line above). The line
     // must survive the driver's ~2 kB tail capture WHOLE, so topK
     // shrinks until it fits — suspect evidence outranks extra medians.
-    def finalLine(topK: Int): String = {
+    def finalLine(topK: Int, nReps: Int, nRerun: Int): String = {
       val qtop = medians.toSeq.sortBy(-_._2).take(topK)
         .map { case (k, m) => "\"" + k + "\":" + r3(m) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":$value,"unit":"sec","reps":$reps,"sf":"$sfDir","n_queries":${results.size},"load_1m_start":${r2(loadStart)},"load_1m_end":${r2(loadEnd)},"gc_ms_total":$gcTotal,"ref_n":${ref.size},"suspect_reps":$suspectReps,"rerun":$rerunJson,"queries_truncated_to":$topK,"failed":$failed,"total_passing":$total,"queries":$qtop}"""
+      val evid = suspectsRanked.take(nReps).toSet
+      val sReps = results.collect {
+        case (k, (_, _, reps0)) if evid.contains(k) =>
+          "\"" + k + "\":" + repsJson(reps0)
+      }.mkString("{", ",", "}")
+      val rr = rerun.filter { case (k, _) =>
+        suspectsRanked.take(nRerun).contains(k) }
+        .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":$value,"unit":"sec","reps":$reps,"sf":"$sfDir","n_queries":${results.size},"load_1m_start":${r2(loadStart)},"load_1m_end":${r2(loadEnd)},"gc_ms_total":$gcTotal,"ref_n":${ref.size},"suspect_reps":$sReps,"rerun":$rr,"queries_truncated_to":$topK,"failed":$failed,"total_passing":$total,"queries":$qtop}"""
     }
-    val line = Seq(40, 35, 30, 25, 20, 15, 10, 8).view.map(finalLine)
-      .find(_.length <= 1900).getOrElse(finalLine(8))
+    // shrink order: medians map first, then per-rep suspect evidence,
+    // then (last — it is the adjudication itself) the rerun map; every
+    // rerun still executed and the full evidence is on the detail line
+    val candidates =
+      Seq(40, 35, 30, 25, 20, 15, 10, 8).map(k => (k, 8, 16)) ++
+        Seq((8, 4, 16), (8, 2, 16), (8, 0, 16), (8, 0, 12), (8, 0, 8))
+    val line = candidates.view
+      .map { case (k, nr, nrr) => finalLine(k, nr, nrr) }
+      .find(_.length <= 1900).getOrElse(finalLine(8, 0, 8))
     println(line)
     spark.stop()
   }

@@ -2990,6 +2990,61 @@ object OracleSql {
         |UNION ALL SELECT * FROM novel
         |ORDER BY c_custkey, valid_from_us""".stripMargin,
 
+    // the same versioned dimension as scd2_apply, then the
+    // point-in-time range join at ts in {0, 2*batchTs}
+    "scd2_lookup" ->
+      """WITH dim AS (SELECT c_custkey AS k, c_mktsegment AS seg FROM customer),
+        |ch AS (SELECT c_custkey AS k, 'DELINQUENT' AS nseg,
+        |              CAST(86400000000 AS BIGINT) AS ts
+        |       FROM customer WHERE c_acctbal < 0
+        |       UNION ALL
+        |       SELECT c_custkey, c_mktsegment, CAST(86400000000 AS BIGINT)
+        |       FROM customer WHERE c_acctbal >= 0 AND c_acctbal < 100
+        |       UNION ALL
+        |       SELECT c_custkey + 10000000, 'FIRSTCONTACT', CAST(86400000000 AS BIGINT)
+        |       FROM customer WHERE c_acctbal > 9000),
+        |j AS (SELECT dim.k, dim.seg, ch.nseg, ch.ts
+        |      FROM dim LEFT JOIN ch ON dim.k = ch.k),
+        |v AS (SELECT k AS c_custkey, seg AS c_mktsegment,
+        |             CAST(0 AS BIGINT) AS valid_from_us,
+        |             CASE WHEN nseg IS NOT NULL AND nseg <> seg THEN ts END AS valid_to_us
+        |      FROM j
+        |      UNION ALL
+        |      SELECT k, nseg, ts, CAST(NULL AS BIGINT)
+        |      FROM j WHERE nseg IS NOT NULL AND nseg <> seg
+        |      UNION ALL
+        |      SELECT ch.k, ch.nseg, ch.ts, CAST(NULL AS BIGINT)
+        |      FROM ch LEFT JOIN dim ON ch.k = dim.k WHERE dim.k IS NULL),
+        |f AS (SELECT o_orderkey, o_custkey,
+        |             (o_orderkey % 2) * CAST(172800000000 AS BIGINT) AS at_us
+        |      FROM orders)
+        |SELECT f.o_orderkey, f.o_custkey, f.at_us, v.c_mktsegment
+        |FROM f LEFT JOIN v ON f.o_custkey = v.c_custkey
+        |  AND v.valid_from_us <= f.at_us
+        |  AND (v.valid_to_us IS NULL OR f.at_us < v.valid_to_us)
+        |ORDER BY f.o_orderkey""".stripMargin,
+
+    "profile_skew" -> {
+      val cols = Seq("l_returnflag", "l_linestatus", "l_suppkey", "l_partkey")
+      val d = cols.map(c =>
+        s"SELECT '$c' AS col, CAST($c AS VARCHAR) AS v FROM lineitem WHERE $c IS NOT NULL")
+        .mkString("\nUNION ALL ")
+      s"""WITH u AS (
+         |$d),
+         |c AS (SELECT col, v, count(*) AS cnt FROM u GROUP BY 1, 2),
+         |a AS (SELECT col, count(*) AS n_keys, CAST(sum(cnt) AS BIGINT) AS n_rows,
+         |             max(cnt) AS max_cnt
+         |      FROM c GROUP BY col),
+         |t AS (SELECT c.col, max(c.v) AS top_value
+         |      FROM c JOIN a ON c.col = a.col AND c.cnt = a.max_cnt
+         |      GROUP BY c.col)
+         |SELECT a.col AS "column", a.n_keys, a.n_rows, a.max_cnt,
+         |       round(CAST(a.max_cnt AS DOUBLE) / CAST(a.n_rows AS DOUBLE), 6) AS max_share,
+         |       t.top_value
+         |FROM a JOIN t ON a.col = t.col
+         |ORDER BY 1""".stripMargin
+    },
+
     // daily counts -> exact-decimal CUSUM -> per-type peak |S| argmax
     "events_changepoint" ->
       """WITH daily AS (SELECT event_type,

@@ -2406,10 +2406,11 @@ object SparkEntry {
 
   private val Scd2BatchTs = 86400000000L // the change batch's effective ts
 
-  private def scd2Apply(t: Tables): DataFrame = {
-    // dimension = customer segments; the batch exercises all three
-    // paths: real changes (delinquents re-segmented), no-ops (same
-    // segment re-sent), and brand-new keys (shifted id space)
+  /** The versioned customer-segment dimension the scd2_* queries
+    * share: all three change paths exercised (real change, no-op,
+    * brand-new key).
+    */
+  private def scd2Dim(t: Tables): DataFrame = {
     val dim = operators.Scd.scd2Init(
       t.customer.select("c_custkey", "c_mktsegment"),
       "c_custkey", Seq("c_mktsegment"))
@@ -2423,8 +2424,28 @@ object SparkEntry {
         .select((F.col("c_custkey") + F.lit(10000000L)).as("c_custkey"),
           F.lit("FIRSTCONTACT").as("c_mktsegment"), ts))
     operators.Scd.scd2Apply(dim, changes, "c_custkey", Seq("c_mktsegment"))
-      .orderBy("c_custkey", "valid_from_us")
   }
+
+  private def scd2Apply(t: Tables): DataFrame =
+    scd2Dim(t).orderBy("c_custkey", "valid_from_us")
+
+  private def scd2Lookup(t: Tables): DataFrame = {
+    // point-in-time enrichment: half the orders (even keys) look up
+    // at ts=0 (the pre-change version), half after the change batch —
+    // both sides of every versioned key are exercised
+    val facts = t.orders.select(F.col("o_orderkey"), F.col("o_custkey"),
+      (F.pmod(F.col("o_orderkey"), F.lit(2L)) * F.lit(2L * Scd2BatchTs)).as("at_us"))
+    operators.Scd.scd2Lookup(facts, "o_custkey", "at_us",
+        scd2Dim(t), "c_custkey", Seq("c_mktsegment"))
+      .orderBy("o_orderkey")
+  }
+
+  private def profileSkew(t: Tables): DataFrame =
+    // flag/status are genuinely skewed (3 and 2 keys); the key columns
+    // are near-uniform — both verdicts the salting decision needs
+    harmonize.Profile.keySkew(t.lineitem,
+      Seq("l_returnflag", "l_linestatus", "l_suppkey", "l_partkey"))
+      .orderBy("column")
 
   private def eventsChangepoint(t: Tables): DataFrame =
     streaming.Events.changepoint(t.events).orderBy("event_type")
@@ -2624,7 +2645,9 @@ object SparkEntry {
       "events_changepoint" -> q(eventsChangepoint),
       "zorder_key" -> q(zorderKey),
       "q_rollup" -> q(qRollup),
-      "q_pivot" -> q(qPivot))
+      "q_pivot" -> q(qPivot),
+      "scd2_lookup" -> q(scd2Lookup),
+      "profile_skew" -> q(profileSkew))
   }
 
   /** DuckDB-runnable ANSI SQL twin for every SQL-expressible query. */

@@ -46,6 +46,43 @@ object Profile {
     one.select(stacked.as("p")).select("p.*")
   }
 
+  /** Key-skew diagnosis per column — the statistic that decides
+    * SALTING at scale: per candidate join/grouping column, the
+    * distinct-key count, the heaviest key's row count and share, and
+    * the key itself. A max_share near 1/parallelism or above means
+    * one reducer owns that key's rows; feed such columns to
+    * Skew.saltedJoin (or AQE skew handling) before the join.
+    *
+    * One unpivot scan for N columns → (col, value) counts (map-side
+    * combined), then a two-level fold: per-column totals + max count,
+    * and the deterministic heaviest key = max value among those at
+    * max count (ties break on the larger key string — no window over
+    * a corpus-sized partition; everything after the first groupBy is
+    * key-cardinality-sized).
+    */
+  def keySkew(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "at least one column")
+    val unpiv = df.select(F.explode(F.array(cols.map(c =>
+      F.struct(F.lit(c).as("column"), F.col(c).cast("string").as("v"))): _*)).as("p"))
+      .select("p.*").where(F.col("v").isNotNull)
+    val counts = unpiv.groupBy("column", "v").agg(F.count(F.lit(1)).as("cnt"))
+      .persist()
+    val agg = counts.groupBy("column").agg(
+      F.count(F.lit(1)).as("n_keys"),
+      F.sum("cnt").as("n_rows"),
+      F.max("cnt").as("max_cnt"))
+    val top = counts.join(F.broadcast(agg.select(F.col("column"), F.col("max_cnt"))),
+        Seq("column"))
+      .where(F.col("cnt") === F.col("max_cnt"))
+      .groupBy("column").agg(F.max("v").as("top_value"))
+    agg.join(F.broadcast(top), Seq("column"))
+      .select(F.col("column"), F.col("n_keys"), F.col("n_rows"),
+        F.col("max_cnt"),
+        F.round(F.col("max_cnt").cast("double") / F.col("n_rows").cast("double"), 6)
+          .as("max_share"),
+        F.col("top_value"))
+  }
+
   /** Pearson correlation matrix over numeric columns — ONE scan for
     * every unordered pair: the aggregate computes each column's exact
     * decimal Σx and Σx² plus every pair's exact Σxy, and the

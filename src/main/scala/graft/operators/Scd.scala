@@ -77,6 +77,36 @@ object Scd {
     kept.unionAll(fresh).unionAll(novel)
   }
 
+  /** Point-in-time dimension lookup — the consumer side of SCD2:
+    * enrich each fact row with the attribute values that were valid
+    * AT the fact's timestamp:
+    *
+    *   dim.valid_from_us <= fact.ts < dim.valid_to_us (null = open)
+    *
+    * Exactly one version matches per (key, ts) at or after the key's
+    * first version; earlier-than-history or unknown keys get null
+    * attributes (left join) — auditable rather than silently dropped.
+    *
+    * Scale: planned as a plain HASH equi-join on the key with the
+    * range predicate riding as the join condition — the per-key
+    * version count is small by construction (one row per change), so
+    * the post-join filter touches a handful of rows per fact row; no
+    * interval index needed at any fact-table size.
+    */
+  def scd2Lookup(facts: DataFrame, factKey: String, tsCol: String,
+                 dim: DataFrame, dimKey: String,
+                 attrCols: Seq[String]): DataFrame = {
+    val d = dim.select(
+      F.col(dimKey).as("__dk") +: F.col("valid_from_us") +:
+        F.col("valid_to_us") +: attrCols.map(F.col): _*)
+    facts.join(d,
+        facts(factKey) === d("__dk") &&
+          d("valid_from_us") <= facts(tsCol) &&
+          (d("valid_to_us").isNull || facts(tsCol) < d("valid_to_us")),
+        "left")
+      .drop("__dk", "valid_from_us", "valid_to_us")
+  }
+
   /** Continuous dimension maintenance: apply each micro-batch of
     * changes to the dimension at `root` (a [[graft.sources.Versioned]]
     * table) through [[scd2Apply]] — the streaming half of the

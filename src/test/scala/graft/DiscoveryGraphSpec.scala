@@ -54,6 +54,17 @@ class DiscoveryGraphSpec extends SparkSpec {
     assert(rows("d2") == ((3L, 1L, 2L, 0)))  // k -> d2: 1 group branches
   }
 
+  test("keySkew: heavy key, share, and deterministic tie-break") {
+    val df = Seq(("a", "0"), ("a", "1"), ("a", "0"),
+      ("b", "1"), ("b", "0"), ("c", "1")).toDF("k", "u")
+    val s = Profile.keySkew(df, Seq("k", "u"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getString(5))).toMap
+    assert(s("k") == ((3L, 6L, 3L, 0.5, "a")))
+    // u: two keys x3 each — tie broken on the LARGER key string
+    assert(s("u")._3 == 3L && s("u")._5 == "1")
+  }
+
   test("correlation: perfect linear, anti-linear, and constant columns") {
     val df = Seq((1.0, 2.0, -1.0, 5.0), (2.0, 4.0, -2.0, 5.0),
       (3.0, 6.0, -3.0, 5.0)).toDF("x", "y", "z", "c")

@@ -32,6 +32,22 @@ class R13OpsSpec extends SparkSpec {
       (9L, "N", 100L, None, true)))     // novel insert
   }
 
+  test("scd2Lookup: facts resolve the version valid AT their timestamp") {
+    val dim = Scd.scd2Apply(
+      Scd.scd2Init(Seq((1L, "A")).toDF("k", "seg"), "k", Seq("seg")),
+      Seq((1L, "X", 100L)).toDF("k", "seg", "change_ts_us"), "k", Seq("seg"))
+    val facts = Seq((10L, 1L, 50L),   // before the change -> A
+      (11L, 1L, 100L),                // at the boundary -> X (half-open)
+      (12L, 1L, 999L),                // after -> X
+      (13L, 7L, 50L))                 // unknown key -> null
+      .toDF("fid", "k", "at_us")
+    val out = Scd.scd2Lookup(facts, "k", "at_us", dim, "k", Seq("seg"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getString(3)))).toMap
+    assert(out == Map(10L -> Some("A"), 11L -> Some("X"),
+      12L -> Some("X"), 13L -> None))
+  }
+
   test("weightedSample: deterministic, size-k, heavy weights dominate") {
     val df = (1 to 200).map(i => (i.toLong, if (i <= 10) 1000000.0 else 0.001))
       .toDF("id", "w")
