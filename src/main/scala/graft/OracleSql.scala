@@ -1814,6 +1814,30 @@ object OracleSql {
       """SELECT vec_id AS query_id, true AS recall_ok FROM embeddings
         |WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
 
+    // the incremental-ingest equality gate's reference arm (one-shot
+    // build, quantizers trained on the even-id slice): precision +
+    // ordering of the returned set recomputed from raw embeddings
+    "ann_ivfpq_frozen" -> annArithmeticTwin("ann_ivfpq_frozen"),
+
+    // ingest-loop composed index: build on the even-id slice + append
+    // the odd batch under frozen quantizers must lose nothing vs the
+    // one-shot frozen-train build — row-for-row equality with that
+    // query's dump (the text_search_bm25_incr equality-gate trick)
+    "ann_ivfpq_incr" ->
+      """SELECT query_id, neighbor_id, "rank", similarity
+        |FROM read_parquet('__VERIFY_OUT__/ann_ivfpq_frozen/*.parquet')
+        |ORDER BY query_id, "rank"""".stripMargin,
+
+    // PCA-composed partitioned index: precision + ordering of the
+    // returned set are EXACT (split-space re-rank reads the original
+    // vectors), recomputed here from raw embeddings; recall gates
+    // separately through the floor below
+    "ann_pca_ivfpq" -> annArithmeticTwin("ann_pca_ivfpq"),
+
+    "ann_pca_ivfpq_recall" ->
+      """SELECT vec_id AS query_id, true AS recall_ok FROM embeddings
+        |WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
+
     // winnowing twin (Schleimer et al. SIGMOD'03): the companion
     // doc_fingerprint_hashes dump carries every positional shingle
     // hash; this replays the w=3 sliding-window minima, the

@@ -1476,6 +1476,83 @@ object SparkEntry {
           k = 5, nCells = 16, nProbe = IvfpqNProbe, m = 8, ksub = 16,
           rerank = PqRerank))
 
+  private def annIvfpqFrozen(t: Tables): DataFrame = {
+    // the REFERENCE arm of the incremental-ingest equality gate: a
+    // one-shot build over the full corpus whose quantizers train ONLY
+    // on the even-id slice (ivfpqBuild trainCorpus) — exactly the
+    // quantizer state build(even) + append(odd) reaches, so
+    // ann_ivfpq_incr must equal this dump row-for-row. Gated itself by
+    // the arithmetic twin (precision + ordering from raw embeddings).
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpqfz_index_" +
+      java.lang.Integer.toHexString(t.dir.hashCode)
+    Ann.ivfpqBuild(t.embeddings, "vec_id", "embedding", path,
+      nCells = 16, m = 8, ksub = 16,
+      trainCorpus = Some(t.embeddings.where(F.col("vec_id") % 2 === 0)))
+    Ann.ivfpqQueryIndex(t.spark, path,
+      t.embeddings.where(F.col("vec_id") < 10), "vec_id", "embedding",
+      t.embeddings, "vec_id", "embedding", k = 5, nProbe = IvfpqNProbe,
+      rerank = PqRerank)
+      .orderBy("query_id", "rank")
+  }
+
+  private def annIvfpqIncr(t: Tables): DataFrame = {
+    // the INGEST-LOOP variant: build the composed index on the even-id
+    // slice, ivfpqIndexAppend the odd-id batch under the FROZEN
+    // quantizers (only the batch is encoded — the corpus codes are
+    // never re-read), then query. Must equal ann_ivfpq_frozen
+    // row-for-row (the text_search_bm25_incr equality-gate trick),
+    // proving the append path loses nothing vs a one-shot encode.
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpqinc_index_" +
+      java.lang.Integer.toHexString(t.dir.hashCode)
+    Ann.ivfpqBuild(t.embeddings.where(F.col("vec_id") % 2 === 0),
+      "vec_id", "embedding", path, nCells = 16, m = 8, ksub = 16)
+    Ann.ivfpqIndexAppend(t.spark, path,
+      t.embeddings.where(F.col("vec_id") % 2 =!= 0), "vec_id", "embedding")
+    Ann.ivfpqQueryIndex(t.spark, path,
+      t.embeddings.where(F.col("vec_id") < 10), "vec_id", "embedding",
+      t.embeddings, "vec_id", "embedding", k = 5, nProbe = IvfpqNProbe,
+      rerank = PqRerank)
+      .orderBy("query_id", "rank")
+  }
+
+  // composed PCA+IVFPQ stacks THREE approximations (projection loss x
+  // cell pruning x reconstruction noise), so its floor sits below the
+  // two-stage ann_ivfpq gate. Measured at the three gate SFs.
+  private val AnnPcaIvfpqRecallFloor = 0.3
+
+  private def annPcaIvfpq(t: Tables): DataFrame = {
+    // the FAISS PCARx,IVFn,PQm factory chain (r13): PCA trains on the
+    // corpus sample, every vector projects to AnnPcaDim coordinates,
+    // and the IVF+PQ index builds IN THE PROJECTED SPACE — turning the
+    // flat ann_pca scan into a partition-pruned one: a query batch
+    // reads ~nProbe/nCells of the code files and each row is m bytes
+    // of codes over 24 dims (the compression levers multiply with the
+    // 2.7x projection). Re-rank is exact from the ORIGINAL full-width
+    // vectors (split-space re-rank), so precision + ordering gate
+    // through the arithmetic twin; recall through the floor below.
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_pcaivfpq_index_" +
+      java.lang.Integer.toHexString(t.dir.hashCode)
+    similarity.Pca.pcaIvfpqBuild(t.embeddings, "vec_id", "embedding", path,
+      kDim = AnnPcaDim, nCells = 16, m = 8, ksub = 16)
+    similarity.Pca.pcaIvfpqQueryIndex(t.spark, path,
+      t.embeddings.where(F.col("vec_id") < 10), "vec_id", "embedding",
+      t.embeddings, "vec_id", "embedding", k = 5, nProbe = IvfpqNProbe,
+      rerank = PqRerank)
+      .orderBy("query_id", "rank")
+  }
+
+  private def annPcaIvfpqRecall(t: Tables): DataFrame =
+    annRecallQ(t, AnnPcaIvfpqRecallFloor, strongSim = None, project = identity,
+      approx = (q, c) => {
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft_pcaivfpqr_index_" +
+          java.lang.Integer.toHexString(t.dir.hashCode)
+        similarity.Pca.pcaIvfpqBuild(c, "vec_id", "embedding", path,
+          kDim = AnnPcaDim, nCells = 16, m = 8, ksub = 16)
+        similarity.Pca.pcaIvfpqQueryIndex(t.spark, path,
+          q, "vec_id", "embedding", c, "vec_id", "embedding",
+          k = 5, nProbe = IvfpqNProbe, rerank = PqRerank)
+      })
+
   private def textStats(t: Tables): DataFrame =
     // via the staged profile: each counting kernel runs once per row
     // (the raw qualityStats expression list re-evaluates shared counts
@@ -2647,7 +2724,11 @@ object SparkEntry {
       "q_rollup" -> q(qRollup),
       "q_pivot" -> q(qPivot),
       "scd2_lookup" -> q(scd2Lookup),
-      "profile_skew" -> q(profileSkew))
+      "profile_skew" -> q(profileSkew),
+      "ann_ivfpq_frozen" -> q(annIvfpqFrozen),
+      "ann_ivfpq_incr" -> q(annIvfpqIncr),
+      "ann_pca_ivfpq" -> q(annPcaIvfpq),
+      "ann_pca_ivfpq_recall" -> q(annPcaIvfpqRecall))
   }
 
   /** DuckDB-runnable ANSI SQL twin for every SQL-expressible query. */

@@ -847,14 +847,22 @@ object Ann {
                  nCells: Int = 16, m: Int = 8, ksub: Int = 16,
                  iters: Int = 3, maxTrain: Int = 100000,
                  rowCountHint: Option[Long] = None,
-                 extraCols: Seq[String] = Nil): Unit = {
+                 extraCols: Seq[String] = Nil,
+                 trainCorpus: Option[DataFrame] = None): Unit = {
     import graft.functions.HashExprs.topCells
     val c = corpus.select((Seq(F.col(cId).as("neighbor_id"), F.col(cVec).as("cv"))
       ++ extraCols.map(F.col)): _*)
+    // quantizers train on `trainCorpus` when given (else the corpus):
+    // the reference arm of the incremental-ingest equality gate — a
+    // build over A∪B with trainCorpus=A reproduces EXACTLY what
+    // build(A) + ivfpqIndexAppend(B) produces, because training is a
+    // pure deterministic function of the training frame's ids
+    val tc = trainCorpus.fold(c)(t =>
+      t.select(F.col(cId).as("neighbor_id"), F.col(cVec).as("cv")))
     // one shared sampling pass for both quantizers (see ivfpqTopK)
-    val sample = boundedTrainSample(c, maxTrain, rowCountHint)
-    val cents = trainCentroids(c, nCells, iters, maxTrain, rowCountHint, Some(sample))
-    val (subDim, cbs) = trainPqCodebooks(c, m, ksub, iters, maxTrain, rowCountHint, Some(sample))
+    val sample = boundedTrainSample(tc, maxTrain, rowCountHint)
+    val cents = trainCentroids(tc, nCells, iters, maxTrain, rowCountHint, Some(sample))
+    val (subDim, cbs) = trainPqCodebooks(tc, m, ksub, iters, maxTrain, rowCountHint, Some(sample))
     sample.unpersist()
     val spark = corpus.sparkSession
     writeCentroids(spark, cents, s"$path/centroids")
@@ -873,7 +881,55 @@ object Ann {
         F.element_at(topCells(F.col("cv"), cents, 1), 1).as("cell"))
       ++ extraCols.map(F.col)): _*)
     pqEncode(withCell, subDim, cbs, extra = "cell" +: extraCols)
+      // ingest_batch lineage (the bm25Build convention, -1 = initial
+      // build): a crashed ivfpqIndexAppend is cleaned by rewriting
+      // without that batch's rows — without the column a partial
+      // append is indistinguishable from the corpus
+      .withColumn("ingest_batch", F.lit(-1L))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+  }
+
+  /** Append a vector batch to an existing [[ivfpqBuild]] index under
+    * the FROZEN quantizers — the write half of the daily-crawl ANN
+    * ingest loop (the bm25IndexAppend pattern applied to the vector
+    * index): the batch is assigned to cells by the persisted coarse
+    * centroids and PQ-encoded by the persisted codebooks, and ONLY the
+    * batch's codes append into the cell-partitioned table; the
+    * existing corpus is never re-read or re-encoded. Batch ids must be
+    * NEW — codes are one row per vector, so re-ingesting an existing
+    * id would duplicate it in the scan (and both rows would score).
+    *
+    * After the append, [[ivfpqQueryIndex]] equals a full
+    * [[ivfpqBuild]] over the unioned corpus with
+    * `trainCorpus = <the original build corpus>` row-for-row (the
+    * ann_ivfpq_incr equality gate) — training is deterministic and
+    * frozen, so the only difference a rebuild could introduce is
+    * retrained quantizers, which an append deliberately does NOT do
+    * (the FAISS `add` contract: quantizer drift is a re-train + full
+    * re-encode decision, taken offline, not a side effect of ingest).
+    *
+    * Crash recovery: every appended code row is stamped
+    * `ingest_batch = batchId` (initial rows carry -1), so a partial
+    * append is cleaned by rewriting the table keeping
+    * `ingest_batch != batchId`, then re-running the append.
+    */
+  def ivfpqIndexAppend(spark: org.apache.spark.sql.SparkSession,
+                       path: String, batch: DataFrame,
+                       cId: String, cVec: String,
+                       extraCols: Seq[String] = Nil,
+                       batchId: Long = 0L): Unit = {
+    import graft.functions.HashExprs.topCells
+    val cents = readCentroids(spark, s"$path/centroids")
+    val cbs = readCodebooks(spark, s"$path/codebooks")
+    val subDim = cbs.head.head.size
+    val c = batch.select((Seq(F.col(cId).as("neighbor_id"), F.col(cVec).as("cv"))
+      ++ extraCols.map(F.col)): _*)
+    val withCell = c.select((Seq(F.col("neighbor_id"), F.col("cv"),
+        F.element_at(topCells(F.col("cv"), cents, 1), 1).as("cell"))
+      ++ extraCols.map(F.col)): _*)
+    pqEncode(withCell, subDim, cbs, extra = "cell" +: extraCols)
+      .withColumn("ingest_batch", F.lit(batchId))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
   }
 
   /** Query a persisted IVFPQ index built by [[ivfpqBuild]]: the probed
@@ -906,6 +962,37 @@ object Ann {
     ivfpqScanAndRank(codes, cbs, cents, queries, qId, qVec, c, k, nProbe, rerank)
   }
 
+  /** [[ivfpqQueryIndex]] with the probe/ADC queries and the re-rank
+    * queries SPLIT — the hook the PCA-composed index needs: the scan
+    * half runs in the index's (projected) space while the exact
+    * re-rank scores the ORIGINAL query vectors against the full
+    * corpus vectors. `scanQueries` and `rerankQueries` must carry the
+    * same query-id set under `qId`; `qVec`/`rVec` name each frame's
+    * vector column in its own space.
+    */
+  private[similarity] def ivfpqQueryIndexSplit(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      scanQueries: DataFrame, qId: String, qVec: String,
+      rerankQueries: DataFrame, rVec: String,
+      corpus: DataFrame, cId: String, cVec: String,
+      k: Int, nProbe: Int, rerank: Int,
+      filter: Option[Column] = None): DataFrame = {
+    import graft.functions.HashExprs.topCells
+    val cents = readCentroids(spark, s"$path/centroids")
+    val cbs = readCodebooks(spark, s"$path/codebooks")
+    val probed = scanQueries
+      .select(F.explode(topCells(F.col(qVec), cents, nProbe)).as("cell"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val codes = filter.foldLeft(
+      spark.read.parquet(s"$path/codes")
+        .where(F.col("cell").isin(probed: _*)))(_ where _)
+    val c = corpus.select(F.col(cId).as("neighbor_id"), F.col(cVec).as("cv"))
+    ivfpqScanAndRank(codes, cbs, cents, scanQueries, qId, qVec, c, k,
+      nProbe, rerank,
+      rerankQ = Some(rerankQueries.select(
+        F.col(qId).as("query_id"), F.col(rVec).as("qv"))))
+  }
+
   /** Cell-pruned ADC scan + exact re-rank shared by the inline and
     * persisted-index IVFPQ paths: the broadcast query batch (each
     * query exploded to its nProbe cells) equi-joins the codes table on
@@ -918,7 +1005,8 @@ object Ann {
                                cents: Seq[Seq[Double]],
                                queries: DataFrame, qId: String, qVec: String,
                                corpusVecs: DataFrame, k: Int,
-                               nProbe: Int, rerank: Int): DataFrame = {
+                               nProbe: Int, rerank: Int,
+                               rerankQ: Option[DataFrame] = None): DataFrame = {
     import graft.functions.HashExprs.topCells
     val recon = F.flatten(F.array(cbs.indices.map { j =>
       F.element_at(F.typedlit(cbs(j).map(_.toSeq).toSeq),
@@ -936,8 +1024,11 @@ object Ann {
     val cands = approx.withColumn("__rk", F.row_number().over(wa))
       .where(F.col("__rk") <= k.toLong * rerank)
       .select("query_id", "neighbor_id")
-    val q = queries.select(F.col(qId).as("query_id"), F.col(qVec).as("qv"))
-    // exact re-rank: only the candidate rows' full vectors are read
+    // exact re-rank: only the candidate rows' full vectors are read;
+    // rerankQ (the split-space hook) supplies the ORIGINAL query
+    // vectors when the scan ran in a projected space
+    val q = rerankQ.getOrElse(
+      queries.select(F.col(qId).as("query_id"), F.col(qVec).as("qv")))
     val scored = cands.join(corpusVecs, "neighbor_id")
       .join(F.broadcast(q), "query_id")
       .withColumn("sim", cosine(F.col("qv"), F.col("cv")))

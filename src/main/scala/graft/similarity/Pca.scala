@@ -204,6 +204,82 @@ object Pca {
         F.round(F.col("sim"), 6).as("similarity"))
   }
 
+  /** Persist trained PCA parameters as (comp, vec) rows — comp = -1
+    * is the mean, comp 0..k-1 the components in eigenvalue order. The
+    * driver-small twin of Ann.writeCentroids for the projection.
+    */
+  def writePcaParams(spark: org.apache.spark.sql.SparkSession,
+                     mean: Seq[Double], comps: Seq[Seq[Double]],
+                     path: String): Unit = {
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val rows = (org.apache.spark.sql.Row(-1, mean) +:
+      comps.zipWithIndex.map { case (w, i) => org.apache.spark.sql.Row(i, w) })
+    spark.createDataFrame(rows.asJava, StructType(Seq(
+        StructField("comp", IntegerType, nullable = false),
+        StructField("vec", ArrayType(DoubleType, containsNull = false)))))
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Read back [[writePcaParams]] output as (mean, components). */
+  def readPcaParams(spark: org.apache.spark.sql.SparkSession,
+                    path: String): (Seq[Double], Seq[Seq[Double]]) = {
+    val rows = spark.read.parquet(path).orderBy("comp").collect()
+    val (m, c) = rows.partition(_.getInt(0) < 0)
+    (m.head.getSeq[Double](1).toSeq, c.map(_.getSeq[Double](1).toSeq).toSeq)
+  }
+
+  /** Build the PCA-composed partitioned ANN index — the FAISS
+    * `PCARx,IVFn,PQm` factory chain (the public pre-transform + index
+    * composition pattern): train PCA on the corpus sample, PROJECT
+    * every vector to kDim coordinates, then train and build the
+    * IVF+PQ index IN THE PROJECTED SPACE. The layout at `path`:
+    * `pca` (mean + component rows), and the [[graft.similarity.Ann.ivfpqBuild]]
+    * layout (`centroids`, `codebooks`, cell-partitioned `codes`) over
+    * the projected vectors.
+    *
+    * Scale: this turns the flat [[pcaTopK]] scan into a PRUNED one —
+    * a query batch reads ~nProbe/nCells of the corpus's code files
+    * (partition pruning) and each row is m bytes of PQ codes over
+    * kDim dims (the two compression levers multiply with the
+    * projection's kDim/d); the full-width vectors surface only in the
+    * candidate re-rank semi-join.
+    */
+  def pcaIvfpqBuild(corpus: DataFrame, cId: String, cVec: String,
+                    path: String, kDim: Int = 24, nCells: Int = 16,
+                    m: Int = 8, ksub: Int = 16, iters: Int = 3,
+                    maxTrain: Int = 100000,
+                    rowCountHint: Option[Long] = None): Unit = {
+    require(kDim % m == 0, s"projected dim $kDim must be divisible by m=$m")
+    val (mu, comps, _) = pcaTrain(corpus, cId, cVec, kDim, maxTrain, rowCountHint)
+    writePcaParams(corpus.sparkSession, mu, comps, s"$path/pca")
+    val projected = pcaProject(corpus, cId, cVec, mu, comps)
+    Ann.ivfpqBuild(projected, cId, "proj", path, nCells, m, ksub, iters,
+      maxTrain, rowCountHint)
+  }
+
+  /** Query a [[pcaIvfpqBuild]] index: the query batch projects through
+    * the persisted PCA params, probes its nProbe nearest cells in the
+    * projected space (partition-pruned codes scan), ADC-scores the
+    * projected codes, and re-ranks the top rerank·k candidates EXACTLY
+    * from the ORIGINAL full-width vectors (the split-space re-rank) —
+    * so precision and ordering of the returned set are exact, and only
+    * recall depends on the projection + quantization (gate with the
+    * floor pattern, ann_pca_ivfpq_recall).
+    */
+  def pcaIvfpqQueryIndex(spark: org.apache.spark.sql.SparkSession,
+                         path: String,
+                         queries: DataFrame, qId: String, qVec: String,
+                         corpus: DataFrame, cId: String, cVec: String,
+                         k: Int, nProbe: Int = 4, rerank: Int = 4,
+                         filter: Option[org.apache.spark.sql.Column] = None)
+      : DataFrame = {
+    val (mu, comps) = readPcaParams(spark, s"$path/pca")
+    val scanQ = pcaProject(queries, qId, qVec, mu, comps)
+    Ann.ivfpqQueryIndexSplit(spark, path, scanQ, qId, "proj",
+      queries, qVec, corpus, cId, cVec, k, nProbe, rerank, filter)
+  }
+
   /** End-to-end training gate, one boolean row: (a) the component
     * matrix is orthonormal (driver math over the literals, |VᵀV − I|
     * max element); (b) the per-component variance of the TRAINING

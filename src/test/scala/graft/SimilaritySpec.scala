@@ -444,10 +444,101 @@ class SimilaritySpec extends SparkSpec {
     assert("""PartitionFilters: \[[^\]]*cell#\d+L? IN """.r.findFirstIn(p).isDefined,
       s"probed-cell isin predicate must prune codes partitions; plan:\n$p")
     // and the scanned table is the COMPACT one: m small ints + the
-    // cell partition column, no vector payload
+    // cell partition column + ingest lineage, no vector payload
     val codes = spark.read.parquet(s"$dir/codes")
-    assert(codes.columns.toSet == Set("neighbor_id", "codes", "cell"))
+    assert(codes.columns.toSet == Set("neighbor_id", "codes", "cell", "ingest_batch"))
     assert(codes.select(F.max(F.size($"codes"))).head().getInt(0) == 4)
+  }
+
+  test("ivfpqIndexAppend: build+append equals one-shot frozen-train build; lineage cleans a replayed batch") {
+    val even = corpus.where($"vec_id" % 2 === 0)
+    val odd = corpus.where($"vec_id" % 2 =!= 0)
+    val q = corpus.where($"vec_id" < 5)
+    def query(dir: String) =
+      Ann.ivfpqQueryIndex(spark, dir, q, "vec_id", "embedding",
+        corpus, "vec_id", "embedding", k = 3, nProbe = 2, rerank = 4)
+        .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._3)).toSeq
+    // reference arm: one-shot build over the union, quantizers trained
+    // on the even slice only (the state append reaches)
+    val ref = java.nio.file.Files.createTempDirectory("ivfpqfz").toString
+    Ann.ivfpqBuild(corpus, "vec_id", "embedding", ref,
+      nCells = 8, m = 4, ksub = 8, iters = 2, trainCorpus = Some(even))
+    // ingest arm: build on the even slice, append the odd batch under
+    // the persisted FROZEN quantizers (only the batch is encoded)
+    val inc = java.nio.file.Files.createTempDirectory("ivfpqinc").toString
+    Ann.ivfpqBuild(even, "vec_id", "embedding", inc,
+      nCells = 8, m = 4, ksub = 8, iters = 2)
+    Ann.ivfpqIndexAppend(spark, inc, odd, "vec_id", "embedding", batchId = 1L)
+    assert(query(inc) == query(ref),
+      "append under frozen quantizers must equal the one-shot frozen-train build")
+    // frozen quantizers really are frozen: both index dirs persist the
+    // identical centroid matrix and codebooks
+    val c1 = spark.read.parquet(s"$ref/centroids").orderBy("cell")
+      .as[(Int, Seq[Double])].collect().toSeq
+    val c2 = spark.read.parquet(s"$inc/centroids").orderBy("cell")
+      .as[(Int, Seq[Double])].collect().toSeq
+    assert(c1 == c2, "coarse quantizer must be identical across the two arms")
+    // crash/replay recovery: duplicate the batch append (the
+    // at-least-once failure mode), then clean by the lineage column —
+    // the documented partition-filter rewrite — and the result returns
+    Ann.ivfpqIndexAppend(spark, inc, odd, "vec_id", "embedding", batchId = 2L)
+    val dup = spark.read.parquet(s"$inc/codes")
+    assert(dup.where($"ingest_batch" === 2L).count() == odd.count(),
+      "replayed batch rows must be identifiable by lineage")
+    val cleaned = dup.where($"ingest_batch" =!= 2L)
+    val tmp = java.nio.file.Files.createTempDirectory("ivfpqclean").toString
+    cleaned.write.partitionBy("cell").parquet(s"$tmp/codes")
+    for (part <- Seq("centroids", "codebooks", "pca")) {
+      val src = java.nio.file.Paths.get(inc, part)
+      if (java.nio.file.Files.exists(src)) {
+        val dst = java.nio.file.Paths.get(tmp, part)
+        org.apache.commons.io.FileUtils.copyDirectory(src.toFile, dst.toFile)
+      }
+    }
+    assert(query(tmp) == query(ref),
+      "lineage cleanup must restore the pre-replay result")
+  }
+
+  test("PCA-composed IVFPQ: lossless config equals brute force; index reproducible; codes scan prunes cells in the projected space") {
+    import graft.similarity.Pca
+    val q = corpus.where($"vec_id" < 5)
+    val dir = java.nio.file.Files.createTempDirectory("pcaivfpq").toString
+    // kDim = full dim: the projection is a rotation (lossless), and
+    // all cells + covering rerank make the composed path exact
+    Pca.pcaIvfpqBuild(corpus, "vec_id", "embedding", dir,
+      kDim = 8, nCells = 8, m = 4, ksub = 8, iters = 2)
+    val got = Pca.pcaIvfpqQueryIndex(spark, dir, q, "vec_id", "embedding",
+      corpus, "vec_id", "embedding", k = 3, nProbe = 8, rerank = 100)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val brute = Ann.cosineTopK(q, "vec_id", "embedding",
+      corpus, "vec_id", "embedding", k = 3)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got == brute,
+      "full-rotation + all-cells + covering-rerank PCA-IVFPQ must equal brute force")
+    // deterministic end-to-end: a rebuild with identical parameters
+    // reproduces the pruned query exactly
+    val dir2 = java.nio.file.Files.createTempDirectory("pcaivfpq2").toString
+    Pca.pcaIvfpqBuild(corpus, "vec_id", "embedding", dir2,
+      kDim = 8, nCells = 8, m = 4, ksub = 8, iters = 2)
+    def pruned(d: String) =
+      Pca.pcaIvfpqQueryIndex(spark, d, q, "vec_id", "embedding",
+        corpus, "vec_id", "embedding", k = 3, nProbe = 2, rerank = 4)
+    assert(pruned(dir).as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._3)).toSeq ==
+      pruned(dir2).as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._3)).toSeq,
+      "identical parameters must reproduce the index")
+    // the storage lever survives the composition: probed-cell
+    // partition pruning on the PROJECTED codes table
+    val few = pruned(dir)
+    few.collect()
+    val p = few.queryExecution.executedPlan.toString
+    assert("""PartitionFilters: \[[^\]]*cell#\d+L? IN """.r.findFirstIn(p).isDefined,
+      s"probed-cell isin must prune projected-codes partitions; plan:\n$p")
+    // re-rank reads ORIGINAL vectors: similarities in the output are
+    // full-width cosines, not projected-space ones (already implied by
+    // the brute-force equality above — this pins the column source)
+    val sims = got.map(_._4)
+    val bruteSims = brute.map(_._4)
+    assert(sims == bruteSims)
   }
 
   test("SQ-ANN: covering rerank equals brute force; persisted index equals inline; ADC scan reads codes only") {
