@@ -2157,6 +2157,69 @@ object OracleSql {
          |SELECT query_id, doc_id, rrf_score, n_arms, rank FROM top
          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
+    // the filtered hybrid's dense arm: exact cosine + ordering of the
+    // returned pairs, with the lang predicate folded into the corpus
+    // join through the shared doc_id/vec_id id space — a returned
+    // vector whose document is not English drops from the twin and
+    // fails row parity
+    "text_search_hybrid_filtered_dense" -> annArithmeticTwin(
+      "text_search_hybrid_filtered_dense",
+      " AND c.vec_id IN (SELECT doc_id FROM documents WHERE lang = 'en')"),
+
+    // metadata-filtered hybrid: replays the lexical arm as BM25 over
+    // the en SUB-CORPUS (slice N/avgdl/df — the pre-filter semantics
+    // the per-lang stats rows serve), takes the lang-filtered dense
+    // arm from its gated companion dump, and replays the RRF combine
+    "text_search_hybrid_filtered" ->
+      s"""WITH qt AS (
+         |  SELECT * FROM (VALUES
+         |    (0, 'spark'), (0, 'window'), (0, 'join'),
+         |    (1, 'dup'), (1, 'stream'), (1, 'batch'),
+         |    (2, 'fast'), (2, 'hash'), (2, 'scan'), (2, 'merge')) AS v(query_id, term)),
+         |docs AS (SELECT doc_id, ${toks("text")} AS tl FROM documents
+         |         WHERE lang = 'en'),
+         |stats AS (SELECT count(*) AS n, sum(len(tl)) AS sum_dl FROM docs),
+         |ex AS (SELECT doc_id, len(tl) AS dl, unnest(tl) AS term FROM docs),
+         |post AS (SELECT doc_id, term, dl, count(*) AS tf FROM ex
+         |         WHERE term IN (SELECT DISTINCT term FROM qt)
+         |         GROUP BY doc_id, term, dl),
+         |dft AS (SELECT term, count(*) AS df FROM post GROUP BY term),
+         |contrib AS (
+         |  SELECT qt.query_id, p.doc_id,
+         |         CAST(round(
+         |           ln(CAST(1.0 AS DOUBLE)
+         |              + (CAST(s.n - d.df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+         |                / (CAST(d.df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+         |           * (CAST(p.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1))
+         |           / (CAST(p.tf AS DOUBLE)
+         |              + CAST(1.2 AS DOUBLE)
+         |                * (CAST(0.25 AS DOUBLE)
+         |                   + CAST(0.75 AS DOUBLE) * CAST(p.dl AS DOUBLE)
+         |                     / (CAST(s.sum_dl AS DOUBLE) / CAST(s.n AS DOUBLE)))), 9)
+         |         AS DECIMAL(20,9)) AS c
+         |  FROM post p JOIN qt USING (term) JOIN dft d USING (term) CROSS JOIN stats s),
+         |lex_scored AS (SELECT query_id, doc_id, round(CAST(sum(c) AS DOUBLE), 6) AS score
+         |               FROM contrib GROUP BY query_id, doc_id),
+         |lex AS (SELECT query_id, doc_id,
+         |               row_number() OVER (PARTITION BY query_id
+         |                                  ORDER BY score DESC, doc_id ASC) AS rank
+         |        FROM lex_scored QUALIFY rank <= 20),
+         |dense AS (SELECT query_id, neighbor_id AS doc_id, "rank" AS rank
+         |          FROM read_parquet('__VERIFY_OUT__/text_search_hybrid_filtered_dense/*.parquet')),
+         |arms AS (SELECT * FROM lex UNION ALL SELECT * FROM dense),
+         |fused AS (
+         |  SELECT query_id, doc_id,
+         |         round(CAST(sum(CAST(round(CAST(1.0 AS DOUBLE) / (60 + rank), 9)
+         |                            AS DECIMAL(20,9))) AS DOUBLE), 6) AS rrf_score,
+         |         count(*) AS n_arms
+         |  FROM arms GROUP BY query_id, doc_id),
+         |top AS (SELECT query_id, doc_id, rrf_score, n_arms,
+         |               row_number() OVER (PARTITION BY query_id
+         |                                  ORDER BY rrf_score DESC, doc_id ASC) AS rank
+         |        FROM fused)
+         |SELECT query_id, doc_id, rrf_score, n_arms, rank FROM top
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
     // hybrid retrieval twin: replays BOTH arms (BM25 at k=20, exact
     // cosine top-20 from the query batch's embeddings) and the RRF
     // combine — contributions 1/(60+rank) rounded to 9dp, DECIMAL

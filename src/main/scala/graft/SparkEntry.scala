@@ -1715,6 +1715,53 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  private def textSearchHybridFilteredDense(t: Tables): DataFrame = {
+    // the filtered hybrid's dense arm (r13, companion dump): the doc
+    // metadata (lang) is copied onto the vectors at index-build time —
+    // the production vector-store convention — so the per-query
+    // predicate cuts rows INSIDE the cell-pruned compact codes scan
+    // (ivfpqBuild extraCols + ivfpqQueryIndex filter, pre-filter
+    // semantics: full-k lists from the lang slice).
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpqlang_index_" +
+      java.lang.Integer.toHexString(t.dir.hashCode)
+    val emb = t.embeddings.join(
+      t.documents.select(F.col("doc_id").as("vec_id"), F.col("lang")), "vec_id")
+    Ann.ivfpqBuild(emb, "vec_id", "embedding", path,
+      nCells = 16, m = 8, ksub = 16, extraCols = Seq("lang"))
+    Ann.ivfpqQueryIndex(t.spark, path,
+      t.embeddings.where(F.col("vec_id") < bm25Queries.size), "vec_id",
+      "embedding", t.embeddings, "vec_id", "embedding", k = 20,
+      nProbe = IvfpqNProbe, rerank = PqRerank,
+      filter = Some(F.col("lang") === "en"))
+      .orderBy("query_id", "rank")
+  }
+
+  private def textSearchHybridFiltered(t: Tables): DataFrame = {
+    // metadata-filtered hybrid retrieval (r13): the common production
+    // ask — "retrieve, but only lang = en" — with the predicate folded
+    // into BOTH persisted-index arms, never post-filtered: the lexical
+    // arm scores BM25 over the en sub-corpus from a lang-carrying
+    // postings index (bm25Build metaCols: the pushed predicate rides
+    // the term-pruned bucketed scan, per-lang stats rows give the
+    // SLICE's exact N/avgdl/df), the dense arm is the lang-filtered
+    // composed-index scan above. Pre-filter semantics end to end:
+    // both arms return full-k lists from the slice at any
+    // selectivity, and fusion sees only the truncated lists.
+    val h = java.lang.Integer.toHexString(t.dir.hashCode)
+    val table = "graft_bm25_lang_" + h
+    val statsPath =
+      s"${System.getProperty("java.io.tmpdir")}/graft_bm25_lang_stats_$h"
+    text.Search.bm25Build(t.documents, "doc_id", "text", table, statsPath,
+      nBuckets = 8, metaCols = Seq("lang"))
+    val lex = text.Search.bm25QueryIndex(t.spark, table, statsPath,
+      bm25Queries, k = 20, filter = Some(F.col("lang") === "en"))
+      .select(F.col("query_id"), F.col("doc_id"), F.col("rank"))
+    val dense = textSearchHybridFilteredDense(t)
+      .select(F.col("query_id"), F.col("neighbor_id").as("doc_id"), F.col("rank"))
+    text.Search.rrfFuse(Seq(lex, dense), k = 10)
+      .orderBy("query_id", "rank")
+  }
+
   private def textClassifyNb(t: Tables): DataFrame = {
     // trained language classifier (r11): multinomial Naive Bayes on
     // the deterministic doc_id%5 split (4/5 train, 1/5 held out),
@@ -2656,6 +2703,8 @@ object SparkEntry {
       "text_search_hybrid" -> q(textSearchHybrid),
       "text_search_hybrid_idx" -> q(textSearchHybridIdx),
       "text_search_hybrid_idx_dense" -> q(textSearchHybridIdxDense),
+      "text_search_hybrid_filtered" -> q(textSearchHybridFiltered),
+      "text_search_hybrid_filtered_dense" -> q(textSearchHybridFilteredDense),
       "text_classify_nb" -> q(textClassifyNb),
       "text_classify_nb_gate" -> q(textClassifyNbGate),
       "curate_classify_filter" -> q(curateClassifyFilter),

@@ -88,6 +88,36 @@ object StreamingSearch {
     Search.scoreAndRank(post, stats, queries, k, k1, b)
   }
 
+  /** Streaming ANN-index ingest — the vector twin of [[ingest]]: each
+    * micro-batch of (id, embedding) rows is PQ-encoded under the
+    * FROZEN quantizers of the [[graft.similarity.Ann.ivfpqBuild]]
+    * index at `path` and appended into its cell-partitioned codes
+    * table ([[graft.similarity.Ann.ivfpqIndexAppend]]), stamped with
+    * `ingest_batch` lineage. The serving loop this closes: embeddings
+    * arrive from the crawl, codes accrete, and
+    * [[graft.similarity.Ann.ivfpqQueryIndex]] over the live index
+    * equals a one-shot frozen-train build over the union (spec-gated)
+    * — the corpus is never re-encoded and the quantizers never drift
+    * (the FAISS `add` contract; re-training is an offline decision).
+    *
+    * Replay contract (at-least-once foreachBatch): codes appends, like
+    * the postings appends above, are NOT idempotent — a checkpoint
+    * makes batch ids monotone, and a partially-appended or replayed
+    * batch is cleaned by the `ingest_batch` lineage filter before
+    * restart (partition-filter rewrite, spec-demonstrated in
+    * SimilaritySpec), never a corpus re-encode.
+    */
+  def annIngest(stream: DataFrame, path: String, idCol: String,
+                vecCol: String,
+                checkpointDir: Option[String] = None): StreamingQuery = {
+    val writer = stream.writeStream
+    checkpointDir.foreach(writer.option("checkpointLocation", _))
+    writer.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+      graft.similarity.Ann.ivfpqIndexAppend(batch.sparkSession, path,
+        batch.toDF(), idCol, vecCol, batchId = batchId)
+    }.start()
+  }
+
   private def postings(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val docs = df.select(F.col(idCol).as("doc_id"),
       TextOps.tokens(F.col(textCol)).as("tl"))

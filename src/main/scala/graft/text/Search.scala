@@ -116,14 +116,17 @@ object Search {
     * index has no derived column to drift out of sync.
     */
   def bm25Build(df: DataFrame, idCol: String, textCol: String,
-                table: String, statsPath: String, nBuckets: Int = 64): Unit = {
+                table: String, statsPath: String, nBuckets: Int = 64,
+                metaCols: Seq[String] = Nil): Unit = {
     val spark = df.sparkSession
     import spark.implicits._
-    val docs = df.select(F.col(idCol).as("doc_id"),
-      TextOps.tokens(F.col(textCol)).as("tl"))
+    val docs = df.select(F.col(idCol).as("doc_id") +:
+      TextOps.tokens(F.col(textCol)).as("tl") +: metaCols.map(F.col): _*)
     val post = docs
-      .select($"doc_id", F.size($"tl").as("dl"), F.explode($"tl").as("term"))
-      .groupBy("doc_id", "term", "dl")
+      .select($"doc_id" +: F.size($"tl").as("dl") +:
+        F.explode($"tl").as("term") +: metaCols.map(F.col): _*)
+      .groupBy(F.col("doc_id") +: F.col("term") +: F.col("dl") +:
+        metaCols.map(F.col): _*)
       .agg(F.count(F.lit(1)).as("tf"))
       // ingest_batch lineage (the StreamingSearch convention, -1 =
       // initial build): a crashed bm25IndexAppend is cleaned by
@@ -132,8 +135,20 @@ object Search {
       .withColumn("ingest_batch", F.lit(-1L))
     graft.sources.Sources.writeBucketedMulti(post, table,
       bucketBy = Seq("term"), nBuckets = nBuckets, sortBy = Seq("term"))
-    docs.agg(F.count(F.lit(1)).as("n"), F.sum(F.size($"tl")).as("sum_dl"))
-      .coalesce(1).write.mode("overwrite").parquet(statsPath)
+    // stats: one global row, or — when the index carries metadata
+    // columns (metaCols, the filtered-search hook) — one row PER meta
+    // group, so a filtered query scores BM25 over the matching
+    // sub-corpus with that slice's exact N/avgdl (pre-filter
+    // semantics); the query path sums the selected rows (n and Σdl
+    // are additive exact integers), so the unfiltered query over a
+    // grouped index still sees the global stats
+    val stats =
+      if (metaCols.isEmpty)
+        docs.agg(F.count(F.lit(1)).as("n"), F.sum(F.size($"tl")).as("sum_dl"))
+      else
+        docs.groupBy(metaCols.map(F.col): _*)
+          .agg(F.count(F.lit(1)).as("n"), F.sum(F.size($"tl")).as("sum_dl"))
+    stats.coalesce(1).write.mode("overwrite").parquet(statsPath)
   }
 
   /** Append a document batch to an existing [[bm25Build]] index — the
@@ -161,6 +176,16 @@ object Search {
                       nBuckets: Int = 64, batchId: Long = 0L): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
+    // guard BEFORE any write: a meta-grouped index (bm25Build
+    // metaCols) has per-group stats rows the additive overwrite below
+    // cannot maintain — refuse loudly with nothing half-appended
+    val oldStats = spark.read.parquet(statsPath)
+      .select(F.col("n"), F.col("sum_dl")).collect()
+    require(oldStats.length == 1,
+      "bm25IndexAppend supports plain (metaCols-free) indexes only: " +
+        s"found ${oldStats.length} stats rows — rebuild a meta-grouped " +
+        "index instead of appending")
+    val old = oldStats.head
     val docs = batch.select(F.col(idCol).as("doc_id"),
       TextOps.tokens(F.col(textCol)).as("tl"))
     val post = docs
@@ -171,8 +196,6 @@ object Search {
     graft.sources.Sources.writeBucketedMulti(post, table,
       bucketBy = Seq("term"), nBuckets = nBuckets, sortBy = Seq("term"),
       mode = org.apache.spark.sql.SaveMode.Append)
-    val old = spark.read.parquet(statsPath)
-      .select(F.col("n"), F.col("sum_dl")).head()
     docs.agg(
         (F.count(F.lit(1)) + F.lit(old.getLong(0))).as("n"),
         (F.coalesce(F.sum(F.size($"tl")), F.lit(0L)) + F.lit(old.getLong(1))).as("sum_dl"))
@@ -188,11 +211,23 @@ object Search {
   def bm25QueryIndex(spark: org.apache.spark.sql.SparkSession,
                      table: String, statsPath: String,
                      queries: Seq[(Int, String)], k: Int = 10,
-                     k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+                     k1: Double = 1.2, b: Double = 0.75,
+                     filter: Option[Column] = None): DataFrame = {
     require(queries.nonEmpty, "at least one query")
     val terms = queries.flatMap(q => tokenizeQuery(q._2)).distinct
-    val post = spark.table(table).where(F.col("term").isin(terms: _*))
-    val stats = spark.read.parquet(statsPath)
+    // metadata predicate (filtered/hybrid search — needs the column in
+    // bm25Build's metaCols): rides on the term-pruned bucketed scan as
+    // a pushed filter, and selects the matching per-group stats rows,
+    // so the query scores BM25 over the sub-corpus with the SLICE's
+    // N/avgdl and df — pre-filter semantics; query cost stays bounded
+    // by the slice's Σ df(t) postings
+    val post = filter.foldLeft(
+      spark.table(table).where(F.col("term").isin(terms: _*)))(_ where _)
+    // n and Σdl are additive exact integers, so summing the selected
+    // stats rows is exact — and the unfiltered query over a
+    // meta-grouped index recovers the global stats the same way
+    val stats = filter.foldLeft(spark.read.parquet(statsPath))(_ where _)
+      .agg(F.sum("n").as("n"), F.sum("sum_dl").as("sum_dl"))
     scoreAndRank(post, stats, queries, k, k1, b)
   }
 

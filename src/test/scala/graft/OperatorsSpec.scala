@@ -483,6 +483,48 @@ class OperatorsSpec extends SparkSpec {
       spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("streaming ANN ingest: live composed index equals the one-shot frozen-train build; lineage stamped") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingSearch
+    import graft.similarity.Ann
+    implicit val sq = spark.sqlContext
+    def vec(i: Long): Seq[Float] =
+      Seq.tabulate(8)(j => ((i * (j + 3) * 37) % 101) / 50.0f - 1.0f)
+    val initial = (0L until 12L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    val b1 = (12L until 18L).map(i => (i, vec(i)))
+    val b2 = (18L until 24L).map(i => (i, vec(i)))
+    val path = java.nio.file.Files.createTempDirectory("annstream").toString
+    Ann.ivfpqBuild(initial, "vec_id", "embedding", path,
+      nCells = 4, m = 4, ksub = 4, iters = 2)
+    val stream = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingSearch.annIngest(
+      stream.toDF().toDF("vec_id", "embedding"), path, "vec_id", "embedding")
+    try {
+      stream.addData(b1: _*)
+      q.processAllAvailable()
+      stream.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // the live index must answer exactly like a one-shot build over
+    // the unioned corpus under the same (slice-trained) quantizers —
+    // the streamed batches were encoded frozen, never re-trained
+    val union = initial.unionAll((b1 ++ b2).toDF("vec_id", "embedding"))
+    val ref = java.nio.file.Files.createTempDirectory("annstreamref").toString
+    Ann.ivfpqBuild(union, "vec_id", "embedding", ref,
+      nCells = 4, m = 4, ksub = 4, iters = 2, trainCorpus = Some(initial))
+    val queries = union.where($"vec_id" < 3)
+    def res(p: String) =
+      Ann.ivfpqQueryIndex(spark, p, queries, "vec_id", "embedding",
+        union, "vec_id", "embedding", k = 3, nProbe = 2, rerank = 4)
+        .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._3)).toSeq
+    val live = res(path)
+    assert(live.nonEmpty && live == res(ref),
+      "live streamed index must equal the one-shot frozen-train build")
+    // per-batch lineage for the crash/replay cleanup contract
+    assert(spark.read.parquet(s"$path/codes").select("ingest_batch")
+      .as[Long].collect().toSet == Set(-1L, 0L, 1L))
+  }
+
   test("lateArrivals: hand-computed disorder — running max, lateness gaps, per-type rollup") {
     import graft.streaming.Events
     def ts(s: Long) = new java.sql.Timestamp(s * 1000L)

@@ -224,7 +224,13 @@ class PlanSpec extends SparkSpec {
     // histogram with the OTHER side's literal column-name list
     // (|cols| rows, broadcast) and the full literal pair matrix —
     // schema-sized frames, never instance data
-    "match_schema_distribution")
+    "match_schema_distribution",
+    // r13 additions — established bounded shapes: the PCA-IVFPQ
+    // recall gate embeds the exact-truth baseline (broadcast-query
+    // corpus scan, the ann_ivfpq_recall shape); the filtered hybrid
+    // keeps BM25's one-row (summed per-lang) stats crossJoin beside
+    // the cell-pruned filtered dense arm (the hybrid_idx shape)
+    "ann_pca_ivfpq_recall", "text_search_hybrid_filtered")
 
   test("no wired query plans a CartesianProduct; BNLJ only on bounded-broadcast baselines") {
     val withBnlj = scala.collection.mutable.Set[String]()

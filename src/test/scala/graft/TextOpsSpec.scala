@@ -50,6 +50,46 @@ class TextOpsSpec extends SparkSpec {
     assert(top1.length == 1 && top1.head._2 == 1L)
   }
 
+  test("bm25 meta-grouped index: filtered query scores the sub-corpus exactly; unfiltered recovers global; append refuses grouped stats") {
+    import graft.text.Search
+    // two langs; the en slice is docs 1+2 (N=2, avgdl=(3+2)/2)
+    val docs = Seq(
+      (1L, "apple banana apple", "en"),
+      (2L, "banana cherry", "en"),
+      (3L, "cherry cherry cherry cherry", "de")).toDF("doc_id", "text", "lang")
+    val dir = java.nio.file.Files.createTempDirectory("bm25meta").toString
+    val table = "graft_bm25_meta_" + java.lang.Long.toHexString(System.nanoTime())
+    Search.bm25Build(docs, "doc_id", "text", table, s"$dir/stats",
+      nBuckets = 2, metaCols = Seq("lang"))
+    val queries = Seq(0 -> "apple cherry")
+    // pre-filter semantics: identical to inline BM25 over the slice —
+    // slice N, avgdl, AND df (cherry's en df is 1, not 2)
+    val filtered = Search.bm25QueryIndex(spark, table, s"$dir/stats",
+        queries, k = 10, filter = Some(F.col("lang") === "en"))
+      .as[(Int, Long, Double, Int)].collect().sortBy(_._4).toSeq
+    val sliceInline = Search.bm25TopK(docs.where($"lang" === "en"),
+        "doc_id", "text", queries, k = 10)
+      .as[(Int, Long, Double, Int)].collect().sortBy(_._4).toSeq
+    assert(filtered == sliceInline && filtered.map(_._2) == Seq(1L, 2L),
+      s"filtered=$filtered slice=$sliceInline")
+    // the unfiltered query over the SAME grouped index sums the stats
+    // rows back to the global corpus — equal to plain inline BM25
+    val unfiltered = Search.bm25QueryIndex(spark, table, s"$dir/stats",
+        queries, k = 10)
+      .as[(Int, Long, Double, Int)].collect().sortBy(_._4).toSeq
+    val globalInline = Search.bm25TopK(docs, "doc_id", "text", queries, k = 10)
+      .as[(Int, Long, Double, Int)].collect().sortBy(_._4).toSeq
+    assert(unfiltered == globalInline)
+    // append over a meta-grouped index must refuse loudly (per-group
+    // stats cannot be additively overwritten by the plain append)
+    val e = intercept[IllegalArgumentException] {
+      Search.bm25IndexAppend(docs.limit(0), "doc_id", "text",
+        table, s"$dir/stats", nBuckets = 2)
+    }
+    assert(e.getMessage.contains("metaCols"))
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("rrfFuse: hand-computed fusion, agreement beats single-arm, rank contract") {
     // arm A ranks docs 10,11,12; arm B ranks 11,13. Doc 11 appears in
     // both arms (rank 2 + rank 1) and must outrank every single-arm
