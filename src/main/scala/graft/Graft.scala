@@ -181,7 +181,7 @@ object Graft {
                          threshold: Double): DataFrame = {
     require(columnMapping.nonEmpty, "column mapping must have at least one pair")
     import org.apache.spark.sql.{functions => F}
-    val std = standard(target)
+    val std = standardOrBuiltin(target, source.sparkSession)
     // same numeric-source skip as the DataFrame-target overload — the
     // reference's _match_values applies it on every path (api.py:356)
     val kept = columnMapping.filterNot { case (sc, _) =>
@@ -253,10 +253,12 @@ object Graft {
   // a standard NAME for the target (api.py:43-56 `target: Union[str,
   // pd.DataFrame] = "gdc"`, resolved via api.py:88
   // _load_table_for_standard / standards/standard_factory.py). The
-  // registry plays standard_factory's role; the bundled GDC resource
-  // JSON is reference data and is not shipped (SURVEY par.6), so names
-  // are registered explicitly — typically from a GDC-shaped schema
-  // JSON via [[Standards.fromSchemaJson]].
+  // registry plays standard_factory's role. The reference's FULL GDC
+  // vocabulary is reference data and is not copied; a bundled
+  // GDC-FORMAT fixture (public-knowledge categorical attributes,
+  // src/main/resources/graft/standards/gdc_fixture.json) auto-registers
+  // under "gdc" on the string-target call shapes, and any vocabulary
+  // registers explicitly via [[Standards.fromSchemaJson]].
   // ------------------------------------------------------------------
 
   private val standardRegistry =
@@ -281,15 +283,31 @@ object Graft {
   def standard(name: String): Standards =
     standardRegistry.getOrElse(name, throw new IllegalArgumentException(
       s"unknown standard: '$name' — register it first with " +
-        "Graft.registerStandard(name, Standards.fromSchemaJson(spark, path)) " +
-        "(the reference's bundled vocabularies are reference data and not shipped)"))
+        "Graft.registerStandard(name, Standards.fromSchemaJson(spark, path)); " +
+        "the bundled GDC-format fixture auto-registers under \"gdc\" on " +
+        "the string-target call shapes (or via Standards.builtinGdc)"))
+
+  /** [[standard]] with the out-of-the-box fallback the string-target
+    * call shapes use: an unregistered `"gdc"` lazily loads and
+    * registers the bundled GDC-format fixture vocabulary
+    * ([[graft.harmonize.Standards.builtinGdc]]), playing the
+    * reference's bundled-resource role (standard_factory resolves
+    * "gdc" from its shipped schema JSON without prior registration);
+    * an explicit registerStandard("gdc", ...) beforehand still wins.
+    */
+  private def standardOrBuiltin(name: String,
+                                spark: org.apache.spark.sql.SparkSession): Standards =
+    if (name == "gdc")
+      standardRegistry.getOrElseUpdate("gdc", Standards.builtinGdc(spark))
+    else standard(name)
 
   /** match_schema against a NAMED standard (api.py:43 with target="gdc"):
     * best-matching standard attribute per source column by value
     * overlap of the column against each attribute's domain.
     */
   def matchSchema(source: DataFrame, target: String): DataFrame =
-    standard(target).matchSchema(source, source.columns.toSeq)
+    standardOrBuiltin(target, source.sparkSession)
+      .matchSchema(source, source.columns.toSeq)
 
   /** match_values against a NAMED standard's attribute (api.py:333 with
     * target="gdc"): source values match the attribute's permitted-value
@@ -298,7 +316,8 @@ object Graft {
   def matchValues(source: DataFrame, sourceColumn: String,
                   target: String, attribute: String,
                   method: String, threshold: Double): DataFrame =
-    standard(target).matchValues(source, sourceColumn, attribute, method, threshold)
+    standardOrBuiltin(target, source.sparkSession)
+      .matchValues(source, sourceColumn, attribute, method, threshold)
 
   def matchValues(source: DataFrame, sourceColumn: String,
                   target: String, attribute: String): DataFrame =
@@ -312,8 +331,8 @@ object Graft {
                       topK: Int, method: String,
                       threshold: Double): DataFrame =
     topValueMatches(source, sourceColumn,
-      standard(target).valueDomain(attribute), "value_name",
-      topK, method, threshold)
+      standardOrBuiltin(target, source.sparkSession).valueDomain(attribute),
+      "value_name", topK, method, threshold)
 
   def topValueMatches(source: DataFrame, sourceColumn: String,
                       target: String, attribute: String): DataFrame =

@@ -4,10 +4,11 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.{functions => F}
 
 /** DataFrame-backed standard vocabulary, the equivalent of the
-  * reference's named standards (e.g. its bundled GDC dictionary —
-  * resource JSON not shipped here; any table of the same shape plugs
-  * in). A standard is (attribute, value) rows: one row per permitted
-  * value per standard attribute.
+  * reference's named standards (e.g. its bundled GDC dictionary — the
+  * full dictionary is reference data and not copied; [[Standards.builtinGdc]]
+  * ships a public-knowledge GDC-FORMAT fixture, and any table of the
+  * same shape plugs in). A standard is (attribute, value) rows: one
+  * row per permitted value per standard attribute.
   *
   * Scale: vocabularies are small by definition (the reference's GDC
   * dictionary is ~1k attributes); matching broadcasts the vocabulary
@@ -25,12 +26,43 @@ object Standards {
     * DataFrame is what scales (broadcast into every match).
     */
   def fromSchemaJson(spark: org.apache.spark.sql.SparkSession,
-                     path: String): Standards = {
+                     path: String): Standards =
+    fromJsonDf(spark.read.option("wholetext", "true").text(path))
+
+  /** [[fromSchemaJson]] from an in-memory JSON string — the loader
+    * behind classpath-resource vocabularies ([[builtinGdc]]).
+    */
+  def fromSchemaJsonString(spark: org.apache.spark.sql.SparkSession,
+                           json: String): Standards = {
+    import spark.implicits._
+    fromJsonDf(Seq(json).toDF("value"))
+  }
+
+  /** The bundled GDC-FORMAT fixture vocabulary (a public-knowledge,
+    * GDC-data-dictionary-shaped subset: demographic/diagnosis
+    * categorical attributes with their standard permitted values,
+    * plus free-text/numeric attributes with empty value_data). The
+    * reference ships the full GDC vocabulary as resource data; this
+    * fixture makes `match_schema(df, "gdc")` work out of the box with
+    * the same loader, format, and dispatch path — swap in the real
+    * dictionary with `Graft.registerStandard("gdc",
+    * Standards.fromSchemaJson(spark, path))`.
+    */
+  def builtinGdc(spark: org.apache.spark.sql.SparkSession): Standards = {
+    val in = getClass.getResourceAsStream("/graft/standards/gdc_fixture.json")
+    require(in != null, "bundled gdc_fixture.json missing from classpath")
+    val json =
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    fromSchemaJsonString(spark, json)
+  }
+
+  private def fromJsonDf(raw: DataFrame): Standards = {
     import org.apache.spark.sql.types._
     val shape = MapType(StringType, StructType(Seq(
       StructField("column_description", StringType),
       StructField("value_data", MapType(StringType, StringType)))))
-    val vocab = spark.read.option("wholetext", "true").text(path)
+    val vocab = raw
       .select(F.explode(F.from_json(F.col("value"), shape))
         .as(Seq("attribute", "meta")))
       .select(F.col("attribute"),

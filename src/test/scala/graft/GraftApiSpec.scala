@@ -170,6 +170,35 @@ class GraftApiSpec extends SparkSpec {
     assert(sm.head._2 == "vital_status")
   }
 
+  test("bundled GDC fixture: match_schema(df, \"gdc\") works out of the box from the classpath resource") {
+    import graft.harmonize.Standards
+    // the resource file loads through the same GDC-format loader the
+    // reference's bundled vocabulary uses
+    val std = Standards.builtinGdc(spark)
+    val attrs = std.attributes.as[String].collect().toSet
+    assert(Set("gender", "race", "ethnicity", "vital_status", "tumor_grade",
+      "primary_diagnosis").subsetOf(attrs), s"got $attrs")
+    assert(std.valueDomain("gender").as[String].collect().toSet ==
+      Set("female", "male", "unknown", "unspecified", "not reported"))
+    // empty-value_data attributes stay listed (free-text/numeric)
+    assert(std.valueDomain("primary_diagnosis").isEmpty && attrs.contains("days_to_birth"))
+    // the headline reference call shapes work with NO registration —
+    // the "gdc" name lazily loads the bundled fixture
+    val data = Seq(("Alive", "male"), ("Dead", "female"), ("Alive", "unknown"))
+      .toDF("status", "sex")
+    val sm = Graft.matchSchema(data, "gdc")
+      .as[(String, String, Double)].collect().map(r => r._1 -> r._2).toMap
+    assert(sm("status") == "vital_status" && sm("sex") == "gender", s"got $sm")
+    val vm = Graft.matchValues(data, "status", "gdc", "vital_status",
+        "edit_distance", 0.3)
+      .as[(String, Option[String], Option[Double])].collect()
+      .map { case (s, t, _) => s -> t }.toMap
+    assert(vm("Alive").contains("Alive") && vm("Dead").contains("Dead"))
+    // an explicit registration still wins over the builtin fallback
+    Graft.registerStandard("gdc", std)
+    assert(Graft.standard("gdc").attributes.count() == attrs.size)
+  }
+
   test("name-dispatched standards: string targets resolve through the registry") {
     import graft.harmonize.Standards
     val vocab = Seq(
