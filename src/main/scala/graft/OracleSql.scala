@@ -3111,6 +3111,62 @@ object OracleSql {
         |  AND (v.valid_to_us IS NULL OR f.at_us < v.valid_to_us)
         |ORDER BY f.o_orderkey""".stripMargin,
 
+    // Tukey-fence outlier audit: replays the exact interpolated
+    // quartiles (distinct-value cumsum rank picks) and the ×200
+    // integer-scaled fence arithmetic — no division anywhere, so the
+    // decimal comparisons are bit-identical cross-engine
+    "profile_outliers" -> {
+      val cols = Seq("o_totalprice", "o_custkey")
+      val u = (cols.map(c =>
+        s"SELECT '$c' AS col, CAST($c AS DECIMAL(28,6)) AS v FROM orders WHERE $c IS NOT NULL") :+
+        "SELECT 'value' AS col, CAST(value AS DECIMAL(28,6)) AS v FROM events WHERE value IS NOT NULL")
+        .mkString("\nUNION ALL ")
+      s"""WITH u AS (
+         |$u),
+         |c AS (SELECT col, v, count(*) AS cnt FROM u GROUP BY 1, 2),
+         |ns AS (SELECT col, sum(cnt) AS n FROM c GROUP BY 1),
+         |r AS (SELECT col, n,
+         |        (n-1)*25 // 100 + 1 AS rlo25, (n-1)*25 % 100 AS rem25,
+         |        (n-1)*75 // 100 + 1 AS rlo75, (n-1)*75 % 100 AS rem75
+         |      FROM ns),
+         |cc AS (SELECT col, v, cnt,
+         |         sum(cnt) OVER (PARTITION BY col ORDER BY v
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |       FROM c),
+         |q AS (SELECT cc.col,
+         |        max(r.n) AS n, max(rem25) AS rem25, max(rem75) AS rem75,
+         |        min(CASE WHEN cum >= rlo25 THEN v END) AS xlo25,
+         |        min(CASE WHEN cum >= rlo25 + CASE WHEN rem25 > 0 THEN 1 ELSE 0 END
+         |            THEN v END) AS xhi25,
+         |        min(CASE WHEN cum >= rlo75 THEN v END) AS xlo75,
+         |        min(CASE WHEN cum >= rlo75 + CASE WHEN rem75 > 0 THEN 1 ELSE 0 END
+         |            THEN v END) AS xhi75
+         |      FROM cc JOIN r ON cc.col = r.col GROUP BY 1),
+         |f AS (SELECT col, n,
+         |        CAST(xlo25*200 + rem25*2*(xhi25-xlo25) AS DECIMAL(38,6)) AS q1x,
+         |        CAST(xlo75*200 + rem75*2*(xhi75-xlo75) AS DECIMAL(38,6)) AS q3x,
+         |        CAST(xlo25*500 + rem25*5*(xhi25-xlo25)
+         |             - xlo75*300 - rem75*3*(xhi75-xlo75) AS DECIMAL(38,6)) AS lofx,
+         |        CAST(xlo75*500 + rem75*5*(xhi75-xlo75)
+         |             - xlo25*300 - rem25*3*(xhi25-xlo25) AS DECIMAL(38,6)) AS hifx
+         |      FROM q),
+         |o AS (SELECT c.col,
+         |        sum(CASE WHEN v*200 < lofx THEN cnt ELSE 0 END) AS n_below,
+         |        sum(CASE WHEN v*200 > hifx THEN cnt ELSE 0 END) AS n_above
+         |      FROM c JOIN f ON c.col = f.col GROUP BY 1)
+         |SELECT f.col AS "column", CAST(f.n AS BIGINT) AS n,
+         |       round(CAST(q1x AS DOUBLE)/200, 6) AS q1,
+         |       round(CAST(q3x AS DOUBLE)/200, 6) AS q3,
+         |       round(CAST(lofx AS DOUBLE)/200, 6) AS lo_fence,
+         |       round(CAST(hifx AS DOUBLE)/200, 6) AS hi_fence,
+         |       CAST(n_below AS BIGINT) AS n_below,
+         |       CAST(n_above AS BIGINT) AS n_above,
+         |       round(CAST(n_below + n_above AS DOUBLE) / CAST(f.n AS DOUBLE), 6)
+         |         AS out_share
+         |FROM f JOIN o ON f.col = o.col
+         |ORDER BY 1""".stripMargin
+    },
+
     "profile_skew" -> {
       val cols = Seq("l_returnflag", "l_linestatus", "l_suppkey", "l_partkey")
       val d = cols.map(c =>
@@ -3131,6 +3187,27 @@ object OracleSql {
          |FROM a JOIN t ON a.col = t.col
          |ORDER BY 1""".stripMargin
     },
+
+    // seasonal-baseline anomaly twin: replays the day-of-week
+    // baseline and the INTEGER z-test (n·c − S)² > k²·(n·Q − S²) —
+    // no division, so every flag decides on exact integer compares
+    "events_seasonal" ->
+      """WITH daily AS (SELECT event_type,
+        |                      epoch_us(ts) - epoch_us(ts) % 86400000000 AS day_us,
+        |                      count(*) AS cnt
+        |               FROM events GROUP BY 1, 2),
+        |d AS (SELECT event_type, day_us, cnt,
+        |             CAST((day_us // 86400000000) % 7 AS INTEGER) AS dow
+        |      FROM daily),
+        |b AS (SELECT event_type, dow, CAST(count(*) AS BIGINT) AS n_dow,
+        |             sum(cnt) AS s, sum(cnt * cnt) AS q
+        |      FROM d GROUP BY 1, 2)
+        |SELECT d.event_type, d.day_us, d.dow, d.cnt, b.n_dow,
+        |       round(CAST(b.s AS DOUBLE) / CAST(b.n_dow AS DOUBLE), 6) AS dow_mean,
+        |       (b.n_dow * d.cnt - b.s) * (b.n_dow * d.cnt - b.s)
+        |         > 1 * (b.n_dow * b.q - b.s * b.s) AS is_anomaly
+        |FROM d JOIN b ON d.event_type = b.event_type AND d.dow = b.dow
+        |ORDER BY d.event_type, d.day_us""".stripMargin,
 
     // daily counts -> exact-decimal CUSUM -> per-type peak |S| argmax
     "events_changepoint" ->

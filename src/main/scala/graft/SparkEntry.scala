@@ -2564,6 +2564,18 @@ object SparkEntry {
       .orderBy("o_orderkey")
   }
 
+  private def profileOutliers(t: Tables): DataFrame =
+    // Tukey-fence audit across both verdicts the rule produces on
+    // this corpus: events.value has a genuine planted upper tail
+    // (~3-5% above the hi fence at every SF), while o_totalprice and
+    // o_custkey sit entirely inside their fences (the all-clear
+    // verdict); the degenerate IQR=0 constant-column path is
+    // spec-covered
+    harmonize.Profile.numericOutliers(t.orders,
+        Seq("o_totalprice", "o_custkey"))
+      .unionByName(harmonize.Profile.numericOutliers(t.events, Seq("value")))
+      .orderBy("column")
+
   private def profileSkew(t: Tables): DataFrame =
     // flag/status are genuinely skewed (3 and 2 keys); the key columns
     // are near-uniform — both verdicts the salting decision needs
@@ -2573,6 +2585,15 @@ object SparkEntry {
 
   private def eventsChangepoint(t: Tables): DataFrame =
     streaming.Events.changepoint(t.events).orderBy("event_type")
+
+  private def eventsSeasonal(t: Tables): DataFrame =
+    // wired at 1σ: the synthetic corpus is stationary white noise (no
+    // planted weekly seasonality), so the 2σ production default flags
+    // nothing at any gate SF — 1σ exercises BOTH flag branches
+    // (56/65/58 of 150 rows flagged at sf0.001/0.01/0.1) while gating
+    // the identical integer z-test arithmetic
+    streaming.Events.seasonalAnomalies(t.events, sigmas = 1)
+      .orderBy("event_type", "day_us")
 
   private def zorderKey(t: Tables): DataFrame =
     // the Morton-curve key itself, oracle-replayed bit-for-bit; the
@@ -2777,7 +2798,9 @@ object SparkEntry {
       "ann_ivfpq_frozen" -> q(annIvfpqFrozen),
       "ann_ivfpq_incr" -> q(annIvfpqIncr),
       "ann_pca_ivfpq" -> q(annPcaIvfpq),
-      "ann_pca_ivfpq_recall" -> q(annPcaIvfpqRecall))
+      "ann_pca_ivfpq_recall" -> q(annPcaIvfpqRecall),
+      "profile_outliers" -> q(profileOutliers),
+      "events_seasonal" -> q(eventsSeasonal))
   }
 
   /** DuckDB-runnable ANSI SQL twin for every SQL-expressible query. */

@@ -83,6 +83,104 @@ object Profile {
         F.col("top_value"))
   }
 
+  /** Tukey-fence outlier audit per numeric column — the classic IQR
+    * rule (Tukey, "Exploratory Data Analysis" 1977): values below
+    * Q1 − 1.5·IQR or above Q3 + 1.5·IQR are flagged, with EXACT
+    * linearly-interpolated quartiles (the quantile_cont / percentile
+    * definition: h = (n−1)·p, q = x⌊h⌋ + (h−⌊h⌋)·(x⌈h⌉ − x⌊h⌋) over
+    * the sorted non-null values).
+    *
+    * Exactness: all arithmetic is integer-scaled DECIMAL — the
+    * interpolation and the ×1.5 fence are multiplied through by 200
+    * (200·q and 200·fence have integer coefficients over the data
+    * values and the integer interpolation remainder), so there is NO
+    * division anywhere and both engines compare v against the fences
+    * bit-identically; the /200 happens only in the rounded display
+    * columns.
+    *
+    * Scale: one unpivot scan → (col, value) counts (map-side
+    * combined, bounded by per-column VALUE CARDINALITY); the rank
+    * cumsum windows over that distinct-value frame partitioned by
+    * column — for continuous columns value cardinality approaches row
+    * count and this is the honest cost of EXACT quantiles (Spark's
+    * own percentile agg buffers raw values per group instead); the
+    * documented at-scale escape is corpus_quantiles_approx (KLL-style
+    * approx) when audit-exact fences aren't required.
+    *
+    * Output per column: n (non-null), q1, q3, lo_fence, hi_fence
+    * (6dp-rounded display doubles), n_below, n_above, out_share.
+    */
+  def numericOutliers(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "at least one column")
+    import org.apache.spark.sql.expressions.Window
+    val unpiv = df.select(F.explode(F.array(cols.map(c =>
+        F.struct(F.lit(c).as("column"),
+          F.col(c).cast("decimal(28,6)").as("v"))): _*)).as("p"))
+      .select("p.*").where(F.col("v").isNotNull)
+    val counts = unpiv.groupBy("column", "v")
+      .agg(F.count(F.lit(1)).as("cnt"))
+    val nstats = counts.groupBy("column").agg(F.sum("cnt").as("n"))
+    val cum = counts.withColumn("cum",
+      F.sum("cnt").over(Window.partitionBy("column").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // integer rank/remainder per quartile: h·100 = (n−1)·p100, rank of
+    // x⌊h⌋ is h100 div 100 + 1, rem = h100 mod 100 (g = rem/100)
+    def ranks(p100: Int) = {
+      val h100 = (F.col("n") - 1) * p100
+      (F.floor(h100 / 100) + 1,
+        h100 % 100)
+    }
+    val (rlo25, rem25) = ranks(25)
+    val (rlo75, rem75) = ranks(75)
+    val joined = cum.join(F.broadcast(
+      nstats.select(F.col("column"), F.col("n"),
+        rlo25.as("rlo25"), rem25.as("rem25"),
+        rlo75.as("rlo75"), rem75.as("rem75"))), "column")
+    // x at rank r = min v with cum ≥ r (cum ascends with v); the
+    // ceiling pick reuses rlo+1 when the remainder is non-zero
+    def pick(r: org.apache.spark.sql.Column) =
+      F.min(F.when(F.col("cum") >= r, F.col("v")))
+    val qs = joined.groupBy("column").agg(
+      F.first("n").as("n"),
+      F.first("rem25").as("rem25"), F.first("rem75").as("rem75"),
+      pick(F.col("rlo25")).as("xlo25"),
+      pick(F.col("rlo25") + F.when(F.col("rem25") > 0, 1).otherwise(0)).as("xhi25"),
+      pick(F.col("rlo75")).as("xlo75"),
+      pick(F.col("rlo75") + F.when(F.col("rem75") > 0, 1).otherwise(0)).as("xhi75"))
+    // ×200-scaled exact quartiles and Tukey fences (integer
+    // coefficients throughout — see the doc comment):
+    //   200·q   = 200·xlo + 2·rem·(xhi − xlo)
+    //   200·loF = 500·xlo25 + 5·rem25·dx25 − 300·xlo75 − 3·rem75·dx75
+    //   200·hiF = 500·xlo75 + 5·rem75·dx75 − 300·xlo25 − 3·rem25·dx25
+    val dx25 = F.col("xhi25") - F.col("xlo25")
+    val dx75 = F.col("xhi75") - F.col("xlo75")
+    val q1x = (F.col("xlo25") * 200 + F.col("rem25") * 2 * dx25)
+      .cast("decimal(38,6)")
+    val q3x = (F.col("xlo75") * 200 + F.col("rem75") * 2 * dx75)
+      .cast("decimal(38,6)")
+    val loFx = (F.col("xlo25") * 500 + F.col("rem25") * 5 * dx25 -
+      F.col("xlo75") * 300 - F.col("rem75") * 3 * dx75).cast("decimal(38,6)")
+    val hiFx = (F.col("xlo75") * 500 + F.col("rem75") * 5 * dx75 -
+      F.col("xlo25") * 300 - F.col("rem25") * 3 * dx25).cast("decimal(38,6)")
+    val fences = qs.select(F.col("column"), F.col("n"),
+      q1x.as("q1x"), q3x.as("q3x"), loFx.as("lofx"), hiFx.as("hifx"))
+    val out = counts.join(F.broadcast(fences), "column")
+      .groupBy("column").agg(
+        F.sum(F.when(F.col("v") * 200 < F.col("lofx"), F.col("cnt"))
+          .otherwise(0L)).as("n_below"),
+        F.sum(F.when(F.col("v") * 200 > F.col("hifx"), F.col("cnt"))
+          .otherwise(0L)).as("n_above"))
+    fences.join(out, Seq("column"))
+      .select(F.col("column"), F.col("n"),
+        F.round(F.col("q1x").cast("double") / 200, 6).as("q1"),
+        F.round(F.col("q3x").cast("double") / 200, 6).as("q3"),
+        F.round(F.col("lofx").cast("double") / 200, 6).as("lo_fence"),
+        F.round(F.col("hifx").cast("double") / 200, 6).as("hi_fence"),
+        F.col("n_below"), F.col("n_above"),
+        F.round((F.col("n_below") + F.col("n_above")).cast("double") /
+          F.col("n").cast("double"), 6).as("out_share"))
+  }
+
   /** Pearson correlation matrix over numeric columns — ONE scan for
     * every unordered pair: the aggregate computes each column's exact
     * decimal Σx and Σx² plus every pair's exact Σxy, and the

@@ -531,11 +531,16 @@ object Ann {
                nCells: Int = 16, iters: Int = 3,
                maxTrain: Int = 100000,
                rowCountHint: Option[Long] = None,
-               extraCols: Seq[String] = Nil): Unit = {
+               extraCols: Seq[String] = Nil,
+               trainCorpus: Option[DataFrame] = None): Unit = {
     import graft.functions.HashExprs.topCells
     val c = corpus.select((Seq(F.col(cId).as("neighbor_id"), F.col(cVec).as("cv"))
       ++ extraCols.map(F.col)): _*)
-    val cents = trainCentroids(c, nCells, iters, maxTrain, rowCountHint)
+    // trainCorpus: the ivfpqBuild frozen-train hook — quantizer trains
+    // on it, the full corpus is assigned and stored
+    val tc = trainCorpus.fold(c)(t =>
+      t.select(F.col(cId).as("neighbor_id"), F.col(cVec).as("cv")))
+    val cents = trainCentroids(tc, nCells, iters, maxTrain, rowCountHint)
     val spark = corpus.sparkSession
     val centRows = cents.zipWithIndex.map { case (m, i) =>
       org.apache.spark.sql.Row(i, m)
@@ -549,7 +554,37 @@ object Ann {
     c.select((Seq(F.col("neighbor_id"), F.col("cv"),
         F.element_at(topCells(F.col("cv"), cents, 1), 1).as("cell"))
       ++ extraCols.map(F.col)): _*)
+      // ingest_batch lineage (the ivfpqBuild convention, -1 = initial
+      // build) so ivfIndexAppend crash recovery is a partition-filter
+      // rewrite
+      .withColumn("ingest_batch", F.lit(-1L))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/index")
+  }
+
+  /** Append a vector batch to an existing [[ivfBuild]] index under the
+    * FROZEN coarse quantizer — the plain-IVF member of the
+    * index-append family ([[ivfpqIndexAppend]] doc carries the shared
+    * contract): the batch is assigned to cells by the persisted
+    * centroids and ONLY its rows append into the cell-partitioned
+    * index, stamped `ingest_batch = batchId`. Batch ids must be new.
+    * After the append, [[ivfQueryIndex]] equals a full [[ivfBuild]]
+    * over the union that trained on the original corpus (spec-gated;
+    * assignment is a pure function of (vector, centroids)).
+    */
+  def ivfIndexAppend(spark: org.apache.spark.sql.SparkSession,
+                     path: String, batch: DataFrame,
+                     cId: String, cVec: String,
+                     extraCols: Seq[String] = Nil,
+                     batchId: Long = 0L): Unit = {
+    import graft.functions.HashExprs.topCells
+    val cents = readCentroids(spark, s"$path/centroids")
+    val c = batch.select((Seq(F.col(cId).as("neighbor_id"), F.col(cVec).as("cv"))
+      ++ extraCols.map(F.col)): _*)
+    c.select((Seq(F.col("neighbor_id"), F.col("cv"),
+        F.element_at(topCells(F.col("cv"), cents, 1), 1).as("cell"))
+      ++ extraCols.map(F.col)): _*)
+      .withColumn("ingest_batch", F.lit(batchId))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/index")
   }
 
   /** Query a persisted IVF index built by [[ivfBuild]]. The probed

@@ -444,4 +444,48 @@ object Events {
       F.sum("lat").as("total_late_us"),
       F.max("lat").as("max_late_us"))
   }
+
+  /** Seasonal-baseline volume anomalies — the production ingest
+    * monitor the CUSUM locator ([[changepoint]]) complements: daily
+    * event counts per type are compared against their DAY-OF-WEEK
+    * baseline (traffic is weekly-periodic; comparing Monday to the
+    * Monday population, not the week's mean, is the standard
+    * seasonal-naive control), flagging days more than `sigmas`
+    * population standard deviations from their weekday mean.
+    *
+    * Exactness: the z-test is evaluated in INTEGERS — with per-(type,
+    * dow) day count n, sum S and sum-of-squares Q of the daily counts,
+    *
+    *   |c − S/n| > k·σ  ⇔  (n·c − S)² > k²·(n·Q − S²)
+    *
+    * (n²σ² = n·Q − S²), so both engines decide every flag on exact
+    * integer comparisons — no division, no doubles; the mean/σ output
+    * columns are display-rounded only.
+    *
+    * Scale: one map-side-combined daily aggregate (keys = types ×
+    * days), one (type, dow)-keyed baseline fold (≤ 7·|types| rows,
+    * broadcast back). Nothing corpus-sized shuffles twice.
+    */
+  def seasonalAnomalies(events: DataFrame, sigmas: Int = 2): DataFrame = {
+    val dayUs = 24L * 3600 * 1000 * 1000
+    val us = usOf(F.col("ts"))
+    val daily = events
+      .select(F.col("event_type"), (us - F.pmod(us, F.lit(dayUs))).as("day_us"))
+      .groupBy("event_type", "day_us").agg(F.count(F.lit(1)).as("cnt"))
+      .withColumn("dow",
+        F.pmod(F.expr(s"day_us div $dayUs"), F.lit(7L)).cast("int"))
+    val base = daily.groupBy("event_type", "dow").agg(
+      F.count(F.lit(1)).as("n_dow"),
+      F.sum("cnt").as("s"),
+      F.sum(F.col("cnt") * F.col("cnt")).as("q"))
+    val lhs = (F.col("n_dow") * F.col("cnt") - F.col("s")).cast("decimal(19,0)")
+    val rhs = (F.col("n_dow") * F.col("q") - F.col("s") * F.col("s"))
+      .cast("decimal(19,0)")
+    daily.join(F.broadcast(base), Seq("event_type", "dow"))
+      .select(F.col("event_type"), F.col("day_us"), F.col("dow"),
+        F.col("cnt"), F.col("n_dow"),
+        F.round(F.col("s").cast("double") / F.col("n_dow").cast("double"), 6)
+          .as("dow_mean"),
+        (lhs * lhs > F.lit(sigmas.toLong * sigmas) * rhs).as("is_anomaly"))
+  }
 }

@@ -65,6 +65,37 @@ class DiscoveryGraphSpec extends SparkSpec {
     assert(s("u")._3 == 3L && s("u")._5 == "1")
   }
 
+  test("numericOutliers: hand-computed quartiles, interpolation, duplicates, constant column, fence boundary") {
+    val df = Seq(
+      (1.0, 10.0, 5.0, 1.0),
+      (2.0, 20.0, 5.0, 1.0),
+      (3.0, 30.0, 5.0, 1.0),
+      (4.0, 40.0, 5.0, 2.0),
+      (100.0, 40.0, 5.0, 50.0)).toDF("x", "y", "c", "z")
+    val got = Profile.numericOutliers(df, Seq("x", "y", "c", "z"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5), r.getLong(6), r.getLong(7))).toMap
+    // x = [1,2,3,4,100]: exact ranks (no interpolation) q1=2, q3=4,
+    // fences [-1, 7] -> 100 flagged above
+    assert(got("x") == ((5L, 2.0, 4.0, -1.0, 7.0, 0L, 1L)), s"x: ${got("x")}")
+    // y = [10,20,30,40,40] (dup at the top): n=5 -> q1 = 20, q3 = 40;
+    // iqr=20 -> fences [-10, 70] -> none out
+    assert(got("y") == ((5L, 20.0, 40.0, -10.0, 70.0, 0L, 0L)), s"y: ${got("y")}")
+    // constant column: q1=q3=5, fences collapse ON the value — the
+    // boundary itself is NOT an outlier (strict inequality)
+    assert(got("c") == ((5L, 5.0, 5.0, 5.0, 5.0, 0L, 0L)), s"c: ${got("c")}")
+    // z = [1,1,1,2,50]: duplicate-heavy low end exercises the cumsum
+    // rank pick (rank 2 inside the v=1 run); q1=1, q3=2, hi fence 3.5
+    assert(got("z") == ((5L, 1.0, 2.0, -0.5, 3.5, 0L, 1L)), s"z: ${got("z")}")
+    // interpolated quartiles: n=4 -> h=0.75/2.25 -> q1=17.5, q3=32.5
+    val interp = Profile.numericOutliers(
+      Seq(10.0, 20.0, 30.0, 40.0).toDF("y"), Seq("y"))
+      .collect().head
+    assert(interp.getDouble(2) == 17.5 && interp.getDouble(3) == 32.5,
+      s"interpolated: $interp")
+  }
+
   test("correlation: perfect linear, anti-linear, and constant columns") {
     val df = Seq((1.0, 2.0, -1.0, 5.0), (2.0, 4.0, -2.0, 5.0),
       (3.0, 6.0, -3.0, 5.0)).toDF("x", "y", "z", "c")

@@ -525,6 +525,31 @@ class OperatorsSpec extends SparkSpec {
       .as[Long].collect().toSet == Set(-1L, 0L, 1L))
   }
 
+  test("seasonalAnomalies: hand-computed dow baseline, integer z-test, single-sample dow never flags") {
+    import graft.streaming.Events
+    def rows(day: Long, n: Int): Seq[(String, java.sql.Timestamp)] =
+      (1 to n).map(_ => ("click", new java.sql.Timestamp(day * 86400000L)))
+    // dow 0 over three weeks: counts 10, 10, 22 -> S=42, Q=684,
+    // nQ-S^2=288; c=22: (3*22-42)^2=576 > 1*288 -> flagged at 1 sigma,
+    // c=10: 144 < 288 -> not; dow 1 has ONE sample -> lhs=rhs=0 ->
+    // never flagged (strict inequality)
+    val events = (rows(0, 10) ++ rows(7, 10) ++ rows(14, 22) ++ rows(1, 5))
+      .toDF("event_type", "ts")
+    val got = Events.seasonalAnomalies(events, sigmas = 1)
+      .orderBy("day_us")
+      .as[(String, Long, Int, Long, Long, Double, Boolean)].collect().toSeq
+    assert(got.map(r => (r._2 / 86400000000L, r._4, r._7)) ==
+      Seq((0L, 10L, false), (1L, 5L, false), (7L, 10L, false), (14L, 22L, true)),
+      s"got $got")
+    // baseline columns: dow-0 rows carry n_dow=3, mean 14.0
+    val d0 = got.filter(_._3 == 0)
+    assert(d0.forall(r => r._5 == 3L && r._6 == 14.0))
+    // at 2 sigma the same spike is inside the band: 576 < 4*288
+    val g2 = Events.seasonalAnomalies(events, sigmas = 2)
+      .as[(String, Long, Int, Long, Long, Double, Boolean)].collect()
+    assert(g2.forall(!_._7))
+  }
+
   test("lateArrivals: hand-computed disorder — running max, lateness gaps, per-type rollup") {
     import graft.streaming.Events
     def ts(s: Long) = new java.sql.Timestamp(s * 1000L)

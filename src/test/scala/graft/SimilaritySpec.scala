@@ -450,6 +450,25 @@ class SimilaritySpec extends SparkSpec {
     assert(codes.select(F.max(F.size($"codes"))).head().getInt(0) == 4)
   }
 
+  test("ivfIndexAppend: build+append equals one-shot frozen-train build; lineage stamped") {
+    val even = corpus.where($"vec_id" % 2 === 0)
+    val odd = corpus.where($"vec_id" % 2 =!= 0)
+    val q = corpus.where($"vec_id" < 5)
+    def query(dir: String) =
+      Ann.ivfQueryIndex(spark, dir, q, "vec_id", "embedding", k = 3, nProbe = 3)
+        .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._3)).toSeq
+    val ref = java.nio.file.Files.createTempDirectory("ivffz").toString
+    Ann.ivfBuild(corpus, "vec_id", "embedding", ref,
+      nCells = 8, iters = 2, trainCorpus = Some(even))
+    val inc = java.nio.file.Files.createTempDirectory("ivfinc").toString
+    Ann.ivfBuild(even, "vec_id", "embedding", inc, nCells = 8, iters = 2)
+    Ann.ivfIndexAppend(spark, inc, odd, "vec_id", "embedding", batchId = 1L)
+    assert(query(inc).nonEmpty && query(inc) == query(ref),
+      "IVF append under the frozen coarse quantizer must equal the one-shot frozen-train build")
+    assert(spark.read.parquet(s"$inc/index").select("ingest_batch")
+      .as[Long].collect().toSet == Set(-1L, 1L))
+  }
+
   test("ivfpqIndexAppend: build+append equals one-shot frozen-train build; lineage cleans a replayed batch") {
     val even = corpus.where($"vec_id" % 2 === 0)
     val odd = corpus.where($"vec_id" % 2 =!= 0)
