@@ -311,6 +311,27 @@ class PlanSpec extends SparkSpec {
       s"postings scan shows no pushed term filter:\n$p")
   }
 
+  test("text_search_hybrid_filtered: the lang predicate pushes into BOTH index arms' scans") {
+    // the filtered hybrid's whole point: the metadata predicate cuts
+    // rows INSIDE each index scan — the lang-carrying postings read
+    // keeps its pushed term isin AND gains a pushed lang equality; the
+    // dense arm's codes scan keeps its probed-cell partition filters
+    // AND gains the same pushed lang equality; the raw corpus text is
+    // never re-scanned (embeddings surface only as the query batch +
+    // the candidate re-rank semi-join, the documented IVFPQ shape)
+    val p = planOf("text_search_hybrid_filtered")
+    assert(!p.contains("documents.parquet"),
+      s"lexical arm re-scanned the raw corpus:\n$p")
+    assert(p.contains("PartitionFilters: [") && p.contains("cell"),
+      s"dense arm's codes scan shows no cell partition filters:\n$p")
+    assert("""PushedFilters: \[[^\]]*In\(term""".r.findFirstIn(p).isDefined,
+      s"postings scan shows no pushed term filter:\n$p")
+    val langPushes =
+      """PushedFilters: \[[^\]]*EqualTo\(lang,en\)""".r.findAllIn(p).size
+    assert(langPushes >= 2,
+      s"lang predicate must push into BOTH arms' scans (found $langPushes):\n$p")
+  }
+
   test("corpus-materialization queries keep equi/anti joins only") {
     // keepCanonical and Decontaminate.clean anti-join the corpus
     // against small id sets — a product plan here would scan-multiply
