@@ -3188,6 +3188,28 @@ object OracleSql {
          |ORDER BY 1""".stripMargin
     },
 
+    // last-touch attribution twin: the windowed pair join, the
+    // latest-click (then highest-id) argmax per conversion, and the
+    // candidate count — exact integer microseconds throughout
+    "events_attribution" ->
+      """WITH c AS (SELECT user_id, epoch_us(ts) AS cus, event_id AS click_id
+        |           FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, epoch_us(ts) AS pus, event_id AS conv_id
+        |      FROM events WHERE event_type = 'purchase'),
+        |pairs AS (SELECT p.conv_id, p.user_id, p.pus, c.click_id, c.cus
+        |          FROM p JOIN c ON p.user_id = c.user_id
+        |          WHERE p.pus >= c.cus
+        |            AND p.pus - c.cus <= CAST(21600000000 AS BIGINT)),
+        |ranked AS (SELECT conv_id, user_id, pus, click_id, cus,
+        |                  row_number() OVER (PARTITION BY conv_id
+        |                    ORDER BY cus DESC, click_id DESC) AS rk,
+        |                  count(*) OVER (PARTITION BY conv_id) AS n_candidates
+        |           FROM pairs)
+        |SELECT conv_id, user_id, pus AS conv_us, click_id, cus AS click_us,
+        |       pus - cus AS gap_us, n_candidates
+        |FROM ranked WHERE rk = 1
+        |ORDER BY conv_id""".stripMargin,
+
     // seasonal-baseline anomaly twin: replays the day-of-week
     // baseline and the INTEGER z-test (n·c − S)² > k²·(n·Q − S²) —
     // no division, so every flag decides on exact integer compares

@@ -2586,6 +2586,20 @@ object SparkEntry {
   private def eventsChangepoint(t: Tables): DataFrame =
     streaming.Events.changepoint(t.events).orderBy("event_type")
 
+  private def eventsAttribution(t: Tables): DataFrame = {
+    // last-touch conversion attribution (r13): click->purchase pairs
+    // within a 6 h window (genuine multi-touch at every gate SF:
+    // 25/221/2198 pairs reduce to 23/209/2087 attributed purchases),
+    // then the latest-click argmax per conversion. The same pair join
+    // runs as a watermarked STREAM-STREAM join in
+    // Events.streamAttributionPairs (spec-gated equality).
+    val clicks = t.events.where(F.col("event_type") === "click")
+    val purchases = t.events.where(F.col("event_type") === "purchase")
+    streaming.Events.lastTouchAttribution(
+      streaming.Events.attributionPairs(clicks, purchases, "6 hours"))
+      .orderBy("conv_id")
+  }
+
   private def eventsSeasonal(t: Tables): DataFrame =
     // wired at 1σ: the synthetic corpus is stationary white noise (no
     // planted weekly seasonality), so the 2σ production default flags
@@ -2800,7 +2814,8 @@ object SparkEntry {
       "ann_pca_ivfpq" -> q(annPcaIvfpq),
       "ann_pca_ivfpq_recall" -> q(annPcaIvfpqRecall),
       "profile_outliers" -> q(profileOutliers),
-      "events_seasonal" -> q(eventsSeasonal))
+      "events_seasonal" -> q(eventsSeasonal),
+      "events_attribution" -> q(eventsAttribution))
   }
 
   /** DuckDB-runnable ANSI SQL twin for every SQL-expressible query. */

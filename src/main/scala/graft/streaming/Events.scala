@@ -445,6 +445,73 @@ object Events {
       F.max("lat").as("max_late_us"))
   }
 
+  /** All (click, conversion) candidate pairs inside the attribution
+    * window: conversions equi-join clicks on the user with
+    * `click_ts <= conv_ts <= click_ts + maxGap` riding along — the
+    * shared core of batch attribution ([[lastTouchAttribution]]) and
+    * the watermarked STREAM-STREAM join ([[streamAttributionPairs]]).
+    * Scale: a plain hash join on the user key; the time bound prunes
+    * post-join (batch) or bounds the join STATE (streaming).
+    */
+  def attributionPairs(clicks: DataFrame, conversions: DataFrame,
+                       maxGap: String = "6 hours"): DataFrame =
+    attrClicks(clicks).join(attrConvs(conversions),
+      F.expr(s"c_user = p_user AND conv_ts >= click_ts AND " +
+        s"conv_ts <= click_ts + interval $maxGap"))
+
+  /** The same candidate-pair join as a watermarked STREAM-STREAM
+    * inner join — the Structured Streaming capability the rest of the
+    * streaming suite doesn't exercise: BOTH sides are unbounded, and
+    * the event-time bound in the join condition plus the watermarks
+    * let Spark expire join state (a click older than watermark +
+    * maxGap can never match a future conversion and is dropped from
+    * state; an unbounded-state stream-stream join would otherwise
+    * grow forever — the 100 TB/always-on concern). Emits each pair
+    * once, as soon as both sides arrive (append mode). Last-touch
+    * reduction happens downstream (foreachBatch or a later batch
+    * pass): a streaming window-argmax over an open attribution window
+    * would have to wait out the watermark to be final.
+    */
+  def streamAttributionPairs(clicks: DataFrame, conversions: DataFrame,
+                             watermark: String = "1 hour",
+                             maxGap: String = "6 hours"): DataFrame =
+    attrClicks(clicks).withWatermark("click_ts", watermark)
+      .join(attrConvs(conversions).withWatermark("conv_ts", watermark),
+        F.expr(s"c_user = p_user AND conv_ts >= click_ts AND " +
+          s"conv_ts <= click_ts + interval $maxGap"))
+
+  private def attrClicks(clicks: DataFrame): DataFrame =
+    clicks.select(F.col("user_id").as("c_user"),
+      F.col("ts").as("click_ts"), F.col("event_id").as("click_id"))
+
+  private def attrConvs(conversions: DataFrame): DataFrame =
+    conversions.select(F.col("user_id").as("p_user"),
+      F.col("ts").as("conv_ts"), F.col("event_id").as("conv_id"))
+
+  /** Last-touch attribution over the candidate pairs (the standard
+    * marketing-attribution rule): each conversion credits its LATEST
+    * in-window click (ties on the higher click id), and reports how
+    * many candidates competed (`n_candidates` — the multi-touch
+    * diagnostic). One conversion-keyed window (high-cardinality key,
+    * even shuffle); exact integer microsecond arithmetic.
+    */
+  def lastTouchAttribution(pairs: DataFrame): DataFrame = {
+    val w = Window.partitionBy("conv_id")
+      .orderBy(F.col("click_ts").desc, F.col("click_id").desc)
+    val wc = Window.partitionBy("conv_id")
+    pairs
+      .withColumn("__rk", F.row_number().over(w))
+      .withColumn("n_candidates", F.count(F.lit(1)).over(wc))
+      .where(F.col("__rk") === 1)
+      .select(F.col("conv_id"), F.col("p_user").as("user_id"),
+        F.unix_micros(F.col("conv_ts")).as("conv_us"),
+        F.col("click_id"),
+        F.unix_micros(F.col("click_ts")).as("click_us"),
+        (F.unix_micros(F.col("conv_ts")) - F.unix_micros(F.col("click_ts")))
+          .as("gap_us"),
+        F.col("n_candidates"))
+  }
+
   /** Seasonal-baseline volume anomalies — the production ingest
     * monitor the CUSUM locator ([[changepoint]]) complements: daily
     * event counts per type are compared against their DAY-OF-WEEK

@@ -525,6 +525,49 @@ class OperatorsSpec extends SparkSpec {
       .as[Long].collect().toSet == Set(-1L, 0L, 1L))
   }
 
+  test("stream-stream attribution join: watermarked pairs equal the batch join; last-touch argmax hand-checked") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.Events
+    implicit val sq = spark.sqlContext
+    // timestamps far from the epoch: an event AT the epoch sits
+    // exactly on the initial watermark and gets dropped as late input
+    val base = 1700000000000L
+    def t(min: Long) = new java.sql.Timestamp(base + min * 60000L)
+    // user 1: two clicks inside the 6 h window of its conversion;
+    // user 2: click 490 min before the conversion — outside; user 3
+    // converts with no click at all
+    val clicks = Seq((1L, t(0), 100L), (1L, t(50), 101L), (2L, t(10), 102L))
+    val convs = Seq((1L, t(60), 200L), (2L, t(500), 201L), (3L, t(30), 202L))
+    val cb = clicks.toDF("user_id", "ts", "event_id")
+    val pb = convs.toDF("user_id", "ts", "event_id")
+    val batch = Events.attributionPairs(cb, pb)
+      .select("click_id", "conv_id").as[(Long, Long)].collect().toSet
+    assert(batch == Set((100L, 200L), (101L, 200L)), s"batch $batch")
+    // the SAME join as a stream-stream inner join: both sides
+    // unbounded, watermarks + the event-time bound let state expire
+    val cs = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val ps = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val out = Events.streamAttributionPairs(
+      cs.toDF().toDF("user_id", "ts", "event_id"),
+      ps.toDF().toDF("user_id", "ts", "event_id"))
+    val q = out.select("click_id", "conv_id").writeStream.format("memory")
+      .queryName("stream_attr").outputMode("append").start()
+    try {
+      cs.addData(clicks: _*)
+      q.processAllAvailable()
+      ps.addData(convs: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("stream_attr").as[(Long, Long)].collect().toSet
+    assert(got == batch, s"stream $got != batch $batch")
+    // last-touch: conversion 200 credits the LATER click (101), with
+    // both candidates counted; gap = 10 min in exact microseconds
+    val lt = Events.lastTouchAttribution(Events.attributionPairs(cb, pb))
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(lt == Seq((200L, 1L, base * 1000L + 60L * 60000000L, 101L,
+      base * 1000L + 50L * 60000000L, 10L * 60000000L, 2L)), s"last-touch $lt")
+  }
+
   test("seasonalAnomalies: hand-computed dow baseline, integer z-test, single-sample dow never flags") {
     import graft.streaming.Events
     def rows(day: Long, n: Int): Seq[(String, java.sql.Timestamp)] =
