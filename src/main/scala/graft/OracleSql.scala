@@ -3188,6 +3188,23 @@ object OracleSql {
          |ORDER BY 1""".stripMargin
     },
 
+    // running-ledger window battery: row_number, lag gap, DECIMAL
+    // running sum (summation-tree-independent), ntile — one window
+    "q_customer_ledger" ->
+      """SELECT o_custkey, o_orderkey,
+        |       CAST(row_number() OVER w AS BIGINT) AS seq,
+        |       epoch_us(o_orderdate) - lag(epoch_us(o_orderdate), 1) OVER w AS gap_us,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |            OVER (PARTITION BY o_custkey
+        |                  ORDER BY o_orderdate ASC, o_orderkey ASC
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |            AS DOUBLE) AS cum_spend,
+        |       CAST(ntile(4) OVER w AS INTEGER) AS seq_quartile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_orderdate ASC, o_orderkey ASC)
+        |ORDER BY o_custkey, seq""".stripMargin,
+
     // last-touch attribution twin: the windowed pair join, the
     // latest-click (then highest-id) argmax per conversion, and the
     // candidate count — exact integer microseconds throughout

@@ -702,6 +702,36 @@ object SparkEntry {
       .orderBy("segment", "rank")
   }
 
+  private def qCustomerLedger(t: Tables): DataFrame = {
+    // the running-ledger window-function battery (r13): per customer
+    // in order-date order — sequence number, microsecond gap since
+    // the previous order (lag), cumulative spend (DECIMAL running sum:
+    // a double cumsum's value depends on the engine's summation tree;
+    // DuckDB's windowed sum is segment-tree based, Spark's is
+    // sequential — decimal makes the order irrelevant), and the
+    // position's quartile within the customer's order timeline
+    // (ntile over the same frame — early vs late orders). ONE
+    // customer-keyed window (high-cardinality partitions, even
+    // shuffle); at 100 TB this is the textbook windowed-ledger shape.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey")
+      .orderBy(F.col("o_orderdate").asc, F.col("o_orderkey").asc)
+    val wr = w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    t.orders
+      .withColumn("seq", F.row_number().over(w).cast("long"))
+      .withColumn("gap_us",
+        usOf(F.col("o_orderdate")) -
+          F.lag(usOf(F.col("o_orderdate")), 1).over(w))
+      .withColumn("cum_spend",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(wr)
+          .cast("double"))
+      .withColumn("seq_quartile", F.ntile(4).over(w))
+      .select(F.col("o_custkey"), F.col("o_orderkey"), F.col("seq"),
+        F.col("gap_us"), F.col("cum_spend"), F.col("seq_quartile"))
+      .orderBy("o_custkey", "seq")
+  }
+
   private def asofJoin(t: Tables): DataFrame = {
     val purchases = t.events.where(F.col("event_type") === "purchase")
       .select(F.col("event_id"), F.col("user_id"), usOf(F.col("ts")).as("ts_us"))
@@ -2815,7 +2845,8 @@ object SparkEntry {
       "ann_pca_ivfpq_recall" -> q(annPcaIvfpqRecall),
       "profile_outliers" -> q(profileOutliers),
       "events_seasonal" -> q(eventsSeasonal),
-      "events_attribution" -> q(eventsAttribution))
+      "events_attribution" -> q(eventsAttribution),
+      "q_customer_ledger" -> q(qCustomerLedger))
   }
 
   /** DuckDB-runnable ANSI SQL twin for every SQL-expressible query. */

@@ -306,6 +306,47 @@ class RobustnessSpec extends SparkSpec {
       m = 2, ksub = 4, iters = 1).count() == 0)
   }
 
+  test("round-13 ops: degenerate inputs flow cleanly") {
+    import graft.harmonize.Profile
+    import graft.streaming.Events
+    import graft.operators.Scd
+    // outlier audit: empty frame and all-null column yield empty /
+    // absent rows, never an error; a single-value column is its own
+    // quartile with collapsed fences
+    val e = Seq.empty[(Option[Double], Option[Double])].toDF("a", "b")
+    assert(Profile.numericOutliers(e, Seq("a", "b")).count() == 0)
+    val withNull = Seq((Some(1.0), None: Option[Double]),
+      (Some(2.0), None)).toDF("a", "b")
+    val cols = Profile.numericOutliers(withNull, Seq("a", "b"))
+      .select("column").as[String].collect().toSet
+    assert(cols == Set("a"), s"all-null column must drop out: $cols")
+    // key-skew on an empty frame: empty result
+    assert(Profile.keySkew(e, Seq("a")).count() == 0)
+    // attribution: either side empty -> no pairs; lastTouch of no
+    // pairs -> empty
+    val c0 = Seq((1L, new java.sql.Timestamp(1700000000000L), 10L))
+      .toDF("user_id", "ts", "event_id")
+    assert(Events.attributionPairs(c0, c0.where(F.lit(false))).count() == 0)
+    assert(Events.lastTouchAttribution(
+      Events.attributionPairs(c0.where(F.lit(false)), c0)).count() == 0)
+    // seasonal anomalies: empty events -> empty; one single day ->
+    // never flagged (n=1 degenerate baseline)
+    val ets = Seq(("click", new java.sql.Timestamp(1700006400000L)))
+      .toDF("event_type", "ts")
+    assert(Events.seasonalAnomalies(ets.where(F.lit(false))).count() == 0)
+    val one = Events.seasonalAnomalies(ets).collect()
+    assert(one.length == 1 && !one(0).getBoolean(6))
+    // SCD2 lookup: empty facts -> empty; empty dimension -> all-null
+    // attributes (left join), never a drop
+    val dim = Scd.scd2Init(Seq((1L, "A")).toDF("k", "seg"), "k", Seq("seg"))
+    val facts = Seq((10L, 1L, 5L)).toDF("fid", "k", "at_us")
+    assert(Scd.scd2Lookup(facts.where(F.lit(false)), "k", "at_us",
+      dim, "k", Seq("seg")).count() == 0)
+    val noDim = Scd.scd2Lookup(facts, "k", "at_us",
+      dim.where(F.lit(false)), "k", Seq("seg")).collect()
+    assert(noDim.length == 1 && noDim(0).isNullAt(3))
+  }
+
   test("property: AsOfJoin both directions equal brute force on random data (seeded)") {
     import graft.operators.AsOfJoin
     val rnd = new Random(17)
