@@ -65,8 +65,12 @@ object Profile {
     val unpiv = df.select(F.explode(F.array(cols.map(c =>
       F.struct(F.lit(c).as("column"), F.col(c).cast("string").as("v"))): _*)).as("p"))
       .select("p.*").where(F.col("v").isNotNull)
+    // no persist: both consumers below sit in ONE returned plan over
+    // the identical aggregate subtree, so ReuseExchange serves them
+    // from the same shuffle — a persist here would outlive the query
+    // (the returned frame is lazy, so there is no safe unpersist
+    // point) and accumulate MEMORY_AND_DISK blocks across a session
     val counts = unpiv.groupBy("column", "v").agg(F.count(F.lit(1)).as("cnt"))
-      .persist()
     val agg = counts.groupBy("column").agg(
       F.count(F.lit(1)).as("n_keys"),
       F.sum("cnt").as("n_rows"),

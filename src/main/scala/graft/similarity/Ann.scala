@@ -1028,6 +1028,31 @@ object Ann {
         F.col(qId).as("query_id"), F.col(rVec).as("qv"))))
   }
 
+  /** Observability report over a persisted [[ivfpqBuild]] /
+    * [[ivfBuild]] index — the ops dashboard a serving deployment
+    * watches: per IVF cell, the stored row count and how many ingest
+    * batches contributed (lineage distinct), plus each cell's share
+    * of the corpus. A skewed share distribution (one hot cell) means
+    * probe cost concentrates and the coarse quantizer is due for an
+    * offline re-train; `n_batches` growth tracks append-ingest churn
+    * (compaction signal — many small appended files per partition).
+    * Reads ONLY the codes/index table's (cell, ingest_batch) columns:
+    * column pruning keeps the scan payload-free at any index size.
+    */
+  def indexReport(spark: org.apache.spark.sql.SparkSession,
+                  path: String, table: String = "codes"): DataFrame = {
+    val codes = spark.read.parquet(s"$path/$table")
+      .select(F.col("cell"), F.col("ingest_batch"))
+    val per = codes.groupBy("cell").agg(
+      F.count(F.lit(1)).as("n_rows"),
+      F.countDistinct("ingest_batch").as("n_batches"))
+    val tot = per.agg(F.sum("n_rows").as("__t"))
+    per.crossJoin(F.broadcast(tot))
+      .select(F.col("cell"), F.col("n_rows"), F.col("n_batches"),
+        F.round(F.col("n_rows").cast("double") / F.col("__t").cast("double"), 6)
+          .as("share"))
+  }
+
   /** Cell-pruned ADC scan + exact re-rank shared by the inline and
     * persisted-index IVFPQ paths: the broadcast query batch (each
     * query exploded to its nProbe cells) equi-joins the codes table on

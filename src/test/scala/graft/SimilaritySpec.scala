@@ -518,6 +518,24 @@ class SimilaritySpec extends SparkSpec {
       "lineage cleanup must restore the pre-replay result")
   }
 
+  test("indexReport: per-cell counts sum to the corpus; appends raise counts and batch lineage") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfpqrep").toString
+    val even = corpus.where($"vec_id" % 2 === 0)
+    val odd = corpus.where($"vec_id" % 2 =!= 0)
+    Ann.ivfpqBuild(even, "vec_id", "embedding", dir,
+      nCells = 8, m = 4, ksub = 8, iters = 2)
+    val before = Ann.indexReport(spark, dir)
+      .as[(Int, Long, Long, Double)].collect()
+    assert(before.map(_._2).sum == even.count(), "counts must sum to the corpus")
+    assert(before.forall(_._3 == 1L), "initial build is one lineage batch")
+    assert(math.abs(before.map(_._4).sum - 1.0) < 1e-4, "shares sum to 1")
+    Ann.ivfpqIndexAppend(spark, dir, odd, "vec_id", "embedding", batchId = 7L)
+    val after = Ann.indexReport(spark, dir)
+      .as[(Int, Long, Long, Double)].collect()
+    assert(after.map(_._2).sum == corpus.count(), "append must raise the total")
+    assert(after.exists(_._3 == 2L), "appended cells must show two lineage batches")
+  }
+
   test("PCA-composed IVFPQ: lossless config equals brute force; index reproducible; codes scan prunes cells in the projected space") {
     import graft.similarity.Pca
     val q = corpus.where($"vec_id" < 5)
