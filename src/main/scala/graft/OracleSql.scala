@@ -3188,6 +3188,20 @@ object OracleSql {
          |ORDER BY 1""".stripMargin
     },
 
+    // mergeable-HLL distinct gate: exact per-lang (and global) token
+    // vocabularies recomputed; the tolerance booleans are literal true
+    // (the sketch-gate pattern — an estimator or union regression
+    // flips a row and fails the hash)
+    "profile_distinct_sketch" ->
+      s"""WITH d AS (SELECT lang, unnest(${toks("text")}) AS tok FROM documents),
+         |g AS (SELECT lang AS scope, CAST(count(DISTINCT tok) AS BIGINT) AS n_exact
+         |      FROM d GROUP BY 1),
+         |a AS (SELECT '*ALL*' AS scope, CAST(count(DISTINCT tok) AS BIGINT) AS n_exact
+         |      FROM d)
+         |SELECT scope, n_exact, true AS within_tol
+         |FROM (SELECT * FROM g UNION ALL SELECT * FROM a)
+         |ORDER BY scope""".stripMargin,
+
     // running-ledger window battery: row_number, lag gap, DECIMAL
     // running sum (summation-tree-independent), ntile — one window
     "q_customer_ledger" ->

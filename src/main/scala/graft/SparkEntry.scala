@@ -2606,6 +2606,16 @@ object SparkEntry {
       .unionByName(harmonize.Profile.numericOutliers(t.events, Seq("value")))
       .orderBy("column")
 
+  private def profileDistinctSketch(t: Tables): DataFrame =
+    // mergeable HLL distinct sketches over the per-lang token
+    // vocabularies; the *ALL* row's estimate comes from UNIONING the
+    // per-lang sketches — the incremental per-shard stats path
+    harmonize.Profile.distinctSketch(
+      t.documents.select(F.col("lang"),
+        F.explode(TextOps.tokens(F.col("text"))).as("tok")),
+      "lang", "tok")
+      .orderBy("scope")
+
   private def profileSkew(t: Tables): DataFrame =
     // flag/status are genuinely skewed (3 and 2 keys); the key columns
     // are near-uniform — both verdicts the salting decision needs
@@ -2846,7 +2856,8 @@ object SparkEntry {
       "profile_outliers" -> q(profileOutliers),
       "events_seasonal" -> q(eventsSeasonal),
       "events_attribution" -> q(eventsAttribution),
-      "q_customer_ledger" -> q(qCustomerLedger))
+      "q_customer_ledger" -> q(qCustomerLedger),
+      "profile_distinct_sketch" -> q(profileDistinctSketch))
   }
 
   /** DuckDB-runnable ANSI SQL twin for every SQL-expressible query. */

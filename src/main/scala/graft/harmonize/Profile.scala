@@ -185,6 +185,46 @@ object Profile {
           F.col("n").cast("double"), 6).as("out_share"))
   }
 
+  /** MERGEABLE distinct-count sketches (Apache DataSketches HLL via
+    * Spark's native hll_sketch_agg / hll_union_agg) — the incremental
+    * corpus-stats path at 100 TB: per-group sketches are tiny (2^lgK
+    * buckets), persistable, and UNION-mergeable, so per-shard /
+    * per-day distinct counts accrete without ever re-scanning history
+    * (exact countDistinct cannot merge: distinct(A∪B) ≠ distinct(A) +
+    * distinct(B)).
+    *
+    * Output: one row per group plus the `*ALL*` row whose estimate
+    * comes from UNIONING the per-group sketches (never from
+    * re-scanning), each carrying the exact distinct count and a
+    * `within_tol` boolean (HLL lgK=12 ⇒ ~1.6% relative standard
+    * error; the default 5% tolerance is ~3 standard errors). The
+    * boolean-gate shape keeps the engine-specific estimate itself out
+    * of the compared columns while gating that the sketch pipeline —
+    * including the union — tracks truth.
+    */
+  def distinctSketch(df: DataFrame, groupCol: String, valueCol: String,
+                     lgK: Int = 12, tol: Double = 0.05): DataFrame = {
+    val vals = df.select(F.col(groupCol).as("scope"), F.col(valueCol).as("v"))
+      .where(F.col("v").isNotNull)
+    val per = vals.groupBy("scope").agg(
+      F.countDistinct("v").as("n_exact"),
+      F.hll_sketch_agg(F.col("v"), F.lit(lgK)).as("sk"))
+    val groupRows = per.select(F.col("scope"), F.col("n_exact"),
+      (F.abs(F.hll_sketch_estimate(F.col("sk")) -
+        F.col("n_exact").cast("double")) <=
+        F.lit(tol) * F.col("n_exact").cast("double")).as("within_tol"))
+    // the merged row: union the per-group sketches (the incremental
+    // path) and gate against the independently-computed global exact
+    val globalExact = vals.agg(F.countDistinct("v").as("n_exact"))
+    val merged = per.agg(F.hll_union_agg(F.col("sk")).as("sk"))
+      .crossJoin(F.broadcast(globalExact))
+      .select(F.lit("*ALL*").as("scope"), F.col("n_exact"),
+        (F.abs(F.hll_sketch_estimate(F.col("sk")) -
+          F.col("n_exact").cast("double")) <=
+          F.lit(tol) * F.col("n_exact").cast("double")).as("within_tol"))
+    groupRows.unionByName(merged)
+  }
+
   /** Pearson correlation matrix over numeric columns — ONE scan for
     * every unordered pair: the aggregate computes each column's exact
     * decimal Σx and Σx² plus every pair's exact Σxy, and the

@@ -65,6 +65,18 @@ class DiscoveryGraphSpec extends SparkSpec {
     assert(s("u")._3 == 3L && s("u")._5 == "1")
   }
 
+  test("distinctSketch: per-group and UNION-merged estimates track exact counts; overlap not double-counted") {
+    // groups overlap by 500 values: the merged row must estimate the
+    // UNION's 1500 (a per-group sum would claim 2000) — the property
+    // that makes sketches mergeable where exact counts are not
+    val df = ((0 until 1000).map(v => ("a", s"v$v")) ++
+      (500 until 1500).map(v => ("b", s"v$v"))).toDF("g", "v")
+    val got = Profile.distinctSketch(df, "g", "v")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(got("a") == ((1000L, true)) && got("b") == ((1000L, true)), s"$got")
+    assert(got("*ALL*") == ((1500L, true)), s"merged: ${got("*ALL*")}")
+  }
+
   test("numericOutliers: hand-computed quartiles, interpolation, duplicates, constant column, fence boundary") {
     val df = Seq(
       (1.0, 10.0, 5.0, 1.0),
