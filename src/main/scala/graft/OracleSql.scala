@@ -3188,6 +3188,18 @@ object OracleSql {
          |ORDER BY 1""".stripMargin
     },
 
+    // salted-join equivalence gate: the oracle computes the PLAIN
+    // unsalted join + aggregate — saltedJoin must reproduce it exactly
+    "q_skew_salted" ->
+      """WITH dim AS (SELECT l_returnflag, count(*) AS cnt,
+        |                    sum(CAST(l_discount AS DECIMAL(18,6))) AS s
+        |             FROM lineitem GROUP BY 1)
+        |SELECT l.l_returnflag, CAST(count(*) AS BIGINT) AS n_total,
+        |       CAST(sum(CASE WHEN CAST(l.l_discount AS DECIMAL(18,6)) * d.cnt > d.s
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_above
+        |FROM lineitem l JOIN dim d ON l.l_returnflag = d.l_returnflag
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // mergeable-HLL distinct gate: exact per-lang (and global) token
     // vocabularies recomputed; the tolerance booleans are literal true
     // (the sketch-gate pattern — an estimator or union regression

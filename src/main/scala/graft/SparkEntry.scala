@@ -2606,6 +2606,27 @@ object SparkEntry {
       .unionByName(harmonize.Profile.numericOutliers(t.events, Seq("value")))
       .orderBy("column")
 
+  private def qSkewSalted(t: Tables): DataFrame = {
+    // the explicit skew-mitigation path as a DRIVER-GATED row (it was
+    // spec-only): lineitem's 3-key l_returnflag is the textbook hot
+    // join key — saltedJoin splits each hot key across 8 (key, salt)
+    // partitions with the dim replicated 8x, and the aggregate must
+    // equal the plain unsalted join the oracle computes. Above-average
+    // test is division-free (discount*cnt > sum, exact decimals).
+    val dim = t.lineitem.groupBy("l_returnflag").agg(
+      F.count(F.lit(1)).as("cnt"),
+      F.sum(F.col("l_discount").cast("decimal(18,6)")).as("s"))
+    val joined = operators.Skew.saltedJoin(
+      t.lineitem.select("l_returnflag", "l_discount"), dim,
+      "l_returnflag", salts = 8)
+    joined.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).as("n_total"),
+        F.sum(F.when(
+          F.col("l_discount").cast("decimal(18,6)") * F.col("cnt") > F.col("s"),
+          1L).otherwise(0L)).as("n_above"))
+      .orderBy("l_returnflag")
+  }
+
   private def profileDistinctSketch(t: Tables): DataFrame =
     // mergeable HLL distinct sketches over the per-lang token
     // vocabularies; the *ALL* row's estimate comes from UNIONING the
@@ -2857,7 +2878,8 @@ object SparkEntry {
       "events_seasonal" -> q(eventsSeasonal),
       "events_attribution" -> q(eventsAttribution),
       "q_customer_ledger" -> q(qCustomerLedger),
-      "profile_distinct_sketch" -> q(profileDistinctSketch))
+      "profile_distinct_sketch" -> q(profileDistinctSketch),
+      "q_skew_salted" -> q(qSkewSalted))
   }
 
   /** DuckDB-runnable ANSI SQL twin for every SQL-expressible query. */
