@@ -978,24 +978,11 @@ object Ann {
                       queries: DataFrame, qId: String, qVec: String,
                       corpus: DataFrame, cId: String, cVec: String,
                       k: Int, nProbe: Int = 4, rerank: Int = 4,
-                      filter: Option[Column] = None): DataFrame = {
-    import graft.functions.HashExprs.topCells
-    val cents = readCentroids(spark, s"$path/centroids")
-    val cbs = readCodebooks(spark, s"$path/codebooks")
-    val probed = queries
-      .select(F.explode(topCells(F.col(qVec), cents, nProbe)).as("cell"))
-      .distinct().collect().map(_.getInt(0)).toSeq
-    // metadata predicate (filtered/hybrid search over the composed
-    // index — needs the column in ivfpqBuild's extraCols): partition
-    // pruning cuts the files, the pushed filter cuts the rows, BOTH
-    // before any ADC arithmetic — pre-filter semantics, so the
-    // top-k is over the predicate-selected slice
-    val codes = filter.foldLeft(
-      spark.read.parquet(s"$path/codes")
-        .where(F.col("cell").isin(probed: _*)))(_ where _)
-    val c = corpus.select(F.col(cId).as("neighbor_id"), F.col(cVec).as("cv"))
-    ivfpqScanAndRank(codes, cbs, cents, queries, qId, qVec, c, k, nProbe, rerank)
-  }
+                      filter: Option[Column] = None): DataFrame =
+    // the single-space case of the split core: the same query batch
+    // probes, ADC-scores, and re-ranks
+    ivfpqQueryIndexSplit(spark, path, queries, qId, qVec,
+      queries, qVec, corpus, cId, cVec, k, nProbe, rerank, filter)
 
   /** [[ivfpqQueryIndex]] with the probe/ADC queries and the re-rank
     * queries SPLIT — the hook the PCA-composed index needs: the scan
@@ -1018,6 +1005,11 @@ object Ann {
     val probed = scanQueries
       .select(F.explode(topCells(F.col(qVec), cents, nProbe)).as("cell"))
       .distinct().collect().map(_.getInt(0)).toSeq
+    // metadata predicate (filtered/hybrid search over the composed
+    // index — needs the column in ivfpqBuild's extraCols): partition
+    // pruning cuts the files, the pushed filter cuts the rows, BOTH
+    // before any ADC arithmetic — pre-filter semantics, so the
+    // top-k is over the predicate-selected slice
     val codes = filter.foldLeft(
       spark.read.parquet(s"$path/codes")
         .where(F.col("cell").isin(probed: _*)))(_ where _)

@@ -230,7 +230,10 @@ class PlanSpec extends SparkSpec {
     // corpus scan, the ann_ivfpq_recall shape); the filtered hybrid
     // keeps BM25's one-row (summed per-lang) stats crossJoin beside
     // the cell-pruned filtered dense arm (the hybrid_idx shape)
-    "ann_pca_ivfpq_recall", "text_search_hybrid_filtered")
+    "ann_pca_ivfpq_recall", "text_search_hybrid_filtered",
+    // the merged *ALL* sketch row crossJoins its ONE-ROW global
+    // exact-count frame (the q11 scalar-subquery pattern)
+    "profile_distinct_sketch")
 
   test("no wired query plans a CartesianProduct; BNLJ only on bounded-broadcast baselines") {
     val withBnlj = scala.collection.mutable.Set[String]()
