@@ -187,6 +187,50 @@ object Sources {
     (before.size.toLong, dataFiles(outFs, outPath).size.toLong, totalBytes)
   }
 
+  /** [[compact]] for a PARTITIONED table (e.g. the cell-partitioned
+    * ANN codes dir that ivfpqIndexAppend grows by one small file per
+    * batch — `Ann.indexReport`'s n_batches is the signal): the plain
+    * compact would flatten the layout and the probed-cell
+    * PartitionFilters would stop pruning files. This rewrite keeps
+    * `partitionBy(partitionCols)` and clusters rows by the partition
+    * key, so each partition directory collapses to ~1 file and
+    * partition pruning survives (spec-asserted). Same accounting and
+    * never-in-place guard as [[compact]].
+    */
+  def compactPartitioned(spark: SparkSession, path: String, outPath: String,
+                         partitionCols: Seq[String],
+                         targetFileBytes: Long = 128L * 1024 * 1024,
+                         format: String = "parquet"): (Long, Long, Long) = {
+    require(partitionCols.nonEmpty, "at least one partition column")
+    require(targetFileBytes > 0, "targetFileBytes > 0")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val inP = new org.apache.hadoop.fs.Path(path)
+    val outP = new org.apache.hadoop.fs.Path(outPath)
+    val fs = inP.getFileSystem(conf)
+    val outFs = outP.getFileSystem(conf)
+    require(fs.makeQualified(inP) != outFs.makeQualified(outP),
+      "compaction must not overwrite its input in place")
+    def dataFiles(fsx: org.apache.hadoop.fs.FileSystem, p: String) = {
+      val it = fsx.listFiles(new org.apache.hadoop.fs.Path(p), true)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.LocatedFileStatus]
+      while (it.hasNext) {
+        val f = it.next()
+        val n = f.getPath.getName
+        if (!n.startsWith("_") && !n.startsWith(".")) buf += f
+      }
+      buf.toSeq
+    }
+    val before = dataFiles(fs, path)
+    val totalBytes = before.map(_.getLen).sum
+    val nOut = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes)
+    import org.apache.spark.sql.{functions => F}
+    spark.read.format(format).load(path)
+      .repartition(nOut.toInt, partitionCols.map(F.col): _*)
+      .write.format(format).partitionBy(partitionCols: _*)
+      .mode(SaveMode.Overwrite).save(outPath)
+    (before.size.toLong, dataFiles(outFs, outPath).size.toLong, totalBytes)
+  }
+
   def parseJsonColumn(df: DataFrame, column: String, ddl: String,
                       as: String = "parsed"): DataFrame =
     df.withColumn(as,

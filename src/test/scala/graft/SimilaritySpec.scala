@@ -536,6 +536,44 @@ class SimilaritySpec extends SparkSpec {
     assert(after.exists(_._3 == 2L), "appended cells must show two lineage batches")
   }
 
+  test("compactPartitioned: appended codes collapse to few files, queries unchanged, partition pruning survives") {
+    import graft.sources.Sources
+    val dir = java.nio.file.Files.createTempDirectory("ivfpqcmp").toString
+    val third = corpus.count() / 3
+    Ann.ivfpqBuild(corpus.where($"vec_id" < third), "vec_id", "embedding",
+      dir, nCells = 8, m = 4, ksub = 8, iters = 2)
+    // two appended batches leave one small file per (batch, cell)
+    Ann.ivfpqIndexAppend(spark, dir,
+      corpus.where($"vec_id" >= third && $"vec_id" < 2 * third),
+      "vec_id", "embedding", batchId = 1L)
+    Ann.ivfpqIndexAppend(spark, dir, corpus.where($"vec_id" >= 2 * third),
+      "vec_id", "embedding", batchId = 2L)
+    val q = corpus.where($"vec_id" < 5)
+    def res(p: String) =
+      Ann.ivfpqQueryIndex(spark, p, q, "vec_id", "embedding",
+        corpus, "vec_id", "embedding", k = 3, nProbe = 2, rerank = 4)
+    val beforeRows = res(dir).as[(Long, Long, Long, Double)]
+      .collect().sortBy(r => (r._1, r._3)).toSeq
+    val out = java.nio.file.Files.createTempDirectory("ivfpqcmpo").toString
+    val (nBefore, nAfter, _) = Sources.compactPartitioned(
+      spark, s"$dir/codes", s"$out/codes", Seq("cell"))
+    assert(nAfter < nBefore,
+      s"compaction must reduce file count ($nBefore -> $nAfter)")
+    for (part <- Seq("centroids", "codebooks"))
+      org.apache.commons.io.FileUtils.copyDirectory(
+        java.nio.file.Paths.get(dir, part).toFile,
+        java.nio.file.Paths.get(out, part).toFile)
+    val after = res(out)
+    assert(after.as[(Long, Long, Long, Double)]
+      .collect().sortBy(r => (r._1, r._3)).toSeq == beforeRows,
+      "compaction must not change query results")
+    // the layout survived: probed-cell partition filters still prune
+    after.collect()
+    val p = after.queryExecution.executedPlan.toString
+    assert("""PartitionFilters: \[[^\]]*cell#\d+L? IN """.r.findFirstIn(p).isDefined,
+      s"compacted codes must keep cell partition pruning; plan:\n$p")
+  }
+
   test("PCA-composed IVFPQ: lossless config equals brute force; index reproducible; codes scan prunes cells in the projected space") {
     import graft.similarity.Pca
     val q = corpus.where($"vec_id" < 5)
