@@ -947,6 +947,12 @@ object Ann {
     * `ingest_batch = batchId` (initial rows carry -1), so a partial
     * append is cleaned by rewriting the table keeping
     * `ingest_batch != batchId`, then re-running the append.
+    *
+    * For a PCA-composed index ([[graft.similarity.Pca.pcaIvfpqBuild]])
+    * use [[graft.similarity.Pca.pcaIvfpqIndexAppend]] instead — this
+    * method encodes the batch vectors AS GIVEN, and un-projected
+    * full-width vectors against projected-space codebooks would
+    * produce wrong codes silently.
     */
   def ivfpqIndexAppend(spark: org.apache.spark.sql.SparkSession,
                        path: String, batch: DataFrame,

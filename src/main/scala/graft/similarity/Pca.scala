@@ -249,14 +249,44 @@ object Pca {
                     path: String, kDim: Int = 24, nCells: Int = 16,
                     m: Int = 8, ksub: Int = 16, iters: Int = 3,
                     maxTrain: Int = 100000,
-                    rowCountHint: Option[Long] = None): Unit = {
+                    rowCountHint: Option[Long] = None,
+                    extraCols: Seq[String] = Nil): Unit = {
     require(kDim % m == 0, s"projected dim $kDim must be divisible by m=$m")
     val (mu, comps, _) = pcaTrain(corpus, cId, cVec, kDim, maxTrain, rowCountHint)
     writePcaParams(corpus.sparkSession, mu, comps, s"$path/pca")
-    val projected = pcaProject(corpus, cId, cVec, mu, comps)
+    // extraCols (metadata-filtered search) ride the projected frame —
+    // an id-keyed join back because pcaProject keeps only (id, proj)
+    val projected = withExtras(
+      pcaProject(corpus, cId, cVec, mu, comps), corpus, cId, extraCols)
     Ann.ivfpqBuild(projected, cId, "proj", path, nCells, m, ksub, iters,
-      maxTrain, rowCountHint)
+      maxTrain, rowCountHint, extraCols)
   }
+
+  /** Append a vector batch to a [[pcaIvfpqBuild]] index under ALL its
+    * frozen parameters — the batch projects through the PERSISTED PCA
+    * params first, then PQ-encodes under the persisted quantizers
+    * ([[graft.similarity.Ann.ivfpqIndexAppend]]). Do NOT call the raw
+    * ivfpqIndexAppend on a PCA-composed index: the codebooks live in
+    * the kDim projected space, and slicing an unprojected full-width
+    * vector into kDim/m-sized subspaces would encode WRONG codes
+    * silently (array slicing doesn't length-check).
+    */
+  def pcaIvfpqIndexAppend(spark: org.apache.spark.sql.SparkSession,
+                          path: String, batch: DataFrame,
+                          cId: String, cVec: String,
+                          extraCols: Seq[String] = Nil,
+                          batchId: Long = 0L): Unit = {
+    val (mu, comps) = readPcaParams(spark, s"$path/pca")
+    val projected = withExtras(
+      pcaProject(batch, cId, cVec, mu, comps), batch, cId, extraCols)
+    Ann.ivfpqIndexAppend(spark, path, projected, cId, "proj",
+      extraCols, batchId)
+  }
+
+  private def withExtras(projected: DataFrame, src: DataFrame,
+                         cId: String, extraCols: Seq[String]): DataFrame =
+    if (extraCols.isEmpty) projected
+    else projected.join(src.select((cId +: extraCols).map(F.col): _*), cId)
 
   /** Query a [[pcaIvfpqBuild]] index: the query batch projects through
     * the persisted PCA params, probes its nProbe nearest cells in the

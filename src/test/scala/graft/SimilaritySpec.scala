@@ -616,6 +616,52 @@ class SimilaritySpec extends SparkSpec {
     assert(sims == bruteSims)
   }
 
+  test("PCA-IVFPQ filtered + append: metadata filter exact in lossless config; projected append equals frozen-train rebuild") {
+    import graft.similarity.Pca
+    val labeled = corpus.withColumn("label", (F.col("vec_id") % 5).cast("int"))
+    val q = labeled.where($"vec_id" < 5)
+    // filtered, lossless config (rotation + all cells + covering
+    // rerank): must equal the exact pre-filter top-k over the slice
+    val dir = java.nio.file.Files.createTempDirectory("pcaivfpqf").toString
+    Pca.pcaIvfpqBuild(labeled, "vec_id", "embedding", dir,
+      kDim = 8, nCells = 8, m = 4, ksub = 8, iters = 2,
+      extraCols = Seq("label"))
+    val got = Pca.pcaIvfpqQueryIndex(spark, dir, q, "vec_id", "embedding",
+      labeled, "vec_id", "embedding", k = 3, nProbe = 8, rerank = 100,
+      filter = Some(F.col("label") === 2))
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val brute = Ann.cosineTopKFiltered(q, "vec_id", "embedding",
+      labeled, "vec_id", "embedding", predicate = F.col("label") === 2, k = 3)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got == brute, "lossless filtered PCA-IVFPQ must equal exact filtered top-k")
+    // projected append: build on the even slice, pcaIvfpqIndexAppend
+    // the odd batch (projects through the PERSISTED params first) —
+    // equals a one-shot build over the union with BOTH trainings
+    // frozen to the even slice
+    val even = corpus.where($"vec_id" % 2 === 0)
+    val odd = corpus.where($"vec_id" % 2 =!= 0)
+    def pruned(p: String) =
+      Pca.pcaIvfpqQueryIndex(spark, p, corpus.where($"vec_id" < 5),
+        "vec_id", "embedding", corpus, "vec_id", "embedding",
+        k = 3, nProbe = 2, rerank = 4)
+        .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._3)).toSeq
+    val inc = java.nio.file.Files.createTempDirectory("pcaivfpqi").toString
+    Pca.pcaIvfpqBuild(even, "vec_id", "embedding", inc,
+      kDim = 8, nCells = 8, m = 4, ksub = 8, iters = 2)
+    Pca.pcaIvfpqIndexAppend(spark, inc, odd, "vec_id", "embedding", batchId = 1L)
+    // reference arm: PCA params from the even slice, then the
+    // frozen-train ivfpq build over the even-trained projection of
+    // the UNION (mirrors what build+append reaches)
+    val ref = java.nio.file.Files.createTempDirectory("pcaivfpqr2").toString
+    val (mu, comps, _) = Pca.pcaTrain(even, "vec_id", "embedding", k = 8)
+    Pca.writePcaParams(spark, mu, comps, s"$ref/pca")
+    Ann.ivfpqBuild(Pca.pcaProject(corpus, "vec_id", "embedding", mu, comps),
+      "vec_id", "proj", ref, nCells = 8, m = 4, ksub = 8, iters = 2,
+      trainCorpus = Some(Pca.pcaProject(even, "vec_id", "embedding", mu, comps)))
+    assert(pruned(inc).nonEmpty && pruned(inc) == pruned(ref),
+      "projected append must equal the all-frozen one-shot build")
+  }
+
   test("SQ-ANN: covering rerank equals brute force; persisted index equals inline; ADC scan reads codes only") {
     import graft.similarity.ScalarQuant
     val q = corpus.where($"vec_id" < 5)
