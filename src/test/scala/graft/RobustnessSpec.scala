@@ -376,6 +376,47 @@ class RobustnessSpec extends SparkSpec {
     }
   }
 
+  test("property: attribution pairs + last-touch equal brute force on random data (seeded)") {
+    import graft.streaming.Events
+    val rnd = new Random(29)
+    val base = 1700000000000L
+    def ts(min: Long) = new java.sql.Timestamp(base + min * 60000L)
+    // random clicks/conversions over 12 users and a 2-day span; the
+    // 6 h window leaves a genuine mix of multi-touch, single-touch,
+    // out-of-window, and clickless conversions
+    val clicks = (0 until 150).map(i =>
+      (rnd.nextInt(12).toLong, ts(rnd.nextInt(2880)), 1000L + i))
+    val convs = (0 until 60).map(i =>
+      (rnd.nextInt(14).toLong, ts(rnd.nextInt(2880)), 2000L + i))
+    val cDf = clicks.toDF("user_id", "ts", "event_id")
+    val pDf = convs.toDF("user_id", "ts", "event_id")
+    val gapMs = 6L * 3600 * 1000
+    val brutePairs = (for {
+      (cu, cts, cid) <- clicks
+      (pu, pts, pid) <- convs
+      if cu == pu && pts.getTime >= cts.getTime &&
+        pts.getTime - cts.getTime <= gapMs
+    } yield (cid, pid)).toSet
+    val gotPairs = Events.attributionPairs(cDf, pDf, "6 hours")
+      .select("click_id", "conv_id").as[(Long, Long)].collect().toSet
+    assert(gotPairs == brutePairs && brutePairs.nonEmpty,
+      s"pairs drift: extra=${gotPairs -- brutePairs} missing=${brutePairs -- gotPairs}")
+    // last-touch: per conversion the max-(click_ts, click_id) click,
+    // with the candidate count
+    val byConv = brutePairs.groupBy(_._2)
+    val clickTs = clicks.map(c => c._3 -> c._2.getTime).toMap
+    val bruteLt = byConv.map { case (pid, ps) =>
+      val best = ps.map(_._1).maxBy(cid => (clickTs(cid), cid))
+      pid -> ((best, ps.size.toLong))
+    }
+    val gotLt = Events.lastTouchAttribution(
+        Events.attributionPairs(cDf, pDf, "6 hours"))
+      .select("conv_id", "click_id", "n_candidates")
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(gotLt == bruteLt, "last-touch argmax/candidate-count drift")
+  }
+
   test("property: GifCodec LZW decoder equals the compressing encoder on random streams (seeded)") {
     import graft.multimodal.GifCodec
     // the TextOpsSpec test-side compressor, reused property-style:
