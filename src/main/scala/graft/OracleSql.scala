@@ -3004,8 +3004,8 @@ object OracleSql {
 
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
-        |       sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS revenue,
-        |       CAST(GROUPING(l_returnflag, l_linestatus) AS INTEGER) AS gid
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |       CAST(GROUPING(l_returnflag)*2 + GROUPING(l_linestatus) AS INTEGER) AS gid
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY gid, l_returnflag ASC NULLS LAST, l_linestatus ASC NULLS LAST""".stripMargin,

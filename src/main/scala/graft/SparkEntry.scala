@@ -2523,11 +2523,18 @@ object SparkEntry {
     // multi-level OLAP aggregation in one pass: ROLLUP emits the
     // (flag, status), per-flag subtotal, and grand-total rows from a
     // single Expand+aggregate — no self-union of three groupBys;
-    // grouping_id disambiguates NULL-as-subtotal from NULL data
+    // grouping() disambiguates NULL-as-subtotal from NULL data.
+    // revenue is pinned to DOUBLE (the cross-engine output-type
+    // contract: raw sum(decimal) result precision differs between
+    // engines — Spark 28,6 vs DuckDB 38,6 — and the driver hashes
+    // typed values); gid is built from single-column grouping()
+    // bits, whose order the query controls, not the engine
     t.lineitem.rollup(F.col("l_returnflag"), F.col("l_linestatus"))
       .agg(F.count(F.lit(1)).as("n_rows"),
-        F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).as("revenue"),
-        F.grouping_id().cast("int").as("gid"))
+        F.sum(F.col("l_extendedprice").cast("decimal(18,6)"))
+          .cast("double").as("revenue"),
+        (F.grouping(F.col("l_returnflag")) * 2 +
+          F.grouping(F.col("l_linestatus"))).cast("int").as("gid"))
       .orderBy(F.col("gid"), F.col("l_returnflag").asc_nulls_last,
         F.col("l_linestatus").asc_nulls_last)
 

@@ -313,6 +313,41 @@ class GraftApiSpec extends SparkSpec {
         "needs an oracleSql twin (or a companion-dump justification here)")
   }
 
+  test("output-type contract: every wired query emits only pinned cross-engine types") {
+    // the driver's oracle compare hashes TYPED values, so a result
+    // type that engines derive differently is a correctness failure
+    // even when every value matches — q_rollup shipped a raw
+    // sum(decimal) and Spark's DECIMAL(28,6) hashed != DuckDB's
+    // DECIMAL(38,6) (r13's one red row). The rule that kills the
+    // class: output columns may use only types both engines pin
+    // identically — string/long/int/double/boolean/date/timestamp,
+    // float/binary, arrays/structs/maps of those — and DECIMAL only
+    // at precision <= 18, i.e. an EXPLICIT cast. Every engine-widened
+    // aggregate (Spark's sum adds +10 precision, DuckDB jumps to 38)
+    // lands above 18, so a raw sum(decimal) can never reach the
+    // driver again without an output cast on both sides.
+    import org.apache.spark.sql.types._
+    def pinned(t: DataType): Boolean = t match {
+      case StringType | LongType | IntegerType | ShortType | ByteType |
+           DoubleType | FloatType | BooleanType | DateType |
+           TimestampType | BinaryType => true
+      case d: DecimalType => d.precision <= 18
+      case a: ArrayType => pinned(a.elementType)
+      case s: StructType => s.fields.forall(f => pinned(f.dataType))
+      case m: MapType => pinned(m.keyType) && pinned(m.valueType)
+      case _ => false
+    }
+    val sfDir = "/root/testdata/sf0.001"
+    val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      fn(spark, sfDir).schema.fields.collect {
+        case f if !pinned(f.dataType) => s"$name.${f.name}: ${f.dataType.sql}"
+      }
+    }
+    assert(bad.isEmpty,
+      s"unpinned output types (cast to a cross-engine type on BOTH the " +
+        s"Spark and oracle side): ${bad.mkString("; ")}")
+  }
+
   test("coverage contract: every wired query has a SURVEY §2 row") {
     // §2 is the coverage checklist the round-over-round judge reads —
     // round 8 found it 13 wired queries stale. Parse the `key` cells
