@@ -298,7 +298,21 @@ object Graft {
   private def standardOrBuiltin(name: String,
                                 spark: org.apache.spark.sql.SparkSession): Standards =
     if (name == "gdc")
-      standardRegistry.getOrElseUpdate("gdc", Standards.builtinGdc(spark))
+      standardRegistry.get("gdc") match {
+        // the registry is process-global but a Standards' vocabulary
+        // DataFrame is bound to the session that loaded it — serving
+        // a cached auto-registered "gdc" to a LATER session after the
+        // first one stopped would hand out a dead-session frame that
+        // fails at execution time. The builtin is a tiny classpath
+        // resource: rebuild (and re-register) whenever the cached
+        // frame's session is not the live caller's. An explicit
+        // registerStandard("gdc", ...) from a live session still wins.
+        case Some(std) if !std.vocab.sparkSession.sparkContext.isStopped => std
+        case _ =>
+          val std = Standards.builtinGdc(spark)
+          standardRegistry.put("gdc", std)
+          std
+      }
     else standard(name)
 
   /** match_schema against a NAMED standard (api.py:43 with target="gdc"):

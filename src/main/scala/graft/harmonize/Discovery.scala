@@ -37,7 +37,19 @@ object Discovery {
     * joins. Zero-intersection pairs are preserved by left-joining the
     * driver-literal pair list.
     */
-  def inclusion(cols: Seq[(String, DataFrame, String)]): DataFrame = {
+  def inclusion(cols: Seq[(String, DataFrame, String)]): DataFrame =
+    inclusionReleasable(cols)._1
+
+  /** [[inclusion]] plus a release handle that unpersists the pinned
+    * distinct-union frame (the Ranks.globalRankReleasable pattern):
+    * the plain overload leaves the cache for downstream reuse
+    * (Verify/Bench clear per query), but a long-lived session calling
+    * inclusion repeatedly accumulates a MEMORY_AND_DISK block per
+    * call until a clearCache — call the handle once the result is
+    * fully consumed.
+    */
+  def inclusionReleasable(
+      cols: Seq[(String, DataFrame, String)]): (DataFrame, () => Unit) = {
     require(cols.size >= 2, "inclusion discovery needs at least two columns")
     require(cols.map(_._1).distinct.size == cols.size, "labels must be unique")
     val spark = cols.head._2.sparkSession
@@ -59,7 +71,7 @@ object Discovery {
         names.flatMap(a => names.filter(_ != a).map(b => Row(a, b))), 1),
       StructType(Seq(StructField("src_col", StringType, nullable = false),
         StructField("tgt_col", StringType, nullable = false))))
-    allPairs
+    val out = allPairs
       .join(inter, Seq("src_col", "tgt_col"), "left")
       .na.fill(0L, Seq("n_inter"))
       .join(F.broadcast(counts.withColumnRenamed("col", "src_col")
@@ -69,6 +81,7 @@ object Discovery {
         F.round(F.col("n_inter").cast("double") / F.col("n_src").cast("double"), 6)
           .as("containment"),
         F.when(F.col("n_inter") === F.col("n_src"), 1).otherwise(0).as("is_ind"))
+    (out, () => { d.unpersist(); () })
   }
 
   /** The 100 TB inclusion-discovery path, wired WITH its own error

@@ -117,32 +117,80 @@ object Graph {
     side("src", "out").unionAll(side("dst", "in"))
   }
 
-  /** Per-node triangle participation over an UNDIRECTED edge list
-    * given as canonical pairs (a < b, deduplicated). The standard
-    * distributed formulation (Suri & Vassilvitskii WWW'11): each
-    * triangle {x < y < z} is found exactly once by joining
-    * (x,y)⋈(y,z) on the middle vertex and closing with (x,z) — three
-    * equi-joins, no enumeration of 2-paths beyond what the join
-    * produces. Returns (node, n_triangles) for nodes in ≥1 triangle.
-    *
-    * Scale: the 2-path join's output is Σ_v deg(v)² — the known cost
-    * of exact triangle counting; heavy hubs are the skew point, and
-    * the mitigations (degree-ordered orientation, AQE skew split)
-    * apply at the edge-building call site by filtering low-support
-    * edges first (the wired query keeps co-occurrence ≥ 2).
+  /** Degree-ordered orientation of an undirected canonical pair list
+    * (a < b): each edge is re-pointed from its LOWER-ranked endpoint
+    * to its higher-ranked one under the total order (degree, node) —
+    * the classic compact-forward / degree-ordering trick (Latapy TCS
+    * 2008; Suri & Vassilvitskii WWW'11 use the same order for their
+    * partitioned count). Out-degrees under this orientation are
+    * bounded by O(√m) on any graph (more tightly, by arboricity), so
+    * the 2-path join cost Σ outdeg² never explodes on a hub — a
+    * million-follower node contributes ZERO 2-paths as a pivot
+    * because every incident edge points INTO it. Returns
+    * (src, dst, ddeg) where ddeg is dst's degree (carried so the
+    * 2-path join can order its two legs without another join).
     */
-  def triangleParticipation(pairs: DataFrame): DataFrame = {
-    val e = pairs.select(F.col("a"), F.col("b")).persist()
+  private[graft] def orientByDegree(pairs: DataFrame): DataFrame = {
+    val und = pairs.select(F.col("a"), F.col("b"))
+    val deg = und.select(F.col("a").as("node"))
+      .unionAll(und.select(F.col("b").as("node")))
+      .groupBy("node").agg(F.count(F.lit(1)).as("deg"))
+    val withDeg = und
+      .join(deg.withColumnRenamed("node", "a").withColumnRenamed("deg", "adeg"), "a")
+      .join(deg.withColumnRenamed("node", "b").withColumnRenamed("deg", "bdeg"), "b")
+    val aLower = F.struct(F.col("adeg"), F.col("a")) <
+      F.struct(F.col("bdeg"), F.col("b"))
+    withDeg.select(
+      F.when(aLower, F.col("a")).otherwise(F.col("b")).as("src"),
+      F.when(aLower, F.col("b")).otherwise(F.col("a")).as("dst"),
+      F.when(aLower, F.col("bdeg")).otherwise(F.col("adeg")).as("ddeg"))
+  }
+
+  /** Per-node triangle participation over an UNDIRECTED edge list
+    * given as canonical pairs (a < b, deduplicated). Distributed
+    * exact counting via DEGREE-ORDERED orientation ([[orientByDegree]];
+    * Latapy TCS'08, Suri & Vassilvitskii WWW'11): every triangle
+    * {x, y, z} has exactly ONE node with two out-edges under the
+    * orientation (its lowest-(deg,node) member), so joining the
+    * oriented list with itself on the source — ordering the two legs
+    * by the carried destination rank — enumerates each triangle's
+    * unique 2-path once, and a final equi-join closes it. Returns
+    * (node, n_triangles) for nodes in ≥1 triangle.
+    *
+    * Scale: the 2-path join's output is Σ_v outdeg(v)², which the
+    * orientation bounds by O(m^1.5) overall (arboricity-bounded per
+    * node) — versus Σ deg² for a middle-vertex join, which a single
+    * hub turns quadratic. AQE's skew split handles residual imbalance;
+    * call sites can still pre-filter low-support edges (the wired
+    * query keeps co-occurrence ≥ 2).
+    */
+  def triangleParticipation(pairs: DataFrame): DataFrame =
+    triangleParticipationReleasable(pairs)._1
+
+  /** [[triangleParticipation]] plus a release handle that unpersists
+    * the two pinned frames (oriented edges feed three join legs; the
+    * triangle list feeds three projections). The plain overload
+    * leaves the caches for downstream reuse (Verify/Bench clear per
+    * query); long-lived sessions should call the handle once the
+    * result is consumed — the globalRankReleasable convention.
+    */
+  def triangleParticipationReleasable(
+      pairs: DataFrame): (DataFrame, () => Unit) = {
+    val e = orientByDegree(pairs).persist()
     val tri = e.as("e1")
-      .join(e.as("e2"), F.col("e1.b") === F.col("e2.a"))
+      .join(e.as("e2"),
+        F.col("e1.src") === F.col("e2.src") &&
+          (F.struct(F.col("e1.ddeg"), F.col("e1.dst")) <
+            F.struct(F.col("e2.ddeg"), F.col("e2.dst"))))
       .join(e.as("e3"),
-        F.col("e1.a") === F.col("e3.a") && F.col("e2.b") === F.col("e3.b"))
-      .select(F.col("e1.a").as("x"), F.col("e1.b").as("y"), F.col("e2.b").as("z"))
+        F.col("e1.dst") === F.col("e3.src") && F.col("e2.dst") === F.col("e3.dst"))
+      .select(F.col("e1.src").as("x"), F.col("e1.dst").as("y"),
+        F.col("e2.dst").as("z"))
       .persist()
     val out = tri.select(F.col("x").as("node"))
       .unionAll(tri.select(F.col("y").as("node")))
       .unionAll(tri.select(F.col("z").as("node")))
       .groupBy("node").agg(F.count(F.lit(1)).as("n_triangles"))
-    out
+    (out, () => { e.unpersist(); tri.unpersist(); () })
   }
 }

@@ -45,8 +45,15 @@ object Versioned {
     val spark = df.sparkSession
     val next = currentVersion(spark, root).getOrElse(0L) + 1L
     val dataDir = new Path(root, s"v_$next")
+    // Overwrite, not ErrorIfExists: an UNMARKED v_N is invisible by
+    // contract, so clobbering one only reclaims a crashed writer's
+    // partial directory — with ErrorIfExists a crash after a partial
+    // data write but before the marker would wedge every later commit
+    // (each recomputes next = N from the surviving markers and errors
+    // permanently). The atomic marker create below remains the SOLE
+    // commit point; racing same-version writers still can't both win.
     df.write.format(format)
-      .mode(org.apache.spark.sql.SaveMode.ErrorIfExists)
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
       .save(dataDir.toString)
     val marker = new Path(new Path(root, "_commits"), next.toString)
     val fs = fsOf(spark, marker)
@@ -71,8 +78,12 @@ object Versioned {
 
   /** Drop all committed versions except the newest `keep` (markers
     * first, then data — a crash between the two leaves an orphaned
-    * but invisible directory, cleaned by the next vacuum). Returns
-    * the removed version numbers.
+    * but invisible directory, cleaned by the next vacuum). Also
+    * reclaims marker-LESS v_* directories older than the newest kept
+    * committed version: a crash between vacuum's marker delete and
+    * data delete (or a writer crash mid-write) leaves exactly that
+    * shape, and deriving the drop list solely from surviving markers
+    * would leak it forever. Returns the removed version numbers.
     */
   def vacuum(spark: SparkSession, root: String, keep: Int = 1): Seq[Long] = {
     require(keep >= 1, "must keep at least the current version")
@@ -87,6 +98,16 @@ object Versioned {
       fs.delete(new Path(dir, v.toString), false)
       fs.delete(new Path(root, s"v_$v"), true)
     }
-    drop
+    // orphan sweep: data dirs below the newest KEPT committed version
+    // with no marker are invisible forever (readers resolve versions
+    // from markers only) — reclaim them. Dirs ABOVE it are left
+    // alone: they may be an in-flight writer's next version.
+    val keptMax = vs.takeRight(keep).lastOption.getOrElse(Long.MinValue)
+    val orphans = fs.listStatus(new Path(root)).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v_"))
+      .flatMap(s => scala.util.Try(s.getPath.getName.drop(2).toLong).toOption)
+      .filter(v => v < keptMax && !fs.exists(new Path(dir, v.toString)))
+    orphans.foreach(v => fs.delete(new Path(root, s"v_$v"), true))
+    (drop ++ orphans).distinct.sorted
   }
 }

@@ -541,16 +541,26 @@ object Events {
       .groupBy("event_type", "day_us").agg(F.count(F.lit(1)).as("cnt"))
       .withColumn("dow",
         F.pmod(F.expr(s"day_us div $dayUs"), F.lit(7L)).cast("int"))
+    // every z-test term is built in DECIMAL, never in Long: cnt·cnt,
+    // s·s and n_dow·q silently wrap in Long arithmetic once a
+    // day-of-week's count sum passes ~3.04e9 (sqrt(Long.Max)) —
+    // realistic at the 100 TB design point — flipping is_anomaly
+    // while the DuckDB twin (hugeint) stays right. In decimal the
+    // products are exact up to precision 38 (|n·c−S| < ~1e19, s <
+    // ~1e19), and past THAT bound Spark yields null, an honest
+    // absence, never a silently wrong flag.
+    val decCnt = F.col("cnt").cast("decimal(19,0)")
     val base = daily.groupBy("event_type", "dow").agg(
-      F.count(F.lit(1)).as("n_dow"),
-      F.sum("cnt").as("s"),
-      F.sum(F.col("cnt") * F.col("cnt")).as("q"))
-    val lhs = (F.col("n_dow") * F.col("cnt") - F.col("s")).cast("decimal(19,0)")
+      F.count(F.lit(1)).cast("decimal(10,0)").as("n_dow"),
+      F.sum(F.col("cnt").cast("decimal(19,0)")).as("s"),
+      F.sum(F.col("cnt").cast("decimal(19,0)") *
+        F.col("cnt").cast("decimal(19,0)")).as("q"))
+    val lhs = (F.col("n_dow") * decCnt - F.col("s")).cast("decimal(19,0)")
     val rhs = (F.col("n_dow") * F.col("q") - F.col("s") * F.col("s"))
-      .cast("decimal(19,0)")
+      .cast("decimal(38,0)")
     daily.join(F.broadcast(base), Seq("event_type", "dow"))
       .select(F.col("event_type"), F.col("day_us"), F.col("dow"),
-        F.col("cnt"), F.col("n_dow"),
+        F.col("cnt"), F.col("n_dow").cast("long").as("n_dow"),
         F.round(F.col("s").cast("double") / F.col("n_dow").cast("double"), 6)
           .as("dow_mean"),
         (lhs * lhs > F.lit(sigmas.toLong * sigmas) * rhs).as("is_anomaly"))

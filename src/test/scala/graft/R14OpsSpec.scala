@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.{functions => F}
+
+/** Round-14 operator specs: crash-path recovery for Versioned tables,
+  * degree-ordered triangle counting, and per-row join salting.
+  */
+class R14OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("Versioned: commit recovers from a crashed writer's partial v_N dir") {
+    import graft.sources.Versioned
+    val root = java.nio.file.Files.createTempDirectory("vtab14").toString + "/t"
+    assert(Versioned.commit(Seq((1L, "a")).toDF("k", "s"), root) == 1L)
+    // simulate a writer that crashed AFTER a partial v_2 data write
+    // but BEFORE creating its commit marker: the directory exists,
+    // the version is invisible, and the next commit recomputes
+    // next = 2 — it must clobber the orphan, not wedge permanently
+    val partial = java.nio.file.Paths.get(root, "v_2")
+    java.nio.file.Files.createDirectories(partial)
+    java.nio.file.Files.write(partial.resolve("part-junk.parquet"),
+      Array[Byte](1, 2, 3))
+    val v2 = Versioned.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "s"), root)
+    assert(v2 == 2L)
+    assert(Versioned.read(spark, root).count() == 2)
+  }
+
+  test("Versioned: vacuum reclaims marker-less orphan dirs below the kept version") {
+    import graft.sources.Versioned
+    val root = java.nio.file.Files.createTempDirectory("vtab14o").toString + "/t"
+    Versioned.commit(Seq((1L, "a")).toDF("k", "s"), root)
+    Versioned.commit(Seq((2L, "b")).toDF("k", "s"), root)
+    // simulate a PRIOR vacuum that crashed between its marker delete
+    // and data delete: v_1's marker is gone, its data dir survives —
+    // invisible forever, and invisible to a markers-only drop list
+    java.nio.file.Files.delete(java.nio.file.Paths.get(root, "_commits", "1"))
+    assert(Versioned.currentVersion(spark, root).contains(2L))
+    assert(Versioned.vacuum(spark, root) == Seq(1L))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(root, "v_1")),
+      "orphaned v_1 data dir must be reclaimed")
+    assert(Versioned.read(spark, root).count() == 1)
+    // an orphan ABOVE the kept version (an in-flight writer's next
+    // version) is left alone
+    val inflight = java.nio.file.Paths.get(root, "v_3")
+    java.nio.file.Files.createDirectories(inflight)
+    assert(Versioned.vacuum(spark, root).isEmpty)
+    assert(java.nio.file.Files.exists(inflight),
+      "in-flight v_3 must survive vacuum")
+  }
+
+  test("triangles: degree orientation kills the hub's 2-path blowup") {
+    import graft.operators.Graph
+    // star around hub "m" with leaves on BOTH sides of it in id
+    // order, so the naive canonical middle-vertex join pivots on the
+    // hub: 20 in-edges x 20 out-edges = 400 2-path candidates. One
+    // real triangle {a01, a02, m} keeps the answer non-trivial.
+    val lo = (1 to 20).map(i => (f"a$i%02d", "m"))
+    val hi = (1 to 20).map(i => ("m", f"z$i%02d"))
+    val pairs = (lo ++ hi :+ (("a01", "a02"))).toDF("a", "b")
+    val naiveCandidates = pairs.as("e1")
+      .join(pairs.as("e2"), F.col("e1.b") === F.col("e2.a")).count()
+    assert(naiveCandidates >= 400, s"hub pivot should blow up: $naiveCandidates")
+    val o = Graph.orientByDegree(pairs)
+    val orientedCandidates = o.as("e1")
+      .join(o.as("e2"),
+        F.col("e1.src") === F.col("e2.src") &&
+          (F.struct(F.col("e1.ddeg"), F.col("e1.dst")) <
+            F.struct(F.col("e2.ddeg"), F.col("e2.dst")))).count()
+    // every edge points INTO the hub (highest degree), so the hub
+    // pivots zero 2-paths; only a01's two out-edges form one
+    assert(orientedCandidates <= 2,
+      s"orientation should bound candidates by out-degrees: $orientedCandidates")
+    val t = Graph.triangleParticipation(pairs)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(t == Map("a01" -> 1L, "a02" -> 1L, "m" -> 1L))
+  }
+
+  test("triangles: releasable handle leaves no cache growth across calls") {
+    import graft.operators.Graph
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    for (_ <- 1 to 2) {
+      val (out, release) = Graph.triangleParticipationReleasable(pairs)
+      assert(out.count() == 3)
+      release()
+    }
+    assert(spark.sparkContext.getPersistentRDDs.size == before,
+      "released triangle pins must not accumulate")
+  }
+
+  test("saltedJoin: rowSalt splits duplicate-identical rows; content hash cannot") {
+    import graft.operators.Skew
+    // pathological corpus: 64 VERBATIM copies of the same row — the
+    // content-hash salt maps them all to one (key, salt) reducer
+    val dupes = Seq.fill(64)((1L, "same")).toDF("k", "lv").repartition(4)
+    val contentSalts = dupes
+      .select(Skew.saltColumn(dupes, 8, rowSalt = false).as("s"))
+      .distinct().count()
+    assert(contentSalts == 1L, "identical rows share a content-hash salt")
+    val rowSalts = dupes
+      .select(Skew.saltColumn(dupes, 8, rowSalt = true).as("s"))
+      .distinct().count()
+    assert(rowSalts == 8L,
+      s"row salting must spread duplicates across all salts: $rowSalts")
+    // and the join result still equals the plain join
+    val right = Seq((1L, 10.0), (2L, 20.0)).toDF("k", "rv")
+    val plain = dupes.join(right, "k").count()
+    assert(Skew.saltedJoin(dupes, right, "k", salts = 8, rowSalt = true)
+      .count() == plain)
+  }
+
+  test("inclusionReleasable: handle releases the pinned distinct union") {
+    import graft.harmonize.Discovery
+    val a = Seq("x", "y", "z").toDF("v")
+    val b = Seq("x", "y").toDF("v")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val (out, release) = Discovery.inclusionReleasable(
+      Seq(("A", a, "v"), ("B", b, "v")))
+    val m = out.collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(3)).toMap
+    assert(m(("B", "A")) == 2L && m(("A", "B")) == 2L)
+    release()
+    assert(spark.sparkContext.getPersistentRDDs.size == before,
+      "released inclusion pin must not accumulate")
+  }
+}
