@@ -1369,6 +1369,19 @@ object OracleSql {
         |                  WHERE e.doc_id < 250 AND e.text = d.text)
         |ORDER BY d.doc_id""".stripMargin,
 
+    // the persisted-index variant anti-joins the batch against the
+    // bucketed hash table exactHashIndexBuild wrote instead of
+    // re-hashing the corpus — same ground truth, so the shared twin
+    // also proves the index read path
+    "dedup_incremental_idx" ->
+      """WITH inc AS (SELECT * FROM documents WHERE doc_id >= 250),
+        |firstseen AS (SELECT min(doc_id) AS doc_id FROM inc GROUP BY text)
+        |SELECT d.doc_id, d.lang FROM inc d
+        |JOIN firstseen USING (doc_id)
+        |WHERE NOT EXISTS (SELECT 1 FROM documents e
+        |                  WHERE e.doc_id < 250 AND e.text = d.text)
+        |ORDER BY d.doc_id""".stripMargin,
+
     // batch-touching subset of the exact near-dup pairs: the wired
     // query generates candidates by band-joining ONLY the incoming
     // batch's signatures, so parity against the full exact computation

@@ -1069,6 +1069,23 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  private def dedupIncrementalIdx(t: Tables): DataFrame = {
+    // the PERSISTED-index variant of dedup_incremental: the existing
+    // corpus's distinct text hashes come from an actual managed table
+    // bucketed+sorted by hash (exactHashIndexBuild) instead of a
+    // per-batch corpus re-hash — the daily exact-dedup loop probes
+    // this ~3-orders-smaller table in place and only the batch
+    // shuffles. Same oracle as the inline query, so parity also
+    // proves the bucketed read path keeps identical rows.
+    val existing = t.documents.where(F.col("doc_id") < 250)
+    val incoming = t.documents.where(F.col("doc_id") >= 250)
+    val table = "graft_eh_index_" + java.lang.Integer.toHexString(t.dir.hashCode)
+    Dedup.exactHashIndexBuild(existing, "text", table, nBuckets = 8)
+    Dedup.incrementalNewIdx(incoming, t.spark.table(table), "doc_id", "text")
+      .select(F.col("doc_id"), F.col("lang"))
+      .orderBy("doc_id")
+  }
+
   private def dedupIncrementalNear(t: Tables): DataFrame = {
     // the daily-crawl operator: near-dup pairs touching the incoming
     // batch, via a band join of the batch's signatures against the
@@ -2768,6 +2785,7 @@ object SparkEntry {
       "dedup_spans" -> q(dedupSpans),
       "dedup_spans_clean" -> q(dedupSpansClean),
       "dedup_incremental" -> q(dedupIncremental),
+      "dedup_incremental_idx" -> q(dedupIncrementalIdx),
       "dedup_incremental_near" -> q(dedupIncrementalNear),
       "dedup_incremental_near_idx" -> q(dedupIncrementalNearIdx),
       "ann_topk" -> q(annTopk),

@@ -541,14 +541,75 @@ object Dedup {
     * payloads, only against the deduplicated hash column.
     */
   def incrementalNew(incoming: DataFrame, existing: DataFrame,
-                     idCol: String, textCol: String): DataFrame = {
-    val seen = existing
-      .select(F.md5(F.col(textCol).cast("binary")).as("__seen_hash")).distinct()
+                     idCol: String, textCol: String): DataFrame =
+    incrementalNewAgainstHashes(incoming, idCol, textCol,
+      existing.select(F.md5(F.col(textCol).cast("binary")).as("hash")).distinct())
+
+  /** [[incrementalNew]] probing a pre-computed hash frame instead of
+    * re-hashing the corpus — the shared core of the inline path and
+    * the persisted-index path. `hashes` needs a `hash` column
+    * (md5-of-text hex strings); duplicate hash rows are absorbed by
+    * the anti join.
+    */
+  def incrementalNewAgainstHashes(incoming: DataFrame, idCol: String,
+                                  textCol: String,
+                                  hashes: DataFrame): DataFrame =
     keepFirst(incoming, idCol, textCol)
       .withColumn("__h", F.md5(F.col(textCol).cast("binary")))
-      .join(seen, F.col("__h") === F.col("__seen_hash"), "left_anti")
+      .join(hashes.select(F.col("hash").as("__seen_hash")),
+        F.col("__h") === F.col("__seen_hash"), "left_anti")
       .drop("__h")
-  }
+
+  /** Persist the corpus's DISTINCT 16-byte text hashes as a BUCKETED
+    * managed table keyed by the hash — the persisted probe side of
+    * the exact-dedup ingest loop ([[minhashIndexBuild]]'s pattern
+    * applied to exact hashes). [[incrementalNew]]'s inline shape
+    * re-hashes and re-distincts the WHOLE existing corpus on every
+    * batch; at 100 TB the daily loop must instead anti-join the batch
+    * against this table, which is ~3 orders of magnitude smaller than
+    * the corpus (32-hex-char hashes vs document payloads), bucketed
+    * so the table side is read in place and only the batch shuffles.
+    * Rows carry `ingest_batch` lineage (-1 for the bootstrap corpus)
+    * so an at-least-once ingest loop can exclude its own partial
+    * leftovers on re-run, the [[graft.streaming.StreamingDedup]]
+    * convention.
+    */
+  def exactHashIndexBuild(corpus: DataFrame, textCol: String,
+                          table: String, nBuckets: Int = 64): Unit =
+    graft.sources.Sources.writeBucketedMulti(
+      corpus.select(F.md5(F.col(textCol).cast("binary")).as("hash")).distinct()
+        .withColumn("ingest_batch", F.lit(-1L)),
+      table, bucketBy = Seq("hash"), nBuckets = nBuckets,
+      sortBy = Seq("hash"))
+
+  /** Append a batch's distinct text hashes to an existing
+    * [[exactHashIndexBuild]] table under the given `ingest_batch` id,
+    * so the NEXT batch's probe sees this one. Append the KEPT rows
+    * (the [[incrementalNewIdx]] output) — appending the raw batch
+    * would also work (duplicate hashes are absorbed at read time) but
+    * grows the table with rows the probe already rejected.
+    */
+  def exactHashIndexAppend(batch: DataFrame, textCol: String,
+                           table: String, ingestBatch: Long,
+                           nBuckets: Int = 64): Unit =
+    graft.sources.Sources.writeBucketedMulti(
+      batch.select(F.md5(F.col(textCol).cast("binary")).as("hash")).distinct()
+        .withColumn("ingest_batch", F.lit(ingestBatch)),
+      table, bucketBy = Seq("hash"), nBuckets = nBuckets,
+      sortBy = Seq("hash"),
+      mode = org.apache.spark.sql.SaveMode.Append)
+
+  /** The persisted-index variant of [[incrementalNew]]: anti-join the
+    * incoming batch against the hash table [[exactHashIndexBuild]]
+    * wrote (pass the frame read back from it, or any frame with a
+    * `hash` column). Identical output to the inline path — the wired
+    * query pair shares one oracle — at per-batch cost of a batch-side
+    * shuffle against an in-place bucketed hash scan, never a corpus
+    * re-hash.
+    */
+  def incrementalNewIdx(incoming: DataFrame, index: DataFrame,
+                        idCol: String, textCol: String): DataFrame =
+    incrementalNewAgainstHashes(incoming, idCol, textCol, index)
 
   /** Persist the corpus's banded MinHash signature table as a BUCKETED
     * managed table — the index an incremental near-dup pipeline builds

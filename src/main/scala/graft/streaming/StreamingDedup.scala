@@ -115,6 +115,63 @@ object StreamingDedup {
     }.start()
   }
 
+  /** Bootstrap for the EXACT-dedup streaming ingest: the corpus table
+    * plus its distinct-hash index table (Dedup.exactHashIndexBuild's
+    * layout — hash-bucketed, `ingest_batch` lineage) from an initial
+    * corpus frame (may be empty).
+    */
+  def exactBootstrap(initial: DataFrame, corpusTable: String,
+                     indexTable: String, idCol: String, textCol: String,
+                     nBuckets: Int = 64): Unit = {
+    if (!initial.sparkSession.catalog.tableExists(corpusTable))
+      graft.sources.Sources.deleteStaleTableLocation(initial.sparkSession, corpusTable)
+    initial.select(F.col(idCol), F.col(textCol))
+      .withColumn("ingest_batch", F.lit(-1L))
+      .write.mode(SaveMode.Overwrite).saveAsTable(corpusTable)
+    Dedup.exactHashIndexBuild(initial, textCol, indexTable, nBuckets)
+  }
+
+  /** Streaming twin of the EXACT incremental ingest
+    * ([[graft.dedup.Dedup.incrementalNewIdx]]): per micro-batch, keep
+    * only documents first-seen within the batch AND absent from the
+    * persisted hash index (prior batches only — `ingest_batch <
+    * batchId`), hand the kept rows to `sink`, then append them to the
+    * corpus and their hashes to the index so the next batch sees
+    * them. The per-batch cost is the batch-sized anti-join probe of
+    * the in-place bucketed hash table — NEVER a corpus re-hash (the
+    * watermark-free replacement for Events.streamingIncrementalNew's
+    * static-corpus broadcast, whose seen-set cannot grow with the
+    * stream). Same at-least-once story as [[nearDupIngest]] (lineage
+    * probe, read-time duplicate absorption, idempotent sink per
+    * batchId) and the same checkpoint requirement.
+    */
+  def exactIngest(stream: DataFrame, corpusTable: String,
+                  indexTable: String, idCol: String, textCol: String,
+                  nBuckets: Int = 64,
+                  checkpointDir: Option[String] = None)
+                 (sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    val writer = stream.writeStream
+    checkpointDir.foreach(writer.option("checkpointLocation", _))
+    writer.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+      val spark: SparkSession = batch.sparkSession
+      val index = spark.table(indexTable)
+        .where(F.col("ingest_batch") < batchId)
+        .select("hash")
+      // pinned: the kept frame feeds the sink, the corpus append, and
+      // the index append — unpinned, the probe would run three times
+      val kept = Dedup.incrementalNewIdx(batch.toDF(), index, idCol, textCol)
+        .persist()
+      kept.count()
+      sink(kept, batchId)
+      kept.select(F.col(idCol), F.col(textCol))
+        .withColumn("ingest_batch", F.lit(batchId))
+        .write.mode(SaveMode.Append).saveAsTable(corpusTable)
+      Dedup.exactHashIndexAppend(kept, textCol, indexTable, batchId, nBuckets)
+      kept.unpersist()
+      ()
+    }.start()
+  }
+
   /** Bootstrap for the SEMANTIC streaming ingest: trains the coarse
     * quantizer ONCE on the initial corpus and freezes it (writes the
     * centroid matrix to `centroidPath`) — the defining property of an

@@ -109,6 +109,76 @@ class R14OpsSpec extends SparkSpec {
       .count() == plain)
   }
 
+  test("exact-hash index: persisted probe equals the inline corpus re-hash; append feeds the next batch") {
+    import graft.dedup.Dedup
+    spark.sql("DROP TABLE IF EXISTS eh_idx_spec")
+    val existing = Seq((1L, "aaa"), (2L, "bbb")).toDF("doc_id", "text")
+    val incoming = Seq((10L, "aaa"), (11L, "ccc"), (12L, "ccc"), (13L, "ddd"))
+      .toDF("doc_id", "text")
+    Dedup.exactHashIndexBuild(existing, "text", "eh_idx_spec", nBuckets = 2)
+    val inline = Dedup.incrementalNew(incoming, existing, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    val viaIdx = Dedup.incrementalNewIdx(incoming, spark.table("eh_idx_spec"),
+      "doc_id", "text").select("doc_id").as[Long].collect().toSet
+    assert(viaIdx == inline && viaIdx == Set(11L, 13L))
+    // append the kept batch under lineage id 0: the NEXT batch's probe
+    // must reject batch-0 texts without any corpus re-hash
+    Dedup.exactHashIndexAppend(
+      incoming.where(F.col("doc_id").isin(11L, 13L)), "text",
+      "eh_idx_spec", ingestBatch = 0L, nBuckets = 2)
+    val next = Seq((20L, "ccc"), (21L, "eee")).toDF("doc_id", "text")
+    val kept2 = Dedup.incrementalNewIdx(next, spark.table("eh_idx_spec"),
+      "doc_id", "text").select("doc_id").as[Long].collect().toSet
+    assert(kept2 == Set(21L))
+    // lineage recorded: bootstrap rows -1, appended rows 0
+    assert(spark.table("eh_idx_spec").select("ingest_batch")
+      .distinct().as[Long].collect().toSet == Set(-1L, 0L))
+  }
+
+  test("streaming exact ingest: per-batch probe of the persisted hash index, no corpus re-hash") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingDedup
+    implicit val sq = spark.sqlContext
+    for (t <- Seq("stream_eh_corpus", "stream_eh_idx")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = java.nio.file.Paths.get(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      if (java.nio.file.Files.exists(loc))
+        java.nio.file.Files.walk(loc).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => { java.nio.file.Files.delete(p); () })
+    }
+    StreamingDedup.exactBootstrap(Seq((1L, "seed text")).toDF("doc_id", "text"),
+      "stream_eh_corpus", "stream_eh_idx", "doc_id", "text", nBuckets = 2)
+    val perBatch = scala.collection.mutable.Map[Long, Set[Long]]()
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamingDedup.exactIngest(
+      stream.toDF().toDF("doc_id", "text"),
+      "stream_eh_corpus", "stream_eh_idx", "doc_id", "text", nBuckets = 2,
+      checkpointDir = Some(java.nio.file.Files
+        .createTempDirectory("stream_eh_ckpt").toString)) { (kept, batchId) =>
+      perBatch.synchronized {
+        perBatch(batchId) = kept.select("doc_id").as[Long].collect().toSet
+      }
+    }
+    try {
+      // batch 0: one bootstrap dup, one in-batch dup pair, one fresh
+      stream.addData((10L, "seed text"), (11L, "alpha"), (12L, "alpha"))
+      q.processAllAvailable()
+      // batch 1: dup of batch 0's kept text + fresh
+      stream.addData((20L, "alpha"), (21L, "beta"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(perBatch(0L) == Set(11L), s"batch0=${perBatch.get(0L)}")
+    assert(perBatch(1L) == Set(21L), s"batch1=${perBatch.get(1L)}")
+    // corpus = bootstrap + kept rows only, lineage per batch; the
+    // index holds exactly the distinct hashes
+    assert(spark.table("stream_eh_corpus").select("doc_id")
+      .as[Long].collect().toSet == Set(1L, 11L, 21L))
+    assert(spark.table("stream_eh_idx").count() == 3)
+    assert(spark.table("stream_eh_corpus").select("ingest_batch")
+      .distinct().as[Long].collect().toSet == Set(-1L, 0L, 1L))
+  }
+
   test("inclusionReleasable: handle releases the pinned distinct union") {
     import graft.harmonize.Discovery
     val a = Seq("x", "y", "z").toDF("v")
