@@ -1329,6 +1329,13 @@ object OracleSql {
          |SELECT lang, tok, n, "rank" FROM r WHERE "rank" <= 10
          |ORDER BY lang, "rank"""".stripMargin,
 
+    // literal-true gate (the corpus_quantiles_approx pattern): the
+    // two-pass Misra-Gries top-k must equal the exact top-k rank-for-
+    // rank, so the oracle is the expected all-true table
+    "corpus_vocab_approx" ->
+      """SELECT DISTINCT lang, CAST(10 AS BIGINT) AS n_topk, TRUE AS topk_ok
+        |FROM documents ORDER BY lang""".stripMargin,
+
     "corpus_bigrams" ->
       s"""WITH tk AS (SELECT lang, ${toks("text")} AS tl FROM documents),
          |bg AS (SELECT lang,

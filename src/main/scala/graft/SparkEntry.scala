@@ -2034,6 +2034,17 @@ object SparkEntry {
     text.Curate.topTokens(t.documents, "lang", "text", k = 10)
       .orderBy("lang", "rank")
 
+  private def corpusVocabApprox(t: Tables): DataFrame =
+    // the at-scale vocabulary report as a GATED driver row: pass 1
+    // reduces each partition to a Misra-Gries summary (constant-size
+    // exchange — the vocabulary-sized shuffle is the thing being
+    // removed), pass 2 re-counts only the surviving candidates; the
+    // gate asserts rank-for-rank equality (token AND count) with the
+    // exact top-k, literal-true oracle
+    text.Curate.topTokensApproxGate(t.documents, "lang", "text",
+      k = 10, capacity = 512)
+      .orderBy("lang")
+
   private def corpusBigrams(t: Tables): DataFrame =
     // collocation mining: per-language top bigrams via the same
     // partial-top-k aggregate as corpus_vocab (never a full per-group
@@ -2851,6 +2862,7 @@ object SparkEntry {
       "dedup_paragraphs" -> q(dedupParagraphs),
       "curate_take" -> q(curateTake),
       "corpus_vocab" -> q(corpusVocab),
+      "corpus_vocab_approx" -> q(corpusVocabApprox),
       "corpus_bigrams" -> q(corpusBigrams),
       "corpus_quantiles_approx" -> q(corpusQuantilesApprox),
       "curate_bpe" -> q(curateBpe),

@@ -769,6 +769,72 @@ object Curate {
         F.explode(TextOps.shingles(TextOps.tokens(F.col(textCol)), ngram)).as("tok")),
       groupCol, k)
 
+  /** The at-scale vocabulary-report path: per-group top-k tokens via a
+    * two-pass heavy-hitter sketch instead of counting the whole
+    * vocabulary. [[topTokens]]' first aggregation shuffles one row per
+    * DISTINCT (group, token) — fine for word vocabularies, unbounded
+    * for bigrams/URLs at 100 TB. Here pass 1 reduces each partition
+    * MAP-SIDE to a `capacity`-entry Misra-Gries summary
+    * ([[graft.functions.MisraGriesAgg]] — the exchange carries ≤
+    * capacity rows per partition per group, a constant), whose
+    * surviving keys are a GUARANTEED superset of every token with
+    * count > 2N/capacity; pass 2 re-counts only those candidates
+    * exactly (the candidate set broadcast into a semi join, so the
+    * corpus-sized side never shuffles) and keeps the top k under the
+    * same (count desc, token asc) order as the exact path. Output
+    * EQUALS [[topTokens]] whenever the group's rank-k count clears
+    * the sketch bound — the property [[topTokensApproxGate]] gates.
+    */
+  def topTokensApprox(df: DataFrame, groupCol: String, textCol: String,
+                      k: Int, capacity: Int = 512): DataFrame =
+    topKTailApprox(df
+      .select(F.col(groupCol), F.explode(TextOps.tokens(F.col(textCol))).as("tok")),
+      groupCol, k, capacity)
+
+  /** N-gram variant of [[topTokensApprox]] — the case the sketch
+    * exists for: the bigram vocabulary grows with the corpus, the
+    * summary does not.
+    */
+  def topNgramsApprox(df: DataFrame, groupCol: String, textCol: String,
+                      ngram: Int, k: Int, capacity: Int = 512): DataFrame =
+    topKTailApprox(df
+      .select(F.col(groupCol),
+        F.explode(TextOps.shingles(TextOps.tokens(F.col(textCol)), ngram)).as("tok")),
+      groupCol, k, capacity)
+
+  private def topKTailApprox(exploded: DataFrame, groupCol: String,
+                             k: Int, capacity: Int): DataFrame = {
+    require(capacity >= k, "sketch capacity must be >= k")
+    val cands = exploded
+      .groupBy(F.col(groupCol))
+      .agg(graft.functions.MisraGriesAgg.misraGries(F.col("tok"), capacity).as("__mg"))
+      .select(F.col(groupCol), F.explode(F.col("__mg")).as("__e"))
+      .select(F.col(groupCol), F.col("__e.key").as("tok"))
+    topKTail(exploded.join(F.broadcast(cands), Seq(groupCol, "tok"), "left_semi"),
+      groupCol, k)
+  }
+
+  /** Literal-true gate for [[topTokensApprox]] (the
+    * lengthQuantilesApproxGate pattern): per group, the sketch top-k
+    * must EQUAL the exact top-k rank-for-rank — token AND exact count
+    * (pass 2 re-counts exactly, so equality, not tolerance, is the
+    * contract whenever candidate generation didn't miss a true top-k
+    * token). The driver oracle is the all-true table: a sketch
+    * regression fails the hash match rather than silently shipping a
+    * wrong vocabulary report.
+    */
+  def topTokensApproxGate(df: DataFrame, groupCol: String, textCol: String,
+                          k: Int, capacity: Int = 512): DataFrame = {
+    val exact = topTokens(df, groupCol, textCol, k)
+    val approx = topTokensApprox(df, groupCol, textCol, k, capacity)
+    exact.as("e")
+      .join(approx.as("a"), Seq(groupCol, "rank"), "full")
+      .groupBy(F.col(groupCol))
+      .agg(F.count(F.lit(1)).as("n_topk"),
+        F.min(F.coalesce(F.col("e.tok") === F.col("a.tok") &&
+          F.col("e.n") === F.col("a.n"), F.lit(false))).as("topk_ok"))
+  }
+
   private def topKTail(exploded: DataFrame, groupCol: String, k: Int): DataFrame =
     exploded
       .groupBy(F.col(groupCol), F.col("tok")).agg(F.count(F.lit(1)).as("n"))

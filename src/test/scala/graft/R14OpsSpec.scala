@@ -179,6 +179,39 @@ class R14OpsSpec extends SparkSpec {
       .distinct().as[Long].collect().toSet == Set(-1L, 0L, 1L))
   }
 
+  test("MisraGries: guaranteed heavy hitters survive, weights lower-bound, merge-safe") {
+    import graft.functions.MisraGriesAgg
+    // 60x"a", 30x"b", 10 singletons; capacity 4 => any key with count
+    // > 2N/4 = 50 must survive regardless of partitioning/merge order
+    val toks = Seq.fill(60)("a") ++ Seq.fill(30)("b") ++ (1 to 10).map(i => s"s$i")
+    val df = scala.util.Random.shuffle(toks).toDF("tok").repartition(7)
+    val mg = df.groupBy().agg(MisraGriesAgg.misraGries(F.col("tok"), 4).as("mg"))
+      .select(F.explode(F.col("mg")).as("e"))
+      .select(F.col("e.key").as("k"), F.col("e.n").as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(mg.contains("a"), s"guaranteed hitter lost: $mg")
+    assert(mg.size <= 4)
+    // weights are lower bounds, within N/(capacity+1) of the truth
+    assert(mg("a") <= 60L && mg("a") >= 60L - 100L / 5)
+    mg.get("b").foreach(nb => assert(nb <= 30L))
+  }
+
+  test("topTokensApprox equals topTokens; gate emits all-true") {
+    import graft.text.Curate
+    val docs = Seq(
+      ("en", "the cat sat on the mat the cat"),
+      ("en", "the dog ate the cat food"),
+      ("fr", "le chat le chien le chat")).toDF("lang", "text")
+    val exact = Curate.topTokens(docs, "lang", "text", k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(3)) -> (r.getString(1), r.getLong(2))).toMap
+    val approx = Curate.topTokensApprox(docs, "lang", "text", k = 3, capacity = 16)
+      .collect().map(r => (r.getString(0), r.getLong(3)) -> (r.getString(1), r.getLong(2))).toMap
+    assert(approx == exact, s"approx=$approx exact=$exact")
+    val gate = Curate.topTokensApproxGate(docs, "lang", "text", k = 3, capacity = 16)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(gate == Map("en" -> ((3L, true)), "fr" -> ((3L, true))))
+  }
+
   test("inclusionReleasable: handle releases the pinned distinct union") {
     import graft.harmonize.Discovery
     val a = Seq("x", "y", "z").toDF("v")
