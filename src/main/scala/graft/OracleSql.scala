@@ -3234,6 +3234,17 @@ object OracleSql {
          |FROM (SELECT * FROM g UNION ALL SELECT * FROM a)
          |ORDER BY scope""".stripMargin,
 
+    // literal-true gate: the per-source-pair MinHash overlap estimates
+    // must land within tolerance of the exact vocabulary overlap —
+    // the oracle is the expected all-true pair matrix
+    "profile_source_overlap" ->
+      """SELECT a.source AS source_1, b.source AS source_2,
+        |       TRUE AS jaccard_ok, TRUE AS containment_1_ok,
+        |       TRUE AS containment_2_ok
+        |FROM (SELECT DISTINCT source FROM documents) a
+        |JOIN (SELECT DISTINCT source FROM documents) b ON a.source < b.source
+        |ORDER BY source_1, source_2""".stripMargin,
+
     // running-ledger window battery: row_number, lag gap, DECIMAL
     // running sum (summation-tree-independent), ntile — one window
     "q_customer_ledger" ->

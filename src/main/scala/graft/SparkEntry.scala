@@ -2672,6 +2672,18 @@ object SparkEntry {
       "lang", "tok")
       .orderBy("scope")
 
+  private def profileSourceOverlap(t: Tables): DataFrame =
+    // pairwise vocabulary overlap between sources WITHOUT a join —
+    // the value-level mixing-decision matrix (dedup_cross_source is
+    // the near-dup document version): one scan to per-source MinHash
+    // signatures + HLL counts, pairs scored in a broadcast cross;
+    // gated within tolerance of the exact value-keyed self-join
+    harmonize.Profile.sourceOverlapGate(
+      t.documents.select(F.col("source"),
+        F.explode(TextOps.tokens(F.col("text"))).as("tok")),
+      "source", "tok")
+      .orderBy("source_1", "source_2")
+
   private def profileSkew(t: Tables): DataFrame =
     // flag/status are genuinely skewed (3 and 2 keys); the key columns
     // are near-uniform — both verdicts the salting decision needs
@@ -2916,6 +2928,7 @@ object SparkEntry {
       "events_attribution" -> q(eventsAttribution),
       "q_customer_ledger" -> q(qCustomerLedger),
       "profile_distinct_sketch" -> q(profileDistinctSketch),
+      "profile_source_overlap" -> q(profileSourceOverlap),
       "q_skew_salted" -> q(qSkewSalted))
   }
 

@@ -225,6 +225,108 @@ object Profile {
     groupRows.unionByName(merged)
   }
 
+  /** Pairwise value-overlap matrix between sources/shards WITHOUT a
+    * join — the mixing-decision input a 100 TB curator reads before
+    * weighting sources (dedup_cross_source is the near-dup document
+    * version; this is the value-level one, e.g. vocabulary overlap).
+    * ONE corpus scan reduces each group map-side to a MinHash
+    * signature (functions.MinHashAgg — numHashes longs, merged
+    * associatively, no distinct shuffle) plus an HLL distinct
+    * estimate; every unordered pair then scores in a driver-small
+    * broadcast cross of |groups| sketch rows:
+    *
+    *   Ĵ from positional signature agreement,
+    *   |A ∩ B| = Ĵ·(d̂A + d̂B)/(1 + Ĵ),
+    *   containment(A→B) = |A ∩ B| / d̂A  (clamped to [0,1]).
+    *
+    * Output per pair (g1 < g2): estimated Jaccard, intersection size,
+    * and containment in BOTH directions. Production runs this alone;
+    * [[sourceOverlapGate]] is the wired accuracy gate.
+    */
+  def sourceOverlap(df: DataFrame, groupCol: String, valueCol: String,
+                    numHashes: Int = 1024, rsd: Double = 0.05): DataFrame =
+    overlapPairs(sketchByGroup(df, groupCol, valueCol, numHashes, rsd))
+      .select(F.col("g1").as("source_1"), F.col("g2").as("source_2"),
+        F.round(F.col("jhat"), 6).as("est_jaccard"),
+        F.round(F.col("inter_est"), 2).as("est_intersection"),
+        F.round(F.col("cont1"), 6).as("est_containment_1"),
+        F.round(F.col("cont2"), 6).as("est_containment_2"))
+
+  /** Literal-true accuracy gate for [[sourceOverlap]] (the
+    * inclusionSketchGate pattern): per unordered pair, the sketch
+    * Jaccard and both containments must land within `tol` ABSOLUTE
+    * error of the exact values (one value-keyed self-join of the
+    * distinct (group, value) pairs — the gate's reference; production
+    * never runs it). Zero-overlap pairs are kept (left join, exact
+    * intersection 0), so a sketch hallucinating overlap fails too.
+    */
+  def sourceOverlapGate(df: DataFrame, groupCol: String, valueCol: String,
+                        numHashes: Int = 1024, rsd: Double = 0.05,
+                        tol: Double = 0.1): DataFrame = {
+    // gate-only exact side: the distinct frame feeds three consumers
+    // un-pinned — the gate runs on gate-scale corpora only, and the
+    // wired harness clears caches per query anyway
+    val vals = df.select(F.col(groupCol).cast("string").as("g"),
+        F.col(valueCol).cast("string").as("v"))
+      .where(F.col("v").isNotNull)
+    val d = vals.distinct()
+    val counts = d.groupBy("g").agg(F.count(F.lit(1)).as("nd"))
+    val inter = d.as("a").join(d.as("b"), "v")
+      .where(F.col("a.g") < F.col("b.g"))
+      .groupBy(F.col("a.g").as("g1"), F.col("b.g").as("g2"))
+      .agg(F.count(F.lit(1)).as("n_inter"))
+    val est = overlapPairs(sketchByGroup(df, groupCol, valueCol, numHashes, rsd))
+    val withExact = est
+      .join(inter, Seq("g1", "g2"), "left").na.fill(0L, Seq("n_inter"))
+      .join(F.broadcast(counts.select(F.col("g").as("g1"), F.col("nd").as("nd1"))), "g1")
+      .join(F.broadcast(counts.select(F.col("g").as("g2"), F.col("nd").as("nd2"))), "g2")
+    val jExact = F.col("n_inter").cast("double") /
+      (F.col("nd1") + F.col("nd2") - F.col("n_inter")).cast("double")
+    withExact.select(F.col("g1").as("source_1"), F.col("g2").as("source_2"),
+      (F.abs(F.col("jhat") - jExact) <= F.lit(tol)).as("jaccard_ok"),
+      (F.abs(F.col("cont1") -
+        F.col("n_inter").cast("double") / F.col("nd1").cast("double")) <= F.lit(tol))
+        .as("containment_1_ok"),
+      (F.abs(F.col("cont2") -
+        F.col("n_inter").cast("double") / F.col("nd2").cast("double")) <= F.lit(tol))
+        .as("containment_2_ok"))
+  }
+
+  private def sketchByGroup(df: DataFrame, groupCol: String, valueCol: String,
+                            numHashes: Int, rsd: Double): DataFrame =
+    df.select(F.col(groupCol).cast("string").as("g"),
+        F.col(valueCol).cast("string").as("v"))
+      .where(F.col("v").isNotNull)
+      .groupBy("g")
+      .agg(graft.functions.MinHashAgg.minhashAgg(F.col("v"), numHashes).as("sig"),
+        F.approx_count_distinct(F.col("v"), rsd).as("nd"))
+
+  /** All unordered group pairs scored from the sketch rows: columns
+    * (g1, g2, jhat, inter_est, cont1, cont2). The cross is |groups|²
+    * broadcast rows — sources/shards number in the thousands at most,
+    * never corpus-sized.
+    */
+  private def overlapPairs(sk: DataFrame): DataFrame = {
+    val numHashes = F.size(F.col("asig"))
+    val agree = F.aggregate(
+      F.zip_with(F.col("asig"), F.col("bsig"),
+        (x, y) => F.when(x === y, 1).otherwise(0)),
+      F.lit(0), (acc, x) => acc + x)
+    val jhat = agree.cast("double") / numHashes.cast("double")
+    val interEst = jhat * (F.col("da") + F.col("db")).cast("double") /
+      (F.lit(1.0) + jhat)
+    def clamp(c: org.apache.spark.sql.Column) =
+      F.least(F.lit(1.0), F.greatest(F.lit(0.0), c))
+    sk.select(F.col("g").as("g1"), F.col("sig").as("asig"), F.col("nd").as("da"))
+      .crossJoin(F.broadcast(sk.select(F.col("g").as("g2"),
+        F.col("sig").as("bsig"), F.col("nd").as("db"))))
+      .where(F.col("g1") < F.col("g2"))
+      .select(F.col("g1"), F.col("g2"), jhat.as("jhat"),
+        interEst.as("inter_est"),
+        clamp(interEst / F.col("da").cast("double")).as("cont1"),
+        clamp(interEst / F.col("db").cast("double")).as("cont2"))
+  }
+
   /** Pearson correlation matrix over numeric columns — ONE scan for
     * every unordered pair: the aggregate computes each column's exact
     * decimal Σx and Σx² plus every pair's exact Σxy, and the

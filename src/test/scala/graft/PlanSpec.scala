@@ -233,7 +233,13 @@ class PlanSpec extends SparkSpec {
     "ann_pca_ivfpq_recall", "text_search_hybrid_filtered",
     // the merged *ALL* sketch row crossJoins its ONE-ROW global
     // exact-count frame (the q11 scalar-subquery pattern)
-    "profile_distinct_sketch")
+    "profile_distinct_sketch",
+    // r14: the source-overlap matrix crossJoins the |sources|-row
+    // sketch frame with itself under g1 < g2 (the inclusionSketchGate
+    // shape) — sources number in the thousands at most, never
+    // corpus-sized; the corpus itself reduces map-side to one sketch
+    // row per source before the cross
+    "profile_source_overlap")
 
   test("no wired query plans a CartesianProduct; BNLJ only on bounded-broadcast baselines") {
     val withBnlj = scala.collection.mutable.Set[String]()

@@ -212,6 +212,30 @@ class R14OpsSpec extends SparkSpec {
     assert(gate == Map("en" -> ((3L, true)), "fr" -> ((3L, true))))
   }
 
+  test("sourceOverlap: sketch matrix tracks exact overlap; gate all-true") {
+    import graft.harmonize.Profile
+    // A∩B = {v1..v5} of |A|=10, |B|=10 → J=1/3, cont=0.5 each;
+    // C is disjoint from both
+    val rows =
+      (1 to 10).map(i => ("A", s"v$i")) ++
+      (6 to 15).map(i => ("B", s"v$i")) ++
+      (1 to 8).map(i => ("C", s"w$i"))
+    val df = rows.toDF("src", "value")
+    val est = Profile.sourceOverlap(df, "src", "value", numHashes = 512)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getDouble(2), r.getDouble(4), r.getDouble(5)))).toMap
+    val (jAB, cA, cB) = est(("A", "B"))
+    assert(math.abs(jAB - 1.0 / 3) < 0.12, s"jaccard(A,B)=$jAB")
+    assert(math.abs(cA - 0.5) < 0.15 && math.abs(cB - 0.5) < 0.15)
+    val (jAC, _, _) = est(("A", "C"))
+    assert(jAC < 0.1, s"disjoint pair should estimate ~0: $jAC")
+    val gate = Profile.sourceOverlapGate(df, "src", "value",
+      numHashes = 512, tol = 0.15)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getBoolean(2), r.getBoolean(3), r.getBoolean(4)))).toMap
+    assert(gate.size == 3 && gate.values.forall(_ == ((true, true, true))), s"$gate")
+  }
+
   test("inclusionReleasable: handle releases the pinned distinct union") {
     import graft.harmonize.Discovery
     val a = Seq("x", "y", "z").toDF("v")
