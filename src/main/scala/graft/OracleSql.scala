@@ -3361,7 +3361,23 @@ object OracleSql {
         |          UNION ALL SELECT y FROM tri
         |          UNION ALL SELECT z FROM tri)
         |SELECT node, count(*) AS n_triangles FROM nodes GROUP BY node
-        |ORDER BY n_triangles DESC, node ASC LIMIT 20""".stripMargin
+        |ORDER BY n_triangles DESC, node ASC LIMIT 20""".stripMargin,
+
+    // generic connected components over the co-order part graph:
+    // component label = min reachable id, via transitive closure
+    // (support >= 3 keeps the closure component-sized)
+    "graph_components" ->
+      """WITH RECURSIVE op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |p AS (SELECT x.pk AS id1, y.pk AS id2
+        |      FROM op x JOIN op y ON x.ok = y.ok AND x.pk < y.pk
+        |      GROUP BY 1, 2 HAVING count(*) >= 3),
+        |e AS (SELECT id1 AS a, id2 AS b FROM p UNION SELECT id2, id1 FROM p),
+        |closure AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT closure.a, e.b FROM closure JOIN e ON closure.b = e.a)
+        |SELECT a AS id, least(a, min(b)) AS component
+        |FROM closure GROUP BY a ORDER BY id""".stripMargin
   )
 
   /** Shared edge CTE for the graph twins: the supplier→customer

@@ -2545,6 +2545,25 @@ object SparkEntry {
       .limit(20)
   }
 
+  private def graphComponents(t: Tables): DataFrame = {
+    // generic connected components over the co-order part graph
+    // (parts appearing together in >= 3 orders — the support filter
+    // keeps the pair self-join's deg² bounded AND the oracle's
+    // transitive closure component-sized): min-reachable-id labels
+    // via the dedup clusterer's id-generic machinery exposed on Graph
+    val op = t.lineitem.select(F.col("l_orderkey").as("ok"),
+      F.col("l_partkey").as("pk")).distinct().persist()
+    val pairs = op.as("x").join(op.as("y"),
+        F.col("x.ok") === F.col("y.ok") && F.col("x.pk") < F.col("y.pk"))
+      .groupBy(F.col("x.pk").as("a"), F.col("y.pk").as("b"))
+      .agg(F.count(F.lit(1)).as("cooc"))
+      .where(F.col("cooc") >= 3)
+      .select("a", "b")
+    val out = operators.Graph.connectedComponents(pairs).orderBy("id")
+    op.unpersist()
+    out
+  }
+
   // -------------------------------------------- pipeline ops (r13b)
 
   private def qRollup(t: Tables): DataFrame =
@@ -2908,6 +2927,7 @@ object SparkEntry {
       "profile_correlation" -> q(profileCorrelation),
       "profile_histogram" -> q(profileHistogram),
       "graph_pagerank" -> q(graphPagerank),
+      "graph_components" -> q(graphComponents),
       "graph_degree" -> q(graphDegree),
       "graph_triangles" -> q(graphTriangles),
       "text_keywords" -> q(textKeywords),

@@ -117,6 +117,20 @@ object Graph {
     side("src", "out").unionAll(side("dst", "in"))
   }
 
+  /** Connected components over an arbitrary undirected edge list
+    * (a, b) — the generic exposure of the dedup clusterer's machinery
+    * (graft.dedup.Dedup.components, which is already id-generic):
+    * driver union-find when the edge list fits a heap-derived budget
+    * (component graphs are usually tiny relative to the node corpus),
+    * else distributed min-label propagation with pointer jumping
+    * (O(log diameter) rounds, each one join + one aggregate) and
+    * lineage truncation per round. Returns (id, component) for every
+    * node in the edge list, component = min reachable id.
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame =
+    graft.dedup.Dedup.components(
+      edges.select(F.col("a").as("id1"), F.col("b").as("id2")), maxIter)
+
   /** Degree-ordered orientation of an undirected canonical pair list
     * (a < b): each edge is re-pointed from its LOWER-ranked endpoint
     * to its higher-ranked one under the total order (degree, node) —

@@ -88,6 +88,16 @@ class R14OpsSpec extends SparkSpec {
       "released triangle pins must not accumulate")
   }
 
+  test("connectedComponents: generic edge lists get min-reachable-id labels") {
+    import graft.operators.Graph
+    // chain 1-2-3, pair 10-11, isolated-by-edge 20-21
+    val edges = Seq((2L, 1L), (2L, 3L), (10L, 11L), (21L, 20L)).toDF("a", "b")
+    val got = Graph.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
   test("saltedJoin: rowSalt splits duplicate-identical rows; content hash cannot") {
     import graft.operators.Skew
     // pathological corpus: 64 VERBATIM copies of the same row — the
