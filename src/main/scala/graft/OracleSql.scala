@@ -1336,6 +1336,10 @@ object OracleSql {
       """SELECT DISTINCT lang, CAST(10 AS BIGINT) AS n_topk, TRUE AS topk_ok
         |FROM documents ORDER BY lang""".stripMargin,
 
+    "corpus_bigrams_approx" ->
+      """SELECT DISTINCT lang, CAST(10 AS BIGINT) AS n_topk, TRUE AS topk_ok
+        |FROM documents ORDER BY lang""".stripMargin,
+
     "corpus_bigrams" ->
       s"""WITH tk AS (SELECT lang, ${toks("text")} AS tl FROM documents),
          |bg AS (SELECT lang,
@@ -3377,8 +3381,33 @@ object OracleSql {
         |  UNION
         |  SELECT closure.a, e.b FROM closure JOIN e ON closure.b = e.a)
         |SELECT a AS id, least(a, min(b)) AS component
-        |FROM closure GROUP BY a ORDER BY id""".stripMargin
+        |FROM closure GROUP BY a ORDER BY id""".stripMargin,
+
+    // synchronous deterministic label propagation, the SAME fixed
+    // rounds unrolled: each round = neighbor-label counts -> per-node
+    // argmax under (count desc, label asc)
+    "graph_communities" -> labelPropagationSql(iters = 5)
   )
+
+  private def labelPropagationSql(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      val prev = s"l${i - 1}"
+      s"""c$i AS (SELECT e.a, l.lbl, count(*) AS c
+         |        FROM e JOIN $prev l ON e.b = l.node GROUP BY 1, 2),
+         |r$i AS (SELECT a, lbl,
+         |          row_number() OVER (PARTITION BY a
+         |            ORDER BY c DESC, lbl ASC) AS rn FROM c$i),
+         |l$i AS (SELECT a AS node, lbl FROM r$i WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |p AS (SELECT x.pk AS id1, y.pk AS id2
+       |      FROM op x JOIN op y ON x.ok = y.ok AND x.pk < y.pk
+       |      GROUP BY 1, 2 HAVING count(*) >= 2),
+       |e AS (SELECT id1 AS a, id2 AS b FROM p UNION SELECT id2, id1 FROM p),
+       |l0 AS (SELECT a AS node, a AS lbl FROM e GROUP BY a),
+       |$rounds
+       |SELECT node, lbl AS community FROM l$iters ORDER BY node""".stripMargin
+  }
 
   /** Shared edge CTE for the graph twins: the supplier→customer
     * shipment digraph (weight = line items shipped).

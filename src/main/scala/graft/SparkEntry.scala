@@ -2052,6 +2052,19 @@ object SparkEntry {
     text.Curate.topNgrams(t.documents, "lang", "text", ngram = 2, k = 10)
       .orderBy("lang", "rank")
 
+  private def corpusBigramsApprox(t: Tables): DataFrame =
+    // the sketch path for the vocabulary that actually grows without
+    // bound: bigrams. Same two-pass Misra-Gries gate as
+    // corpus_vocab_approx over the n-gram explode; capacity sized for
+    // the flat bigram tail — survival needs count > 2N/capacity, and
+    // this corpus's rank-10 bigram sits at ~1.3e-3 of N (147 of 110k
+    // at sf0.1), so 4096 clears it ~3x over while the summary stays
+    // a constant-size exchange (the ratio is scale-free: counts and
+    // N both grow linearly with the corpus)
+    text.Curate.topNgramsApproxGate(t.documents, "lang", "text",
+      ngram = 2, k = 10, capacity = 4096)
+      .orderBy("lang")
+
   private def curateBpe(t: Tables): DataFrame =
     // BPE tokenizer TRAINING (r10, Sennrich ACL'16): learn the top-8
     // byte-pair merges over the corpus. The corpus is scanned ONCE
@@ -2564,6 +2577,27 @@ object SparkEntry {
     out
   }
 
+  private def graphCommunities(t: Tables): DataFrame = {
+    // community detection over the co-order part graph (support >= 2
+    // keeps a rich community structure — ~300 communities at sf0.01):
+    // 5 synchronous deterministic label-propagation rounds; the twin
+    // replays the same rounds unrolled
+    val op = t.lineitem.select(F.col("l_orderkey").as("ok"),
+      F.col("l_partkey").as("pk")).distinct().persist()
+    val pairs = op.as("x").join(op.as("y"),
+        F.col("x.ok") === F.col("y.ok") && F.col("x.pk") < F.col("y.pk"))
+      .groupBy(F.col("x.pk").as("a"), F.col("y.pk").as("b"))
+      .agg(F.count(F.lit(1)).as("cooc"))
+      .where(F.col("cooc") >= 2)
+      .select("a", "b")
+    // materialized by labelPropagation's first pinned round, so the
+    // support frame can release before the (lazy) output is consumed
+    val out = operators.Graph.labelPropagation(pairs, iters = 5)
+      .orderBy("node")
+    op.unpersist()
+    out
+  }
+
   // -------------------------------------------- pipeline ops (r13b)
 
   private def qRollup(t: Tables): DataFrame =
@@ -2894,6 +2928,7 @@ object SparkEntry {
       "curate_take" -> q(curateTake),
       "corpus_vocab" -> q(corpusVocab),
       "corpus_vocab_approx" -> q(corpusVocabApprox),
+      "corpus_bigrams_approx" -> q(corpusBigramsApprox),
       "corpus_bigrams" -> q(corpusBigrams),
       "corpus_quantiles_approx" -> q(corpusQuantilesApprox),
       "curate_bpe" -> q(curateBpe),
@@ -2928,6 +2963,7 @@ object SparkEntry {
       "profile_histogram" -> q(profileHistogram),
       "graph_pagerank" -> q(graphPagerank),
       "graph_components" -> q(graphComponents),
+      "graph_communities" -> q(graphCommunities),
       "graph_degree" -> q(graphDegree),
       "graph_triangles" -> q(graphTriangles),
       "text_keywords" -> q(textKeywords),

@@ -131,6 +131,52 @@ object Graph {
     graft.dedup.Dedup.components(
       edges.select(F.col("a").as("id1"), F.col("b").as("id2")), maxIter)
 
+  /** Community detection by synchronous label propagation (Raghavan,
+    * Albert & Kumara, Phys. Rev. E 2007) over an undirected pair list
+    * (a, b), made DETERMINISTIC the way this repo's pageRank is: a
+    * FIXED iteration count (static job count; the twin replays the
+    * same rounds) and a total tie-break order — each round every node
+    * adopts the label most frequent among its neighbors, ties broken
+    * by smallest label. Asynchronous/randomized update order (the
+    * paper's default) is irreproducible cross-engine; synchronous
+    * rounds with a total order are a pure function of the input.
+    *
+    * Scale: each round is one (edges ⋈ labels → count → per-node
+    * argmax) — the canonical message-passing join; labels are |V|
+    * narrow rows, the per-node argmax is a (node)-partitioned window
+    * over ≤ deg(v) label-count rows. Per-round lineage pinning via
+    * checkpoint/localCheckpoint (the pageRank fix — plain persist
+    * doubles the logical plan every round). Returns
+    * (node, community), |V| rows, unordered.
+    */
+  def labelPropagation(pairs: DataFrame, iters: Int = 5): DataFrame = {
+    require(iters >= 1, "at least one iteration")
+    def pin(df: DataFrame): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint(true)
+    val e = pairs.select(F.col("a"), F.col("b"))
+      .unionAll(pairs.select(F.col("b").as("a"), F.col("a").as("b")))
+      .distinct().persist()
+    // every node of an undirected edge list appears as `a`
+    var labels = pin(e.select(F.col("a").as("node")).distinct()
+      .select(F.col("node"), F.col("node").as("lbl")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("a").orderBy(F.col("c").desc, F.col("lbl").asc)
+    for (_ <- 1 to iters) {
+      val next = pin(e
+        .join(labels.select(F.col("node").as("b2"), F.col("lbl")),
+          F.col("b") === F.col("b2"))
+        .groupBy(F.col("a"), F.col("lbl")).agg(F.count(F.lit(1)).as("c"))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") === 1)
+        .select(F.col("a").as("node"), F.col("lbl")))
+      labels.unpersist()
+      labels = next
+    }
+    e.unpersist()
+    labels.select(F.col("node"), F.col("lbl").as("community"))
+  }
+
   /** Degree-ordered orientation of an undirected canonical pair list
     * (a < b): each edge is re-pointed from its LOWER-ranked endpoint
     * to its higher-ranked one under the total order (degree, node) —

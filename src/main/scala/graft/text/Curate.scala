@@ -824,16 +824,26 @@ object Curate {
     * wrong vocabulary report.
     */
   def topTokensApproxGate(df: DataFrame, groupCol: String, textCol: String,
-                          k: Int, capacity: Int = 512): DataFrame = {
-    val exact = topTokens(df, groupCol, textCol, k)
-    val approx = topTokensApprox(df, groupCol, textCol, k, capacity)
+                          k: Int, capacity: Int = 512): DataFrame =
+    approxTopKGate(topTokens(df, groupCol, textCol, k),
+      topTokensApprox(df, groupCol, textCol, k, capacity), groupCol)
+
+  /** [[topTokensApproxGate]] for n-grams — the vocabulary the sketch
+    * actually exists for (bigram vocabularies grow with the corpus).
+    */
+  def topNgramsApproxGate(df: DataFrame, groupCol: String, textCol: String,
+                          ngram: Int, k: Int, capacity: Int = 512): DataFrame =
+    approxTopKGate(topNgrams(df, groupCol, textCol, ngram, k),
+      topNgramsApprox(df, groupCol, textCol, ngram, k, capacity), groupCol)
+
+  private def approxTopKGate(exact: DataFrame, approx: DataFrame,
+                             groupCol: String): DataFrame =
     exact.as("e")
       .join(approx.as("a"), Seq(groupCol, "rank"), "full")
       .groupBy(F.col(groupCol))
       .agg(F.count(F.lit(1)).as("n_topk"),
         F.min(F.coalesce(F.col("e.tok") === F.col("a.tok") &&
           F.col("e.n") === F.col("a.n"), F.lit(false))).as("topk_ok"))
-  }
 
   private def topKTail(exploded: DataFrame, groupCol: String, k: Int): DataFrame =
     exploded

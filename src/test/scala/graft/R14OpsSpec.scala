@@ -98,6 +98,16 @@ class R14OpsSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("labelPropagation: disjoint cliques converge to their min labels") {
+    import graft.operators.Graph
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L)).toDF("a", "b")
+    val got = Graph.labelPropagation(edges, iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L), s"$got")
+  }
+
   test("saltedJoin: rowSalt splits duplicate-identical rows; content hash cannot") {
     import graft.operators.Skew
     // pathological corpus: 64 VERBATIM copies of the same row — the
