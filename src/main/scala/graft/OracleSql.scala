@@ -3386,8 +3386,136 @@ object OracleSql {
     // synchronous deterministic label propagation, the SAME fixed
     // rounds unrolled: each round = neighbor-label counts -> per-node
     // argmax under (count desc, label asc)
-    "graph_communities" -> labelPropagationSql(iters = 5)
+    "graph_communities" -> labelPropagationSql(iters = 5),
+
+    // synchronous k-core peeling, the SAME fixed rounds unrolled:
+    // each round = surviving degrees -> keep >= k -> re-filter edges
+    "graph_kcore" -> kCoreSql(k = 3, rounds = 8),
+
+    // bounded multi-source BFS, the SAME fixed rounds unrolled:
+    // each round = frontier-edge expansion unioned in, min per node
+    "graph_bfs" -> bfsSql(rounds = 4),
+
+    "er_resolve" ->
+      """WITH a AS (SELECT c_custkey AS id_a, c_name AS name_a,
+        |                  c_nationkey AS nat, c_mktsegment AS seg FROM customer),
+        |b AS (SELECT c_custkey + 1000000 AS id_b,
+        |             regexp_replace(c_name, '0+', '0', 'g') AS name_b,
+        |             c_nationkey AS nat, c_mktsegment AS seg
+        |      FROM customer WHERE c_custkey % 7 != 3),
+        |cand AS (SELECT b.id_b, a.id_a,
+        |                levenshtein(a.name_a, b.name_b) AS lev
+        |         FROM a JOIN b ON a.nat = b.nat AND a.seg = b.seg
+        |         WHERE levenshtein(a.name_a, b.name_b) <= 6),
+        |scored AS (SELECT id_b, id_a, lev,
+        |                  count(*) OVER (PARTITION BY id_b) AS n_candidates,
+        |                  row_number() OVER (PARTITION BY id_b
+        |                    ORDER BY lev, id_a) AS rn
+        |           FROM cand)
+        |SELECT id_b, id_a, CAST(lev AS INTEGER) AS lev,
+        |       CAST(n_candidates AS BIGINT) AS n_candidates
+        |FROM scored WHERE rn = 1 ORDER BY id_b""".stripMargin,
+
+    "merge_upsert" ->
+      """WITH target AS (SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+        |                FROM customer WHERE c_custkey % 5 != 2),
+        |ch AS (SELECT o_custkey AS c_custkey, o_orderkey AS seq,
+        |              CASE WHEN o_orderstatus = 'F' AND o_custkey % 13 = 0
+        |                   THEN 'D' ELSE 'U' END AS op,
+        |              o_totalprice AS new_bal
+        |       FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'),
+        |latest AS (SELECT c_custkey, op, new_bal,
+        |                  row_number() OVER (PARTITION BY c_custkey
+        |                    ORDER BY seq DESC, op DESC) AS rn
+        |           FROM ch),
+        |l1 AS (SELECT c_custkey, op, new_bal FROM latest WHERE rn = 1)
+        |SELECT COALESCE(t.c_custkey, l.c_custkey) AS c_custkey,
+        |       t.c_name, t.c_mktsegment,
+        |       COALESCE(l.new_bal, t.c_acctbal) AS c_acctbal
+        |FROM target t FULL OUTER JOIN l1 l ON t.c_custkey = l.c_custkey
+        |WHERE l.op IS NULL OR l.op != 'D'
+        |ORDER BY c_custkey""".stripMargin,
+
+    // single-pass UCC audit: one GROUPING SETS scan, gids from
+    // single-column GROUPING bits with query-assigned weights
+    "profile_ucc" ->
+      """WITH g AS (SELECT GROUPING(o_orderkey)*4 + GROUPING(o_custkey)*2 +
+        |                  GROUPING(o_orderdate) AS gid, count(*) AS cnt
+        |           FROM orders
+        |           GROUP BY GROUPING SETS ((o_orderkey), (o_custkey),
+        |                                   (o_orderdate),
+        |                                   (o_custkey, o_orderdate))),
+        |r AS (SELECT gid, count(*) AS n_groups,
+        |             CAST(max(cnt) AS BIGINT) AS max_dup,
+        |             CAST(sum(cnt) AS BIGINT) AS n_rows
+        |      FROM g GROUP BY gid)
+        |SELECT CASE gid WHEN 3 THEN 'o_orderkey' WHEN 5 THEN 'o_custkey'
+        |                WHEN 6 THEN 'o_orderdate'
+        |                WHEN 4 THEN 'o_custkey+o_orderdate' END AS combo,
+        |       n_groups, max_dup, max_dup = 1 AS is_unique, n_rows
+        |FROM r ORDER BY combo""".stripMargin,
+
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS volume,
+        |       CAST(GROUPING(o_orderstatus)*2 + GROUPING(o_orderpriority)
+        |            AS INTEGER) AS gid
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY gid, o_orderstatus ASC NULLS LAST,
+        |         o_orderpriority ASC NULLS LAST""".stripMargin
   )
+
+  /** Each BFS round references the previous distance table twice
+    * (carry-over + expansion), so rounds pin with AS MATERIALIZED —
+    * the oracle-side analogue of the Spark per-round localCheckpoint.
+    */
+  private def bfsSql(rounds: Int): String = {
+    val rs = (1 to rounds).map { i =>
+      s"""d$i AS MATERIALIZED (
+         |  SELECT node, min(h) AS h FROM (
+         |    SELECT node, h FROM d${i - 1}
+         |    UNION ALL
+         |    SELECT e.b AS node, d.h + 1 AS h
+         |    FROM d${i - 1} d JOIN e ON d.node = e.a)
+         |  GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |p AS (SELECT x.pk AS id1, y.pk AS id2
+       |      FROM op x JOIN op y ON x.ok = y.ok AND x.pk < y.pk
+       |      GROUP BY 1, 2 HAVING count(*) >= 2),
+       |e AS MATERIALIZED (SELECT id1 AS a, id2 AS b FROM p
+       |                   UNION SELECT id2, id1 FROM p),
+       |d0 AS MATERIALIZED (SELECT p_partkey AS node, 0 AS h
+       |                    FROM part WHERE p_brand = 'Brand#1'),
+       |$rs
+       |SELECT node, h AS hops FROM d$rounds ORDER BY node""".stripMargin
+  }
+
+  /** Each round references the previous round's edge list THREE times
+    * (degree count + both endpoint re-filters); left to DuckDB's
+    * default CTE inlining that expands 3^rounds base scans, so every
+    * round is pinned with AS MATERIALIZED — the oracle-side analogue
+    * of the Spark side's per-round localCheckpoint.
+    */
+  private def kCoreSql(k: Int, rounds: Int): String = {
+    val rs = (1 to rounds).map { i =>
+      val prev = s"e${i - 1}"
+      s"""k$i AS MATERIALIZED (
+         |  SELECT a FROM (SELECT a, count(*) AS c FROM $prev GROUP BY a)
+         |  WHERE c >= $k),
+         |e$i AS MATERIALIZED (SELECT e.a, e.b FROM $prev e
+         |  JOIN k$i x ON e.a = x.a JOIN k$i y ON e.b = y.a)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH p AS (
+       |  SELECT 's' || l.l_suppkey AS a, 'c' || o.o_custkey AS b
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  GROUP BY 1, 2 HAVING count(*) >= 2),
+       |e0 AS MATERIALIZED (SELECT a, b FROM p UNION SELECT b, a FROM p),
+       |$rs
+       |SELECT a AS node, count(*) AS degree
+       |FROM e$rounds GROUP BY a HAVING count(*) >= $k ORDER BY node""".stripMargin
+  }
 
   private def labelPropagationSql(iters: Int): String = {
     val rounds = (1 to iters).map { i =>

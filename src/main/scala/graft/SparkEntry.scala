@@ -2598,6 +2598,114 @@ object SparkEntry {
     out
   }
 
+  // -------------------------------------------- round-14b ops
+
+  private def graphKcore(t: Tables): DataFrame = {
+    // k-core of the supplier<->customer shipment graph (an edge per
+    // pair with >= 2 line items shipped): the mutually-supported
+    // trading core. k=3 peels a genuine multi-round cascade at sf0.1
+    // (8110 -> 5842 edges over 8 rounds) while the smaller SFs hit
+    // their fixpoint in round 1 — both ends of the operator exercised
+    val p = t.lineitem
+      .join(t.orders, F.col("l_orderkey") === F.col("o_orderkey"))
+      .groupBy(F.concat(F.lit("s"), F.col("l_suppkey")).as("a"),
+        F.concat(F.lit("c"), F.col("o_custkey")).as("b"))
+      .agg(F.count(F.lit(1)).as("n"))
+      .where(F.col("n") >= 2)
+      .select("a", "b")
+    operators.Graph.kCore(p, k = 3, rounds = 8).orderBy("node")
+  }
+
+  private def graphBfs(t: Tables): DataFrame = {
+    // minimum hops from the Brand#1 parts over the co-order part
+    // graph (support >= 2), 4 bounded rounds — hop histograms are
+    // rich at every SF (0..2 at sf0.001, 0..4 at sf0.01/0.1);
+    // isolated seeds report hop 0 by the seeds-included contract
+    val op = t.lineitem.select(F.col("l_orderkey").as("ok"),
+      F.col("l_partkey").as("pk")).distinct().persist()
+    val pairs = op.as("x").join(op.as("y"),
+        F.col("x.ok") === F.col("y.ok") && F.col("x.pk") < F.col("y.pk"))
+      .groupBy(F.col("x.pk").as("a"), F.col("y.pk").as("b"))
+      .agg(F.count(F.lit(1)).as("cooc"))
+      .where(F.col("cooc") >= 2)
+      .select("a", "b")
+    val seeds = t.part.where(F.col("p_brand") === "Brand#1")
+      .select(F.col("p_partkey").as("node"))
+    // materialized by shortestHops' first pinned round, so the
+    // support frame can release before the (lazy) output is consumed
+    val out = operators.Graph.shortestHops(pairs, seeds, rounds = 4)
+      .orderBy("node")
+    op.unpersist()
+    out
+  }
+
+  private def erResolve(t: Tables): DataFrame = {
+    // record linkage against a deterministic "dirty" second source:
+    // zero-runs collapsed in the name (Customer#000000123 ->
+    // Customer#0123), one record in seven missing. Blocks =
+    // (nation, segment); candidates score by RAW edit distance and
+    // resolve per-B by (lev asc, id_a asc) — integer keys only, no
+    // cross-engine float anywhere (the workflow's division-free rule)
+    val aSrc = t.customer.select(F.col("c_custkey").as("id_a"),
+      F.col("c_name").as("name_a"), F.col("c_nationkey").as("nat"),
+      F.col("c_mktsegment").as("seg"))
+    val bSrc = t.customer.where(F.col("c_custkey") % 7 =!= 3)
+      .select((F.col("c_custkey") + 1000000L).as("id_b"),
+        F.regexp_replace(F.col("c_name"), "0+", "0").as("name_b"),
+        F.col("c_nationkey").as("nat"), F.col("c_mktsegment").as("seg"))
+    harmonize.Linkage.linkByName(aSrc, bSrc, Seq("nat", "seg"),
+      "id_a", "name_a", "id_b", "name_b", maxDist = 6)
+      .orderBy("id_b")
+  }
+
+  private def mergeUpsert(t: Tables): DataFrame = {
+    // type-1 MERGE: a stale dim (customers with c_custkey % 5 == 2
+    // missing — their changes become genuine inserts) upserted from
+    // the 1997+ order stream. seq = o_orderkey (unique, so the
+    // latest-per-key compaction never relies on the tie-break);
+    // a customer whose latest event is a filled order on a %13 key
+    // is a tombstone; balances pass the raw parquet double through
+    // untouched (bit-equal cross-engine, no arithmetic)
+    val target = t.customer.where(F.col("c_custkey") % 5 =!= 2)
+      .select(F.col("c_custkey"), F.col("c_name"), F.col("c_mktsegment"),
+        F.col("c_acctbal"))
+    val changes = t.orders
+      .where(F.col("o_orderdate") >= ts("1997-01-01"))
+      .select(F.col("o_custkey").as("c_custkey"),
+        F.col("o_orderkey").as("seq"),
+        F.when(F.col("o_orderstatus") === "F" &&
+          F.col("o_custkey") % 13 === 0, F.lit("D"))
+          .otherwise(F.lit("U")).as("op"),
+        F.col("o_totalprice").as("c_acctbal"))
+    operators.Scd.mergeCdc(target, changes, "c_custkey", "seq", "op",
+      updateCols = Seq("c_acctbal"))
+      .orderBy("c_custkey")
+  }
+
+  private def profileUcc(t: Tables): DataFrame =
+    // key discovery over orders: one GROUPING SETS scan adjudicates
+    // all four candidate keys (o_orderkey IS one; o_custkey and
+    // (o_custkey, o_orderdate) are near-misses with max_dup 2 — the
+    // audit distinguishes "unique here" from "unique by construction")
+    harmonize.Profile.uniqueCombos(t.orders,
+      Seq(Seq("o_orderkey"), Seq("o_custkey"), Seq("o_orderdate"),
+        Seq("o_custkey", "o_orderdate")))
+      .orderBy("combo")
+
+  private def qCube(t: Tables): DataFrame =
+    // full CUBE: all four grouping levels of status x priority from
+    // one Expand+aggregate. Output types pinned cross-engine (the
+    // q_rollup convention): revenue decimal-summed then DOUBLE, gid
+    // from single-column grouping() bits this query orders itself
+    t.orders.cube(F.col("o_orderstatus"), F.col("o_orderpriority"))
+      .agg(F.count(F.lit(1)).as("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+          .cast("double").as("volume"),
+        (F.grouping(F.col("o_orderstatus")) * 2 +
+          F.grouping(F.col("o_orderpriority"))).cast("int").as("gid"))
+      .orderBy(F.col("gid"), F.col("o_orderstatus").asc_nulls_last,
+        F.col("o_orderpriority").asc_nulls_last)
+
   // -------------------------------------------- pipeline ops (r13b)
 
   private def qRollup(t: Tables): DataFrame =
@@ -2964,6 +3072,12 @@ object SparkEntry {
       "graph_pagerank" -> q(graphPagerank),
       "graph_components" -> q(graphComponents),
       "graph_communities" -> q(graphCommunities),
+      "graph_kcore" -> q(graphKcore),
+      "graph_bfs" -> q(graphBfs),
+      "er_resolve" -> q(erResolve),
+      "merge_upsert" -> q(mergeUpsert),
+      "profile_ucc" -> q(profileUcc),
+      "q_cube" -> q(qCube),
       "graph_degree" -> q(graphDegree),
       "graph_triangles" -> q(graphTriangles),
       "text_keywords" -> q(textKeywords),

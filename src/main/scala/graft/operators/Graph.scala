@@ -177,6 +177,83 @@ object Graph {
     labels.select(F.col("node"), F.col("lbl").as("community"))
   }
 
+  /** k-core decomposition by synchronous peeling (Seidman, Social
+    * Networks 1983; the distributed fixed-round formulation follows
+    * Montresor et al. ICDCS'13's message-passing shape): repeatedly
+    * delete every node whose degree in the SURVIVING subgraph is
+    * below k, a FIXED `rounds` times — fixed rounds rather than a
+    * convergence test keep the job count static and the result a pure
+    * function of the input (the twin replays the same rounds; on a
+    * converged graph extra rounds are no-ops, and on a still-shrinking
+    * one both sides truncate identically).
+    *
+    * pairs: undirected (a, b). Each round is one degree count (groupBy
+    * over the surviving edges) + two semi-joins re-filtering the edge
+    * list to kept endpoints — the edge list only ever SHRINKS, so
+    * per-round cost is bounded by the previous round's |E|. Per-round
+    * lineage pinning via checkpoint/localCheckpoint (the pageRank
+    * fix). Returns (node, degree) for nodes whose final-subgraph
+    * degree is still ≥ k — their degree in the k-core. |V_core| rows,
+    * unordered.
+    */
+  def kCore(pairs: DataFrame, k: Int, rounds: Int = 8): DataFrame = {
+    require(k >= 1 && rounds >= 1, "k and rounds must be positive")
+    def pin(df: DataFrame): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint(true)
+    def degrees(e: DataFrame): DataFrame =
+      e.groupBy(F.col("a")).agg(F.count(F.lit(1)).as("deg"))
+    var e = pin(pairs.select(F.col("a"), F.col("b"))
+      .unionAll(pairs.select(F.col("b").as("a"), F.col("a").as("b")))
+      .distinct())
+    for (_ <- 1 to rounds) {
+      val keep = degrees(e).where(F.col("deg") >= k).select(F.col("a").as("n"))
+      val next = pin(e
+        .join(keep, F.col("a") === F.col("n"), "left_semi")
+        .join(keep, F.col("b") === F.col("n"), "left_semi"))
+      e = next
+    }
+    degrees(e).where(F.col("deg") >= k)
+      .select(F.col("a").as("node"), F.col("deg").as("degree"))
+  }
+
+  /** Multi-source BFS: minimum hop count from a seed set over an
+    * undirected pair list, bounded to a FIXED round budget (hop
+    * distances > rounds report as unreached — the bounded-frontier
+    * contract; fixed rounds keep the job count static and the twin
+    * replays the same rounds). Seeds with no edges still report
+    * hop 0 — distance-from-seed-set includes the seeds.
+    *
+    * Scale: per round one (frontier ⋈ edges → groupBy min) — the
+    * message-passing join again; the distance table is |reached|
+    * narrow rows. The union references the previous round twice, so
+    * every round is lineage-pinned (checkpoint/localCheckpoint —
+    * plain persist doubles the logical plan per round). Returns
+    * (node, hops) for reached nodes, unordered.
+    */
+  def shortestHops(pairs: DataFrame, sources: DataFrame,
+                   rounds: Int = 4): DataFrame = {
+    require(rounds >= 1, "at least one round")
+    def pin(df: DataFrame): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint(true)
+    val e = pairs.select(F.col("a"), F.col("b"))
+      .unionAll(pairs.select(F.col("b").as("a"), F.col("a").as("b")))
+      .distinct().persist()
+    var dist = pin(sources.select(F.col("node")).distinct()
+      .withColumn("h", F.lit(0)))
+    for (_ <- 1 to rounds) {
+      val next = pin(dist
+        .unionAll(dist
+          .join(e, dist("node") === e("a"))
+          .select(e("b").as("node"), (dist("h") + F.lit(1)).as("h")))
+        .groupBy("node").agg(F.min("h").as("h")))
+      dist = next
+    }
+    e.unpersist()
+    dist.select(F.col("node"), F.col("h").as("hops"))
+  }
+
   /** Degree-ordered orientation of an undirected canonical pair list
     * (a < b): each edge is re-pointed from its LOWER-ranked endpoint
     * to its higher-ranked one under the total order (degree, node) —

@@ -145,6 +145,77 @@ object Scd {
     w.start()
   }
 
+  /** Type-1 MERGE (upsert + delete) from a CDC-style changeset — the
+    * overwrite-in-place sibling of [[scd2Apply]] (Kimball type 1: no
+    * history, latest value wins). `changes` carries (key, seqCol,
+    * opCol, updateCols…): multiple events per key are compacted to
+    * the LATEST by (seqCol desc, opCol desc) — the opCol tie-break is
+    * a total order, and since 'U' > 'D' lexically an upsert wins a
+    * same-seq tie with a delete (documented contract; feed
+    * unambiguous sequence numbers to avoid relying on it).
+    *
+    *  - latest op = 'D'  → the target row is deleted;
+    *  - latest op upsert, key in target → updateCols overwrite, all
+    *    other target columns keep their values;
+    *  - latest op upsert, key absent   → insert; non-update target
+    *    columns are null (the caller backfills or the changeset
+    *    carries the full width).
+    *
+    * Scale: one window over the changeset (per-load batch, small by
+    * contract) + ONE full-outer equi-join on the key — untouched
+    * target rows move once, no second pass, no global sort. The
+    * output column set and order equal the target's.
+    */
+  def mergeCdc(target: DataFrame, changes: DataFrame, keyCol: String,
+               seqCol: String, opCol: String,
+               updateCols: Seq[String]): DataFrame = {
+    require(updateCols.nonEmpty, "at least one updated column")
+    val wk = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy(F.col(seqCol).desc, F.col(opCol).desc)
+    val latest = changes
+      .select(F.col(keyCol) +: F.col(seqCol) +: F.col(opCol) +:
+        updateCols.map(c => F.col(c).as(s"__new_$c")): _*)
+      .withColumn("__rk", F.row_number().over(wk))
+      .where(F.col("__rk") === 1)
+      .drop("__rk", seqCol)
+    target.join(latest, Seq(keyCol), "full")
+      .where(F.col(opCol).isNull || F.col(opCol) =!= "D")
+      .select(target.columns.map { c =>
+        if (updateCols.contains(c))
+          F.coalesce(F.col(s"__new_$c"), F.col(c)).as(c)
+        else F.col(c)
+      }.toSeq: _*)
+  }
+
+  /** Continuous type-1 maintenance: apply each micro-batch of CDC
+    * events to the flat table at `root` (a [[graft.sources.Versioned]]
+    * table) through [[mergeCdc]] — the streaming twin of the
+    * merge_upsert path, same commit discipline as [[scd2Ingest]]:
+    * read the CURRENT committed snapshot, merge, commit a NEW version
+    * atomically (in-flight readers keep their snapshot; a crash
+    * mid-write leaves an invisible partial dir; replayed batches
+    * re-merge idempotently at the version level). Intra-batch event
+    * ordering is mergeCdc's latest-per-(key, seq) compaction.
+    */
+  def scd1Ingest(changes: DataFrame, root: String, keyCol: String,
+                 seqCol: String, opCol: String, updateCols: Seq[String],
+                 checkpointDir: Option[String] = None)
+                (onBatch: (Long, Long) => Unit = (_, _) => ())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = changes.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val dim = graft.sources.Versioned.read(spark, root)
+          val merged = mergeCdc(dim, batch, keyCol, seqCol, opCol, updateCols)
+          val v = graft.sources.Versioned.commit(merged, root)
+          onBatch(batchId, v)
+        }
+      }
+    checkpointDir.foreach(d => w.option("checkpointLocation", d))
+    w.start()
+  }
+
   /** Wrap a flat table as the initial versioned dimension: every row
     * one open version effective from `fromUs`.
     */

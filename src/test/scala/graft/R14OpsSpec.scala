@@ -269,4 +269,118 @@ class R14OpsSpec extends SparkSpec {
     assert(spark.sparkContext.getPersistentRDDs.size == before,
       "released inclusion pin must not accumulate")
   }
+
+  test("kCore: clique survives with its degree, pendant chain peels over rounds") {
+    import graft.operators.Graph
+    // 4-clique {1,2,3,4} with a pendant chain 4-5-6: the chain needs
+    // MULTIPLE rounds to peel under k=2 (6 drops in round 1, exposing
+    // 5, which drops in round 2) — a one-round implementation fails
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("a", "b")
+    val got = Graph.kCore(edges, k = 2, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), s"$got")
+    // k above the max degree: everything peels, empty core
+    assert(Graph.kCore(edges, k = 4, rounds = 4).count() == 0)
+  }
+
+  test("linkByName: per-B integer argmax, unlinked B dropped, blocking respected") {
+    import graft.harmonize.Linkage
+    val a = Seq((1L, "alpha", "x"), (2L, "alphA", "x"), (3L, "alpha", "y"))
+      .toDF("id_a", "name_a", "blk")
+    val b = Seq((10L, "alpha", "x"),   // ties ids 1,2 at lev 0/1 -> id 1
+                (11L, "zzzzzzzz", "x"), // nothing within maxDist -> dropped
+                (12L, "alpha", "z"))    // no block partner -> dropped
+      .toDF("id_b", "name_b", "blk")
+    val got = Linkage.linkByName(a, b, Seq("blk"),
+      "id_a", "name_a", "id_b", "name_b", maxDist = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2), r.getLong(3))))
+      .toMap
+    assert(got == Map(10L -> ((1L, 0, 2))), s"$got")
+    intercept[IllegalArgumentException] {
+      Linkage.linkByName(a, b, Seq(), "id_a", "name_a", "id_b", "name_b", 2)
+    }
+  }
+
+  test("mergeCdc: update, insert, delete, and latest-per-key compaction in one pass") {
+    import graft.operators.Scd
+    val target = Seq((1L, "n1", 10.0), (2L, "n2", 20.0), (3L, "n3", 30.0))
+      .toDF("k", "name", "bal")
+    val changes = Seq(
+      (1L, 5L, "U", 11.0), (1L, 9L, "U", 12.0),  // compaction: seq 9 wins
+      (2L, 7L, "D", 0.0),                        // delete
+      (9L, 3L, "U", 99.0)                        // insert (unknown key)
+    ).toDF("k", "seq", "op", "bal")
+    val got = Scd.mergeCdc(target, changes, "k", "seq", "op", Seq("bal"))
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.getString(1)), r.getDouble(2)))).toMap
+    assert(got == Map(
+      1L -> ((Some("n1"), 12.0)),   // updated to the LATEST change
+      3L -> ((Some("n3"), 30.0)),   // untouched
+      9L -> ((None, 99.0))          // inserted, non-update cols null
+    ), s"$got")
+  }
+
+  test("shortestHops: min-hop labels on a path, isolated seed reports 0, budget bounds reach") {
+    import graft.operators.Graph
+    // path 1-2-3-4-5 plus isolated seed 99 (no edges)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val seeds = Seq(1L, 99L).toDF("node")
+    val got = Graph.shortestHops(edges, seeds, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // rounds = 2: node 4 (hop 3) and 5 (hop 4) are beyond the budget
+    assert(got == Map(1L -> 0, 2L -> 1, 3L -> 2, 99L -> 0), s"$got")
+    val full = Graph.shortestHops(edges, seeds, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(full == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3, 5L -> 4, 99L -> 0))
+  }
+
+  test("scd1Ingest: streaming batches merge type-1 through versioned commits") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.sources.Versioned
+    import graft.operators.Scd
+    implicit val sq = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("scd1s").toString + "/dim"
+    Versioned.commit(Seq((1L, "n1", 10.0), (2L, "n2", 20.0))
+      .toDF("k", "name", "bal"), root)
+    val versions = scala.collection.mutable.Map[Long, Long]()
+    val stream = MemoryStream[(Long, Long, String, Double)]
+    val q = Scd.scd1Ingest(
+      stream.toDF().toDF("k", "seq", "op", "bal"), root,
+      "k", "seq", "op", Seq("bal"),
+      checkpointDir = Some(java.nio.file.Files
+        .createTempDirectory("scd1s_ckpt").toString)) { (b, v) =>
+      versions.synchronized { versions(b) = v }
+    }
+    try {
+      // batch 0: update k=1 twice (seq 9 wins) and insert k=9
+      stream.addData((1L, 5L, "U", 11.0), (1L, 9L, "U", 12.0), (9L, 3L, "U", 99.0))
+      q.processAllAvailable()
+      // batch 1: delete k=2
+      stream.addData((2L, 12L, "D", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(versions.toMap == Map(0L -> 2L, 1L -> 3L))
+    val fin = Versioned.read(spark, root)
+      .collect().map(r => (r.getLong(0),
+        Option(r.getString(1)), r.getDouble(2))).toSet
+    assert(fin == Set((1L, Some("n1"), 12.0), (9L, None, 99.0)), s"$fin")
+  }
+
+  test("uniqueCombos: key detection and NULLs grouping as values") {
+    import graft.harmonize.Profile
+    val df = Seq(
+      (1L, Option("a"), "p"), (2L, Option("a"), "q"),
+      (3L, None: Option[String], "p"), (4L, None, "q"))
+      .toDF("id", "grp", "tag")
+    val got = Profile.uniqueCombos(df,
+      Seq(Seq("id"), Seq("grp"), Seq("grp", "tag")))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3), r.getLong(4)))).toMap
+    assert(got("id") == ((4L, 1L, true, 4L)))
+    // two NULL grp rows form ONE duplicate group -> non-unique
+    assert(got("grp") == ((2L, 2L, false, 4L)), s"${got("grp")}")
+    // (grp, tag) separates them -> unique, NULL grouping as a value
+    assert(got("grp+tag") == ((4L, 1L, true, 4L)))
+  }
 }
