@@ -3396,6 +3396,22 @@ object OracleSql {
     // each round = frontier-edge expansion unioned in, min per node
     "graph_bfs" -> bfsSql(rounds = 4),
 
+    // DuckDB's IEJoin handles the raw inequality overlap directly —
+    // the grid machinery is the Spark side's scale path, the PAIRS
+    // are the contract
+    "interval_join" ->
+      """WITH a AS (SELECT event_id AS a_id, user_id, epoch_us(ts) AS a_s,
+        |                  epoch_us(ts) + 1800000000 AS a_e
+        |           FROM events WHERE event_type = 'error'),
+        |b AS (SELECT event_id AS b_id, user_id, epoch_us(ts) AS b_s,
+        |             epoch_us(ts) + 600000000 AS b_e
+        |      FROM events WHERE event_type = 'view')
+        |SELECT a_id, b_id,
+        |       least(a_e, b_e) - greatest(a_s, b_s) AS overlap_us
+        |FROM a JOIN b ON a.user_id = b.user_id
+        |               AND a.a_s < b.b_e AND b.b_s < a.a_e
+        |ORDER BY a_id, b_id""".stripMargin,
+
     "er_resolve" ->
       """WITH a AS (SELECT c_custkey AS id_a, c_name AS name_a,
         |                  c_nationkey AS nat, c_mktsegment AS seg FROM customer),

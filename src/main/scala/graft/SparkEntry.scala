@@ -2639,6 +2639,28 @@ object SparkEntry {
     out
   }
 
+  private def intervalJoin(t: Tables): DataFrame =
+    // interval x interval overlap: per-user error windows [ts, +30 m)
+    // against view windows [ts, +10 m) — grid cells at 15 m so each
+    // side replicates <= 3x; one (user, cell) equi-join, pairs deduped
+    // at their canonical cell (no distinct shuffle); exact integer
+    // microsecond arithmetic end to end
+    operators.RangeJoin.intervalOverlap(
+      t.events.where(F.col("event_type") === "error")
+        .select(F.col("event_id").as("a_id"), F.col("user_id"),
+          usOf(F.col("ts")).as("a_s"),
+          (usOf(F.col("ts")) + F.lit(1800000000L)).as("a_e")),
+      t.events.where(F.col("event_type") === "view")
+        .select(F.col("event_id").as("b_id"), F.col("user_id"),
+          usOf(F.col("ts")).as("b_s"),
+          (usOf(F.col("ts")) + F.lit(600000000L)).as("b_e")),
+      key = "user_id", ls = "a_s", le = "a_e", rs = "b_s", re = "b_e",
+      widthUs = 900000000L)
+      .select(F.col("a_id"), F.col("b_id"),
+        (F.least(F.col("a_e"), F.col("b_e")) -
+          F.greatest(F.col("a_s"), F.col("b_s"))).as("overlap_us"))
+      .orderBy("a_id", "b_id")
+
   private def erResolve(t: Tables): DataFrame = {
     // record linkage against a deterministic "dirty" second source:
     // zero-runs collapsed in the name (Customer#000000123 ->
@@ -3074,6 +3096,7 @@ object SparkEntry {
       "graph_communities" -> q(graphCommunities),
       "graph_kcore" -> q(graphKcore),
       "graph_bfs" -> q(graphBfs),
+      "interval_join" -> q(intervalJoin),
       "er_resolve" -> q(erResolve),
       "merge_upsert" -> q(mergeUpsert),
       "profile_ucc" -> q(profileUcc),

@@ -41,4 +41,38 @@ object RangeJoin {
         F.col(rightTime) <= F.col(leftTime) + F.lit(afterUs))
       .drop("_bucket")
   }
+
+  /** INTERVAL × INTERVAL overlap join: pair left and right rows
+    * sharing `key` whose HALF-OPEN intervals [ls, le) and [rs, re)
+    * intersect (ls < re && rs < le) — [[timeRange]]'s general form
+    * (there the right side is a point; here both sides have extent).
+    *
+    * Both sides explode to the fixed-width grid cells their interval
+    * covers, and the join is an equi-join on (key, cell) with the
+    * exact overlap as a residual filter. An overlapping pair shares
+    * MANY cells; rather than a distinct (a full extra shuffle of the
+    * result), each pair is emitted exactly once at its canonical
+    * cell — the LATER of the two start cells, a cell every
+    * overlapping pair provably shares (the standard grid-join dedup).
+    *
+    * Cost: each row replicates by ceil(len/width) — pick widthUs near
+    * the typical interval length so the factor is a small constant;
+    * candidates are bounded by per-(key, cell) density, never |L|·|R|.
+    * Columns `ls`/`le`/`rs`/`re` are epoch-microsecond longs and must
+    * be distinct names across the two sides.
+    */
+  def intervalOverlap(left: DataFrame, right: DataFrame, key: String,
+                      ls: String, le: String, rs: String, re: String,
+                      widthUs: Long): DataFrame = {
+    require(widthUs >= 1, "positive grid width")
+    def cellOf(c: Column): Column = F.floor(c / F.lit(widthUs))
+    val l = left.withColumn("_cell",
+      F.explode(F.sequence(cellOf(F.col(ls)), cellOf(F.col(le) - 1))))
+    val r = right.withColumn("_cell",
+      F.explode(F.sequence(cellOf(F.col(rs)), cellOf(F.col(re) - 1))))
+    l.join(r, Seq(key, "_cell"))
+      .where(F.col(ls) < F.col(re) && F.col(rs) < F.col(le) &&
+        F.col("_cell") === F.greatest(cellOf(F.col(ls)), cellOf(F.col(rs))))
+      .drop("_cell")
+  }
 }

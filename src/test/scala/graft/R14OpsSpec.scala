@@ -367,6 +367,26 @@ class R14OpsSpec extends SparkSpec {
     assert(fin == Set((1L, Some("n1"), 12.0), (9L, None, 99.0)), s"$fin")
   }
 
+  test("intervalOverlap: exact pairs once each, invariant to grid width") {
+    import graft.operators.RangeJoin
+    val l = Seq((1L, "k", 0L, 100L), (2L, "k", 50L, 60L), (3L, "k", 200L, 300L),
+      (4L, "z", 0L, 100L))
+      .toDF("a_id", "key", "a_s", "a_e")
+    val r = Seq((10L, "k", 90L, 210L), (11L, "k", 100L, 150L), (12L, "z", 400L, 500L))
+      .toDF("b_id", "key", "b_s", "b_e")
+    // half-open truth: (1,10) overlap [90,100); (3,10) [200,210);
+    // 1-11 touch at 100 but [0,100) ∩ [100,150) = ∅; z-key pair disjoint
+    val expected = Set((1L, 10L), (3L, 10L))
+    for (w <- Seq(7L, 64L, 1000L)) {
+      val got = RangeJoin.intervalOverlap(l, r, "key",
+        "a_s", "a_e", "b_s", "b_e", widthUs = w)
+        .select("a_id", "b_id")
+        .collect().map(row => (row.getLong(0), row.getLong(1)))
+      assert(got.length == got.distinct.length, s"width $w emitted duplicates")
+      assert(got.toSet == expected, s"width $w: ${got.toSet}")
+    }
+  }
+
   test("uniqueCombos: key detection and NULLs grouping as values") {
     import graft.harmonize.Profile
     val df = Seq(
