@@ -3396,6 +3396,16 @@ object OracleSql {
     // each round = frontier-edge expansion unioned in, min per node
     "graph_bfs" -> bfsSql(rounds = 4),
 
+    // the bloom prefilter must be INVISIBLE in the result: the oracle
+    // is the plain join (false positives fall out at the join)
+    "q_bloom_prefilter" ->
+      """SELECT l_suppkey AS s_suppkey, s_name, count(*) AS n_items,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+        |         AS revenue
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE s_nationkey = 3
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+
     // DuckDB's IEJoin handles the raw inequality overlap directly —
     // the grid machinery is the Spark side's scale path, the PAIRS
     // are the contract

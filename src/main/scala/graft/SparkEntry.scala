@@ -2661,6 +2661,23 @@ object SparkEntry {
           F.greatest(F.col("a_s"), F.col("b_s"))).as("overlap_us"))
       .orderBy("a_id", "b_id")
 
+  private def qBloomPrefilter(t: Tables): DataFrame =
+    // semi-join reduction: lineitem probes a bloom of nation-3
+    // suppliers' keys BEFORE the join shuffle — ~96% of probe rows
+    // never leave their input partition; exactly the plain join's
+    // result (false positives fall out at the join, gated here)
+    operators.BloomJoin.prefilteredJoin(
+      t.lineitem.select(F.col("l_suppkey").as("s_suppkey"),
+        F.col("l_extendedprice")),
+      t.supplier.where(F.col("s_nationkey") === 3)
+        .select(F.col("s_suppkey"), F.col("s_name")),
+      key = "s_suppkey")
+      .groupBy("s_suppkey", "s_name")
+      .agg(F.count(F.lit(1)).as("n_items"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,6)"))
+          .cast("double").as("revenue"))
+      .orderBy("s_suppkey")
+
   private def erResolve(t: Tables): DataFrame = {
     // record linkage against a deterministic "dirty" second source:
     // zero-runs collapsed in the name (Customer#000000123 ->
@@ -3097,6 +3114,7 @@ object SparkEntry {
       "graph_kcore" -> q(graphKcore),
       "graph_bfs" -> q(graphBfs),
       "interval_join" -> q(intervalJoin),
+      "q_bloom_prefilter" -> q(qBloomPrefilter),
       "er_resolve" -> q(erResolve),
       "merge_upsert" -> q(mergeUpsert),
       "profile_ucc" -> q(profileUcc),

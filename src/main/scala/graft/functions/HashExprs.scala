@@ -42,6 +42,12 @@ object HashExprs {
   def indelSim(a: Column, b: Column): Column =
     Bridge.column(IndelSim(Bridge.expression(a), Bridge.expression(b)))
 
+  /** Bloom-filter membership probe for a long key (the semi-join
+    * reduction predicate — see [[graft.operators.BloomJoin]]).
+    */
+  def mightContainLong(key: Column, bloomBytes: Array[Byte]): Column =
+    Bridge.column(MightContainLong(Bridge.expression(key), bloomBytes))
+
   /** Cosine similarity of two float/double array columns. */
   def cosineSim(a: Column, b: Column): Column =
     Bridge.column(CosineSim(Bridge.expression(a), Bridge.expression(b)))
@@ -907,5 +913,32 @@ case class SumTokenChars(child: Expression)
   }
 
   override protected def withNewChildInternal(newChild: Expression): SumTokenChars =
+    copy(child = newChild)
+}
+
+/** Membership probe of a LONG key against a driver-built Bloom filter
+  * (org.apache.spark.util.sketch.BloomFilter bytes). The serialized
+  * filter rides in the generated code as a plan reference — at
+  * cluster scale it ships once per executor with the task closure —
+  * and deserializes once per JVM via the transient lazy. False
+  * positives only (never drops a real match), codegen'd, stays inside
+  * whole-stage pipelines.
+  */
+case class MightContainLong(child: Expression, bloomBytes: Array[Byte])
+    extends UnaryExpression with UnaryKernelCodegen {
+  require(bloomBytes.nonEmpty, "empty bloom filter bytes")
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "might_contain_long"
+
+  @transient private lazy val bloom =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bloomBytes))
+
+  override def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[Long])
+
+  def kernel(x: Long): Boolean = bloom.mightContainLong(x)
+
+  override protected def withNewChildInternal(newChild: Expression): MightContainLong =
     copy(child = newChild)
 }

@@ -480,6 +480,37 @@ object Events {
         F.expr(s"c_user = p_user AND conv_ts >= click_ts AND " +
           s"conv_ts <= click_ts + interval $maxGap"))
 
+  /** Streaming twin of [[graft.operators.RangeJoin.intervalOverlap]]
+    * for event-anchored windows: the overlap of [a_ts, a_ts+aLen) and
+    * [b_ts, b_ts+bLen) is algebraically a TIME-RANGE condition on the
+    * two event times (a_ts − bLen < b_ts < a_ts + aLen), so the
+    * watermarked stream-stream equi-join covers it with bounded state
+    * — no grid needed: the engine's range-join state eviction plays
+    * the grid's role. Emits each overlapping pair once with its exact
+    * integer-µs overlap length, as soon as both sides arrive (append
+    * mode); state for either side evicts past watermark + window.
+    */
+  def streamIntervalOverlap(a: DataFrame, b: DataFrame,
+                            aLenUs: Long, bLenUs: Long,
+                            watermark: String = "1 hour"): DataFrame = {
+    require(aLenUs > 0 && bLenUs > 0, "positive window lengths")
+    val aa = a.select(F.col("event_id").as("a_id"),
+        F.col("user_id").as("a_user"), F.col("ts").as("a_ts"))
+      .withWatermark("a_ts", watermark)
+    val bb = b.select(F.col("event_id").as("b_id"),
+        F.col("user_id").as("b_user"), F.col("ts").as("b_ts"))
+      .withWatermark("b_ts", watermark)
+    aa.join(bb, F.expr(
+        s"a_user = b_user AND " +
+          s"b_ts > a_ts - interval $bLenUs microseconds AND " +
+          s"b_ts < a_ts + interval $aLenUs microseconds"))
+      .select(F.col("a_id"), F.col("b_id"),
+        (F.least(F.unix_micros(F.col("a_ts")) + F.lit(aLenUs),
+          F.unix_micros(F.col("b_ts")) + F.lit(bLenUs)) -
+          F.greatest(F.unix_micros(F.col("a_ts")),
+            F.unix_micros(F.col("b_ts")))).as("overlap_us"))
+  }
+
   private def attrClicks(clicks: DataFrame): DataFrame =
     clicks.select(F.col("user_id").as("c_user"),
       F.col("ts").as("click_ts"), F.col("event_id").as("click_id"))

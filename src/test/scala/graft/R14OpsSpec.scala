@@ -387,6 +387,74 @@ class R14OpsSpec extends SparkSpec {
     }
   }
 
+  test("prefilteredJoin: equals the plain join, probe rows drop before the shuffle") {
+    import graft.operators.BloomJoin
+    import graft.functions.HashExprs
+    val big = (0L until 10000L).map(i => (i % 500, i)).toDF("k", "payload")
+    val small = Seq((3L, "a"), (7L, "b"), (490L, "c")).toDF("k", "name")
+    val got = BloomJoin.prefilteredJoin(big, small, "k")
+      .select("k", "payload", "name")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val plain = big.join(small, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got == plain && got.size == 60, s"${got.size} vs ${plain.size}")
+    // the predicate itself drops (most of) the non-matching probe rows
+    // BEFORE any join: 60 true rows survive plus at most a few false
+    // positives at fpp 0.01
+    val bloom = small.stat.bloomFilter("k", 3, 0.01)
+    val bos = new java.io.ByteArrayOutputStream(); bloom.writeTo(bos)
+    val kept = big.where(HashExprs.mightContainLong(F.col("k"), bos.toByteArray)).count()
+    assert(kept >= 60 && kept < 1000, s"prefilter kept $kept of 10000")
+  }
+
+  test("streamIntervalOverlap: watermarked stream-stream twin equals batch intervalOverlap") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.Events
+    import graft.operators.RangeJoin
+    implicit val sq = spark.sqlContext
+    val base = 1700000000000L // ms; away from the epoch watermark edge
+    def t(min: Long) = new java.sql.Timestamp(base + min * 60000L)
+    val aLen = 30L * 60000000L; val bLen = 10L * 60000000L
+    // user 1: error at 0 overlaps views at 5 (inside) and at -8
+    // (tail reaches 2 min in); view at 31 starts past the window.
+    // user 2's view only overlaps user 2's error
+    val errs = Seq((1L, t(0), 100L), (2L, t(40), 101L))
+    val views = Seq((1L, t(5), 200L), (1L, t(-8), 201L), (1L, t(31), 202L),
+      (2L, t(45), 203L))
+    val ab = errs.toDF("user_id", "ts", "event_id")
+    val bb = views.toDF("user_id", "ts", "event_id")
+    val batch = RangeJoin.intervalOverlap(
+      ab.select(F.col("event_id").as("a_id"), F.col("user_id"),
+        F.unix_micros(F.col("ts")).as("a_s"),
+        (F.unix_micros(F.col("ts")) + aLen).as("a_e")),
+      bb.select(F.col("event_id").as("b_id"), F.col("user_id"),
+        F.unix_micros(F.col("ts")).as("b_s"),
+        (F.unix_micros(F.col("ts")) + bLen).as("b_e")),
+      "user_id", "a_s", "a_e", "b_s", "b_e", widthUs = 15L * 60000000L)
+      .select(F.col("a_id"), F.col("b_id"),
+        (F.least(F.col("a_e"), F.col("b_e")) -
+          F.greatest(F.col("a_s"), F.col("b_s"))).as("overlap_us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(batch == Set((100L, 200L, 10L * 60000000L),
+      (100L, 201L, 2L * 60000000L), (101L, 203L, 10L * 60000000L)), s"$batch")
+    val as = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val bs = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val out = Events.streamIntervalOverlap(
+      as.toDF().toDF("user_id", "ts", "event_id"),
+      bs.toDF().toDF("user_id", "ts", "event_id"), aLen, bLen)
+    val q = out.writeStream.format("memory")
+      .queryName("stream_overlap").outputMode("append").start()
+    try {
+      as.addData(errs: _*)
+      q.processAllAvailable()
+      bs.addData(views: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("stream_overlap")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == batch, s"stream $got != batch $batch")
+  }
+
   test("uniqueCombos: key detection and NULLs grouping as values") {
     import graft.harmonize.Profile
     val df = Seq(
