@@ -3025,6 +3025,7 @@ object OracleSql {
     },
 
     "graph_pagerank" -> pageRankSql(iters = 5),
+    "graph_ppr" -> pprSql(iters = 5),
 
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
@@ -3605,6 +3606,54 @@ object OracleSql {
          |                      + CAST(dg$k.dang AS DOUBLE) / n), 12) AS DECIMAL(26,12)) AS rank
          |        FROM nd LEFT JOIN is$k ON nd.node = is$k.node
          |        CROSS JOIN dg$k CROSS JOIN nn)""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    s"""$base$rounds
+       |SELECT node, round(CAST(rank AS DOUBLE), 9) AS rank
+       |FROM r$iters ORDER BY rank DESC, node ASC LIMIT 20""".stripMargin
+  }
+
+  /** [[pageRankSql]]'s personalized variant: teleport and dangling
+    * mass return to the nation-3 supplier seed set (CASE on is_seed,
+    * divisor = |present seeds| as DOUBLE), mirroring
+    * Graph.personalizedPageRank's expression shape term for term.
+    */
+  private def pprSql(iters: Int): String = {
+    val base =
+      s"""WITH $shipmentEdgesCte,
+         |ow AS (SELECT src, sum(w) AS outw FROM e0 GROUP BY src),
+         |ew AS (SELECT e0.src, e0.dst, CAST(e0.w AS DOUBLE) / CAST(ow.outw AS DOUBLE) AS frac
+         |       FROM e0 JOIN ow ON e0.src = ow.src),
+         |nd0 AS (SELECT src AS node FROM e0 UNION SELECT dst AS node FROM e0),
+         |sd AS (SELECT DISTINCT concat('s', s_suppkey) AS node
+         |       FROM supplier WHERE s_nationkey = 3),
+         |nd AS (SELECT nd0.node, sd.node IS NOT NULL AS is_seed
+         |       FROM nd0 LEFT JOIN sd ON nd0.node = sd.node),
+         |ns AS (SELECT CAST(count(*) AS DOUBLE) AS s FROM nd WHERE is_seed),
+         |snk AS (SELECT node FROM nd0 WHERE node NOT IN (SELECT src FROM e0)),
+         |r0 AS (SELECT node,
+         |         CASE WHEN is_seed
+         |              THEN CAST(round(CAST(1.0 AS DOUBLE) / s, 12) AS DECIMAL(26,12))
+         |              ELSE CAST(0 AS DECIMAL(26,12)) END AS rank
+         |       FROM nd, ns)""".stripMargin
+    val rounds = (1 to iters).map { k =>
+      val prev = s"r${k - 1}"
+      s"""c$k AS (SELECT ew.dst AS node,
+         |        CAST(round(CAST(r.rank AS DOUBLE) * ew.frac, 12) AS DECIMAL(26,12)) AS c
+         |        FROM ew JOIN $prev r ON ew.src = r.node),
+         |is$k AS (SELECT node, sum(c) AS insum FROM c$k GROUP BY node),
+         |dg$k AS (SELECT coalesce(sum(r.rank), CAST(0 AS DECIMAL(26,12))) AS dang
+         |         FROM snk JOIN $prev r ON snk.node = r.node),
+         |r$k AS (SELECT nd.node,
+         |        CAST(round(CASE WHEN nd.is_seed
+         |                        THEN (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / s
+         |                        ELSE CAST(0 AS DOUBLE) END
+         |                   + CAST(0.85 AS DOUBLE) *
+         |                     (CAST(coalesce(is$k.insum, CAST(0 AS DECIMAL(38,12))) AS DOUBLE)
+         |                      + CASE WHEN nd.is_seed
+         |                             THEN CAST(dg$k.dang AS DOUBLE) / s
+         |                             ELSE CAST(0 AS DOUBLE) END), 12) AS DECIMAL(26,12)) AS rank
+         |        FROM nd LEFT JOIN is$k ON nd.node = is$k.node
+         |        CROSS JOIN dg$k CROSS JOIN ns)""".stripMargin
     }.mkString(",\n", ",\n", "")
     s"""$base$rounds
        |SELECT node, round(CAST(rank AS DOUBLE), 9) AS rank

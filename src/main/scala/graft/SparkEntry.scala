@@ -2535,6 +2535,19 @@ object SparkEntry {
       .orderBy(F.col("rank").desc, F.col("node").asc)
       .limit(20)
 
+  private def graphPpr(t: Tables): DataFrame =
+    // proximity to the nation-3 suppliers: teleport AND dangling mass
+    // return to the seed set, so rank is exactly 0 outside their
+    // reach; same fixed-round decimal machinery as graph_pagerank
+    operators.Graph.personalizedPageRank(shipmentEdges(t),
+      t.supplier.where(F.col("s_nationkey") === 3)
+        .select(F.concat(F.lit("s"), F.col("s_suppkey")).as("node")),
+      iters = 5)
+      .select(F.col("node"),
+        F.round(F.col("rank").cast("double"), 9).as("rank"))
+      .orderBy(F.col("rank").desc, F.col("node").asc)
+      .limit(20)
+
   private def graphDegree(t: Tables): DataFrame =
     operators.Graph.degreeDistribution(shipmentEdges(t))
       .orderBy("side", "degree")
@@ -3109,6 +3122,7 @@ object SparkEntry {
       "profile_correlation" -> q(profileCorrelation),
       "profile_histogram" -> q(profileHistogram),
       "graph_pagerank" -> q(graphPagerank),
+      "graph_ppr" -> q(graphPpr),
       "graph_components" -> q(graphComponents),
       "graph_communities" -> q(graphCommunities),
       "graph_kcore" -> q(graphKcore),

@@ -103,6 +103,78 @@ object Graph {
     ranks.select("node", "rank")
   }
 
+  /** Personalized PageRank (Page et al. '99 §6 — the proximity score
+    * behind seeded recommendation and related-entity search): teleport
+    * mass AND dangling mass return uniformly to a SEED set instead of
+    * to all nodes, so rank concentrates in the seeds' neighborhoods
+    * and is exactly 0 on nodes unreachable from them. Same
+    * deterministic machinery as [[pageRank]] — fixed rounds, 12dp
+    * decimal contribution accumulation (order-free groupBy sums),
+    * double affine update with a fixed expression shape, per-round
+    * lineage pinning. `seeds` is a (node) frame; seeds absent from
+    * the graph are ignored (|S| counts present seeds only). Returns
+    * (node, rank DECIMAL(26,12)), |V| rows, unordered.
+    */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+                           iters: Int = 5,
+                           damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, "at least one iteration")
+    def pin(df: DataFrame): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint(true)
+    val e = edges.select(F.col("src"), F.col("dst"), F.col("w").cast("long").as("w"))
+      .persist()
+    val outw = e.groupBy("src").agg(F.sum("w").as("outw"))
+    val ew = e.join(outw, "src")
+      .select(F.col("src"), F.col("dst"),
+        (F.col("w").cast("double") / F.col("outw").cast("double")).as("frac"))
+      .persist()
+    val nodes = e.select(F.col("src").as("node"))
+      .unionAll(e.select(F.col("dst").as("node")))
+      .distinct()
+      .join(outw.select(F.col("src").as("node"), F.lit(false).as("__src")),
+        Seq("node"), "left")
+      .join(seeds.select(F.col("node")).distinct()
+        .withColumn("__seed", F.lit(true)), Seq("node"), "left")
+      .select(F.col("node"),
+        F.coalesce(F.col("__src"), F.lit(true)).as("is_sink"),
+        F.coalesce(F.col("__seed"), F.lit(false)).as("is_seed"))
+      .persist()
+    val s = nodes.where(F.col("is_seed")).count()
+    require(s > 0, "personalizedPageRank: no seed present in the graph")
+    var ranks = pin(nodes.select(F.col("node"), F.col("is_sink"), F.col("is_seed"),
+      F.when(F.col("is_seed"), F.round(F.lit(1.0 / s), 12))
+        .otherwise(F.lit(0.0)).cast("decimal(26,12)").as("rank")))
+    for (_ <- 1 to iters) {
+      val contrib = ew.join(
+          ranks.select(F.col("node").as("src"), F.col("rank")), "src")
+        .select(F.col("dst").as("node"),
+          F.round(F.col("rank").cast("double") * F.col("frac"), 12)
+            .cast("decimal(26,12)").as("c"))
+      val inSum = contrib.groupBy("node").agg(F.sum("c").as("insum"))
+      val dang = ranks.where(F.col("is_sink"))
+        .agg(F.coalesce(F.sum("rank"), F.lit(0).cast("decimal(26,12)"))
+          .as("dang"))
+      val next = pin(nodes.join(inSum, Seq("node"), "left")
+        .crossJoin(F.broadcast(dang))
+        .select(F.col("node"), F.col("is_sink"), F.col("is_seed"),
+          F.round(
+            F.when(F.col("is_seed"), F.lit((1.0 - damping) / s))
+              .otherwise(F.lit(0.0)) +
+              F.lit(damping) *
+                (F.coalesce(F.col("insum"), F.lit(0).cast("decimal(36,12)"))
+                  .cast("double") +
+                  F.when(F.col("is_seed"),
+                    F.col("dang").cast("double") / F.lit(s.toDouble))
+                    .otherwise(F.lit(0.0))), 12)
+            .cast("decimal(26,12)").as("rank")))
+      ranks.unpersist()
+      ranks = next
+    }
+    e.unpersist(); ew.unpersist(); nodes.unpersist()
+    ranks.select("node", "rank")
+  }
+
   /** Degree distribution of a directed edge list: for each side
     * (out = per-src, in = per-dst), how many nodes have each degree.
     * Two narrow aggregations — degree per node, then node count per

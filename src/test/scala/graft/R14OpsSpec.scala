@@ -455,6 +455,25 @@ class R14OpsSpec extends SparkSpec {
     assert(got == batch, s"stream $got != batch $batch")
   }
 
+  test("personalizedPageRank: zero outside the seed's reach, mass conserved") {
+    import graft.operators.Graph
+    // chain a->b->c reachable from seed a; x->y disconnected
+    val edges = Seq(("a", "b", 1L), ("b", "c", 1L), ("x", "y", 1L))
+      .toDF("src", "dst", "w")
+    val seeds = Seq("a").toDF("node")
+    val got = Graph.personalizedPageRank(edges, seeds, iters = 5)
+      .collect().map(r => r.getString(0) ->
+        r.getDecimal(1).doubleValue()).toMap
+    assert(got("x") == 0.0 && got("y") == 0.0, s"$got")
+    assert(got("a") > 0.0 && got("b") > 0.0 && got("c") > 0.0, s"$got")
+    // teleport + dangling both return to the seed set: total mass 1
+    assert(math.abs(got.values.sum - 1.0) < 1e-6, s"mass ${got.values.sum}")
+    // a seed with no presence in the graph is refused
+    intercept[IllegalArgumentException] {
+      Graph.personalizedPageRank(edges, Seq("zzz").toDF("node")).collect()
+    }
+  }
+
   test("uniqueCombos: key detection and NULLs grouping as values") {
     import graft.harmonize.Profile
     val df = Seq(
