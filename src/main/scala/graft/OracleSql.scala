@@ -2541,6 +2541,19 @@ object OracleSql {
         |FROM dau JOIN wau ON dau.day_us = wau.day_us
         |ORDER BY dau.day_us""".stripMargin,
 
+    // sketch gate: exact dau/wau are compared, the ok booleans are
+    // literal-true (the profile_distinct_sketch convention)
+    "events_rolling_users_approx" ->
+      """WITH ud AS (SELECT DISTINCT epoch_us(ts) - epoch_us(ts) % 86400000000 AS day_us,
+        |                   user_id FROM events),
+        |dau AS (SELECT day_us, count(DISTINCT user_id) AS dau FROM ud GROUP BY 1),
+        |fan AS (SELECT day_us + CAST(k AS BIGINT) * 86400000000 AS day_us, user_id
+        |        FROM ud CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS k)),
+        |wau AS (SELECT day_us, count(DISTINCT user_id) AS wau FROM fan GROUP BY 1)
+        |SELECT dau.day_us, dau.dau, wau.wau, TRUE AS dau_ok, TRUE AS wau_ok
+        |FROM dau JOIN wau ON dau.day_us = wau.day_us
+        |ORDER BY dau.day_us""".stripMargin,
+
     "events_retention" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
         |c AS (SELECT user_id,

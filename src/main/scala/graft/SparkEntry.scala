@@ -2130,6 +2130,13 @@ object SparkEntry {
     Events.rollingActiveUsers(t.events, windowDays = 7)
       .orderBy("day_us")
 
+  private def eventsRollingUsersApprox(t: Tables): DataFrame =
+    // the sketch path for the rolling distinct (per-day HLL sketches,
+    // trailing union — rolling cost independent of user cardinality),
+    // gated within 5% of the exact dau/wau per day
+    Events.rollingActiveUsersSketchGate(t.events, windowDays = 7, tolPct = 5)
+      .orderBy("day_us")
+
   private def eventsSliding(t: Tables): DataFrame =
     // 1h windows sliding by 15min: every event lands in exactly 4
     // windows (epoch-aligned starts); the twin replays the explode as
@@ -3102,6 +3109,7 @@ object SparkEntry {
       "events_window_agg" -> q(eventsWindowAgg),
       "events_sliding" -> q(eventsSliding),
       "events_rolling_users" -> q(eventsRollingUsers),
+      "events_rolling_users_approx" -> q(eventsRollingUsersApprox),
       "events_sessionize" -> q(eventsSessionize),
       "multimodal_meta" -> q(multimodalMeta),
       "multimodal_pixels" -> q(multimodalPixels),

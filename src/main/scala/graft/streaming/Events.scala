@@ -286,6 +286,49 @@ object Events {
     dau.join(wau, Seq("day_us"))
   }
 
+  /** [[rollingActiveUsers]]'s at-scale path as a GATED comparison:
+    * per-day HLL user sketches (one ~2 KB binary per day — the corpus
+    * is scanned ONCE, map-side combined), DAU from each day's sketch
+    * and trailing-window WAU from a UNION of the window's sketches —
+    * the same fan-out shape as the exact path but over |days|·window
+    * sketch rows instead of |user,day|·window id rows. That is the
+    * swap a 100 TB deployment makes: the exact rolling distinct
+    * re-shuffles every user id `windowDays` times per day; the sketch
+    * path's rolling cost is independent of user cardinality. Output
+    * per observed day: the exact dau/wau (cross-engine comparable)
+    * plus dau_ok/wau_ok — estimate within tolPct% of exact (lgK=12
+    * ≈ 1.6% RSE, so 5% ≈ 3 RSE) — the boolean gate keeping the
+    * engine-specific estimates out of the compared columns while
+    * gating the whole sketch+union pipeline.
+    */
+  def rollingActiveUsersSketchGate(events: DataFrame, windowDays: Int = 7,
+                                   tolPct: Int = 5): DataFrame = {
+    require(windowDays >= 1 && tolPct >= 1, "positive window and tolerance")
+    val dayUs = 24L * 3600 * 1000 * 1000
+    val us = usOf(F.col("ts"))
+    val byDay = events
+      .select((us - F.pmod(us, F.lit(dayUs))).as("day_us"), F.col("user_id"))
+      .groupBy("day_us")
+      .agg(F.hll_sketch_agg(F.col("user_id"), F.lit(12)).as("sk"))
+    val dauEst = byDay.select(F.col("day_us"),
+      F.hll_sketch_estimate(F.col("sk")).as("dau_est"))
+    val wauEst = byDay
+      .select(F.col("sk"),
+        F.explode(F.sequence(F.lit(0L), F.lit(windowDays - 1L))).as("off"),
+        F.col("day_us"))
+      .select((F.col("day_us") + F.col("off") * dayUs).as("day_us"), F.col("sk"))
+      .groupBy("day_us")
+      .agg(F.hll_sketch_estimate(
+        F.hll_union_agg(F.col("sk"), F.lit(false))).as("wau_est"))
+    def ok(est: String, exact: String) =
+      (F.abs(F.col(est) - F.col(exact).cast("double")) <=
+        F.col(exact).cast("double") * (tolPct / 100.0))
+    rollingActiveUsers(events, windowDays)
+      .join(dauEst, "day_us").join(wauEst, "day_us")
+      .select(F.col("day_us"), F.col("dau"), F.col("wau"),
+        ok("dau_est", "dau").as("dau_ok"), ok("wau_est", "wau").as("wau_ok"))
+  }
+
   /** CUSUM changepoint detection per event type (Page, Biometrika
     * '54): over the type's DAILY event counts x_1..x_T the cumulative
     * deviation S_t = Σ_{i<=t} (x_i − x̄) peaks in magnitude at the

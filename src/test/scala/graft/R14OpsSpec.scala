@@ -474,6 +474,25 @@ class R14OpsSpec extends SparkSpec {
     }
   }
 
+  test("rollingActiveUsersSketchGate: exact counts ride along, gate true at spec scale") {
+    import graft.streaming.Events
+    val day = 24L * 3600 * 1000L // ms
+    val base = 1700006400000L
+    def t(d: Long) = new java.sql.Timestamp(base + d * day)
+    // day 0: users 1,2; day 1: user 2; day 8: user 3 (outside day 0's
+    // 7-day window, inside day 1's... no — window looks BACK from the
+    // fan-out: day 8 aggregates days 2..8 -> only user 3)
+    val events = Seq((1L, t(0)), (2L, t(0)), (2L, t(1)), (3L, t(8)))
+      .toDF("user_id", "ts")
+    val got = Events.rollingActiveUsersSketchGate(events, windowDays = 7)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3), r.getBoolean(4)))).toMap
+    val d0 = base * 1000L
+    assert(got(d0) == ((2L, 2L, true, true)), s"$got")
+    assert(got(d0 + day * 1000L) == ((1L, 2L, true, true)), s"$got")
+    assert(got(d0 + 8L * day * 1000L) == ((1L, 1L, true, true)), s"$got")
+  }
+
   test("uniqueCombos: key detection and NULLs grouping as values") {
     import graft.harmonize.Profile
     val df = Seq(
