@@ -48,6 +48,27 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_bloom_prefilter: the membership probe filters BELOW the join") {
+    val p = planOf("q_bloom_prefilter")
+    val joinIdx = p.indexOf("Join")
+    val probeIdx = p.indexOf("might_contain_long")
+    assert(probeIdx >= 0, s"bloom probe missing from the plan:\n$p")
+    // executedPlan prints root-first, children after parents: the
+    // probe predicate inside the scan stage must appear AFTER the
+    // join node — a probe above the join would mean partner-less rows
+    // still rode the shuffle and the reduction did nothing
+    assert(joinIdx >= 0 && probeIdx > joinIdx,
+      s"bloom probe did not stay below the join; plan:\n$p")
+  }
+
+  test("profile_ucc: all combinations from ONE scan through one Expand") {
+    val p = planOf("profile_ucc")
+    assert("Expand".r.findAllIn(p).length == 1,
+      s"expected exactly one Expand; plan:\n$p")
+    assert("Scan parquet".r.findAllIn(p).length == 1,
+      s"UCC audit must read orders exactly once; plan:\n$p")
+  }
+
   test("q5: dimension joins are broadcast") {
     val p = planOf("q5_multijoin")
     val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
