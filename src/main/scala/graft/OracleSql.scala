@@ -904,6 +904,29 @@ object OracleSql {
         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts_us >= c.c_ts_us
         |ORDER BY p.event_id""".stripMargin,
 
+    // nearest = the backward and forward ASOF arms CASE-picked by
+    // integer gap, backward on ties — mirrors AsOfJoin.nearest
+    "asof_join_nearest" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+        |           WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, epoch_us(ts) AS c_ts_us, max(event_id) AS near_click_id
+        |      FROM events WHERE event_type = 'click' GROUP BY user_id, epoch_us(ts)),
+        |b AS (SELECT p.event_id, c.c_ts_us AS b_ts, c.near_click_id AS b_id
+        |      FROM p ASOF LEFT JOIN c
+        |        ON p.user_id = c.user_id AND p.ts_us >= c.c_ts_us),
+        |f AS (SELECT p.event_id, c.c_ts_us AS f_ts, c.near_click_id AS f_id
+        |      FROM p ASOF LEFT JOIN c
+        |        ON p.user_id = c.user_id AND p.ts_us <= c.c_ts_us)
+        |SELECT p.event_id, p.user_id, p.ts_us,
+        |       CASE WHEN f.f_ts IS NULL OR (b.b_ts IS NOT NULL
+        |                 AND p.ts_us - b.b_ts <= f.f_ts - p.ts_us)
+        |            THEN b.b_id ELSE f.f_id END AS near_click_id,
+        |       CASE WHEN f.f_ts IS NULL OR (b.b_ts IS NOT NULL
+        |                 AND p.ts_us - b.b_ts <= f.f_ts - p.ts_us)
+        |            THEN p.ts_us - b.b_ts ELSE f.f_ts - p.ts_us END AS asof_gap_us
+        |FROM p JOIN b USING (event_id) JOIN f USING (event_id)
+        |ORDER BY p.event_id""".stripMargin,
+
     "asof_join_forward" ->
       """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
         |           WHERE event_type = 'purchase'),

@@ -744,6 +744,21 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  private def asofJoinNearest(t: Tables): DataFrame = {
+    // the NEAREST as-of (sensor/tick alignment — either side may
+    // lag): both directions from ONE shuffle + sort, equal gaps
+    // resolve backward; gap in exact integer microseconds
+    val purchases = t.events.where(F.col("event_type") === "purchase")
+      .select(F.col("event_id"), F.col("user_id"), usOf(F.col("ts")).as("ts_us"))
+    val clicks = t.events.where(F.col("event_type") === "click")
+      .groupBy(F.col("user_id"), usOf(F.col("ts")).as("c_ts_us"))
+      .agg(F.max("event_id").as("near_click_id"))
+    operators.AsOfJoin.nearest(purchases, clicks, key = "user_id",
+      leftTime = "ts_us", rightTime = "c_ts_us", payload = Seq("near_click_id"))
+      .select("event_id", "user_id", "ts_us", "near_click_id", "asof_gap_us")
+      .orderBy("event_id")
+  }
+
   private def asofJoinForward(t: Tables): DataFrame = {
     // the FORWARD as-of: for each purchase, the NEXT click at or after
     // it ("first quote after the trade") — same single-shuffle
@@ -3137,6 +3152,7 @@ object SparkEntry {
       "graph_bfs" -> q(graphBfs),
       "interval_join" -> q(intervalJoin),
       "q_bloom_prefilter" -> q(qBloomPrefilter),
+      "asof_join_nearest" -> q(asofJoinNearest),
       "er_resolve" -> q(erResolve),
       "merge_upsert" -> q(mergeUpsert),
       "profile_ucc" -> q(profileUcc),

@@ -66,4 +66,55 @@ object AsOfJoin {
       }
     carried.where(F.col("_side") === 1).drop("_t", "_side")
   }
+
+  /** NEAREST as-of: attach the right row minimizing |right.time −
+    * left.time| within the key (sensor/tick alignment where either
+    * side may lag). Both directions come from the SAME single shuffle
+    * and partition-local sort: the backward candidate is
+    * last_value(ignoreNulls) over (−∞, current], the forward one
+    * first_value over [current, +∞) — two frames on one sorted window,
+    * no second exchange. Ties (equal gaps) resolve BACKWARD, which is
+    * also why the forward frame may safely miss an equal-time right
+    * row (its backward gap is 0 and always wins). Time columns must
+    * be numeric (epoch-µs) — the gap comparison is integer
+    * arithmetic. Returns left columns + payload (from the chosen
+    * side) + asof_gap_us (null when the key has no right row at all).
+    */
+  def nearest(left: DataFrame, right: DataFrame, key: String,
+              leftTime: String, rightTime: String,
+              payload: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val carry = payload :+ "_rt"
+    val l = left
+      .withColumn("_t", F.col(leftTime))
+      .withColumn("_side", F.lit(1))
+      .select((leftCols.map(F.col) :+ F.col("_t") :+ F.col("_side")) ++
+        payload.map(p => F.lit(null).cast(right.schema(p).dataType).as(p)) :+
+        F.lit(null).cast("long").as("_rt"): _*)
+    val r = right
+      .withColumn("_t", F.col(rightTime))
+      .withColumn("_side", F.lit(0))
+      .select((leftCols.map(c => if (c == key) F.col(key)
+        else F.lit(null).cast(left.schema(c).dataType).as(c)) :+
+        F.col("_t") :+ F.col("_side")) ++ payload.map(F.col) :+
+        F.col(rightTime).cast("long").as("_rt"): _*)
+    val ord = Window.partitionBy(key).orderBy(F.col("_t").asc, F.col("_side").asc)
+    val wBack = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wFwd = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val carried = carry.foldLeft(l.unionByName(r)) { (df, p) =>
+      df.withColumn(s"_bk_$p", F.last(F.col(p), ignoreNulls = true).over(wBack))
+        .withColumn(s"_fw_$p", F.first(F.col(p), ignoreNulls = true).over(wFwd))
+    }
+    val useBack = F.col("_fw__rt").isNull ||
+      (F.col("_bk__rt").isNotNull &&
+        (F.col("_t").cast("long") - F.col("_bk__rt")) <=
+          (F.col("_fw__rt") - F.col("_t").cast("long")))
+    carried.where(F.col("_side") === 1)
+      .select(leftCols.map(F.col) ++
+        payload.map(p => F.when(useBack, F.col(s"_bk_$p"))
+          .otherwise(F.col(s"_fw_$p")).as(p)) :+
+        F.when(useBack, F.col("_t").cast("long") - F.col("_bk__rt"))
+          .otherwise(F.col("_fw__rt") - F.col("_t").cast("long"))
+          .as("asof_gap_us"): _*)
+  }
 }

@@ -493,6 +493,26 @@ class R14OpsSpec extends SparkSpec {
     assert(got(d0 + 8L * day * 1000L) == ((1L, 1L, true, true)), s"$got")
   }
 
+  test("asof nearest: picks the smaller gap either direction, backward on ties") {
+    import graft.operators.AsOfJoin
+    val left = Seq((1L, "k", 100L), (2L, "k", 205L), (3L, "k", 300L), (4L, "z", 50L))
+      .toDF("id", "key", "t")
+    val right = Seq(("k", 90L, "a"), ("k", 210L, "b"), ("k", 400L, "c"))
+      .toDF("key", "rt", "v")
+    val got = AsOfJoin.nearest(left, right, "key", "t", "rt", Seq("v"))
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.getString(3)), if (r.isNullAt(4)) -1L else r.getLong(4)))).toMap
+    assert(got(1L) == ((Some("a"), 10L)), s"$got")   // backward 10 beats forward 110
+    assert(got(2L) == ((Some("b"), 5L)), s"$got")    // forward 5 beats backward 115
+    assert(got(3L) == ((Some("b"), 90L)), s"$got")   // backward 90 < forward 100
+    assert(got(4L) == ((None, -1L)), s"$got")        // key with no right rows
+    // exact tie: left at 150 is 60 from both 90 and 210 -> backward "a"
+    val tie = AsOfJoin.nearest(Seq((9L, "k", 150L)).toDF("id", "key", "t"),
+      right, "key", "t", "rt", Seq("v"))
+      .collect().map(r => (r.getString(3), r.getLong(4))).head
+    assert(tie == (("a", 60L)), s"$tie")
+  }
+
   test("uniqueCombos: key detection and NULLs grouping as values") {
     import graft.harmonize.Profile
     val df = Seq(
