@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{functions => F}
+
+/** Continuous corpus statistics via MERGEABLE sketches — the
+  * incremental half of the profile_distinct_sketch /
+  * events_rolling_users_approx story: a 100 TB deployment cannot
+  * recount distincts per day, it maintains a tiny sketch TABLE and
+  * unions new data in. Mergeability is the whole point of choosing
+  * HLL over exact countDistinct (Agarwal et al. PODS'12).
+  */
+object StreamingStats {
+
+  /** Maintain a per-day HLL user-sketch table at `root` (a
+    * [[graft.sources.Versioned]] table of (day_us, sk binary)) from
+    * an event stream: each micro-batch reduces to its own per-day
+    * sketches (one scan of the BATCH — the historical corpus is never
+    * re-read), unions them with the stored rows for the touched days
+    * (groupBy over |days| sketch-sized rows), and commits a new
+    * version atomically — same snapshot/replay discipline as
+    * scd2Ingest. Rolling DAU/WAU reports then serve from |days| 2 KB
+    * rows; estimates carry HLL union error (~1.6 % RSE at lgK 12),
+    * gated against exact counts by the batch twin.
+    */
+  def sketchIngest(events: DataFrame, root: String, lgK: Int = 12,
+                   checkpointDir: Option[String] = None)
+                  (onBatch: (Long, Long) => Unit = (_, _) => ())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val dayUs = 24L * 3600 * 1000 * 1000
+    val w = events.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val us = F.unix_micros(F.col("ts").cast("timestamp"))
+          val batchSk = batch
+            .select((us - F.pmod(us, F.lit(dayUs))).as("day_us"),
+              F.col("user_id"))
+            .groupBy("day_us")
+            .agg(F.hll_sketch_agg(F.col("user_id"), F.lit(lgK)).as("sk"))
+          val merged = graft.sources.Versioned.currentVersion(spark, root) match {
+            case Some(_) =>
+              graft.sources.Versioned.read(spark, root)
+                .unionByName(batchSk)
+                .groupBy("day_us")
+                .agg(F.hll_union_agg(F.col("sk"), F.lit(false)).as("sk"))
+            case None => batchSk
+          }
+          val v = graft.sources.Versioned.commit(merged, root)
+          onBatch(batchId, v)
+        }
+      }
+    checkpointDir.foreach(d => w.option("checkpointLocation", d))
+    w.start()
+  }
+
+  /** Serve the rolling-distinct report from the sketch table: DAU
+    * from each day's sketch, trailing-`windowDays` WAU from a union
+    * of the window's sketches — |days|·window sketch rows total,
+    * independent of user cardinality.
+    */
+  def rollingFromSketches(sketches: DataFrame,
+                          windowDays: Int = 7): DataFrame = {
+    val dayUs = 24L * 3600 * 1000 * 1000
+    val dau = sketches.select(F.col("day_us"),
+      F.hll_sketch_estimate(F.col("sk")).as("dau_est"))
+    val wau = sketches
+      .select(F.col("sk"),
+        F.explode(F.sequence(F.lit(0L), F.lit(windowDays - 1L))).as("off"),
+        F.col("day_us"))
+      .select((F.col("day_us") + F.col("off") * dayUs).as("day_us"), F.col("sk"))
+      .groupBy("day_us")
+      .agg(F.hll_sketch_estimate(
+        F.hll_union_agg(F.col("sk"), F.lit(false))).as("wau_est"))
+    dau.join(wau, Seq("day_us"))
+  }
+}

@@ -513,6 +513,46 @@ class R14OpsSpec extends SparkSpec {
     assert(tie == (("a", 60L)), s"$tie")
   }
 
+  test("sketchIngest: incremental day sketches match exact counts within tolerance") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingStats
+    implicit val sq = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("sks").toString + "/sk"
+    val day = 24L * 3600 * 1000L
+    val base = 1700006400000L
+    def t(d: Long) = new java.sql.Timestamp(base + d * day)
+    val versions = scala.collection.mutable.Map[Long, Long]()
+    val stream = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = StreamingStats.sketchIngest(
+      stream.toDF().toDF("user_id", "ts"), root,
+      checkpointDir = Some(java.nio.file.Files
+        .createTempDirectory("sks_ckpt").toString)) { (b, v) =>
+      versions.synchronized { versions(b) = v }
+    }
+    try {
+      // batch 0: day 0 sees users 1..40
+      stream.addData((1L to 40L).map(u => (u, t(0))): _*)
+      q.processAllAvailable()
+      // batch 1: day 0 sees users 21..60 (overlap!), day 1 users 1..10
+      stream.addData(((21L to 60L).map(u => (u, t(0))) ++
+        (1L to 10L).map(u => (u, t(1)))): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(versions.toMap == Map(0L -> 1L, 1L -> 2L))
+    val sk = graft.sources.Versioned.read(spark, root)
+    assert(sk.count() == 2)
+    val est = StreamingStats.rollingFromSketches(sk, windowDays = 7)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1).toDouble, r.getLong(2).toDouble))).toMap
+    val d0 = base * 1000L
+    // day 0: 60 distinct (union must NOT double-count the overlap);
+    // day 1: dau 10, wau = distinct over days 0..1 = 60
+    val (dau0, wau0) = est(d0)
+    val (dau1, wau1) = est(d0 + day * 1000L)
+    assert(math.abs(dau0 - 60) <= 3 && math.abs(wau0 - 60) <= 3, s"$est")
+    assert(math.abs(dau1 - 10) <= 1 && math.abs(wau1 - 60) <= 3, s"$est")
+  }
+
   test("uniqueCombos: key detection and NULLs grouping as values") {
     import graft.harmonize.Profile
     val df = Seq(
