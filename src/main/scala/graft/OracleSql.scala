@@ -3433,6 +3433,10 @@ object OracleSql {
     // each round = frontier-edge expansion unioned in, min per node
     "graph_bfs" -> bfsSql(rounds = 4),
 
+    // min-plus Bellman-Ford rounds over the weighted co-order graph,
+    // the SAME fixed rounds unrolled
+    "graph_sssp" -> ssspSql(rounds = 4),
+
     // the bloom prefilter must be INVISIBLE in the result: the oracle
     // is the plain join (false positives fall out at the join)
     "q_bloom_prefilter" ->
@@ -3553,6 +3557,34 @@ object OracleSql {
        |                    FROM part WHERE p_brand = 'Brand#1'),
        |$rs
        |SELECT node, h AS hops FROM d$rounds ORDER BY node""".stripMargin
+  }
+
+  /** [[bfsSql]]'s min-plus twin: same MATERIALIZED round pins, costs
+    * ride the edges (ceil of a double division — both engines compute
+    * the identical IEEE quotient, so the ceil lands on the same
+    * integer; cast back to BIGINT because DuckDB's ceil is DOUBLE).
+    */
+  private def ssspSql(rounds: Int): String = {
+    val rs = (1 to rounds).map { i =>
+      s"""d$i AS MATERIALIZED (
+         |  SELECT node, min(d) AS d FROM (
+         |    SELECT node, d FROM d${i - 1}
+         |    UNION ALL
+         |    SELECT e.b AS node, d.d + e.cost AS d
+         |    FROM d${i - 1} d JOIN e ON d.node = e.a)
+         |  GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |p AS (SELECT x.pk AS id1, y.pk AS id2,
+       |             CAST(ceil(12 / count(*)) AS BIGINT) AS cost
+       |      FROM op x JOIN op y ON x.ok = y.ok AND x.pk < y.pk
+       |      GROUP BY 1, 2 HAVING count(*) >= 2),
+       |e AS MATERIALIZED (SELECT id1 AS a, id2 AS b, cost FROM p
+       |                   UNION SELECT id2, id1, cost FROM p),
+       |d0 AS MATERIALIZED (SELECT p_partkey AS node, CAST(0 AS BIGINT) AS d
+       |                    FROM part WHERE p_brand = 'Brand#1'),
+       |$rs
+       |SELECT node, d AS dist FROM d$rounds ORDER BY node""".stripMargin
   }
 
   /** Each round references the previous round's edge list THREE times

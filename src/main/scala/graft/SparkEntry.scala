@@ -2713,6 +2713,28 @@ object SparkEntry {
           .cast("double").as("revenue"))
       .orderBy("s_suppkey")
 
+  private def graphSssp(t: Tables): DataFrame = {
+    // weighted shortest paths from the Brand#1 parts: edge cost
+    // ceil(12/cooc) makes strong co-order links short — a Bellman-Ford
+    // min-plus over the same graph/seeds/rounds as graph_bfs, exact
+    // integer costs
+    val op = t.lineitem.select(F.col("l_orderkey").as("ok"),
+      F.col("l_partkey").as("pk")).distinct().persist()
+    val pairs = op.as("x").join(op.as("y"),
+        F.col("x.ok") === F.col("y.ok") && F.col("x.pk") < F.col("y.pk"))
+      .groupBy(F.col("x.pk").as("a"), F.col("y.pk").as("b"))
+      .agg(F.count(F.lit(1)).as("cooc"))
+      .where(F.col("cooc") >= 2)
+      .select(F.col("a"), F.col("b"),
+        F.ceil(F.lit(12) / F.col("cooc")).as("cost"))
+    val seeds = t.part.where(F.col("p_brand") === "Brand#1")
+      .select(F.col("p_partkey").as("node"))
+    val out = operators.Graph.shortestPaths(pairs, seeds, rounds = 4)
+      .orderBy("node")
+    op.unpersist()
+    out
+  }
+
   private def erResolve(t: Tables): DataFrame = {
     // record linkage against a deterministic "dirty" second source:
     // zero-runs collapsed in the name (Customer#000000123 ->
@@ -3150,6 +3172,7 @@ object SparkEntry {
       "graph_communities" -> q(graphCommunities),
       "graph_kcore" -> q(graphKcore),
       "graph_bfs" -> q(graphBfs),
+      "graph_sssp" -> q(graphSssp),
       "interval_join" -> q(intervalJoin),
       "q_bloom_prefilter" -> q(qBloomPrefilter),
       "asof_join_nearest" -> q(asofJoinNearest),

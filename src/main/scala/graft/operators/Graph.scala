@@ -326,6 +326,43 @@ object Graph {
     dist.select(F.col("node"), F.col("h").as("hops"))
   }
 
+  /** Bounded-round single-source(-set) shortest paths over an
+    * undirected WEIGHTED pair list (a, b, cost) — [[shortestHops]]'s
+    * min-plus generalization (Bellman-Ford rounds; fixed `rounds`
+    * bounds path LENGTH in hops, so costs are exact for paths of ≤
+    * rounds edges and nodes only reachable by longer paths are
+    * absent — the bounded-frontier contract, replayed by the twin).
+    * Costs are integer longs: the per-round groupBy min is exact.
+    *
+    * Scale: identical shape to [[shortestHops]] — per round one
+    * (distances ⋈ edges → groupBy min), distance table referenced
+    * twice per round so rounds lineage-pin. Returns (node, dist),
+    * reached nodes only, unordered.
+    */
+  def shortestPaths(pairs: DataFrame, sources: DataFrame,
+                    rounds: Int = 4): DataFrame = {
+    require(rounds >= 1, "at least one round")
+    def pin(df: DataFrame): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint(true)
+    val e = pairs.select(F.col("a"), F.col("b"), F.col("cost").cast("long").as("cost"))
+      .unionAll(pairs.select(F.col("b").as("a"), F.col("a").as("b"),
+        F.col("cost").cast("long").as("cost")))
+      .distinct().persist()
+    var dist = pin(sources.select(F.col("node")).distinct()
+      .withColumn("d", F.lit(0L)))
+    for (_ <- 1 to rounds) {
+      val next = pin(dist
+        .unionAll(dist
+          .join(e, dist("node") === e("a"))
+          .select(e("b").as("node"), (dist("d") + e("cost")).as("d")))
+        .groupBy("node").agg(F.min("d").as("d")))
+      dist = next
+    }
+    e.unpersist()
+    dist.select(F.col("node"), F.col("d").as("dist"))
+  }
+
   /** Degree-ordered orientation of an undirected canonical pair list
     * (a < b): each edge is re-pointed from its LOWER-ranked endpoint
     * to its higher-ranked one under the total order (degree, node) —

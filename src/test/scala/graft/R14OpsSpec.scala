@@ -553,6 +553,20 @@ class R14OpsSpec extends SparkSpec {
     assert(math.abs(dau1 - 10) <= 1 && math.abs(wau1 - 60) <= 3, s"$est")
   }
 
+  test("shortestPaths: cheaper multi-hop detour wins, round budget bounds hops") {
+    import graft.operators.Graph
+    // a-b direct costs 10; a-c-b costs 2+3=5 (needs 2 rounds)
+    val edges = Seq((1L, 2L, 10L), (1L, 3L, 2L), (3L, 2L, 3L))
+      .toDF("a", "b", "cost")
+    val seeds = Seq(1L).toDF("node")
+    val r1 = Graph.shortestPaths(edges, seeds, rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1 == Map(1L -> 0L, 2L -> 10L, 3L -> 2L), s"$r1")
+    val r2 = Graph.shortestPaths(edges, seeds, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r2 == Map(1L -> 0L, 2L -> 5L, 3L -> 2L), s"$r2")
+  }
+
   test("uniqueCombos: key detection and NULLs grouping as values") {
     import graft.harmonize.Profile
     val df = Seq(
