@@ -236,4 +236,39 @@ object Sources {
     df.withColumn(as,
       org.apache.spark.sql.functions.from_json(
         org.apache.spark.sql.functions.col(column), StructType.fromDDL(ddl)))
+
+  /** Schema-evolution-tolerant parquet read: a long-lived table whose
+    * writers ADDED columns over time reads as the UNION schema
+    * (mergeSchema — Spark reconciles the per-file footers; rows from
+    * files predating a column get null there). Strictly widening
+    * evolution only: a column whose TYPE differs across files is a
+    * broken table, and this read fails loudly rather than silently
+    * casting (same policy as [[read]]'s validation arm).
+    *
+    * Scale note: footer merging touches every file's metadata —
+    * Spark distributes it, and a daily-compacted table (see
+    * [[compact]]) keeps the file count bounded anyway.
+    */
+  def readEvolved(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
+  /** Schema drift report between two snapshots of a table: one row
+    * per (column, change) with change ∈ added / removed / retyped —
+    * the audit a pipeline runs before promoting a new upstream drop
+    * (the schema-matching story of SURVEY §A applied to VERSIONS of
+    * the same table rather than across tables). Driver-side metadata
+    * only — no data is read.
+    */
+  def schemaDrift(old: DataFrame, nu: DataFrame): Seq[(String, String, String, String)] = {
+    val o = old.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    val n = nu.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    val added = (n.keySet -- o.keySet).toSeq.sorted
+      .map(c => (c, "added", "", n(c)))
+    val removed = (o.keySet -- n.keySet).toSeq.sorted
+      .map(c => (c, "removed", o(c), ""))
+    val retyped = (o.keySet & n.keySet).toSeq.sorted
+      .filter(c => o(c) != n(c))
+      .map(c => (c, "retyped", o(c), n(c)))
+    added ++ removed ++ retyped
+  }
 }

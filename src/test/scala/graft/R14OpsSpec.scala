@@ -567,6 +567,25 @@ class R14OpsSpec extends SparkSpec {
     assert(r2 == Map(1L -> 0L, 2L -> 5L, 3L -> 2L), s"$r2")
   }
 
+  test("readEvolved + schemaDrift: widened table reads as the union schema, drift audited") {
+    import graft.sources.Sources
+    val dir = java.nio.file.Files.createTempDirectory("evo").toString + "/t"
+    val v1 = Seq((1L, "a")).toDF("k", "s")
+    val v2 = Seq((2L, "b", 9.5)).toDF("k", "s", "score")
+    v1.write.parquet(dir)
+    v2.write.mode("append").parquet(dir)
+    val merged = Sources.readEvolved(spark, dir)
+    assert(merged.columns.sorted.toSeq == Seq("k", "s", "score"))
+    val rows = merged.orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(rows.toSeq == Seq((1L, "a", None), (2L, "b", Some(9.5))), s"${rows.toSeq}")
+    val drift = Sources.schemaDrift(v1,
+      Seq((1L, 2, 9.5)).toDF("k", "score", "s"))
+    assert(drift == Seq(("score", "added", "", "int"),
+      ("s", "retyped", "string", "double")), s"$drift")
+  }
+
   test("uniqueCombos: key detection and NULLs grouping as values") {
     import graft.harmonize.Profile
     val df = Seq(
