@@ -81,7 +81,7 @@ object Discovery {
         F.round(F.col("n_inter").cast("double") / F.col("n_src").cast("double"), 6)
           .as("containment"),
         F.when(F.col("n_inter") === F.col("n_src"), 1).otherwise(0).as("is_ind"))
-    (out, () => { d.unpersist(); () })
+    (out, () => { d.unpersist(true); () })
   }
 
   /** The 100 TB inclusion-discovery path, wired WITH its own error

@@ -437,6 +437,9 @@ object Graph {
       .unionAll(tri.select(F.col("y").as("node")))
       .unionAll(tri.select(F.col("z").as("node")))
       .groupBy("node").agg(F.count(F.lit(1)).as("n_triangles"))
-    (out, () => { e.unpersist(); tri.unpersist(); () })
+    // blocking unpersist: the release promise is "no blocks remain",
+    // not "blocks will eventually go" — callers (and the spec) may
+    // check immediately
+    (out, () => { e.unpersist(true); tri.unpersist(true); () })
   }
 }

@@ -116,6 +116,6 @@ object Ranks {
       .withColumn(rankCol,
         offExpr + F.col("__gr_mid").bitwiseAND(F.lit(Low33Mask)) + F.lit(1L))
       .drop("__gr_mid")
-    (out, () => { stamped.unpersist(); () })
+    (out, () => { stamped.unpersist(true); () })
   }
 }

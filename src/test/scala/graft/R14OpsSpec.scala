@@ -78,14 +78,16 @@ class R14OpsSpec extends SparkSpec {
   test("triangles: releasable handle leaves no cache growth across calls") {
     import graft.operators.Graph
     val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("a", "b")
-    val before = spark.sparkContext.getPersistentRDDs.size
+    // compare id SETS, not sizes: the shared-JVM ContextCleaner may
+    // concurrently drop OTHER suites' entries mid-test
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     for (_ <- 1 to 2) {
       val (out, release) = Graph.triangleParticipationReleasable(pairs)
       assert(out.count() == 3)
       release()
     }
-    assert(spark.sparkContext.getPersistentRDDs.size == before,
-      "released triangle pins must not accumulate")
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"released triangle pins must not accumulate: $leaked")
   }
 
   test("connectedComponents: generic edge lists get min-reachable-id labels") {
@@ -260,14 +262,14 @@ class R14OpsSpec extends SparkSpec {
     import graft.harmonize.Discovery
     val a = Seq("x", "y", "z").toDF("v")
     val b = Seq("x", "y").toDF("v")
-    val before = spark.sparkContext.getPersistentRDDs.size
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     val (out, release) = Discovery.inclusionReleasable(
       Seq(("A", a, "v"), ("B", b, "v")))
     val m = out.collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(3)).toMap
     assert(m(("B", "A")) == 2L && m(("A", "B")) == 2L)
     release()
-    assert(spark.sparkContext.getPersistentRDDs.size == before,
-      "released inclusion pin must not accumulate")
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"released inclusion pin must not accumulate: $leaked")
   }
 
   test("kCore: clique survives with its degree, pendant chain peels over rounds") {
