@@ -3425,6 +3425,10 @@ object OracleSql {
     // argmax under (count desc, label asc)
     "graph_communities" -> labelPropagationSql(iters = 5),
 
+    // modularity of those communities, division-free (Q scaled by
+    // the constant 4m^2 -> exact integer columns)
+    "graph_modularity" -> modularitySql(iters = 5),
+
     // synchronous k-core peeling, the SAME fixed rounds unrolled:
     // each round = surviving degrees -> keep >= k -> re-filter edges
     "graph_kcore" -> kCoreSql(k = 3, rounds = 8),
@@ -3612,7 +3616,11 @@ object OracleSql {
        |FROM e$rounds GROUP BY a HAVING count(*) >= $k ORDER BY node""".stripMargin
   }
 
-  private def labelPropagationSql(iters: Int): String = {
+  /** Shared CTE prefix for the label-propagation twins: the co-order
+    * part graph + `iters` synchronous rounds, final labels in
+    * l`iters`.
+    */
+  private def labelPropagationCtes(iters: Int): String = {
     val rounds = (1 to iters).map { i =>
       val prev = s"l${i - 1}"
       s"""c$i AS (SELECT e.a, l.lbl, count(*) AS c
@@ -3626,11 +3634,38 @@ object OracleSql {
        |p AS (SELECT x.pk AS id1, y.pk AS id2
        |      FROM op x JOIN op y ON x.ok = y.ok AND x.pk < y.pk
        |      GROUP BY 1, 2 HAVING count(*) >= 2),
-       |e AS (SELECT id1 AS a, id2 AS b FROM p UNION SELECT id2, id1 FROM p),
+       |e AS MATERIALIZED (SELECT id1 AS a, id2 AS b FROM p
+       |                   UNION SELECT id2, id1 FROM p),
        |l0 AS (SELECT a AS node, a AS lbl FROM e GROUP BY a),
-       |$rounds
-       |SELECT node, lbl AS community FROM l$iters ORDER BY node""".stripMargin
+       |$rounds""".stripMargin
   }
+
+  private def labelPropagationSql(iters: Int): String =
+    s"""${labelPropagationCtes(iters)}
+       |SELECT node, lbl AS community FROM l$iters ORDER BY node""".stripMargin
+
+  /** Modularity of the label-propagation communities, division-free:
+    * Q·4m² = Σ_c (4m·intra_c − d_c²) — exact integers cross-engine
+    * (Newman & Girvan 2004 scaled by the constant 4m²).
+    */
+  private def modularitySql(iters: Int): String =
+    s"""${labelPropagationCtes(iters)},
+       |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM p),
+       |deg AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY a),
+       |intra AS (SELECT x.lbl AS community, CAST(count(*) AS BIGINT) AS intra_edges
+       |          FROM p JOIN l$iters x ON p.id1 = x.node
+       |                 JOIN l$iters y ON p.id2 = y.node
+       |          WHERE x.lbl = y.lbl GROUP BY 1),
+       |dc AS (SELECT l.lbl AS community, CAST(count(*) AS BIGINT) AS n_nodes,
+       |              CAST(sum(deg.d) AS BIGINT) AS degree_sum
+       |       FROM l$iters l JOIN deg ON l.node = deg.node GROUP BY 1)
+       |SELECT dc.community, dc.n_nodes,
+       |       CAST(coalesce(intra.intra_edges, 0) AS BIGINT) AS intra_edges,
+       |       dc.degree_sum,
+       |       4 * mm.m * CAST(coalesce(intra.intra_edges, 0) AS BIGINT)
+       |         - dc.degree_sum * dc.degree_sum AS q_num
+       |FROM dc LEFT JOIN intra ON dc.community = intra.community
+       |CROSS JOIN mm ORDER BY dc.community""".stripMargin
 
   /** Shared edge CTE for the graph twins: the supplier→customer
     * shipment digraph (weight = line items shipped).

@@ -2802,6 +2802,29 @@ object SparkEntry {
       .orderBy(F.col("gid"), F.col("o_orderstatus").asc_nulls_last,
         F.col("o_orderpriority").asc_nulls_last)
 
+  private def graphModularity(t: Tables): DataFrame = {
+    // score the label-propagation communities: per-community
+    // Q-numerators (q_num = 4m*intra - d^2, so sum(q_num) = Q*4m^2) —
+    // exact integers, no division anywhere
+    val op = t.lineitem.select(F.col("l_orderkey").as("ok"),
+      F.col("l_partkey").as("pk")).distinct().persist()
+    val pairs = op.as("x").join(op.as("y"),
+        F.col("x.ok") === F.col("y.ok") && F.col("x.pk") < F.col("y.pk"))
+      .groupBy(F.col("x.pk").as("a"), F.col("y.pk").as("b"))
+      .agg(F.count(F.lit(1)).as("cooc"))
+      .where(F.col("cooc") >= 2)
+      .select("a", "b")
+      .persist()
+    val labels = operators.Graph.labelPropagation(pairs, iters = 5)
+    // pin the (small) report eagerly so the support frames can
+    // release before the caller consumes the lazy output
+    val out = operators.Graph.modularity(pairs, labels)
+      .orderBy("community")
+      .localCheckpoint(true)
+    pairs.unpersist(); op.unpersist()
+    out
+  }
+
   // -------------------------------------------- pipeline ops (r13b)
 
   private def qRollup(t: Tables): DataFrame =
@@ -3170,6 +3193,7 @@ object SparkEntry {
       "graph_ppr" -> q(graphPpr),
       "graph_components" -> q(graphComponents),
       "graph_communities" -> q(graphCommunities),
+      "graph_modularity" -> q(graphModularity),
       "graph_kcore" -> q(graphKcore),
       "graph_bfs" -> q(graphBfs),
       "graph_sssp" -> q(graphSssp),

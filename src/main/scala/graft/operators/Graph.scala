@@ -203,6 +203,48 @@ object Graph {
     graft.dedup.Dedup.components(
       edges.select(F.col("a").as("id1"), F.col("b").as("id2")), maxIter)
 
+  /** Modularity report for a community assignment (Newman & Girvan,
+    * Phys. Rev. E 2004) — the quality score that adjudicates a
+    * clustering, DIVISION-FREE: instead of Q = Σ_c (e_c/m −
+    * (d_c/2m)²) with its cross-engine double division, every row
+    * carries q_num = 4m·e_c − d_c², so Σ q_num = Q·4m² — exact
+    * integers (the ×200-Tukey-fence policy applied to graph metrics).
+    * Positive q_num = the community beats the random-graph
+    * expectation for its degree mass.
+    *
+    * pairs: undirected canonical (a, b), one row per edge (m = row
+    * count); communities: (node, community). Cost: one degree count,
+    * one two-sided label join over the EDGE list (bounded by m), one
+    * groupBy per community — no iteration, composes with
+    * [[labelPropagation]]. m rides as a one-row broadcast, never a
+    * driver round-trip. Returns (community, n_nodes, intra_edges,
+    * degree_sum, q_num), |communities| rows, unordered.
+    */
+  def modularity(pairs: DataFrame, communities: DataFrame): DataFrame = {
+    val p = pairs.select(F.col("a"), F.col("b"))
+    val e = p.unionAll(p.select(F.col("b").as("a"), F.col("a").as("b")))
+      .distinct()
+    val mRow = p.agg(F.count(F.lit(1)).as("m"))
+    val deg = e.groupBy(F.col("a").as("node")).agg(F.count(F.lit(1)).as("d"))
+    val lab = communities.select(F.col("node"), F.col("community"))
+    val intra = p
+      .join(lab.select(F.col("node").as("a"), F.col("community").as("ca")), "a")
+      .join(lab.select(F.col("node").as("b"), F.col("community").as("cb")), "b")
+      .where(F.col("ca") === F.col("cb"))
+      .groupBy(F.col("ca").as("community"))
+      .agg(F.count(F.lit(1)).as("intra_edges"))
+    val dc = lab.join(deg, "node")
+      .groupBy("community")
+      .agg(F.count(F.lit(1)).as("n_nodes"), F.sum(F.col("d")).as("degree_sum"))
+    dc.join(intra, Seq("community"), "left")
+      .crossJoin(F.broadcast(mRow))
+      .select(F.col("community"), F.col("n_nodes"),
+        F.coalesce(F.col("intra_edges"), F.lit(0L)).as("intra_edges"),
+        F.col("degree_sum"),
+        (F.lit(4L) * F.col("m") * F.coalesce(F.col("intra_edges"), F.lit(0L)) -
+          F.col("degree_sum") * F.col("degree_sum")).as("q_num"))
+  }
+
   /** Community detection by synchronous label propagation (Raghavan,
     * Albert & Kumara, Phys. Rev. E 2007) over an undirected pair list
     * (a, b), made DETERMINISTIC the way this repo's pageRank is: a

@@ -588,6 +588,26 @@ class R14OpsSpec extends SparkSpec {
       ("s", "retyped", "string", "double")), s"$drift")
   }
 
+  test("modularity: two equal cliques score Q=0.5, one-community scores 0") {
+    import graft.operators.Graph
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L)).toDF("a", "b")
+    val twoComms = Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (10L, 10L), (11L, 10L), (12L, 10L)).toDF("node", "community")
+    val got = Graph.modularity(pairs, twoComms)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // per clique: intra=3, d_c=6 -> q_num = 4*6*3 - 36 = 36;
+    // Q = sum/(4m^2) = 72/144 = 0.5 (the two-clique textbook value)
+    assert(got == Map(1L -> ((3L, 3L, 6L, 36L)),
+      10L -> ((3L, 3L, 6L, 36L))), s"$got")
+    // everything in one community: Q = 0 exactly
+    val one = twoComms.select(F.col("node"), F.lit(1L).as("community"))
+    val q0 = Graph.modularity(pairs, one)
+      .collect().map(r => r.getLong(4)).sum
+    assert(q0 == 0L, s"$q0")
+  }
+
   test("uniqueCombos: key detection and NULLs grouping as values") {
     import graft.harmonize.Profile
     val df = Seq(
