@@ -462,6 +462,8 @@ object Profile {
     require(combos.nonEmpty && combos.forall(_.nonEmpty), "non-empty combinations")
     require(combos.map(_.toSet).distinct.size == combos.size, "duplicate combination")
     val cols = combos.flatten.distinct
+    require(cols.size <= 62, s"grouping-bit weights are Long powers of two; " +
+      s"${cols.size} distinct columns exceed the 62 supported")
     def gidWeight(i: Int): Long = 1L << (cols.size - 1 - i)
     val gidCol = cols.zipWithIndex.map { case (c, i) =>
       F.grouping(F.col(c)).cast("long") * gidWeight(i)

@@ -39,6 +39,10 @@ object BloomJoin {
   def prefilteredJoin(big: DataFrame, small: DataFrame, key: String,
                       fpp: Double = 0.01,
                       expectedKeys: Long = -1L): DataFrame = {
+    require(big.schema(key).dataType == org.apache.spark.sql.types.LongType &&
+      small.schema(key).dataType == org.apache.spark.sql.types.LongType,
+      s"bloom prefilter probes a LONG key; '$key' is " +
+        s"${big.schema(key).dataType.simpleString}/${small.schema(key).dataType.simpleString}")
     val n = if (expectedKeys > 0) expectedKeys
             else small.select(key).distinct().count()
     val bloom = small.stat.bloomFilter(key, math.max(n, 1L), fpp)

@@ -66,9 +66,13 @@ object RangeJoin {
                       widthUs: Long): DataFrame = {
     require(widthUs >= 1, "positive grid width")
     def cellOf(c: Column): Column = F.floor(c / F.lit(widthUs))
-    val l = left.withColumn("_cell",
+    // Empty half-open intervals ([x, x) — le <= ls) intersect nothing,
+    // but the naive overlap predicate can still admit them AND their
+    // descending cellOf(le-1) < cellOf(ls) range would make F.sequence
+    // count DOWN, fabricating cells — drop them before exploding.
+    val l = left.where(F.col(le) > F.col(ls)).withColumn("_cell",
       F.explode(F.sequence(cellOf(F.col(ls)), cellOf(F.col(le) - 1))))
-    val r = right.withColumn("_cell",
+    val r = right.where(F.col(re) > F.col(rs)).withColumn("_cell",
       F.explode(F.sequence(cellOf(F.col(rs)), cellOf(F.col(re) - 1))))
     l.join(r, Seq(key, "_cell"))
       .where(F.col(ls) < F.col(re) && F.col(rs) < F.col(le) &&

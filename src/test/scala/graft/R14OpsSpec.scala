@@ -389,6 +389,21 @@ class R14OpsSpec extends SparkSpec {
     }
   }
 
+  test("intervalOverlap: empty half-open intervals match nothing") {
+    import graft.operators.RangeJoin
+    // [100,100) is empty yet passes the naive predicate vs [50,200);
+    // it must be dropped, and its descending grid range never built
+    val l = Seq((1L, "k", 100L, 100L), (2L, "k", 90L, 110L))
+      .toDF("a_id", "key", "a_s", "a_e")
+    val r = Seq((10L, "k", 50L, 200L), (11L, "k", 120L, 120L))
+      .toDF("b_id", "key", "b_s", "b_e")
+    val got = RangeJoin.intervalOverlap(l, r, "key",
+      "a_s", "a_e", "b_s", "b_e", widthUs = 64L)
+      .select("a_id", "b_id")
+      .collect().map(row => (row.getLong(0), row.getLong(1))).toSet
+    assert(got == Set((2L, 10L)), s"$got")
+  }
+
   test("prefilteredJoin: equals the plain join, probe rows drop before the shuffle") {
     import graft.operators.BloomJoin
     import graft.functions.HashExprs
@@ -407,6 +422,12 @@ class R14OpsSpec extends SparkSpec {
     val bos = new java.io.ByteArrayOutputStream(); bloom.writeTo(bos)
     val kept = big.where(HashExprs.mightContainLong(F.col("k"), bos.toByteArray)).count()
     assert(kept >= 60 && kept < 1000, s"prefilter kept $kept of 10000")
+    // non-long keys fail fast at plan time, not deep in codegen
+    val strKeyed = Seq(("x", 1L)).toDF("k", "v")
+    val e = intercept[IllegalArgumentException] {
+      BloomJoin.prefilteredJoin(strKeyed, strKeyed, "k")
+    }
+    assert(e.getMessage.contains("LONG"), e.getMessage)
   }
 
   test("streamIntervalOverlap: watermarked stream-stream twin equals batch intervalOverlap") {
@@ -623,5 +644,11 @@ class R14OpsSpec extends SparkSpec {
     assert(got("grp") == ((2L, 2L, false, 4L)), s"${got("grp")}")
     // (grp, tag) separates them -> unique, NULL grouping as a value
     assert(got("grp+tag") == ((4L, 1L, true, 4L)))
+    // >62 distinct columns would overflow the Long grouping-bit
+    // weights -> fail fast
+    val wide = intercept[IllegalArgumentException] {
+      Profile.uniqueCombos(df, (0 until 63).map(i => Seq(s"c$i")))
+    }
+    assert(wide.getMessage.contains("62"), wide.getMessage)
   }
 }
