@@ -3662,8 +3662,14 @@ object OracleSql {
        |SELECT dc.community, dc.n_nodes,
        |       CAST(coalesce(intra.intra_edges, 0) AS BIGINT) AS intra_edges,
        |       dc.degree_sum,
-       |       4 * mm.m * CAST(coalesce(intra.intra_edges, 0) AS BIGINT)
-       |         - dc.degree_sum * dc.degree_sum AS q_num
+       |       -- products in HUGEINT (the Spark side uses decimal):
+       |       -- 4m*intra would overflow BIGINT at large m even when
+       |       -- q_num itself is small; the final BIGINT cast only
+       |       -- fails when q_num itself does not fit
+       |       CAST(4 * CAST(mm.m AS HUGEINT)
+       |              * CAST(coalesce(intra.intra_edges, 0) AS HUGEINT)
+       |            - CAST(dc.degree_sum AS HUGEINT)
+       |              * CAST(dc.degree_sum AS HUGEINT) AS BIGINT) AS q_num
        |FROM dc LEFT JOIN intra ON dc.community = intra.community
        |CROSS JOIN mm ORDER BY dc.community""".stripMargin
 

@@ -55,9 +55,6 @@ object Graph {
   def pageRank(edges: DataFrame, iters: Int = 5,
                damping: Double = 0.85): DataFrame = {
     require(iters >= 1, "at least one iteration")
-    def pin(df: DataFrame): DataFrame =
-      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-      else df.localCheckpoint(true)
     val e = edges.select(F.col("src"), F.col("dst"), F.col("w").cast("long").as("w"))
       .persist()
     val outw = e.groupBy("src").agg(F.sum("w").as("outw"))
@@ -77,7 +74,7 @@ object Graph {
       .persist()
     val n = nodes.count() // the one driver scalar — |V| as a long
     require(n > 0, "pageRank: empty edge list")
-    var ranks = pin(nodes.select(F.col("node"), F.col("is_sink"),
+    var ranks = Pins.pin(nodes.select(F.col("node"), F.col("is_sink"),
       F.round(F.lit(1.0 / n), 12).cast("decimal(26,12)").as("rank")))
     for (_ <- 1 to iters) {
       val contrib = ew.join(
@@ -89,14 +86,14 @@ object Graph {
       val dang = ranks.where(F.col("is_sink"))
         .agg(F.coalesce(F.sum("rank"), F.lit(0).cast("decimal(26,12)"))
           .as("dang"))
-      val next = pin(nodes.join(inSum, Seq("node"), "left")
+      val next = Pins.pin(nodes.join(inSum, Seq("node"), "left")
         .crossJoin(F.broadcast(dang))
         .select(F.col("node"), F.col("is_sink"),
           F.round(F.lit((1.0 - damping) / n) + F.lit(damping) *
             (F.coalesce(F.col("insum"), F.lit(0).cast("decimal(36,12)")).cast("double")
               + F.col("dang").cast("double") / F.lit(n.toDouble)), 12)
             .cast("decimal(26,12)").as("rank")))
-      ranks.unpersist()
+      Pins.release(ranks)
       ranks = next
     }
     e.unpersist(); ew.unpersist(); nodes.unpersist()
@@ -119,9 +116,6 @@ object Graph {
                            iters: Int = 5,
                            damping: Double = 0.85): DataFrame = {
     require(iters >= 1, "at least one iteration")
-    def pin(df: DataFrame): DataFrame =
-      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-      else df.localCheckpoint(true)
     val e = edges.select(F.col("src"), F.col("dst"), F.col("w").cast("long").as("w"))
       .persist()
     val outw = e.groupBy("src").agg(F.sum("w").as("outw"))
@@ -142,7 +136,7 @@ object Graph {
       .persist()
     val s = nodes.where(F.col("is_seed")).count()
     require(s > 0, "personalizedPageRank: no seed present in the graph")
-    var ranks = pin(nodes.select(F.col("node"), F.col("is_sink"), F.col("is_seed"),
+    var ranks = Pins.pin(nodes.select(F.col("node"), F.col("is_sink"), F.col("is_seed"),
       F.when(F.col("is_seed"), F.round(F.lit(1.0 / s), 12))
         .otherwise(F.lit(0.0)).cast("decimal(26,12)").as("rank")))
     for (_ <- 1 to iters) {
@@ -155,7 +149,7 @@ object Graph {
       val dang = ranks.where(F.col("is_sink"))
         .agg(F.coalesce(F.sum("rank"), F.lit(0).cast("decimal(26,12)"))
           .as("dang"))
-      val next = pin(nodes.join(inSum, Seq("node"), "left")
+      val next = Pins.pin(nodes.join(inSum, Seq("node"), "left")
         .crossJoin(F.broadcast(dang))
         .select(F.col("node"), F.col("is_sink"), F.col("is_seed"),
           F.round(
@@ -168,7 +162,7 @@ object Graph {
                     F.col("dang").cast("double") / F.lit(s.toDouble))
                     .otherwise(F.lit(0.0))), 12)
             .cast("decimal(26,12)").as("rank")))
-      ranks.unpersist()
+      Pins.release(ranks)
       ranks = next
     }
     e.unpersist(); ew.unpersist(); nodes.unpersist()
@@ -236,13 +230,22 @@ object Graph {
     val dc = lab.join(deg, "node")
       .groupBy("community")
       .agg(F.count(F.lit(1)).as("n_nodes"), F.sum(F.col("d")).as("degree_sum"))
+    // products in DECIMAL, never Long (the seasonalAnomalies policy):
+    // at m ~ 1e10 edges the 4m·intra INTERMEDIATE overflows Long —
+    // ANSI throws — even when q_num itself is tiny (Q ≈ 0, the
+    // well-mixed common case). decimal(19,0) terms keep every product
+    // exact to 1e38; the output cast back to long then only fails,
+    // loudly, when q_num itself cannot be represented.
+    val m19 = F.col("m").cast("decimal(19,0)")
+    val intra19 = F.coalesce(F.col("intra_edges"), F.lit(0L)).cast("decimal(19,0)")
+    val d19 = F.col("degree_sum").cast("decimal(19,0)")
     dc.join(intra, Seq("community"), "left")
       .crossJoin(F.broadcast(mRow))
       .select(F.col("community"), F.col("n_nodes"),
         F.coalesce(F.col("intra_edges"), F.lit(0L)).as("intra_edges"),
         F.col("degree_sum"),
-        (F.lit(4L) * F.col("m") * F.coalesce(F.col("intra_edges"), F.lit(0L)) -
-          F.col("degree_sum") * F.col("degree_sum")).as("q_num"))
+        (F.lit(4L).cast("decimal(19,0)") * m19 * intra19 - d19 * d19)
+          .cast("long").as("q_num"))
   }
 
   /** Community detection by synchronous label propagation (Raghavan,
@@ -265,26 +268,23 @@ object Graph {
     */
   def labelPropagation(pairs: DataFrame, iters: Int = 5): DataFrame = {
     require(iters >= 1, "at least one iteration")
-    def pin(df: DataFrame): DataFrame =
-      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-      else df.localCheckpoint(true)
     val e = pairs.select(F.col("a"), F.col("b"))
       .unionAll(pairs.select(F.col("b").as("a"), F.col("a").as("b")))
       .distinct().persist()
     // every node of an undirected edge list appears as `a`
-    var labels = pin(e.select(F.col("a").as("node")).distinct()
+    var labels = Pins.pin(e.select(F.col("a").as("node")).distinct()
       .select(F.col("node"), F.col("node").as("lbl")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("a").orderBy(F.col("c").desc, F.col("lbl").asc)
     for (_ <- 1 to iters) {
-      val next = pin(e
+      val next = Pins.pin(e
         .join(labels.select(F.col("node").as("b2"), F.col("lbl")),
           F.col("b") === F.col("b2"))
         .groupBy(F.col("a"), F.col("lbl")).agg(F.count(F.lit(1)).as("c"))
         .withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") === 1)
         .select(F.col("a").as("node"), F.col("lbl")))
-      labels.unpersist()
+      Pins.release(labels)
       labels = next
     }
     e.unpersist()
@@ -312,19 +312,17 @@ object Graph {
     */
   def kCore(pairs: DataFrame, k: Int, rounds: Int = 8): DataFrame = {
     require(k >= 1 && rounds >= 1, "k and rounds must be positive")
-    def pin(df: DataFrame): DataFrame =
-      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-      else df.localCheckpoint(true)
     def degrees(e: DataFrame): DataFrame =
       e.groupBy(F.col("a")).agg(F.count(F.lit(1)).as("deg"))
-    var e = pin(pairs.select(F.col("a"), F.col("b"))
+    var e = Pins.pin(pairs.select(F.col("a"), F.col("b"))
       .unionAll(pairs.select(F.col("b").as("a"), F.col("a").as("b")))
       .distinct())
     for (_ <- 1 to rounds) {
       val keep = degrees(e).where(F.col("deg") >= k).select(F.col("a").as("n"))
-      val next = pin(e
+      val next = Pins.pin(e
         .join(keep, F.col("a") === F.col("n"), "left_semi")
         .join(keep, F.col("b") === F.col("n"), "left_semi"))
+      Pins.release(e) // next is eagerly pinned; release the old round's blocks
       e = next
     }
     degrees(e).where(F.col("deg") >= k)
@@ -348,20 +346,18 @@ object Graph {
   def shortestHops(pairs: DataFrame, sources: DataFrame,
                    rounds: Int = 4): DataFrame = {
     require(rounds >= 1, "at least one round")
-    def pin(df: DataFrame): DataFrame =
-      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-      else df.localCheckpoint(true)
     val e = pairs.select(F.col("a"), F.col("b"))
       .unionAll(pairs.select(F.col("b").as("a"), F.col("a").as("b")))
       .distinct().persist()
-    var dist = pin(sources.select(F.col("node")).distinct()
+    var dist = Pins.pin(sources.select(F.col("node")).distinct()
       .withColumn("h", F.lit(0)))
     for (_ <- 1 to rounds) {
-      val next = pin(dist
+      val next = Pins.pin(dist
         .unionAll(dist
           .join(e, dist("node") === e("a"))
           .select(e("b").as("node"), (dist("h") + F.lit(1)).as("h")))
         .groupBy("node").agg(F.min("h").as("h")))
+      Pins.release(dist) // next is eagerly pinned; release the old round's blocks
       dist = next
     }
     e.unpersist()
@@ -384,21 +380,19 @@ object Graph {
   def shortestPaths(pairs: DataFrame, sources: DataFrame,
                     rounds: Int = 4): DataFrame = {
     require(rounds >= 1, "at least one round")
-    def pin(df: DataFrame): DataFrame =
-      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-      else df.localCheckpoint(true)
     val e = pairs.select(F.col("a"), F.col("b"), F.col("cost").cast("long").as("cost"))
       .unionAll(pairs.select(F.col("b").as("a"), F.col("a").as("b"),
         F.col("cost").cast("long").as("cost")))
       .distinct().persist()
-    var dist = pin(sources.select(F.col("node")).distinct()
+    var dist = Pins.pin(sources.select(F.col("node")).distinct()
       .withColumn("d", F.lit(0L)))
     for (_ <- 1 to rounds) {
-      val next = pin(dist
+      val next = Pins.pin(dist
         .unionAll(dist
           .join(e, dist("node") === e("a"))
           .select(e("b").as("node"), (dist("d") + e("cost")).as("d")))
         .groupBy("node").agg(F.min("d").as("d")))
+      Pins.release(dist) // next is eagerly pinned; release the old round's blocks
       dist = next
     }
     e.unpersist()

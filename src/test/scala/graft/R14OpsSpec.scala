@@ -90,6 +90,24 @@ class R14OpsSpec extends SparkSpec {
     assert(leaked.isEmpty, s"released triangle pins must not accumulate: $leaked")
   }
 
+  test("iterative graph rounds release their pins (only final frames stay)") {
+    import graft.operators.Graph
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val srcs = Seq(Tuple1(1L)).toDF("node")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    assert(Graph.shortestHops(pairs, srcs, rounds = 4).count() == 5)
+    assert(Graph.shortestPaths(pairs.withColumn("cost", F.lit(2L)),
+      srcs, rounds = 4).count() == 5)
+    assert(Graph.kCore(pairs, k = 1, rounds = 3).count() == 5)
+    val after = spark.sparkContext.getPersistentRDDs.keySet -- before
+    // each call may leave exactly its RETURNED pinned frame (releasing
+    // that one would lose the result — its lineage was truncated);
+    // every intermediate round pin and support cache must be gone via
+    // Pins.release — plain Dataset.unpersist left 11 extras here
+    // (localCheckpoint blocks are invisible to the CacheManager)
+    assert(after.size <= 3, s"round pins leaked: ${after.size} new cached RDDs")
+  }
+
   test("connectedComponents: generic edge lists get min-reachable-id labels") {
     import graft.operators.Graph
     // chain 1-2-3, pair 10-11, isolated-by-edge 20-21
