@@ -16,6 +16,13 @@ import org.apache.spark.sql.{functions => F}
   * scale, pre-bucketed by src so the rank join co-locates); ranks are
   * |V| narrow rows re-shuffled per round; nothing node-sized ever
   * reaches the driver (the only driver scalar is |V|).
+  *
+  * Storage contract: every iterative op here returns an eagerly
+  * PINNED frame (its lineage was truncated, so the blocks ARE the
+  * data); intermediate rounds release via [[Pins.release]] as they
+  * go, and a long-lived caller should pass the returned frame to
+  * [[Pins.release]] too once fully consumed — plain
+  * Dataset.unpersist() cannot reach a checkpoint's blocks.
   */
 object Graph {
 

@@ -108,6 +108,18 @@ class R14OpsSpec extends SparkSpec {
     assert(after.size <= 3, s"round pins leaked: ${after.size} new cached RDDs")
   }
 
+  test("keywordsReleasable: handle releases the internal tf pin") {
+    import graft.text.TextOps
+    val docs = Seq((1L, "alpha beta beta gamma"), (2L, "alpha delta"))
+      .toDF("doc_id", "text")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val (out, release) = TextOps.keywordsReleasable(docs, "doc_id", "text", 2)
+    assert(out.count() == 4)
+    release()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"released keyword pins must not accumulate: $leaked")
+  }
+
   test("connectedComponents: generic edge lists get min-reachable-id labels") {
     import graft.operators.Graph
     // chain 1-2-3, pair 10-11, isolated-by-edge 20-21
