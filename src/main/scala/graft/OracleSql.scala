@@ -3436,6 +3436,7 @@ object OracleSql {
     // bounded multi-source BFS, the SAME fixed rounds unrolled:
     // each round = frontier-edge expansion unioned in, min per node
     "graph_bfs" -> bfsSql(rounds = 4),
+    "graph_harmonic" -> harmonicSql(rounds = 4),
 
     // min-plus Bellman-Ford rounds over the weighted co-order graph,
     // the SAME fixed rounds unrolled
@@ -3561,6 +3562,41 @@ object OracleSql {
        |                    FROM part WHERE p_brand = 'Brand#1'),
        |$rs
        |SELECT node, h AS hops FROM d$rounds ORDER BY node""".stripMargin
+  }
+
+  /** [[bfsSql]] per seed, then the lcm-scaled harmonic fold: the
+    * distance rounds carry (seed, node, h) so the twin replays the
+    * per-pivot BFS exactly; contributions are `scale // h` — integer
+    * floor division, EXACT because every 1 ≤ h ≤ rounds divides
+    * lcm(1..rounds) by construction (the division-free policy). SUM
+    * over INTEGERs is HUGEINT in DuckDB → cast BIGINT to match
+    * Spark's long (the pinned-output-type contract).
+    */
+  private def harmonicSql(rounds: Int): String = {
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    val scale = (1L to rounds.toLong).reduce((a, b) => a / gcd(a, b) * b)
+    val rs = (1 to rounds).map { i =>
+      s"""d$i AS MATERIALIZED (
+         |  SELECT seed, node, min(h) AS h FROM (
+         |    SELECT seed, node, h FROM d${i - 1}
+         |    UNION ALL
+         |    SELECT d.seed, e.b AS node, d.h + 1 AS h
+         |    FROM d${i - 1} d JOIN e ON d.node = e.a)
+         |  GROUP BY seed, node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |p AS (SELECT x.pk AS id1, y.pk AS id2
+       |      FROM op x JOIN op y ON x.ok = y.ok AND x.pk < y.pk
+       |      GROUP BY 1, 2 HAVING count(*) >= 2),
+       |e AS MATERIALIZED (SELECT id1 AS a, id2 AS b FROM p
+       |                   UNION SELECT id2, id1 FROM p),
+       |d0 AS MATERIALIZED (SELECT p_partkey AS seed, p_partkey AS node, 0 AS h
+       |                    FROM part
+       |                    WHERE p_brand = 'Brand#1' AND p_partkey % 10 = 0),
+       |$rs
+       |SELECT node, CAST(count(*) AS BIGINT) AS n_reach,
+       |       CAST(sum($scale // h) AS BIGINT) AS h_num
+       |FROM d$rounds WHERE h >= 1 GROUP BY node ORDER BY node""".stripMargin
   }
 
   /** [[bfsSql]]'s min-plus twin: same MATERIALIZED round pins, costs

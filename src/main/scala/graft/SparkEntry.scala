@@ -2674,6 +2674,29 @@ object SparkEntry {
     out
   }
 
+  private def graphHarmonic(t: Tables): DataFrame = {
+    // seed-set harmonic centrality over the co-order part graph
+    // (support >= 2): pivots = every 10th Brand#1 part — the
+    // deterministic Eppstein-Wang pivot sample (1/3/68 seeds at
+    // sf0.001/0.01/0.1, the |S| cost knob); 4 rounds, contributions
+    // lcm(1..4)=12-scaled so every reciprocal is an exact integer
+    val op = t.lineitem.select(F.col("l_orderkey").as("ok"),
+      F.col("l_partkey").as("pk")).distinct().persist()
+    val pairs = op.as("x").join(op.as("y"),
+        F.col("x.ok") === F.col("y.ok") && F.col("x.pk") < F.col("y.pk"))
+      .groupBy(F.col("x.pk").as("a"), F.col("y.pk").as("b"))
+      .agg(F.count(F.lit(1)).as("cooc"))
+      .where(F.col("cooc") >= 2)
+      .select("a", "b")
+    val seeds = t.part.where(F.col("p_brand") === "Brand#1" &&
+        F.col("p_partkey") % 10 === 0)
+      .select(F.col("p_partkey").as("node"))
+    val out = operators.Graph.harmonicCentrality(pairs, seeds, rounds = 4)
+      .orderBy("node")
+    op.unpersist()
+    out
+  }
+
   private def intervalJoin(t: Tables): DataFrame =
     // interval x interval overlap: per-user error windows [ts, +30 m)
     // against view windows [ts, +10 m) — grid cells at 15 m so each
@@ -3196,6 +3219,7 @@ object SparkEntry {
       "graph_modularity" -> q(graphModularity),
       "graph_kcore" -> q(graphKcore),
       "graph_bfs" -> q(graphBfs),
+      "graph_harmonic" -> q(graphHarmonic),
       "graph_sssp" -> q(graphSssp),
       "interval_join" -> q(intervalJoin),
       "q_bloom_prefilter" -> q(qBloomPrefilter),

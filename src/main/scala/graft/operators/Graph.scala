@@ -406,6 +406,54 @@ object Graph {
     dist.select(F.col("node"), F.col("d").as("dist"))
   }
 
+  /** Seed-set harmonic centrality (Boldi & Vigna, Internet Math 2014
+    * — the closeness variant that is well-defined on DISCONNECTED
+    * graphs: unreachable pairs contribute 0 instead of poisoning the
+    * mean): for each node v, H(v) = Σ_{s∈S, 1≤d(s,v)≤rounds} 1/d(s,v)
+    * over a caller-chosen seed set S — the Eppstein-Wang estimator's
+    * sampled-pivots shape, with the sample made deterministic by the
+    * caller (e.g. a modulus predicate on the id).
+    *
+    * DIVISION-FREE (the ×200-fence policy): every reciprocal is
+    * scaled by lcm(1..rounds), so each contribution `scale div d` is
+    * an EXACT integer (d divides scale by construction) and h_num =
+    * H(v)·scale — integer-comparable cross-engine, no float ever.
+    *
+    * Scale: [[shortestHops]] per seed — the distance table carries
+    * (seed, node, h), so per-round cost is |S| × |reached| narrow
+    * rows through one join + one groupBy min; rounds lineage-pin and
+    * release via [[Pins]]. |S| is the cost knob: harmonic centrality
+    * over a pivot SAMPLE is the standard estimator at scale. Returns
+    * (node, n_reach, h_num) for nodes some seed reaches at d ≥ 1
+    * (seeds count toward other seeds, never themselves), unordered.
+    */
+  def harmonicCentrality(pairs: DataFrame, seeds: DataFrame,
+                         rounds: Int = 4): DataFrame = {
+    require(rounds >= 1 && rounds <= 20, "1 <= rounds <= 20")
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    val scale = (1L to rounds.toLong).reduce((a, b) => a / gcd(a, b) * b)
+    val e = pairs.select(F.col("a"), F.col("b"))
+      .unionAll(pairs.select(F.col("b").as("a"), F.col("a").as("b")))
+      .distinct().persist()
+    var dist = Pins.pin(seeds.select(F.col("node")).distinct()
+      .select(F.col("node").as("seed"), F.col("node"), F.lit(0).as("h")))
+    for (_ <- 1 to rounds) {
+      val next = Pins.pin(dist
+        .unionAll(dist
+          .join(e, dist("node") === e("a"))
+          .select(dist("seed"), e("b").as("node"),
+            (dist("h") + F.lit(1)).as("h")))
+        .groupBy("seed", "node").agg(F.min("h").as("h")))
+      Pins.release(dist) // next is eagerly pinned; release the old round's blocks
+      dist = next
+    }
+    e.unpersist()
+    dist.where(F.col("h") >= 1)
+      .groupBy("node")
+      .agg(F.count(F.lit(1)).as("n_reach"),
+        F.sum(F.expr(s"CAST($scale AS BIGINT) div h")).as("h_num"))
+  }
+
   /** Degree-ordered orientation of an undirected canonical pair list
     * (a < b): each edge is re-pointed from its LOWER-ranked endpoint
     * to its higher-ranked one under the total order (degree, node) —

@@ -120,6 +120,29 @@ class R14OpsSpec extends SparkSpec {
     assert(leaked.isEmpty, s"released keyword pins must not accumulate: $leaked")
   }
 
+  test("harmonicCentrality: lcm-scaled reciprocals, self excluded, budget bounds reach") {
+    import graft.operators.Graph
+    // path 1-2-3-4-5 with seeds {1, 5}; disconnected pair 10-11 has
+    // no seed, so it never appears. scale = lcm(1..4) = 12:
+    //   node 2: d(1,2)=1 -> 12, d(5,2)=3 -> 4   => n_reach 2, h_num 16
+    //   node 3: 6 + 6 = 12; node 1: only seed 5 at d=4 -> 3 (its own
+    //   d=0 row is excluded — seeds never count themselves)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("a", "b")
+    val seeds = Seq(1L, 5L).toDF("node")
+    val got = Graph.harmonicCentrality(pairs, seeds, rounds = 4)
+      .orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 1L, 3L), (2L, 2L, 16L), (3L, 2L, 12L),
+      (4L, 2L, 16L), (5L, 1L, 3L)))
+    // rounds=2: the far seed is beyond budget, endpoints see one seed
+    val g2 = Graph.harmonicCentrality(pairs, seeds, rounds = 2)
+      .orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // scale = lcm(1..2) = 2: d=1 -> 2, d=2 -> 1
+    assert(g2.toSeq == Seq((2L, 1L, 2L), (3L, 2L, 2L), (4L, 1L, 2L)))
+  }
+
   test("connectedComponents: generic edge lists get min-reachable-id labels") {
     import graft.operators.Graph
     // chain 1-2-3, pair 10-11, isolated-by-edge 20-21
