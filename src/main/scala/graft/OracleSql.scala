@@ -1363,6 +1363,29 @@ object OracleSql {
       """SELECT DISTINCT lang, CAST(10 AS BIGINT) AS n_topk, TRUE AS topk_ok
         |FROM documents ORDER BY lang""".stripMargin,
 
+    // scaled-integer PMI: products in HUGEINT, floor division (all
+    // operands positive, so DuckDB's floor `//` == Spark's
+    // truncating `div`), BIGINT result per the pinned-type contract
+    "corpus_collocations" ->
+      s"""WITH tk AS (SELECT ${toks("text")} AS tl FROM documents),
+         |tok AS (SELECT unnest(tl) AS tok FROM tk),
+         |cu AS (SELECT tok, count(*) AS cn FROM tok GROUP BY 1),
+         |tot AS (SELECT CAST(sum(cn) AS HUGEINT) AS t FROM cu),
+         |bg AS (SELECT unnest([tl[i] || ' ' || tl[i+1]
+         |                      for i in generate_series(1, greatest(len(tl) - 1, 0))]) AS bg
+         |       FROM tk),
+         |cb AS (SELECT bg, count(*) AS c_ab FROM bg
+         |       GROUP BY 1 HAVING count(*) >= 5)
+         |SELECT cb.bg AS bigram, cb.c_ab, a.cn AS c_a, b.cn AS c_b,
+         |       CAST((CAST(cb.c_ab AS HUGEINT) * tot.t * 1000000)
+         |            // (CAST(a.cn AS HUGEINT) * CAST(b.cn AS HUGEINT))
+         |         AS BIGINT) AS score_ppm
+         |FROM cb
+         |JOIN cu a ON a.tok = split_part(cb.bg, ' ', 1)
+         |JOIN cu b ON b.tok = split_part(cb.bg, ' ', 2)
+         |CROSS JOIN tot
+         |ORDER BY score_ppm DESC, bigram ASC LIMIT 100""".stripMargin,
+
     "corpus_bigrams" ->
       s"""WITH tk AS (SELECT lang, ${toks("text")} AS tl FROM documents),
          |bg AS (SELECT lang,

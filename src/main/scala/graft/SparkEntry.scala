@@ -2067,6 +2067,14 @@ object SparkEntry {
     text.Curate.topNgrams(t.documents, "lang", "text", ngram = 2, k = 10)
       .orderBy("lang", "rank")
 
+  private def corpusCollocations(t: Tables): DataFrame =
+    // association-strength collocations: top bigrams by
+    // SCALED-INTEGER PMI (score_ppm = c_ab*T*1e6 div c_a*c_b) — the
+    // ranking raw counts can't give (frequency surfaces "of the",
+    // PMI surfaces the glued pairs); min count 5 kills the hapax
+    // noise floor, unique-bigram tie-break totalizes the order
+    text.Curate.collocations(t.documents, "text", minCount = 5, k = 100)
+
   private def corpusBigramsApprox(t: Tables): DataFrame =
     // the sketch path for the vocabulary that actually grows without
     // bound: bigrams. Same two-pass Misra-Gries gate as
@@ -3180,6 +3188,7 @@ object SparkEntry {
       "corpus_vocab_approx" -> q(corpusVocabApprox),
       "corpus_bigrams_approx" -> q(corpusBigramsApprox),
       "corpus_bigrams" -> q(corpusBigrams),
+      "corpus_collocations" -> q(corpusCollocations),
       "corpus_quantiles_approx" -> q(corpusQuantilesApprox),
       "curate_bpe" -> q(curateBpe),
       "curate_bpe_tokens" -> q(curateBpeTokens),

@@ -270,6 +270,55 @@ object Curate {
           .cast("double") / F.count(F.lit(1))).as("avg_logprob"))
   }
 
+  /** Collocation extraction by scaled-integer pointwise mutual
+    * information (Church & Hanks, Computational Linguistics 1990):
+    * which adjacent word pairs co-occur MORE than their unigram
+    * frequencies predict — the association-strength complement of
+    * [[topNgrams]]' raw-count ranking (raw counts surface "of the";
+    * PMI surfaces the "hong kong"s).
+    *
+    * DIVISION-FREE: PMI = ln(c_ab·T / (c_a·c_b)) is monotone in the
+    * ratio, so ranking and output use the floor-scaled integer
+    * score_ppm = (c_ab·T·10⁶) div (c_a·c_b) — decimal(18,0) products
+    * (the 4m·intra overflow lesson: terms first, never a Long
+    * intermediate), integer floor division, exact cross-engine, no
+    * log/float anywhere; the unique-bigram tie-break totalizes the
+    * order. minCount prunes the PMI noise floor (hapax pairs score
+    * absurdly high — the paper's own caveat).
+    *
+    * Scale: the [[bigramLogProb]] exchanges — one map-side-combined
+    * count per vocabulary (unigram + surviving bigram), the token
+    * total as a one-row broadcast, two hash joins keyed on the
+    * unigram vocabulary, and a global top-k under a full ordering
+    * (TakeOrderedAndProject — k rows per partition move, never a
+    * global sort). Nothing corpus-sized shuffles twice.
+    */
+  def collocations(df: DataFrame, textCol: String,
+                   minCount: Long = 5, k: Int = 100): DataFrame = {
+    require(minCount >= 1 && k >= 1, "minCount and k must be positive")
+    val tl = TextOps.tokens(F.col(textCol))
+    val docBg = df.select(F.explode(TextOps.shingles(tl, 2)).as("bg"))
+    val docToks = df.select(F.explode(tl).as("tok"))
+    val cu = docToks.groupBy("tok").agg(F.count(F.lit(1)).as("cn"))
+    val tot = cu.agg(F.sum("cn").cast("decimal(18,0)").as("t"))
+    val cb = docBg.groupBy("bg").agg(F.count(F.lit(1)).as("c_ab"))
+      .where(F.col("c_ab") >= minCount)
+    // tokens contain no spaces (the tokenizer splits on non-alnum),
+    // so the shingle's single space is the w1/w2 boundary
+    cb.withColumn("w1", F.substring_index(F.col("bg"), " ", 1))
+      .withColumn("w2", F.substring_index(F.col("bg"), " ", -1))
+      .join(cu.select(F.col("tok").as("w1"), F.col("cn").as("c_a")), "w1")
+      .join(cu.select(F.col("tok").as("w2"), F.col("cn").as("c_b")), "w2")
+      .crossJoin(F.broadcast(tot))
+      .select(F.col("bg").as("bigram"), F.col("c_ab"),
+        F.col("c_a"), F.col("c_b"),
+        F.expr("(CAST(c_ab AS DECIMAL(18,0)) * t * 1000000) div " +
+          "(CAST(c_a AS DECIMAL(18,0)) * CAST(c_b AS DECIMAL(18,0)))")
+          .as("score_ppm"))
+      .orderBy(F.col("score_ppm").desc, F.col("bigram").asc)
+      .limit(k)
+  }
+
   /** Per-group corpus report — the pass every mixing/curation decision
     * starts from: document counts, character and token volumes per
     * (source, language, shard, ...) group. One map-side-combined

@@ -178,6 +178,9 @@ class PlanSpec extends SparkSpec {
     // bigram LM: same 1-row vocabulary-size totals crossJoin as the
     // unigram scorer (the bigram/unigram count joins are hash joins)
     "text_bigram_lm",
+    // PMI collocations: the ONE-ROW token-total frame crosses into
+    // the bigram/unigram count join (the score_ppm numerator's T)
+    "corpus_collocations",
     // keywords crosses the ONE-ROW corpus-count frame into the
     // tf/df join (the idf denominator)
     "text_keywords",

@@ -108,6 +108,25 @@ class R14OpsSpec extends SparkSpec {
     assert(after.size <= 3, s"round pins leaked: ${after.size} new cached RDDs")
   }
 
+  test("collocations: scaled-integer PMI ranks glued pairs above frequent ones") {
+    import graft.text.Curate
+    // T = 12 tokens; x:4 y:3 z:2 w:2 q:1. Surviving bigrams (>= 2):
+    //   "z w" 2*12e6 div (2*2) = 6_000_000  (z,w ONLY co-occur — top)
+    //   "x y" 3*12e6 div (4*3) = 3_000_000  (most frequent, NOT top)
+    //   "y x" 2*12e6 div (3*4) = 2_000_000
+    // "x q"/"w z" fall to the min-count floor
+    val docs = Seq((1L, "x y x y x y"), (2L, "z w z w"), (3L, "x q"))
+      .toDF("doc_id", "text")
+    val got = Curate.collocations(docs, "text", minCount = 2, k = 10)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.toSeq == Seq(
+      ("z w", 2L, 2L, 2L, 6000000L),
+      ("x y", 3L, 4L, 3L, 3000000L),
+      ("y x", 2L, 3L, 4L, 2000000L)))
+  }
+
   test("keywordsReleasable: handle releases the internal tf pin") {
     import graft.text.TextOps
     val docs = Seq((1L, "alpha beta beta gamma"), (2L, "alpha delta"))
