@@ -1065,14 +1065,14 @@ object OracleSql {
     "curate_take" ->
       """SELECT doc_id, lang FROM (
         |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
-        |    ORDER BY CAST((doc_id * 2654435761) % 1000000 AS DOUBLE) / 1000000.0 ASC,
+        |    ORDER BY CAST((CAST(doc_id AS HUGEINT) * 2654435761) % 1000000 AS DOUBLE) / 1000000.0 ASC,
         |             doc_id ASC) AS rk
         |  FROM documents)
         |WHERE rk <= 20 ORDER BY doc_id""".stripMargin,
 
     "curate_pack" ->
       s"""WITH tk AS (SELECT doc_id,
-         |  CAST(floor(CAST((doc_id * 2654435761) % 1000000 AS DOUBLE)
+         |  CAST(floor(CAST((CAST(doc_id AS HUGEINT) * 2654435761) % 1000000 AS DOUBLE)
          |             / 1000000.0 * 4) AS BIGINT) AS shard,
          |  len(${toks("text")}) AS nt FROM documents),
          |c AS (SELECT doc_id, shard, nt,
@@ -1207,7 +1207,7 @@ object OracleSql {
          |g AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS group_id
          |      FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
          |k AS (SELECT doc_id, group_id,
-         |             CAST((group_id * 2654435761) % 1000000 AS DOUBLE) / 1000000.0 AS key
+         |             CAST((CAST(group_id AS HUGEINT) * 2654435761) % 1000000 AS DOUBLE) / 1000000.0 AS key
          |      FROM g)
          |SELECT doc_id, CAST(group_id AS BIGINT) AS group_id,
          |       CASE WHEN key < CAST(0.9 AS DOUBLE) THEN 'train'
@@ -1301,7 +1301,7 @@ object OracleSql {
          |               / CAST(available_tokens AS DOUBLE)), 6) AS rate
          |      FROM s)
          |SELECT d.doc_id, d.lang FROM documents d JOIN r ON d.lang = r.lang
-         |WHERE CAST((d.doc_id * 2654435761) % 1000000 AS DOUBLE) / 1000000.0 < r.rate
+         |WHERE CAST((CAST(d.doc_id AS HUGEINT) * 2654435761) % 1000000 AS DOUBLE) / 1000000.0 < r.rate
          |ORDER BY d.doc_id""".stripMargin,
 
     // the composed curation chain: quality verdict (same thresholds as
@@ -1330,7 +1330,7 @@ object OracleSql {
          |           row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rk
          |    FROM kept) WHERE rk = 1),
          |sh AS (SELECT doc_id, n_tokens,
-         |    CAST(floor(CAST((doc_id * 2654435761) % 1000000 AS DOUBLE)
+         |    CAST(floor(CAST((CAST(doc_id AS HUGEINT) * 2654435761) % 1000000 AS DOUBLE)
          |               / 1000000.0 * 4) AS BIGINT) AS shard
          |  FROM dd),
          |c AS (SELECT doc_id, shard, n_tokens,
@@ -1992,12 +1992,12 @@ object OracleSql {
 
     "curate_sample" ->
       """SELECT doc_id, lang FROM documents
-        |WHERE CAST((doc_id * 2654435761) % 1000000 AS DOUBLE) / 1000000.0 <
+        |WHERE CAST((CAST(doc_id AS HUGEINT) * 2654435761) % 1000000 AS DOUBLE) / 1000000.0 <
         |      CASE WHEN lang = 'en' THEN 0.2 ELSE 1.0 END
         |ORDER BY doc_id""".stripMargin,
 
     "curate_shards" ->
-      """SELECT CAST(floor(CAST((doc_id * 2654435761) % 1000000 AS DOUBLE)
+      """SELECT CAST(floor(CAST((CAST(doc_id AS HUGEINT) * 2654435761) % 1000000 AS DOUBLE)
         |                  / 1000000.0 * 8) AS BIGINT) AS shard,
         |       count(*) AS n_docs, min(doc_id) AS min_doc, max(doc_id) AS max_doc
         |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin,
@@ -2618,7 +2618,7 @@ object OracleSql {
     // integer lateness aggregates
     "events_late_arrivals" ->
       """WITH e AS (SELECT event_type, user_id,
-        |                  (event_id * 2654435761) % 1000000007 AS arrival,
+        |                  CAST((CAST(event_id AS HUGEINT) * 2654435761) % 1000000007 AS BIGINT) AS arrival,
         |                  epoch_us(ts) AS us FROM events),
         |m AS (SELECT *, max(us) OVER (PARTITION BY event_type, user_id
         |        ORDER BY arrival ASC, us ASC
@@ -3126,7 +3126,7 @@ object OracleSql {
     // BEFORE the top-k so the selection boundary matches the kernel
     "curate_weighted_sample" ->
       """WITH k AS (SELECT doc_id, n_chars,
-        |             round(ln((CAST((doc_id + 0) * 2654435761 % 1000000 AS DOUBLE) + 0.5)
+        |             round(ln((CAST(CAST(doc_id + 0 AS HUGEINT) * 2654435761 % 1000000 AS DOUBLE) + 0.5)
         |                      / 1000000.0)
         |                   / CAST(n_chars AS DOUBLE), 9) AS sample_key
         |           FROM documents),
@@ -3460,6 +3460,34 @@ object OracleSql {
     // each round = frontier-edge expansion unioned in, min per node
     "graph_bfs" -> bfsSql(rounds = 4),
     "graph_harmonic" -> harmonicSql(rounds = 4),
+
+    // link prediction: the pivot cap (64, mirroring the wired query)
+    // is part of the gated contract; PA products in HUGEINT (the
+    // overflow policy), BIGINT result; (cn, pa, a, b) is a total
+    // order so the LIMIT is deterministic
+    "graph_linkpred" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |p AS (SELECT x.pk AS id1, y.pk AS id2
+        |      FROM op x JOIN op y ON x.ok = y.ok AND x.pk < y.pk
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e AS MATERIALIZED (SELECT id1 AS a, id2 AS b FROM p
+        |                   UNION SELECT id2, id1 FROM p),
+        |deg AS MATERIALIZED (SELECT a AS node, count(*) AS deg FROM e GROUP BY 1),
+        |piv AS (SELECT e.a AS w, e.b AS n
+        |        FROM e JOIN deg ON deg.node = e.a WHERE deg.deg <= 64),
+        |cand AS (SELECT x.n AS a, y.n AS b, count(*) AS cn
+        |         FROM piv x JOIN piv y ON x.w = y.w AND x.n < y.n
+        |         GROUP BY 1, 2),
+        |nonadj AS (SELECT c.a, c.b, c.cn FROM cand c
+        |           LEFT JOIN p ON p.id1 = c.a AND p.id2 = c.b
+        |           WHERE p.id1 IS NULL)
+        |SELECT n.a, n.b, n.cn,
+        |       CAST(CAST(da.deg AS HUGEINT) * CAST(db.deg AS HUGEINT)
+        |         AS BIGINT) AS pa
+        |FROM nonadj n
+        |JOIN deg da ON da.node = n.a
+        |JOIN deg db ON db.node = n.b
+        |ORDER BY cn DESC, pa DESC, a ASC, b ASC LIMIT 100""".stripMargin,
 
     // min-plus Bellman-Ford rounds over the weighted co-order graph,
     // the SAME fixed rounds unrolled

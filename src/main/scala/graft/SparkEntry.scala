@@ -2122,7 +2122,10 @@ object SparkEntry {
     // mixer, the running-max window, and every aggregate.
     streaming.Events.lateArrivals(
       t.events.withColumn("arrival",
-        F.expr("(event_id * 2654435761) % 1000000007")),
+        // decimal product (the sampleKey overflow policy): the Long
+        // form wraps silently above event_id ~ 3.49e9
+        F.expr("CAST((CAST(event_id AS DECIMAL(20,0)) * 2654435761) " +
+          "% 1000000007 AS BIGINT)")),
       "event_type", "user_id", "arrival", "ts")
       .orderBy("event_type")
 
@@ -2682,6 +2685,27 @@ object SparkEntry {
     out
   }
 
+  private def graphLinkpred(t: Tables): DataFrame = {
+    // which parts are NOT yet co-ordered but share co-order
+    // neighbors — the recommendation shape (Liben-Nowell-Kleinberg):
+    // common-neighbor count + preferential-attachment product,
+    // integer-exact; pivot cap 64 bounds the hub-quadratic candidate
+    // join and is MIRRORED in the twin (the capped contract is
+    // itself oracle-gated); PA keeps FULL degrees
+    val op = t.lineitem.select(F.col("l_orderkey").as("ok"),
+      F.col("l_partkey").as("pk")).distinct().persist()
+    val pairs = op.as("x").join(op.as("y"),
+        F.col("x.ok") === F.col("y.ok") && F.col("x.pk") < F.col("y.pk"))
+      .groupBy(F.col("x.pk").as("a"), F.col("y.pk").as("b"))
+      .agg(F.count(F.lit(1)).as("cooc"))
+      .where(F.col("cooc") >= 2)
+      .select("a", "b")
+    val out = operators.Graph.linkPrediction(pairs,
+      maxPivotDegree = 64, k = 100)
+    op.unpersist()
+    out
+  }
+
   private def graphHarmonic(t: Tables): DataFrame = {
     // seed-set harmonic centrality over the co-order part graph
     // (support >= 2): pivots = every 10th Brand#1 part — the
@@ -3229,6 +3253,7 @@ object SparkEntry {
       "graph_kcore" -> q(graphKcore),
       "graph_bfs" -> q(graphBfs),
       "graph_harmonic" -> q(graphHarmonic),
+      "graph_linkpred" -> q(graphLinkpred),
       "graph_sssp" -> q(graphSssp),
       "interval_join" -> q(intervalJoin),
       "q_bloom_prefilter" -> q(qBloomPrefilter),

@@ -454,6 +454,68 @@ object Graph {
         F.sum(F.expr(s"CAST($scale AS BIGINT) div h")).as("h_num"))
   }
 
+  /** Link-prediction scores over an undirected pair list (Liben-Nowell
+    * & Kleinberg, CIKM 2003): for each NON-adjacent pair within two
+    * hops, the common-neighbor count (the paper's strongest simple
+    * predictor) and the preferential-attachment product
+    * deg(u)·deg(v) — the two classic integer-exact features, ranked
+    * (cn desc, pa desc, pair asc) top-k. No float anywhere: cn and pa
+    * are exact integers (pa multiplies in DECIMAL first — the
+    * sampleKey overflow policy; two 3e9-degree hubs would wrap a Long
+    * product).
+    *
+    * Scale: candidate generation is one self-join of the adjacency
+    * list on the PIVOT node — inherently Σ_w deg(w)², so pivots above
+    * `maxPivotDegree` are excluded BY CONTRACT (the field's standard
+    * mitigation: a super-hub's endorsement is the WEAKEST evidence —
+    * Adamic-Adar down-weights it toward 0 — while costing the most to
+    * emit; the degree-ordered trick that saves triangle COUNTING
+    * cannot save pair ENUMERATION, which needs every pivot's full
+    * neighbor square). The cap bounds the join at
+    * |pivots|·maxPivotDegree², a caller-visible knob; endpoint
+    * degrees in pa stay FULL degrees. Returns (a, b, cn, pa), k rows
+    * via TakeOrderedAndProject — k rows per partition move, never a
+    * global sort.
+    */
+  def linkPrediction(pairs: DataFrame, maxPivotDegree: Int = 1000,
+                     k: Int = 100): DataFrame =
+    linkPredictionReleasable(pairs, maxPivotDegree, k)._1
+
+  /** [[linkPrediction]] plus a release handle for the pinned
+    * symmetrized edge list (it feeds the degree count, both candidate
+    * legs, and the adjacency anti-join — five references). The
+    * keywordsReleasable convention: the plain overload leaves the
+    * cache for downstream reuse (Verify/Bench clear per query);
+    * long-lived sessions call the handle once the k-row result is
+    * consumed.
+    */
+  def linkPredictionReleasable(pairs: DataFrame, maxPivotDegree: Int = 1000,
+                               k: Int = 100): (DataFrame, () => Unit) = {
+    require(maxPivotDegree >= 1 && k >= 1, "positive cap and k")
+    val e = pairs.select(F.col("a"), F.col("b"))
+      .unionAll(pairs.select(F.col("b").as("a"), F.col("a").as("b")))
+      .distinct().persist()
+    val deg = e.groupBy(F.col("a").as("node")).agg(F.count(F.lit(1)).as("deg"))
+    val byPivot = e.select(F.col("a").as("w"), F.col("b").as("n"))
+      .join(deg.where(F.col("deg") <= maxPivotDegree)
+        .select(F.col("node").as("w")), Seq("w"), "left_semi")
+    val cand = byPivot.as("x").join(byPivot.as("y"),
+        F.col("x.w") === F.col("y.w") && F.col("x.n") < F.col("y.n"))
+      .groupBy(F.col("x.n").as("a"), F.col("y.n").as("b"))
+      .agg(F.count(F.lit(1)).as("cn"))
+    val out = cand
+      .join(e.where(F.col("a") < F.col("b")), Seq("a", "b"), "left_anti")
+      .join(deg.select(F.col("node").as("a"), F.col("deg").as("deg_a")), "a")
+      .join(deg.select(F.col("node").as("b"), F.col("deg").as("deg_b")), "b")
+      .select(F.col("a"), F.col("b"), F.col("cn"),
+        (F.col("deg_a").cast("decimal(19,0)") *
+          F.col("deg_b").cast("decimal(19,0)")).cast("long").as("pa"))
+      .orderBy(F.col("cn").desc, F.col("pa").desc,
+        F.col("a").asc, F.col("b").asc)
+      .limit(k)
+    (out, () => { e.unpersist(true); () })
+  }
+
   /** Degree-ordered orientation of an undirected canonical pair list
     * (a < b): each edge is re-pointed from its LOWER-ranked endpoint
     * to its higher-ranked one under the total order (degree, node) —

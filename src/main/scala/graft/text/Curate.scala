@@ -19,9 +19,18 @@ object Curate {
     * (unlike rand(), which is per-partition-seeded, or engine hash
     * functions, which differ across engines). Public-knowledge mixer:
     * Knuth's 2654435761 multiplicative hash (TAOCP vol. 3).
+    *
+    * The id·constant product is built in DECIMAL, never Long (the
+    * seasonal-z-test policy): a Long product wraps silently above
+    * id ≈ 3.49e9 — ids in the tens of billions are routine at the
+    * 100 TB design point — while the HUGEINT oracle twin stays exact,
+    * so sampling membership would silently diverge cross-engine
+    * exactly where it matters. decimal(21,0)·(10,0) is exact to 1e31.
     */
   def sampleKey(id: Column, salt: Long = 0L): Column =
-    F.pmod((id.cast("long") + F.lit(salt)) * F.lit(2654435761L), F.lit(1000000L))
+    F.pmod((id.cast("decimal(20,0)") + F.lit(salt).cast("decimal(20,0)")) *
+        F.lit(2654435761L).cast("decimal(10,0)"),
+      F.lit(1000000L).cast("decimal(7,0)"))
       .cast("double") / F.lit(1000000.0)
 
   /** Keep ~rate of rows, deterministically by id. A pure per-row
@@ -49,9 +58,13 @@ object Curate {
   def weightedSample(df: DataFrame, idCol: String, weightCol: String,
                      k: Int, salt: Long = 0L): DataFrame = {
     require(k > 0, "sample size must be positive")
-    // u strictly inside (0,1): the +0.5 offset keeps ln() finite
-    val u = (F.pmod((F.col(idCol).cast("long") + F.lit(salt)) * F.lit(2654435761L),
-      F.lit(1000000L)).cast("double") + F.lit(0.5)) / F.lit(1000000.0)
+    // u strictly inside (0,1): the +0.5 offset keeps ln() finite;
+    // the mixer product is decimal for the sampleKey overflow reason
+    val u = (F.pmod((F.col(idCol).cast("decimal(20,0)") +
+        F.lit(salt).cast("decimal(20,0)")) *
+        F.lit(2654435761L).cast("decimal(10,0)"),
+      F.lit(1000000L).cast("decimal(7,0)")).cast("double") + F.lit(0.5)) /
+      F.lit(1000000.0)
     val key = F.round(F.log(u) / F.col(weightCol).cast("double"), 9)
     df.withColumn("sample_key", key)
       .orderBy(F.col("sample_key").desc, F.col(idCol).asc)

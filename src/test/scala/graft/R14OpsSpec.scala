@@ -127,6 +127,32 @@ class R14OpsSpec extends SparkSpec {
       ("y x", 2L, 3L, 4L, 2000000L)))
   }
 
+  test("linkPrediction: CN + PA features, adjacency excluded, hub cap drops pivots") {
+    import graft.operators.Graph
+    // square 1-2-3-4 plus pendant 4-5. Non-adjacent pairs:
+    //   (2,4): common {1,3} cn=2, pa=deg2*deg4=2*3=6  -> ranks first
+    //   (1,3): common {2,4} cn=2, pa=2*2=4
+    //   (1,5)/(3,5): common {4} cn=1, pa=2*1=2, tie -> a asc
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (4L, 5L))
+      .toDF("a", "b")
+    val (out, release) = Graph.linkPredictionReleasable(pairs,
+      maxPivotDegree = 10, k = 10)
+    val got = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((2L, 4L, 2L, 6L), (1L, 3L, 2L, 4L),
+      (1L, 5L, 1L, 2L), (3L, 5L, 1L, 2L)))
+    release()
+    // cap 2 excludes pivot 4 (deg 3): (2,4) keeps its cn via pivots
+    // 1 and 3; (1,3) drops to cn 1 (pivot 2 only); the pendant pairs
+    // existed only through the excluded hub
+    val (capped, release2) = Graph.linkPredictionReleasable(pairs,
+      maxPivotDegree = 2, k = 10)
+    val g2 = capped.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(g2.toSeq == Seq((2L, 4L, 2L, 6L), (1L, 3L, 1L, 4L)))
+    release2()
+  }
+
   test("keywordsReleasable: handle releases the internal tf pin") {
     import graft.text.TextOps
     val docs = Seq((1L, "alpha beta beta gamma"), (2L, "alpha delta"))
