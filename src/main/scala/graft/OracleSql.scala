@@ -3084,6 +3084,7 @@ object OracleSql {
     },
 
     "graph_pagerank" -> pageRankSql(iters = 5),
+    "text_textrank" -> textRankSql(iters = 5),
     "graph_ppr" -> pprSql(iters = 5),
 
     "q_rollup" ->
@@ -3776,9 +3777,36 @@ object OracleSql {
     * arithmetic would diverge from the Spark side's IEEE doubles
     * (1.0-0.85 is 0.15 in decimal but 0.15000000000000002 in binary).
     */
-  private def pageRankSql(iters: Int): String = {
+  private def pageRankSql(iters: Int): String =
+    pageRankBodySql(iters, shipmentEdgesCte, "node")
+
+  /** [[pageRankSql]] over the word-adjacency graph — the TextRank
+    * twin (same rounds, same arithmetic, different e0). The adjacency
+    * CTE mirrors the wired query step for step: window-2 pairs,
+    * self-pairs dropped, symmetrized weights, weight ≥ 3 pruning.
+    */
+  private def textRankSql(iters: Int): String = {
+    val e0 =
+      s"""tk AS (SELECT ${toks("text")} AS tl FROM documents),
+         |bgx AS (SELECT unnest([tl[i] || ' ' || tl[i+1]
+         |                       for i in generate_series(1, greatest(len(tl) - 1, 0))]) AS bg
+         |        FROM tk),
+         |cw AS (SELECT split_part(bg, ' ', 1) AS w1,
+         |              split_part(bg, ' ', 2) AS w2, count(*) AS c
+         |       FROM bgx
+         |       WHERE split_part(bg, ' ', 1) != split_part(bg, ' ', 2)
+         |       GROUP BY 1, 2),
+         |e0 AS (SELECT src, dst, CAST(sum(c) AS BIGINT) AS w FROM (
+         |         SELECT w1 AS src, w2 AS dst, c FROM cw
+         |         UNION ALL SELECT w2, w1, c FROM cw)
+         |       GROUP BY 1, 2 HAVING sum(c) >= 3)""".stripMargin
+    pageRankBodySql(iters, e0, "word")
+  }
+
+  private def pageRankBodySql(iters: Int, e0Cte: String,
+                              outCol: String): String = {
     val base =
-      s"""WITH $shipmentEdgesCte,
+      s"""WITH $e0Cte,
          |ow AS (SELECT src, sum(w) AS outw FROM e0 GROUP BY src),
          |ew AS (SELECT e0.src, e0.dst, CAST(e0.w AS DOUBLE) / CAST(ow.outw AS DOUBLE) AS frac
          |       FROM e0 JOIN ow ON e0.src = ow.src),
@@ -3804,8 +3832,8 @@ object OracleSql {
          |        CROSS JOIN dg$k CROSS JOIN nn)""".stripMargin
     }.mkString(",\n", ",\n", "")
     s"""$base$rounds
-       |SELECT node, round(CAST(rank AS DOUBLE), 9) AS rank
-       |FROM r$iters ORDER BY rank DESC, node ASC LIMIT 20""".stripMargin
+       |SELECT node AS $outCol, round(CAST(rank AS DOUBLE), 9) AS rank
+       |FROM r$iters ORDER BY rank DESC, $outCol ASC LIMIT 20""".stripMargin
   }
 
   /** [[pageRankSql]]'s personalized variant: teleport and dangling

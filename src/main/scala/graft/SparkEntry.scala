@@ -2568,6 +2568,34 @@ object SparkEntry {
       .orderBy(F.col("rank").desc, F.col("node").asc)
       .limit(20)
 
+  private def textTextrank(t: Tables): DataFrame = {
+    // corpus keywords by TextRank (Mihalcea & Tarau EMNLP'04): the
+    // word-adjacency graph (window 2, self-pairs dropped, symmetrized
+    // weights, weight >= 3 prunes the noise tail AND bounds the graph
+    // at the surviving-bigram vocabulary) fed to the SAME fixed-round
+    // deterministic pageRank as graph_pagerank — centrality surfaces
+    // the words that glue the corpus, where tf-idf (text_keywords)
+    // surfaces the words that separate documents
+    val bg = t.documents.select(
+        F.explode(text.TextOps.shingles(
+          text.TextOps.tokens(F.col("text")), 2)).as("bg"))
+      .select(F.substring_index(F.col("bg"), " ", 1).as("w1"),
+        F.substring_index(F.col("bg"), " ", -1).as("w2"))
+      .where(F.col("w1") =!= F.col("w2"))
+      .groupBy("w1", "w2").agg(F.count(F.lit(1)).as("c"))
+    val edges = bg
+      .select(F.col("w1").as("src"), F.col("w2").as("dst"), F.col("c"))
+      .unionAll(bg.select(F.col("w2").as("src"), F.col("w1").as("dst"),
+        F.col("c")))
+      .groupBy("src", "dst").agg(F.sum("c").as("w"))
+      .where(F.col("w") >= 3)
+    operators.Graph.pageRank(edges, iters = 5)
+      .select(F.col("node").as("word"),
+        F.round(F.col("rank").cast("double"), 9).as("rank"))
+      .orderBy(F.col("rank").desc, F.col("word").asc)
+      .limit(20)
+  }
+
   private def graphPpr(t: Tables): DataFrame =
     // proximity to the nation-3 suppliers: teleport AND dangling mass
     // return to the seed set, so rank is exactly 0 outside their
@@ -3254,6 +3282,7 @@ object SparkEntry {
       "graph_bfs" -> q(graphBfs),
       "graph_harmonic" -> q(graphHarmonic),
       "graph_linkpred" -> q(graphLinkpred),
+      "text_textrank" -> q(textTextrank),
       "graph_sssp" -> q(graphSssp),
       "interval_join" -> q(intervalJoin),
       "q_bloom_prefilter" -> q(qBloomPrefilter),

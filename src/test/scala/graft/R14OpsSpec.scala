@@ -108,6 +108,37 @@ class R14OpsSpec extends SparkSpec {
     assert(after.size <= 3, s"round pins leaked: ${after.size} new cached RDDs")
   }
 
+  test("textrank shape: adjacency pageRank puts the hub word first") {
+    import graft.operators.Graph
+    import graft.text.TextOps
+    // "hub x hub y hub z" x4 closed with a final hub -> star graph
+    // hub-{x,y,z} with all symmetrized weights equal (without the
+    // close, z's last occurrence has no successor and its edge
+    // weighs one less); centrality must put hub first
+    val docs = Seq((1L, ("hub x hub y hub z " * 4) + "hub"))
+      .toDF("doc_id", "text")
+    val bg = docs.select(
+        F.explode(TextOps.shingles(TextOps.tokens(F.col("text")), 2)).as("bg"))
+      .select(F.substring_index(F.col("bg"), " ", 1).as("w1"),
+        F.substring_index(F.col("bg"), " ", -1).as("w2"))
+      .where(F.col("w1") =!= F.col("w2"))
+      .groupBy("w1", "w2").agg(F.count(F.lit(1)).as("c"))
+    val edges = bg
+      .select(F.col("w1").as("src"), F.col("w2").as("dst"), F.col("c"))
+      .unionAll(bg.select(F.col("w2").as("src"), F.col("w1").as("dst"),
+        F.col("c")))
+      .groupBy("src", "dst").agg(F.sum("c").as("w"))
+      .where(F.col("w") >= 3)
+    val ranks = Graph.pageRank(edges, iters = 5)
+      .orderBy(F.col("rank").desc, F.col("node").asc).collect()
+      .map(r => (r.getString(0), r.getDecimal(1).doubleValue()))
+    assert(ranks.length == 4)
+    assert(ranks.head._1 == "hub")
+    assert(ranks.tail.forall(_._2 < ranks.head._2))
+    // spokes are symmetric -> identical ranks
+    assert(ranks.tail.map(_._2).distinct.length == 1)
+  }
+
   test("collocations: scaled-integer PMI ranks glued pairs above frequent ones") {
     import graft.text.Curate
     // T = 12 tokens; x:4 y:3 z:2 w:2 q:1. Surviving bigrams (>= 2):
