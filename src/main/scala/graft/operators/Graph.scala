@@ -492,8 +492,11 @@ object Graph {
   def linkPredictionReleasable(pairs: DataFrame, maxPivotDegree: Int = 1000,
                                k: Int = 100): (DataFrame, () => Unit) = {
     require(maxPivotDegree >= 1 && k >= 1, "positive cap and k")
+    // self-loops dropped: a looped node would otherwise pivot for its
+    // own incident pairs and count ITSELF as a "common neighbor"
     val e = pairs.select(F.col("a"), F.col("b"))
       .unionAll(pairs.select(F.col("b").as("a"), F.col("a").as("b")))
+      .where(F.col("a") =!= F.col("b"))
       .distinct().persist()
     val deg = e.groupBy(F.col("a").as("node")).agg(F.count(F.lit(1)).as("deg"))
     val byPivot = e.select(F.col("a").as("w"), F.col("b").as("n"))

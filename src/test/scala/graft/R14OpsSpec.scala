@@ -182,6 +182,15 @@ class R14OpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(g2.toSeq == Seq((2L, 4L, 2L, 6L), (1L, 3L, 1L, 4L)))
     release2()
+    // a self-loop must not let its node count itself as a common
+    // neighbor of its own incident pairs (or inflate degrees)
+    val (looped, release3) = Graph.linkPredictionReleasable(
+      pairs.unionAll(Seq((4L, 4L)).toDF("a", "b")),
+      maxPivotDegree = 10, k = 10)
+    val g3 = looped.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(g3.toSeq == got.toSeq)
+    release3()
   }
 
   test("keywordsReleasable: handle releases the internal tf pin") {
