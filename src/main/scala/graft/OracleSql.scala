@@ -3085,6 +3085,24 @@ object OracleSql {
 
     "graph_pagerank" -> pageRankSql(iters = 5),
     "text_textrank" -> textRankSql(iters = 5),
+
+    // Benford audit: FLOOR before the integer cast (DuckDB's
+    // double->BIGINT cast rounds, which would flip 9999.6's digit);
+    // integer string rendering is canonical cross-engine, unlike
+    // double->string; per-mille by floor division
+    "profile_benford" ->
+      """WITH c AS (SELECT CAST(substr(CAST(CAST(floor(l_extendedprice)
+        |                   AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+        |                  count(*) AS n_obs
+        |           FROM lineitem WHERE l_extendedprice >= 1 GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM c)
+        |SELECT digit, n_obs,
+        |       CAST((n_obs * 1000) // t.n AS BIGINT) AS obs_pm,
+        |       CAST(CASE digit WHEN 1 THEN 301 WHEN 2 THEN 176
+        |                 WHEN 3 THEN 125 WHEN 4 THEN 97 WHEN 5 THEN 79
+        |                 WHEN 6 THEN 67 WHEN 7 THEN 58 WHEN 8 THEN 51
+        |                 WHEN 9 THEN 46 END AS BIGINT) AS exp_pm
+        |FROM c CROSS JOIN t ORDER BY digit""".stripMargin,
     "graph_ppr" -> pprSql(iters = 5),
 
     "q_rollup" ->

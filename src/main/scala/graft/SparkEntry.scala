@@ -2861,6 +2861,14 @@ object SparkEntry {
       .orderBy("c_custkey")
   }
 
+  private def profileBenford(t: Tables): DataFrame =
+    // first-digit distribution audit over the price column — the
+    // Nigrini forensic smell test for amount columns; per-mille
+    // integers only (floor division), the Benford expectation rides
+    // as the public per-mille table literal
+    harmonize.Profile.benford(t.lineitem, "l_extendedprice")
+      .orderBy("digit")
+
   private def profileUcc(t: Tables): DataFrame =
     // key discovery over orders: one GROUPING SETS scan adjudicates
     // all four candidate keys (o_orderkey IS one; o_custkey and
@@ -3283,6 +3291,7 @@ object SparkEntry {
       "graph_harmonic" -> q(graphHarmonic),
       "graph_linkpred" -> q(graphLinkpred),
       "text_textrank" -> q(textTextrank),
+      "profile_benford" -> q(profileBenford),
       "graph_sssp" -> q(graphSssp),
       "interval_join" -> q(intervalJoin),
       "q_bloom_prefilter" -> q(qBloomPrefilter),

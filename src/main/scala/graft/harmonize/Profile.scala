@@ -487,4 +487,53 @@ object Profile {
       .select(labelCol.as("combo"), F.col("n_groups"), F.col("max_dup"),
         (F.col("max_dup") === 1).as("is_unique"), F.col("n_rows"))
   }
+
+  /** First-significant-digit distribution audit — Benford's law
+    * (Newcomb 1881, Benford 1938; Nigrini's forensic-accounting test):
+    * naturally-occurring multi-magnitude amounts follow
+    * P(d) = log10(1 + 1/d), and a column that DOESN'T is either
+    * synthetic, truncated, capped, or manipulated — the classic
+    * data-quality smell test for amount columns before they feed a
+    * model.
+    *
+    * DIVISION-FREE: observed shares are per-mille integers
+    * (n_d·1000 div N — floor division, exact cross-engine); the
+    * Benford expectation is the fixed public per-mille table
+    * (301, 176, 125, 97, 79, 67, 58, 51, 46), a plan literal. No
+    * log, no chi-square float — consumers compare integer per-milles
+    * at whatever tolerance their audit wants. The first digit comes
+    * from the FLOORED value's canonical integer string (integer
+    * rendering is unambiguous cross-engine, unlike double→string;
+    * floor, never round-to-int — rounding 9999.6 to 10000 would flip
+    * digit 9 to 1). Values below 1 are excluded: their leading 0 is
+    * not a significant digit (the classical first-SIGNIFICANT-digit
+    * form would rescale them; the audit's domain is amount columns
+    * ≥ 1).
+    *
+    * Scale: ONE codegen'd per-row projection (substring of the cast)
+    * + one 9-group aggregate; the row total rides the same aggregate
+    * through a grand-total window over ≤9 rows. Returns
+    * (digit, n_obs, obs_pm, exp_pm), ≤9 rows, unordered.
+    */
+  def benford(df: DataFrame, col: String): DataFrame = {
+    val expPm: Map[Int, Long] = Map(1 -> 301L, 2 -> 176L, 3 -> 125L,
+      4 -> 97L, 5 -> 79L, 6 -> 67L, 7 -> 58L, 8 -> 51L, 9 -> 46L)
+    val digit = F.substring(F.floor(F.col(col)).cast("string"), 1, 1)
+    val counts = df.where(F.col(col) >= 1)
+      .select(digit.cast("int").as("digit"))
+      .groupBy("digit").agg(F.count(F.lit(1)).as("n_obs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(F.lit(1))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val expCol = expPm.foldLeft(F.lit(null).cast("long")) {
+      case (acc, (d, pm)) =>
+        F.when(F.col("digit") === d, F.lit(pm)).otherwise(acc)
+    }
+    counts
+      .withColumn("__n", F.sum("n_obs").over(w))
+      .select(F.col("digit"), F.col("n_obs"),
+        F.expr("(n_obs * CAST(1000 AS BIGINT)) div __n").as("obs_pm"),
+        expCol.as("exp_pm"))
+  }
 }

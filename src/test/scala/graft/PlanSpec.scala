@@ -286,7 +286,9 @@ class PlanSpec extends SparkSpec {
     // temperature mixing normalizes per-LANGUAGE weight shares — the
     // window input is the groupBy(lang) aggregate (|langs| rows);
     // apply_mix embeds the same tiny frame under its rate join
-    "curate_temperature", "curate_apply_mix")
+    "curate_temperature", "curate_apply_mix",
+    // the Benford grand total runs over the 9-row digit aggregate
+    "profile_benford")
 
   test("no wired query plans a partition-less window over corpus-sized input") {
     // a Window with an empty partitionBy forces ONE task to sort the

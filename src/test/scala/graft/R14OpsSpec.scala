@@ -108,6 +108,19 @@ class R14OpsSpec extends SparkSpec {
     assert(after.size <= 3, s"round pins leaked: ${after.size} new cached RDDs")
   }
 
+  test("benford: per-mille shares by floor division, sub-1 values excluded") {
+    import graft.harmonize.Profile
+    // 10 values: digit 1 x5 (incl. 1.0 and 19999.5 — floor keeps the
+    // leading 1), digit 9 x4 (incl. 9999.99 — floor must NOT round to
+    // 10000), digit 3 x1; 0.7 excluded (below 1)
+    val df = Seq(1.0, 12.5, 150.0, 1999.0, 19999.5,
+      9.1, 99.0, 950.0, 9999.99, 30.0, 0.7).toDF("amt")
+    val got = Profile.benford(df, "amt").orderBy("digit").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1, 5L, 500L, 301L), (3, 1L, 100L, 125L),
+      (9, 4L, 400L, 46L)))
+  }
+
   test("textrank shape: adjacency pageRank puts the hub word first") {
     import graft.operators.Graph
     import graft.text.TextOps
