@@ -3558,6 +3558,51 @@ object OracleSql {
         |       CAST(n_candidates AS BIGINT) AS n_candidates
         |FROM scored WHERE rn = 1 ORDER BY id_b""".stripMargin,
 
+    // snapshot diff: null-safe comparison via IS NOT DISTINCT FROM
+    // (Spark <=>); the mutation arithmetic replays exactly (+10 on a
+    // double is IEEE-identical)
+    "table_diff" ->
+      """WITH bef AS (SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+        |             FROM customer),
+        |aft AS (
+        |  SELECT c_custkey, c_name,
+        |         CASE WHEN c_custkey % 17 = 0 THEN 'MUTATED'
+        |              ELSE c_mktsegment END AS c_mktsegment,
+        |         CASE WHEN c_custkey % 13 = 0 THEN c_acctbal + 10
+        |              ELSE c_acctbal END AS c_acctbal
+        |  FROM bef WHERE c_custkey % 11 != 4
+        |  UNION ALL
+        |  SELECT c_custkey + 900000, c_name, c_mktsegment, c_acctbal
+        |  FROM bef WHERE c_custkey % 19 = 0),
+        |f AS (SELECT b.c_custkey IS NOT NULL AS ia,
+        |             a.c_custkey IS NOT NULL AS ib,
+        |             NOT (b.c_name IS NOT DISTINCT FROM a.c_name) AS dn,
+        |             NOT (b.c_mktsegment IS NOT DISTINCT FROM a.c_mktsegment) AS ds,
+        |             NOT (b.c_acctbal IS NOT DISTINCT FROM a.c_acctbal) AS db
+        |      FROM bef b FULL OUTER JOIN aft a ON b.c_custkey = a.c_custkey)
+        |SELECT kind, CAST(n AS BIGINT) AS n FROM (
+        |  SELECT 'rows_before' AS kind,
+        |         sum(CASE WHEN ia THEN 1 ELSE 0 END) AS n FROM f
+        |  UNION ALL SELECT 'rows_after',
+        |         sum(CASE WHEN ib THEN 1 ELSE 0 END) FROM f
+        |  UNION ALL SELECT 'added',
+        |         sum(CASE WHEN ib AND NOT ia THEN 1 ELSE 0 END) FROM f
+        |  UNION ALL SELECT 'removed',
+        |         sum(CASE WHEN ia AND NOT ib THEN 1 ELSE 0 END) FROM f
+        |  UNION ALL SELECT 'changed',
+        |         sum(CASE WHEN ia AND ib AND (dn OR ds OR db)
+        |             THEN 1 ELSE 0 END) FROM f
+        |  UNION ALL SELECT 'unchanged',
+        |         sum(CASE WHEN ia AND ib AND NOT (dn OR ds OR db)
+        |             THEN 1 ELSE 0 END) FROM f
+        |  UNION ALL SELECT 'col:c_name',
+        |         sum(CASE WHEN ia AND ib AND dn THEN 1 ELSE 0 END) FROM f
+        |  UNION ALL SELECT 'col:c_mktsegment',
+        |         sum(CASE WHEN ia AND ib AND ds THEN 1 ELSE 0 END) FROM f
+        |  UNION ALL SELECT 'col:c_acctbal',
+        |         sum(CASE WHEN ia AND ib AND db THEN 1 ELSE 0 END) FROM f)
+        |ORDER BY kind""".stripMargin,
+
     "merge_upsert" ->
       """WITH target AS (SELECT c_custkey, c_name, c_mktsegment, c_acctbal
         |                FROM customer WHERE c_custkey % 5 != 2),

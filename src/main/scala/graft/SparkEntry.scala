@@ -2837,6 +2837,30 @@ object SparkEntry {
       .orderBy("id_b")
   }
 
+  private def tableDiffQ(t: Tables): DataFrame = {
+    // snapshot diff audit: the customer dim against a deterministic
+    // mutation — %11 keys removed, %13 balances bumped (+10.0, IEEE
+    // add of identical operands is bit-equal cross-engine), %17
+    // segments rewritten, %19 keys re-added shifted (offset above
+    // every gate-SF key space, so genuinely new). The report counts
+    // adds/removes/changes and attributes changes per column
+    val before = t.customer.select(F.col("c_custkey"), F.col("c_name"),
+      F.col("c_mktsegment"), F.col("c_acctbal"))
+    val after = before
+      .where(F.col("c_custkey") % 11 =!= 4)
+      .withColumn("c_acctbal",
+        F.when(F.col("c_custkey") % 13 === 0,
+          F.col("c_acctbal") + F.lit(10.0)).otherwise(F.col("c_acctbal")))
+      .withColumn("c_mktsegment",
+        F.when(F.col("c_custkey") % 17 === 0, F.lit("MUTATED"))
+          .otherwise(F.col("c_mktsegment")))
+      .unionAll(before.where(F.col("c_custkey") % 19 === 0)
+        .select((F.col("c_custkey") + 900000L).as("c_custkey"),
+          F.col("c_name"), F.col("c_mktsegment"), F.col("c_acctbal")))
+    operators.Diff.tableDiff(before, after, Seq("c_custkey"))
+      .orderBy("kind")
+  }
+
   private def mergeUpsert(t: Tables): DataFrame = {
     // type-1 MERGE: a stale dim (customers with c_custkey % 5 == 2
     // missing — their changes become genuine inserts) upserted from
@@ -3292,6 +3316,7 @@ object SparkEntry {
       "graph_linkpred" -> q(graphLinkpred),
       "text_textrank" -> q(textTextrank),
       "profile_benford" -> q(profileBenford),
+      "table_diff" -> q(tableDiffQ),
       "graph_sssp" -> q(graphSssp),
       "interval_join" -> q(intervalJoin),
       "q_bloom_prefilter" -> q(qBloomPrefilter),

@@ -108,6 +108,21 @@ class R14OpsSpec extends SparkSpec {
     assert(after.size <= 3, s"round pins leaked: ${after.size} new cached RDDs")
   }
 
+  test("tableDiff: add/remove/change counts with null-safe per-column attribution") {
+    import graft.operators.Diff
+    val before = Seq((1L, "x", Option(10.0)), (2L, "y", None),
+      (3L, "z", Option(3.0)), (4L, "w", Option(4.0))).toDF("k", "s", "v")
+    val after = Seq((1L, "x", Option(10.0)), (2L, "y", None),
+      (3L, "z", None), (5L, "q", Option(5.0))).toDF("k", "s", "v")
+    // 1,2 unchanged (null <=> null holds), 3 changed (v 3.0 -> null),
+    // 4 removed, 5 added; only v drives the change
+    val got = Diff.tableDiff(before, after, Seq("k")).orderBy("kind")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == Seq(("added", 1L), ("changed", 1L), ("col:s", 0L),
+      ("col:v", 1L), ("removed", 1L), ("rows_after", 4L),
+      ("rows_before", 4L), ("unchanged", 2L)))
+  }
+
   test("benford: per-mille shares by floor division, sub-1 values excluded") {
     import graft.harmonize.Profile
     // 10 values: digit 1 x5 (incl. 1.0 and 19999.5 — floor keeps the
