@@ -3558,6 +3558,35 @@ object OracleSql {
         |       CAST(n_candidates AS BIGINT) AS n_candidates
         |FROM scored WHERE rn = 1 ORDER BY id_b""".stripMargin,
 
+    // expectation suite: per-check violation counts from one scan;
+    // the n_rows/n_violations integers and the pass boolean are the
+    // pinned cross-engine types
+    "profile_validate" ->
+      """WITH n AS (SELECT count(*) AS n_rows FROM orders)
+        |SELECT "check", n_rows, n_violations, n_violations = 0 AS pass
+        |FROM (
+        |  SELECT 'orderkey_positive' AS "check", n.n_rows,
+        |         (SELECT count(*) FROM orders
+        |          WHERE NOT coalesce(o_orderkey > 0, FALSE)) AS n_violations
+        |  FROM n
+        |  UNION ALL
+        |  SELECT 'status_domain', n.n_rows,
+        |         (SELECT count(*) FROM orders
+        |          WHERE NOT coalesce(o_orderstatus IN ('O','F','P'), FALSE))
+        |  FROM n
+        |  UNION ALL
+        |  SELECT 'totalprice_positive', n.n_rows,
+        |         (SELECT count(*) FROM orders
+        |          WHERE NOT coalesce(o_totalprice > 0, FALSE))
+        |  FROM n
+        |  UNION ALL
+        |  SELECT 'orderdate_before_1998', n.n_rows,
+        |         (SELECT count(*) FROM orders
+        |          WHERE NOT coalesce(
+        |            o_orderdate < TIMESTAMP '1998-01-01 00:00:00', FALSE))
+        |  FROM n)
+        |ORDER BY "check"""".stripMargin,
+
     // snapshot diff: null-safe comparison via IS NOT DISTINCT FROM
     // (Spark <=>); the mutation arithmetic replays exactly (+10 on a
     // double is IEEE-identical)

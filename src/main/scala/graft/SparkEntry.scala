@@ -2885,6 +2885,18 @@ object SparkEntry {
       .orderBy("c_custkey")
   }
 
+  private def profileValidate(t: Tables): DataFrame =
+    // the expectation-suite surface: four checks, ONE scan (a single
+    // multi-aggregate); orderdate_before_1998 genuinely fails (the
+    // 1998 tail) so the gate proves violation counting, not just
+    // all-zeros
+    harmonize.Profile.validate(t.orders, Seq(
+      "orderkey_positive" -> (F.col("o_orderkey") > 0),
+      "status_domain" -> F.col("o_orderstatus").isin("O", "F", "P"),
+      "totalprice_positive" -> (F.col("o_totalprice") > 0),
+      "orderdate_before_1998" -> (F.col("o_orderdate") < ts("1998-01-01"))))
+      .orderBy("check")
+
   private def profileBenford(t: Tables): DataFrame =
     // first-digit distribution audit over the price column — the
     // Nigrini forensic smell test for amount columns; per-mille
@@ -3317,6 +3329,7 @@ object SparkEntry {
       "text_textrank" -> q(textTextrank),
       "profile_benford" -> q(profileBenford),
       "table_diff" -> q(tableDiffQ),
+      "profile_validate" -> q(profileValidate),
       "graph_sssp" -> q(graphSssp),
       "interval_join" -> q(intervalJoin),
       "q_bloom_prefilter" -> q(qBloomPrefilter),

@@ -488,6 +488,35 @@ object Profile {
         (F.col("max_dup") === 1).as("is_unique"), F.col("n_rows"))
   }
 
+  /** Row-predicate constraint validation — the dbt-test /
+    * expectation-suite surface: every (name, predicate) check is
+    * counted in ONE corpus scan (a single multi-aggregate — N checks
+    * never cost N passes), and the report is |checks| integer rows:
+    * (check, n_rows, n_violations, pass). NULL predicate results
+    * count as violations (a check that cannot evaluate did not pass —
+    * the conservative reading). Referential checks are
+    * [[Discovery.inclusion]]'s job; this op is deliberately per-row
+    * so the scan stays codegen'd and pushdown-friendly.
+    */
+  def validate(df: DataFrame,
+               checks: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+    require(checks.nonEmpty, "at least one check")
+    require(checks.map(_._1).distinct.size == checks.size, "unique check names")
+    val aggCols = F.count(F.lit(1)).as("__n") +:
+      checks.map { case (name, p) =>
+        F.sum(F.when(F.coalesce(p, F.lit(false)), 0L).otherwise(1L))
+          .as(s"v:$name")
+      }
+    val agg = df.agg(aggCols.head, aggCols.tail: _*)
+    agg.select(F.explode(F.array(checks.map { case (name, _) =>
+        F.struct(F.lit(name).as("check"), F.col("__n").as("n_rows"),
+          F.col(s"`v:$name`").as("n_violations"))
+      }: _*)).as("kv"))
+      .select(F.col("kv.check").as("check"), F.col("kv.n_rows").as("n_rows"),
+        F.col("kv.n_violations").as("n_violations"),
+        (F.col("kv.n_violations") === 0L).as("pass"))
+  }
+
   /** First-significant-digit distribution audit — Benford's law
     * (Newcomb 1881, Benford 1938; Nigrini's forensic-accounting test):
     * naturally-occurring multi-magnitude amounts follow

@@ -108,6 +108,20 @@ class R14OpsSpec extends SparkSpec {
     assert(after.size <= 3, s"round pins leaked: ${after.size} new cached RDDs")
   }
 
+  test("validate: one-scan check counts, null predicate counts as violation") {
+    import graft.harmonize.Profile
+    val df = Seq((1L, Option(5.0)), (2L, Option(-1.0)), (3L, None))
+      .toDF("id", "v")
+    val got = Profile.validate(df, Seq(
+        "id_positive" -> (F.col("id") > 0),
+        "v_positive" -> (F.col("v") > 0)))
+      .orderBy("check").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    // v_positive: -1.0 fails, NULL cannot pass (conservative) -> 2
+    assert(got.toSeq == Seq(("id_positive", 3L, 0L, true),
+      ("v_positive", 3L, 2L, false)))
+  }
+
   test("tableDiff: add/remove/change counts with null-safe per-column attribution") {
     import graft.operators.Diff
     val before = Seq((1L, "x", Option(10.0)), (2L, "y", None),
