@@ -108,6 +108,44 @@ class R14OpsSpec extends SparkSpec {
     assert(after.size <= 3, s"round pins leaked: ${after.size} new cached RDDs")
   }
 
+  test("Pins.release reaches a pin through DERIVED frames") {
+    import graft.operators.{Graph, Pins}
+    // harmonicCentrality returns an aggregate OVER its final pinned
+    // round — the doc promises Pins.release(result) still finds the
+    // LogicalRDD leaf inside the derived plan and frees the blocks
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val seeds = Seq(Tuple1(1L)).toDF("node")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val out = Graph.harmonicCentrality(pairs, seeds, rounds = 2)
+    assert(out.count() == 2)
+    Pins.release(out)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"derived-frame release must free the pin: $leaked")
+  }
+
+  test("tableDiff refuses mismatched schemas; benford drops an all-sub-1 column") {
+    import graft.operators.Diff
+    import graft.harmonize.Profile
+    val a = Seq((1L, "x")).toDF("k", "s")
+    val b = Seq((1L, "x", 2.0)).toDF("k", "s", "v")
+    intercept[IllegalArgumentException] {
+      Diff.tableDiff(a, b, Seq("k"))
+    }
+    // every value below 1: no significant first digit -> empty report
+    val sub1 = Seq(0.2, 0.9, 0.0).toDF("amt")
+    assert(Profile.benford(sub1, "amt").count() == 0)
+  }
+
+  test("collocations: min-count floor prunes, k truncates under the total order") {
+    import graft.text.Curate
+    val docs = Seq((1L, "a b a b a b c d")).toDF("id", "text")
+    // "a b" x3 and "b a" x2 survive minCount=2; k=1 keeps only the
+    // top-scoring row under (score desc, bigram asc)
+    val got = Curate.collocations(docs, "text", minCount = 2, k = 1).collect()
+    assert(got.length == 1)
+    assert(got.head.getString(0) == "a b")
+  }
+
   test("validate: one-scan check counts, null predicate counts as violation") {
     import graft.harmonize.Profile
     val df = Seq((1L, Option(5.0)), (2L, Option(-1.0)), (3L, None))
