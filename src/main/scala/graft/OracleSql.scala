@@ -3558,6 +3558,41 @@ object OracleSql {
         |       CAST(n_candidates AS BIGINT) AS n_candidates
         |FROM scored WHERE rn = 1 ORDER BY id_b""".stripMargin,
 
+    // sorted-neighborhood replay: row_number over the merged
+    // (sort-key, side, id) total order == Spark's range-partitioned
+    // global rank (binary string collation both engines); window 8 →
+    // cross-source pairs at rank distance 1..7
+    "er_resolve_sorted" ->
+      """WITH a AS (SELECT c_custkey AS id_a, c_name AS name_a,
+        |                  regexp_replace(c_name, '0+', '0', 'g') AS skey
+        |           FROM customer),
+        |b AS (SELECT c_custkey + 1000000 AS id_b,
+        |             regexp_replace(c_name, '0+', '0', 'g') AS name_b
+        |      FROM customer WHERE c_custkey % 7 != 3),
+        |u AS (SELECT skey AS k, 0 AS side, id_a AS id, name_a AS nm FROM a
+        |      UNION ALL
+        |      SELECT name_b, 1, id_b, name_b FROM b),
+        |r AS (SELECT k, side, id, nm,
+        |             row_number() OVER (ORDER BY k, side, id) AS rnk
+        |      FROM u),
+        |p AS (SELECT CASE WHEN x.side = 0 THEN x.id ELSE y.id END AS id_a,
+        |             CASE WHEN x.side = 0 THEN x.nm ELSE y.nm END AS name_a,
+        |             CASE WHEN x.side = 0 THEN y.id ELSE x.id END AS id_b,
+        |             CASE WHEN x.side = 0 THEN y.nm ELSE x.nm END AS name_b
+        |      FROM r x JOIN r y ON y.rnk - x.rnk BETWEEN 1 AND 7
+        |                       AND x.side != y.side),
+        |cand AS (SELECT id_b, id_a,
+        |                levenshtein(name_a, name_b) AS lev
+        |         FROM p WHERE levenshtein(name_a, name_b) <= 6),
+        |scored AS (SELECT id_b, id_a, lev,
+        |                  count(*) OVER (PARTITION BY id_b) AS n_candidates,
+        |                  row_number() OVER (PARTITION BY id_b
+        |                    ORDER BY lev, id_a) AS rn
+        |           FROM cand)
+        |SELECT id_b, id_a, CAST(lev AS INTEGER) AS lev,
+        |       CAST(n_candidates AS BIGINT) AS n_candidates
+        |FROM scored WHERE rn = 1 ORDER BY id_b""".stripMargin,
+
     // expectation suite: per-check violation counts from one scan;
     // the n_rows/n_violations integers and the pass boolean are the
     // pinned cross-engine types

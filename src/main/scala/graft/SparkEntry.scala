@@ -2719,19 +2719,21 @@ object SparkEntry {
     // common-neighbor count + preferential-attachment product,
     // integer-exact; pivot cap 64 bounds the hub-quadratic candidate
     // join and is MIRRORED in the twin (the capped contract is
-    // itself oracle-gated); PA keeps FULL degrees
+    // itself oracle-gated); PA keeps FULL degrees. No persist here:
+    // unlike the sibling queries, nothing in linkPrediction pins
+    // eagerly, so a persist released before the lazy result
+    // materializes would never serve a job — the self-join's shuffle
+    // reuse covers the double scan.
     val op = t.lineitem.select(F.col("l_orderkey").as("ok"),
-      F.col("l_partkey").as("pk")).distinct().persist()
+      F.col("l_partkey").as("pk")).distinct()
     val pairs = op.as("x").join(op.as("y"),
         F.col("x.ok") === F.col("y.ok") && F.col("x.pk") < F.col("y.pk"))
       .groupBy(F.col("x.pk").as("a"), F.col("y.pk").as("b"))
       .agg(F.count(F.lit(1)).as("cooc"))
       .where(F.col("cooc") >= 2)
       .select("a", "b")
-    val out = operators.Graph.linkPrediction(pairs,
+    operators.Graph.linkPrediction(pairs,
       maxPivotDegree = 64, k = 100)
-    op.unpersist()
-    out
   }
 
   private def graphHarmonic(t: Tables): DataFrame = {
@@ -2834,6 +2836,25 @@ object SparkEntry {
         F.col("c_nationkey").as("nat"), F.col("c_mktsegment").as("seg"))
     harmonize.Linkage.linkByName(aSrc, bSrc, Seq("nat", "seg"),
       "id_a", "name_a", "id_b", "name_b", maxDist = 6)
+      .orderBy("id_b")
+  }
+
+  private def erResolveSorted(t: Tables): DataFrame = {
+    // the scale-safe linkage variant over the SAME dirty twin:
+    // sorted-neighborhood with sort key = zero-collapsed name on BOTH
+    // sides (the normalize-then-sort key prep; collapse is idempotent
+    // so the dirty side's key is its name), window 8 over the merged
+    // order. Candidate cost is n·7 by construction — no block can go
+    // quadratic; same integer-only scoring/resolution as er_resolve
+    val aSrc = t.customer.select(F.col("c_custkey").as("id_a"),
+      F.col("c_name").as("name_a"),
+      F.regexp_replace(F.col("c_name"), "0+", "0").as("skey"))
+    val bSrc = t.customer.where(F.col("c_custkey") % 7 =!= 3)
+      .select((F.col("c_custkey") + 1000000L).as("id_b"),
+        F.regexp_replace(F.col("c_name"), "0+", "0").as("name_b"))
+    harmonize.Linkage.linkSortedNeighborhood(aSrc, bSrc,
+      sortKeyA = "skey", sortKeyB = "name_b",
+      "id_a", "name_a", "id_b", "name_b", window = 8, maxDist = 6)
       .orderBy("id_b")
   }
 
@@ -3335,6 +3356,7 @@ object SparkEntry {
       "q_bloom_prefilter" -> q(qBloomPrefilter),
       "asof_join_nearest" -> q(asofJoinNearest),
       "er_resolve" -> q(erResolve),
+      "er_resolve_sorted" -> q(erResolveSorted),
       "merge_upsert" -> q(mergeUpsert),
       "profile_ucc" -> q(profileUcc),
       "q_cube" -> q(qCube),

@@ -46,7 +46,8 @@ object HashExprs {
     * reduction predicate — see [[graft.operators.BloomJoin]]).
     */
   def mightContainLong(key: Column, bloomBytes: Array[Byte]): Column =
-    Bridge.column(MightContainLong(Bridge.expression(key), bloomBytes))
+    Bridge.column(MightContainLong(Bridge.expression(key),
+      new BloomBytes(bloomBytes)))
 
   /** Cosine similarity of two float/double array columns. */
   def cosineSim(a: Column, b: Column): Column =
@@ -916,6 +917,21 @@ case class SumTokenChars(child: Expression)
     copy(child = newChild)
 }
 
+/** Serialized Bloom filter bytes with CONTENT-based equality.
+  * Case-class fields of type Array[Byte] compare by reference, so two
+  * semantically identical probe expressions would never be `equal` —
+  * defeating Catalyst plan canonicalization / exchange & subexpression
+  * reuse across identical probes (conservatively safe, but wasteful).
+  * Wrapping in a value holder restores structural equality.
+  */
+final class BloomBytes(val bytes: Array[Byte]) extends Serializable {
+  override def equals(o: Any): Boolean = o match {
+    case b: BloomBytes => java.util.Arrays.equals(bytes, b.bytes)
+    case _ => false
+  }
+  override def hashCode: Int = java.util.Arrays.hashCode(bytes)
+}
+
 /** Membership probe of a LONG key against a driver-built Bloom filter
   * (org.apache.spark.util.sketch.BloomFilter bytes). The serialized
   * filter rides in the generated code as a plan reference — at
@@ -924,8 +940,9 @@ case class SumTokenChars(child: Expression)
   * positives only (never drops a real match), codegen'd, stays inside
   * whole-stage pipelines.
   */
-case class MightContainLong(child: Expression, bloomBytes: Array[Byte])
+case class MightContainLong(child: Expression, bloom0: BloomBytes)
     extends UnaryExpression with UnaryKernelCodegen {
+  private def bloomBytes: Array[Byte] = bloom0.bytes
   require(bloomBytes.nonEmpty, "empty bloom filter bytes")
   override def dataType: DataType = org.apache.spark.sql.types.BooleanType
   override def prettyName: String = "might_contain_long"

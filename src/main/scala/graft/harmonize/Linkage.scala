@@ -54,4 +54,83 @@ object Linkage {
       .where(F.col("__rn") === 1)
       .select(F.col(idB), F.col(idA), F.col("lev"), F.col("n_candidates"))
   }
+
+  /** Sorted-neighborhood linkage (Hernández & Stolfo SIGMOD'95; the
+    * standard scale-safe alternative to blocking in Christen's survey,
+    * TKDE 2012): union both sources, totally order the merged stream
+    * by (`sortKey`, side, id), and compare only records within a
+    * sliding window of `window` consecutive positions — candidate
+    * pairs are the cross-source pairs at rank distance ≤ window−1.
+    *
+    * Why this scales where [[linkByName]]'s blocking may not: blocked
+    * pair cost is Σ_blk |A_blk|·|B_blk|, quadratic in the block size,
+    * and block sizes grow with the corpus when the block key's
+    * cardinality is fixed. Here the candidate count is EXACTLY
+    * ≤ n·(window−1) regardless of key skew — an oversized "block"
+    * (many records sharing a sort key) still contributes only
+    * window-bounded pairs.
+    *
+    * Plan shape (no single-partition stage anywhere): global rank via
+    * [[graft.operators.Ranks.globalRank]] (range-partitioned sort +
+    * per-partition offsets), then neighbor pairing as a plain hash
+    * equi-join on rank bands of width g = window−1 — the lower-rank
+    * side is emitted into its own band and the next (2 rows), the
+    * higher side once, so every pair at rank distance 1..g matches in
+    * exactly one band (ry ≤ rx+g ⟹ ry div g ∈ {rx div g, rx div g+1});
+    * bands hold exactly g rows each, so the join is skew-free BY
+    * CONSTRUCTION. Scoring + 1:1 resolution are identical to
+    * [[linkByName]] (raw Levenshtein ≤ maxDist, per-B argmax on
+    * (lev, idA) — integer keys only).
+    *
+    * `sortKeyA`/`sortKeyB`: the SNM sort key columns (typically a
+    * normalized/phonetic form of the name — key design decides recall,
+    * exactly as block keys do for blocking). Ids must be numeric
+    * (cast to long internally for the unioned total order). Returns
+    * (idB, idA, lev, n_candidates) like [[linkByName]] — n_candidates
+    * counts the B record's surviving window candidates.
+    */
+  def linkSortedNeighborhood(a: DataFrame, b: DataFrame,
+      sortKeyA: String, sortKeyB: String,
+      idA: String, nameA: String, idB: String, nameB: String,
+      window: Int, maxDist: Int): DataFrame = {
+    require(window >= 2, "window must cover at least 2 records")
+    val g = (window - 1).toLong
+    val u = a.select(F.col(sortKeyA).as("__key"), F.lit(0).as("__side"),
+        F.col(idA).cast("long").as("__id"), F.col(nameA).as("__name"))
+      .unionByName(
+        b.select(F.col(sortKeyB).as("__key"), F.lit(1).as("__side"),
+          F.col(idB).cast("long").as("__id"), F.col(nameB).as("__name")))
+    val ranked = graft.operators.Ranks.globalRank(u,
+      Seq(F.col("__key").asc, F.col("__side").asc, F.col("__id").asc), "__r")
+    // band join: lower-rank row in bands (r div g, r div g + 1),
+    // higher-rank row in its own band — exactly-once pairing
+    val lo = ranked.select(F.col("__side").as("s1"), F.col("__id").as("i1"),
+      F.col("__name").as("n1"), F.col("__r").as("r1"),
+      F.explode(F.array(F.expr(s"__r div ${g}L"),
+        F.expr(s"__r div ${g}L + 1L"))).as("__bk"))
+    val hi = ranked.select(F.col("__side").as("s2"), F.col("__id").as("i2"),
+      F.col("__name").as("n2"), F.col("__r").as("r2"),
+      F.expr(s"__r div ${g}L").as("__bk"))
+    val pairs = lo.join(hi, "__bk")
+      .where(F.col("r2") - F.col("r1") >= 1L &&
+        F.col("r2") - F.col("r1") <= g &&
+        F.col("s1") =!= F.col("s2"))
+    val ab = pairs.select(
+      F.when(F.col("s1") === 0, F.col("i1")).otherwise(F.col("i2")).as("__ia"),
+      F.when(F.col("s1") === 0, F.col("n1")).otherwise(F.col("n2")).as("__na"),
+      F.when(F.col("s1") === 0, F.col("i2")).otherwise(F.col("i1")).as("__ib"),
+      F.when(F.col("s1") === 0, F.col("n2")).otherwise(F.col("n1")).as("__nb"))
+    val cand = ab
+      .withColumn("lev", F.levenshtein(F.col("__na"), F.col("__nb")))
+      .where(F.col("lev") <= maxDist)
+    val w = Window.partitionBy(F.col("__ib"))
+      .orderBy(F.col("lev").asc, F.col("__ia").asc)
+    cand
+      .withColumn("n_candidates", F.count(F.lit(1))
+        .over(Window.partitionBy(F.col("__ib"))))
+      .withColumn("__rn", F.row_number().over(w))
+      .where(F.col("__rn") === 1)
+      .select(F.col("__ib").as(idB), F.col("__ia").as(idA),
+        F.col("lev"), F.col("n_candidates"))
+  }
 }

@@ -47,10 +47,17 @@ object AsOfJoin {
       .select((leftCols.map(c => if (c == key) F.col(key) else F.lit(null).cast(left.schema(c).dataType).as(c)) :+
         F.col("_t") :+ F.col("_side")) ++ payload.map(F.col): _*)
     val merged = l.unionByName(r)
+    // Deterministic tie-break: several right rows can share (key,
+    // rightTime); ordering by (_t, _side) alone would let last/first
+    // pick a physically arbitrary payload row. Appending the payload
+    // columns pins the choice (max payload tuple backward, min
+    // forward) — payload columns must therefore be orderable types.
+    val tie = payload.map(p => F.col(p).asc)
     val carried =
       if (direction == "backward") {
         // right rows sort BEFORE left on equal time -> "<=" inclusive
-        val w = Window.partitionBy(key).orderBy(F.col("_t").asc, F.col("_side").asc)
+        val w = Window.partitionBy(key)
+          .orderBy(F.col("_t").asc +: F.col("_side").asc +: tie: _*)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         payload.foldLeft(merged) { (df, p) =>
           df.withColumn(p, F.last(F.col(p), ignoreNulls = true).over(w))
@@ -58,7 +65,8 @@ object AsOfJoin {
       } else {
         // left rows sort BEFORE right on equal time, and the frame
         // looks ahead -> ">=" inclusive
-        val w = Window.partitionBy(key).orderBy(F.col("_t").asc, F.col("_side").desc)
+        val w = Window.partitionBy(key)
+          .orderBy(F.col("_t").asc +: F.col("_side").desc +: tie: _*)
           .rowsBetween(Window.currentRow, Window.unboundedFollowing)
         payload.foldLeft(merged) { (df, p) =>
           df.withColumn(p, F.first(F.col(p), ignoreNulls = true).over(w))
@@ -98,7 +106,11 @@ object AsOfJoin {
         else F.lit(null).cast(left.schema(c).dataType).as(c)) :+
         F.col("_t") :+ F.col("_side")) ++ payload.map(F.col) :+
         F.col(rightTime).cast("long").as("_rt"): _*)
-    val ord = Window.partitionBy(key).orderBy(F.col("_t").asc, F.col("_side").asc)
+    // same deterministic payload tie-break as [[apply]]: several right
+    // rows sharing (key, rightTime) resolve to the max payload tuple
+    // backward / min forward, never a physically arbitrary row
+    val ord = Window.partitionBy(key).orderBy(
+      F.col("_t").asc +: F.col("_side").asc +: payload.map(p => F.col(p).asc): _*)
     val wBack = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wFwd = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
     val carried = carry.foldLeft(l.unionByName(r)) { (df, p) =>

@@ -40,12 +40,18 @@ object Diff {
     require(after.columns.toSeq == cols,
       "snapshots must share a schema (run schemaDrift for evolved tables)")
     val valCols = cols.filterNot(keyCols.contains)
-    val a = before.select(cols.map(F.col): _*).as("a")
-    val b = after.select(cols.map(F.col): _*).as("b")
+    // Explicit presence sentinels: the join matches null keys with <=>
+    // (so a NULL key CAN pair), which means key-column nullness cannot
+    // signal side presence — a row whose leading key is NULL would be
+    // counted in no bucket. A constant true column per side is
+    // null-key-proof: it is null after the outer join iff the side is
+    // genuinely absent.
+    val a = before.select(cols.map(F.col) :+ F.lit(true).as("__in_a"): _*).as("a")
+    val b = after.select(cols.map(F.col) :+ F.lit(true).as("__in_b"): _*).as("b")
     val joined = a.join(b, keyCols.map(k =>
         F.col(s"a.$k") <=> F.col(s"b.$k")).reduce(_ && _), "full_outer")
-    val inA = F.col(s"a.${keyCols.head}").isNotNull
-    val inB = F.col(s"b.${keyCols.head}").isNotNull
+    val inA = F.col("a.__in_a").isNotNull
+    val inB = F.col("b.__in_b").isNotNull
     val colDiff = valCols.map(c =>
       c -> (inA && inB && !(F.col(s"a.$c") <=> F.col(s"b.$c"))))
     val anyDiff =

@@ -41,22 +41,46 @@ object Versioned {
     * atomically. Returns the committed version number.
     */
   def commit(df: DataFrame, root: String,
-             format: String = "parquet"): Long = {
+             format: String = "parquet"): Long =
+    commitAs(df, root, currentVersion(df.sparkSession, root).getOrElse(0L) + 1L,
+      format)
+
+  /** Commit `df` as a SPECIFIC version (the retry/race surface:
+    * a writer that recomputes the same target version after a failure
+    * gets a loud `concurrent commit` error if someone else won,
+    * with the winner's data guaranteed untouched).
+    */
+  def commitAs(df: DataFrame, root: String, next: Long,
+               format: String = "parquet"): Long = {
     val spark = df.sparkSession
-    val next = currentVersion(spark, root).getOrElse(0L) + 1L
     val dataDir = new Path(root, s"v_$next")
-    // Overwrite, not ErrorIfExists: an UNMARKED v_N is invisible by
-    // contract, so clobbering one only reclaims a crashed writer's
-    // partial directory — with ErrorIfExists a crash after a partial
-    // data write but before the marker would wedge every later commit
-    // (each recomputes next = N from the surviving markers and errors
-    // permanently). The atomic marker create below remains the SOLE
-    // commit point; racing same-version writers still can't both win.
-    df.write.format(format)
-      .mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .save(dataDir.toString)
     val marker = new Path(new Path(root, "_commits"), next.toString)
     val fs = fsOf(spark, marker)
+    // Stage-then-rename, never a direct overwrite of v_N: a loser in
+    // a same-version race must NOT clobber the winner's
+    // already-committed data before its own marker create fails.
+    // Writing to a uuid-suffixed staging dir keeps racing writers on
+    // disjoint paths; the marker check below then refuses to promote
+    // once v_N is committed, and a crashed writer's MARKER-LESS v_N
+    // leftover (invisible by contract) is the only thing reclaimed.
+    // Staging leftovers from crashes are swept by [[vacuum]].
+    val staging = new Path(root,
+      s"v_$next.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    df.write.format(format)
+      .mode(org.apache.spark.sql.SaveMode.ErrorIfExists)
+      .save(staging.toString)
+    if (fs.exists(marker)) {
+      fs.delete(staging, true)
+      throw new IllegalStateException(
+        s"concurrent commit: version $next at $root was committed by " +
+          "another writer (committed data left untouched)")
+    }
+    if (fs.exists(dataDir)) fs.delete(dataDir, true) // unmarked leftover
+    if (!fs.rename(staging, dataDir)) {
+      fs.delete(staging, true)
+      throw new IllegalStateException(
+        s"concurrent commit: could not promote staging dir to $dataDir")
+    }
     fs.mkdirs(marker.getParent)
     // atomic create-no-overwrite IS the commit: two racing writers of
     // the same version cannot both succeed
@@ -108,6 +132,16 @@ object Versioned {
       .flatMap(s => scala.util.Try(s.getPath.getName.drop(2).toLong).toOption)
       .filter(v => v < keptMax && !fs.exists(new Path(dir, v.toString)))
     orphans.foreach(v => fs.delete(new Path(root, s"v_$v"), true))
+    // staging sweep: v_N.tmp-<uuid> dirs from crashed commits are dead
+    // once version N is committed or superseded (N <= newest kept);
+    // later-N staging dirs may belong to an in-flight writer — leave
+    // them for a future vacuum.
+    fs.listStatus(new Path(root)).toSeq
+      .filter(s => s.isDirectory &&
+        s.getPath.getName.matches("v_\\d+\\.tmp-.*"))
+      .filter(s => s.getPath.getName.drop(2)
+        .takeWhile(_.isDigit).toLong <= keptMax)
+      .foreach(s => fs.delete(s.getPath, true))
     (drop ++ orphans).distinct.sorted
   }
 }

@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.{functions => F}
+
+/** Round-15 operator specs: sorted-neighborhood record linkage
+  * (scale contract + agreement with blocking), the Versioned
+  * staging-commit race guard, and the table-diff null-key sentinel.
+  */
+class R15OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def srcA = Seq(
+    (1L, "alpha corp", "k1"),
+    (2L, "betta inc", "k1"),
+    (3L, "gamma llc", "k2"),
+    (4L, "delta gmbh", "k2")).toDF("id_a", "name_a", "blk")
+    .withColumn("skey", F.col("name_a"))
+  private def srcB = Seq(
+    (11L, "alpha corp.", "k1"),
+    (13L, "gama llc", "k2")).toDF("id_b", "name_b", "blk")
+    .withColumn("skey", F.col("name_b"))
+
+  test("linkSortedNeighborhood: identical links to blocked linkage when blocks are small") {
+    import graft.harmonize.Linkage
+    val blocked = Linkage.linkByName(srcA, srcB, Seq("blk"),
+      "id_a", "name_a", "id_b", "name_b", maxDist = 3)
+      .select("id_b", "id_a", "lev").collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val sorted = Linkage.linkSortedNeighborhood(srcA, srcB,
+      "skey", "skey", "id_a", "name_a", "id_b", "name_b",
+      window = 4, maxDist = 3)
+      .select("id_b", "id_a", "lev").collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(blocked == Set((11L, 1L, 1), (13L, 3L, 1)))
+    assert(sorted == blocked,
+      "window linkage must find the same links as blocking on small blocks")
+  }
+
+  test("linkSortedNeighborhood: candidate count is window-bounded on an oversized block") {
+    import graft.harmonize.Linkage
+    // one degenerate "block": every record shares the same leading
+    // sort-key region. Blocking on it would generate |A|x|B| pairs;
+    // the window contract caps candidates at n*(window-1) TOTAL.
+    val n = 200
+    val bigA = (1 to n).map(i => (i.toLong, f"name$i%04d"))
+      .toDF("id_a", "name_a").withColumn("skey", F.col("name_a"))
+    val bigB = (1 to n).map(i => (1000L + i, f"name$i%04d"))
+      .toDF("id_b", "name_b").withColumn("skey", F.col("name_b"))
+    val w = 5
+    // maxDist large enough that NO candidate is score-filtered: the
+    // output n_candidates sum is then the full surviving pair count
+    val out = Linkage.linkSortedNeighborhood(bigA, bigB,
+      "skey", "skey", "id_a", "name_a", "id_b", "name_b",
+      window = w, maxDist = 1000)
+    val rows = out.collect()
+    // every B record links (its twin is rank-adjacent: equal key,
+    // side tie-break) ...
+    assert(rows.length == n)
+    rows.foreach(r => assert(r.getAs[Long]("id_b") - 1000L ==
+      r.getAs[Long]("id_a"), "nearest neighbor in sort order must win"))
+    // ... and total candidates stay <= 2n*(w-1) (each of the 2n merged
+    // records sees at most w-1 higher-ranked partners) — the
+    // oversized block CANNOT go quadratic (|A|x|B| would be 40000)
+    val totalCand = rows.map(_.getAs[Long]("n_candidates")).sum
+    assert(totalCand <= 2L * n * (w - 1),
+      s"candidates $totalCand exceed the window bound ${2L * n * (w - 1)}")
+  }
+
+  test("linkSortedNeighborhood: catches matches across a key-sort boundary that blocking misses") {
+    import graft.harmonize.Linkage
+    // names that NO equality block key would co-locate (they differ
+    // in their last characters, so any truncation/equality block on
+    // the dirty value space can separate them): the sorted window
+    // pairs them purely by rank adjacency
+    val a = Seq((1L, "alpha")).toDF("id_a", "name_a")
+      .withColumn("skey", F.col("name_a"))
+    val b = Seq((2L, "alphb")).toDF("id_b", "name_b")
+      .withColumn("skey", F.col("name_b"))
+    val out = Linkage.linkSortedNeighborhood(a, b, "skey", "skey",
+      "id_a", "name_a", "id_b", "name_b", window = 2, maxDist = 2)
+    assert(out.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((2L, 1L)))
+  }
+
+  test("Versioned: a same-version loser must not clobber the winner's committed data") {
+    import graft.sources.Versioned
+    val root = java.nio.file.Files.createTempDirectory("vtab15").toString + "/t"
+    Versioned.commit(Seq((1L, "a")).toDF("k", "s"), root)
+    // simulate the race: both writers computed next=2; the "winner"
+    // commits (data + marker) first...
+    Versioned.commit(Seq((2L, "winner")).toDF("k", "s"), root)
+    // ...the loser, having computed the SAME target version, tries to
+    // promote ITS v_2 (commitAs is exactly that stale-writer retry
+    // surface). It must fail loudly AND leave the winner's rows
+    // untouched — under the pre-r15 SaveMode.Overwrite it would have
+    // silently replaced the committed data before erroring.
+    val e = intercept[IllegalStateException] {
+      Versioned.commitAs(Seq((2L, "loser")).toDF("k", "s"), root, 2L)
+    }
+    assert(e.getMessage.contains("concurrent commit"))
+    assert(Versioned.read(spark, root, version = Some(2L))
+      .select("s").as[String].collect().toSeq == Seq("winner"))
+    Versioned.vacuum(spark, root, keep = 2)
+    val stale = new java.io.File(root).listFiles()
+      .filter(_.getName.contains(".tmp-"))
+    assert(stale.isEmpty, s"staging leftovers: ${stale.mkString(",")}")
+  }
+
+  test("tableDiff: rows with NULL keys are counted via presence sentinels") {
+    import graft.operators.Diff
+    val before = Seq[(java.lang.Long, String)]((1L, "x"), (null, "y"))
+      .toDF("k", "v")
+    val after = Seq[(java.lang.Long, String)]((1L, "x"), (null, "z"))
+      .toDF("k", "v")
+    val m = Diff.tableDiff(before, after, Seq("k")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the <=> join PAIRS the null-key rows; key-nullness detection
+    // would have dropped them from every bucket
+    assert(m("rows_before") == 2L && m("rows_after") == 2L)
+    assert(m("changed") == 1L && m("unchanged") == 1L)
+    assert(m("col:v") == 1L)
+    assert(m("added") == 0L && m("removed") == 0L)
+  }
+
+  test("AsOfJoin: duplicate right timestamps resolve to a deterministic payload") {
+    import graft.operators.AsOfJoin
+    val left = Seq((1L, "k", 100L)).toDF("id", "k", "t")
+    // three right rows at the SAME (key, time): the max payload tuple
+    // must win backward — and keep winning on a differently-ordered
+    // physical input
+    val right = Seq(("k", 90L, "b"), ("k", 90L, "c"), ("k", 90L, "a"))
+      .toDF("k", "rt", "v")
+    val got = AsOfJoin(left, right.repartition(3), "k", "t", "rt", Seq("v"))
+      .select("v").as[String].collect().toSeq
+    assert(got == Seq("c"), s"expected max payload 'c', got $got")
+    val gotN = AsOfJoin.nearest(left, right.orderBy(F.rand(7)), "k", "t", "rt",
+      Seq("v")).select("v").as[String].collect().toSeq
+    assert(gotN == Seq("c"), s"nearest expected 'c', got $gotN")
+  }
+}
