@@ -3508,6 +3508,41 @@ object OracleSql {
         |JOIN deg db ON db.node = n.b
         |ORDER BY cn DESC, pa DESC, a ASC, b ASC LIMIT 100""".stripMargin,
 
+    // Adamic-Adar variant: the 1/ln(deg) table comes from the SAME
+    // Graph.aaTable call the Spark plan embeds — both engines sum
+    // identical integer literals (zero drift by construction)
+    "graph_linkpred_aa" -> {
+      val vals = graft.operators.Graph.aaTable(64, 1000000L)
+        .map { case (d, v) => s"($d, $v)" }.mkString(", ")
+      s"""WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         |tbl(d, aaw) AS (VALUES $vals),
+         |p AS (SELECT x.pk AS id1, y.pk AS id2
+         |      FROM op x JOIN op y ON x.ok = y.ok AND x.pk < y.pk
+         |      GROUP BY 1, 2 HAVING count(*) >= 2),
+         |e AS MATERIALIZED (SELECT id1 AS a, id2 AS b FROM p
+         |                   UNION SELECT id2, id1 FROM p),
+         |deg AS MATERIALIZED (SELECT a AS node, count(*) AS deg FROM e GROUP BY 1),
+         |piv AS (SELECT e.a AS w, e.b AS n, deg.deg AS wdeg
+         |        FROM e JOIN deg ON deg.node = e.a WHERE deg.deg <= 64),
+         |cand AS (SELECT x.n AS a, y.n AS b, count(*) AS cn,
+         |                sum(t.aaw) AS aa_num
+         |         FROM piv x JOIN piv y ON x.w = y.w AND x.n < y.n
+         |         JOIN tbl t ON t.d = x.wdeg
+         |         GROUP BY 1, 2),
+         |nonadj AS (SELECT c.a, c.b, c.cn, c.aa_num FROM cand c
+         |           LEFT JOIN p ON p.id1 = c.a AND p.id2 = c.b
+         |           WHERE p.id1 IS NULL)
+         |SELECT n.a, n.b, n.cn,
+         |       CAST(CAST(da.deg AS HUGEINT) * CAST(db.deg AS HUGEINT)
+         |         AS BIGINT) AS pa,
+         |       CAST(n.aa_num AS BIGINT) AS aa_num
+         |FROM nonadj n
+         |JOIN deg da ON da.node = n.a
+         |JOIN deg db ON db.node = n.b
+         |ORDER BY aa_num DESC, cn DESC, pa DESC, a ASC, b ASC
+         |LIMIT 100""".stripMargin
+    },
+
     // min-plus Bellman-Ford rounds over the weighted co-order graph,
     // the SAME fixed rounds unrolled
     "graph_sssp" -> ssspSql(rounds = 4),
@@ -3771,7 +3806,7 @@ object OracleSql {
        |                   UNION SELECT id2, id1 FROM p),
        |d0 AS MATERIALIZED (SELECT p_partkey AS seed, p_partkey AS node, 0 AS h
        |                    FROM part
-       |                    WHERE p_brand = 'Brand#1' AND p_partkey % 10 = 0),
+       |                    WHERE p_brand = 'Brand#1'),
        |$rs
        |SELECT node, CAST(count(*) AS BIGINT) AS n_reach,
        |       CAST(sum($scale // h) AS BIGINT) AS h_num

@@ -2736,12 +2736,31 @@ object SparkEntry {
       maxPivotDegree = 64, k = 100)
   }
 
+  private def graphLinkpredAA(t: Tables): DataFrame = {
+    // Adamic-Adar ranking under the fixed-point policy: 1/ln(deg)
+    // from the 63-entry integer table (deg <= cap = 64) that
+    // Graph.aaTable generates for BOTH this plan and the DuckDB twin
+    // — the engines sum identical literals, no runtime float
+    val op = t.lineitem.select(F.col("l_orderkey").as("ok"),
+      F.col("l_partkey").as("pk")).distinct()
+    val pairs = op.as("x").join(op.as("y"),
+        F.col("x.ok") === F.col("y.ok") && F.col("x.pk") < F.col("y.pk"))
+      .groupBy(F.col("x.pk").as("a"), F.col("y.pk").as("b"))
+      .agg(F.count(F.lit(1)).as("cooc"))
+      .where(F.col("cooc") >= 2)
+      .select("a", "b")
+    operators.Graph.linkPredictionAA(pairs,
+      maxPivotDegree = 64, k = 100)
+  }
+
   private def graphHarmonic(t: Tables): DataFrame = {
     // seed-set harmonic centrality over the co-order part graph
-    // (support >= 2): pivots = every 10th Brand#1 part — the
-    // deterministic Eppstein-Wang pivot sample (1/3/68 seeds at
-    // sf0.001/0.01/0.1, the |S| cost knob); 4 rounds, contributions
-    // lcm(1..4)=12-scaled so every reciprocal is an exact integer
+    // (support >= 2): pivots = ALL Brand#1 parts (r15 densify — the
+    // decimated 1-in-10 sample gated only 37 rows at sf0.1 because
+    // the co-order graph fragments as the part space grows; the full
+    // brand seed set keeps |S| the explicit cost knob while reaching
+    // 10x the surface); 4 rounds, contributions lcm(1..4)=12-scaled
+    // so every reciprocal is an exact integer
     val op = t.lineitem.select(F.col("l_orderkey").as("ok"),
       F.col("l_partkey").as("pk")).distinct().persist()
     val pairs = op.as("x").join(op.as("y"),
@@ -2750,8 +2769,7 @@ object SparkEntry {
       .agg(F.count(F.lit(1)).as("cooc"))
       .where(F.col("cooc") >= 2)
       .select("a", "b")
-    val seeds = t.part.where(F.col("p_brand") === "Brand#1" &&
-        F.col("p_partkey") % 10 === 0)
+    val seeds = t.part.where(F.col("p_brand") === "Brand#1")
       .select(F.col("p_partkey").as("node"))
     val out = operators.Graph.harmonicCentrality(pairs, seeds, rounds = 4)
       .orderBy("node")
@@ -3357,6 +3375,7 @@ object SparkEntry {
       "asof_join_nearest" -> q(asofJoinNearest),
       "er_resolve" -> q(erResolve),
       "er_resolve_sorted" -> q(erResolveSorted),
+      "graph_linkpred_aa" -> q(graphLinkpredAA),
       "merge_upsert" -> q(mergeUpsert),
       "profile_ucc" -> q(profileUcc),
       "q_cube" -> q(qCube),

@@ -222,9 +222,17 @@ object Graph {
     * degree_sum, q_num), |communities| rows, unordered.
     */
   def modularity(pairs: DataFrame, communities: DataFrame): DataFrame = {
-    val p = pairs.select(F.col("a"), F.col("b"))
-    val e = p.unionAll(p.select(F.col("b").as("a"), F.col("a").as("b")))
+    // canonical-input normalization (r15): self-loops dropped, both
+    // orientations + duplicates collapsed to one canonical (a<b) row —
+    // so m, degrees and intra counts are well-defined for ANY input,
+    // not only pre-canonicalized ones (the wired graphs were already
+    // canonical; arbitrary callers may not be). One distinct shuffle
+    // at |E| — the price of an honest contract.
+    val p = pairs.select(F.least(F.col("a"), F.col("b")).as("a"),
+        F.greatest(F.col("a"), F.col("b")).as("b"))
+      .where(F.col("a") =!= F.col("b"))
       .distinct()
+    val e = p.unionAll(p.select(F.col("b").as("a"), F.col("a").as("b")))
     val mRow = p.agg(F.count(F.lit(1)).as("m"))
     val deg = e.groupBy(F.col("a").as("node")).agg(F.count(F.lit(1)).as("d"))
     val lab = communities.select(F.col("node"), F.col("community"))
@@ -275,8 +283,13 @@ object Graph {
     */
   def labelPropagation(pairs: DataFrame, iters: Int = 5): DataFrame = {
     require(iters >= 1, "at least one iteration")
+    // canonical-input normalization (r15): self-loops dropped (a node
+    // voting for its own label would bias every round; a node with
+    // ONLY self-loops has no neighbors and is dropped from the
+    // output), parallel edges collapse in the existing distinct
     val e = pairs.select(F.col("a"), F.col("b"))
       .unionAll(pairs.select(F.col("b").as("a"), F.col("a").as("b")))
+      .where(F.col("a") =!= F.col("b"))
       .distinct().persist()
     // every node of an undirected edge list appears as `a`
     var labels = Pins.pin(e.select(F.col("a").as("node")).distinct()
@@ -321,8 +334,13 @@ object Graph {
     require(k >= 1 && rounds >= 1, "k and rounds must be positive")
     def degrees(e: DataFrame): DataFrame =
       e.groupBy(F.col("a")).agg(F.count(F.lit(1)).as("deg"))
+    // canonical-input normalization (r15): self-loops dropped (a loop
+    // is not a neighbor for coreness; a loop-only node has degree 0
+    // and can never be in a k-core), parallel edges collapse in the
+    // existing distinct
     var e = Pins.pin(pairs.select(F.col("a"), F.col("b"))
       .unionAll(pairs.select(F.col("b").as("a"), F.col("a").as("b")))
+      .where(F.col("a") =!= F.col("b"))
       .distinct())
     for (_ <- 1 to rounds) {
       val keep = degrees(e).where(F.col("deg") >= k).select(F.col("a").as("n"))
@@ -514,6 +532,72 @@ object Graph {
         (F.col("deg_a").cast("decimal(19,0)") *
           F.col("deg_b").cast("decimal(19,0)")).cast("long").as("pa"))
       .orderBy(F.col("cn").desc, F.col("pa").desc,
+        F.col("a").asc, F.col("b").asc)
+      .limit(k)
+    (out, () => { e.unpersist(true); () })
+  }
+
+  /** Integer-scaled 1/ln(d) lookup for Adamic-Adar (Adamic & Adar,
+    * Social Networks 2003): entry d → floor(scale / ln d) for
+    * 2 ≤ d ≤ cap (a common neighbor has degree ≥ 2 by definition, so
+    * ln is never 0). Generated ONCE here and embedded as a PLAN
+    * LITERAL by both the Spark operator and the DuckDB twin
+    * (OracleSql calls this same function to print its VALUES list),
+    * so cross-engine exactness never depends on runtime float math —
+    * both engines only SUM the shared integers. The fixed-point
+    * policy's answer to "AA needs 1/ln(deg) floats": under a pivot
+    * cap the domain is finite, so the whole function is a table.
+    */
+  def aaTable(cap: Int, scale: Long = 1000000L): Seq[(Int, Long)] = {
+    require(cap >= 2 && scale >= 1, "cap >= 2 and positive scale")
+    (2 to cap).map(d => d -> (scale / math.log(d.toDouble)).toLong)
+  }
+
+  /** [[linkPrediction]] extended with the Adamic-Adar score (the
+    * strongest predictor in Liben-Nowell & Kleinberg's comparison
+    * table): aa_num = Σ_{w ∈ CN(a,b)} floor(scale/ln deg(w)) — each
+    * common neighbor's evidence down-weighted by its degree, from the
+    * shared integer [[aaTable]] (pivot degrees are ≤ maxPivotDegree
+    * by the cap, so the table covers every pivot). Candidate
+    * generation, the pivot-degree cap, and the non-adjacency filter
+    * are identical to [[linkPrediction]]; ranking is
+    * (aa_num desc, cn desc, pa desc, pair asc) top-k. Returns
+    * (a, b, cn, pa, aa_num).
+    */
+  def linkPredictionAA(pairs: DataFrame, maxPivotDegree: Int = 1000,
+                       k: Int = 100, aaScale: Long = 1000000L): DataFrame =
+    linkPredictionAAReleasable(pairs, maxPivotDegree, k, aaScale)._1
+
+  /** [[linkPredictionAA]] plus a release handle for the pinned
+    * symmetrized edge list — the linkPredictionReleasable convention.
+    */
+  def linkPredictionAAReleasable(pairs: DataFrame, maxPivotDegree: Int = 1000,
+      k: Int = 100, aaScale: Long = 1000000L): (DataFrame, () => Unit) = {
+    require(maxPivotDegree >= 2 && k >= 1, "cap >= 2 and positive k")
+    val e = pairs.select(F.col("a"), F.col("b"))
+      .unionAll(pairs.select(F.col("b").as("a"), F.col("a").as("b")))
+      .where(F.col("a") =!= F.col("b"))
+      .distinct().persist()
+    val deg = e.groupBy(F.col("a").as("node")).agg(F.count(F.lit(1)).as("deg"))
+    val tbl = F.typedlit(aaTable(maxPivotDegree, aaScale)
+      .map { case (d, v) => d.toLong -> v }.toMap)
+    val byPivot = e.select(F.col("a").as("w"), F.col("b").as("n"))
+      .join(deg.where(F.col("deg") <= maxPivotDegree)
+        .select(F.col("node").as("w"), F.col("deg").as("wdeg")), "w")
+      .withColumn("aaw", F.element_at(tbl, F.col("wdeg")))
+    val cand = byPivot.as("x").join(byPivot.as("y"),
+        F.col("x.w") === F.col("y.w") && F.col("x.n") < F.col("y.n"))
+      .groupBy(F.col("x.n").as("a"), F.col("y.n").as("b"))
+      .agg(F.count(F.lit(1)).as("cn"), F.sum(F.col("x.aaw")).as("aa_num"))
+    val out = cand
+      .join(e.where(F.col("a") < F.col("b")), Seq("a", "b"), "left_anti")
+      .join(deg.select(F.col("node").as("a"), F.col("deg").as("deg_a")), "a")
+      .join(deg.select(F.col("node").as("b"), F.col("deg").as("deg_b")), "b")
+      .select(F.col("a"), F.col("b"), F.col("cn"),
+        (F.col("deg_a").cast("decimal(19,0)") *
+          F.col("deg_b").cast("decimal(19,0)")).cast("long").as("pa"),
+        F.col("aa_num"))
+      .orderBy(F.col("aa_num").desc, F.col("cn").desc, F.col("pa").desc,
         F.col("a").asc, F.col("b").asc)
       .limit(k)
     (out, () => { e.unpersist(true); () })

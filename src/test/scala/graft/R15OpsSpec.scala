@@ -106,6 +106,56 @@ class R15OpsSpec extends SparkSpec {
     assert(stale.isEmpty, s"staging leftovers: ${stale.mkString(",")}")
   }
 
+  test("labelPropagation/kCore/modularity: self-loops and multi-edges canonicalize") {
+    import graft.operators.Graph
+    // canonical triangle + pendant
+    val clean = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("c", "d"))
+      .toDF("a", "b")
+    // same graph with a self-loop, a reversed duplicate, and an exact
+    // duplicate — the operators must normalize to identical results
+    val dirty = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("c", "d"),
+      ("b", "b"), ("c", "a"), ("a", "b")).toDF("a", "b")
+    def lp(df: org.apache.spark.sql.DataFrame) =
+      Graph.labelPropagation(df, iters = 3).collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(lp(dirty) == lp(clean))
+    def kc(df: org.apache.spark.sql.DataFrame) =
+      Graph.kCore(df, k = 2, rounds = 4).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(kc(dirty) == kc(clean))
+    assert(kc(clean) == Set(("a", 2L), ("b", 2L), ("c", 2L)))
+    val comm = Seq(("a", "g1"), ("b", "g1"), ("c", "g1"), ("d", "g2"))
+      .toDF("node", "community")
+    def mod(df: org.apache.spark.sql.DataFrame) =
+      Graph.modularity(df, comm).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+    assert(mod(dirty) == mod(clean))
+    // m=4, g1: intra=3, degree_sum=2+2+3=7 -> q = 4*4*3 - 49 = -1
+    assert(mod(clean).find(_._1 == "g1").get._5 == 4L * 4 * 3 - 49)
+  }
+
+  test("linkPredictionAA: table-exact Adamic-Adar ranks low-degree evidence first") {
+    import graft.operators.Graph
+    // z is a common neighbor of (u,v) with degree 2; hub h is a
+    // common neighbor of (u2,v2) with degree 4: CN ties at 1 but AA
+    // must rank the low-degree witness pair FIRST (1/ln2 > 1/ln4)
+    val pairs = Seq(
+      ("u", "z"), ("v", "z"),
+      ("u2", "h"), ("v2", "h"), ("x1", "h"), ("x2", "h")).toDF("a", "b")
+    val out = Graph.linkPredictionAA(pairs, maxPivotDegree = 10, k = 3)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getLong(4)))
+    val tbl = Graph.aaTable(10, 1000000L).toMap
+    val top = out.head
+    assert((top._1, top._2) == ("u", "v"))
+    assert(top._5 == tbl(2), s"aa_num ${top._5} != table 1/ln2 ${tbl(2)}")
+    // the hub-witnessed pairs carry the down-weighted 1/ln4 evidence
+    val hubPair = out.find(p => p._1 == "u2" && p._2 == "v2").get
+    assert(hubPair._5 == tbl(4))
+    assert(top._5 > hubPair._5)
+  }
+
   test("tableDiff: rows with NULL keys are counted via presence sentinels") {
     import graft.operators.Diff
     val before = Seq[(java.lang.Long, String)]((1L, "x"), (null, "y"))
