@@ -250,16 +250,25 @@ object Pca {
                     m: Int = 8, ksub: Int = 16, iters: Int = 3,
                     maxTrain: Int = 100000,
                     rowCountHint: Option[Long] = None,
-                    extraCols: Seq[String] = Nil): Unit = {
+                    extraCols: Seq[String] = Nil,
+                    trainCorpus: Option[DataFrame] = None): Unit = {
     require(kDim % m == 0, s"projected dim $kDim must be divisible by m=$m")
-    val (mu, comps, _) = pcaTrain(corpus, cId, cVec, kDim, maxTrain, rowCountHint)
+    // trainCorpus (the ivfpqBuild contract lifted to the composed
+    // index): ALL learned parameters — the PCA basis AND the IVF/PQ
+    // quantizers — train on the given slice while the FULL corpus is
+    // projected and encoded under them; the one-shot reference for
+    // the frozen-quantizer append/streaming-ingest equality specs.
+    val trainDf = trainCorpus.getOrElse(corpus)
+    val (mu, comps, _) = pcaTrain(trainDf, cId, cVec, kDim, maxTrain,
+      rowCountHint.filter(_ => trainCorpus.isEmpty))
     writePcaParams(corpus.sparkSession, mu, comps, s"$path/pca")
     // extraCols (metadata-filtered search) ride the projected frame —
     // an id-keyed join back because pcaProject keeps only (id, proj)
     val projected = withExtras(
       pcaProject(corpus, cId, cVec, mu, comps), corpus, cId, extraCols)
     Ann.ivfpqBuild(projected, cId, "proj", path, nCells, m, ksub, iters,
-      maxTrain, rowCountHint, extraCols)
+      maxTrain, rowCountHint, extraCols,
+      trainCorpus.map(t => pcaProject(t, cId, cVec, mu, comps)))
   }
 
   /** Append a vector batch to a [[pcaIvfpqBuild]] index under ALL its

@@ -118,6 +118,29 @@ object StreamingSearch {
     }.start()
   }
 
+  /** [[annIngest]] for a PCA-COMPOSED index
+    * ([[graft.similarity.Pca.pcaIvfpqBuild]] layout): each micro-batch
+    * projects through the index's PERSISTED PCA params first, then
+    * PQ-encodes under the frozen projected-space quantizers
+    * ([[graft.similarity.Pca.pcaIvfpqIndexAppend]]). Never point
+    * [[annIngest]] at a composed index — its codebooks live in the
+    * projected space, and slicing full-width vectors into kDim/m
+    * subspaces would silently encode wrong codes (the
+    * pcaIvfpqIndexAppend doc's warning, now enforced by having a
+    * dedicated loop). Same `ingest_batch` lineage + at-least-once
+    * cleanup contract as [[annIngest]].
+    */
+  def annIngestPca(stream: DataFrame, path: String, idCol: String,
+                   vecCol: String,
+                   checkpointDir: Option[String] = None): StreamingQuery = {
+    val writer = stream.writeStream
+    checkpointDir.foreach(writer.option("checkpointLocation", _))
+    writer.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+      graft.similarity.Pca.pcaIvfpqIndexAppend(batch.sparkSession, path,
+        batch.toDF(), idCol, vecCol, batchId = batchId)
+    }.start()
+  }
+
   private def postings(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val docs = df.select(F.col(idCol).as("doc_id"),
       TextOps.tokens(F.col(textCol)).as("tl"))

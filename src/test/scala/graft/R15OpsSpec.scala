@@ -172,6 +172,49 @@ class R15OpsSpec extends SparkSpec {
     assert(m("added") == 0L && m("removed") == 0L)
   }
 
+  test("streaming PCA-composed ANN ingest: live index equals the one-shot frozen-train build") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingSearch
+    import graft.similarity.Pca
+    implicit val sq = spark.sqlContext
+    def vec(i: Long): Seq[Float] =
+      Seq.tabulate(12)(j => ((i * (j + 5) * 41) % 103) / 50.0f - 1.0f)
+    val initial = (0L until 16L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    val b1 = (16L until 22L).map(i => (i, vec(i)))
+    val b2 = (22L until 28L).map(i => (i, vec(i)))
+    val path = java.nio.file.Files.createTempDirectory("pcastream").toString
+    Pca.pcaIvfpqBuild(initial, "vec_id", "embedding", path,
+      kDim = 8, nCells = 4, m = 4, ksub = 4, iters = 2)
+    val stream = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingSearch.annIngestPca(
+      stream.toDF().toDF("vec_id", "embedding"), path, "vec_id", "embedding")
+    try {
+      stream.addData(b1: _*)
+      q.processAllAvailable()
+      stream.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // live loop (project through PERSISTED params, encode frozen) must
+    // equal a one-shot build over the union whose PCA basis AND
+    // quantizers trained on the same initial slice
+    val union = initial.unionAll((b1 ++ b2).toDF("vec_id", "embedding"))
+    val ref = java.nio.file.Files.createTempDirectory("pcastreamref").toString
+    Pca.pcaIvfpqBuild(union, "vec_id", "embedding", ref,
+      kDim = 8, nCells = 4, m = 4, ksub = 4, iters = 2,
+      trainCorpus = Some(initial))
+    val queries = union.where($"vec_id" < 3)
+    def res(p: String) =
+      Pca.pcaIvfpqQueryIndex(spark, p, queries, "vec_id", "embedding",
+        union, "vec_id", "embedding", k = 3, nProbe = 2, rerank = 4)
+        .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._3)).toSeq
+    val live = res(path)
+    assert(live.nonEmpty && live == res(ref),
+      "live streamed composed index must equal the one-shot frozen-train build")
+    // per-batch lineage for the crash/replay cleanup contract
+    assert(spark.read.parquet(s"$path/codes").select("ingest_batch")
+      .as[Long].collect().toSet == Set(-1L, 0L, 1L))
+  }
+
   test("AsOfJoin: duplicate right timestamps resolve to a deterministic payload") {
     import graft.operators.AsOfJoin
     val left = Seq((1L, "k", 100L)).toDF("id", "k", "t")
