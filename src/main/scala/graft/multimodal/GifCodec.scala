@@ -11,9 +11,10 @@ import graft.multimodal.PngCodec.PixelStats
   * The DECODER is a full variable-width LZW engine: 3..8-bit roots,
   * clear/EOI handling, table growth to the 12-bit ceiling, the KwKwK
   * self-reference case, LSB-first bit unpacking across reassembled
-  * data sub-blocks — it decodes any baseline non-interlaced GIF with
-  * a global or local palette (extensions skipped), not merely its own
-  * encoder's output. Palette entries expand to RGB, so stats cover
+  * data sub-blocks — it decodes any baseline GIF, interlaced or not
+  * (r15: the 4-pass row reorder of Appendix E), with a global or
+  * local palette (extensions skipped), not merely its own encoder's
+  * output. Palette entries expand to RGB, so stats cover
   * width*height*3 samples like PNG truecolor.
   *
   * The ENCODER emits genuine GIF89a bytes (logical screen descriptor,
@@ -60,10 +61,11 @@ object GifCodec {
   }
 
   /** Header walk + full LZW decode to (width, height, palette bytes
-    * RGB*n, palette indices row-major). None on anything malformed,
-    * interlaced, truncated, missing a palette, or oversized.
+    * RGB*n, palette indices row-major — interlaced streams are
+    * reordered to display order). None on anything malformed,
+    * truncated, missing a palette, or oversized.
     */
-  private[multimodal] def decodeIndexed(
+  private[graft] def decodeIndexed(
       bytes: Array[Byte]): Option[(Int, Int, Array[Byte], Array[Byte])] = {
     if (bytes == null || bytes.length < 13) return None
     val sig = new String(bytes, 0, 6, "US-ASCII")
@@ -96,7 +98,7 @@ object GifCodec {
           val h = le16(bytes, pos + 7)
           val ip = bytes(pos + 9) & 0xff
           pos += 10
-          if ((ip & 0x40) != 0) return None // interlaced: out of envelope
+          val interlaced = (ip & 0x40) != 0
           var pal = gct
           if ((ip & 0x80) != 0) {
             val n = 2 << (ip & 7)
@@ -107,11 +109,29 @@ object GifCodec {
           if (pal == null || w <= 0 || h <= 0 || w.toLong * h > MaxPixels)
             return None
           return lzwDecode(bytes, pos, w.toLong * h, pal.length / 3)
-            .map(idx => (w, h, pal, idx))
+            .map(idx => (w, h, pal,
+              if (interlaced) deinterlace(idx, w, h) else idx))
         case _ => return None
       }
     }
     None
+  }
+
+  /** GIF interlace (r15): the LZW stream carries rows in 4-pass order
+    * — pass 1 rows 0,8,16…, pass 2 rows 4,12…, pass 3 rows 2,6,10…,
+    * pass 4 rows 1,3,5… (spec Appendix E). Reorder the decoded index
+    * rows into display order; one row-granular copy, same buffer
+    * size.
+    */
+  private def deinterlace(idx: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val out = new Array[Byte](idx.length)
+    var srcRow = 0
+    for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2));
+         y <- start.until(h, step)) {
+      System.arraycopy(idx, srcRow * w, out, y * w, w)
+      srcRow += 1
+    }
+    out
   }
 
   /** Variable-width GIF LZW over the data sub-blocks starting at
@@ -208,8 +228,27 @@ object GifCodec {
     * CLEAR before the decoder's table would widen the code) — valid
     * output for any conforming reader.
     */
-  def encode(width: Int, height: Int, value: Int => Int): Array[Byte] = {
+  def encode(width: Int, height: Int, value: Int => Int): Array[Byte] =
+    encodeImpl(width, height, value, interlaced = false)
+
+  /** [[encode]]'s interlaced twin (image-descriptor flag 0x40): the
+    * SAME display-order sample function value(s), with rows emitted
+    * into the LZW stream in the 4-pass order the decoder must undo —
+    * decoding must reproduce the identical stats/raster as the
+    * progressive encoding (interlace is a lossless reordering).
+    */
+  def encodeInterlaced(width: Int, height: Int,
+                       value: Int => Int): Array[Byte] =
+    encodeImpl(width, height, value, interlaced = true)
+
+  private def encodeImpl(width: Int, height: Int, value: Int => Int,
+                         interlaced: Boolean): Array[Byte] = {
     require(width > 0 && height > 0 && width.toLong * height <= MaxPixels)
+    // stream row order: display order, or the 4-pass interleave
+    val rowOrder: Seq[Int] =
+      if (!interlaced) 0 until height
+      else Seq((0, 8), (4, 8), (2, 4), (1, 2))
+        .flatMap { case (start, step) => start.until(height, step) }
     val bos = new java.io.ByteArrayOutputStream()
     def w8(v: Int): Unit = bos.write(v & 0xff)
     def w16(v: Int): Unit = { w8(v); w8(v >> 8) }
@@ -219,7 +258,8 @@ object GifCodec {
     w8(0); w8(0)
     var i = 0
     while (i < 256) { w8(i); w8(i); w8(i); i += 1 }
-    w8(0x2c); w16(0); w16(0); w16(width); w16(height); w8(0)
+    w8(0x2c); w16(0); w16(0); w16(width); w16(height)
+    w8(if (interlaced) 0x40 else 0)
     w8(8) // LZW min code size
 
     // 9-bit LSB-first writer, flushed into <=255-byte sub-blocks
@@ -235,15 +275,16 @@ object GifCodec {
     val eoi = 257
     put(clear)
     var count = 0
-    var s = 0
-    val n = width * height
-    while (s < n) {
-      put(value(s) & 0xff)
-      count += 1
-      // decoder table: 258 + (codes since clear) - 1; flush before it
-      // reaches 511 so the 9-bit width never has to grow
-      if (count == 250) { put(clear); count = 0 }
-      s += 1
+    for (y <- rowOrder) {
+      var x = 0
+      while (x < width) {
+        put(value(y * width + x) & 0xff)
+        count += 1
+        // decoder table: 258 + (codes since clear) - 1; flush before
+        // it reaches 511 so the 9-bit width never has to grow
+        if (count == 250) { put(clear); count = 0 }
+        x += 1
+      }
     }
     put(eoi)
     if (accBits > 0) data.write((acc & 0xff).toInt)

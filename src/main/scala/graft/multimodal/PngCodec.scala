@@ -2,8 +2,9 @@ package graft.multimodal
 
 import java.util.zip.{CRC32, Deflater, Inflater}
 
-/** Pure-JVM PNG PIXEL codec (ISO/IEC 15948) for non-interlaced 8-bit
-  * grayscale (color type 0) and truecolor RGB (color type 2) — the
+/** Pure-JVM PNG PIXEL codec (ISO/IEC 15948) for 8-bit grayscale
+  * (color type 0) and truecolor RGB (color type 2), progressive OR
+  * Adam7-interlaced (r15 — §8.2's seven filtered sub-images) — the
   * container format whose compression (zlib DEFLATE, RFC 1950/1951)
   * and per-scanline filtering (§9: None/Sub/Up/Average/Paeth) ship in
   * the JDK, so REAL pixel decode needs no external library. This
@@ -42,18 +43,83 @@ object PngCodec {
     if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
   }
 
-  /** Chunk walk + zlib inflate to the FILTERED scanline buffer
-    * (height rows of 1 filter byte + width*channels samples), shared
-    * by the streaming-stats and raster decodes. None for anything
-    * unsupported or malformed — every guard documented on
-    * [[decodeStats]] lives here.
+  /** Adam7 interlace pass grid (ISO/IEC 15948 §8.2): per pass
+    * (xStart, yStart, xStep, yStep). Each pass is an independently
+    * FILTERED sub-image; passes whose sub-image is empty contribute
+    * zero bytes (not even filter bytes).
     */
-  private def inflateFiltered(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = {
+  private val Adam7 = Array((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8),
+    (2, 0, 4, 4), (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+  private def passDims(w: Int, h: Int, p: (Int, Int, Int, Int)): (Int, Int) = {
+    val (x0, y0, dx, dy) = p
+    (math.max(0, (w - x0 + dx - 1) / dx), math.max(0, (h - y0 + dy - 1) / dy))
+  }
+
+  /** The pass list a given image decodes through: the 7 Adam7
+    * sub-images when interlaced, else one full-frame pass.
+    */
+  private def passes(w: Int, h: Int,
+                     interlaced: Boolean): Array[(Int, Int, Int, Int)] =
+    if (interlaced) Adam7 else Array((0, 0, 1, 1))
+
+  /** Unfilter one pass's scanlines in place over `raw` starting at
+    * `off0` (`rows` rows of 1 filter byte + `rowBytes` samples),
+    * emitting each reconstructed sample as (rowIdx, byteIdx, value) —
+    * pass-local coordinates; the caller maps them to the frame. Only
+    * two scanlines of state. Returns the offset after the pass, or
+    * -1 on an unknown filter type.
+    */
+  private def unfilterPass(raw: Array[Byte], off0: Int, rowBytes: Int,
+                           rows: Int, bpp: Int)
+                          (emit: (Int, Int, Int) => Unit): Int = {
+    if (rowBytes == 0 || rows == 0) return off0
+    var prev = new Array[Int](rowBytes)
+    var cur = new Array[Int](rowBytes)
+    var off = off0
+    var y = 0
+    while (y < rows) {
+      val ft = raw(off) & 0xff; off += 1
+      if (ft > 4) return -1
+      var x = 0
+      while (x < rowBytes) {
+        val f = raw(off + x) & 0xff
+        val a = if (x >= bpp) cur(x - bpp) else 0
+        val b = if (y > 0) prev(x) else 0
+        val c = if (x >= bpp && y > 0) prev(x - bpp) else 0
+        val v = ft match {
+          case 0 => f
+          case 1 => (f + a) & 0xff
+          case 2 => (f + b) & 0xff
+          case 3 => (f + ((a + b) >> 1)) & 0xff
+          case 4 => (f + paeth(a, b, c)) & 0xff
+        }
+        cur(x) = v
+        emit(y, x, v)
+        x += 1
+      }
+      off += rowBytes
+      val t = prev; prev = cur; cur = t
+      y += 1
+    }
+    off
+  }
+
+  /** Chunk walk + zlib inflate to the FILTERED scanline buffer
+    * (for interlace 0: height rows of 1 filter byte + width*channels
+    * samples; for Adam7: the 7 passes' sub-image scanlines
+    * back-to-back), shared by the streaming-stats and raster decodes.
+    * None for anything unsupported or malformed — every guard
+    * documented on [[decodeStats]] lives here.
+    */
+  private def inflateFiltered(
+      bytes: Array[Byte]): Option[(Int, Int, Int, Boolean, Array[Byte])] = {
     if (bytes == null || bytes.length < Sig.length + 12) return None
     var i = 0
     while (i < Sig.length) { if (bytes(i) != Sig(i)) return None; i += 1 }
 
     var width, height, channels = -1
+    var interlaced = false
     val idat = new java.io.ByteArrayOutputStream()
     var pos = Sig.length
     var sawEnd = false
@@ -72,7 +138,8 @@ object PngCodec {
           val colorType = bytes(dataOff + 9) & 0xff
           val interlace = bytes(dataOff + 12) & 0xff
           if (w <= 0 || h <= 0 || w > Int.MaxValue || h > Int.MaxValue) return None
-          if (bitDepth != 8 || interlace != 0) return None
+          if (bitDepth != 8 || interlace > 1) return None
+          interlaced = interlace == 1
           channels = colorType match {
             case 0 => 1 // grayscale
             case 2 => 3 // truecolor RGB
@@ -87,9 +154,17 @@ object PngCodec {
     }
     if (width < 0 || idat.size == 0) return None
 
-    // guard absurd dimension/payload combinations BEFORE allocating
-    val stride = width.toLong * channels
-    val rawLen = height.toLong * (1 + stride)
+    // guard absurd dimension/payload combinations BEFORE allocating.
+    // Interlaced payload: each Adam7 pass has its own filter bytes,
+    // so the total is Σ passH·(1 + passW·channels) over non-empty
+    // passes (slightly larger than the progressive buffer).
+    val rawLen = passes(width, height, interlaced).map { p =>
+      val (pw, ph) = passDims(width, height, p)
+      // a pass that is empty in EITHER dimension emits nothing — not
+      // even filter bytes (§8.2: zero-width rows do not exist)
+      if (pw == 0 || ph == 0) 0L
+      else ph.toLong * (1 + pw.toLong * channels)
+    }.sum
     if (rawLen > 256L * 1024 * 1024) return None
     val raw = new Array[Byte](rawLen.toInt)
     val inf = new Inflater()
@@ -116,57 +191,36 @@ object PngCodec {
       if (inf.inflate(probe, 0, 1) > 0 || !inf.finished()) return None
     } catch { case _: java.util.zip.DataFormatException => return None }
     finally inf.end()
-    Some((width, height, channels, raw))
+    Some((width, height, channels, interlaced, raw))
   }
 
   /** Decode a PNG's pixels to [[PixelStats]], or None for anything
-    * unsupported (bit depth != 8, palette/alpha color types,
-    * interlaced) or malformed (bad signature/chunk layout, truncated
-    * or over-long inflate, unknown filter byte) — callers map None to
-    * an explicit null-stats row, never an exception (garbage-safe,
-    * like [[ImageHeaders.decode]]).
+    * unsupported (bit depth != 8, palette/alpha color types) or
+    * malformed (bad signature/chunk layout, truncated or over-long
+    * inflate, unknown filter byte) — callers map None to an explicit
+    * null-stats row, never an exception (garbage-safe, like
+    * [[ImageHeaders.decode]]). Adam7-interlaced images decode for
+    * real (r15): each pass unfilters independently, and since the
+    * aggregates are position-free the pass samples accumulate
+    * directly — still two scanlines of state, never a raster.
     */
   def decodeStats(bytes: Array[Byte]): Option[PixelStats] = {
-    val (width, height, channels, raw) = inflateFiltered(bytes) match {
-      case Some(t) => t
-      case None => return None
-    }
-    // reverse the per-scanline filters, accumulating exact integer
-    // sums as each byte reconstructs (no second pass, no pixel buffer
-    // beyond the current and previous rows)
+    val (width, height, channels, interlaced, raw) =
+      inflateFiltered(bytes) match {
+        case Some(t) => t
+        case None => return None
+      }
     val stride = width.toLong * channels
-    val bpp = channels
-    val w = stride.toInt
-    var prev = new Array[Int](w)
-    var cur = new Array[Int](w)
     var sum = 0L
     var sumSq = 0L
     var off = 0
-    var y = 0
-    while (y < height) {
-      val ft = raw(off) & 0xff; off += 1
-      if (ft > 4) return None
-      var x = 0
-      while (x < w) {
-        val f = raw(off + x) & 0xff
-        val a = if (x >= bpp) cur(x - bpp) else 0
-        val b = if (y > 0) prev(x) else 0
-        val c = if (x >= bpp && y > 0) prev(x - bpp) else 0
-        val v = ft match {
-          case 0 => f
-          case 1 => (f + a) & 0xff
-          case 2 => (f + b) & 0xff
-          case 3 => (f + ((a + b) >> 1)) & 0xff
-          case 4 => (f + paeth(a, b, c)) & 0xff
-        }
-        cur(x) = v
+    for (p <- passes(width, height, interlaced)) {
+      val (pw, ph) = passDims(width, height, p)
+      off = unfilterPass(raw, off, pw * channels, ph, channels) { (_, _, v) =>
         sum += v
         sumSq += v.toLong * v
-        x += 1
       }
-      off += w
-      val t = prev; prev = cur; cur = t
-      y += 1
+      if (off < 0) return None
     }
     Some(PixelStats(width, height, channels, stride * height, sum, sumSq))
   }
@@ -187,37 +241,25 @@ object PngCodec {
     * (resize, feature extraction) get real samples to work on.
     */
   def decodePixels(bytes: Array[Byte]): Option[Pixels] = {
-    val (width, height, channels, raw) = inflateFiltered(bytes) match {
-      case Some(t) => t
-      case None => return None
-    }
-    val bpp = channels
+    val (width, height, channels, interlaced, raw) =
+      inflateFiltered(bytes) match {
+        case Some(t) => t
+        case None => return None
+      }
     val w = width * channels
     val out = new Array[Byte](w * height)
     var off = 0
-    var y = 0
-    while (y < height) {
-      val ft = raw(off) & 0xff; off += 1
-      if (ft > 4) return None
-      val rowBase = y * w
-      var x = 0
-      while (x < w) {
-        val f = raw(off + x) & 0xff
-        val a = if (x >= bpp) out(rowBase + x - bpp) & 0xff else 0
-        val b = if (y > 0) out(rowBase - w + x) & 0xff else 0
-        val c = if (x >= bpp && y > 0) out(rowBase - w + x - bpp) & 0xff else 0
-        val v = ft match {
-          case 0 => f
-          case 1 => (f + a) & 0xff
-          case 2 => (f + b) & 0xff
-          case 3 => (f + ((a + b) >> 1)) & 0xff
-          case 4 => (f + paeth(a, b, c)) & 0xff
-        }
-        out(rowBase + x) = v.toByte
-        x += 1
+    for (p @ (x0, y0, dx, dy) <- passes(width, height, interlaced)) {
+      val (pw, ph) = passDims(width, height, p)
+      // pass-local (row, byteIdx) → frame position: the byte index
+      // splits into (pixel-in-pass, channel); the pass grid places
+      // pixel j of row i at frame (x0 + j·dx, y0 + i·dy)
+      off = unfilterPass(raw, off, pw * channels, ph, channels) { (i, x, v) =>
+        val px = x0 + (x / channels) * dx
+        val ch = x % channels
+        out((y0 + i.toLong * dy).toInt * w + px * channels + ch) = v.toByte
       }
-      off += w
-      y += 1
+      if (off < 0) return None
     }
     Some(Pixels(width, height, channels, out))
   }
@@ -295,6 +337,69 @@ object PngCodec {
       Array.copy(cur, 0, prev, 0, stride)
     }
 
+    writePng(width, height, channels, interlace = 0, raw)
+  }
+
+  /** [[encode]]'s Adam7-interlaced twin (interlace byte 1): the same
+    * absolute-position sample function value(y·stride + x), laid out
+    * as the 7 pass sub-images, each independently filtered (filter
+    * type cycles over a GLOBAL row counter so all five unfilters are
+    * exercised across passes). Decoding this must produce the
+    * identical [[PixelStats]] as decoding `encode(...)` of the same
+    * generator — interlacing is a lossless reordering.
+    */
+  def encodeAdam7(width: Int, height: Int, channels: Int,
+                  value: Long => Int): Array[Byte] = {
+    require(width > 0 && height > 0, "positive dimensions")
+    require(channels == 1 || channels == 3, "gray or RGB")
+    val bpp = channels
+    val stride = width.toLong * channels
+    val buf = new java.io.ByteArrayOutputStream()
+    var globalRow = 0
+    for (p @ (x0, y0, dx, dy) <- Adam7) {
+      val (pw, ph) = passDims(width, height, p)
+      if (pw > 0 && ph > 0) {
+        val rowBytes = pw * channels
+        val cur = new Array[Int](rowBytes)
+        val prev = new Array[Int](rowBytes)
+        for (i <- 0 until ph) {
+          val fy = y0 + i * dy
+          var x = 0
+          while (x < rowBytes) {
+            val fx = x0 + (x / channels) * dx
+            cur(x) = value(fy * stride + fx.toLong * channels + x % channels) & 0xff
+            x += 1
+          }
+          val ft = globalRow % 5
+          globalRow += 1
+          buf.write(ft)
+          x = 0
+          while (x < rowBytes) {
+            val a = if (x >= bpp) cur(x - bpp) else 0
+            val b = if (i > 0) prev(x) else 0
+            val c = if (x >= bpp && i > 0) prev(x - bpp) else 0
+            val f = ft match {
+              case 0 => cur(x)
+              case 1 => cur(x) - a
+              case 2 => cur(x) - b
+              case 3 => cur(x) - ((a + b) >> 1)
+              case 4 => cur(x) - paeth(a, b, c)
+            }
+            buf.write(f & 0xff)
+            x += 1
+          }
+          Array.copy(cur, 0, prev, 0, rowBytes)
+        }
+      }
+    }
+    writePng(width, height, channels, interlace = 1, buf.toByteArray)
+  }
+
+  /** zlib-compress the filtered buffer and assemble signature + IHDR +
+    * IDAT + IEND with genuine CRCs — shared by both encoders.
+    */
+  private def writePng(width: Int, height: Int, channels: Int,
+                       interlace: Int, raw: Array[Byte]): Array[Byte] = {
     val defl = new Deflater()
     defl.setInput(raw); defl.finish()
     val zout = new java.io.ByteArrayOutputStream()
@@ -324,7 +429,7 @@ object PngCodec {
     put32(ihdr, 0, width); put32(ihdr, 4, height)
     ihdr(8) = 8 // bit depth
     ihdr(9) = (if (channels == 1) 0 else 2).toByte // color type
-    // compression 0, filter 0, interlace 0 already zeroed
+    ihdr(12) = interlace.toByte // compression 0, filter 0 stay zeroed
     val out = new java.io.ByteArrayOutputStream()
     out.write(Sig)
     out.write(chunk("IHDR", ihdr))

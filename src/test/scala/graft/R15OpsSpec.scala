@@ -215,6 +215,53 @@ class R15OpsSpec extends SparkSpec {
       .as[Long].collect().toSet == Set(-1L, 0L, 1L))
   }
 
+  test("PNG Adam7: interlaced decode equals progressive decode (stats, raster, resize)") {
+    import graft.multimodal.PngCodec
+    // odd dimensions exercise the empty/partial pass edge cases; both
+    // gray and RGB; dimensions below 8 skip whole passes
+    for ((w, h, ch) <- Seq((9, 7, 1), (9, 7, 3), (5, 3, 3), (1, 1, 1),
+      (8, 8, 3), (3, 9, 1), (16, 2, 3))) {
+      val value = (s: Long) => ((s * 31 + 7) % 256).toInt
+      val prog = PngCodec.encode(w, h, ch, value)
+      val adam = PngCodec.encodeAdam7(w, h, ch, value)
+      val ps = PngCodec.decodeStats(prog)
+      val as = PngCodec.decodeStats(adam)
+      assert(as.isDefined && as == ps, s"stats mismatch at ${(w, h, ch)}")
+      val pr = PngCodec.decodePixels(prog).get
+      val ar = PngCodec.decodePixels(adam).get
+      assert(ar.data.toSeq == pr.data.toSeq, s"raster mismatch at ${(w, h, ch)}")
+      assert(PngCodec.resizeStats(adam, 4, 4) == PngCodec.resizeStats(prog, 4, 4))
+    }
+    // garbage safety: truncating the interlaced payload must yield
+    // None, not a throw or a partial answer
+    val adam = PngCodec.encodeAdam7(9, 7, 3, s => (s % 256).toInt)
+    assert(PngCodec.decodeStats(adam.take(adam.length - 9)).isEmpty)
+    // interlace byte beyond Adam7 is malformed
+    val bad = adam.clone()
+    // IHDR interlace byte = sig(8) + len(4) + type(4) + 12 data bytes
+    bad(8 + 4 + 4 + 12) = 2
+    assert(PngCodec.decodeStats(bad).isEmpty)
+  }
+
+  test("GIF interlace: 4-pass stream decodes to the display-order raster") {
+    import graft.multimodal.GifCodec
+    for ((w, h) <- Seq((9, 11), (5, 1), (7, 4), (3, 16))) {
+      val value = (s: Int) => (s * 13 + 5) % 256
+      val prog = GifCodec.encode(w, h, value)
+      val intl = GifCodec.encodeInterlaced(w, h, value)
+      assert(GifCodec.decodeStats(intl).isDefined &&
+        GifCodec.decodeStats(intl) == GifCodec.decodeStats(prog),
+        s"stats mismatch at ${(w, h)}")
+      // row ORDER matters beyond stats: frame extraction reads rows —
+      // compare the indexed rasters directly
+      val pi = GifCodec.decodeIndexed(prog).get._4.toSeq
+      val ii = GifCodec.decodeIndexed(intl).get._4.toSeq
+      assert(ii == pi, s"raster order mismatch at ${(w, h)}")
+    }
+    val intl = GifCodec.encodeInterlaced(9, 11, s => s % 256)
+    assert(GifCodec.decodeStats(intl.take(intl.length - 5)).isEmpty)
+  }
+
   test("AsOfJoin: duplicate right timestamps resolve to a deterministic payload") {
     import graft.operators.AsOfJoin
     val left = Seq((1L, "k", 100L)).toDF("id", "k", "t")
