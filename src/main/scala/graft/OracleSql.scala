@@ -3628,6 +3628,56 @@ object OracleSql {
         |       CAST(n_candidates AS BIGINT) AS n_candidates
         |FROM scored WHERE rn = 1 ORDER BY id_b""".stripMargin,
 
+    // multi-pass SNM replay: two (key, side, id) rank orders — the
+    // collapsed name and its reverse — window pairs from each pass
+    // UNIONed (dedup), then the shared scoring/argmax
+    "er_resolve_multipass" ->
+      """WITH a AS (SELECT c_custkey AS id_a, c_name AS name_a,
+        |                  regexp_replace(c_name, '0+', '0', 'g') AS k1
+        |           FROM customer),
+        |b AS (SELECT c_custkey + 1000000 AS id_b,
+        |             CASE WHEN c_custkey % 5 = 0
+        |                  THEN 'X' || substring(
+        |                    regexp_replace(c_name, '0+', '0', 'g'), 2)
+        |                  ELSE regexp_replace(c_name, '0+', '0', 'g')
+        |             END AS name_b
+        |      FROM customer WHERE c_custkey % 7 != 3),
+        |u1 AS (SELECT k1 AS k, 0 AS side, id_a AS id, name_a AS nm FROM a
+        |       UNION ALL SELECT name_b, 1, id_b, name_b FROM b),
+        |r1 AS (SELECT k, side, id, nm,
+        |              row_number() OVER (ORDER BY k, side, id) AS rnk
+        |       FROM u1),
+        |u2 AS (SELECT reverse(k1) AS k, 0 AS side, id_a AS id, name_a AS nm
+        |       FROM a
+        |       UNION ALL SELECT reverse(name_b), 1, id_b, name_b FROM b),
+        |r2 AS (SELECT k, side, id, nm,
+        |              row_number() OVER (ORDER BY k, side, id) AS rnk
+        |       FROM u2),
+        |p AS (SELECT CASE WHEN x.side = 0 THEN x.id ELSE y.id END AS id_a,
+        |             CASE WHEN x.side = 0 THEN x.nm ELSE y.nm END AS name_a,
+        |             CASE WHEN x.side = 0 THEN y.id ELSE x.id END AS id_b,
+        |             CASE WHEN x.side = 0 THEN y.nm ELSE x.nm END AS name_b
+        |      FROM r1 x JOIN r1 y ON y.rnk - x.rnk BETWEEN 1 AND 7
+        |                         AND x.side != y.side
+        |      UNION
+        |      SELECT CASE WHEN x.side = 0 THEN x.id ELSE y.id END,
+        |             CASE WHEN x.side = 0 THEN x.nm ELSE y.nm END,
+        |             CASE WHEN x.side = 0 THEN y.id ELSE x.id END,
+        |             CASE WHEN x.side = 0 THEN y.nm ELSE x.nm END
+        |      FROM r2 x JOIN r2 y ON y.rnk - x.rnk BETWEEN 1 AND 7
+        |                         AND x.side != y.side),
+        |cand AS (SELECT id_b, id_a,
+        |                levenshtein(name_a, name_b) AS lev
+        |         FROM p WHERE levenshtein(name_a, name_b) <= 6),
+        |scored AS (SELECT id_b, id_a, lev,
+        |                  count(*) OVER (PARTITION BY id_b) AS n_candidates,
+        |                  row_number() OVER (PARTITION BY id_b
+        |                    ORDER BY lev, id_a) AS rn
+        |           FROM cand)
+        |SELECT id_b, id_a, CAST(lev AS INTEGER) AS lev,
+        |       CAST(n_candidates AS BIGINT) AS n_candidates
+        |FROM scored WHERE rn = 1 ORDER BY id_b""".stripMargin,
+
     // expectation suite: per-check violation counts from one scan;
     // the n_rows/n_violations integers and the pass boolean are the
     // pinned cross-engine types

@@ -2876,6 +2876,32 @@ object SparkEntry {
       .orderBy("id_b")
   }
 
+  private def erResolveMultipass(t: Tables): DataFrame = {
+    // multi-pass SNM (the Hernandez-Stolfo recall lever): pass 1
+    // sorts by the zero-collapsed name, pass 2 by its REVERSE (a
+    // prefix-dirty name sorts far away under pass 1 but stays
+    // adjacent under the suffix key); candidate pairs union+dedup
+    // before the shared integer scoring/argmax. The dirty twin here
+    // additionally corrupts the name PREFIX on 1-in-5 records
+    // ('Xustomer#...'), exactly the class pass 1 alone misses
+    val aSrc = t.customer.select(F.col("c_custkey").as("id_a"),
+      F.col("c_name").as("name_a"),
+      F.regexp_replace(F.col("c_name"), "0+", "0").as("k1"))
+      .withColumn("k2", F.reverse(F.col("k1")))
+    val bSrc = t.customer.where(F.col("c_custkey") % 7 =!= 3)
+      .select((F.col("c_custkey") + 1000000L).as("id_b"),
+        F.when(F.col("c_custkey") % 5 === 0,
+          F.concat(F.lit("X"),
+            F.expr("substring(regexp_replace(c_name, '0+', '0'), 2)")))
+          .otherwise(F.regexp_replace(F.col("c_name"), "0+", "0"))
+          .as("name_b"))
+      .withColumn("k2", F.reverse(F.col("name_b")))
+    harmonize.Linkage.linkSortedNeighborhoodMulti(aSrc, bSrc,
+      Seq("k1" -> "name_b", "k2" -> "k2"),
+      "id_a", "name_a", "id_b", "name_b", window = 8, maxDist = 6)
+      .orderBy("id_b")
+  }
+
   private def tableDiffQ(t: Tables): DataFrame = {
     // snapshot diff audit: the customer dim against a deterministic
     // mutation — %11 keys removed, %13 balances bumped (+10.0, IEEE
@@ -3375,6 +3401,7 @@ object SparkEntry {
       "asof_join_nearest" -> q(asofJoinNearest),
       "er_resolve" -> q(erResolve),
       "er_resolve_sorted" -> q(erResolveSorted),
+      "er_resolve_multipass" -> q(erResolveMultipass),
       "graph_linkpred_aa" -> q(graphLinkpredAA),
       "merge_upsert" -> q(mergeUpsert),
       "profile_ucc" -> q(profileUcc),

@@ -92,7 +92,58 @@ object Linkage {
   def linkSortedNeighborhood(a: DataFrame, b: DataFrame,
       sortKeyA: String, sortKeyB: String,
       idA: String, nameA: String, idB: String, nameB: String,
+      window: Int, maxDist: Int): DataFrame =
+    linkSortedNeighborhoodMulti(a, b, Seq(sortKeyA -> sortKeyB),
+      idA, nameA, idB, nameB, window, maxDist)
+
+  /** MULTI-PASS sorted neighborhood (the standard SNM recall lever —
+    * Hernández & Stolfo run several passes with DIFFERENT sort keys
+    * and union the candidate pairs, since any single key can sort a
+    * true match apart when its leading characters are dirty): one
+    * window sweep per (sortKeyA, sortKeyB) pass, candidate pairs
+    * unioned and deduplicated before the shared scoring/resolution,
+    * so n_candidates counts DISTINCT partners across passes and the
+    * per-B argmax is over the union. Cost: passes × the single-pass
+    * sweep — still O(n·window) per pass, skew-free band joins
+    * throughout. The classic key pair: a normalized name ascending
+    * and its REVERSE (prefix-dirty names stay adjacent under the
+    * suffix key).
+    */
+  def linkSortedNeighborhoodMulti(a: DataFrame, b: DataFrame,
+      sortKeys: Seq[(String, String)],
+      idA: String, nameA: String, idB: String, nameB: String,
       window: Int, maxDist: Int): DataFrame = {
+    require(sortKeys.nonEmpty, "at least one sort-key pass")
+    val uni = sortKeys.map { case (ka, kb) =>
+      windowCandidates(a, b, ka, kb, idA, nameA, idB, nameB, window)
+    }.reduce(_ unionByName _)
+    // a single pass emits each pair exactly once (band join) — only
+    // multi-pass needs the dedup shuffle. Names are id-determined, so
+    // pair dedup = row dedup.
+    val ab = if (sortKeys.sizeIs == 1) uni else uni.distinct()
+    val cand = ab
+      .withColumn("lev", F.levenshtein(F.col("__na"), F.col("__nb")))
+      .where(F.col("lev") <= maxDist)
+    val w = Window.partitionBy(F.col("__ib"))
+      .orderBy(F.col("lev").asc, F.col("__ia").asc)
+    cand
+      .withColumn("n_candidates", F.count(F.lit(1))
+        .over(Window.partitionBy(F.col("__ib"))))
+      .withColumn("__rn", F.row_number().over(w))
+      .where(F.col("__rn") === 1)
+      .select(F.col("__ib").as(idB), F.col("__ia").as(idA),
+        F.col("lev"), F.col("n_candidates"))
+  }
+
+  /** One SNM window sweep: global rank over the merged (key, side,
+    * id) order, cross-source pairs at rank distance ≤ window−1 via
+    * the exactly-once band equi-join. Returns (__ia, __na, __ib,
+    * __nb) candidate pairs, un-scored.
+    */
+  private def windowCandidates(a: DataFrame, b: DataFrame,
+      sortKeyA: String, sortKeyB: String,
+      idA: String, nameA: String, idB: String, nameB: String,
+      window: Int): DataFrame = {
     require(window >= 2, "window must cover at least 2 records")
     val g = (window - 1).toLong
     val u = a.select(F.col(sortKeyA).as("__key"), F.lit(0).as("__side"),
@@ -111,26 +162,14 @@ object Linkage {
     val hi = ranked.select(F.col("__side").as("s2"), F.col("__id").as("i2"),
       F.col("__name").as("n2"), F.col("__r").as("r2"),
       F.expr(s"__r div ${g}L").as("__bk"))
-    val pairs = lo.join(hi, "__bk")
+    lo.join(hi, "__bk")
       .where(F.col("r2") - F.col("r1") >= 1L &&
         F.col("r2") - F.col("r1") <= g &&
         F.col("s1") =!= F.col("s2"))
-    val ab = pairs.select(
-      F.when(F.col("s1") === 0, F.col("i1")).otherwise(F.col("i2")).as("__ia"),
-      F.when(F.col("s1") === 0, F.col("n1")).otherwise(F.col("n2")).as("__na"),
-      F.when(F.col("s1") === 0, F.col("i2")).otherwise(F.col("i1")).as("__ib"),
-      F.when(F.col("s1") === 0, F.col("n2")).otherwise(F.col("n1")).as("__nb"))
-    val cand = ab
-      .withColumn("lev", F.levenshtein(F.col("__na"), F.col("__nb")))
-      .where(F.col("lev") <= maxDist)
-    val w = Window.partitionBy(F.col("__ib"))
-      .orderBy(F.col("lev").asc, F.col("__ia").asc)
-    cand
-      .withColumn("n_candidates", F.count(F.lit(1))
-        .over(Window.partitionBy(F.col("__ib"))))
-      .withColumn("__rn", F.row_number().over(w))
-      .where(F.col("__rn") === 1)
-      .select(F.col("__ib").as(idB), F.col("__ia").as(idA),
-        F.col("lev"), F.col("n_candidates"))
+      .select(
+        F.when(F.col("s1") === 0, F.col("i1")).otherwise(F.col("i2")).as("__ia"),
+        F.when(F.col("s1") === 0, F.col("n1")).otherwise(F.col("n2")).as("__na"),
+        F.when(F.col("s1") === 0, F.col("i2")).otherwise(F.col("i1")).as("__ib"),
+        F.when(F.col("s1") === 0, F.col("n2")).otherwise(F.col("n1")).as("__nb"))
   }
 }

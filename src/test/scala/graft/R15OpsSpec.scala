@@ -82,6 +82,34 @@ class R15OpsSpec extends SparkSpec {
       Seq((2L, 1L)))
   }
 
+  test("linkSortedNeighborhoodMulti: a reverse-key second pass catches prefix-dirty names") {
+    import graft.harmonize.Linkage
+    // "aaaa0001".."aaaa0004" vs dirty twins; twin of record 2 has a
+    // corrupted FIRST character ("zaaa0002") — under the forward key
+    // it sorts to the far end of the merged order, so single-pass SNM
+    // misses it; its REVERSE ("2000aaaz") stays adjacent to
+    // "2000aaaa", so the suffix pass catches it
+    val a = Seq((1L, "aaaa0001"), (2L, "aaaa0002"), (3L, "aaaa0003"),
+      (4L, "aaaa0004"), (5L, "bbbb0005"), (6L, "cccc0006"),
+      (7L, "dddd0007"), (8L, "eeee0008")).toDF("id_a", "name_a")
+      .withColumn("k1", F.col("name_a"))
+      .withColumn("k2", F.reverse(F.col("name_a")))
+    val b = Seq((12L, "zaaa0002"), (13L, "aaaa0003"))
+      .toDF("id_b", "name_b")
+      .withColumn("k2", F.reverse(F.col("name_b")))
+    def links(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_b", "id_a").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = links(Linkage.linkSortedNeighborhood(a, b, "k1", "name_b",
+      "id_a", "name_a", "id_b", "name_b", window = 3, maxDist = 1))
+    val multi = links(Linkage.linkSortedNeighborhoodMulti(a, b,
+      Seq("k1" -> "name_b", "k2" -> "k2"),
+      "id_a", "name_a", "id_b", "name_b", window = 3, maxDist = 1))
+    assert(single == Set((13L, 3L)), s"single-pass found $single")
+    assert(multi == Set((12L, 2L), (13L, 3L)),
+      s"multi-pass must add the prefix-dirty link, got $multi")
+  }
+
   test("Versioned: a same-version loser must not clobber the winner's committed data") {
     import graft.sources.Versioned
     val root = java.nio.file.Files.createTempDirectory("vtab15").toString + "/t"
