@@ -3593,6 +3593,28 @@ object OracleSql {
         |       CAST(n_candidates AS BIGINT) AS n_candidates
         |FROM scored WHERE rn = 1 ORDER BY id_b""".stripMargin,
 
+    // served-index equality gate: the pruned-partition read feeds the
+    // IDENTICAL join/score/resolve, so the oracle is er_resolve's SQL
+    "er_resolve_idx" ->
+      """WITH a AS (SELECT c_custkey AS id_a, c_name AS name_a,
+        |                  c_nationkey AS nat, c_mktsegment AS seg FROM customer),
+        |b AS (SELECT c_custkey + 1000000 AS id_b,
+        |             regexp_replace(c_name, '0+', '0', 'g') AS name_b,
+        |             c_nationkey AS nat, c_mktsegment AS seg
+        |      FROM customer WHERE c_custkey % 7 != 3),
+        |cand AS (SELECT b.id_b, a.id_a,
+        |                levenshtein(a.name_a, b.name_b) AS lev
+        |         FROM a JOIN b ON a.nat = b.nat AND a.seg = b.seg
+        |         WHERE levenshtein(a.name_a, b.name_b) <= 6),
+        |scored AS (SELECT id_b, id_a, lev,
+        |                  count(*) OVER (PARTITION BY id_b) AS n_candidates,
+        |                  row_number() OVER (PARTITION BY id_b
+        |                    ORDER BY lev, id_a) AS rn
+        |           FROM cand)
+        |SELECT id_b, id_a, CAST(lev AS INTEGER) AS lev,
+        |       CAST(n_candidates AS BIGINT) AS n_candidates
+        |FROM scored WHERE rn = 1 ORDER BY id_b""".stripMargin,
+
     // sorted-neighborhood replay: row_number over the merged
     // (sort-key, side, id) total order == Spark's range-partitioned
     // global rank (binary string collation both engines); window 8 →

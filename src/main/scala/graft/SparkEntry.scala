@@ -2876,6 +2876,30 @@ object SparkEntry {
       .orderBy("id_b")
   }
 
+  private def erResolveIdx(t: Tables): DataFrame = {
+    // the SERVED-index variant of er_resolve (the bm25_idx /
+    // ann_ivf_index equality-gate trick): the customer master
+    // persists once as a (nation, segment)-partitioned link index;
+    // the dirty batch reads ONLY its touched partitions (pruned scan,
+    // spec-asserted) through the IDENTICAL join+score+resolve — so
+    // the result MUST equal er_resolve row-for-row and the oracle is
+    // that query's own SQL
+    val h = java.lang.Integer.toHexString(t.dir.hashCode)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_er_idx_$h"
+    val aSrc = t.customer.select(F.col("c_custkey").as("id_a"),
+      F.col("c_name").as("name_a"), F.col("c_nationkey").as("nat"),
+      F.col("c_mktsegment").as("seg"))
+    harmonize.Linkage.linkIndexBuild(aSrc, path, Seq("nat", "seg"),
+      "id_a", "name_a")
+    val bSrc = t.customer.where(F.col("c_custkey") % 7 =!= 3)
+      .select((F.col("c_custkey") + 1000000L).as("id_b"),
+        F.regexp_replace(F.col("c_name"), "0+", "0").as("name_b"),
+        F.col("c_nationkey").as("nat"), F.col("c_mktsegment").as("seg"))
+    harmonize.Linkage.linkByNameIndex(t.spark, path, bSrc, Seq("nat", "seg"),
+      "id_a", "name_a", "id_b", "name_b", maxDist = 6)
+      .orderBy("id_b")
+  }
+
   private def erResolveMultipass(t: Tables): DataFrame = {
     // multi-pass SNM (the Hernandez-Stolfo recall lever): pass 1
     // sorts by the zero-collapsed name, pass 2 by its REVERSE (a
@@ -3402,6 +3426,7 @@ object SparkEntry {
       "er_resolve" -> q(erResolve),
       "er_resolve_sorted" -> q(erResolveSorted),
       "er_resolve_multipass" -> q(erResolveMultipass),
+      "er_resolve_idx" -> q(erResolveIdx),
       "graph_linkpred_aa" -> q(graphLinkpredAA),
       "merge_upsert" -> q(mergeUpsert),
       "profile_ucc" -> q(profileUcc),

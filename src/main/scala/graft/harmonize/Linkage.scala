@@ -135,6 +135,51 @@ object Linkage {
         F.col("lev"), F.col("n_candidates"))
   }
 
+  /** Persist the A side (the MASTER/reference source) as a
+    * directory-partitioned link index: one partition per block-key
+    * combination, so serving a batch of B records reads ONLY the
+    * partitions its block keys touch (partition pruning — the
+    * bm25/IVF served-index story applied to entity resolution). Block
+    * columns must be low-cardinality (they are the partition dirs);
+    * that is already the blocking contract.
+    */
+  def linkIndexBuild(a: DataFrame, path: String, blockCols: Seq[String],
+                     idA: String, nameA: String): Unit = {
+    require(blockCols.nonEmpty, "blocking key required")
+    graft.sources.Sources.writePartitioned(
+      a.select((blockCols.map(F.col) :+ F.col(idA) :+ F.col(nameA)): _*),
+      path, partitionBy = blockCols)
+  }
+
+  /** Link a (small) B batch against a [[linkIndexBuild]] index without
+    * scanning the master: the batch's DISTINCT block-key tuples (a
+    * driver-small list by the low-cardinality blocking contract)
+    * become an OR-of-ANDs predicate on the partition columns, so the
+    * scan is partition-pruned to the touched blocks before the same
+    * join+score+resolve as [[linkByName]] runs. This is the
+    * per-micro-batch serving shape: cost tracks the BATCH's block
+    * footprint, never the master's size.
+    */
+  def linkByNameIndex(spark: org.apache.spark.sql.SparkSession,
+                      path: String, b: DataFrame, blockCols: Seq[String],
+                      idA: String, nameA: String, idB: String, nameB: String,
+                      maxDist: Int): DataFrame = {
+    require(blockCols.nonEmpty, "blocking key required")
+    val keys = b.select(blockCols.map(F.col): _*).distinct().collect()
+    val aIdx = spark.read.parquet(path)
+    if (keys.isEmpty) {
+      // empty batch: empty result with the contract schema
+      return linkByName(aIdx.limit(0), b, blockCols, idA, nameA, idB, nameB,
+        maxDist)
+    }
+    val pruned = aIdx.where(keys.map { r =>
+      blockCols.zipWithIndex.map { case (c, i) =>
+        F.col(c) === F.lit(r.get(i))
+      }.reduce(_ && _)
+    }.reduce(_ || _))
+    linkByName(pruned, b, blockCols, idA, nameA, idB, nameB, maxDist)
+  }
+
   /** One SNM window sweep: global rank over the merged (key, side,
     * id) order, cross-source pairs at rank distance ≤ window−1 via
     * the exactly-once band equi-join. Returns (__ia, __na, __ib,

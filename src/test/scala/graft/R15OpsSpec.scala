@@ -110,6 +110,65 @@ class R15OpsSpec extends SparkSpec {
       s"multi-pass must add the prefix-dirty link, got $multi")
   }
 
+  test("linkByNameIndex: partition-pruned serve equals direct blocked linkage") {
+    import graft.harmonize.Linkage
+    val a = Seq((1L, "alpha corp", "k1"), (2L, "betta inc", "k1"),
+      (3L, "gamma llc", "k2"), (4L, "delta gmbh", "k3"))
+      .toDF("id_a", "name_a", "blk")
+    val path = java.nio.file.Files.createTempDirectory("eridx").toString + "/idx"
+    Linkage.linkIndexBuild(a, path, Seq("blk"), "id_a", "name_a")
+    // a batch touching ONLY block k1: the scan must partition-prune
+    val b = Seq((11L, "alpha corp.", "k1")).toDF("id_b", "name_b", "blk")
+    val served = Linkage.linkByNameIndex(spark, path, b, Seq("blk"),
+      "id_a", "name_a", "id_b", "name_b", maxDist = 3)
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("blk"),
+      s"served read must carry a partition filter on blk:\n$plan")
+    val direct = Linkage.linkByName(a, b, Seq("blk"),
+      "id_a", "name_a", "id_b", "name_b", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val got = served.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == direct && got == Set((11L, 1L, 1)))
+  }
+
+  test("streaming ER ingest: per-batch links against the index equal the one-shot linkage") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.harmonize.Linkage
+    import graft.streaming.StreamingLinkage
+    implicit val sq = spark.sqlContext
+    val a = Seq((1L, "alpha corp", "k1"), (2L, "betta inc", "k1"),
+      (3L, "gamma llc", "k2"), (4L, "delta gmbh", "k3"))
+      .toDF("id_a", "name_a", "blk")
+    val root = java.nio.file.Files.createTempDirectory("erstream").toString
+    Linkage.linkIndexBuild(a, s"$root/idx", Seq("blk"), "id_a", "name_a")
+    val b1 = Seq((11L, "alpha corp.", "k1"), (12L, "betta ink", "k1"))
+    val b2 = Seq((13L, "gama llc", "k2"), (14L, "zzzz", "k3"))
+    val stream = MemoryStream[(Long, String, String)]
+    val q = StreamingLinkage.erIngest(
+      stream.toDF().toDF("id_b", "name_b", "blk"), s"$root/idx",
+      s"$root/links", Seq("blk"),
+      "id_a", "name_a", "id_b", "name_b", maxDist = 3)
+    try {
+      stream.addData(b1: _*)
+      q.processAllAvailable()
+      stream.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val live = spark.read.parquet(s"$root/links")
+    val got = live.select("id_b", "id_a", "lev", "n_candidates").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
+    val oneShot = Linkage.linkByName(a,
+        (b1 ++ b2).toDF("id_b", "name_b", "blk"), Seq("blk"),
+        "id_a", "name_a", "id_b", "name_b", maxDist = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
+    assert(got == oneShot && got.nonEmpty, s"live=$got oneShot=$oneShot")
+    // unlinkable record (14) dropped on both paths; lineage stamped
+    assert(!got.exists(_._1 == 14L))
+    assert(live.select("ingest_batch").as[Long].collect().toSet == Set(0L, 1L))
+  }
+
   test("Versioned: a same-version loser must not clobber the winner's committed data") {
     import graft.sources.Versioned
     val root = java.nio.file.Files.createTempDirectory("vtab15").toString + "/t"
