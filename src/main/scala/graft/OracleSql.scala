@@ -13,6 +13,31 @@ object OracleSql {
   private def toks(c: String) =
     s"list_filter(string_split_regex(lower($c), '[^a-z0-9]+'), t -> t <> '')"
 
+  private def phraseSql: String =
+    s"""WITH qt AS (SELECT * FROM (VALUES
+       |    (0, 0, 'batch'), (0, 1, 'batch'),
+       |    (1, 0, 'window'), (1, 1, 'window'),
+       |    (2, 0, 'sort'), (2, 1, 'merge'),
+       |    (3, 0, 'the'), (3, 1, 'fast')) AS v(query_id, idx, term)),
+       |qm AS (SELECT query_id, count(*) AS m FROM qt GROUP BY 1),
+       |docs AS (SELECT doc_id, ${toks("text")} AS tl FROM documents),
+       |ex AS (SELECT doc_id, unnest(tl) AS term,
+       |              unnest(range(len(tl))) AS pos FROM docs),
+       |st AS (SELECT qt.query_id, e.doc_id, e.pos - qt.idx AS start,
+       |              count(DISTINCT qt.idx) AS nidx
+       |       FROM ex e JOIN qt ON e.term = qt.term
+       |       GROUP BY 1, 2, 3),
+       |tf AS (SELECT s.query_id, s.doc_id, count(*) AS phrase_tf
+       |       FROM st s JOIN qm USING (query_id) WHERE s.nidx = qm.m
+       |       GROUP BY 1, 2),
+       |top AS (SELECT query_id, doc_id, phrase_tf,
+       |               row_number() OVER (PARTITION BY query_id
+       |                 ORDER BY phrase_tf DESC, doc_id) AS rank
+       |        FROM tf)
+       |SELECT query_id, doc_id, CAST(phrase_tf AS BIGINT) AS phrase_tf,
+       |       CAST(rank AS INTEGER) AS rank
+       |FROM top WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
   private def sqlList(words: Seq[String]) =
     words.map(w => s"'$w'").mkString("[", ", ", "]")
 
@@ -2116,6 +2141,14 @@ object OracleSql {
     // operand order and literal casts, contributions round to 9dp and
     // sum in DECIMAL, the score rounds to 6dp — bit-identical
     // cross-engine (ln within rounding tolerance, like char_entropy)
+    // exact positional phrase search: zip-unnest gives (term, pos);
+    // grouping on (query, doc, pos - idx) counts distinct idx — a
+    // group reaching m is one occurrence; integer phrase tf ranks
+    "text_search_phrase" -> phraseSql,
+    // served positional index = identical counting chain over the
+    // term-pruned read, so the same SQL is the oracle
+    "text_search_phrase_idx" -> phraseSql,
+
     "text_search_bm25" ->
       s"""WITH qt AS (
          |  SELECT * FROM (VALUES

@@ -1706,6 +1706,32 @@ object SparkEntry {
       s"${System.getProperty("java.io.tmpdir")}/graft_bm25_stats_$h")
   }
 
+  // phrase queries over the word-soup corpus: repeated-token phrases
+  // exercise the distinct-idx grouping; the 3-gram the adjacency
+  // semantics (bag-of-words BM25 would rank these very differently)
+  private val phraseQueries = Seq(
+    0 -> "batch batch", 1 -> "window window", 2 -> "sort merge",
+    3 -> "the fast")
+
+  private def textSearchPhrase(t: Tables): DataFrame =
+    // exact positional phrase search: occurrences = starts where every
+    // phrase token matches consecutively; INTEGER phrase tf ranks
+    text.Search.phraseTopK(t.documents, "doc_id", "text",
+      phraseQueries, k = 10)
+      .orderBy("query_id", "rank")
+
+  private def textSearchPhraseIdx(t: Tables): DataFrame = {
+    // the SERVED-index variant: positional postings bucketed by term,
+    // term-pruned read, identical counting chain — must equal
+    // text_search_phrase row-for-row (same oracle SQL)
+    val h = java.lang.Integer.toHexString(t.dir.hashCode)
+    val table = "graft_phrase_idx_" + h
+    text.Search.phraseBuild(t.documents, "doc_id", "text", table,
+      nBuckets = 8)
+    text.Search.phraseQueryIndex(t.spark, table, phraseQueries, k = 10)
+      .orderBy("query_id", "rank")
+  }
+
   private def textSearchBm25Idx(t: Tables): DataFrame = {
     // the PERSISTED-index variant of text_search_bm25 (r12): bm25Build
     // tokenizes the corpus ONCE into a term-bucketed postings table +
@@ -3338,6 +3364,8 @@ object SparkEntry {
       "text_entropy" -> q(textEntropy),
       "text_search_bm25" -> q(textSearchBm25),
       "text_search_bm25_idx" -> q(textSearchBm25Idx),
+      "text_search_phrase" -> q(textSearchPhrase),
+      "text_search_phrase_idx" -> q(textSearchPhraseIdx),
       "text_search_bm25_incr" -> q(textSearchBm25Incr),
       "ann_topk_filtered" -> q(annTopkFiltered),
       "text_search_hybrid" -> q(textSearchHybrid),

@@ -102,6 +102,91 @@ object Search {
       .select("query_id", "doc_id", "score", "rank")
   }
 
+  /** Exact PHRASE search over positional postings — the retrieval
+    * feature token-bag BM25 cannot express ("sort merge" as a unit,
+    * not two independent terms). Per query phrase [t₀..t₍ₘ₋₁₎], a
+    * document occurrence is a start position s with token(s+i) = tᵢ
+    * for all i; documents rank by occurrence count (phrase tf —
+    * INTEGER, so the gate is division-free), ties by doc_id.
+    *
+    * Plan shape (one join + two aggregates, no per-query scan): the
+    * corpus posexplodes ONCE into (doc, term, pos); a broadcast
+    * (query, idx, term) table restricts it to phrase terms
+    * (broadcast-join pruning); grouping on (query, doc, pos − idx)
+    * counts DISTINCT idx — a group reaching m is exactly a phrase
+    * occurrence at that start (repeated phrase terms land distinct
+    * idxs in the same group; overlapping occurrences are separate
+    * groups). Returns (query_id, doc_id, phrase_tf, rank ≤ k).
+    */
+  def phraseTopK(df: DataFrame, idCol: String, textCol: String,
+                 queries: Seq[(Int, String)], k: Int = 10): DataFrame = {
+    val spark = df.sparkSession
+    val ex = df.select(F.col(idCol).as("doc_id"),
+        F.posexplode(TextOps.tokens(F.col(textCol))).as(Seq("pos", "term")))
+    phraseScore(ex, spark, queries, k)
+  }
+
+  private def phraseScore(ex: DataFrame,
+                          spark: org.apache.spark.sql.SparkSession,
+                          queries: Seq[(Int, String)], k: Int): DataFrame = {
+    import spark.implicits._
+    require(queries.nonEmpty, "at least one query")
+    val qtoks = queries.map { case (qid, q) => qid -> tokenizeQuery(q) }
+    require(qtoks.forall(_._2.nonEmpty), "every phrase needs >= 1 token")
+    val qt = qtoks.flatMap { case (qid, ts) =>
+      ts.zipWithIndex.map { case (t, i) => (qid, i, t) }
+    }.toDF("query_id", "idx", "term")
+    val qm = qtoks.map { case (qid, ts) => (qid, ts.size) }.toDF("query_id", "m")
+    val starts = ex
+      .join(F.broadcast(qt), "term")
+      .groupBy(F.col("query_id"), F.col("doc_id"),
+        (F.col("pos") - F.col("idx")).as("start"))
+      .agg(F.countDistinct(F.col("idx")).as("nidx"))
+      .join(F.broadcast(qm), "query_id")
+      .where(F.col("nidx") === F.col("m"))
+    val tf = starts.groupBy("query_id", "doc_id")
+      .agg(F.count(F.lit(1)).as("phrase_tf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(F.col("phrase_tf").desc, F.col("doc_id").asc)
+    tf.withColumn("rank", F.row_number().over(w))
+      .where(F.col("rank") <= k)
+      .select("query_id", "doc_id", "phrase_tf", "rank")
+  }
+
+  /** Persist the positional postings (doc_id, term, pos) as a
+    * term-bucketed+sorted table — [[phraseTopK]] re-tokenizes the
+    * corpus per batch; the index pays that once, and a query batch's
+    * driver-literal term set prunes the read to its terms' buckets
+    * (the bm25Build storage story with positions kept instead of
+    * folded into tf).
+    */
+  def phraseBuild(df: DataFrame, idCol: String, textCol: String,
+                  table: String, nBuckets: Int = 64): Unit = {
+    val post = df.select(F.col(idCol).as("doc_id"),
+      F.posexplode(TextOps.tokens(F.col(textCol))).as(Seq("pos", "term")))
+    graft.sources.Sources.writeBucketedMulti(post, table,
+      bucketBy = Seq("term"), nBuckets = nBuckets, sortBy = Seq("term"))
+  }
+
+  /** Serve a phrase-query batch from a [[phraseBuild]] index: the
+    * term-pruned postings read (pushed isin on the sorted files)
+    * feeds the IDENTICAL occurrence-counting chain, so with the same
+    * corpus this equals [[phraseTopK]] row-for-row (the
+    * text_search_phrase_idx equality gate). Serving cost is
+    * Σ_t df(t)·tf̄ positions over the phrase terms only.
+    */
+  def phraseQueryIndex(spark: org.apache.spark.sql.SparkSession,
+                       table: String, queries: Seq[(Int, String)],
+                       k: Int = 10): DataFrame = {
+    require(queries.nonEmpty, "at least one query")
+    val terms = queries.flatMap(q => tokenizeQuery(q._2)).distinct
+    val ex = spark.table(table)
+      .where(F.col("term").isin(terms: _*))
+      .select("doc_id", "term", "pos")
+    phraseScore(ex, spark, queries, k)
+  }
+
   /** Build a PERSISTED BM25 index: the FULL postings table
     * (doc_id, term, dl, tf) as a managed table BUCKETED (and sorted)
     * by term, plus the one-row exact-integer corpus stats at

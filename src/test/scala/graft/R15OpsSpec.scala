@@ -302,6 +302,34 @@ class R15OpsSpec extends SparkSpec {
       .as[Long].collect().toSet == Set(-1L, 0L, 1L))
   }
 
+  test("phraseTopK: overlapping occurrences, repeated-token phrases, index equality") {
+    import graft.text.Search
+    val docs = Seq(
+      (1L, "a a a b"),        // "a a": starts 0,1 -> tf 2 (overlap counts)
+      (2L, "a b a b a"),      // "a a": none; "a b": starts 0,2 -> tf 2
+      (3L, "x a a y a a z"),  // "a a": starts 1,4 -> tf 2
+      (4L, "b b b")).toDF("doc_id", "text")
+    val qs = Seq(0 -> "a a", 1 -> "a b", 2 -> "a b a")
+    val got = Search.phraseTopK(docs, "doc_id", "text", qs, k = 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getInt(3))).toSet
+    assert(got == Set(
+      (0, 1L, 2L, 1), (0, 3L, 2L, 2),        // tf tie -> doc_id order
+      (1, 2L, 2L, 1), (1, 1L, 1L, 2),
+      (2, 2L, 2L, 1)),                        // "a b a" starts 0,2 in doc 2
+      s"got $got")
+    // served index must equal the inline result and prune to the terms
+    val table = "graft_phrase_spec_idx"
+    Search.phraseBuild(docs, "doc_id", "text", table, nBuckets = 2)
+    val served = Search.phraseQueryIndex(spark, table, qs, k = 10)
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.toLowerCase.contains("in(term"),
+      s"term filter must push into the postings scan:\n$plan")
+    assert(served.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+      r.getInt(3))).toSet == got)
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("PNG Adam7: interlaced decode equals progressive decode (stats, raster, resize)") {
     import graft.multimodal.PngCodec
     // odd dimensions exercise the empty/partial pass edge cases; both
