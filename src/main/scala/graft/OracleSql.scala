@@ -3050,6 +3050,32 @@ object OracleSql {
         |  ('orders*customer.custkey')) t(p)
         |ORDER BY 1""".stripMargin,
 
+    // g3 approximate-FD error: per (det, dep) the kept mass is
+    // sum over det groups of the argmax dependent count; ppm by
+    // HUGEINT floor division, verdict by HUGEINT product compare
+    "profile_fd_approx" -> {
+      val checks = Seq(
+        ("orders", "o_custkey", "o_orderpriority"),
+        ("orders", "o_custkey", "o_orderstatus"),
+        ("nation", "n_nationkey", "n_regionkey"),
+        ("lineitem", "l_orderkey", "l_suppkey"))
+      checks.map { case (tab, det, dep) =>
+        s"""SELECT '$tab' AS tab, '$det' AS determinant,
+           |       '$dep' AS dependent,
+           |       CAST(n AS BIGINT) AS n_rows,
+           |       CAST(n - keep AS BIGINT) AS error_rows,
+           |       CAST((CAST(n - keep AS HUGEINT) * 1000000)
+           |            // CAST(n AS HUGEINT) AS BIGINT) AS error_ppm,
+           |       CAST(CASE WHEN CAST(n - keep AS HUGEINT) * 1000000
+           |                      <= 10000 * CAST(n AS HUGEINT)
+           |            THEN 1 ELSE 0 END AS INTEGER) AS afd_holds
+           |FROM (SELECT sum(mx) AS keep, sum(rws) AS n FROM (
+           |  SELECT det, max(c) AS mx, sum(c) AS rws FROM (
+           |    SELECT $det AS det, CAST($dep AS VARCHAR) AS v, count(*) AS c
+           |    FROM $tab GROUP BY 1, 2) GROUP BY det))""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY tab, determinant, dependent")
+    },
+
     "profile_fd" -> {
       val checks = Seq(
         ("orders", "o_orderkey", "o_custkey"),

@@ -2561,6 +2561,20 @@ object SparkEntry {
         Seq("l_suppkey")))
       .orderBy("tab", "determinant", "dependent")
 
+  private def profileFdApprox(t: Tables): DataFrame =
+    // approximate FDs by g3 error (the Tane/Pyro measure): how many
+    // rows must go for the FD to hold. nation's key FD holds at 0
+    // error; the orders/lineitem dependencies carry real error mass —
+    // all integer (error_rows, truncating-div ppm, decimal-compared
+    // verdict at 1% = 10000 ppm)
+    harmonize.Discovery.fdErrorAudit("orders", t.orders, "o_custkey",
+        Seq("o_orderpriority", "o_orderstatus"), maxErrorPpm = 10000L)
+      .unionAll(harmonize.Discovery.fdErrorAudit("nation", t.nation,
+        "n_nationkey", Seq("n_regionkey"), maxErrorPpm = 10000L))
+      .unionAll(harmonize.Discovery.fdErrorAudit("lineitem", t.lineitem,
+        "l_orderkey", Seq("l_suppkey"), maxErrorPpm = 10000L))
+      .orderBy("tab", "determinant", "dependent")
+
   private def profileCorrelation(t: Tables): DataFrame =
     // exact-decimal Pearson matrix over the fact numerics in ONE scan
     harmonize.Profile.correlation(t.lineitem,
@@ -3432,6 +3446,7 @@ object SparkEntry {
       "profile_inclusion_sketch" -> q(profileInclusionSketch),
       "profile_joinsize_sketch" -> q(profileJoinsizeSketch),
       "profile_fd" -> q(profileFd),
+      "profile_fd_approx" -> q(profileFdApprox),
       "profile_correlation" -> q(profileCorrelation),
       "profile_histogram" -> q(profileHistogram),
       "graph_pagerank" -> q(graphPagerank),

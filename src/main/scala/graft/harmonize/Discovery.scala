@@ -231,4 +231,52 @@ object Discovery {
         F.when(F.col(s"__v_$dep") === 0L, 1).otherwise(0).as("fd_holds"))): _*))
     one.select(stacked.as("p")).select("p.*")
   }
+
+  /** APPROXIMATE functional dependencies by g3 error (Kivinen &
+    * Mannila TCS'95's measure; the one Tane/Pyro discover under —
+    * real data rarely satisfies an FD exactly, but "X→Y except for
+    * 0.3% of rows" is actionable metadata): g3(X→Y) = the minimum
+    * number of rows to DELETE for the FD to hold = n − Σ_x max_y
+    * cnt(x,y). Reported as exact integers — error_rows, error_ppm =
+    * (error_rows·10⁶) div n (truncating integral division, identical
+    * in both engines for non-negative operands), and the verdict
+    * afd_holds ⟺ error_rows·10⁶ ≤ maxErrorPpm·n compared as DECIMAL
+    * products (never a float, never a Long overflow at the 10¹²-row
+    * design point).
+    *
+    * ONE unpivot scan for all deps (the keySkew trade — scan rows
+    * multiply by |deps|): explode to (det, dep, value), count per
+    * (dep, det, value) with map-side combine, fold per (dep, det) to
+    * the argmax mass, fold per dep to Σ max. Dependent values group
+    * by their EXACT value; the unpivot stringifies for the
+    * heterogeneous array, so use integer/string columns (a double's
+    * string rendering is not cross-engine-stable — the wired gates
+    * keep to keys and enum strings). Output: (tab, determinant,
+    * dependent, n_rows, error_rows, error_ppm, afd_holds).
+    */
+  def fdErrorAudit(tab: String, df: DataFrame, det: String,
+                   deps: Seq[String], maxErrorPpm: Long): DataFrame = {
+    require(deps.nonEmpty, "at least one dependent column")
+    require(maxErrorPpm >= 0, "threshold is ppm of rows, >= 0")
+    val unpiv = df.select(F.col(det).as("__det"),
+      F.explode(F.array(deps.map(d => F.struct(F.lit(d).as("dep"),
+        F.col(d).cast("string").as("v"))): _*)).as("p"))
+      .select(F.col("__det"), F.col("p.dep").as("__dep"), F.col("p.v").as("__v"))
+    val l1 = unpiv.groupBy("__dep", "__det", "__v")
+      .agg(F.count(F.lit(1)).as("__c"))
+    val l2 = l1.groupBy("__dep", "__det")
+      .agg(F.max("__c").as("__mx"), F.sum("__c").as("__rows"))
+    val l3 = l2.groupBy("__dep")
+      .agg(F.sum("__mx").as("__keep"), F.sum("__rows").as("n_rows"))
+    l3.withColumn("__err", (F.col("n_rows") - F.col("__keep")).cast("decimal(19,0)"))
+      .withColumn("__n19", F.col("n_rows").cast("decimal(19,0)"))
+      .select(F.lit(tab).as("tab"), F.lit(det).as("determinant"),
+        F.col("__dep").as("dependent"), F.col("n_rows"),
+        F.col("__err").cast("long").as("error_rows"),
+        F.expr("CAST((__err * CAST(1000000 AS DECIMAL(19,0))) div __n19 AS BIGINT)")
+          .as("error_ppm"),
+        F.when(F.col("__err") * F.lit(1000000L).cast("decimal(19,0)") <=
+            F.lit(maxErrorPpm).cast("decimal(19,0)") * F.col("__n19"), 1)
+          .otherwise(0).as("afd_holds"))
+  }
 }

@@ -302,6 +302,34 @@ class R15OpsSpec extends SparkSpec {
       .as[Long].collect().toSet == Set(-1L, 0L, 1L))
   }
 
+  test("fdErrorAudit: hand-computed g3 error, ppm truncation, threshold verdicts") {
+    import graft.harmonize.Discovery
+    // det=1 maps to {a,a,b} (keep 2, delete 1); det=2 maps to {c}
+    // -> g3 = 1 of 4 rows = 250000 ppm
+    val df = Seq((1L, "a"), (1L, "a"), (1L, "b"), (2L, "c"))
+      .toDF("x", "y")
+    def audit(ppm: Long) =
+      Discovery.fdErrorAudit("t", df, "x", Seq("y"), ppm).collect().head
+    val r = audit(300000L)
+    assert(r.getAs[Long]("n_rows") == 4L)
+    assert(r.getAs[Long]("error_rows") == 1L)
+    assert(r.getAs[Long]("error_ppm") == 250000L)
+    assert(r.getAs[Int]("afd_holds") == 1)
+    assert(audit(200000L).getAs[Int]("afd_holds") == 0)
+    assert(audit(250000L).getAs[Int]("afd_holds") == 1, "boundary is inclusive")
+    // an exact FD carries zero error
+    val exact = Discovery.fdErrorAudit("t",
+      Seq((1L, "a"), (2L, "b")).toDF("x", "y"), "x", Seq("y"), 0L)
+      .collect().head
+    assert(exact.getAs[Long]("error_rows") == 0L &&
+      exact.getAs[Int]("afd_holds") == 1)
+    // multi-dep single call returns one row per dependent
+    val multi = Discovery.fdErrorAudit("t",
+      Seq((1L, "a", 5L), (1L, "b", 5L)).toDF("x", "y", "z"),
+      "x", Seq("y", "z"), 0L)
+    assert(multi.count() == 2)
+  }
+
   test("phraseTopK: overlapping occurrences, repeated-token phrases, index equality") {
     import graft.text.Search
     val docs = Seq(
