@@ -3076,6 +3076,79 @@ object OracleSql {
       }.mkString("", "\nUNION ALL\n", "\nORDER BY tab, determinant, dependent")
     },
 
+    // two-sample KS + total-variation drift: cross-multiplied integer
+    // sup over value boundaries, one HUGEINT floor division at the end
+    "profile_drift_ks" -> {
+      val cmps = Seq(
+        ("orders_totalprice:pre1998_vs_post",
+          "SELECT o_totalprice AS v FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'",
+          "SELECT o_totalprice AS v FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'"),
+        ("lineitem_extprice:R_vs_A",
+          "SELECT l_extendedprice AS v FROM lineitem WHERE l_returnflag = 'R'",
+          "SELECT l_extendedprice AS v FROM lineitem WHERE l_returnflag = 'A'"),
+        ("orders_totalprice:self",
+          "SELECT o_totalprice AS v FROM orders",
+          "SELECT o_totalprice AS v FROM orders"))
+      cmps.map { case (name, aq, bq) =>
+        s"""SELECT '$name' AS comparison, CAST(na AS BIGINT) AS n_a,
+           |       CAST(nb AS BIGINT) AS n_b,
+           |       CAST((max(abs(cva * nb - cvb * na)) * 1000000)
+           |            // (na * nb) AS BIGINT) AS ks_ppm,
+           |       CAST((sum(abs(ca * nb - cb * na)) * 1000000)
+           |            // (2 * na * nb) AS BIGINT) AS tv_ppm
+           |FROM (SELECT ca, cb,
+           |        sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+           |                      AND CURRENT ROW) AS cva,
+           |        sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+           |                      AND CURRENT ROW) AS cvb
+           |      FROM (SELECT v, sum(ia) AS ca, sum(ib) AS cb FROM (
+           |              SELECT v, CAST(1 AS HUGEINT) AS ia, CAST(0 AS HUGEINT) AS ib
+           |              FROM ($aq) WHERE v IS NOT NULL
+           |              UNION ALL
+           |              SELECT v, 0, 1 FROM ($bq) WHERE v IS NOT NULL)
+           |            GROUP BY v)),
+           |     (SELECT (SELECT count(*)::HUGEINT FROM ($aq) WHERE v IS NOT NULL) AS na,
+           |             (SELECT count(*)::HUGEINT FROM ($bq) WHERE v IS NOT NULL) AS nb)
+           |GROUP BY na, nb""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY comparison")
+    },
+
+    // chi-square drift contributions: E truncated to micro-units first
+    // (positive operands — `//` == Spark `div`), then dev^2 // E_micro;
+    // NULL when a category's expected mass truncates to zero
+    "profile_drift_chi2" -> {
+      def contrib(o: String, side: String) =
+        s"""(CASE WHEN ((cnt_a + cnt_b) * $side * 1000000) // (na + nb) > 0
+           | THEN CAST((($o * 1000000 - ((cnt_a + cnt_b) * $side * 1000000) // (na + nb)) *
+           |            ($o * 1000000 - ((cnt_a + cnt_b) * $side * 1000000) // (na + nb)))
+           |      // (((cnt_a + cnt_b) * $side * 1000000) // (na + nb)) AS BIGINT)
+           | ELSE NULL END)""".stripMargin.replace("\n", " ")
+      val cmps = Seq(
+        ("orders_priority:pre1998_vs_post",
+          "SELECT o_orderpriority AS c FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'",
+          "SELECT o_orderpriority AS c FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'"),
+        ("events_type:w1_vs_rest",
+          "SELECT event_type AS c FROM events WHERE ts < TIMESTAMP '2024-01-08'",
+          "SELECT event_type AS c FROM events WHERE ts >= TIMESTAMP '2024-01-08'"))
+      cmps.map { case (name, aq, bq) =>
+        s"""SELECT '$name' AS comparison, category,
+           |       CAST(cnt_a AS BIGINT) AS cnt_a, CAST(cnt_b AS BIGINT) AS cnt_b,
+           |       ${contrib("cnt_a", "na")} + ${contrib("cnt_b", "nb")} AS contrib_ppm
+           |FROM (SELECT category, sum(ia) AS cnt_a, sum(ib) AS cnt_b FROM (
+           |        SELECT CAST(c AS VARCHAR) AS category,
+           |               CAST(1 AS HUGEINT) AS ia, CAST(0 AS HUGEINT) AS ib
+           |        FROM ($aq) WHERE c IS NOT NULL
+           |        UNION ALL
+           |        SELECT CAST(c AS VARCHAR), 0, 1 FROM ($bq) WHERE c IS NOT NULL)
+           |      GROUP BY category),
+           |     (SELECT sum(cnt_a) AS na, sum(cnt_b) AS nb FROM (
+           |        SELECT count(*)::HUGEINT AS cnt_a, 0::HUGEINT AS cnt_b
+           |        FROM ($aq) WHERE c IS NOT NULL
+           |        UNION ALL
+           |        SELECT 0, count(*)::HUGEINT FROM ($bq) WHERE c IS NOT NULL))""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY comparison, category")
+    },
+
     "profile_fd" -> {
       val checks = Seq(
         ("orders", "o_orderkey", "o_custkey"),

@@ -2575,6 +2575,38 @@ object SparkEntry {
         "l_orderkey", Seq("l_suppkey"), maxErrorPpm = 10000L))
       .orderBy("tab", "determinant", "dependent")
 
+  private def profileDriftKs(t: Tables): DataFrame = {
+    // two-sample KS + total-variation drift between snapshot slices:
+    // a genuine temporal split (pre/post 1998 orders), a near-identical
+    // categorical split (returnflag R vs A line items), and a
+    // self-comparison calibration row that must land at exactly 0/0.
+    // All integer cross-multiplied (no per-row division) — see Drift.
+    val early = t.orders.where(F.col("o_orderdate") < ts("1998-01-01"))
+    val late = t.orders.where(F.col("o_orderdate") >= ts("1998-01-01"))
+    Drift.ksDrift("orders_totalprice:pre1998_vs_post", early, late, "o_totalprice")
+      .unionAll(Drift.ksDrift("lineitem_extprice:R_vs_A",
+        t.lineitem.where(F.col("l_returnflag") === "R"),
+        t.lineitem.where(F.col("l_returnflag") === "A"), "l_extendedprice"))
+      .unionAll(Drift.ksDrift("orders_totalprice:self", t.orders, t.orders,
+        "o_totalprice"))
+      .orderBy("comparison")
+  }
+
+  private def profileDriftChi2(t: Tables): DataFrame = {
+    // categorical chi-square drift: order priorities across the same
+    // temporal split, and event types week-1 vs rest-of-month. Exact
+    // micro-scaled expected counts; per-category contribution rows so
+    // the report attributes WHICH category moved, not just that one did
+    val early = t.orders.where(F.col("o_orderdate") < ts("1998-01-01"))
+    val late = t.orders.where(F.col("o_orderdate") >= ts("1998-01-01"))
+    Drift.chi2Drift("orders_priority:pre1998_vs_post", early, late,
+        "o_orderpriority")
+      .unionAll(Drift.chi2Drift("events_type:w1_vs_rest",
+        t.events.where(F.col("ts") < ts("2024-01-08")),
+        t.events.where(F.col("ts") >= ts("2024-01-08")), "event_type"))
+      .orderBy("comparison", "category")
+  }
+
   private def profileCorrelation(t: Tables): DataFrame =
     // exact-decimal Pearson matrix over the fact numerics in ONE scan
     harmonize.Profile.correlation(t.lineitem,
@@ -3447,6 +3479,8 @@ object SparkEntry {
       "profile_joinsize_sketch" -> q(profileJoinsizeSketch),
       "profile_fd" -> q(profileFd),
       "profile_fd_approx" -> q(profileFdApprox),
+      "profile_drift_ks" -> q(profileDriftKs),
+      "profile_drift_chi2" -> q(profileDriftChi2),
       "profile_correlation" -> q(profileCorrelation),
       "profile_histogram" -> q(profileHistogram),
       "graph_pagerank" -> q(graphPagerank),

@@ -1,0 +1,175 @@
+package graft.harmonize
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+import org.apache.spark.storage.StorageLevel
+
+/** Distribution-drift statistics between two table snapshots — the
+  * monitoring layer a long-lived 100 TB ingest pipeline runs between
+  * every pair of batches (reference: the profiling/monitoring surface
+  * of bdikit's `api.py` preview/profile family, extended to two-sample
+  * comparison; Kolmogorov-Smirnov and Pearson chi-square are the
+  * standard pair, e.g. Rabanser et al. NeurIPS'19 "Failing Loudly").
+  *
+  * Everything is EXACT integer/decimal arithmetic (SURVEY §5): the KS
+  * statistic is computed as max |cumA*nB - cumB*nA| over value
+  * boundaries (cross-multiplied — no per-row division), reported as a
+  * truncating-division ppm; chi-square cell contributions use
+  * micro-scaled expected counts. Both replay verbatim in DuckDB
+  * (HUGEINT), so the drift report is oracle-gated, not approximate.
+  */
+object Drift {
+
+  private val Dec = DecimalType(38, 0)
+  private def d38(c: Column): Column = c.cast(Dec)
+
+  /** Exact two-sample Kolmogorov-Smirnov + total-variation drift over
+    * an orderable column. Returns ONE row:
+    * (comparison, n_a, n_b, ks_ppm, tv_ppm).
+    *
+    * ks_ppm = floor(1e6 * max_v |F_a(v) - F_b(v)|) with the sup taken
+    * at every distinct observed value; tv_ppm = floor(1e6 * (1/2)
+    * sum_v |p_a(v) - p_b(v)|) over the discrete per-value masses.
+    * Both are computed in cross-multiplied integer space
+    * (|cum_a*n_b - cum_b*n_a|), divided ONCE at the end.
+    *
+    * Scale mechanics: one tagged-union shuffle groups counts per
+    * distinct value (map-side combine), then the global cumulative sum
+    * uses the Ranks.globalRank two-pass shape — range-partition by
+    * value, per-partition running sums under a window PARTITIONED BY
+    * the partition ordinal (never a single-partition window), plus
+    * driver prefix-summed per-partition offsets (p rows — a plan
+    * literal). The per-value table is persisted so both passes see one
+    * layout, and released before return: the result is a single row,
+    * materialized eagerly here (the scalar is the product; keeping the
+    * full lineage lazy would only risk a layout change after the
+    * offsets were read).
+    */
+  def ksDrift(comparison: String, a: DataFrame, b: DataFrame,
+              valueCol: String, parts: Int = 0): DataFrame = {
+    val spark = a.sparkSession
+    val p0 = if (parts > 0) parts
+             else math.max(1, spark.sessionState.conf.numShufflePartitions)
+    val tagged = a.select(F.col(valueCol).as("__v"),
+        F.lit(1L).as("__ia"), F.lit(0L).as("__ib"))
+      .unionAll(b.select(F.col(valueCol).as("__v"),
+        F.lit(0L).as("__ia"), F.lit(1L).as("__ib")))
+      .where(F.col("__v").isNotNull)
+    val perValue = tagged.groupBy("__v")
+      .agg(F.sum("__ia").as("ca"), F.sum("__ib").as("cb"))
+    val stamped = perValue.repartitionByRange(p0, F.col("__v"))
+      .sortWithinPartitions("__v")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // pass 1: per-partition totals (p rows after partial agg) -> driver
+    // prefix sums. Grouping on spark_partition_id projected first
+    // (nondeterministic expressions are legal in a Project only).
+    val totals = stamped
+      .select(F.spark_partition_id().cast("long").as("__pid"),
+        F.col("ca"), F.col("cb"))
+      .groupBy("__pid")
+      .agg(F.sum("ca").as("ta"), F.sum("cb").as("tb"))
+      .orderBy("__pid")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nA = totals.map(_._2).sum
+    val nB = totals.map(_._3).sum
+    require(nA > 0 && nB > 0,
+      s"ksDrift($comparison): both sides need rows (n_a=$nA, n_b=$nB)")
+    var accA = 0L; var accB = 0L
+    val offA = totals.map { case (p, ta, _) => val e = p -> accA; accA += ta; e }.toMap
+    val offB = totals.map { case (p, _, tb) => val e = p -> accB; accB += tb; e }.toMap
+    val pid = F.spark_partition_id().cast("long")
+    val w = Window.partitionBy("__pid").orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // pass 2: same persisted layout — local running sums + offsets
+    val cum = stamped
+      .select(F.col("__v"), F.col("ca"), F.col("cb"), pid.as("__pid"))
+      .withColumn("cumA",
+        F.element_at(F.typedlit(offA), F.col("__pid")) + F.sum("ca").over(w))
+      .withColumn("cumB",
+        F.element_at(F.typedlit(offB), F.col("__pid")) + F.sum("cb").over(w))
+    val nAl = F.lit(nA); val nBl = F.lit(nB)
+    val row = cum.agg(
+        F.max(F.abs(d38(F.col("cumA")) * d38(nBl) - d38(F.col("cumB")) * d38(nAl)))
+          .as("__d"),
+        F.sum(F.abs(d38(F.col("ca")) * d38(nBl) - d38(F.col("cb")) * d38(nAl)))
+          .as("__tv"))
+      .select(
+        F.expr(s"CAST((__d * CAST(1000000 AS DECIMAL(38,0))) div " +
+          s"(CAST($nA AS DECIMAL(38,0)) * CAST($nB AS DECIMAL(38,0))) AS BIGINT)")
+          .as("ks_ppm"),
+        F.expr(s"CAST((__tv * CAST(1000000 AS DECIMAL(38,0))) div " +
+          s"(CAST(2 AS DECIMAL(38,0)) * CAST($nA AS DECIMAL(38,0)) * " +
+          s"CAST($nB AS DECIMAL(38,0))) AS BIGINT)").as("tv_ppm"))
+      .head()
+    stamped.unpersist(true)
+    val schema = StructType(Seq(
+      StructField("comparison", StringType, nullable = false),
+      StructField("n_a", LongType, nullable = false),
+      StructField("n_b", LongType, nullable = false),
+      StructField("ks_ppm", LongType, nullable = false),
+      StructField("tv_ppm", LongType, nullable = false)))
+    spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(comparison, nA, nB, row.getLong(0), row.getLong(1))),
+      schema)
+  }
+
+  /** Exact chi-square drift report for a categorical column: one row
+    * per category present on either side —
+    * (comparison, category, cnt_a, cnt_b, contrib_ppm) where
+    * contrib_ppm ~= 1e6 * (O-E)^2/E summed over the two side-cells of
+    * the 2 x |categories| contingency table.
+    *
+    * Integer contract: E is first truncated to micro-units
+    * (E_micro = (rowtot * sidetot * 1e6) div n — positive operands, so
+    * Spark `div` == DuckDB `//`), then contrib = dev^2 div E_micro
+    * with dev = o*1e6 - E_micro; dev^2 is non-negative so the outer
+    * truncating division is also engine-identical. dev^2 <= 1e36 at
+    * the 1e12-row design point — inside DECIMAL(38,0)/HUGEINT.
+    * A category so rare that E_micro truncates to 0 (side imbalance
+    * beyond 1e6x) yields NULL, never a crash or a float.
+    *
+    * Shape: one tagged-union groupBy(category) (map-side combine);
+    * the side/grand totals come from a window over the |categories|-row
+    * aggregate — bounded-frame by construction (the profile_benford
+    * pattern), never a corpus-sized single partition.
+    */
+  def chi2Drift(comparison: String, a: DataFrame, b: DataFrame,
+                catCol: String): DataFrame = {
+    val tagged = a.select(F.col(catCol).cast("string").as("category"),
+        F.lit(1L).as("__ia"), F.lit(0L).as("__ib"))
+      .unionAll(b.select(F.col(catCol).cast("string").as("category"),
+        F.lit(0L).as("__ia"), F.lit(1L).as("__ib")))
+      .where(F.col("category").isNotNull)
+    val cont = tagged.groupBy("category")
+      .agg(F.sum("__ia").as("cnt_a"), F.sum("__ib").as("cnt_b"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val withTot = cont
+      .withColumn("__na", F.sum("cnt_a").over(wAll))
+      .withColumn("__nb", F.sum("cnt_b").over(wAll))
+      .withColumn("__n", F.col("__na") + F.col("__nb"))
+      .withColumn("__rt", F.col("cnt_a") + F.col("cnt_b"))
+    // expression assembled once in SQL text so the decimal math stays
+    // verbatim-mirrored by the DuckDB twin
+    def contribExpr(oCol: String, sideTot: String): String =
+      s"""(CASE WHEN (CAST(__rt AS DECIMAL(38,0)) * CAST($sideTot AS DECIMAL(38,0)) *
+         |  CAST(1000000 AS DECIMAL(38,0))) div CAST(__n AS DECIMAL(38,0)) > 0
+         | THEN CAST((
+         |   (CAST($oCol AS DECIMAL(38,0)) * CAST(1000000 AS DECIMAL(38,0)) -
+         |    (CAST(__rt AS DECIMAL(38,0)) * CAST($sideTot AS DECIMAL(38,0)) *
+         |     CAST(1000000 AS DECIMAL(38,0))) div CAST(__n AS DECIMAL(38,0))) *
+         |   (CAST($oCol AS DECIMAL(38,0)) * CAST(1000000 AS DECIMAL(38,0)) -
+         |    (CAST(__rt AS DECIMAL(38,0)) * CAST($sideTot AS DECIMAL(38,0)) *
+         |     CAST(1000000 AS DECIMAL(38,0))) div CAST(__n AS DECIMAL(38,0)))
+         |  ) div ((CAST(__rt AS DECIMAL(38,0)) * CAST($sideTot AS DECIMAL(38,0)) *
+         |     CAST(1000000 AS DECIMAL(38,0))) div CAST(__n AS DECIMAL(38,0))) AS BIGINT)
+         | ELSE NULL END)""".stripMargin.replace("\n", " ")
+    withTot.select(
+      F.lit(comparison).as("comparison"), F.col("category"),
+      F.col("cnt_a"), F.col("cnt_b"),
+      (F.expr(contribExpr("cnt_a", "__na")) +
+        F.expr(contribExpr("cnt_b", "__nb"))).as("contrib_ppm"))
+  }
+}

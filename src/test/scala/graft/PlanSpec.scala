@@ -288,7 +288,11 @@ class PlanSpec extends SparkSpec {
     // apply_mix embeds the same tiny frame under its rate join
     "curate_temperature", "curate_apply_mix",
     // the Benford grand total runs over the 9-row digit aggregate
-    "profile_benford")
+    "profile_benford",
+    // the chi-square side/grand totals run over the |categories|-row
+    // contingency aggregate (5 priorities / 4 event types) — the
+    // corpus-sized work is the upstream groupBy(category)
+    "profile_drift_chi2")
 
   test("no wired query plans a partition-less window over corpus-sized input") {
     // a Window with an empty partitionBy forces ONE task to sort the

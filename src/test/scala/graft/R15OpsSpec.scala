@@ -420,4 +420,67 @@ class R15OpsSpec extends SparkSpec {
       Seq("v")).select("v").as[String].collect().toSeq
     assert(gotN == Seq("c"), s"nearest expected 'c', got $gotN")
   }
+
+  test("Drift.ksDrift: hand-computed KS and TV on a 4-value fixture") {
+    import graft.harmonize.Drift
+    // a: {1,1,2,3}  b: {2,3,3,4}   (n_a = n_b = 4)
+    // cum a: 1->2, 2->3, 3->4, 4->4 ; cum b: 1->0, 2->1, 3->3, 4->4
+    // |cumA*4 - cumB*4| max at v=1: |8-0|=8 -> ks = 8/16 = 0.5
+    // per-value |ca*4-cb*4|: v1 |8|, v2 |0|, v3 |-4|... wait ca(2)=1,cb(2)=1 -> 0;
+    // v3: ca=1,cb=2 -> 4; v4: ca=0,cb=1 -> 4  => tv = (8+0+4+4)/(2*16) = 0.5
+    val a = Seq(1.0, 1.0, 2.0, 3.0).toDF("x")
+    val b = Seq(2.0, 3.0, 3.0, 4.0).toDF("x")
+    val r = Drift.ksDrift("t", a, b, "x").head()
+    assert(r.getLong(1) == 4L && r.getLong(2) == 4L)
+    assert(r.getLong(3) == 500000L, s"ks_ppm ${r.getLong(3)}")
+    assert(r.getLong(4) == 500000L, s"tv_ppm ${r.getLong(4)}")
+  }
+
+  test("Drift.ksDrift: self-comparison is exactly zero; nulls drop; partition-count-invariant") {
+    import graft.harmonize.Drift
+    val xs = Seq[java.lang.Double](5.0, 1.0, null, 3.0, 3.0, 9.0, 2.0, 7.0)
+      .toDF("x")
+    val r = Drift.ksDrift("self", xs, xs, "x").head()
+    assert(r.getLong(1) == 7L && r.getLong(2) == 7L, "null must not count")
+    assert(r.getLong(3) == 0L && r.getLong(4) == 0L)
+    // the two-pass offsets must agree regardless of layout: force many
+    // partitions on one side and few on the other, tiny parts count
+    val a = (1 to 40).map(_.toDouble).toDF("x").repartition(7)
+    val b = (21 to 60).map(_.toDouble).toDF("x").coalesce(1)
+    val got = Drift.ksDrift("p", a, b, "x", parts = 5).head()
+    // D at v=20: cumA=20, cumB=0 -> 20*40 = 800 over 1600 -> 0.5
+    assert(got.getLong(3) == 500000L, s"ks ${got.getLong(3)}")
+  }
+
+  test("Drift.chi2Drift: hand-computed contributions and novel-category detection") {
+    import graft.harmonize.Drift
+    // a: x,x,y   b: x,y,y,z  -> totals na=3 nb=4 n=7
+    // cat x: rt=3, E_a_micro = 3*3*1e6 div 7 = 1285714; dev_a = 3e6-1285714
+    //   = 1714286; contrib_a = dev^2 div E = 2285715... compute in test
+    val a = Seq("x", "x", "y").toDF("c")
+    val b = Seq("x", "y", "y", "z").toDF("c")
+    val rows = Drift.chi2Drift("t", a, b, "c")
+      .orderBy("category").collect()
+    assert(rows.map(_.getString(1)).toSeq == Seq("x", "y", "z"))
+    def eMicro(rt: Long, side: Long, n: Long) = rt * side * 1000000L / n
+    def contrib(o: Long, rt: Long, side: Long, n: Long): Long = {
+      val e = eMicro(rt, side, n); val dev = o * 1000000L - e
+      dev * dev / e
+    }
+    val x = rows(0)
+    assert(x.getLong(2) == 2L && x.getLong(3) == 1L)
+    assert(x.getLong(4) == contrib(2, 3, 3, 7) + contrib(1, 3, 4, 7))
+    val z = rows(2) // novel category on side b: o_a = 0 still contributes
+    assert(z.getLong(2) == 0L && z.getLong(3) == 1L)
+    assert(z.getLong(4) == contrib(0, 1, 3, 7) + contrib(1, 1, 4, 7))
+  }
+
+  test("Drift.ksDrift: empty side errors loudly") {
+    import graft.harmonize.Drift
+    val a = Seq(1.0).toDF("x")
+    val e = intercept[IllegalArgumentException] {
+      Drift.ksDrift("t", a, a.where(F.lit(false)), "x")
+    }
+    assert(e.getMessage.contains("both sides need rows"))
+  }
 }
