@@ -145,6 +145,18 @@ object Drift {
       .where(F.col("category").isNotNull)
     val cont = tagged.groupBy("category")
       .agg(F.sum("__ia").as("cnt_a"), F.sum("__ib").as("cnt_b"))
+    chi2FromContingency(comparison, cont)
+  }
+
+  /** Same chi-square report from an already-aggregated contingency
+    * frame (category, cnt_a, cnt_b) — the entry point for callers that
+    * hold counts rather than rows: a streaming monitor comparing each
+    * micro-batch's counts against a FROZEN reference histogram must
+    * not rescan the reference corpus per batch
+    * ([[graft.streaming.StreamingDrift.chi2Ingest]]), so it joins two
+    * |categories|-row count tables and hands the result here.
+    */
+  def chi2FromContingency(comparison: String, cont: DataFrame): DataFrame = {
     val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val withTot = cont
       .withColumn("__na", F.sum("cnt_a").over(wAll))

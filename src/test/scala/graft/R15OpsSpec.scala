@@ -475,6 +475,43 @@ class R15OpsSpec extends SparkSpec {
     assert(z.getLong(4) == contrib(0, 1, 3, 7) + contrib(1, 1, 4, 7))
   }
 
+  test("StreamingDrift.chi2Ingest: per-batch reports equal the batch operator; novel category + lineage") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingDrift
+    import graft.harmonize.Drift
+    implicit val sq = spark.sqlContext
+    val refRaw = Seq("x", "x", "x", "y", "y", "z").toDF("c")
+    val refCounts = refRaw.select(F.col("c").as("category"))
+      .groupBy("category").agg(F.count(F.lit(1)).as("cnt"))
+    val dir = java.nio.file.Files.createTempDirectory("driftrep").toString + "/rep"
+    val stream = MemoryStream[String]
+    val q = StreamingDrift.chi2Ingest(stream.toDF().toDF("c"), refCounts, "c",
+      dir, checkpointDir = Some(java.nio.file.Files
+        .createTempDirectory("driftrep_ckpt").toString))
+    val b0 = Seq("x", "y", "y")
+    val b1 = Seq("x", "w", "w", "z") // 'w' is novel vs the reference
+    try {
+      stream.addData(b0: _*); q.processAllAvailable()
+      stream.addData(b1: _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(dir)
+    assert(got.select("ingest_batch").distinct().as[Long].collect().toSet
+      == Set(0L, 1L))
+    // the streamed counts-join path must emit EXACTLY the batch
+    // operator's rows (tagged-union path) for each micro-batch
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("category", "cnt_a", "cnt_b", "contrib_ppm").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) Long.MinValue else r.getLong(3))).toSet
+    def oneShot(b: Seq[String]) =
+      key(Drift.chi2Drift("ref_vs_batch", refRaw, b.toDF("c"), "c"))
+    assert(key(got.where(F.col("ingest_batch") === 0L)) == oneShot(b0))
+    assert(key(got.where(F.col("ingest_batch") === 1L)) == oneShot(b1))
+    // novel category surfaces with a zero reference cell, not a drop
+    assert(got.where(F.col("ingest_batch") === 1L &&
+      F.col("category") === "w" && F.col("cnt_a") === 0L).count() == 1)
+  }
+
   test("Drift.ksDrift: empty side errors loudly") {
     import graft.harmonize.Drift
     val a = Seq(1.0).toDF("x")
