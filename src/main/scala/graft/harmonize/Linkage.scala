@@ -84,10 +84,14 @@ object Linkage {
     *
     * `sortKeyA`/`sortKeyB`: the SNM sort key columns (typically a
     * normalized/phonetic form of the name — key design decides recall,
-    * exactly as block keys do for blocking). Ids must be numeric
-    * (cast to long internally for the unioned total order). Returns
-    * (idB, idA, lev, n_candidates) like [[linkByName]] — n_candidates
-    * counts the B record's surviving window candidates.
+    * exactly as block keys do for blocking). Ids keep their NATIVE
+    * types (numeric or string): each side's id rides its own column in
+    * the merged stream (null on the other side), and since the total
+    * order puts `side` before the id tie-breaks, an id only ever
+    * compares against ids of its own side — no cross-side common type,
+    * no silent cast. Returns (idB, idA, lev, n_candidates) like
+    * [[linkByName]] — n_candidates counts the B record's surviving
+    * window candidates.
     */
   def linkSortedNeighborhood(a: DataFrame, b: DataFrame,
       sortKeyA: String, sortKeyB: String,
@@ -191,20 +195,33 @@ object Linkage {
       window: Int): DataFrame = {
     require(window >= 2, "window must cover at least 2 records")
     val g = (window - 1).toLong
+    // native-typed id carry: each side's id in its own column, null on
+    // the other side. The total order is (__key, __side, __ida, __idb)
+    // — within any equal (__key, __side) group exactly one id column is
+    // non-null and it is that side's native type, so ids never compare
+    // across sides and never cast (string ids order as strings, not as
+    // silently-nulled longs).
+    val aTyp = a.schema(a.schema.fieldIndex(idA)).dataType
+    val bTyp = b.schema(b.schema.fieldIndex(idB)).dataType
     val u = a.select(F.col(sortKeyA).as("__key"), F.lit(0).as("__side"),
-        F.col(idA).cast("long").as("__id"), F.col(nameA).as("__name"))
+        F.col(idA).as("__ida"), F.lit(null).cast(bTyp).as("__idb"),
+        F.col(nameA).as("__name"))
       .unionByName(
         b.select(F.col(sortKeyB).as("__key"), F.lit(1).as("__side"),
-          F.col(idB).cast("long").as("__id"), F.col(nameB).as("__name")))
+          F.lit(null).cast(aTyp).as("__ida"), F.col(idB).as("__idb"),
+          F.col(nameB).as("__name")))
     val ranked = graft.operators.Ranks.globalRank(u,
-      Seq(F.col("__key").asc, F.col("__side").asc, F.col("__id").asc), "__r")
+      Seq(F.col("__key").asc, F.col("__side").asc,
+        F.col("__ida").asc, F.col("__idb").asc), "__r")
     // band join: lower-rank row in bands (r div g, r div g + 1),
     // higher-rank row in its own band — exactly-once pairing
-    val lo = ranked.select(F.col("__side").as("s1"), F.col("__id").as("i1"),
+    val lo = ranked.select(F.col("__side").as("s1"),
+      F.col("__ida").as("ia1"), F.col("__idb").as("ib1"),
       F.col("__name").as("n1"), F.col("__r").as("r1"),
       F.explode(F.array(F.expr(s"__r div ${g}L"),
         F.expr(s"__r div ${g}L + 1L"))).as("__bk"))
-    val hi = ranked.select(F.col("__side").as("s2"), F.col("__id").as("i2"),
+    val hi = ranked.select(F.col("__side").as("s2"),
+      F.col("__ida").as("ia2"), F.col("__idb").as("ib2"),
       F.col("__name").as("n2"), F.col("__r").as("r2"),
       F.expr(s"__r div ${g}L").as("__bk"))
     lo.join(hi, "__bk")
@@ -212,9 +229,10 @@ object Linkage {
         F.col("r2") - F.col("r1") <= g &&
         F.col("s1") =!= F.col("s2"))
       .select(
-        F.when(F.col("s1") === 0, F.col("i1")).otherwise(F.col("i2")).as("__ia"),
+        // sides differ, so exactly one of each pair is non-null
+        F.coalesce(F.col("ia1"), F.col("ia2")).as("__ia"),
         F.when(F.col("s1") === 0, F.col("n1")).otherwise(F.col("n2")).as("__na"),
-        F.when(F.col("s1") === 0, F.col("i2")).otherwise(F.col("i1")).as("__ib"),
+        F.coalesce(F.col("ib1"), F.col("ib2")).as("__ib"),
         F.when(F.col("s1") === 0, F.col("n2")).otherwise(F.col("n1")).as("__nb"))
   }
 }

@@ -36,6 +36,28 @@ class R15OpsSpec extends SparkSpec {
       "window linkage must find the same links as blocking on small blocks")
   }
 
+  test("linkSortedNeighborhood: string ids link natively (no silent long-cast nulls)") {
+    import graft.harmonize.Linkage
+    // same records as the small-block fixture but with STRING ids on
+    // both sides — before the native-typed id carry, cast("long")
+    // nulled these and every link came back with null ids
+    val a = srcA.withColumn("id_a", F.concat(F.lit("A-"), F.col("id_a")))
+    val b = srcB.withColumn("id_b", F.concat(F.lit("B-"), F.col("id_b")))
+    val got = Linkage.linkSortedNeighborhood(a, b,
+      "skey", "skey", "id_a", "name_a", "id_b", "name_b",
+      window = 4, maxDist = 3)
+      .select("id_b", "id_a", "lev").collect().map(r =>
+        (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(got == Set(("B-11", "A-1", 1), ("B-13", "A-3", 1)), s"$got")
+    // mixed types too: string master ids, long batch ids
+    val mixed = Linkage.linkSortedNeighborhood(a, srcB,
+      "skey", "skey", "id_a", "name_a", "id_b", "name_b",
+      window = 4, maxDist = 3)
+      .select("id_b", "id_a", "lev").collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(mixed == Set((11L, "A-1", 1), (13L, "A-3", 1)), s"$mixed")
+  }
+
   test("linkSortedNeighborhood: candidate count is window-bounded on an oversized block") {
     import graft.harmonize.Linkage
     // one degenerate "block": every record shares the same leading
