@@ -3149,6 +3149,37 @@ object OracleSql {
       }.mkString("", "\nUNION ALL\n", "\nORDER BY comparison, category")
     },
 
+    // per-dimension exact centroid drift over embedding slices:
+    // micro-unit fixed point (floor(v*1e6) — exact in double), HUGEINT
+    // sums, cross-multiplied gap, sign-split truncating divisions
+    // (DuckDB // floors, Spark div truncates — identical after abs)
+    "profile_drift_embedding" -> {
+      def sdiv(num: String, den: String) =
+        s"(CASE WHEN ($num) >= 0 THEN ($num) // ($den) ELSE -((-($num)) // ($den)) END)"
+      val cmps = Seq(
+        ("emb_label0_vs_label1", "label = 0", "label = 1"),
+        ("emb_even_vs_odd", "vec_id % 2 = 0", "vec_id % 2 = 1"))
+      cmps.map { case (name, pa, pb) =>
+        s"""SELECT '$name' AS comparison, dim,
+           |       CAST(ca AS BIGINT) AS n_a, CAST(cb AS BIGINT) AS n_b,
+           |       CAST(${sdiv("sa", "ca")} AS BIGINT) AS mean_a_micro,
+           |       CAST(${sdiv("sb", "cb")} AS BIGINT) AS mean_b_micro,
+           |       CAST(${sdiv("sa * cb - sb * ca", "ca * cb")} AS BIGINT) AS gap_micro
+           |FROM (SELECT dim, sum(ia * vm) AS sa, sum(ib * vm) AS sb,
+           |             sum(ia) AS ca, sum(ib) AS cb
+           |      FROM (SELECT CAST(unnest(range(len(embedding))) AS BIGINT) AS dim,
+           |              CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+           |                   AS HUGEINT) AS vm, ia, ib
+           |            FROM (SELECT embedding, CAST(1 AS HUGEINT) AS ia,
+           |                    CAST(0 AS HUGEINT) AS ib
+           |                  FROM embeddings WHERE ($pa) AND embedding IS NOT NULL
+           |                  UNION ALL
+           |                  SELECT embedding, 0, 1
+           |                  FROM embeddings WHERE ($pb) AND embedding IS NOT NULL))
+           |      GROUP BY dim)""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY comparison, dim")
+    },
+
     "profile_fd" -> {
       val checks = Seq(
         ("orders", "o_orderkey", "o_custkey"),

@@ -2607,6 +2607,19 @@ object SparkEntry {
       .orderBy("comparison", "category")
   }
 
+  private def profileDriftEmbedding(t: Tables): DataFrame =
+    // embedding-column drift: label-0 vs label-1 slices (distinct
+    // synthetic clusters — real per-dimension centroid gaps) and an
+    // even-vs-odd vec_id split (calibration: same population, gaps
+    // near zero). Exact micro-unit fixed-point; see Drift.embeddingDrift
+    Drift.embeddingDrift("emb_label0_vs_label1",
+        t.embeddings.where(F.col("label") === 0),
+        t.embeddings.where(F.col("label") === 1), "embedding")
+      .unionAll(Drift.embeddingDrift("emb_even_vs_odd",
+        t.embeddings.where(F.col("vec_id") % 2 === 0),
+        t.embeddings.where(F.col("vec_id") % 2 === 1), "embedding"))
+      .orderBy("comparison", "dim")
+
   private def profileCorrelation(t: Tables): DataFrame =
     // exact-decimal Pearson matrix over the fact numerics in ONE scan
     harmonize.Profile.correlation(t.lineitem,
@@ -3481,6 +3494,7 @@ object SparkEntry {
       "profile_fd_approx" -> q(profileFdApprox),
       "profile_drift_ks" -> q(profileDriftKs),
       "profile_drift_chi2" -> q(profileDriftChi2),
+      "profile_drift_embedding" -> q(profileDriftEmbedding),
       "profile_correlation" -> q(profileCorrelation),
       "profile_histogram" -> q(profileHistogram),
       "graph_pagerank" -> q(graphPagerank),

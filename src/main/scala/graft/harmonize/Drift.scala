@@ -116,6 +116,59 @@ object Drift {
       schema)
   }
 
+  /** Per-dimension EXACT centroid drift between two embedding-bearing
+    * slices — the embedding-column member of the drift family (KS for
+    * orderable, chi-square for categorical, this for vector columns):
+    * for every dimension d, the report row is
+    * (comparison, dim, n_a, n_b, mean_a_micro, mean_b_micro, gap_micro)
+    * where values are first fixed to micro-units
+    * (CAST(floor(v·1e6) AS BIGINT) — the float×1e6 product is exact in
+    * double: 24-bit float mantissa × 20-bit 1e6 < 53 bits — and floor,
+    * not trunc, keeps both engines identical on negatives), means are
+    * sign-safe truncating divisions, and the centroid gap is computed
+    * CROSS-MULTIPLIED ((sa·cb − sb·ca) over ca·cb, one division at the
+    * end) so it is exact to the micro-unit, not a difference of two
+    * truncated means.
+    *
+    * Scale + width contract: ONE tagged-union posexplode scan with
+    * map-side combine — the shuffle carries ≤ p·dims partial rows, the
+    * result is |dims| rows per comparison. All accumulation in
+    * DECIMAL(38,0)/HUGEINT: |sa·cb| ≤ 1e6·n · n = 1e30 at the 1e12-row
+    * design point, inside 38 digits. Signed divisions are sign-split
+    * (sign · (abs div den)) because Spark `div` truncates toward zero
+    * while DuckDB `//` floors — they only agree on non-negative
+    * operands. Per-dim counts are carried per dimension (not one global
+    * n), so ragged vectors report honest per-dim masses.
+    */
+  def embeddingDrift(comparison: String, a: DataFrame, b: DataFrame,
+                     vecCol: String): DataFrame = {
+    def side(df: DataFrame, ia: Int) = df
+      .where(F.col(vecCol).isNotNull)
+      .select(F.posexplode(F.col(vecCol)).as(Seq("dim", "__v")))
+      .select(F.col("dim").cast("long").as("dim"),
+        F.expr("CAST(floor(CAST(__v AS DOUBLE) * 1000000) AS BIGINT)")
+          .as("__vm"),
+        F.lit(ia.toLong).as("__ia"), F.lit(1L - ia).as("__ib"))
+    val per = side(a, 1).unionAll(side(b, 0))
+      .groupBy("dim")
+      .agg(
+        F.sum(d38(F.col("__ia")) * d38(F.col("__vm"))).as("sa"),
+        F.sum(d38(F.col("__ib")) * d38(F.col("__vm"))).as("sb"),
+        F.sum("__ia").as("ca"), F.sum("__ib").as("cb"))
+    // sign-split truncating division: Spark div truncates toward zero,
+    // DuckDB // floors — identical only after the abs() split
+    def sdiv(num: String, den: String) =
+      s"(CASE WHEN ($num) >= 0 THEN ($num) div ($den) " +
+        s"ELSE -((-($num)) div ($den)) END)"
+    per.select(
+      F.lit(comparison).as("comparison"), F.col("dim"),
+      F.col("ca").cast("long").as("n_a"), F.col("cb").cast("long").as("n_b"),
+      F.expr("CAST(" + sdiv("sa", "ca") + " AS BIGINT)").as("mean_a_micro"),
+      F.expr("CAST(" + sdiv("sb", "cb") + " AS BIGINT)").as("mean_b_micro"),
+      F.expr("CAST(" + sdiv("sa * cb - sb * ca", "ca * cb") + " AS BIGINT)")
+        .as("gap_micro"))
+  }
+
   /** Exact chi-square drift report for a categorical column: one row
     * per category present on either side —
     * (comparison, category, cnt_a, cnt_b, contrib_ppm) where

@@ -497,6 +497,29 @@ class R15OpsSpec extends SparkSpec {
     assert(z.getLong(4) == contrib(0, 1, 3, 7) + contrib(1, 1, 4, 7))
   }
 
+  test("Drift.embeddingDrift: hand-computed micro means/gaps; floor-on-negative semantics") {
+    import graft.harmonize.Drift
+    // a: [1, -0.5], [0.5, 0.25]  b: [0, 1]  (all exactly representable)
+    // dim0: sa=1500000 ca=2 -> mean 750000; sb=0 cb=1 -> 0;
+    //       gap = (1500000*1 - 0*2) div (2*1) = 750000
+    // dim1: sa=-250000 -> mean -(250000 div 2) = -125000; sb=1000000;
+    //       gap = (-250000 - 2000000) div 2 = -1125000
+    val a = Seq(Array(1.0f, -0.5f), Array(0.5f, 0.25f)).toDF("e")
+    val b = Seq(Array(0.0f, 1.0f)).toDF("e")
+    val rows = Drift.embeddingDrift("t", a, b, "e").orderBy("dim").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6))).toSeq
+    assert(rows == Seq((0L, 2L, 1L, 750000L, 0L, 750000L),
+      (1L, 2L, 1L, -125000L, 1000000L, -1125000L)), s"$rows")
+    // floor, not trunc, on the value fix: 0.1f as double is
+    // 100000.00149… micro -> 100000, but -0.1f floors to -100001 —
+    // the semantics both engines share (trunc would give -100000)
+    val neg = Drift.embeddingDrift("n", Seq(Array(0.1f, -0.1f)).toDF("e"),
+        Seq(Array(0.0f, 0.0f)).toDF("e"), "e").orderBy("dim").collect()
+      .map(r => (r.getLong(4), r.getLong(6))).toSeq
+    assert(neg == Seq((100000L, 100000L), (-100001L, -100001L)), s"$neg")
+  }
+
   test("StreamingDrift.chi2Ingest: per-batch reports equal the batch operator; novel category + lineage") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.StreamingDrift
