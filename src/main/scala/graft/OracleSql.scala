@@ -3552,6 +3552,43 @@ object OracleSql {
         |ORDER BY d.event_type, d.day_us""".stripMargin,
 
     // daily counts -> exact-decimal CUSUM -> per-type peak |S| argmax
+    // exact daily-count autocorrelation: densified calendar, n-scaled
+    // deviations (d = n*x - S so the n^2 cancels in the ratio), HUGEINT
+    // lag products, one sign-split truncating ppm division at the end
+    "events_acf" ->
+      """WITH counts AS (SELECT event_type,
+        |                       epoch_us(ts) - epoch_us(ts) % 86400000000 AS day_us,
+        |                       count(*)::HUGEINT AS x
+        |                FROM events GROUP BY 1, 2),
+        |cal AS (SELECT event_type,
+        |               unnest(range(d0, d1 + 86400000000, 86400000000)) AS day_us
+        |        FROM (SELECT event_type, min(day_us) AS d0, max(day_us) AS d1
+        |              FROM counts GROUP BY 1)),
+        |daily AS (SELECT c.event_type, c.day_us,
+        |                 coalesce(x, 0)::HUGEINT AS x
+        |          FROM cal c LEFT JOIN counts USING (event_type, day_us)),
+        |st AS (SELECT event_type, count(*)::HUGEINT AS n_days, sum(x) AS sx
+        |       FROM daily GROUP BY 1),
+        |dev AS (SELECT d.event_type, d.day_us, st.n_days,
+        |               st.n_days * d.x - st.sx AS dv
+        |        FROM daily d JOIN st USING (event_type)),
+        |nums AS (SELECT a.event_type, l.lag, max(a.n_days) AS n_days,
+        |                sum(a.dv * b.dv) AS num
+        |         FROM dev a
+        |         CROSS JOIN (SELECT unnest(range(0, 8))::BIGINT AS lag) l
+        |         JOIN dev b ON b.event_type = a.event_type
+        |                   AND b.day_us = a.day_us + l.lag * 86400000000
+        |         GROUP BY 1, 2),
+        |dn AS (SELECT event_type, num AS den FROM nums WHERE lag = 0)
+        |SELECT n.event_type, CAST(n.lag AS BIGINT) AS lag,
+        |       CAST(n.n_days AS BIGINT) AS n_days,
+        |       CASE WHEN den > 0 THEN CAST((CASE WHEN num >= 0
+        |         THEN (num * 1000000) // den
+        |         ELSE -((-(num * 1000000)) // den) END) AS BIGINT)
+        |       ELSE NULL END AS acf_ppm
+        |FROM nums n JOIN dn USING (event_type)
+        |ORDER BY event_type, lag""".stripMargin,
+
     "events_changepoint" ->
       """WITH daily AS (SELECT event_type,
         |                      epoch_us(ts) - epoch_us(ts) % 86400000000 AS day_us,

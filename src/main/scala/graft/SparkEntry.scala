@@ -3275,6 +3275,13 @@ object SparkEntry {
   private def eventsChangepoint(t: Tables): DataFrame =
     streaming.Events.changepoint(t.events).orderBy("event_type")
 
+  private def eventsAcf(t: Tables): DataFrame =
+    // exact daily-count autocorrelation, lags 0..7, per event type:
+    // lag 0 gates at exactly 1e6 (calibration) and lag 7 probes the
+    // weekly cycle the seasonal z-test assumes. See Events.acf
+    streaming.Events.acf(t.events, maxLag = 7)
+      .orderBy("event_type", "lag")
+
   private def eventsAttribution(t: Tables): DataFrame = {
     // last-touch conversion attribution (r13): click->purchase pairs
     // within a 6 h window (genuine multi-touch at every gate SF:
@@ -3528,6 +3535,7 @@ object SparkEntry {
       "curate_weighted_sample" -> q(curateWeightedSample),
       "scd2_apply" -> q(scd2Apply),
       "events_changepoint" -> q(eventsChangepoint),
+      "events_acf" -> q(eventsAcf),
       "zorder_key" -> q(zorderKey),
       "q_rollup" -> q(qRollup),
       "q_pivot" -> q(qPivot),

@@ -639,4 +639,71 @@ object Events {
           .as("dow_mean"),
         (lhs * lhs > F.lit(sigmas.toLong * sigmas) * rhs).as("is_anomaly"))
   }
+
+  /** EXACT sample autocorrelation of each event type's daily-count
+    * series, lags 0..maxLag — the standard seasonality/periodicity
+    * probe (Box-Jenkins): r_k = Σ_t (x_t−x̄)(x_{t+k}−x̄) / Σ_t (x_t−x̄)².
+    *
+    * Division-free core (the seasonalAnomalies n-scaling trick): with
+    * d_t = n·x_t − S both numerator and denominator pick up the same
+    * n² factor, so r_k = Σ d_t·d_{t+k} / Σ d_t² over EXACT integers —
+    * one sign-split truncating division to ppm at the very end
+    * (num·1e6 div den; Spark `div` truncates toward zero, DuckDB `//`
+    * floors — identical only after the abs split). Lag 0 gates at
+    * exactly 1 000 000 (calibration), den = 0 (constant series) yields
+    * NULL. Exactness bound: |num| ≤ den ≤ n·(n·max_x)², inside
+    * DECIMAL(38)/HUGEINT with the 1e6 ppm factor up to ~1e9-scale
+    * daily counts over decade spans — past that, pre-aggregate weekly.
+    *
+    * The calendar is DENSIFIED per type (sequence over [min,max] day,
+    * missing days are x = 0): day gaps must not silently misalign the
+    * lag pairing. Scale shape: one map-side-combined daily aggregate
+    * (types × days), then everything downstream — calendar join,
+    * per-type stats broadcast, the (K+1)-way lag self-join — runs on
+    * |types|·|days| rows, corpus-size-independent; no partition-less
+    * window anywhere (per-type stats ride a broadcast join, the
+    * changepoint pattern).
+    */
+  def acf(events: DataFrame, maxLag: Int = 7): DataFrame = {
+    require(maxLag >= 1, "maxLag must be at least 1")
+    val dayUs = 24L * 3600 * 1000 * 1000
+    val us = usOf(F.col("ts"))
+    val counts = events
+      .select(F.col("event_type"), (us - F.pmod(us, F.lit(dayUs))).as("day_us"))
+      .groupBy("event_type", "day_us").agg(F.count(F.lit(1)).as("x"))
+    val cal = counts.groupBy("event_type")
+      .agg(F.min("day_us").as("d0"), F.max("day_us").as("d1"))
+      .select(F.col("event_type"),
+        F.explode(F.sequence(F.col("d0"), F.col("d1"), F.lit(dayUs)))
+          .as("day_us"))
+    val daily = cal.join(counts, Seq("event_type", "day_us"), "left")
+      .select(F.col("event_type"), F.col("day_us"),
+        F.coalesce(F.col("x"), F.lit(0L)).as("x"))
+    val stats = daily.groupBy("event_type")
+      .agg(F.count(F.lit(1)).as("n_days"), F.sum("x").as("sx"))
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val dev = daily.join(F.broadcast(stats), "event_type")
+      .select(F.col("event_type"), F.col("day_us"), F.col("n_days"),
+        (dec(F.col("n_days")) * dec(F.col("x")) - dec(F.col("sx"))).as("d"))
+    val lagged = dev
+      .select(F.col("event_type"), F.col("day_us"), F.col("n_days"),
+        F.col("d").as("da"),
+        F.explode(F.sequence(F.lit(0L), F.lit(maxLag.toLong))).as("lag"))
+      .withColumn("day_b", F.col("day_us") + F.col("lag") * F.lit(dayUs))
+    val nums = lagged
+      .join(dev.select(F.col("event_type"), F.col("day_us").as("day_b"),
+        F.col("d").as("db")), Seq("event_type", "day_b"))
+      .groupBy("event_type", "lag")
+      .agg(F.max("n_days").as("n_days"),
+        F.sum(dec(F.col("da")) * dec(F.col("db"))).as("num"))
+    val den = nums.where(F.col("lag") === 0L)
+      .select(F.col("event_type"), F.col("num").as("den"))
+    nums.join(F.broadcast(den), "event_type")
+      .select(F.col("event_type"), F.col("lag"),
+        F.col("n_days"),
+        F.expr("CASE WHEN den > 0 THEN CAST((CASE WHEN num >= 0 " +
+          "THEN (num * CAST(1000000 AS DECIMAL(38,0))) div den " +
+          "ELSE -((-(num * CAST(1000000 AS DECIMAL(38,0)))) div den) END) " +
+          "AS BIGINT) ELSE NULL END").as("acf_ppm"))
+  }
 }

@@ -497,6 +497,30 @@ class R15OpsSpec extends SparkSpec {
     assert(z.getLong(4) == contrib(0, 1, 3, 7) + contrib(1, 1, 4, 7))
   }
 
+  test("Events.acf: hand-computed lags over a densified calendar; constant series yields NULL") {
+    import graft.streaming.Events
+    val day = 24L * 3600 * 1000
+    val base = 1700006400000L
+    def t(d: Long) = new java.sql.Timestamp(base + d * day)
+    // type a: 2 events on days 0/2/4, NOTHING on days 1/3 — densify
+    // must fill x=0 or the lag pairing silently misaligns.
+    // x = [2,0,2,0,2], n=5, S=6, d = 5x-6 = [4,-6,4,-6,4], den=120
+    // lag1: 4(-6)*4 = -96 -> -800000 ppm exactly
+    // lag2: 16+36+16 = 68  -> 68e6 div 120 = 566666 (truncated)
+    val rows = (Seq(0L, 2L, 4L).flatMap(d => Seq(("a", t(d)), ("a", t(d)))) ++
+      Seq(0L, 1L, 2L).map(d => ("c", t(d)))).toDF("event_type", "ts")
+    val got = Events.acf(rows, maxLag = 2).orderBy("event_type", "lag")
+      .collect()
+    val a = got.filter(_.getString(0) == "a").map(r =>
+      (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSeq
+    assert(a == Seq((0L, 5L, Some(1000000L)), (1L, 5L, Some(-800000L)),
+      (2L, 5L, Some(566666L))), s"$a")
+    // constant series: den = 0 -> NULL at every lag, never a crash
+    val c = got.filter(_.getString(0) == "c")
+    assert(c.length == 3 && c.forall(_.isNullAt(3)))
+  }
+
   test("Drift.embeddingDrift: hand-computed micro means/gaps; floor-on-negative semantics") {
     import graft.harmonize.Drift
     // a: [1, -0.5], [0.5, 0.25]  b: [0, 1]  (all exactly representable)
