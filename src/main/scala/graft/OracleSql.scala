@@ -3149,6 +3149,45 @@ object OracleSql {
       }.mkString("", "\nUNION ALL\n", "\nORDER BY comparison, category")
     },
 
+    // semantic-type audit: the regex text comes VERBATIM from
+    // Profile.semanticPatterns (one source of truth, both engines
+    // evaluate identical patterns in the Java-regex ∩ RE2 subset)
+    "profile_types" -> {
+      val pats = graft.harmonize.Profile.semanticPatterns
+      val srcs = Seq(
+        ("customer", "c_custkey_s", "CAST(c_custkey AS VARCHAR)"),
+        ("customer", "c_name", "c_name"),
+        ("customer", "c_mktsegment", "c_mktsegment"),
+        ("orders", "o_orderdate_s", "strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')"),
+        ("orders", "o_totalprice_s", "CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)"),
+        ("orders", "o_orderpriority", "o_orderpriority"))
+      val u = srcs.map { case (t, a, e) =>
+        s"SELECT '$t' AS tab, '$a' AS col, $e AS v FROM $t"
+      }.mkString("\nUNION ALL ")
+      val patCnt = pats.map { case (n, p) =>
+        s"CAST(sum(CASE WHEN regexp_matches(v, '$p') THEN 1 ELSE 0 END) AS BIGINT) AS n_$n"
+      }.mkString(",\n       ")
+      val anyPat = pats.map { case (_, p) => s"regexp_matches(v, '$p')" }
+        .mkString(" OR ")
+      val verdictCase = pats.map { case (n, _) =>
+        s"WHEN (n_rows - n_null) > 0 AND n_$n * 10 >= (n_rows - n_null) * 9 THEN '$n'"
+      }.mkString("\n         ")
+      s"""WITH u AS ($u),
+         |c AS (SELECT tab, col, count(*) AS n_rows,
+         |       CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+         |       CAST(sum(CASE WHEN v = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
+         |       $patCnt,
+         |       CAST(sum(CASE WHEN v IS NOT NULL AND NOT ($anyPat)
+         |                THEN 1 ELSE 0 END) AS BIGINT) AS n_other
+         |      FROM u GROUP BY 1, 2)
+         |SELECT col AS "column", n_rows, n_null, n_empty,
+         |       ${pats.map(p => "n_" + p._1).mkString(", ")}, n_other,
+         |       (CASE $verdictCase
+         |         WHEN (n_rows - n_null) = 0 THEN 'empty'
+         |         ELSE 'text' END) AS verdict, tab
+         |FROM c ORDER BY tab, "column"""".stripMargin
+    },
+
     // per-dimension exact centroid drift over embedding slices:
     // micro-unit fixed point (floor(v*1e6) — exact in double), HUGEINT
     // sums, cross-multiplied gap, sign-split truncating divisions

@@ -2607,6 +2607,31 @@ object SparkEntry {
       .orderBy("comparison", "category")
   }
 
+  private def profileTypes(t: Tables): DataFrame = {
+    // semantic-type audit over an explicitly-stringified ingest view:
+    // int keys render as digits, the timestamp through date_format,
+    // the price through an exact decimal(18,2) cast (both renderings
+    // engine-deterministic — the operator refuses raw floats), names
+    // and categories stay text. Verdicts exercise integer / timestamp
+    // / decimal / text; email/uuid/url detectors gate via the spec
+    val cust = t.customer.select(
+      F.col("c_custkey").cast("string").as("c_custkey_s"),
+      F.col("c_name"), F.col("c_mktsegment"))
+    val ord = t.orders.select(
+      F.date_format(F.col("o_orderdate"), "yyyy-MM-dd HH:mm:ss")
+        .as("o_orderdate_s"),
+      F.col("o_totalprice").cast("decimal(18,2)").cast("string")
+        .as("o_totalprice_s"),
+      F.col("o_orderpriority"))
+    harmonize.Profile.semanticTypes(cust,
+        Seq("c_custkey_s", "c_name", "c_mktsegment"))
+      .withColumn("tab", F.lit("customer"))
+      .unionAll(harmonize.Profile.semanticTypes(ord,
+          Seq("o_orderdate_s", "o_totalprice_s", "o_orderpriority"))
+        .withColumn("tab", F.lit("orders")))
+      .orderBy("tab", "column")
+  }
+
   private def profileDriftEmbedding(t: Tables): DataFrame =
     // embedding-column drift: label-0 vs label-1 slices (distinct
     // synthetic clusters — real per-dimension centroid gaps) and an
@@ -3502,6 +3527,7 @@ object SparkEntry {
       "profile_drift_ks" -> q(profileDriftKs),
       "profile_drift_chi2" -> q(profileDriftChi2),
       "profile_drift_embedding" -> q(profileDriftEmbedding),
+      "profile_types" -> q(profileTypes),
       "profile_correlation" -> q(profileCorrelation),
       "profile_histogram" -> q(profileHistogram),
       "graph_pagerank" -> q(graphPagerank),

@@ -544,6 +544,78 @@ object Profile {
     * through a grand-total window over ≤9 rows. Returns
     * (digit, n_obs, obs_pm, exp_pm), ≤9 rows, unordered.
     */
+  /** Semantic-type detector patterns, shared VERBATIM between the
+    * Spark plan ([[semanticTypes]]) and the DuckDB twin (the
+    * Graph.aaTable one-source-of-truth pattern — both engines evaluate
+    * the identical regex text, zero drift by construction). Every
+    * pattern stays inside the Java-regex ∩ RE2 common subset
+    * (anchors, character classes, counted quantifiers, one optional
+    * group — no backreferences, no lookaround), where the two engines'
+    * semantics provably coincide. Order = verdict priority.
+    */
+  val semanticPatterns: Seq[(String, String)] = Seq(
+    "integer" -> "^[+-]?[0-9]+$",
+    "decimal" -> "^[+-]?[0-9]+\\.[0-9]+$",
+    "date" -> "^[0-9]{4}-[0-9]{2}-[0-9]{2}$",
+    "timestamp" -> ("^[0-9]{4}-[0-9]{2}-[0-9]{2}[ T]" +
+      "[0-9]{2}:[0-9]{2}:[0-9]{2}(\\.[0-9]+)?$"),
+    "email" -> "^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+$",
+    "uuid" -> ("^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-" +
+      "[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"),
+    "url" -> "^https?://[^ ]+$")
+
+  /** Semantic-type detection over STRINGIFIED columns — the
+    * ingest-time "what is actually in this CSV column" audit
+    * (harmonization's first question about an untyped landing table;
+    * cf. the type-detection stage of data-lake profilers like Sherlock
+    * / Sato, done here as exact counting, not ML): per column, how
+    * many values match each [[semanticPatterns]] detector, plus
+    * null/empty/other masses, and a verdict = the FIRST detector (in
+    * pattern-priority order) covering ≥ 90 % of non-null values
+    * (integer compare: cnt·10 ≥ nonNull·9), else 'text', or 'empty'
+    * for all-null columns.
+    *
+    * Columns must already be STRING — the caller owns stringification
+    * (explicit date_format / decimal cast), because float→string
+    * rendering is NOT engine-portable and this operator refuses to
+    * guess. Scale: one Expand scan (rows × |cols| — the
+    * profile_numeric trade), every detector a codegen'd RLike in ONE
+    * map-side-combined aggregate to |cols| result rows; no second
+    * pass, no window.
+    */
+  def semanticTypes(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "semanticTypes: at least one column")
+    cols.foreach { c =>
+      require(df.schema(c).dataType ==
+        org.apache.spark.sql.types.StringType,
+        s"semanticTypes: column $c must be STRING — stringify " +
+          "explicitly (float->string rendering is engine-specific)")
+    }
+    val pairs = df.select(F.explode(F.array(cols.map(c =>
+        F.struct(F.lit(c).as("c"), F.col(c).as("v"))): _*)).as("p"))
+      .select(F.col("p.c").as("column"), F.col("p.v").as("v"))
+    val anyPat = semanticPatterns.map(_._2)
+      .map(p => F.col("v").rlike(p)).reduce(_ || _)
+    val aggs = Seq(
+      F.count(F.lit(1)).as("n_rows"),
+      F.sum(F.when(F.col("v").isNull, 1L).otherwise(0L)).as("n_null"),
+      F.sum(F.when(F.col("v") === "", 1L).otherwise(0L)).as("n_empty")) ++
+      semanticPatterns.map { case (n, p) =>
+        F.sum(F.when(F.col("v").rlike(p), 1L).otherwise(0L)).as(s"n_$n")
+      } :+
+      F.sum(F.when(F.col("v").isNotNull && !anyPat, 1L).otherwise(0L))
+        .as("n_other")
+    val counted = pairs.groupBy("column").agg(aggs.head, aggs.tail: _*)
+    val nonNull = F.col("n_rows") - F.col("n_null")
+    val verdict = semanticPatterns.map(_._1).foldRight(
+      F.when(nonNull === 0L, F.lit("empty")).otherwise(F.lit("text"))) {
+      (n, acc) =>
+        F.when(nonNull > 0L && F.col(s"n_$n") * 10L >= nonNull * 9L,
+          F.lit(n)).otherwise(acc)
+    }
+    counted.withColumn("verdict", verdict)
+  }
+
   def benford(df: DataFrame, col: String): DataFrame = {
     val expPm: Map[Int, Long] = Map(1 -> 301L, 2 -> 176L, 3 -> 125L,
       4 -> 97L, 5 -> 79L, 6 -> 67L, 7 -> 58L, 8 -> 51L, 9 -> 46L)

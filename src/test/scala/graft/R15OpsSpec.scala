@@ -497,6 +497,38 @@ class R15OpsSpec extends SparkSpec {
     assert(z.getLong(4) == contrib(0, 1, 3, 7) + contrib(1, 1, 4, 7))
   }
 
+  test("Profile.semanticTypes: every detector fires; 90% threshold; empty/mixed verdicts; string-only contract") {
+    import graft.harmonize.Profile
+    val df = Seq(
+      // (email, uuid, url, mixed, allnull)
+      ("a.b+c@ex-1.org", "0123abcd-0000-AAAA-ffff-0123456789ab",
+        "https://x.org/p?q=1", "42", null),
+      ("x@y.io", "deadbeef-1111-2222-3333-444455556666",
+        "http://a.b", "oops", null),
+      ("u_9%z@m.co.uk", "00000000-0000-0000-0000-000000000000",
+        "https://h", "", null)
+    ).toDF("email", "uuid", "url", "mixed", "allnull")
+      .withColumn("allnull", F.col("allnull").cast("string"))
+    val got = Profile.semanticTypes(df,
+        Seq("email", "uuid", "url", "mixed", "allnull"))
+      .collect().map(r => r.getString(0) -> r.getString(r.length - 1)).toMap
+    assert(got == Map("email" -> "email", "uuid" -> "uuid",
+      "url" -> "url", "mixed" -> "text", "allnull" -> "empty"), s"$got")
+    // 90% threshold is an integer compare: 9/10 integers -> integer,
+    // 8/10 -> text (8*10 < 10*9)
+    def mk(nInt: Int, nTxt: Int) = ((1 to nInt).map(_.toString) ++
+      (1 to nTxt).map(i => s"w$i")).toDF("c")
+    assert(Profile.semanticTypes(mk(9, 1), Seq("c"))
+      .head().getString(12) == "integer")
+    assert(Profile.semanticTypes(mk(8, 2), Seq("c"))
+      .head().getString(12) == "text")
+    // non-string columns are refused loudly, not silently rendered
+    val e = intercept[IllegalArgumentException] {
+      Profile.semanticTypes(Seq(1.5).toDF("d"), Seq("d"))
+    }
+    assert(e.getMessage.contains("must be STRING"))
+  }
+
   test("Events.acf: hand-computed lags over a densified calendar; constant series yields NULL") {
     import graft.streaming.Events
     val day = 24L * 3600 * 1000
