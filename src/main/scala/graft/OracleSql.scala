@@ -3832,6 +3832,46 @@ object OracleSql {
         |       CAST(n_candidates AS BIGINT) AS n_candidates
         |FROM scored WHERE rn = 1 ORDER BY id_b""".stripMargin,
 
+    // survivorship: er_resolve's link CTE chain, then per-cluster
+    // majority vote with (votes desc, master-priority, value asc)
+    // resolution — all-integer, value ties on binary string order
+    "er_golden" ->
+      """WITH a AS (SELECT c_custkey AS id_a, c_name AS name_a,
+        |                  c_nationkey AS nat, c_mktsegment AS seg FROM customer),
+        |b AS (SELECT c_custkey + 1000000 AS id_b,
+        |             regexp_replace(c_name, '0+', '0', 'g') AS name_b,
+        |             c_nationkey AS nat, c_mktsegment AS seg
+        |      FROM customer WHERE c_custkey % 7 != 3),
+        |cand AS (SELECT b.id_b, a.id_a,
+        |                levenshtein(a.name_a, b.name_b) AS lev
+        |         FROM a JOIN b ON a.nat = b.nat AND a.seg = b.seg
+        |         WHERE levenshtein(a.name_a, b.name_b) <= 6),
+        |links AS (SELECT id_b, id_a FROM (
+        |            SELECT id_b, id_a, row_number() OVER (PARTITION BY id_b
+        |              ORDER BY lev, id_a) AS rn FROM cand)
+        |          WHERE rn = 1),
+        |members AS (SELECT id_a AS cid, 1 AS m, name_a AS name, nat, seg FROM a
+        |            UNION ALL
+        |            SELECT l.id_a, 0, b.name_b, b.nat, b.seg
+        |            FROM links l JOIN b USING (id_b)),
+        |unp AS (SELECT cid, m, 'name' AS attribute, name AS value FROM members
+        |        UNION ALL
+        |        SELECT cid, m, 'nat', CAST(nat AS VARCHAR) FROM members
+        |        UNION ALL
+        |        SELECT cid, m, 'seg', seg FROM members),
+        |votes AS (SELECT cid, attribute, value,
+        |                 count(*) AS n_votes, max(m) AS mm
+        |          FROM unp WHERE value IS NOT NULL GROUP BY 1, 2, 3),
+        |ranked AS (SELECT cid, attribute, value, n_votes,
+        |                  count(*) OVER (PARTITION BY cid, attribute) AS n_distinct,
+        |                  row_number() OVER (PARTITION BY cid, attribute
+        |                    ORDER BY n_votes DESC, mm DESC, value) AS rn
+        |           FROM votes)
+        |SELECT cid AS id_a, attribute, value,
+        |       CAST(n_votes AS BIGINT) AS n_votes,
+        |       CAST(n_distinct AS BIGINT) AS n_distinct
+        |FROM ranked WHERE rn = 1 ORDER BY id_a, attribute""".stripMargin,
+
     // served-index equality gate: the pruned-partition read feeds the
     // IDENTICAL join/score/resolve, so the oracle is er_resolve's SQL
     "er_resolve_idx" ->

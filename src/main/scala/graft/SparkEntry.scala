@@ -2967,6 +2967,27 @@ object SparkEntry {
       .orderBy("id_b")
   }
 
+  private def erGolden(t: Tables): DataFrame = {
+    // survivorship over the SAME dirty twin as er_resolve: clusters =
+    // master customer + its linked dirty record; name votes tie 1-1 so
+    // master priority keeps the clean name, nat/seg agree (2 votes).
+    // Majority-beats-master is exercised by the unit spec fixture
+    val aSrc = t.customer.select(F.col("c_custkey").as("id_a"),
+      F.col("c_name").as("name_a"), F.col("c_nationkey").as("nat"),
+      F.col("c_mktsegment").as("seg"))
+    val bSrc = t.customer.where(F.col("c_custkey") % 7 =!= 3)
+      .select((F.col("c_custkey") + 1000000L).as("id_b"),
+        F.regexp_replace(F.col("c_name"), "0+", "0").as("name_b"),
+        F.col("c_nationkey").as("nat"), F.col("c_mktsegment").as("seg"))
+    val links = harmonize.Linkage.linkByName(aSrc, bSrc, Seq("nat", "seg"),
+      "id_a", "name_a", "id_b", "name_b", maxDist = 6)
+    harmonize.Linkage.goldenRecords(
+        aSrc.withColumnRenamed("name_a", "name"),
+        bSrc.withColumnRenamed("name_b", "name"),
+        links, "id_a", "id_b", Seq("name", "nat", "seg"))
+      .orderBy("id_a", "attribute")
+  }
+
   private def erResolveSorted(t: Tables): DataFrame = {
     // the scale-safe linkage variant over the SAME dirty twin:
     // sorted-neighborhood with sort key = zero-collapsed name on BOTH
@@ -3548,6 +3569,7 @@ object SparkEntry {
       "q_bloom_prefilter" -> q(qBloomPrefilter),
       "asof_join_nearest" -> q(asofJoinNearest),
       "er_resolve" -> q(erResolve),
+      "er_golden" -> q(erGolden),
       "er_resolve_sorted" -> q(erResolveSorted),
       "er_resolve_multipass" -> q(erResolveMultipass),
       "er_resolve_idx" -> q(erResolveIdx),

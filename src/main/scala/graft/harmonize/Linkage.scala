@@ -184,6 +184,71 @@ object Linkage {
     linkByName(pruned, b, blockCols, idA, nameA, idB, nameB, maxDist)
   }
 
+  /** Golden-record construction (survivorship) from resolved links —
+    * the step AFTER entity resolution: each master record `idA` plus
+    * every B record linked to it forms a cluster, and per attribute
+    * the surviving value is chosen by majority vote with the standard
+    * deterministic rule stack (most votes, then master-source
+    * priority, then lexicographically smallest value — cf. the
+    * fusion/survivorship stage in Bleiholder & Naumann's data-fusion
+    * survey, ACM CS 2008). All-integer resolution: vote counts and a
+    * 0/1 master flag feed a row_number, no scores, no floats.
+    *
+    * Attributes must be STRING or integral on both sides (they are
+    * compared and emitted as strings; float→string rendering is
+    * engine-specific, so floats are refused loudly — stringify via an
+    * explicit decimal cast first). Attributes with no non-null vote in
+    * a cluster emit no row (honest absence, not a fabricated null).
+    * Returns (idA, attribute, value, n_votes, n_distinct) — n_votes =
+    * winner's votes, n_distinct = competing distinct values.
+    *
+    * Scale: members = A ∪ (links ⋈ B) — one equi-join; the unpivot
+    * multiplies members × |attrs| (the profile Expand trade); one
+    * map-side-combined vote aggregate, then windows partitioned by the
+    * high-cardinality (cluster, attribute) key. Nothing corpus-sized
+    * crosses a single partition.
+    */
+  def goldenRecords(a: DataFrame, b: DataFrame, links: DataFrame,
+      idA: String, idB: String, attrs: Seq[String]): DataFrame = {
+    require(attrs.nonEmpty, "at least one attribute to survive")
+    def checkTypes(df: DataFrame, side: String): Unit = attrs.foreach { c =>
+      import org.apache.spark.sql.types._
+      val ok = df.schema(c).dataType match {
+        case _: StringType => true
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+      require(ok, s"goldenRecords: attribute $c on side $side must be " +
+        "STRING or integral — stringify floats explicitly (engine-" +
+        "portable rendering is the caller's contract)")
+    }
+    checkTypes(a, "A"); checkTypes(b, "B")
+    def strAttrs(df: DataFrame) = attrs.map(c => F.col(c).cast("string").as(c))
+    val aM = a.select((F.col(idA).as("__cid") +: F.lit(1).as("__m") +:
+      strAttrs(a)): _*)
+    val bM = links.select(F.col(idB), F.col(idA).as("__cid"))
+      .join(b, Seq(idB))
+      .select((F.col("__cid") +: F.lit(0).as("__m") +: strAttrs(b)): _*)
+    val unp = aM.unionByName(bM)
+      .select(F.col("__cid"), F.col("__m"),
+        F.explode(F.array(attrs.map(c =>
+          F.struct(F.lit(c).as("k"), F.col(c).as("v"))): _*)).as("p"))
+      .select(F.col("__cid"), F.col("__m"),
+        F.col("p.k").as("attribute"), F.col("p.v").as("value"))
+    val votes = unp.where(F.col("value").isNotNull)
+      .groupBy("__cid", "attribute", "value")
+      .agg(F.count(F.lit(1)).as("n_votes"), F.max("__m").as("__mm"))
+    val part = Window.partitionBy("__cid", "attribute")
+    val w = part.orderBy(F.col("n_votes").desc, F.col("__mm").desc,
+      F.col("value").asc)
+    votes
+      .withColumn("n_distinct", F.count(F.lit(1)).over(part))
+      .withColumn("__rn", F.row_number().over(w))
+      .where(F.col("__rn") === 1)
+      .select(F.col("__cid").as(idA), F.col("attribute"), F.col("value"),
+        F.col("n_votes"), F.col("n_distinct"))
+  }
+
   /** One SNM window sweep: global rank over the merged (key, side,
     * id) order, cross-source pairs at rank distance ≤ window−1 via
     * the exactly-once band equi-join. Returns (__ia, __na, __ib,

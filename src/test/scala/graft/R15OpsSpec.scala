@@ -497,6 +497,32 @@ class R15OpsSpec extends SparkSpec {
     assert(z.getLong(4) == contrib(0, 1, 3, 7) + contrib(1, 1, 4, 7))
   }
 
+  test("Linkage.goldenRecords: majority beats master, master breaks ties, value-asc last, absent attrs, float refusal") {
+    import graft.harmonize.Linkage
+    val a = Seq((1L, "Alpha", "NYC"), (2L, "Beta", null), (3L, null, "C"))
+      .toDF("id_a", "name", "city")
+    val b = Seq((11L, "Alfa", "Boston"), (12L, "Alfa", "Boston"),
+      (13L, "Bela", null), (14L, "a", null), (15L, "b", null))
+      .toDF("id_b", "name", "city")
+    val links = Seq((11L, 1L), (12L, 1L), (13L, 2L), (14L, 3L), (15L, 3L))
+      .toDF("id_b", "id_a")
+    val got = Linkage.goldenRecords(a, b, links, "id_a", "id_b",
+        Seq("name", "city")).collect()
+      .map(r => ((r.getLong(0), r.getString(1)),
+        (r.getString(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got((1L, "name")) == (("Alfa", 2L, 2L)))  // majority > master
+    assert(got((1L, "city")) == (("Boston", 2L, 2L)))
+    assert(got((2L, "name")) == (("Beta", 1L, 2L)))  // master breaks 1-1
+    assert(!got.contains((2L, "city")), "all-null attr must be absent")
+    assert(got((3L, "name")) == (("a", 1L, 2L)))     // non-master tie: asc
+    assert(got((3L, "city")) == (("C", 1L, 1L)))
+    val e = intercept[IllegalArgumentException] {
+      Linkage.goldenRecords(a.withColumn("f", F.lit(1.5)),
+        b.withColumn("f", F.lit(1.0)), links, "id_a", "id_b", Seq("f"))
+    }
+    assert(e.getMessage.contains("STRING or integral"))
+  }
+
   test("Profile.semanticTypes: every detector fires; 90% threshold; empty/mixed verdicts; string-only contract") {
     import graft.harmonize.Profile
     val df = Seq(
