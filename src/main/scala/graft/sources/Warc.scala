@@ -1,0 +1,207 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Pure-JVM WARC (ISO 28500) reader — the container format web crawls
+  * actually arrive in (Common Crawl ships ~1 GB `.warc.gz` chunks), so
+  * a 100 TB training-data pipeline's first operator is "frame these
+  * bytes into records". Same design stance as the image/audio codecs
+  * (PngCodec etc.): byte-level framing is not Catalyst-expressible, so
+  * it runs as a garbage-safe JVM parser behind `binaryFile` +
+  * flatMap, and everything AFTER framing (filtering, dedup, text
+  * extraction) is ordinary declarative Spark on the emitted columns.
+  *
+  * Scale contract: one WARC chunk file = one Spark partition (the
+  * crawl's own ~1 GB chunking convention IS the parallelism unit;
+  * `binaryFile` keeps a file in one task). Per-record-gzipped
+  * `.warc.gz` members concatenate into one gzip stream — JDK
+  * GZIPInputStream consumes multi-member streams natively, so both
+  * whole-file and per-record compression decode through the same
+  * inflate-then-frame path.
+  *
+  * Garbage safety: framing never throws on malformed input — a record
+  * with a bad version line, unparsable Content-Length, or a payload
+  * running past EOF ends the iteration (everything already framed is
+  * kept); `malformed_tail` reports whether trailing bytes were
+  * dropped.
+  */
+object Warc {
+
+  /** One framed WARC record: protocol headers of interest + payload. */
+  final case class WarcRecord(
+      warcType: String, targetUri: String, date: String,
+      recordId: String, contentType: String, payload: Array[Byte])
+
+  private val CRLF = "\r\n".getBytes("US-ASCII")
+
+  def isGzip(b: Array[Byte]): Boolean =
+    b.length >= 2 && (b(0) & 0xFF) == 0x1F && (b(1) & 0xFF) == 0x8B
+
+  /** Inflate a (possibly multi-member) gzip buffer; raw bytes pass
+    * through untouched. Truncated gzip yields the bytes inflated so
+    * far (garbage-safe, never throws).
+    */
+  def gunzipAll(b: Array[Byte]): Array[Byte] = {
+    if (!isGzip(b)) return b
+    val out = new java.io.ByteArrayOutputStream(math.max(64, b.length * 4))
+    try {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(b))
+      val buf = new Array[Byte](64 * 1024)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+    } catch { case _: java.io.IOException => () /* keep prefix */ }
+    out.toByteArray
+  }
+
+  /** Frame raw (already-inflated) WARC bytes into records. Returns
+    * (records, malformedTail) — malformedTail is true when parsing
+    * stopped before consuming all non-whitespace input.
+    */
+  def parseRecords(bytes: Array[Byte]): (Seq[WarcRecord], Boolean) = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[WarcRecord]
+    var pos = 0
+    def lineEnd(from: Int): Int = {
+      var i = from
+      while (i + 1 < bytes.length &&
+        !(bytes(i) == '\r' && bytes(i + 1) == '\n')) i += 1
+      if (i + 1 < bytes.length) i else -1
+    }
+    var ok = true
+    while (ok && pos < bytes.length) {
+      // skip inter-record CRLFs
+      while (pos + 1 < bytes.length && bytes(pos) == '\r' &&
+        bytes(pos + 1) == '\n') pos += 2
+      if (pos >= bytes.length) { ok = false }
+      else {
+        val e0 = lineEnd(pos)
+        val version = if (e0 < 0) ""
+          else new String(bytes, pos, e0 - pos, "US-ASCII")
+        if (!version.startsWith("WARC/")) ok = false
+        else {
+          var p = e0 + 2
+          val hdrs = scala.collection.mutable.Map.empty[String, String]
+          var open = true
+          while (open) {
+            val e = lineEnd(p)
+            if (e < 0) { open = false; ok = false }
+            else if (e == p) { p = e + 2; open = false } // empty line
+            else {
+              val line = new String(bytes, p, e - p, "US-ASCII")
+              val c = line.indexOf(':')
+              if (c > 0) hdrs(line.substring(0, c).trim.toLowerCase) =
+                line.substring(c + 1).trim
+              p = e + 2
+            }
+          }
+          val len = hdrs.get("content-length").flatMap(s =>
+            scala.util.Try(s.toLong).toOption).getOrElse(-1L)
+          if (!ok || len < 0 || p + len > bytes.length) ok = false
+          else {
+            out += WarcRecord(
+              hdrs.getOrElse("warc-type", ""),
+              hdrs.getOrElse("warc-target-uri", ""),
+              hdrs.getOrElse("warc-date", ""),
+              hdrs.getOrElse("warc-record-id", ""),
+              hdrs.getOrElse("content-type", ""),
+              java.util.Arrays.copyOfRange(bytes, p, p + len.toInt))
+            pos = p + len.toInt
+          }
+        }
+      }
+    }
+    // any bytes left beyond pure CRLF padding were dropped
+    var t = pos
+    while (t + 1 < bytes.length && bytes(t) == '\r' && bytes(t + 1) == '\n')
+      t += 2
+    (out.toSeq, t < bytes.length)
+  }
+
+  private val schema = StructType(Seq(
+    StructField("file", StringType, nullable = false),
+    StructField("record_idx", LongType, nullable = false),
+    StructField("warc_type", StringType, nullable = false),
+    StructField("target_uri", StringType, nullable = false),
+    StructField("warc_date", StringType, nullable = false),
+    StructField("record_id", StringType, nullable = false),
+    StructField("content_type", StringType, nullable = false),
+    StructField("content_length", LongType, nullable = false),
+    StructField("payload", BinaryType, nullable = false),
+    StructField("malformed_tail", BooleanType, nullable = false)))
+
+  /** Read a directory/glob of `.warc` / `.warc.gz` files into one row
+    * per record. One file = one task (binaryFile) = the crawl chunk
+    * convention; rasters of work downstream are plain DataFrame ops.
+    */
+  def readWarc(spark: SparkSession, path: String): DataFrame = {
+    val bin = spark.read.format("binaryFile").load(path)
+      .select("path", "content")
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(schema)
+    bin.flatMap { r =>
+      val file = r.getString(0)
+      val (recs, bad) = parseRecords(gunzipAll(r.getAs[Array[Byte]](1)))
+      recs.iterator.zipWithIndex.map { case (w, i) =>
+        Row(file, i.toLong, w.warcType, w.targetUri, w.date, w.recordId,
+          w.contentType, w.payload.length.toLong, w.payload, bad)
+      }
+    }(enc)
+  }
+
+  /** Split an HTTP response payload (a `response`-type record body)
+    * into (status, http content-type, body bytes). Garbage-safe:
+    * a payload that is not an HTTP message yields status -1 and the
+    * whole payload as body.
+    */
+  def httpSplit(payload: Array[Byte]): (Int, String, Array[Byte]) = {
+    def find2crlf(b: Array[Byte]): Int = {
+      var i = 0
+      while (i + 3 < b.length) {
+        if (b(i) == '\r' && b(i + 1) == '\n' && b(i + 2) == '\r' &&
+          b(i + 3) == '\n') return i
+        i += 1
+      }
+      -1
+    }
+    val he = find2crlf(payload)
+    val head = new String(payload, 0,
+      if (he < 0) math.min(payload.length, 8192) else he, "US-ASCII")
+    if (!head.startsWith("HTTP/")) return (-1, "", payload)
+    val lines = head.split("\r\n")
+    val status = lines.head.split(" ") match {
+      case a if a.length >= 2 => scala.util.Try(a(1).toInt).getOrElse(-1)
+      case _ => -1
+    }
+    val ct = lines.tail.collectFirst {
+      case l if l.toLowerCase.startsWith("content-type:") =>
+        l.substring(l.indexOf(':') + 1).trim
+    }.getOrElse("")
+    val body = if (he < 0) Array.empty[Byte]
+      else java.util.Arrays.copyOfRange(payload, he + 4, payload.length)
+    (status, ct, body)
+  }
+
+  /** `readWarc` rows filtered to HTTP responses with the payload split
+    * into (http_status, http_content_type, body) — the row shape the
+    * text-extraction / dedup pipeline starts from.
+    */
+  def httpResponses(warc: DataFrame): DataFrame = {
+    val outSchema = StructType(warc.schema.fields.filterNot(_.name == "payload") ++ Seq(
+      StructField("http_status", IntegerType, nullable = false),
+      StructField("http_content_type", StringType, nullable = false),
+      StructField("body", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    val pIdx = warc.schema.fieldIndex("payload")
+    val tIdx = warc.schema.fieldIndex("warc_type")
+    warc.flatMap { r =>
+      if (r.getString(tIdx) != "response") Iterator.empty
+      else {
+        val (st, ct, body) = httpSplit(r.getAs[Array[Byte]](pIdx))
+        val kept = r.toSeq.zipWithIndex.filterNot(_._2 == pIdx).map(_._1)
+        Iterator.single(Row.fromSeq(kept ++ Seq(st, ct, body)))
+      }
+    }(enc)
+  }
+}

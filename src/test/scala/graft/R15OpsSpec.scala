@@ -497,6 +497,76 @@ class R15OpsSpec extends SparkSpec {
     assert(z.getLong(4) == contrib(0, 1, 3, 7) + contrib(1, 1, 4, 7))
   }
 
+  private def warcBytes(typ: String, uri: String,
+      payload: Array[Byte]): Array[Byte] = {
+    val h = new StringBuilder("WARC/1.0\r\n")
+    h ++= s"WARC-Type: $typ\r\n"
+    if (uri.nonEmpty) h ++= s"WARC-Target-URI: $uri\r\n"
+    h ++= "WARC-Date: 2024-01-01T00:00:00Z\r\n"
+    h ++= s"WARC-Record-ID: <urn:uuid:$typ-1>\r\n"
+    h ++= "Content-Type: application/http; msgtype=response\r\n"
+    h ++= s"Content-Length: ${payload.length}\r\n\r\n"
+    h.toString.getBytes("US-ASCII") ++ payload ++
+      "\r\n\r\n".getBytes("US-ASCII")
+  }
+
+  private def gz(b: Array[Byte]): Array[Byte] = {
+    val bo = new java.io.ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(bo)
+    g.write(b); g.close(); bo.toByteArray
+  }
+
+  test("Warc: framing round-trip, http split, per-record and whole-file gzip, garbage safety") {
+    import graft.sources.Warc
+    val http = ("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8" +
+      "\r\nServer: x\r\n\r\n<html>hello crawl</html>").getBytes("US-ASCII")
+    val raw = warcBytes("warcinfo", "", "software: test\r\n".getBytes) ++
+      warcBytes("request", "http://ex.org/p", "GET /p HTTP/1.1\r\n".getBytes) ++
+      warcBytes("response", "http://ex.org/p", http)
+    val (recs, bad) = Warc.parseRecords(raw)
+    assert(!bad && recs.map(_.warcType) == Seq("warcinfo", "request", "response"))
+    assert(recs(2).targetUri == "http://ex.org/p" &&
+      recs(2).payload.sameElements(http))
+    val (st, ct, body) = Warc.httpSplit(recs(2).payload)
+    assert(st == 200 && ct == "text/html; charset=utf-8" &&
+      new String(body, "US-ASCII") == "<html>hello crawl</html>")
+    // whole-file gzip and concatenated per-record members both inflate
+    assert(Warc.parseRecords(Warc.gunzipAll(gz(raw)))._1.size == 3)
+    val members = gz(warcBytes("response", "http://a", http)) ++
+      gz(warcBytes("response", "http://b", http))
+    val (m, mb) = Warc.parseRecords(Warc.gunzipAll(members))
+    assert(!mb && m.map(_.targetUri) == Seq("http://a", "http://b"))
+    // garbage: truncated payload keeps the framed prefix, flags tail
+    val cut = raw.dropRight(http.length / 2 + 4)
+    val (p, pb) = Warc.parseRecords(cut)
+    assert(pb && p.map(_.warcType) == Seq("warcinfo", "request"))
+    assert(Warc.parseRecords("not a warc at all".getBytes)._1.isEmpty)
+    // non-http response payload: status -1, body = whole payload
+    val (s2, _, b2) = Warc.httpSplit("plain bytes".getBytes)
+    assert(s2 == -1 && new String(b2) == "plain bytes")
+  }
+
+  test("Warc.readWarc + httpResponses: one row per record through binaryFile; responses split") {
+    import graft.sources.Warc
+    val http = ("HTTP/1.1 404 Not Found\r\nContent-Type: text/plain\r\n\r\n" +
+      "gone").getBytes("US-ASCII")
+    val dir = java.nio.file.Files.createTempDirectory("warc")
+    java.nio.file.Files.write(dir.resolve("a.warc"),
+      warcBytes("warcinfo", "", "x\r\n".getBytes) ++
+        warcBytes("response", "http://ex.org/1", http))
+    java.nio.file.Files.write(dir.resolve("b.warc.gz"),
+      gz(warcBytes("response", "http://ex.org/2", http)))
+    val df = Warc.readWarc(spark, dir.toString)
+    assert(df.count() == 3)
+    assert(df.where(F.col("malformed_tail")).count() == 0)
+    val resp = Warc.httpResponses(df).orderBy("target_uri").collect()
+    assert(resp.length == 2)
+    assert(resp.map(_.getAs[Int]("http_status")).toSeq == Seq(404, 404))
+    assert(resp.map(_.getAs[String]("target_uri")).toSeq ==
+      Seq("http://ex.org/1", "http://ex.org/2"))
+    assert(new String(resp.head.getAs[Array[Byte]]("body")) == "gone")
+  }
+
   test("Linkage.goldenRecords: majority beats master, master breaks ties, value-asc last, absent attrs, float refusal") {
     import graft.harmonize.Linkage
     val a = Seq((1L, "Alpha", "NYC"), (2L, "Beta", null), (3L, null, "C"))
