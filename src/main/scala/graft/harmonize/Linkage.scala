@@ -229,15 +229,41 @@ object Linkage {
     val bM = links.select(F.col(idB), F.col(idA).as("__cid"))
       .join(b, Seq(idB))
       .select((F.col("__cid") +: F.lit(0).as("__m") +: strAttrs(b)): _*)
-    val unp = aM.unionByName(bM)
+    goldenFromVotes(goldenVotesOf(aM.unionByName(bM), attrs), idA)
+  }
+
+  /** The MERGEABLE vote table behind [[goldenRecords]]: members carry
+    * (__cid, __m 0/1, stringified attrs) and reduce to
+    * (__cid, attribute, value, n_votes, __mm) — counts ADD and the
+    * master flag MAXES across partial tables, so incremental
+    * maintenance ([[graft.streaming.StreamingLinkage.goldenIngest]])
+    * merges per-batch votes into a persisted state table without ever
+    * rescanning history; state size is bounded by distinct
+    * (cluster, attribute, value), i.e. by the entity space, not the
+    * stream length.
+    */
+  def goldenVotesOf(members: DataFrame, attrs: Seq[String]): DataFrame =
+    members
       .select(F.col("__cid"), F.col("__m"),
         F.explode(F.array(attrs.map(c =>
           F.struct(F.lit(c).as("k"), F.col(c).as("v"))): _*)).as("p"))
       .select(F.col("__cid"), F.col("__m"),
         F.col("p.k").as("attribute"), F.col("p.v").as("value"))
-    val votes = unp.where(F.col("value").isNotNull)
+      .where(F.col("value").isNotNull)
       .groupBy("__cid", "attribute", "value")
       .agg(F.count(F.lit(1)).as("n_votes"), F.max("__m").as("__mm"))
+
+  /** Merge partial vote tables (same schema as [[goldenVotesOf]]):
+    * counts add, master flags max. */
+  def goldenVotesMerge(parts: DataFrame): DataFrame =
+    parts.groupBy("__cid", "attribute", "value")
+      .agg(F.sum("n_votes").as("n_votes"), F.max("__mm").as("__mm"))
+
+  /** Resolve a vote table to golden rows — the argmax stage of
+    * [[goldenRecords]], shared verbatim by the batch operator and the
+    * incremental serve path.
+    */
+  def goldenFromVotes(votes: DataFrame, idA: String): DataFrame = {
     val part = Window.partitionBy("__cid", "attribute")
     val w = part.orderBy(F.col("n_votes").desc, F.col("__mm").desc,
       F.col("value").asc)

@@ -40,4 +40,76 @@ object StreamingLinkage {
         .write.mode(SaveMode.Append).parquet(linksPath)
     }.start()
   }
+
+  /** Seed the incremental golden-record vote state with the MASTER
+    * side's own votes (m = 1): a [[graft.sources.Versioned]] table of
+    * (__cid, attribute, value, n_votes, __mm, last_batch) at
+    * `votesRoot`. Returns the committed version.
+    */
+  def goldenSeed(a: DataFrame, idA: String, attrs: Seq[String],
+                 votesRoot: String): Long = {
+    val aM = a.select((F.col(idA).as("__cid") +: F.lit(1).as("__m") +:
+      attrs.map(c => F.col(c).cast("string").as(c))): _*)
+    graft.sources.Versioned.commit(
+      graft.harmonize.Linkage.goldenVotesOf(aM, attrs)
+        .withColumn("last_batch", F.lit(-1L)), votesRoot)
+  }
+
+  /** Merge one batch's partial votes into the state table, guarded for
+    * at-least-once replay: vote counts are NOT idempotent (a replayed
+    * batch would double-count), so each committed version records the
+    * highest applied batch id and a batch at or below it is a no-op.
+    * foreachBatch replays are monotone-from-checkpoint, so this single
+    * high-water mark makes the merge exactly-once per batch — a
+    * STRONGER contract than the append loops' lineage-cleanup (state
+    * here is merged, not appended; cleanup-by-filter cannot apply).
+    * Returns whether the batch was applied.
+    */
+  def goldenMergeBatch(spark: org.apache.spark.sql.SparkSession,
+                       votesRoot: String, batchVotes: DataFrame,
+                       batchId: Long): Boolean = {
+    val cur = graft.sources.Versioned.read(spark, votesRoot)
+    val last = cur.agg(F.max("last_batch")).head().getLong(0)
+    if (batchId <= last) false
+    else {
+      val merged = graft.harmonize.Linkage.goldenVotesMerge(
+          cur.drop("last_batch").unionByName(batchVotes))
+        .withColumn("last_batch", F.lit(batchId))
+      graft.sources.Versioned.commit(merged, votesRoot)
+      true
+    }
+  }
+
+  /** Streaming survivorship: each micro-batch of B records resolves
+    * against the persisted link index (pruned-partition read, master
+    * never rescanned), reduces to its partial vote table, and merges
+    * into the state at `votesRoot` under the replay guard. Golden
+    * rows serve at any time from
+    * `Linkage.goldenFromVotes(Versioned.read(votesRoot).drop("last_batch"), idA)`
+    * — identical to the one-shot [[graft.harmonize.Linkage.goldenRecords]]
+    * over everything ingested (spec-gated equality). Per-batch cost:
+    * the batch's block-footprint read + an entity-bounded state merge.
+    */
+  def goldenIngest(stream: DataFrame, indexPath: String, votesRoot: String,
+                   blockCols: Seq[String],
+                   idA: String, nameA: String, idB: String, nameB: String,
+                   maxDist: Int, attrs: Seq[String],
+                   checkpointDir: Option[String] = None): StreamingQuery = {
+    val writer = stream.writeStream
+    checkpointDir.foreach(writer.option("checkpointLocation", _))
+    writer.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+      if (!batch.isEmpty) {
+        val spark = batch.sparkSession
+        val links = graft.harmonize.Linkage.linkByNameIndex(spark, indexPath,
+          batch.toDF(), blockCols, idA, nameA, idB, nameB, maxDist)
+        val bM = links.select(F.col(idB), F.col(idA).as("__cid"))
+          .join(batch.toDF(), Seq(idB))
+          .select((F.col("__cid") +: F.lit(0).as("__m") +:
+            attrs.map(c => F.col(c).cast("string").as(c))): _*)
+        goldenMergeBatch(spark, votesRoot,
+          graft.harmonize.Linkage.goldenVotesOf(bM, attrs), batchId)
+        ()
+      }
+    }.start()
+  }
 }

@@ -497,6 +497,50 @@ class R15OpsSpec extends SparkSpec {
     assert(z.getLong(4) == contrib(0, 1, 3, 7) + contrib(1, 1, 4, 7))
   }
 
+  test("StreamingLinkage.goldenIngest: incremental vote state == one-shot survivorship; replay guard") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.harmonize.Linkage
+    import graft.streaming.StreamingLinkage
+    implicit val sq = spark.sqlContext
+    val aM = srcA.select(F.col("id_a"), F.col("name_a"),
+      F.col("name_a").as("nm"), F.col("blk"))
+    val base = java.nio.file.Files.createTempDirectory("golden").toString
+    val idx = base + "/idx"; val votes = base + "/votes"
+    Linkage.linkIndexBuild(aM, idx, Seq("blk"), "id_a", "name_a")
+    StreamingLinkage.goldenSeed(aM, "id_a", Seq("nm", "blk"), votes)
+    val stream = MemoryStream[(Long, String, String)]
+    val q = StreamingLinkage.goldenIngest(
+      stream.toDF().toDF("id_b", "name_b", "blk")
+        .withColumn("nm", F.col("name_b")),
+      idx, votes, Seq("blk"), "id_a", "name_a", "id_b", "name_b",
+      maxDist = 3, attrs = Seq("nm", "blk"),
+      checkpointDir = Some(base + "/ckpt"))
+    try {
+      stream.addData((11L, "alpha corp.", "k1")); q.processAllAvailable()
+      stream.addData((13L, "gama llc", "k2")); q.processAllAvailable()
+    } finally q.stop()
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val served = key(Linkage.goldenFromVotes(
+      graft.sources.Versioned.read(spark, votes).drop("last_batch"), "id_a"))
+    val bAll = srcB.withColumn("nm", F.col("name_b"))
+    val oneShot = key(Linkage.goldenRecords(aM, bAll,
+      Linkage.linkByName(aM, bAll, Seq("blk"), "id_a", "name_a",
+        "id_b", "name_b", maxDist = 3),
+      "id_a", "id_b", Seq("nm", "blk")))
+    assert(served == oneShot, s"served=$served\noneShot=$oneShot")
+    // linked cluster 1 carries the dirty vote but master still wins 1-1
+    assert(served.contains((1L, "nm", "alpha corp", 1L, 2L)))
+    // replay guard: a batch id at/below the high-water mark is a no-op
+    val vBefore = graft.sources.Versioned.currentVersion(spark, votes)
+    val dummy = Seq((1L, 0, "nm", "zzz")).toDF("__cid", "__m", "attribute", "value")
+      .groupBy("__cid", "attribute", "value")
+      .agg(F.count(F.lit(1)).as("n_votes"), F.max("__m").as("__mm"))
+    assert(!StreamingLinkage.goldenMergeBatch(spark, votes, dummy, 1L))
+    assert(graft.sources.Versioned.currentVersion(spark, votes) == vBefore)
+  }
+
   private def warcBytes(typ: String, uri: String,
       payload: Array[Byte]): Array[Byte] = {
     val h = new StringBuilder("WARC/1.0\r\n")
