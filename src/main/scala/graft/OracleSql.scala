@@ -2793,6 +2793,28 @@ object OracleSql {
     // stream (grayscale palette -> each pixel contributes its index
     // value 3 times) — a hash match proves the LZW decode + palette
     // expansion reconstructed every index exactly
+    // BMP: aggregates recomputed codec-free from the closed-form RGB
+    // samples; i decomposes to (pixel, channel), pixel to (x, y) —
+    // row order (bottom-up vs top-down) is invisible to the sums
+    "multimodal_bmp" ->
+      """WITH d AS (SELECT doc_id,
+        |                  CAST(doc_id % 14 + 1 AS INTEGER) AS width,
+        |                  CAST(doc_id % 10 + 1 AS INTEGER) AS height
+        |           FROM documents),
+        |s AS (SELECT doc_id, width, height,
+        |             unnest(generate_series(0, width * height * 3 - 1)) AS i
+        |      FROM d),
+        |v AS (SELECT doc_id, width, height,
+        |             (((i // 3) % width) * 83 + ((i // 3) // width) * 29 +
+        |              (i % 3) * 7 + doc_id) % 256 AS val
+        |      FROM s)
+        |SELECT doc_id, width, height, CAST(3 AS INTEGER) AS channels,
+        |       CAST(count(*) AS BIGINT) AS n_samples,
+        |       CAST(sum(val) AS BIGINT) AS sum_val,
+        |       CAST(sum(val * val) AS BIGINT) AS sum_sq,
+        |       round(CAST(sum(val) AS DOUBLE) / count(*), 6) AS mean_val
+        |FROM v GROUP BY 1, 2, 3 ORDER BY doc_id""".stripMargin,
+
     "multimodal_gif" ->
       """WITH d AS (SELECT doc_id,
         |                  CAST(doc_id % 14 + 1 AS INTEGER) AS width,

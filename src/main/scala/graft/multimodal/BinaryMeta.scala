@@ -141,6 +141,8 @@ object BinaryMeta {
               }
               PngCodec.Pixels(w, h, 3, data)
             }
+            else if (bytes != null && bytes.length >= 2 &&
+              bytes(0) == 'B' && bytes(1) == 'M') BmpCodec.decodePixels(bytes)
             else PngCodec.decodePixels(bytes)
           raster match {
             case None => Seq.empty[Row]
@@ -312,6 +314,31 @@ object BinaryMeta {
       }(enc)
   }
 
+  /** Deterministic real BMP payloads (the [[syntheticGifBlobs]] role
+    * for the DIB path): per-id dimensions, a closed-form RGB sample
+    * function the oracle replays codec-free, and id-parity alternation
+    * between bottom-up and top-down (negative height) row order so the
+    * wired query exercises BOTH layout branches — the aggregates are
+    * position-free, so the twin is row-order-blind by construction.
+    */
+  def syntheticBmpBlobs(df: DataFrame, idCol: String): DataFrame = {
+    val out = StructType(Seq(
+      StructField("id", LongType),
+      StructField("blob", BinaryType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(out)
+    df.select(F.col(idCol).cast("long").as("id"))
+      .where(F.col("id").isNotNull && F.col("id") >= 0)
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val (w, h) = ((id % 14 + 1).toInt, (id % 10 + 1).toInt)
+          Row(id, BmpCodec.encode(w, h,
+            (x, y, c) => ((x * 83 + y * 29 + c * 7 + id) % 256).toInt,
+            topDown = id % 2 == 0))
+        }
+      }(enc)
+  }
+
   /** Deterministic real JPEG payloads: per-id dimensions and a
     * closed-form per-block gray level — the JPEG twin of
     * [[syntheticGifBlobs]]. [[JpegCodec.encode]] emits genuine
@@ -400,9 +427,12 @@ object BinaryMeta {
             bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F'
           val isJpeg = bytes != null && bytes.length >= 2 &&
             (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8
+          val isBmp = bytes != null && bytes.length >= 2 &&
+            bytes(0) == 'B' && bytes(1) == 'M'
           val stats =
             if (isGif) GifCodec.decodeStats(bytes)
             else if (isJpeg) JpegCodec.decodeStats(bytes)
+            else if (isBmp) BmpCodec.decodeStats(bytes)
             else PngCodec.decodeStats(bytes)
           stats match {
             case Some(s) => Row(r.getLong(0), s.width, s.height, s.channels,

@@ -497,6 +497,51 @@ class R15OpsSpec extends SparkSpec {
     assert(z.getLong(4) == contrib(0, 1, 3, 7) + contrib(1, 1, 4, 7))
   }
 
+  test("BmpCodec: 24bpp round-trip both row orders, padding, 8bpp palette, garbage safety, sniffing") {
+    import graft.multimodal.{BmpCodec, BinaryMeta}
+    def s(x: Int, y: Int, c: Int) = (x * 83 + y * 29 + c * 7) % 256
+    // odd width forces row padding (5*3=15 -> 16-byte rows)
+    for (topDown <- Seq(false, true); (w, h) <- Seq((5, 3), (2, 2), (1, 1))) {
+      val px = BmpCodec.decodePixels(BmpCodec.encode(w, h, s, topDown))
+        .getOrElse(fail(s"decode failed w=$w h=$h topDown=$topDown"))
+      assert(px.width == w && px.height == h && px.channels == 3)
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+        assert(px.sample(x, y, c) == s(x, y, c),
+          s"($x,$y,$c) topDown=$topDown")
+    }
+    val st = BmpCodec.decodeStats(BmpCodec.encode(2, 2, s)).get
+    val vals = for (y <- 0 to 1; x <- 0 to 1; c <- 0 to 2) yield s(x, y, c)
+    assert(st.nSamples == 12L && st.sumVal == vals.map(_.toLong).sum &&
+      st.sumSq == vals.map(v => v.toLong * v).sum)
+    // 8bpp palette: hand-build header + BGRA palette + one padded row
+    val pal8 = {
+      val hdr = BmpCodec.encode(1, 1, (_, _, _) => 0) // template header
+      val b = new java.io.ByteArrayOutputStream()
+      def p32(v: Int) = (0 to 3).foreach(i => b.write((v >> (8 * i)) & 0xff))
+      def p16(v: Int) = (0 to 1).foreach(i => b.write((v >> (8 * i)) & 0xff))
+      b.write('B'); b.write('M'); p32(0); p32(0); p32(54 + 8) // data offset
+      p32(40); p32(2); p32(1); p16(1); p16(8); p32(0); p32(0)
+      p32(0); p32(0); p32(2); p32(0) // clrUsed = 2
+      // palette: idx0 = BGRA(10,20,30,_) -> RGB(30,20,10); idx1 = (1,2,3)
+      Seq(10, 20, 30, 0, 1, 2, 3, 0).foreach(b.write)
+      Seq(0, 1, 0, 0).foreach(b.write) // row [idx0, idx1] + 2 pad bytes
+      val bytes = b.toByteArray; require(hdr(0) == 'B'); bytes
+    }
+    val p8 = BmpCodec.decodePixels(pal8).getOrElse(fail("8bpp decode"))
+    assert((0 to 2).map(p8.sample(0, 0, _)) == Seq(30, 20, 10))
+    assert((0 to 2).map(p8.sample(1, 0, _)) == Seq(3, 2, 1))
+    // garbage: truncated data, RLE compression, non-BMP all -> None
+    val good = BmpCodec.encode(4, 4, s)
+    assert(BmpCodec.decodePixels(good.dropRight(8)).isEmpty)
+    val rle = good.clone(); rle(30) = 1 // biCompression = BI_RLE8
+    assert(BmpCodec.decodePixels(rle).isEmpty)
+    assert(BmpCodec.decodePixels("BMnot really".getBytes).isEmpty)
+    // the sniffing stats path routes 'BM' payloads through BmpCodec
+    val df = Seq((1L, BmpCodec.encode(2, 2, s))).toDF("img_id", "blob")
+    val row = BinaryMeta.decodePixelStats(df, "img_id").head()
+    assert(row.getLong(4) == 12L && row.getLong(5) == st.sumVal)
+  }
+
   test("StreamingLinkage.goldenIngest: incremental vote state == one-shot survivorship; replay guard") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.harmonize.Linkage
