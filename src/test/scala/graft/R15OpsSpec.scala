@@ -497,6 +497,40 @@ class R15OpsSpec extends SparkSpec {
     assert(z.getLong(4) == contrib(0, 1, 3, 7) + contrib(1, 1, 4, 7))
   }
 
+  test("Urls.canonical: RFC 3986 normalization + crawl-key extras; nulls for non-URLs; codegen path") {
+    import graft.functions.Urls
+    val cases = Seq(
+      // case/www/trailing-dot host, zero-padded default port, dot
+      // segments, unreserved percent decode, sorted query, fragment
+      "HTTP://WWW.Example.COM.:080/a/./b/../c/%7euser/?b=2&a=1#frag" ->
+        "http://example.com/a/c/~user/?a=1&b=2",
+      "https://x.org:8443" -> "https://x.org:8443/",
+      "https://x.org:443/p" -> "https://x.org/p",
+      "http://a.b?x=1" -> "http://a.b/?x=1",
+      // userinfo stripped; reserved escape uppercased; bad escape kept
+      "http://u:pw@Host.net/%2fesc%g1" -> "http://host.net/%2Fesc%g1",
+      "http://h.i/../../x" -> "/x stays rooted",
+      "http://h.i/p?&&" -> "http://h.i/p",
+      "ftp://x/" -> null, "not a url" -> null, "http://" -> null,
+      "http:///path" -> null)
+    for ((in, want0) <- cases) {
+      val want = if (want0 == "/x stays rooted") "http://h.i/x" else want0
+      assert(Urls.canonicalize(in) == want, s"in=$in")
+    }
+    // idempotent: canonical output canonicalizes to itself
+    for ((in, _) <- cases; c = Urls.canonicalize(in); if c != null)
+      assert(Urls.canonicalize(c) == c, s"not idempotent: $in -> $c")
+    // the Column path (codegen'd expression) agrees with the kernel
+    val urls = cases.map(_._1)
+    val got = urls.toDF("u").select(Urls.canonical(F.col("u")).as("c"))
+      .collect().map(r => Option(r.getString(0)).orNull).toSeq
+    val want = cases.map { case (in, w) =>
+      if (w == "/x stays rooted") "http://h.i/x" else w }
+    assert(got == want, s"$got")
+    assert(Seq[String](null).toDF("u")
+      .select(Urls.canonical(F.col("u"))).head().isNullAt(0))
+  }
+
   test("BmpCodec: 24bpp round-trip both row orders, padding, 8bpp palette, garbage safety, sniffing") {
     import graft.multimodal.{BmpCodec, BinaryMeta}
     def s(x: Int, y: Int, c: Int) = (x * 83 + y * 29 + c * 7) % 256
