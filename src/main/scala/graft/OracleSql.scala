@@ -3171,6 +3171,49 @@ object OracleSql {
       }.mkString("", "\nUNION ALL\n", "\nORDER BY comparison, category")
     },
 
+    // bucketed numeric drift: histogram's fixed double bucketing over
+    // the UNION bounds, then the chi-square contingency math (same
+    // micro-truncation as profile_drift_chi2)
+    "profile_drift_hist" -> {
+      def contrib(o: String, side: String) =
+        s"""(CASE WHEN ((cnt_a + cnt_b) * $side * 1000000) // (na + nb) > 0
+           | THEN CAST((($o * 1000000 - ((cnt_a + cnt_b) * $side * 1000000) // (na + nb)) *
+           |            ($o * 1000000 - ((cnt_a + cnt_b) * $side * 1000000) // (na + nb)))
+           |      // (((cnt_a + cnt_b) * $side * 1000000) // (na + nb)) AS BIGINT)
+           | ELSE NULL END)""".stripMargin.replace("\n", " ")
+      val bins = 16
+      val cmps = Seq(
+        ("orders_totalprice:pre1998_vs_post",
+          "SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'",
+          "SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'"),
+        ("lineitem_extprice:R_vs_A",
+          "SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem WHERE l_returnflag = 'R'",
+          "SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem WHERE l_returnflag = 'A'"))
+      cmps.map { case (name, aq, bq) =>
+        s"""SELECT '$name' AS comparison, category,
+           |       CAST(cnt_a AS BIGINT) AS cnt_a, CAST(cnt_b AS BIGINT) AS cnt_b,
+           |       ${contrib("cnt_a", "na")} + ${contrib("cnt_b", "nb")} AS contrib_ppm
+           |FROM (SELECT category, sum(ia) AS cnt_a, sum(ib) AS cnt_b FROM (
+           |        SELECT CAST((CASE WHEN mx = mn THEN CAST(0 AS BIGINT)
+           |                 ELSE least(CAST(floor((v - mn) * $bins / (mx - mn)) AS BIGINT),
+           |                            CAST(${bins - 1} AS BIGINT)) END) AS VARCHAR) AS category,
+           |               ia, ib
+           |        FROM (SELECT v, CAST(1 AS HUGEINT) AS ia, CAST(0 AS HUGEINT) AS ib
+           |              FROM ($aq) WHERE v IS NOT NULL
+           |              UNION ALL
+           |              SELECT v, 0, 1 FROM ($bq) WHERE v IS NOT NULL),
+           |             (SELECT CAST(min(v) AS DOUBLE) AS mn, CAST(max(v) AS DOUBLE) AS mx
+           |              FROM (SELECT v FROM ($aq) UNION ALL SELECT v FROM ($bq))
+           |              WHERE v IS NOT NULL))
+           |      GROUP BY category),
+           |     (SELECT sum(ia2) AS na, sum(ib2) AS nb FROM (
+           |        SELECT count(*)::HUGEINT AS ia2, 0::HUGEINT AS ib2
+           |        FROM ($aq) WHERE v IS NOT NULL
+           |        UNION ALL
+           |        SELECT 0, count(*)::HUGEINT FROM ($bq) WHERE v IS NOT NULL))""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY comparison, category")
+    },
+
     // semantic-type audit: the regex text comes VERBATIM from
     // Profile.semanticPatterns (one source of truth, both engines
     // evaluate identical patterns in the Java-regex ∩ RE2 subset)

@@ -2624,6 +2624,21 @@ object SparkEntry {
       .orderBy("comparison", "category")
   }
 
+  private def profileDriftHist(t: Tables): DataFrame = {
+    // the bucketed (constant-state) numeric-drift path over the SAME
+    // splits as profile_drift_ks — the two reports cross-check: KS is
+    // exact-per-distinct-value, this is the 16-bucket scale shape
+    val early = t.orders.where(F.col("o_orderdate") < ts("1998-01-01"))
+    val late = t.orders.where(F.col("o_orderdate") >= ts("1998-01-01"))
+    Drift.histDrift("orders_totalprice:pre1998_vs_post", early, late,
+        "o_totalprice", bins = 16)
+      .unionAll(Drift.histDrift("lineitem_extprice:R_vs_A",
+        t.lineitem.where(F.col("l_returnflag") === "R"),
+        t.lineitem.where(F.col("l_returnflag") === "A"),
+        "l_extendedprice", bins = 16))
+      .orderBy("comparison", "category")
+  }
+
   private def profileTypes(t: Tables): DataFrame = {
     // semantic-type audit over an explicitly-stringified ingest view:
     // int keys render as digits, the timestamp through date_format,
@@ -3566,6 +3581,7 @@ object SparkEntry {
       "profile_drift_ks" -> q(profileDriftKs),
       "profile_drift_chi2" -> q(profileDriftChi2),
       "profile_drift_embedding" -> q(profileDriftEmbedding),
+      "profile_drift_hist" -> q(profileDriftHist),
       "profile_types" -> q(profileTypes),
       "profile_correlation" -> q(profileCorrelation),
       "profile_histogram" -> q(profileHistogram),

@@ -116,6 +116,38 @@ object Drift {
       schema)
   }
 
+  /** Bucketed chi-square drift for numeric columns — the 100 TB scale
+    * path beside [[ksDrift]]: KS walks every distinct value (state
+    * grows with the column's cardinality), while this reduces both
+    * sides to `bins` fixed-width buckets over the UNION's [min,max]
+    * (one one-row bound aggregate, broadcast — the profile_histogram
+    * pattern, bit-for-bit replayable double arithmetic) and
+    * chi-squares the 2×bins contingency through the shared
+    * [[chi2FromContingency]] — constant-size state, the shape the
+    * streaming monitor can maintain incrementally. Returns the chi2
+    * report with category = bucket index (string).
+    */
+  def histDrift(comparison: String, a: DataFrame, b: DataFrame,
+                valueCol: String, bins: Int = 16): DataFrame = {
+    require(bins >= 1, "at least one bucket")
+    def side(df: DataFrame, ia: Int) =
+      df.select(F.col(valueCol).cast("double").as("__v"),
+        F.lit(ia.toLong).as("__ia"), F.lit(1L - ia).as("__ib"))
+    val tagged = side(a, 1).unionAll(side(b, 0))
+      .where(F.col("__v").isNotNull)
+    val bounds = tagged.agg(F.min("__v").as("__mn"), F.max("__v").as("__mx"))
+    val mn = F.col("__mn"); val mx = F.col("__mx")
+    val bucket = F.when(mx === mn, F.lit(0L)).otherwise(
+      F.least(F.floor((F.col("__v") - mn) * F.lit(bins) / (mx - mn)),
+        F.lit(bins - 1L)))
+    val cont = tagged.crossJoin(F.broadcast(bounds))
+      .select(bucket.cast("string").as("category"),
+        F.col("__ia"), F.col("__ib"))
+      .groupBy("category")
+      .agg(F.sum("__ia").as("cnt_a"), F.sum("__ib").as("cnt_b"))
+    chi2FromContingency(comparison, cont)
+  }
+
   /** Per-dimension EXACT centroid drift between two embedding-bearing
     * slices — the embedding-column member of the drift family (KS for
     * orderable, chi-square for categorical, this for vector columns):

@@ -195,6 +195,9 @@ class PlanSpec extends SparkSpec {
     // pin truncates the plan, so the BNLJ never reaches the final
     // executed plan this guard inspects)
     "profile_histogram",
+    // bucketed drift crosses the same ONE-ROW union-bounds frame into
+    // the tagged value stream before its 16-bucket contingency
+    "profile_drift_hist",
     // ann_range / ann_knn_label: same broadcast-query corpus scan as
     // ann_topk (the kNN probe is cosineTopK + batch-sized vote frames)
     "ann_topk", "ann_range", "ann_knn_label", "ann_lsh_recall", "ann_ivf_recall",
@@ -291,8 +294,9 @@ class PlanSpec extends SparkSpec {
     "profile_benford",
     // the chi-square side/grand totals run over the |categories|-row
     // contingency aggregate (5 priorities / 4 event types) — the
-    // corpus-sized work is the upstream groupBy(category)
-    "profile_drift_chi2")
+    // corpus-sized work is the upstream groupBy(category); the hist
+    // variant's totals run over its ≤16-bucket contingency likewise
+    "profile_drift_chi2", "profile_drift_hist")
 
   test("no wired query plans a partition-less window over corpus-sized input") {
     // a Window with an empty partitionBy forces ONE task to sort the

@@ -772,6 +772,23 @@ class R15OpsSpec extends SparkSpec {
     assert(c.length == 3 && c.forall(_.isNullAt(3)))
   }
 
+  test("Drift.histDrift: union bounds, max-value clamp to last bucket, constant column") {
+    import graft.harmonize.Drift
+    // union bounds [0,4], bins=4 -> bucket = clamp(floor(x), 3)
+    val a = Seq(0.0, 1.0, 2.0, 4.0).toDF("x")
+    val b = Seq(4.0, 4.0).toDF("x")
+    val rows = Drift.histDrift("t", a, b, "x", bins = 4)
+      .orderBy("category").collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(rows == Seq(("0", 1L, 0L), ("1", 1L, 0L), ("2", 1L, 0L),
+      ("3", 1L, 2L)), s"$rows")
+    // constant column degenerates to one bucket, never a div-by-zero
+    val c = Drift.histDrift("c", Seq(5.0, 5.0).toDF("x"),
+      Seq(5.0).toDF("x"), "x", bins = 8).collect()
+    assert(c.length == 1 && c.head.getString(1) == "0" &&
+      c.head.getLong(2) == 2L && c.head.getLong(3) == 1L)
+  }
+
   test("Drift.embeddingDrift: hand-computed micro means/gaps; floor-on-negative semantics") {
     import graft.harmonize.Drift
     // a: [1, -0.5], [0.5, 0.25]  b: [0, 1]  (all exactly representable)
