@@ -3750,6 +3750,33 @@ object OracleSql {
         |SELECT node, count(*) AS n_triangles FROM nodes GROUP BY node
         |ORDER BY n_triangles DESC, node ASC LIMIT 20""".stripMargin,
 
+    // local clustering coefficients: triangle counts + degrees over
+    // the same co-order graph; lcc_ppm = (2*tri*1e6) // (deg*(deg-1))
+    // in HUGEINT — non-negative operands, engine-identical truncation
+    "graph_clustering" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |pr AS (SELECT x.pk AS a, y.pk AS b
+        |       FROM op x JOIN op y ON x.ok = y.ok AND x.pk < y.pk
+        |       GROUP BY 1, 2 HAVING count(*) >= 2),
+        |dg AS (SELECT node, count(*) AS deg FROM (
+        |         SELECT a AS node FROM pr UNION ALL SELECT b FROM pr)
+        |       GROUP BY node),
+        |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |        FROM pr e1
+        |        JOIN pr e2 ON e1.b = e2.a
+        |        JOIN pr e3 ON e1.a = e3.a AND e2.b = e3.b),
+        |tc AS (SELECT node, count(*) AS n_tri FROM (
+        |         SELECT x AS node FROM tri
+        |         UNION ALL SELECT y FROM tri
+        |         UNION ALL SELECT z FROM tri) GROUP BY node)
+        |SELECT d.node, CAST(d.deg AS BIGINT) AS deg,
+        |       CAST(coalesce(tc.n_tri, 0) AS BIGINT) AS n_triangles,
+        |       CAST((2 * coalesce(tc.n_tri, 0)::HUGEINT * 1000000)
+        |            // (d.deg::HUGEINT * (d.deg - 1)) AS BIGINT) AS lcc_ppm
+        |FROM dg d LEFT JOIN tc ON d.node = tc.node
+        |WHERE d.deg >= 2
+        |ORDER BY lcc_ppm DESC, deg DESC, d.node ASC LIMIT 20""".stripMargin,
+
     // generic connected components over the co-order part graph:
     // component label = min reachable id, via transitive closure
     // (support >= 3 keeps the closure component-sized)

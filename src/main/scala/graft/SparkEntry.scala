@@ -2774,6 +2774,23 @@ object SparkEntry {
       .limit(20)
   }
 
+  private def graphClustering(t: Tables): DataFrame = {
+    // local clustering coefficients over the SAME co-order graph as
+    // graph_triangles (support >= 2) — gated on (lcc desc, deg desc,
+    // node) so high-cohesion neighborhoods surface, not just hubs
+    val op = t.lineitem.select(F.col("l_orderkey").as("ok"),
+      F.col("l_partkey").as("pk")).distinct().persist()
+    val pairs = op.as("x").join(op.as("y"),
+        F.col("x.ok") === F.col("y.ok") && F.col("x.pk") < F.col("y.pk"))
+      .groupBy(F.col("x.pk").as("a"), F.col("y.pk").as("b"))
+      .agg(F.count(F.lit(1)).as("cooc"))
+      .where(F.col("cooc") >= 2)
+      .select("a", "b")
+    operators.Graph.clusteringCoefficient(pairs)
+      .orderBy(F.col("lcc_ppm").desc, F.col("deg").desc, F.col("node").asc)
+      .limit(20)
+  }
+
   private def graphComponents(t: Tables): DataFrame = {
     // generic connected components over the co-order part graph
     // (parts appearing together in >= 3 orders — the support filter
@@ -3613,6 +3630,7 @@ object SparkEntry {
       "q_cube" -> q(qCube),
       "graph_degree" -> q(graphDegree),
       "graph_triangles" -> q(graphTriangles),
+      "graph_clustering" -> q(graphClustering),
       "text_keywords" -> q(textKeywords),
       "curate_weighted_sample" -> q(curateWeightedSample),
       "scd2_apply" -> q(scd2Apply),

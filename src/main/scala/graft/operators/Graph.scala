@@ -682,4 +682,33 @@ object Graph {
     // check immediately
     (out, () => { e.unpersist(true); tri.unpersist(true); () })
   }
+
+  /** Per-node LOCAL clustering coefficient (Watts & Strogatz '98)
+    * over canonical undirected pairs: lcc(v) = 2·tri(v) / (deg(v)·
+    * (deg(v)−1)) for deg ≥ 2, reported as an exact truncating ppm —
+    * (2·tri·1e6) div (deg·(deg−1)) with every product in
+    * DECIMAL(38)/HUGEINT (tri(v) ≤ deg², so the Long-wrap cliff is
+    * real at hub degrees) and non-negative operands throughout, so
+    * Spark `div` == DuckDB `//`. Triangle counts come from the
+    * degree-ordered orientation ([[triangleParticipation]] — the
+    * O(m^1.5) bound); degrees from one groupBy; zero-triangle nodes
+    * report lcc 0, degree-1 nodes are excluded (the coefficient is
+    * undefined, not zero). Returns (node, deg, n_triangles, lcc_ppm).
+    */
+  def clusteringCoefficient(pairs: DataFrame): DataFrame = {
+    val und = pairs.select(F.col("a"), F.col("b"))
+    val deg = und.select(F.col("a").as("node"))
+      .unionAll(und.select(F.col("b").as("node")))
+      .groupBy("node").agg(F.count(F.lit(1)).as("deg"))
+    val tri = triangleParticipation(pairs)
+    deg.where(F.col("deg") >= 2)
+      .join(tri, Seq("node"), "left")
+      .select(F.col("node"), F.col("deg"),
+        F.coalesce(F.col("n_triangles"), F.lit(0L)).as("n_triangles"),
+        F.expr("CAST((CAST(2 AS DECIMAL(38,0)) * " +
+          "CAST(coalesce(n_triangles, 0) AS DECIMAL(38,0)) * " +
+          "CAST(1000000 AS DECIMAL(38,0))) div " +
+          "(CAST(deg AS DECIMAL(38,0)) * CAST(deg - 1 AS DECIMAL(38,0))) " +
+          "AS BIGINT)").as("lcc_ppm"))
+  }
 }

@@ -497,6 +497,22 @@ class R15OpsSpec extends SparkSpec {
     assert(z.getLong(4) == contrib(0, 1, 3, 7) + contrib(1, 1, 4, 7))
   }
 
+  test("Graph.clusteringCoefficient: triangle+pendant hand graph; degree-1 excluded; zero-lcc kept") {
+    import graft.operators.Graph
+    // triangle {1,2,3}, pendant 4 on 3, plus 4-5 so 4 reaches deg 2
+    // with NO triangle (lcc exactly 0, still reported)
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("a", "b")
+    val got = Graph.clusteringCoefficient(pairs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // node1: deg2 tri1 -> 2*1e6/2 = 1000000; node3: deg3 tri1 ->
+    // 2e6 div 6 = 333333; node4: deg2 tri0 -> 0; node5 deg1 excluded
+    assert(got == Map(
+      1L -> ((2L, 1L, 1000000L)), 2L -> ((2L, 1L, 1000000L)),
+      3L -> ((3L, 1L, 333333L)), 4L -> ((2L, 0L, 0L))), s"$got")
+  }
+
   test("Urls.canonical: RFC 3986 normalization + crawl-key extras; nulls for non-URLs; codegen path") {
     import graft.functions.Urls
     val cases = Seq(
