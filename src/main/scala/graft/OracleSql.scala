@@ -3259,7 +3259,8 @@ object OracleSql {
     // (DuckDB // floors, Spark div truncates — identical after abs)
     "profile_drift_embedding" -> {
       def sdiv(num: String, den: String) =
-        s"(CASE WHEN ($num) >= 0 THEN ($num) // ($den) ELSE -((-($num)) // ($den)) END)"
+        s"(CASE WHEN ($den) > 0 THEN (CASE WHEN ($num) >= 0 " +
+          s"THEN ($num) // ($den) ELSE -((-($num)) // ($den)) END) ELSE NULL END)"
       val cmps = Seq(
         ("emb_label0_vs_label1", "label = 0", "label = 1"),
         ("emb_even_vs_odd", "vec_id % 2 = 0", "vec_id % 2 = 1"))

@@ -188,10 +188,14 @@ object Drift {
         F.sum(d38(F.col("__ib")) * d38(F.col("__vm"))).as("sb"),
         F.sum("__ia").as("ca"), F.sum("__ib").as("cb"))
     // sign-split truncating division: Spark div truncates toward zero,
-    // DuckDB // floors — identical only after the abs() split
+    // DuckDB // floors — identical only after the abs() split. Guarded
+    // on a positive divisor: a dimension one side never populates
+    // (ragged vectors, an empty slice) reports NULL, not a
+    // divide-by-zero (ANSI) or a silent null-without-contract
     def sdiv(num: String, den: String) =
-      s"(CASE WHEN ($num) >= 0 THEN ($num) div ($den) " +
-        s"ELSE -((-($num)) div ($den)) END)"
+      s"(CASE WHEN ($den) > 0 THEN (CASE WHEN ($num) >= 0 " +
+        s"THEN ($num) div ($den) ELSE -((-($num)) div ($den)) END) " +
+        s"ELSE NULL END)"
     per.select(
       F.lit(comparison).as("comparison"), F.col("dim"),
       F.col("ca").cast("long").as("n_a"), F.col("cb").cast("long").as("n_b"),

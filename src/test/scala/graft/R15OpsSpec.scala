@@ -826,6 +826,15 @@ class R15OpsSpec extends SparkSpec {
         Seq(Array(0.0f, 0.0f)).toDF("e"), "e").orderBy("dim").collect()
       .map(r => (r.getLong(4), r.getLong(6))).toSeq
     assert(neg == Seq((100000L, 100000L), (-100001L, -100001L)), s"$neg")
+    // ragged vectors: a dimension one side never populates reports
+    // NULL mean/gap (guarded divisor), never a divide-by-zero
+    val rag = Drift.embeddingDrift("r",
+        Seq(Array(1.0f, 2.0f), Array(1.0f)).toDF("e"),
+        Seq(Array(3.0f)).toDF("e"), "e").orderBy("dim").collect()
+    assert(rag.length == 2)
+    val d1 = rag(1)
+    assert(d1.getLong(2) == 1L && d1.getLong(3) == 0L &&
+      d1.getLong(4) == 2000000L && d1.isNullAt(5) && d1.isNullAt(6))
   }
 
   test("StreamingDrift.chi2Ingest: per-batch reports equal the batch operator; novel category + lineage") {
