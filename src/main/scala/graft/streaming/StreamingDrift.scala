@@ -32,6 +32,32 @@ object StreamingDrift {
     * the full-outer count join feeds the SAME contribution assembly
     * ([[graft.harmonize.Drift.chi2FromContingency]]).
     */
+  /** Numeric drift monitoring: bucketize the stream under FROZEN
+    * reference bounds (the serving contract — bounds come from the
+    * reference corpus once; batch values outside them CLAMP into the
+    * edge buckets, so novel tails surface as edge-bucket mass, never
+    * as dropped rows) and chi-square each micro-batch's bucket counts
+    * against the frozen reference histogram via [[chi2Ingest]]. This
+    * is the incremental form of `Drift.histDrift` — constant-size
+    * state (bins), constant-size reference, one batch scan per batch.
+    */
+  def histIngest(stream: DataFrame, refCounts: DataFrame, valueCol: String,
+                 mn: Double, mx: Double, bins: Int, reportPath: String,
+                 comparison: String = "ref_vs_batch",
+                 checkpointDir: Option[String] = None): StreamingQuery = {
+    require(bins >= 1, "at least one bucket")
+    val v = F.col(valueCol).cast("double")
+    val bucket =
+      if (mx == mn) F.lit(0L)
+      else F.greatest(F.lit(0L),
+        F.least(F.floor((v - F.lit(mn)) * F.lit(bins) / F.lit(mx - mn)),
+          F.lit(bins - 1L)))
+    val bucketed = stream.where(v.isNotNull)
+      .select(bucket.cast("string").as("bucket"))
+    chi2Ingest(bucketed, refCounts, "bucket", reportPath, comparison,
+      checkpointDir)
+  }
+
   def chi2Ingest(stream: DataFrame, refCounts: DataFrame, catCol: String,
                  reportPath: String, comparison: String = "ref_vs_batch",
                  checkpointDir: Option[String] = None): StreamingQuery = {

@@ -874,6 +874,31 @@ class R15OpsSpec extends SparkSpec {
       F.col("category") === "w" && F.col("cnt_a") === 0L).count() == 1)
   }
 
+  test("StreamingDrift.histIngest: frozen bounds, out-of-range clamps to edge buckets") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingDrift
+    implicit val sq = spark.sqlContext
+    // frozen reference histogram over bounds [0,4), 4 buckets
+    val refCounts = Seq(("0", 2L), ("1", 1L), ("3", 1L))
+      .toDF("category", "cnt")
+    val dir = java.nio.file.Files.createTempDirectory("histrep").toString + "/r"
+    val stream = MemoryStream[Double]
+    val q = StreamingDrift.histIngest(stream.toDF().toDF("x"), refCounts,
+      "x", mn = 0.0, mx = 4.0, bins = 4, dir,
+      checkpointDir = Some(java.nio.file.Files
+        .createTempDirectory("histrep_ckpt").toString))
+    try {
+      // -5 clamps to bucket 0, 99 clamps to bucket 3 — novel tails
+      // surface as edge-bucket mass, never dropped rows
+      stream.addData(-5.0, 0.5, 3.9, 99.0)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(dir).collect()
+      .map(r => r.getString(1) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map("0" -> ((2L, 2L)), "1" -> ((1L, 0L)),
+      "3" -> ((1L, 2L))), s"$got")
+  }
+
   test("Drift.ksDrift: empty side errors loudly") {
     import graft.harmonize.Drift
     val a = Seq(1.0).toDF("x")
