@@ -2121,6 +2121,25 @@ object OracleSql {
     // entropyProbeText row (doc_id = -1: combining sequence +
     // supplementary-plane char), pinning DuckDB's per-code-point
     // string_split segmentation inside the parity gate itself.
+    // Flesch reading ease in milli-units: syllable = max(1, vowel
+    // groups) per token (a vowel GROUP is a maximal [aeiouy] run —
+    // regexp_extract_all counts exactly what the Spark kernel scans);
+    // both divisions positive-operand truncating (// == div)
+    "text_readability" ->
+      s"""WITH d AS (SELECT doc_id, text, ${toks("text")} AS tl FROM documents),
+         |m AS (SELECT doc_id,
+         |        greatest(1, len(tl)) AS w,
+         |        greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS s,
+         |        greatest(1, coalesce(list_sum(list_transform(tl,
+         |          t -> greatest(1, len(regexp_extract_all(t, '[aeiouy]+'))))), 0)) AS syl
+         |      FROM d)
+         |SELECT doc_id, CAST(w AS BIGINT) AS n_words,
+         |       CAST(s AS BIGINT) AS n_sentences,
+         |       CAST(syl AS BIGINT) AS n_syllables,
+         |       CAST(206835 - (1015 * w) // s - (84600 * syl) // w AS BIGINT)
+         |         AS flesch_milli
+         |FROM m ORDER BY doc_id""".stripMargin,
+
     "text_entropy" ->
       s"""WITH docs AS (SELECT doc_id, text FROM documents
          |              UNION ALL SELECT CAST(-1 AS BIGINT) AS doc_id,

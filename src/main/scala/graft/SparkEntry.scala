@@ -1629,6 +1629,31 @@ object SparkEntry {
     t.documents.select(F.col("doc_id"), TextOps.langId(F.col("text")).as("predicted_lang"))
       .orderBy("doc_id")
 
+  private def textReadability(t: Tables): DataFrame = {
+    // exact-integer Flesch reading ease in milli-units: the two
+    // truncating divisions replay identically in DuckDB (positive
+    // operands), so a float-defined score gates cross-engine. All
+    // three counts floor at 1 (empty docs stay defined — reported
+    // post-guard so the formula inputs ARE the gated columns).
+    // Per-doc magnitudes: 84600·syllables stays inside Long to ~1e14
+    // tokens per document — far past any real document.
+    val toks = TextOps.tokens(F.col("text"))
+    t.documents
+      .select(F.col("doc_id"),
+        F.greatest(F.lit(1L), F.size(toks).cast("long")).as("n_words"),
+        F.greatest(F.lit(1L),
+          F.regexp_count(F.col("text"), F.lit("[.!?]+")).cast("long"))
+          .as("n_sentences"),
+        F.greatest(F.lit(1L),
+          graft.functions.HashExprs.syllableCount(toks)).as("n_syllables"))
+      .select(F.col("doc_id"), F.col("n_words"), F.col("n_sentences"),
+        F.col("n_syllables"),
+        F.expr("CAST(206835 - (1015 * n_words) div n_sentences - " +
+          "(84600 * n_syllables) div n_words AS BIGINT)")
+          .as("flesch_milli"))
+      .orderBy("doc_id")
+  }
+
   private def langConfusion(t: Tables): DataFrame =
     // classifier audit: the lang_id heuristic's confusion matrix
     // against the corpus's labeled lang column — per (label,
@@ -3517,6 +3542,7 @@ object SparkEntry {
       "ann_pca_recall" -> q(annPcaRecall),
       "ann_ivfpq_recall" -> q(annIvfpqRecall),
       "text_stats" -> q(textStats),
+      "text_readability" -> q(textReadability),
       "lang_id" -> q(langId),
       "lang_confusion" -> q(langConfusion),
       "token_count" -> q(tokenCount),

@@ -106,6 +106,10 @@ object HashExprs {
   /** Sum of token lengths in characters (one pass). */
   def sumTokenChars(toks: Column): Column =
     Bridge.column(SumTokenChars(Bridge.expression(toks)))
+
+  /** Heuristic syllables: Σ per token of max(1, vowel-group count). */
+  def syllableCount(toks: Column): Column =
+    Bridge.column(SyllableCount(Bridge.expression(toks)))
 }
 
 /** Shared one-line doGenCode: evaluate the child null-safely, then call
@@ -914,6 +918,52 @@ case class SumTokenChars(child: Expression)
   }
 
   override protected def withNewChildInternal(newChild: Expression): SumTokenChars =
+    copy(child = newChild)
+}
+
+/** Heuristic syllable count summed over a token array: each token
+  * contributes max(1, its [aeiouy]-group count) — the classic
+  * readability-formula approximation (every written word carries at
+  * least one syllable; vowel runs approximate nuclei). One pass, no
+  * regex; the DuckDB twin replays it as
+  * greatest(1, len(regexp_extract_all(t, '[aeiouy]+'))) per token —
+  * identical by construction (a vowel GROUP is exactly a maximal
+  * vowel run). Tokens are the lowercase [a-z0-9] runs of
+  * TokenizeWords, so case never matters here.
+  */
+case class SyllableCount(child: Expression)
+    extends UnaryExpression with UnaryKernelCodegen {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "syllable_count"
+
+  override def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[ArrayData])
+
+  def kernel(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    var total = 0L
+    var i = 0
+    while (i < n) {
+      val t = arr.getUTF8String(i)
+      val s = t.toString
+      var groups = 0
+      var inGroup = false
+      var j = 0
+      while (j < s.length) {
+        val c = s.charAt(j)
+        val v = c == 'a' || c == 'e' || c == 'i' || c == 'o' ||
+          c == 'u' || c == 'y'
+        if (v && !inGroup) groups += 1
+        inGroup = v
+        j += 1
+      }
+      total += math.max(1, groups)
+      i += 1
+    }
+    total
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SyllableCount =
     copy(child = newChild)
 }
 

@@ -497,6 +497,38 @@ class R15OpsSpec extends SparkSpec {
     assert(z.getLong(4) == contrib(0, 1, 3, 7) + contrib(1, 1, 4, 7))
   }
 
+  test("text readability: hand-computed Flesch milli-units; empty-doc guards floor at 1") {
+    import graft.functions.HashExprs
+    import graft.text.TextOps
+    // syllable kernel: vowel GROUPS, min 1 per token
+    val syl = Seq((Seq("hello", "world", "it", "works", "yes"), 6L),
+      (Seq("rhythm"), 1L), (Seq("aeiouy"), 1L), (Seq("xyzzy"), 2L),
+      (Seq.empty[String], 0L))
+    for ((ts, want) <- syl) {
+      val got = Seq(Tuple1(ts)).toDF("t")
+        .select(HashExprs.syllableCount(F.col("t"))).head().getLong(0)
+      assert(got == want, s"$ts -> $got")
+    }
+    // flesch_milli = 206835 - (1015*w) div s - (84600*syl) div w
+    // doc1: w=5 s=2 syl=6 -> 206835 - 2537 - 101520 = 102778
+    // empty doc: all guards floor at 1 -> 206835 - 1015 - 84600 = 121220
+    val df = Seq((1L, "Hello world. It works! yes"), (2L, ""))
+      .toDF("doc_id", "text")
+    val toks = TextOps.tokens(F.col("text"))
+    val got = df.select(F.col("doc_id"),
+        F.greatest(F.lit(1L), F.size(toks).cast("long")).as("w"),
+        F.greatest(F.lit(1L),
+          F.regexp_count(F.col("text"), F.lit("[.!?]+")).cast("long")).as("s"),
+        F.greatest(F.lit(1L), HashExprs.syllableCount(toks)).as("syl"))
+      .select(F.col("doc_id"), F.col("w"), F.col("s"), F.col("syl"),
+        F.expr("CAST(206835 - (1015 * w) div s - (84600 * syl) div w AS BIGINT)")
+          .as("f"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == Seq((1L, 5L, 2L, 6L, 102778L), (2L, 1L, 1L, 1L, 121220L)),
+      s"$got")
+  }
+
   test("Graph.clusteringCoefficient: triangle+pendant hand graph; degree-1 excluded; zero-lcc kept") {
     import graft.operators.Graph
     // triangle {1,2,3}, pendant 4 on 3, plus 4-5 so 4 reaches deg 2
