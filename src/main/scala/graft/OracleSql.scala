@@ -3713,6 +3713,18 @@ object OracleSql {
         |FROM nums n JOIN dn USING (event_type)
         |ORDER BY event_type, lag""".stripMargin,
 
+    // skyline: the NOT EXISTS strict-domination definition, replayed
+    // directly (sf0.01-sized); duplicates survive together (strict)
+    "q_skyline" ->
+      """SELECT a.p_partkey, a.p_retailprice, a.p_size
+        |FROM part a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part b
+        |  WHERE b.p_retailprice <= a.p_retailprice
+        |    AND b.p_size <= a.p_size
+        |    AND (b.p_retailprice < a.p_retailprice OR b.p_size < a.p_size))
+        |ORDER BY a.p_partkey""".stripMargin,
+
     "events_changepoint" ->
       """WITH daily AS (SELECT event_type,
         |                      epoch_us(ts) - epoch_us(ts) % 86400000000 AS day_us,

@@ -3392,6 +3392,16 @@ object SparkEntry {
       Seq("l_returnflag", "l_linestatus", "l_suppkey", "l_partkey"))
       .orderBy("column")
 
+  private def qSkyline(t: Tables): DataFrame =
+    // Pareto front of parts minimizing (retail price, size): the
+    // multi-criteria shortlist query (Börzsönyi ICDE'01). Both dims
+    // are STORED values — the doubles hash identically cross-engine
+    // because nothing recomputes them
+    operators.Skyline.skyline(
+      t.part.select("p_partkey", "p_retailprice", "p_size"),
+      Seq("p_retailprice", "p_size"))
+      .orderBy("p_partkey")
+
   private def eventsChangepoint(t: Tables): DataFrame =
     streaming.Events.changepoint(t.events).orderBy("event_type")
 
@@ -3654,6 +3664,7 @@ object SparkEntry {
       "merge_upsert" -> q(mergeUpsert),
       "profile_ucc" -> q(profileUcc),
       "q_cube" -> q(qCube),
+      "q_skyline" -> q(qSkyline),
       "graph_degree" -> q(graphDegree),
       "graph_triangles" -> q(graphTriangles),
       "graph_clustering" -> q(graphClustering),

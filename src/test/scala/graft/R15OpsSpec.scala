@@ -497,6 +497,30 @@ class R15OpsSpec extends SparkSpec {
     assert(z.getLong(4) == contrib(0, 1, 3, 7) + contrib(1, 1, 4, 7))
   }
 
+  test("Skyline: strict domination, duplicates survive, null dims drop, partition-invariant, 3D") {
+    import graft.operators.Skyline
+    // front = {(1,5), (3,3), (5,1)}; (1,5) duplicated — both survive
+    // (strict domination); (3,4) dominated by (3,3); (6,6) by all
+    val pts = Seq((1L, 1.0, 5), (2L, 1.0, 5), (3L, 3.0, 3), (4L, 3.0, 4),
+      (5L, 5.0, 1), (6L, 6.0, 6)).toDF("id", "x", "y")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("id").collect().map(_.getLong(0)).toSet
+    val got = ids(Skyline.skyline(pts, Seq("x", "y")))
+    assert(got == Set(1L, 2L, 3L, 5L), s"$got")
+    // partition layout must not change the answer
+    assert(ids(Skyline.skyline(pts.repartition(7), Seq("x", "y"))) == got)
+    // a null dimension excludes the row (dominance undefined)
+    val withNull = pts.unionByName(
+      Seq((7L, null.asInstanceOf[java.lang.Double], 0))
+        .toDF("id", "x", "y").select(F.col("id"), F.col("x").cast("double"),
+          F.col("y").cast("int")))
+    assert(ids(Skyline.skyline(withNull, Seq("x", "y"))) == got)
+    // 3D: (1,1,9) and (9,9,1) are incomparable; (2,2,9) dominated
+    val d3 = Seq((1L, 1, 1, 9), (2L, 9, 9, 1), (3L, 2, 2, 9))
+      .toDF("id", "a", "b", "c")
+    assert(ids(Skyline.skyline(d3, Seq("a", "b", "c"))) == Set(1L, 2L))
+  }
+
   test("text readability: hand-computed Flesch milli-units; empty-doc guards floor at 1") {
     import graft.functions.HashExprs
     import graft.text.TextOps
