@@ -291,6 +291,20 @@ object OracleSql {
       """SELECT lang AS value_name, count(*) AS n FROM documents
         |GROUP BY lang ORDER BY value_name""".stripMargin,
 
+    // the exact similarity-join definition replayed quadratically
+    // (length-band pruned — result-identical); Spark's answer comes
+    // from the prefix-filtered candidate set, so parity proves the
+    // filter loses nothing
+    "match_values_edit_join" ->
+      """WITH v AS (SELECT DISTINCT s_name AS s FROM supplier
+        |           WHERE s_name IS NOT NULL)
+        |SELECT a.s AS source, b.s AS target,
+        |       CAST(levenshtein(a.s, b.s) AS INTEGER) AS lev
+        |FROM v a JOIN v b
+        |  ON a.s < b.s AND abs(length(a.s) - length(b.s)) <= 2
+        |WHERE levenshtein(a.s, b.s) <= 2
+        |ORDER BY source, target""".stripMargin,
+
     "match_values_edit" -> (editScored +
       """SELECT s.source, b.target, b.similarity
         |FROM src s LEFT JOIN (SELECT source, target, similarity FROM best WHERE rn = 1) b

@@ -45,6 +45,25 @@ object SparkEntry {
       threshold = 0.5)
       .orderBy("source")
 
+  private def matchValuesEditJoin(t: Tables): DataFrame = {
+    // the UNBLOCKED exact similarity join (EDJoin prefix filtering):
+    // customer names share a long hot prefix ("Customer#0000…"), the
+    // adversarial case for naive gram joins — signatures keep only the
+    // rarer digit-tail grams while the oracle replays the full
+    // quadratic definition. ed <= 2 pairs = names whose digit tails
+    // differ in <= 2 substitutions. Wired over SUPPLIER names:
+    // digit-only tails give a ~1000-gram alphabet, so posting lists —
+    // hence candidates AND the true answer — grow quadratically with
+    // the domain (the documented small-alphabet limit of gram
+    // filtering; slice or block such columns at 100x, exactly as the
+    // operator doc says); the supplier domain keeps the gate rich
+    // (45/4950/135k true pairs at the three SFs) with bounded postings
+    harmonize.ValueMatcher.editDistanceJoin(
+      t.supplier, "s_name", t.supplier, "s_name", k = 2)
+      .where(F.col("source") < F.col("target"))
+      .orderBy("source", "target")
+  }
+
   private def matchValuesTopk(t: Tables): DataFrame =
     ValueMatcher.editDistanceMatch(
       t.part, "p_name",
@@ -3457,6 +3476,7 @@ object SparkEntry {
       "profile_numeric" -> q(profileNumeric),
       "profile_numeric_approx" -> q(profileNumericApprox),
       "match_values_edit" -> q(matchValuesEdit),
+      "match_values_edit_join" -> q(matchValuesEditJoin),
       "match_values_topk" -> q(matchValuesTopk),
       "match_values_tfidf" -> q(matchValuesTfidf),
       "match_schema_overlap" -> q(matchSchemaOverlap),

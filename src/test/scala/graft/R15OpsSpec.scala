@@ -497,6 +497,28 @@ class R15OpsSpec extends SparkSpec {
     assert(z.getLong(4) == contrib(0, 1, 3, 7) + contrib(1, 1, 4, 7))
   }
 
+  test("ValueMatcher.editDistanceJoin: exact vs brute force incl. short-short and short-long pairs") {
+    import graft.harmonize.ValueMatcher
+    val vals = Seq("abc", "abd", "xyz", "abcdefgh", "abcdefghij",
+      "Supplier#000000001", "Supplier#000000002", "Supplier#000000013",
+      "totally different!!")
+    val df = vals.toDF("v")
+    val got = ValueMatcher.editDistanceJoin(df, "v", df, "v", k = 2)
+      .where(F.col("source") < F.col("target"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+      .toSet
+    val brute = df.as("a").crossJoin(df.as("b"))
+      .where(F.col("a.v") < F.col("b.v"))
+      .withColumn("lev", F.levenshtein(F.col("a.v"), F.col("b.v")))
+      .where(F.col("lev") <= 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+      .toSet
+    assert(got == brute, s"got=$got\nbrute=$brute")
+    // the two cases the gram pigeonhole alone cannot see:
+    assert(got.contains(("abc", "abd", 1)))             // both short
+    assert(got.contains(("abcdefgh", "abcdefghij", 2))) // short vs long
+  }
+
   test("Skyline: strict domination, duplicates survive, null dims drop, partition-invariant, 3D") {
     import graft.operators.Skyline
     // front = {(1,5), (3,3), (5,1)}; (1,5) duplicated — both survive
