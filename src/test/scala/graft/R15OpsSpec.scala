@@ -977,6 +977,62 @@ class R15OpsSpec extends SparkSpec {
       "3" -> ((1L, 2L))), s"$got")
   }
 
+  test("Drift: KS/TV symmetry; chi2 side-swap mirrors counts; golden layout-invariance") {
+    import graft.harmonize.{Drift, Linkage}
+    val a = Seq(1.0, 2.0, 2.0, 5.0, 7.0, 7.0, 9.0).toDF("x")
+    val b = Seq(2.0, 3.0, 5.0, 5.0, 8.0).toDF("x")
+    // KS and TV are symmetric distances — swapping sides must only
+    // swap the count columns, never move the statistics
+    val ab = Drift.ksDrift("ab", a, b, "x").head()
+    val ba = Drift.ksDrift("ba", b, a, "x").head()
+    assert(ab.getLong(3) == ba.getLong(3) && ab.getLong(4) == ba.getLong(4))
+    assert(ab.getLong(1) == ba.getLong(2) && ab.getLong(2) == ba.getLong(1))
+    // chi2: swapping sides swaps cnt_a/cnt_b per category; the total
+    // per-category contribution is symmetric in the 2xk table
+    val ca = Seq("x", "x", "y").toDF("c"); val cb = Seq("x", "y", "z").toDF("c")
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(1) -> ((r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4)))).toMap
+    val f = m(Drift.chi2Drift("f", ca, cb, "c"))
+    val g = m(Drift.chi2Drift("g", cb, ca, "c"))
+    assert(f.keySet == g.keySet)
+    for (k <- f.keySet) {
+      assert(f(k)._1 == g(k)._2 && f(k)._2 == g(k)._1, s"$k")
+      assert(f(k)._3 == g(k)._3, s"contrib asymmetric at $k")
+    }
+    // goldenRecords: physical layout must not change the vote outcome
+    val ga = Seq((1L, "Alpha"), (2L, "Beta")).toDF("id_a", "name")
+    val gb = Seq((11L, "Alfa"), (12L, "Alfa"), (13L, "Bela"))
+      .toDF("id_b", "name")
+    val links = Seq((11L, 1L), (12L, 1L), (13L, 2L)).toDF("id_b", "id_a")
+    def gset(x: org.apache.spark.sql.DataFrame, y: org.apache.spark.sql.DataFrame,
+             l: org.apache.spark.sql.DataFrame) =
+      Linkage.goldenRecords(x, y, l, "id_a", "id_b", Seq("name"))
+        .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(gset(ga, gb, links) ==
+      gset(ga.repartition(5), gb.repartition(3), links.coalesce(1)))
+  }
+
+  test("ValueMatcher.editDistanceJoin: two distinct domains, cross short-long, k=0 equality join") {
+    import graft.harmonize.ValueMatcher
+    val src = Seq("abcdefgh", "Supplier#000000001", "zzz").toDF("s")
+    val tgt = Seq("abcdefghij", "Supplier#000000021", "zzz", "unrelated string")
+      .toDF("t")
+    val got = ValueMatcher.editDistanceJoin(src, "s", tgt, "t", k = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+      .toSet
+    // short source vs long target (pigeonhole fires from target side),
+    // long-long digit pair, and both-short exact pair excluded by
+    // source =!= target? no — cross-domain equal values ARE distinct
+    // rows; the operator drops only identical (source,target) strings
+    assert(got == Set(("abcdefgh", "abcdefghij", 2),
+      ("Supplier#000000001", "Supplier#000000021", 1)), s"$got")
+    // k = 0 degenerates to an equality join minus identity pairs:
+    // nothing survives (the only shared value IS the identity)
+    val eq = ValueMatcher.editDistanceJoin(src, "s", tgt, "t", k = 0)
+    assert(eq.count() == 0)
+  }
+
   test("Drift.ksDrift: empty side errors loudly") {
     import graft.harmonize.Drift
     val a = Seq(1.0).toDF("x")
