@@ -172,8 +172,11 @@ object Bench {
     }.mkString("{", ",", "}")
 
     // self-adjudication vs the checked-in reference medians: queries
-    // whose median exceeds 2x reference (and 0.2 s of ABSOLUTE excess
-    // — a 60 ms query tripling is pure noise) are suspects. Ranked by
+    // whose median exceeds 1.5x reference (and 0.2 s of ABSOLUTE excess
+    // — a 60 ms query tripling is pure noise) are suspects. 1.5x, not
+    // 2x: r15 left two 1.5-1.9x residuals (dedup_cross_source 1.83x,
+    // profile_inclusion 1.55x) un-adjudicated because they sat under
+    // the old bar; the judge had to flag them manually. Ranked by
     // absolute excess seconds, NOT ratio (r12 lesson: ratio ranking
     // re-ran a 2.4 s blip on a sub-second query while the round's
     // largest absolute excess, +8.8 s, missed the cut and needed a
@@ -188,7 +191,7 @@ object Bench {
     }.toMap
     val suspectsRanked = medians.toSeq
       .flatMap { case (k, m) =>
-        ref.get(k).collect { case r if m > 2.0 * r && m - r > 0.2 => (k, m - r) }
+        ref.get(k).collect { case r if m > 1.5 * r && m - r > 0.2 => (k, m - r) }
       }
       .sortBy(-_._2).map(_._1)
     val suspects = suspectsRanked.take(16)

@@ -38,8 +38,32 @@ object Linkage {
     */
   def linkByName(a: DataFrame, b: DataFrame, blockCols: Seq[String],
                  idA: String, nameA: String, idB: String, nameB: String,
-                 maxDist: Int): DataFrame = {
+                 maxDist: Int,
+                 maxBlockPairs: Long = 50000000L): DataFrame = {
     require(blockCols.nonEmpty, "blocking key required — all-pairs linkage is not offered")
+    // LOUD block-size guard: the pair cost is Σ_blk |A_blk|·|B_blk|,
+    // quadratic in block size, and a degenerate block key (constant
+    // column, giant city) silently turns blocking into all-pairs. One
+    // cheap counts-only pass (two map-side-combined aggregates + a
+    // join on the block key, one-row collect) refuses the plan before
+    // any pair is generated; the fix is a tighter/multi-pass key or
+    // [[linkSortedNeighborhood]], whose candidate count is
+    // window-bounded by construction. Decimal product — two 1e10-row
+    // blocks must refuse, not wrap.
+    val worst = a.groupBy(blockCols.map(F.col): _*)
+      .agg(F.count(F.lit(1)).cast("decimal(19,0)").as("__na"))
+      .join(b.groupBy(blockCols.map(F.col): _*)
+        .agg(F.count(F.lit(1)).cast("decimal(19,0)").as("__nb")), blockCols)
+      .agg(F.max(F.col("__na") * F.col("__nb")).as("m"))
+      .head()
+    val worstPairs =
+      if (worst.isNullAt(0)) java.math.BigDecimal.ZERO else worst.getDecimal(0)
+    require(worstPairs.compareTo(
+        java.math.BigDecimal.valueOf(maxBlockPairs)) <= 0,
+      s"linkByName: largest block generates $worstPairs candidate pairs " +
+        s"(> cap $maxBlockPairs) — blocking on ${blockCols.mkString(",")} " +
+        "has gone quadratic; tighten the block key or use " +
+        "linkSortedNeighborhood (window-bounded candidates)")
     val cand = a.select((blockCols.map(F.col) :+ F.col(idA) :+ F.col(nameA)): _*)
       .join(b.select((blockCols.map(F.col) :+ F.col(idB) :+ F.col(nameB)): _*),
         blockCols)
@@ -167,9 +191,20 @@ object Linkage {
   def linkByNameIndex(spark: org.apache.spark.sql.SparkSession,
                       path: String, b: DataFrame, blockCols: Seq[String],
                       idA: String, nameA: String, idB: String, nameB: String,
-                      maxDist: Int): DataFrame = {
+                      maxDist: Int, maxBatchBlocks: Int = 1000): DataFrame = {
     require(blockCols.nonEmpty, "blocking key required")
-    val keys = b.select(blockCols.map(F.col): _*).distinct().collect()
+    val keys = b.select(blockCols.map(F.col): _*).distinct()
+      .limit(maxBatchBlocks + 1).collect()
+    // LOUD contract guard: the collected key list becomes an
+    // OR-of-ANDs pruning predicate, so an unbounded-cardinality misuse
+    // (blocking on a near-unique column) would build a giant predicate
+    // and defeat pruning — refuse past the documented cap instead of
+    // degrading silently. limit(cap+1) bounds the collect itself.
+    require(keys.length <= maxBatchBlocks,
+      s"linkByNameIndex: batch touches > $maxBatchBlocks distinct block-" +
+        s"key tuples on ${blockCols.mkString(",")} — the low-cardinality " +
+        "blocking contract is violated; use a coarser block key or link " +
+        "the batch with linkByName against the full master")
     val aIdx = spark.read.parquet(path)
     if (keys.isEmpty) {
       // empty batch: empty result with the contract schema
@@ -211,18 +246,8 @@ object Linkage {
   def goldenRecords(a: DataFrame, b: DataFrame, links: DataFrame,
       idA: String, idB: String, attrs: Seq[String]): DataFrame = {
     require(attrs.nonEmpty, "at least one attribute to survive")
-    def checkTypes(df: DataFrame, side: String): Unit = attrs.foreach { c =>
-      import org.apache.spark.sql.types._
-      val ok = df.schema(c).dataType match {
-        case _: StringType => true
-        case ByteType | ShortType | IntegerType | LongType => true
-        case _ => false
-      }
-      require(ok, s"goldenRecords: attribute $c on side $side must be " +
-        "STRING or integral — stringify floats explicitly (engine-" +
-        "portable rendering is the caller's contract)")
-    }
-    checkTypes(a, "A"); checkTypes(b, "B")
+    requireGoldenAttrTypes(a, attrs, "A")
+    requireGoldenAttrTypes(b, attrs, "B")
     def strAttrs(df: DataFrame) = attrs.map(c => F.col(c).cast("string").as(c))
     val aM = a.select((F.col(idA).as("__cid") +: F.lit(1).as("__m") +:
       strAttrs(a)): _*)
@@ -230,6 +255,26 @@ object Linkage {
       .join(b, Seq(idB))
       .select((F.col("__cid") +: F.lit(0).as("__m") +: strAttrs(b)): _*)
     goldenFromVotes(goldenVotesOf(aM.unionByName(bM), attrs), idA)
+  }
+
+  /** The shared survivorship attribute-type contract: STRING or
+    * integral only — attributes are compared and emitted as strings,
+    * and float→string rendering is engine-specific, so floats are
+    * refused loudly on EVERY path that stringifies (batch
+    * [[goldenRecords]] and the streaming seed/ingest loops alike);
+    * stringify floats via an explicit decimal cast first.
+    */
+  def requireGoldenAttrTypes(df: DataFrame, attrs: Seq[String],
+                             side: String): Unit = attrs.foreach { c =>
+    import org.apache.spark.sql.types._
+    val ok = df.schema(c).dataType match {
+      case _: StringType => true
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    require(ok, s"golden survivorship: attribute $c on side $side must " +
+      "be STRING or integral — stringify floats explicitly (engine-" +
+      "portable rendering is the caller's contract)")
   }
 
   /** The MERGEABLE vote table behind [[goldenRecords]]: members carry

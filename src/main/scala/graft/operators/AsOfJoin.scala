@@ -46,33 +46,37 @@ object AsOfJoin {
       .withColumn("_side", F.lit(0))
       .select((leftCols.map(c => if (c == key) F.col(key) else F.lit(null).cast(left.schema(c).dataType).as(c)) :+
         F.col("_t") :+ F.col("_side")) ++ payload.map(F.col): _*)
-    val merged = l.unionByName(r)
-    // Deterministic tie-break: several right rows can share (key,
-    // rightTime); ordering by (_t, _side) alone would let last/first
-    // pick a physically arbitrary payload row. Appending the payload
-    // columns pins the choice (max payload tuple backward, min
-    // forward) — payload columns must therefore be orderable types.
-    val tie = payload.map(p => F.col(p).asc)
+    // Deterministic AND row-consistent tie-break: several right rows
+    // can share (key, rightTime); ordering by (_t, _side) alone would
+    // let last/first pick a physically arbitrary payload row, and
+    // carrying each payload column in its OWN last/first would let the
+    // output mix values from DIFFERENT tied rows (max of p1 from one,
+    // last non-null p2 from another) whenever payloads contain nulls.
+    // Carrying ONE struct of all payload columns pins the choice to a
+    // single whole row — the lexicographically max payload tuple
+    // backward, min forward (struct ordering is field-wise; payload
+    // columns must be orderable types). The struct is null on left
+    // rows so ignoreNulls skips them.
+    val merged = l.unionByName(r).withColumn("_p",
+      F.when(F.col("_side") === 0, F.struct(payload.map(F.col): _*)))
     val carried =
       if (direction == "backward") {
         // right rows sort BEFORE left on equal time -> "<=" inclusive
         val w = Window.partitionBy(key)
-          .orderBy(F.col("_t").asc +: F.col("_side").asc +: tie: _*)
+          .orderBy(F.col("_t").asc, F.col("_side").asc, F.col("_p").asc)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        payload.foldLeft(merged) { (df, p) =>
-          df.withColumn(p, F.last(F.col(p), ignoreNulls = true).over(w))
-        }
+        merged.withColumn("_p", F.last(F.col("_p"), ignoreNulls = true).over(w))
       } else {
         // left rows sort BEFORE right on equal time, and the frame
         // looks ahead -> ">=" inclusive
         val w = Window.partitionBy(key)
-          .orderBy(F.col("_t").asc +: F.col("_side").desc +: tie: _*)
+          .orderBy(F.col("_t").asc, F.col("_side").desc, F.col("_p").asc)
           .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-        payload.foldLeft(merged) { (df, p) =>
-          df.withColumn(p, F.first(F.col(p), ignoreNulls = true).over(w))
-        }
+        merged.withColumn("_p", F.first(F.col("_p"), ignoreNulls = true).over(w))
       }
-    carried.where(F.col("_side") === 1).drop("_t", "_side")
+    carried.where(F.col("_side") === 1)
+      .select(leftCols.map(F.col) ++
+        payload.map(p => F.col("_p").getField(p).as(p)): _*)
   }
 
   /** NEAREST as-of: attach the right row minimizing |right.time −
@@ -106,27 +110,30 @@ object AsOfJoin {
         else F.lit(null).cast(left.schema(c).dataType).as(c)) :+
         F.col("_t") :+ F.col("_side")) ++ payload.map(F.col) :+
         F.col(rightTime).cast("long").as("_rt"): _*)
-    // same deterministic payload tie-break as [[apply]]: several right
-    // rows sharing (key, rightTime) resolve to the max payload tuple
-    // backward / min forward, never a physically arbitrary row
+    // same deterministic ROW-CONSISTENT tie-break as [[apply]]: one
+    // struct of (payload..., _rt) carried whole, so several right rows
+    // sharing (key, rightTime) resolve to the max payload tuple
+    // backward / min forward — never a physically arbitrary row, never
+    // a cross-row mix of per-column maxima
+    val merged = l.unionByName(r).withColumn("_c",
+      F.when(F.col("_side") === 0, F.struct(carry.map(F.col): _*)))
     val ord = Window.partitionBy(key).orderBy(
-      F.col("_t").asc +: F.col("_side").asc +: payload.map(p => F.col(p).asc): _*)
+      F.col("_t").asc, F.col("_side").asc, F.col("_c").asc)
     val wBack = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wFwd = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    val carried = carry.foldLeft(l.unionByName(r)) { (df, p) =>
-      df.withColumn(s"_bk_$p", F.last(F.col(p), ignoreNulls = true).over(wBack))
-        .withColumn(s"_fw_$p", F.first(F.col(p), ignoreNulls = true).over(wFwd))
-    }
-    val useBack = F.col("_fw__rt").isNull ||
-      (F.col("_bk__rt").isNotNull &&
-        (F.col("_t").cast("long") - F.col("_bk__rt")) <=
-          (F.col("_fw__rt") - F.col("_t").cast("long")))
+    val carried = merged
+      .withColumn("_bk", F.last(F.col("_c"), ignoreNulls = true).over(wBack))
+      .withColumn("_fw", F.first(F.col("_c"), ignoreNulls = true).over(wFwd))
+    val useBack = F.col("_fw._rt").isNull ||
+      (F.col("_bk._rt").isNotNull &&
+        (F.col("_t").cast("long") - F.col("_bk._rt")) <=
+          (F.col("_fw._rt") - F.col("_t").cast("long")))
     carried.where(F.col("_side") === 1)
       .select(leftCols.map(F.col) ++
-        payload.map(p => F.when(useBack, F.col(s"_bk_$p"))
-          .otherwise(F.col(s"_fw_$p")).as(p)) :+
-        F.when(useBack, F.col("_t").cast("long") - F.col("_bk__rt"))
-          .otherwise(F.col("_fw__rt") - F.col("_t").cast("long"))
+        payload.map(p => F.when(useBack, F.col(s"_bk.$p"))
+          .otherwise(F.col(s"_fw.$p")).as(p)) :+
+        F.when(useBack, F.col("_t").cast("long") - F.col("_bk._rt"))
+          .otherwise(F.col("_fw._rt") - F.col("_t").cast("long"))
           .as("asof_gap_us"): _*)
   }
 }

@@ -14,14 +14,21 @@ import org.apache.spark.sql.{functions => F}
   * survives to the end or is itself dominated by a survivor, and
   * domination composes).
   *
-  * Scale contract: phase 1 is one mapPartitions pass (dominance
-  * checks against the partition's running skyline — imperative
-  * per-partition logic, the documented mapPartitions niche); phase 2
-  * runs the SAME filter over the coalesced union of local skylines,
-  * whose size is output-sensitive (2-D uniform fronts are O(log n);
-  * anti-correlated data can be large, and then the answer itself is
-  * large — no operator can dodge its own output). No driver collect,
-  * no nested-loop join, no cartesian anywhere in the plan.
+  * Scale contract: phase 1 is one mapPartitions pass per partition
+  * (dominance checks against the partition's running skyline —
+  * imperative per-partition logic, the documented mapPartitions
+  * niche); the merge is a TREE REDUCTION — the same local pass over
+  * repartition(parts/fanIn) rounds until one partition remains — so
+  * the fan-in at every level is bounded and an anti-correlated front
+  * (where the union of local skylines can be a large fraction of the
+  * input) never serializes through a single task until it has been
+  * shrunk fanIn-fold per level. Each level is a SHUFFLE boundary on
+  * the (already output-sized) survivors: a narrow coalesce would pull
+  * the full phase-1 scan INTO the single merged task and run the
+  * whole skyline serially. Final size is output-sensitive (2-D
+  * uniform fronts are O(log n); anti-correlated answers are large —
+  * no operator can dodge its own output). No driver collect, no
+  * nested-loop join, no cartesian anywhere in the plan.
   *
   * Rows with a NULL in any skyline dimension are excluded (dominance
   * is undefined on absent values); duplicate points do not dominate
@@ -29,8 +36,9 @@ import org.apache.spark.sql.{functions => F}
   */
 object Skyline {
 
-  def skyline(df: DataFrame, dims: Seq[String]): DataFrame = {
+  def skyline(df: DataFrame, dims: Seq[String], fanIn: Int = 8): DataFrame = {
     require(dims.nonEmpty, "at least one skyline dimension")
+    require(fanIn >= 2, "tree fan-in must be at least 2")
     val schema = df.schema
     val idx = dims.map(schema.fieldIndex).toArray
     idx.foreach { i =>
@@ -67,7 +75,16 @@ object Skyline {
       kept.iterator.map(_._2)
     }(enc)
     val clean = df.where(dims.map(c => F.col(c).isNotNull).reduce(_ && _))
-    // phase 2: same filter over the output-sized union, one task
-    localSkyline(localSkyline(clean).coalesce(1))
+    // tree reduction: local skyline, then repeat over fanIn-fold fewer
+    // partitions until one remains. repartition (a real exchange), not
+    // coalesce: the stage boundary keeps the wide pass parallel and
+    // each level's input is the previous level's survivors only.
+    var cur = localSkyline(clean)
+    var parts = clean.rdd.getNumPartitions
+    while (parts > 1) {
+      parts = math.max(1, (parts + fanIn - 1) / fanIn)
+      cur = localSkyline(cur.repartition(parts))
+    }
+    cur
   }
 }

@@ -47,8 +47,13 @@ object Versioned {
 
   /** Commit `df` as a SPECIFIC version (the retry/race surface:
     * a writer that recomputes the same target version after a failure
-    * gets a loud `concurrent commit` error if someone else won,
-    * with the winner's data guaranteed untouched).
+    * gets a loud `concurrent commit` error if someone else won). The
+    * promote protocol never deletes a MARKED data dir and re-checks
+    * the marker around every step, so a winner's committed data
+    * survives every race this protocol can detect; on filesystems
+    * without atomic rename-no-overwrite a residual window remains
+    * (see the inline commentary) — single-writer is the supported
+    * contract, concurrent commits are detected best-effort-loudly.
     */
   def commitAs(df: DataFrame, root: String, next: Long,
                format: String = "parquet"): Long = {
@@ -69,18 +74,52 @@ object Versioned {
     df.write.format(format)
       .mode(org.apache.spark.sql.SaveMode.ErrorIfExists)
       .save(staging.toString)
-    if (fs.exists(marker)) {
+    def abort(msg: String): Nothing = {
+      fs.delete(staging, true)
+      throw new IllegalStateException(msg)
+    }
+    def committedByOther(): Nothing = abort(
+      s"concurrent commit: version $next at $root was committed by " +
+        "another writer (committed data left untouched)")
+    // Promote WITHOUT pre-deleting v_N: a committed winner's data dir
+    // is never deleted on any path below — the only delete targets an
+    // UNMARKED leftover, with the marker re-checked immediately before.
+    // Residual window (documented, not closed): on a filesystem whose
+    // rename is not atomic-no-overwrite, a racer can slip between the
+    // final marker re-check and our rename; the nested-dir check below
+    // detects the rename-into-existing-dir shape and restores, but a
+    // true simultaneous swap on a non-transactional store remains
+    // best-effort-LOUD, not serializable. Single-writer is the
+    // supported contract; races are detected, not arbitrated.
+    if (fs.exists(marker)) committedByOther()
+    def tryPromote(): Boolean = !fs.exists(dataDir) && fs.rename(staging, dataDir)
+    if (!tryPromote()) {
+      // rename refused: either a winner committed (marker) or a crashed
+      // writer's marker-LESS leftover occupies v_N (invisible by
+      // contract — reclaim it and retry once)
+      if (fs.exists(marker)) committedByOther()
+      if (fs.exists(dataDir)) {
+        if (fs.exists(marker)) committedByOther() // re-check at the delete
+        fs.delete(dataDir, true)
+      }
+      if (!tryPromote()) {
+        if (fs.exists(marker)) committedByOther()
+        abort(s"concurrent commit: could not promote staging dir to $dataDir")
+      }
+    }
+    // post-rename adjudication: Hadoop rename moves src INTO an
+    // existing dst dir — if a racer promoted v_N between our exists
+    // check and rename, our data landed NESTED under theirs; remove
+    // only our nested dir (their committed tree untouched) and abort
+    val nested = new Path(dataDir, staging.getName)
+    if (fs.exists(nested)) {
+      fs.delete(nested, true)
       fs.delete(staging, true)
       throw new IllegalStateException(
-        s"concurrent commit: version $next at $root was committed by " +
-          "another writer (committed data left untouched)")
+        s"concurrent commit: lost the promote race for version $next at " +
+          s"$root (winner's committed data left untouched)")
     }
-    if (fs.exists(dataDir)) fs.delete(dataDir, true) // unmarked leftover
-    if (!fs.rename(staging, dataDir)) {
-      fs.delete(staging, true)
-      throw new IllegalStateException(
-        s"concurrent commit: could not promote staging dir to $dataDir")
-    }
+    if (fs.exists(marker)) committedByOther()
     fs.mkdirs(marker.getParent)
     // atomic create-no-overwrite IS the commit: two racing writers of
     // the same version cannot both succeed

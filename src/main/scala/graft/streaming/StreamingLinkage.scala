@@ -48,6 +48,10 @@ object StreamingLinkage {
     */
   def goldenSeed(a: DataFrame, idA: String, attrs: Seq[String],
                  votesRoot: String): Long = {
+    // same type contract as the batch goldenRecords: a float attribute
+    // would stringify with engine-specific rendering and silently break
+    // the spec-gated batch/streaming equality — refuse loudly instead
+    graft.harmonize.Linkage.requireGoldenAttrTypes(a, attrs, "A")
     val aM = a.select((F.col(idA).as("__cid") +: F.lit(1).as("__m") +:
       attrs.map(c => F.col(c).cast("string").as(c))): _*)
     graft.sources.Versioned.commit(
@@ -100,6 +104,10 @@ object StreamingLinkage {
     writer.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
       if (!batch.isEmpty) {
         val spark = batch.sparkSession
+        // the shared survivorship type contract, per batch (see
+        // goldenSeed) — a float attribute fails HERE, not as a silent
+        // batch/streaming divergence later
+        graft.harmonize.Linkage.requireGoldenAttrTypes(batch.toDF(), attrs, "B")
         val links = graft.harmonize.Linkage.linkByNameIndex(spark, indexPath,
           batch.toDF(), blockCols, idA, nameA, idB, nameB, maxDist)
         val bM = links.select(F.col(idB), F.col(idA).as("__cid"))

@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.{functions => F}
+
+/** Round-16 hardening specs: the skyline tree reduction, the ER
+  * block-size and index-cardinality guards, the shared survivorship
+  * type contract on the streaming paths, as-of row-consistent payload
+  * carry, and the Versioned no-pre-delete promote protocol.
+  */
+class R16OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("Skyline: tree reduction equals brute force on an anti-correlated front") {
+    import graft.operators.Skyline
+    // anti-correlated: points on x + y = 100 (nothing dominates
+    // anything — the skyline IS the whole line) plus dominated points
+    // shifted up-right; the union of local skylines is large, the
+    // exact case the one-task merge serialized
+    val front = (0 to 100).map(i => (i.toDouble, (100 - i).toDouble))
+    val dominated = (0 to 100).map(i => (i.toDouble + 0.5, (100 - i).toDouble + 0.5))
+    val df = spark.createDataFrame(
+      scala.util.Random.shuffle(front ++ dominated)).toDF("x", "y")
+      .repartition(16)
+    def brute(pts: Seq[(Double, Double)]): Set[(Double, Double)] =
+      pts.filter(p => !pts.exists(q =>
+        q._1 <= p._1 && q._2 <= p._2 && (q._1 < p._1 || q._2 < p._2))).toSet
+    val expect = brute(front ++ dominated)
+    // fanIn 2 over 16 partitions forces 4 merge levels
+    val got = Skyline.skyline(df, Seq("x", "y"), fanIn = 2)
+      .select("x", "y").collect().map(r => (r.getDouble(0), r.getDouble(1))).toSet
+    assert(got == expect, s"tree skyline: ${got.size} vs ${expect.size}")
+    // and the default fan-in agrees
+    val got8 = Skyline.skyline(df, Seq("x", "y"))
+      .select("x", "y").collect().map(r => (r.getDouble(0), r.getDouble(1))).toSet
+    assert(got8 == expect)
+  }
+
+  test("linkByName: a quadratic block refuses loudly; small blocks link under the default cap") {
+    import graft.harmonize.Linkage
+    val a = (1 to 40).map(i => (i.toLong, s"name $i", "ONEBLOCK"))
+      .toDF("id_a", "name_a", "blk")
+    val b = (1 to 40).map(i => (i + 100L, s"name $i", "ONEBLOCK"))
+      .toDF("id_b", "name_b", "blk")
+    // 40x40 = 1600 pairs > cap 1000 -> loud refusal naming the block cost
+    val ex = intercept[IllegalArgumentException] {
+      Linkage.linkByName(a, b, Seq("blk"), "id_a", "name_a",
+        "id_b", "name_b", maxDist = 2, maxBlockPairs = 1000L)
+    }
+    assert(ex.getMessage.contains("1600") &&
+      ex.getMessage.contains("linkSortedNeighborhood"), ex.getMessage)
+    // under the cap the same call links 1:1 as before
+    val ok = Linkage.linkByName(a, b, Seq("blk"), "id_a", "name_a",
+      "id_b", "name_b", maxDist = 2, maxBlockPairs = 1600L)
+    assert(ok.count() == 40L)
+  }
+
+  test("linkByNameIndex: batch block-key cardinality above the cap refuses loudly") {
+    import graft.harmonize.Linkage
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx_cap").toString
+    val a = (1 to 20).map(i => (i.toLong, s"name $i", s"blk$i"))
+      .toDF("id_a", "name_a", "blk")
+    Linkage.linkIndexBuild(a, dir, Seq("blk"), "id_a", "name_a")
+    val b = (1 to 20).map(i => (i + 100L, s"name $i", s"blk$i"))
+      .toDF("id_b", "name_b", "blk")
+    val ex = intercept[IllegalArgumentException] {
+      Linkage.linkByNameIndex(spark, dir, b, Seq("blk"),
+        "id_a", "name_a", "id_b", "name_b", maxDist = 2, maxBatchBlocks = 5)
+    }
+    assert(ex.getMessage.contains("low-cardinality"), ex.getMessage)
+    // within the cap the pruned link serves normally
+    val got = Linkage.linkByNameIndex(spark, dir,
+      b.where(F.col("id_b") <= 103L), Seq("blk"),
+      "id_a", "name_a", "id_b", "name_b", maxDist = 2, maxBatchBlocks = 5)
+    assert(got.count() == 3L)
+  }
+
+  test("StreamingLinkage.goldenSeed: float attributes refuse with the shared type contract") {
+    import graft.streaming.StreamingLinkage
+    val root = java.nio.file.Files.createTempDirectory("graft_seed_t").toString
+    val a = Seq((1L, 2.5)).toDF("id_a", "score")
+    val ex = intercept[IllegalArgumentException] {
+      StreamingLinkage.goldenSeed(a, "id_a", Seq("score"), root)
+    }
+    assert(ex.getMessage.contains("STRING or integral"), ex.getMessage)
+  }
+
+  test("AsOfJoin: tied right rows with null payload fields carry ONE row, not a cross-row mix") {
+    import graft.operators.AsOfJoin
+    val left = Seq((1L, "k", 100L)).toDF("id", "k", "t")
+    // two right rows tied at t=90: (p1=9, p2=null) and (p1=null, p2=9).
+    // Per-column carry would emit the impossible row (9, 9); whole-row
+    // struct carry picks the max TUPLE — (9, null), since non-null
+    // sorts after null in the first field
+    val right = Seq(
+      ("k", 90L, Some(9L), Option.empty[Long]),
+      ("k", 90L, Option.empty[Long], Some(9L)))
+      .toDF("k", "rt", "p1", "p2")
+    val got = AsOfJoin(left, right, "k", "t", "rt", Seq("p1", "p2"))
+      .select("p1", "p2").collect().head
+    assert(got.get(0) == 9L && got.isNullAt(1),
+      s"expected one-row provenance (9, null), got $got")
+    val gotN = AsOfJoin.nearest(left, right, "k", "t", "rt", Seq("p1", "p2"))
+      .select("p1", "p2").collect().head
+    assert(gotN.get(0) == 9L && gotN.isNullAt(1),
+      s"nearest expected (9, null), got $gotN")
+  }
+
+  test("Versioned: unmarked leftover v_N is reclaimed without pre-deleting a committed winner") {
+    import graft.sources.Versioned
+    val root = java.nio.file.Files.createTempDirectory("graft_vtoctou").toString
+    Versioned.commit(Seq((1L, "v1")).toDF("k", "s"), root)
+    // crashed-writer shape: v_2 data exists, no marker -> a fresh
+    // commitAs(2) must reclaim it and promote its own data
+    new java.io.File(s"$root/v_2/junk").getParentFile.mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$root/v_2/junk"), Array[Byte](1))
+    Versioned.commitAs(Seq((2L, "real")).toDF("k", "s"), root, 2L)
+    assert(Versioned.read(spark, root).select("s").as[String].head() == "real")
+    // committed-winner shape: marker for v_3 exists -> loser aborts
+    // loudly and the winner's data dir is byte-untouched
+    Versioned.commitAs(Seq((3L, "winner")).toDF("k", "s"), root, 3L)
+    val before = new java.io.File(s"$root/v_3").listFiles().map(_.getName).toSet
+    val ex = intercept[IllegalStateException] {
+      Versioned.commitAs(Seq((3L, "loser")).toDF("k", "s"), root, 3L)
+    }
+    assert(ex.getMessage.contains("concurrent commit"), ex.getMessage)
+    assert(new java.io.File(s"$root/v_3").listFiles().map(_.getName).toSet == before)
+    assert(Versioned.read(spark, root).select("s").as[String].head() == "winner")
+    // no staging debris left behind by the loser
+    assert(!new java.io.File(root).listFiles()
+      .exists(_.getName.startsWith("v_3.tmp-")))
+  }
+}
