@@ -3970,6 +3970,30 @@ object OracleSql {
         |       CAST(n_candidates AS BIGINT) AS n_candidates
         |FROM scored WHERE rn = 1 ORDER BY id_b""".stripMargin,
 
+    // Jaro-Winkler sibling: scores in ppm fixed point on BOTH engines
+    // (floor(jw*1e6) — the Spark kernel is calibrated to DuckDB's
+    // rapidfuzz-derived semantics), argmax on (jw_ppm DESC, id_a)
+    "er_resolve_jw" ->
+      """WITH a AS (SELECT c_custkey AS id_a, c_name AS name_a,
+        |                  c_nationkey AS nat, c_mktsegment AS seg FROM customer),
+        |b AS (SELECT c_custkey + 1000000 AS id_b,
+        |             regexp_replace(c_name, '0+', '0', 'g') AS name_b,
+        |             c_nationkey AS nat, c_mktsegment AS seg
+        |      FROM customer WHERE c_custkey % 7 != 3),
+        |cand AS (SELECT b.id_b, a.id_a,
+        |                CAST(floor(jaro_winkler_similarity(a.name_a, b.name_b)
+        |                           * 1e6) AS BIGINT) AS jw_ppm
+        |         FROM a JOIN b ON a.nat = b.nat AND a.seg = b.seg),
+        |kept AS (SELECT * FROM cand WHERE jw_ppm >= 900000),
+        |scored AS (SELECT id_b, id_a, jw_ppm,
+        |                  count(*) OVER (PARTITION BY id_b) AS n_candidates,
+        |                  row_number() OVER (PARTITION BY id_b
+        |                    ORDER BY jw_ppm DESC, id_a) AS rn
+        |           FROM kept)
+        |SELECT id_b, id_a, jw_ppm,
+        |       CAST(n_candidates AS BIGINT) AS n_candidates
+        |FROM scored WHERE rn = 1 ORDER BY id_b""".stripMargin,
+
     // survivorship: er_resolve's link CTE chain, then per-cluster
     // majority vote with (votes desc, master-priority, value asc)
     // resolution — all-integer, value ties on binary string order

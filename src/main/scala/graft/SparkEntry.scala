@@ -3060,6 +3060,27 @@ object SparkEntry {
       .orderBy("id_b")
   }
 
+  private def erResolveJw(t: Tables): DataFrame = {
+    // the Jaro-Winkler-scored sibling of er_resolve over the SAME
+    // dirty twin: JW is the record-linkage standard for name fields
+    // (Christen TKDE'12) — prefix agreement and transpositions
+    // dominate name noise. Scores in ppm FIXED POINT (codegen'd
+    // kernel calibrated to DuckDB's jaro_winkler_similarity; floor at
+    // 1e-6) so the per-B argmax is integer (jw desc, id_a asc) — no
+    // raw-double ordering crosses engines. minPpm 0.9 keeps both true
+    // links and competing false candidates live (1286/1252 at sf0.01)
+    val aSrc = t.customer.select(F.col("c_custkey").as("id_a"),
+      F.col("c_name").as("name_a"), F.col("c_nationkey").as("nat"),
+      F.col("c_mktsegment").as("seg"))
+    val bSrc = t.customer.where(F.col("c_custkey") % 7 =!= 3)
+      .select((F.col("c_custkey") + 1000000L).as("id_b"),
+        F.regexp_replace(F.col("c_name"), "0+", "0").as("name_b"),
+        F.col("c_nationkey").as("nat"), F.col("c_mktsegment").as("seg"))
+    harmonize.Linkage.linkByNameJw(aSrc, bSrc, Seq("nat", "seg"),
+      "id_a", "name_a", "id_b", "name_b", minPpm = 900000L)
+      .orderBy("id_b")
+  }
+
   private def erGolden(t: Tables): DataFrame = {
     // survivorship over the SAME dirty twin as er_resolve: clusters =
     // master customer + its linked dirty record; name votes tie 1-1 so
@@ -3676,6 +3697,7 @@ object SparkEntry {
       "q_bloom_prefilter" -> q(qBloomPrefilter),
       "asof_join_nearest" -> q(asofJoinNearest),
       "er_resolve" -> q(erResolve),
+      "er_resolve_jw" -> q(erResolveJw),
       "er_golden" -> q(erGolden),
       "er_resolve_sorted" -> q(erResolveSorted),
       "er_resolve_multipass" -> q(erResolveMultipass),

@@ -41,29 +41,7 @@ object Linkage {
                  maxDist: Int,
                  maxBlockPairs: Long = 50000000L): DataFrame = {
     require(blockCols.nonEmpty, "blocking key required — all-pairs linkage is not offered")
-    // LOUD block-size guard: the pair cost is Σ_blk |A_blk|·|B_blk|,
-    // quadratic in block size, and a degenerate block key (constant
-    // column, giant city) silently turns blocking into all-pairs. One
-    // cheap counts-only pass (two map-side-combined aggregates + a
-    // join on the block key, one-row collect) refuses the plan before
-    // any pair is generated; the fix is a tighter/multi-pass key or
-    // [[linkSortedNeighborhood]], whose candidate count is
-    // window-bounded by construction. Decimal product — two 1e10-row
-    // blocks must refuse, not wrap.
-    val worst = a.groupBy(blockCols.map(F.col): _*)
-      .agg(F.count(F.lit(1)).cast("decimal(19,0)").as("__na"))
-      .join(b.groupBy(blockCols.map(F.col): _*)
-        .agg(F.count(F.lit(1)).cast("decimal(19,0)").as("__nb")), blockCols)
-      .agg(F.max(F.col("__na") * F.col("__nb")).as("m"))
-      .head()
-    val worstPairs =
-      if (worst.isNullAt(0)) java.math.BigDecimal.ZERO else worst.getDecimal(0)
-    require(worstPairs.compareTo(
-        java.math.BigDecimal.valueOf(maxBlockPairs)) <= 0,
-      s"linkByName: largest block generates $worstPairs candidate pairs " +
-        s"(> cap $maxBlockPairs) — blocking on ${blockCols.mkString(",")} " +
-        "has gone quadratic; tighten the block key or use " +
-        "linkSortedNeighborhood (window-bounded candidates)")
+    requireBlockPairsBounded(a, b, blockCols, maxBlockPairs)
     val cand = a.select((blockCols.map(F.col) :+ F.col(idA) :+ F.col(nameA)): _*)
       .join(b.select((blockCols.map(F.col) :+ F.col(idB) :+ F.col(nameB)): _*),
         blockCols)
@@ -77,6 +55,69 @@ object Linkage {
       .withColumn("__rn", F.row_number().over(w))
       .where(F.col("__rn") === 1)
       .select(F.col(idB), F.col(idA), F.col("lev"), F.col("n_candidates"))
+  }
+
+  /** LOUD block-size guard shared by the blocked linkage scorers: the
+    * pair cost is Σ_blk |A_blk|·|B_blk|, quadratic in block size, and
+    * a degenerate block key (constant column, giant city) silently
+    * turns blocking into all-pairs. One cheap counts-only pass (two
+    * map-side-combined aggregates + a join on the block key, one-row
+    * collect) refuses the plan before any pair is generated; the fix
+    * is a tighter/multi-pass key or [[linkSortedNeighborhood]], whose
+    * candidate count is window-bounded by construction. Decimal
+    * product — two 1e10-row blocks must refuse, not wrap.
+    */
+  private def requireBlockPairsBounded(a: DataFrame, b: DataFrame,
+      blockCols: Seq[String], maxBlockPairs: Long): Unit = {
+    val worst = a.groupBy(blockCols.map(F.col): _*)
+      .agg(F.count(F.lit(1)).cast("decimal(19,0)").as("__na"))
+      .join(b.groupBy(blockCols.map(F.col): _*)
+        .agg(F.count(F.lit(1)).cast("decimal(19,0)").as("__nb")), blockCols)
+      .agg(F.max(F.col("__na") * F.col("__nb")).as("m"))
+      .head()
+    val worstPairs =
+      if (worst.isNullAt(0)) java.math.BigDecimal.ZERO else worst.getDecimal(0)
+    require(worstPairs.compareTo(
+        java.math.BigDecimal.valueOf(maxBlockPairs)) <= 0,
+      s"blocked linkage: largest block generates $worstPairs candidate " +
+        s"pairs (> cap $maxBlockPairs) — blocking on " +
+        s"${blockCols.mkString(",")} has gone quadratic; tighten the " +
+        "block key or use linkSortedNeighborhood (window-bounded " +
+        "candidates)")
+  }
+
+  /** [[linkByName]] with the record-linkage-standard Jaro-Winkler
+    * scorer instead of raw edit distance (Winkler '90; Christen
+    * TKDE'12's recommended default for person/org names — prefix
+    * agreement and transpositions dominate name noise, which edit
+    * distance over-penalizes). Same blocking, guard, and plan shape;
+    * pairs keep jw_ppm ≥ `minPpm` (similarity in ppm fixed point —
+    * [[graft.functions.HashExprs.jaroWinklerPpm]], a codegen'd
+    * kernel), and each B record resolves to the (highest-jw, then
+    * lowest-idA) candidate — an INTEGER argmax, so the cross-engine
+    * comparison never orders raw doubles. Returns
+    * (idB, idA, jw_ppm, n_candidates).
+    */
+  def linkByNameJw(a: DataFrame, b: DataFrame, blockCols: Seq[String],
+                   idA: String, nameA: String, idB: String, nameB: String,
+                   minPpm: Long,
+                   maxBlockPairs: Long = 50000000L): DataFrame = {
+    require(blockCols.nonEmpty, "blocking key required — all-pairs linkage is not offered")
+    requireBlockPairsBounded(a, b, blockCols, maxBlockPairs)
+    val cand = a.select((blockCols.map(F.col) :+ F.col(idA) :+ F.col(nameA)): _*)
+      .join(b.select((blockCols.map(F.col) :+ F.col(idB) :+ F.col(nameB)): _*),
+        blockCols)
+      .withColumn("jw_ppm", graft.functions.HashExprs.jaroWinklerPpm(
+        F.col(nameA), F.col(nameB)))
+      .where(F.col("jw_ppm") >= minPpm)
+    val w = Window.partitionBy(idB)
+      .orderBy(F.col("jw_ppm").desc, F.col(idA).asc)
+    cand
+      .withColumn("n_candidates", F.count(F.lit(1))
+        .over(Window.partitionBy(idB)))
+      .withColumn("__rn", F.row_number().over(w))
+      .where(F.col("__rn") === 1)
+      .select(F.col(idB), F.col(idA), F.col("jw_ppm"), F.col("n_candidates"))
   }
 
   /** Sorted-neighborhood linkage (Hernández & Stolfo SIGMOD'95; the

@@ -105,6 +105,45 @@ class R16OpsSpec extends SparkSpec {
       s"nearest expected (9, null), got $gotN")
   }
 
+  test("JaroWinklerPpm: hand-computed classics, boost edges, empties") {
+    import graft.functions.HashExprs
+    val df = Seq(
+      ("martha", "marhta"),   // jaro 0.944..., prefix 3 -> 0.9611...
+      ("dixon", "dicksonx"),  // jaro 0.7666..., prefix 2 -> 0.8133...
+      ("abc", ""),            // either empty -> 0
+      ("", ""),               // DuckDB: both empty -> 0 (calibrated)
+      ("same", "same"),       // 1.0 exactly
+      ("abcd", "dcba"))       // low sim, no boost
+      .toDF("a", "b")
+      .withColumn("jw", HashExprs.jaroWinklerPpm(F.col("a"), F.col("b")))
+    val got = df.select("jw").as[Long].collect().toSeq
+    // martha/marhta: jaro = (6/6+6/6+(6-1)/6)/3 = 17/18 = 0.9444...,
+    // winkler = .9444 + 3*.1*(1-.9444) = 0.96111... -> 961111
+    assert(got(0) == 961111L, s"martha ${got(0)}")
+    // dixon/dicksonx: m=4, t=0, jaro=(4/5+4/8+4/4)/3=0.76666,
+    // winkler = .76666 + 2*.1*(1-.76666) = 0.81333... -> 813333
+    assert(got(1) == 813333L, s"dixon ${got(1)}")
+    assert(got(2) == 0L && got(3) == 0L)
+    assert(got(4) == 1000000L)
+    assert(got(5) < 700000L, s"no boost below threshold: ${got(5)}")
+  }
+
+  test("linkByNameJw: integer argmax with deterministic tie-stack") {
+    import graft.harmonize.Linkage
+    // two A candidates with IDENTICAL names (equal jw) -> tie resolves
+    // to the lower id_a; a third, worse candidate still counts in
+    // n_candidates when above the floor
+    val a = Seq((7L, "acme corp", "k"), (3L, "acme corp", "k"),
+      (9L, "acmex corp", "k")).toDF("id_a", "name_a", "blk")
+    val b = Seq((101L, "acme corp", "k")).toDF("id_b", "name_b", "blk")
+    val got = Linkage.linkByNameJw(a, b, Seq("blk"),
+      "id_a", "name_a", "id_b", "name_b", minPpm = 800000L)
+      .collect().head
+    assert(got.getLong(1) == 3L, s"tie must pick lowest id_a: $got")
+    assert(got.getLong(2) == 1000000L)
+    assert(got.getLong(3) == 3L, s"n_candidates: $got")
+  }
+
   test("Versioned: unmarked leftover v_N is reclaimed without pre-deleting a committed winner") {
     import graft.sources.Versioned
     val root = java.nio.file.Files.createTempDirectory("graft_vtoctou").toString
