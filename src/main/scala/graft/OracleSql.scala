@@ -1446,6 +1446,35 @@ object OracleSql {
         |       CAST(max(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    // WARC → text: the twin replays the HTML template's closed-form
+    // extraction over `documents` (the injected-proof pattern): the
+    // Spark side really frames/splits/charset-decodes/extracts from
+    // bytes on disk, the oracle knows the answer by construction.
+    // Both URL variants carry the SAME extracted text; corpus text is
+    // whitespace-collapsed exactly as the extractor would.
+    "warc_text_extract" ->
+      """WITH txt AS (SELECT doc_id,
+        |  'Doc ' || doc_id || ' & café résumé Doc ' || doc_id || ' ' ||
+        |  trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g')) ||
+        |  ' fin <' || doc_id || '> éé' AS clean_text
+        |  FROM documents),
+        |uris AS (
+        |  SELECT format('http://EXample.org/docs/{}', doc_id) AS uri,
+        |         clean_text FROM txt
+        |  UNION ALL
+        |  SELECT format('http://www.example.org:80/docs/{}#frag', doc_id),
+        |         clean_text FROM txt)
+        |SELECT uri, clean_text FROM uris ORDER BY uri""".stripMargin,
+
+    // the composed crawl-ingest gate: by construction every canonical
+    // URL holds exactly 2 copies (host-case vs www+port+fragment
+    // variants) of 1 distinct text (utf-8 and latin-1 bodies decode
+    // to the same string)
+    "warc_dedup" ->
+      """SELECT format('http://example.org/docs/{}', doc_id) AS url,
+        |       CAST(2 AS BIGINT) AS n_copies, CAST(1 AS BIGINT) AS n_texts
+        |FROM documents ORDER BY url""".stripMargin,
+
     "boilerplate_ngrams" ->
       s"""WITH tk AS (SELECT doc_id, ${toks("text")} AS tl FROM documents),
          |sh AS (SELECT DISTINCT doc_id,

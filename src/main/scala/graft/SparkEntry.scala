@@ -3486,6 +3486,92 @@ object SparkEntry {
         F.col("l_linenumber").asc)
       .limit(50)
 
+  // ------------------------------------------------- WARC → text (r16)
+
+  /** Deterministic WARC fixture: every document rendered as templated
+    * HTML and written TWICE under URL variants that canonicalize
+    * identically (uppercase host vs www. + explicit default port +
+    * fragment). The template plants every extraction hazard the
+    * operator claims to handle — named/numeric entities, a literal é
+    * whose BYTES differ per charset arm (1-in-3 bodies are
+    * ISO-8859-1, the rest UTF-8; the HTTP header is authoritative and
+    * the meta tag deliberately always says utf-8, as real crawls lie),
+    * script/style bodies containing `<`/`>`, a comment and a quoted
+    * attribute containing `>` — so the DuckDB twin can replay the
+    * expected text as a closed-form template over `documents` (the
+    * text_scrub_pii injected-proof pattern). Corpus text is
+    * markup-escaped going IN and entity-decoded coming OUT — identity
+    * by construction even if the corpus gains `&`/`<`/`>`.
+    */
+  private def warcFixture(t: Tables): String = {
+    val h = java.lang.Integer.toHexString(t.dir.hashCode)
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_warc_$h"
+    val esc = F.regexp_replace(F.regexp_replace(F.regexp_replace(
+      F.col("text"), "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+    val html = F.concat(
+      F.lit("<!DOCTYPE html><html><head><meta charset=\"utf-8\"><title>Doc "),
+      F.col("doc_id"),
+      F.lit(" &amp; caf&eacute; résumé</title>" +
+        "<style>p { b > c; color: red; }</style>" +
+        "<script>if (1 < 2 && \"</a>\" > \"b\") { alert(\"skip\"); }</script>" +
+        "</head><body><!-- nav > boilerplate --><h1 data-x=\"a>b\">Doc "),
+      F.col("doc_id"),
+      F.lit("</h1><p>"), esc,
+      F.lit("</p><p>fin&nbsp;&lt;"), F.col("doc_id"),
+      F.lit("&gt; &#233;&#xE9;</p></body></html>"))
+    val charset = F.when(F.pmod(F.col("doc_id"), F.lit(3)) === 0,
+      F.lit("iso-8859-1")).otherwise(F.lit("utf-8"))
+    val head = F.concat(
+      F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset="),
+      charset, F.lit("\r\nServer: graft\r\n\r\n"))
+    val body = F.when(F.pmod(F.col("doc_id"), F.lit(3)) === 0,
+        F.encode(html, "ISO-8859-1"))
+      .otherwise(F.encode(html, "UTF-8"))
+    val recs = t.documents
+      .select(F.col("doc_id"),
+        F.concat(F.encode(head, "UTF-8"), body).as("payload"))
+      .select(F.col("payload"),
+        F.explode(F.array(
+          F.format_string("http://EXample.org/docs/%d", F.col("doc_id")),
+          F.format_string("http://www.example.org:80/docs/%d#frag",
+            F.col("doc_id")))).as("target_uri"))
+      .select(F.col("target_uri"),
+        F.lit("application/http; msgtype=response").as("content_type"),
+        F.col("payload"))
+    sources.Warc.writeWarc(recs, dir)
+    dir
+  }
+
+  private def warcTextExtract(t: Tables): DataFrame = {
+    // WARC → frame → HTTP split → charset decode → HTML extract: one
+    // row per crawled record, the extracted text gated against the
+    // template replay (closed-form in the twin)
+    val dir = warcFixture(t)
+    sources.Warc.extractText(
+        sources.Warc.httpResponses(sources.Warc.readWarc(t.spark, dir)))
+      .where(F.col("http_status") === 200)
+      .select(F.col("target_uri").as("uri"), F.col("text").as("clean_text"))
+      .orderBy("uri")
+  }
+
+  private def warcDedup(t: Tables): DataFrame = {
+    // the composed crawl-ingest pipeline: WARC → text → EXACT dedup on
+    // the canonicalized URL (both URL variants fold to one key; the
+    // two bodies decode — through DIFFERENT charsets — to the same
+    // extracted text, so n_texts == 1 gates decode+extract determinism
+    // end-to-end, not just framing)
+    val dir = warcFixture(t)
+    sources.Warc.extractText(
+        sources.Warc.httpResponses(sources.Warc.readWarc(t.spark, dir)))
+      .where(F.col("http_status") === 200)
+      .select(graft.functions.Urls.canonical(F.col("target_uri")).as("url"),
+        F.col("text"))
+      .groupBy("url")
+      .agg(F.count(F.lit(1)).as("n_copies"),
+        F.countDistinct("text").as("n_texts"))
+      .orderBy("url")
+  }
+
   // ---------------------------------------------------------------- wiring
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -3645,6 +3731,8 @@ object SparkEntry {
       "curate_bpe_tokens" -> q(curateBpeTokens),
       "dedup_cross_source" -> q(dedupCrossSource),
       "events_json" -> q(eventsJson),
+      "warc_text_extract" -> q(warcTextExtract),
+      "warc_dedup" -> q(warcDedup),
       "events_late_arrivals" -> q(eventsLateArrivals),
       "events_funnel" -> q(eventsFunnel),
       "events_outliers" -> q(eventsOutliers),

@@ -149,6 +149,78 @@ object Warc {
     }(enc)
   }
 
+  /** Distributed WARC SINK: write (target_uri, content_type, payload)
+    * rows as `part-NNNNN.warc.gz` files under `dir` — one file per
+    * partition, each record its own gzip member (the Common Crawl
+    * convention, so any member is independently seekable and
+    * [[gunzipAll]]'s multi-member inflate reads the file back). Rows
+    * become `response`-type records with a caller-fixed WARC-Date and
+    * a record id derived from the URI (deterministic output for a
+    * deterministic input — fixture replay depends on it). Executors
+    * write through the Hadoop FileSystem of `dir` (fresh default
+    * Configuration per partition — custom FS conf callers should
+    * write parquet instead; this sink exists for WARC interchange).
+    */
+  def writeWarc(df: DataFrame, dir: String,
+                date: String = "2024-01-01T00:00:00Z"): Unit = {
+    val uIdx = df.schema.fieldIndex("target_uri")
+    val cIdx = df.schema.fieldIndex("content_type")
+    val pIdx = df.schema.fieldIndex("payload")
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val rootFs = root.getFileSystem(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    if (rootFs.exists(root)) rootFs.delete(root, true)
+    rootFs.mkdirs(root)
+    df.rdd.foreachPartition { rows =>
+      if (rows.hasNext) {
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val fs = root.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val out = fs.create(new org.apache.hadoop.fs.Path(root,
+          f"part-$pid%05d.warc.gz"), true)
+        try {
+          rows.foreach { r =>
+            val uri = r.getString(uIdx)
+            val ct = r.getString(cIdx)
+            val payload = r.getAs[Array[Byte]](pIdx)
+            val id = java.util.UUID.nameUUIDFromBytes(
+              uri.getBytes("UTF-8")).toString
+            val h = new StringBuilder("WARC/1.0\r\n")
+            h ++= "WARC-Type: response\r\n"
+            h ++= s"WARC-Target-URI: $uri\r\n"
+            h ++= s"WARC-Date: $date\r\n"
+            h ++= s"WARC-Record-ID: <urn:uuid:$id>\r\n"
+            h ++= s"Content-Type: $ct\r\n"
+            h ++= s"Content-Length: ${payload.length}\r\n\r\n"
+            // one gzip member per record, buffered so the Deflater is
+            // closed per member (no native-memory debt on long tasks)
+            val bo = new java.io.ByteArrayOutputStream(
+              payload.length / 2 + 256)
+            val gz = new java.util.zip.GZIPOutputStream(bo)
+            gz.write(h.toString.getBytes("US-ASCII"))
+            gz.write(payload)
+            gz.write(CRLF); gz.write(CRLF)
+            gz.close()
+            bo.writeTo(out)
+          }
+        } finally out.close()
+      }
+    }
+  }
+
+  /** The WET step: [[httpResponses]] rows with the body decoded under
+    * the HTTP Content-Type charset and reduced to extracted text
+    * ([[graft.text.HtmlExtract]] — script/style/comment drop, tag
+    * strip, entity decode, whitespace collapse). A codegen'd scalar
+    * projection — the scan, this column, and any downstream filter
+    * stay in one WholeStageCodegen span.
+    */
+  def extractText(responses: DataFrame): DataFrame = {
+    import org.apache.spark.sql.{functions => F}
+    responses.withColumn("text",
+      graft.text.HtmlExtract.htmlText(F.col("body"),
+        F.col("http_content_type"))).drop("body")
+  }
+
   /** Split an HTTP response payload (a `response`-type record body)
     * into (status, http content-type, body bytes). Garbage-safe:
     * a payload that is not an HTTP message yields status -1 and the

@@ -144,6 +144,68 @@ class R16OpsSpec extends SparkSpec {
     assert(got.getLong(3) == 3L, s"n_candidates: $got")
   }
 
+  test("HtmlExtract.extract: tags, raw-text blocks, comments, entities, whitespace") {
+    import graft.text.HtmlExtract.extract
+    assert(extract("<p>a</p><p>b</p>") == "a b")
+    assert(extract("fan<i>tastic</i>") == "fan tastic")
+    assert(extract("<script>if (1 < 2 && \"</a>\" > \"x\") {}</script>ok") == "ok")
+    assert(extract("<style>p { a > b; }</style>ok") == "ok")
+    assert(extract("<!-- nav > boilerplate -->ok") == "ok")
+    assert(extract("<![CDATA[ raw < > stuff ]]>ok") == "ok")
+    assert(extract("<!DOCTYPE html>ok") == "ok")
+    assert(extract("<h1 data-x=\"a>b\">t</h1>") == "t")
+    // entities: named, numeric dec/hex, unknown + unterminated literal
+    assert(extract("a&amp;b &lt;x&gt; &#233;&#xE9;") == "a&b <x> éé")
+    assert(extract("a&bogus;b") == "a&bogus;b")
+    assert(extract("tail&amp") == "tail&amp")
+    assert(extract("a&nbsp;&nbsp;b") == "a b")
+    // bare '<' that opens no tag is literal text
+    assert(extract("1 < 2") == "1 < 2")
+    // whitespace collapse + trim
+    assert(extract("  a\t\n b  ") == "a b")
+    // garbage: unclosed constructs swallow, prefix kept, no throw
+    assert(extract("keep <script>never closed") == "keep")
+    assert(extract("keep <!-- never closed") == "keep")
+    assert(extract("keep <tag attr=\"unclosed") == "keep")
+    assert(extract("") == "")
+  }
+
+  test("HtmlExtract: charset from Content-Type header, UTF-8 fallback, malformed replaced") {
+    import graft.text.HtmlExtract
+    val eUtf = "é".getBytes("UTF-8")
+    val eLat = "é".getBytes("ISO-8859-1")
+    assert(HtmlExtract.decodeBody(eUtf, "text/html; charset=utf-8") == "é")
+    assert(HtmlExtract.decodeBody(eLat, "text/html; charset=iso-8859-1") == "é")
+    assert(HtmlExtract.decodeBody(eLat, "text/html; CHARSET=\"ISO-8859-1\"") == "é")
+    assert(HtmlExtract.decodeBody(eUtf, "text/html") == "é")
+    assert(HtmlExtract.decodeBody(eUtf, "text/html; charset=not-a-charset") == "é")
+    // a lone latin-1 é is malformed UTF-8 -> replacement char, no throw
+    assert(HtmlExtract.decodeBody(eLat, "text/html; charset=utf-8") == "�")
+  }
+
+  test("Warc.writeWarc round-trip: write, read back, split, extract") {
+    import graft.sources.Warc
+    val dir = java.nio.file.Files.createTempDirectory("graft_warcw").toString + "/out"
+    val body = "<html><body><p>hello &amp; crawl</p></body></html>"
+    val http = "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n" + body
+    val df = Seq(
+      ("http://a.org/1", "application/http; msgtype=response", http.getBytes("UTF-8")),
+      ("http://a.org/2", "application/http; msgtype=response", http.getBytes("UTF-8")))
+      .toDF("target_uri", "content_type", "payload")
+    Warc.writeWarc(df, dir)
+    val back = Warc.extractText(Warc.httpResponses(Warc.readWarc(spark, dir)))
+      .select("target_uri", "http_status", "text")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    assert(back == Set(("http://a.org/1", 200, "hello & crawl"),
+      ("http://a.org/2", 200, "hello & crawl")), back)
+    // the fixture's two URL variants fold to one canonical key
+    val canon = Seq("http://EXample.org/docs/7",
+      "http://www.example.org:80/docs/7#frag").toDF("u")
+      .select(graft.functions.Urls.canonical(F.col("u"))).as[String]
+      .collect().toSet
+    assert(canon == Set("http://example.org/docs/7"), canon)
+  }
+
   test("Versioned: unmarked leftover v_N is reclaimed without pre-deleting a committed winner") {
     import graft.sources.Versioned
     val root = java.nio.file.Files.createTempDirectory("graft_vtoctou").toString
