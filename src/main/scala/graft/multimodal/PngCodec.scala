@@ -2,9 +2,11 @@ package graft.multimodal
 
 import java.util.zip.{CRC32, Deflater, Inflater}
 
-/** Pure-JVM PNG PIXEL codec (ISO/IEC 15948) for 8-bit grayscale
-  * (color type 0) and truecolor RGB (color type 2), progressive OR
-  * Adam7-interlaced (r15 — §8.2's seven filtered sub-images) — the
+/** Pure-JVM PNG PIXEL codec (ISO/IEC 15948) for every 8-bit color
+  * type — grayscale (0), truecolor RGB (2), palette (3, PLTE
+  * indirection, r16), gray+alpha (4, r16), RGBA (6, r16) —
+  * progressive OR Adam7-interlaced (r15 — §8.2's seven filtered
+  * sub-images); 16-bit depths remain the declared stub — the
   * container format whose compression (zlib DEFLATE, RFC 1950/1951)
   * and per-scanline filtering (§9: None/Sub/Up/Average/Paeth) ship in
   * the JDK, so REAL pixel decode needs no external library. This
@@ -105,6 +107,15 @@ object PngCodec {
     off
   }
 
+  /** [[inflateFiltered]]'s result: `rawChannels` is the bytes-per-
+    * pixel of the FILTERED stream (1 for palette indices, 2 for
+    * gray+alpha, 4 for RGBA); `palette` is the PLTE RGB table (empty
+    * unless color type 3).
+    */
+  private final case class Inflated(width: Int, height: Int,
+      rawChannels: Int, colorType: Int, interlaced: Boolean,
+      palette: Array[Byte], raw: Array[Byte])
+
   /** Chunk walk + zlib inflate to the FILTERED scanline buffer
     * (for interlace 0: height rows of 1 filter byte + width*channels
     * samples; for Adam7: the 7 passes' sub-image scanlines
@@ -112,14 +123,14 @@ object PngCodec {
     * None for anything unsupported or malformed — every guard
     * documented on [[decodeStats]] lives here.
     */
-  private def inflateFiltered(
-      bytes: Array[Byte]): Option[(Int, Int, Int, Boolean, Array[Byte])] = {
+  private def inflateFiltered(bytes: Array[Byte]): Option[Inflated] = {
     if (bytes == null || bytes.length < Sig.length + 12) return None
     var i = 0
     while (i < Sig.length) { if (bytes(i) != Sig(i)) return None; i += 1 }
 
-    var width, height, channels = -1
+    var width, height, channels, colorType = -1
     var interlaced = false
+    var palette: Array[Byte] = Array.emptyByteArray
     val idat = new java.io.ByteArrayOutputStream()
     var pos = Sig.length
     var sawEnd = false
@@ -135,7 +146,7 @@ object PngCodec {
           val w = be32(bytes, dataOff)
           val h = be32(bytes, dataOff + 4)
           val bitDepth = bytes(dataOff + 8) & 0xff
-          val colorType = bytes(dataOff + 9) & 0xff
+          colorType = bytes(dataOff + 9) & 0xff
           val interlace = bytes(dataOff + 12) & 0xff
           if (w <= 0 || h <= 0 || w > Int.MaxValue || h > Int.MaxValue) return None
           if (bitDepth != 8 || interlace > 1) return None
@@ -143,9 +154,17 @@ object PngCodec {
           channels = colorType match {
             case 0 => 1 // grayscale
             case 2 => 3 // truecolor RGB
-            case _ => return None // palette/alpha need more machinery
+            case 3 => 1 // palette: 1 index byte per pixel (PLTE maps it)
+            case 4 => 2 // gray + alpha
+            case 6 => 4 // RGBA
+            case _ => return None // 16-bit depths already refused above
           }
           width = w.toInt; height = h.toInt
+        case "PLTE" =>
+          // §11.2.3: 1..256 RGB triples; malformed length is fatal
+          if (len == 0 || len % 3 != 0 || len > 256 * 3) return None
+          palette = java.util.Arrays.copyOfRange(bytes, dataOff,
+            dataOff + len.toInt)
         case "IDAT" => idat.write(bytes, dataOff, len.toInt)
         case "IEND" => sawEnd = true
         case _ => // ancillary chunks are skippable by definition
@@ -153,6 +172,7 @@ object PngCodec {
       pos += 12 + len.toInt
     }
     if (width < 0 || idat.size == 0) return None
+    if (colorType == 3 && palette.isEmpty) return None // PLTE is REQUIRED
 
     // guard absurd dimension/payload combinations BEFORE allocating.
     // Interlaced payload: each Adam7 pass has its own filter bytes,
@@ -191,38 +211,54 @@ object PngCodec {
       if (inf.inflate(probe, 0, 1) > 0 || !inf.finished()) return None
     } catch { case _: java.util.zip.DataFormatException => return None }
     finally inf.end()
-    Some((width, height, channels, interlaced, raw))
+    Some(Inflated(width, height, channels, colorType, interlaced, palette, raw))
   }
 
   /** Decode a PNG's pixels to [[PixelStats]], or None for anything
-    * unsupported (bit depth != 8, palette/alpha color types) or
-    * malformed (bad signature/chunk layout, truncated or over-long
-    * inflate, unknown filter byte) — callers map None to an explicit
-    * null-stats row, never an exception (garbage-safe, like
-    * [[ImageHeaders.decode]]). Adam7-interlaced images decode for
-    * real (r15): each pass unfilters independently, and since the
-    * aggregates are position-free the pass samples accumulate
-    * directly — still two scanlines of state, never a raster.
+    * unsupported (bit depth != 8) or malformed (bad signature/chunk
+    * layout, missing/malformed PLTE on a palette image, out-of-range
+    * palette index, truncated or over-long inflate, unknown filter
+    * byte) — callers map None to an explicit null-stats row, never an
+    * exception (garbage-safe, like [[ImageHeaders.decode]]).
+    * Adam7-interlaced images decode for real (r15): each pass
+    * unfilters independently, and since the aggregates are
+    * position-free the pass samples accumulate directly — still two
+    * scanlines of state, never a raster. Color types (r16): 0 gray,
+    * 2 RGB, 3 palette (indices expand through PLTE → stats over the
+    * mapped RGB, channels reported as 3), 4 gray+alpha and 6 RGBA
+    * (alpha IS a sample channel — the stats contract is "every
+    * channel sample", and a quality pass wants alpha coverage too).
     */
   def decodeStats(bytes: Array[Byte]): Option[PixelStats] = {
-    val (width, height, channels, interlaced, raw) =
-      inflateFiltered(bytes) match {
-        case Some(t) => t
-        case None => return None
-      }
-    val stride = width.toLong * channels
+    val d = inflateFiltered(bytes) match {
+      case Some(t) => t
+      case None => return None
+    }
+    val outChannels = if (d.colorType == 3) 3 else d.rawChannels
+    val nColors = d.palette.length / 3
     var sum = 0L
     var sumSq = 0L
+    var badIndex = false
     var off = 0
-    for (p <- passes(width, height, interlaced)) {
-      val (pw, ph) = passDims(width, height, p)
-      off = unfilterPass(raw, off, pw * channels, ph, channels) { (_, _, v) =>
-        sum += v
-        sumSq += v.toLong * v
+    for (p <- passes(d.width, d.height, d.interlaced)) {
+      val (pw, ph) = passDims(d.width, d.height, p)
+      off = unfilterPass(raw = d.raw, off0 = off, rowBytes = pw * d.rawChannels,
+        rows = ph, bpp = d.rawChannels) { (_, _, v) =>
+        if (d.colorType == 3) {
+          if (v >= nColors) badIndex = true
+          else {
+            var c = 0
+            while (c < 3) {
+              val s = d.palette(v * 3 + c) & 0xff
+              sum += s; sumSq += s.toLong * s; c += 1
+            }
+          }
+        } else { sum += v; sumSq += v.toLong * v }
       }
-      if (off < 0) return None
+      if (off < 0 || badIndex) return None
     }
-    Some(PixelStats(width, height, channels, stride * height, sum, sumSq))
+    Some(PixelStats(d.width, d.height, outChannels,
+      d.width.toLong * d.height * outChannels, sum, sumSq))
   }
 
   /** A decoded raster: flat row-major unsigned samples (mask 0xff on
@@ -241,27 +277,38 @@ object PngCodec {
     * (resize, feature extraction) get real samples to work on.
     */
   def decodePixels(bytes: Array[Byte]): Option[Pixels] = {
-    val (width, height, channels, interlaced, raw) =
-      inflateFiltered(bytes) match {
-        case Some(t) => t
-        case None => return None
-      }
-    val w = width * channels
-    val out = new Array[Byte](w * height)
+    val d = inflateFiltered(bytes) match {
+      case Some(t) => t
+      case None => return None
+    }
+    val rc = d.rawChannels
+    val outChannels = if (d.colorType == 3) 3 else rc
+    val nColors = d.palette.length / 3
+    val w = d.width * outChannels
+    val out = new Array[Byte](w * d.height)
+    var badIndex = false
     var off = 0
-    for (p @ (x0, y0, dx, dy) <- passes(width, height, interlaced)) {
-      val (pw, ph) = passDims(width, height, p)
+    for (p @ (x0, y0, dx, dy) <- passes(d.width, d.height, d.interlaced)) {
+      val (pw, ph) = passDims(d.width, d.height, p)
       // pass-local (row, byteIdx) → frame position: the byte index
       // splits into (pixel-in-pass, channel); the pass grid places
-      // pixel j of row i at frame (x0 + j·dx, y0 + i·dy)
-      off = unfilterPass(raw, off, pw * channels, ph, channels) { (i, x, v) =>
-        val px = x0 + (x / channels) * dx
-        val ch = x % channels
-        out((y0 + i.toLong * dy).toInt * w + px * channels + ch) = v.toByte
+      // pixel j of row i at frame (x0 + j·dx, y0 + i·dy). Palette
+      // indices (rc = 1) expand through PLTE to 3 output samples.
+      off = unfilterPass(d.raw, off, pw * rc, ph, rc) { (i, x, v) =>
+        val px = x0 + (x / rc) * dx
+        val base = (y0 + i.toLong * dy).toInt * w + px * outChannels
+        if (d.colorType == 3) {
+          if (v >= nColors) badIndex = true
+          else {
+            out(base) = d.palette(v * 3)
+            out(base + 1) = d.palette(v * 3 + 1)
+            out(base + 2) = d.palette(v * 3 + 2)
+          }
+        } else out(base + x % rc) = v.toByte
       }
-      if (off < 0) return None
+      if (off < 0 || badIndex) return None
     }
-    Some(Pixels(width, height, channels, out))
+    Some(Pixels(d.width, d.height, outChannels, out))
   }
 
   /** REAL nearest-neighbor resize on the decoded raster (PIL NEAREST
@@ -307,7 +354,8 @@ object PngCodec {
     */
   def encode(width: Int, height: Int, channels: Int, value: Long => Int): Array[Byte] = {
     require(width > 0 && height > 0, "positive dimensions")
-    require(channels == 1 || channels == 3, "gray or RGB")
+    require(Seq(1, 2, 3, 4).contains(channels),
+      "gray, gray+alpha, RGB, or RGBA")
     val bpp = channels
     val stride = width * bpp
     val raw = new Array[Byte](height * (1 + stride))
@@ -351,7 +399,8 @@ object PngCodec {
   def encodeAdam7(width: Int, height: Int, channels: Int,
                   value: Long => Int): Array[Byte] = {
     require(width > 0 && height > 0, "positive dimensions")
-    require(channels == 1 || channels == 3, "gray or RGB")
+    require(Seq(1, 2, 3, 4).contains(channels),
+      "gray, gray+alpha, RGB, or RGBA")
     val bpp = channels
     val stride = width.toLong * channels
     val buf = new java.io.ByteArrayOutputStream()
@@ -399,7 +448,8 @@ object PngCodec {
     * IDAT + IEND with genuine CRCs — shared by both encoders.
     */
   private def writePng(width: Int, height: Int, channels: Int,
-                       interlace: Int, raw: Array[Byte]): Array[Byte] = {
+                       interlace: Int, raw: Array[Byte],
+                       plte: Array[Byte] = Array.emptyByteArray): Array[Byte] = {
     val defl = new Deflater()
     defl.setInput(raw); defl.finish()
     val zout = new java.io.ByteArrayOutputStream()
@@ -428,13 +478,59 @@ object PngCodec {
     }
     put32(ihdr, 0, width); put32(ihdr, 4, height)
     ihdr(8) = 8 // bit depth
-    ihdr(9) = (if (channels == 1) 0 else 2).toByte // color type
+    ihdr(9) = (channels match {
+      case 1 => 0; case 2 => 4; case 3 => 2; case 4 => 6
+      case -3 => 3 // palette sentinel from encodePalette
+    }).toByte
     ihdr(12) = interlace.toByte // compression 0, filter 0 stay zeroed
     val out = new java.io.ByteArrayOutputStream()
     out.write(Sig)
     out.write(chunk("IHDR", ihdr))
+    if (plte.nonEmpty) out.write(chunk("PLTE", plte))
     out.write(chunk("IDAT", zout.toByteArray))
     out.write(chunk("IEND", Array.emptyByteArray))
     out.toByteArray
+  }
+
+  /** Palette PNG encoder (color type 3): `palette` is 1..256 RGB
+    * triples; sample p of the row-major index raster is
+    * `indexOf(p) % palette-size`. Filter cycles y % 5 like [[encode]]
+    * so every unfilter runs over the 1-byte-per-pixel stream.
+    */
+  def encodePalette(width: Int, height: Int, palette: Array[Byte],
+                    indexOf: Long => Int): Array[Byte] = {
+    require(width > 0 && height > 0, "positive dimensions")
+    require(palette.nonEmpty && palette.length % 3 == 0 &&
+      palette.length <= 256 * 3, "1..256 RGB triples")
+    val n = palette.length / 3
+    val raw = new Array[Byte](height * (1 + width))
+    val cur = new Array[Int](width)
+    val prev = new Array[Int](width)
+    var off = 0
+    for (y <- 0 until height) {
+      var x = 0
+      while (x < width) {
+        cur(x) = ((indexOf(y.toLong * width + x) % n) + n) % n; x += 1
+      }
+      val ft = y % 5
+      raw(off) = ft.toByte; off += 1
+      x = 0
+      while (x < width) {
+        val a = if (x >= 1) cur(x - 1) else 0
+        val b = if (y > 0) prev(x) else 0
+        val c = if (x >= 1 && y > 0) prev(x - 1) else 0
+        val f = ft match {
+          case 0 => cur(x)
+          case 1 => cur(x) - a
+          case 2 => cur(x) - b
+          case 3 => cur(x) - ((a + b) >> 1)
+          case 4 => cur(x) - paeth(a, b, c)
+        }
+        raw(off) = (f & 0xff).toByte; off += 1
+        x += 1
+      }
+      Array.copy(cur, 0, prev, 0, width)
+    }
+    writePng(width, height, -3, interlace = 0, raw, plte = palette)
   }
 }
