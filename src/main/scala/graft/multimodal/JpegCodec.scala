@@ -35,7 +35,10 @@ import graft.multimodal.PngCodec.PixelStats
   * Decoder scope: 8-bit baseline (SOF0), grayscale (1 component,
   * 1x1 sampling) AND 3-component YCbCr color with 4:4:4, 4:2:2 or
   * 4:2:0 subsampling (interleaved scan, per-component DC predictors,
-  * nearest-replication chroma upsampling). The YCbCr -> RGB
+  * nearest-replication chroma upsampling); PLUS progressive (SOF2)
+  * grayscale (r16 — T.81 Annex G spectral selection + successive
+  * approximation, EOB runs, refinement correction bits; progressive
+  * COLOR remains the declared stub). The YCbCr -> RGB
   * transform is the standard JFIF one in 16.16 FIXED-POINT integer
   * arithmetic (libjpeg-style constants: 1.402 -> 91881/65536 etc.),
   * so color reconstruction from DC-only streams is exact integer math
@@ -265,6 +268,30 @@ object JpegCodec {
       }.map { case (w, h) =>
         PixelStats(w, h, 3, 3L * w * h, sum, sumSq)
       }
+    }.orElse { // progressive (SOF2) grayscale
+      sum = 0L
+      sumSq = 0L
+      decodeProgressiveBlocks(bytes, (_, _) => ()) { (_, _, nx, ny, flat, px) =>
+        if (px == null) {
+          val cnt = nx.toLong * ny
+          sum += flat.toLong * cnt
+          sumSq += flat.toLong * flat * cnt
+        } else {
+          var yy = 0
+          while (yy < ny) {
+            var xx = 0
+            while (xx < nx) {
+              val v = px(yy * 8 + xx).toLong
+              sum += v
+              sumSq += v * v
+              xx += 1
+            }
+            yy += 1
+          }
+        }
+      }.map { case (w, h) =>
+        PixelStats(w, h, 1, w.toLong * h, sum, sumSq)
+      }
     }
   }
 
@@ -274,19 +301,347 @@ object JpegCodec {
   private[graft] def decodeRaster(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] = {
     var out: Array[Int] = null
     var w0 = 0
-    decodeBlocks(bytes, (w, h) => { w0 = w; out = new Array[Int](w * h) }) {
-      (bx, by, nx, ny, flat, px) =>
-        var yy = 0
-        while (yy < ny) {
-          var xx = 0
-          while (xx < nx) {
-            out((by * 8 + yy) * w0 + bx * 8 + xx) =
-              if (px == null) flat else px(yy * 8 + xx)
-            xx += 1
-          }
-          yy += 1
+    def fill(bx: Int, by: Int, nx: Int, ny: Int, flat: Int,
+             px: Array[Int]): Unit = {
+      var yy = 0
+      while (yy < ny) {
+        var xx = 0
+        while (xx < nx) {
+          out((by * 8 + yy) * w0 + bx * 8 + xx) =
+            if (px == null) flat else px(yy * 8 + xx)
+          xx += 1
         }
-    }.map { case (w, h) => (w, h, out) }
+        yy += 1
+      }
+    }
+    decodeBlocks(bytes,
+        (w, h) => { w0 = w; out = new Array[Int](w * h) })(fill)
+      .orElse(decodeProgressiveBlocks(bytes,
+        (w, h) => { w0 = w; out = new Array[Int](w * h) })(fill))
+      .map { case (w, h) => (w, h, out) }
+  }
+
+  // ---------------------------------------------------------------
+  // Progressive (SOF2) grayscale decode — T.81 Annex G: spectral
+  // selection (each scan carries a zigzag band [Ss..Se]) + successive
+  // approximation (first scans deliver coefficients at precision
+  // >> Al; refinement scans append one magnitude bit each). The
+  // entropy primitives (canonical Huffman, EXTEND, bit reader with
+  // FF00 unstuffing and RSTn handling) are the baseline machinery
+  // above; what progressive adds is the per-image coefficient buffer
+  // (inherent to the format — scans revisit every block) and the
+  // first/refinement band decoders, written to the spec's G.1.2
+  // procedures (EOB runs shared across blocks, correction bits for
+  // already-nonzero history during refinement — including inside EOB
+  // runs). Scope: 8-bit, 1 component, 1x1 sampling (grayscale);
+  // progressive COLOR stays a declared stub. Reconstruction reuses
+  // the baseline paths bit-for-bit: DC-only blocks keep the exact
+  // integer closed form (so the SAME oracle arithmetic gates both
+  // framings), AC blocks go through the shared dequant + IDCT.
+  // ---------------------------------------------------------------
+
+  /** Decode one scan's entropy data for all blocks (grayscale: block
+    * raster order, restart interval counted in blocks). Mutates
+    * `coefs` (zigzag-ordered per block). Returns the byte position
+    * just after the scan (at the 0xFF of the next marker), or -1 on
+    * malformed data.
+    */
+  private def decodeProgScan(bytes: Array[Byte], scanStart: Int,
+      coefs: Array[Int], nBlocks: Int,
+      dcT: HuffTable, acT: HuffTable,
+      ss: Int, se: Int, ah: Int, al: Int, ri: Int): Int = {
+    val r = new BitReader(bytes, scanStart)
+    var pred = 0
+    var eobrun = 0
+    var until = if (ri > 0) ri else Int.MaxValue
+    var b = 0
+    while (b < nBlocks) {
+      val base = b * 64
+      if (ss == 0) {
+        if (ah == 0) { // DC first: category + EXTEND diff, shifted
+          val s = decodeHuff(r, dcT)
+          if (s < 0 || s > 11) return -1
+          val dBits = if (s == 0) 0 else r.bits(s)
+          if (dBits < 0) return -1
+          pred += extend(dBits, s)
+          coefs(base) = pred << al
+        } else { // DC refinement: one bit per block
+          val bit = r.bit()
+          if (bit < 0) return -1
+          if (bit == 1) coefs(base) |= (1 << al)
+        }
+      } else if (ah == 0) { // AC first (G.1.2.2)
+        if (eobrun > 0) eobrun -= 1
+        else {
+          var k = ss
+          var brk = false
+          while (!brk && k <= se) {
+            val rs = decodeHuff(r, acT)
+            if (rs < 0) return -1
+            val run = rs >> 4
+            val s = rs & 15
+            if (s == 0) {
+              if (run == 15) k += 16 // ZRL
+              else { // EOBn: run extra bits, counts THIS block
+                eobrun = (1 << run) - 1
+                if (run > 0) {
+                  val eb = r.bits(run)
+                  if (eb < 0) return -1
+                  eobrun += eb
+                }
+                brk = true
+              }
+            } else {
+              k += run
+              if (k > se) return -1
+              val v = r.bits(s)
+              if (v < 0) return -1
+              coefs(base + k) = extend(v, s) << al
+              k += 1
+            }
+          }
+        }
+      } else { // AC refinement (G.1.2.3)
+        val p1 = 1 << al
+        val m1 = -(1 << al)
+        // append one correction bit to an already-nonzero coefficient
+        def correct(idx: Int): Boolean = {
+          val c = coefs(idx)
+          val cb = r.bit()
+          if (cb < 0) return false
+          if (cb == 1 && (c & p1) == 0)
+            coefs(idx) = c + (if (c >= 0) p1 else m1)
+          true
+        }
+        var k = ss
+        if (eobrun == 0) {
+          var brk = false
+          while (!brk && k <= se) {
+            val rs = decodeHuff(r, acT)
+            if (rs < 0) return -1
+            var run = rs >> 4
+            val s = rs & 15
+            var newVal = 0
+            if (s != 0) {
+              if (s != 1) return -1 // refinement codes only ±1<<Al
+              val sb = r.bit()
+              if (sb < 0) return -1
+              newVal = if (sb == 1) p1 else m1
+            } else if (run != 15) { // EOBn
+              eobrun = 1 << run
+              if (run > 0) {
+                val eb = r.bits(run)
+                if (eb < 0) return -1
+                eobrun += eb
+              }
+              brk = true
+            } // run == 15, s == 0: ZRL — skip 16 zero-HISTORY slots
+            if (!brk) {
+              // advance: correction bits at nonzero-history positions
+              // (they don't consume the run), place the new value at
+              // the (run+1)-th zero-history position
+              var placed = false
+              while (!placed && k <= se) {
+                if (coefs(base + k) != 0) {
+                  if (!correct(base + k)) return -1
+                } else if (run == 0) {
+                  if (newVal != 0) coefs(base + k) = newVal
+                  placed = true
+                } else run -= 1
+                if (!placed) k += 1
+              }
+              k += 1
+            }
+          }
+        }
+        if (eobrun > 0) {
+          // blocks inside an EOB run still carry correction bits for
+          // every remaining nonzero-history coefficient of the band
+          while (k <= se) {
+            if (coefs(base + k) != 0 && !correct(base + k)) return -1
+            k += 1
+          }
+          eobrun -= 1
+        }
+      }
+      until -= 1
+      if (until == 0 && b != nBlocks - 1) {
+        if (!r.resync()) return -1
+        until = ri
+        pred = 0
+        eobrun = 0
+      }
+      b += 1
+    }
+    r.pos
+  }
+
+  /** Progressive grayscale decode to the SAME onDims/onBlock shape as
+    * [[decodeBlocks]] — the stats and raster consumers are shared.
+    * None for malformed input, progressive color, or any scope gate.
+    */
+  private def decodeProgressiveBlocks(bytes: Array[Byte],
+      onDims: (Int, Int) => Unit)(
+      onBlock: (Int, Int, Int, Int, Int, Array[Int]) => Unit): Option[(Int, Int)] = {
+    if (bytes == null || bytes.length < 4) return None
+    if ((bytes(0) & 0xff) != 0xff || (bytes(1) & 0xff) != 0xd8) return None
+    val quant = new Array[Array[Int]](4)
+    val dcTabs = new Array[HuffTable](4)
+    val acTabs = new Array[HuffTable](4)
+    var width = 0
+    var height = 0
+    var tq = -1
+    var td = 0
+    var ta = 0
+    var restartInterval = 0
+    var coefs: Array[Int] = null
+    var bw = 0
+    var bh = 0
+    var sawScan = false
+    var pos = 2
+    try {
+      var done = false
+      while (!done) {
+        if (pos + 1 >= bytes.length) return None
+        if ((bytes(pos) & 0xff) != 0xff) return None
+        var marker = bytes(pos + 1) & 0xff
+        pos += 2
+        while (marker == 0xff) {
+          if (pos >= bytes.length) return None
+          marker = bytes(pos) & 0xff; pos += 1
+        }
+        marker match {
+          case 0xd9 => done = true // EOI
+          case m if m >= 0xd0 && m <= 0xd7 => // stray RST: skip
+          case _ =>
+            if (pos + 1 >= bytes.length) return None
+            val len = be16(bytes, pos)
+            if (len < 2 || pos + len > bytes.length) return None
+            val end = pos + len
+            var p = pos + 2
+            marker match {
+              case 0xc2 => // SOF2 progressive
+                if (coefs != null) return None // one frame only
+                val precision = bytes(p) & 0xff
+                height = be16(bytes, p + 1)
+                width = be16(bytes, p + 3)
+                val nc = bytes(p + 5) & 0xff
+                if (precision != 8 || nc != 1) return None // gray scope
+                if (width <= 0 || height <= 0 ||
+                  width.toLong * height > MaxPixels) return None
+                val hv = bytes(p + 7) & 0xff
+                if ((hv >> 4) != 1 || (hv & 0x0f) != 1) return None
+                tq = bytes(p + 8) & 0x0f
+                bw = (width + 7) / 8
+                bh = (height + 7) / 8
+                coefs = new Array[Int](bw * bh * 64)
+              case 0xc0 | 0xc1 | 0xc3 | 0xc5 | 0xc6 | 0xc7 |
+                   0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
+                return None // any other frame type
+              case 0xdb =>
+                while (p < end) {
+                  val pq = (bytes(p) & 0xff) >> 4
+                  val id = bytes(p) & 0x0f
+                  p += 1
+                  if (id > 3) return None
+                  val tab = new Array[Int](64)
+                  var i = 0
+                  while (i < 64) {
+                    if (pq == 0) { tab(i) = bytes(p) & 0xff; p += 1 }
+                    else { tab(i) = be16(bytes, p); p += 2 }
+                    i += 1
+                  }
+                  quant(id) = tab
+                }
+              case 0xc4 =>
+                while (p < end) {
+                  val tc = (bytes(p) & 0xff) >> 4
+                  val th = bytes(p) & 0x0f
+                  p += 1
+                  if (th > 3 || tc > 1) return None
+                  val bits = new Array[Int](16)
+                  var total = 0
+                  var i = 0
+                  while (i < 16) {
+                    bits(i) = bytes(p + i) & 0xff; total += bits(i); i += 1
+                  }
+                  p += 16
+                  if (total > 256 || p + total > end) return None
+                  val vals = java.util.Arrays.copyOfRange(bytes, p, p + total)
+                  p += total
+                  val t = new HuffTable(bits, vals)
+                  if (tc == 0) dcTabs(th) = t else acTabs(th) = t
+                }
+              case 0xdd => restartInterval = be16(bytes, p)
+              case 0xda => // SOS: one scan of the progression
+                if (coefs == null) return None
+                val ns = bytes(p) & 0xff
+                if (ns != 1) return None // gray scope
+                td = (bytes(p + 2) & 0xff) >> 4
+                ta = bytes(p + 2) & 0x0f
+                val scanSs = bytes(p + 3) & 0xff
+                val scanSe = bytes(p + 4) & 0xff
+                val aa = bytes(p + 5) & 0xff
+                val scanAh = aa >> 4
+                val scanAl = aa & 0x0f
+                if (scanSs > 63 || scanSe > 63 || scanSs > scanSe) return None
+                if ((scanSs == 0) != (scanSe == 0)) return None // DC is 0..0
+                if (scanAl > 13 || scanAh > 13) return None
+                if (scanAh != 0 && scanAh != scanAl + 1) return None
+                // DC scans need the DC table, AC scans the AC table
+                if (scanSs == 0 && scanAh == 0 && dcTabs(td) == null) return None
+                if (scanSs > 0 && acTabs(ta) == null) return None
+                val dcT = if (dcTabs(td) != null) dcTabs(td)
+                  else new HuffTable(new Array[Int](16), Array.emptyByteArray)
+                val acT = if (acTabs(ta) != null) acTabs(ta)
+                  else new HuffTable(new Array[Int](16), Array.emptyByteArray)
+                val after = decodeProgScan(bytes, end, coefs, bw * bh,
+                  dcT, acT, scanSs, scanSe, scanAh, scanAl, restartInterval)
+                if (after < 0) return None
+                sawScan = true
+                pos = after
+              case _ => // APPn, COM: skip
+            }
+            if (marker != 0xda) pos = end
+        }
+      }
+      if (coefs == null || !sawScan || quant(tq) == null) return None
+      onDims(width, height)
+      val qt = quant(tq)
+      var by = 0
+      while (by < bh) {
+        var bx = 0
+        while (bx < bw) {
+          val base = (by * bw + bx) * 64
+          var anyAc = false
+          var k = 1
+          while (k < 64) {
+            if (coefs(base + k) != 0) anyAc = true
+            k += 1
+          }
+          val nx = math.min(8, width - bx * 8)
+          val ny = math.min(8, height - by * 8)
+          if (!anyAc) { // the shared DC-only exact closed form
+            val x = 128 + Math.round(coefs(base).toDouble * qt(0) / 8.0).toInt
+            val v = if (x < 0) 0 else if (x > 255) 255 else x
+            onBlock(bx, by, nx, ny, v, null)
+          } else {
+            val nat = new Array[Int](64)
+            k = 0
+            while (k < 64) {
+              nat(ZigZag(k)) = coefs(base + k) * qt(k)
+              k += 1
+            }
+            onBlock(bx, by, nx, ny, 0, idctBlock(nat))
+          }
+          bx += 1
+        }
+        by += 1
+      }
+      Some((width, height))
+    } catch {
+      case _: ArrayIndexOutOfBoundsException => None
+    }
   }
 
   /** One scan component: SOF sampling factors + quant table id, SOS

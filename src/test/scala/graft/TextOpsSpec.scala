@@ -603,6 +603,8 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+
+
   test("JpegCodec decodes AC-bearing baseline streams: fDCT round-trip within rounding bounds") {
     import graft.multimodal.JpegCodec
     // q=1 everywhere: coefficients are rounded exact-DCT values, so
@@ -625,6 +627,83 @@ class TextOpsSpec extends SparkSpec {
       // and the streaming stats agree with the raster
       val st = JpegCodec.decodeStats(blob).get
       assert(st.sumVal == px.map(_.toLong).sum && st.nSamples == w.toLong * h)
+    }
+  }
+
+  test("JpegCodec progressive == baseline: identical quantized image, identical decode") {
+    import graft.multimodal.JpegCodec
+    // both encoders quantize with the SAME fDCT+round, so the decoder
+    // must reconstruct the IDENTICAL raster from the sequential and
+    // the 6-scan progressive framings — any spectral-selection,
+    // successive-approximation, EOB-run, or refinement bug breaks
+    // byte equality, not a tolerance
+    val rnd = new scala.util.Random(23)
+    for (trial <- 0 until 6) {
+      val w = 1 + rnd.nextInt(30)
+      val h = 1 + rnd.nextInt(22)
+      val img = Array.fill(h, w)(rnd.nextInt(256))
+      val base = TestJpegEncoder.encode(w, h, (x, y) => img(y)(x),
+        qdc = 1, qac = 1)
+      val ssSplit = 1 + rnd.nextInt(20)
+      val prog = ProgJpegEncoder.encode(w, h, (x, y) => img(y)(x),
+        qdc = 1, qac = 1, ssSplit = ssSplit)
+      val (bw1, bh1, p1) = JpegCodec.decodeRaster(base).getOrElse(
+        fail(s"trial $trial: baseline None"))
+      val (bw2, bh2, p2) = JpegCodec.decodeRaster(prog).getOrElse(
+        fail(s"trial $trial ($w x $h split $ssSplit): progressive None"))
+      assert((bw1, bh1) == ((bw2, bh2)))
+      assert(p1.sameElements(p2),
+        s"trial $trial ($w x $h split $ssSplit): rasters differ")
+      val s1 = JpegCodec.decodeStats(base).get
+      val s2 = JpegCodec.decodeStats(prog).get
+      assert(s1 == s2, s"$s1 vs $s2")
+    }
+  }
+
+  test("JpegCodec progressive: DC-only closed form, EOB-run aggregation, restarts") {
+    import graft.multimodal.JpegCodec
+    // flat 8x8 blocks: every AC band is empty, so the AC-first scans
+    // are pure aggregated EOB runs and the decode lands on the exact
+    // DC-only closed form the oracle replays
+    val (w, h) = (40, 24) // 5x3 = 15 blocks
+    def bval(bi: Int): Int = 32 + (bi * 13) % 200
+    def pixel(x: Int, y: Int): Int = bval((y / 8) * 5 + x / 8)
+    for (ri <- Seq(0, 1, 4, 15)) {
+      val prog = ProgJpegEncoder.encode(w, h, pixel, qdc = 8, qac = 8,
+        restartInterval = ri)
+      val st = JpegCodec.decodeStats(prog).getOrElse(
+        fail(s"ri=$ri: progressive DC-only decode returned None"))
+      var sum = 0L; var sq = 0L
+      for (bi <- 0 until 15) {
+        val v = bval(bi).toLong
+        sum += v * 64; sq += v * v * 64
+      }
+      assert(st == graft.multimodal.PngCodec.PixelStats(w, h, 1,
+        w.toLong * h, sum, sq), s"ri=$ri: $st")
+    }
+  }
+
+  test("JpegCodec progressive: garbage, truncation, and fuzz never throw") {
+    import graft.multimodal.JpegCodec
+    val prog = ProgJpegEncoder.encode(24, 16,
+      (x, y) => (x * 7 + y * 11) % 256, qdc = 1, qac = 1)
+    assert(JpegCodec.decodeStats(prog).isDefined)
+    // truncations at every growth point: None or a well-formed result,
+    // never a throw
+    var i = 4
+    while (i < prog.length) {
+      JpegCodec.decodeStats(java.util.Arrays.copyOf(prog, i))
+      i += math.max(1, prog.length / 37)
+    }
+    assert(JpegCodec.decodeStats(java.util.Arrays.copyOf(prog,
+      prog.length - 3)).isEmpty, "missing EOI must refuse")
+    // bit flips across the scan data
+    val rnd = new scala.util.Random(41)
+    for (_ <- 0 until 200) {
+      val fz = prog.clone()
+      val at = rnd.nextInt(fz.length - 4) + 4
+      fz(at) = (fz(at) ^ (1 << rnd.nextInt(8))).toByte
+      JpegCodec.decodeStats(fz) // may be Some or None; must not throw
     }
   }
 
@@ -1323,3 +1402,202 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 }
+
+  // ----- independent test-side PROGRESSIVE JPEG encoder (SOF2):
+  // forward DCT + quantization shared with the baseline test encoder
+  // idea, then the T.81 Annex G scan progression — DC first/refine
+  // (point transform = arithmetic shift), spectral-selection AC bands
+  // with aggregated EOB runs, AC refinement with correction bits and
+  // newly-nonzero ±1 placements. Genuinely independent math from the
+  // decoder (fDCT here, iDCT there).
+private[graft] object ProgJpegEncoder {
+    private val zig: Array[Int] = Array(
+      0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+      12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+      35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+      58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+    private val basis = Array.tabulate(8, 8) { (x, u) =>
+      val c = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+      0.5 * c * math.cos((2 * x + 1) * u * math.Pi / 16.0)
+    }
+    private def codes(bits: Array[Int], vals: Seq[Int]): Map[Int, (Int, Int)] = {
+      var code = 0; var vi = 0
+      val out = Map.newBuilder[Int, (Int, Int)]
+      for (l <- 1 to 16) {
+        for (_ <- 0 until bits(l - 1)) {
+          out += vals(vi) -> ((code, l)); code += 1; vi += 1
+        }
+        code <<= 1
+      }
+      out.result()
+    }
+    private val dcVals = (0 to 11)
+    private val dcBits = Array(0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    // EOBn (r 0..14), ZRL, and every (run, size 1..10) at 8 bits
+    private val acVals = (0 to 14).map(_ << 4) ++ Seq(0xf0) ++
+      (for (r <- 0 to 15; s <- 1 to 10) yield (r << 4) | s)
+    private val acBits = Array(0, 0, 0, 0, 0, 0, 0, acVals.length,
+      0, 0, 0, 0, 0, 0, 0, 0)
+    private val dcC = codes(dcBits, dcVals)
+    private val acC = codes(acBits, acVals)
+
+    /** Encode `pixel` as a 6-scan progressive grayscale JFIF stream:
+      * DC first (Al=1), two AC-first bands split at `ssSplit` (Al=1),
+      * DC refine, two AC-refine bands (Al=0). `restartInterval`
+      * applies to every scan when > 0.
+      */
+    def encode(w: Int, h: Int, pixel: (Int, Int) => Int,
+               qdc: Int, qac: Int, ssSplit: Int = 5,
+               restartInterval: Int = 0): Array[Byte] = {
+      val bw = (w + 7) / 8; val bh = (h + 7) / 8
+      // quantized coefficient blocks, zigzag order
+      val blocks = Array.tabulate(bh * bw) { bi =>
+        val ox = (bi % bw) * 8; val oy = (bi / bw) * 8
+        val f = Array.tabulate(8, 8) { (y, x) =>
+          pixel(math.min(ox + x, w - 1), math.min(oy + y, h - 1)) - 128.0
+        }
+        val q = new Array[Int](64)
+        for (u <- 0 until 8; v <- 0 until 8) {
+          var s = 0.0
+          for (x <- 0 until 8; y <- 0 until 8)
+            s += basis(x)(u) * basis(y)(v) * f(y)(x)
+          val qq = if (u == 0 && v == 0) qdc else qac
+          q(v * 8 + u) = Math.round(s / qq).toInt
+        }
+        Array.tabulate(64)(k => q(zig(k))) // zigzag
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      def w8(v: Int): Unit = bos.write(v & 0xff)
+      def w16(v: Int): Unit = { w8(v >> 8); w8(v) }
+      def seg(m: Int, body: Array[Byte]): Unit = {
+        w8(0xff); w8(m); w16(body.length + 2); bos.write(body)
+      }
+      w8(0xff); w8(0xd8)
+      seg(0xdb, Array.tabulate[Byte](65)(i =>
+        if (i == 0) 0 else if (i == 1) qdc.toByte else qac.toByte))
+      seg(0xc2, Array[Byte](8, (h >> 8).toByte, h.toByte,
+        (w >> 8).toByte, w.toByte, 1, 1, 0x11, 0))
+      seg(0xc4, Array[Byte](0x00) ++ dcBits.map(_.toByte) ++ dcVals.map(_.toByte))
+      seg(0xc4, Array[Byte](0x11) ++ acBits.map(_.toByte) ++
+        acVals.map(_.toByte))
+      if (restartInterval > 0)
+        seg(0xdd, Array[Byte]((restartInterval >> 8).toByte,
+          (restartInterval & 0xff).toByte))
+
+      // bit emitter shared by all scans (reset per scan)
+      var acc = 0L; var nb = 0
+      def put(code: Int, len: Int): Unit = {
+        acc = (acc << len) | (code & ((1L << len) - 1)); nb += len
+        while (nb >= 8) {
+          val b = ((acc >>> (nb - 8)) & 0xff).toInt
+          w8(b); if (b == 0xff) w8(0); nb -= 8
+        }
+      }
+      def pad(): Unit = if (nb > 0) { val p = 8 - nb; put((1 << p) - 1, p) }
+      def putSym(t: Map[Int, (Int, Int)], sym: Int): Unit = {
+        val (c, l) = t(sym); put(c, l)
+      }
+      // truncation-toward-zero point transform for AC (T.81 G.1.2.2)
+      def pt(v: Int, al: Int): Int =
+        if (v < 0) -((-v) >> al) else v >> al
+
+      def scan(ss: Int, se: Int, ah: Int, al: Int): Unit = {
+        seg(0xda, Array[Byte](1, 1, 0x01, ss.toByte, se.toByte,
+          ((ah << 4) | al).toByte))
+        var pred = 0
+        var eobrun = 0
+        var rstN = 0
+        def flushEob(): Unit = if (eobrun > 0) {
+          var r = 0
+          while ((2 << r) <= eobrun) r += 1 // r = floor(log2 eobrun)
+          putSym(acC, r << 4)
+          if (r > 0) put(eobrun - (1 << r), r)
+          eobrun = 0
+        }
+        for (bi <- blocks.indices) {
+          if (restartInterval > 0 && bi > 0 && bi % restartInterval == 0) {
+            flushEob()
+            pad()
+            w8(0xff); w8(0xd0 + (rstN & 7)); rstN += 1
+            pred = 0
+          }
+          val c = blocks(bi)
+          if (ss == 0) {
+            if (ah == 0) { // DC first: diff of dc >> al (arithmetic)
+              val v = c(0) >> al
+              val diff = v - pred
+              pred = v
+              val sz = if (diff == 0) 0
+                else 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+              putSym(dcC, sz)
+              if (sz > 0)
+                put(if (diff >= 0) diff else diff - 1 + (1 << sz), sz)
+            } else { // DC refine: next lower bit
+              put((c(0) >> al) & 1, 1)
+            }
+          } else if (ah == 0) { // AC first over the band
+            val hi = (ss to se).map(k => pt(c(k), al))
+            val lastNz = (ss to se).reverse.find(k => pt(c(k), al) != 0)
+            if (lastNz.isEmpty) eobrun += 1
+            else {
+              flushEob()
+              var run = 0
+              for (k <- ss to lastNz.get) {
+                val v = hi(k - ss)
+                if (v == 0) run += 1
+                else {
+                  while (run > 15) { putSym(acC, 0xf0); run -= 16 }
+                  val sz = 32 - Integer.numberOfLeadingZeros(math.abs(v))
+                  putSym(acC, (run << 4) | sz)
+                  put(if (v >= 0) v else v - 1 + (1 << sz), sz)
+                  run = 0
+                }
+              }
+              if (lastNz.get < se) eobrun += 1
+            }
+            if (eobrun == 16383) flushEob() // EOBn cap 2^14-1
+          } else { // AC refine: mirror the decoder's walk exactly —
+            // correction bits are emitted POSITIONALLY as the walk
+            // passes nonzero-history coefficients, so they interleave
+            // with ZRL runs the same way the decoder consumes them
+            val hiOf = (k: Int) => pt(c(k), ah) // post-first-scan history
+            val placements = (ss to se).filter(k => hiOf(k) == 0 && c(k) != 0)
+            var k = ss
+            def corrAt(j: Int): Unit = put((math.abs(c(j)) >> al) & 1, 1)
+            for (p <- placements) {
+              var z = (k until p).count(j => hiOf(j) == 0)
+              while (z > 15) { // ZRL: exactly 16 zero-history slots
+                putSym(acC, 0xf0)
+                var consumed = 0
+                while (consumed < 16) {
+                  if (hiOf(k) != 0) corrAt(k) else consumed += 1
+                  k += 1
+                }
+                z -= 16
+              }
+              putSym(acC, (z << 4) | 1)
+              put(if (c(p) > 0) 1 else 0, 1)
+              while (k < p) { if (hiOf(k) != 0) corrAt(k); k += 1 }
+              k = p + 1
+            }
+            if (k <= se) { // EOB (r=0) + remaining correction bits
+              putSym(acC, 0x00)
+              while (k <= se) { if (hiOf(k) != 0) corrAt(k); k += 1 }
+            }
+          }
+        }
+        if (ss != 0 && ah == 0) flushEob()
+        pad()
+      }
+
+      scan(0, 0, 0, 1)
+      scan(1, ssSplit, 0, 1)
+      scan(ssSplit + 1, 63, 0, 1)
+      scan(0, 0, 1, 0)
+      scan(1, ssSplit, 1, 0)
+      scan(ssSplit + 1, 63, 1, 0)
+      w8(0xff); w8(0xd9)
+      bos.toByteArray
+    }
+  }
+
