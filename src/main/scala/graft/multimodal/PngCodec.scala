@@ -2,11 +2,14 @@ package graft.multimodal
 
 import java.util.zip.{CRC32, Deflater, Inflater}
 
-/** Pure-JVM PNG PIXEL codec (ISO/IEC 15948) for every 8-bit color
-  * type — grayscale (0), truecolor RGB (2), palette (3, PLTE
-  * indirection, r16), gray+alpha (4, r16), RGBA (6, r16) —
-  * progressive OR Adam7-interlaced (r15 — §8.2's seven filtered
-  * sub-images); 16-bit depths remain the declared stub — the
+/** Pure-JVM PNG PIXEL codec (ISO/IEC 15948) for every color type —
+  * grayscale (0), truecolor RGB (2), palette (3, PLTE indirection,
+  * r16), gray+alpha (4, r16), RGBA (6, r16) — at 8-bit AND 16-bit
+  * sample depth (r16; 16-bit is byte-pair big-endian, unfiltered at
+  * the true bytes-per-pixel, exact 16-bit integer aggregates on the
+  * stats path, high-byte downsample on the 8-bit raster path;
+  * sub-byte depths stay out of scope), progressive OR
+  * Adam7-interlaced (r15 — §8.2's seven filtered sub-images) — the
   * container format whose compression (zlib DEFLATE, RFC 1950/1951)
   * and per-scanline filtering (§9: None/Sub/Up/Average/Paeth) ship in
   * the JDK, so REAL pixel decode needs no external library. This
@@ -113,8 +116,11 @@ object PngCodec {
     * unless color type 3).
     */
   private final case class Inflated(width: Int, height: Int,
-      rawChannels: Int, colorType: Int, interlaced: Boolean,
-      palette: Array[Byte], raw: Array[Byte])
+      rawChannels: Int, colorType: Int, depth: Int, interlaced: Boolean,
+      palette: Array[Byte], raw: Array[Byte]) {
+    /** bytes per pixel of the filtered stream (the unfilter bpp). */
+    def bpp: Int = rawChannels * (depth / 8)
+  }
 
   /** Chunk walk + zlib inflate to the FILTERED scanline buffer
     * (for interlace 0: height rows of 1 filter byte + width*channels
@@ -129,6 +135,7 @@ object PngCodec {
     while (i < Sig.length) { if (bytes(i) != Sig(i)) return None; i += 1 }
 
     var width, height, channels, colorType = -1
+    var depth = 8
     var interlaced = false
     var palette: Array[Byte] = Array.emptyByteArray
     val idat = new java.io.ByteArrayOutputStream()
@@ -149,7 +156,9 @@ object PngCodec {
           colorType = bytes(dataOff + 9) & 0xff
           val interlace = bytes(dataOff + 12) & 0xff
           if (w <= 0 || h <= 0 || w > Int.MaxValue || h > Int.MaxValue) return None
-          if (bitDepth != 8 || interlace > 1) return None
+          if ((bitDepth != 8 && bitDepth != 16) || interlace > 1) return None
+          if (bitDepth == 16 && colorType == 3) return None // illegal combo
+          depth = bitDepth
           interlaced = interlace == 1
           channels = colorType match {
             case 0 => 1 // grayscale
@@ -157,7 +166,7 @@ object PngCodec {
             case 3 => 1 // palette: 1 index byte per pixel (PLTE maps it)
             case 4 => 2 // gray + alpha
             case 6 => 4 // RGBA
-            case _ => return None // 16-bit depths already refused above
+            case _ => return None // sub-byte depths stay out of scope
           }
           width = w.toInt; height = h.toInt
         case "PLTE" =>
@@ -183,7 +192,7 @@ object PngCodec {
       // a pass that is empty in EITHER dimension emits nothing — not
       // even filter bytes (§8.2: zero-width rows do not exist)
       if (pw == 0 || ph == 0) 0L
-      else ph.toLong * (1 + pw.toLong * channels)
+      else ph.toLong * (1 + pw.toLong * channels * (depth / 8))
     }.sum
     if (rawLen > 256L * 1024 * 1024) return None
     val raw = new Array[Byte](rawLen.toInt)
@@ -211,7 +220,8 @@ object PngCodec {
       if (inf.inflate(probe, 0, 1) > 0 || !inf.finished()) return None
     } catch { case _: java.util.zip.DataFormatException => return None }
     finally inf.end()
-    Some(Inflated(width, height, channels, colorType, interlaced, palette, raw))
+    Some(Inflated(width, height, channels, colorType, depth, interlaced,
+      palette, raw))
   }
 
   /** Decode a PNG's pixels to [[PixelStats]], or None for anything
@@ -240,10 +250,11 @@ object PngCodec {
     var sumSq = 0L
     var badIndex = false
     var off = 0
+    var hi = 0 // pending high byte of a 16-bit sample (depth 16 only)
     for (p <- passes(d.width, d.height, d.interlaced)) {
       val (pw, ph) = passDims(d.width, d.height, p)
-      off = unfilterPass(raw = d.raw, off0 = off, rowBytes = pw * d.rawChannels,
-        rows = ph, bpp = d.rawChannels) { (_, _, v) =>
+      off = unfilterPass(raw = d.raw, off0 = off, rowBytes = pw * d.bpp,
+        rows = ph, bpp = d.bpp) { (_, x, v) =>
         if (d.colorType == 3) {
           if (v >= nColors) badIndex = true
           else {
@@ -252,6 +263,14 @@ object PngCodec {
               val s = d.palette(v * 3 + c) & 0xff
               sum += s; sumSq += s.toLong * s; c += 1
             }
+          }
+        } else if (d.depth == 16) {
+          // big-endian sample reassembly: even byte = high, odd = low;
+          // stats are over the FULL 0..65535 sample values (exact)
+          if (x % 2 == 0) hi = v
+          else {
+            val s = (hi << 8) | v
+            sum += s; sumSq += s.toLong * s
           }
         } else { sum += v; sumSq += v.toLong * v }
       }
@@ -288,14 +307,19 @@ object PngCodec {
     val out = new Array[Byte](w * d.height)
     var badIndex = false
     var off = 0
+    val bpp = d.bpp
     for (p @ (x0, y0, dx, dy) <- passes(d.width, d.height, d.interlaced)) {
       val (pw, ph) = passDims(d.width, d.height, p)
       // pass-local (row, byteIdx) → frame position: the byte index
       // splits into (pixel-in-pass, channel); the pass grid places
       // pixel j of row i at frame (x0 + j·dx, y0 + i·dy). Palette
-      // indices (rc = 1) expand through PLTE to 3 output samples.
-      off = unfilterPass(d.raw, off, pw * rc, ph, rc) { (i, x, v) =>
-        val px = x0 + (x / rc) * dx
+      // indices expand through PLTE to 3 output samples; 16-bit
+      // samples reduce to their HIGH byte (the standard 16→8
+      // downsample — the raster consumers are 8-bit transforms; the
+      // exact 16-bit aggregates live on the stats path).
+      off = unfilterPass(d.raw, off, pw * bpp, ph, bpp) { (i, x, v) =>
+        val sampleIdx = if (d.depth == 16) x / 2 else x
+        val px = x0 + (sampleIdx / rc) * dx
         val base = (y0 + i.toLong * dy).toInt * w + px * outChannels
         if (d.colorType == 3) {
           if (v >= nColors) badIndex = true
@@ -304,6 +328,8 @@ object PngCodec {
             out(base + 1) = d.palette(v * 3 + 1)
             out(base + 2) = d.palette(v * 3 + 2)
           }
+        } else if (d.depth == 16) {
+          if (x % 2 == 0) out(base + sampleIdx % rc) = v.toByte
         } else out(base + x % rc) = v.toByte
       }
       if (off < 0 || badIndex) return None
@@ -449,7 +475,8 @@ object PngCodec {
     */
   private def writePng(width: Int, height: Int, channels: Int,
                        interlace: Int, raw: Array[Byte],
-                       plte: Array[Byte] = Array.emptyByteArray): Array[Byte] = {
+                       plte: Array[Byte] = Array.emptyByteArray,
+                       depth: Int = 8): Array[Byte] = {
     val defl = new Deflater()
     defl.setInput(raw); defl.finish()
     val zout = new java.io.ByteArrayOutputStream()
@@ -477,7 +504,7 @@ object PngCodec {
       arr(i + 2) = ((v >> 8) & 0xff).toByte; arr(i + 3) = (v & 0xff).toByte
     }
     put32(ihdr, 0, width); put32(ihdr, 4, height)
-    ihdr(8) = 8 // bit depth
+    ihdr(8) = depth.toByte
     ihdr(9) = (channels match {
       case 1 => 0; case 2 => 4; case 3 => 2; case 4 => 6
       case -3 => 3 // palette sentinel from encodePalette
@@ -490,6 +517,51 @@ object PngCodec {
     out.write(chunk("IDAT", zout.toByteArray))
     out.write(chunk("IEND", Array.emptyByteArray))
     out.toByteArray
+  }
+
+  /** 16-bit-depth encoder: sample s of the flat row-major buffer is
+    * the 16-bit value `value(s)` (0..65535), written big-endian and
+    * filtered over the true bytes-per-pixel with the y % 5 cycle so
+    * every unfilter runs against multi-byte bpp offsets.
+    */
+  def encode16(width: Int, height: Int, channels: Int,
+               value: Long => Int): Array[Byte] = {
+    require(width > 0 && height > 0, "positive dimensions")
+    require(Seq(1, 2, 3, 4).contains(channels),
+      "gray, gray+alpha, RGB, or RGBA")
+    val bpp = channels * 2
+    val stride = width * bpp
+    val raw = new Array[Byte](height * (1 + stride))
+    val cur = new Array[Int](stride)
+    val prev = new Array[Int](stride)
+    var off = 0
+    for (y <- 0 until height) {
+      var x = 0
+      while (x < stride) {
+        val v = value(y.toLong * width * channels + x / 2) & 0xffff
+        cur(x) = if (x % 2 == 0) v >> 8 else v & 0xff
+        x += 1
+      }
+      val ft = y % 5
+      raw(off) = ft.toByte; off += 1
+      x = 0
+      while (x < stride) {
+        val a = if (x >= bpp) cur(x - bpp) else 0
+        val b = if (y > 0) prev(x) else 0
+        val c = if (x >= bpp && y > 0) prev(x - bpp) else 0
+        val f = ft match {
+          case 0 => cur(x)
+          case 1 => cur(x) - a
+          case 2 => cur(x) - b
+          case 3 => cur(x) - ((a + b) >> 1)
+          case 4 => cur(x) - paeth(a, b, c)
+        }
+        raw(off) = (f & 0xff).toByte; off += 1
+        x += 1
+      }
+      Array.copy(cur, 0, prev, 0, stride)
+    }
+    writePng(width, height, channels, interlace = 0, raw, depth = 16)
   }
 
   /** Palette PNG encoder (color type 3): `palette` is 1..256 RGB

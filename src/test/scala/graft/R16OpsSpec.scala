@@ -258,6 +258,36 @@ class R16OpsSpec extends SparkSpec {
       "palette image without PLTE must refuse")
   }
 
+  test("PngCodec: 16-bit depth round-trips exact full-range stats; raster takes the high byte") {
+    import graft.multimodal.PngCodec
+    for (ch <- Seq(1, 3, 4)) {
+      val (w, h) = (9, 7)
+      def v(s: Long): Int = ((s * 9973 + 123) % 65536).toInt
+      val png = PngCodec.encode16(w, h, ch, v)
+      val st = PngCodec.decodeStats(png).get
+      var sum = 0L; var sq = 0L
+      for (s <- 0L until (w.toLong * h * ch)) {
+        val x = v(s).toLong; sum += x; sq += x * x
+      }
+      assert(st == PngCodec.PixelStats(w, h, ch, w.toLong * h * ch, sum, sq),
+        s"ch=$ch: $st")
+      val px = PngCodec.decodePixels(png).get
+      assert(px.channels == ch && px.sample(0, 0, 0) == (v(0) >> 8),
+        s"high-byte raster: ${px.sample(0, 0, 0)} vs ${v(0) >> 8}")
+      // last sample too (catches byte/sample index drift)
+      val lastS = w.toLong * h * ch - 1
+      assert(px.sample(w - 1, h - 1, ch - 1) == (v(lastS) >> 8))
+    }
+    // 16-bit palette is an illegal combination -> None
+    val pal8 = PngCodec.encodePalette(4, 4,
+      Array[Byte](1, 2, 3, 4, 5, 6), p => (p % 2).toInt)
+    val ihdrDepthAt = 8 + 8 + 8 // sig + len/type of IHDR + 8 data bytes
+    val bad = pal8.clone()
+    assert((bad(ihdrDepthAt) & 0xff) == 8, "expected depth byte here")
+    bad(ihdrDepthAt) = 16.toByte
+    assert(PngCodec.decodeStats(bad).isEmpty, "16-bit palette must refuse")
+  }
+
   test("Versioned: unmarked leftover v_N is reclaimed without pre-deleting a committed winner") {
     import graft.sources.Versioned
     val root = java.nio.file.Files.createTempDirectory("graft_vtoctou").toString
