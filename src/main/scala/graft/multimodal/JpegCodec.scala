@@ -36,9 +36,10 @@ import graft.multimodal.PngCodec.PixelStats
   * 1x1 sampling) AND 3-component YCbCr color with 4:4:4, 4:2:2 or
   * 4:2:0 subsampling (interleaved scan, per-component DC predictors,
   * nearest-replication chroma upsampling); PLUS progressive (SOF2)
-  * grayscale (r16 — T.81 Annex G spectral selection + successive
-  * approximation, EOB runs, refinement correction bits; progressive
-  * COLOR remains the declared stub). The YCbCr -> RGB
+  * grayscale AND 4:4:4 color (r16 — T.81 Annex G spectral selection +
+  * successive approximation, EOB runs, refinement correction bits,
+  * interleaved DC scans; SUBSAMPLED progressive remains the declared
+  * stub — its interleaved-grid padding rules differ). The YCbCr -> RGB
   * transform is the standard JFIF one in 16.16 FIXED-POINT integer
   * arithmetic (libjpeg-style constants: 1.402 -> 91881/65536 etc.),
   * so color reconstruction from DC-only streams is exact integer math
@@ -292,6 +293,15 @@ object JpegCodec {
       }.map { case (w, h) =>
         PixelStats(w, h, 1, w.toLong * h, sum, sumSq)
       }
+    }.orElse { // progressive (SOF2) 4:4:4 color
+      sum = 0L
+      sumSq = 0L
+      decodeProgressiveColorPixels(bytes) { (_, _, r, g, b) =>
+        sum += r.toLong + g + b
+        sumSq += r.toLong * r + g.toLong * g + b.toLong * b
+      }.map { case (w, h) =>
+        PixelStats(w, h, 3, 3L * w * h, sum, sumSq)
+      }
     }
   }
 
@@ -346,31 +356,62 @@ object JpegCodec {
     * just after the scan (at the 0xFF of the next marker), or -1 on
     * malformed data.
     */
-  private def decodeProgScan(bytes: Array[Byte], scanStart: Int,
-      coefs: Array[Int], nBlocks: Int,
-      dcT: HuffTable, acT: HuffTable,
+  /** One DC scan (first or refinement), possibly INTERLEAVED over
+    * several components (T.81 allows multi-component DC scans; AC
+    * scans are always single-component): 1x1 sampling throughout, so
+    * the MCU order is the shared block raster order and each MCU
+    * holds one block per scan component. Per-component predictors;
+    * restart counted in MCUs. Returns position after the scan or -1.
+    */
+  private def decodeProgDcScan(bytes: Array[Byte], scanStart: Int,
+      scanCoefs: Array[Array[Int]], scanDcTs: Array[HuffTable],
+      nBlocks: Int, ah: Int, al: Int, ri: Int): Int = {
+    val r = new BitReader(bytes, scanStart)
+    val preds = new Array[Int](scanCoefs.length)
+    var until = if (ri > 0) ri else Int.MaxValue
+    var b = 0
+    while (b < nBlocks) {
+      val base = b * 64
+      var ci = 0
+      while (ci < scanCoefs.length) {
+        if (ah == 0) { // DC first: category + EXTEND diff, shifted
+          val s = decodeHuff(r, scanDcTs(ci))
+          if (s < 0 || s > 11) return -1
+          val dBits = if (s == 0) 0 else r.bits(s)
+          if (dBits < 0) return -1
+          preds(ci) += extend(dBits, s)
+          scanCoefs(ci)(base) = preds(ci) << al
+        } else { // DC refinement: one bit per block per component
+          val bit = r.bit()
+          if (bit < 0) return -1
+          if (bit == 1) scanCoefs(ci)(base) |= (1 << al)
+        }
+        ci += 1
+      }
+      until -= 1
+      if (until == 0 && b != nBlocks - 1) {
+        if (!r.resync()) return -1
+        until = ri
+        java.util.Arrays.fill(preds, 0)
+      }
+      b += 1
+    }
+    r.pos
+  }
+
+  /** One AC scan (single component by T.81) over the component's
+    * blocks in raster order. Returns position after the scan or -1.
+    */
+  private def decodeProgAcScan(bytes: Array[Byte], scanStart: Int,
+      coefs: Array[Int], nBlocks: Int, acT: HuffTable,
       ss: Int, se: Int, ah: Int, al: Int, ri: Int): Int = {
     val r = new BitReader(bytes, scanStart)
-    var pred = 0
     var eobrun = 0
     var until = if (ri > 0) ri else Int.MaxValue
     var b = 0
     while (b < nBlocks) {
       val base = b * 64
-      if (ss == 0) {
-        if (ah == 0) { // DC first: category + EXTEND diff, shifted
-          val s = decodeHuff(r, dcT)
-          if (s < 0 || s > 11) return -1
-          val dBits = if (s == 0) 0 else r.bits(s)
-          if (dBits < 0) return -1
-          pred += extend(dBits, s)
-          coefs(base) = pred << al
-        } else { // DC refinement: one bit per block
-          val bit = r.bit()
-          if (bit < 0) return -1
-          if (bit == 1) coefs(base) |= (1 << al)
-        }
-      } else if (ah == 0) { // AC first (G.1.2.2)
+      if (ah == 0) { // AC first (G.1.2.2)
         if (eobrun > 0) eobrun -= 1
         else {
           var k = ss
@@ -468,7 +509,6 @@ object JpegCodec {
       if (until == 0 && b != nBlocks - 1) {
         if (!r.resync()) return -1
         until = ri
-        pred = 0
         eobrun = 0
       }
       b += 1
@@ -476,13 +516,16 @@ object JpegCodec {
     r.pos
   }
 
-  /** Progressive grayscale decode to the SAME onDims/onBlock shape as
-    * [[decodeBlocks]] — the stats and raster consumers are shared.
-    * None for malformed input, progressive color, or any scope gate.
+  /** Parse and entropy-decode ALL scans of a progressive (SOF2)
+    * stream at 1x1 sampling — grayscale or 4:4:4 color (subsampled
+    * progressive stays the declared stub: the interleaved-grid
+    * padding rules differ and nothing gated exercises them yet).
+    * Returns (width, height, per-component zigzag coefficient
+    * buffers, per-component zigzag quant tables); None for anything
+    * out of scope or malformed.
     */
-  private def decodeProgressiveBlocks(bytes: Array[Byte],
-      onDims: (Int, Int) => Unit)(
-      onBlock: (Int, Int, Int, Int, Int, Array[Int]) => Unit): Option[(Int, Int)] = {
+  private def decodeProgressiveCoefs(bytes: Array[Byte])
+      : Option[(Int, Int, Array[Array[Int]], Array[Array[Int]])] = {
     if (bytes == null || bytes.length < 4) return None
     if ((bytes(0) & 0xff) != 0xff || (bytes(1) & 0xff) != 0xd8) return None
     val quant = new Array[Array[Int]](4)
@@ -490,11 +533,11 @@ object JpegCodec {
     val acTabs = new Array[HuffTable](4)
     var width = 0
     var height = 0
-    var tq = -1
-    var td = 0
-    var ta = 0
     var restartInterval = 0
-    var coefs: Array[Int] = null
+    var nc = 0
+    var compIds: Array[Int] = null
+    var compTq: Array[Int] = null
+    var coefs: Array[Array[Int]] = null
     var bw = 0
     var bh = 0
     var sawScan = false
@@ -525,16 +568,25 @@ object JpegCodec {
                 val precision = bytes(p) & 0xff
                 height = be16(bytes, p + 1)
                 width = be16(bytes, p + 3)
-                val nc = bytes(p + 5) & 0xff
-                if (precision != 8 || nc != 1) return None // gray scope
+                nc = bytes(p + 5) & 0xff
+                if (precision != 8 || (nc != 1 && nc != 3)) return None
                 if (width <= 0 || height <= 0 ||
                   width.toLong * height > MaxPixels) return None
-                val hv = bytes(p + 7) & 0xff
-                if ((hv >> 4) != 1 || (hv & 0x0f) != 1) return None
-                tq = bytes(p + 8) & 0x0f
+                compIds = new Array[Int](nc)
+                compTq = new Array[Int](nc)
+                var ci = 0
+                var q = p + 6
+                while (ci < nc) {
+                  compIds(ci) = bytes(q) & 0xff
+                  val hv = bytes(q + 1) & 0xff
+                  if ((hv >> 4) != 1 || (hv & 0x0f) != 1) return None // 1x1 only
+                  compTq(ci) = bytes(q + 2) & 0x0f
+                  q += 3
+                  ci += 1
+                }
                 bw = (width + 7) / 8
                 bh = (height + 7) / 8
-                coefs = new Array[Int](bw * bh * 64)
+                coefs = Array.fill(nc)(new Array[Int](bw * bh * 64))
               case 0xc0 | 0xc1 | 0xc3 | 0xc5 | 0xc6 | 0xc7 |
                    0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
                 return None // any other frame type
@@ -576,27 +628,52 @@ object JpegCodec {
               case 0xda => // SOS: one scan of the progression
                 if (coefs == null) return None
                 val ns = bytes(p) & 0xff
-                if (ns != 1) return None // gray scope
-                td = (bytes(p + 2) & 0xff) >> 4
-                ta = bytes(p + 2) & 0x0f
-                val scanSs = bytes(p + 3) & 0xff
-                val scanSe = bytes(p + 4) & 0xff
-                val aa = bytes(p + 5) & 0xff
+                if (ns < 1 || ns > nc) return None
+                val scanComp = new Array[Int](ns)
+                val scanTd = new Array[Int](ns)
+                val scanTa = new Array[Int](ns)
+                var si = 0
+                var q = p + 1
+                while (si < ns) {
+                  val cs = bytes(q) & 0xff
+                  val idx = compIds.indexOf(cs)
+                  if (idx < 0) return None
+                  scanComp(si) = idx
+                  scanTd(si) = (bytes(q + 1) & 0xff) >> 4
+                  scanTa(si) = bytes(q + 1) & 0x0f
+                  q += 2
+                  si += 1
+                }
+                if (scanComp.distinct.length != ns) return None
+                val scanSs = bytes(q) & 0xff
+                val scanSe = bytes(q + 1) & 0xff
+                val aa = bytes(q + 2) & 0xff
                 val scanAh = aa >> 4
                 val scanAl = aa & 0x0f
                 if (scanSs > 63 || scanSe > 63 || scanSs > scanSe) return None
                 if ((scanSs == 0) != (scanSe == 0)) return None // DC is 0..0
                 if (scanAl > 13 || scanAh > 13) return None
                 if (scanAh != 0 && scanAh != scanAl + 1) return None
-                // DC scans need the DC table, AC scans the AC table
-                if (scanSs == 0 && scanAh == 0 && dcTabs(td) == null) return None
-                if (scanSs > 0 && acTabs(ta) == null) return None
-                val dcT = if (dcTabs(td) != null) dcTabs(td)
-                  else new HuffTable(new Array[Int](16), Array.emptyByteArray)
-                val acT = if (acTabs(ta) != null) acTabs(ta)
-                  else new HuffTable(new Array[Int](16), Array.emptyByteArray)
-                val after = decodeProgScan(bytes, end, coefs, bw * bh,
-                  dcT, acT, scanSs, scanSe, scanAh, scanAl, restartInterval)
+                val after =
+                  if (scanSs == 0) {
+                    // DC scan, possibly interleaved; the table is only
+                    // read in FIRST scans (refinement is raw bits)
+                    val dcTs = scanTd.map { t =>
+                      if (dcTabs(t) != null) dcTabs(t)
+                      else if (scanAh == 0) return None
+                      else new HuffTable(new Array[Int](16),
+                        Array.emptyByteArray)
+                    }
+                    decodeProgDcScan(bytes, end,
+                      scanComp.map(coefs(_)), dcTs, bw * bh,
+                      scanAh, scanAl, restartInterval)
+                  } else {
+                    if (ns != 1) return None // AC scans: one component
+                    if (acTabs(scanTa(0)) == null) return None
+                    decodeProgAcScan(bytes, end, coefs(scanComp(0)),
+                      bw * bh, acTabs(scanTa(0)),
+                      scanSs, scanSe, scanAh, scanAl, restartInterval)
+                  }
                 if (after < 0) return None
                 sawScan = true
                 pos = after
@@ -605,43 +682,120 @@ object JpegCodec {
             if (marker != 0xda) pos = end
         }
       }
-      if (coefs == null || !sawScan || quant(tq) == null) return None
-      onDims(width, height)
-      val qt = quant(tq)
-      var by = 0
-      while (by < bh) {
-        var bx = 0
-        while (bx < bw) {
-          val base = (by * bw + bx) * 64
-          var anyAc = false
-          var k = 1
-          while (k < 64) {
-            if (coefs(base + k) != 0) anyAc = true
-            k += 1
-          }
-          val nx = math.min(8, width - bx * 8)
-          val ny = math.min(8, height - by * 8)
-          if (!anyAc) { // the shared DC-only exact closed form
-            val x = 128 + Math.round(coefs(base).toDouble * qt(0) / 8.0).toInt
-            val v = if (x < 0) 0 else if (x > 255) 255 else x
-            onBlock(bx, by, nx, ny, v, null)
-          } else {
-            val nat = new Array[Int](64)
-            k = 0
-            while (k < 64) {
-              nat(ZigZag(k)) = coefs(base + k) * qt(k)
-              k += 1
-            }
-            onBlock(bx, by, nx, ny, 0, idctBlock(nat))
-          }
-          bx += 1
-        }
-        by += 1
+      if (coefs == null || !sawScan) return None
+      val qts = compTq.map { t =>
+        if (quant(t) == null) return None
+        quant(t)
       }
-      Some((width, height))
+      Some((width, height, coefs, qts))
     } catch {
       case _: ArrayIndexOutOfBoundsException => None
     }
+  }
+
+  /** Reconstruct one component's block: null raster means the exact
+    * DC-only closed form (flat value returned alongside) — the SAME
+    * two paths the baseline decoder takes.
+    */
+  private def progBlock(coefs: Array[Int], base: Int,
+                        qt: Array[Int]): (Int, Array[Int]) = {
+    var anyAc = false
+    var k = 1
+    while (k < 64) {
+      if (coefs(base + k) != 0) anyAc = true
+      k += 1
+    }
+    if (!anyAc) {
+      val x = 128 + Math.round(coefs(base).toDouble * qt(0) / 8.0).toInt
+      (if (x < 0) 0 else if (x > 255) 255 else x, null)
+    } else {
+      val nat = new Array[Int](64)
+      k = 0
+      while (k < 64) {
+        nat(ZigZag(k)) = coefs(base + k) * qt(k)
+        k += 1
+      }
+      (0, idctBlock(nat))
+    }
+  }
+
+  /** Progressive grayscale decode to the SAME onDims/onBlock shape as
+    * [[decodeBlocks]] — the stats and raster consumers are shared.
+    * None for malformed input, progressive color, or any scope gate.
+    */
+  private def decodeProgressiveBlocks(bytes: Array[Byte],
+      onDims: (Int, Int) => Unit)(
+      onBlock: (Int, Int, Int, Int, Int, Array[Int]) => Unit): Option[(Int, Int)] = {
+    val (width, height, coefs, qts) = decodeProgressiveCoefs(bytes) match {
+      case Some(t) => t
+      case None => return None
+    }
+    if (coefs.length != 1) return None
+    onDims(width, height)
+    val bw = (width + 7) / 8
+    val bh = (height + 7) / 8
+    var by = 0
+    while (by < bh) {
+      var bx = 0
+      while (bx < bw) {
+        val (flat, px) = progBlock(coefs(0), (by * bw + bx) * 64, qts(0))
+        val nx = math.min(8, width - bx * 8)
+        val ny = math.min(8, height - by * 8)
+        onBlock(bx, by, nx, ny, flat, px)
+        bx += 1
+      }
+      by += 1
+    }
+    Some((width, height))
+  }
+
+  /** Progressive 4:4:4 color decode to the SAME onPixel shape as
+    * [[decodeColorPixels]]: per block position the three components'
+    * blocks reconstruct independently (DC-only closed form or shared
+    * IDCT), then every in-image pixel goes through the SAME
+    * fixed-point YCbCr → RGB transform. None for grayscale streams.
+    */
+  private def decodeProgressiveColorPixels(bytes: Array[Byte])(
+      onPixel: (Int, Int, Int, Int, Int) => Unit): Option[(Int, Int)] = {
+    val (width, height, coefs, qts) = decodeProgressiveCoefs(bytes) match {
+      case Some(t) => t
+      case None => return None
+    }
+    if (coefs.length != 3) return None
+    val bw = (width + 7) / 8
+    val bh = (height + 7) / 8
+    val flat = new Array[Int](3)
+    val rast = new Array[Array[Int]](3)
+    var by = 0
+    while (by < bh) {
+      var bx = 0
+      while (bx < bw) {
+        var ci = 0
+        while (ci < 3) {
+          val (f, px) = progBlock(coefs(ci), (by * bw + bx) * 64, qts(ci))
+          flat(ci) = f
+          rast(ci) = px
+          ci += 1
+        }
+        val x0 = bx * 8
+        val y0 = by * 8
+        var py = 0
+        while (py < 8 && y0 + py < height) {
+          var px = 0
+          while (px < 8 && x0 + px < width) {
+            def sample(ci: Int): Int =
+              if (rast(ci) == null) flat(ci) else rast(ci)(py * 8 + px)
+            val (rr, gg, bb) = ycbcrToRgb(sample(0), sample(1), sample(2))
+            onPixel(x0 + px, y0 + py, rr, gg, bb)
+            px += 1
+          }
+          py += 1
+        }
+        bx += 1
+      }
+      by += 1
+    }
+    Some((width, height))
   }
 
   /** One scan component: SOF sampling factors + quant table id, SOS
@@ -1020,7 +1174,19 @@ object JpegCodec {
     val dims = parseHeaders(bytes).filter(_.comps.length == 3).map { h =>
       w0 = h.width; out = new Array[Int](h.width * h.height * 3)
     }
-    if (dims.isEmpty) return None
+    if (dims.isEmpty) {
+      // progressive color: same raster through the SOF2 path
+      return decodeProgressiveCoefs(bytes)
+        .filter(_._3.length == 3)
+        .flatMap { case (w, h, _, _) =>
+          w0 = w
+          out = new Array[Int](w * h * 3)
+          decodeProgressiveColorPixels(bytes) { (x, y, r, g, b) =>
+            val i = (y * w0 + x) * 3
+            out(i) = r; out(i + 1) = g; out(i + 2) = b
+          }.map { case (ww, hh) => (ww, hh, out) }
+        }
+    }
     decodeColorPixels(bytes) { (x, y, r, g, b) =>
       val i = (y * w0 + x) * 3
       out(i) = r; out(i + 1) = g; out(i + 2) = b

@@ -683,6 +683,42 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("JpegCodec progressive color 4:4:4 == baseline color of the same quantized image") {
+    import graft.multimodal.JpegCodec
+    val rnd = new scala.util.Random(29)
+    for (trial <- 0 until 4) {
+      val w = 1 + rnd.nextInt(26)
+      val h = 1 + rnd.nextInt(20)
+      val yP = Array.fill(h, w)(rnd.nextInt(256))
+      val cbP = Array.fill(h, w)(rnd.nextInt(256))
+      val crP = Array.fill(h, w)(rnd.nextInt(256))
+      val base = TestJpegEncoder.encodeColor(w, h,
+        (x, y) => yP(y)(x), (x, y) => cbP(y)(x), (x, y) => crP(y)(x),
+        sub420 = false)
+      val ssSplit = 1 + rnd.nextInt(20)
+      val prog = ProgJpegEncoder.encodeColor(w, h,
+        (x, y) => yP(y)(x), (x, y) => cbP(y)(x), (x, y) => crP(y)(x),
+        ssSplit = ssSplit)
+      val (w1, h1, p1) = JpegCodec.decodeColorRaster(base).getOrElse(
+        fail(s"trial $trial: baseline color None"))
+      val (w2, h2, p2) = JpegCodec.decodeColorRaster(prog).getOrElse(
+        fail(s"trial $trial ($w x $h split $ssSplit): progressive color None"))
+      assert((w1, h1) == ((w2, h2)))
+      assert(p1.sameElements(p2),
+        s"trial $trial ($w x $h split $ssSplit): color rasters differ")
+      // stats sniff the SOF2 stream through the same chain
+      val s1 = JpegCodec.decodeStats(base).get
+      val s2 = JpegCodec.decodeStats(prog).get
+      assert(s1 == s2 && s2.channels == 3, s"$s1 vs $s2")
+    }
+    // interleaved DC restart: flat color blocks, closed-form exact
+    val flat = ProgJpegEncoder.encodeColor(32, 16,
+      (x, _) => 40 + (x / 8) * 7, (_, _) => 100, (_, _) => 200,
+      q = 8, restartInterval = 3)
+    assert(JpegCodec.decodeStats(flat).isDefined,
+      "restarting interleaved DC scan must decode")
+  }
+
   test("JpegCodec progressive: garbage, truncation, and fuzz never throw") {
     import graft.multimodal.JpegCodec
     val prog = ProgJpegEncoder.encode(24, 16,
@@ -1441,17 +1477,11 @@ private[graft] object ProgJpegEncoder {
     private val dcC = codes(dcBits, dcVals)
     private val acC = codes(acBits, acVals)
 
-    /** Encode `pixel` as a 6-scan progressive grayscale JFIF stream:
-      * DC first (Al=1), two AC-first bands split at `ssSplit` (Al=1),
-      * DC refine, two AC-refine bands (Al=0). `restartInterval`
-      * applies to every scan when > 0.
-      */
-    def encode(w: Int, h: Int, pixel: (Int, Int) => Int,
-               qdc: Int, qac: Int, ssSplit: Int = 5,
-               restartInterval: Int = 0): Array[Byte] = {
+    /** Quantized zigzag coefficient blocks of one component. */
+    private def coefBlocks(w: Int, h: Int, pixel: (Int, Int) => Int,
+                           qdc: Int, qac: Int): Array[Array[Int]] = {
       val bw = (w + 7) / 8; val bh = (h + 7) / 8
-      // quantized coefficient blocks, zigzag order
-      val blocks = Array.tabulate(bh * bw) { bi =>
+      Array.tabulate(bh * bw) { bi =>
         val ox = (bi % bw) * 8; val oy = (bi / bw) * 8
         val f = Array.tabulate(8, 8) { (y, x) =>
           pixel(math.min(ox + x, w - 1), math.min(oy + y, h - 1)) - 128.0
@@ -1464,8 +1494,39 @@ private[graft] object ProgJpegEncoder {
           val qq = if (u == 0 && v == 0) qdc else qac
           q(v * 8 + u) = Math.round(s / qq).toInt
         }
-        Array.tabulate(64)(k => q(zig(k))) // zigzag
+        Array.tabulate(64)(k => q(zig(k)))
       }
+    }
+
+    /** Encode `pixel` as a 6-scan progressive grayscale JFIF stream:
+      * DC first (Al=1), two AC-first bands split at `ssSplit` (Al=1),
+      * DC refine, two AC-refine bands (Al=0). `restartInterval`
+      * applies to every scan when > 0.
+      */
+    def encode(w: Int, h: Int, pixel: (Int, Int) => Int,
+               qdc: Int, qac: Int, ssSplit: Int = 5,
+               restartInterval: Int = 0): Array[Byte] =
+      assemble(w, h, qdc, qac,
+        Array(coefBlocks(w, h, pixel, qdc, qac)), ssSplit, restartInterval)
+
+    /** The 4:4:4 color twin: interleaved DC scans over all three
+      * components, per-component AC band scans.
+      */
+    def encodeColor(w: Int, h: Int,
+                    yPix: (Int, Int) => Int,
+                    cbPix: (Int, Int) => Int,
+                    crPix: (Int, Int) => Int,
+                    q: Int = 1, ssSplit: Int = 5,
+                    restartInterval: Int = 0): Array[Byte] =
+      assemble(w, h, q, q,
+        Array(coefBlocks(w, h, yPix, q, q),
+          coefBlocks(w, h, cbPix, q, q),
+          coefBlocks(w, h, crPix, q, q)), ssSplit, restartInterval)
+
+    private def assemble(w: Int, h: Int, qdc: Int, qac: Int,
+                         comps: Array[Array[Array[Int]]],
+                         ssSplit: Int, restartInterval: Int): Array[Byte] = {
+      val nc = comps.length
       val bos = new java.io.ByteArrayOutputStream()
       def w8(v: Int): Unit = bos.write(v & 0xff)
       def w16(v: Int): Unit = { w8(v >> 8); w8(v) }
@@ -1476,7 +1537,8 @@ private[graft] object ProgJpegEncoder {
       seg(0xdb, Array.tabulate[Byte](65)(i =>
         if (i == 0) 0 else if (i == 1) qdc.toByte else qac.toByte))
       seg(0xc2, Array[Byte](8, (h >> 8).toByte, h.toByte,
-        (w >> 8).toByte, w.toByte, 1, 1, 0x11, 0))
+        (w >> 8).toByte, w.toByte, nc.toByte) ++
+        (1 to nc).flatMap(ci => Seq(ci.toByte, 0x11.toByte, 0.toByte)))
       seg(0xc4, Array[Byte](0x00) ++ dcBits.map(_.toByte) ++ dcVals.map(_.toByte))
       seg(0xc4, Array[Byte](0x11) ++ acBits.map(_.toByte) ++
         acVals.map(_.toByte))
@@ -1484,7 +1546,7 @@ private[graft] object ProgJpegEncoder {
         seg(0xdd, Array[Byte]((restartInterval >> 8).toByte,
           (restartInterval & 0xff).toByte))
 
-      // bit emitter shared by all scans (reset per scan)
+      // bit emitter shared by all scans (reset per scan via pad)
       var acc = 0L; var nb = 0
       def put(code: Int, len: Int): Unit = {
         acc = (acc << len) | (code & ((1L << len) - 1)); nb += len
@@ -1500,42 +1562,59 @@ private[graft] object ProgJpegEncoder {
       // truncation-toward-zero point transform for AC (T.81 G.1.2.2)
       def pt(v: Int, al: Int): Int =
         if (v < 0) -((-v) >> al) else v >> al
+      val nBlocks = comps(0).length
 
-      def scan(ss: Int, se: Int, ah: Int, al: Int): Unit = {
-        seg(0xda, Array[Byte](1, 1, 0x01, ss.toByte, se.toByte,
-          ((ah << 4) | al).toByte))
-        var pred = 0
-        var eobrun = 0
+      /** interleaved DC scan over all components (first or refine) */
+      def dcScan(ah: Int, al: Int): Unit = {
+        seg(0xda, Array[Byte](nc.toByte) ++
+          (1 to nc).flatMap(ci => Seq(ci.toByte, 0x01.toByte)) ++
+          Seq(0.toByte, 0.toByte, ((ah << 4) | al).toByte))
+        val preds = new Array[Int](nc)
         var rstN = 0
-        def flushEob(): Unit = if (eobrun > 0) {
-          var r = 0
-          while ((2 << r) <= eobrun) r += 1 // r = floor(log2 eobrun)
-          putSym(acC, r << 4)
-          if (r > 0) put(eobrun - (1 << r), r)
-          eobrun = 0
-        }
-        for (bi <- blocks.indices) {
+        for (bi <- 0 until nBlocks) {
           if (restartInterval > 0 && bi > 0 && bi % restartInterval == 0) {
-            flushEob()
             pad()
             w8(0xff); w8(0xd0 + (rstN & 7)); rstN += 1
-            pred = 0
+            java.util.Arrays.fill(preds, 0)
           }
-          val c = blocks(bi)
-          if (ss == 0) {
-            if (ah == 0) { // DC first: diff of dc >> al (arithmetic)
-              val v = c(0) >> al
-              val diff = v - pred
-              pred = v
+          for (ci <- 0 until nc) {
+            val dc = comps(ci)(bi)(0)
+            if (ah == 0) { // arithmetic-shift point transform, diff
+              val v = dc >> al
+              val diff = v - preds(ci)
+              preds(ci) = v
               val sz = if (diff == 0) 0
                 else 32 - Integer.numberOfLeadingZeros(math.abs(diff))
               putSym(dcC, sz)
               if (sz > 0)
                 put(if (diff >= 0) diff else diff - 1 + (1 << sz), sz)
-            } else { // DC refine: next lower bit
-              put((c(0) >> al) & 1, 1)
-            }
-          } else if (ah == 0) { // AC first over the band
+            } else put((dc >> al) & 1, 1)
+          }
+        }
+        pad()
+      }
+
+      /** single-component AC scan (first or refine) over one band */
+      def acScan(ci: Int, ss: Int, se: Int, ah: Int, al: Int): Unit = {
+        seg(0xda, Array[Byte](1, (ci + 1).toByte, 0x01,
+          ss.toByte, se.toByte, ((ah << 4) | al).toByte))
+        var eobrun = 0
+        var rstN = 0
+        def flushEob(): Unit = if (eobrun > 0) {
+          var r = 0
+          while ((2 << r) <= eobrun) r += 1
+          putSym(acC, r << 4)
+          if (r > 0) put(eobrun - (1 << r), r)
+          eobrun = 0
+        }
+        for (bi <- 0 until nBlocks) {
+          if (restartInterval > 0 && bi > 0 && bi % restartInterval == 0) {
+            flushEob()
+            pad()
+            w8(0xff); w8(0xd0 + (rstN & 7)); rstN += 1
+          }
+          val c = comps(ci)(bi)
+          if (ah == 0) { // AC first over the band
             val hi = (ss to se).map(k => pt(c(k), al))
             val lastNz = (ss to se).reverse.find(k => pt(c(k), al) != 0)
             if (lastNz.isEmpty) eobrun += 1
@@ -1556,11 +1635,9 @@ private[graft] object ProgJpegEncoder {
               if (lastNz.get < se) eobrun += 1
             }
             if (eobrun == 16383) flushEob() // EOBn cap 2^14-1
-          } else { // AC refine: mirror the decoder's walk exactly —
-            // correction bits are emitted POSITIONALLY as the walk
-            // passes nonzero-history coefficients, so they interleave
-            // with ZRL runs the same way the decoder consumes them
-            val hiOf = (k: Int) => pt(c(k), ah) // post-first-scan history
+          } else { // AC refine: mirror the decoder walk exactly —
+            // correction bits interleave positionally with ZRL runs
+            val hiOf = (k: Int) => pt(c(k), ah)
             val placements = (ss to se).filter(k => hiOf(k) == 0 && c(k) != 0)
             var k = ss
             def corrAt(j: Int): Unit = put((math.abs(c(j)) >> al) & 1, 1)
@@ -1586,16 +1663,20 @@ private[graft] object ProgJpegEncoder {
             }
           }
         }
-        if (ss != 0 && ah == 0) flushEob()
+        if (ah == 0) flushEob()
         pad()
       }
 
-      scan(0, 0, 0, 1)
-      scan(1, ssSplit, 0, 1)
-      scan(ssSplit + 1, 63, 0, 1)
-      scan(0, 0, 1, 0)
-      scan(1, ssSplit, 1, 0)
-      scan(ssSplit + 1, 63, 1, 0)
+      dcScan(0, 1)
+      for (ci <- 0 until nc) {
+        acScan(ci, 1, ssSplit, 0, 1)
+        acScan(ci, ssSplit + 1, 63, 0, 1)
+      }
+      dcScan(1, 0)
+      for (ci <- 0 until nc) {
+        acScan(ci, 1, ssSplit, 1, 0)
+        acScan(ci, ssSplit + 1, 63, 1, 0)
+      }
       w8(0xff); w8(0xd9)
       bos.toByteArray
     }
