@@ -350,67 +350,117 @@ object JpegCodec {
   // framings), AC blocks go through the shared dequant + IDCT.
   // ---------------------------------------------------------------
 
-  /** Decode one scan's entropy data for all blocks (grayscale: block
-    * raster order, restart interval counted in blocks). Mutates
-    * `coefs` (zigzag-ordered per block). Returns the byte position
-    * just after the scan (at the 0xFF of the next marker), or -1 on
-    * malformed data.
-    */
-  /** One DC scan (first or refinement), possibly INTERLEAVED over
-    * several components (T.81 allows multi-component DC scans; AC
-    * scans are always single-component): 1x1 sampling throughout, so
-    * the MCU order is the shared block raster order and each MCU
-    * holds one block per scan component. Per-component predictors;
-    * restart counted in MCUs. Returns position after the scan or -1.
+  /** One INTERLEAVED DC scan (first or refinement) over the MCU grid
+    * (T.81 allows multi-component DC scans; AC scans are always
+    * single-component): each MCU holds h_i × v_i blocks per scan
+    * component in sampling order, addressed into the component's
+    * INTERLEAVED block grid (stride `scanBwI`, which includes the
+    * MCU-alignment padding blocks — the differential-DC chain runs
+    * through them). Per-component predictors; restart counted in
+    * MCUs. Returns position after the scan or -1.
     */
   private def decodeProgDcScan(bytes: Array[Byte], scanStart: Int,
       scanCoefs: Array[Array[Int]], scanDcTs: Array[HuffTable],
-      nBlocks: Int, ah: Int, al: Int, ri: Int): Int = {
+      scanH: Array[Int], scanV: Array[Int], scanBwI: Array[Int],
+      mcus: Int, mcusX: Int, ah: Int, al: Int, ri: Int): Int = {
     val r = new BitReader(bytes, scanStart)
     val preds = new Array[Int](scanCoefs.length)
     var until = if (ri > 0) ri else Int.MaxValue
-    var b = 0
-    while (b < nBlocks) {
-      val base = b * 64
+    var m = 0
+    while (m < mcus) {
+      val mx = m % mcusX
+      val my = m / mcusX
       var ci = 0
       while (ci < scanCoefs.length) {
-        if (ah == 0) { // DC first: category + EXTEND diff, shifted
-          val s = decodeHuff(r, scanDcTs(ci))
-          if (s < 0 || s > 11) return -1
-          val dBits = if (s == 0) 0 else r.bits(s)
-          if (dBits < 0) return -1
-          preds(ci) += extend(dBits, s)
-          scanCoefs(ci)(base) = preds(ci) << al
-        } else { // DC refinement: one bit per block per component
-          val bit = r.bit()
-          if (bit < 0) return -1
-          if (bit == 1) scanCoefs(ci)(base) |= (1 << al)
+        var vy = 0
+        while (vy < scanV(ci)) {
+          var vx = 0
+          while (vx < scanH(ci)) {
+            val base = ((my * scanV(ci) + vy) * scanBwI(ci) +
+              (mx * scanH(ci) + vx)) * 64
+            if (ah == 0) { // DC first: category + EXTEND diff, shifted
+              val s = decodeHuff(r, scanDcTs(ci))
+              if (s < 0 || s > 11) return -1
+              val dBits = if (s == 0) 0 else r.bits(s)
+              if (dBits < 0) return -1
+              preds(ci) += extend(dBits, s)
+              scanCoefs(ci)(base) = preds(ci) << al
+            } else { // DC refinement: one bit per block per component
+              val bit = r.bit()
+              if (bit < 0) return -1
+              if (bit == 1) scanCoefs(ci)(base) |= (1 << al)
+            }
+            vx += 1
+          }
+          vy += 1
         }
         ci += 1
+      }
+      until -= 1
+      if (until == 0 && m != mcus - 1) {
+        if (!r.resync()) return -1
+        until = ri
+        java.util.Arrays.fill(preds, 0)
+      }
+      m += 1
+    }
+    r.pos
+  }
+
+  /** One NON-interleaved DC scan (ns = 1): the component's own
+    * bwN × bhN block sub-grid in raster order, addressed into the
+    * interleaved buffer (stride bwI). Restart counted in blocks.
+    */
+  private def decodeProgDcScanNI(bytes: Array[Byte], scanStart: Int,
+      coefs: Array[Int], dcT: HuffTable, bwN: Int, bhN: Int, bwI: Int,
+      ah: Int, al: Int, ri: Int): Int = {
+    val r = new BitReader(bytes, scanStart)
+    var pred = 0
+    var until = if (ri > 0) ri else Int.MaxValue
+    val nBlocks = bwN * bhN
+    var b = 0
+    while (b < nBlocks) {
+      val base = ((b / bwN) * bwI + (b % bwN)) * 64
+      if (ah == 0) {
+        val s = decodeHuff(r, dcT)
+        if (s < 0 || s > 11) return -1
+        val dBits = if (s == 0) 0 else r.bits(s)
+        if (dBits < 0) return -1
+        pred += extend(dBits, s)
+        coefs(base) = pred << al
+      } else {
+        val bit = r.bit()
+        if (bit < 0) return -1
+        if (bit == 1) coefs(base) |= (1 << al)
       }
       until -= 1
       if (until == 0 && b != nBlocks - 1) {
         if (!r.resync()) return -1
         until = ri
-        java.util.Arrays.fill(preds, 0)
+        pred = 0
       }
       b += 1
     }
     r.pos
   }
 
-  /** One AC scan (single component by T.81) over the component's
-    * blocks in raster order. Returns position after the scan or -1.
+  /** One AC scan (single component by T.81) over the component's own
+    * bwN × bhN block sub-grid in raster order, addressed into the
+    * interleaved buffer (stride bwI — MCU padding blocks carry no AC,
+    * which is the spec's non-interleaved dimension rule and also why
+    * they can only ever be DC-flat). Returns position after the scan
+    * or -1.
     */
   private def decodeProgAcScan(bytes: Array[Byte], scanStart: Int,
-      coefs: Array[Int], nBlocks: Int, acT: HuffTable,
+      coefs: Array[Int], bwN: Int, bhN: Int, bwI: Int, acT: HuffTable,
       ss: Int, se: Int, ah: Int, al: Int, ri: Int): Int = {
     val r = new BitReader(bytes, scanStart)
     var eobrun = 0
     var until = if (ri > 0) ri else Int.MaxValue
+    val nBlocks = bwN * bhN
     var b = 0
     while (b < nBlocks) {
-      val base = b * 64
+      val base = ((b / bwN) * bwI + (b % bwN)) * 64
       if (ah == 0) { // AC first (G.1.2.2)
         if (eobrun > 0) eobrun -= 1
         else {
@@ -517,15 +567,16 @@ object JpegCodec {
   }
 
   /** Parse and entropy-decode ALL scans of a progressive (SOF2)
-    * stream at 1x1 sampling — grayscale or 4:4:4 color (subsampled
-    * progressive stays the declared stub: the interleaved-grid
-    * padding rules differ and nothing gated exercises them yet).
-    * Returns (width, height, per-component zigzag coefficient
-    * buffers, per-component zigzag quant tables); None for anything
-    * out of scope or malformed.
+    * stream over the SAME sampling family as the baseline decoder —
+    * grayscale, or 3-component color at 4:4:4 / 4:2:2 / 4:2:0 (luma
+    * factors in {1,2}, chroma 1x1). Coefficient buffers live on each
+    * component's INTERLEAVED (MCU-aligned) block grid; interleaved DC
+    * scans walk MCUs with h×v luma blocks each, single-component
+    * scans (all AC scans, and ns=1 DC scans) walk the component's own
+    * non-interleaved sub-grid per T.81 A.2.2. None for anything out
+    * of scope or malformed.
     */
-  private def decodeProgressiveCoefs(bytes: Array[Byte])
-      : Option[(Int, Int, Array[Array[Int]], Array[Array[Int]])] = {
+  private def decodeProgressiveCoefs(bytes: Array[Byte]): Option[ProgFrame] = {
     if (bytes == null || bytes.length < 4) return None
     if ((bytes(0) & 0xff) != 0xff || (bytes(1) & 0xff) != 0xd8) return None
     val quant = new Array[Array[Int]](4)
@@ -537,9 +588,15 @@ object JpegCodec {
     var nc = 0
     var compIds: Array[Int] = null
     var compTq: Array[Int] = null
+    var compH: Array[Int] = null
+    var compV: Array[Int] = null
     var coefs: Array[Array[Int]] = null
-    var bw = 0
-    var bh = 0
+    var mcusX = 0
+    var mcusY = 0
+    var bwI: Array[Int] = null
+    var bhI: Array[Int] = null
+    var bwN: Array[Int] = null
+    var bhN: Array[Int] = null
     var sawScan = false
     var pos = 2
     try {
@@ -574,19 +631,48 @@ object JpegCodec {
                   width.toLong * height > MaxPixels) return None
                 compIds = new Array[Int](nc)
                 compTq = new Array[Int](nc)
+                compH = new Array[Int](nc)
+                compV = new Array[Int](nc)
                 var ci = 0
                 var q = p + 6
                 while (ci < nc) {
                   compIds(ci) = bytes(q) & 0xff
                   val hv = bytes(q + 1) & 0xff
-                  if ((hv >> 4) != 1 || (hv & 0x0f) != 1) return None // 1x1 only
+                  compH(ci) = hv >> 4
+                  compV(ci) = hv & 0x0f
                   compTq(ci) = bytes(q + 2) & 0x0f
                   q += 3
                   ci += 1
                 }
-                bw = (width + 7) / 8
-                bh = (height + 7) / 8
-                coefs = Array.fill(nc)(new Array[Int](bw * bh * 64))
+                // same sampling family as baseline: gray 1x1, or luma
+                // factors in {1,2} with chroma 1x1 (4:4:4/4:2:2/4:2:0)
+                if (nc == 1) {
+                  if (compH(0) != 1 || compV(0) != 1) return None
+                } else {
+                  if (compH(0) < 1 || compH(0) > 2 ||
+                    compV(0) < 1 || compV(0) > 2) return None
+                  if (compH(1) != 1 || compV(1) != 1 ||
+                    compH(2) != 1 || compV(2) != 1) return None
+                }
+                val hMax = compH.max
+                val vMax = compV.max
+                mcusX = (width + 8 * hMax - 1) / (8 * hMax)
+                mcusY = (height + 8 * vMax - 1) / (8 * vMax)
+                // per component: INTERLEAVED grid (MCU-aligned, holds
+                // the padding blocks the DC chain runs through) and
+                // the NON-interleaved sub-grid AC/single-comp scans use
+                bwI = Array.tabulate(nc)(i => mcusX * compH(i))
+                bhI = Array.tabulate(nc)(i => mcusY * compV(i))
+                bwN = Array.tabulate(nc) { i =>
+                  val cw = (width * compH(i) + hMax - 1) / hMax
+                  (cw + 7) / 8
+                }
+                bhN = Array.tabulate(nc) { i =>
+                  val chh = (height * compV(i) + vMax - 1) / vMax
+                  (chh + 7) / 8
+                }
+                coefs = Array.tabulate(nc)(i =>
+                  new Array[Int](bwI(i) * bhI(i) * 64))
               case 0xc0 | 0xc1 | 0xc3 | 0xc5 | 0xc6 | 0xc7 |
                    0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
                 return None // any other frame type
@@ -655,9 +741,9 @@ object JpegCodec {
                 if (scanAl > 13 || scanAh > 13) return None
                 if (scanAh != 0 && scanAh != scanAl + 1) return None
                 val after =
-                  if (scanSs == 0) {
-                    // DC scan, possibly interleaved; the table is only
-                    // read in FIRST scans (refinement is raw bits)
+                  if (scanSs == 0 && ns > 1) {
+                    // interleaved DC scan; the table is only read in
+                    // FIRST scans (refinement is raw bits)
                     val dcTs = scanTd.map { t =>
                       if (dcTabs(t) != null) dcTabs(t)
                       else if (scanAh == 0) return None
@@ -665,13 +751,26 @@ object JpegCodec {
                         Array.emptyByteArray)
                     }
                     decodeProgDcScan(bytes, end,
-                      scanComp.map(coefs(_)), dcTs, bw * bh,
+                      scanComp.map(coefs(_)), dcTs,
+                      scanComp.map(compH(_)), scanComp.map(compV(_)),
+                      scanComp.map(bwI(_)), mcusX * mcusY, mcusX,
+                      scanAh, scanAl, restartInterval)
+                  } else if (scanSs == 0) {
+                    // single-component DC scan: the comp's own sub-grid
+                    val c0 = scanComp(0)
+                    if (scanAh == 0 && dcTabs(scanTd(0)) == null) return None
+                    val dcT = if (dcTabs(scanTd(0)) != null) dcTabs(scanTd(0))
+                      else new HuffTable(new Array[Int](16),
+                        Array.emptyByteArray)
+                    decodeProgDcScanNI(bytes, end, coefs(c0), dcT,
+                      bwN(c0), bhN(c0), bwI(c0),
                       scanAh, scanAl, restartInterval)
                   } else {
                     if (ns != 1) return None // AC scans: one component
                     if (acTabs(scanTa(0)) == null) return None
-                    decodeProgAcScan(bytes, end, coefs(scanComp(0)),
-                      bw * bh, acTabs(scanTa(0)),
+                    val c0 = scanComp(0)
+                    decodeProgAcScan(bytes, end, coefs(c0),
+                      bwN(c0), bhN(c0), bwI(c0), acTabs(scanTa(0)),
                       scanSs, scanSe, scanAh, scanAl, restartInterval)
                   }
                 if (after < 0) return None
@@ -687,11 +786,19 @@ object JpegCodec {
         if (quant(t) == null) return None
         quant(t)
       }
-      Some((width, height, coefs, qts))
+      Some(ProgFrame(width, height, compH, compV, bwI, coefs, qts))
     } catch {
       case _: ArrayIndexOutOfBoundsException => None
     }
   }
+
+  /** A fully entropy-decoded progressive frame: per-component zigzag
+    * coefficient buffers on the INTERLEAVED block grid (stride bwI)
+    * plus the sampling geometry reconstruction needs.
+    */
+  private final case class ProgFrame(width: Int, height: Int,
+      compH: Array[Int], compV: Array[Int], bwI: Array[Int],
+      coefs: Array[Array[Int]], qts: Array[Array[Int]])
 
   /** Reconstruct one component's block: null raster means the exact
     * DC-only closed form (flat value returned alongside) — the SAME
@@ -726,11 +833,13 @@ object JpegCodec {
   private def decodeProgressiveBlocks(bytes: Array[Byte],
       onDims: (Int, Int) => Unit)(
       onBlock: (Int, Int, Int, Int, Int, Array[Int]) => Unit): Option[(Int, Int)] = {
-    val (width, height, coefs, qts) = decodeProgressiveCoefs(bytes) match {
+    val f = decodeProgressiveCoefs(bytes) match {
       case Some(t) => t
       case None => return None
     }
-    if (coefs.length != 1) return None
+    if (f.coefs.length != 1) return None
+    val width = f.width
+    val height = f.height
     onDims(width, height)
     val bw = (width + 7) / 8
     val bh = (height + 7) / 8
@@ -738,7 +847,8 @@ object JpegCodec {
     while (by < bh) {
       var bx = 0
       while (bx < bw) {
-        val (flat, px) = progBlock(coefs(0), (by * bw + bx) * 64, qts(0))
+        val (flat, px) = progBlock(f.coefs(0), (by * f.bwI(0) + bx) * 64,
+          f.qts(0))
         val nx = math.min(8, width - bx * 8)
         val ny = math.min(8, height - by * 8)
         onBlock(bx, by, nx, ny, flat, px)
@@ -749,51 +859,75 @@ object JpegCodec {
     Some((width, height))
   }
 
-  /** Progressive 4:4:4 color decode to the SAME onPixel shape as
-    * [[decodeColorPixels]]: per block position the three components'
-    * blocks reconstruct independently (DC-only closed form or shared
-    * IDCT), then every in-image pixel goes through the SAME
-    * fixed-point YCbCr → RGB transform. None for grayscale streams.
+  /** Progressive color decode to the SAME onPixel shape as
+    * [[decodeColorPixels]]: per MCU each component's h×v blocks
+    * reconstruct independently (DC-only closed form or shared IDCT),
+    * then every in-image pixel samples through the SAME
+    * nearest-replication upsample + fixed-point YCbCr → RGB transform
+    * as the baseline color path. None for grayscale streams.
     */
   private def decodeProgressiveColorPixels(bytes: Array[Byte])(
       onPixel: (Int, Int, Int, Int, Int) => Unit): Option[(Int, Int)] = {
-    val (width, height, coefs, qts) = decodeProgressiveCoefs(bytes) match {
+    val fr = decodeProgressiveCoefs(bytes) match {
       case Some(t) => t
       case None => return None
     }
-    if (coefs.length != 3) return None
-    val bw = (width + 7) / 8
-    val bh = (height + 7) / 8
-    val flat = new Array[Int](3)
-    val rast = new Array[Array[Int]](3)
-    var by = 0
-    while (by < bh) {
-      var bx = 0
-      while (bx < bw) {
+    if (fr.coefs.length != 3) return None
+    val width = fr.width
+    val height = fr.height
+    val hMax = fr.compH.max
+    val vMax = fr.compV.max
+    val mcuW = 8 * hMax
+    val mcuH = 8 * vMax
+    val mcusX = (width + mcuW - 1) / mcuW
+    val mcusY = (height + mcuH - 1) / mcuH
+    val flat = Array.ofDim[Int](3, hMax * vMax)
+    val rast = Array.ofDim[Array[Int]](3, hMax * vMax)
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
         var ci = 0
         while (ci < 3) {
-          val (f, px) = progBlock(coefs(ci), (by * bw + bx) * 64, qts(ci))
-          flat(ci) = f
-          rast(ci) = px
+          val h = fr.compH(ci)
+          val v = fr.compV(ci)
+          var vy = 0
+          while (vy < v) {
+            var vx = 0
+            while (vx < h) {
+              val base = ((my * v + vy) * fr.bwI(ci) + (mx * h + vx)) * 64
+              val (fv, px) = progBlock(fr.coefs(ci), base, fr.qts(ci))
+              flat(ci)(vy * h + vx) = fv
+              rast(ci)(vy * h + vx) = px
+              vx += 1
+            }
+            vy += 1
+          }
           ci += 1
         }
-        val x0 = bx * 8
-        val y0 = by * 8
+        val x0 = mx * mcuW
+        val y0 = my * mcuH
         var py = 0
-        while (py < 8 && y0 + py < height) {
+        while (py < mcuH && y0 + py < height) {
           var px = 0
-          while (px < 8 && x0 + px < width) {
-            def sample(ci: Int): Int =
-              if (rast(ci) == null) flat(ci) else rast(ci)(py * 8 + px)
+          while (px < mcuW && x0 + px < width) {
+            def sample(ci: Int): Int = {
+              val cx = px * fr.compH(ci) / hMax
+              val cy = py * fr.compV(ci) / vMax
+              val bj = (cy / 8) * fr.compH(ci) + (cx / 8)
+              val ra = rast(ci)(bj)
+              if (ra == null) flat(ci)(bj)
+              else ra((cy % 8) * 8 + (cx % 8))
+            }
             val (rr, gg, bb) = ycbcrToRgb(sample(0), sample(1), sample(2))
             onPixel(x0 + px, y0 + py, rr, gg, bb)
             px += 1
           }
           py += 1
         }
-        bx += 1
+        mx += 1
       }
-      by += 1
+      my += 1
     }
     Some((width, height))
   }
@@ -1177,10 +1311,10 @@ object JpegCodec {
     if (dims.isEmpty) {
       // progressive color: same raster through the SOF2 path
       return decodeProgressiveCoefs(bytes)
-        .filter(_._3.length == 3)
-        .flatMap { case (w, h, _, _) =>
-          w0 = w
-          out = new Array[Int](w * h * 3)
+        .filter(_.coefs.length == 3)
+        .flatMap { fr =>
+          w0 = fr.width
+          out = new Array[Int](fr.width * fr.height * 3)
           decodeProgressiveColorPixels(bytes) { (x, y, r, g, b) =>
             val i = (y * w0 + x) * 3
             out(i) = r; out(i + 1) = g; out(i + 2) = b

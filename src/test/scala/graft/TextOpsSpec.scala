@@ -719,6 +719,39 @@ class TextOpsSpec extends SparkSpec {
       "restarting interleaved DC scan must decode")
   }
 
+  test("JpegCodec progressive 4:2:0 == baseline 4:2:0 of the same quantized image") {
+    import graft.multimodal.JpegCodec
+    // subsampled progressive: luma 2x2 on the MCU-padded interleaved
+    // grid (the DC chain runs through padding blocks; AC scans skip
+    // them), chroma on the half-resolution grid; decode must equal
+    // the baseline 4:2:0 framing of the SAME quantized components —
+    // non-MCU-aligned dims exercise the padding-block rules
+    val rnd = new scala.util.Random(31)
+    for (trial <- 0 until 4) {
+      val w = 1 + rnd.nextInt(40) // frequently not 16-aligned
+      val h = 1 + rnd.nextInt(36)
+      val yP = Array.fill(h, w)(rnd.nextInt(256))
+      val cw = (w + 1) / 2; val ch = (h + 1) / 2
+      val cbP = Array.fill(ch, cw)(rnd.nextInt(256))
+      val crP = Array.fill(ch, cw)(rnd.nextInt(256))
+      val base = TestJpegEncoder.encodeColor(w, h,
+        (x, y) => yP(y)(x), (x, y) => cbP(y)(x), (x, y) => crP(y)(x),
+        sub420 = true)
+      val ssSplit = 1 + rnd.nextInt(20)
+      val prog = ProgJpegEncoder.encodeColor(w, h,
+        (x, y) => yP(y)(x), (x, y) => cbP(y)(x), (x, y) => crP(y)(x),
+        ssSplit = ssSplit, sub420 = true)
+      val (w1, h1, p1) = JpegCodec.decodeColorRaster(base).getOrElse(
+        fail(s"trial $trial: baseline 420 None"))
+      val (w2, h2, p2) = JpegCodec.decodeColorRaster(prog).getOrElse(
+        fail(s"trial $trial ($w x $h split $ssSplit): progressive 420 None"))
+      assert((w1, h1) == ((w2, h2)))
+      assert(p1.sameElements(p2),
+        s"trial $trial ($w x $h split $ssSplit): 4:2:0 rasters differ")
+      assert(JpegCodec.decodeStats(prog) == JpegCodec.decodeStats(base))
+    }
+  }
+
   test("JpegCodec progressive: garbage, truncation, and fuzz never throw") {
     import graft.multimodal.JpegCodec
     val prog = ProgJpegEncoder.encode(24, 16,
@@ -1477,14 +1510,23 @@ private[graft] object ProgJpegEncoder {
     private val dcC = codes(dcBits, dcVals)
     private val acC = codes(acBits, acVals)
 
-    /** Quantized zigzag coefficient blocks of one component. */
-    private def coefBlocks(w: Int, h: Int, pixel: (Int, Int) => Int,
-                           qdc: Int, qac: Int): Array[Array[Int]] = {
-      val bw = (w + 7) / 8; val bh = (h + 7) / 8
-      Array.tabulate(bh * bw) { bi =>
-        val ox = (bi % bw) * 8; val oy = (bi / bw) * 8
+    /** One scan component for [[assemble]]: quantized zigzag blocks on
+      * the INTERLEAVED (MCU-aligned) grid plus the geometry the scan
+      * writers need.
+      */
+    private case class PComp(blocks: Array[Array[Int]], h: Int, v: Int,
+                             bwI: Int, bwN: Int, bhN: Int)
+
+    /** Quantized zigzag coefficient blocks on an explicit bwI x bhI
+      * grid, sampled with edge replication against (cw, ch).
+      */
+    private def coefBlocksGrid(bwI: Int, bhI: Int, cw: Int, ch: Int,
+                               pixel: (Int, Int) => Int,
+                               qdc: Int, qac: Int): Array[Array[Int]] =
+      Array.tabulate(bhI * bwI) { bi =>
+        val ox = (bi % bwI) * 8; val oy = (bi / bwI) * 8
         val f = Array.tabulate(8, 8) { (y, x) =>
-          pixel(math.min(ox + x, w - 1), math.min(oy + y, h - 1)) - 128.0
+          pixel(math.min(ox + x, cw - 1), math.min(oy + y, ch - 1)) - 128.0
         }
         val q = new Array[Int](64)
         for (u <- 0 until 8; v <- 0 until 8) {
@@ -1496,6 +1538,12 @@ private[graft] object ProgJpegEncoder {
         }
         Array.tabulate(64)(k => q(zig(k)))
       }
+
+    private def pcomp11(w: Int, h: Int, pixel: (Int, Int) => Int,
+                        qdc: Int, qac: Int): PComp = {
+      val bw = (w + 7) / 8; val bh = (h + 7) / 8
+      PComp(coefBlocksGrid(bw, bh, w, h, pixel, qdc, qac),
+        1, 1, bw, bw, bh)
     }
 
     /** Encode `pixel` as a 6-scan progressive grayscale JFIF stream:
@@ -1507,26 +1555,52 @@ private[graft] object ProgJpegEncoder {
                qdc: Int, qac: Int, ssSplit: Int = 5,
                restartInterval: Int = 0): Array[Byte] =
       assemble(w, h, qdc, qac,
-        Array(coefBlocks(w, h, pixel, qdc, qac)), ssSplit, restartInterval)
+        Array(pcomp11(w, h, pixel, qdc, qac)), ssSplit, restartInterval)
 
-    /** The 4:4:4 color twin: interleaved DC scans over all three
-      * components, per-component AC band scans.
+    /** The color twin: interleaved DC scans over all three
+      * components, per-component AC band scans over each component's
+      * own non-interleaved sub-grid. `sub420` switches luma to 2x2
+      * sampling (chroma sampled on the half-resolution grid, luma's
+      * interleaved grid gains the MCU padding blocks the DC chain
+      * runs through while AC scans skip them).
       */
     def encodeColor(w: Int, h: Int,
                     yPix: (Int, Int) => Int,
                     cbPix: (Int, Int) => Int,
                     crPix: (Int, Int) => Int,
                     q: Int = 1, ssSplit: Int = 5,
-                    restartInterval: Int = 0): Array[Byte] =
-      assemble(w, h, q, q,
-        Array(coefBlocks(w, h, yPix, q, q),
-          coefBlocks(w, h, cbPix, q, q),
-          coefBlocks(w, h, crPix, q, q)), ssSplit, restartInterval)
+                    restartInterval: Int = 0,
+                    sub420: Boolean = false): Array[Byte] = {
+      if (!sub420)
+        assemble(w, h, q, q,
+          Array(pcomp11(w, h, yPix, q, q),
+            pcomp11(w, h, cbPix, q, q),
+            pcomp11(w, h, crPix, q, q)), ssSplit, restartInterval)
+      else {
+        val hs = 2
+        val mcusX = (w + 8 * hs - 1) / (8 * hs)
+        val mcusY = (h + 8 * hs - 1) / (8 * hs)
+        val cw = (w + hs - 1) / hs
+        val ch = (h + hs - 1) / hs
+        val luma = PComp(
+          coefBlocksGrid(mcusX * hs, mcusY * hs, w, h, yPix, q, q),
+          hs, hs, mcusX * hs, (w + 7) / 8, (h + 7) / 8)
+        def chroma(pix: (Int, Int) => Int) = PComp(
+          coefBlocksGrid(mcusX, mcusY, cw, ch, pix, q, q),
+          1, 1, mcusX, mcusX, mcusY)
+        assemble(w, h, q, q, Array(luma, chroma(cbPix), chroma(crPix)),
+          ssSplit, restartInterval)
+      }
+    }
 
     private def assemble(w: Int, h: Int, qdc: Int, qac: Int,
-                         comps: Array[Array[Array[Int]]],
+                         comps: Array[PComp],
                          ssSplit: Int, restartInterval: Int): Array[Byte] = {
       val nc = comps.length
+      val hMax = comps.map(_.h).max
+      val vMax = comps.map(_.v).max
+      val mcusX = (w + 8 * hMax - 1) / (8 * hMax)
+      val mcusY = (h + 8 * vMax - 1) / (8 * vMax)
       val bos = new java.io.ByteArrayOutputStream()
       def w8(v: Int): Unit = bos.write(v & 0xff)
       def w16(v: Int): Unit = { w8(v >> 8); w8(v) }
@@ -1538,7 +1612,8 @@ private[graft] object ProgJpegEncoder {
         if (i == 0) 0 else if (i == 1) qdc.toByte else qac.toByte))
       seg(0xc2, Array[Byte](8, (h >> 8).toByte, h.toByte,
         (w >> 8).toByte, w.toByte, nc.toByte) ++
-        (1 to nc).flatMap(ci => Seq(ci.toByte, 0x11.toByte, 0.toByte)))
+        (0 until nc).flatMap(ci => Seq((ci + 1).toByte,
+          ((comps(ci).h << 4) | comps(ci).v).toByte, 0.toByte)))
       seg(0xc4, Array[Byte](0x00) ++ dcBits.map(_.toByte) ++ dcVals.map(_.toByte))
       seg(0xc4, Array[Byte](0x11) ++ acBits.map(_.toByte) ++
         acVals.map(_.toByte))
@@ -1562,23 +1637,28 @@ private[graft] object ProgJpegEncoder {
       // truncation-toward-zero point transform for AC (T.81 G.1.2.2)
       def pt(v: Int, al: Int): Int =
         if (v < 0) -((-v) >> al) else v >> al
-      val nBlocks = comps(0).length
 
-      /** interleaved DC scan over all components (first or refine) */
+      /** interleaved DC scan over all components (first or refine):
+        * MCU order, h x v blocks per component from the interleaved
+        * grid, restart counted in MCUs */
       def dcScan(ah: Int, al: Int): Unit = {
         seg(0xda, Array[Byte](nc.toByte) ++
           (1 to nc).flatMap(ci => Seq(ci.toByte, 0x01.toByte)) ++
           Seq(0.toByte, 0.toByte, ((ah << 4) | al).toByte))
         val preds = new Array[Int](nc)
         var rstN = 0
-        for (bi <- 0 until nBlocks) {
-          if (restartInterval > 0 && bi > 0 && bi % restartInterval == 0) {
+        for (m <- 0 until (mcusX * mcusY)) {
+          if (restartInterval > 0 && m > 0 && m % restartInterval == 0) {
             pad()
             w8(0xff); w8(0xd0 + (rstN & 7)); rstN += 1
             java.util.Arrays.fill(preds, 0)
           }
-          for (ci <- 0 until nc) {
-            val dc = comps(ci)(bi)(0)
+          val mx = m % mcusX; val my = m / mcusX
+          for (ci <- 0 until nc; vy <- 0 until comps(ci).v;
+               vx <- 0 until comps(ci).h) {
+            val bi = (my * comps(ci).v + vy) * comps(ci).bwI +
+              (mx * comps(ci).h + vx)
+            val dc = comps(ci).blocks(bi)(0)
             if (ah == 0) { // arithmetic-shift point transform, diff
               val v = dc >> al
               val diff = v - preds(ci)
@@ -1607,13 +1687,15 @@ private[graft] object ProgJpegEncoder {
           if (r > 0) put(eobrun - (1 << r), r)
           eobrun = 0
         }
-        for (bi <- 0 until nBlocks) {
-          if (restartInterval > 0 && bi > 0 && bi % restartInterval == 0) {
+        val nBlocks = comps(ci).bwN * comps(ci).bhN
+        for (b <- 0 until nBlocks) {
+          if (restartInterval > 0 && b > 0 && b % restartInterval == 0) {
             flushEob()
             pad()
             w8(0xff); w8(0xd0 + (rstN & 7)); rstN += 1
           }
-          val c = comps(ci)(bi)
+          val c = comps(ci).blocks(
+            (b / comps(ci).bwN) * comps(ci).bwI + (b % comps(ci).bwN))
           if (ah == 0) { // AC first over the band
             val hi = (ss to se).map(k => pt(c(k), al))
             val lastNz = (ss to se).reverse.find(k => pt(c(k), al) != 0)
