@@ -2,13 +2,15 @@ package graft.multimodal
 
 import java.util.zip.{CRC32, Deflater, Inflater}
 
-/** Pure-JVM PNG PIXEL codec (ISO/IEC 15948) for every color type —
-  * grayscale (0), truecolor RGB (2), palette (3, PLTE indirection,
-  * r16), gray+alpha (4, r16), RGBA (6, r16) — at 8-bit AND 16-bit
-  * sample depth (r16; 16-bit is byte-pair big-endian, unfiltered at
-  * the true bytes-per-pixel, exact 16-bit integer aggregates on the
-  * stats path, high-byte downsample on the 8-bit raster path;
-  * sub-byte depths stay out of scope), progressive OR
+/** Pure-JVM PNG PIXEL codec (ISO/IEC 15948) for the FULL legal
+  * color-type × depth matrix — grayscale (0), truecolor RGB (2),
+  * palette (3, PLTE indirection, r16), gray+alpha (4, r16), RGBA (6,
+  * r16) at 8-bit; 16-bit for the non-palette types (byte-pair
+  * big-endian, unfiltered at the true bytes-per-pixel, exact 16-bit
+  * integer aggregates on the stats path, high-byte downsample on the
+  * 8-bit raster path); and packed sub-byte depths 1/2/4 for gray and
+  * palette (MSB-first unpacking, row-tail pad bits ignored, filters
+  * over the packed bytes at bpp 1 — all r16), progressive OR
   * Adam7-interlaced (r15 — §8.2's seven filtered sub-images) — the
   * container format whose compression (zlib DEFLATE, RFC 1950/1951)
   * and per-scanline filtering (§9: None/Sub/Up/Average/Paeth) ship in
@@ -118,8 +120,10 @@ object PngCodec {
   private final case class Inflated(width: Int, height: Int,
       rawChannels: Int, colorType: Int, depth: Int, interlaced: Boolean,
       palette: Array[Byte], raw: Array[Byte]) {
-    /** bytes per pixel of the filtered stream (the unfilter bpp). */
-    def bpp: Int = rawChannels * (depth / 8)
+    /** filter-offset distance in bytes (§9: at least one byte). */
+    def bpp: Int = math.max(1, rawChannels * depth / 8)
+    /** packed row bytes for `pw` pixels of this format. */
+    def rowBytes(pw: Int): Int = (pw * rawChannels * depth + 7) / 8
   }
 
   /** Chunk walk + zlib inflate to the FILTERED scanline buffer
@@ -156,8 +160,15 @@ object PngCodec {
           colorType = bytes(dataOff + 9) & 0xff
           val interlace = bytes(dataOff + 12) & 0xff
           if (w <= 0 || h <= 0 || w > Int.MaxValue || h > Int.MaxValue) return None
-          if ((bitDepth != 8 && bitDepth != 16) || interlace > 1) return None
-          if (bitDepth == 16 && colorType == 3) return None // illegal combo
+          if (interlace > 1) return None
+          val depthOkFor = colorType match {
+            // §11.2.2: sub-byte depths only for gray + palette; 16-bit
+            // for everything except palette
+            case 0 => Seq(1, 2, 4, 8, 16)
+            case 3 => Seq(1, 2, 4, 8)
+            case _ => Seq(8, 16)
+          }
+          if (!depthOkFor.contains(bitDepth)) return None
           depth = bitDepth
           interlaced = interlace == 1
           channels = colorType match {
@@ -192,7 +203,7 @@ object PngCodec {
       // a pass that is empty in EITHER dimension emits nothing — not
       // even filter bytes (§8.2: zero-width rows do not exist)
       if (pw == 0 || ph == 0) 0L
-      else ph.toLong * (1 + pw.toLong * channels * (depth / 8))
+      else ph.toLong * (1 + (pw.toLong * channels * depth + 7) / 8)
     }.sum
     if (rawLen > 256L * 1024 * 1024) return None
     val raw = new Array[Byte](rawLen.toInt)
@@ -251,28 +262,41 @@ object PngCodec {
     var badIndex = false
     var off = 0
     var hi = 0 // pending high byte of a 16-bit sample (depth 16 only)
+    // one reconstructed SAMPLE (gray value, palette index, or one
+    // channel byte) — palette indirection and the raw-value paths
+    // share it across all depths
+    def addSample(sv: Int): Unit =
+      if (d.colorType == 3) {
+        if (sv >= nColors) badIndex = true
+        else {
+          var c = 0
+          while (c < 3) {
+            val s = d.palette(sv * 3 + c) & 0xff
+            sum += s; sumSq += s.toLong * s; c += 1
+          }
+        }
+      } else { sum += sv; sumSq += sv.toLong * sv }
     for (p <- passes(d.width, d.height, d.interlaced)) {
       val (pw, ph) = passDims(d.width, d.height, p)
-      off = unfilterPass(raw = d.raw, off0 = off, rowBytes = pw * d.bpp,
+      off = unfilterPass(raw = d.raw, off0 = off, rowBytes = d.rowBytes(pw),
         rows = ph, bpp = d.bpp) { (_, x, v) =>
-        if (d.colorType == 3) {
-          if (v >= nColors) badIndex = true
-          else {
-            var c = 0
-            while (c < 3) {
-              val s = d.palette(v * 3 + c) & 0xff
-              sum += s; sumSq += s.toLong * s; c += 1
-            }
+        if (d.depth < 8) {
+          // packed sub-byte samples, MSB first; trailing pad bits of
+          // the last row byte fall off the `< pw` guard (sub-byte is
+          // single-channel by §11.2.2, so samples-per-row == pw)
+          val per = 8 / d.depth
+          val mask = (1 << d.depth) - 1
+          var j = 0
+          while (j < per && x * per + j < pw) {
+            addSample((v >> (8 - d.depth * (j + 1))) & mask)
+            j += 1
           }
         } else if (d.depth == 16) {
           // big-endian sample reassembly: even byte = high, odd = low;
           // stats are over the FULL 0..65535 sample values (exact)
           if (x % 2 == 0) hi = v
-          else {
-            val s = (hi << 8) | v
-            sum += s; sumSq += s.toLong * s
-          }
-        } else { sum += v; sumSq += v.toLong * v }
+          else addSample((hi << 8) | v)
+        } else addSample(v)
       }
       if (off < 0 || badIndex) return None
     }
@@ -317,20 +341,33 @@ object PngCodec {
       // samples reduce to their HIGH byte (the standard 16→8
       // downsample — the raster consumers are 8-bit transforms; the
       // exact 16-bit aggregates live on the stats path).
-      off = unfilterPass(d.raw, off, pw * bpp, ph, bpp) { (i, x, v) =>
-        val sampleIdx = if (d.depth == 16) x / 2 else x
-        val px = x0 + (sampleIdx / rc) * dx
-        val base = (y0 + i.toLong * dy).toInt * w + px * outChannels
+      // one reconstructed sample value at sample index `si` of the
+      // pass row: palette expands through PLTE; gray/channel bytes
+      // land at their frame slot (16-bit already reduced to high byte)
+      def place(row: Int, si: Int, sv: Int): Unit = {
+        val px = x0 + (si / rc) * dx
+        val base = (y0 + row.toLong * dy).toInt * w + px * outChannels
         if (d.colorType == 3) {
-          if (v >= nColors) badIndex = true
+          if (sv >= nColors) badIndex = true
           else {
-            out(base) = d.palette(v * 3)
-            out(base + 1) = d.palette(v * 3 + 1)
-            out(base + 2) = d.palette(v * 3 + 2)
+            out(base) = d.palette(sv * 3)
+            out(base + 1) = d.palette(sv * 3 + 1)
+            out(base + 2) = d.palette(sv * 3 + 2)
+          }
+        } else out(base + si % rc) = sv.toByte
+      }
+      off = unfilterPass(d.raw, off, d.rowBytes(pw), ph, bpp) { (i, x, v) =>
+        if (d.depth < 8) {
+          val per = 8 / d.depth
+          val mask = (1 << d.depth) - 1
+          var j = 0
+          while (j < per && x * per + j < pw) {
+            place(i, x * per + j, (v >> (8 - d.depth * (j + 1))) & mask)
+            j += 1
           }
         } else if (d.depth == 16) {
-          if (x % 2 == 0) out(base + sampleIdx % rc) = v.toByte
-        } else out(base + x % rc) = v.toByte
+          if (x % 2 == 0) place(i, x / 2, v) // high byte only
+        } else place(i, x, v)
       }
       if (off < 0 || badIndex) return None
     }
@@ -562,6 +599,55 @@ object PngCodec {
       Array.copy(cur, 0, prev, 0, stride)
     }
     writePng(width, height, channels, interlace = 0, raw, depth = 16)
+  }
+
+  /** Sub-byte-depth encoder (depth 1/2/4; gray when `palette` is
+    * empty, palette indices otherwise): sample p of the row-major
+    * raster is `value(p)` masked to the depth, packed MSB-first with
+    * row-tail pad bits zeroed; filters cycle y % 5 over the PACKED
+    * bytes at bpp = 1 (§9's at-least-one-byte rule).
+    */
+  def encodePacked(width: Int, height: Int, depth: Int,
+                   palette: Array[Byte], value: Long => Int): Array[Byte] = {
+    require(width > 0 && height > 0, "positive dimensions")
+    require(Seq(1, 2, 4).contains(depth), "sub-byte depth 1, 2 or 4")
+    require(palette.isEmpty || (palette.length % 3 == 0 &&
+      palette.length <= 256 * 3), "RGB triples")
+    val mask = (1 << depth) - 1
+    val rowBytes = (width * depth + 7) / 8
+    val raw = new Array[Byte](height * (1 + rowBytes))
+    val cur = new Array[Int](rowBytes)
+    val prev = new Array[Int](rowBytes)
+    var off = 0
+    for (y <- 0 until height) {
+      java.util.Arrays.fill(cur, 0)
+      var sx = 0
+      while (sx < width) {
+        val v = value(y.toLong * width + sx) & mask
+        cur(sx * depth / 8) |= v << (8 - depth * (sx % (8 / depth) + 1))
+        sx += 1
+      }
+      val ft = y % 5
+      raw(off) = ft.toByte; off += 1
+      var x = 0
+      while (x < rowBytes) {
+        val a = if (x >= 1) cur(x - 1) else 0
+        val b = if (y > 0) prev(x) else 0
+        val c = if (x >= 1 && y > 0) prev(x - 1) else 0
+        val f = ft match {
+          case 0 => cur(x)
+          case 1 => cur(x) - a
+          case 2 => cur(x) - b
+          case 3 => cur(x) - ((a + b) >> 1)
+          case 4 => cur(x) - paeth(a, b, c)
+        }
+        raw(off) = (f & 0xff).toByte; off += 1
+        x += 1
+      }
+      Array.copy(cur, 0, prev, 0, rowBytes)
+    }
+    writePng(width, height, if (palette.isEmpty) 1 else -3, interlace = 0,
+      raw, plte = palette, depth = depth)
   }
 
   /** Palette PNG encoder (color type 3): `palette` is 1..256 RGB

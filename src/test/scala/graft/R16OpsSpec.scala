@@ -288,6 +288,45 @@ class R16OpsSpec extends SparkSpec {
     assert(PngCodec.decodeStats(bad).isEmpty, "16-bit palette must refuse")
   }
 
+  test("PngCodec: sub-byte depths (1/2/4) unpack exactly; packed palette expands; pad bits ignored") {
+    import graft.multimodal.PngCodec
+    // gray at every sub-byte depth, widths chosen to leave row-tail
+    // pad bits (any unpacking drift poisons the exact sums)
+    for ((depth, w, h) <- Seq((1, 13, 9), (2, 11, 7), (4, 9, 6))) {
+      val mask = (1 << depth) - 1
+      def v(s: Long): Int = ((s * 7 + 3) % 97).toInt & mask
+      val png = PngCodec.encodePacked(w, h, depth, Array.emptyByteArray, v)
+      val st = PngCodec.decodeStats(png).get
+      var sum = 0L; var sq = 0L
+      for (s <- 0L until (w.toLong * h)) {
+        val x = v(s).toLong; sum += x; sq += x * x
+      }
+      assert(st == PngCodec.PixelStats(w, h, 1, w.toLong * h, sum, sq),
+        s"depth=$depth: $st")
+      val px = PngCodec.decodePixels(png).get
+      assert(px.sample(0, 0, 0) == v(0) &&
+        px.sample(w - 1, h - 1, 0) == v(w.toLong * h - 1),
+        s"depth=$depth raster")
+    }
+    // 4-bit palette: packed indices expand through PLTE
+    val pal = Array[Int](10, 20, 30, 40, 50, 60, 200, 210, 220)
+      .map(_.toByte) // 3 colors
+    val (w, h) = (7, 5)
+    val png = PngCodec.encodePacked(w, h, 4, pal, p => (p % 3).toInt)
+    val st = PngCodec.decodeStats(png).get
+    var sum = 0L; var sq = 0L
+    for (p <- 0L until (w.toLong * h); c <- 0 until 3) {
+      val x = (pal(((p % 3).toInt) * 3 + c) & 0xff).toLong
+      sum += x; sq += x * x
+    }
+    assert(st == PngCodec.PixelStats(w, h, 3, w.toLong * h * 3, sum, sq), st)
+    // out-of-range packed index (only 3 colors, index up to 15
+    // representable) refuses
+    val bad = PngCodec.encodePacked(4, 4, 4, pal, _ => 7)
+    assert(PngCodec.decodeStats(bad).isEmpty,
+      "packed palette index beyond PLTE must refuse")
+  }
+
   test("Versioned: unmarked leftover v_N is reclaimed without pre-deleting a committed winner") {
     import graft.sources.Versioned
     val root = java.nio.file.Files.createTempDirectory("graft_vtoctou").toString
