@@ -327,6 +327,53 @@ class R16OpsSpec extends SparkSpec {
       "packed palette index beyond PLTE must refuse")
   }
 
+  test("HtmlExtract: random byte soup and hostile fragments never throw; idempotent on plain text") {
+    import graft.text.HtmlExtract
+    val rnd = new scala.util.Random(59)
+    val charsets = Seq("utf-8", "iso-8859-1", "nonsense", "", null,
+      "text/html; charset=\"UTF-16BE\"")
+    for (_ <- 0 until 300) {
+      val n = rnd.nextInt(200)
+      val bytes = Array.fill(n)(rnd.nextInt(256).toByte)
+      val ct = charsets(rnd.nextInt(charsets.length))
+      // must never throw, whatever the bytes or header claim
+      HtmlExtract.extractBytes(bytes, ct)
+    }
+    // hostile structured fragments: every dangling construct
+    for (frag <- Seq("<", "</", "<!", "<!-", "<!--", "<![CDATA[", "&",
+      "&#", "&#x", "&#xD800;", "&#0;", "&#99999999;", "<a href='",
+      "<script>", "</script>", "<style>x", "a&b;c", "<<<>>>", "&;")) {
+      HtmlExtract.extract(frag) // no throw; value checked where defined
+    }
+    // extraction of already-extracted text is the identity (no tags,
+    // no entities, whitespace already collapsed)
+    for (_ <- 0 until 100) {
+      val words = Seq.fill(1 + rnd.nextInt(10))(
+        rnd.alphanumeric.take(1 + rnd.nextInt(8)).mkString)
+      val plain = words.mkString(" ")
+      assert(HtmlExtract.extract(plain) == plain, plain)
+    }
+  }
+
+  test("Skyline: random-data property — tree reduction equals brute force at any fan-in") {
+    import graft.operators.Skyline
+    val rnd = new scala.util.Random(61)
+    for (trial <- 0 until 3) {
+      val pts = Seq.fill(150)((rnd.nextInt(30).toDouble, rnd.nextInt(30).toDouble,
+        rnd.nextInt(30).toDouble))
+      def dom(b: (Double, Double, Double), a: (Double, Double, Double)) =
+        b._1 <= a._1 && b._2 <= a._2 && b._3 <= a._3 &&
+          (b._1 < a._1 || b._2 < a._2 || b._3 < a._3)
+      val expect = pts.filter(p => !pts.exists(q => dom(q, p))).toSet
+      val df = spark.createDataFrame(pts).toDF("x", "y", "z")
+        .repartition(5 + trial * 4)
+      val got = Skyline.skyline(df, Seq("x", "y", "z"), fanIn = 2 + trial)
+        .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+        .toSet
+      assert(got == expect, s"trial $trial: ${got.size} vs ${expect.size}")
+    }
+  }
+
   test("Versioned: unmarked leftover v_N is reclaimed without pre-deleting a committed winner") {
     import graft.sources.Versioned
     val root = java.nio.file.Files.createTempDirectory("graft_vtoctou").toString
