@@ -107,12 +107,18 @@ object Graft {
       case "embedding" | "embeddings" | "fasttext" =>
         ValueMatcher.profileEmbeddingMatch(source, sourceColumn, target, targetColumn,
           threshold = threshold)
+      // the rapidfuzz scorer family's name-matching standard (r17;
+      // Christen TKDE'12) — integer ppm scoring, ASCII-exact vs DuckDB
+      // (see ValueMatcher.jaroWinklerMatch contract)
+      case "jaro_winkler" =>
+        ValueMatcher.jaroWinklerMatch(source, sourceColumn, target, targetColumn,
+          threshold = threshold)
       case "gpt" => throw new UnsupportedOperationException(
         "match_values method 'gpt' needs an external model (none in scope); " +
           "see SURVEY.md par.6")
       case other => throw new IllegalArgumentException(
         s"unknown match_values method: $other (supported: tfidf, edit_distance, " +
-          "edit_distance_ratio/ratio, embedding/embeddings/fasttext)")
+          "edit_distance_ratio/ratio, jaro_winkler, embedding/embeddings/fasttext)")
     }
 
   /** top_value_matches (api.py:222): top-k target values per source value. */
@@ -131,12 +137,15 @@ object Graft {
       case "embedding" | "embeddings" | "fasttext" =>
         ValueMatcher.profileEmbeddingMatch(source, sourceColumn, target, targetColumn,
           threshold = threshold, topK = topK)
+      case "jaro_winkler" =>
+        ValueMatcher.jaroWinklerMatch(source, sourceColumn, target, targetColumn,
+          threshold = threshold, topK = topK)
       case "gpt" => throw new UnsupportedOperationException(
         "top_value_matches method 'gpt' needs an external model (none in scope); " +
           "see SURVEY.md par.6")
       case other => throw new IllegalArgumentException(
         s"unknown method: $other (supported: tfidf, edit_distance, " +
-          "edit_distance_ratio/ratio, embedding/embeddings/fasttext)")
+          "edit_distance_ratio/ratio, jaro_winkler, embedding/embeddings/fasttext)")
     }
 
   /** match_values over a multi-pair column mapping (api.py:155-220,

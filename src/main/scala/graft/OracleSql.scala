@@ -4120,6 +4120,72 @@ object OracleSql {
         |       CAST(n_candidates AS BIGINT) AS n_candidates
         |FROM scored WHERE rn = 1 ORDER BY id_b""".stripMargin,
 
+    // SNM + Jaro-Winkler (r17): the er_resolve_sorted rank-band
+    // replay with er_resolve_jw's integer ppm scoring — floor(jw·1e6)
+    // ≥ 900000 keep, (jw_ppm desc, id_a asc) argmax
+    "er_resolve_sorted_jw" ->
+      """WITH a AS (SELECT c_custkey AS id_a, c_name AS name_a,
+        |                  regexp_replace(c_name, '0+', '0', 'g') AS skey
+        |           FROM customer),
+        |b AS (SELECT c_custkey + 1000000 AS id_b,
+        |             regexp_replace(c_name, '0+', '0', 'g') AS name_b
+        |      FROM customer WHERE c_custkey % 7 != 3),
+        |u AS (SELECT skey AS k, 0 AS side, id_a AS id, name_a AS nm FROM a
+        |      UNION ALL
+        |      SELECT name_b, 1, id_b, name_b FROM b),
+        |r AS (SELECT k, side, id, nm,
+        |             row_number() OVER (ORDER BY k, side, id) AS rnk
+        |      FROM u),
+        |p AS (SELECT CASE WHEN x.side = 0 THEN x.id ELSE y.id END AS id_a,
+        |             CASE WHEN x.side = 0 THEN x.nm ELSE y.nm END AS name_a,
+        |             CASE WHEN x.side = 0 THEN y.id ELSE x.id END AS id_b,
+        |             CASE WHEN x.side = 0 THEN y.nm ELSE x.nm END AS name_b
+        |      FROM r x JOIN r y ON y.rnk - x.rnk BETWEEN 1 AND 7
+        |                       AND x.side != y.side),
+        |cand AS (SELECT id_b, id_a,
+        |                CAST(floor(jaro_winkler_similarity(name_a, name_b)
+        |                           * 1e6) AS BIGINT) AS jw_ppm
+        |         FROM p),
+        |kept AS (SELECT * FROM cand WHERE jw_ppm >= 900000),
+        |scored AS (SELECT id_b, id_a, jw_ppm,
+        |                  count(*) OVER (PARTITION BY id_b) AS n_candidates,
+        |                  row_number() OVER (PARTITION BY id_b
+        |                    ORDER BY jw_ppm DESC, id_a) AS rn
+        |           FROM kept)
+        |SELECT id_b, id_a, jw_ppm,
+        |       CAST(n_candidates AS BIGINT) AS n_candidates
+        |FROM scored WHERE rn = 1 ORDER BY id_b""".stripMargin,
+
+    // jaro_winkler value matching (r17): FULL quadratic argmax over
+    // the distinct domains (no length-band — the twin independently
+    // verifies the wired 5t−4 prune's soundness), floor-ppm keep ≥
+    // 900000, (ppm desc, target asc) tie-break, unmatched sources
+    // kept by the left join; similarity = one IEEE division of the
+    // same integers on both engines
+    "match_values_jw" ->
+      """WITH src AS (SELECT DISTINCT trim(CAST(p_name AS VARCHAR)) AS source
+        |             FROM part WHERE p_size > 40
+        |               AND trim(CAST(p_name AS VARCHAR)) IS NOT NULL
+        |               AND trim(CAST(p_name AS VARCHAR)) != ''),
+        |tgt AS (SELECT DISTINCT trim(CAST(p_name AS VARCHAR)) AS target
+        |        FROM part WHERE p_size <= 25
+        |          AND trim(CAST(p_name AS VARCHAR)) IS NOT NULL
+        |          AND trim(CAST(p_name AS VARCHAR)) != ''),
+        |cand AS (SELECT s.source, t.target,
+        |                CAST(floor(jaro_winkler_similarity(s.source, t.target)
+        |                           * 1e6) AS BIGINT) AS jw_ppm
+        |         FROM src s CROSS JOIN tgt t),
+        |kept AS (SELECT * FROM cand WHERE jw_ppm >= 900000),
+        |best AS (SELECT source, target, jw_ppm,
+        |                row_number() OVER (PARTITION BY source
+        |                  ORDER BY jw_ppm DESC, target ASC) AS rn
+        |         FROM kept)
+        |SELECT s.source, b.target, b.jw_ppm,
+        |       CAST(b.jw_ppm AS DOUBLE) / 1000000.0 AS similarity
+        |FROM src s LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+        |  ON s.source = b.source
+        |ORDER BY s.source""".stripMargin,
+
     // multi-pass SNM replay: two (key, side, id) rank orders — the
     // collapsed name and its reverse — window pairs from each pass
     // UNIONed (dedup), then the shared scoring/argmax

@@ -3121,6 +3121,41 @@ object SparkEntry {
       .orderBy("id_b")
   }
 
+  private def erResolveSortedJw(t: Tables): DataFrame = {
+    // r17: the scale-safe SNM candidate bound paired with the
+    // record-linkage-standard name scorer — the quadratic-block
+    // refusal guard points users at sorted-neighborhood, which until
+    // now only offered raw edit distance. Same dirty twin and window
+    // as er_resolve_sorted; scoring/argmax are er_resolve_jw's
+    // integer ppm fixed point (jw desc, id_a asc), so the oracle
+    // replays rank bands + DuckDB's jaro_winkler_similarity floor'd
+    // to ppm — no raw-double ordering crosses engines
+    val aSrc = t.customer.select(F.col("c_custkey").as("id_a"),
+      F.col("c_name").as("name_a"),
+      F.regexp_replace(F.col("c_name"), "0+", "0").as("skey"))
+    val bSrc = t.customer.where(F.col("c_custkey") % 7 =!= 3)
+      .select((F.col("c_custkey") + 1000000L).as("id_b"),
+        F.regexp_replace(F.col("c_name"), "0+", "0").as("name_b"))
+    harmonize.Linkage.linkSortedNeighborhoodJw(aSrc, bSrc,
+      sortKeyA = "skey", sortKeyB = "name_b",
+      "id_a", "name_a", "id_b", "name_b", window = 8, minPpm = 900000L)
+      .orderBy("id_b")
+  }
+
+  private def matchValuesJw(t: Tables): DataFrame =
+    // r17: the reference scorer ecosystem's jaro_winkler method
+    // (rapidfuzz behind polyfuzz) through the matchValues facade —
+    // person/org-style name matching where prefix agreement dominates.
+    // Integer ppm scoring (ASCII-exact vs DuckDB), best target per
+    // source with (jw desc, target asc) tie-break, unmatched sources
+    // kept with nulls; the twin replays the FULL quadratic argmax, so
+    // the provable 5t−4 length-band prune is hash-gated too
+    Graft.matchValues(
+      t.part.where(F.col("p_size") > 40), "p_name",
+      t.part.where(F.col("p_size") <= 25), "p_name",
+      method = "jaro_winkler", threshold = 0.9)
+      .orderBy("source")
+
   private def erResolveIdx(t: Tables): DataFrame = {
     // the SERVED-index variant of er_resolve (the bm25_idx /
     // ann_ivf_index equality-gate trick): the customer master
@@ -3788,6 +3823,8 @@ object SparkEntry {
       "er_resolve_jw" -> q(erResolveJw),
       "er_golden" -> q(erGolden),
       "er_resolve_sorted" -> q(erResolveSorted),
+      "er_resolve_sorted_jw" -> q(erResolveSortedJw),
+      "match_values_jw" -> q(matchValuesJw),
       "er_resolve_multipass" -> q(erResolveMultipass),
       "er_resolve_idx" -> q(erResolveIdx),
       "graph_linkpred_aa" -> q(graphLinkpredAA),

@@ -52,6 +52,13 @@ object HashExprs {
     * either side empty → 0, match window max(|a|,|b|)/2−1,
     * half-transpositions/2, boost threshold 0.7 strict, prefix ≤ 4,
     * scaling 0.1 (0 ppm mismatches over 55k random+realistic pairs).
+    * EXACTNESS CONTRACT IS ASCII-ONLY: this kernel compares Unicode
+    * CODE POINTS while DuckDB's rapidfuzz port compares UTF-8 BYTES,
+    * so lengths, match windows, and prefix boosts diverge on any
+    * non-ASCII input — the cross-engine integer-argmax guarantee (and
+    * the 0 ppm calibration) holds for ASCII strings; non-ASCII names
+    * still score sensibly (code points are the better unit), they
+    * just can't be DuckDB-hash-gated.
     */
   def jaroWinklerPpm(a: Column, b: Column): Column =
     Bridge.column(JaroWinklerPpm(Bridge.expression(a), Bridge.expression(b)))

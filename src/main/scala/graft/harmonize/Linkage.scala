@@ -69,10 +69,17 @@ object Linkage {
     */
   private def requireBlockPairsBounded(a: DataFrame, b: DataFrame,
       blockCols: Seq[String], maxBlockPairs: Long): Unit = {
-    val worst = a.groupBy(blockCols.map(F.col): _*)
-      .agg(F.count(F.lit(1)).cast("decimal(19,0)").as("__na"))
-      .join(b.groupBy(blockCols.map(F.col): _*)
-        .agg(F.count(F.lit(1)).cast("decimal(19,0)").as("__nb")), blockCols)
+    // ONE pass (r17): tag the side, union, single map-side-combined
+    // groupBy with conditional counts — replaces the r16 shape (two
+    // per-side aggregates + a join), halving the guard's stage count;
+    // blocks present on one side only yield a 0 product, exactly the
+    // pairs they generate, so max is unchanged vs the join formulation
+    val blocks = blockCols.map(F.col)
+    val worst = a.select((blocks :+ F.lit(1).as("__sa")): _*)
+      .unionByName(b.select((blocks :+ F.lit(0).as("__sa")): _*))
+      .groupBy(blocks: _*)
+      .agg(F.sum(F.col("__sa")).cast("decimal(19,0)").as("__na"),
+        F.sum(F.lit(1) - F.col("__sa")).cast("decimal(19,0)").as("__nb"))
       .agg(F.max(F.col("__na") * F.col("__nb")).as("m"))
       .head()
     val worstPairs =
@@ -190,18 +197,68 @@ object Linkage {
     // multi-pass needs the dedup shuffle. Names are id-determined, so
     // pair dedup = row dedup.
     val ab = if (sortKeys.sizeIs == 1) uni else uni.distinct()
-    val cand = ab
-      .withColumn("lev", F.levenshtein(F.col("__na"), F.col("__nb")))
-      .where(F.col("lev") <= maxDist)
+    snmResolve(ab, idA, idB, "lev",
+      F.levenshtein(F.col("__na"), F.col("__nb")),
+      F.col("lev") <= maxDist, scoreAsc = true)
+  }
+
+  /** [[linkSortedNeighborhood]] with the Jaro-Winkler scorer (r17 —
+    * the scale-safe SNM candidate bound paired with Christen
+    * TKDE'12's recommended name scorer; previously the quadratic-block
+    * refusal pointed at an SNM path that only offered raw edit
+    * distance). Pairs keep jw_ppm ≥ `minPpm` (integer fixed point,
+    * [[graft.functions.HashExprs.jaroWinklerPpm]] — ASCII-exact vs
+    * DuckDB, see the kernel contract), each B record resolves to the
+    * (highest-jw, then lowest-idA) candidate — an integer argmax.
+    * Returns (idB, idA, jw_ppm, n_candidates); candidate cost is
+    * n·(window−1) per pass BY CONSTRUCTION, same as the Levenshtein
+    * path.
+    */
+  def linkSortedNeighborhoodJw(a: DataFrame, b: DataFrame,
+      sortKeyA: String, sortKeyB: String,
+      idA: String, nameA: String, idB: String, nameB: String,
+      window: Int, minPpm: Long): DataFrame =
+    linkSortedNeighborhoodJwMulti(a, b, Seq(sortKeyA -> sortKeyB),
+      idA, nameA, idB, nameB, window, minPpm)
+
+  /** Multi-pass [[linkSortedNeighborhoodJw]] — one window sweep per
+    * (sortKeyA, sortKeyB) pass, unioned + deduplicated candidates,
+    * shared JW scoring/argmax (the [[linkSortedNeighborhoodMulti]]
+    * recall lever with the JW scorer).
+    */
+  def linkSortedNeighborhoodJwMulti(a: DataFrame, b: DataFrame,
+      sortKeys: Seq[(String, String)],
+      idA: String, nameA: String, idB: String, nameB: String,
+      window: Int, minPpm: Long): DataFrame = {
+    require(sortKeys.nonEmpty, "at least one sort-key pass")
+    val uni = sortKeys.map { case (ka, kb) =>
+      windowCandidates(a, b, ka, kb, idA, nameA, idB, nameB, window)
+    }.reduce(_ unionByName _)
+    val ab = if (sortKeys.sizeIs == 1) uni else uni.distinct()
+    snmResolve(ab, idA, idB, "jw_ppm",
+      graft.functions.HashExprs.jaroWinklerPpm(F.col("__na"), F.col("__nb")),
+      F.col("jw_ppm") >= minPpm, scoreAsc = false)
+  }
+
+  /** Shared SNM scoring + 1:1 resolution over (__ia, __na, __ib, __nb)
+    * candidate pairs: score, keep, per-B integer argmax on
+    * (score asc|desc, idA asc) — the tail every SNM scorer variant
+    * funnels through.
+    */
+  private def snmResolve(ab: DataFrame, idA: String, idB: String,
+      scoreName: String, score: org.apache.spark.sql.Column,
+      keep: org.apache.spark.sql.Column, scoreAsc: Boolean): DataFrame = {
+    val cand = ab.withColumn(scoreName, score).where(keep)
+    val ord = if (scoreAsc) F.col(scoreName).asc else F.col(scoreName).desc
     val w = Window.partitionBy(F.col("__ib"))
-      .orderBy(F.col("lev").asc, F.col("__ia").asc)
+      .orderBy(ord, F.col("__ia").asc)
     cand
       .withColumn("n_candidates", F.count(F.lit(1))
         .over(Window.partitionBy(F.col("__ib"))))
       .withColumn("__rn", F.row_number().over(w))
       .where(F.col("__rn") === 1)
       .select(F.col("__ib").as(idB), F.col("__ia").as(idA),
-        F.col("lev"), F.col("n_candidates"))
+        F.col(scoreName), F.col("n_candidates"))
   }
 
   /** Persist the A side (the MASTER/reference source) as a

@@ -162,6 +162,11 @@ class PlanSpec extends SparkSpec {
     // match_values_standard routes through the same edit matcher over
     // DISTINCT values (vocabulary side broadcast-bounded by definition)
     "match_values_standard",
+    // jaro_winkler matching shares match_values_edit's shape: the
+    // TARGET DOMAIN (distinct values — the value-matching contract's
+    // broadcast-bounded side) crosses the source domain behind the
+    // 5t-4 length band
+    "match_values_jw",
     "match_schema_name", "match_schema_sketch", "match_schema_twophase",
     "match_schema_maxvalsim", "match_schema_overlap", "match_schema_topk",
     // coma crosses the column-name score matrices (driver-small);

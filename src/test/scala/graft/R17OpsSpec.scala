@@ -1,0 +1,159 @@
+package graft
+
+import org.apache.spark.sql.{functions => F}
+
+/** Round-17 operator specs: JW-scored sorted-neighborhood linkage,
+  * jaro_winkler value matching (facade + prune soundness), and the
+  * one-pass block-pair guard's unchanged refusal contract.
+  */
+class R17OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def jwA = Seq(
+    (1L, "alpha corporation", "k1"),
+    (2L, "betta incorporated", "k1"),
+    (3L, "gamma analytics llc", "k2"),
+    (4L, "delta gmbh", "k2")).toDF("id_a", "name_a", "blk")
+    .withColumn("skey", F.col("name_a"))
+  private def jwB = Seq(
+    (11L, "alpha corporatoin", "k1"), // transposition — JW territory
+    (13L, "gamma analytics lcc", "k2")).toDF("id_b", "name_b", "blk")
+    .withColumn("skey", F.col("name_b"))
+
+  test("linkSortedNeighborhoodJw: same links as blocked JW linkage on small blocks") {
+    import graft.harmonize.Linkage
+    val blocked = Linkage.linkByNameJw(jwA, jwB, Seq("blk"),
+      "id_a", "name_a", "id_b", "name_b", minPpm = 900000L)
+      .select("id_b", "id_a", "jw_ppm").collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val sorted = Linkage.linkSortedNeighborhoodJw(jwA, jwB,
+      "skey", "skey", "id_a", "name_a", "id_b", "name_b",
+      window = 4, minPpm = 900000L)
+      .select("id_b", "id_a", "jw_ppm").collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(blocked.map(t => (t._1, t._2)) == Set((11L, 1L), (13L, 3L)))
+    assert(sorted == blocked,
+      "JW window linkage must find the same links as JW blocking here")
+  }
+
+  test("linkSortedNeighborhoodJw: candidate count window-bounded on an oversized key group") {
+    import graft.harmonize.Linkage
+    // 60 A records sharing one sort key — blocking on that key would
+    // generate 60 candidates per B record; the window caps it
+    val bigA = (1 to 60).map(i => (i.toLong, f"acme corp $i%02d", "K"))
+      .toDF("id_a", "name_a", "skey")
+    val bigB = Seq((999L, "acme corp 30", "K")).toDF("id_b", "name_b", "skey")
+    val out = Linkage.linkSortedNeighborhoodJw(bigA, bigB,
+      "skey", "skey", "id_a", "name_a", "id_b", "name_b",
+      window = 5, minPpm = 0L).collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(3) <= 4L,
+      s"candidates must be <= window-1, got ${out.head.getLong(3)}")
+  }
+
+  test("linkSortedNeighborhoodJwMulti: reverse-key pass adds prefix-dirty links, dedup holds") {
+    import graft.harmonize.Linkage
+    // B's name is prefix-corrupted: ascending sort on the name puts it
+    // far from its true A partner; the reversed key keeps the shared
+    // suffix adjacent
+    val a = (1 to 30).map(i => (i.toLong, f"customer $i%04d"))
+      .toDF("id_a", "name_a")
+      .withColumn("k1", F.col("name_a"))
+      .withColumn("k2", F.reverse(F.col("name_a")))
+    val b = Seq((501L, "Xustomer 0007")).toDF("id_b", "name_b")
+      .withColumn("k1", F.col("name_b"))
+      .withColumn("k2", F.reverse(F.col("name_b")))
+    val single = Linkage.linkSortedNeighborhoodJw(a, b, "k1", "k1",
+      "id_a", "name_a", "id_b", "name_b", window = 3, minPpm = 850000L)
+      .collect()
+    val multi = Linkage.linkSortedNeighborhoodJwMulti(a, b,
+      Seq("k1" -> "k1", "k2" -> "k2"),
+      "id_a", "name_a", "id_b", "name_b", window = 3, minPpm = 850000L)
+      .collect()
+    assert(!single.exists(r => r.getLong(1) == 7L),
+      "ascending pass alone must miss the prefix-dirty match")
+    assert(multi.exists(r => r.getLong(1) == 7L),
+      s"reverse pass must recover it: ${multi.mkString(",")}")
+  }
+
+  test("jaroWinklerMatch: argmax, threshold keep, unmatched nulls, deterministic tie") {
+    import graft.harmonize.ValueMatcher
+    val src = Seq("martha", "zzzzqq", "dixon", "abcd0").toDF("v")
+    val tgt = Seq("marhta", "dicksonx", "abcd1", "abcd2").toDF("v")
+    val got = ValueMatcher.jaroWinklerMatch(src, "v", tgt, "v", threshold = 0.9)
+      .orderBy("source").collect()
+    val bySrc = got.map(r => r.getString(0) ->
+      (Option(r.get(1)), if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    // abcd0 ties between abcd1/abcd2 at 920000 -> target asc wins
+    assert(bySrc("abcd0") == (Some("abcd1"), 920000L), s"$bySrc")
+    // martha/marhta = 961111 (hand-computed, matches the kernel spec)
+    assert(bySrc("martha") == (Some("marhta"), 961111L))
+    // dixon's best (dicksonx, 813333) is below 0.9 -> unmatched null
+    assert(bySrc("dixon") == (None, -1L))
+    assert(bySrc("zzzzqq") == (None, -1L))
+    // similarity column = ppm / 1e6 exactly
+    val sim = got.find(_.getString(0) == "martha").get.getDouble(3)
+    assert(sim == 961111L.toDouble / 1e6)
+  }
+
+  test("jaroWinklerMatch: topK ranks descend through ties deterministically") {
+    import graft.harmonize.ValueMatcher
+    val src = Seq("abcd0").toDF("v")
+    val tgt = Seq("abcd1", "abcd2", "abcd9").toDF("v")
+    val got = ValueMatcher.jaroWinklerMatch(src, "v", tgt, "v",
+      threshold = 0.9, topK = 3).orderBy("rank").collect()
+    assert(got.map(_.getString(1)).toSeq == Seq("abcd1", "abcd2", "abcd9"))
+    assert(got.map(_.getLong(4)).toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("jaroWinklerMatch: the 5t-4 length-band prune is result-identical") {
+    import graft.harmonize.ValueMatcher
+    // adversarial lengths around the band edge: at t = 0.9 the band
+    // drops pairs with min/max < 0.5 — verify against the prune-free
+    // run (t = 0.8 makes bandPpm <= 0, i.e. no prune) re-filtered
+    val src = Seq("ab", "abcd", "abcdefgh", "abcdefghijklmnop").toDF("v")
+    val tgt = Seq("ab", "abce", "abcdefghx", "abcdefghijklmnopqrst",
+      "abcdefghijklmnopqrstuvwxyzzzzzzzzzzz").toDF("v")
+    def rows(t: Double, keepPpm: Long) =
+      ValueMatcher.jaroWinklerMatch(src, "v", tgt, "v", threshold = t)
+        .where(F.col("jw_ppm") >= keepPpm)
+        .select("source", "target", "jw_ppm").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(rows(0.9, 900000L) == rows(0.8, 900000L),
+      "pruned matches must equal the prune-free argmax above the threshold")
+  }
+
+  test("Graft.matchValues dispatches jaro_winkler; unknown methods still name it") {
+    val src = Seq("martha").toDF("v")
+    val tgt = Seq("marhta").toDF("v")
+    val got = Graft.matchValues(src, "v", tgt, "v",
+      method = "jaro_winkler", threshold = 0.9).collect()
+    assert(got.length == 1 && got.head.getString(1) == "marhta")
+    val ex = intercept[IllegalArgumentException] {
+      Graft.matchValues(src, "v", tgt, "v", method = "nope")
+    }
+    assert(ex.getMessage.contains("jaro_winkler"))
+  }
+
+  test("one-pass block guard: quadratic blocks still refuse, one-sided blocks don't trip") {
+    import graft.harmonize.Linkage
+    // a block key present ONLY on side A must contribute zero pairs
+    // (the union formulation counts it as na*0) — linkage proceeds
+    val a = ((1 to 40).map(i => (i.toLong, s"n$i", "onlyA")) ++
+      Seq((99L, "x", "shared"))).toDF("id_a", "name_a", "blk")
+    val b = Seq((201L, "x", "shared")).toDF("id_b", "name_b", "blk")
+    val ok = Linkage.linkByName(a, b, Seq("blk"),
+      "id_a", "name_a", "id_b", "name_b", maxDist = 1,
+      maxBlockPairs = 10L).collect()
+    assert(ok.length == 1 && ok.head.getLong(1) == 99L)
+    // and a genuinely quadratic shared block still refuses loudly
+    val bigB = (1 to 40).map(i => (200L + i, s"m$i", "onlyA"))
+      .toDF("id_b", "name_b", "blk")
+    val ex = intercept[IllegalArgumentException] {
+      Linkage.linkByName(a, bigB, Seq("blk"),
+        "id_a", "name_a", "id_b", "name_b", maxDist = 1,
+        maxBlockPairs = 1000L)
+    }
+    assert(ex.getMessage.contains("quadratic"), ex.getMessage)
+  }
+}
