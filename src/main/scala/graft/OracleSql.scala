@@ -2897,6 +2897,78 @@ object OracleSql {
     // closed-form gray level (block index row-major over the
     // ceil(w/8)-wide grid) — codec-free, so a hash match proves the
     // Huffman/EXTEND/DC-predictor entropy layer inverted correctly
+    // perceptual image dHash (r17): EVERY signature recomputed from
+    // the fixture's closed-form pixels, codec-free — generate pixels,
+    // luma*1000 (gray = x1000 = the 299+587+114 RGB weighting on
+    // replicated gray), pool onto the 9x8 grid by the same integer
+    // floor rule, compare adjacent cells by cross-multiply, assemble
+    // the 64 bits in signed two's complement (bit 63 added as the
+    // explicit MinValue literal — 1<<63 overflows DuckDB's BIGINT).
+    // A hash match gates PNG deflate+unfilter, BMP and GIF decode,
+    // the luma weighting, the pooling rule, and the bit order at once
+    "multimodal_image_dedup_sig" ->
+      """WITH imgs AS (
+        |  SELECT doc_id * 4 + kind AS id, doc_id, kind,
+        |         CASE WHEN kind = 3 THEN 2 * (doc_id % 24 + 16)
+        |              ELSE doc_id % 24 + 16 END AS w,
+        |         CASE WHEN kind = 3 THEN 2 * (doc_id % 16 + 16)
+        |              ELSE doc_id % 16 + 16 END AS h,
+        |         doc_id % 24 + 16 AS bw
+        |  FROM documents CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS kind)),
+        |px AS (SELECT id, doc_id, kind, w, h, bw,
+        |              unnest(generate_series(0, w * h - 1)) AS s
+        |       FROM imgs),
+        |v AS (SELECT id, w, h, (s % w) AS x, (s // w) AS y,
+        |             1000 * (((CASE WHEN kind = 3
+        |                       THEN ((s // w) // 2) * bw + (s % w) // 2
+        |                       ELSE s END) * 31 + doc_id * 7) % 191
+        |               + CASE WHEN kind = 2 AND ((s // w) * 8) // h = 3
+        |                       AND ((s % w) * 9) // w = 4
+        |                      THEN 64 ELSE 0 END) AS luma
+        |      FROM px),
+        |cells AS (SELECT id, (y * 8) // h AS r, (x * 9) // w AS c,
+        |                 sum(luma) AS sl, count(*) AS cn
+        |          FROM v GROUP BY 1, 2, 3),
+        |bits AS (SELECT l.id, l.r, l.c,
+        |                CASE WHEN l.sl * rr.cn > rr.sl * l.cn
+        |                     THEN 1 ELSE 0 END AS bit
+        |         FROM cells l JOIN cells rr
+        |           ON l.id = rr.id AND l.r = rr.r AND rr.c = l.c + 1
+        |         WHERE l.c <= 7)
+        |SELECT id, CAST(sum(CASE WHEN bit = 0 THEN 0
+        |    WHEN r * 8 + c = 63 THEN -9223372036854775808
+        |    ELSE (1::BIGINT << (r * 8 + c)) END) AS BIGINT) AS dhash
+        |FROM bits GROUP BY id ORDER BY id""".stripMargin,
+
+    // near-dup image pairs: the dedup_simhash materialized-signature
+    // trick — bands + hamming replayed in SQL from the _sig dump
+    // (whose hashes the closed-form twin above independently gates)
+    "multimodal_image_dedup" ->
+      s"""WITH s AS (SELECT id, dhash
+         |           FROM read_parquet('__VERIFY_OUT__/multimodal_image_dedup_sig/*.parquet')),
+         |b AS (SELECT id, dhash, band, dhash & ($simhashMaskCase) AS key
+         |      FROM s CROSS JOIN (SELECT unnest($simhashBandList) AS band)),
+         |p AS (SELECT DISTINCT a.id AS id1, c.id AS id2,
+         |             a.dhash AS s1, c.dhash AS s2
+         |      FROM b a JOIN b c ON a.band = c.band AND a.key = c.key AND a.id < c.id)
+         |SELECT id1, id2, CAST(bit_count(xor(s1, s2)) AS BIGINT) AS hamming
+         |FROM p WHERE bit_count(xor(s1, s2)) <= 3 ORDER BY id1, id2""".stripMargin,
+
+    // served-index probe: the multimodal_image_dedup pairs TOUCHING
+    // the daily batch (kind 3 = id%4=3) — the equality-gate contract
+    // of the bucketed-table serve path, replayed from the same dump
+    "multimodal_image_dedup_idx" ->
+      s"""WITH s AS (SELECT id, dhash
+         |           FROM read_parquet('__VERIFY_OUT__/multimodal_image_dedup_sig/*.parquet')),
+         |b AS (SELECT id, dhash, band, dhash & ($simhashMaskCase) AS key
+         |      FROM s CROSS JOIN (SELECT unnest($simhashBandList) AS band)),
+         |p AS (SELECT DISTINCT a.id AS id1, c.id AS id2,
+         |             a.dhash AS s1, c.dhash AS s2
+         |      FROM b a JOIN b c ON a.band = c.band AND a.key = c.key AND a.id < c.id
+         |      WHERE a.id % 4 = 3 OR c.id % 4 = 3)
+         |SELECT id1, id2, CAST(bit_count(xor(s1, s2)) AS BIGINT) AS hamming
+         |FROM p WHERE bit_count(xor(s1, s2)) <= 3 ORDER BY id1, id2""".stripMargin,
+
     "multimodal_jpeg" ->
       """WITH d AS (SELECT doc_id,
         |                  CAST(doc_id % 28 + 1 AS INTEGER) AS width,

@@ -855,7 +855,17 @@ object Dedup {
     * any pair within the radius agrees on at least one full band.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3): DataFrame =
+    hammingPairs(simhash(df, idCol, textCol), "simhash", maxHamming)
+
+  /** Banded 64-bit signatures for the pigeonhole hamming band join:
+    * (id, sigCol, band, key) — (maxHamming+1) bands partitioning ALL
+    * 64 bits; any pair within the radius agrees on at least one full
+    * band. Signature-agnostic (r17): SimHash text signatures and
+    * dHash perceptual image signatures share this machinery.
+    */
+  def hammingBanded(sigs: DataFrame, sigCol: String,
+                    maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64, "maxHamming in [0, 64)")
     val nBands = maxHamming + 1
     // per-band mask literals: bands partition ALL 64 bits (pigeonhole
@@ -869,20 +879,43 @@ object Dedup {
       val width = hi - lo
       F.lit(if (width >= 64) -1L else ((1L << width) - 1) << lo)
     }: _*)
-    val sigs = simhash(df, idCol, textCol)
     // lambda-free band explosion (codegen-friendly, see minhashLsh)
-    val banded = sigs
-      .select(F.col("id"), F.col("simhash"),
+    sigs
+      .select(F.col("id"), F.col(sigCol),
         F.explode(F.lit((0 until nBands).toArray)).as("band"))
-      .select(F.col("id"), F.col("simhash"), F.col("band"),
-        F.col("simhash").bitwiseAND(F.element_at(bandMasks, F.col("band") + 1)).as("key"))
-    banded.as("a").join(banded.as("b"), Seq("band", "key"))
-      .where(F.col("a.id") < F.col("b.id"))
-      .select(F.col("a.id").as("id1"), F.col("b.id").as("id2"),
-        F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).as("hamming"))
+      .select(F.col("id"), F.col(sigCol), F.col("band"),
+        F.col(sigCol).bitwiseAND(F.element_at(bandMasks, F.col("band") + 1)).as("key"))
+  }
+
+  /** All pairs (id1 < id2) within hamming ≤ maxHamming of their
+    * 64-bit signatures, via the pigeonhole band join over
+    * [[hammingBanded]] buckets.
+    */
+  def hammingPairs(sigs: DataFrame, sigCol: String,
+                   maxHamming: Int): DataFrame = {
+    val banded = hammingBanded(sigs, sigCol, maxHamming)
+    hammingPairsFromBanded(banded, banded, sigCol, maxHamming)
+  }
+
+  /** The band-join tail over pre-banded signatures: probe ⋈ target on
+    * (band, key), id1 < id2, hamming verify — exposed so served-index
+    * probes (the batch side banded fresh, the corpus side read back
+    * from its bucketed table) reuse the identical join/verify.
+    */
+  def hammingPairsFromBanded(probe: DataFrame, target: DataFrame,
+                             sigCol: String, maxHamming: Int): DataFrame =
+    // canonical (least, greatest) emit — NOT a.id < b.id: an
+    // asymmetric probe (served-index serving, where only the batch
+    // probes) must keep pairs whose probe-side id is the larger one;
+    // the symmetric self-join case emits both orders and the distinct
+    // collapses them, exactly as the one-sided filter did
+    probe.as("a").join(target.as("b"), Seq("band", "key"))
+      .where(F.col("a.id") =!= F.col("b.id"))
+      .select(F.least(F.col("a.id"), F.col("b.id")).as("id1"),
+        F.greatest(F.col("a.id"), F.col("b.id")).as("id2"),
+        F.bit_count(F.col(s"a.$sigCol").bitwiseXOR(F.col(s"b.$sigCol"))).as("hamming"))
       .distinct()
       .where(F.col("hamming") <= maxHamming)
-  }
 
   /** C4/RefinedWeb-style cross-document repeated-paragraph removal
     * (Raffel et al. 2020 §2.2 "three-sentence span" rule; Penedo et

@@ -391,6 +391,56 @@ object BinaryMeta {
       }(enc)
   }
 
+  /** Near-dup IMAGE fixture corpus (r17, for perceptual dedup): FOUR
+    * real encoded images per input id `d`, every raster closed-form so
+    * a SQL twin can recompute the dHash pipeline codec-free —
+    *  - 4d   base: gray PNG, w = d%24+16, h = d%16+16,
+    *         g(s) = (s·31 + d·7) % 191 (capped < 191: +64 headroom)
+    *  - 4d+1 re-encode twin: the SAME raster in a different container
+    *         (BMP for even d — gray replicated to RGB, luma equal by
+    *         the 299+587+114 = 1000 weighting; GIF for odd d — gray
+    *         palette), so dHash(4d) == dHash(4d+1) by construction
+    *  - 4d+2 near-dup: one pooled cell (r=3, c=4) brightened by +64 —
+    *         only the two comparisons touching that cell can flip, so
+    *         hamming(4d, 4d+2) ≤ 2 BY CONSTRUCTION
+    *  - 4d+3 2× nearest-neighbor upscale as gray PNG (the resized-twin
+    *         case; gradient signs mostly survive, no hard bound)
+    * Cross-id images use unrelated sample phases — far in hash space.
+    */
+  def syntheticImageCorpus(df: DataFrame, idCol: String): DataFrame = {
+    val out = StructType(Seq(
+      StructField("id", LongType),
+      StructField("blob", BinaryType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(out)
+    df.select(F.col(idCol).cast("long").as("id"))
+      .where(F.col("id").isNotNull && F.col("id") >= 0)
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val d = r.getLong(0)
+          val w = (d % 24 + 16).toInt
+          val h = (d % 16 + 16).toInt
+          def g(s: Long): Int = ((s * 31 + d * 7) % 191).toInt
+          val base = PngCodec.encode(w, h, 1, g)
+          val reenc =
+            if (d % 2 == 0) BmpCodec.encode(w, h, (x, y, _) => g(y.toLong * w + x),
+              topDown = false)
+            else GifCodec.encode(w, h, (s: Int) => g(s.toLong))
+          val nearDup = PngCodec.encode(w, h, 1, { s =>
+            val x = (s % w).toInt
+            val y = (s / w).toInt
+            if (y * 8 / h == 3 && x * 9 / w == 4) g(s) + 64 else g(s)
+          })
+          val upscale = PngCodec.encode(2 * w, 2 * h, 1, { s =>
+            val x = (s % (2 * w)).toInt
+            val y = (s / (2 * w)).toInt
+            g((y / 2).toLong * w + (x / 2))
+          })
+          Seq(Row(4 * d, base), Row(4 * d + 1, reenc),
+            Row(4 * d + 2, nearDup), Row(4 * d + 3, upscale))
+        }
+      }(enc)
+  }
+
   /** REAL batched pixel decode via mapPartitions, format-sniffed per
     * payload: PNG takes inflate + per-scanline unfilter
     * ([[PngCodec.decodeStats]]), GIF takes the variable-width LZW

@@ -135,6 +135,125 @@ class R17OpsSpec extends SparkSpec {
     assert(ex.getMessage.contains("jaro_winkler"))
   }
 
+  // ---- perceptual image hashing (dHash) ----
+
+  test("ImageHash.dhash64: monotone gradients hit the all-ones / all-zeros fixtures") {
+    import graft.multimodal.{ImageHash, PngCodec}
+    // 18x16 gray, luma strictly DECREASING left->right: every cell is
+    // brighter than its right neighbor -> all 64 bits set -> -1L
+    val dec = PngCodec.encode(18, 16, 1, s => 250 - (s % 18).toInt * 10)
+    assert(ImageHash.dhash64(dec) == -1L)
+    // strictly increasing -> no bit set -> 0L
+    val inc = PngCodec.encode(18, 16, 1, s => (s % 18).toInt * 10)
+    assert(ImageHash.dhash64(inc) == 0L)
+    // flat image: equal means, strict > never fires -> 0L
+    val flat = PngCodec.encode(18, 16, 1, _ => 128)
+    assert(ImageHash.dhash64(flat) == 0L)
+  }
+
+  test("ImageHash.dhash64: container-invariant across PNG gray/RGB, BMP, GIF") {
+    import graft.multimodal.{BmpCodec, GifCodec, ImageHash, PngCodec}
+    val (w, h) = (20, 17)
+    def g(s: Long): Int = ((s * 53 + 11) % 229).toInt
+    val png = PngCodec.encode(w, h, 1, g)
+    val pngRgb = PngCodec.encode(w, h, 3, s => g(s / 3)) // r=g=b replicate
+    val bmp = BmpCodec.encode(w, h, (x, y, _) => g(y.toLong * w + x), topDown = true)
+    val gif = GifCodec.encode(w, h, (s: Int) => g(s.toLong))
+    val base = ImageHash.dhash64(png)
+    assert(base != null && base != 0L)
+    assert(ImageHash.dhash64(pngRgb) == base, "gray->RGB replicate")
+    assert(ImageHash.dhash64(bmp) == base, "BMP (top-down)")
+    assert(ImageHash.dhash64(gif) == base, "GIF")
+  }
+
+  test("ImageHash.dhash64: JPEG raster hashes like the equivalent PNG raster") {
+    import graft.multimodal.{ImageHash, JpegCodec, PngCodec}
+    // DC-only baseline JPEG decodes block-constant values exactly; the
+    // PNG of the SAME block-constant raster must hash identically
+    val (w, h) = (24, 18) // 3x3 block grid, partial edge blocks
+    def blockGray(b: Int): Int = (b * 37 + 90) % 200
+    val jpeg = JpegCodec.encode(w, h, blockGray)
+    val bw = (w + 7) / 8
+    val png = PngCodec.encode(w, h, 1, { s =>
+      val x = (s % w).toInt; val y = (s / w).toInt
+      blockGray((y / 8) * bw + x / 8)
+    })
+    val jh = ImageHash.dhash64(jpeg)
+    assert(jh != null, "JPEG must decode")
+    assert(jh == ImageHash.dhash64(png))
+  }
+
+  test("ImageHash.dhash64: one-pooled-cell perturbation flips at most 2 bits; undecodable null") {
+    import graft.multimodal.{ImageHash, PngCodec}
+    for (d <- 0L until 24L) {
+      val w = (d % 24 + 16).toInt
+      val h = (d % 16 + 16).toInt
+      def g(s: Long): Int = ((s * 31 + d * 7) % 191).toInt
+      val base = ImageHash.dhash64(PngCodec.encode(w, h, 1, g))
+      val pert = ImageHash.dhash64(PngCodec.encode(w, h, 1, { s =>
+        val x = (s % w).toInt; val y = (s / w).toInt
+        if (y * 8 / h == 3 && x * 9 / w == 4) g(s) + 64 else g(s)
+      }))
+      val hamming = java.lang.Long.bitCount(base ^ pert)
+      assert(hamming <= 2, s"d=$d hamming=$hamming")
+    }
+    assert(ImageHash.dhash64("not an image".getBytes) == null)
+    assert(ImageHash.dhash64(Array.emptyByteArray) == null)
+  }
+
+  test("ImageHash.dhashDf/dhashPairs: codegen'd kernel, re-encode twins at hamming 0") {
+    import graft.multimodal.{BinaryMeta, ImageHash}
+    val ids = (0L until 12L).toDF("doc_id")
+    val corpus = BinaryMeta.syntheticImageCorpus(ids, "doc_id")
+    val sigs = ImageHash.dhashDf(corpus, "id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs.size == 48, "every fixture image must decode")
+    for (d <- 0L until 12L)
+      assert(sigs(4 * d) == sigs(4 * d + 1), s"re-encode twin of $d")
+    val pairs = ImageHash.dhashPairs(corpus, "id", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (d <- 0L until 12L) {
+      assert(pairs.contains((4 * d, 4 * d + 1)), s"re-encode pair of $d")
+      assert(pairs.contains((4 * d, 4 * d + 2)), s"near-dup pair of $d")
+    }
+  }
+
+  test("dhashIndexProbe: asymmetric probe keeps pairs whose batch id is the LARGER one") {
+    import graft.dedup.Dedup
+    // index ids {10, 500}, batch id 100: the pair (100, 500) has the
+    // batch id smaller, (10, 100) has it larger — BOTH must surface
+    // (the a.id < b.id formulation would drop (10, 100))
+    val idx = Seq((10L, 0x0FL), (500L, 0x0FL)).toDF("id", "dhash")
+    val batch = Seq((100L, 0x0FL)).toDF("id", "dhash")
+    val got = Dedup.hammingPairsFromBanded(
+      Dedup.hammingBanded(batch, "dhash", 3),
+      Dedup.hammingBanded(idx, "dhash", 3).unionByName(
+        Dedup.hammingBanded(batch, "dhash", 3)),
+      "dhash", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((10L, 100L), (100L, 500L)), s"$got")
+  }
+
+  test("dhashIndexBuild/Probe: served pairs equal the direct pairs touching the batch") {
+    import graft.multimodal.{BinaryMeta, ImageHash}
+    import org.apache.spark.sql.functions.{col => c}
+    val ids = (0L until 10L).toDF("doc_id")
+    val corpus = BinaryMeta.syntheticImageCorpus(ids, "doc_id")
+    val sigs = ImageHash.dhashDf(corpus, "id")
+    val existing = sigs.where(c("id") % 4 =!= 3)
+    val batch = sigs.where(c("id") % 4 === 3)
+    val table = "graft_img_idx_spec"
+    ImageHash.dhashIndexBuild(existing, table, maxHamming = 3, nBuckets = 4)
+    val served = ImageHash.dhashIndexProbe(batch, spark.table(table), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val direct = ImageHash.dhashPairs(corpus, "id", maxHamming = 3)
+      .where(c("id1") % 4 === 3 || c("id2") % 4 === 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(served == direct && served.nonEmpty,
+      s"served=${served.size} direct=${direct.size}")
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("one-pass block guard: quadratic blocks still refuse, one-sided blocks don't trip") {
     import graft.harmonize.Linkage
     // a block key present ONLY on side A must contribute zero pairs
