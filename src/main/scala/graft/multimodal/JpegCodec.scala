@@ -36,10 +36,11 @@ import graft.multimodal.PngCodec.PixelStats
   * 1x1 sampling) AND 3-component YCbCr color with 4:4:4, 4:2:2 or
   * 4:2:0 subsampling (interleaved scan, per-component DC predictors,
   * nearest-replication chroma upsampling); PLUS progressive (SOF2)
-  * grayscale AND 4:4:4 color (r16 — T.81 Annex G spectral selection +
-  * successive approximation, EOB runs, refinement correction bits,
-  * interleaved DC scans; SUBSAMPLED progressive remains the declared
-  * stub — its interleaved-grid padding rules differ). The YCbCr -> RGB
+  * grayscale AND color at the SAME 4:4:4 / 4:2:2 / 4:2:0 sampling
+  * matrix (r16 — T.81 Annex G spectral selection + successive
+  * approximation, EOB runs, refinement correction bits, interleaved
+  * DC scans over the MCU-aligned per-component coefficient grids).
+  * The JPEG matrix is CLOSED. The YCbCr -> RGB
   * transform is the standard JFIF one in 16.16 FIXED-POINT integer
   * arithmetic (libjpeg-style constants: 1.402 -> 91881/65536 etc.),
   * so color reconstruction from DC-only streams is exact integer math
@@ -269,38 +270,41 @@ object JpegCodec {
       }.map { case (w, h) =>
         PixelStats(w, h, 3, 3L * w * h, sum, sumSq)
       }
-    }.orElse { // progressive (SOF2) grayscale
-      sum = 0L
-      sumSq = 0L
-      decodeProgressiveBlocks(bytes, (_, _) => ()) { (_, _, nx, ny, flat, px) =>
-        if (px == null) {
-          val cnt = nx.toLong * ny
-          sum += flat.toLong * cnt
-          sumSq += flat.toLong * flat * cnt
-        } else {
-          var yy = 0
-          while (yy < ny) {
-            var xx = 0
-            while (xx < nx) {
-              val v = px(yy * 8 + xx).toLong
-              sum += v
-              sumSq += v * v
-              xx += 1
+    }.orElse { // progressive (SOF2): ONE entropy decode, then dispatch
+      // on component count (gray block walk vs color pixel walk)
+      decodeProgressiveCoefs(bytes).flatMap { fr =>
+        sum = 0L
+        sumSq = 0L
+        if (fr.coefs.length == 1) {
+          decodeProgressiveBlocks(fr, (_, _) => ()) { (_, _, nx, ny, flat, px) =>
+            if (px == null) {
+              val cnt = nx.toLong * ny
+              sum += flat.toLong * cnt
+              sumSq += flat.toLong * flat * cnt
+            } else {
+              var yy = 0
+              while (yy < ny) {
+                var xx = 0
+                while (xx < nx) {
+                  val v = px(yy * 8 + xx).toLong
+                  sum += v
+                  sumSq += v * v
+                  xx += 1
+                }
+                yy += 1
+              }
             }
-            yy += 1
+          }.map { case (w, h) =>
+            PixelStats(w, h, 1, w.toLong * h, sum, sumSq)
+          }
+        } else {
+          decodeProgressiveColorPixels(fr) { (_, _, r, g, b) =>
+            sum += r.toLong + g + b
+            sumSq += r.toLong * r + g.toLong * g + b.toLong * b
+          }.map { case (w, h) =>
+            PixelStats(w, h, 3, 3L * w * h, sum, sumSq)
           }
         }
-      }.map { case (w, h) =>
-        PixelStats(w, h, 1, w.toLong * h, sum, sumSq)
-      }
-    }.orElse { // progressive (SOF2) 4:4:4 color
-      sum = 0L
-      sumSq = 0L
-      decodeProgressiveColorPixels(bytes) { (_, _, r, g, b) =>
-        sum += r.toLong + g + b
-        sumSq += r.toLong * r + g.toLong * g + b.toLong * b
-      }.map { case (w, h) =>
-        PixelStats(w, h, 3, 3L * w * h, sum, sumSq)
       }
     }
   }
@@ -343,8 +347,10 @@ object JpegCodec {
   // first/refinement band decoders, written to the spec's G.1.2
   // procedures (EOB runs shared across blocks, correction bits for
   // already-nonzero history during refinement — including inside EOB
-  // runs). Scope: 8-bit, 1 component, 1x1 sampling (grayscale);
-  // progressive COLOR stays a declared stub. Reconstruction reuses
+  // runs). Scope: 8-bit, grayscale AND 3-component color at
+  // 4:4:4 / 4:2:2 / 4:2:0 (the full baseline sampling matrix —
+  // interleaved DC scans walk MCUs, AC scans walk each component's
+  // non-interleaved sub-grid per A.2.2). Reconstruction reuses
   // the baseline paths bit-for-bit: DC-only blocks keep the exact
   // integer closed form (so the SAME oracle arithmetic gates both
   // framings), AC blocks go through the shared dequant + IDCT.
@@ -837,6 +843,15 @@ object JpegCodec {
       case Some(t) => t
       case None => return None
     }
+    decodeProgressiveBlocks(f, onDims)(onBlock)
+  }
+
+  /** ProgFrame overload — same single-entropy-decode rationale as the
+    * color one.
+    */
+  private def decodeProgressiveBlocks(f: ProgFrame,
+      onDims: (Int, Int) => Unit)(
+      onBlock: (Int, Int, Int, Int, Int, Array[Int]) => Unit): Option[(Int, Int)] = {
     if (f.coefs.length != 1) return None
     val width = f.width
     val height = f.height
@@ -872,6 +887,16 @@ object JpegCodec {
       case Some(t) => t
       case None => return None
     }
+    decodeProgressiveColorPixels(fr)(onPixel)
+  }
+
+  /** ProgFrame overload: callers that already ran
+    * [[decodeProgressiveCoefs]] (to dispatch on component count or
+    * size a buffer) reconstruct from the decoded coefficients without
+    * paying the entropy decode a second time.
+    */
+  private def decodeProgressiveColorPixels(fr: ProgFrame)(
+      onPixel: (Int, Int, Int, Int, Int) => Unit): Option[(Int, Int)] = {
     if (fr.coefs.length != 3) return None
     val width = fr.width
     val height = fr.height
@@ -1315,7 +1340,7 @@ object JpegCodec {
         .flatMap { fr =>
           w0 = fr.width
           out = new Array[Int](fr.width * fr.height * 3)
-          decodeProgressiveColorPixels(bytes) { (x, y, r, g, b) =>
+          decodeProgressiveColorPixels(fr) { (x, y, r, g, b) =>
             val i = (y * w0 + x) * 3
             out(i) = r; out(i + 1) = g; out(i + 2) = b
           }.map { case (ww, hh) => (ww, hh, out) }

@@ -160,6 +160,16 @@ object Warc {
     * write through the Hadoop FileSystem of `dir` (fresh default
     * Configuration per partition — custom FS conf callers should
     * write parquet instead; this sink exists for WARC interchange).
+    *
+    * Task-commit protocol: each attempt writes to a private
+    * `_tmp-part-NNNNN-attempt-K` path and RENAMEs into place only on
+    * success, so a retried or speculative duplicate attempt can never
+    * interleave bytes into the final file; the first attempt to
+    * commit wins (a later rename onto an existing final part is a
+    * no-op delete of its temp — both attempts wrote identical bytes
+    * for a deterministic input). Failed-attempt temps are cleaned
+    * best-effort on the failure path and are ignored by [[readWarc]]
+    * callers globbing `part-*.warc.gz`.
     */
   def writeWarc(df: DataFrame, dir: String,
                 date: String = "2024-01-01T00:00:00Z"): Unit = {
@@ -173,10 +183,15 @@ object Warc {
     rootFs.mkdirs(root)
     df.rdd.foreachPartition { rows =>
       if (rows.hasNext) {
-        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val tc = org.apache.spark.TaskContext.get()
+        val pid = tc.partitionId()
         val fs = root.getFileSystem(new org.apache.hadoop.conf.Configuration())
-        val out = fs.create(new org.apache.hadoop.fs.Path(root,
-          f"part-$pid%05d.warc.gz"), true)
+        val finalPath = new org.apache.hadoop.fs.Path(root,
+          f"part-$pid%05d.warc.gz")
+        val tmpPath = new org.apache.hadoop.fs.Path(root,
+          f"_tmp-part-$pid%05d-attempt-${tc.taskAttemptId()}%d.warc.gz")
+        val out = fs.create(tmpPath, true)
+        var committed = false
         try {
           rows.foreach { r =>
             val uri = r.getString(uIdx)
@@ -202,7 +217,23 @@ object Warc {
             gz.close()
             bo.writeTo(out)
           }
-        } finally out.close()
+          out.close()
+          // commit: rename into place; losing the race to an earlier
+          // successful attempt just discards this attempt's temp
+          if (!fs.rename(tmpPath, finalPath)) {
+            if (fs.exists(finalPath))
+              fs.delete(tmpPath, false) // lost the commit race: discard
+            else
+              throw new java.io.IOException(s"writeWarc: commit rename " +
+                s"failed for $tmpPath -> $finalPath")
+          }
+          committed = true
+        } finally {
+          if (!committed) {
+            try out.close() catch { case _: Exception => () }
+            try fs.delete(tmpPath, false) catch { case _: Exception => () }
+          }
+        }
       }
     }
   }
