@@ -1475,6 +1475,68 @@ object OracleSql {
         |       CAST(2 AS BIGINT) AS n_copies, CAST(1 AS BIGINT) AS n_texts
         |FROM documents ORDER BY url""".stripMargin,
 
+    // main-content extraction: the twin replays only the KEPT blocks
+    // of the planted template (heading, corpus paragraph, entity
+    // trailer) joined by \n — nav/header/footer/aside/link-farm/
+    // one-word blocks and the whole head are boilerplate by
+    // construction and must leave no byte behind
+    "html_main_text" ->
+      """SELECT doc_id,
+        |  'Doc ' || doc_id || ' heading' || chr(10) ||
+        |  trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g')) || chr(10) ||
+        |  'fin <' || doc_id || '> é twin' AS main_text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the composed WARC → main-text gate over the warc_text_extract
+    // fixture: same bytes on disk, boilerplate-stripped expectation
+    // (head/title/style/script pruned; h1, corpus paragraph and the
+    // entity trailer kept)
+    "warc_main_text" ->
+      """WITH txt AS (SELECT doc_id,
+        |  'Doc ' || doc_id || chr(10) ||
+        |  trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g')) || chr(10) ||
+        |  'fin <' || doc_id || '> éé' AS main_text
+        |  FROM documents),
+        |uris AS (
+        |  SELECT format('http://EXample.org/docs/{}', doc_id) AS uri,
+        |         main_text FROM txt
+        |  UNION ALL
+        |  SELECT format('http://www.example.org:80/docs/{}#frag', doc_id),
+        |         main_text FROM txt)
+        |SELECT uri, main_text FROM uris ORDER BY uri""".stripMargin,
+
+    // crawl near-dup twin: exact word-3-gram Jaccard at 0.5 over the
+    // closed-form MAIN texts of the near-dup fixture (each doc served
+    // at its page URL and a ?v=2 variant with a 2-word suffix; the
+    // shared nav/footer chrome never reaches the signatures).
+    // Precision is 1.0 on the Spark side (exact verify), so equality
+    // == full LSH recall — the dedup_minhash contract on crawl input.
+    "warc_neardup" ->
+      s"""WITH base AS (SELECT doc_id,
+         |  trim(regexp_replace(text, '[ \\t\\n\\r]+', ' ', 'g')) AS mt
+         |  FROM documents),
+         |txt AS (
+         |  SELECT format('http://crawl.example.org/p/{}', doc_id) AS id,
+         |         mt AS t FROM base
+         |  UNION ALL
+         |  SELECT format('http://crawl.example.org/p/{}?v=2', doc_id),
+         |         mt || ' appendix notes' FROM base),
+         |tk AS (SELECT id, ${toks("t")} AS tl FROM txt),
+         |sh AS (SELECT DISTINCT id,
+         |         unnest([tl[i] || ' ' || tl[i+1] || ' ' || tl[i+2]
+         |                 for i in generate_series(1, greatest(len(tl) - 2, 0))]) AS sh
+         |       FROM tk),
+         |n AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+         |i AS (SELECT a.id AS id1, b.id AS id2, count(*) AS ni
+         |      FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT id1, id2, jaccard FROM (
+         |    SELECT id1, id2,
+         |           CAST(ni AS DOUBLE) / CAST(n1.sz + n2.sz - ni AS DOUBLE) AS jaccard
+         |    FROM i JOIN n n1 ON id1 = n1.id JOIN n n2 ON id2 = n2.id)
+         |  WHERE jaccard >= 0.5)
+         |SELECT id1, id2, jaccard FROM pairs ORDER BY id1, id2""".stripMargin,
+
     "boilerplate_ngrams" ->
       s"""WITH tk AS (SELECT doc_id, ${toks("text")} AS tl FROM documents),
          |sh AS (SELECT DISTINCT doc_id,

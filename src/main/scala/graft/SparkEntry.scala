@@ -3656,6 +3656,121 @@ object SparkEntry {
       .orderBy("url")
   }
 
+  // --------------------------------------- main-content extraction (r17)
+
+  /** Direct main-content extraction gate: every document rendered as
+    * templated HTML planting one of EACH boilerplate class the
+    * classifier claims to handle — head/title/style/script (subtree
+    * prune), nav + header + footer + aside (semantic containers), a
+    * link-farm div (3·linkChars > totalChars density kill), a
+    * one-word paragraph (minWords kill) — around three blocks it must
+    * KEEP (heading, corpus text, an entity/NBSP-laden trailer). The
+    * DuckDB twin replays the kept blocks closed-form (the
+    * injected-proof pattern): pass == the classifier dropped every
+    * planted boilerplate block and altered no kept byte.
+    */
+  private def htmlMainTextQ(t: Tables): DataFrame = {
+    val esc = F.regexp_replace(F.regexp_replace(F.regexp_replace(
+      F.col("text"), "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+    val html = F.concat(
+      F.lit("<html><head><meta charset=\"utf-8\"><title>Doc "),
+      F.col("doc_id"),
+      F.lit(" title</title><style>nav { a > b; }</style>" +
+        "<script>if (1 < 2) { alert(\"</b>\"); }</script></head>" +
+        "<body><nav><a href=\"/\">Home</a> <a href=\"/a\">About</a>" +
+        " <a href=\"/c\">Contact</a></nav>" +
+        "<header><div>Site logo "), F.col("doc_id"),
+      F.lit("</div></header><h1 data-x=\"a>b\">Doc "), F.col("doc_id"),
+      F.lit(" heading</h1><p>"), esc,
+      F.lit("</p><div><a href=\"/r\">related</a>" +
+        " <a href=\"/m\">more links</a> x"), F.col("doc_id"),
+      F.lit("</div><p>short</p><p>fin&nbsp;&lt;"), F.col("doc_id"),
+      F.lit("&gt; &#233; twin</p>" +
+        "<footer>Copyright 2024 Example Corp</footer>" +
+        "<aside>Sidebar <a href=\"/p\">promo</a></aside></body></html>"))
+    t.documents.select(F.col("doc_id"),
+        graft.text.HtmlMainExtract.htmlMainText(
+          F.encode(html, "UTF-8"),
+          F.lit("text/html; charset=utf-8")).as("main_text"))
+      .orderBy("doc_id")
+  }
+
+  /** Composed WARC → main text over the SAME fixture files
+    * warc_text_extract reads: proves the main-content path end-to-end
+    * from bytes on disk (framing, HTTP split, per-record charset —
+    * 1-in-3 bodies are latin-1) and that head/title/style/script all
+    * prune (the fixture's head carries every raw-text hazard).
+    */
+  private def warcMainText(t: Tables): DataFrame = {
+    val dir = warcFixture(t)
+    sources.Warc.extractMainText(
+        sources.Warc.httpResponses(sources.Warc.readWarc(t.spark, dir)))
+      .where(F.col("http_status") === 200)
+      .select(F.col("target_uri").as("uri"), F.col("main_text"))
+      .orderBy("uri")
+  }
+
+  /** Deterministic near-dup crawl fixture: each document served at
+    * two URLs — the page, and a ?v=2 variant whose main content grows
+    * a 2-word suffix (Jaccard (m-2)/m ≥ 0.8 for the corpus' ≥10-token
+    * texts — a TRUE near-dup, not an exact one). Every page wraps its
+    * content in the SAME nav + footer chrome, so WET-style full-text
+    * extraction would hand the near-dup join shared boilerplate
+    * shingles — the exact failure mode main-content extraction
+    * removes.
+    */
+  private def warcNeardupFixture(t: Tables): String = {
+    val h = java.lang.Integer.toHexString(t.dir.hashCode)
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_warc_nd_$h"
+    val esc = F.regexp_replace(F.regexp_replace(F.regexp_replace(
+      F.col("text"), "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+    def page(body: Column): Column = F.concat(
+      F.lit("<html><head><title>Crawl page</title></head><body>" +
+        "<nav><a href=\"/\">Home</a> <a href=\"/b\">Blog</a>" +
+        " <a href=\"/c\">Contact</a></nav><p>"), body,
+      F.lit("</p><footer>Copyright 2024 Crawl Example</footer>" +
+        "</body></html>"))
+    val head = F.lit(
+      "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n")
+    val recs = t.documents
+      .select(F.explode(F.array(
+        F.struct(
+          F.format_string("http://crawl.example.org/p/%d",
+            F.col("doc_id")).as("u"),
+          page(esc).as("h")),
+        F.struct(
+          F.format_string("http://crawl.example.org/p/%d?v=2",
+            F.col("doc_id")).as("u"),
+          page(F.concat(esc, F.lit(" appendix notes"))).as("h")))).as("pv"))
+      .select(F.col("pv.u").as("target_uri"),
+        F.lit("application/http; msgtype=response").as("content_type"),
+        F.concat(F.encode(head, "UTF-8"),
+          F.encode(F.col("pv.h"), "UTF-8")).as("payload"))
+    sources.Warc.writeWarc(recs, dir)
+    dir
+  }
+
+  /** The composed crawl near-dup pipeline: WARC → HTTP → MAIN-content
+    * extraction → MinHash LSH (same production bucketCap as
+    * dedup_minhash) → exact-Jaccard verify. The twin replays exact
+    * word-3-gram Jaccard over the closed-form main texts, so parity ==
+    * full recall at the threshold on crawl-shaped input; the planted
+    * ?v=2 suffix twins guarantee every doc contributes a genuine
+    * near-dup pair, and the shared chrome proves the boilerplate
+    * never reaches the signatures.
+    */
+  private def warcNeardup(t: Tables): DataFrame = {
+    val dir = warcNeardupFixture(t)
+    val texts = sources.Warc.extractMainText(
+        sources.Warc.httpResponses(sources.Warc.readWarc(t.spark, dir)))
+      .where(F.col("http_status") === 200)
+      .select(F.col("target_uri").as("uri"), F.col("main_text"))
+    Dedup.minhashLsh(texts, "uri", "main_text", k = 3,
+      numHashes = 128, bands = 32, threshold = 0.5,
+      bucketCap = MinhashBucketCap)
+      .orderBy("id1", "id2")
+  }
+
   // ---------------------------------------------------------------- wiring
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -3817,6 +3932,9 @@ object SparkEntry {
       "events_json" -> q(eventsJson),
       "warc_text_extract" -> q(warcTextExtract),
       "warc_dedup" -> q(warcDedup),
+      "html_main_text" -> q(htmlMainTextQ),
+      "warc_main_text" -> q(warcMainText),
+      "warc_neardup" -> q(warcNeardup),
       "events_late_arrivals" -> q(eventsLateArrivals),
       "events_funnel" -> q(eventsFunnel),
       "events_outliers" -> q(eventsOutliers),

@@ -252,6 +252,22 @@ object Warc {
         F.col("http_content_type"))).drop("body")
   }
 
+  /** The MAIN-CONTENT variant of [[extractText]]: boilerplate
+    * containers (nav/header/footer/aside/form/head) pruned and
+    * link-dense / word-starved blocks classified out
+    * ([[graft.text.HtmlMainExtract]] — the jusText/Boilerpipe
+    * heuristic as a codegen'd expression). This is the extraction a
+    * training-data crawl should feed dedup and quality scoring: the
+    * WET-style full text glues every page of a site together on its
+    * shared chrome.
+    */
+  def extractMainText(responses: DataFrame, minWords: Int = 2): DataFrame = {
+    import org.apache.spark.sql.{functions => F}
+    responses.withColumn("main_text",
+      graft.text.HtmlMainExtract.htmlMainText(F.col("body"),
+        F.col("http_content_type"), minWords)).drop("body")
+  }
+
   /** Split an HTTP response payload (a `response`-type record body)
     * into (status, http content-type, body bytes). Garbage-safe:
     * a payload that is not an HTTP message yields status -1 and the

@@ -75,7 +75,7 @@ object HtmlExtract {
       java.nio.charset.StandardCharsets.UTF_8) }
   }
 
-  private val named: java.util.HashMap[String, String] = {
+  private[text] val named: java.util.HashMap[String, String] = {
     val m = new java.util.HashMap[String, String]()
     Seq(
       "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"",
@@ -99,7 +99,7 @@ object HtmlExtract {
     * Returns (decoded-or-null, next-index). Null decoded = leave the
     * '&' literal and advance by one.
     */
-  private def entity(s: String, i: Int): (String, Int) = {
+  private[text] def entity(s: String, i: Int): (String, Int) = {
     val semi = s.indexOf(';', i + 1)
     if (semi < 0 || semi - i > 32) return (null, i + 1)
     val body = s.substring(i + 1, semi)
@@ -121,7 +121,7 @@ object HtmlExtract {
     }
   }
 
-  private def startsWithIgnoreCase(s: String, i: Int, lit: String): Boolean = {
+  private[text] def startsWithIgnoreCase(s: String, i: Int, lit: String): Boolean = {
     if (i + lit.length > s.length) return false
     var k = 0
     while (k < lit.length) {
@@ -135,7 +135,7 @@ object HtmlExtract {
     * the opening tag's '>', to just after the matching close tag's
     * '>'. Unclosed → end of input.
     */
-  private def skipRawText(s: String, from: Int, close: String): Int = {
+  private[text] def skipRawText(s: String, from: Int, close: String): Int = {
     var i = from
     while (i < s.length) {
       if (s.charAt(i) == '<' && startsWithIgnoreCase(s, i, close)) {
@@ -152,7 +152,7 @@ object HtmlExtract {
     * attribute values (a '>' inside quotes does not end the tag).
     * Returns (next-index, lowercased tag name).
     */
-  private def skipTag(s: String, from: Int): (Int, String) = {
+  private[text] def skipTag(s: String, from: Int): (Int, String) = {
     var i = from + 1
     if (i < s.length && s.charAt(i) == '/') i += 1
     val n0 = i

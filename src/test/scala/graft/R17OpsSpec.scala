@@ -275,4 +275,102 @@ class R17OpsSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("quadratic"), ex.getMessage)
   }
+
+  // ------------------------------------------- main-content extraction
+
+  import graft.text.{HtmlExtract, HtmlMainExtract}
+
+  test("extractMain: semantic containers, link farms and word-starved blocks drop; content keeps") {
+    val html =
+      """<html><head><title>Site title</title><style>nav { a > b; }</style>
+        |<script>if (1 < 2) { alert("</b>"); }</script></head>
+        |<body><nav><a href="/">Home</a> <a href="/a">About</a></nav>
+        |<header><div>Site logo</div></header>
+        |<h1 data-x="a>b">Real heading</h1>
+        |<p>Body text with an inline <a href="/x">link</a> inside a long paragraph.</p>
+        |<div><a href="/r">related</a> <a href="/m">more links</a> x</div>
+        |<p>short</p>
+        |<footer>Copyright 2024 Example Corp</footer>
+        |<aside>Sidebar <a href="/p">promo</a></aside></body></html>""".stripMargin
+    val out = HtmlMainExtract.extractMain(html)
+    assert(out ==
+      "Real heading\nBody text with an inline link inside a long paragraph.")
+  }
+
+  test("extractMain: link density boundary is the exact integer test 3*link <= total") {
+    // "abcdef ghijkl xx" with "abcdef" in an anchor: link=6, total=14,
+    // 3*6=18 > 14 -> drop; add two plain chars -> total=16... still
+    // drop; make link exactly 1/3: link=6 total=18 -> keep
+    assert(HtmlMainExtract.extractMain(
+      "<p><a>abcdef</a> ghijkl xx</p>") == "")
+    assert(HtmlMainExtract.extractMain(
+      "<p><a>abcdef</a> ghijkl abcdef</p>") == "abcdef ghijkl abcdef")
+    // minWords kills one-word blocks regardless of links
+    assert(HtmlMainExtract.extractMain("<p>loneword</p>") == "")
+    assert(HtmlMainExtract.extractMain("<p>two words</p>") == "two words")
+  }
+
+  test("extractMain: unclosed head swallows until <body>; unclosed nav swallows the tail") {
+    // the body escape hatch: real crawls omit </head> constantly
+    assert(HtmlMainExtract.extractMain(
+      "<html><head><title>t</title><body><p>kept body text</p>") ==
+      "kept body text")
+    // an unclosed pruned container swallows to EOF (documented)
+    assert(HtmlMainExtract.extractMain(
+      "<p>kept before nav</p><nav><a>Home</a> trailing text") ==
+      "kept before nav")
+    // self-closing pruned tags prune nothing
+    assert(HtmlMainExtract.extractMain(
+      "<nav/><p>kept after empty nav</p>") == "kept after empty nav")
+  }
+
+  test("extractMain: entities, NBSP collapse and nested anchors share HtmlExtract semantics") {
+    assert(HtmlMainExtract.extractMain(
+      "<p>fin&nbsp;&lt;7&gt; &#233; twin</p>") == "fin <7> é twin")
+    // nested anchor depth: all chars inside count as link chars once
+    assert(HtmlMainExtract.extractMain(
+      "<p><a>out <a>in</a> out</a></p>") == "")
+    // inline tags split words but not blocks
+    assert(HtmlMainExtract.extractMain(
+      "<p>fan<i>tastic</i> stuff here</p>") == "fan tastic stuff here")
+  }
+
+  test("extractMain property: never throws, and output tokens are a subset of the WET tokens") {
+    val rnd = new scala.util.Random(170217)
+    val frags = Array("<p>", "</p>", "<div>", "</div>", "<a href='x>y'>",
+      "</a>", "<nav>", "</nav>", "<body>", "&amp;", "&#65;", "&bogus;",
+      "<!-- c -->", "<script>a<b</script>", "<![CDATA[x]]>", "word",
+      "two words", "<", ">", "&", " ", " ", "<footer>", "</footer>",
+      "<h2>", "</h2>", "é", "<!doctype html>", "<?pi?>", "<head>", "</head>")
+    (1 to 300).foreach { _ =>
+      val doc = (1 to rnd.nextInt(40))
+        .map(_ => frags(rnd.nextInt(frags.length))).mkString
+      val main = HtmlMainExtract.extractMain(doc) // must not throw
+      val wet = HtmlExtract.extract(doc)
+      val wetToks = wet.split("\\s+").filter(_.nonEmpty)
+        .groupBy(identity).map { case (k, v) => k -> v.length }
+      val mainToks = main.split("\\s+").filter(_.nonEmpty)
+        .groupBy(identity).map { case (k, v) => k -> v.length }
+      mainToks.foreach { case (tok, n) =>
+        assert(wetToks.getOrElse(tok, 0) >= n,
+          s"main token '$tok' x$n not within WET tokens of: $doc")
+      }
+    }
+  }
+
+  test("htmlMainText column: codegen'd expression, WARC main-text bridge drops chrome") {
+    val df = Seq((1L,
+      "<html><body><nav><a>Home</a> <a>About</a></nav>" +
+        "<p>real article body text</p>" +
+        "<footer>Copyright 2024</footer></body></html>"))
+      .toDF("id", "html")
+      .select(F.col("id"),
+        graft.text.HtmlMainExtract.htmlMainText(
+          F.encode(F.col("html"), "UTF-8"),
+          F.lit("text/html; charset=utf-8")).as("main_text"))
+    // stays codegen'd: no CodegenFallback in the executed plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CodegenFallback"), plan)
+    assert(df.collect().head.getString(1) == "real article body text")
+  }
 }
