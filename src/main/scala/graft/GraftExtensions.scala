@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CharEntropy, CosineSim, IndelSim, LshSig, MinHashAgg, MinHashSig, ShingleStrings, SimHash64, SortedIntersectCount, TopKCountAgg, WinnowMins}
+import graft.functions.{CharEntropy, CosineSim, IndelSim, KmvAgg, LshSig, MinHashAgg, MinHashSig, ShingleStrings, SimHash64, SortedIntersectCount, TopKCountAgg, WinnowMins}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -54,6 +54,8 @@ object GraftExtensions {
       (args: Seq[Expression]) => IndelSim(args(0), args(1))),
     ("minhash_agg", "_FUNC_(value, n) - n-component MinHash sketch of the group's distinct values",
       (args: Seq[Expression]) => MinHashAgg(args(0), intArg(args(1), "numHashes"))),
+    ("kmv_agg", "_FUNC_(value, k) - KMV bottom-k sketch: the k smallest distinct sign-flipped xxh64 hashes, sorted",
+      (args: Seq[Expression]) => KmvAgg(args(0), intArg(args(1), "k"))),
     ("char_entropy", "_FUNC_(text) - Shannon entropy (nats) of the code-point distribution",
       (args: Seq[Expression]) => CharEntropy(args(0))),
     ("topk_by_count", "_FUNC_(n, key, k) - exact bounded top-k (count, key) entries of the group, best first (feed finalized counts)",

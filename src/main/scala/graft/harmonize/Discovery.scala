@@ -17,6 +17,28 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   */
 object Discovery {
 
+  /** Group candidate columns by their SOURCE FRAME (reference
+    * identity — the Tables loader hands out stable instances), so a
+    * table contributing k candidate columns is scanned ONCE, not k
+    * times. At 100 TB the fact table is the corpus; k passes over it
+    * are k times the job's I/O. Columns whose frames don't alias
+    * simply form singleton groups — the pre-grouping behavior.
+    */
+  private def groupByFrame(cols: Seq[(String, DataFrame, String)])
+      : Seq[(DataFrame, Seq[(String, String)])] = {
+    val groups = scala.collection.mutable.ArrayBuffer
+      .empty[(DataFrame, scala.collection.mutable.ArrayBuffer[(String, String)])]
+    cols.foreach { case (label, df, c) =>
+      groups.find(_._1 eq df) match {
+        case Some((_, buf)) => buf += ((label, c))
+        case None =>
+          val buf = scala.collection.mutable.ArrayBuffer((label, c))
+          groups += ((df, buf))
+      }
+    }
+    groups.toSeq.map { case (df, buf) => (df, buf.toSeq) }
+  }
+
   /** Inclusion-dependency discovery across tables: for every ordered
     * pair of candidate columns (A, B), the fraction of A's distinct
     * values contained in B's distinct set. containment = 1.0 flags
@@ -55,9 +77,16 @@ object Discovery {
     val spark = cols.head._2.sparkSession
     // persisted: the distinct union feeds BOTH sides of the self-join
     // plus the per-column counts — without the pin the N distinct
-    // shuffles over the source tables run three times over
-    val d = cols.map { case (label, df, c) =>
-      df.select(F.lit(label).as("col"), F.col(c).cast("string").as("v"))
+    // shuffles over the source tables run three times over.
+    // One SCAN per source frame (groupByFrame): a table's candidate
+    // columns explode out of a single pass — same distinct shuffle
+    // volume (map-side combine reduces per (col, v) either way), k×
+    // less I/O for a table with k candidates
+    val d = groupByFrame(cols).map { case (df, cs) =>
+      df.select(F.explode(F.array(cs.map { case (label, c) =>
+          F.struct(F.lit(label).as("col"),
+            F.col(c).cast("string").as("v")) }: _*)).as("s"))
+        .select(F.col("s.col").as("col"), F.col("s.v").as("v"))
         .where(F.col("v").isNotNull).distinct()
     }.reduce(_ unionAll _).persist()
     val counts = d.groupBy("col").agg(F.count(F.lit(1)).as("n_distinct"))
@@ -87,18 +116,24 @@ object Discovery {
   /** The 100 TB inclusion-discovery path, wired WITH its own error
     * gate (the profile_numeric_approx pattern): [[inclusion]]'s exact
     * self-join shuffles every distinct value; the at-scale swap
-    * reduces each column MAP-SIDE to one MinHash signature
-    * (functions.MinHashAgg — numHashes longs, merged associatively,
-    * no distinct shuffle at all) plus an HLL++ distinct estimate, and
-    * containment is estimated from the sketches:
+    * reduces each column MAP-SIDE to one KMV bottom-k sketch
+    * (functions.KmvAgg — ≤ numHashes longs, merged associatively, no
+    * distinct shuffle, and O(1) amortized per row where a
+    * k-permutation MinHash pays O(k) compare-exchanges) plus an HLL++
+    * distinct estimate, and containment is estimated from the
+    * sketches:
     *
-    *   Ĵ from positional signature agreement,
+    *   Ĵ from the Beyer et al. KMV estimator (see the pair scoring
+    *   below — plain array set ops over the sorted sketches),
     *   |A ∩ B| = Ĵ·|A ∪ B| = Ĵ·(d̂A + d̂B)/(1 + Ĵ),
     *   containment(A→B) = |A ∩ B| / d̂A  (clamped to [0,1]).
     *
-    * The shuffle carries |columns| sketch rows — constant in the
-    * corpus size; all pairs then score in one driver-small broadcast
-    * cross.
+    * Var(Ĵ) ≈ J(1−J)/k — the same error budget as k-permutation
+    * MinHash at equal k, for ~k fewer compares per row. A table
+    * contributing several candidate columns is scanned ONCE (all its
+    * sketches aggregate in the same pass); the shuffle carries one
+    * row per table — constant in the corpus size; all pairs then
+    * score in one driver-small broadcast cross.
     *
     * SCOPE — the estimator's honest operating range: the containment
     * formula amplifies the Jaccard estimate's error by (dA + dB)/dA,
@@ -123,8 +158,17 @@ object Discovery {
   def inclusionSketchGate(cols: Seq[(String, DataFrame, String)],
                           numHashes: Int = 1024, rsd: Double = 0.05,
                           tol: Double = 0.2, maxRatio: Double = 4.0): DataFrame = {
-    import graft.functions.MinHashAgg.minhashAgg
-    val exactAll = inclusion(cols)
+    import graft.functions.KmvAgg.kmvAgg
+    // the exact reference (the gate's ground truth) embeds the
+    // distinct self-join — the expensive shuffle here. It feeds TWO
+    // consumers (the per-column count lookup and the in-scope pair
+    // filter), so materialize its ~N² rows ONCE and release the
+    // distinct-union cache inclusion() pins before the sketch side
+    // runs; without the pin the self-join aggregation executes twice
+    val (exactRaw, release) = inclusionReleasable(cols)
+    val exactAll = exactRaw.persist()
+    exactAll.count()
+    release()
     val nByCol = exactAll.groupBy(F.col("src_col").as("c"))
       .agg(F.max("n_src").as("n"))
     val exact = exactAll
@@ -136,18 +180,39 @@ object Discovery {
         F.col("n_a").cast("double") / F.col("n_b").cast("double"),
         F.col("n_b").cast("double") / F.col("n_a").cast("double")) <= maxRatio)
       .select(F.col("src_col"), F.col("tgt_col"), F.col("containment"))
-    val sk = cols.map { case (label, df, c) =>
-      df.select(F.lit(label).as("col"), F.col(c).cast("string").as("v"))
-        .where(F.col("v").isNotNull)
+    // the production path: ONE full-scan AGGREGATE per source frame
+    // computing every candidate column's MinHash signature and HLL
+    // estimate in the same pass (both aggregates skip nulls natively)
+    // — no (col, value) row explosion, no distinct shuffle, and a
+    // table with k candidates costs one scan, not k. The shuffle
+    // carries one row per frame.
+    val sk = groupByFrame(cols).map { case (df, cs) =>
+      val aggs = cs.zipWithIndex.flatMap { case ((_, c), i) =>
+        val v = F.col(c).cast("string")
+        Seq(kmvAgg(v, numHashes).as(s"__sig_$i"),
+          F.approx_count_distinct(v, rsd).as(s"__nd_$i"))
+      }
+      df.agg(aggs.head, aggs.tail: _*)
+        .select(F.explode(F.array(cs.zipWithIndex.map { case ((label, _), i) =>
+          F.struct(F.lit(label).as("col"),
+            F.col(s"__sig_$i").as("sig"),
+            F.col(s"__nd_$i").as("nd")) }: _*)).as("s"))
+        .select(F.col("s.col").as("col"), F.col("s.sig").as("sig"),
+          F.col("s.nd").as("nd"))
     }.reduce(_ unionAll _)
-      .groupBy("col")
-      .agg(minhashAgg(F.col("v"), numHashes).as("sig"),
-        F.approx_count_distinct(F.col("v"), rsd).as("nd"))
-    val agree = F.aggregate(
-      F.zip_with(F.col("asig"), F.col("bsig"),
-        (x, y) => F.when(x === y, 1).otherwise(0)),
-      F.lit(0), (acc, x) => acc + x)
-    val jhat = agree.cast("double") / F.lit(numHashes.toDouble)
+    // the Beyer et al. KMV Jaccard: with S = the k smallest of the
+    // merged sketches (array set ops suffice — the sketches are
+    // sorted sign-flipped, so signed order IS unsigned hash order),
+    // Ĵ = |S ∩ sk(A) ∩ sk(B)| / |S|. When both sets are smaller than
+    // k the sketches ARE the distinct hash sets and Ĵ is exact.
+    val unionK = F.slice(
+      F.array_sort(F.array_union(F.col("asig"), F.col("bsig"))),
+      1, numHashes)
+    val matched = F.size(F.array_intersect(unionK,
+      F.array_intersect(F.col("asig"), F.col("bsig"))))
+    val jhat = F.when(F.size(unionK) > 0,
+      matched.cast("double") / F.size(unionK).cast("double"))
+      .otherwise(F.lit(0.0))
     val est0 = (jhat * (F.col("da").cast("double") + F.col("db").cast("double")) /
       ((F.lit(1.0) + jhat) * F.col("da").cast("double")))
     val est = F.least(F.lit(1.0), F.greatest(F.lit(0.0), est0))

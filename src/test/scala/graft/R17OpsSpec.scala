@@ -276,6 +276,48 @@ class R17OpsSpec extends SparkSpec {
     assert(ex.getMessage.contains("quadratic"), ex.getMessage)
   }
 
+  // ------------------------------------------------------- KMV sketch
+
+  test("KmvAgg.Sketch: keeps the k smallest distinct values, O(1)-rejects the rest") {
+    val s = new graft.functions.KmvAgg.Sketch(4)
+    Seq(50L, 10L, 30L, 20L, 40L, 10L, 30L, 5L).foreach(s.offer)
+    assert(s.sortedValues.toSeq == Seq(5L, 10L, 20L, 30L))
+    // duplicates never stack, MinValue (the set's empty marker) included
+    val m = new graft.functions.KmvAgg.Sketch(3)
+    Seq(Long.MinValue, 7L, Long.MinValue, 7L, 3L, 9L).foreach(m.offer)
+    assert(m.sortedValues.toSeq == Seq(Long.MinValue, 3L, 7L))
+  }
+
+  test("kmvAgg: sub-k columns carry their EXACT distinct hash sets (KMV exactness)") {
+    import graft.functions.KmvAgg.kmvAgg
+    // distinct counts 30 and 20 with 10 shared values, k = 1024 >> n:
+    // the sketches are the exact hash sets, so |A∩B| and |A∪B| from
+    // array set ops are exact
+    val a = (1 to 30).map(i => s"v$i").toDF("v")
+    val b = (21 to 40).map(i => s"v$i").toDF("v")
+    val sa = a.agg(kmvAgg(F.col("v"), 1024).as("s")).collect()
+      .head.getSeq[Long](0).toSet
+    val sb = b.agg(kmvAgg(F.col("v"), 1024).as("s")).collect()
+      .head.getSeq[Long](0).toSet
+    assert(sa.size == 30 && sb.size == 20)
+    assert((sa intersect sb).size == 10)
+    assert((sa union sb).size == 40)
+  }
+
+  test("inclusionSketchGate: KMV estimator within tolerance on over-k cardinalities") {
+    import graft.harmonize.Discovery
+    // 8000 vs 6000 distinct with 4000 shared — well above k=1024, so
+    // this exercises the ESTIMATOR, not the exactness fallback;
+    // containment(A→B) = 0.5, (B→A) = 2/3, ratio 8/6 within maxRatio
+    val a = (1 to 8000).map(i => s"k$i").toDF("x")
+    val b = (4001 to 10000).map(i => s"k$i").toDF("y")
+    val out = Discovery.inclusionSketchGate(
+      Seq(("a.x", a, "x"), ("b.y", b, "y"))).collect()
+    assert(out.length == 2)
+    assert(out.forall(_.getBoolean(2)),
+      out.map(r => s"${r.getString(0)}->${r.getString(1)}").mkString(","))
+  }
+
   // ------------------------------------------- main-content extraction
 
   import graft.text.{HtmlExtract, HtmlMainExtract}
