@@ -63,39 +63,88 @@ object BinaryMeta {
         F.sequence(F.lit(0), F.lit(k - 1)),
         i => F.col("blob").substr(i * 16 + 1, F.lit(16)))).as(Seq("frame_no", "frame_blob")))
 
-  /** Feature-extract stub: a deterministic pseudo-embedding per
-    * payload, standing in for a batched vision/audio encoder call. The
-    * shape is the real integration point — partition-local
-    * mapPartitions, payloads batched per model invocation, output
-    * (id, array<float>) — so the extracted column feeds the similarity
-    * suite directly: attachBlob |> extractFeaturesStub |>
-    * Ann.cosinePairsLsh / ivfBuild is the end-to-end multimodal
-    * dedup/search composition. Swap `fakeEncode` for the real encoder.
+  /** THE LEARNED-ENCODER PLUG-IN CONTRACT (SURVEY §6): the one seam a
+    * real model implementation slots into. An encoder is pure
+    * bytes→vectors over a BATCH (the unit a vision/audio model is
+    * actually invoked at — one forward pass per batch, not per row),
+    * serializable (it ships to executors once per task, so weights
+    * should load lazily inside the first encodeBatch, not in the
+    * constructor), and deterministic for a given payload (the dedup /
+    * index paths downstream assume re-encoding is stable). Everything
+    * Spark-side — batching, null hygiene, output schema, how the
+    * column feeds the ANN/pair suite — lives in [[extractFeatures]]
+    * and is IDENTICAL for the stand-in and a real model: swapping the
+    * encoder cannot change the plumbing (spec-gated).
     */
-  def extractFeaturesStub(df: DataFrame, idCol: String, dim: Int = 16): DataFrame = {
+  trait FeatureEncoder extends Serializable {
+    /** Output dimensionality — constant per encoder; every returned
+      * vector must have exactly this length.
+      */
+    def dim: Int
+
+    /** Encode one batch of payloads; must return exactly one
+      * `dim`-length vector per input, in input order. Payloads are
+      * non-null (extractFeatures drops null ids/blobs before
+      * batching).
+      */
+    def encodeBatch(payloads: Array[Array[Byte]]): Array[Array[Float]]
+  }
+
+  /** The deterministic stand-in encoder (no external weights in this
+    * environment): byte histogram folded into `dim` buckets,
+    * L2-normalized — direction depends only on content, so re-encode
+    * twins collide exactly like a frozen model's would.
+    */
+  final class HistogramEncoder(val dim: Int) extends FeatureEncoder {
+    override def encodeBatch(payloads: Array[Array[Byte]]): Array[Array[Float]] =
+      payloads.map { bytes =>
+        val acc = new Array[Float](dim)
+        var i = 0
+        while (i < bytes.length) { acc((bytes(i) & 0xff) % dim) += 1f; i += 1 }
+        val norm = math.sqrt(acc.map(x => x.toDouble * x).sum)
+        if (norm > 0) acc.map(x => (x / norm).toFloat) else acc
+      }
+  }
+
+  /** Batched feature extraction behind ANY [[FeatureEncoder]]:
+    * partition-local mapPartitions, payloads batched per model
+    * invocation (`batchSize`), output (id, array<float>) — the
+    * extracted column feeds the similarity suite directly:
+    * attachBlob |> extractFeatures |> Ann.cosinePairsLsh / ivfBuild
+    * is the end-to-end multimodal dedup/search composition.
+    */
+  def extractFeatures(df: DataFrame, idCol: String,
+                      encoder: FeatureEncoder,
+                      batchSize: Int = 64): DataFrame = {
+    require(batchSize > 0, "batchSize must be positive")
     val out = StructType(Seq(
       StructField("id", LongType),
       StructField("feature", ArrayType(FloatType, containsNull = false))))
-    def fakeEncode(bytes: Array[Byte]): Array[Float] = {
-      // deterministic pseudo-embedding: byte histogram folded into dim
-      // buckets, L2-normalized — direction depends only on content
-      val acc = new Array[Float](dim)
-      var i = 0
-      while (i < bytes.length) { acc((bytes(i) & 0xff) % dim) += 1f; i += 1 }
-      val norm = math.sqrt(acc.map(x => x.toDouble * x).sum)
-      if (norm > 0) acc.map(x => (x / norm).toFloat) else acc
-    }
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(out)
     df.select(F.col(idCol).cast("long").as("id"), F.col("blob"))
       // null ids/payloads carry nothing to encode — dropped, not NPE'd
       .where(F.col("id").isNotNull && F.col("blob").isNotNull)
       .mapPartitions { rows =>
-        // real integrations batch here (one encoder call per 64 payloads)
-        rows.grouped(64).flatMap(_.map { r =>
-          Row(r.getLong(0), fakeEncode(r.getAs[Array[Byte]]("blob")).toSeq)
-        })
+        rows.grouped(batchSize).flatMap { chunk =>
+          val ids = chunk.map(_.getLong(0))
+          val vecs = encoder.encodeBatch(
+            chunk.map(_.getAs[Array[Byte]]("blob")).toArray)
+          require(vecs.length == ids.length,
+            s"encoder returned ${vecs.length} vectors for ${ids.length} payloads")
+          ids.lazyZip(vecs).map { (id, v) =>
+            require(v.length == encoder.dim,
+              s"encoder returned a ${v.length}-dim vector, contract says ${encoder.dim}")
+            Row(id, v.toSeq)
+          }
+        }
       }(enc)
   }
+
+  /** Feature-extract stand-in: [[extractFeatures]] behind the
+    * [[HistogramEncoder]] — the same plumbing a real model rides.
+    */
+  def extractFeaturesStub(df: DataFrame, idCol: String, dim: Int = 16): DataFrame =
+    extractFeatures(df, idCol, new HistogramEncoder(dim))
 
   /** REAL image feature extraction from the DECODED raster (PNG or
     * GIF via the sniffing decode): the image is mean-pooled onto a

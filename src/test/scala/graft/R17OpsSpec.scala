@@ -276,6 +276,53 @@ class R17OpsSpec extends SparkSpec {
     assert(ex.getMessage.contains("quadratic"), ex.getMessage)
   }
 
+  // ------------------------------------- learned-encoder plug-in seam
+
+  test("FeatureEncoder seam: a swapped encoder rides the identical plumbing end to end") {
+    import graft.multimodal.BinaryMeta
+    import graft.similarity.Ann
+    val df = BinaryMeta.attachBlob(Seq(
+      (1L, "identical multimodal payload bytes"),
+      (2L, "identical multimodal payload bytes"),
+      (3L, "completely different content here zzz qqq")).toDF("doc_id", "text"),
+      "text")
+    // a "model" with entirely different semantics than the stand-in:
+    // [len, first byte, last byte] L2-normalized, batch-shaped like a
+    // real forward pass
+    val custom = new BinaryMeta.FeatureEncoder {
+      val dim = 3
+      def encodeBatch(ps: Array[Array[Byte]]): Array[Array[Float]] =
+        ps.map { b =>
+          val raw = Array[Float](b.length.toFloat,
+            (b.headOption.getOrElse(0: Byte) & 0xff).toFloat,
+            (b.lastOption.getOrElse(0: Byte) & 0xff).toFloat)
+          val n = math.sqrt(raw.map(x => x.toDouble * x).sum).toFloat
+          raw.map(_ / n)
+        }
+    }
+    val feats = BinaryMeta.extractFeatures(df, "doc_id", custom, batchSize = 2)
+    // same schema, same row contract as the stand-in path
+    val stub = BinaryMeta.extractFeaturesStub(df, "doc_id", dim = 16)
+    assert(feats.schema == stub.schema)
+    assert(feats.count() == stub.count())
+    // and the swapped encoder's column feeds the similarity suite
+    // through the SAME composition the stand-in does
+    val pairs = Ann.cosinePairs(feats, "id", "feature", threshold = 0.999)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)),
+      s"identical payloads must pair under any encoder: ${pairs.toSeq}")
+    // dim-contract violations refuse loudly instead of corrupting rows
+    val bad = new BinaryMeta.FeatureEncoder {
+      val dim = 3
+      def encodeBatch(ps: Array[Array[Byte]]): Array[Array[Float]] =
+        ps.map(_ => Array(1f, 2f)) // wrong width
+    }
+    val ex = intercept[org.apache.spark.SparkException] {
+      BinaryMeta.extractFeatures(df, "doc_id", bad).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
   // ------------------------------------------------------- KMV sketch
 
   test("KmvAgg.Sketch: keeps the k smallest distinct values, O(1)-rejects the rest") {
