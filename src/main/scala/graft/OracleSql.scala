@@ -1537,6 +1537,63 @@ object OracleSql {
          |  WHERE jaccard >= 0.5)
          |SELECT id1, id2, jaccard FROM pairs ORDER BY id1, id2""".stripMargin,
 
+    // URL grouping keys: the twin replays canonical/host/domain
+    // CLOSED-FORM per fixture branch (uppercase+www+:80+%7E+dot-seg+
+    // query-sort fold; ccSLD 3-label domain; cdnK subdomain pooling
+    // with a kept nonstandard port; trailing-dot + fragment strip)
+    "url_domain_key" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 4
+        |    WHEN 0 THEN 'http://news.example.com/a/p/' || doc_id || '?a=2&z=1'
+        |    WHEN 1 THEN 'https://blog.shop.example.co.uk/posts/' || doc_id
+        |    WHEN 2 THEN 'http://cdn' || (doc_id % 7) || '.media.example.org:8080/img/' || doc_id
+        |    ELSE 'https://example.net/' || doc_id END AS url_canon,
+        |  CASE doc_id % 4
+        |    WHEN 0 THEN 'news.example.com'
+        |    WHEN 1 THEN 'blog.shop.example.co.uk'
+        |    WHEN 2 THEN 'cdn' || (doc_id % 7) || '.media.example.org'
+        |    ELSE 'example.net' END AS host,
+        |  CASE doc_id % 4
+        |    WHEN 0 THEN 'example.com'
+        |    WHEN 1 THEN 'example.co.uk'
+        |    WHEN 2 THEN 'example.org'
+        |    ELSE 'example.net' END AS domain
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "curate_domain_stats" ->
+      """WITH k AS (SELECT doc_id, n_chars,
+        |  CASE doc_id % 4
+        |    WHEN 0 THEN 'news.example.com'
+        |    WHEN 1 THEN 'blog.shop.example.co.uk'
+        |    WHEN 2 THEN 'cdn' || (doc_id % 7) || '.media.example.org'
+        |    ELSE 'example.net' END AS host,
+        |  CASE doc_id % 4
+        |    WHEN 0 THEN 'example.com'
+        |    WHEN 1 THEN 'example.co.uk'
+        |    WHEN 2 THEN 'example.org'
+        |    ELSE 'example.net' END AS domain
+        |  FROM documents)
+        |SELECT domain, count(*) AS n_docs,
+        |       count(DISTINCT host) AS n_hosts,
+        |       sum(n_chars) AS sum_chars
+        |FROM k GROUP BY domain ORDER BY domain""".stripMargin,
+
+    // per-domain quota: the curate_take sampleKey replay partitioned
+    // by the replayed registrable domain
+    "curate_domain_cap" ->
+      """SELECT doc_id, domain FROM (
+        |  SELECT doc_id, domain, row_number() OVER (PARTITION BY domain
+        |    ORDER BY CAST((CAST(doc_id AS HUGEINT) * 2654435761) % 1000000 AS DOUBLE) / 1000000.0 ASC,
+        |             doc_id ASC) AS rk
+        |  FROM (SELECT doc_id,
+        |    CASE doc_id % 4
+        |      WHEN 0 THEN 'example.com'
+        |      WHEN 1 THEN 'example.co.uk'
+        |      WHEN 2 THEN 'example.org'
+        |      ELSE 'example.net' END AS domain
+        |    FROM documents))
+        |WHERE rk <= 50 ORDER BY doc_id""".stripMargin,
+
     "boilerplate_ngrams" ->
       s"""WITH tk AS (SELECT doc_id, ${toks("text")} AS tl FROM documents),
          |sh AS (SELECT DISTINCT doc_id,

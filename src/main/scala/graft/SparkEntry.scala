@@ -3771,6 +3771,75 @@ object SparkEntry {
       .orderBy("id1", "id2")
   }
 
+  // ----------------------------------------- domain-level curation (r17)
+
+  /** Messy-URL fixture: four URL shapes per corpus (branch on
+    * doc_id mod 4), each planting the hazards the host/domain kernels
+    * claim to handle — uppercase host + www. + explicit default port
+    * + percent-escape + dot-segment + unsorted query; a ccSLD
+    * (co.uk) host; rotating cdnK. subdomains on a nonstandard port
+    * (host ≠ domain, port excluded from host); a trailing host dot +
+    * fragment. Expected canonical/host/domain are closed-form per
+    * branch — the injected-proof pattern.
+    */
+  private def messyUrls(t: Tables): DataFrame = {
+    val b = F.pmod(F.col("doc_id"), F.lit(4))
+    val url = F.when(b === 0, F.format_string(
+        "http://WWW.News.Example.COM:80/a/%%7Eb/../p/%d?z=1&a=2",
+        F.col("doc_id")))
+      .when(b === 1, F.format_string(
+        "https://blog.shop.example.CO.UK/posts/%d", F.col("doc_id")))
+      .when(b === 2, F.format_string(
+        "http://cdn%d.media.example.org:8080/img/%d",
+        F.pmod(F.col("doc_id"), F.lit(7)), F.col("doc_id")))
+      .otherwise(F.format_string(
+        "https://example.net./%d#frag", F.col("doc_id")))
+    t.documents.select(F.col("doc_id"), url.as("url"), F.col("n_chars"))
+  }
+
+  /** The three URL grouping keys side by side — canonical URL (page
+    * identity), host (site instance), registrable domain (the
+    * per-SITE quota/dedup key C4/Gopher group on, where cdn1/cdn2/www
+    * subdomains pool together; PSL-lite ccSLD handling).
+    */
+  private def urlDomainKey(t: Tables): DataFrame =
+    messyUrls(t).select(F.col("doc_id"),
+        graft.functions.Urls.canonical(F.col("url")).as("url_canon"),
+        graft.functions.Urls.host(F.col("url")).as("host"),
+        graft.functions.Urls.domain(F.col("url")).as("domain"))
+      .orderBy("doc_id")
+
+  /** Per-domain crawl footprint: the table a curation run consults
+    * before setting quotas — doc mass and host spread per registrable
+    * domain. One hash groupBy; countDistinct(host) is exact (hosts
+    * per domain are few by construction of the key).
+    */
+  private def curateDomainStats(t: Tables): DataFrame =
+    messyUrls(t)
+      .select(F.col("doc_id"),
+        graft.functions.Urls.host(F.col("url")).as("host"),
+        graft.functions.Urls.domain(F.col("url")).as("domain"),
+        F.col("n_chars"))
+      .groupBy("domain")
+      .agg(F.count(F.lit(1)).as("n_docs"),
+        F.countDistinct("host").as("n_hosts"),
+        F.sum("n_chars").as("sum_chars"))
+      .orderBy("domain")
+
+  /** Per-domain quota cap (the C4-style anti-monoculture rule: no
+    * domain may dominate the mix): registrable-domain key +
+    * [[Curate.takePerStratum]]'s deterministic hash-ordered take-n —
+    * a window per domain, no collect, same survivors on any
+    * partitioning (sampleKey is engine-exact decimal arithmetic).
+    */
+  private def curateDomainCap(t: Tables): DataFrame =
+    Curate.takePerStratum(
+      messyUrls(t).select(F.col("doc_id"),
+        graft.functions.Urls.domain(F.col("url")).as("domain")),
+      "doc_id", "domain", n = 50)
+      .select("doc_id", "domain")
+      .orderBy("doc_id")
+
   // ---------------------------------------------------------------- wiring
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -3935,6 +4004,9 @@ object SparkEntry {
       "html_main_text" -> q(htmlMainTextQ),
       "warc_main_text" -> q(warcMainText),
       "warc_neardup" -> q(warcNeardup),
+      "url_domain_key" -> q(urlDomainKey),
+      "curate_domain_stats" -> q(curateDomainStats),
+      "curate_domain_cap" -> q(curateDomainCap),
       "events_late_arrivals" -> q(eventsLateArrivals),
       "events_funnel" -> q(eventsFunnel),
       "events_outliers" -> q(eventsOutliers),

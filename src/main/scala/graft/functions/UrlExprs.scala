@@ -136,6 +136,123 @@ object Urls {
     scheme + "://" + host + port + path +
       (if (query == null) "" else "?" + query)
   }
+
+  /** Lowercased, www-/trailing-dot-stripped host of a URL — the
+    * grouping key one level above the canonical URL (all of a site's
+    * pages). NULL for non-URLs, same contract as [[canonicalize]]
+    * (whose host rules this reuses verbatim).
+    */
+  def hostOf(raw: String): String = {
+    val c = canonicalize(raw)
+    if (c == null) return null
+    val start = c.indexOf("://") + 3
+    var end = start
+    while (end < c.length && c.charAt(end) != '/' && c.charAt(end) != ':' &&
+      c.charAt(end) != '?') end += 1
+    c.substring(start, end)
+  }
+
+  /** Common two-label public suffixes (ccSLDs) — a curated
+    * PUBLIC-KNOWLEDGE subset of the Public Suffix List covering the
+    * high-traffic country registries. The full PSL is refreshable
+    * DATA a deployment drops in beside this (same shape: a suffix
+    * set); the heuristic "registrable = 2 labels, or 3 under a known
+    * ccSLD" is the standard crawl approximation.
+    */
+  private val ccSlds: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    Seq("co.uk", "org.uk", "gov.uk", "ac.uk", "net.uk",
+      "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+      "com.au", "net.au", "org.au", "edu.au", "gov.au",
+      "co.nz", "net.nz", "org.nz", "co.in", "net.in", "org.in",
+      "com.br", "net.br", "org.br", "com.cn", "net.cn", "org.cn",
+      "com.mx", "com.ar", "com.tr", "co.za", "com.sg", "com.hk",
+      "co.kr", "com.tw", "co.th", "com.my", "co.id", "com.vn")
+      .foreach(s.add)
+    s
+  }
+
+  /** Registrable domain of a URL (the per-SITE quota/dedup key a
+    * crawl pipeline caps on — C4/Gopher group by this, not by host,
+    * so cdn1./cdn2./www. subdomains pool together): the host's last
+    * two labels, or three when the last two are a known ccSLD
+    * ([[ccSlds]]). Hosts with fewer labels (bare TLD-less names,
+    * localhost) and IP literals return the host itself. NULL for
+    * non-URLs.
+    */
+  def registrableDomain(raw: String): String = {
+    val host = hostOf(raw)
+    if (host == null) return null
+    // IP literals (v4 dotted-quad or bracketless v6 won't match the
+    // digits+dots shape) group as themselves
+    if (host.forall(c => (c >= '0' && c <= '9') || c == '.')) return host
+    val labels = host.split('.')
+    if (labels.length <= 2) return host
+    val lastTwo = labels(labels.length - 2) + "." + labels(labels.length - 1)
+    val take = if (ccSlds.contains(lastTwo)) 3 else 2
+    if (labels.length <= take) host
+    else labels.takeRight(take).mkString(".")
+  }
+
+  /** Column facade: host key. */
+  def host(url: Column): Column =
+    Bridge.column(UrlHost(Bridge.expression(url)))
+
+  /** Column facade: registrable-domain key. */
+  def domain(url: Column): Column =
+    Bridge.column(UrlDomain(Bridge.expression(url)))
+}
+
+/** Codegen'd host extraction: NULL for non-URLs (result re-check,
+  * the UrlCanonical pattern).
+  */
+case class UrlHost(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "url_host"
+
+  override def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[UTF8String])
+
+  def kernel(u: UTF8String): UTF8String = {
+    val r = Urls.hostOf(u.toString)
+    if (r == null) null else UTF8String.fromString(r)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj(prettyName, this, getClass.getName)
+    nullSafeCodeGen(ctx, ev, x => s"""
+      ${ev.value} = $ref.kernel($x);
+      ${ev.isNull} = ${ev.value} == null;""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): UrlHost =
+    copy(child = newChild)
+}
+
+/** Codegen'd registrable-domain extraction: NULL for non-URLs. */
+case class UrlDomain(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "url_domain"
+
+  override def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[UTF8String])
+
+  def kernel(u: UTF8String): UTF8String = {
+    val r = Urls.registrableDomain(u.toString)
+    if (r == null) null else UTF8String.fromString(r)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj(prettyName, this, getClass.getName)
+    nullSafeCodeGen(ctx, ev, x => s"""
+      ${ev.value} = $ref.kernel($x);
+      ${ev.isNull} = ${ev.value} == null;""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): UrlDomain =
+    copy(child = newChild)
 }
 
 /** Codegen'd canonicalization expression: NULL output for non-URLs,

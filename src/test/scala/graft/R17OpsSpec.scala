@@ -276,6 +276,58 @@ class R17OpsSpec extends SparkSpec {
     assert(ex.getMessage.contains("quadratic"), ex.getMessage)
   }
 
+  // -------------------------------------------- URL host / domain keys
+
+  test("Urls.hostOf/registrableDomain: hand cases cover every rule") {
+    import graft.functions.Urls
+    // host: lowercase, www./trailing-dot strip, port excluded
+    assert(Urls.hostOf("http://WWW.News.Example.COM:80/x") == "news.example.com")
+    assert(Urls.hostOf("https://example.net./p#f") == "example.net")
+    assert(Urls.hostOf("http://cdn3.media.example.org:8080/img") ==
+      "cdn3.media.example.org")
+    assert(Urls.hostOf("not a url") == null)
+    assert(Urls.hostOf("ftp://example.com/x") == null)
+    // domain: 2 labels, 3 under a ccSLD, short hosts as themselves,
+    // IP literals as themselves
+    assert(Urls.registrableDomain("http://a.b.example.com/") == "example.com")
+    assert(Urls.registrableDomain("https://blog.shop.example.co.uk/") ==
+      "example.co.uk")
+    assert(Urls.registrableDomain("http://example.co.uk/") == "example.co.uk")
+    assert(Urls.registrableDomain("http://example.net/") == "example.net")
+    assert(Urls.registrableDomain("http://localhost/") == "localhost")
+    assert(Urls.registrableDomain("http://10.2.3.4:8080/") == "10.2.3.4")
+    assert(Urls.registrableDomain("nope") == null)
+    // the domain key is stable under canonicalization (same host rules)
+    val u = "http://WWW.CDN7.Media.Example.ORG:80/a/../b?q=1#f"
+    assert(Urls.registrableDomain(Urls.canonicalize(u)) ==
+      Urls.registrableDomain(u))
+  }
+
+  test("url host/domain columns: codegen'd, null-safe, compose with takePerStratum") {
+    import graft.functions.Urls
+    import graft.text.Curate
+    val df = Seq(
+      (1L, "http://a.x.example.com/1"), (2L, "http://b.x.example.com/2"),
+      (3L, "http://c.y.example.org/3"), (4L, null.asInstanceOf[String]),
+      (5L, "garbage")).toDF("id", "url")
+      .select(F.col("id"), Urls.host(F.col("url")).as("host"),
+        Urls.domain(F.col("url")).as("domain"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CodegenFallback"), plan)
+    val rows = df.collect().map(r =>
+      (r.getLong(0), Option(r.getString(1)), Option(r.getString(2)))).toSet
+    assert(rows == Set(
+      (1L, Some("a.x.example.com"), Some("example.com")),
+      (2L, Some("b.x.example.com"), Some("example.com")),
+      (3L, Some("c.y.example.org"), Some("example.org")),
+      (4L, None, None), (5L, None, None)))
+    // per-domain quota: 2 example.com docs capped to 1
+    val capped = Curate.takePerStratum(
+      df.where(F.col("domain").isNotNull), "id", "domain", n = 1)
+    assert(capped.count() == 2)
+    assert(capped.select("domain").distinct().count() == 2)
+  }
+
   // ------------------------------------- learned-encoder plug-in seam
 
   test("FeatureEncoder seam: a swapped encoder rides the identical plumbing end to end") {
