@@ -3073,6 +3073,21 @@ object OracleSql {
          |SELECT id1, id2, CAST(bit_count(xor(s1, s2)) AS BIGINT) AS hamming
          |FROM p WHERE bit_count(xor(s1, s2)) <= 3 ORDER BY id1, id2""".stripMargin,
 
+    // pHash pairs: the dedup_simhash materialized-signature trick —
+    // bands + hamming replayed from the phash _sig dump (the fixed-
+    // point DCT itself is spec-gated: provable flat-zero/brightness/
+    // container invariances; no tractable SQL twin for a 32x32 DCT)
+    "multimodal_image_phash_dedup" ->
+      s"""WITH s AS (SELECT id, phash
+         |           FROM read_parquet('__VERIFY_OUT__/multimodal_image_phash_sig/*.parquet')),
+         |b AS (SELECT id, phash, band, phash & ($simhashMaskCase) AS key
+         |      FROM s CROSS JOIN (SELECT unnest($simhashBandList) AS band)),
+         |p AS (SELECT DISTINCT a.id AS id1, c.id AS id2,
+         |             a.phash AS s1, c.phash AS s2
+         |      FROM b a JOIN b c ON a.band = c.band AND a.key = c.key AND a.id < c.id)
+         |SELECT id1, id2, CAST(bit_count(xor(s1, s2)) AS BIGINT) AS hamming
+         |FROM p WHERE bit_count(xor(s1, s2)) <= 3 ORDER BY id1, id2""".stripMargin,
+
     // served-index probe: the multimodal_image_dedup pairs TOUCHING
     // the daily batch (kind 3 = id%4=3) — the equality-gate contract
     // of the bucketed-table serve path, replayed from the same dump

@@ -2366,6 +2366,26 @@ object SparkEntry {
       .orderBy("id1", "id2")
   }
 
+  private def multimodalImagePhashSig(t: Tables): DataFrame =
+    // 64-bit perceptual DCT hash per image (r17, the second standard
+    // family member beside dHash — robust where local gradients are
+    // blind): fixed-point 32x32 DCT, low 8x8 block, median threshold.
+    // Rows-only companion (the dedup_simhash_sig pattern: a fixed-
+    // point DCT has no tractable SQL twin); the kernel's exact
+    // invariances — basis rows sum to zero, flat raster hashes to 0,
+    // uniform brightness shift moves only the excluded DC, container
+    // re-encode identity — are spec-gated instead, and the PAIRS row
+    // below replays bands+hamming from this dump
+    multimodal.ImageHash.phashDf(imageCorpus(t), "id").orderBy("id")
+
+  private def multimodalImagePhashDedup(t: Tables): DataFrame =
+    // near-dup image pairs at hamming(pHash) <= 3 — the same
+    // pigeonhole band join as the dHash and SimHash rows; re-encode
+    // twins collide at hamming 0 BY CONSTRUCTION (same raster)
+    multimodal.ImageHash.phashPairs(imageCorpus(t), "id", maxHamming = 3)
+      .withColumn("hamming", F.col("hamming").cast("long"))
+      .orderBy("id1", "id2")
+
   private def multimodalJpeg(t: Tables): DataFrame =
     // REAL JPEG DC-only baseline decode (r10, r8 verdict #4): each
     // document gets a genuine JFIF payload — real DQT/DHT/SOF0/SOS
@@ -4024,6 +4044,8 @@ object SparkEntry {
       "multimodal_image_dedup_sig" -> q(multimodalImageDedupSig),
       "multimodal_image_dedup" -> q(multimodalImageDedup),
       "multimodal_image_dedup_idx" -> q(multimodalImageDedupIdx),
+      "multimodal_image_phash_sig" -> q(multimodalImagePhashSig),
+      "multimodal_image_phash_dedup" -> q(multimodalImagePhashDedup),
       "multimodal_jpeg_color" -> q(multimodalJpegColor),
       "multimodal_features" -> q(multimodalFeatures),
       "multimodal_resize" -> q(multimodalResize),

@@ -200,6 +200,138 @@ object ImageHash {
         .unionByName(batchBanded),
       "dhash", maxHamming)
   }
+
+  // -------------------------------------------------- pHash (DCT hash)
+
+  /** Fixed-point DCT-II basis, 2^14 scale: COS(u)(x) =
+    * round(cos((2x+1)·u·π/64) · 16384) for u ∈ 0..7 (only the low 8
+    * frequencies are hashed), x ∈ 0..31. Every row u ≥ 1 sums to
+    * EXACTLY zero — the angles pair off with exact sign flips, and
+    * Math.round is sign-symmetric here because a half-integer scaled
+    * cosine would need cos ∈ ℚ, which by Niven's theorem only happens
+    * at 0/±1/±1/2 (none of which land on .5·2^-14) — so a constant
+    * raster provably zeroes every non-DC coefficient (spec-asserted
+    * directly on the table).
+    */
+  private[graft] val dctBasis: Array[Array[Int]] =
+    Array.tabulate(8, 32) { (u, x) =>
+      Math.round(Math.cos((2 * x + 1) * u * Math.PI / 64.0) * 16384.0).toInt
+    }
+
+  /** 64-bit perceptual DCT hash (pHash — the second standard
+    * perceptual-hash family member beside [[dhash64]]; robust to the
+    * GLOBAL transforms dHash's local gradients are blind to): the
+    * luma raster is rect-pooled onto a 32×32 grid, a 32×32 DCT-II
+    * keeps the low 8×8 frequency block, and bit (u·8+v) records
+    * whether coefficient (u,v) exceeds the median of the 63 non-DC
+    * coefficients (bit 0, the DC slot, is always 0). INTEGER
+    * FIXED-POINT end to end — deterministic across runs, partitions
+    * and JVMs:
+    *  - pooled cell value = (sum·1024)/count, integer floor, over the
+    *    pixel rect [i·h/32, max((i+1)·h/32, i·h/32+1)) × [same for x]
+    *    (degenerates to nearest-sampling when the image is smaller
+    *    than the grid — no empty cells);
+    *  - separable DCT in Long with a >>14 rescale between the two
+    *    passes (max |acc| ≈ 1.4e14 and 4.4e15 — no overflow);
+    *  - median = the 32nd smallest (lower median), strict > sets the
+    *    bit.
+    * EXACT invariances (spec-gated): container re-encode (same
+    * raster → same integers), uniform brightness shift (the shift
+    * adds a multiple of 2^14 at every stage — the basis rows sum to
+    * zero, so only the excluded DC coefficient moves), and a constant
+    * raster hashes to exactly 0 (every non-DC coefficient is provably
+    * zero). Contrast scaling is ROBUST but not bit-exact (the >>14
+    * rescale floor interacts with odd low bits). Null for undecodable
+    * or oversized payloads, like dhash64. Pairs ride the SAME
+    * pigeonhole band join.
+    */
+  def phash64(bytes: Array[Byte]): java.lang.Long = {
+    val (w, h, luma) = lumaRaster(bytes) match {
+      case Some(t) => t
+      case None => return null
+    }
+    if (w.toLong * h > (1L << 28)) return null
+    // rect-pool to 32×32 (mean ×1024, floor)
+    val v = new Array[Long](32 * 32)
+    var i = 0
+    while (i < 32) {
+      val y0 = i * h / 32
+      val y1 = math.max((i + 1) * h / 32, y0 + 1)
+      var j = 0
+      while (j < 32) {
+        val x0 = j * w / 32
+        val x1 = math.max((j + 1) * w / 32, x0 + 1)
+        var sum = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) { sum += luma(y * w + x); x += 1 }
+          y += 1
+        }
+        v(i * 32 + j) = sum * 1024 / ((y1 - y0).toLong * (x1 - x0))
+        j += 1
+      }
+      i += 1
+    }
+    // separable fixed-point DCT: rows first (over x=j), then columns
+    val tmp = new Array[Long](8 * 32) // tmp(u)(i) — row transform
+    var u = 0
+    while (u < 8) {
+      val base = dctBasis(u)
+      i = 0
+      while (i < 32) {
+        var acc = 0L
+        var j = 0
+        while (j < 32) { acc += v(i * 32 + j) * base(j); j += 1 }
+        tmp(u * 32 + i) = acc >> 14
+        i += 1
+      }
+      u += 1
+    }
+    val coef = new Array[Long](64)
+    u = 0
+    while (u < 8) {
+      var vv = 0
+      while (vv < 8) {
+        val base = dctBasis(vv)
+        var acc = 0L
+        i = 0
+        while (i < 32) { acc += tmp(u * 32 + i) * base(i); i += 1 }
+        // coefficient (y-freq vv, x-freq u) at index vv*8+u; DC at 0
+        coef(vv * 8 + u) = acc
+        vv += 1
+      }
+      u += 1
+    }
+    // median of the 63 non-DC coefficients (lower median = 32nd
+    // smallest), strict > sets bit (u*8+v); bit 0 stays 0
+    val sorted = new Array[Long](63)
+    System.arraycopy(coef, 1, sorted, 0, 63)
+    java.util.Arrays.sort(sorted)
+    val med = sorted(31)
+    var hash = 0L
+    var b = 1
+    while (b < 64) {
+      if (coef(b) > med) hash |= 1L << b
+      b += 1
+    }
+    java.lang.Long.valueOf(hash)
+  }
+
+  /** pHash column over a binary payload (codegen'd kernel). */
+  def phash64Col(blob: Column): Column =
+    Bridge.column(PHash64(Bridge.expression(blob)))
+
+  /** (id, phash) signatures; undecodable payloads dropped. */
+  def phashDf(df: DataFrame, idCol: String, blobCol: String = "blob"): DataFrame =
+    df.select(F.col(idCol).as("id"), phash64Col(F.col(blobCol)).as("phash"))
+      .where(F.col("phash").isNotNull)
+
+  /** Near-dup image pairs with hamming(phash) ≤ maxHamming. */
+  def phashPairs(df: DataFrame, idCol: String, maxHamming: Int = 3,
+                 blobCol: String = "blob"): DataFrame =
+    graft.dedup.Dedup.hammingPairs(phashDf(df, idCol, blobCol),
+      "phash", maxHamming)
 }
 
 /** Codegen'd 64-bit dHash over a binary column — the perceptual-hash
@@ -232,5 +364,37 @@ case class DHash64(child: org.apache.spark.sql.catalyst.expressions.Expression)
 
   override protected def withNewChildInternal(
       newChild: org.apache.spark.sql.catalyst.expressions.Expression): DHash64 =
+    copy(child = newChild)
+}
+
+/** Codegen'd 64-bit pHash over a binary column (decode + 32×32 rect
+  * pool + fixed-point DCT + median threshold in one JVM call per row;
+  * nullable for undecodable payloads — the DHash64 stance).
+  */
+case class PHash64(child: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "phash64"
+
+  override def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[Array[Byte]])
+
+  def kernel(bytes: Array[Byte]): java.lang.Long = ImageHash.phash64(bytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj(prettyName, this, getClass.getName)
+    nullSafeCodeGen(ctx, ev, x => {
+      val r = ctx.freshName("ph")
+      s"""
+         |java.lang.Long $r = $ref.kernel($x);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r.longValue(); }
+         |""".stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression): PHash64 =
     copy(child = newChild)
 }

@@ -276,6 +276,96 @@ class R17OpsSpec extends SparkSpec {
     assert(ex.getMessage.contains("quadratic"), ex.getMessage)
   }
 
+  // ------------------------------------------------ pHash (DCT hash)
+
+  test("ImageHash.dctBasis: every non-DC row sums to exactly zero (the invariance lemma)") {
+    import graft.multimodal.ImageHash
+    assert(ImageHash.dctBasis(0).map(_.toLong).sum == 32L * 16384)
+    (1 to 7).foreach { u =>
+      assert(ImageHash.dctBasis(u).map(_.toLong).sum == 0L,
+        s"basis row $u must cancel exactly")
+    }
+  }
+
+  test("ImageHash.phash64: flat raster hashes to 0; brightness shift is bit-exact invariant") {
+    import graft.multimodal.{ImageHash, PngCodec}
+    // flat: all 63 non-DC coefficients provably zero -> hash 0
+    assert(ImageHash.phash64(PngCodec.encode(33, 21, 1, _ => 137)) == 0L)
+    // uniform +50 (no clipping: g <= 190) moves only the excluded DC
+    val (w, h) = (37, 29)
+    def g(s: Long): Int = ((s * 31 + 7) % 191).toInt
+    val base = ImageHash.phash64(PngCodec.encode(w, h, 1, g))
+    val bright = ImageHash.phash64(PngCodec.encode(w, h, 1, s => g(s) + 50))
+    assert(base != null && base != 0L)
+    assert(bright == base, "uniform brightness shift must be exact-invariant")
+  }
+
+  test("ImageHash.phash64: container-invariant, distinct images differ, undecodable null") {
+    import graft.multimodal.{BmpCodec, GifCodec, ImageHash, PngCodec}
+    val (w, h) = (20, 17)
+    def g(s: Long): Int = ((s * 53 + 11) % 229).toInt
+    val base = ImageHash.phash64(PngCodec.encode(w, h, 1, g))
+    assert(base != null && base != 0L)
+    assert(ImageHash.phash64(PngCodec.encode(w, h, 3, s => g(s / 3))) == base)
+    assert(ImageHash.phash64(BmpCodec.encode(w, h,
+      (x, y, _) => g(y.toLong * w + x), topDown = true)) == base)
+    assert(ImageHash.phash64(GifCodec.encode(w, h, (s: Int) => g(s.toLong))) == base)
+    val other = ImageHash.phash64(
+      PngCodec.encode(w, h, 1, s => ((s * 97 + 151) % 217).toInt))
+    assert(other != base, "structurally different images must differ")
+    assert(ImageHash.phash64("not an image".getBytes("UTF-8")) == null)
+    assert(ImageHash.phash64(null) == null)
+  }
+
+  test("phashDf/phashPairs: codegen'd kernel; re-encode twins pair at hamming 0") {
+    import graft.multimodal.{BinaryMeta, ImageHash}
+    val corpus = BinaryMeta.syntheticImageCorpus(
+      (0L until 6L).toDF("doc_id"), "doc_id")
+    val sigs = ImageHash.phashDf(corpus, "id")
+    val plan = sigs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CodegenFallback"), plan)
+    val pairs = ImageHash.phashPairs(corpus, "id", maxHamming = 3)
+      .as[(Long, Long, Int)].collect()
+    // the re-encode twin (4d, 4d+1) carries the SAME raster -> exact
+    // collision, present for every d
+    (0L until 6L).foreach { d =>
+      assert(pairs.exists(p => p._1 == 4 * d && p._2 == 4 * d + 1 && p._3 == 0),
+        s"re-encode twin pair missing for d=$d: ${pairs.toSeq}")
+    }
+  }
+
+  test("htmlMainText is a pure scalar op: streaming micro-batches == the batch result") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val pages = Seq(
+      (1L, "<html><body><nav><a>Home</a> <a>About</a></nav>" +
+        "<p>first real article body</p><footer>c 2024</footer></body></html>"),
+      (2L, "<html><head><title>t</title><body><h1>Second doc heading</h1>" +
+        "<p>second body paragraph text</p>"),
+      (3L, "<p><a>all</a> <a>links</a></p>"))
+    def extract(df: org.apache.spark.sql.DataFrame) =
+      df.select(F.col("id"),
+        graft.text.HtmlMainExtract.htmlMainText(
+          F.encode(F.col("html"), "UTF-8"),
+          F.lit("text/html; charset=utf-8")).as("main_text"))
+    val batch = extract(pages.toDF("id", "html"))
+      .as[(Long, String)].collect().toMap
+    val stream = MemoryStream[(Long, String)]
+    val q = extract(stream.toDF().toDF("id", "html"))
+      .writeStream.format("memory").queryName("main_text_stream")
+      .outputMode("append").start()
+    try {
+      stream.addData(pages.head)
+      q.processAllAvailable()
+      stream.addData(pages.tail: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("main_text_stream")
+      .as[(Long, String)].collect().toMap
+    assert(got == batch, s"streaming $got != batch $batch")
+    assert(batch(3L) == "") // the link farm drops in both paths
+  }
+
   // -------------------------------------------- URL host / domain keys
 
   test("Urls.hostOf/registrableDomain: hand cases cover every rule") {
