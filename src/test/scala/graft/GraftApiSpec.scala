@@ -303,6 +303,10 @@ class GraftApiSpec extends SparkSpec {
       "dedup_semantic_assign",    // dedup_semantic twin replays cells
       "dedup_semantic_ingest_cells", // ingest twin replays cells
       "doc_fingerprint_hashes",   // doc_fingerprint twin replays winnowing
+      "multimodal_image_phash_sig", // phash_dedup twin replays bands+hamming
+                                  // from this dump; the fixed-point DCT
+                                  // kernel is spec-gated (provable
+                                  // flat-zero/brightness invariances)
       "embedding_pca_components") // embedding_pca twin replays projections
                                   // from this mean+component dump; the
                                   // eigensolve is gated by
