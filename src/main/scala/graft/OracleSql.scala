@@ -1807,6 +1807,29 @@ object OracleSql {
          |WHERE doc_id % 20 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
          |ORDER BY doc_id""".stripMargin,
 
+    // fuzzy (near-dup) decontamination: exact cross-corpus word-3-gram
+    // Jaccard at 0.5 between the train and eval splits — the Spark
+    // side's exact verify makes precision 1.0, so equality == full
+    // LSH recall on the broadcast-probe path
+    "decontaminate_fuzzy" ->
+      s"""WITH tk AS (SELECT doc_id, ${toks("text")} AS tl FROM documents),
+         |sh AS (SELECT DISTINCT doc_id,
+         |         unnest([tl[i] || ' ' || tl[i+1] || ' ' || tl[i+2]
+         |                 for i in generate_series(1, greatest(len(tl) - 2, 0))]) AS sh
+         |       FROM tk),
+         |n AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |i AS (SELECT a.doc_id AS id, b.doc_id AS eval_id, count(*) AS ni
+         |      FROM sh a JOIN sh b ON a.sh = b.sh
+         |      WHERE a.doc_id % 20 <> 0 AND b.doc_id % 20 = 0
+         |      GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT id, eval_id, jaccard FROM (
+         |    SELECT id, eval_id,
+         |           CAST(ni AS DOUBLE) / CAST(n1.sz + n2.sz - ni AS DOUBLE) AS jaccard
+         |    FROM i JOIN n n1 ON id = n1.doc_id JOIN n n2 ON eval_id = n2.doc_id)
+         |  WHERE jaccard >= 0.5)
+         |SELECT id, eval_id, jaccard FROM pairs ORDER BY id, eval_id""".stripMargin,
+
     // the wired queries compute pairs via banded LSH + exact verify; the
     // oracles are the EXACT pair join, so the parity gate doubles as a
     // per-round full-recall check on the scale path — both on the

@@ -1183,6 +1183,23 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  private def decontaminateFuzzy(t: Tables): DataFrame = {
+    // fuzzy (near-dup) decontamination at Jaccard >= 0.5: the
+    // paraphrased-leak check the exact shared-shingle count
+    // under-reports; the eval side (5% split) broadcasts — bands AND
+    // shingle sets — so the corpus never shuffles on content. The
+    // corpus' planted dup clusters straddle the split by construction,
+    // so genuine cross-split near-dups exist at every gate SF; twin
+    // replays exact cross-corpus Jaccard (precision 1.0 ⇒ equality ==
+    // full LSH recall)
+    val eval = t.documents.where(F.col("doc_id") % 20 === 0)
+    val train = t.documents.where(F.col("doc_id") % 20 =!= 0)
+    dedup.Decontaminate.fuzzyOverlap(train, "doc_id", "text",
+      eval, "doc_id", "text", k = 3, numHashes = 128, bands = 32,
+      threshold = 0.5)
+      .orderBy("id", "eval_id")
+  }
+
   // degenerate-bucket guard for the embedding band self-join, ON in the
   // wired query (the minhash bucketCap's twin — see Ann.cosinePairsLsh)
   private[graft] val EmbeddingBucketCap = Some(1000L)
@@ -3937,6 +3954,7 @@ object SparkEntry {
       "dedup_embedding_lsh_hi" -> q(dedupEmbeddingLshHi),
       "decontaminate" -> q(decontaminate),
       "decontaminate_clean" -> q(decontaminateClean),
+      "decontaminate_fuzzy" -> q(decontaminateFuzzy),
       "boilerplate_ngrams" -> q(boilerplateNgrams),
       "dedup_spans" -> q(dedupSpans),
       "dedup_spans_clean" -> q(dedupSpansClean),

@@ -56,4 +56,65 @@ object Decontaminate {
       .select(F.col(idCol))
     docs.join(bad, Seq(idCol), "left_anti")
   }
+
+  /** FUZZY decontamination (r17): [[overlap]]'s shared-shingle count
+    * catches verbatim leakage but under-reports paraphrased or
+    * lightly-edited benchmark text (a doc sharing 3 scattered k-grams
+    * scores like one sharing a whole contiguous answer). This is the
+    * document-LEVEL fuzzy check — Lee et al.-style near-dup matching
+    * against the benchmark: training docs whose k-gram Jaccard with
+    * SOME eval doc clears `threshold`.
+    *
+    * Scale shape (deliberately asymmetric, NOT minhashLsh's
+    * self-join): the eval side is benchmark-sized, so BOTH its banded
+    * MinHash signatures and its shingle-hash sets BROADCAST; the
+    * training corpus bands map-side, probes the broadcast buckets
+    * map-side, and verifies candidates by exact Jaccard (merge-scan
+    * over sorted hash arrays) against the broadcast eval sets — the
+    * corpus is scanned twice and never shuffled on content; the only
+    * exchange is the candidate distinct, bounded by band collisions.
+    *
+    * Output: (id, eval_id, jaccard) per contaminated (train, eval)
+    * pair at jaccard ≥ threshold — precision 1.0 (exact verify), so
+    * an exact-Jaccard oracle gates full LSH recall, the
+    * dedup_minhash contract.
+    */
+  def fuzzyOverlap(docs: DataFrame, idCol: String, textCol: String,
+                   eval: DataFrame, evalIdCol: String, evalTextCol: String,
+                   k: Int = 3, numHashes: Int = 128, bands: Int = 32,
+                   threshold: Double = 0.8): DataFrame = {
+    val docBanded = Dedup.minhashBanded(docs, idCol, textCol, k,
+      numHashes, bands)
+    val evalBanded = Dedup.minhashBanded(eval, evalIdCol, evalTextCol, k,
+      numHashes, bands).withColumnRenamed("id", "eval_id")
+    val cands = docBanded
+      .join(F.broadcast(evalBanded), Seq("band", "key"))
+      .select(F.col("id"), F.col("eval_id")).distinct()
+    val trainSets = Dedup.docShingleSets(docs, idCol, textCol, k)
+    val evalSets = Dedup.docShingleSets(eval, evalIdCol, evalTextCol, k)
+      .select(F.col("id").as("eval_id"), F.col("shs").as("eshs"),
+        F.col("sz").as("esz"))
+    cands.join(trainSets, "id")
+      .join(F.broadcast(evalSets), "eval_id")
+      .withColumn("ni", graft.functions.HashExprs.sortedIntersectCount(
+        F.col("shs"), F.col("eshs")))
+      .select(F.col("id"), F.col("eval_id"),
+        (F.col("ni").cast("double") /
+          (F.col("sz") + F.col("esz") - F.col("ni")).cast("double"))
+          .as("jaccard"))
+      .where(F.col("jaccard") >= threshold)
+  }
+
+  /** The fuzzily-decontaminated corpus: docs with NO eval near-match
+    * at the threshold (anti join against the small flagged-id set).
+    */
+  def fuzzyClean(docs: DataFrame, idCol: String, textCol: String,
+                 eval: DataFrame, evalIdCol: String, evalTextCol: String,
+                 k: Int = 3, numHashes: Int = 128, bands: Int = 32,
+                 threshold: Double = 0.8): DataFrame = {
+    val bad = fuzzyOverlap(docs, idCol, textCol,
+      eval, evalIdCol, evalTextCol, k, numHashes, bands, threshold)
+      .select(F.col("id").as(idCol)).distinct()
+    docs.join(bad, Seq(idCol), "left_anti")
+  }
 }

@@ -276,6 +276,38 @@ class R17OpsSpec extends SparkSpec {
     assert(ex.getMessage.contains("quadratic"), ex.getMessage)
   }
 
+  // ------------------------------------------ fuzzy decontamination
+
+  test("fuzzyOverlap: finds paraphrased eval leaks exact shingle-count scoring underweights") {
+    import graft.dedup.Decontaminate
+    val eval = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog tonight"),
+      (101L, "completely unrelated benchmark prompt about chemistry"))
+      .toDF("eid", "etext")
+    val train = Seq(
+      // light edit of eval 100 — a fuzzy leak (high Jaccard)
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      // shares only one scattered 3-gram with eval 100 — not a leak
+      (2L, "a quick brown fox appears in many corpora worldwide"),
+      (3L, "clean training document with no benchmark overlap at all"))
+      .toDF("id", "text")
+    val hits = Decontaminate.fuzzyOverlap(train, "id", "text",
+      eval, "eid", "etext", k = 3, threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+    assert(hits.map(h => (h._1, h._2)).toSet == Set((1L, 100L)),
+      s"only the light edit clears 0.5: ${hits.toSeq}")
+    assert(hits.head._3 > 0.5 && hits.head._3 < 1.0)
+    val clean = Decontaminate.fuzzyClean(train, "id", "text",
+      eval, "eid", "etext", k = 3, threshold = 0.5)
+      .select("id").as[Long].collect().toSet
+    assert(clean == Set(2L, 3L))
+    // the eval side broadcasts — the corpus never shuffles on content
+    val plan = Decontaminate.fuzzyOverlap(train, "id", "text",
+      eval, "eid", "etext", k = 3, threshold = 0.5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   // ------------------------------------------------ pHash (DCT hash)
 
   test("ImageHash.dctBasis: every non-DC row sums to exactly zero (the invariance lemma)") {
