@@ -3096,6 +3096,53 @@ object OracleSql {
          |SELECT id1, id2, CAST(bit_count(xor(s1, s2)) AS BIGINT) AS hamming
          |FROM p WHERE bit_count(xor(s1, s2)) <= 3 ORDER BY id1, id2""".stripMargin,
 
+    // audio energy-envelope hash: FULL closed-form replay (the image
+    // dhash_sig standard) — per clip variant, frame -> bin floor rule
+    // -> |sample| sums (volume x2 / bin-32 +500 / stereo x2 arms) ->
+    // cross-multiply sign bits -> signed 64-bit assembly
+    "multimodal_audio_dedup_sig" ->
+      """WITH clips AS (SELECT doc_id, kind, doc_id * 4 + kind AS id,
+        |                      doc_id % 200 + 65 AS frames
+        |               FROM documents
+        |               CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS kind)),
+        |fr AS (SELECT id, kind, frames,
+        |              unnest(generate_series(0, frames - 1)) AS f
+        |       FROM clips),
+        |b AS (SELECT id, kind, bin,
+        |             abs((f * 37 + (id // 4) * 11) % 4001 - 2000) *
+        |               (1 + hh * hh // 1000 % 7) AS av
+        |      FROM (SELECT id, kind, f, bin,
+        |              ((id // 4) * 65 + bin + 1) * 2654435761 % 999983 AS hh
+        |            FROM (SELECT id, kind, f, (f * 65) // frames AS bin FROM fr))),
+        |cells AS (SELECT id, bin,
+        |    sum(CASE kind WHEN 0 THEN av WHEN 1 THEN 2 * av
+        |        WHEN 2 THEN av + CASE WHEN bin = 32 THEN 500 ELSE 0 END
+        |        ELSE 2 * av END) AS sab,
+        |    sum(CASE WHEN kind = 3 THEN 2 ELSE 1 END) AS n
+        |          FROM b GROUP BY id, kind, bin),
+        |bits AS (SELECT l.id, l.bin AS i,
+        |                CASE WHEN r.sab * l.n > l.sab * r.n THEN 1 ELSE 0 END AS bit
+        |         FROM cells l JOIN cells r
+        |           ON l.id = r.id AND r.bin = l.bin + 1
+        |         WHERE l.bin <= 63)
+        |SELECT id, CAST(sum(CASE WHEN bit = 0 THEN 0
+        |    WHEN i = 63 THEN -9223372036854775808
+        |    ELSE (1::BIGINT << i) END) AS BIGINT) AS ahash
+        |FROM bits GROUP BY id ORDER BY id""".stripMargin,
+
+    // audio near-dup pairs: bands + hamming replayed from the
+    // (independently closed-form-gated) sig dump
+    "multimodal_audio_dedup" ->
+      s"""WITH s AS (SELECT id, ahash
+         |           FROM read_parquet('__VERIFY_OUT__/multimodal_audio_dedup_sig/*.parquet')),
+         |b AS (SELECT id, ahash, band, ahash & ($simhashMaskCase) AS key
+         |      FROM s CROSS JOIN (SELECT unnest($simhashBandList) AS band)),
+         |p AS (SELECT DISTINCT a.id AS id1, c.id AS id2,
+         |             a.ahash AS s1, c.ahash AS s2
+         |      FROM b a JOIN b c ON a.band = c.band AND a.key = c.key AND a.id < c.id)
+         |SELECT id1, id2, CAST(bit_count(xor(s1, s2)) AS BIGINT) AS hamming
+         |FROM p WHERE bit_count(xor(s1, s2)) <= 3 ORDER BY id1, id2""".stripMargin,
+
     // pHash pairs: the dedup_simhash materialized-signature trick —
     // bands + hamming replayed from the phash _sig dump (the fixed-
     // point DCT itself is spec-gated: provable flat-zero/brightness/

@@ -2403,6 +2403,30 @@ object SparkEntry {
       .withColumn("hamming", F.col("hamming").cast("long"))
       .orderBy("id1", "id2")
 
+  private def audioCorpus(t: Tables): DataFrame =
+    BinaryMeta.syntheticAudioCorpus(t.documents.select("doc_id"), "doc_id")
+
+  private def multimodalAudioDedupSig(t: Tables): DataFrame =
+    // 64-bit audio energy-envelope hash per clip (r17 — the image
+    // dHash idea in 1D over 65 proportional time bins; no division
+    // anywhere, so volume-scaling and channel-replication invariance
+    // are provable and the remaster twins collide by construction).
+    // The twin replays EVERY hash from the closed-form waveforms —
+    // frame -> bin floor rule -> |sample| sums -> cross-multiply sign
+    // bits -> signed 64-bit assembly — so a hash match gates the WAV
+    // chunk walk, the 16-bit PCM scan, the proportional binning, and
+    // the bit order, codec-free (the image-dHash oracle standard)
+    multimodal.AudioHash.audioHashDf(audioCorpus(t), "id").orderBy("id")
+
+  private def multimodalAudioDedup(t: Tables): DataFrame =
+    // near-dup clip pairs at hamming <= 3 via the shared pigeonhole
+    // band join; volume-doubled and stereo remasters collide at 0 BY
+    // CONSTRUCTION, the bin-32-boosted twin within 2; twin replays
+    // bands+hamming from the (independently closed-form-gated) sig row
+    multimodal.AudioHash.audioHashPairs(audioCorpus(t), "id", maxHamming = 3)
+      .withColumn("hamming", F.col("hamming").cast("long"))
+      .orderBy("id1", "id2")
+
   private def multimodalJpeg(t: Tables): DataFrame =
     // REAL JPEG DC-only baseline decode (r10, r8 verdict #4): each
     // document gets a genuine JFIF payload — real DQT/DHT/SOF0/SOS
@@ -4064,6 +4088,8 @@ object SparkEntry {
       "multimodal_image_dedup_idx" -> q(multimodalImageDedupIdx),
       "multimodal_image_phash_sig" -> q(multimodalImagePhashSig),
       "multimodal_image_phash_dedup" -> q(multimodalImagePhashDedup),
+      "multimodal_audio_dedup_sig" -> q(multimodalAudioDedupSig),
+      "multimodal_audio_dedup" -> q(multimodalAudioDedup),
       "multimodal_jpeg_color" -> q(multimodalJpegColor),
       "multimodal_features" -> q(multimodalFeatures),
       "multimodal_resize" -> q(multimodalResize),

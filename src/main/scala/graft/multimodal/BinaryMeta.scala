@@ -597,6 +597,60 @@ object BinaryMeta {
       }(enc)
   }
 
+  /** Near-dup AUDIO fixture corpus (r17, for perceptual clip dedup —
+    * the [[syntheticImageCorpus]] pattern in one dimension): FOUR real
+    * 16-bit PCM WAV clips per input id `d`, every waveform closed-form
+    * so a SQL twin replays the whole [[AudioHash]] pipeline —
+    *  - 4d   base: mono 8 kHz, frames = d%200+65 (≥ 65: no empty
+    *         bins), v(f) = raw(f) · m(d, bin(f)) — raw = (f·37 +
+    *         d·11) % 4001 − 2000 and m = 1 + (h²/1000) % 7 with
+    *         h = ((d·65 + bin + 1)·2654435761) % 999983 — a
+    *         per-(doc, bin) ENERGY ENVELOPE in 1..7; the SQUARED-hash
+    *         mix decorrelates envelopes across docs (an affine-in-bin
+    *         envelope makes every doc a shifted copy of one
+    *         quasi-periodic sequence and near-collisions degenerate
+    *         the pair space); |v| ≤ 14000
+    *  - 4d+1 volume-doubled remaster: 2·v (≤ ±28000, no clipping) —
+    *         hash EQUAL by the provable scaling invariance
+    *  - 4d+2 near-dup: frames pooling into bin 32 get |v| raised by
+    *         exactly 500 (v ≥ 0 → +500, else −500) — only the two
+    *         comparisons touching bin 32 can flip, hamming ≤ 2 BY
+    *         CONSTRUCTION
+    *  - 4d+3 stereo remaster: each frame's sample duplicated to two
+    *         channels — hash EQUAL by the replication invariance
+    * Cross-id clips use unrelated phases — far in hash space.
+    */
+  def syntheticAudioCorpus(df: DataFrame, idCol: String): DataFrame = {
+    val out = StructType(Seq(
+      StructField("id", LongType),
+      StructField("blob", BinaryType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(out)
+    df.select(F.col(idCol).cast("long").as("id"))
+      .where(F.col("id").isNotNull && F.col("id") >= 0)
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val d = r.getLong(0)
+          val frames = (d % 200 + 65).toInt
+          def m(bin: Long): Int = {
+            val hh = (d * 65 + bin + 1) * 2654435761L % 999983
+            (1 + hh * hh / 1000 % 7).toInt
+          }
+          def v(f: Long): Int =
+            (((f * 37 + d * 11) % 4001 - 2000) * m(f * 65 / frames)).toInt
+          val base = WavCodec.encode(8000, 1, frames, v)
+          val loud = WavCodec.encode(8000, 1, frames, f => 2 * v(f))
+          val nearDup = WavCodec.encode(8000, 1, frames, { f =>
+            val x = v(f)
+            if (f * 65 / frames == 32) { if (x >= 0) x + 500 else x - 500 }
+            else x
+          })
+          val stereo = WavCodec.encode(8000, 2, frames, s => v(s / 2))
+          Seq(Row(4 * d, base), Row(4 * d + 1, loud),
+            Row(4 * d + 2, nearDup), Row(4 * d + 3, stereo))
+        }
+      }(enc)
+  }
+
   /** REAL batched WAV PCM decode via mapPartitions ([[WavCodec
     * .decodeStats]]): container chunk walk + sample scan emitting
     * per-clip exact integer aggregates — the metadata/quality-pass

@@ -276,6 +276,52 @@ class R17OpsSpec extends SparkSpec {
     assert(ex.getMessage.contains("quadratic"), ex.getMessage)
   }
 
+  // ------------------------------------------------ audio energy hash
+
+  test("AudioHash: volume and channel-replication invariance are bit-exact; boost flips <= 2") {
+    import graft.multimodal.{AudioHash, WavCodec}
+    val frames = 130
+    def v(f: Long): Int = ((f * 37 + 11) % 4001 - 2000).toInt
+    val base = AudioHash.audioHash64(WavCodec.encode(8000, 1, frames, v))
+    assert(base != null && base != 0L)
+    // x2 volume (no clipping at <=4000): both cross-multiply sides
+    // scale by 2 -> identical hash
+    assert(AudioHash.audioHash64(
+      WavCodec.encode(8000, 1, frames, f => 2 * v(f))) == base)
+    // mono -> stereo duplicate: sumAbs and nSamples both double
+    assert(AudioHash.audioHash64(
+      WavCodec.encode(8000, 2, frames, s => v(s / 2))) == base)
+    // raising |v| by 500 in bin 32 touches only comparisons 31 and 32
+    val boosted = AudioHash.audioHash64(WavCodec.encode(8000, 1, frames, { f =>
+      val x = v(f)
+      if (f * 65 / frames == 32) { if (x >= 0) x + 500 else x - 500 } else x
+    }))
+    assert(java.lang.Long.bitCount(base ^ boosted) <= 2)
+    // different material is far; garbage is null
+    val other = AudioHash.audioHash64(
+      WavCodec.encode(8000, 1, frames, f => ((f * 97 + 5) % 3001 - 1500).toInt))
+    assert(other != base)
+    assert(AudioHash.audioHash64("nope".getBytes("UTF-8")) == null)
+  }
+
+  test("audioHashDf/audioHashPairs: codegen'd; remaster twins pair at hamming 0") {
+    import graft.multimodal.{AudioHash, BinaryMeta}
+    val corpus = BinaryMeta.syntheticAudioCorpus(
+      (0L until 6L).toDF("doc_id"), "doc_id")
+    val sigs = AudioHash.audioHashDf(corpus, "id")
+    assert(!sigs.queryExecution.executedPlan.toString.contains("CodegenFallback"))
+    val pairs = AudioHash.audioHashPairs(corpus, "id", maxHamming = 3)
+      .as[(Long, Long, Int)].collect()
+    (0L until 6L).foreach { d =>
+      assert(pairs.exists(p => p._1 == 4 * d && p._2 == 4 * d + 1 && p._3 == 0),
+        s"volume twin missing for d=$d")
+      assert(pairs.exists(p => p._1 == 4 * d && p._2 == 4 * d + 3 && p._3 == 0),
+        s"stereo twin missing for d=$d")
+      assert(pairs.exists(p => p._1 == 4 * d && p._2 == 4 * d + 2 && p._3 <= 2),
+        s"boosted near-dup missing for d=$d")
+    }
+  }
+
   // ------------------------------------------ fuzzy decontamination
 
   test("fuzzyOverlap: finds paraphrased eval leaks exact shingle-count scoring underweights") {
