@@ -3143,6 +3143,65 @@ object OracleSql {
          |SELECT id1, id2, CAST(bit_count(xor(s1, s2)) AS BIGINT) AS hamming
          |FROM p WHERE bit_count(xor(s1, s2)) <= 3 ORDER BY id1, id2""".stripMargin,
 
+    // temporal luminance-envelope hash: FULL closed-form replay — the
+    // per-frame texture sum is FRAME-INDEPENDENT (same canonical
+    // sample range every frame), so it computes once per doc; the
+    // per-(doc, bin) envelope and the per-arm (+39 grade / bin-32 +25
+    // boost / x4 upscale) adjustments are exact integer terms
+    "multimodal_video_dedup_sig" ->
+      """WITH d AS (SELECT doc_id, 4 * (doc_id % 3 + 1) AS w,
+        |                  doc_id % 6 + 2 AS h, doc_id % 80 + 65 AS nf
+        |           FROM documents),
+        |tex AS (SELECT doc_id, sum((s * 31 + doc_id * 7) % 97) AS texsum
+        |        FROM (SELECT doc_id, unnest(generate_series(0, 3 * w * h - 1)) AS s
+        |              FROM d)
+        |        GROUP BY doc_id),
+        |clips AS (SELECT doc_id, kind, doc_id * 4 + kind AS id,
+        |                 3 * w * h AS s0, nf
+        |          FROM d CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS kind)),
+        |fr AS (SELECT id, kind, doc_id, s0, nf,
+        |              unnest(generate_series(0, nf - 1)) AS f
+        |       FROM clips),
+        |fb AS (SELECT id, kind, doc_id, s0, (f * 65) // nf AS bin FROM fr),
+        |fe AS (SELECT id, kind, doc_id, s0, bin,
+        |              hh * hh // 1000 % 7 AS env
+        |       FROM (SELECT id, kind, doc_id, s0, bin,
+        |               (doc_id * 65 + bin + 1) * 2654435761 % 999983 AS hh
+        |             FROM fb)),
+        |fs AS (SELECT fe.id, fe.bin,
+        |    CASE fe.kind
+        |      WHEN 0 THEN t.texsum + fe.s0 * 20 * fe.env
+        |      WHEN 1 THEN t.texsum + fe.s0 * (20 * fe.env + 39)
+        |      WHEN 2 THEN t.texsum + fe.s0 * (20 * fe.env +
+        |                    CASE WHEN fe.bin = 32 THEN 25 ELSE 0 END)
+        |      ELSE 4 * (t.texsum + fe.s0 * 20 * fe.env) END AS fsum,
+        |    CASE WHEN fe.kind = 3 THEN 4 * fe.s0 ELSE fe.s0 END AS fn
+        |       FROM fe JOIN tex t ON fe.doc_id = t.doc_id),
+        |cells AS (SELECT id, bin, sum(fsum) AS su, sum(fn) AS n
+        |          FROM fs GROUP BY id, bin),
+        |bits AS (SELECT l.id, l.bin AS i,
+        |                CASE WHEN r.su * l.n > l.su * r.n THEN 1 ELSE 0 END AS bit
+        |         FROM cells l JOIN cells r
+        |           ON l.id = r.id AND r.bin = l.bin + 1
+        |         WHERE l.bin <= 63)
+        |SELECT id, CAST(sum(CASE WHEN bit = 0 THEN 0
+        |    WHEN i = 63 THEN -9223372036854775808
+        |    ELSE (1::BIGINT << i) END) AS BIGINT) AS vhash
+        |FROM bits GROUP BY id ORDER BY id""".stripMargin,
+
+    // video near-dup pairs: bands + hamming replayed from the
+    // closed-form-gated sig dump
+    "multimodal_video_dedup" ->
+      s"""WITH s AS (SELECT id, vhash
+         |           FROM read_parquet('__VERIFY_OUT__/multimodal_video_dedup_sig/*.parquet')),
+         |b AS (SELECT id, vhash, band, vhash & ($simhashMaskCase) AS key
+         |      FROM s CROSS JOIN (SELECT unnest($simhashBandList) AS band)),
+         |p AS (SELECT DISTINCT a.id AS id1, c.id AS id2,
+         |             a.vhash AS s1, c.vhash AS s2
+         |      FROM b a JOIN b c ON a.band = c.band AND a.key = c.key AND a.id < c.id)
+         |SELECT id1, id2, CAST(bit_count(xor(s1, s2)) AS BIGINT) AS hamming
+         |FROM p WHERE bit_count(xor(s1, s2)) <= 3 ORDER BY id1, id2""".stripMargin,
+
     // pHash pairs: the dedup_simhash materialized-signature trick —
     // bands + hamming replayed from the phash _sig dump (the fixed-
     // point DCT itself is spec-gated: provable flat-zero/brightness/

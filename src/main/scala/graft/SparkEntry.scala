@@ -2427,6 +2427,29 @@ object SparkEntry {
       .withColumn("hamming", F.col("hamming").cast("long"))
       .orderBy("id1", "id2")
 
+  private def videoCorpus(t: Tables): DataFrame =
+    BinaryMeta.syntheticVideoCorpus(t.documents.select("doc_id"), "doc_id")
+
+  private def multimodalVideoDedupSig(t: Tables): DataFrame =
+    // 64-bit temporal luminance-envelope hash per clip (r17 — the
+    // hash family's temporal member: per-frame brightness curve over
+    // 65 proportional time bins, raw (sum, n) cross-multiply, no
+    // division → brightness-SHIFT and 2x-nearest-upscale invariance
+    // provable). The twin replays EVERY hash closed-form: per-doc
+    // texture sum (frame-independent) + per-(doc, bin) envelope →
+    // per-frame sums → bin pooling → sign bits → signed assembly —
+    // a hash match gates the RIFF/movi walk, the bottom-up DIB
+    // inversion, the pad-skip scan, and the bit order codec-free
+    multimodal.VideoHash.videoHashDf(videoCorpus(t), "id").orderBy("id")
+
+  private def multimodalVideoDedup(t: Tables): DataFrame =
+    // near-dup clip pairs at hamming <= 3 via the shared pigeonhole
+    // band join; graded (+39) and 2x-upscaled remasters collide at 0
+    // BY CONSTRUCTION, the bin-32-boosted twin within 2
+    multimodal.VideoHash.videoHashPairs(videoCorpus(t), "id", maxHamming = 3)
+      .withColumn("hamming", F.col("hamming").cast("long"))
+      .orderBy("id1", "id2")
+
   private def multimodalJpeg(t: Tables): DataFrame =
     // REAL JPEG DC-only baseline decode (r10, r8 verdict #4): each
     // document gets a genuine JFIF payload — real DQT/DHT/SOF0/SOS
@@ -4090,6 +4113,8 @@ object SparkEntry {
       "multimodal_image_phash_dedup" -> q(multimodalImagePhashDedup),
       "multimodal_audio_dedup_sig" -> q(multimodalAudioDedupSig),
       "multimodal_audio_dedup" -> q(multimodalAudioDedup),
+      "multimodal_video_dedup_sig" -> q(multimodalVideoDedupSig),
+      "multimodal_video_dedup" -> q(multimodalVideoDedup),
       "multimodal_jpeg_color" -> q(multimodalJpegColor),
       "multimodal_features" -> q(multimodalFeatures),
       "multimodal_resize" -> q(multimodalResize),

@@ -651,6 +651,67 @@ object BinaryMeta {
       }(enc)
   }
 
+  /** Near-dup VIDEO fixture corpus (r17 — the [[syntheticAudioCorpus]]
+    * pattern for the temporal hash): FOUR real AVI clips per input id
+    * `d`, every raster closed-form so a SQL twin replays the whole
+    * [[VideoHash]] pipeline —
+    *  - 4d   base: w = 4·(d%3+1) (multiple of 4 — no DIB row padding,
+    *         so the canonical sample index is dense), h = d%6+2,
+    *         nf = d%80+65 frames (≥ 65: no empty bins);
+    *         v(f, s) = tex(s) + 20·env(d, bin(f)) with
+    *         tex = (s·31 + d·7) % 97 and env = (hsh²/1000) % 7,
+    *         hsh = ((d·65 + bin + 1)·2654435761) % 999983 — the
+    *         squared-hash per-(doc, bin) LUMINANCE ENVELOPE
+    *         (decorrelated across docs, the audio-fixture lesson);
+    *         values ≤ 216
+    *  - 4d+1 graded remaster: +39 brightness on every pixel (≤ 255,
+    *         no clipping) — hash EQUAL by the provable shift
+    *         invariance
+    *  - 4d+2 near-dup: frames pooling into bin 32 get +25 per pixel —
+    *         only the two comparisons touching bin 32 can flip,
+    *         hamming ≤ 2 BY CONSTRUCTION
+    *  - 4d+3 2× nearest spatial upscale (2w × 2h, same frames) — hash
+    *         EQUAL by the provable ×4 (sum, n) scaling invariance
+    */
+  def syntheticVideoCorpus(df: DataFrame, idCol: String): DataFrame = {
+    val out = StructType(Seq(
+      StructField("id", LongType),
+      StructField("blob", BinaryType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(out)
+    df.select(F.col(idCol).cast("long").as("id"))
+      .where(F.col("id").isNotNull && F.col("id") >= 0)
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val d = r.getLong(0)
+          val w = (4 * (d % 3 + 1)).toInt
+          val h = (d % 6 + 2).toInt
+          val nf = (d % 80 + 65).toInt
+          def env(bin: Long): Int = {
+            val hh = (d * 65 + bin + 1) * 2654435761L % 999983
+            (hh * hh / 1000 % 7).toInt
+          }
+          def v(f: Int, s: Long): Int =
+            ((s * 31 + d * 7) % 97).toInt + 20 * env(f.toLong * 65 / nf)
+          val base = AviCodec.encode(w, h, nf, 33333L, v)
+          val graded = AviCodec.encode(w, h, nf, 33333L,
+            (f, s) => v(f, s) + 39)
+          val nearDup = AviCodec.encode(w, h, nf, 33333L, { (f, s) =>
+            v(f, s) + (if (f.toLong * 65 / nf == 32) 25 else 0)
+          })
+          val w2 = 2 * w
+          val upscale = AviCodec.encode(w2, 2 * h, nf, 33333L, { (f, s) =>
+            val c = (s % 3).toInt
+            val pix = s / 3
+            val x2 = pix % w2
+            val y2 = pix / w2
+            v(f, ((y2 / 2) * w + x2 / 2) * 3 + c)
+          })
+          Seq(Row(4 * d, base), Row(4 * d + 1, graded),
+            Row(4 * d + 2, nearDup), Row(4 * d + 3, upscale))
+        }
+      }(enc)
+  }
+
   /** REAL batched WAV PCM decode via mapPartitions ([[WavCodec
     * .decodeStats]]): container chunk walk + sample scan emitting
     * per-clip exact integer aggregates — the metadata/quality-pass

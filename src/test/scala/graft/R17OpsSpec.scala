@@ -322,6 +322,58 @@ class R17OpsSpec extends SparkSpec {
     }
   }
 
+  // --------------------------------------------- video temporal hash
+
+  test("VideoHash: brightness-shift and 2x-upscale invariance are bit-exact; boost <= 2") {
+    import graft.multimodal.{AviCodec, VideoHash}
+    val (w, h, nf) = (8, 3, 130)
+    def env(bin: Long): Int = {
+      val hh = (65 + bin + 1) * 2654435761L % 999983
+      (hh * hh / 1000 % 7).toInt
+    }
+    def v(f: Int, s: Long): Int =
+      ((s * 31 + 7) % 97).toInt + 20 * env(f.toLong * 65 / nf)
+    val base = VideoHash.videoHash64(AviCodec.encode(w, h, nf, 33333L, v))
+    assert(base != null && base != 0L)
+    // +39 on every pixel (no clipping): both cross-multiply sides gain
+    // the same 39*n(i)*n(i+1) term
+    assert(VideoHash.videoHash64(AviCodec.encode(w, h, nf, 33333L,
+      (f, s) => v(f, s) + 39)) == base)
+    // 2x nearest upscale: every pixel appears exactly 4 times
+    val up = AviCodec.encode(2 * w, 2 * h, nf, 33333L, { (f, s) =>
+      val c = (s % 3).toInt
+      val pix = s / 3
+      v(f, ((pix / (2 * w) / 2) * w + (pix % (2 * w)) / 2) * 3 + c)
+    })
+    assert(VideoHash.videoHash64(up) == base)
+    // +25 on bin-32 frames flips at most the two touching comparisons
+    val boosted = VideoHash.videoHash64(AviCodec.encode(w, h, nf, 33333L,
+      (f, s) => v(f, s) + (if (f.toLong * 65 / nf == 32) 25 else 0)))
+    assert(java.lang.Long.bitCount(base ^ boosted) <= 2)
+    // different material differs; garbage null
+    assert(VideoHash.videoHash64(AviCodec.encode(w, h, nf, 33333L,
+      (f, s) => ((s * 53 + f * 13 + 5) % 211).toInt)) != base)
+    assert(VideoHash.videoHash64("nope".getBytes("UTF-8")) == null)
+  }
+
+  test("videoHashDf/videoHashPairs: codegen'd; remaster twins pair at hamming 0") {
+    import graft.multimodal.{BinaryMeta, VideoHash}
+    val corpus = BinaryMeta.syntheticVideoCorpus(
+      (0L until 6L).toDF("doc_id"), "doc_id")
+    assert(!VideoHash.videoHashDf(corpus, "id")
+      .queryExecution.executedPlan.toString.contains("CodegenFallback"))
+    val pairs = VideoHash.videoHashPairs(corpus, "id", maxHamming = 3)
+      .as[(Long, Long, Int)].collect()
+    (0L until 6L).foreach { d =>
+      assert(pairs.exists(p => p._1 == 4 * d && p._2 == 4 * d + 1 && p._3 == 0),
+        s"graded twin missing for d=$d")
+      assert(pairs.exists(p => p._1 == 4 * d && p._2 == 4 * d + 3 && p._3 == 0),
+        s"upscale twin missing for d=$d")
+      assert(pairs.exists(p => p._1 == 4 * d && p._2 == 4 * d + 2 && p._3 <= 2),
+        s"boosted near-dup missing for d=$d")
+    }
+  }
+
   // ------------------------------------------ fuzzy decontamination
 
   test("fuzzyOverlap: finds paraphrased eval leaks exact shingle-count scoring underweights") {
