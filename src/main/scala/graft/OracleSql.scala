@@ -3149,8 +3149,8 @@ object OracleSql {
     // per-(doc, bin) envelope and the per-arm (+39 grade / bin-32 +25
     // boost / x4 upscale) adjustments are exact integer terms
     "multimodal_video_dedup_sig" ->
-      """WITH d AS (SELECT doc_id, 4 * (doc_id % 3 + 1) AS w,
-        |                  doc_id % 6 + 2 AS h, doc_id % 80 + 65 AS nf
+      """WITH d AS (SELECT doc_id, 4 AS w,
+        |                  doc_id % 4 + 2 AS h, doc_id % 80 + 65 AS nf
         |           FROM documents),
         |tex AS (SELECT doc_id, sum((s * 31 + doc_id * 7) % 97) AS texsum
         |        FROM (SELECT doc_id, unnest(generate_series(0, 3 * w * h - 1)) AS s

@@ -655,8 +655,8 @@ object BinaryMeta {
     * pattern for the temporal hash): FOUR real AVI clips per input id
     * `d`, every raster closed-form so a SQL twin replays the whole
     * [[VideoHash]] pipeline —
-    *  - 4d   base: w = 4·(d%3+1) (multiple of 4 — no DIB row padding,
-    *         so the canonical sample index is dense), h = d%6+2,
+    *  - 4d   base: w = 4 (multiple of 4 — no DIB row padding, so the
+    *         canonical sample index is dense), h = d%4+2,
     *         nf = d%80+65 frames (≥ 65: no empty bins);
     *         v(f, s) = tex(s) + 20·env(d, bin(f)) with
     *         tex = (s·31 + d·7) % 97 and env = (hsh²/1000) % 7,
@@ -683,15 +683,19 @@ object BinaryMeta {
       .mapPartitions { rows =>
         rows.flatMap { r =>
           val d = r.getLong(0)
-          val w = (4 * (d % 3 + 1)).toInt
-          val h = (d % 6 + 2).toInt
+          val w = 4
+          val h = (d % 4 + 2).toInt
           val nf = (d % 80 + 65).toInt
           def env(bin: Long): Int = {
             val hh = (d * 65 + bin + 1) * 2654435761L % 999983
             (hh * hh / 1000 % 7).toInt
           }
+          // per-frame envelope memo: the encoder calls value() once per
+          // SAMPLE, and recomputing bin/hash arithmetic 3wh times per
+          // frame tripled the fixture cost at sf0.1
+          val envByFrame = Array.tabulate(nf)(f => 20 * env(f.toLong * 65 / nf))
           def v(f: Int, s: Long): Int =
-            ((s * 31 + d * 7) % 97).toInt + 20 * env(f.toLong * 65 / nf)
+            ((s * 31 + d * 7) % 97).toInt + envByFrame(f)
           val base = AviCodec.encode(w, h, nf, 33333L, v)
           val graded = AviCodec.encode(w, h, nf, 33333L,
             (f, s) => v(f, s) + 39)
