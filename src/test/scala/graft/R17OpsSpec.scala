@@ -322,6 +322,34 @@ class R17OpsSpec extends SparkSpec {
     }
   }
 
+  test("hash-kernel fuzz: random/truncated/bit-flipped payloads never throw across all four kernels") {
+    import graft.multimodal.{AudioHash, AviCodec, ImageHash, PngCodec, VideoHash, WavCodec}
+    val rnd = new scala.util.Random(171717)
+    def valid(i: Int): Array[Byte] = (i % 3) match {
+      case 0 => PngCodec.encode(9, 7, 1, s => (s % 211).toInt)
+      case 1 => WavCodec.encode(8000, 1, 70, f => ((f * 13) % 801 - 400).toInt)
+      case _ => AviCodec.encode(4, 3, 70, 33333L, (f, s) => ((s + f) % 199).toInt)
+    }
+    (0 until 200).foreach { i =>
+      val payload = (i % 4) match {
+        case 0 => // pure garbage
+          val b = new Array[Byte](rnd.nextInt(300)); rnd.nextBytes(b); b
+        case 1 => // truncated valid container
+          val v = valid(i); java.util.Arrays.copyOf(v, rnd.nextInt(v.length + 1))
+        case 2 => // valid container with flipped bytes
+          val v = valid(i)
+          (0 until 5).foreach(_ => v(rnd.nextInt(v.length)) = rnd.nextInt(256).toByte)
+          v
+        case _ => valid(i)
+      }
+      // must return null or a value, never throw
+      ImageHash.dhash64(payload)
+      ImageHash.phash64(payload)
+      AudioHash.audioHash64(payload)
+      VideoHash.videoHash64(payload)
+    }
+  }
+
   // --------------------------------------------- video temporal hash
 
   test("VideoHash: brightness-shift and 2x-upscale invariance are bit-exact; boost <= 2") {
