@@ -52,6 +52,18 @@ for name in sorted(oracle):
     diffs = []
     for c in g.columns:
         gv, ev = g[c], e[c]
+        # The driver's hasher stringifies values verbatim, so an
+        # integer column on one side and a float on the other
+        # ("149174" vs "149174.0") hash-mismatches even when the
+        # values are numerically equal. parity must be at least as
+        # strict: an int-vs-float dtype divergence is a FAIL here,
+        # never silently coerced (r17's curate_domain_stats lesson —
+        # DuckDB HUGEINT sums surface as float64 in pandas).
+        gk, ek = gv.dtype.kind, ev.dtype.kind
+        if (gk in 'iu' and ek == 'f') or (gk == 'f' and ek in 'iu'):
+            diffs.append(f"{c}: dtype mismatch got {gv.dtype} want {ev.dtype} "
+                         "(int-vs-float diverges under the driver's hasher)")
+            continue
         if gv.dtype.kind == 'f' or ev.dtype.kind == 'f':
             gv2, ev2 = gv.astype(float), ev.astype(float)
             both_nan = gv2.isna() & ev2.isna()

@@ -1575,7 +1575,7 @@ object OracleSql {
         |  FROM documents)
         |SELECT domain, count(*) AS n_docs,
         |       count(DISTINCT host) AS n_hosts,
-        |       sum(n_chars) AS sum_chars
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM k GROUP BY domain ORDER BY domain""".stripMargin,
 
     // per-domain quota: the curate_take sampleKey replay partitioned
