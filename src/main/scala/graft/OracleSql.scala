@@ -3112,7 +3112,7 @@ object OracleSql {
         |             abs((f * 37 + (id // 4) * 11) % 4001 - 2000) *
         |               (1 + hh * hh // 1000 % 7) AS av
         |      FROM (SELECT id, kind, f, bin,
-        |              ((id // 4) * 65 + bin + 1) * 2654435761 % 999983 AS hh
+        |              ((id // 4) * 65 + bin + 1) % 999983 * 2654435761 % 999983 AS hh
         |            FROM (SELECT id, kind, f, (f * 65) // frames AS bin FROM fr))),
         |cells AS (SELECT id, bin,
         |    sum(CASE kind WHEN 0 THEN av WHEN 1 THEN 2 * av
@@ -3166,7 +3166,7 @@ object OracleSql {
         |fe AS (SELECT id, kind, doc_id, s0, bin,
         |              hh * hh // 1000 % 7 AS env
         |       FROM (SELECT id, kind, doc_id, s0, bin,
-        |               (doc_id * 65 + bin + 1) * 2654435761 % 999983 AS hh
+        |               (doc_id * 65 + bin + 1) % 999983 * 2654435761 % 999983 AS hh
         |             FROM fb)),
         |fs AS (SELECT fe.id, fe.bin,
         |    CASE fe.kind

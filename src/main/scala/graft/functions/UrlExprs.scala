@@ -118,8 +118,12 @@ object Urls {
       else if (!port0.forall(c => c >= '0' && c <= '9')) return null
       else {
         val stripped = port0.dropWhile(_ == '0')
-        val canon = if (stripped.isEmpty) "0" else stripped
-        if (canon == defPort) "" else ":" + canon
+        // RFC 3986 authority validity: a port outside 1..65535 is not
+        // a URL (the same NULL-for-non-URLs contract the rest of the
+        // kernel enforces), not a canonicalizable oddity.
+        if (stripped.isEmpty || stripped.length > 5 || stripped.toInt > 65535)
+          return null
+        if (stripped == defPort) "" else ":" + stripped
       }
     val qi = tail.indexOf('?')
     val (path0, query0) =
@@ -146,7 +150,14 @@ object Urls {
     val c = canonicalize(raw)
     if (c == null) return null
     val start = c.indexOf("://") + 3
+    // A bracketed IPv6 literal contains ':' inside the brackets, so
+    // the terminator scan must first consume to the matching ']'.
     var end = start
+    if (end < c.length && c.charAt(end) == '[') {
+      while (end < c.length && c.charAt(end) != ']') end += 1
+      if (end < c.length) end += 1 // include the ']'
+      return c.substring(start, end)
+    }
     while (end < c.length && c.charAt(end) != '/' && c.charAt(end) != ':' &&
       c.charAt(end) != '?') end += 1
     c.substring(start, end)
@@ -183,8 +194,10 @@ object Urls {
   def registrableDomain(raw: String): String = {
     val host = hostOf(raw)
     if (host == null) return null
-    // IP literals (v4 dotted-quad or bracketless v6 won't match the
-    // digits+dots shape) group as themselves
+    // IP literals group as themselves: v4 dotted-quads match the
+    // digits+dots shape, bracketed v6 literals keep their brackets
+    // (splitting one on '.' would shred v4-mapped forms).
+    if (host.startsWith("[")) return host
     if (host.forall(c => (c >= '0' && c <= '9') || c == '.')) return host
     val labels = host.split('.')
     if (labels.length <= 2) return host

@@ -597,6 +597,17 @@ object BinaryMeta {
       }(enc)
   }
 
+  /** Per-(doc, bin) fixture envelope hash shared by the audio and
+    * video near-dup corpora and replayed closed-form by their SQL
+    * twins: reduce mod 999983 BEFORE the Knuth multiply, so the
+    * product stays < 2^52 and the Scala Long agrees with the DuckDB
+    * BIGINT twin at ANY doc id (an unreduced multiply wraps Long
+    * silently here but raises an overflow error in DuckDB once
+    * doc_id exceeds ~5.3e7 — an undocumented scale ceiling).
+    */
+  private[graft] def envelopeHash(d: Long, bin: Long): Long =
+    (d * 65 + bin + 1) % 999983 * 2654435761L % 999983
+
   /** Near-dup AUDIO fixture corpus (r17, for perceptual clip dedup —
     * the [[syntheticImageCorpus]] pattern in one dimension): FOUR real
     * 16-bit PCM WAV clips per input id `d`, every waveform closed-form
@@ -604,7 +615,7 @@ object BinaryMeta {
     *  - 4d   base: mono 8 kHz, frames = d%200+65 (≥ 65: no empty
     *         bins), v(f) = raw(f) · m(d, bin(f)) — raw = (f·37 +
     *         d·11) % 4001 − 2000 and m = 1 + (h²/1000) % 7 with
-    *         h = ((d·65 + bin + 1)·2654435761) % 999983 — a
+    *         h = ((d·65 + bin + 1) % 999983)·2654435761 % 999983 — a
     *         per-(doc, bin) ENERGY ENVELOPE in 1..7; the SQUARED-hash
     *         mix decorrelates envelopes across docs (an affine-in-bin
     *         envelope makes every doc a shifted copy of one
@@ -631,10 +642,8 @@ object BinaryMeta {
         rows.flatMap { r =>
           val d = r.getLong(0)
           val frames = (d % 200 + 65).toInt
-          def m(bin: Long): Int = {
-            val hh = (d * 65 + bin + 1) * 2654435761L % 999983
-            (1 + hh * hh / 1000 % 7).toInt
-          }
+          def m(bin: Long): Int =
+            (1 + { val hh = envelopeHash(d, bin); hh * hh / 1000 % 7 }).toInt
           def v(f: Long): Int =
             (((f * 37 + d * 11) % 4001 - 2000) * m(f * 65 / frames)).toInt
           val base = WavCodec.encode(8000, 1, frames, v)
@@ -660,7 +669,7 @@ object BinaryMeta {
     *         nf = d%80+65 frames (≥ 65: no empty bins);
     *         v(f, s) = tex(s) + 20·env(d, bin(f)) with
     *         tex = (s·31 + d·7) % 97 and env = (hsh²/1000) % 7,
-    *         hsh = ((d·65 + bin + 1)·2654435761) % 999983 — the
+    *         hsh = ((d·65 + bin + 1) % 999983)·2654435761 % 999983 — the
     *         squared-hash per-(doc, bin) LUMINANCE ENVELOPE
     *         (decorrelated across docs, the audio-fixture lesson);
     *         values ≤ 216
@@ -686,10 +695,8 @@ object BinaryMeta {
           val w = 4
           val h = (d % 4 + 2).toInt
           val nf = (d % 80 + 65).toInt
-          def env(bin: Long): Int = {
-            val hh = (d * 65 + bin + 1) * 2654435761L % 999983
-            (hh * hh / 1000 % 7).toInt
-          }
+          def env(bin: Long): Int =
+            { val hh = envelopeHash(d, bin); hh * hh / 1000 % 7 }.toInt
           // per-frame envelope memo: the encoder calls value() once per
           // SAMPLE, and recomputing bin/hash arithmetic 3wh times per
           // frame tripled the fixture cost at sf0.1

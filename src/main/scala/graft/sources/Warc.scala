@@ -165,8 +165,10 @@ object Warc {
     * `_tmp-part-NNNNN-attempt-K` path and RENAMEs into place only on
     * success, so a retried or speculative duplicate attempt can never
     * interleave bytes into the final file; the first attempt to
-    * commit wins (a later rename onto an existing final part is a
-    * no-op delete of its temp — both attempts wrote identical bytes
+    * commit wins (a later attempt sees the committed part and
+    * discards its temp; on local FS — where rename overwrites with
+    * POSIX semantics — the residual exists->rename window is
+    * byte-transparent because both attempts wrote identical bytes
     * for a deterministic input). Failed-attempt temps are cleaned
     * best-effort on the failure path and are ignored by [[readWarc]]
     * callers globbing `part-*.warc.gz`.
@@ -218,9 +220,17 @@ object Warc {
             bo.writeTo(out)
           }
           out.close()
-          // commit: rename into place; losing the race to an earlier
-          // successful attempt just discards this attempt's temp
-          if (!fs.rename(tmpPath, finalPath)) {
+          // commit: rename into place. HDFS rename refuses an existing
+          // destination (true first-wins); RawLocalFileSystem renames
+          // with POSIX overwrite semantics, so a late duplicate attempt
+          // would silently REPLACE the committed part and a reader
+          // racing the overwrite could see a torn file. The exists()
+          // check narrows that window to the exists->rename gap (and
+          // both attempts wrote identical bytes for a deterministic
+          // input, so even the residual race is byte-transparent).
+          if (fs.exists(finalPath)) {
+            fs.delete(tmpPath, false) // lost the commit race: discard
+          } else if (!fs.rename(tmpPath, finalPath)) {
             if (fs.exists(finalPath))
               fs.delete(tmpPath, false) // lost the commit race: discard
             else

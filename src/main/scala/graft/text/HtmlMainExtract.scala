@@ -36,7 +36,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *  3. BLOCK CLASSIFICATION — a block is KEPT iff
   *       (a) `3 * linkChars <= totalChars` (link density ≤ 1/3,
   *           exact integer test; chars = non-space chars of the
-  *           collapsed text, linkChars = those inside `<a>`), and
+  *           collapsed text, linkChars = those inside `<a>` — the
+  *           anchor state survives block boundaries, so an anchor
+  *           wrapping block-level content (`<a><div>…</div></a>`,
+  *           the card-link pattern) counts in every block it spans;
+  *           a new `<a>` auto-closes any open one, the browser
+  *           no-nested-anchors rule), and
   *       (b) it has at least `minWords` whitespace-separated words
   *           (default 2 — kills orphan labels like "Menu" while
   *           keeping headings).
@@ -140,7 +145,12 @@ object HtmlMainExtract {
       cur.setLength(0)
       total = 0
       link = 0
-      anchorDepth = 0
+      // anchorDepth is NOT reset here: an anchor wrapping block-level
+      // content (<a><div>promo</div></a>, the card-link pattern) must
+      // keep counting linkChars past the block boundary — browsers
+      // reconstruct active formatting elements into the next block the
+      // same way. Only a real </a> trims the depth, so a block-level
+      // link farm cannot evade the density kill by splitting blocks.
     }
     var i = 0
     while (i < s.length) {
@@ -187,8 +197,12 @@ object HtmlMainExtract {
           } else if (skipDepth == 0) {
             if (blockTags.contains(name)) flushBlock()
             else if (name == "a") {
-              if (isClose) { if (anchorDepth > 0) anchorDepth -= 1 }
-              else if (!selfClose) anchorDepth += 1
+              // HTML forbids nested anchors: a new <a> auto-closes any
+              // open one (the browser rule), so depth is 0 or 1 and an
+              // author's forgotten </a> poisons at most the text up to
+              // the next anchor, not the rest of the document.
+              if (isClose) anchorDepth = 0
+              else if (!selfClose) anchorDepth = 1
               appendSpace()
             } else appendSpace()
           }

@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.{functions => F}
+
+/** Round-18 specs: the r17 ADVICE closes — IPv6 URL hosts, RFC 3986
+  * port validity, the fixture envelope hash's overflow-free form, and
+  * block-spanning anchors in main-content extraction.
+  */
+class R18OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("Urls: bracketed IPv6 hosts survive canonicalize/hostOf/registrableDomain") {
+    import graft.functions.Urls
+    // canonicalize preserves the bracketed literal (lowercased), and
+    // hostOf must scan to the matching ']' instead of truncating at
+    // the first ':' of the address
+    assert(Urls.canonicalize("https://[2001:DB8::1]/x") ==
+      "https://[2001:db8::1]/x")
+    assert(Urls.hostOf("https://[2001:db8::1]/x") == "[2001:db8::1]")
+    // non-default port kept, still not part of the host
+    assert(Urls.canonicalize("https://[2001:db8::1]:8443/x") ==
+      "https://[2001:db8::1]:8443/x")
+    assert(Urls.hostOf("https://[2001:db8::1]:8443/x") == "[2001:db8::1]")
+    // default port stripped for v6 hosts too
+    assert(Urls.hostOf("http://[::1]:80/") == "[::1]")
+    // registrable domain: a bracketed literal groups as itself — a
+    // v4-mapped form contains dots and must NOT be label-split
+    assert(Urls.registrableDomain("http://[::ffff:192.0.2.1]/p") ==
+      "[::ffff:192.0.2.1]")
+    assert(Urls.registrableDomain("https://[2001:db8::1]:8443/x") ==
+      "[2001:db8::1]")
+  }
+
+  test("Urls.canonicalize: ports outside 1..65535 are not URLs (NULL contract)") {
+    import graft.functions.Urls
+    assert(Urls.canonicalize("http://x.org:0/") == null)
+    assert(Urls.canonicalize("http://x.org:00/") == null)
+    assert(Urls.canonicalize("http://x.org:65536/") == null)
+    assert(Urls.canonicalize("http://x.org:99999999/") == null)
+    // valid boundaries still canonicalize, leading zeros stripped
+    assert(Urls.canonicalize("http://x.org:1/") == "http://x.org:1/")
+    assert(Urls.canonicalize("http://x.org:065535/") == "http://x.org:65535/")
+    // zero-padded DEFAULT port still strips (the r15 contract)
+    assert(Urls.canonicalize("http://x.org:080/") == "http://x.org/")
+  }
+
+  test("envelopeHash: reduced-first multiply matches exact modular arithmetic at any doc id") {
+    import graft.multimodal.BinaryMeta
+    // the unreduced form (d*65+bin+1)*K wraps Long past d ~ 5.3e7 —
+    // where DuckDB's BIGINT twin would instead raise an overflow
+    // error. The reduced-first form must equal TRUE modular
+    // arithmetic (BigInt reference) everywhere, including far past
+    // the wrap point, and stay identical to the old form below it.
+    val k = BigInt(2654435761L)
+    for (d <- Seq(0L, 7L, 3199L, 31999L, 52999999L, 60000000L,
+        9876543210L, Long.MaxValue / 65 - 2); bin <- Seq(0L, 32L, 64L)) {
+      val want = ((BigInt(d) * 65 + bin + 1) * k).mod(BigInt(999983)).toLong
+      assert(BinaryMeta.envelopeHash(d, bin) == want,
+        s"envelopeHash($d, $bin)")
+      if (d < 50000000L) {
+        // below the wrap point the pre-fix formula agreed — gate
+        // corpora values are unchanged by this round's rewrite
+        val old = (d * 65 + bin + 1) * 2654435761L % 999983
+        assert(BinaryMeta.envelopeHash(d, bin) == old, s"old form d=$d")
+      }
+    }
+  }
+
+  test("syntheticAudioCorpus/syntheticVideoCorpus: ids past the Long-wrap ceiling still encode") {
+    import graft.multimodal.{AudioHash, BinaryMeta, VideoHash}
+    val big = Seq(60000000L, 9876543210L).toDF("doc_id")
+    val audio = BinaryMeta.syntheticAudioCorpus(big, "doc_id")
+    assert(audio.count() == 8)
+    // the scaling/replication invariances hold out here too: base,
+    // volume-doubled and stereo variants hash identically per doc
+    val ah = audio
+      .select((F.col("id") / 4).cast("long").as("d"),
+        F.pmod(F.col("id"), F.lit(4)).as("kind"),
+        AudioHash.audioHash64Col(F.col("blob")).as("hash64"))
+      .where(F.col("kind").isin(0, 1, 3))
+      .groupBy("d").agg(F.countDistinct("hash64").as("n"))
+      .collect()
+    assert(ah.forall(_.getLong(1) == 1L), ah.mkString(","))
+    val video = BinaryMeta.syntheticVideoCorpus(big, "doc_id")
+    assert(video.count() == 8)
+    val vh = video
+      .select((F.col("id") / 4).cast("long").as("d"),
+        F.pmod(F.col("id"), F.lit(4)).as("kind"),
+        VideoHash.videoHash64Col(F.col("blob")).as("hash64"))
+      .where(F.col("kind").isin(0, 1, 3))
+      .groupBy("d").agg(F.countDistinct("hash64").as("n"))
+      .collect()
+    assert(vh.forall(_.getLong(1) == 1L), vh.mkString(","))
+  }
+
+  test("extractMain: block-level link farms cannot evade the density kill") {
+    import graft.text.HtmlMainExtract
+    // card-link pattern: the anchor wraps a div, so its text lands in
+    // a NEW block after the boundary — anchor state must survive the
+    // flush for the 3*link<=total test to see it
+    val html = "<body><p>real text here with words</p>" +
+      "<a href=\"/promo\"><div>promo card text block</div></a>" +
+      "<p>more real closing words</p></body>"
+    assert(HtmlMainExtract.extractMain(html) ==
+      "real text here with words\nmore real closing words")
+    // control: same div text WITHOUT the wrapping anchor is kept
+    val ctl = html.replace("<a href=\"/promo\">", "").replace("</a>", "")
+    assert(HtmlMainExtract.extractMain(ctl) ==
+      "real text here with words\npromo card text block\nmore real closing words")
+  }
+
+  test("extractMain: a new <a> auto-closes an unclosed one (no document-wide poisoning)") {
+    import graft.text.HtmlMainExtract
+    // the first anchor is never closed; the second anchor's open tag
+    // must supersede it (browsers forbid nested anchors), and its
+    // real </a> returns to non-link state — the final paragraph is
+    // plain text and must be kept
+    val html = "<body><div><a href=\"/x\">dangling" +
+      "<a href=\"/y\">second</a> trailing plain words add up</div>" +
+      "<p>clean paragraph kept intact here</p></body>"
+    val got = HtmlMainExtract.extractMain(html)
+    assert(got.contains("clean paragraph kept intact here"), got)
+    // the first block dies on density alone: 'danglingsecond' links
+    // 14 of 37 non-space chars, 3*14 = 42 > 37 — bounded poisoning,
+    // not document-wide (the kept paragraph above proves that)
+    assert(got == "clean paragraph kept intact here", got)
+  }
+}
