@@ -32,6 +32,24 @@ object Graft {
                   oneToOne: Boolean = false): DataFrame =
     SchemaMatcher.assign(allPairsFor(source, target, method), oneToOne)
 
+  /** match_schema behind a caller-supplied [[harmonize.TextEncoder]]
+    * (r18): the ct_learning/gpt seam made concrete — pooled
+    * value-embedding column profiles, cosine-matched, through the
+    * shared assign machinery. The bundled
+    * [[harmonize.HashingProfileEncoder]] is the no-weights default; a
+    * real contrastive/LLM encoder rides the identical plumbing.
+    */
+  def matchSchema(source: DataFrame, target: DataFrame,
+                  encoder: harmonize.TextEncoder,
+                  oneToOne: Boolean): DataFrame =
+    SchemaMatcher.assign(
+      SchemaMatcher.encoderProfileAll(source, source.columns.toSeq,
+        target, target.columns.toSeq, encoder), oneToOne)
+
+  def matchSchema(source: DataFrame, target: DataFrame,
+                  encoder: harmonize.TextEncoder): DataFrame =
+    matchSchema(source, target, encoder, oneToOne = false)
+
   /** The all-pairs score matrix behind one match_schema method. */
   private def allPairsFor(source: DataFrame, target: DataFrame,
                           method: String): DataFrame = {
@@ -64,7 +82,9 @@ object Graft {
         SchemaMatcher.compositeAll(source, sCols, target, tCols)
       case "ct_learning" | "gpt" => throw new UnsupportedOperationException(
         s"match_schema method '$method' needs an external model/network " +
-          "(none in scope); see SURVEY.md par.6 for the declared exclusions")
+          "(none in scope; see SURVEY.md par.6). Bring your model through " +
+          "the TextEncoder seam instead: Graft.matchSchema(source, target, " +
+          "encoder) runs the pooled-profile plumbing over your embeddings")
       case other => throw new IllegalArgumentException(
         s"unknown match_schema method: $other (supported: similarity_flooding, " +
           "cupid, coma/composite, distribution_based, jaccard_distance, " +
@@ -114,12 +134,35 @@ object Graft {
         ValueMatcher.jaroWinklerMatch(source, sourceColumn, target, targetColumn,
           threshold = threshold)
       case "gpt" => throw new UnsupportedOperationException(
-        "match_values method 'gpt' needs an external model (none in scope); " +
-          "see SURVEY.md par.6")
+        "match_values method 'gpt' needs an external model (none in scope; " +
+          "see SURVEY.md par.6). Bring your model through the TextEncoder " +
+          "seam instead: Graft.matchValues(source, sourceColumn, target, " +
+          "targetColumn, encoder) runs the same matching plumbing over " +
+          "your embeddings")
       case other => throw new IllegalArgumentException(
         s"unknown match_values method: $other (supported: tfidf, edit_distance, " +
           "edit_distance_ratio/ratio, jaro_winkler, embedding/embeddings/fasttext)")
     }
+
+  /** match_values behind a caller-supplied [[harmonize.TextEncoder]]
+    * (r18): the reference's model-backed value matchers (fasttext /
+    * gpt) as "bring your model" — batched encode, broadcast
+    * vocabulary, cosine + argmax, the identical plumbing the bundled
+    * [[harmonize.HashingProfileEncoder]] default rides (spec-gated
+    * against the expression path).
+    */
+  def matchValues(source: DataFrame, sourceColumn: String,
+                  target: DataFrame, targetColumn: String,
+                  encoder: harmonize.TextEncoder,
+                  threshold: Double): DataFrame =
+    ValueMatcher.encoderMatch(source, sourceColumn, target, targetColumn,
+      encoder, threshold)
+
+  def matchValues(source: DataFrame, sourceColumn: String,
+                  target: DataFrame, targetColumn: String,
+                  encoder: harmonize.TextEncoder): DataFrame =
+    ValueMatcher.encoderMatch(source, sourceColumn, target, targetColumn,
+      encoder, threshold = 0.5)
 
   /** top_value_matches (api.py:222): top-k target values per source value. */
   def topValueMatches(source: DataFrame, sourceColumn: String,
@@ -141,12 +184,23 @@ object Graft {
         ValueMatcher.jaroWinklerMatch(source, sourceColumn, target, targetColumn,
           threshold = threshold, topK = topK)
       case "gpt" => throw new UnsupportedOperationException(
-        "top_value_matches method 'gpt' needs an external model (none in scope); " +
-          "see SURVEY.md par.6")
+        "top_value_matches method 'gpt' needs an external model (none in " +
+          "scope; see SURVEY.md par.6). Bring your model through the " +
+          "TextEncoder seam: Graft.topValueMatches(source, sourceColumn, " +
+          "target, targetColumn, topK, encoder) runs the same plumbing")
       case other => throw new IllegalArgumentException(
         s"unknown method: $other (supported: tfidf, edit_distance, " +
           "edit_distance_ratio/ratio, jaro_winkler, embedding/embeddings/fasttext)")
     }
+
+  /** top_value_matches behind a caller-supplied TextEncoder (r18). */
+  def topValueMatches(source: DataFrame, sourceColumn: String,
+                      target: DataFrame, targetColumn: String,
+                      topK: Int,
+                      encoder: harmonize.TextEncoder,
+                      threshold: Double): DataFrame =
+    ValueMatcher.encoderMatch(source, sourceColumn, target, targetColumn,
+      encoder, threshold, topK)
 
   /** match_values over a multi-pair column mapping (api.py:155-220,
     * 333-402): one value-match result per mapped (source, target)

@@ -150,6 +150,76 @@ object SchemaMatcher {
       numHashes: Int = 256): DataFrame =
     bestPerSource(valueOverlapSketchAll(src, srcCols, tgt, tgtCols, numHashes))
 
+  /** Schema matching behind ANY [[TextEncoder]] (r18 — the
+    * contrastive-learning matcher's SHAPE, `one2one/
+    * contrastivelearning.py:1`: a column is represented by pooling
+    * encoded values, columns match by profile cosine). Per column:
+    * distinct values, a deterministic per-column cap (`valueCap`,
+    * ranked by xxhash64 so the sample is stable and scale-bounded —
+    * the reference samples per column too), batched encode through
+    * the SAME executor plumbing as [[ValueMatcher.encoderMatch]],
+    * mean-pool to one profile vector, then all-pairs cosine with the
+    * target side broadcast. Output (source, target, similarity) —
+    * feeds the shared assign/topK machinery like every other matcher.
+    */
+  def encoderProfileAll(
+      src: DataFrame, srcCols: Seq[String],
+      tgt: DataFrame, tgtCols: Seq[String],
+      encoder: TextEncoder,
+      valueCap: Int = 1000, batchSize: Int = 256): DataFrame = {
+    require(encoder.dim > 0, s"encoder.dim must be positive, got ${encoder.dim}")
+    require(valueCap > 0, "valueCap must be positive")
+    def profiles(df: DataFrame, cols: Seq[String], colAs: String): DataFrame = {
+      val w = Window.partitionBy(colAs)
+        .orderBy(F.xxhash64(F.col("value")), F.col("value"))
+      val capped = unpivot(df, cols, colAs)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= valueCap)
+        .select(F.col(colAs), F.col("value"))
+      import org.apache.spark.sql.types._
+      val out = StructType(Seq(
+        StructField(colAs, StringType),
+        StructField("vec", ArrayType(DoubleType, containsNull = false))))
+      val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(out)
+      val embedded = capped.mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { chunk =>
+          val names = chunk.map(_.getString(0))
+          val vals = chunk.map(_.getString(1)).toArray
+          val vecs = encoder.encodeBatch(vals)
+          require(vecs.length == vals.length,
+            s"encoder returned ${vecs.length} vectors for ${vals.length} values")
+          names.lazyZip(vecs).map { (n, vec) =>
+            require(vec.length == encoder.dim,
+              s"encoder returned a ${vec.length}-dim vector, contract says ${encoder.dim}")
+            org.apache.spark.sql.Row(n, vec.map(_.toDouble).toSeq)
+          }
+        }
+      }(enc)
+      // mean-pool: component-wise average over the column's values
+      embedded.select(F.col(colAs), F.posexplode(F.col("vec")).as(Seq("i", "x")))
+        .groupBy(colAs, "i").agg(F.avg("x").as("x"))
+        .groupBy(colAs)
+        .agg(F.map_from_entries(F.collect_list(F.struct(F.col("i"), F.col("x")))).as("m"))
+        .select(F.col(colAs),
+          F.transform(F.sequence(F.lit(0), F.lit(encoder.dim - 1)),
+            i => F.coalesce(F.element_at(F.col("m"), i), F.lit(0.0))).as("vec"))
+    }
+    val sp = profiles(src, srcCols, "source")
+    val tp = profiles(tgt, tgtCols, "target")
+    sp.crossJoin(F.broadcast(tp.select(F.col("target"), F.col("vec").as("tvec"))))
+      .select(F.col("source"), F.col("target"),
+        F.round(graft.functions.HashExprs.cosineSim(F.col("vec"), F.col("tvec")), 6)
+          .as("similarity"))
+  }
+
+  def encoderProfileMatch(
+      src: DataFrame, srcCols: Seq[String],
+      tgt: DataFrame, tgtCols: Seq[String],
+      encoder: TextEncoder,
+      valueCap: Int = 1000, batchSize: Int = 256): DataFrame =
+    bestPerSource(encoderProfileAll(src, srcCols, tgt, tgtCols, encoder,
+      valueCap, batchSize))
+
   /** All (source, target) column-name pairs with normalized edit
     * similarity — names are driver-small, so this is a tiny broadcast
     * frame feeding the same window/tie-break machinery.

@@ -306,6 +306,79 @@ object ValueMatcher {
     }
   }
 
+  /** Value matching behind ANY [[TextEncoder]] (r18 — the
+    * harmonization twin of multimodal's FeatureEncoder seam; the
+    * reference's model-backed matchers, `value_matching/polyfuzz
+    * .py:100` and `one2one/contrastivelearning.py:1`, become "bring
+    * your model" through this). Plumbing is identical regardless of
+    * encoder: distinct-domain reduction, partition-local BATCHED
+    * encodeBatch (one model invocation per batch), broadcast of the
+    * target vocabulary, one codegen'd cosine per candidate pair, the
+    * shared threshold/argmax/unmatched-kept tail. A vector whose
+    * length violates `encoder.dim` refuses loudly (task failure with
+    * the contract in the message) — never padded or truncated.
+    *
+    * With the default [[HashingProfileEncoder]] this computes the
+    * same profiles as [[profileEmbeddingMatch]] up to float32
+    * rounding (same grams, same xxhash64 seeds) — spec-gated; the
+    * oracle-gated wired row stays on the expression path, which
+    * needs no encoder round-trip through executors.
+    *
+    * Scale shape: |distinct source| rows encode once each; the
+    * target side is a controlled vocabulary (broadcast-small by
+    * definition). The corpus never shuffles on content — only the
+    * distinct-reduced domains move.
+    */
+  def encoderMatch(
+      source: DataFrame, sourceCol: String,
+      target: DataFrame, targetCol: String,
+      encoder: TextEncoder,
+      threshold: Double = 0.5, topK: Int = 1,
+      batchSize: Int = 256): DataFrame = {
+    require(encoder.dim > 0, s"encoder.dim must be positive, got ${encoder.dim}")
+    require(batchSize > 0, "batchSize must be positive")
+    val src = domain(source, sourceCol, "source")
+    val tgt = domain(target, targetCol, "target")
+    def embed(dom: DataFrame, valueCol: String): DataFrame = {
+      import org.apache.spark.sql.types._
+      val out = StructType(Seq(
+        StructField(valueCol, StringType),
+        StructField("vec", ArrayType(DoubleType, containsNull = false))))
+      val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(out)
+      dom.mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { chunk =>
+          val vals = chunk.map(_.getString(0)).toArray
+          val vecs = encoder.encodeBatch(vals)
+          require(vecs.length == vals.length,
+            s"encoder returned ${vecs.length} vectors for ${vals.length} values")
+          vals.lazyZip(vecs).map { (v, vec) =>
+            require(vec.length == encoder.dim,
+              s"encoder returned a ${vec.length}-dim vector, contract says ${encoder.dim}")
+            org.apache.spark.sql.Row(v, vec.map(_.toDouble).toSeq)
+          }
+        }
+      }(enc)
+    }
+    val sw = embed(src, "source")
+    val tw = embed(tgt, "target")
+    val sims = sw.crossJoin(F.broadcast(tw.select(F.col("target"), F.col("vec").as("tvec"))))
+      .select(F.col("source"), F.col("target"),
+        F.round(graft.functions.HashExprs.cosineSim(F.col("vec"), F.col("tvec")), 6)
+          .as("similarity"))
+      .where(F.col("similarity") >= threshold)
+    val win = Window.partitionBy("source")
+      .orderBy(F.col("similarity").desc, F.col("target").asc)
+    val best = sims.withColumn("rn", F.row_number().over(win))
+      .where(F.col("rn") <= topK)
+    if (topK == 1) {
+      src.join(best.drop("rn"), Seq("source"), "left")
+        .select("source", "target", "similarity")
+    } else {
+      best.select(F.col("source"), F.col("target"), F.col("similarity"),
+        F.col("rn").cast("long").as("rank"))
+    }
+  }
+
   /** TF-IDF character-trigram cosine value matching, the reference's
     * default matcher (value_matching/polyfuzz.py:48, polyfuzz TFIDF).
     * IDF is ln((1+N)/(1+df))+1 (smoothed, sklearn formula) fit over the

@@ -109,6 +109,110 @@ class R18OpsSpec extends SparkSpec {
       "real text here with words\npromo card text block\nmore real closing words")
   }
 
+  // ------------------------------------------------ TextEncoder seam
+
+  test("HashingProfileEncoder: encoder path agrees with the expression path") {
+    import graft.harmonize.{HashingProfileEncoder, ValueMatcher}
+    val src = Seq("lung adenocarcinoma", "lung adenocarcinma",
+      "breast carcinoma", "melanoma of skin", "xy").toDF("v")
+    val tgt = Seq("Lung Adenocarcinoma", "Breast Carcinoma",
+      "Skin Melanoma", "Glioblastoma").toDF("v")
+    val expr = ValueMatcher.profileEmbeddingMatch(src, "v", tgt, "v",
+        dim = 64, threshold = 0.3)
+      .collect().map(r => (r.getString(0), Option(r.getString(1)),
+        Option(r.get(2)).map(_.asInstanceOf[Double]))).toSet
+    val enc = ValueMatcher.encoderMatch(src, "v", tgt, "v",
+        new HashingProfileEncoder(64), threshold = 0.3)
+      .collect().map(r => (r.getString(0), Option(r.getString(1)),
+        Option(r.get(2)).map(_.asInstanceOf[Double]))).toSet
+    // same sources, same best targets; similarities equal to 1e-5
+    // (the encoder carries float32 components, the expression path
+    // doubles — same grams, same xxhash64 seeds)
+    assert(expr.map(t => (t._1, t._2)) == enc.map(t => (t._1, t._2)),
+      s"expr=$expr enc=$enc")
+    val bySrcE = expr.map(t => t._1 -> t._3).toMap
+    val bySrcN = enc.map(t => t._1 -> t._3).toMap
+    for ((k, ve) <- bySrcE; vn = bySrcN(k)) (ve, vn) match {
+      case (Some(a), Some(b)) => assert(math.abs(a - b) < 1e-5, s"$k: $a vs $b")
+      case (None, None) => ()
+      case other => fail(s"$k: $other")
+    }
+    // the sub-3-char value is unmatched on both paths
+    assert(bySrcE("xy").isEmpty && bySrcN("xy").isEmpty)
+  }
+
+  test("TextEncoder: a custom encoder rides matchValues end-to-end") {
+    import graft.harmonize.TextEncoder
+    // a 'model' that knows its vocabulary: orthogonal axes per concept
+    // — deterministic expected matches regardless of string distance
+    val concept = Map(
+      "aspirin" -> 0, "acetylsalicylic acid" -> 0,
+      "paracetamol" -> 1, "acetaminophen" -> 1,
+      "ibuprofen" -> 2)
+    val custom = new TextEncoder {
+      override def dim: Int = 4
+      override def encodeBatch(values: Array[String]): Array[Array[Float]] =
+        values.map { v =>
+          val out = new Array[Float](4)
+          concept.get(v.toLowerCase(java.util.Locale.ROOT))
+            .foreach(i => out(i) = 1f)
+          out
+        }
+    }
+    val src = Seq("Aspirin", "Paracetamol", "naproxen").toDF("drug")
+    val tgt = Seq("acetylsalicylic acid", "acetaminophen", "ibuprofen")
+      .toDF("name")
+    val got = Graft.matchValues(src, "drug", tgt, "name", custom)
+      .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(got == Map(
+      "Aspirin" -> Some("acetylsalicylic acid"),
+      "Paracetamol" -> Some("acetaminophen"),
+      "naproxen" -> None), got.toString) // unknown value: kept, unmatched
+  }
+
+  test("TextEncoder: dim violations refuse loudly, never pad or truncate") {
+    import graft.harmonize.{TextEncoder, ValueMatcher}
+    val bad = new TextEncoder {
+      override def dim: Int = 8
+      override def encodeBatch(values: Array[String]): Array[Array[Float]] =
+        values.map(_ => new Array[Float](5)) // violates its own contract
+    }
+    val df = Seq("alpha", "beta").toDF("v")
+    val e = intercept[Exception] {
+      ValueMatcher.encoderMatch(df, "v", df, "v", bad, 0.1).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
+    assert(messages(e).exists(m => m != null && m.contains("contract says 8")),
+      e.toString)
+  }
+
+  test("matchSchema(encoder): pooled column profiles match columns by vocabulary") {
+    import graft.harmonize.HashingProfileEncoder
+    val src = Seq(
+      ("lung adenocarcinoma", "albuterol"),
+      ("breast carcinoma", "aspirin"),
+      ("skin melanoma", "ibuprofen")).toDF("diagnosis", "medication")
+    val tgt = Seq(
+      ("Aspirin", "Lung Adenocarcinoma"),
+      ("Ibuprofen", "Breast Carcinoma"),
+      ("Albuterol", "Melanoma of Skin")).toDF("drug_name", "primary_dx")
+    val got = Graft.matchSchema(src, tgt, new HashingProfileEncoder(64))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("diagnosis" -> "primary_dx",
+      "medication" -> "drug_name"), got.toString)
+  }
+
+  test("ct_learning/gpt errors point at the TextEncoder seam") {
+    val df = Seq(("a", "b")).toDF("x", "y")
+    val e1 = intercept[UnsupportedOperationException](
+      Graft.matchSchema(df, df, method = "ct_learning"))
+    assert(e1.getMessage.contains("TextEncoder"), e1.getMessage)
+    val e2 = intercept[UnsupportedOperationException](
+      Graft.matchValues(df, "x", df, "y", method = "gpt"))
+    assert(e2.getMessage.contains("TextEncoder"), e2.getMessage)
+  }
+
   test("extractMain: a new <a> auto-closes an unclosed one (no document-wide poisoning)") {
     import graft.text.HtmlMainExtract
     // the first anchor is never closed; the second anchor's open tag
