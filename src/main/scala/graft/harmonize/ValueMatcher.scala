@@ -185,15 +185,22 @@ object ValueMatcher {
     * TINY alphabet (digit-only ids, codes) every gram is hot, posting
     * lists grow linearly with the corpus, and candidates (like the
     * true answer on such data) go quadratic; slice or block such
-    * columns first, exactly as the wired gate does. Output:
+    * columns first, exactly as the wired gate does. That bound is
+    * ENFORCED, not just documented (r18): counts-only aggregates
+    * estimate Σ df(signature grams) plus the short-band census
+    * BEFORE any candidate is generated, and the plan refuses loudly
+    * above `maxCandidates` (caller-bounded budget, the Linkage
+    * block-pair guard pattern). Output:
     * (source, target, lev), source ≠ target, both directions of a
     * self-join present (filter source < target for unordered pairs).
     */
   def editDistanceJoin(source: DataFrame, sourceCol: String,
                        target: DataFrame, targetCol: String,
-                       k: Int, q: Int = 3): DataFrame = {
+                       k: Int, q: Int = 3,
+                       maxCandidates: Long = 50000000L): DataFrame = {
     require(k >= 0, "k must be non-negative")
     require(q >= 2, "q-gram length must be at least 2")
+    require(maxCandidates > 0, "maxCandidates must be positive")
     val sigLen = q * k + 1
     val shortLen = q * (k + 1) // < this many chars ⇒ < q·k+1 grams
     val va = domain(source, sourceCol, "v")
@@ -207,21 +214,70 @@ object ValueMatcher {
       dom.select(v, F.explode(g).as("gram"))
     }
     val ga = grams(va); val gb = grams(vb)
-    // one GLOBAL gram order shared by both sides
-    val df = ga.unionAll(gb).groupBy("gram").agg(F.count(F.lit(1)).as("df"))
+    // one GLOBAL gram order shared by both sides, with per-side
+    // posting counts kept: the candidate fan-out of a side-A
+    // signature gram is its SIDE-B posting count (and vice versa),
+    // which is what the budget guard below sums
+    val df = ga.select(F.col("gram"), F.lit(1).as("__sa"))
+      .unionAll(gb.select(F.col("gram"), F.lit(0).as("__sa")))
+      .groupBy("gram")
+      .agg(F.sum(F.col("__sa")).as("__na"),
+        F.sum(F.lit(1) - F.col("__sa")).as("__nb"))
+      .select(F.col("gram"), F.col("__na"), F.col("__nb"),
+        (F.col("__na") + F.col("__nb")).as("df"))
     def signature(g: DataFrame): DataFrame = {
       val w = Window.partitionBy("v")
         .orderBy(F.col("df").asc, F.col("gram").asc)
       g.join(df, "gram")
         .withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") <= sigLen)
-        .select("v", "gram")
+        .select("v", "gram", "__na", "__nb")
     }
-    val candLong = signature(ga).withColumnRenamed("v", "source")
+    // LOUD CANDIDATE-BUDGET GUARD (r18; the Linkage block-pair guard
+    // pattern): the honest cost bound of this operator is
+    // Σ df(signature grams) — on a TINY alphabet (digit-only ids,
+    // codes) every gram is hot and that sum (like the true answer on
+    // such data) goes quadratic in the domain. Estimate it with
+    // counts-only aggregates BEFORE any candidate row is generated
+    // and refuse over budget: the join fan-out of each signature gram
+    // is exactly its opposite-side posting count, and the both-short
+    // arm contributes the length-band census product. Decimal sums —
+    // a quadratic blowup must refuse, not wrap.
+    val dec = "decimal(38,0)"
+    val fanLong = signature(ga).agg(
+        F.coalesce(F.sum(F.col("__nb").cast(dec)), F.lit(0).cast(dec)).as("f"))
+      .unionAll(signature(gb).agg(
+        F.coalesce(F.sum(F.col("__na").cast(dec)), F.lit(0).cast(dec)).as("f")))
+      .agg(F.sum(F.col("f")).as("f")).head().getDecimal(0)
+    val la = va.where(F.length(F.col("v")) < shortLen)
+      .groupBy(F.length(F.col("v")).as("l")).agg(F.count(F.lit(1)).as("ca"))
+    val lb = vb.where(F.length(F.col("v")) < shortLen)
+      .groupBy(F.length(F.col("v")).as("lb")).agg(F.count(F.lit(1)).as("cb"))
+    val fanShortRow = la.join(lb,
+        F.abs(F.col("l") - F.col("lb")) <= k, "inner")
+      .agg(F.coalesce(F.sum(F.col("ca").cast(dec) * F.col("cb").cast(dec)),
+        F.lit(0).cast(dec)).as("f")).head()
+    val fanShort = if (fanShortRow.isNullAt(0))
+      java.math.BigDecimal.ZERO else fanShortRow.getDecimal(0)
+    val estimate = fanLong.add(fanShort)
+    require(estimate.compareTo(
+        java.math.BigDecimal.valueOf(maxCandidates)) <= 0,
+      s"editDistanceJoin: candidate budget exceeded — Σ df(signature " +
+        s"grams) + short-band census estimates $estimate candidate " +
+        s"pairs (> cap $maxCandidates). The gram alphabet is too " +
+        "small for prefix filtering to prune (digit-only ids/codes " +
+        "keep every gram hot and the candidate set — like the true " +
+        "answer on such data — grows quadratically); slice or block " +
+        "the column first (e.g. linkByName with a block key, or a " +
+        "length/prefix stratification), or raise maxCandidates " +
+        "knowingly")
+    val candLong = signature(ga).select("v", "gram")
+      .withColumnRenamed("v", "source")
       .join(gb.withColumnRenamed("v", "target"), "gram")
       .select("source", "target")
       .unionAll(ga.withColumnRenamed("v", "source")
-        .join(signature(gb).withColumnRenamed("v", "target"), "gram")
+        .join(signature(gb).select("v", "gram")
+          .withColumnRenamed("v", "target"), "gram")
         .select("source", "target"))
     // both-short bucket: a (2k+1)-key length-band equi-join
     val sa = va.where(F.length(F.col("v")) < shortLen)

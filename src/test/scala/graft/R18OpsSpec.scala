@@ -109,6 +109,32 @@ class R18OpsSpec extends SparkSpec {
       "real text here with words\npromo card text block\nmore real closing words")
   }
 
+  test("editDistanceJoin: digit-only domains refuse loudly before generating candidates") {
+    import graft.harmonize.ValueMatcher
+    // the SURVEY row-2a blowup, mechanized: 15k digit-only ids keep
+    // every gram hot, so Σ df(signature grams) goes quadratic — the
+    // guard must refuse under a caller budget without ever running
+    // the candidate join
+    val ids = spark.range(15000)
+      .selectExpr("concat('ID', lpad(cast(id as string), 9, '0')) as v")
+    val e = intercept[IllegalArgumentException] {
+      ValueMatcher.editDistanceJoin(ids, "v", ids, "v", k = 2,
+        maxCandidates = 1000000L)
+    }
+    assert(e.getMessage.contains("candidate budget exceeded"), e.getMessage)
+    assert(e.getMessage.contains("maxCandidates"), e.getMessage)
+    // a Zipfian-alphabet domain of the wired gate's shape stays under
+    // the default budget and returns exact results
+    val names = spark.range(200)
+      .selectExpr("concat('Supplier#', lpad(cast(id as string), 9, '0')) as v")
+    val got = ValueMatcher.editDistanceJoin(names, "v", names, "v", k = 1)
+      .where(F.col("source") < F.col("target"))
+    assert(got.count() > 0)
+    // spot-exactness: every returned pair verifies lev <= 1
+    assert(got.where(F.levenshtein(F.col("source"), F.col("target")) > 1)
+      .count() == 0)
+  }
+
   // ------------------------------------------------ TextEncoder seam
 
   test("HashingProfileEncoder: encoder path agrees with the expression path") {
