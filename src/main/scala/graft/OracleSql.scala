@@ -4521,6 +4521,41 @@ object OracleSql {
         |  ON s.source = b.source
         |ORDER BY s.source""".stripMargin,
 
+    // the byte-wise JW kernel's NON-ASCII cross-engine gate (r18):
+    // same 8-variant/8-canonical name spines as the Spark builder
+    // (CASE doc_id % 8), full quadratic ppm argmax — hash equality
+    // proves the kernel reproduces DuckDB's rapidfuzz byte semantics
+    // on 2- and 3-byte UTF-8 sequences
+    "match_values_jw_unicode" ->
+      """WITH src AS (SELECT DISTINCT CASE doc_id % 8
+        |    WHEN 0 THEN 'Jose García' WHEN 1 THEN 'Francois Müller'
+        |    WHEN 2 THEN 'Søren Kierkegard' WHEN 3 THEN 'Bjorn Åström'
+        |    WHEN 4 THEN 'Antonin Dvorák'
+        |    WHEN 5 THEN 'Λεωνιδας Παπαδοπουλος'
+        |    WHEN 6 THEN 'Дмитрии Иванов'
+        |    ELSE 'Maria Silva' END AS source FROM documents),
+        |tgt AS (SELECT DISTINCT CASE doc_id % 8
+        |    WHEN 0 THEN 'José García' WHEN 1 THEN 'François Müller'
+        |    WHEN 2 THEN 'Søren Kierkegård' WHEN 3 THEN 'Björn Åström'
+        |    WHEN 4 THEN 'Antonín Dvořák'
+        |    WHEN 5 THEN 'Λεωνίδας Παπαδόπουλος'
+        |    WHEN 6 THEN 'Дмитрий Иванов'
+        |    ELSE 'Maria Silva' END AS target FROM documents),
+        |cand AS (SELECT s.source, t.target,
+        |                CAST(floor(jaro_winkler_similarity(s.source, t.target)
+        |                           * 1e6) AS BIGINT) AS jw_ppm
+        |         FROM src s CROSS JOIN tgt t),
+        |kept AS (SELECT * FROM cand WHERE jw_ppm >= 800000),
+        |best AS (SELECT source, target, jw_ppm,
+        |                row_number() OVER (PARTITION BY source
+        |                  ORDER BY jw_ppm DESC, target ASC) AS rn
+        |         FROM kept)
+        |SELECT s.source, b.target, b.jw_ppm,
+        |       CAST(b.jw_ppm AS DOUBLE) / 1000000.0 AS similarity
+        |FROM src s LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+        |  ON s.source = b.source
+        |ORDER BY s.source""".stripMargin,
+
     // multi-pass SNM replay: two (key, side, id) rank orders — the
     // collapsed name and its reverse — window pairs from each pass
     // UNIONed (dedup), then the shared scoring/argmax

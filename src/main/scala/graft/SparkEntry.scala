@@ -3289,6 +3289,40 @@ object SparkEntry {
       method = "jaro_winkler", threshold = 0.9)
       .orderBy("source")
 
+  /** Deterministic non-ASCII name spines shared by the unicode JW
+    * gate and its DuckDB twin (CASE doc_id % 8 on both engines):
+    * accented Latin, Greek, Cyrillic and CJK variants — the
+    * byte-width mix that distinguishes byte-wise from code-point
+    * scoring.
+    */
+  private val jwUnicodeSrc = Seq(
+    "Jose García", "Francois Müller", "Søren Kierkegard",
+    "Bjorn Åström", "Antonin Dvorák", "Λεωνιδας Παπαδοπουλος",
+    "Дмитрии Иванов", "Maria Silva")
+  private val jwUnicodeTgt = Seq(
+    "José García", "François Müller", "Søren Kierkegård",
+    "Björn Åström", "Antonín Dvořák", "Λεωνίδας Παπαδόπουλος",
+    "Дмитрий Иванов", "Maria Silva")
+
+  private def matchValuesJwUnicode(t: Tables): DataFrame = {
+    // r18: the byte-wise kernel's cross-engine gate on NON-ASCII
+    // names — the biomedical headline case (accented person/org
+    // names) the r17 contract excluded. Each engine builds the same
+    // 8-variant source domain and 8-canonical target vocabulary from
+    // the doc_id spine, then replays the full quadratic ppm argmax;
+    // hash equality == DuckDB's rapidfuzz byte semantics reproduced
+    // exactly (windows, transposition halving, prefix boost — all
+    // over UTF-8 bytes, 2- and 3-byte sequences included).
+    def spine(names: Seq[String]) =
+      F.element_at(F.array(names.map(F.lit): _*),
+        (F.pmod(F.col("doc_id"), F.lit(8)) + 1).cast("int"))
+    val src = t.documents.select(spine(jwUnicodeSrc).as("name"))
+    val tgt = t.documents.select(spine(jwUnicodeTgt).as("name"))
+    Graft.matchValues(src, "name", tgt, "name",
+      method = "jaro_winkler", threshold = 0.8)
+      .orderBy("source")
+  }
+
   private def erResolveIdx(t: Tables): DataFrame = {
     // the SERVED-index variant of er_resolve (the bm25_idx /
     // ann_ivf_index equality-gate trick): the customer master
@@ -4158,6 +4192,7 @@ object SparkEntry {
       "er_resolve_sorted" -> q(erResolveSorted),
       "er_resolve_sorted_jw" -> q(erResolveSortedJw),
       "match_values_jw" -> q(matchValuesJw),
+      "match_values_jw_unicode" -> q(matchValuesJwUnicode),
       "er_resolve_multipass" -> q(erResolveMultipass),
       "er_resolve_idx" -> q(erResolveIdx),
       "graph_linkpred_aa" -> q(graphLinkpredAA),

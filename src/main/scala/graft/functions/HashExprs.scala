@@ -52,13 +52,14 @@ object HashExprs {
     * either side empty → 0, match window max(|a|,|b|)/2−1,
     * half-transpositions/2, boost threshold 0.7 strict, prefix ≤ 4,
     * scaling 0.1 (0 ppm mismatches over 55k random+realistic pairs).
-    * EXACTNESS CONTRACT IS ASCII-ONLY: this kernel compares Unicode
-    * CODE POINTS while DuckDB's rapidfuzz port compares UTF-8 BYTES,
-    * so lengths, match windows, and prefix boosts diverge on any
-    * non-ASCII input — the cross-engine integer-argmax guarantee (and
-    * the 0 ppm calibration) holds for ASCII strings; non-ASCII names
-    * still score sensibly (code points are the better unit), they
-    * just can't be DuckDB-hash-gated.
+    * The kernel iterates UTF-8 BYTES (r18) — the same unit DuckDB's
+    * rapidfuzz port compares — so the cross-engine integer-argmax
+    * guarantee covers non-ASCII names too (accented person/org names
+    * are the biomedical headline case); the wired unicode gate
+    * hash-matches a DuckDB replay over a non-ASCII fixture. The unit
+    * choice is visible only in the normalization denominators (a
+    * 2-byte character weighs 2), never in match quality ordering for
+    * same-script comparisons.
     */
   def jaroWinklerPpm(a: Column, b: Column): Column =
     Bridge.column(JaroWinklerPpm(Bridge.expression(a), Bridge.expression(b)))
@@ -661,8 +662,14 @@ case class JaroWinklerPpm(left: Expression, right: Expression)
     kernel(x.asInstanceOf[UTF8String], y.asInstanceOf[UTF8String])
 
   def kernel(x: UTF8String, y: UTF8String): Long = {
-    val a = x.toString.codePoints().toArray
-    val b = y.toString.codePoints().toArray
+    // UTF-8 BYTES, not code points (r18): DuckDB's rapidfuzz-derived
+    // jaro_winkler_similarity runs over the raw byte sequence, so
+    // byte iteration is what extends the cross-engine integer-argmax
+    // guarantee to non-ASCII names (probed: café/cafe = 848333⁄1e6 on
+    // both engines — the byte-wise value; code points would say
+    // 883333). ASCII strings are untouched (byte == code point).
+    val a = x.getBytes
+    val b = y.getBytes
     val n = a.length; val m = b.length
     if (n == 0 || m == 0) return 0L
     val window = math.max(math.max(n, m) / 2 - 1, 0)

@@ -207,8 +207,9 @@ object Linkage {
     * TKDE'12's recommended name scorer; previously the quadratic-block
     * refusal pointed at an SNM path that only offered raw edit
     * distance). Pairs keep jw_ppm ≥ `minPpm` (integer fixed point,
-    * [[graft.functions.HashExprs.jaroWinklerPpm]] — ASCII-exact vs
-    * DuckDB, see the kernel contract), each B record resolves to the
+    * [[graft.functions.HashExprs.jaroWinklerPpm]] — byte-exact vs
+    * DuckDB incl. non-ASCII, see the kernel contract), each B record
+    * resolves to the
     * (highest-jw, then lowest-idA) candidate — an integer argmax.
     * Returns (idB, idA, jw_ppm, n_candidates); candidate cost is
     * n·(window−1) per pass BY CONSTRUCTION, same as the Levenshtein

@@ -104,11 +104,9 @@ object ValueMatcher {
     * both engines (floor(jw·1e6) ≥ ppm(threshold) ⟺ jw·1e6 ≥ the
     * integer threshold). The similarity column is jw_ppm/1e6 — one
     * IEEE division of identical integers on both engines.
-    * EXACTNESS CONTRACT IS ASCII-ONLY: the kernel compares Unicode
-    * code points while DuckDB compares UTF-8 bytes, so lengths/match
-    * windows/prefix boosts diverge on non-ASCII names (documented on
-    * the kernel; the biomedical vocabularies and TPC-H gates are
-    * ASCII).
+    * The kernel iterates UTF-8 bytes — DuckDB's unit (r18) — so the
+    * exactness contract covers non-ASCII names too (see the kernel
+    * doc; the wired unicode gate hash-matches a DuckDB replay).
     *
     * Pruning (result-identical): m ≤ min(l1,l2) bounds jaro ≤
     * (min/max + 2)/3, and the Winkler boost bounds sim ≤ 0.6·jaro +
@@ -123,13 +121,16 @@ object ValueMatcher {
     val tPpm = math.round(threshold * 1e6)
     val src = domain(source, sourceCol, "source")
     val tgt = domain(target, targetCol, "target")
-    // 5t-4 in ppm; only a genuine prune above t = 0.8
+    // 5t-4 in ppm; only a genuine prune above t = 0.8. BYTE lengths
+    // (octet_length), matching the kernel's UTF-8-byte unit (r18) —
+    // a char-length band would be unsound for mixed-width strings
+    // where the byte ratio exceeds the char ratio.
     val bandPpm = 5L * tPpm - 4000000L
     val lenBand =
       if (bandPpm <= 0) F.lit(true)
-      else F.least(F.length(F.col("source")), F.length(F.col("target")))
+      else F.least(F.octet_length(F.col("source")), F.octet_length(F.col("target")))
         .cast("long") * 1000000L >=
-        F.greatest(F.length(F.col("source")), F.length(F.col("target")))
+        F.greatest(F.octet_length(F.col("source")), F.octet_length(F.col("target")))
           .cast("long") * bandPpm
     val scored = src
       .crossJoin(F.broadcast(tgt))

@@ -109,6 +109,28 @@ class R18OpsSpec extends SparkSpec {
       "real text here with words\npromo card text block\nmore real closing words")
   }
 
+  test("JaroWinklerPpm: byte-wise scoring matches DuckDB on non-ASCII names") {
+    import graft.functions.HashExprs
+    // expected ppms = floor(1e6 * jaro_winkler_similarity) probed
+    // directly against DuckDB this round — the kernel must reproduce
+    // rapidfuzz's UTF-8 BYTE semantics (2-byte Latin/Greek/Cyrillic
+    // and 3-byte CJK sequences), not code-point scoring (which would
+    // say e.g. 883333 for café/cafe instead of the byte-wise 848333)
+    val cases = Seq(
+      ("café", "cafe", 848333L),
+      ("José García", "Jose Garcia", 885780L),
+      ("Müller", "Mueller", 828571L),
+      ("Søren", "Soren", 840000L),
+      ("Дмитрий", "Дмитрии", 971428L),
+      ("martha", "marhta", 961111L), // ASCII classic: unchanged
+      ("田中太郎", "田中次郎", 900000L))
+    val got = cases.map(c => (c._1, c._2)).toDF("a", "b")
+      .withColumn("jw", HashExprs.jaroWinklerPpm(F.col("a"), F.col("b")))
+      .select("jw").as[Long].collect().toSeq
+    for (((a, b, want), g) <- cases.zip(got))
+      assert(g == want, s"$a/$b: got $g want $want")
+  }
+
   test("editDistanceJoin: digit-only domains refuse loudly before generating candidates") {
     import graft.harmonize.ValueMatcher
     // the SURVEY row-2a blowup, mechanized: 15k digit-only ids keep
