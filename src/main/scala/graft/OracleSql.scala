@@ -1578,12 +1578,52 @@ object OracleSql {
         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM k GROUP BY domain ORDER BY domain""".stripMargin,
 
+    // the incremental stats table merges back to EXACTLY the batch
+    // recompute (mergeable (domain, host) partial grain), so the twin
+    // IS the batch twin
+    "curate_domain_stats_incr" ->
+      """WITH k AS (SELECT doc_id, n_chars,
+        |  CASE doc_id % 4
+        |    WHEN 0 THEN 'news.example.com'
+        |    WHEN 1 THEN 'blog.shop.example.co.uk'
+        |    WHEN 2 THEN 'cdn' || (doc_id % 7) || '.media.example.org'
+        |    ELSE 'example.net' END AS host,
+        |  CASE doc_id % 4
+        |    WHEN 0 THEN 'example.com'
+        |    WHEN 1 THEN 'example.co.uk'
+        |    WHEN 2 THEN 'example.org'
+        |    ELSE 'example.net' END AS domain
+        |  FROM documents)
+        |SELECT domain, count(*) AS n_docs,
+        |       count(DISTINCT host) AS n_hosts,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM k GROUP BY domain ORDER BY domain""".stripMargin,
+
     // per-domain quota: the curate_take sampleKey replay partitioned
     // by the replayed registrable domain
     "curate_domain_cap" ->
       """SELECT doc_id, domain FROM (
         |  SELECT doc_id, domain, row_number() OVER (PARTITION BY domain
         |    ORDER BY CAST((CAST(doc_id AS HUGEINT) * 2654435761) % 1000000 AS DOUBLE) / 1000000.0 ASC,
+        |             doc_id ASC) AS rk
+        |  FROM (SELECT doc_id,
+        |    CASE doc_id % 4
+        |      WHEN 0 THEN 'example.com'
+        |      WHEN 1 THEN 'example.co.uk'
+        |      WHEN 2 THEN 'example.org'
+        |      ELSE 'example.net' END AS domain
+        |    FROM documents))
+        |WHERE rk <= 50 ORDER BY doc_id""".stripMargin,
+
+    // chained incremental quota == the first 50 per domain in
+    // (batch, sampleKey, doc_id) lexicographic order (each batch
+    // fills the remaining quota in sampleKey order, so the
+    // cumulative admit set is a prefix of this global order)
+    "curate_domain_cap_incr" ->
+      """SELECT doc_id, domain FROM (
+        |  SELECT doc_id, domain, row_number() OVER (PARTITION BY domain
+        |    ORDER BY doc_id % 3 ASC,
+        |             CAST((CAST(doc_id AS HUGEINT) * 2654435761) % 1000000 AS DOUBLE) / 1000000.0 ASC,
         |             doc_id ASC) AS rk
         |  FROM (SELECT doc_id,
         |    CASE doc_id % 4

@@ -3958,6 +3958,54 @@ object SparkEntry {
       .select("doc_id", "domain")
       .orderBy("doc_id")
 
+  /** INCREMENTAL domain stats (r18 — the daily-crawl form of
+    * curate_domain_stats, closing the one batch-only family): the
+    * corpus arrives as three batches (doc_id % 3), the first
+    * bootstraps a bucketed (domain, host) partials table, the other
+    * two append under their ingest_batch ids — only each batch is
+    * ever scanned — and the domain-level read serves from the table.
+    * SAME oracle output as the batch recompute: the partial grain
+    * keeps (domain, host), so summed n_docs/sum_chars and the
+    * countDistinct(host) at read are exactly mergeable (no sketch).
+    */
+  private def curateDomainStatsIncr(t: Tables): DataFrame = {
+    val urls = messyUrls(t)
+    val table = "graft_domstats_" +
+      java.lang.Integer.toHexString(t.dir.hashCode)
+    val b = F.pmod(F.col("doc_id"), F.lit(3))
+    Curate.domainStatsBuild(urls.where(b === 0), "url", "n_chars",
+      table, nBuckets = 8)
+    Curate.domainStatsAppend(urls.where(b === 1), "url", "n_chars",
+      table, ingestBatch = 1L, nBuckets = 8)
+    Curate.domainStatsAppend(urls.where(b === 2), "url", "n_chars",
+      table, ingestBatch = 2L, nBuckets = 8)
+    Curate.domainStats(t.spark.table(table)).orderBy("domain")
+  }
+
+  /** CROSS-BATCH domain quota (r18): the same three-batch arrival,
+    * each batch admitted through [[Curate.domainQuotaAdmit]] against
+    * the census of everything admitted before it. The twin replays
+    * the provable closed form — admitted = the first 50 docs per
+    * domain in (batch, sampleKey, doc_id) lexicographic order —
+    * so the hash gate proves the chained incremental semantics, not
+    * just row counts.
+    */
+  private def curateDomainCapIncr(t: Tables): DataFrame = {
+    val urls = messyUrls(t).select(F.col("doc_id"),
+      graft.functions.Urls.domain(F.col("url")).as("domain"))
+    val batchOf = F.pmod(F.col("doc_id"), F.lit(3))
+    var admitted: DataFrame = null
+    for (i <- 0 to 2) {
+      val prior = if (admitted == null)
+        Curate.admittedCounts(urls.where(F.lit(false)), "domain")
+      else Curate.admittedCounts(admitted, "domain")
+      val a = Curate.domainQuotaAdmit(urls.where(batchOf === i),
+        "doc_id", "domain", prior, cap = 50)
+      admitted = if (admitted == null) a else admitted.unionByName(a)
+    }
+    admitted.select("doc_id", "domain").orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------- wiring
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -4125,7 +4173,9 @@ object SparkEntry {
       "warc_neardup" -> q(warcNeardup),
       "url_domain_key" -> q(urlDomainKey),
       "curate_domain_stats" -> q(curateDomainStats),
+      "curate_domain_stats_incr" -> q(curateDomainStatsIncr),
       "curate_domain_cap" -> q(curateDomainCap),
+      "curate_domain_cap_incr" -> q(curateDomainCapIncr),
       "events_late_arrivals" -> q(eventsLateArrivals),
       "events_funnel" -> q(eventsFunnel),
       "events_outliers" -> q(eventsOutliers),

@@ -74,4 +74,33 @@ object StreamingStats {
         F.hll_union_agg(F.col("sk"), F.lit(false))).as("wau_est"))
     dau.join(wau, Seq("day_us"))
   }
+
+  /** Continuous DOMAIN-STATS maintenance (r18 — the streaming twin
+    * of [[graft.text.Curate.domainStatsAppend]], the sketchIngest
+    * pattern with exact mergeable partials instead of HLL): each
+    * micro-batch reduces to its (domain, host) partials — one scan
+    * of the BATCH, the historical corpus and the stats table are
+    * never re-read — and appends them under the micro-batch id.
+    * [[graft.text.Curate.domainStats]] over the table then equals
+    * the batch recompute of everything ingested, exactly (spec-gated
+    * micro-batch == batch). saveAsTable(Append) creates the table on
+    * the first batch, so no separate bootstrap step exists on the
+    * streaming path.
+    */
+  def domainStatsIngest(docs: DataFrame, urlCol: String, charsCol: String,
+                        table: String, nBuckets: Int = 8,
+                        checkpointDir: Option[String] = None)
+                       (onBatch: Long => Unit = _ => ())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.text.Curate.domainStatsAppend(batch, urlCol, charsCol,
+            table, ingestBatch = batchId, nBuckets = nBuckets)
+          onBatch(batchId)
+        }
+      }
+    checkpointDir.foreach(d => w.option("checkpointLocation", d))
+    w.start()
+  }
 }

@@ -1023,4 +1023,112 @@ object Curate {
         F.aggregate(F.col("__toks"), F.lit(0L),
           (acc, w) => acc + subCount(w)).as("n_subwords"))
   }
+
+  // ------------------------------- incremental domain curation (r18)
+
+  /** Per-(domain, host) PARTIAL stats of one batch — the mergeable
+    * grain of domain curation (the daily-crawl twin of the batch
+    * domain-stats query): n_docs and sum_chars are plain sums, and
+    * the domain's host spread is a countDistinct over this table's
+    * keys, so ANY number of per-batch partials aggregated at read
+    * time ([[domainStats]]) equals the full-corpus recompute EXACTLY
+    * — no sketch error, because the partial keeps the (domain, host)
+    * key instead of collapsing to a non-mergeable domain-level
+    * countDistinct. Rows with un-parseable URLs (null domain) are
+    * dropped, matching the batch query's grouping semantics.
+    */
+  def domainHostPartials(batch: DataFrame, urlCol: String,
+                         charsCol: String): DataFrame =
+    batch.select(
+        graft.functions.Urls.host(F.col(urlCol)).as("host"),
+        graft.functions.Urls.domain(F.col(urlCol)).as("domain"),
+        F.col(charsCol).cast("long").as("__chars"))
+      .where(F.col("domain").isNotNull)
+      .groupBy("domain", "host")
+      .agg(F.count(F.lit(1)).as("n_docs"),
+        F.sum(F.col("__chars")).as("sum_chars"))
+
+  /** Bootstrap the persisted domain-stats table from a corpus:
+    * (domain, host, n_docs, sum_chars, ingest_batch) bucketed+sorted
+    * by domain, so domain-level reads aggregate the table in place.
+    * The table is one row per (domain, host, batch) — orders of
+    * magnitude smaller than the corpus (a 100 TB crawl has ~1e8
+    * hosts, ~10 GB of stats rows) — and append-only: merging happens
+    * at read, the same absorb-at-read discipline as the exact-dedup
+    * hash index. `ingest_batch` is -1 for the bootstrap, the
+    * StreamingDedup lineage convention (an at-least-once loop can
+    * drop its own partial leftovers on re-run).
+    */
+  def domainStatsBuild(corpus: DataFrame, urlCol: String, charsCol: String,
+                       table: String, nBuckets: Int = 64): Unit =
+    graft.sources.Sources.writeBucketedMulti(
+      domainHostPartials(corpus, urlCol, charsCol)
+        .withColumn("ingest_batch", F.lit(-1L)),
+      table, bucketBy = Seq("domain"), nBuckets = nBuckets,
+      sortBy = Seq("domain", "host"))
+
+  /** Append one batch's partials under its `ingest_batch` id. Only
+    * the BATCH is scanned — the historical corpus and the existing
+    * stats rows are never re-read on the ingest path.
+    */
+  def domainStatsAppend(batch: DataFrame, urlCol: String, charsCol: String,
+                        table: String, ingestBatch: Long,
+                        nBuckets: Int = 64): Unit =
+    graft.sources.Sources.writeBucketedMulti(
+      domainHostPartials(batch, urlCol, charsCol)
+        .withColumn("ingest_batch", F.lit(ingestBatch)),
+      table, bucketBy = Seq("domain"), nBuckets = nBuckets,
+      sortBy = Seq("domain", "host"),
+      mode = org.apache.spark.sql.SaveMode.Append)
+
+  /** Domain-level stats served from the partials table (pass the
+    * frame read back from [[domainStatsBuild]]'s table, or any frame
+    * with (domain, host, n_docs, sum_chars) rows): equals the batch
+    * recompute over everything ingested so far, by mergeability of
+    * the partial grain. On the bucketed table the groupBy reads in
+    * place — no shuffle of the stats side.
+    */
+  def domainStats(partials: DataFrame): DataFrame =
+    partials.groupBy("domain")
+      .agg(F.sum("n_docs").as("n_docs"),
+        F.countDistinct("host").as("n_hosts"),
+        F.sum("sum_chars").as("sum_chars"))
+
+  /** CROSS-BATCH quota enforcement (the C4 anti-monoculture cap,
+    * incremental form): admit a batch row iff the domain's
+    * already-admitted count plus the row's deterministic rank within
+    * the batch stays ≤ `cap`. Ranks use the shared [[sampleKey]]
+    * order (engine-exact decimal arithmetic, id tie-break), so
+    * admission is reproducible on any partitioning; `prior` is a
+    * (domain, n_admitted) frame — [[admittedCounts]] of everything
+    * admitted so far, or the empty frame for the first batch.
+    *
+    * Equivalence (spec-gated, and what the wired twin replays
+    * closed-form): chaining batches through this filter admits
+    * exactly the first `cap` docs per domain in (batch, sampleKey,
+    * id) lexicographic order — each batch fills the domain's
+    * remaining quota in sampleKey order, so the cumulative admit set
+    * is a prefix of that global order.
+    */
+  def domainQuotaAdmit(batch: DataFrame, idCol: String, domainCol: String,
+                       prior: DataFrame, cap: Int,
+                       salt: Long = 0L): DataFrame = {
+    require(cap >= 1, "cap >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(domainCol)
+      .orderBy(sampleKey(F.col(idCol), salt).asc, F.col(idCol).asc)
+    batch.withColumn("__rk", F.row_number().over(w))
+      .join(prior.select(F.col(domainCol), F.col("n_admitted")),
+        Seq(domainCol), "left")
+      .where(F.col("__rk") + F.coalesce(F.col("n_admitted"), F.lit(0L)) <=
+        F.lit(cap.toLong))
+      .drop("__rk", "n_admitted")
+  }
+
+  /** (domain, n_admitted) census of an admitted set — the `prior`
+    * frame the NEXT [[domainQuotaAdmit]] call consumes. A caller
+    * persisting across jobs writes this next to the stats table.
+    */
+  def admittedCounts(admitted: DataFrame, domainCol: String): DataFrame =
+    admitted.groupBy(domainCol).agg(F.count(F.lit(1)).as("n_admitted"))
 }

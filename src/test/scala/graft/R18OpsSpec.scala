@@ -93,6 +93,92 @@ class R18OpsSpec extends SparkSpec {
     assert(vh.forall(_.getLong(1) == 1L), vh.mkString(","))
   }
 
+  // -------------------------------------- incremental domain curation
+
+  private def urlRows(n: Int) = spark.range(n).selectExpr(
+    "id as doc_id",
+    """concat('https://', CASE CAST(id % 3 AS INT)
+         WHEN 0 THEN concat('cdn', id % 5, '.assets.example.org')
+         WHEN 1 THEN 'www.example.co.uk'
+         ELSE 'news.example.net' END, '/p/', id) as url""",
+    "10 + id % 7 as n_chars")
+
+  test("domainStats: per-batch partials merge back to the exact batch recompute") {
+    import graft.text.Curate
+    val urls = urlRows(300)
+    val table = "r18_domstats_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val b = F.pmod(F.col("doc_id"), F.lit(3))
+    Curate.domainStatsBuild(urls.where(b === 0), "url", "n_chars", table, 4)
+    Curate.domainStatsAppend(urls.where(b === 1), "url", "n_chars", table, 1L, 4)
+    Curate.domainStatsAppend(urls.where(b === 2), "url", "n_chars", table, 2L, 4)
+    val incr = Curate.domainStats(spark.table(table))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val batch = Curate.domainStats(
+        Curate.domainHostPartials(urls, "url", "n_chars"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(incr == batch, s"incr=$incr batch=$batch")
+    // host spread survives the merge: 5 cdnN hosts pool under one domain
+    assert(incr("example.org")._2 == 5L, incr.toString)
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
+  test("domainQuotaAdmit: chained batches equal the (batch, sampleKey, id) global prefix") {
+    import graft.text.Curate
+    val urls = urlRows(300).select(F.col("doc_id"),
+      graft.functions.Urls.domain(F.col("url")).as("domain"))
+    val cap = 20
+    var admitted: org.apache.spark.sql.DataFrame = null
+    for (i <- 0 to 2) {
+      val prior = Curate.admittedCounts(
+        if (admitted == null) urls.where(F.lit(false)) else admitted, "domain")
+      val a = Curate.domainQuotaAdmit(
+        urls.where(F.pmod(F.col("doc_id"), F.lit(3)) === i),
+        "doc_id", "domain", prior, cap)
+      admitted = if (admitted == null) a else admitted.unionByName(a)
+    }
+    val got = admitted.select("doc_id").as[Long].collect().toSet
+    // closed form: first `cap` per domain in (batch, sampleKey, id) order
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("domain")
+      .orderBy(F.pmod(F.col("doc_id"), F.lit(3)).asc,
+        Curate.sampleKey(F.col("doc_id")).asc, F.col("doc_id").asc)
+    val want = urls.withColumn("rk", F.row_number().over(w))
+      .where(F.col("rk") <= cap).select("doc_id").as[Long].collect().toSet
+    assert(got == want, s"got ${got.size} want ${want.size}")
+    assert(got.size == 3 * cap) // 3 domains, every quota filled
+  }
+
+  test("domainStatsIngest: streaming micro-batches equal the batch recompute") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingStats
+    import graft.text.Curate
+    implicit val sq = spark.sqlContext
+    val table = "r18_domstats_stream"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val stream = MemoryStream[(Long, String, Long)]
+    val q = StreamingStats.domainStatsIngest(
+      stream.toDF().toDF("doc_id", "url", "n_chars"),
+      "url", "n_chars", table, nBuckets = 4,
+      checkpointDir = Some(java.nio.file.Files
+        .createTempDirectory("doms_ckpt").toString))()
+    val all = urlRows(150).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    try {
+      for (g <- all.grouped(50)) { stream.addData(g.toSeq: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val incr = Curate.domainStats(spark.table(table))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val batch = Curate.domainStats(Curate.domainHostPartials(
+        urlRows(150), "url", "n_chars"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(incr == batch, s"incr=$incr batch=$batch")
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("extractMain: block-level link farms cannot evade the density kill") {
     import graft.text.HtmlMainExtract
     // card-link pattern: the anchor wraps a div, so its text lands in
