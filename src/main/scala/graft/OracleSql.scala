@@ -3242,6 +3242,83 @@ object OracleSql {
          |SELECT id1, id2, CAST(bit_count(xor(s1, s2)) AS BIGINT) AS hamming
          |FROM p WHERE bit_count(xor(s1, s2)) <= 3 ORDER BY id1, id2""".stripMargin,
 
+    // dual-arm spatial/temporal video signatures (r18): v is constant
+    // within a grid cell, so every spatial bit reduces to a pure
+    // M-comparison (envelope term cancels by proportionality, frame
+    // dimension drops out); the temporal hash replays per-frame sums
+    // = 4320 + 240*sum(M) + 6480*env(bin) over 432 samples/frame.
+    // Arms: kind 1 shifts only bit(0,0)'s comparison to >= (the
+    // +10/-10 edit), kind 2 reads the mirrored columns.
+    "multimodal_video_spatial_sig" ->
+      """WITH d AS (SELECT doc_id, doc_id % 16 + 65 AS nf
+        |           FROM documents WHERE doc_id % 4 = 0),
+        |mc AS (SELECT doc_id, gr, c, hh * hh // 1000 % 7 AS m
+        |       FROM (SELECT doc_id, gr, c,
+        |               (doc_id * 65 + 200 + gr * 9 + c + 1) % 999983 * 2654435761 % 999983 AS hh
+        |             FROM d
+        |             CROSS JOIN (SELECT unnest([0, 2, 4, 6]) AS gr)
+        |             CROSS JOIN (SELECT unnest(generate_series(0, 8)) AS c))),
+        |sbits AS (SELECT l.doc_id, k.kind, l.gr * 8 + l.c AS i,
+        |        CASE
+        |          WHEN k.kind = 2 THEN CASE WHEN lm.m > rm.m THEN 1 ELSE 0 END
+        |          WHEN k.kind = 1 AND l.gr = 0 AND l.c = 0
+        |            THEN CASE WHEN l.m >= r.m THEN 1 ELSE 0 END
+        |          ELSE CASE WHEN l.m > r.m THEN 1 ELSE 0 END END AS bit
+        |       FROM mc l
+        |       JOIN mc r ON r.doc_id = l.doc_id AND r.gr = l.gr AND r.c = l.c + 1
+        |       JOIN mc lm ON lm.doc_id = l.doc_id AND lm.gr = l.gr AND lm.c = 8 - l.c
+        |       JOIN mc rm ON rm.doc_id = l.doc_id AND rm.gr = l.gr AND rm.c = 7 - l.c
+        |       CROSS JOIN (SELECT unnest([0, 1, 2]) AS kind) k
+        |       WHERE l.c <= 7),
+        |sh AS (SELECT doc_id, kind,
+        |        CAST(coalesce(sum(CASE WHEN bit = 1 THEN (1::BIGINT << i)
+        |                               ELSE 0 END), 0) AS BIGINT) AS shash
+        |       FROM sbits GROUP BY doc_id, kind),
+        |ms AS (SELECT doc_id, sum(m) AS sm FROM mc GROUP BY doc_id),
+        |fr AS (SELECT doc_id, nf, unnest(generate_series(0, nf - 1)) AS f FROM d),
+        |fe AS (SELECT doc_id, bin, hh * hh // 1000 % 7 AS env
+        |       FROM (SELECT doc_id, (f * 65) // nf AS bin,
+        |               (doc_id * 65 + (f * 65) // nf + 1) % 999983 * 2654435761 % 999983 AS hh
+        |             FROM fr)),
+        |cells AS (SELECT fe.doc_id, bin,
+        |        sum(4320 + 240 * ms.sm + 6480 * env) AS su,
+        |        432 * count(*) AS n
+        |       FROM fe JOIN ms ON ms.doc_id = fe.doc_id
+        |       GROUP BY fe.doc_id, bin),
+        |tbits AS (SELECT l.doc_id, l.bin AS i,
+        |        CASE WHEN r.su * l.n > l.su * r.n THEN 1 ELSE 0 END AS bit
+        |       FROM cells l JOIN cells r
+        |         ON l.doc_id = r.doc_id AND r.bin = l.bin + 1
+        |       WHERE l.bin <= 63),
+        |th AS (SELECT doc_id, CAST(sum(CASE WHEN bit = 0 THEN 0
+        |        WHEN i = 63 THEN -9223372036854775808
+        |        ELSE (1::BIGINT << i) END) AS BIGINT) AS thash
+        |       FROM tbits GROUP BY doc_id)
+        |SELECT d.doc_id * 3 + k.kind AS id,
+        |       coalesce(th.thash, 0) AS thash, sh.shash
+        |FROM d
+        |CROSS JOIN (SELECT unnest([0, 1, 2]) AS kind) k
+        |JOIN sh ON sh.doc_id = d.doc_id AND sh.kind = k.kind
+        |LEFT JOIN th ON th.doc_id = d.doc_id
+        |ORDER BY id""".stripMargin,
+
+    // dual-arm near-dup pairs: temporal bands from the sig dump
+    // (complete for the AND rule), both hammings verified
+    "multimodal_video_spatial_dedup" ->
+      s"""WITH s AS (SELECT id, thash, shash
+         |           FROM read_parquet('__VERIFY_OUT__/multimodal_video_spatial_sig/*.parquet')),
+         |b AS (SELECT id, thash, shash, band, thash & ($simhashMaskCase) AS key
+         |      FROM s CROSS JOIN (SELECT unnest($simhashBandList) AS band)),
+         |p AS (SELECT DISTINCT a.id AS id1, c.id AS id2,
+         |             a.thash AS t1, c.thash AS t2,
+         |             a.shash AS s1, c.shash AS s2
+         |      FROM b a JOIN b c ON a.band = c.band AND a.key = c.key AND a.id < c.id)
+         |SELECT id1, id2,
+         |       CAST(bit_count(xor(t1, t2)) AS BIGINT) AS t_hamming,
+         |       CAST(bit_count(xor(s1, s2)) AS BIGINT) AS s_hamming
+         |FROM p WHERE bit_count(xor(t1, t2)) <= 3
+         |  AND bit_count(xor(s1, s2)) <= 3 ORDER BY id1, id2""".stripMargin,
+
     // pHash pairs: the dedup_simhash materialized-signature trick —
     // bands + hamming replayed from the phash _sig dump (the fixed-
     // point DCT itself is spec-gated: provable flat-zero/brightness/

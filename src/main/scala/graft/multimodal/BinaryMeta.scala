@@ -723,6 +723,91 @@ object BinaryMeta {
       }(enc)
   }
 
+  /** SPATIAL-vs-TEMPORAL video fixture corpus (r18 — for the dual-arm
+    * near-dup gate): THREE real AVI clips per input id `d`, designed
+    * so all three share an IDENTICAL per-frame brightness curve
+    * (temporal hash equal BY CONSTRUCTION) while their spatial
+    * content tells them apart —
+    *  - 3d   base: w = 36 (9 uniform 4-px dHash columns, no DIB row
+    *         padding), h = 4 (grid rows 0/2/4/6 occupied, odd rows
+    *         empty — a legal dHash shape), nf = d%16+65 frames (≥ 65
+    *         so every temporal bin is occupied);
+    *         v(f, x, y) = 10 + 20·M(d, cy·9 + x/4) + 15·E(d, bin(f))
+    *         with cy = 2y, M(d, c) = (eh²/1000) % 7 over
+    *         eh = [[envelopeHash]](d, 200 + c) (the squared-hash
+    *         decorrelation rule; the 200 offset keeps the spatial
+    *         mix distinct from the temporal one) and E the standard
+    *         temporal envelope. v is CONSTANT within a grid cell, so
+    *         every spatial bit is the pure integer comparison
+    *         M(cell) > M(cell+1) — frame-count independent, E
+    *         cancels (proportional sums) — and the SQL twin needs no
+    *         frame dimension for the spatial hash at all.
+    *  - 3d+1 spatial near-dup: +10 on cell (0,0)'s pixels, −10 on
+    *         cell (0,1)'s — every frame's TOTAL is unchanged
+    *         (temporal hash EQUAL), and at most ONE spatial bit can
+    *         flip (bit(0,0), iff M₀ = M₁; bit(0,1) needs a 20-step
+    *         to cross, the ±10 shift cannot) — hamming ≤ 1 BY
+    *         CONSTRUCTION: the bounded spatial edit the dual rule
+    *         must CATCH.
+    *  - 3d+2 impostor: column-mirrored material (cell c reads
+    *         M(8−c)) — uniform cell widths make the pixel multiset,
+    *         hence every frame sum, identical (temporal hash EQUAL:
+    *         the collision the temporal-only pass cannot see) while
+    *         the spatial gradients reverse — the dual rule must
+    *         SPLIT it (spatial hamming large unless M is
+    *         palindromic, which the twin replays identically).
+    */
+  def syntheticVideoSpatialCorpus(df: DataFrame, idCol: String): DataFrame = {
+    val out = StructType(Seq(
+      StructField("id", LongType),
+      StructField("blob", BinaryType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(out)
+    df.select(F.col(idCol).cast("long").as("id"))
+      .where(F.col("id").isNotNull && F.col("id") >= 0)
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val d = r.getLong(0)
+          val w = 36
+          val h = 4
+          // >= 65 frames: every temporal bin occupied, so adjacent-bin
+          // comparisons are live and thash stays decorrelated across
+          // docs — sparser clips would all hash to 0 temporally and
+          // the band join would degenerate to all-pairs (the r17
+          // fixture lesson); callers budget corpus size instead
+          val nf = (d % 16 + 65).toInt
+          def mix(bin: Long): Int =
+            { val hh = envelopeHash(d, bin); hh * hh / 1000 % 7 }.toInt
+          // memoized per-cell and per-frame terms (the r17 lesson:
+          // never recompute hash arithmetic inside the per-sample
+          // closure)
+          val mCell = Array.tabulate(8, 9)((cy, cx) =>
+            if (cy % 2 == 0) 20 * mix(200L + cy * 9 + cx) else 0)
+          val envByFrame = Array.tabulate(nf)(f => 15 * mix(f.toLong * 65 / nf))
+          def vAt(f: Int, cy: Int, cx: Int): Int =
+            10 + mCell(cy)(cx) + envByFrame(f)
+          def xy(s: Long): (Int, Int) = {
+            val y = (s / (w * 3)).toInt
+            val x = ((s % (w * 3)) / 3).toInt
+            (x, y)
+          }
+          val base = AviCodec.encode(w, h, nf, 33333L, { (f, s) =>
+            val (x, y) = xy(s); vAt(f, 2 * y, x / 4)
+          })
+          val edited = AviCodec.encode(w, h, nf, 33333L, { (f, s) =>
+            val (x, y) = xy(s)
+            val delta = if (y == 0 && x < 4) 10
+              else if (y == 0 && x < 8) -10 else 0
+            vAt(f, 2 * y, x / 4) + delta
+          })
+          val mirrored = AviCodec.encode(w, h, nf, 33333L, { (f, s) =>
+            val (x, y) = xy(s); vAt(f, 2 * y, 8 - x / 4)
+          })
+          Seq(Row(3 * d, base), Row(3 * d + 1, edited),
+            Row(3 * d + 2, mirrored))
+        }
+      }(enc)
+  }
+
   /** REAL batched WAV PCM decode via mapPartitions ([[WavCodec
     * .decodeStats]]): container chunk walk + sample scan emitting
     * per-clip exact integer aggregates — the metadata/quality-pass

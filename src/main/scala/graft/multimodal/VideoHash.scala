@@ -83,6 +83,96 @@ object VideoHash {
                      blobCol: String = "blob"): DataFrame =
     graft.dedup.Dedup.hammingPairs(videoHashDf(df, idCol, blobCol),
       "vhash", maxHamming)
+
+  /** 64-bit SPATIAL video hash (r18 — the arm [[videoHash64]] lacks:
+    * the temporal hash sees only the per-frame brightness curve, so
+    * two different videos with the same curve collide and a spatial
+    * edit that preserves frame sums is invisible to it): every
+    * `stride`-th frame's raster is pooled onto the dHash 9×8 grid
+    * ([[AviCodec.decodeFramePooled]], exact integer (count, sum) per
+    * cell), cells ACCUMULATE across the sampled keyframes, and bit
+    * (r, c) records whether the pooled mean falls from column c to
+    * c+1 — [[ImageHash.dhash64]]'s horizontal-gradient rule over the
+    * clip's average frame. Same no-division cross-multiply, so two
+    * invariances are unconditional: uniform brightness shift
+    * (+c·cnt cancels across the comparison) and raster-identical
+    * re-encode; 2× nearest-neighbor upscale is invariant WHEN the
+    * cell map commutes with the doubling — dims where every grid
+    * cell's pixel block doubles exactly (h a multiple of 8, w of 9;
+    * e.g. 36×8 → 72×16) — unlike the temporal hash, which pools
+    * whole frames and is upscale-invariant unconditionally.
+    * Null for undecodable/zero-frame clips.
+    * Overflow-safe: 64 MiB cap ⇒ ≤ 2^26 samples, |sum·cnt| < 2^60.
+    */
+  def videoSpatialHash64(bytes: Array[Byte],
+                         stride: Int = 4): java.lang.Long = {
+    val cells = AviCodec.decodeFramePooled(bytes, stride, gy = 8, gx = 9) match {
+      case Some(c) if c.nonEmpty => c
+      case _ => return null
+    }
+    val sum = new Array[Long](72)
+    val cnt = new Array[Long](72)
+    cells.foreach { fp =>
+      val cell = fp.cy * 9 + fp.cx
+      sum(cell) += fp.sumVal
+      cnt(cell) += fp.nSamples
+    }
+    var hash = 0L
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        val l = r * 9 + c
+        if (sum(l) * cnt(l + 1) > sum(l + 1) * cnt(l))
+          hash |= 1L << (r * 8 + c)
+        c += 1
+      }
+      r += 1
+    }
+    java.lang.Long.valueOf(hash)
+  }
+
+  /** spatial video hash column (codegen'd kernel). */
+  def videoSpatialHash64Col(blob: Column, stride: Int = 4): Column =
+    Bridge.column(VSpatialHash64(Bridge.expression(blob), stride))
+
+  /** (id, thash, shash) dual signatures; undecodable payloads
+    * dropped (both hashes decode the same container, so they are
+    * null together).
+    */
+  def videoDualHashDf(df: DataFrame, idCol: String,
+                      blobCol: String = "blob",
+                      stride: Int = 4): DataFrame =
+    df.select(F.col(idCol).as("id"),
+        videoHash64Col(F.col(blobCol)).as("thash"),
+        videoSpatialHash64Col(F.col(blobCol), stride).as("shash"))
+      .where(F.col("thash").isNotNull && F.col("shash").isNotNull)
+
+  /** Dual-arm near-dup clip pairs (r18): candidates from the
+    * pigeonhole band join on the TEMPORAL hash (any pair passing
+    * both thresholds has temporal hamming ≤ maxTemporalHamming, so
+    * temporal banding alone is a complete candidate generator for
+    * the AND rule), then BOTH arms verify — temporal-only collisions
+    * (different material, same brightness curve) are split by the
+    * spatial arm, while genuine remasters and bounded spatial edits
+    * pass both. Output (id1, id2, t_hamming, s_hamming).
+    */
+  def videoNearDupPairs(df: DataFrame, idCol: String,
+                        maxTemporalHamming: Int = 3,
+                        maxSpatialHamming: Int = 3,
+                        blobCol: String = "blob",
+                        stride: Int = 4): DataFrame = {
+    val sigs = videoDualHashDf(df, idCol, blobCol, stride)
+    val tPairs = graft.dedup.Dedup.hammingPairs(
+        sigs.select("id", "thash"), "thash", maxTemporalHamming)
+      .withColumnRenamed("hamming", "t_hamming")
+    tPairs
+      .join(sigs.select(F.col("id").as("id1"), F.col("shash").as("__s1")), "id1")
+      .join(sigs.select(F.col("id").as("id2"), F.col("shash").as("__s2")), "id2")
+      .select(F.col("id1"), F.col("id2"), F.col("t_hamming"),
+        F.bit_count(F.col("__s1").bitwiseXOR(F.col("__s2"))).as("s_hamming"))
+      .where(F.col("s_hamming") <= maxSpatialHamming)
+  }
 }
 
 /** Codegen'd 64-bit temporal luminance-envelope hash over a binary
@@ -114,5 +204,40 @@ case class VHash64(child: org.apache.spark.sql.catalyst.expressions.Expression)
 
   override protected def withNewChildInternal(
       newChild: org.apache.spark.sql.catalyst.expressions.Expression): VHash64 =
+    copy(child = newChild)
+}
+
+/** Codegen'd 64-bit SPATIAL video hash (keyframe-pooled dHash grid);
+  * `stride` is a plan-time constant. Nullable for undecodable
+  * payloads — the DHash64 stance.
+  */
+case class VSpatialHash64(
+    child: org.apache.spark.sql.catalyst.expressions.Expression,
+    stride: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "video_spatial_hash64"
+
+  override def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[Array[Byte]])
+
+  def kernel(bytes: Array[Byte]): java.lang.Long =
+    VideoHash.videoSpatialHash64(bytes, stride)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj(prettyName, this, getClass.getName)
+    nullSafeCodeGen(ctx, ev, x => {
+      val r = ctx.freshName("vsh")
+      s"""
+         |java.lang.Long $r = $ref.kernel($x);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r.longValue(); }
+         |""".stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression): VSpatialHash64 =
     copy(child = newChild)
 }

@@ -93,6 +93,77 @@ class R18OpsSpec extends SparkSpec {
     assert(vh.forall(_.getLong(1) == 1L), vh.mkString(","))
   }
 
+  // ------------------------------------------ spatial video near-dup
+
+  test("videoSpatialHash64: invariances + the temporal hash's blind spots") {
+    import graft.multimodal.{AviCodec, VideoHash}
+    // h = 8: grid rows align 1:1, so the 2x-upscale cell map commutes
+    // (the documented condition for spatial upscale invariance)
+    val w = 36; val h = 8; val nf = 16
+    // ramp profile: its descent pattern is NOT reversal-symmetric,
+    // so the mirror genuinely flips gradient bits
+    def m(c: Int) = Array(0, 1, 2, 3, 4, 5, 6, 5, 4)(c)
+    def base(f: Int, s: Long): Int = {
+      val x = ((s % (w * 3)) / 3).toInt
+      10 + 20 * m(x / 4) + (if (f % 2 == 0) 15 else 0)
+    }
+    val clip = AviCodec.encode(w, h, nf, 33333L, base)
+    // brightness shift and 2x nearest upscale: spatial hash identical
+    val bright = AviCodec.encode(w, h, nf, 33333L, (f, s) => base(f, s) + 30)
+    val up = AviCodec.encode(2 * w, 2 * h, nf, 33333L, { (f, s) =>
+      val x2 = ((s % (2 * w * 3)) / 3).toInt
+      val y2 = (s / (2 * w * 3)).toInt
+      base(f, (y2 / 2).toLong * w * 3 + (x2 / 2) * 3 + s % 3)
+    })
+    val sBase = VideoHash.videoSpatialHash64(clip)
+    assert(sBase != null)
+    assert(VideoHash.videoSpatialHash64(bright) == sBase)
+    assert(VideoHash.videoSpatialHash64(up) == sBase)
+    // mirrored material: SAME per-frame sums (temporal hash equal),
+    // DIFFERENT spatial hash — the collision the temporal arm misses
+    val mir = AviCodec.encode(w, h, nf, 33333L, { (f, s) =>
+      val x = ((s % (w * 3)) / 3).toInt
+      10 + 20 * m(8 - x / 4) + (if (f % 2 == 0) 15 else 0)
+    })
+    assert(VideoHash.videoHash64(mir) == VideoHash.videoHash64(clip))
+    val sMir = VideoHash.videoSpatialHash64(mir)
+    assert(sMir != sBase, "mirror must change the spatial hash")
+    assert(java.lang.Long.bitCount(sBase ^ sMir) > 3,
+      s"mirror should be far: ${java.lang.Long.bitCount(sBase ^ sMir)}")
+  }
+
+  test("videoNearDupPairs: spatial edits caught, temporal-only collisions split") {
+    import graft.multimodal.{BinaryMeta, VideoHash}
+    val corpus = BinaryMeta.syntheticVideoSpatialCorpus(
+      spark.range(40).toDF("doc_id"), "doc_id")
+    val sigs = VideoHash.videoDualHashDf(corpus, "id").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(sigs.size == 120)
+    for (d <- 0L until 40L) {
+      // all three arms share one brightness curve -> temporal equal
+      assert(sigs(3 * d)._1 == sigs(3 * d + 1)._1, s"d=$d edit thash")
+      assert(sigs(3 * d)._1 == sigs(3 * d + 2)._1, s"d=$d mirror thash")
+      // the spatial edit flips at most one bit
+      assert(java.lang.Long.bitCount(sigs(3 * d)._2 ^ sigs(3 * d + 1)._2) <= 1,
+        s"d=$d edit shash")
+    }
+    // the dual rule: edits caught, mirrors overwhelmingly split
+    val pairs = VideoHash.videoNearDupPairs(corpus, "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (d <- 0L until 40L)
+      assert(pairs.contains((3 * d, 3 * d + 1)), s"d=$d edit pair missing")
+    val mirrorCaught = (0L until 40L).count(d =>
+      pairs.contains((3 * d, 3 * d + 2)))
+    assert(mirrorCaught <= 4,
+      s"mirrors should split (non-palindromic M): caught $mirrorCaught/40")
+    // and a temporal-only pass WOULD have reported every mirror pair
+    val temporalOnly = VideoHash.videoHashPairs(corpus, "id", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (d <- 0L until 40L)
+      assert(temporalOnly.contains((3 * d, 3 * d + 2)),
+        s"d=$d mirror invisible to the temporal arm — fixture broken")
+  }
+
   // -------------------------------------- incremental domain curation
 
   private def urlRows(n: Int) = spark.range(n).selectExpr(
