@@ -344,8 +344,20 @@ object Ann {
     */
   def capReport(df: DataFrame, idCol: String, vecCol: String,
                 nPlanes: Int, bands: Int, bucketCap: Long,
-                metricPrefix: String = "embedding"): DataFrame = {
-    val over = bandedSignatures(df, idCol, vecCol, nPlanes, bands)
+                metricPrefix: String = "embedding"): DataFrame =
+    capReportFromBanded(
+      bandedSignatures(df, idCol, vecCol, nPlanes, bands),
+      bucketCap, metricPrefix)
+
+  /** [[capReport]] over a PRE-BUILT (id, band, key) banded frame —
+    * the Dedup.capReport(docShingles, minhashBanded, …) pattern: a
+    * caller already holding the signatures (persisted index, a
+    * process-level memo) pays only the per-bucket count, never a
+    * fresh signature pass. Counters identical by construction.
+    */
+  def capReportFromBanded(banded: DataFrame, bucketCap: Long,
+                          metricPrefix: String = "embedding"): DataFrame = {
+    val over = banded
       .groupBy("band", "key").agg(F.count(F.lit(1)).as("bn"))
       .where(F.col("bn") > bucketCap)
     val agg = over.agg(
