@@ -814,6 +814,67 @@ class TextOpsSpec extends SparkSpec {
       "mis-declared DRI (no markers in scan) must return None")
   }
 
+  // -------------------------- progressive JPEG restarts (DRI/RSTn)
+
+  test("JpegCodec progressive DRI: AC-bearing restart streams == the baseline twin") {
+    import graft.multimodal.JpegCodec
+    // real crawl JPEGs carry restart intervals; the r17 matrix gated
+    // restarts only on DC-only progressive fixtures. Here every scan
+    // family restarts mid-stream on AC-BEARING content: random
+    // images, 6-scan progressive (DC first/refine, split AC
+    // first/refine bands — EOB runs MUST terminate at each restart
+    // boundary) vs the independent baseline encoder's framing of the
+    // SAME quantized coefficients, rasters byte-identical.
+    val rnd = new scala.util.Random(37)
+    for (trial <- 0 until 6) {
+      val w = 9 + rnd.nextInt(28)
+      val h = 9 + rnd.nextInt(20)
+      val interval = 1 + rnd.nextInt(5)
+      val ssSplit = 1 + rnd.nextInt(20)
+      val img = Array.fill(h, w)(rnd.nextInt(256))
+      val base = TestJpegEncoder.encode(w, h, (x, y) => img(y)(x),
+        qdc = 1, qac = 1)
+      val prog = ProgJpegEncoder.encode(w, h, (x, y) => img(y)(x),
+        qdc = 1, qac = 1, ssSplit = ssSplit, restartInterval = interval)
+      val (w1, h1, p1) = JpegCodec.decodeRaster(base).getOrElse(
+        fail(s"trial $trial: baseline None"))
+      val (w2, h2, p2) = JpegCodec.decodeRaster(prog).getOrElse(fail(
+        s"trial $trial (${w}x$h dri=$interval split=$ssSplit): prog None"))
+      assert((w1, h1) == ((w2, h2)))
+      assert(p1.sameElements(p2),
+        s"trial $trial (${w}x$h dri=$interval split=$ssSplit): diverged")
+      assert(JpegCodec.decodeStats(prog).get == JpegCodec.decodeStats(base).get)
+    }
+  }
+
+  test("JpegCodec progressive color DRI: 4:4:4 and 4:2:0 restart streams == baseline") {
+    import graft.multimodal.JpegCodec
+    val rnd = new scala.util.Random(41)
+    for (sub420 <- Seq(false, true); interval <- Seq(1, 3)) {
+      val w = 17 + rnd.nextInt(20)
+      val h = 11 + rnd.nextInt(14)
+      val yP = Array.fill(h, w)(rnd.nextInt(256))
+      val cw = if (sub420) (w + 1) / 2 else w
+      val ch = if (sub420) (h + 1) / 2 else h
+      val cbP = Array.fill(ch, cw)(rnd.nextInt(256))
+      val crP = Array.fill(ch, cw)(rnd.nextInt(256))
+      val base = TestJpegEncoder.encodeColor(w, h,
+        (x, y) => yP(y)(x), (x, y) => cbP(y)(x), (x, y) => crP(y)(x),
+        sub420 = sub420)
+      val prog = ProgJpegEncoder.encodeColor(w, h,
+        (x, y) => yP(y)(x), (x, y) => cbP(y)(x), (x, y) => crP(y)(x),
+        ssSplit = 1 + rnd.nextInt(20), restartInterval = interval,
+        sub420 = sub420)
+      val a = JpegCodec.decodeColorRaster(base).getOrElse(
+        fail(s"sub420=$sub420 dri=$interval: baseline None"))
+      val b = JpegCodec.decodeColorRaster(prog).getOrElse(
+        fail(s"sub420=$sub420 dri=$interval: progressive None"))
+      assert(a._1 == b._1 && a._2 == b._2 && a._3.sameElements(b._3),
+        s"sub420=$sub420 dri=$interval (${w}x$h): color rasters diverged")
+    }
+  }
+
+
   test("JpegCodec DRI: AC-bearing restart streams from the independent fDCT encoder") {
     import graft.multimodal.JpegCodec
     val rnd = new scala.util.Random(23)
