@@ -243,11 +243,19 @@ object ValueMatcher {
     // and refuse over budget: the join fan-out of each signature gram
     // is exactly its opposite-side posting count, and the both-short
     // arm contributes the length-band census product. Decimal sums —
-    // a quadratic blowup must refuse, not wrap.
+    // a quadratic blowup must refuse, not wrap. The signature frames
+    // are persisted so the guard's eager pass (join + window per
+    // side) is the SAME work the candidate join reuses — the guard
+    // costs one extra counts-only aggregate, not a second window
+    // pass; ContextCleaner reclaims the blocks once the plan is GC'd.
+    val sigA = signature(ga)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigB = signature(gb)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dec = "decimal(38,0)"
-    val fanLong = signature(ga).agg(
+    val fanLong = sigA.agg(
         F.coalesce(F.sum(F.col("__nb").cast(dec)), F.lit(0).cast(dec)).as("f"))
-      .unionAll(signature(gb).agg(
+      .unionAll(sigB.agg(
         F.coalesce(F.sum(F.col("__na").cast(dec)), F.lit(0).cast(dec)).as("f")))
       .agg(F.sum(F.col("f")).as("f")).head().getDecimal(0)
     val la = va.where(F.length(F.col("v")) < shortLen)
@@ -261,6 +269,10 @@ object ValueMatcher {
     val fanShort = if (fanShortRow.isNullAt(0))
       java.math.BigDecimal.ZERO else fanShortRow.getDecimal(0)
     val estimate = fanLong.add(fanShort)
+    if (estimate.compareTo(
+        java.math.BigDecimal.valueOf(maxCandidates)) > 0) {
+      sigA.unpersist(blocking = false); sigB.unpersist(blocking = false)
+    }
     require(estimate.compareTo(
         java.math.BigDecimal.valueOf(maxCandidates)) <= 0,
       s"editDistanceJoin: candidate budget exceeded — Σ df(signature " +
@@ -272,12 +284,12 @@ object ValueMatcher {
         "the column first (e.g. linkByName with a block key, or a " +
         "length/prefix stratification), or raise maxCandidates " +
         "knowingly")
-    val candLong = signature(ga).select("v", "gram")
+    val candLong = sigA.select("v", "gram")
       .withColumnRenamed("v", "source")
       .join(gb.withColumnRenamed("v", "target"), "gram")
       .select("source", "target")
       .unionAll(ga.withColumnRenamed("v", "source")
-        .join(signature(gb).select("v", "gram")
+        .join(sigB.select("v", "gram")
           .withColumnRenamed("v", "target"), "gram")
         .select("source", "target"))
     // both-short bucket: a (2k+1)-key length-band equi-join
