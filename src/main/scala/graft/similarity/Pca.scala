@@ -11,10 +11,13 @@ import org.apache.spark.sql.{functions => F}
   * Split of work, sized to what each side is good at:
   *  - DISTRIBUTED: the mean vector and the d×d covariance of a
   *    bounded deterministic sample (the shared ANN trainer sample —
-  *    a pure function of the ids) — one explode to (i ≤ j) cell
-  *    contributions, decimal-accumulated so the matrix is
-  *    partitioning-invariant. d is a small constant (64 here), so the
-  *    shuffle carries d(d+1)/2 keys with map-side partial aggregation.
+  *    a pure function of the ids). The covariance is ONE map-side
+  *    Gram aggregate ([[graft.functions.CovUpperSumAgg]]): each task
+  *    accumulates all (i ≤ j) products of its centered vectors into a
+  *    flat d(d+1)/2 exact fixed-point long buffer, merged
+  *    associatively — products never become rows, the shuffle carries
+  *    one buffer per task, and exact integer sums keep the matrix
+  *    partitioning-invariant.
   *  - DRIVER: the d×d symmetric eigensolve (cyclic Jacobi, fixed
   *    sweep order → deterministic) — O(d^3) scalar math on a matrix
   *    that is driver-small BY CONSTRUCTION; distributing it would be
@@ -56,23 +59,30 @@ object Pca {
     val d = mu.length
     require(k <= d, s"k=$k exceeds dimension $d")
     val muL = F.typedlit(mu.toSeq)
-    // centered upper-triangle covariance cells (i <= j): explode each
-    // vector to its d(d+1)/2 products — decimal sums, then /n
+    // centered upper-triangle covariance: ONE map-side pass with the
+    // Gram aggregate (graft.functions.CovUpperSumAgg — d(d+1)/2
+    // exact fixed-point long cells per task, merged associatively;
+    // replaces the d(d+1)/2-rows-per-vector explode + decimal hash
+    // aggregate that dominated training). Products round once to the
+    // 1e-12 grid and sum exactly, so the matrix is partition-order
+    // invariant; the long→double rescale goes through BigDecimal for
+    // an exact decimal read.
     val centered = sample.select(
       F.zip_with(F.transform(F.col("cv"), x => x.cast("double")),
         F.sequence(F.lit(0), F.lit(d - 1)),
         (x, i) => x - F.element_at(muL, i + 1)).as("cv0"))
-    val cells = centered
-      .select(F.posexplode(F.col("cv0")).as(Seq("i", "xi")), F.col("cv0"))
-      .select(F.col("i"), F.col("xi"), F.posexplode(F.col("cv0")).as(Seq("j", "xj")))
-      .where(F.col("j") >= F.col("i"))
-      .groupBy("i", "j")
-      .agg(F.sum((F.col("xi") * F.col("xj")).cast("decimal(30,12)"))
-        .cast("double").as("s"))
-      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2) / n).toMap
+    val cellsFlat = centered
+      .agg(graft.functions.CovUpperSumAgg
+        .covUpperSumAgg(F.col("cv0"), d).as("s"))
+      .head().getSeq[Long](0)
     sample.unpersist()
-    val cov = Array.tabulate(d, d)((i, j) =>
-      cells.getOrElse((math.min(i, j), math.max(i, j)), 0.0))
+    def cellAt(i: Int, j: Int): Double = {
+      val (lo, hi) = (math.min(i, j), math.max(i, j))
+      val idx = lo * d - lo * (lo - 1) / 2 + (hi - lo)
+      new java.math.BigDecimal(
+        java.math.BigInteger.valueOf(cellsFlat(idx)), 12).doubleValue() / n
+    }
+    val cov = Array.tabulate(d, d)((i, j) => cellAt(i, j))
     val (evals, evecs) = jacobiEigen(cov)
     // top-k by eigenvalue desc, index asc on ties; sign-normalize
     val order = evals.indices.sortBy(i => (-evals(i), i)).take(k)

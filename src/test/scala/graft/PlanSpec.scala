@@ -167,6 +167,9 @@ class PlanSpec extends SparkSpec {
     // broadcast-bounded side) crosses the source domain behind the
     // 5t-4 length band
     "match_values_jw",
+    // the non-ASCII gate runs the SAME jw matcher over its 8-variant /
+    // 8-canonical name spines — both domains literal-bounded
+    "match_values_jw_unicode",
     "match_schema_name", "match_schema_sketch", "match_schema_twophase",
     "match_schema_maxvalsim", "match_schema_overlap", "match_schema_topk",
     // coma crosses the column-name score matrices (driver-small);

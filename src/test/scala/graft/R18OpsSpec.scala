@@ -434,4 +434,41 @@ class R18OpsSpec extends SparkSpec {
     // not document-wide (the kept paragraph above proves that)
     assert(got == "clean paragraph kept intact here", got)
   }
+
+  test("CovUpperSumAgg: one-pass Gram equals the hand computation; partition-order invariant; overflow refuses") {
+    import graft.functions.CovUpperSumAgg
+    // 5 centered 3-vectors with exact decimal coordinates
+    val rows = Seq(
+      Seq(0.5, -1.25, 2.0), Seq(-0.5, 0.75, -1.0), Seq(1.5, 0.25, 0.0),
+      Seq(-2.0, 1.0, 0.5), Seq(0.5, -0.75, -1.5)).map(v => Tuple1(v))
+    val df = rows.toDF("cv0")
+    def run(d: org.apache.spark.sql.DataFrame): Seq[Long] =
+      d.agg(CovUpperSumAgg.covUpperSumAgg(F.col("cv0"), 3).as("s"))
+        .head().getSeq[Long](0)
+    val got = run(df)
+    // hand Gram: sum over rows of round(x_i*x_j*1e12), i <= j row-major
+    val vecs = rows.map(_._1)
+    val want = for (i <- 0 until 3; j <- i until 3) yield
+      vecs.map(v => Math.round(v(i) * v(j) * 1e12)).sum
+    assert(got == want, s"gram cells: $got vs $want")
+    // partition-order invariance: exact long sums commute
+    assert(run(df.repartition(7)) == want, "repartitioned gram must be identical")
+    // nulls are skipped, dim mismatch refuses loudly
+    val withNull = df.unionAll(Seq(Tuple1(null.asInstanceOf[Seq[Double]])).toDF("cv0"))
+    assert(run(withNull) == want, "null vectors must not contribute")
+    val bad = intercept[Exception] {
+      Seq(Tuple1(Seq(1.0, 2.0))).toDF("cv0")
+        .agg(CovUpperSumAgg.covUpperSumAgg(F.col("cv0"), 3)).head()
+    }
+    assert(bad.getMessage != null)
+    // per-product magnitude guard: a 1e7-scale coordinate blows the
+    // 1e-12 fixed-point range and must refuse, not wrap
+    val huge = intercept[Exception] {
+      Seq(Tuple1(Seq(3.0e6, 0.0, 0.0))).toDF("cv0")
+        .agg(CovUpperSumAgg.covUpperSumAgg(F.col("cv0"), 3)).head()
+    }
+    assert(huge.getMessage.contains("fixed-point") ||
+      (huge.getCause != null && huge.getCause.getMessage.contains("fixed-point")),
+      s"overflow must name the guard: ${huge.getMessage}")
+  }
 }
