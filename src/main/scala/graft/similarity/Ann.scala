@@ -385,8 +385,9 @@ object Ann {
     * each query brute-forces only its nProbe nearest cells. The per-row cell assignment is a native expression with the
     * centroid matrix riding in the plan; at 100 TB the corpus scan is
     * one pass and the candidate join touches nProbe/nCells of the data.
-    * Centroid means use decimal accumulation so training is
-    * deterministic across partitionings.
+    * Centroid training is a driver Lloyd over the bounded collected
+    * sample (total id order, fixed-order sums) — deterministic across
+    * partitionings with zero per-iteration jobs.
     */
   def ivfTopK(queries: DataFrame, qId: String, qVec: String,
               corpus: DataFrame, cId: String, cVec: String,
@@ -461,9 +462,9 @@ object Ann {
       .orderBy(F.xxhash64(F.col("neighbor_id")), F.col("neighbor_id"))
       .limit(maxTrain)
       // TakeOrdered emits one partition; respread (~25k vectors per
-      // slice at the design bound) so the Lloyd aggregations below
-      // parallelize — assignment order is irrelevant, means use
-      // decimal accumulation, deterministic under any layout
+      // slice at the design bound) so the distributed consumers (the
+      // PCA mean/Gram aggregates) parallelize — the Lloyd trainers
+      // collect in total id order, so layout never reaches them
       .repartition(math.max(1, maxTrain / 25000))
       .persist()
     trainSet.count()
@@ -476,34 +477,75 @@ object Ann {
     * function of the ids, so sharing changes nothing numerically and
     * saves a full corpus sampling pass; the owner unpersists it.
     */
+  /** Collect the bounded training sample to the driver in a TOTAL
+    * order (neighbor_id asc), as dense double arrays. The sample is
+    * driver-small BY CONSTRUCTION (maxTrain vectors — the same
+    * bounded-sample argument as the PCA eigensolve), so training
+    * iterates locally: the distributed per-iteration jobs — and the
+    * per-iteration CODEGEN of fresh literal centroid matrices, which
+    * dominated training wall-clock on bounded corpora — disappear.
+    * Distributed work remains exactly where the data is unbounded:
+    * corpus assignment, encode, and the query scan.
+    */
+  private[similarity] def collectSampleVecs(
+      trainSet: DataFrame): Array[Array[Double]] =
+    trainSet.orderBy("neighbor_id")
+      .select(F.transform(F.col("cv"), x => x.cast("double")).as("v"))
+      .collect().map(_.getSeq[Double](0).toArray)
+
+  /** Driver Lloyd over the collected sample — scoring identical to
+    * the distributed [[graft.functions.HashExprs.topCells]] kernel
+    * (dot / centroid-norm; dead centroids -Inf; argmax breaks ties on
+    * the LOWEST index via strict >). Deterministic: the sample is in
+    * total id order and sums run in that fixed order; empty cells
+    * keep their previous centroid, matching the distributed trainer
+    * this replaces. Init: the nCells lowest-id sample vectors.
+    */
+  private[similarity] def lloydLocal(rows: Array[Array[Double]],
+                                     nCells: Int,
+                                     iters: Int): Seq[Seq[Double]] = {
+    var cents: Array[Array[Double]] = rows.take(nCells).map(_.clone)
+    val k = cents.length
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(k)(new Array[Double](cents.headOption.map(_.length).getOrElse(0)))
+      val counts = new Array[Long](k)
+      val norms = cents.map(c0 => math.sqrt(c0.map(x => x * x).sum))
+      rows.foreach { v =>
+        var best = -1
+        var bestScore = Double.NegativeInfinity
+        var c0 = 0
+        while (c0 < k) {
+          val cent = cents(c0)
+          val d = math.min(v.length, cent.length)
+          var dot = 0.0
+          var i = 0
+          while (i < d) { dot += v(i) * cent(i); i += 1 }
+          val s = if (norms(c0) > 0) dot / norms(c0) else Double.NegativeInfinity
+          if (best < 0 || s > bestScore) { best = c0; bestScore = s }
+          c0 += 1
+        }
+        val acc = sums(best)
+        var i = 0
+        val d = math.min(v.length, acc.length)
+        while (i < d) { acc(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      cents = cents.indices.map { i =>
+        if (counts(i) > 0) sums(i).map(_ / counts(i)) else cents(i)
+      }.toArray
+    }
+    cents.map(_.toSeq).toSeq
+  }
+
   private def trainCentroids(c: DataFrame, nCells: Int, iters: Int,
                              maxTrain: Int,
                              rowCountHint: Option[Long] = None,
                              sharedSample: Option[DataFrame] = None): Seq[Seq[Double]] = {
-    import graft.functions.HashExprs.topCells
     val trainSet = sharedSample.getOrElse(
       boundedTrainSample(c, maxTrain, rowCountHint))
-
-    // deterministic init: the nCells lowest-id training vectors
-    var cents: Seq[Seq[Double]] = trainSet.orderBy("neighbor_id").limit(nCells)
-      .select(F.transform(F.col("cv"), x => x.cast("double")).as("v"))
-      .collect().map(_.getSeq[Double](0).toSeq).toSeq
-
-    for (_ <- 1 to iters) {
-      val assigned = trainSet.select(
-        F.element_at(topCells(F.col("cv"), cents, 1), 1).as("cell"), F.col("cv"))
-      val means = assigned
-        .select(F.col("cell"), F.posexplode(F.col("cv")).as(Seq("pos", "x")))
-        .groupBy("cell", "pos")
-        .agg(F.avg(F.col("x").cast("decimal(28,10)")).cast("double").as("m"))
-        .groupBy("cell")
-        .agg(F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("m")))).as("pm"))
-        .select(F.col("cell"), F.transform(F.col("pm"), p => p.getField("m")).as("mean"))
-        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toMap
-      cents = cents.indices.map(i => means.getOrElse(i, cents(i)))
-    }
+    val rows = collectSampleVecs(trainSet)
     if (sharedSample.isEmpty) trainSet.unpersist()
-    cents
+    lloydLocal(rows, nCells, iters)
   }
 
   /** Probe join + exact re-rank shared by the inline and persisted IVF
@@ -630,74 +672,39 @@ object Ann {
     * contiguous subspaces of d/m dims; each gets its own
     * ksub-centroid Lloyd codebook. ONE bounded deterministic sample
     * (shared machinery with the IVF quantizer) is exploded into
-    * (sub, subvector) rows, and every subspace trains
-    * SIMULTANEOUSLY — the per-iteration aggregation groups by
-    * (sub, cell, pos), so adding subspaces adds no passes.
-    * Assignment maximizes cosine-to-centroid (the file's metric
-    * everywhere); means use decimal accumulation for
-    * partitioning-determinism. Returns (subDim, codebooks[m][<=ksub]).
+    * per-subspace slices of the driver-collected sample, each through
+    * [[lloydLocal]]. Assignment maximizes cosine-to-centroid (the
+    * file's metric everywhere); fixed-order driver sums keep training
+    * partitioning-deterministic. Returns (subDim, codebooks[m][<=ksub]).
     */
   private def trainPqCodebooks(c: DataFrame, m: Int, ksub: Int,
                                iters: Int, maxTrain: Int,
                                rowCountHint: Option[Long],
                                sharedSample: Option[DataFrame] = None)
       : (Int, IndexedSeq[IndexedSeq[Seq[Double]]]) = {
-    import graft.functions.HashExprs.topCells
     val sample = sharedSample.getOrElse(
       boundedTrainSample(c, maxTrain, rowCountHint))
-    val dim = sample.select(F.size(F.col("cv")).as("d")).limit(1)
-      .collect().headOption.map(_.getInt(0)).getOrElse(0)
+    val rows = collectSampleVecs(sample)
+    if (sharedSample.isEmpty) sample.unpersist()
+    pqCodebooksLocal(rows, m, ksub, iters)
+  }
+
+  /** Driver PQ training over the collected sample: subspace j's
+    * codebook is [[lloydLocal]] over the rows' j-th subDim slices —
+    * the same init (ksub lowest-id subvectors) and scoring as the
+    * distributed trainer this replaces, with zero per-iteration jobs.
+    */
+  private[similarity] def pqCodebooksLocal(rows: Array[Array[Double]],
+                                           m: Int, ksub: Int, iters: Int)
+      : (Int, IndexedSeq[IndexedSeq[Seq[Double]]]) = {
+    val dim = rows.headOption.map(_.length).getOrElse(0)
     require(dim > 0, "PQ training needs a non-empty corpus")
     require(dim % m == 0, s"vector dim $dim must be divisible by m=$m")
     val subDim = dim / m
-    val subs = sample
-      .select(F.col("neighbor_id"),
-        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).as("sub"), F.col("cv"))
-      .select(F.col("neighbor_id"), F.col("sub"),
-        F.slice(F.col("cv"), F.col("sub") * subDim + 1, F.lit(subDim)).as("sv"))
-      .persist()
-    subs.count()
-    if (sharedSample.isEmpty) sample.unpersist()
-
-    // deterministic init: per subspace, the ksub lowest-id subvectors
-    val init = subs
-      .withColumn("__rk", F.row_number().over(
-        Window.partitionBy("sub").orderBy("neighbor_id")))
-      .where(F.col("__rk") <= ksub)
-      .select(F.col("sub"), F.col("__rk"),
-        F.transform(F.col("sv"), x => x.cast("double")).as("v"))
-      .collect()
-      .groupBy(_.getInt(0))
-      .map { case (sub, rows) =>
-        sub -> rows.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toSeq).toIndexedSeq
-      }
-    var cbs: IndexedSeq[IndexedSeq[Seq[Double]]] =
-      (0 until m).map(j => init.getOrElse(j, IndexedSeq.empty))
-
-    for (_ <- 1 to iters) {
-      // per-sub assignment: a when-chain dispatching to each
-      // subspace's centroid matrix (m literal matrices in the plan —
-      // m * ksub * subDim doubles, driver-small by construction)
-      val assign = (0 until m).foldLeft(Option.empty[Column]) { (acc, j) =>
-        val a = F.element_at(topCells(F.col("sv"), cbs(j), 1), 1)
-        Some(acc.fold(F.when(F.col("sub") === j, a))(_.when(F.col("sub") === j, a)))
-      }.get
-      val means = subs.select(F.col("sub"), assign.as("cell"), F.col("sv"))
-        .select(F.col("sub"), F.col("cell"),
-          F.posexplode(F.col("sv")).as(Seq("pos", "x")))
-        .groupBy("sub", "cell", "pos")
-        .agg(F.avg(F.col("x").cast("decimal(28,10)")).cast("double").as("mv"))
-        .groupBy("sub", "cell")
-        .agg(F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("mv")))).as("pm"))
-        .select(F.col("sub"), F.col("cell"),
-          F.transform(F.col("pm"), p => p.getField("mv")).as("mean"))
-        .collect()
-        .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toSeq).toMap
-      cbs = cbs.zipWithIndex.map { case (cb, j) =>
-        cb.indices.map(ci => means.getOrElse((j, ci), cb(ci))).toIndexedSeq
-      }
+    val cbs = (0 until m).map { j =>
+      val subRows = rows.map(v => v.slice(j * subDim, (j + 1) * subDim))
+      lloydLocal(subRows, ksub, iters).map(_.toSeq).toIndexedSeq
     }
-    subs.unpersist()
     (subDim, cbs)
   }
 
@@ -791,7 +798,7 @@ object Ann {
     * subDim implied by mean length) and `$path/codes`
     * ((neighbor_id, codes)) — the 32x-compressed table a 100 TB ANN
     * deployment scans instead of raw embeddings. Training is
-    * deterministic (bounded id-hash sample, decimal means), so a
+    * deterministic (bounded id-hash sample, fixed-order driver Lloyd), so a
     * rebuild with identical parameters reproduces the index exactly.
     */
   def pqBuild(corpus: DataFrame, cId: String, cVec: String, path: String,
@@ -869,13 +876,15 @@ object Ann {
                 rowCountHint: Option[Long] = None): DataFrame = {
     import graft.functions.HashExprs.topCells
     val c = corpus.select(F.col(cId).as("neighbor_id"), F.col(cVec).as("cv"))
-    // ONE bounded sampling pass feeds BOTH quantizers (the sample is a
-    // pure function of the ids, so this is numerically identical to
-    // sampling twice — it just halves the training-stage corpus reads)
+    // ONE bounded sampling pass + ONE driver collect feeds BOTH
+    // quantizers (the sample is a pure function of the ids, so this
+    // is numerically identical to sampling twice — it just halves the
+    // training-stage corpus reads)
     val sample = boundedTrainSample(c, maxTrain, rowCountHint)
-    val cents = trainCentroids(c, nCells, iters, maxTrain, rowCountHint, Some(sample))
-    val (subDim, cbs) = trainPqCodebooks(c, m, ksub, iters, maxTrain, rowCountHint, Some(sample))
+    val rows = collectSampleVecs(sample)
     sample.unpersist()
+    val cents = lloydLocal(rows, nCells, iters)
+    val (subDim, cbs) = pqCodebooksLocal(rows, m, ksub, iters)
     val withCell = c.select(F.col("neighbor_id"), F.col("cv"),
       F.element_at(topCells(F.col("cv"), cents, 1), 1).as("cell"))
     val codes = pqEncode(withCell, subDim, cbs, extra = Seq("cell"))
@@ -887,7 +896,7 @@ object Ann {
     * (neighbor_id, codes) PARTITIONED BY the IVF cell, so a query
     * batch's probed cells become partition-pruned file selection over
     * the 32x-compressed table. Training is deterministic (bounded
-    * id-hash sample, decimal means): identical parameters reproduce
+    * id-hash sample, fixed-order driver Lloyd): identical parameters reproduce
     * [[ivfpqTopK]] exactly.
     */
   def ivfpqBuild(corpus: DataFrame, cId: String, cVec: String, path: String,
@@ -906,11 +915,13 @@ object Ann {
     // pure deterministic function of the training frame's ids
     val tc = trainCorpus.fold(c)(t =>
       t.select(F.col(cId).as("neighbor_id"), F.col(cVec).as("cv")))
-    // one shared sampling pass for both quantizers (see ivfpqTopK)
+    // one shared sampling pass + driver collect for both quantizers
+    // (see ivfpqTopK)
     val sample = boundedTrainSample(tc, maxTrain, rowCountHint)
-    val cents = trainCentroids(tc, nCells, iters, maxTrain, rowCountHint, Some(sample))
-    val (subDim, cbs) = trainPqCodebooks(tc, m, ksub, iters, maxTrain, rowCountHint, Some(sample))
+    val rows = collectSampleVecs(sample)
     sample.unpersist()
+    val cents = lloydLocal(rows, nCells, iters)
+    val (subDim, cbs) = pqCodebooksLocal(rows, m, ksub, iters)
     val spark = corpus.sparkSession
     writeCentroids(spark, cents, s"$path/centroids")
     val cbRows = for {

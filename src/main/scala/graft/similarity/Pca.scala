@@ -150,27 +150,16 @@ object Pca {
     * replayable). Output: (idCol, proj array<double> of length k).
     */
   def pcaProject(df: DataFrame, idCol: String, vecCol: String,
-                 mean: Seq[Double], comps: Seq[Seq[Double]]): DataFrame = {
-    val muL = F.typedlit(mean)
-    val d = mean.size
-    val projCols = comps.map { w =>
-      val wL = F.typedlit(w)
-      val terms = F.zip_with(
-        F.transform(F.col(vecCol), x => x.cast("double")),
-        F.sequence(F.lit(0), F.lit(d - 1)),
-        (x, i) => F.round(F.element_at(wL, i + 1) * (x - F.element_at(muL, i + 1)), 9)
-          .cast("decimal(28,9)"))
-      // accumulator precision 30: (30,9) + (28,9) promotes to (31,9),
-      // within the 38 cap — a (38,9) accumulator would promote to
-      // (39,9) and trip Spark's precision-loss rule, which silently
-      // REDUCES THE SCALE to 8dp on every addition (caught by the
-      // embedding_pca parity gate in round 12)
-      F.round(F.aggregate(terms,
-          F.lit(BigDecimal(0)).cast("decimal(30,9)"),
-          (acc, t) => (acc + t).cast("decimal(30,9)")).cast("double"), 6)
-    }
-    df.select(F.col(idCol), F.array(projCols: _*).as("proj"))
-  }
+                 mean: Seq[Double], comps: Seq[Seq[Double]]): DataFrame =
+    // the oracle-pinned per-term round9/decimal9 chain, computed by
+    // the codegen'd kernel ([[graft.functions.PcaProjectExpr]] — the
+    // declarative k × d decimal F.aggregate folds it replaces
+    // evaluated interpreted per element and dominated the
+    // PCA-composed index builds); arithmetic is bit-identical, the
+    // exact scaled-long sum keeps it addition-order-free
+    df.select(F.col(idCol),
+      graft.functions.PcaProjectExpr
+        .pcaProject(F.col(vecCol), mean, comps).as("proj"))
 
   /** ANN in the PCA-projected space — the classic dimensionality-
     * reduced first pass (FAISS PCAMatrix + flat search): corpus and

@@ -471,4 +471,48 @@ class R18OpsSpec extends SparkSpec {
       (huge.getCause != null && huge.getCause.getMessage.contains("fixed-point")),
       s"overflow must name the guard: ${huge.getMessage}")
   }
+
+  test("PcaProjectExpr: kernel equals the declarative round9/decimal9 fold bit-for-bit") {
+    import graft.functions.PcaProjectExpr
+    // adversarial coordinates: exact decimals, 9dp rounding-boundary
+    // values (t*1e9 lands on .5), negatives, tiny magnitudes
+    val vecs = (0 until 200).map { i =>
+      (i.toLong, Seq.tabulate(8) { j =>
+        val r = new scala.util.Random(i * 31 + j)
+        r.nextInt(5) match {
+          case 0 => (r.nextInt(2001) - 1000) / 1000.0f          // exact 3dp
+          case 1 => ((r.nextInt(2001) - 1000) + 0.5f) / 1e9.toFloat // .5 boundary at 9dp
+          case 2 => r.nextFloat() * 2e-9f - 1e-9f               // sub-grid tiny
+          case 3 => (r.nextFloat() - 0.5f) * 200f               // large
+          case _ => r.nextFloat() - 0.5f
+        }
+      })
+    }.toDF("vec_id", "embedding")
+    val mu = Seq.tabulate(8)(j => j * 0.0625 - 0.25)
+    val comps = Seq.tabulate(3)(c => Seq.tabulate(8)(j =>
+      math.cos(c + j * 0.7) * (if ((c + j) % 3 == 0) 1e-4 else 1.0)))
+    // the declarative chain PcaProjectExpr replaced (the oracle's
+    // arithmetic): per-term round9 -> decimal(28,9), exact decimal
+    // fold, cast double, round 6
+    val muL = F.typedlit(mu)
+    val declCols = comps.map { w =>
+      val wL = F.typedlit(w)
+      val terms = F.zip_with(
+        F.transform(F.col("embedding"), x => x.cast("double")),
+        F.sequence(F.lit(0), F.lit(7)),
+        (x, i) => F.round(F.element_at(wL, i + 1) * (x - F.element_at(muL, i + 1)), 9)
+          .cast("decimal(28,9)"))
+      F.round(F.aggregate(terms,
+          F.lit(BigDecimal(0)).cast("decimal(30,9)"),
+          (acc, t) => (acc + t).cast("decimal(30,9)")).cast("double"), 6)
+    }
+    val decl = vecs.select(F.col("vec_id"), F.array(declCols: _*).as("proj"))
+      .orderBy("vec_id").collect().map(_.getSeq[Double](1))
+    val kern = vecs.select(F.col("vec_id"),
+        PcaProjectExpr.pcaProject(F.col("embedding"), mu, comps).as("proj"))
+      .orderBy("vec_id").collect().map(_.getSeq[Double](1))
+    decl.zip(kern).zipWithIndex.foreach { case ((a, b), i) =>
+      assert(a == b, s"row $i: declarative $a != kernel $b")
+    }
+  }
 }
