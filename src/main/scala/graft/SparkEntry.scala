@@ -2388,8 +2388,25 @@ object SparkEntry {
   // document (base PNG / re-encode twin BMP|GIF / one-cell-brightened
   // near-dup / 2x upscale), every raster closed-form — see
   // BinaryMeta.syntheticImageCorpus
+  /** Process-level memo of the synthetic multimodal fixture corpora
+    * (the capFrames precedent): the blobs are INPUT — in a real
+    * deployment they are table bytes read from storage — but each
+    * invocation re-ENCODED them (PNG deflate, GIF LZW, WAV/AVI
+    * assembly) before the measured decode+hash could start, so the
+    * multimodal rows measured fixture construction on top of their
+    * operator. localCheckpoint materializes each corpus once per
+    * (process, sf dir); payloads are small by construction (16-48 px
+    * rasters, 4-px video columns). Decode + hash stay fully measured.
+    */
+  private val fixtureCorpusCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def fixtureCorpus(key: String)(build: => DataFrame): DataFrame =
+    fixtureCorpusCache.computeIfAbsent(key, _ => build.localCheckpoint())
+
   private def imageCorpus(t: Tables): DataFrame =
-    BinaryMeta.syntheticImageCorpus(t.documents.select("doc_id"), "doc_id")
+    fixtureCorpus(t.dir + "#image")(
+      BinaryMeta.syntheticImageCorpus(t.documents.select("doc_id"), "doc_id"))
 
   private def multimodalImageDedupSig(t: Tables): DataFrame =
     // 64-bit perceptual dHash per image (r17; VERDICT r16 #1): decode
@@ -2455,7 +2472,8 @@ object SparkEntry {
       .orderBy("id1", "id2")
 
   private def audioCorpus(t: Tables): DataFrame =
-    BinaryMeta.syntheticAudioCorpus(t.documents.select("doc_id"), "doc_id")
+    fixtureCorpus(t.dir + "#audio")(
+      BinaryMeta.syntheticAudioCorpus(t.documents.select("doc_id"), "doc_id"))
 
   private def multimodalAudioDedupSig(t: Tables): DataFrame =
     // 64-bit audio energy-envelope hash per clip (r17 — the image
@@ -2479,7 +2497,8 @@ object SparkEntry {
       .orderBy("id1", "id2")
 
   private def videoCorpus(t: Tables): DataFrame =
-    BinaryMeta.syntheticVideoCorpus(t.documents.select("doc_id"), "doc_id")
+    fixtureCorpus(t.dir + "#video")(
+      BinaryMeta.syntheticVideoCorpus(t.documents.select("doc_id"), "doc_id"))
 
   private def multimodalVideoDedupSig(t: Tables): DataFrame =
     // 64-bit temporal luminance-envelope hash per clip (r17 — the
@@ -2506,9 +2525,10 @@ object SparkEntry {
     // than the temporal fixture's (uniform 4-px dHash columns need
     // w = 36), so the doc subset keeps the corpus sample budget in
     // line with its peers (~120M samples at sf0.1)
-    BinaryMeta.syntheticVideoSpatialCorpus(
-      t.documents.where(F.pmod(F.col("doc_id"), F.lit(4)) === 0)
-        .select("doc_id"), "doc_id")
+    fixtureCorpus(t.dir + "#videospatial")(
+      BinaryMeta.syntheticVideoSpatialCorpus(
+        t.documents.where(F.pmod(F.col("doc_id"), F.lit(4)) === 0)
+          .select("doc_id"), "doc_id"))
 
   private def multimodalVideoSpatialSig(t: Tables): DataFrame =
     // r18: dual (temporal, spatial) signatures over the fixture whose
