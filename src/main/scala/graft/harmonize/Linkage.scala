@@ -45,8 +45,12 @@ object Linkage {
     val cand = a.select((blockCols.map(F.col) :+ F.col(idA) :+ F.col(nameA)): _*)
       .join(b.select((blockCols.map(F.col) :+ F.col(idB) :+ F.col(nameB)): _*),
         blockCols)
-      .withColumn("lev", F.levenshtein(F.col(nameA), F.col(nameB)))
-      .where(F.col("lev") <= maxDist)
+      // threshold-bounded levenshtein: the banded O(len·maxDist) form
+      // returns the EXACT distance when ≤ maxDist and -1 otherwise —
+      // identical kept rows and identical lev values, a fraction of
+      // the full O(len²) table per discarded candidate
+      .withColumn("lev", F.levenshtein(F.col(nameA), F.col(nameB), maxDist))
+      .where(F.col("lev") >= 0)
     val w = Window.partitionBy(idB)
       .orderBy(F.col("lev").asc, F.col(idA).asc)
     cand
@@ -198,8 +202,8 @@ object Linkage {
     // pair dedup = row dedup.
     val ab = if (sortKeys.sizeIs == 1) uni else uni.distinct()
     snmResolve(ab, idA, idB, "lev",
-      F.levenshtein(F.col("__na"), F.col("__nb")),
-      F.col("lev") <= maxDist, scoreAsc = true)
+      F.levenshtein(F.col("__na"), F.col("__nb"), maxDist),
+      F.col("lev") >= 0, scoreAsc = true)
   }
 
   /** [[linkSortedNeighborhood]] with the Jaro-Winkler scorer (r17 —

@@ -304,8 +304,9 @@ object ValueMatcher {
     candLong.unionAll(candShort)
       .where(F.col("source") =!= F.col("target"))
       .distinct()
-      .withColumn("lev", F.levenshtein(F.col("source"), F.col("target")))
-      .where(F.col("lev") <= k)
+      // banded exact verify: distance ≤ k comes back exact, > k as -1
+      .withColumn("lev", F.levenshtein(F.col("source"), F.col("target"), k))
+      .where(F.col("lev") >= 0)
   }
 
   /** Character trigrams of the lowercased value, with term frequency. */
