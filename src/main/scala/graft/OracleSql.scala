@@ -1870,6 +1870,23 @@ object OracleSql {
          |  WHERE jaccard >= 0.5)
          |SELECT id, eval_id, jaccard FROM pairs ORDER BY id, eval_id""".stripMargin,
 
+    // semantic decontamination: the twin recomputes every training
+    // vector's best cosine against the eval split independently from
+    // the raw embeddings (identical sequential double chains — the
+    // ann arithmetic-twin contract), rounds to 6dp, and applies the
+    // SAME rounded-value threshold, so the boolean is exactly as
+    // stable as the sim
+    "decontaminate_semantic" ->
+      """WITH tr AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |            FROM embeddings WHERE vec_id % 10 <> 0),
+        |ev AS (SELECT CAST(embedding AS DOUBLE[]) AS v
+        |       FROM embeddings WHERE vec_id % 10 = 0),
+        |s AS (SELECT tr.vec_id,
+        |             round(max(list_cosine_similarity(tr.v, ev.v)), 6) AS m
+        |      FROM tr CROSS JOIN ev GROUP BY tr.vec_id)
+        |SELECT vec_id, m AS max_sim, m >= 0.8 AS contaminated
+        |FROM s ORDER BY vec_id""".stripMargin,
+
     // the wired queries compute pairs via banded LSH + exact verify; the
     // oracles are the EXACT pair join, so the parity gate doubles as a
     // per-round full-recall check on the scale path — both on the

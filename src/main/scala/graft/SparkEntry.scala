@@ -1236,6 +1236,21 @@ object SparkEntry {
       .orderBy("id", "eval_id")
   }
 
+  private def decontaminateSemantic(t: Tables): DataFrame =
+    // semantic (embedding-space) decontamination (r18, the family's
+    // third rung): training vectors whose best cosine vs ANY eval
+    // vector (10% vec_id split, broadcast) clears tau = 0.8 — the
+    // paraphrased-past-all-n-grams leak. One report row per training
+    // vector; the twin recomputes every max cosine independently from
+    // the raw embeddings (the ann arithmetic-twin contract: identical
+    // sequential double chains, round(max, 6) compared exactly)
+    dedup.Decontaminate.semanticOverlap(
+      t.embeddings.where(F.pmod(F.col("vec_id"), F.lit(10)) =!= 0),
+      "vec_id", "embedding",
+      t.embeddings.where(F.pmod(F.col("vec_id"), F.lit(10)) === 0),
+      "embedding", tau = 0.8)
+      .orderBy("vec_id")
+
   // degenerate-bucket guard for the embedding band self-join, ON in the
   // wired query (the minhash bucketCap's twin — see Ann.cosinePairsLsh)
   private[graft] val EmbeddingBucketCap = Some(1000L)
@@ -4191,6 +4206,7 @@ object SparkEntry {
       "decontaminate" -> q(decontaminate),
       "decontaminate_clean" -> q(decontaminateClean),
       "decontaminate_fuzzy" -> q(decontaminateFuzzy),
+      "decontaminate_semantic" -> q(decontaminateSemantic),
       "boilerplate_ngrams" -> q(boilerplateNgrams),
       "dedup_spans" -> q(dedupSpans),
       "dedup_spans_clean" -> q(dedupSpansClean),

@@ -117,4 +117,41 @@ object Decontaminate {
       .select(F.col("id").as(idCol)).distinct()
     docs.join(bad, Seq(idCol), "left_anti")
   }
+
+  /** SEMANTIC decontamination (r18, completing the family's third
+    * rung: exact shingles → fuzzy MinHash → embedding space): flag
+    * training vectors whose best cosine against ANY eval vector
+    * reaches `tau` — the leakage [[overlap]] and [[fuzzyOverlap]]
+    * both miss, a benchmark item paraphrased or re-formatted until no
+    * k-gram survives but the embedding still sits on top of it (the
+    * SemDeDup-style embedding match applied to eval overlap; public
+    * methodology). Output is one row per TRAINING vector —
+    * (id, max_sim rounded 6dp, contaminated) — so the report is
+    * total and the clean complement is a filter, not an anti-join.
+    *
+    * Scale shape (the family contract): the eval side is
+    * benchmark-sized by definition and BROADCASTS; the training
+    * corpus NEVER shuffles on content — the scan scores pairs
+    * map-side (a bounded-broadcast product, the ann_topk baseline
+    * shape) and the only exchange is the per-vector max aggregate,
+    * map-side combined. For an eval set too large to broadcast,
+    * bucket both sides through the LSH machinery first
+    * (graft.similarity.Ann.cosinePairs) — same verdict column.
+    *
+    * The contaminated flag compares the ROUNDED max (both engines
+    * compare round(max, 6) ≥ tau), so the boolean is exactly as
+    * cross-engine-stable as the sim itself.
+    */
+  def semanticOverlap(train: DataFrame, idCol: String, vecCol: String,
+                      eval: DataFrame, evalVecCol: String,
+                      tau: Double): DataFrame = {
+    val ev = eval.select(F.col(evalVecCol).as("__ev"))
+    train.select(F.col(idCol), F.col(vecCol).as("__tv"))
+      .crossJoin(F.broadcast(ev))
+      .withColumn("__sim",
+        graft.similarity.Ann.cosine(F.col("__tv"), F.col("__ev")))
+      .groupBy(idCol)
+      .agg(F.round(F.max(F.col("__sim")), 6).as("max_sim"))
+      .withColumn("contaminated", F.col("max_sim") >= tau)
+  }
 }

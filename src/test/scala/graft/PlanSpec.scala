@@ -170,6 +170,10 @@ class PlanSpec extends SparkSpec {
     // the non-ASCII gate runs the SAME jw matcher over its 8-variant /
     // 8-canonical name spines — both domains literal-bounded
     "match_values_jw_unicode",
+    // semantic decontamination scores the corpus against the BROADCAST
+    // eval split (benchmark-sized by contract — the decontaminate
+    // family's asymmetric shape); the corpus side never shuffles
+    "decontaminate_semantic",
     "match_schema_name", "match_schema_sketch", "match_schema_twophase",
     "match_schema_maxvalsim", "match_schema_overlap", "match_schema_topk",
     // coma crosses the column-name score matrices (driver-small);

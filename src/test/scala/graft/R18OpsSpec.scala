@@ -515,4 +515,35 @@ class R18OpsSpec extends SparkSpec {
       assert(a == b, s"row $i: declarative $a != kernel $b")
     }
   }
+
+  test("semanticOverlap: planted cross-split twin flagged at 1.0, orthogonal not, report total") {
+    import graft.dedup.Decontaminate
+    // 4-dim toy corpus: train 1 duplicates eval 10's embedding
+    // exactly (the paraphrased-leak stand-in), train 2 is orthogonal
+    // to every eval vector, train 3 is a near-copy (cos ~ 0.9999)
+    val rows = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f, 1.0f)),
+      (3L, Seq(1.0f, 0.01f, 0.0f, 0.0f)),
+      (10L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (20L, Seq(0.0f, 1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val got = Decontaminate.semanticOverlap(
+        rows.where($"vec_id" < 10), "vec_id", "embedding",
+        rows.where($"vec_id" >= 10), "embedding", tau = 0.8)
+      .orderBy("vec_id")
+      .as[(Long, Double, Boolean)].collect().toSeq
+    assert(got.map(_._1) == Seq(1L, 2L, 3L), s"one row per TRAIN vector: $got")
+    assert(got(0) == ((1L, 1.0, true)), s"exact twin must flag at 1.0: ${got(0)}")
+    assert(!got(1)._3 && got(1)._2 == 0.0, s"orthogonal must not flag: ${got(1)}")
+    assert(got(2)._3 && got(2)._2 > 0.999, s"near-copy must flag: ${got(2)}")
+    // the flag compares the ROUNDED sim — a value that rounds to
+    // exactly tau is contaminated on both engines
+    val edge = Decontaminate.semanticOverlap(
+        Seq((1L, Seq(0.8f, math.sqrt(1 - 0.64).toFloat, 0.0f, 0.0f)))
+          .toDF("vec_id", "embedding"), "vec_id", "embedding",
+        Seq(Tuple1(Seq(1.0f, 0.0f, 0.0f, 0.0f))).toDF("embedding"),
+        "embedding", tau = 0.8)
+      .as[(Long, Double, Boolean)].head()
+    assert(edge._3 == (edge._2 >= 0.8), s"flag must follow the rounded sim: $edge")
+  }
 }
