@@ -120,6 +120,48 @@ object OracleSql {
     s"WITH $bpeStageCtes\n${rows.mkString("\nUNION ALL ")}\nORDER BY step"
   }
 
+  /** curate_bpe_deep_gate twin (r19): the 1024-merge driver-side
+    * trainer cannot be replayed by unrolled CTEs, so the gate
+    * verifies the argmax CHAIN from the companion dump — w_{k-1} is
+    * reconstructed by RECURSIVELY applying the dumped merges to the
+    * corpus vocabulary (same padded representation, same replace
+    * semantics), and each pinned step's (count desc, pair asc)
+    * argmax is recomputed from scratch over that reconstruction. A
+    * hash match proves every pinned step picked the true argmax
+    * given its prefix — and because the reconstruction itself CONSUMES
+    * the dumped prefix, a wrong early merge corrupts every later
+    * pinned step too.
+    */
+  private val bpeDeepGateSql: String = {
+    val pinned = graft.SparkEntry.BpeDeepPinnedSteps.mkString(", ")
+    s"""WITH RECURSIVE
+       |wc AS MATERIALIZED (SELECT u AS word, count(*) AS cnt
+       |      FROM (SELECT unnest([l[i] || '▁' || l[i+1] || '▁' || l[i+2]
+       |                           for i in generate_series(1, greatest(len(l) - 2, 0))]) AS u
+       |            FROM (SELECT ${toks("text")} AS l FROM documents)) GROUP BY u),
+       |w0 AS MATERIALIZED (SELECT ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS repr, cnt FROM wc),
+       |m AS MATERIALIZED (SELECT step, pair, merged
+       |      FROM read_parquet('__VERIFY_OUT__/curate_bpe_deep/*.parquet')),
+       |iter AS (SELECT CAST(0 AS BIGINT) AS step, repr, cnt FROM w0
+       |  UNION ALL
+       |  SELECT i.step + 1,
+       |         replace(i.repr, ' ' || m.pair || ' ', ' ' || m.merged || ' '),
+       |         i.cnt
+       |  FROM iter i JOIN m ON m.step = i.step + 1),
+       |pc AS (SELECT step + 1 AS step, pair, CAST(sum(cnt) AS BIGINT) AS c
+       |  FROM (SELECT step, cnt,
+       |          unnest([l[i] || ' ' || l[i+1]
+       |                  for i in generate_series(1, greatest(len(l) - 1, 0))]) AS pair
+       |        FROM (SELECT step, string_split(trim(repr), ' ') AS l, cnt
+       |              FROM iter WHERE step + 1 IN ($pinned)))
+       |  GROUP BY 1, 2)
+       |SELECT step, pair, replace(pair, ' ', '') AS merged, c AS cnt
+       |FROM (SELECT step, pair, c,
+       |        row_number() OVER (PARTITION BY step ORDER BY c DESC, pair ASC) AS rn
+       |      FROM pc)
+       |WHERE rn = 1 ORDER BY step""".stripMargin
+  }
+
   private val bpeTokensSql: String = {
     // nested replace chain applying the learned merges in step order.
     // An EXHAUSTED stage (corpus yields fewer than bpeMerges merges)
@@ -371,6 +413,7 @@ object OracleSql {
     "match_schema_distribution" -> distributionSql,
 
     "curate_bpe" -> bpeTrainSql,
+    "curate_bpe_deep_gate" -> bpeDeepGateSql,
 
     "curate_bpe_tokens" -> bpeTokensSql,
 

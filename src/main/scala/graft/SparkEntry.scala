@@ -877,14 +877,28 @@ object SparkEntry {
   private val servedIndexBuilt =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
-  private def buildOnce(key: String)(build: => Unit): Unit =
-    servedIndexBuilt.computeIfAbsent(key, _ => { build; java.lang.Boolean.TRUE })
+  /** Memo key for the process-level caches (r19, advisor close): the
+    * FULL sf dir (the on-disk path may stay dir.hashCode-suffixed,
+    * but the MEMO must not — a 32-bit collision between two dirs in
+    * one process would silently reuse the wrong index where the
+    * un-memoized code rebuilt it) plus the owning SparkSession's
+    * identity, because cached localCheckpoint frames die with their
+    * session: a fresh session in the same JVM must rebuild, not
+    * serve a stale handle.
+    */
+  private def memoKey(t: Tables, tag: String): String =
+    java.lang.Integer.toHexString(System.identityHashCode(t.spark)) +
+      "|" + t.dir + "|" + tag
+
+  private def buildOnce(t: Tables, key: String)(build: => Unit): Unit =
+    servedIndexBuilt.computeIfAbsent(memoKey(t, key),
+      _ => { build; java.lang.Boolean.TRUE })
 
   private val capFramesCache = new java.util.concurrent.ConcurrentHashMap[
     String, (DataFrame, DataFrame, DataFrame, DataFrame)]()
 
   private def capFrames(t: Tables): (DataFrame, DataFrame, DataFrame, DataFrame) =
-    capFramesCache.computeIfAbsent(t.dir, _ => {
+    capFramesCache.computeIfAbsent(memoKey(t, "capframes"), _ => {
       // BOTH embedding entries band-hash the 8-dim coarse PREFIX as of
       // r8 (the mid- and high-threshold wired regimes share the
       // projection; only tau differs, and cap pressure is a property
@@ -1380,7 +1394,7 @@ object SparkEntry {
     // storage-layer path and the inline path.
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index_" +
       java.lang.Integer.toHexString(t.dir.hashCode)
-    buildOnce(path)(
+    buildOnce(t, path)(
       Ann.ivfBuild(t.embeddings, "vec_id", "embedding", path, nCells = 16))
     Ann.ivfQueryIndex(t.spark, path,
       t.embeddings.where(F.col("vec_id") < 10), "vec_id", "embedding",
@@ -1469,7 +1483,7 @@ object SparkEntry {
     // oracle is ann_pq's own dumped output (the ann_ivf_index trick)
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_pq_index_" +
       java.lang.Integer.toHexString(t.dir.hashCode)
-    buildOnce(path)(
+    buildOnce(t, path)(
       Ann.pqBuild(t.embeddings, "vec_id", "embedding", path, m = 8, ksub = 16))
     Ann.pqQueryIndex(t.spark, path,
       t.embeddings.where(F.col("vec_id") < 10), "vec_id", "embedding",
@@ -1494,7 +1508,7 @@ object SparkEntry {
     // through ann_ivfpq_recall's floor.
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_index_" +
       java.lang.Integer.toHexString(t.dir.hashCode)
-    buildOnce(path)(
+    buildOnce(t, path)(
       Ann.ivfpqBuild(t.embeddings, "vec_id", "embedding", path,
         nCells = 16, m = 8, ksub = 16))
     Ann.ivfpqQueryIndex(t.spark, path,
@@ -1518,7 +1532,7 @@ object SparkEntry {
     // recall via ann_sq_recall's floor.
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_sq_index_" +
       java.lang.Integer.toHexString(t.dir.hashCode)
-    buildOnce(path)(
+    buildOnce(t, path)(
       similarity.ScalarQuant.sqBuild(t.embeddings, "vec_id", "embedding", path))
     similarity.ScalarQuant.sqQueryIndex(t.spark, path,
       t.embeddings.where(F.col("vec_id") < 10), "vec_id", "embedding",
@@ -1613,7 +1627,7 @@ object SparkEntry {
     // precision + ordering recomputation.
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpqf_index_" +
       java.lang.Integer.toHexString(t.dir.hashCode)
-    buildOnce(path)(
+    buildOnce(t, path)(
       Ann.ivfpqBuild(t.embeddings, "vec_id", "embedding", path,
         nCells = 16, m = 8, ksub = 16, extraCols = Seq("label")))
     Ann.ivfpqQueryIndex(t.spark, path,
@@ -1639,7 +1653,7 @@ object SparkEntry {
     // the arithmetic twin (precision + ordering from raw embeddings).
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpqfz_index_" +
       java.lang.Integer.toHexString(t.dir.hashCode)
-    buildOnce(path)(
+    buildOnce(t, path)(
       Ann.ivfpqBuild(t.embeddings, "vec_id", "embedding", path,
         nCells = 16, m = 8, ksub = 16,
         trainCorpus = Some(t.embeddings.where(F.col("vec_id") % 2 === 0))))
@@ -1687,7 +1701,7 @@ object SparkEntry {
     // through the arithmetic twin; recall through the floor below.
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_pcaivfpq_index_" +
       java.lang.Integer.toHexString(t.dir.hashCode)
-    buildOnce(path)(
+    buildOnce(t, path)(
       similarity.Pca.pcaIvfpqBuild(t.embeddings, "vec_id", "embedding", path,
         kDim = AnnPcaDim, nCells = 16, m = 8, ksub = 16))
     similarity.Pca.pcaIvfpqQueryIndex(t.spark, path,
@@ -1702,7 +1716,7 @@ object SparkEntry {
       approx = (q, c) => {
         val path = s"${System.getProperty("java.io.tmpdir")}/graft_pcaivfpqr_index_" +
           java.lang.Integer.toHexString(t.dir.hashCode)
-        buildOnce(path)(
+        buildOnce(t, path)(
           similarity.Pca.pcaIvfpqBuild(c, "vec_id", "embedding", path,
             kDim = AnnPcaDim, nCells = 16, m = 8, ksub = 16))
         similarity.Pca.pcaIvfpqQueryIndex(t.spark, path,
@@ -1846,7 +1860,7 @@ object SparkEntry {
     // text_search_phrase row-for-row (same oracle SQL)
     val h = java.lang.Integer.toHexString(t.dir.hashCode)
     val table = "graft_phrase_idx_" + h
-    buildOnce(table)(
+    buildOnce(t, table)(
       text.Search.phraseBuild(t.documents, "doc_id", "text", table,
         nBuckets = 8))
     text.Search.phraseQueryIndex(t.spark, table, phraseQueries, k = 10)
@@ -1863,7 +1877,7 @@ object SparkEntry {
     // row-for-row, and the oracle is that query's own dumped output
     // (the ann_ivf_index equality-gate trick).
     val (table, statsPath) = bm25IndexNames(t)
-    buildOnce(table)(
+    buildOnce(t, table)(
       text.Search.bm25Build(t.documents, "doc_id", "text", table, statsPath,
         nBuckets = 8))
     text.Search.bm25QueryIndex(t.spark, table, statsPath, bm25Queries, k = 10)
@@ -1899,7 +1913,7 @@ object SparkEntry {
     // text_search_hybrid_idx's full replay.
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index_" +
       java.lang.Integer.toHexString(t.dir.hashCode)
-    buildOnce(path)(
+    buildOnce(t, path)(
       Ann.ivfBuild(t.embeddings, "vec_id", "embedding", path, nCells = 16))
     Ann.ivfQueryIndex(t.spark, path,
       t.embeddings.where(F.col("vec_id") < bm25Queries.size), "vec_id",
@@ -1915,7 +1929,7 @@ object SparkEntry {
     // vector bytes, with NO full-corpus scan in either arm (asserted
     // in PlanSpec). Fusion sees only the two truncated top-20 lists.
     val (table, statsPath) = bm25IndexNames(t)
-    buildOnce(table)(
+    buildOnce(t, table)(
       text.Search.bm25Build(t.documents, "doc_id", "text", table, statsPath,
         nBuckets = 8))
     val lex = text.Search.bm25QueryIndex(t.spark, table, statsPath,
@@ -1938,7 +1952,7 @@ object SparkEntry {
       java.lang.Integer.toHexString(t.dir.hashCode)
     val emb = t.embeddings.join(
       t.documents.select(F.col("doc_id").as("vec_id"), F.col("lang")), "vec_id")
-    buildOnce(path)(
+    buildOnce(t, path)(
       Ann.ivfpqBuild(emb, "vec_id", "embedding", path,
         nCells = 16, m = 8, ksub = 16, extraCols = Seq("lang")))
     Ann.ivfpqQueryIndex(t.spark, path,
@@ -1964,7 +1978,7 @@ object SparkEntry {
     val table = "graft_bm25_lang_" + h
     val statsPath =
       s"${System.getProperty("java.io.tmpdir")}/graft_bm25_lang_stats_$h"
-    buildOnce(table)(
+    buildOnce(t, table)(
       text.Search.bm25Build(t.documents, "doc_id", "text", table, statsPath,
         nBuckets = 8, metaCols = Seq("lang")))
     val lex = text.Search.bm25QueryIndex(t.spark, table, statsPath,
@@ -2253,6 +2267,55 @@ object SparkEntry {
     text.Curate.bpeTrain(t.documents, "text", nMerges = 8)
       .orderBy("step")
 
+  /** Pinned verification steps for the PRODUCTION-depth BPE row: the
+    * full 1024-merge table cannot be replayed stage-by-stage in SQL
+    * (the 8-merge twin unrolls CTEs; 1024 would be a megabyte of
+    * SQL), so the gate row verifies the argmax at these steps — the
+    * DuckDB twin reconstructs w_{k-1} by RECURSIVELY applying the
+    * dumped merge table to the corpus vocabulary and recomputes each
+    * pinned step's (count desc, pair asc) argmax independently. Dense
+    * early (where ties are likeliest) and geometric late.
+    */
+  private[graft] val BpeDeepMerges = 1024
+  private[graft] val BpeDeepPinnedSteps: Seq[Int] =
+    Seq(1, 2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64, 96, 128, 192, 256,
+      384, 512, 640, 768, 896, 1024)
+
+  private def bpeDeepTable(t: Tables): DataFrame =
+    // shared by the dump row and its gate (the capFrames precedent:
+    // a deterministic pure function of (corpus, params) consumed by
+    // two rows — memoized per (session, sf dir) so the gate measures
+    // the gate, not a second 1024-merge training run)
+    // unitWords = 3: the fixture corpus's 31-word vocabulary exhausts
+    // word-level BPE at ~89 merges, so production depth trains on
+    // SentencePiece-style word-trigram units (16k-27k distinct at the
+    // test SFs; the unit table stays vocab³-bounded — corpus-
+    // independent — so the bounded-collect scale story is unchanged).
+    // NOT memoized: this row's semantics IS the training (the served-
+    // index memo precedent covers probe rows, not build rows) — both
+    // consumers retrain, and the bench measures the real operator.
+    text.Curate.bpeTrainLocal(t.documents, "text",
+      nMerges = BpeDeepMerges, unitWords = 3)
+
+  private def curateBpeDeep(t: Tables): DataFrame =
+    // BPE training at PRODUCTION merge count (r19; VERDICT r18 #2):
+    // the corpus is scanned once (distributed word count); all 1024
+    // merges are learned driver-side over the vocabulary-sized table
+    // (the lloydLocal bounded-collect discipline — loud refusal above
+    // maxVocab). Rows-only companion: the curate_bpe_deep_gate twin
+    // replays the argmax chain from THIS dump.
+    bpeDeepTable(t).orderBy("step")
+
+  private def curateBpeDeepGate(t: Tables): DataFrame =
+    // oracle-gated: the pinned-step merges — DuckDB reconstructs
+    // w_{k-1} by recursive merge application over the companion dump
+    // and recomputes each pinned argmax from scratch; a hash match
+    // proves every pinned step of the driver-side trainer picked the
+    // true argmax given its prefix
+    bpeDeepTable(t)
+      .where(F.col("step").isin(BpeDeepPinnedSteps.map(_.toLong): _*))
+      .orderBy("step")
+
   private def curateBpeTokens(t: Tables): DataFrame = {
     // the trained tokenizer APPLIED: per doc, raw token count vs
     // subword count after the 8 learned merges (the compression-ratio
@@ -2416,11 +2479,13 @@ object SparkEntry {
   private val fixtureCorpusCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
-  private def fixtureCorpus(key: String)(build: => DataFrame): DataFrame =
-    fixtureCorpusCache.computeIfAbsent(key, _ => build.localCheckpoint())
+  private def fixtureCorpus(t: Tables, tag: String)
+                           (build: => DataFrame): DataFrame =
+    fixtureCorpusCache.computeIfAbsent(memoKey(t, "fixture#" + tag),
+      _ => build.localCheckpoint())
 
   private def imageCorpus(t: Tables): DataFrame =
-    fixtureCorpus(t.dir + "#image")(
+    fixtureCorpus(t, "image")(
       BinaryMeta.syntheticImageCorpus(t.documents.select("doc_id"), "doc_id"))
 
   private def multimodalImageDedupSig(t: Tables): DataFrame =
@@ -2457,7 +2522,7 @@ object SparkEntry {
     val existing = sigs.where(F.col("id") % 4 =!= 3)
     val batch = sigs.where(F.col("id") % 4 === 3)
     val table = "graft_img_index_" + java.lang.Integer.toHexString(t.dir.hashCode)
-    buildOnce(table)(
+    buildOnce(t, table)(
       multimodal.ImageHash.dhashIndexBuild(existing, table,
         maxHamming = 3, nBuckets = 8))
     multimodal.ImageHash.dhashIndexProbe(batch, t.spark.table(table),
@@ -2487,7 +2552,7 @@ object SparkEntry {
       .orderBy("id1", "id2")
 
   private def audioCorpus(t: Tables): DataFrame =
-    fixtureCorpus(t.dir + "#audio")(
+    fixtureCorpus(t, "audio")(
       BinaryMeta.syntheticAudioCorpus(t.documents.select("doc_id"), "doc_id"))
 
   private def multimodalAudioDedupSig(t: Tables): DataFrame =
@@ -2512,7 +2577,7 @@ object SparkEntry {
       .orderBy("id1", "id2")
 
   private def videoCorpus(t: Tables): DataFrame =
-    fixtureCorpus(t.dir + "#video")(
+    fixtureCorpus(t, "video")(
       BinaryMeta.syntheticVideoCorpus(t.documents.select("doc_id"), "doc_id"))
 
   private def multimodalVideoDedupSig(t: Tables): DataFrame =
@@ -2540,7 +2605,7 @@ object SparkEntry {
     // than the temporal fixture's (uniform 4-px dHash columns need
     // w = 36), so the doc subset keeps the corpus sample budget in
     // line with its peers (~120M samples at sf0.1)
-    fixtureCorpus(t.dir + "#videospatial")(
+    fixtureCorpus(t, "videospatial")(
       BinaryMeta.syntheticVideoSpatialCorpus(
         t.documents.where(F.pmod(F.col("doc_id"), F.lit(4)) === 0)
           .select("doc_id"), "doc_id"))
@@ -3457,7 +3522,7 @@ object SparkEntry {
     val aSrc = t.customer.select(F.col("c_custkey").as("id_a"),
       F.col("c_name").as("name_a"), F.col("c_nationkey").as("nat"),
       F.col("c_mktsegment").as("seg"))
-    buildOnce(path)(
+    buildOnce(t, path)(
       harmonize.Linkage.linkIndexBuild(aSrc, path, Seq("nat", "seg"),
         "id_a", "name_a"))
     val bSrc = t.customer.where(F.col("c_custkey") % 7 =!= 3)
@@ -4286,6 +4351,8 @@ object SparkEntry {
       "corpus_collocations" -> q(corpusCollocations),
       "corpus_quantiles_approx" -> q(corpusQuantilesApprox),
       "curate_bpe" -> q(curateBpe),
+      "curate_bpe_deep" -> q(curateBpeDeep),
+      "curate_bpe_deep_gate" -> q(curateBpeDeepGate),
       "curate_bpe_tokens" -> q(curateBpeTokens),
       "dedup_cross_source" -> q(dedupCrossSource),
       "events_json" -> q(eventsJson),

@@ -145,13 +145,24 @@ object Decontaminate {
   def semanticOverlap(train: DataFrame, idCol: String, vecCol: String,
                       eval: DataFrame, evalVecCol: String,
                       tau: Double): DataFrame = {
+    // "the report is total" must survive degenerate inputs (r18
+    // ADVICE): an empty/all-null eval split empties the crossJoin, and
+    // a null vector nulls its sims — so the verdict frame is the
+    // DISTINCT training ids with scores LEFT-joined on, and the flag
+    // coalesces to false when no sim exists (nothing to leak against
+    // is "not contaminated", not "unknown").
     val ev = eval.select(F.col(evalVecCol).as("__ev"))
-    train.select(F.col(idCol), F.col(vecCol).as("__tv"))
+      .where(F.col("__ev").isNotNull)
+    val scores = train.select(F.col(idCol), F.col(vecCol).as("__tv"))
+      .where(F.col("__tv").isNotNull)
       .crossJoin(F.broadcast(ev))
       .withColumn("__sim",
         graft.similarity.Ann.cosine(F.col("__tv"), F.col("__ev")))
       .groupBy(idCol)
       .agg(F.round(F.max(F.col("__sim")), 6).as("max_sim"))
-      .withColumn("contaminated", F.col("max_sim") >= tau)
+    train.select(F.col(idCol)).distinct()
+      .join(scores, Seq(idCol), "left")
+      .withColumn("contaminated",
+        F.coalesce(F.col("max_sim") >= tau, F.lit(false)))
   }
 }

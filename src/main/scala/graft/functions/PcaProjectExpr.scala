@@ -49,7 +49,17 @@ case class PcaProjectExpr(child: Expression,
 
   def kernel(v: ArrayData): ArrayData = {
     import java.math.{BigDecimal => JBD, BigInteger, RoundingMode}
-    val d = math.min(v.numElements(), mu.length)
+    // a vector shorter than the training dimension is malformed input
+    // — refuse loudly (the CovUpperSumAgg discipline) instead of
+    // silently truncating to a plausible-looking projection; the
+    // declarative chain this kernel replaced nulled such rows, and a
+    // codegen kernel cannot express a null result, so the loud arm of
+    // that contract is the safe one (r18 ADVICE)
+    if (v.numElements() < mu.length)
+      throw new IllegalArgumentException(
+        s"pca_project: vector has ${v.numElements()} elements, " +
+          s"training dimension is ${mu.length}")
+    val d = mu.length
     // center once per row, shared by all k coordinates
     val cx = new Array[Double](d)
     var i = 0

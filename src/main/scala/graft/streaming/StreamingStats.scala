@@ -94,13 +94,35 @@ object StreamingStats {
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val w = docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
-          graft.text.Curate.domainStatsAppend(batch, urlCol, charsCol,
-            table, ingestBatch = batchId, nBuckets = nBuckets)
+        if (!batch.isEmpty &&
+            domainStatsAppendOnce(batch, urlCol, charsCol, table,
+              batchId, nBuckets))
           onBatch(batchId)
-        }
       }
     checkpointDir.foreach(d => w.option("checkpointLocation", d))
     w.start()
+  }
+
+  /** Idempotent form of [[graft.text.Curate.domainStatsAppend]] for
+    * the at-least-once foreachBatch contract: a replayed micro-batch
+    * arrives with the SAME batchId, and the parquet append commits
+    * all-or-nothing through the file committer, so "rows for this
+    * ingest_batch already exist" is a sound replay detector — skip
+    * the append instead of doubling the partials. The probe reads
+    * only the stats table (partials-sized, never the corpus) with
+    * the ingest_batch filter pushed to the scan. Returns whether the
+    * batch was appended (false = replay skipped).
+    */
+  def domainStatsAppendOnce(batch: DataFrame, urlCol: String,
+                            charsCol: String, table: String,
+                            batchId: Long, nBuckets: Int): Boolean = {
+    val spark = batch.sparkSession
+    val replay = spark.catalog.tableExists(table) &&
+      !spark.table(table)
+        .where(F.col("ingest_batch") === batchId).isEmpty
+    if (!replay)
+      graft.text.Curate.domainStatsAppend(batch, urlCol, charsCol,
+        table, ingestBatch = batchId, nBuckets = nBuckets)
+    !replay
   }
 }

@@ -1004,6 +1004,141 @@ object Curate {
     merges.toSeq.toDF("step", "pair", "merged", "cnt")
   }
 
+  /** [[bpeTrain]] at PRODUCTION merge counts (r19; VERDICT r18 #2): a
+    * real tokenizer is 16k-64k merges, and K distributed argmax jobs
+    * cannot survive that. The lloydLocal precedent applies verbatim —
+    * the word-frequency table is VOCABULARY-sized by construction
+    * (millions of rows at web scale, never corpus-sized), so collect
+    * it ONCE and learn every merge driver-side in one pass; the
+    * corpus is still scanned exactly once (the distributed word
+    * count), and the APPLY path ([[bpeSubwordCounts]]) stays
+    * distributed and shuffle-free.
+    *
+    * Bit-equivalence with [[bpeTrain]] (spec-gated): the padded
+    * representations are built by the SAME Spark expression before
+    * collection; pair counting is the same all-overlapping-
+    * occurrences rule; the argmax tie-break is the same
+    * (count desc, pair asc); and the merge application is
+    * `java.lang.String.replace` — the exact semantics Spark's
+    * `F.replace` and DuckDB's `replace` share (single-pass
+    * left-to-right, scan resumes after each replacement).
+    *
+    * Cost: init builds the pair→word inverted index in one vocab
+    * scan; each merge touches only the words that contain the winning
+    * pair (stale index entries are harmless — their old/new pair
+    * multisets cancel) plus an O(|pairs|) argmax scan. `maxVocab`
+    * bounds the collect LOUDLY (the boundedTrainSample discipline):
+    * above it, a deployment shards words by first symbol and merges
+    * the per-shard counts — refusing beats silently training on a
+    * truncated vocabulary.
+    */
+  /** The BPE training unit stream: single words for `unitWords` = 1
+    * (Sennrich word-level BPE), or SentencePiece-style multi-word
+    * units — word `unitWords`-grams joined by the '▁' boundary symbol
+    * (Kudo & Richardson EMNLP'18) — so merges can cross word
+    * boundaries while the unit-frequency table stays bounded by
+    * vocab^unitWords (corpus-INDEPENDENT, unlike sentence units,
+    * whose table is the corpus). The boundary symbol chars-splits to
+    * its own symbol in both engines (one code point).
+    */
+  private[graft] def bpeUnits(docs: DataFrame, textCol: String,
+                              unitWords: Int): DataFrame = {
+    require(unitWords >= 1, "unitWords >= 1")
+    val toks = TextOps.tokens(F.col(textCol))
+    val unit =
+      if (unitWords == 1) F.explode(toks)
+      else F.explode(F.transform(
+        graft.functions.HashExprs.shingleStrings(toks, unitWords),
+        s => F.replace(s, F.lit(" "), F.lit("▁"))))
+    docs.select(unit.as("word"))
+  }
+
+  def bpeTrainLocal(docs: DataFrame, textCol: String, nMerges: Int,
+                    maxVocab: Int = 2000000, unitWords: Int = 1): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(nMerges >= 1, "nMerges >= 1")
+    val wcDf = bpeUnits(docs, textCol, unitWords)
+      .groupBy("word").agg(F.count(F.lit(1)).as("cnt"))
+      .select(bpeInitRepr(F.col("word")).as("repr"), F.col("cnt"))
+    val nVocab = wcDf.limit(maxVocab + 1).count()
+    require(nVocab <= maxVocab,
+      s"bpeTrainLocal: vocabulary exceeds maxVocab=$maxVocab — shard " +
+        "the word table and merge per-shard counts instead of " +
+        "collecting it")
+    val rows = wcDf.as[(String, Long)].collect()
+    val reprs = rows.map(_._1)
+    val cnts = rows.map(_._2)
+
+    def pairsOf(repr: String): Array[String] = {
+      val syms = repr.trim.split(" ")
+      if (syms.length < 2) Array.empty
+      else Array.tabulate(syms.length - 1)(i => syms(i) + " " + syms(i + 1))
+    }
+    val pairCount = new java.util.HashMap[String, Long]()
+    val occ = new java.util.HashMap[String, java.util.ArrayList[Int]]()
+    def addWord(i: Int, sign: Long): Unit = {
+      val ps = pairsOf(reprs(i))
+      var j = 0
+      while (j < ps.length) {
+        val p = ps(j)
+        val c = pairCount.getOrDefault(p, 0L) + sign * cnts(i)
+        if (c == 0L) pairCount.remove(p) else pairCount.put(p, c)
+        if (sign > 0)
+          occ.computeIfAbsent(p, _ => new java.util.ArrayList[Int]()).add(i)
+        j += 1
+      }
+    }
+    var i = 0
+    while (i < reprs.length) { addWord(i, 1L); i += 1 }
+
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= nMerges && !exhausted) {
+      // argmax (count desc, pair asc) — a flat scan; |pairs| is
+      // alphabet²-ish and shrinks as merges consume it
+      var bestPair: String = null
+      var bestC = 0L
+      val it = pairCount.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (bestPair == null || e.getValue > bestC ||
+          (e.getValue == bestC && e.getKey.compareTo(bestPair) < 0)) {
+          bestPair = e.getKey; bestC = e.getValue
+        }
+      }
+      if (bestPair == null) exhausted = true
+      else {
+        val merged = bestPair.replace(" ", "")
+        merges += ((step.toLong, bestPair, merged, bestC))
+        val from = " " + bestPair + " "
+        val to = " " + merged + " "
+        val touched = occ.remove(bestPair)
+        if (touched != null) {
+          val seen = new java.util.HashSet[Int]()
+          var t = 0
+          while (t < touched.size()) {
+            val w = touched.get(t)
+            // occ lists carry duplicates (a pair occurring twice in a
+            // word) and stale entries (an earlier merge rewrote the
+            // word); both are safe — dedupe per step, and a word whose
+            // repr no longer contains the pair nets to zero
+            if (seen.add(w)) {
+              addWord(w, -1L)
+              reprs(w) = reprs(w).replace(from, to)
+              addWord(w, 1L)
+            }
+            t += 1
+          }
+        }
+        step += 1
+      }
+    }
+    merges.toSeq.toDF("step", "pair", "merged", "cnt")
+  }
+
   /** APPLY a trained merge table: per document, tokenize with the
     * shared tokenizer, run every word through the merge sequence in
     * step order, and report the resulting subword count next to the

@@ -307,6 +307,9 @@ class GraftApiSpec extends SparkSpec {
                                   // from this dump; the fixed-point DCT
                                   // kernel is spec-gated (provable
                                   // flat-zero/brightness invariances)
+      "curate_bpe_deep",          // bpe_deep_gate twin recursively applies
+                                  // THIS dump's merges to reconstruct
+                                  // w_{k-1} and recomputes pinned argmaxes
       "embedding_pca_components") // embedding_pca twin replays projections
                                   // from this mean+component dump; the
                                   // eigensolve is gated by

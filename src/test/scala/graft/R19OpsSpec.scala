@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.{functions => F}
+
+/** Round-19 specs: the r18 ADVICE closes (idempotent domain-stats
+  * ingest, empty-port URLs, short-vector PCA contract, total
+  * semantic-decontamination reports) and the round's new operators.
+  */
+class R19OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def urlRows(n: Int) = spark.range(n).selectExpr(
+    "id as doc_id",
+    "concat('https://h', cast(id % 7 as string), '.site', " +
+      "cast(id % 3 as string), '.org/p/', cast(id as string)) as url",
+    "(id % 50) * 10 + 40 as n_chars")
+
+  test("domainStatsAppendOnce: a replayed micro-batch id appends nothing") {
+    import graft.streaming.StreamingStats
+    import graft.text.Curate
+    val table = "r19_domstats_replay"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val batch = urlRows(120)
+    assert(StreamingStats.domainStatsAppendOnce(
+      batch, "url", "n_chars", table, batchId = 0L, nBuckets = 4))
+    val once = Curate.domainStats(spark.table(table))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // the at-least-once replay: same batchId arrives again — skipped
+    assert(!StreamingStats.domainStatsAppendOnce(
+      batch, "url", "n_chars", table, batchId = 0L, nBuckets = 4))
+    val twice = Curate.domainStats(spark.table(table))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(twice == once, "replay doubled the partials")
+    // a genuinely new batch id still appends
+    assert(StreamingStats.domainStatsAppendOnce(
+      urlRows(30), "url", "n_chars", table, batchId = 1L, nBuckets = 4))
+    val after = Curate.domainStats(spark.table(table))
+      .agg(F.sum("n_docs")).as[Long].head()
+    assert(after == 150L)
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
+  test("Urls: an RFC 3986 empty port is 'no port', not a rejected URL") {
+    import graft.functions.Urls
+    // `host:` with nothing after the colon is valid authority grammar
+    assert(Urls.canonicalize("http://example.com:") == "http://example.com/")
+    assert(Urls.canonicalize("http://example.com:/x") == "http://example.com/x")
+    assert(Urls.hostOf("http://example.com:") == "example.com")
+    // ...while genuinely out-of-range numeric ports keep the NULL contract
+    assert(Urls.canonicalize("http://example.com:0/") == null)
+  }
+
+  test("PcaProjectExpr: a vector shorter than the training dim refuses loudly") {
+    import graft.functions.PcaProjectExpr
+    val df = Seq((1L, Seq(1.0, 2.0))).toDF("id", "vec")
+    val proj = df.select(PcaProjectExpr.pcaProject(F.col("vec"),
+      Seq(0.0, 0.0, 0.0), Seq(Seq(1.0, 0.0, 0.0))).as("p"))
+    val e = intercept[Exception] { proj.collect() }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("pca_project")), msgs(e).mkString("|"))
+    // longer vectors still project over the training dimension only
+    val ok = Seq((1L, Seq(1.0, 2.0, 3.0, 4.0))).toDF("id", "vec")
+      .select(PcaProjectExpr.pcaProject(F.col("vec"),
+        Seq(0.0, 0.0, 0.0), Seq(Seq(1.0, 0.0, 0.0))).as("p"))
+      .as[Seq[Double]].head()
+    assert(ok == Seq(1.0))
+  }
+
+  test("semanticOverlap: report stays total and boolean on degenerate inputs") {
+    import graft.dedup.Decontaminate
+    val train = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)),
+      (3L, null.asInstanceOf[Seq[Float]]),
+      (2L, Seq(0.0f, 1.0f)) // duplicate id
+    ).toDF("id", "vec")
+    // empty eval: every training id reported, contaminated=false, no nulls
+    val emptyEval = Seq.empty[Seq[Float]].toDF("evec")
+    val r0 = Decontaminate.semanticOverlap(train, "id", "vec",
+      emptyEval, "evec", 0.9).orderBy("id").collect()
+    assert(r0.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(r0.forall(!_.getBoolean(2)))
+    // null training vector: its row survives with contaminated=false
+    val eval = Seq(Seq(1.0f, 0.0f)).toDF("evec")
+    val r1 = Decontaminate.semanticOverlap(train, "id", "vec",
+      eval, "evec", 0.9).orderBy("id").collect()
+    assert(r1.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L)) // duplicates collapse
+    assert(r1.map(r => r.getLong(0) -> r.getBoolean(2)).toMap ==
+      Map(1L -> true, 2L -> false, 3L -> false))
+    assert(r1.forall(r => !r.isNullAt(2)))
+  }
+
+  test("bpeTrainLocal == bpeTrain merge-for-merge (incl. run/overlap edges)") {
+    import graft.text.Curate
+    val docs = Seq(
+      "the cat sat on the mat the cat", // ties + repeats
+      "bbbb bbb bb babab abab",         // same-symbol runs, overlap edges
+      "mississippi banana bananas",     // repeated digrams within words
+      "aa aa aa aaaa"                   // run merged pair re-selectable
+    ).zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("doc_id", "text")
+    val exact = Curate.bpeTrain(docs, "text", nMerges = 14)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val local = Curate.bpeTrainLocal(docs, "text", nMerges = 14)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(local == exact, s"\nlocal=$local\nexact=$exact")
+    // deep training runs to exhaustion without error and stays
+    // argmax-consistent: counts never increase along a prefix where a
+    // merge's pair was available from the start... (not true in
+    // general for BPE, so just pin exhaustion behavior + prefix)
+    val deep = Curate.bpeTrainLocal(docs, "text", nMerges = 10000)
+    val deepRows = deep.collect()
+    assert(deepRows.length < 10000) // tiny corpus exhausts
+    assert(deepRows.map(_.getLong(0)).toSeq ==
+      (1L to deepRows.length.toLong)) // dense steps up to exhaustion
+    // the 14-merge run is a PREFIX of the deep run (BPE's merge k
+    // depends only on merges 1..k-1)
+    val deepPrefix = deepRows.take(14)
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(deepPrefix == exact)
+  }
+
+  test("bpeTrainLocal: vocabulary above maxVocab refuses loudly") {
+    import graft.text.Curate
+    val docs = Seq((1L, "one two three four five six")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Curate.bpeTrainLocal(docs, "text", nMerges = 2, maxVocab = 3)
+    }
+    assert(e.getMessage.contains("maxVocab"))
+  }
+}
