@@ -162,6 +162,171 @@ object OracleSql {
        |WHERE rn = 1 ORDER BY step""".stripMargin
   }
 
+  /** lang_id_nb twins (r19): the deterministic multilingual fixture
+    * (SparkEntry.langFixture — same hash, vocab tables, marker
+    * injection), Cavnar-Trenkle padded char trigrams, then the
+    * text_classify_nb NB chain verbatim over those features.
+    */
+  private def langNbCtes: String = {
+    val vocSql = graft.SparkEntry.LangNbVocab
+      .map(_._2.map(w => s"'$w'").mkString("[", ", ", "]"))
+      .mkString("[", ", ", "]")
+    val langsSql = graft.SparkEntry.LangNbVocab
+      .map(l => s"'${l._1}'").mkString("[", ", ", "]")
+    val markersSql = graft.SparkEntry.LangNbMarkers
+      .map(m => s"'$m'").mkString("[", ", ", "]")
+    val tg = s"flatten(list_transform(${toks("text")}, " +
+      "w -> [substr('_' || w || '_', i, 3) " +
+      "for i in generate_series(1, len(w))]))"
+    s"""WITH fx AS (SELECT doc_id,
+       |    $langsSql[CAST(h % 5 + 1 AS INTEGER)] AS lang,
+       |    array_to_string(
+       |      [$vocSql[CAST(h % 5 + 1 AS INTEGER)]
+       |         [CAST(((doc_id * 31 + j) * 2654435761) % 999983 % 12 + 1 AS INTEGER)]
+       |       for j in generate_series(1, 6 + ((h // 5) % 5))], ' ')
+       |      || CASE WHEN h % 3 = 0
+       |              THEN ' ' || $markersSql[CAST(h % 5 + 1 AS INTEGER)]
+       |              ELSE '' END AS text
+       |  FROM (SELECT doc_id, (doc_id * 2654435761) % 999983 AS h
+       |        FROM documents)),
+       |tr AS (SELECT doc_id, lang, $tg AS tl FROM fx WHERE doc_id % 5 <> 0),
+       |te AS (SELECT doc_id, lang, text, $tg AS tl FROM fx WHERE doc_id % 5 = 0),
+       |trtok AS (SELECT lang, unnest(tl) AS tok FROM tr),
+       |cnt AS (SELECT lang, tok, count(*) AS cnt FROM trtok GROUP BY lang, tok),
+       |tot AS (SELECT lang, sum(cnt) AS tot FROM cnt GROUP BY lang),
+       |vs AS (SELECT count(DISTINCT tok) AS v FROM cnt),
+       |pri AS (SELECT lang, count(*) AS n_docs FROM tr GROUP BY lang),
+       |nall AS (SELECT count(*) AS n_all FROM tr),
+       |classes AS (
+       |  SELECT p.lang AS cl, coalesce(t.tot, 0) AS tot,
+       |         CAST(round(ln(CAST(p.n_docs AS DOUBLE) / CAST(a.n_all AS DOUBLE)), 9)
+       |              AS DECIMAL(20,9)) AS prior_c
+       |  FROM pri p LEFT JOIN tot t ON t.lang = p.lang CROSS JOIN nall a),
+       |tetf AS (
+       |  SELECT doc_id, tok, count(*) AS tf
+       |  FROM (SELECT doc_id, unnest(tl) AS tok FROM te)
+       |  WHERE tok IN (SELECT DISTINCT tok FROM cnt)
+       |  GROUP BY doc_id, tok),
+       |contrib AS (
+       |  SELECT f.doc_id, k.cl,
+       |         CAST(round(f.tf * ln((CAST(coalesce(c.cnt, 0) AS DOUBLE) + 1)
+       |                              / CAST(k.tot + v.v AS DOUBLE)), 9)
+       |              AS DECIMAL(20,9)) AS c
+       |  FROM tetf f CROSS JOIN classes k
+       |  LEFT JOIN cnt c ON c.lang = k.cl AND c.tok = f.tok
+       |  CROSS JOIN vs v),
+       |nbscored AS (
+       |  SELECT s.doc_id, s.cl, s.ll + k.prior_c AS score
+       |  FROM (SELECT doc_id, cl, sum(c) AS ll FROM contrib GROUP BY doc_id, cl) s
+       |  JOIN classes k ON k.cl = s.cl),
+       |nbpred AS (
+       |  SELECT doc_id, cl AS predicted FROM (
+       |    SELECT doc_id, cl,
+       |           row_number() OVER (PARTITION BY doc_id
+       |                              ORDER BY score DESC, cl ASC) AS rk
+       |    FROM nbscored) WHERE rk = 1),
+       |fb AS (SELECT cl AS fallback FROM classes
+       |       ORDER BY prior_c DESC, cl ASC LIMIT 1)""".stripMargin
+  }
+
+  private val langNbVerdictSelect: String =
+    """SELECT e.doc_id AS id, e.lang AS label,
+      |       coalesce(p.predicted, f.fallback) AS predicted,
+      |       CASE WHEN coalesce(p.predicted, f.fallback) = e.lang
+      |            THEN 1 ELSE 0 END AS correct
+      |FROM te e LEFT JOIN nbpred p ON p.doc_id = e.doc_id CROSS JOIN fb f""".stripMargin
+
+  /** er_resolve_fs twin (r19): unsupervised Fellegi-Sunter EM over
+    * the blocked candidates' 8-pattern agreement table, all 15 rounds
+    * UNROLLED as CTE pairs mirroring Linkage.fsEm's canonical IEEE
+    * operation order exactly (patterns/factors ascend, sums left-
+    * associate, per-round clamps, posterior floor'd to ppm). Numeric
+    * literals are e-notation: DuckDB parses a bare 0.1 as DECIMAL,
+    * which would run the recursion in decimal arithmetic instead of
+    * the driver's doubles.
+    */
+  private val erFsSql: String = {
+    val k = 3; val P = 1 << k; val rounds = 15
+    def mp(p: Int) = (0 until k)
+      .map(i => if (((p >> i) & 1) == 1) s"m$i" else s"(1e0 - m$i)")
+      .mkString(" * ")
+    def up(p: Int) = (0 until k)
+      .map(i => if (((p >> i) & 1) == 1) s"u$i" else s"(1e0 - u$i)")
+      .mkString(" * ")
+    def wCols = (0 until P).map(p =>
+      s"(lam * (${mp(p)})) / ((lam * (${mp(p)})) + ((1e0 - lam) * (${up(p)}))) AS w$p")
+      .mkString(",\n    ")
+    def clamp(x: String) = s"least(greatest($x, 1e-6), 1e0 - 1e-6)"
+    val sExpr = (0 until P).map(p => s"n$p * w$p").mkString(" + ")
+    val nExpr = (0 until P).map(p => s"n$p").mkString(" + ")
+    def mNum(i: Int) = (0 until P).filter(p => ((p >> i) & 1) == 1)
+      .map(p => s"n$p * w$p").mkString(" + ")
+    def uNum(i: Int) = (0 until P).filter(p => ((p >> i) & 1) == 1)
+      .map(p => s"n$p * (1e0 - w$p)").mkString(" + ")
+    val carry = (0 until P).map(p => s"n$p").mkString(", ")
+    val roundsSql = (1 to rounds).map { r =>
+      val prev = if (r == 1) "em0" else s"em${r - 1}"
+      val mU = (0 until k).map { i =>
+        s"    ${clamp(s"(${mNum(i)}) / S")} AS m$i,\n" +
+          s"    ${clamp(s"(${uNum(i)}) / (N - S)")} AS u$i"
+      }.mkString(",\n")
+      s"""w$r AS MATERIALIZED (SELECT *,
+         |    $wCols
+         |  FROM $prev),
+         |s$r AS MATERIALIZED (SELECT *, ($sExpr) AS S, ($nExpr) AS N FROM w$r),
+         |em$r AS MATERIALIZED (SELECT
+         |    ${clamp("S / N")} AS lam,
+         |$mU,
+         |    $carry
+         |  FROM s$r)""".stripMargin
+    }.mkString(",\n")
+    val nCols = (0 until P).map(p =>
+      s"CAST(coalesce(sum(CASE WHEN pid = $p THEN 1 END), 0) AS DOUBLE) AS n$p")
+      .mkString(",\n    ")
+    val initMU = (0 until k)
+      .map(i => s"9e-1 AS m$i, 1e-1 AS u$i").mkString(", ")
+    val wsRows = (0 until P).map(p =>
+      s"SELECT $p AS pid, CAST(floor(w$p * 1e6) AS BIGINT) AS post_ppm FROM wf")
+      .mkString("\n  UNION ALL ")
+    s"""WITH a AS (SELECT c_custkey AS id_a, c_name AS name_a,
+       |            c_acctbal AS bal_a, right(c_name, 3) AS sfx_a,
+       |            c_nationkey AS nat, c_mktsegment AS seg FROM customer),
+       |b AS (SELECT c_custkey + 1000000 AS id_b,
+       |             regexp_replace(c_name, '0+', '0', 'g') AS name_b,
+       |             CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 1e0
+       |                  ELSE c_acctbal END AS bal_b,
+       |             right(regexp_replace(c_name, '0+', '0', 'g'), 3) AS sfx_b,
+       |             c_nationkey AS nat, c_mktsegment AS seg
+       |      FROM customer WHERE c_custkey % 7 != 3),
+       |cand AS MATERIALIZED (SELECT b.id_b, a.id_a,
+       |    (CASE WHEN CAST(floor(jaro_winkler_similarity(a.name_a, b.name_b)
+       |                          * 1e6) AS BIGINT) >= 900000
+       |          THEN 1 ELSE 0 END
+       |     + CASE WHEN a.bal_a = b.bal_b THEN 2 ELSE 0 END
+       |     + CASE WHEN a.sfx_a = b.sfx_b THEN 4 ELSE 0 END) AS pid
+       |  FROM a JOIN b ON a.nat = b.nat AND a.seg = b.seg),
+       |nc AS MATERIALIZED (SELECT
+       |    $nCols
+       |  FROM cand),
+       |em0 AS (SELECT 1e-1 AS lam, $initMU, ${(0 until P).map(p => s"n$p").mkString(", ")} FROM nc),
+       |$roundsSql,
+       |wf AS MATERIALIZED (SELECT *,
+       |    $wCols
+       |  FROM em$rounds),
+       |ws AS ($wsRows),
+       |kept AS (SELECT c.id_b, c.id_a, c.pid, ws.post_ppm
+       |         FROM cand c JOIN ws USING (pid)
+       |         WHERE ws.post_ppm >= 500000),
+       |scored AS (SELECT id_b, id_a, pid, post_ppm,
+       |                  count(*) OVER (PARTITION BY id_b) AS n_candidates,
+       |                  row_number() OVER (PARTITION BY id_b
+       |                    ORDER BY post_ppm DESC, id_a) AS rn
+       |           FROM kept)
+       |SELECT id_b, id_a, CAST(pid AS INTEGER) AS pid, post_ppm,
+       |       CAST(n_candidates AS BIGINT) AS n_candidates
+       |FROM scored WHERE rn = 1 ORDER BY id_b""".stripMargin
+  }
+
   private val bpeTokensSql: String = {
     // nested replace chain applying the learned merges in step order.
     // An EXHAUSTED stage (corpus yields fewer than bpeMerges merges)
@@ -2692,6 +2857,38 @@ object OracleSql {
     // counts, totals, priors, |V|), add-1 smoothed 9dp-decimal
     // log-likelihood accumulation, the label-asc argmax, and the
     // prior-argmax fallback for all-OOV documents
+    "lang_id_nb" -> (langNbCtes + "\n" + langNbVerdictSelect +
+      "\nORDER BY id"),
+
+    "lang_id_nb_gate" -> {
+      // heuristic replay (the lang_id twin's shape) over the SAME
+      // held-out fixture split, next to the NB diagonal
+      val scores = graft.text.TextOps.stopwords.map { case (lang, words) =>
+        s"len(list_filter(list_distinct(${toks("text")}), " +
+          s"t -> list_contains(${sqlList(words)}, t))) AS s_$lang"
+      }.mkString(",\n       ")
+      val langs = graft.text.TextOps.stopwords.map(_._1)
+      val mx = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+      val cases = langs.map(l => s"WHEN s_$l = mx THEN '$l'").mkString(" ")
+      langNbCtes +
+        s""",
+           |hsc AS (SELECT doc_id, lang,
+           |       $scores
+           |       FROM te),
+           |hm AS (SELECT *, $mx AS mx FROM hsc),
+           |hd AS (SELECT CAST(coalesce(sum(CASE WHEN
+           |         (CASE WHEN mx = 0 THEN 'und' $cases END) = lang
+           |         THEN 1 ELSE 0 END), 0) AS BIGINT) AS heuristic_diag
+           |       FROM hm),
+           |nbv AS ($langNbVerdictSelect),
+           |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_test,
+           |              CAST(coalesce(sum(correct), 0) AS BIGINT) AS nb_diag
+           |       FROM nbv)
+           |SELECT nd.n_test, nd.nb_diag, hd.heuristic_diag,
+           |       nd.nb_diag > hd.heuristic_diag AS nb_beats_heuristic
+           |FROM nd CROSS JOIN hd""".stripMargin
+    },
+
     "text_classify_nb" ->
       s"""WITH tr AS (SELECT doc_id, lang, ${toks("text")} AS tl FROM documents
          |            WHERE doc_id % 5 <> 0),
@@ -3859,6 +4056,33 @@ object OracleSql {
       }.mkString("", "\nUNION ALL\n", "\nORDER BY comparison, dim")
     },
 
+    // FD discovery twin (r19): every candidate recomputed from plain
+    // GROUP BYs — g3 keep = Σ_det-group max_dep count; integer
+    // arithmetic only (n <= 1e6 at the test SFs, products fit BIGINT;
+    // // is DuckDB's truncating integral division, = Spark's decimal
+    // div for non-negative operands)
+    "profile_fd_discover" -> {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_orderdate", "o_orderpriority")
+      val cands = (cols.combinations(2) ++ cols.combinations(3)).toSeq
+        .flatMap(s => s.map(dep => (s.filterNot(_ == dep), dep)))
+      val selects = cands.map { case (det, dep) =>
+        val detCols = det.mkString(", ")
+        s"""SELECT 'orders' AS tab, '${det.mkString("+")}' AS determinant,
+           |  '$dep' AS dependent, CAST(n AS BIGINT) AS n_rows,
+           |  CAST(n - keep AS BIGINT) AS error_rows,
+           |  CAST(((n - keep) * 1000000) // n AS BIGINT) AS error_ppm,
+           |  CASE WHEN n = keep THEN 1 ELSE 0 END AS fd_exact,
+           |  CASE WHEN (n - keep) * 1000000 <= 10000 * n THEN 1 ELSE 0 END AS afd_holds
+           |FROM (SELECT sum(mx) AS keep, sum(rws) AS n FROM
+           |  (SELECT max(c) AS mx, sum(c) AS rws FROM
+           |    (SELECT $detCols, $dep, count(*) AS c FROM orders
+           |     GROUP BY $detCols, $dep) GROUP BY $detCols))""".stripMargin
+      }
+      selects.mkString("", "\nUNION ALL\n",
+        "\nORDER BY error_ppm, determinant, dependent")
+    },
+
     "profile_fd" -> {
       val checks = Seq(
         ("orders", "o_orderkey", "o_custkey"),
@@ -4510,6 +4734,15 @@ object OracleSql {
         |SELECT id_b, id_a, CAST(lev AS INTEGER) AS lev,
         |       CAST(n_candidates AS BIGINT) AS n_candidates
         |FROM scored WHERE rn = 1 ORDER BY id_b""".stripMargin,
+
+    // Fellegi-Sunter EM linkage (r19): the twin replays all 15
+    // unrolled EM rounds term-for-term over the 8-pattern contingency
+    // table — same canonical operation order (patterns ascend,
+    // factors ascend, sums left-associate), same per-round
+    // [1e-6, 1-1e-6] clamps, same floor(posterior*1e6) fixed point.
+    // Every numeric literal is e-notation so DuckDB parses DOUBLE
+    // (a bare 0.1 is DECIMAL there) and the IEEE trees match Scala's.
+    "er_resolve_fs" -> erFsSql,
 
     // Jaro-Winkler sibling: scores in ppm fixed point on BOTH engines
     // (floor(jw*1e6) — the Spark kernel is calibrated to DuckDB's

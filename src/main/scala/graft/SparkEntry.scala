@@ -1763,6 +1763,97 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Multilingual fixture for the TRAINED language identifier (r19;
+    * VERDICT r18 #7). The corpus's own lang label is text-INDEPENDENT
+    * by construction (measured: token×lang chi² ≈ dof — lang_confusion
+    * honestly reports the heuristic as keyword soup there, and no
+    * classifier can beat chance on it), so the real-capability gate
+    * rides a deterministic fixture with genuine language signal: per
+    * doc, 6-10 content words from its language's 12-word vocabulary
+    * (public common words, stopword-FREE, morphology-distinctive:
+    * '…ung', '…cion', pinyin syllables), plus — for one doc in three
+    * — one language-UNIQUE stopword marker. The stopword heuristic
+    * can identify only the marked third ('und' elsewhere); the
+    * char-trigram NB learns the morphology and identifies everything.
+    */
+  private[graft] val LangNbVocab: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("forschung", "entwicklung", "verarbeitung",
+      "geschwindigkeit", "zeitung", "schule", "wissenschaft", "lernen",
+      "sprechen", "deutschland", "verstehen", "beschreibung"),
+    "en" -> Seq("research", "development", "processing", "knowledge",
+      "thinking", "describing", "weather", "brightness", "throughout",
+      "nothing", "english", "understanding"),
+    "es" -> Seq("investigacion", "desarrollo", "procesamiento",
+      "conocimiento", "velocidad", "descripcion", "cancion", "corazon",
+      "trabajo", "llamada", "espanol", "entender"),
+    "fr" -> Seq("recherche", "developpement", "traitement",
+      "connaissance", "vitesse", "description", "chanson", "travail",
+      "beaucoup", "toujours", "francais", "comprendre"),
+    "zh" -> Seq("xuexi", "gongzuo", "pengyou", "xiexie", "zhongguo",
+      "mingtian", "xianzai", "keneng", "renshi", "shijian", "gaoxing",
+      "piaoliang"))
+
+  /** One stopword per language that appears in NO other language's
+    * stopword list — so a marked doc scores exactly its own language
+    * in the heuristic.
+    */
+  private[graft] val LangNbMarkers: Seq[String] =
+    Seq("und", "the", "los", "avec", "shi")
+
+  private def langFixture(t: Tables): DataFrame = {
+    val voc = LangNbVocab.map(_._2.map(w => s"'$w'")
+      .mkString("array(", ", ", ")")).mkString("array(", ", ", ")")
+    val langs = LangNbVocab.map(l => s"'${l._1}'")
+      .mkString("array(", ", ", ")")
+    val markers = LangNbMarkers.map(m => s"'$m'")
+      .mkString("array(", ", ", ")")
+    t.documents.select(F.col("doc_id"))
+      .withColumn("__h", F.expr("(doc_id * 2654435761) % 999983"))
+      .withColumn("lang",
+        F.expr(s"element_at($langs, cast(__h % 5 + 1 as int))"))
+      .withColumn("text", F.expr(
+        s"array_join(transform(sequence(1, 6 + ((__h div 5) % 5)), " +
+          s"j -> element_at(element_at($voc, cast(__h % 5 + 1 as int)), " +
+          s"cast(((doc_id * 31 + j) * 2654435761) % 999983 % 12 + 1 as int))), ' ') " +
+          s"|| (case when __h % 3 = 0 then ' ' || " +
+          s"element_at($markers, cast(__h % 5 + 1 as int)) else '' end)"))
+      .drop("__h")
+  }
+
+  private def langIdNb(t: Tables): DataFrame = {
+    // char-trigram NB language ID (Cavnar-Trenkle features through
+    // the Classify.nb machinery), trained on the fixture's 4/5 split
+    // — per-test-doc verdicts; the twin replays fixture, trigrams,
+    // training counts, smoothing, decimal scores, argmax
+    val fx = langFixture(t)
+    text.Classify.naiveBayes(
+      fx.where(F.col("doc_id") % 5 =!= 0),
+      fx.where(F.col("doc_id") % 5 === 0),
+      "doc_id", "text", "lang", tokensOf = TextOps.charTrigrams)
+      .orderBy("id")
+  }
+
+  private def langIdNbGate(t: Tables): DataFrame = {
+    // the adjudication row: confusion-matrix diagonal mass of the
+    // trained NB vs the stopword heuristic over the SAME held-out
+    // split — nb_beats_heuristic must be literal true (the NB
+    // identifies the unmarked two-thirds the heuristic cannot)
+    val fx = langFixture(t)
+    val test = fx.where(F.col("doc_id") % 5 === 0)
+    val nbDiag = text.Classify.naiveBayes(
+        fx.where(F.col("doc_id") % 5 =!= 0), test,
+        "doc_id", "text", "lang", tokensOf = TextOps.charTrigrams)
+      .agg(F.count(F.lit(1)).as("n_test"),
+        F.sum(F.col("correct").cast("long")).as("nb_diag"))
+    val heurDiag = test
+      .select(F.when(TextOps.langId(F.col("text")) === F.col("lang"), 1L)
+        .otherwise(0L).as("c"))
+      .agg(F.sum("c").as("heuristic_diag"))
+    nbDiag.crossJoin(heurDiag)
+      .select(F.col("n_test"), F.col("nb_diag"), F.col("heuristic_diag"),
+        (F.col("nb_diag") > F.col("heuristic_diag")).as("nb_beats_heuristic"))
+  }
+
   private def langConfusion(t: Tables): DataFrame =
     // classifier audit: the lang_id heuristic's confusion matrix
     // against the corpus's labeled lang column — per (label,
@@ -3421,6 +3512,40 @@ object SparkEntry {
       .orderBy("id_a", "attribute")
   }
 
+  private def erResolveFs(t: Tables): DataFrame = {
+    // Fellegi-Sunter EM-trained linkage (r19; VERDICT r18 #4) over a
+    // HARDER dirty twin than er_resolve: the name is zero-collapsed
+    // (and JW barely discriminates in-block — every name shares the
+    // 'Customer#' prefix), acctbal is perturbed for every third
+    // record, and the name's last-3-chars survive the collapse. EM
+    // learns per-attribute m/u from the candidate pairs themselves
+    // (driver-side over the 8-row pattern table, 15 fixed rounds) so
+    // the discriminating attributes outvote the noisy name. Score =
+    // E-step posterior in ppm fixed point; the twin replays all 15
+    // unrolled EM rounds term-for-term and the same floor(w*1e6).
+    val aSrc = t.customer.select(F.col("c_custkey").as("id_a"),
+      F.col("c_name").as("name_a"), F.col("c_acctbal").as("bal_a"),
+      F.substring(F.col("c_name"), -3, 3).as("sfx_a"),
+      F.col("c_nationkey").as("nat"), F.col("c_mktsegment").as("seg"))
+    val bSrc = t.customer.where(F.col("c_custkey") % 7 =!= 3)
+      .select((F.col("c_custkey") + 1000000L).as("id_b"),
+        F.regexp_replace(F.col("c_name"), "0+", "0").as("name_b"),
+        F.when(F.col("c_custkey") % 3 === 0, F.col("c_acctbal") + 1.0)
+          .otherwise(F.col("c_acctbal")).as("bal_b"),
+        F.substring(F.regexp_replace(F.col("c_name"), "0+", "0"), -3, 3)
+          .as("sfx_b"),
+        F.col("c_nationkey").as("nat"), F.col("c_mktsegment").as("seg"))
+    import harmonize.Linkage.FsAttr
+    harmonize.Linkage.linkFellegiSunter(aSrc, bSrc, Seq("nat", "seg"),
+      "id_a", "id_b", Seq(
+        FsAttr("name", "name_a", "name_b", (x, y) =>
+          graft.functions.HashExprs.jaroWinklerPpm(x, y) >= 900000L),
+        FsAttr("acctbal", "bal_a", "bal_b", (x, y) => x === y),
+        FsAttr("suffix3", "sfx_a", "sfx_b", (x, y) => x === y)),
+      nIter = 15, minPostPpm = 500000L)
+      .orderBy("id_b")
+  }
+
   private def erResolveSorted(t: Tables): DataFrame = {
     // the scale-safe linkage variant over the SAME dirty twin:
     // sorted-neighborhood with sort key = zero-collapsed name on BOTH
@@ -3627,6 +3752,20 @@ object SparkEntry {
     // as the public per-mille table literal
     harmonize.Profile.benford(t.lineitem, "l_extendedprice")
       .orderBy("digit")
+
+  private def profileFdDiscover(t: Tables): DataFrame =
+    // FD DISCOVERY (r19; VERDICT r18 #5 — profile_fd verifies named
+    // dependencies, this finds them): every 1- and 2-column
+    // determinant over the 5 key/enum/date columns of orders, ranked
+    // by g3 error from ONE grouping-sets scan. Known ground truth the
+    // oracle pins: o_orderkey determines everything exactly (it is
+    // the key), and every 2-column determinant containing it does
+    // too; the enum determinants rank by their honest g3 error.
+    harmonize.Discovery.fdDiscover("orders", t.orders,
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate",
+        "o_orderpriority"), maxErrorPpm = 10000L)
+      .orderBy(F.col("error_ppm").asc, F.col("determinant").asc,
+        F.col("dependent").asc)
 
   private def profileUcc(t: Tables): DataFrame =
     // key discovery over orders: one GROUPING SETS scan adjudicates
@@ -4304,6 +4443,8 @@ object SparkEntry {
       "text_stats" -> q(textStats),
       "text_readability" -> q(textReadability),
       "lang_id" -> q(langId),
+      "lang_id_nb" -> q(langIdNb),
+      "lang_id_nb_gate" -> q(langIdNbGate),
       "lang_confusion" -> q(langConfusion),
       "token_count" -> q(tokenCount),
       "doc_fingerprint" -> q(docFingerprint),
@@ -4403,6 +4544,7 @@ object SparkEntry {
       "profile_inclusion_sketch" -> q(profileInclusionSketch),
       "profile_joinsize_sketch" -> q(profileJoinsizeSketch),
       "profile_fd" -> q(profileFd),
+      "profile_fd_discover" -> q(profileFdDiscover),
       "profile_fd_approx" -> q(profileFdApprox),
       "profile_drift_ks" -> q(profileDriftKs),
       "profile_drift_chi2" -> q(profileDriftChi2),
@@ -4429,6 +4571,7 @@ object SparkEntry {
       "q_bloom_prefilter" -> q(qBloomPrefilter),
       "asof_join_nearest" -> q(asofJoinNearest),
       "er_resolve" -> q(erResolve),
+      "er_resolve_fs" -> q(erResolveFs),
       "er_resolve_jw" -> q(erResolveJw),
       "er_golden" -> q(erGolden),
       "er_resolve_sorted" -> q(erResolveSorted),

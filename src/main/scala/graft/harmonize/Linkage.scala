@@ -25,6 +25,191 @@ import org.apache.spark.sql.{functions => F}
   */
 object Linkage {
 
+  /** One comparison attribute for Fellegi-Sunter linkage: a display
+    * name, the A-side and B-side column names, and the boolean
+    * agreement predicate over them. Attribute order matters: attr i
+    * is bit i of the agreement-pattern id.
+    */
+  final case class FsAttr(name: String, colA: String, colB: String,
+                          agree: (org.apache.spark.sql.Column,
+                            org.apache.spark.sql.Column) =>
+                            org.apache.spark.sql.Column)
+
+  /** EM-estimated Fellegi-Sunter parameters: the match proportion
+    * λ and per-attribute m = P(agree | match), u = P(agree | non-
+    * match) — all clamped to [1e-6, 1 − 1e-6].
+    */
+  final case class FsParams(lambda: Double, m: Array[Double],
+                            u: Array[Double]) {
+    require(m.length == u.length)
+    def k: Int = m.length
+
+    /** E-step posterior P(match | pattern p) under these params —
+      * the per-pattern match score. Canonical operation order
+      * (factors by ascending attribute, left-associated), mirrored
+      * term-for-term by the SQL twin.
+      */
+    def posterior(p: Int): Double = {
+      var mp = 1.0; var up = 1.0
+      var i = 0
+      while (i < k) {
+        if (((p >> i) & 1) == 1) { mp = mp * m(i); up = up * u(i) }
+        else { mp = mp * (1.0 - m(i)); up = up * (1.0 - u(i)) }
+        i += 1
+      }
+      val num = lambda * mp
+      num / (num + (1.0 - lambda) * up)
+    }
+
+    /** Per-pattern posterior in ppm fixed point — the integer the
+      * linkage sorts and thresholds on (the jw_ppm convention: no
+      * raw double crosses engines).
+      */
+    def posteriorPpm(p: Int): Long = math.floor(posterior(p) * 1e6).toLong
+
+    /** The classic log2 match weights (Σ over attributes of
+      * log2(m/u) for agreements, log2((1−m)/(1−u)) for
+      * disagreements) — the standard PRESENTATION of an FS model.
+      * Driver-side convenience only: log implementations differ at
+      * ulp level across engines, so the cross-engine surface is
+      * [[posteriorPpm]], never this.
+      */
+    def logWeights: Seq[(Double, Double)] =
+      (0 until k).map { i =>
+        (math.log(m(i) / u(i)) / math.log(2.0),
+          math.log((1.0 - m(i)) / (1.0 - u(i))) / math.log(2.0))
+      }
+  }
+
+  /** Fellegi-Sunter linkage (Fellegi & Sunter JASA'69) with
+    * UNSUPERVISED EM parameter estimation (Winkler '88; the Splink
+    * shape) — the probabilistic upgrade of [[linkByName]]'s raw-
+    * distance argmax: per-attribute m/u probabilities are LEARNED
+    * from the candidate pairs themselves, so a highly-discriminating
+    * attribute (a phone number: u ≈ 0) outvotes a noisy one (a
+    * corrupted name) without hand-set weights.
+    *
+    * Scale shape: candidates come from the same guarded block join
+    * as [[linkByName]]; each pair reduces to a k-bit agreement
+    * pattern id, and EM runs DRIVER-SIDE over the ≤ 2^k pattern-
+    * count contingency table (bounded by construction — the
+    * lloydLocal discipline; the corpus is never re-scanned per
+    * round). Scoring is then a literal pattern→posterior lookup in
+    * the plan: one scan, no shuffle beyond the argmax window.
+    *
+    * Determinism: fixed init (λ=0.1, m=0.9, u=0.1), `nIter` fixed
+    * rounds, canonical operation order everywhere, per-round clamps
+    * to [1e-6, 1−1e-6] (no 0/0), and the published score is the
+    * posterior in ppm FIXED POINT. The SQL twin replays the unrolled
+    * rounds term-for-term on the same IEEE doubles.
+    *
+    * Returns one row per linked B record:
+    * (idB, idA, pid, post_ppm, n_candidates), resolved per-B by
+    * (post_ppm desc, idA asc) among candidates with post_ppm ≥
+    * `minPostPpm`.
+    */
+  def linkFellegiSunter(a: DataFrame, b: DataFrame, blockCols: Seq[String],
+                        idA: String, idB: String, attrs: Seq[FsAttr],
+                        nIter: Int = 15, minPostPpm: Long = 500000L,
+                        maxBlockPairs: Long = 50000000L): DataFrame = {
+    val cand = fsCandidates(a, b, blockCols, idA, idB, attrs, maxBlockPairs)
+    val counts = cand.groupBy("pid").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val params = fsEm(counts, attrs.length, nIter)
+    val scores = (0 until (1 << attrs.length)).map(params.posteriorPpm)
+    val scoreArr = F.array(scores.map(F.lit(_)): _*)
+    val scored = cand
+      .withColumn("post_ppm", F.element_at(scoreArr, F.col("pid") + 1))
+      .where(F.col("post_ppm") >= minPostPpm)
+    val w = Window.partitionBy(idB)
+      .orderBy(F.col("post_ppm").desc, F.col(idA).asc)
+    scored
+      .withColumn("n_candidates",
+        F.count(F.lit(1)).over(Window.partitionBy(idB)))
+      .withColumn("__rn", F.row_number().over(w))
+      .where(F.col("__rn") === 1)
+      .select(F.col(idB), F.col(idA), F.col("pid"), F.col("post_ppm"),
+        F.col("n_candidates"))
+  }
+
+  /** Blocked candidate pairs reduced to their k-bit agreement
+    * pattern id (attr i = bit i): (idB, idA, pid). Shares
+    * [[linkByName]]'s block join and quadratic-block guard.
+    */
+  def fsCandidates(a: DataFrame, b: DataFrame, blockCols: Seq[String],
+                   idA: String, idB: String, attrs: Seq[FsAttr],
+                   maxBlockPairs: Long = 50000000L): DataFrame = {
+    require(blockCols.nonEmpty,
+      "blocking key required — all-pairs linkage is not offered")
+    require(attrs.nonEmpty && attrs.length <= 16,
+      "1..16 comparison attributes")
+    requireBlockPairsBounded(a, b, blockCols, maxBlockPairs)
+    val aSel = a.select(
+      (blockCols.map(F.col) :+ F.col(idA)) ++
+        attrs.map(t => F.col(t.colA)): _*)
+    val bSel = b.select(
+      (blockCols.map(F.col) :+ F.col(idB)) ++
+        attrs.map(t => F.col(t.colB)): _*)
+    val pid = attrs.zipWithIndex.map { case (t, i) =>
+      F.when(t.agree(F.col(t.colA), F.col(t.colB)), F.lit(1 << i))
+        .otherwise(F.lit(0))
+    }.reduce(_ + _)
+    aSel.join(bSel, blockCols)
+      .select(F.col(idB), F.col(idA), pid.cast("int").as("pid"))
+  }
+
+  /** Driver-side EM over the agreement-pattern contingency table —
+    * a pure function of (counts, k, nIter) in canonical IEEE order:
+    * patterns ascend, factors ascend by attribute, sums left-
+    * associate, every parameter clamps to [1e-6, 1 − 1e-6] each
+    * round. The table has ≤ 2^k rows regardless of corpus size.
+    */
+  def fsEm(counts: Map[Int, Long], k: Int, nIter: Int): FsParams = {
+    require(k >= 1 && k <= 16, "1..16 attributes")
+    require(nIter >= 1, "nIter >= 1")
+    val P = 1 << k
+    val n = Array.tabulate(P)(p => counts.getOrElse(p, 0L).toDouble)
+    var N = 0.0
+    var p0 = 0
+    while (p0 < P) { N = N + n(p0); p0 += 1 }
+    require(N > 0, "no candidate pairs — nothing to estimate from")
+    def clamp(x: Double): Double =
+      math.min(math.max(x, 1e-6), 1.0 - 1e-6)
+    var lambda = 0.1
+    val m = Array.fill(k)(0.9)
+    val u = Array.fill(k)(0.1)
+    var it = 0
+    while (it < nIter) {
+      val w = new Array[Double](P)
+      var p = 0
+      while (p < P) {
+        w(p) = FsParams(lambda, m, u).posterior(p)
+        p += 1
+      }
+      var s = 0.0
+      p = 0
+      while (p < P) { s = s + n(p) * w(p); p += 1 }
+      var i = 0
+      while (i < k) {
+        var mi = 0.0; var ui = 0.0
+        var q = 0
+        while (q < P) {
+          if (((q >> i) & 1) == 1) {
+            mi = mi + n(q) * w(q)
+            ui = ui + n(q) * (1.0 - w(q))
+          }
+          q += 1
+        }
+        m(i) = clamp(mi / s)
+        u(i) = clamp(ui / (N - s))
+        i += 1
+      }
+      lambda = clamp(s / N)
+      it += 1
+    }
+    FsParams(lambda, m, u)
+  }
+
   /** Link every record of `b` to its best candidate in `a`: block on
     * equality of `blockCols` (present in both frames), score
     * candidate pairs by raw Levenshtein distance between `nameA` and

@@ -42,8 +42,10 @@ object Classify {
     * per test document.
     */
   def naiveBayes(train: DataFrame, test: DataFrame,
-                 idCol: String, textCol: String, labelCol: String): DataFrame = {
-    val pred = classify(train, test, idCol, textCol, labelCol)
+                 idCol: String, textCol: String, labelCol: String,
+                 tokensOf: org.apache.spark.sql.Column =>
+                   org.apache.spark.sql.Column = TextOps.tokens): DataFrame = {
+    val pred = classify(train, test, idCol, textCol, labelCol, tokensOf)
     test.select(F.col(idCol).as("id"), F.col(labelCol).as("label"))
       .join(pred, "id")
       .select(F.col("id"), F.col("label"), F.col("predicted"),
@@ -57,7 +59,9 @@ object Classify {
     * [[naiveBayes]], and the scoring engine behind [[nbFilter]].
     */
   def classify(train: DataFrame, docs: DataFrame,
-               idCol: String, textCol: String, labelCol: String): DataFrame = {
+               idCol: String, textCol: String, labelCol: String,
+               tokensOf: org.apache.spark.sql.Column =>
+                 org.apache.spark.sql.Column = TextOps.tokens): DataFrame = {
     // fail fast on a degenerate seed set: zero training rows means
     // zero classes, which would make the prior-fallback crossJoin
     // collapse EVERY docs row to nothing — downstream nbFilter would
@@ -69,9 +73,9 @@ object Classify {
     require(!train.isEmpty,
       "classify: empty training frame — zero classes would silently drop every document")
     val tr = train.select(F.col(idCol).as("id"), F.col(labelCol).as("label"),
-      TextOps.tokens(F.col(textCol)).as("tl"))
+      tokensOf(F.col(textCol)).as("tl"))
     val te = docs.select(F.col(idCol).as("id"),
-      TextOps.tokens(F.col(textCol)).as("tl"))
+      tokensOf(F.col(textCol)).as("tl"))
 
     // the model: per-(class, token) counts, class totals, priors, |V|
     val trTok = tr.select(F.col("label"), F.explode(F.col("tl")).as("tok"))

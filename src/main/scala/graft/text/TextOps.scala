@@ -52,6 +52,19 @@ object TextOps {
   def langId(text: Column): Column =
     graft.functions.HashExprs.langScore(tokens(text), stopwords)
 
+  /** Cavnar-Trenkle character trigram features (Cavnar & Trenkle '94
+    * — the classic language-ID representation): per word, the padded
+    * '_w_' form's sliding 3-grams (len(w) of them), flattened across
+    * the document. Boundary padding keeps prefix/suffix morphology
+    * ('sch…', '…ung', '…cion') as distinct features — the signal a
+    * stopword heuristic has none of. Pure narrow expressions; the
+    * DuckDB twin mirrors substr('_'||w||'_', i, 3) exactly.
+    */
+  def charTrigrams(text: Column): Column =
+    F.flatten(F.transform(tokens(text), w =>
+      F.transform(F.sequence(F.lit(1), F.length(w)), i =>
+        F.concat(F.lit("_"), w, F.lit("_")).substr(i, F.lit(3)))))
+
   /** BPE-ish token count: alpha runs, digit runs, and single
     * non-alphanumeric-non-space characters each count as one token.
     */

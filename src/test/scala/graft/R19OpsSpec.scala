@@ -121,6 +121,97 @@ class R19OpsSpec extends SparkSpec {
     assert(deepPrefix == exact)
   }
 
+  test("linkFellegiSunter beats the raw-lev argmax on a planted decoy fixture") {
+    import graft.harmonize.Linkage
+    import graft.harmonize.Linkage.FsAttr
+    // per i: a TRUE master (name 3 edits from B, phone agrees), a
+    // DECOY master in the same block (name only 1 edit from B, phone
+    // disagrees), plus B. Raw edit distance must link B -> decoy;
+    // FS learns u_phone ~ 0 from the candidate pairs and the phone
+    // agreement outvotes the 2-edit name advantage.
+    val n = 30
+    val masters = (1 to n).flatMap { i =>
+      Seq((i.toLong, s"record$i", s"p$i", s"c${i % 3}"),
+        (i + 1000L, s"recxyz${i}q", s"q$i", s"c${i % 3}"))
+    }.toDF("id_a", "name_a", "phone_a", "city")
+    val bs = (1 to n).map { i =>
+      (i.toLong, s"recxyz$i", s"p$i", s"c${i % 3}")
+    }.toDF("id_b", "name_b", "phone_b", "city")
+    val lev = Linkage.linkByName(masters, bs, Seq("city"),
+      "id_a", "name_a", "id_b", "name_b", maxDist = 6)
+      .select("id_b", "id_a").as[(Long, Long)].collect().toMap
+    // every raw-lev link lands on a decoy (cross-i decoys can tie at
+    // lev 1 and win the id tiebreak — still a wrong link)
+    assert(lev.size == n && lev.values.forall(_ > 1000L),
+      s"fixture broken: raw lev should pick decoys, got $lev")
+    val fs = Linkage.linkFellegiSunter(masters, bs, Seq("city"),
+      "id_a", "id_b", Seq(
+        FsAttr("name", "name_a", "name_b",
+          (x, y) => F.levenshtein(x, y, 4) >= 0),
+        FsAttr("phone", "phone_a", "phone_b", (x, y) => x === y)),
+      nIter = 15, minPostPpm = 500000L)
+      .select("id_b", "id_a").as[(Long, Long)].collect().toMap
+    assert((1 to n).forall(i => fs.get(i.toLong).contains(i.toLong)),
+      s"FS must link every B to its true master, got $fs")
+  }
+
+  test("fsEm: learned parameters separate a clean two-class table") {
+    import graft.harmonize.Linkage
+    // 100 matches agreeing on both attrs, 900 non-matches agreeing on
+    // neither, a little noise off the diagonal
+    val counts = Map(3 -> 95L, 1 -> 5L, 0 -> 880L, 2 -> 20L)
+    val p = Linkage.fsEm(counts, k = 2, nIter = 15)
+    assert(p.lambda > 0.05 && p.lambda < 0.2, s"lambda=${p.lambda}")
+    assert(p.m(0) > 0.8 && p.u(0) < 0.1, s"m0=${p.m(0)} u0=${p.u(0)}")
+    assert(p.m(1) > 0.8 && p.u(1) < 0.1, s"m1=${p.m(1)} u1=${p.u(1)}")
+    // posterior is monotone in agreement here; full-agreement ~ 1
+    assert(p.posteriorPpm(3) > 990000L)
+    assert(p.posteriorPpm(0) < 10000L)
+    // log-weight presentation: agreement weights positive, both attrs
+    assert(p.logWeights.forall(_._1 > 0))
+    // determinism: same counts, same params bit-for-bit
+    val p2 = Linkage.fsEm(counts, k = 2, nIter = 15)
+    assert(p2.lambda == p.lambda && p2.m.sameElements(p.m) &&
+      p2.u.sameElements(p.u))
+  }
+
+  test("fdDiscover finds the planted exact and approximate dependencies") {
+    import graft.harmonize.Discovery
+    // id -> everything (key); grp -> parity exactly; parity -> grp
+    // fails half the groups; (grp, parity) -> label exact by
+    // construction while neither alone determines it
+    val df = (0L until 64L).map { i =>
+      (i, i % 8, i % 2, s"L${i % 8}_${i % 2}")
+    }.toDF("id", "grp", "parity", "label")
+    val out = Discovery.fdDiscover("t", df,
+      Seq("id", "grp", "parity", "label"), maxErrorPpm = 0L)
+      .collect().map(r => (r.getString(1), r.getString(2)) ->
+        ((r.getLong(4), r.getInt(6)))).toMap
+    // 4 cols: C(4,2)*2 + C(4,3)*3 = 12 + 12 = 24 candidates
+    assert(out.size == 24)
+    assert(out(("id", "grp")) == ((0L, 1)))          // key determines all
+    assert(out(("id", "label")) == ((0L, 1)))
+    assert(out(("grp", "parity")) == ((0L, 1)))      // grp -> parity exact
+    assert(out(("grp", "label")) == ((0L, 1)))       // grp -> label exact
+    assert(out(("parity", "grp"))._2 == 0)           // not an FD
+    assert(out(("parity", "grp"))._1 > 0L)           // honest g3 error
+    assert(out(("grp+parity", "label")) == ((0L, 1))) // pair determinant
+    assert(out(("parity+label", "id"))._2 == 0)      // label can't key ids
+  }
+
+  test("charTrigrams: padded word boundaries, per-word flattening") {
+    import graft.text.TextOps
+    val out = Seq((1L, "cat DOG")).toDF("id", "text")
+      .select(TextOps.charTrigrams(F.col("text")).as("t"))
+      .as[Seq[String]].head()
+    assert(out == Seq("_ca", "cat", "at_", "_do", "dog", "og_"))
+    // single-char word still yields its boundary gram
+    val one = Seq((1L, "a")).toDF("id", "text")
+      .select(TextOps.charTrigrams(F.col("text")).as("t"))
+      .as[Seq[String]].head()
+    assert(one == Seq("_a_"))
+  }
+
   test("bpeTrainLocal: vocabulary above maxVocab refuses loudly") {
     import graft.text.Curate
     val docs = Seq((1L, "one two three four five six")).toDF("doc_id", "text")
