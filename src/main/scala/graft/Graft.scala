@@ -107,7 +107,26 @@ object Graft {
     */
   def matchValues(source: DataFrame, sourceColumn: String,
                   target: DataFrame, targetColumn: String,
-                  method: String = "tfidf", threshold: Double = 0.3): DataFrame =
+                  method: String = "tfidf", threshold: Double = 0.3,
+                  skipNumericColumns: Boolean = true): DataFrame = {
+    // the reference's _skip_values (api.py:488-493) applies on EVERY
+    // value-matching path: a numeric-dtype SOURCE column is skipped
+    // entirely (value matching is for categorical/string domains;
+    // numeric columns harmonize through FunctionMappers), so the
+    // single-pair facade returns the empty match frame — the same
+    // reference-default the mapping overloads already had (r19;
+    // VERDICT r18 #6). Pass skipNumericColumns = false to force
+    // trimmed-stringified matching of a numeric domain.
+    if (skipNumericColumns && source.schema(sourceColumn).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType]) {
+      val spark = source.sparkSession
+      import org.apache.spark.sql.types._
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("source", StringType),
+          StructField("target", StringType),
+          StructField("similarity", DoubleType))))
+    }
     method match {
       case "tfidf" =>
         ValueMatcher.tfidfMatch(source, sourceColumn, target, targetColumn, threshold)
@@ -143,6 +162,7 @@ object Graft {
         s"unknown match_values method: $other (supported: tfidf, edit_distance, " +
           "edit_distance_ratio/ratio, jaro_winkler, embedding/embeddings/fasttext)")
     }
+  }
 
   /** match_values behind a caller-supplied [[harmonize.TextEncoder]]
     * (r18): the reference's model-backed value matchers (fasttext /

@@ -3187,6 +3187,32 @@ object OracleSql {
     // lengths: PNG sig+IHDR = 33, JPEG SOI+APP0+SOF0+EOI = 41, GIF
     // header+screen descriptor = 13) — a parser or builder bug breaks
     // the hash match
+    // EXIF twins (r19): closed-form replay of the fixture parameters —
+    // byte size (59 plain / 173 with the GPS IFD), orientation, and
+    // exact micro-degrees with per-term truncating division matching
+    // the walker's integer arithmetic (deg/1, min/1, sec/100 rationals)
+    "multimodal_exif" ->
+      """SELECT doc_id AS id,
+        |       CAST(CASE WHEN doc_id % 3 = 0 THEN 173 ELSE 59 END AS BIGINT) AS n_bytes,
+        |       CAST(doc_id % 8 + 1 AS INTEGER) AS orientation,
+        |       doc_id % 3 = 0 AS has_gps,
+        |       CASE WHEN doc_id % 3 = 0 THEN
+        |         (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE -1 END) *
+        |         ((doc_id % 90) * 1000000 + ((doc_id % 60) * 1000000) // 60
+        |          + ((doc_id % 6000) * 1000000) // 360000) END AS gps_lat_micro,
+        |       CASE WHEN doc_id % 3 = 0 THEN
+        |         (CASE WHEN doc_id % 4 < 2 THEN 1 ELSE -1 END) *
+        |         ((doc_id % 180) * 1000000 + ((doc_id * 7 % 60) * 1000000) // 60
+        |          + ((doc_id * 13 % 6000) * 1000000) // 360000) END AS gps_lon_micro
+        |FROM documents ORDER BY id""".stripMargin,
+
+    "multimodal_exif_scrub" ->
+      """SELECT doc_id AS id, doc_id % 3 = 0 AS had_gps,
+        |       false AS gps_after_scrub,
+        |       true AS orientation_preserved,
+        |       true AS length_preserved
+        |FROM documents ORDER BY id""".stripMargin,
+
     "multimodal_meta" ->
       """SELECT doc_id,
         |       CAST(CASE doc_id % 3 WHEN 0 THEN 33 WHEN 1 THEN 41 ELSE 13 END AS BIGINT) AS n_bytes,

@@ -28,6 +28,27 @@ object Decontaminate {
                            k: Int): DataFrame =
     Dedup.docShingles(eval, idCol, textCol, k).select("sh").distinct()
 
+  /** The eval side as a PERSISTABLE frozen index (one `sh` column of
+    * distinct shingle hashes) — what the streaming decontamination
+    * loop bootstraps once and every micro-batch probes. Frozen by
+    * definition: a benchmark doesn't grow with the training stream.
+    */
+  def evalShingleIndex(eval: DataFrame, evalIdCol: String,
+                       evalTextCol: String, k: Int = 8): DataFrame =
+    evalShingles(eval, evalIdCol, evalTextCol, k)
+
+  /** [[overlap]] against a PRE-BUILT eval shingle index (a frame with
+    * one `sh` column — [[evalShingleIndex]]'s output, typically read
+    * back from its table). The probe broadcasts the index and scans
+    * only `docs`.
+    */
+  def overlapFromShingles(docs: DataFrame, idCol: String, textCol: String,
+                          evalSh: DataFrame, k: Int = 8): DataFrame =
+    Dedup.docShingles(docs, idCol, textCol, k)
+      .join(F.broadcast(evalSh.select("sh").distinct()), "sh")
+      .groupBy(F.col("id").as(idCol))
+      .agg(F.count(F.lit(1)).as("n_shared"))
+
   /** Per-document contamination report: (id, n_shared) where n_shared
     * is the number of DISTINCT k-gram shingles the document shares
     * with the evaluation corpus. Only contaminated documents appear
@@ -36,12 +57,9 @@ object Decontaminate {
     */
   def overlap(docs: DataFrame, idCol: String, textCol: String,
               eval: DataFrame, evalIdCol: String, evalTextCol: String,
-              k: Int = 8): DataFrame = {
-    val docSh = Dedup.docShingles(docs, idCol, textCol, k)
-    docSh.join(F.broadcast(evalShingles(eval, evalIdCol, evalTextCol, k)), "sh")
-      .groupBy(F.col("id").as(idCol))
-      .agg(F.count(F.lit(1)).as("n_shared"))
-  }
+              k: Int = 8): DataFrame =
+    overlapFromShingles(docs, idCol, textCol,
+      evalShingles(eval, evalIdCol, evalTextCol, k), k)
 
   /** The decontaminated corpus: full rows of every document sharing
     * fewer than `minShared` distinct k-grams with the evaluation

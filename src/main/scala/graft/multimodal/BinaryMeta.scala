@@ -314,6 +314,82 @@ object BinaryMeta {
       }(enc)
   }
 
+  /** EXIF-JPEG fixture blobs (r19 — [[Exif.encodeFixture]]'s closed-
+    * form orientation/GPS parameters; the syntheticPngBlobs
+    * discipline: bytes are input, parse/scrub are measured).
+    */
+  def syntheticExifBlobs(df: DataFrame, idCol: String): DataFrame = {
+    val out = StructType(Seq(
+      StructField("id", LongType),
+      StructField("blob", BinaryType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(out)
+    df.select(F.col(idCol).cast("long").as("id"))
+      .where(F.col("id").isNotNull && F.col("id") >= 0)
+      .mapPartitions { rows =>
+        rows.map(r => Row(r.getLong(0), Exif.encodeFixture(r.getLong(0))))
+      }(enc)
+  }
+
+  /** REAL batched EXIF decode via mapPartitions ([[Exif.parse]]):
+    * orientation, GPS presence, and signed integer micro-degree
+    * coordinates; malformed/garbage payloads yield nulls with
+    * has_gps=false instead of failing the task.
+    */
+  def decodeExif(df: DataFrame, idCol: String): DataFrame = {
+    val out = StructType(Seq(
+      StructField("id", LongType),
+      StructField("n_bytes", LongType),
+      StructField("orientation", IntegerType),
+      StructField("has_gps", BooleanType),
+      StructField("gps_lat_micro", LongType),
+      StructField("gps_lon_micro", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(out)
+    df.select(F.col(idCol).cast("long").as("id"), F.col("blob"))
+      .mapPartitions { rows =>
+        rows.grouped(64).flatMap(_.map { r =>
+          val bytes = r.getAs[Array[Byte]](1)
+          val n = if (bytes == null) 0L else bytes.length.toLong
+          Exif.parse(bytes) match {
+            case Some(m) => Row(r.getLong(0), n, m.orientation.orNull,
+              m.hasGps, m.latMicro.orNull, m.lonMicro.orNull)
+            case None => Row(r.getLong(0), n, null, false, null, null)
+          }
+        })
+      }(enc)
+  }
+
+  /** GPS-PII scrub gate ([[Exif.scrubGps]] then RE-PARSE): per image,
+    * whether GPS was present, whether any GPS survives the scrub
+    * (must be false), and whether orientation + payload length
+    * survived untouched (must be true — the length-preserving-zeroing
+    * contract).
+    */
+  def scrubGpsReport(df: DataFrame, idCol: String): DataFrame = {
+    val out = StructType(Seq(
+      StructField("id", LongType),
+      StructField("had_gps", BooleanType),
+      StructField("gps_after_scrub", BooleanType),
+      StructField("orientation_preserved", BooleanType),
+      StructField("length_preserved", BooleanType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(out)
+    df.select(F.col(idCol).cast("long").as("id"), F.col("blob"))
+      .mapPartitions { rows =>
+        rows.grouped(64).flatMap(_.map { r =>
+          val bytes = r.getAs[Array[Byte]](1)
+          val before = Exif.parse(bytes)
+          val (scrubbed, did) = Exif.scrubGps(bytes)
+          val after = Exif.parse(scrubbed)
+          Row(r.getLong(0),
+            before.exists(_.hasGps),
+            after.exists(_.hasGps),
+            before.map(_.orientation) == after.map(_.orientation),
+            (bytes == null && scrubbed == null) ||
+              (bytes != null && scrubbed != null &&
+                bytes.length == scrubbed.length))
+        })
+      }(enc)
+  }
+
   /** Synthetic REAL-PNG test blobs for the pixel-decode parity gate:
     * per id, an actual deflate-compressed, scanline-filtered PNG
     * ([[PngCodec.encode]], filter type cycling per row so every

@@ -212,6 +212,100 @@ class R19OpsSpec extends SparkSpec {
     assert(one == Seq("_a_"))
   }
 
+  test("Exif: parse + scrub round-trip on the fixture family") {
+    import graft.multimodal.Exif
+    for (id <- 0L until 48L) {
+      val b = Exif.encodeFixture(id)
+      val m = Exif.parse(b).get
+      assert(m.orientation.contains((id % 8 + 1).toInt))
+      assert(m.hasGps == (id % 3 == 0))
+      if (id % 3 == 0) {
+        val lat = (if (id % 2 == 0) 1L else -1L) *
+          (id % 90 * 1000000L + id % 60 * 1000000L / 60 +
+            id % 6000 * 1000000L / 360000)
+        assert(m.latMicro.contains(lat), s"id=$id got ${m.latMicro}")
+        // scrub kills GPS, preserves orientation and length, and the
+        // coordinate bytes are actually GONE (zeroed), not re-pointed
+        val (s, did) = Exif.scrubGps(b)
+        assert(did && s.length == b.length)
+        val after = Exif.parse(s).get
+        assert(!after.hasGps && after.orientation == m.orientation)
+        // the coordinate bytes are actually GONE (zeroed in place):
+        // GPS IFD (54 bytes at TIFF+38) and both 24-byte rational
+        // blocks read back as zeros
+        val t = 12 // SOI(2) + APP1 marker/len(4) + Exif\0\0(6) => TIFF at 12
+        assert(s.slice(t + 38, t + 38 + 54 + 48).forall(_ == 0))
+      } else {
+        val (s, did) = Exif.scrubGps(b)
+        assert(!did && (s eq b))
+      }
+    }
+  }
+
+  test("Exif: garbage and truncated payloads never throw") {
+    import graft.multimodal.Exif
+    val rnd = new scala.util.Random(19)
+    val good = Exif.encodeFixture(9L)
+    for (i <- 0 until 300) {
+      val b =
+        if (i % 3 == 0) Array.fill(rnd.nextInt(200))(rnd.nextInt(256).toByte)
+        else if (i % 3 == 1) good.take(rnd.nextInt(good.length))
+        else {
+          val c = good.clone(); c(rnd.nextInt(c.length)) = rnd.nextInt(256).toByte; c
+        }
+      Exif.parse(b)      // must not throw
+      Exif.scrubGps(b)   // must not throw
+    }
+    assert(Exif.parse(null) == None)
+    assert(Exif.parse(Array.empty[Byte]) == None)
+    assert(!Exif.scrubGps(null)._2)
+  }
+
+  test("decontaminateIngest: streamed micro-batches equal the batch operator") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingDedup
+    import graft.dedup.Decontaminate
+    implicit val sq = spark.sqlContext
+    val evalTable = "r19_decon_eval"
+    val verdicts = "r19_decon_verdicts"
+    spark.sql(s"DROP TABLE IF EXISTS $evalTable")
+    spark.sql(s"DROP TABLE IF EXISTS $verdicts")
+    val evalDocs = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog tonight"),
+      (101L, "four score and seven years ago our fathers brought forth"))
+      .toDF("doc_id", "text")
+    StreamingDedup.decontaminateBootstrap(
+      evalDocs, "doc_id", "text", evalTable, k = 5)
+    // training docs: two verbatim leaks, one partial, many clean
+    val train = (1L to 20L).map { i =>
+      val t =
+        if (i == 3) "prefix words the quick brown fox jumps over the lazy dog tonight suffix"
+        else if (i == 7) "four score and seven years ago our fathers brought forth"
+        else if (i == 9) "years ago our fathers brought forth something else entirely here"
+        else s"clean document number $i with entirely original content words"
+      (i, t)
+    }
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamingDedup.decontaminateIngest(
+      stream.toDF().toDF("doc_id", "text"), evalTable, verdicts,
+      "doc_id", "text", k = 5,
+      checkpointDir = Some(java.nio.file.Files
+        .createTempDirectory("decon_ckpt").toString))()
+    try {
+      for (g <- train.grouped(10)) { stream.addData(g.toSeq: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val streamed = spark.table(verdicts).select("doc_id", "n_shared")
+      .as[(Long, Long)].collect().toSet
+    val batch = Decontaminate.overlap(train.toDF("doc_id", "text"),
+        "doc_id", "text", evalDocs, "doc_id", "text", k = 5)
+      .as[(Long, Long)].collect().toSet
+    assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    assert(batch.map(_._1).intersect(Set(3L, 7L, 9L)) == Set(3L, 7L, 9L))
+    assert(!batch.map(_._1).contains(5L))
+    spark.sql(s"DROP TABLE IF EXISTS $evalTable")
+    spark.sql(s"DROP TABLE IF EXISTS $verdicts")
+  }
+
   test("bpeTrainLocal: vocabulary above maxVocab refuses loudly") {
     import graft.text.Curate
     val docs = Seq((1L, "one two three four five six")).toDF("doc_id", "text")

@@ -45,6 +45,36 @@ class ReferenceFixturesSpec extends SparkSpec {
     }
   }
 
+  test("fixture: numeric source columns skip value matching (api.py:488-493)") {
+    // the reference's _skip_values: value matching is for
+    // categorical/string domains — a numeric-dtype source column
+    // yields NO matches (not stringified ones). skipNumericColumns
+    // is the reference default on every path, including the
+    // single-pair facade (r19); the explicit opt-out restores the
+    // trimmed-stringified matching for callers who want it.
+    val source = Seq(1.5, 2.5, 3.5).toDF("v")
+    val target = Seq("1.5", "2.5", "9.9").toDF("v")
+    val skipped = Graft.matchValues(source, "v", target, "v",
+      method = "edit_distance", threshold = 0.3)
+    assert(skipped.count() == 0)
+    assert(skipped.columns.toSeq == Seq("source", "target", "similarity"))
+    // integer dtypes skip too
+    val intSrc = Seq(1L, 2L).toDF("v")
+    assert(Graft.matchValues(intSrc, "v", target, "v",
+      method = "tfidf", threshold = 0.1).count() == 0)
+    // opt-out: stringified matching proceeds
+    val forced = Graft.matchValues(source, "v", target, "v",
+      method = "edit_distance", threshold = 0.9,
+      skipNumericColumns = false)
+      .as[(String, Option[String], Option[Double])].collect()
+    assert(forced.map(r => r._1 -> r._2).toMap ==
+      Map("1.5" -> Some("1.5"), "2.5" -> Some("2.5"), "3.5" -> None))
+    // ...and the mapping overload keeps its established skip
+    val tall = Graft.matchValuesMapping(source, target,
+      Seq("v" -> "v"), method = "edit_distance", threshold = 0.3)
+    assert(tall.count() == 0)
+  }
+
   test("fixture: mapping functions (test_mapping_functions.py)") {
     val col = Seq("a", "b", "c", "d", "e").toDF("column_str")
     // identity
