@@ -3213,6 +3213,42 @@ object OracleSql {
         |       true AS length_preserved
         |FROM documents ORDER BY id""".stripMargin,
 
+    // orientation-apply twin: replay the inverse index mapping over
+    // the PNG fixture's closed-form samples — the position-weighted
+    // checksum pins every sample to its upright position
+    "multimodal_orient" ->
+      """WITH d AS (SELECT doc_id,
+        |                  CAST(doc_id % 16 + 1 AS INTEGER) AS w,
+        |                  CAST(doc_id % 12 + 1 AS INTEGER) AS h,
+        |                  CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS INTEGER) AS c,
+        |                  CAST(doc_id % 8 + 1 AS INTEGER) AS o
+        |           FROM documents),
+        |dims AS (SELECT *, CASE WHEN o >= 5 THEN h ELSE w END AS ow,
+        |                   CASE WHEN o >= 5 THEN w ELSE h END AS oh FROM d),
+        |s AS (SELECT doc_id, w, h, c, o, ow, oh,
+        |             unnest(generate_series(0, ow * oh * c - 1)) AS j
+        |      FROM dims),
+        |m AS (SELECT doc_id, w, h, c, o, ow, oh, j,
+        |             j % c AS ch, (j // c) % ow AS x, (j // c) // ow AS y
+        |      FROM s),
+        |src AS (SELECT doc_id, w, c, o, ow, oh, j, ch,
+        |               CASE o WHEN 2 THEN w - 1 - x WHEN 3 THEN w - 1 - x
+        |                      WHEN 4 THEN x WHEN 5 THEN y WHEN 6 THEN y
+        |                      WHEN 7 THEN w - 1 - y WHEN 8 THEN w - 1 - y
+        |                      ELSE x END AS sx,
+        |               CASE o WHEN 2 THEN y WHEN 3 THEN h - 1 - y
+        |                      WHEN 4 THEN h - 1 - y WHEN 5 THEN x
+        |                      WHEN 6 THEN h - 1 - x WHEN 7 THEN h - 1 - x
+        |                      WHEN 8 THEN x ELSE y END AS sy
+        |        FROM m),
+        |v AS (SELECT doc_id, o, ow, oh, c, j,
+        |             (((sy * w + sx) * c + ch) * 31 + doc_id) % 256 AS val
+        |      FROM src)
+        |SELECT doc_id AS id, o AS orientation, ow AS out_w, oh AS out_h,
+        |       c AS channels, CAST(sum(val) AS BIGINT) AS sum_val,
+        |       CAST(sum(val * (j + 1)) AS BIGINT) AS checksum
+        |FROM v GROUP BY 1, 2, 3, 4, 5 ORDER BY id""".stripMargin,
+
     "multimodal_meta" ->
       """SELECT doc_id,
         |       CAST(CASE doc_id % 3 WHEN 0 THEN 33 WHEN 1 THEN 41 ELSE 13 END AS BIGINT) AS n_bytes,

@@ -2504,6 +2504,20 @@ object SparkEntry {
         t.documents.select("doc_id"), "doc_id"), "id")
       .orderBy("id")
 
+  private def multimodalOrient(t: Tables): DataFrame =
+    // EXIF-orientation normalization over REAL decoded PNG rasters
+    // (r19 — completes the EXIF story: read the tag, then APPLY it
+    // before geometry-dependent transforms). Orientation = doc_id%8+1
+    // (the planted metadata); the twin replays the inverse index
+    // mapping over the closed-form sample values, so hash parity
+    // pins every sample to its upright position for all 8 cases.
+    multimodal.BinaryMeta.orientStats(
+      multimodal.BinaryMeta.syntheticPngBlobs(
+          t.documents.select("doc_id"), "doc_id")
+        .withColumn("orientation", F.pmod(F.col("id"), F.lit(8)) + 1),
+      "id", "orientation")
+      .orderBy("id")
+
   private def multimodalMeta(t: Tables): DataFrame = {
     // REAL container-header decode: each document carries a synthetic
     // blob with genuine PNG/JPEG/GIF headers (dimensions derived from
@@ -4542,6 +4556,7 @@ object SparkEntry {
       "events_sessionize" -> q(eventsSessionize),
       "multimodal_meta" -> q(multimodalMeta),
       "multimodal_exif" -> q(multimodalExif),
+      "multimodal_orient" -> q(multimodalOrient),
       "multimodal_exif_scrub" -> q(multimodalExifScrub),
       "multimodal_pixels" -> q(multimodalPixels),
       "multimodal_gif" -> q(multimodalGif),

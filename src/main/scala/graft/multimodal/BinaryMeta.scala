@@ -390,6 +390,57 @@ object BinaryMeta {
       }(enc)
   }
 
+  /** EXIF-orientation NORMALIZATION over real decoded rasters (r19 —
+    * the transform a pipeline runs between [[decodeExif]] and any
+    * geometry-dependent stage): per image, decode, remap every sample
+    * through [[Exif.orientSource]] for the row's `orientCol` value,
+    * and emit position-weighted integer checksums of the UPRIGHT
+    * raster — Σ v·(flat+1) pins every sample to its output position,
+    * so a wrong mapping (or the right mapping for the wrong
+    * orientation) breaks the hash. Partition-local; only fixed-size
+    * stats move.
+    */
+  def orientStats(df: DataFrame, idCol: String, orientCol: String): DataFrame = {
+    val out = StructType(Seq(
+      StructField("id", LongType),
+      StructField("orientation", IntegerType),
+      StructField("out_w", IntegerType),
+      StructField("out_h", IntegerType),
+      StructField("channels", IntegerType),
+      StructField("sum_val", LongType),
+      StructField("checksum", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(out)
+    df.select(F.col(idCol).cast("long").as("id"), F.col("blob"),
+        F.col(orientCol).cast("int").as("o"))
+      .mapPartitions { rows =>
+        rows.grouped(64).flatMap(_.map { r =>
+          val o = r.getInt(2)
+          PngCodec.decodePixels(r.getAs[Array[Byte]](1)) match {
+            case Some(px) if o >= 1 && o <= 8 =>
+              val (ow, oh) = Exif.orientDims(px.width, px.height, o)
+              var sum = 0L; var chk = 0L; var j = 0L
+              var y = 0
+              while (y < oh) {
+                var x = 0
+                while (x < ow) {
+                  val (sx, sy) = Exif.orientSource(px.width, px.height, o, x, y)
+                  var c = 0
+                  while (c < px.channels) {
+                    val v = px.sample(sx, sy, c)
+                    sum += v; chk += v.toLong * (j + 1); j += 1
+                    c += 1
+                  }
+                  x += 1
+                }
+                y += 1
+              }
+              Row(r.getLong(0), o, ow, oh, px.channels, sum, chk)
+            case _ => Row(r.getLong(0), o, null, null, null, null, null)
+          }
+        })
+      }(enc)
+  }
+
   /** Synthetic REAL-PNG test blobs for the pixel-decode parity gate:
     * per id, an actual deflate-compressed, scanline-filtered PNG
     * ([[PngCodec.encode]], filter type cycling per row so every

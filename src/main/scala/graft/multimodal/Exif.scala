@@ -224,6 +224,32 @@ object Exif {
     (out, true)
   }
 
+  /** Output dimensions after applying EXIF orientation `o` to a
+    * stored w×h raster: the transposing orientations (5-8) swap them.
+    */
+  def orientDims(w: Int, h: Int, o: Int): (Int, Int) =
+    if (o >= 5 && o <= 8) (h, w) else (w, h)
+
+  /** The STORED-raster coordinates that land at upright/output
+    * (x, y) under EXIF orientation `o` (TIFF 6.0 / EXIF 2.3
+    * orientation table — 2 mirror, 3 rotate-180, 4 flip, 5 transpose,
+    * 6 rotate-90-CW-to-display, 7 transverse, 8 rotate-270). Pure
+    * index arithmetic — the normalization a pipeline applies before
+    * any geometry-dependent transform (pooling, perceptual hashing,
+    * resize), and a bijection for every o (spec-gated).
+    */
+  def orientSource(w: Int, h: Int, o: Int, x: Int, y: Int): (Int, Int) =
+    o match {
+      case 2 => (w - 1 - x, y)
+      case 3 => (w - 1 - x, h - 1 - y)
+      case 4 => (x, h - 1 - y)
+      case 5 => (y, x)
+      case 6 => (y, h - 1 - x)
+      case 7 => (w - 1 - y, h - 1 - x)
+      case 8 => (w - 1 - y, x)
+      case _ => (x, y)
+    }
+
   /** Deterministic EXIF-JPEG fixture for id ≥ 0 (the
     * syntheticImageCorpus discipline: fixture bytes are INPUT; parse
     * and scrub are the measured operators). Big-endian TIFF, IFD0

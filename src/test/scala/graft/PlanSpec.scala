@@ -239,6 +239,10 @@ class PlanSpec extends SparkSpec {
     // into the token stream — all broadcast, class count a small
     // constant; the token-key count join is a hash join
     "text_classify_nb",
+    // the char-trigram NB rows (r19) ride the identical classify
+    // chain: classes/vocab-size/fallback one-row broadcast crosses —
+    // all bounded by |classes| = 5 languages
+    "lang_id_nb", "lang_id_nb_gate",
     // temperature mixing crossJoins the one-row token total into the
     // tiny per-group frame (group cardinality = languages/sources);
     // apply_mix embeds the same plan under its broadcast rate join

@@ -306,6 +306,30 @@ class R19OpsSpec extends SparkSpec {
     spark.sql(s"DROP TABLE IF EXISTS $verdicts")
   }
 
+  test("Exif.orientSource: a bijection for every orientation, correct on a marked raster") {
+    import graft.multimodal.Exif
+    // bijectivity over all 8 orientations and assorted dims
+    for (o <- 1 to 8; (w, h) <- Seq((1, 1), (3, 2), (5, 7), (8, 8))) {
+      val (ow, oh) = Exif.orientDims(w, h, o)
+      assert(ow * oh == w * h)
+      val hit = Array.fill(w * h)(false)
+      for (y <- 0 until oh; x <- 0 until ow) {
+        val (sx, sy) = Exif.orientSource(w, h, o, x, y)
+        assert(sx >= 0 && sx < w && sy >= 0 && sy < h, s"o=$o ($x,$y)")
+        assert(!hit(sy * w + sx), s"o=$o maps two outputs to ($sx,$sy)")
+        hit(sy * w + sx) = true
+      }
+      assert(hit.forall(identity))
+    }
+    // semantic anchors on a 2x1 stored raster [A B]:
+    // 6 (rotate 90 CW to display) -> column [A; B]; 8 (270) -> [B; A]
+    def at(o: Int, x: Int, y: Int) = Exif.orientSource(2, 1, o, x, y)
+    assert(at(6, 0, 0) == ((0, 0)) && at(6, 0, 1) == ((1, 0)))
+    assert(at(8, 0, 0) == ((1, 0)) && at(8, 0, 1) == ((0, 0)))
+    // 2 mirrors horizontally
+    assert(Exif.orientSource(2, 1, 2, 0, 0) == ((1, 0)))
+  }
+
   test("bpeTrainLocal: vocabulary above maxVocab refuses loudly") {
     import graft.text.Curate
     val docs = Seq((1L, "one two three four five six")).toDF("doc_id", "text")
