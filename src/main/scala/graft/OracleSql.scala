@@ -492,6 +492,33 @@ object OracleSql {
       |         FROM scored)
       |SELECT source, target FROM best WHERE rn = 1 ORDER BY source""".stripMargin
 
+  /** Min-label transitive closure over the wired jaccard >= 0.5 pair
+    * graph — shared by dedup_components (auto path selection) and
+    * dedup_components_dist (forced distributed label propagation):
+    * both arms must produce THIS closure.
+    */
+  private def componentsClosureSql: String =
+    s"""WITH RECURSIVE tk AS (SELECT doc_id, ${toks("text")} AS tl FROM documents),
+       |sh AS (SELECT DISTINCT doc_id,
+       |         unnest([tl[i] || ' ' || tl[i+1] || ' ' || tl[i+2]
+       |                 for i in generate_series(1, greatest(len(tl) - 2, 0))]) AS sh
+       |       FROM tk),
+       |n AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+       |i AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS ni
+       |      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT id1, id2 FROM (
+       |    SELECT id1, id2, CAST(ni AS DOUBLE) / CAST(n1.sz + n2.sz - ni AS DOUBLE) AS jaccard
+       |    FROM i JOIN n n1 ON id1 = n1.doc_id JOIN n n2 ON id2 = n2.doc_id)
+       |  WHERE jaccard >= 0.5),
+       |e AS (SELECT id1 AS a, id2 AS b FROM pairs UNION SELECT id2, id1 FROM pairs),
+       |closure AS (
+       |  SELECT a, b FROM e
+       |  UNION
+       |  SELECT closure.a, e.b FROM closure JOIN e ON closure.b = e.a)
+       |SELECT a AS id, least(a, min(b)) AS component
+       |FROM closure GROUP BY a ORDER BY id""".stripMargin
+
   val all: Map[String, String] = Map(
 
     "preview_domain" ->
@@ -1903,27 +1930,10 @@ object OracleSql {
          |WHERE doc_id % 20 <> 0
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
-    "dedup_components" ->
-      s"""WITH RECURSIVE tk AS (SELECT doc_id, ${toks("text")} AS tl FROM documents),
-         |sh AS (SELECT DISTINCT doc_id,
-         |         unnest([tl[i] || ' ' || tl[i+1] || ' ' || tl[i+2]
-         |                 for i in generate_series(1, greatest(len(tl) - 2, 0))]) AS sh
-         |       FROM tk),
-         |n AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-         |i AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS ni
-         |      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
-         |pairs AS (
-         |  SELECT id1, id2 FROM (
-         |    SELECT id1, id2, CAST(ni AS DOUBLE) / CAST(n1.sz + n2.sz - ni AS DOUBLE) AS jaccard
-         |    FROM i JOIN n n1 ON id1 = n1.doc_id JOIN n n2 ON id2 = n2.doc_id)
-         |  WHERE jaccard >= 0.5),
-         |e AS (SELECT id1 AS a, id2 AS b FROM pairs UNION SELECT id2, id1 FROM pairs),
-         |closure AS (
-         |  SELECT a, b FROM e
-         |  UNION
-         |  SELECT closure.a, e.b FROM closure JOIN e ON closure.b = e.a)
-         |SELECT a AS id, least(a, min(b)) AS component
-         |FROM closure GROUP BY a ORDER BY id""".stripMargin,
+    // dedup_components_dist: the SAME closure gates the forced
+    // distributed label-propagation arm (r19) — one twin, two paths
+    "dedup_components" -> componentsClosureSql,
+    "dedup_components_dist" -> componentsClosureSql,
 
     "dedup_canonical" ->
       s"""WITH RECURSIVE tk AS (SELECT doc_id, ${toks("text")} AS tl FROM documents),
@@ -3056,6 +3066,45 @@ object OracleSql {
          |       round(CAST(sum(CAST(round(logp, 9) AS DECIMAL(22,12))) AS DOUBLE)
          |             / count(*), 6) AS avg_logprob
          |FROM bg JOIN pr USING (bg)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // interpolated Kneser-Ney trigram LM: same split/count tables as
+    // Curate.knTrigramLogProb, formula term-for-term in the same
+    // operation order (D = 0.75 exact), §5 round-9/decimal-sum policy
+    "text_kn_lm" ->
+      s"""WITH tk AS (SELECT doc_id, ${toks("text")} AS tl FROM documents),
+         |tri AS (SELECT doc_id, tl[i] || ' ' || tl[i+1] || ' ' || tl[i+2] AS tg
+         |        FROM (SELECT doc_id, tl, unnest(generate_series(1, len(tl) - 2)) AS i
+         |              FROM tk WHERE len(tl) >= 3)),
+         |bgt AS (SELECT DISTINCT tl[i] || ' ' || tl[i+1] AS bg
+         |        FROM (SELECT tl, unnest(generate_series(1, len(tl) - 1)) AS i
+         |              FROM tk WHERE len(tl) >= 2)),
+         |parts AS (SELECT tg, count(*) AS c3,
+         |                 split_part(tg, ' ', 1) || ' ' || split_part(tg, ' ', 2) AS w12,
+         |                 split_part(tg, ' ', 2) AS w2,
+         |                 split_part(tg, ' ', 2) || ' ' || split_part(tg, ' ', 3) AS w23,
+         |                 split_part(tg, ' ', 3) AS w3
+         |          FROM tri GROUP BY tg),
+         |hi AS (SELECT w12, sum(c3) AS c2ctx, count(*) AS n1_hi FROM parts GROUP BY w12),
+         |mid1 AS (SELECT w23, count(*) AS ncont FROM parts GROUP BY w23),
+         |mid2 AS (SELECT split_part(w23, ' ', 1) AS w2, sum(ncont) AS ncm,
+         |                count(*) AS n1_mid
+         |         FROM mid1 GROUP BY 1),
+         |uni AS (SELECT split_part(bg, ' ', 2) AS w3, count(*) AS nbg_pre
+         |        FROM bgt GROUP BY 1),
+         |tot AS (SELECT count(*) AS nbg_total FROM bgt),
+         |pr AS (SELECT tg,
+         |         ln(greatest(CAST(c3 AS DOUBLE) - 0.75, 0.0) / CAST(c2ctx AS DOUBLE)
+         |            + (0.75 * CAST(n1_hi AS DOUBLE) / CAST(c2ctx AS DOUBLE)) *
+         |              (greatest(CAST(ncont AS DOUBLE) - 0.75, 0.0) / CAST(ncm AS DOUBLE)
+         |               + (0.75 * CAST(n1_mid AS DOUBLE) / CAST(ncm AS DOUBLE)) *
+         |                 (CAST(nbg_pre AS DOUBLE) / CAST(nbg_total AS DOUBLE)))) AS logp
+         |       FROM parts JOIN hi USING (w12) JOIN mid1 USING (w23)
+         |            JOIN mid2 USING (w2) JOIN uni USING (w3), tot)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+         |       round(CAST(sum(CAST(round(logp, 9) AS DECIMAL(22,12))) AS DOUBLE)
+         |             / count(*), 6) AS avg_logprob
+         |FROM tri JOIN pr USING (tg)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "events_outliers" ->
@@ -5190,6 +5239,27 @@ object OracleSql {
         |                WHEN 4 THEN 'o_custkey+o_orderdate' END AS combo,
         |       n_groups, max_dup, max_dup = 1 AS is_unique, n_rows
         |FROM r ORDER BY combo""".stripMargin,
+
+    // UCC discovery: one branch per candidate subset (the twin plays
+    // each GROUP BY straight; Spark fuses them into one grouping-sets
+    // Expand), same integer report as Discovery.uccDiscover
+    "profile_ucc_discover" -> {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_orderdate", "o_orderpriority")
+      val branches = (1 to 2).flatMap(m => cols.combinations(m)).map { s =>
+        s"""SELECT '${s.mkString("+")}' AS columns,
+           |       CAST(count(*) AS BIGINT) AS n_groups,
+           |       CAST(sum(cnt) AS BIGINT) AS n_rows,
+           |       CAST(max(cnt) AS BIGINT) AS max_dup
+           |FROM (SELECT count(*) AS cnt FROM orders
+           |      GROUP BY ${s.mkString(", ")})""".stripMargin
+      }
+      s"""WITH u AS (${branches.mkString("\nUNION ALL\n")})
+         |SELECT 'orders' AS tab, columns, n_rows, n_groups,
+         |       n_rows - n_groups AS dup_rows, max_dup,
+         |       CAST(CASE WHEN max_dup = 1 THEN 1 ELSE 0 END AS INTEGER) AS is_ucc
+         |FROM u ORDER BY dup_rows ASC, columns ASC""".stripMargin
+    },
 
     "q_cube" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,

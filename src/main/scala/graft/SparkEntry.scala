@@ -1092,6 +1092,16 @@ object SparkEntry {
     Dedup.components(jaccardPairsWired(t), releaseInput = true)
       .orderBy("id")
 
+  private def dedupComponentsDist(t: Tables): DataFrame =
+    // the 100 TB clustering path ORACLE-GATED (r19): smallGraphLimit=0
+    // forces the distributed min-label-propagation + pointer-jumping
+    // path (no driver residency) that big graphs take; same closure,
+    // same oracle as dedup_components, so the two arms adjudicate
+    // each other cross-engine
+    Dedup.components(jaccardPairsWired(t), releaseInput = true,
+      smallGraphLimit = 0)
+      .orderBy("id")
+
   private def dedupCanonical(t: Tables): DataFrame =
     // the "write the clean corpus" step after near-dup clustering: one
     // canonical (min-id) document per cluster plus every unpaired doc
@@ -2888,6 +2898,15 @@ object SparkEntry {
         F.round(F.col("avg_logprob"), 6).as("avg_logprob"))
       .orderBy("doc_id")
 
+  private def textKnLm(t: Tables): DataFrame =
+    // interpolated Kneser-Ney trigram LM (r19) — the CCNet-strength
+    // perplexity scorer next to text_bigram_lm's add-one baseline;
+    // same §5 log discipline (round-9 addends, decimal sum)
+    Curate.knTrigramLogProb(t.documents, "doc_id", "text")
+      .select(F.col("id").as("doc_id"), F.col("n_trigrams"),
+        F.round(F.col("avg_logprob"), 6).as("avg_logprob"))
+      .orderBy("doc_id")
+
   private def eventsOutliers(t: Tables): DataFrame =
     Events.valueOutliers(t.events, q = 0.99)
       .orderBy("event_id")
@@ -3815,6 +3834,17 @@ object SparkEntry {
         Seq("o_custkey", "o_orderdate")))
       .orderBy("combo")
 
+  private def profileUccDiscover(t: Tables): DataFrame =
+    // UCC DISCOVERY (r19 — profile_ucc audits named combos, this
+    // enumerates the bounded lattice): all 15 1-/2-column subsets of
+    // the fdDiscover column set from ONE grouping-sets scan. Ground
+    // truth the oracle pins: o_orderkey (and every pair containing
+    // it) is a key; the rest rank by honest dup_rows.
+    harmonize.Discovery.uccDiscover("orders", t.orders,
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate",
+        "o_orderpriority"))
+      .orderBy(F.col("dup_rows").asc, F.col("columns").asc)
+
   private def qCube(t: Tables): DataFrame =
     // full CUBE: all four grouping levels of status x priority from
     // one Expand+aggregate. Output types pinned cross-engine (the
@@ -4430,6 +4460,7 @@ object SparkEntry {
       "dedup_exact" -> q(dedupExact),
       "dedup_materialize" -> q(dedupMaterialize),
       "dedup_components" -> q(dedupComponents),
+      "dedup_components_dist" -> q(dedupComponentsDist),
       "dedup_canonical" -> q(dedupCanonical),
       "dedup_jaccard" -> q(dedupJaccard),
       "dedup_minhash" -> q(dedupMinhash),
@@ -4510,6 +4541,7 @@ object SparkEntry {
       "curate_quality" -> q(curateQuality),
       "text_lm_score" -> q(textLmScore),
       "text_bigram_lm" -> q(textBigramLm),
+      "text_kn_lm" -> q(textKnLm),
       "corpus_stats" -> q(corpusStatsQ),
       "corpus_quantiles" -> q(corpusQuantiles),
       "curate_pack" -> q(curatePack),
@@ -4624,6 +4656,7 @@ object SparkEntry {
       "graph_linkpred_aa" -> q(graphLinkpredAA),
       "merge_upsert" -> q(mergeUpsert),
       "profile_ucc" -> q(profileUcc),
+      "profile_ucc_discover" -> q(profileUccDiscover),
       "q_cube" -> q(qCube),
       "q_skyline" -> q(qSkyline),
       "graph_degree" -> q(graphDegree),

@@ -394,6 +394,55 @@ object Discovery {
           .otherwise(0).as("afd_holds"))
   }
 
+  /** UCC (unique column combination = candidate key) DISCOVERY —
+    * the [[fdDiscover]] sibling for keys (HyUCC, Papenbrock &
+    * Naumann SIGMOD'17's problem, bounded the same way): every 1-
+    * and 2-column subset of a caller-capped column set, adjudicated
+    * from ONE grouping-sets scan. Profile.uniqueCombos audits
+    * caller-NAMED combos; this enumerates the bounded lattice.
+    *
+    * Per candidate set the grouping-sets pass yields one count row
+    * per value group; the fold reports n_groups, dup_rows =
+    * n_rows − n_groups (rows to delete for uniqueness — the g3
+    * analog), max_dup, and is_ucc ⟺ max_dup = 1. The per-set
+    * branches reference the same Expand subtree (exchange reuse);
+    * `cols` is REQUIRED small because Expand multiplies scan rows by
+    * the set count — at 100 TB this runs on a column subset exactly
+    * like [[fdDiscover]]. Exact integers only.
+    */
+  def uccDiscover(tab: String, df: DataFrame, cols: Seq[String],
+                  maxSize: Int = 2): DataFrame = {
+    require(cols.size >= 2 && cols.size <= 8,
+      "2..8 columns — the lattice is C(k,1)+C(k,2) grouping sets")
+    require(cols.distinct.size == cols.size, "duplicate column")
+    require(maxSize >= 1 && maxSize <= 2, "combos of 1..2 columns")
+    val k = cols.size
+    def weight(i: Int): Long = 1L << (k - 1 - i)
+    def setGid(s: Seq[String]): Long = cols.zipWithIndex
+      .filterNot { case (c, _) => s.contains(c) }
+      .map { case (_, i) => weight(i) }.sum
+    val gidCol = cols.zipWithIndex.map { case (c, i) =>
+      F.grouping(F.col(c)).cast("long") * weight(i)
+    }.reduce(_ + _)
+    val sets: Seq[Seq[String]] =
+      (1 to maxSize).flatMap(m => cols.combinations(m))
+    val gs = df.groupingSets(sets.map(_.map(F.col)), cols.map(F.col): _*)
+      .agg(F.count(F.lit(1)).as("cnt"), gidCol.as("gid"))
+    val branches = sets.map { s =>
+      gs.where(F.col("gid") === setGid(s))
+        .select(F.lit(s.mkString("+")).as("columns"), F.col("cnt"))
+    }
+    branches.reduce(_.unionAll(_))
+      .groupBy("columns")
+      .agg(F.count(F.lit(1)).as("n_groups"), F.sum("cnt").as("n_rows"),
+        F.max("cnt").as("max_dup"))
+      .select(F.lit(tab).as("tab"), F.col("columns"), F.col("n_rows"),
+        F.col("n_groups"),
+        (F.col("n_rows") - F.col("n_groups")).as("dup_rows"),
+        F.col("max_dup"),
+        F.when(F.col("max_dup") === 1L, 1).otherwise(0).as("is_ucc"))
+  }
+
   def fdErrorAudit(tab: String, df: DataFrame, det: String,
                    deps: Seq[String], maxErrorPpm: Long): DataFrame = {
     require(deps.nonEmpty, "at least one dependent column")

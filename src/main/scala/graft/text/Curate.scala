@@ -283,6 +283,76 @@ object Curate {
           .cast("double") / F.count(F.lit(1))).as("avg_logprob"))
   }
 
+  /** Interpolated Kneser-Ney TRIGRAM log-probability per document —
+    * the CCNet-style perplexity quality filter at its published
+    * strength (Wenzek et al. LREC'20 filter by KenLM perplexity;
+    * KN smoothing per Kneser & Ney ICASSP'95, interpolated form per
+    * Chen & Goodman '98). [[bigramLogProb]] is add-one smoothed —
+    * fine as a signal, but KN's continuation counts are what make a
+    * count LM rank fluency credibly, and a trigram context is the
+    * smallest that punishes shuffled word salad.
+    *
+    * Fixed discount D = 0.75 (exactly representable — no decimal/
+    * float seam). Scoring the training corpus itself means every
+    * scored trigram and context exists, so all three interpolation
+    * levels are total — no OOV branch crosses the engines:
+    *
+    *   P(w3|w1w2) = (c3−D)/c2ctx + D·N1+(w1w2·)/c2ctx · Pmid
+    *   Pmid(w3|w2) = (N1+(·w2w3)−D)/N1+(·w2·) + D·N1+types(w2·)/N1+(·w2·) · Pc
+    *   Pc(w3)     = |{w2 : bigram(w2w3)}| / |bigram types|
+    *
+    * Scale (the [[bigramLogProb]] exchanges, one size up): every
+    * count table is TYPE-sized (map-side combined), the probability
+    * join keys on those vocab tables, the single corpus-sized join is
+    * doc-trigrams ⋈ trigram-type probs on the trigram key, and the
+    * one-row bigram-type total broadcasts. §5 log policy: each
+    * addend rounds to 9 decimals and decimal-sums order-free.
+    */
+  def knTrigramLogProb(df: DataFrame, idCol: String,
+                       textCol: String): DataFrame = {
+    val toks = TextOps.tokens(F.col(textCol))
+    val docTri = df.select(F.col(idCol).as("id"),
+      F.explode(TextOps.shingles(toks, 3)).as("tg"))
+    val bgTypes = df.select(F.explode(TextOps.shingles(toks, 2)).as("bg"))
+      .distinct()
+    // trigram TYPE table with its prefix/middle/suffix splits (tokens
+    // contain no spaces, so space positions are the word boundaries)
+    val parts = docTri.groupBy("tg").agg(F.count(F.lit(1)).as("c3"))
+      .select(F.col("tg"), F.col("c3"),
+        F.substring_index(F.col("tg"), " ", 2).as("w12"),
+        F.substring_index(F.substring_index(F.col("tg"), " ", 2), " ", -1)
+          .as("w2"),
+        F.substring_index(F.col("tg"), " ", -2).as("w23"),
+        F.substring_index(F.col("tg"), " ", -1).as("w3"))
+    val hi = parts.groupBy("w12")
+      .agg(F.sum("c3").as("c2ctx"), F.count(F.lit(1)).as("n1_hi"))
+    val mid1 = parts.groupBy("w23").agg(F.count(F.lit(1)).as("ncont"))
+    val mid2 = mid1
+      .withColumn("w2", F.substring_index(F.col("w23"), " ", 1))
+      .groupBy("w2")
+      .agg(F.sum("ncont").as("ncm"), F.count(F.lit(1)).as("n1_mid"))
+    val uni = bgTypes
+      .select(F.substring_index(F.col("bg"), " ", -1).as("w3"))
+      .groupBy("w3").agg(F.count(F.lit(1)).as("nbg_pre"))
+    val tot = bgTypes.agg(F.count(F.lit(1)).as("nbg_total"))
+    val d = F.lit(0.75)
+    def dbl(c: String) = F.col(c).cast("double")
+    val pc = dbl("nbg_pre") / dbl("nbg_total")
+    val pmid = F.greatest(dbl("ncont") - d, F.lit(0.0)) / dbl("ncm") +
+      (d * dbl("n1_mid") / dbl("ncm")) * pc
+    val p = F.greatest(dbl("c3") - d, F.lit(0.0)) / dbl("c2ctx") +
+      (d * dbl("n1_hi") / dbl("c2ctx")) * pmid
+    val probs = parts
+      .join(hi, "w12").join(mid1, "w23").join(mid2, "w2").join(uni, "w3")
+      .crossJoin(F.broadcast(tot))
+      .select(F.col("tg"), F.log(p).as("logp"))
+    docTri.join(probs, "tg")
+      .groupBy("id")
+      .agg(F.count(F.lit(1)).as("n_trigrams"),
+        (F.sum(F.round(F.col("logp"), 9).cast("decimal(22,12)"))
+          .cast("double") / F.count(F.lit(1))).as("avg_logprob"))
+  }
+
   /** Collocation extraction by scaled-integer pointwise mutual
     * information (Church & Hanks, Computational Linguistics 1990):
     * which adjacent word pairs co-occur MORE than their unigram

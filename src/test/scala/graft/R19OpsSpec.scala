@@ -330,6 +330,68 @@ class R19OpsSpec extends SparkSpec {
     assert(Exif.orientSource(2, 1, 2, 0, 0) == ((1, 0)))
   }
 
+  test("uccDiscover: enumerates the 1-/2-column lattice with exact dup counts") {
+    import graft.harmonize.Discovery
+    val df = Seq(
+      (1L, "a", 10), (2L, "a", 10), (3L, "b", 10), (4L, "b", 20)
+    ).toDF("id", "s", "v")
+    val out = Discovery.uccDiscover("t", df, Seq("id", "s", "v"))
+      .collect().map(r => r.getString(1) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getInt(6))))
+      .toMap
+    assert(out.size == 6) // C(3,1) + C(3,2)
+    // id is a key; every pair containing it is too
+    assert(out("id") == ((4L, 4L, 0L, 1L, 1)))
+    assert(out("id+s")._5 == 1 && out("id+v")._5 == 1)
+    // s: groups a(2), b(2) -> 2 dups, max_dup 2, not a UCC
+    assert(out("s") == ((4L, 2L, 2L, 2L, 0)))
+    // v: 10(3), 20(1); s+v: a10(2), b10(1), b20(1)
+    assert(out("v") == ((4L, 2L, 2L, 3L, 0)))
+    assert(out("s+v") == ((4L, 3L, 1L, 2L, 0)))
+  }
+
+  test("dedup_components_dist: forced distributed path == auto path") {
+    // the two wired arms must agree on the same pair graph (the
+    // oracle gates each against DuckDB; this pins them to each other
+    // on a fixture with a chain, a triangle, and singleton-free ids)
+    import graft.dedup.Dedup
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L), (10L, 12L))
+      .toDF("id1", "id2")
+    val auto = Dedup.components(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Dedup.components(pairs, smallGraphLimit = 0).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(auto == dist)
+    assert(dist == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
+  test("knTrigramLogProb: closed-form interpolated KN on a tiny corpus") {
+    import graft.text.Curate
+    // "a b c a b c": trigrams abc(x2), bca, cab; bigram types ab,bc,ca
+    // P(abc) = (2-D)/2 + (D*1/2)*((1-D)/1 + D*(1/3))   with D=0.75
+    // P(bca) = P(cab) = (1-D)/1 + D*((1-D)/1 + D*(1/3))
+    val docs = Seq((7L, "a b c a b c")).toDF("doc_id", "text")
+    val out = Curate.knTrigramLogProb(docs, "doc_id", "text").collect()
+    assert(out.length == 1)
+    assert(out(0).getLong(1) == 4L)
+    val pAbc = 0.625 + 0.375 * (0.25 + 0.25)
+    val pOth = 0.25 + 0.75 * (0.25 + 0.25)
+    def r9(x: Double) = BigDecimal(x).setScale(9,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expect = (2 * r9(math.log(pAbc)) + 2 * r9(math.log(pOth))) / 4
+    assert(math.abs(out(0).getDouble(2) - expect) < 1e-9,
+      s"got ${out(0).getDouble(2)} want $expect")
+    // fluency ranking: a structured doc outscores shuffled word salad
+    val two = Seq(
+      (1L, "the cat sat on the mat and the cat sat on the mat"),
+      (2L, "mat the on cat sat the and mat on the sat cat the")
+    ).toDF("doc_id", "text")
+    val m = Curate.knTrigramLogProb(two, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(m(1L) > m(2L), s"KN failed to rank fluency: $m")
+  }
+
   test("bpeTrainLocal: vocabulary above maxVocab refuses loudly") {
     import graft.text.Curate
     val docs = Seq((1L, "one two three four five six")).toDF("doc_id", "text")
