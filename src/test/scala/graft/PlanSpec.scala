@@ -190,6 +190,9 @@ class PlanSpec extends SparkSpec {
     // bigram LM: same 1-row vocabulary-size totals crossJoin as the
     // unigram scorer (the bigram/unigram count joins are hash joins)
     "text_bigram_lm",
+    // KN trigram LM: the same 1-row bigram-type-total crossJoin; all
+    // count/continuation joins are hash joins on type-sized tables
+    "text_kn_lm",
     // PMI collocations: the ONE-ROW token-total frame crosses into
     // the bigram/unigram count join (the score_ppm numerator's T)
     "corpus_collocations",
