@@ -4172,6 +4172,45 @@ object OracleSql {
     // arithmetic only (n <= 1e6 at the test SFs, products fit BIGINT;
     // // is DuckDB's truncating integral division, = Spark's decimal
     // div for non-negative operands)
+    // pairwise MI + entropies: per pair the twin replays joint counts,
+    // joint-derived marginals, and the same addend formula in the same
+    // operation order (§5 round-12/decimal-sum log policy)
+    "profile_mi" -> {
+      val cols = Seq("l_returnflag", "l_linestatus", "l_linenumber")
+      def sv(c: String) =
+        s"coalesce(CAST($c AS VARCHAR), chr(0) || 'NULL')"
+      val pairs = cols.combinations(2).toSeq
+      val ctes = pairs.zipWithIndex.flatMap { case (s, i) =>
+        val (x, y) = (s(0), s(1))
+        Seq(
+          s"j$i AS (SELECT ${sv(x)} AS xv, ${sv(y)} AS yv, count(*) AS c FROM lineitem GROUP BY 1, 2)",
+          s"mx$i AS (SELECT xv, sum(c) AS cx FROM j$i GROUP BY xv)",
+          s"my$i AS (SELECT yv, sum(c) AS cy FROM j$i GROUP BY yv)",
+          s"t$i AS (SELECT sum(c) AS nn FROM j$i)",
+          s"""mi$i AS (SELECT sum(CAST(round((CAST(c AS DOUBLE) / CAST(nn AS DOUBLE)) *
+             |  ln((CAST(c AS DOUBLE) * CAST(nn AS DOUBLE)) /
+             |     (CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE))), 12) AS DECIMAL(26,14))) AS mi_s,
+             |  count(*) AS n_cells
+             |  FROM j$i JOIN mx$i USING (xv) JOIN my$i USING (yv), t$i)""".stripMargin,
+          s"""hx$i AS (SELECT sum(CAST(round((CAST(cx AS DOUBLE) / CAST(nn AS DOUBLE)) *
+             |  ln(CAST(cx AS DOUBLE) / CAST(nn AS DOUBLE)) * -1.0, 12) AS DECIMAL(26,14))) AS hx_s
+             |  FROM mx$i, t$i)""".stripMargin,
+          s"""hy$i AS (SELECT sum(CAST(round((CAST(cy AS DOUBLE) / CAST(nn AS DOUBLE)) *
+             |  ln(CAST(cy AS DOUBLE) / CAST(nn AS DOUBLE)) * -1.0, 12) AS DECIMAL(26,14))) AS hy_s
+             |  FROM my$i, t$i)""".stripMargin)
+      }
+      val branches = pairs.zipWithIndex.map { case (s, i) =>
+        s"""SELECT 'lineitem' AS tab, '${s(0)}' AS col_x, '${s(1)}' AS col_y,
+           |  CAST(nn AS BIGINT) AS n, CAST(n_cells AS BIGINT) AS n_cells,
+           |  round(CAST(hx_s AS DOUBLE), 6) AS h_x,
+           |  round(CAST(hy_s AS DOUBLE), 6) AS h_y,
+           |  round(CAST(mi_s AS DOUBLE), 6) AS mi
+           |FROM mi$i, hx$i, hy$i, t$i""".stripMargin
+      }
+      s"WITH ${ctes.mkString(",\n")}\n" +
+        branches.mkString("", "\nUNION ALL\n", "\nORDER BY col_x, col_y")
+    },
+
     "profile_fd_discover" -> {
       val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
         "o_orderdate", "o_orderpriority")

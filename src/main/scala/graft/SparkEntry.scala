@@ -3834,6 +3834,17 @@ object SparkEntry {
         Seq("o_custkey", "o_orderdate")))
       .orderBy("combo")
 
+  private def profileMi(t: Tables): DataFrame =
+    // pairwise mutual information + entropies (r19) over lineitem's
+    // discrete columns from ONE grouping-sets scan — the dependence
+    // audit Pearson profile_correlation can't do; this synthetic
+    // corpus is near-independent everywhere, so the gate pins the
+    // near-zero MI values exactly (a crafted dependent fixture is
+    // spec-gated in R19OpsSpec)
+    harmonize.Profile.mutualInfo("lineitem", t.lineitem,
+      Seq("l_returnflag", "l_linestatus", "l_linenumber"))
+      .orderBy("col_x", "col_y")
+
   private def profileUccDiscover(t: Tables): DataFrame =
     // UCC DISCOVERY (r19 — profile_ucc audits named combos, this
     // enumerates the bounded lattice): all 15 1-/2-column subsets of
@@ -4657,6 +4668,7 @@ object SparkEntry {
       "merge_upsert" -> q(mergeUpsert),
       "profile_ucc" -> q(profileUcc),
       "profile_ucc_discover" -> q(profileUccDiscover),
+      "profile_mi" -> q(profileMi),
       "q_cube" -> q(qCube),
       "q_skyline" -> q(qSkyline),
       "graph_degree" -> q(graphDegree),

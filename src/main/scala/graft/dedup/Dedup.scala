@@ -237,11 +237,21 @@ object Dedup {
     if (2 * nPairs <= smallGraphLimit) {
       return done(componentsUnionFind(p))
     }
+    // no distinct() on the doubled edge list: the only consumer is the
+    // min-aggregate below, which duplicate edges cannot perturb — the
+    // distinct was a full extra shuffle of the edge table per build
     val edges = p.select(F.col("id1").as("a"), F.col("id2").as("b"))
       .unionAll(p.select(F.col("id2").as("a"), F.col("id1").as("b")))
-      .distinct().persist()
+      .persist()
+    // cached: round 1 references the label frame on three join sides;
+    // uncached, each side re-runs the node-distinct
     var labels = edges.select(F.col("a").as("id")).distinct()
       .select(F.col("id"), F.col("id").as("component"))
+      .cache()
+    // the handle unpersist() must be called on: `labels` becomes a
+    // PROJECTION over the round's cached frame below, and unpersisting
+    // a projection does not release the underlying cache entry
+    var cached = labels
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -251,23 +261,29 @@ object Dedup {
         .groupBy(F.col("a").as("id"))
         .agg(F.min("component").as("nmin"))
       val relabeled = labels.join(neighborMin, Seq("id"), "left")
-        .select(F.col("id"),
+        .select(F.col("id"), F.col("component").as("prev"),
           F.least(F.col("component"), F.coalesce(F.col("nmin"), F.col("component")))
             .as("component"))
       // pointer jumping: follow component -> component-of-component, so
-      // chains collapse in O(log diameter) rounds instead of O(diameter)
+      // chains collapse in O(log diameter) rounds instead of O(diameter).
+      // The round's OLD label rides along as `prev`, so convergence is
+      // a narrow filter over the round's own cached frame — no extra
+      // next ⋈ labels stage per round (the tiny-stage fixed costs are
+      // the whole round cost at the low end; at scale the saved
+      // shuffle is label-table-sized)
       val next = relabeled.as("x")
         .join(relabeled.select(F.col("id").as("cid"), F.col("component").as("cc")).as("y"),
           F.col("x.component") === F.col("y.cid"), "left")
-        .select(F.col("x.id").as("id"),
+        .select(F.col("x.id").as("id"), F.col("x.prev").as("prev"),
           F.coalesce(F.col("y.cc"), F.col("x.component")).as("component"))
         .cache()
-      val changed = next.as("n").join(labels.as("o"), "id")
-        .where(F.col("n.component") =!= F.col("o.component")).limit(1).count()
+      val changed = next.where(F.col("component") =!= F.col("prev"))
+        .limit(1).count()
       // next is materialized by the count above; previous round's cache
       // can go (long chains would otherwise pile up cached label frames)
-      labels.unpersist()
-      labels = next
+      cached.unpersist()
+      cached = next
+      labels = next.select(F.col("id"), F.col("component"))
       converged = changed == 0
       iter += 1
     }
@@ -284,7 +300,7 @@ object Dedup {
       if (labels.sparkSession.sparkContext.getCheckpointDir.isDefined)
         labels.checkpoint()
       else labels.localCheckpoint(true)
-    labels.unpersist()
+    cached.unpersist()
     edges.unpersist()
     done(pinned)
   }

@@ -371,6 +371,71 @@ object Profile {
     one.select(stacked.as("p")).select("p.*")
   }
 
+  /** Pairwise MUTUAL INFORMATION + marginal entropies over a capped
+    * categorical column set — the dependence audit [[correlation]]
+    * cannot do (Pearson sees only linear numeric association; MI
+    * detects ANY statistical dependence between discrete columns —
+    * Cover & Thomas ch.2, the profiling literature's standard
+    * dependency strength measure). MI(X,Y) = Σ p(x,y)·ln(p(x,y)/
+    * (p(x)p(y))) in nats; H(X), H(Y) alongside so callers can
+    * normalize (NMI = MI/min(H)).
+    *
+    * ONE grouping-sets scan yields every pair's joint counts (the
+    * [[Discovery.fdDiscover]] Expand trade — `cols` REQUIRED small);
+    * marginals re-aggregate the group-sized joint tables, so nothing
+    * corpus-sized is touched twice. §5 log policy: every addend
+    * rounds to 12 decimals and decimal-sums order-free; the one-row
+    * totals ride broadcast crossJoins (the q11 scalar pattern).
+    * Values group by their exact value and stringify for the report —
+    * integer/string/date columns only (the fdDiscover caveat); nulls
+    * group under a sentinel.
+    */
+  def mutualInfo(tab: String, df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2 && cols.size <= 8, "2..8 columns")
+    require(cols.distinct.size == cols.size, "duplicate column")
+    val k = cols.size
+    def weight(i: Int): Long = 1L << (k - 1 - i)
+    def setGid(s: Seq[String]): Long = cols.zipWithIndex
+      .filterNot { case (c, _) => s.contains(c) }
+      .map { case (_, i) => weight(i) }.sum
+    val gidCol = cols.zipWithIndex.map { case (c, i) =>
+      F.grouping(F.col(c)).cast("long") * weight(i)
+    }.reduce(_ + _)
+    val sets = cols.combinations(2).toSeq
+    val gs = df.groupingSets(sets.map(_.map(F.col)), cols.map(F.col): _*)
+      .agg(F.count(F.lit(1)).as("__mi_c"), gidCol.as("__mi_gid"))
+    def sv(c: String) = F.coalesce(F.col(c).cast("string"),
+      F.lit("\u0000NULL"))
+    def dd(c: String) = F.col(c).cast("double")
+    sets.map { s =>
+      val (x, y) = (s(0), s(1))
+      val joint = gs.where(F.col("__mi_gid") === setGid(s))
+        .select(sv(x).as("__mi_xv"), sv(y).as("__mi_yv"), F.col("__mi_c"))
+      val mx = joint.groupBy("__mi_xv").agg(F.sum("__mi_c").as("__mi_cx"))
+      val my = joint.groupBy("__mi_yv").agg(F.sum("__mi_c").as("__mi_cy"))
+      val tot = joint.agg(F.sum("__mi_c").as("__mi_nn"))
+      val cells = joint.join(mx, "__mi_xv").join(my, "__mi_yv")
+        .crossJoin(F.broadcast(tot))
+        .select(((dd("__mi_c") / dd("__mi_nn")) *
+          F.log((dd("__mi_c") * dd("__mi_nn")) / (dd("__mi_cx") * dd("__mi_cy")))).as("__mi_term"))
+        .agg(F.sum(F.round(F.col("__mi_term"), 12).cast("decimal(26,14)"))
+          .as("__mi_s"), F.count(F.lit(1)).as("n_cells"))
+      def entropy(m: DataFrame, cnt: String, as: String) =
+        m.crossJoin(F.broadcast(tot))
+          .select(((dd(cnt) / dd("__mi_nn")) * F.log(dd(cnt) / dd("__mi_nn")) *
+            F.lit(-1.0)).as("__mi_t"))
+          .agg(F.sum(F.round(F.col("__mi_t"), 12).cast("decimal(26,14)")).as(as))
+      cells.crossJoin(entropy(mx, "__mi_cx", "__mi_hx"))
+        .crossJoin(entropy(my, "__mi_cy", "__mi_hy"))
+        .crossJoin(tot)
+        .select(F.lit(tab).as("tab"), F.lit(x).as("col_x"),
+          F.lit(y).as("col_y"), F.col("__mi_nn").as("n"), F.col("n_cells"),
+          F.round(F.col("__mi_hx").cast("double"), 6).as("h_x"),
+          F.round(F.col("__mi_hy").cast("double"), 6).as("h_y"),
+          F.round(F.col("__mi_s").cast("double"), 6).as("mi"))
+    }.reduce(_.unionAll(_))
+  }
+
   /** Equi-width histogram per numeric column: two passes — a one-row
     * min/max aggregate (broadcast), then one bucketing groupBy with
     * at most |cols|·nBins groups. The explode unpivots |cols| values

@@ -193,6 +193,9 @@ class PlanSpec extends SparkSpec {
     // KN trigram LM: the same 1-row bigram-type-total crossJoin; all
     // count/continuation joins are hash joins on type-sized tables
     "text_kn_lm",
+    // pairwise MI: per-pair ONE-ROW total frames cross into the
+    // group-sized joint/marginal tables (the q11 scalar pattern)
+    "profile_mi",
     // PMI collocations: the ONE-ROW token-total frame crosses into
     // the bigram/unigram count join (the score_ppm numerator's T)
     "corpus_collocations",

@@ -392,6 +392,27 @@ class R19OpsSpec extends SparkSpec {
     assert(m(1L) > m(2L), s"KN failed to rank fluency: $m")
   }
 
+  test("mutualInfo: ln2 for a copied column, exactly 0 for independence") {
+    import graft.harmonize.Profile
+    // b = a (full dependence: MI = H = ln 2); c ⟂ a by construction
+    // (joint = product of marginals cell-for-cell: every addend ln 1)
+    val df = Seq(("x", "x", "p"), ("x", "x", "q"),
+      ("y", "y", "p"), ("y", "y", "q")).toDF("a", "b", "c")
+    val out = Profile.mutualInfo("t", df, Seq("a", "b", "c")).collect()
+      .map(r => (r.getString(1), r.getString(2)) ->
+        ((r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(7)))).toMap
+    val ln2 = BigDecimal(math.log(2.0)).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(("a", "b")) == ((4L, 2L, ln2, ln2)))
+    assert(out(("a", "c"))._4 == 0.0 && out(("b", "c"))._4 == 0.0)
+    // nulls group under the sentinel, not dropped: a null-bearing
+    // copy column still reports full dependence over all 4 rows
+    val dfn = Seq(("x", "x"), ("x", "x"),
+      (null, null), (null, null)).toDF("a", "b")
+    val n = Profile.mutualInfo("t", dfn, Seq("a", "b")).collect()(0)
+    assert(n.getLong(3) == 4L && n.getDouble(7) == ln2)
+  }
+
   test("bpeTrainLocal: vocabulary above maxVocab refuses loudly") {
     import graft.text.Curate
     val docs = Seq((1L, "one two three four five six")).toDF("doc_id", "text")
