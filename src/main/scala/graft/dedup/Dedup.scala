@@ -260,6 +260,12 @@ object Dedup {
           F.col("b") === F.col("b2"))
         .groupBy(F.col("a").as("id"))
         .agg(F.min("component").as("nmin"))
+      // NOT cached: the pointer-jump self-join reads this frame twice,
+      // but at the small end every join here is a broadcast and the
+      // duplicated subtree is cheaper than an InMemoryRelation
+      // materialization barrier (measured 15s -> 38s with a cache);
+      // at scale the shuffled exchanges under the self-join are
+      // AQE-staged once per side either way
       val relabeled = labels.join(neighborMin, Seq("id"), "left")
         .select(F.col("id"), F.col("component").as("prev"),
           F.least(F.col("component"), F.coalesce(F.col("nmin"), F.col("component")))
