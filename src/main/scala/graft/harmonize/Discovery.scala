@@ -367,16 +367,26 @@ object Discovery {
     def detKey(det: Seq[String]) = F.concat_ws("\u0001",
       det.map(c => F.coalesce(F.col(c).cast("string"),
         F.lit("\u0000NULL"))): _*)
-    val branches = sets.flatMap { s =>
-      s.map { dep =>
-        val det = s.filterNot(_ == dep)
-        gs.where(F.col("gid") === setGid(s))
-          .select(F.lit(det.mkString("+")).as("determinant"),
-            F.lit(dep).as("dependent"),
-            detKey(det).as("__dk"), F.col("cnt"))
-      }
+    // ONE explode, not one unioned branch per candidate: the per-set
+    // candidate list ((determinant, dependent, det-key) — ≤3 per set)
+    // rides a gid-dispatched literal CASE, so the whole lattice folds
+    // through TWO shuffles total where the original union of 50
+    // filtered branches paid a filter + two aggregates each (~100 tiny
+    // exchanges, fixed-cost dominated at the small end; branch-count-
+    // many job DAGs at any scale)
+    def candidatesOf(s: Seq[String]) = F.array(s.map { dep =>
+      val det = s.filterNot(_ == dep)
+      F.struct(F.lit(det.mkString("+")).as("determinant"),
+        F.lit(dep).as("dependent"), detKey(det).as("__dk"))
+    }: _*)
+    val dispatch = sets.tail.foldLeft(
+      F.when(F.col("gid") === setGid(sets.head), candidatesOf(sets.head))) {
+      (acc, s) => acc.when(F.col("gid") === setGid(s), candidatesOf(s))
     }
-    val cand = branches.reduce(_.unionAll(_))
+    val cand = gs.select(F.explode(dispatch).as("p"), F.col("cnt"))
+      .select(F.col("p.determinant").as("determinant"),
+        F.col("p.dependent").as("dependent"),
+        F.col("p.__dk").as("__dk"), F.col("cnt"))
     cand.groupBy("determinant", "dependent", "__dk")
       .agg(F.max("cnt").as("__mx"), F.sum("cnt").as("__rows"))
       .groupBy("determinant", "dependent")
