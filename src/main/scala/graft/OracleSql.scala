@@ -4608,6 +4608,40 @@ object OracleSql {
     // exact daily-count autocorrelation: densified calendar, n-scaled
     // deviations (d = n*x - S so the n^2 cancels in the ratio), HUGEINT
     // lag products, one sign-split truncating ppm division at the end
+    // Holt linear smoothing: the twin walks the identical rounded
+    // DECIMAL(26,6) state sequence through a recursive CTE (idx joins
+    // the densified calendar day by day)
+    "events_holt" ->
+      """WITH RECURSIVE c AS (
+        |  SELECT event_type, epoch_us(ts) - epoch_us(ts) % 86400000000 AS day_us,
+        |         count(*) AS x
+        |  FROM events GROUP BY 1, 2),
+        |cal AS (SELECT event_type,
+        |               unnest(generate_series(d0, d1, 86400000000)) AS day_us
+        |        FROM (SELECT event_type, min(day_us) AS d0, max(day_us) AS d1
+        |              FROM c GROUP BY 1)),
+        |d AS (SELECT cal.event_type, cal.day_us, coalesce(c.x, 0) AS x,
+        |             row_number() OVER (PARTITION BY cal.event_type
+        |               ORDER BY cal.day_us) - 1 AS idx
+        |      FROM cal LEFT JOIN c USING (event_type, day_us)),
+        |hw AS (
+        |  SELECT event_type, idx, day_us, x,
+        |         CAST(x AS DECIMAL(26,6)) AS l, CAST(0 AS DECIMAL(26,6)) AS b,
+        |         CAST(NULL AS DECIMAL(26,6)) AS f
+        |  FROM d WHERE idx = 0
+        |  UNION ALL
+        |  SELECT d.event_type, d.idx, d.day_us, d.x,
+        |         CAST(round(0.2 * d.x + 0.8 * (hw.l + hw.b), 6) AS DECIMAL(26,6)),
+        |         CAST(round(0.1 * (CAST(round(0.2 * d.x + 0.8 * (hw.l + hw.b), 6)
+        |                AS DECIMAL(26,6)) - hw.l) + 0.9 * hw.b, 6) AS DECIMAL(26,6)),
+        |         CAST(hw.l + hw.b AS DECIMAL(26,6))
+        |  FROM hw JOIN d ON d.event_type = hw.event_type AND d.idx = hw.idx + 1)
+        |SELECT event_type, day_us, CAST(x AS BIGINT) AS n_events,
+        |       CAST(l AS DOUBLE) AS level, CAST(b AS DOUBLE) AS trend,
+        |       CAST(f AS DOUBLE) AS forecast,
+        |       CAST(CAST(x AS DECIMAL(26,6)) - f AS DOUBLE) AS residual
+        |FROM hw ORDER BY event_type, day_us""".stripMargin,
+
     "events_acf" ->
       """WITH counts AS (SELECT event_type,
         |                       epoch_us(ts) - epoch_us(ts) % 86400000000 AS day_us,

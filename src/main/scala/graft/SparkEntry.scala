@@ -4059,6 +4059,14 @@ object SparkEntry {
     streaming.Events.acf(t.events, maxLag = 7)
       .orderBy("event_type", "lag")
 
+  private def eventsHolt(t: Tables): DataFrame =
+    // Holt linear smoothing + one-step forecast over the daily series
+    // (r19): exact DECIMAL(26,6) recurrence both engines walk step-
+    // for-step — the twin iterates the same formula through a
+    // recursive CTE. See Events.holtLinear
+    streaming.Events.holtLinear(t.events)
+      .orderBy("event_type", "day_us")
+
   private def eventsAttribution(t: Tables): DataFrame = {
     // last-touch conversion attribution (r13): click->purchase pairs
     // within a 6 h window (genuine multi-touch at every gate SF:
@@ -4679,6 +4687,7 @@ object SparkEntry {
       "scd2_apply" -> q(scd2Apply),
       "events_changepoint" -> q(eventsChangepoint),
       "events_acf" -> q(eventsAcf),
+      "events_holt" -> q(eventsHolt),
       "zorder_key" -> q(zorderKey),
       "q_rollup" -> q(qRollup),
       "q_pivot" -> q(qPivot),

@@ -664,6 +664,91 @@ object Events {
     * window anywhere (per-type stats ride a broadcast join, the
     * changepoint pattern).
     */
+  /** Holt LINEAR (double) exponential smoothing over each event
+    * type's daily-count series — the classic level+trend forecaster
+    * (Holt 1957 / Hyndman & Athanasopoulos fpp ch.8), the smoothing
+    * complement of [[seasonalAnomalies]]' dow baselines and [[acf]]'s
+    * periodicity probe:
+    *
+    *   l_t = round(α·x_t + (1−α)(l_{t−1}+b_{t−1}), 6)
+    *   b_t = round(β(l_t − l_{t−1}) + (1−β)b_{t−1}, 6)
+    *   one-step forecast_t = l_{t−1} + b_{t−1};  init l_1 = x_1, b_1 = 0.
+    *
+    * EXACT cross-engine recurrence: α/β arrive as decimal literal
+    * strings, every intermediate is exact DECIMAL rational (counts are
+    * integers; precisions stay ≤ 31), and each state rounds HALF_UP to
+    * scale 6 before it feeds the next step — so both engines walk the
+    * identical state sequence and the output hashes match (the
+    * pagerank per-round-pin discipline applied to a per-DAY
+    * recurrence; the DuckDB twin iterates the same formula through a
+    * recursive CTE). Display columns cast the scale-6 decimals to
+    * DOUBLE (exact for these magnitudes).
+    *
+    * Scale: one map-side-combined daily aggregate (types × days), the
+    * calendar densified per type ([[acf]]'s contract — day gaps are
+    * x = 0, never silently skipped), then ONE fold per type over its
+    * collected day array. The recurrence is inherently sequential in
+    * t, so the per-type series must sit in one place: the array is
+    * CALENDAR-bounded (days, not events — a decade is ~3.7k entries),
+    * which is the honest parallel grain; types parallelize.
+    */
+  def holtLinear(events: DataFrame, alpha: String = "0.2",
+                 beta: String = "0.1"): DataFrame = {
+    require(BigDecimal(alpha) > 0 && BigDecimal(alpha) < 1, "0 < alpha < 1")
+    require(BigDecimal(beta) > 0 && BigDecimal(beta) < 1, "0 < beta < 1")
+    val dayUs = 24L * 3600 * 1000 * 1000
+    val us = usOf(F.col("ts"))
+    val a1 = (BigDecimal(1) - BigDecimal(alpha)).toString
+    val b1 = (BigDecimal(1) - BigDecimal(beta)).toString
+    val counts = events
+      .select(F.col("event_type"), (us - F.pmod(us, F.lit(dayUs))).as("day_us"))
+      .groupBy("event_type", "day_us").agg(F.count(F.lit(1)).as("x"))
+    val cal = counts.groupBy("event_type")
+      .agg(F.min("day_us").as("d0"), F.max("day_us").as("d1"))
+      .select(F.col("event_type"),
+        F.explode(F.sequence(F.col("d0"), F.col("d1"), F.lit(dayUs)))
+          .as("day_us"))
+    val daily = cal.join(counts, Seq("event_type", "day_us"), "left")
+      .select(F.col("event_type"), F.col("day_us"),
+        F.coalesce(F.col("x"), F.lit(0L)).as("x"))
+    val packed = daily.groupBy("event_type")
+      .agg(F.array_sort(F.collect_list(F.struct(
+        F.col("day_us"), F.col("x")))).as("xs"))
+    // the new level/trend, written once here and spliced wherever the
+    // lambda needs them (SQL lambdas have no let-binding)
+    val lvl = s"CASE WHEN acc.l IS NULL THEN CAST(e.x AS DECIMAL(26,6)) " +
+      s"ELSE CAST(round($alpha * e.x + $a1 * (acc.l + acc.b), 6) " +
+      s"AS DECIMAL(26,6)) END"
+    val trd = s"CASE WHEN acc.l IS NULL THEN CAST(0 AS DECIMAL(26,6)) " +
+      s"ELSE CAST(round($beta * (($lvl) - acc.l) + $b1 * acc.b, 6) " +
+      s"AS DECIMAL(26,6)) END"
+    val fct = "CASE WHEN acc.l IS NULL THEN CAST(NULL AS DECIMAL(26,6)) " +
+      "ELSE CAST(acc.l + acc.b AS DECIMAL(26,6)) END"
+    val fold = s"""aggregate(
+      |  xs,
+      |  named_struct(
+      |    'rows', CAST(array() AS ARRAY<STRUCT<day_us: BIGINT, x: BIGINT,
+      |      level: DECIMAL(26,6), trend: DECIMAL(26,6),
+      |      forecast: DECIMAL(26,6)>>),
+      |    'l', CAST(NULL AS DECIMAL(26,6)),
+      |    'b', CAST(NULL AS DECIMAL(26,6))),
+      |  (acc, e) -> named_struct(
+      |    'rows', array_append(acc.rows, named_struct(
+      |      'day_us', e.day_us, 'x', e.x,
+      |      'level', $lvl, 'trend', $trd, 'forecast', $fct)),
+      |    'l', $lvl,
+      |    'b', $trd),
+      |  acc -> acc.rows)""".stripMargin
+    packed.select(F.col("event_type"), F.explode(F.expr(fold)).as("r"))
+      .select(F.col("event_type"), F.col("r.day_us").as("day_us"),
+        F.col("r.x").as("n_events"),
+        F.col("r.level").cast("double").as("level"),
+        F.col("r.trend").cast("double").as("trend"),
+        F.col("r.forecast").cast("double").as("forecast"),
+        (F.col("r.x").cast("decimal(26,6)") - F.col("r.forecast"))
+          .cast("double").as("residual"))
+  }
+
   def acf(events: DataFrame, maxLag: Int = 7): DataFrame = {
     require(maxLag >= 1, "maxLag must be at least 1")
     val dayUs = 24L * 3600 * 1000 * 1000

@@ -413,6 +413,44 @@ class R19OpsSpec extends SparkSpec {
     assert(n.getLong(3) == 4L && n.getDouble(7) == ln2)
   }
 
+  test("holtLinear: walks the exact rounded recurrence, densifies day gaps") {
+    import graft.streaming.Events
+    import java.sql.Timestamp
+    val day = 24L * 3600 * 1000
+    // type "a": counts 4, 2, (gap -> 0), 6 over four days
+    val rows = Seq.fill(4)(0L) ++ Seq.fill(2)(1L) ++ Seq.fill(6)(3L)
+    val df = rows.zipWithIndex.map { case (d, i) =>
+      (i.toLong, new Timestamp(d * day + 1000), 1L, "a", 0.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Events.holtLinear(df).orderBy("day_us").collect()
+    assert(out.length == 4)
+    assert(out.map(_.getLong(2)).toSeq == Seq(4L, 2L, 0L, 6L))
+    // replay the recurrence in BigDecimal (HALF_UP at scale 6)
+    def r6(x: BigDecimal) = x.setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val (a, b) = (BigDecimal("0.2"), BigDecimal("0.1"))
+    var l = BigDecimal(4); var tr = BigDecimal(0)
+    val expect = Seq(4L, 2L, 0L, 6L).zipWithIndex.map { case (x, i) =>
+      if (i == 0) (l, tr, None)
+      else {
+        val f = l + tr
+        val l2 = r6(a * x + (1 - a) * (l + tr))
+        val t2 = r6(b * (l2 - l) + (1 - b) * tr)
+        l = l2; tr = t2
+        (l2, t2, Some(f))
+      }
+    }
+    out.zip(expect).foreach { case (row, (el, et, ef)) =>
+      assert(row.getDouble(3) == el.toDouble, s"level ${row.mkString(",")}")
+      assert(row.getDouble(4) == et.toDouble, s"trend ${row.mkString(",")}")
+      ef match {
+        case Some(f) =>
+          assert(row.getDouble(5) == f.toDouble)
+          assert(row.getDouble(6) == (BigDecimal(row.getLong(2)) - f).toDouble)
+        case None => assert(row.isNullAt(5) && row.isNullAt(6))
+      }
+    }
+  }
+
   test("bpeTrainLocal: vocabulary above maxVocab refuses loudly") {
     import graft.text.Curate
     val docs = Seq((1L, "one two three four five six")).toDF("doc_id", "text")
