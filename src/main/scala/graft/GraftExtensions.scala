@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CharEntropy, CosineSim, IndelSim, KmvAgg, LshSig, MinHashAgg, MinHashSig, ShingleStrings, SimHash64, SortedIntersectCount, TopKCountAgg, WinnowMins}
+import graft.functions.{CharEntropy, CosineSim, IndelSim, JaroWinklerPpm, KmvAgg, LshSig, MinHashAgg, MinHashSig, ShingleStrings, SimHash64, SortedIntersectCount, TopKCountAgg, WinnowMins}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -59,7 +59,9 @@ object GraftExtensions {
     ("char_entropy", "_FUNC_(text) - Shannon entropy (nats) of the code-point distribution",
       (args: Seq[Expression]) => CharEntropy(args(0))),
     ("topk_by_count", "_FUNC_(n, key, k) - exact bounded top-k (count, key) entries of the group, best first (feed finalized counts)",
-      (args: Seq[Expression]) => TopKCountAgg(args(0), args(1), intArg(args(2), "k"))))
+      (args: Seq[Expression]) => TopKCountAgg(args(0), args(1), intArg(args(2), "k"))),
+    ("jaro_winkler_ppm", "_FUNC_(a, b) - Jaro-Winkler similarity in integer ppm over UTF-8 bytes (the rapidfuzz unit)",
+      (args: Seq[Expression]) => JaroWinklerPpm(args(0), args(1))))
 
   /** Register every function into an already-built session. */
   def register(spark: SparkSession): Unit =

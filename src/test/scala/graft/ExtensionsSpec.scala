@@ -14,7 +14,8 @@ class ExtensionsSpec extends SparkSpec {
         |       cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS cs,
         |       sorted_intersect_count(array(1L, 2L, 3L), array(2L, 3L, 9L)) AS ic,
         |       indel_sim('Red Apple', 'apple') AS isim,
-        |       char_entropy('abcd') AS ent
+        |       char_entropy('abcd') AS ent,
+        |       jaro_winkler_ppm('martha', 'marhta') AS jw
         |FROM sql_docs""".stripMargin).collect().head
     assert(row.getAs[Int]("n_sig") == 32)
     assert(math.abs(row.getAs[Double]("cs") - 1.0) < 1e-12)
@@ -22,6 +23,8 @@ class ExtensionsSpec extends SparkSpec {
     assert(math.abs(row.getAs[Double]("isim") - 8.0 / 14) < 1e-12)
     assert(row.getAs[Long]("sh") != 0L)
     assert(math.abs(row.getAs[Double]("ent") - math.log(4)) < 1e-12)
+    // the Winkler textbook pair: jaro 944444 ppm, prefix 3 -> 961111
+    assert(row.getAs[Long]("jw") == 961111L)
 
     // aggregate function path: one sketch per group
     Seq((1L, "x"), (1L, "y"), (2L, "x")).toDF("g", "v").createOrReplaceTempView("sql_vals")
