@@ -1626,6 +1626,40 @@ object OracleSql {
          |SELECT lang, tok, n, "rank" FROM r WHERE "rank" <= 10
          |ORDER BY lang, "rank"""".stripMargin,
 
+    // Zipf slope: same deterministic top-k ranks as corpus_vocab
+    // (k = 100), §5 round-9 regression addends decimal-summed, the
+    // closed-form OLS replayed in DOUBLE in the same operation order
+    "corpus_zipf" ->
+      s"""WITH tok AS (SELECT lang, unnest(${toks("text")}) AS tok FROM documents),
+         |c AS (SELECT lang, tok, count(*) AS n FROM tok GROUP BY 1, 2),
+         |r AS (SELECT lang, n,
+         |        row_number() OVER (PARTITION BY lang
+         |          ORDER BY n DESC, tok ASC) AS rk
+         |      FROM c),
+         |ad AS (SELECT lang,
+         |         CAST(round(ln(CAST(rk AS DOUBLE)), 9) AS DECIMAL(22,12)) AS x,
+         |         CAST(round(ln(CAST(n AS DOUBLE)), 9) AS DECIMAL(22,12)) AS y,
+         |         CAST(round(round(ln(CAST(rk AS DOUBLE)), 9)
+         |              * round(ln(CAST(n AS DOUBLE)), 9), 9) AS DECIMAL(22,12)) AS xy,
+         |         CAST(round(round(ln(CAST(rk AS DOUBLE)), 9)
+         |              * round(ln(CAST(rk AS DOUBLE)), 9), 9) AS DECIMAL(22,12)) AS xx
+         |       FROM r WHERE rk <= 100),
+         |s AS (SELECT lang, count(*) AS n_top, sum(x) AS sx, sum(y) AS sy,
+         |             sum(xy) AS sxy, sum(xx) AS sxx
+         |      FROM ad GROUP BY lang)
+         |SELECT lang, CAST(n_top AS BIGINT) AS n_top,
+         |  round((CAST(n_top AS DOUBLE) * CAST(sxy AS DOUBLE)
+         |         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         |        / (CAST(n_top AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope,
+         |  round((CAST(sy AS DOUBLE)
+         |         - ((CAST(n_top AS DOUBLE) * CAST(sxy AS DOUBLE)
+         |             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         |            / (CAST(n_top AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+         |           * CAST(sx AS DOUBLE)) / CAST(n_top AS DOUBLE), 6) AS intercept
+         |FROM s ORDER BY lang""".stripMargin,
+
     // literal-true gate (the corpus_quantiles_approx pattern): the
     // two-pass Misra-Gries top-k must equal the exact top-k rank-for-
     // rank, so the oracle is the expected all-true table

@@ -2316,6 +2316,13 @@ object SparkEntry {
     text.Curate.topTokens(t.documents, "lang", "text", k = 10)
       .orderBy("lang", "rank")
 
+  private def corpusZipf(t: Tables): DataFrame =
+    // Zipf rank-frequency slope per language over the top-100
+    // vocabulary (r19): the corpus-quality smell test next to the raw
+    // vocab report; §5 round-9 regression addends. See Curate.zipfSlope
+    text.Curate.zipfSlope(t.documents, "lang", "text", k = 100)
+      .orderBy("lang")
+
   private def corpusVocabApprox(t: Tables): DataFrame =
     // the at-scale vocabulary report as a GATED driver row: pass 1
     // reduces each partition to a Misra-Gries summary (constant-size
@@ -4576,6 +4583,7 @@ object SparkEntry {
       "curate_take" -> q(curateTake),
       "corpus_vocab" -> q(corpusVocab),
       "corpus_vocab_approx" -> q(corpusVocabApprox),
+      "corpus_zipf" -> q(corpusZipf),
       "corpus_bigrams_approx" -> q(corpusBigramsApprox),
       "corpus_bigrams" -> q(corpusBigrams),
       "corpus_collocations" -> q(corpusCollocations),

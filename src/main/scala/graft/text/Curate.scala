@@ -934,6 +934,43 @@ object Curate {
         F.explode(TextOps.shingles(TextOps.tokens(F.col(textCol)), ngram)).as("tok")),
       groupCol, k, capacity)
 
+  /** Zipf rank-frequency diagnostic per group: the OLS slope (and
+    * intercept) of ln(count) on ln(rank) over the top-k vocabulary —
+    * natural language sits near slope −1 (Zipf '49; Piantadosi '14
+    * review); templated/duplicated/machine corpora bend away, so the
+    * slope is a cheap corpus-quality smell test next to [[topTokens]]'
+    * raw report.
+    *
+    * Cross-engine exactness (§5): every regression addend (ln rank,
+    * ln count, their products) rounds to 9 decimals and decimal-sums
+    * order-free; the closed-form OLS then runs in DOUBLE over those
+    * exact sums in a pinned operation order, rounded to 6 at the
+    * display edge. Ranks come from [[topTokens]]' deterministic
+    * (count desc, token asc) bounded top-k — no window, no
+    * vocabulary-sized sort. Groups with a degenerate design (all
+    * ranks equal — impossible for k ≥ 2 distinct ranks) yield null.
+    */
+  def zipfSlope(df: DataFrame, groupCol: String, textCol: String,
+                k: Int = 100): DataFrame = {
+    require(k >= 3, "need at least 3 ranks for a meaningful slope")
+    val top = topTokens(df, groupCol, textCol, k)
+    val x9 = F.round(F.log(F.col("rank").cast("double")), 9)
+    val y9 = F.round(F.log(F.col("n").cast("double")), 9)
+    def d12(c: org.apache.spark.sql.Column) = c.cast("decimal(22,12)")
+    val s = top.groupBy(F.col(groupCol))
+      .agg(F.count(F.lit(1)).as("n_top"),
+        F.sum(d12(x9)).as("sx"), F.sum(d12(y9)).as("sy"),
+        F.sum(d12(F.round(x9 * y9, 9))).as("sxy"),
+        F.sum(d12(F.round(x9 * x9, 9))).as("sxx"))
+    def dd(c: String) = F.col(c).cast("double")
+    val nD = dd("n_top")
+    val raw = (nD * dd("sxy") - dd("sx") * dd("sy")) /
+      (nD * dd("sxx") - dd("sx") * dd("sx"))
+    s.select(F.col(groupCol), F.col("n_top"),
+      F.round(raw, 6).as("slope"),
+      F.round((dd("sy") - raw * dd("sx")) / nD, 6).as("intercept"))
+  }
+
   private def topKTailApprox(exploded: DataFrame, groupCol: String,
                              k: Int, capacity: Int): DataFrame = {
     require(capacity >= k, "sketch capacity must be >= k")

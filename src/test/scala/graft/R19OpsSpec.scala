@@ -451,6 +451,24 @@ class R19OpsSpec extends SparkSpec {
     }
   }
 
+  test("zipfSlope: exact -1 on a perfect Zipf corpus, flat on a uniform one") {
+    import graft.text.Curate
+    // counts 12/rank: ln(count) = ln 12 - ln(rank), so OLS slope is
+    // EXACTLY -1 and the intercept is ln 12 (round-9 addends wobble
+    // below the 6dp display edge)
+    val zipf = (("aa " * 12) + ("bb " * 6) + ("cc " * 4) + ("dd " * 3)).trim
+    val uni = "ee ff gg hh " * 5
+    val df = Seq((1L, "z", zipf), (2L, "u", uni)).toDF("doc_id", "lang", "text")
+    val out = Curate.zipfSlope(df, "lang", "text", k = 4).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(out("z")._1 == 4L)
+    assert(out("z")._2 == -1.0, s"zipf slope: ${out("z")}")
+    assert(math.abs(out("z")._3 - math.log(12)) < 2e-6)
+    // uniform counts: ln(count) constant -> slope exactly 0
+    assert(out("u")._2 == 0.0, s"uniform slope: ${out("u")}")
+  }
+
   test("bpeTrainLocal: vocabulary above maxVocab refuses loudly") {
     import graft.text.Curate
     val docs = Seq((1L, "one two three four five six")).toDF("doc_id", "text")
