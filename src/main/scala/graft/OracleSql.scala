@@ -4642,6 +4642,51 @@ object OracleSql {
     // exact daily-count autocorrelation: densified calendar, n-scaled
     // deviations (d = n*x - S so the n^2 cancels in the ratio), HUGEINT
     // lag products, one sign-split truncating ppm division at the end
+    // Holt-Winters additive weekly: the seven seasonal slots ride as
+    // columns s0..s6; every state expression mirrors the Spark fold's
+    // operation order, rounded HALF_UP to scale 6 per day
+    "events_holt_winters" -> {
+      val sPrev = "CASE CAST(d.idx % 7 AS INT) " +
+        (0 to 6).map(i => s"WHEN $i THEN hw.s$i").mkString(" ") + " END"
+      val lNew = s"CAST(round(0.2 * (d.x - ($sPrev)) + 0.8 * (hw.l + hw.b), 6) AS DECIMAL(26,6))"
+      val bNew = s"CAST(round(0.1 * (($lNew) - hw.l) + 0.9 * hw.b, 6) AS DECIMAL(26,6))"
+      val sNew = s"CAST(round(0.3 * (d.x - ($lNew)) + 0.7 * ($sPrev), 6) AS DECIMAL(26,6))"
+      val sCols = (0 to 6).map(i =>
+        s"CASE WHEN CAST(d.idx % 7 AS INT) = $i THEN ($sNew) ELSE hw.s$i END AS s$i")
+        .mkString(",\n         ")
+      val sZero = (0 to 6).map(i => s"CAST(0 AS DECIMAL(26,6)) AS s$i")
+        .mkString(", ")
+      s"""WITH RECURSIVE c AS (
+         |  SELECT event_type, epoch_us(ts) - epoch_us(ts) % 86400000000 AS day_us,
+         |         count(*) AS x
+         |  FROM events GROUP BY 1, 2),
+         |cal AS (SELECT event_type, d0,
+         |               unnest(generate_series(d0, d1, 86400000000)) AS day_us
+         |        FROM (SELECT event_type, min(day_us) AS d0, max(day_us) AS d1
+         |              FROM c GROUP BY 1)),
+         |d AS (SELECT cal.event_type, cal.day_us, coalesce(c.x, 0) AS x,
+         |             (cal.day_us - cal.d0) // 86400000000 AS idx
+         |      FROM cal LEFT JOIN c USING (event_type, day_us)),
+         |hw AS (
+         |  SELECT event_type, idx, day_us, x,
+         |         CAST(x AS DECIMAL(26,6)) AS l, CAST(0 AS DECIMAL(26,6)) AS b,
+         |         CAST(0 AS DECIMAL(26,6)) AS sn,
+         |         CAST(NULL AS DECIMAL(26,6)) AS f,
+         |         $sZero
+         |  FROM d WHERE idx = 0
+         |  UNION ALL
+         |  SELECT d.event_type, d.idx, d.day_us, d.x,
+         |         $lNew, $bNew, $sNew,
+         |         CAST(hw.l + hw.b + ($sPrev) AS DECIMAL(26,6)),
+         |         $sCols
+         |  FROM hw JOIN d ON d.event_type = hw.event_type AND d.idx = hw.idx + 1)
+         |SELECT event_type, day_us, CAST(x AS BIGINT) AS n_events,
+         |       CAST(l AS DOUBLE) AS level, CAST(b AS DOUBLE) AS trend,
+         |       CAST(sn AS DOUBLE) AS seasonal, CAST(f AS DOUBLE) AS forecast,
+         |       CAST(CAST(x AS DECIMAL(26,6)) - f AS DOUBLE) AS residual
+         |FROM hw ORDER BY event_type, day_us""".stripMargin
+    },
+
     // Holt linear smoothing: the twin walks the identical rounded
     // DECIMAL(26,6) state sequence through a recursive CTE (idx joins
     // the densified calendar day by day)

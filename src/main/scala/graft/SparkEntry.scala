@@ -4074,6 +4074,14 @@ object SparkEntry {
     streaming.Events.holtLinear(t.events)
       .orderBy("event_type", "day_us")
 
+  private def eventsHoltWinters(t: Tables): DataFrame =
+    // Holt-Winters additive weekly smoothing (r19): the seasonal
+    // completion of events_holt — same exact DECIMAL(26,6) per-day
+    // pin, twin = recursive CTE carrying the seven seasonal slots as
+    // columns. See Events.holtWinters
+    streaming.Events.holtWinters(t.events)
+      .orderBy("event_type", "day_us")
+
   private def eventsAttribution(t: Tables): DataFrame = {
     // last-touch conversion attribution (r13): click->purchase pairs
     // within a 6 h window (genuine multi-touch at every gate SF:
@@ -4696,6 +4704,7 @@ object SparkEntry {
       "events_changepoint" -> q(eventsChangepoint),
       "events_acf" -> q(eventsAcf),
       "events_holt" -> q(eventsHolt),
+      "events_holt_winters" -> q(eventsHoltWinters),
       "zorder_key" -> q(zorderKey),
       "q_rollup" -> q(qRollup),
       "q_pivot" -> q(qPivot),

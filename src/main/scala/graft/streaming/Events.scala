@@ -749,6 +749,91 @@ object Events {
           .cast("double").as("residual"))
   }
 
+  /** Holt-Winters ADDITIVE seasonal smoothing, weekly period — the
+    * triple-exponential completion of [[holtLinear]] (Winters '60;
+    * fpp ch.8.3), for the dominant pattern in event volumes:
+    *
+    *   l_t = round(α(x_t − s_{t−7}) + (1−α)(l_{t−1}+b_{t−1}), 6)
+    *   b_t = round(β(l_t − l_{t−1}) + (1−β)b_{t−1}, 6)
+    *   s_t = round(γ(x_t − l_t) + (1−γ)s_{t−7}, 6)
+    *   forecast_t = l_{t−1} + b_{t−1} + s_{t−7}
+    *
+    * Init is the FLAT start (l_1 = x_1, b_1 = 0, all seasonal slots
+    * 0) — deterministic and total on any series length, documented in
+    * place of the textbook first-season average (which both engines
+    * would also have to replay; flat is the simpler shared contract).
+    * Same exactness discipline as [[holtLinear]]: every state rounds
+    * HALF_UP to DECIMAL scale 6 before feeding the next step, so the
+    * Spark fold and the DuckDB recursive-CTE twin (seasonal state as
+    * seven columns) walk identical sequences. Same calendar-bounded
+    * per-type fold; day gaps densify to x = 0.
+    */
+  def holtWinters(events: DataFrame, alpha: String = "0.2",
+                  beta: String = "0.1", gamma: String = "0.3"): DataFrame = {
+    Seq(alpha, beta, gamma).foreach(p =>
+      require(BigDecimal(p) > 0 && BigDecimal(p) < 1, "0 < param < 1"))
+    val dayUs = 24L * 3600 * 1000 * 1000
+    val us = usOf(F.col("ts"))
+    val a1 = (BigDecimal(1) - BigDecimal(alpha)).toString
+    val b1 = (BigDecimal(1) - BigDecimal(beta)).toString
+    val g1 = (BigDecimal(1) - BigDecimal(gamma)).toString
+    val counts = events
+      .select(F.col("event_type"), (us - F.pmod(us, F.lit(dayUs))).as("day_us"))
+      .groupBy("event_type", "day_us").agg(F.count(F.lit(1)).as("x"))
+    val cal = counts.groupBy("event_type")
+      .agg(F.min("day_us").as("d0"), F.max("day_us").as("d1"))
+    val dense = cal
+      .select(F.col("event_type"), F.col("d0"),
+        F.explode(F.sequence(F.col("d0"), F.col("d1"), F.lit(dayUs)))
+          .as("day_us"))
+      .join(counts, Seq("event_type", "day_us"), "left")
+      .select(F.col("event_type"), F.col("day_us"),
+        ((F.col("day_us") - F.col("d0")) / dayUs).cast("long").as("idx"),
+        F.coalesce(F.col("x"), F.lit(0L)).as("x"))
+    val packed = dense.groupBy("event_type")
+      .agg(F.array_sort(F.collect_list(F.struct(
+        F.col("idx"), F.col("day_us"), F.col("x")))).as("xs"))
+    val sPrev = "element_at(acc.s, CAST(e.idx % 7 AS INT) + 1)"
+    val lNew = s"CASE WHEN acc.l IS NULL THEN CAST(e.x AS DECIMAL(26,6)) " +
+      s"ELSE CAST(round($alpha * (e.x - $sPrev) + $a1 * (acc.l + acc.b), 6) " +
+      s"AS DECIMAL(26,6)) END"
+    val bNew = s"CASE WHEN acc.l IS NULL THEN CAST(0 AS DECIMAL(26,6)) " +
+      s"ELSE CAST(round($beta * (($lNew) - acc.l) + $b1 * acc.b, 6) " +
+      s"AS DECIMAL(26,6)) END"
+    val sNew = s"CAST(round($gamma * (e.x - ($lNew)) + $g1 * $sPrev, 6) " +
+      s"AS DECIMAL(26,6))"
+    val fc = s"CASE WHEN acc.l IS NULL THEN CAST(NULL AS DECIMAL(26,6)) " +
+      s"ELSE CAST(acc.l + acc.b + $sPrev AS DECIMAL(26,6)) END"
+    val fold = s"""aggregate(
+      |  xs,
+      |  named_struct(
+      |    'rows', CAST(array() AS ARRAY<STRUCT<day_us: BIGINT, x: BIGINT,
+      |      level: DECIMAL(26,6), trend: DECIMAL(26,6),
+      |      seasonal: DECIMAL(26,6), forecast: DECIMAL(26,6)>>),
+      |    'l', CAST(NULL AS DECIMAL(26,6)),
+      |    'b', CAST(NULL AS DECIMAL(26,6)),
+      |    's', array_repeat(CAST(0 AS DECIMAL(26,6)), 7)),
+      |  (acc, e) -> named_struct(
+      |    'rows', array_append(acc.rows, named_struct(
+      |      'day_us', e.day_us, 'x', e.x,
+      |      'level', $lNew, 'trend', $bNew,
+      |      'seasonal', $sNew, 'forecast', $fc)),
+      |    'l', $lNew,
+      |    'b', $bNew,
+      |    's', transform(acc.s, (v, i) ->
+      |      CASE WHEN i = CAST(e.idx % 7 AS INT) THEN $sNew ELSE v END)),
+      |  acc -> acc.rows)""".stripMargin
+    packed.select(F.col("event_type"), F.explode(F.expr(fold)).as("r"))
+      .select(F.col("event_type"), F.col("r.day_us").as("day_us"),
+        F.col("r.x").as("n_events"),
+        F.col("r.level").cast("double").as("level"),
+        F.col("r.trend").cast("double").as("trend"),
+        F.col("r.seasonal").cast("double").as("seasonal"),
+        F.col("r.forecast").cast("double").as("forecast"),
+        (F.col("r.x").cast("decimal(26,6)") - F.col("r.forecast"))
+          .cast("double").as("residual"))
+  }
+
   def acf(events: DataFrame, maxLag: Int = 7): DataFrame = {
     require(maxLag >= 1, "maxLag must be at least 1")
     val dayUs = 24L * 3600 * 1000 * 1000

@@ -469,6 +469,46 @@ class R19OpsSpec extends SparkSpec {
     assert(out("u")._2 == 0.0, s"uniform slope: ${out("u")}")
   }
 
+  test("holtWinters: walks the exact seasonal recurrence over 10 days") {
+    import graft.streaming.Events
+    import java.sql.Timestamp
+    val day = 24L * 3600 * 1000
+    val xs = Seq(5L, 2L, 3L, 7L, 4L, 6L, 1L, 8L, 3L, 9L)
+    val df = xs.zipWithIndex.flatMap { case (n, d) =>
+      (0L until n).map(j => (d * 100 + j,
+        new Timestamp(d * day + 1000), 1L, "a", 0.0, "{}"))
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Events.holtWinters(df).orderBy("day_us").collect()
+    assert(out.length == 10)
+    // replay in BigDecimal (HALF_UP scale 6, flat init)
+    def r6(v: BigDecimal) = v.setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val (a, b, g) = (BigDecimal("0.2"), BigDecimal("0.1"), BigDecimal("0.3"))
+    var l = BigDecimal(xs.head); var tr = BigDecimal(0)
+    val s = Array.fill(7)(BigDecimal(0))
+    xs.zipWithIndex.foreach { case (x, t) =>
+      val slot = t % 7
+      val (l2, t2, fc) =
+        if (t == 0) (l, tr, None)
+        else {
+          val f = l + tr + s(slot)
+          val ln = r6(a * (x - s(slot)) + (1 - a) * (l + tr))
+          val tn = r6(b * (ln - l) + (1 - b) * tr)
+          (ln, tn, Some(f))
+        }
+      val sn = r6(g * (x - l2) + (1 - g) * s(slot))
+      val row = out(t)
+      assert(row.getDouble(3) == l2.toDouble, s"level day $t: $row")
+      assert(row.getDouble(4) == t2.toDouble, s"trend day $t: $row")
+      assert(row.getDouble(5) == sn.toDouble, s"seasonal day $t: $row")
+      fc match {
+        case Some(f) =>
+          assert(row.getDouble(6) == f.toDouble, s"forecast day $t: $row")
+        case None => assert(row.isNullAt(6))
+      }
+      l = l2; tr = t2; s(slot) = sn
+    }
+  }
+
   test("bpeTrainLocal: vocabulary above maxVocab refuses loudly") {
     import graft.text.Curate
     val docs = Seq((1L, "one two three four five six")).toDF("doc_id", "text")
