@@ -1646,19 +1646,21 @@ object OracleSql {
          |       FROM r WHERE rk <= 100),
          |s AS (SELECT lang, count(*) AS n_top, sum(x) AS sx, sum(y) AS sy,
          |             sum(xy) AS sxy, sum(xx) AS sxx
-         |      FROM ad GROUP BY lang)
+         |      FROM ad GROUP BY lang),
+         |g AS (SELECT lang, n_top, sx, sy, sxy, sxx,
+         |        CAST(n_top AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS den
+         |      FROM s)
          |SELECT lang, CAST(n_top AS BIGINT) AS n_top,
-         |  round((CAST(n_top AS DOUBLE) * CAST(sxy AS DOUBLE)
-         |         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-         |        / (CAST(n_top AS DOUBLE) * CAST(sxx AS DOUBLE)
-         |           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope,
+         |  round(CASE WHEN den <> 0 THEN
+         |    (CAST(n_top AS DOUBLE) * CAST(sxy AS DOUBLE)
+         |     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / den END, 6) AS slope,
          |  round((CAST(sy AS DOUBLE)
-         |         - ((CAST(n_top AS DOUBLE) * CAST(sxy AS DOUBLE)
-         |             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-         |            / (CAST(n_top AS DOUBLE) * CAST(sxx AS DOUBLE)
-         |               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+         |         - (CASE WHEN den <> 0 THEN
+         |             (CAST(n_top AS DOUBLE) * CAST(sxy AS DOUBLE)
+         |              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / den END)
          |           * CAST(sx AS DOUBLE)) / CAST(n_top AS DOUBLE), 6) AS intercept
-         |FROM s ORDER BY lang""".stripMargin,
+         |FROM g ORDER BY lang""".stripMargin,
 
     // literal-true gate (the corpus_quantiles_approx pattern): the
     // two-pass Misra-Gries top-k must equal the exact top-k rank-for-

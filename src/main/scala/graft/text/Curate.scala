@@ -964,8 +964,11 @@ object Curate {
         F.sum(d12(F.round(x9 * x9, 9))).as("sxx"))
     def dd(c: String) = F.col(c).cast("double")
     val nD = dd("n_top")
-    val raw = (nD * dd("sxy") - dd("sx") * dd("sy")) /
-      (nD * dd("sxx") - dd("sx") * dd("sx"))
+    // ANSI guard: a group with one rank has var(ln rank) = 0 — null,
+    // never a fabricated slope (and never a DIVIDE_BY_ZERO throw)
+    val den = nD * dd("sxx") - dd("sx") * dd("sx")
+    val raw = F.when(den =!= 0.0,
+      (nD * dd("sxy") - dd("sx") * dd("sy")) / den)
     s.select(F.col(groupCol), F.col("n_top"),
       F.round(raw, 6).as("slope"),
       F.round((dd("sy") - raw * dd("sx")) / nD, 6).as("intercept"))

@@ -509,6 +509,27 @@ class R19OpsSpec extends SparkSpec {
     }
   }
 
+  test("degenerate series: one-day smoothing totals; sub-3-rank zipf nulls") {
+    import graft.streaming.Events
+    import graft.text.Curate
+    import java.sql.Timestamp
+    // a single-day type: one row, flat state, null forecast/residual
+    val one = Seq((1L, new Timestamp(1000L), 1L, "solo", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    for (out <- Seq(Events.holtLinear(one).collect(),
+                    Events.holtWinters(one).collect())) {
+      assert(out.length == 1)
+      val r = out(0)
+      assert(r.getLong(2) == 1L && r.getDouble(3) == 1.0)
+      assert(r.isNullAt(r.length - 2) && r.isNullAt(r.length - 1))
+    }
+    // a group whose vocabulary has ONE distinct token: var(ln rank) = 0
+    // -> 0/0 -> null slope/intercept, never a fabricated number
+    val tiny = Seq((1L, "t", "aa aa aa")).toDF("doc_id", "lang", "text")
+    val z = Curate.zipfSlope(tiny, "lang", "text", k = 4).collect()(0)
+    assert(z.getLong(1) == 1L && z.isNullAt(2) && z.isNullAt(3))
+  }
+
   test("bpeTrainLocal: vocabulary above maxVocab refuses loudly") {
     import graft.text.Curate
     val docs = Seq((1L, "one two three four five six")).toDF("doc_id", "text")
