@@ -133,10 +133,15 @@ object Bench {
       if (args.nonEmpty) Some(args(0).split(",").toSet) else None
     val loadStart = loadAvg()
     val gcStart = gcMsTotal()
+    // r20 (VERDICT r19 #8): the two iterative multi-job rows whose
+    // medians swing 2-3x under co-tenant load get 5 reps instead of 3
+    // — more draws tighten the median exactly where the variance is
+    val extraReps = Set("dedup_components_dist", "graph_sssp")
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-      val timed = (1 to reps).map { _ =>
+      val nReps = if (extraReps(name)) math.max(reps, 5) else reps
+      val timed = (1 to nReps).map { _ =>
         val gc0 = gcMsTotal()
         val t0 = System.nanoTime()
         val ok =
@@ -247,6 +252,17 @@ object Bench {
     }
     val loadEnd = loadAvg()
     val gcTotal = gcMsTotal() - gcStart
+    // r20 (VERDICT r19 demerit 1): the r19 record gated the START but
+    // the box got loud mid-session, and a reader of the headline alone
+    // over-read noise. The headline now self-describes as contaminated
+    // when ANY suspect query's measured rep ran at load_1m above the
+    // gate — not only when the start gate was missed.
+    val suspectSet = suspects.toSet
+    val suspectRepLoud = loadGate > 0 && results.exists {
+      case (k, (_, _, reps0)) =>
+        suspectSet.contains(k) && reps0.exists(_._3 >= loadGate)
+    }
+    val contaminated = gateMissed || suspectRepLoud
     println(s"""{"metric":"detail","queries_min":$qmin,"queries_max":$qmax,"rep_detail":$repDetail}""")
     println(s"""{"metric":"medians","queries":$qs}""")
     // final line: key stays "queries" (the driver's documented schema,
@@ -265,7 +281,7 @@ object Bench {
       val rr = rerun.filter { case (k, _) =>
         suspectsRanked.take(nRerun).contains(k) }
         .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":$value,"unit":"sec","reps":$reps,"sf":"$sfDir","n_queries":${results.size},"load_1m_start":${r2(loadStart)},"load_1m_end":${r2(loadEnd)},"load_gate":${r2(loadGate)},"load_wait_sec":${r2(waitedTotalSec)},"load_contaminated":$gateMissed,"gc_ms_total":$gcTotal,"ref_n":${ref.size},"suspect_reps":$sReps,"rerun":$rr,"queries_truncated_to":$topK,"failed":$failed,"total_passing":$total,"queries":$qtop}"""
+      s"""{"metric":"total","value":$value,"unit":"sec","reps":$reps,"sf":"$sfDir","n_queries":${results.size},"load_1m_start":${r2(loadStart)},"load_1m_end":${r2(loadEnd)},"load_gate":${r2(loadGate)},"load_wait_sec":${r2(waitedTotalSec)},"load_contaminated":$contaminated,"load_gate_missed":$gateMissed,"suspect_rep_loud":$suspectRepLoud,"gc_ms_total":$gcTotal,"ref_n":${ref.size},"suspect_reps":$sReps,"rerun":$rr,"queries_truncated_to":$topK,"failed":$failed,"total_passing":$total,"queries":$qtop}"""
     }
     // shrink order: medians map first, then per-rep suspect evidence,
     // then (last — it is the adjudication itself) the rerun map; every

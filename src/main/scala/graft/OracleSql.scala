@@ -245,7 +245,13 @@ object OracleSql {
     * which would run the recursion in decimal arithmetic instead of
     * the driver's doubles.
     */
-  private val erFsSql: String = {
+  /** Shared EM-replay prelude for the two er_resolve_fs twins: the
+    * WITH chain from the dirty-twin sources through the 15 unrolled
+    * EM rounds to `wf` (final params + per-pattern posteriors) and
+    * `ws` (pid → post_ppm). Factored out in r20 so the bands twin
+    * replays the IDENTICAL arithmetic.
+    */
+  private val erFsPrelude: String = {
     val k = 3; val P = 1 << k; val rounds = 15
     def mp(p: Int) = (0 until k)
       .map(i => if (((p >> i) & 1) == 1) s"m$i" else s"(1e0 - m$i)")
@@ -313,7 +319,11 @@ object OracleSql {
        |wf AS MATERIALIZED (SELECT *,
        |    $wCols
        |  FROM em$rounds),
-       |ws AS ($wsRows),
+       |ws AS ($wsRows)""".stripMargin
+  }
+
+  private val erFsSql: String =
+    s"""$erFsPrelude,
        |kept AS (SELECT c.id_b, c.id_a, c.pid, ws.post_ppm
        |         FROM cand c JOIN ws USING (pid)
        |         WHERE ws.post_ppm >= 500000),
@@ -324,6 +334,41 @@ object OracleSql {
        |           FROM kept)
        |SELECT id_b, id_a, CAST(pid AS INTEGER) AS pid, post_ppm,
        |       CAST(n_candidates AS BIGINT) AS n_candidates
+       |FROM scored WHERE rn = 1 ORDER BY id_b""".stripMargin
+
+  /** er_resolve_fs_bands twin (r20): the FS'69 three-way decision +
+    * per-attribute log2 match weights over the same replayed EM.
+    * Weights recompute from wf's bit-identical m/u doubles with
+    * DuckDB's ln(); round(·, 6) absorbs the ≤1-ulp libm divergence
+    * vs the JVM's Math.log literals on the Spark side. No posterior
+    * floor — every B record's best candidate is banded.
+    */
+  private val erFsBandsSql: String = {
+    val attrNames = Seq("name", "acctbal", "suffix3")
+    val wtCols = attrNames.zipWithIndex.map { case (nm, i) =>
+      s"round(ln(m$i / u$i) / ln(2e0), 6) AS wa_$nm,\n" +
+        s"    round(ln((1e0 - m$i) / (1e0 - u$i)) / ln(2e0), 6) AS wd_$nm"
+    }.mkString(",\n    ")
+    val attrOut = attrNames.zipWithIndex.map { case (nm, i) =>
+      s"CAST(((pid >> $i) & 1) AS INTEGER) AS agree_$nm,\n" +
+        s"       CASE WHEN ((pid >> $i) & 1) = 1 THEN (SELECT wa_$nm FROM wt)\n" +
+        s"            ELSE (SELECT wd_$nm FROM wt) END AS wt_$nm"
+    }.mkString(",\n       ")
+    s"""$erFsPrelude,
+       |wt AS (SELECT
+       |    $wtCols
+       |  FROM wf),
+       |scored AS (SELECT c.id_b, c.id_a, c.pid, ws.post_ppm,
+       |                  count(*) OVER (PARTITION BY c.id_b) AS n_candidates,
+       |                  row_number() OVER (PARTITION BY c.id_b
+       |                    ORDER BY ws.post_ppm DESC, c.id_a) AS rn
+       |           FROM cand c JOIN ws USING (pid))
+       |SELECT id_b, id_a, CAST(pid AS INTEGER) AS pid, post_ppm,
+       |       CASE WHEN post_ppm >= 999995 THEN 'match'
+       |            WHEN post_ppm >= 500000 THEN 'possible'
+       |            ELSE 'non_match' END AS band,
+       |       CAST(n_candidates AS BIGINT) AS n_candidates,
+       |       $attrOut
        |FROM scored WHERE rn = 1 ORDER BY id_b""".stripMargin
   }
 
@@ -5008,6 +5053,7 @@ object OracleSql {
     // Every numeric literal is e-notation so DuckDB parses DOUBLE
     // (a bare 0.1 is DECIMAL there) and the IEEE trees match Scala's.
     "er_resolve_fs" -> erFsSql,
+    "er_resolve_fs_bands" -> erFsBandsSql,
 
     // Jaro-Winkler sibling: scores in ppm fixed point on BOTH engines
     // (floor(jw*1e6) — the Spark kernel is calibrated to DuckDB's

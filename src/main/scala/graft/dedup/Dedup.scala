@@ -293,6 +293,15 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
+    // With pointer jumping, exhausting maxIter (20) needs a
+    // ~2^20-diameter chain — practically unreachable — but a
+    // partially-converged labeling silently feeding dedup_canonical
+    // would be a correctness bug, so the exit path must not be mute.
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"componentsDistributed: label propagation exhausted maxIter=$maxIter " +
+          "before converging; returned components may be PARTIAL " +
+          "(some nodes not yet at their component's min label)")
     // The loop's final labels frame is cached, but its LINEAGE still
     // walks through edges (unpersisted next line) and the caller's
     // pair pipeline (dropped when releaseInput) — an executor loss

@@ -427,7 +427,7 @@ object Profile {
           .agg(F.sum(F.round(F.col("__mi_t"), 12).cast("decimal(26,14)")).as(as))
       cells.crossJoin(entropy(mx, "__mi_cx", "__mi_hx"))
         .crossJoin(entropy(my, "__mi_cy", "__mi_hy"))
-        .crossJoin(tot)
+        .crossJoin(F.broadcast(tot))
         .select(F.lit(tab).as("tab"), F.lit(x).as("col_x"),
           F.lit(y).as("col_y"), F.col("__mi_nn").as("n"), F.col("n_cells"),
           F.round(F.col("__mi_hx").cast("double"), 6).as("h_x"),

@@ -691,6 +691,16 @@ object Events {
     * t, so the per-type series must sit in one place: the array is
     * CALENDAR-bounded (days, not events — a decade is ~3.7k entries),
     * which is the honest parallel grain; types parallelize.
+    *
+    * Known quadratic bound: the fold accumulates its per-day output
+    * rows with array_append inside the aggregate lambda, which copies
+    * the accumulated array each step — O(n²) in series LENGTH within
+    * one task. At the calendar bound (~3.7k days/decade) that is ~7M
+    * element copies per type, negligible; a multi-decade series pays
+    * it visibly. The fix, if ever needed, is to fold only the (l, b)
+    * state stream and join the row fields back by day — kept simple
+    * here because the calendar bound makes the quadratic term moot.
+    * (Same bound applies to [[holtWinters]], which shares the shape.)
     */
   def holtLinear(events: DataFrame, alpha: String = "0.2",
                  beta: String = "0.1"): DataFrame = {
