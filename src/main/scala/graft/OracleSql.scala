@@ -1782,6 +1782,33 @@ object OracleSql {
         |         clean_text FROM txt)
         |SELECT uri, clean_text FROM uris ORDER BY uri""".stripMargin,
 
+    // WET twin (r20): the fixture's conversion payloads ARE the
+    // WARC extraction output, so the expectation is the identical
+    // closed-form template replay as warc_text_extract — passing
+    // both rows proves WET == extractText(WARC) transitively
+    "wet_text_extract" ->
+      """WITH txt AS (SELECT doc_id,
+        |  'Doc ' || doc_id || ' & café résumé Doc ' || doc_id || ' ' ||
+        |  trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g')) ||
+        |  ' fin <' || doc_id || '> éé' AS clean_text
+        |  FROM documents),
+        |uris AS (
+        |  SELECT format('http://EXample.org/docs/{}', doc_id) AS uri,
+        |         clean_text FROM txt
+        |  UNION ALL
+        |  SELECT format('http://www.example.org:80/docs/{}#frag', doc_id),
+        |         clean_text FROM txt)
+        |SELECT uri, clean_text FROM uris ORDER BY uri""".stripMargin,
+
+    // WAT twin (r20): the metadata envelope's fields replayed
+    // closed-form from the fixture's construction
+    "wat_meta" ->
+      """SELECT format('http://EXample.org/docs/{}', doc_id) AS uri,
+        |       doc_id,
+        |       CASE WHEN doc_id % 3 = 0 THEN 'iso-8859-1'
+        |            ELSE 'utf-8' END AS charset
+        |FROM documents ORDER BY uri""".stripMargin,
+
     // the composed crawl-ingest gate: by construction every canonical
     // URL holds exactly 2 copies (host-case vs www+port+fragment
     // variants) of 1 distinct text (utf-8 and latin-1 bodies decode
