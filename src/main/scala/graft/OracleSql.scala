@@ -1445,6 +1445,50 @@ object OracleSql {
          |            WHEN 1 THEN 'head' WHEN 3 THEN 'tail' ELSE 'middle' END AS bucket_name
          |FROM scored ORDER BY doc_id""".stripMargin,
 
+    // CCNet buckets on the TRAINED KN trigram scorer: the text_kn_lm
+    // probability chain verbatim, then the same ntile(3) total order
+    // as curate_buckets (score desc, doc_id asc). Docs with < 3
+    // tokens carry no trigram and drop out on both engines.
+    "curate_buckets_kn" ->
+      s"""WITH tk AS (SELECT doc_id, ${toks("text")} AS tl FROM documents),
+         |tri AS (SELECT doc_id, tl[i] || ' ' || tl[i+1] || ' ' || tl[i+2] AS tg
+         |        FROM (SELECT doc_id, tl, unnest(generate_series(1, len(tl) - 2)) AS i
+         |              FROM tk WHERE len(tl) >= 3)),
+         |bgt AS (SELECT DISTINCT tl[i] || ' ' || tl[i+1] AS bg
+         |        FROM (SELECT tl, unnest(generate_series(1, len(tl) - 1)) AS i
+         |              FROM tk WHERE len(tl) >= 2)),
+         |parts AS (SELECT tg, count(*) AS c3,
+         |                 split_part(tg, ' ', 1) || ' ' || split_part(tg, ' ', 2) AS w12,
+         |                 split_part(tg, ' ', 2) AS w2,
+         |                 split_part(tg, ' ', 2) || ' ' || split_part(tg, ' ', 3) AS w23,
+         |                 split_part(tg, ' ', 3) AS w3
+         |          FROM tri GROUP BY tg),
+         |hi AS (SELECT w12, sum(c3) AS c2ctx, count(*) AS n1_hi FROM parts GROUP BY w12),
+         |mid1 AS (SELECT w23, count(*) AS ncont FROM parts GROUP BY w23),
+         |mid2 AS (SELECT split_part(w23, ' ', 1) AS w2, sum(ncont) AS ncm,
+         |                count(*) AS n1_mid
+         |         FROM mid1 GROUP BY 1),
+         |uni AS (SELECT split_part(bg, ' ', 2) AS w3, count(*) AS nbg_pre
+         |        FROM bgt GROUP BY 1),
+         |tot AS (SELECT count(*) AS nbg_total FROM bgt),
+         |pr AS (SELECT tg,
+         |         ln(greatest(CAST(c3 AS DOUBLE) - 0.75, 0.0) / CAST(c2ctx AS DOUBLE)
+         |            + (0.75 * CAST(n1_hi AS DOUBLE) / CAST(c2ctx AS DOUBLE)) *
+         |              (greatest(CAST(ncont AS DOUBLE) - 0.75, 0.0) / CAST(ncm AS DOUBLE)
+         |               + (0.75 * CAST(n1_mid AS DOUBLE) / CAST(ncm AS DOUBLE)) *
+         |                 (CAST(nbg_pre AS DOUBLE) / CAST(nbg_total AS DOUBLE)))) AS logp
+         |       FROM parts JOIN hi USING (w12) JOIN mid1 USING (w23)
+         |            JOIN mid2 USING (w2) JOIN uni USING (w3), tot),
+         |scored AS (SELECT doc_id,
+         |             round(CAST(sum(CAST(round(logp, 9) AS DECIMAL(22,12))) AS DOUBLE)
+         |                   / count(*), 6) AS score
+         |           FROM tri JOIN pr USING (tg) GROUP BY doc_id)
+         |SELECT doc_id, score,
+         |       CAST(ntile(3) OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS bucket,
+         |       CASE ntile(3) OVER (ORDER BY score DESC, doc_id)
+         |            WHEN 1 THEN 'head' WHEN 3 THEN 'tail' ELSE 'middle' END AS bucket_name
+         |FROM scored ORDER BY doc_id""".stripMargin,
+
     "curate_gopher" ->
       s"""WITH tk AS (SELECT doc_id, ${toks("text")} AS tl FROM documents),
          |ln AS (SELECT doc_id, tl,

@@ -2899,6 +2899,16 @@ object SparkEntry {
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id")
 
+  private def curateBucketsKn(t: Tables): DataFrame =
+    // CCNet bucketing at published strength: tier by the TRAINED
+    // Kneser-Ney trigram LM (text_kn_lm's scorer) instead of the
+    // unigram fit — same equal-population thirds arithmetic, same
+    // (score desc, id asc) total order; sub-trigram docs drop out on
+    // both engines by the KN inner-join contract
+    Curate.qualityBucketsKn(t.documents, "doc_id", "text", buckets = 3)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
   private def textBigramLm(t: Tables): DataFrame =
     Curate.bigramLogProb(t.documents, "doc_id", "text")
       .select(F.col("id").as("doc_id"), F.col("n_bigrams"),
@@ -4682,6 +4692,7 @@ object SparkEntry {
       "curate_split" -> q(curateSplit),
       "curate_gopher" -> q(curateGopher),
       "curate_buckets" -> q(curateBuckets),
+      "curate_buckets_kn" -> q(curateBucketsKn),
       "dedup_paragraphs" -> q(dedupParagraphs),
       "curate_take" -> q(curateTake),
       "corpus_vocab" -> q(corpusVocab),

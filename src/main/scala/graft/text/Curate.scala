@@ -511,6 +511,35 @@ object Curate {
     require(buckets >= 2, s"need at least 2 buckets, got $buckets")
     val scored = unigramLogProb(df, idCol, textCol, headK)
       .select(F.col("id"), F.round(F.col("avg_logprob"), 6).as("score"))
+    bucketizeByScore(scored, buckets)
+  }
+
+  /** CCNet bucketing at the recipe's PUBLISHED strength: the actual
+    * Wenzek et al. LREC'20 §4.4 pipeline tiers by a TRAINED LM's
+    * perplexity, not a unigram fit — here [[knTrigramLogProb]]'s
+    * interpolated Kneser-Ney trigram score stands in for KenLM
+    * (same count-LM family; same fluency ranking role). Identical
+    * equal-population ntile arithmetic and (score desc, id asc)
+    * total order as [[qualityBuckets]] — only the scorer changes, so
+    * head/middle/tail populations stay exactly balanced and
+    * cross-engine deterministic. Documents with < 3 tokens carry no
+    * trigram and drop out of the ranking on BOTH engines (the KN
+    * scorer's inner-join contract).
+    */
+  def qualityBucketsKn(df: DataFrame, idCol: String, textCol: String,
+                       buckets: Int = 3): DataFrame = {
+    require(buckets >= 2, s"need at least 2 buckets, got $buckets")
+    val scored = knTrigramLogProb(df, idCol, textCol)
+      .select(F.col("id"), F.round(F.col("avg_logprob"), 6).as("score"))
+    bucketizeByScore(scored, buckets)
+  }
+
+  /** Shared equal-population ntile over (score desc, id asc):
+    * range-partitioned global rank + the closed-form NTILE fill
+    * (first n mod b buckets hold one extra row), one-row count on a
+    * broadcast. Input contract: (id, score) with score pre-rounded.
+    */
+  private def bucketizeByScore(scored: DataFrame, buckets: Int): DataFrame = {
     val ranked = graft.operators.Ranks.globalRank(
       scored, Seq(F.col("score").desc, F.col("id").asc))
     val n = ranked.agg(F.max("rnk").as("__n"))

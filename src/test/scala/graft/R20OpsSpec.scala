@@ -127,4 +127,29 @@ class R20OpsSpec extends SparkSpec {
         upperPpm = 100L, lowerPpm = 900000L)
     }
   }
+
+  // ------------------------------------------ KN-scored CCNet buckets
+
+  test("qualityBucketsKn: equal populations, KN score ranks fluency, sub-trigram docs drop") {
+    import graft.text.Curate
+    // 9 scorable docs: 3 fluent (repeat the corpus-dominant trigram),
+    // 3 mid, 3 shuffled-salad; plus one 2-token doc that carries no
+    // trigram and must vanish from the ranking entirely
+    val fluent = (1 to 3).map(i => (i.toLong, "the quick fox jumps over the quick fox"))
+    val mid = (4 to 6).map(i => (i.toLong, s"the quick fox item$i runs home today"))
+    val salad = (7 to 9).map(i => (i.toLong, s"fox the item$i quick jumps zz$i the"))
+    val short = Seq((10L, "too short"))
+    val docs = (fluent ++ mid ++ salad ++ short).toDF("doc_id", "text")
+    val out = Curate.qualityBucketsKn(docs, "doc_id", "text", buckets = 3)
+      .collect().map(r => (r.getAs[Long]("id"),
+        r.getAs[Long]("bucket"), r.getAs[String]("bucket_name"))).toSeq
+    assert(out.size == 9, "the 2-token doc has no trigram and must drop out")
+    assert(!out.exists(_._1 == 10L))
+    val byBucket = out.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byBucket.values.forall(_.size == 3), "equal-population thirds")
+    assert(byBucket(1) == Set(1L, 2L, 3L),
+      "the fluent docs must tier head under the KN scorer")
+    assert(out.filter(_._2 == 1L).forall(_._3 == "head"))
+    assert(out.filter(_._2 == 3L).forall(_._3 == "tail"))
+  }
 }
