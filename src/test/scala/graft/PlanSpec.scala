@@ -256,6 +256,10 @@ class PlanSpec extends SparkSpec {
     // quality bucketing broadcasts its ONE-ROW corpus-size frame into
     // the ranked corpus for the closed-form ntile (the q11 pattern)
     "curate_buckets",
+    // the KN-scored bucketing (r20) composes text_kn_lm's 1-row
+    // bigram-type-total crossJoin with curate_buckets' 1-row
+    // corpus-size crossJoin — both bounded-broadcast (q11 pattern)
+    "curate_buckets_kn",
     // r12 additions — all the established bounded shapes:
     // the IVFPQ/SQ recall gates embed the exact-truth baseline
     // (broadcast-query corpus scan, the ann_pq_recall shape); the SQ
