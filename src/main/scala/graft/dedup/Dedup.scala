@@ -77,9 +77,10 @@ object Dedup {
     // (id, sh) pairs and the doc sizes for candidate generation, and
     // the sorted arrays for merge-scan verification
     val sets = docShingleSets(df, idCol, textCol, k).persist()
-    val cands = candidatesFromSets(sets, threshold, dfCap, hotSalt)
+    val (cands, releasePrefix) = candidatesFromSets(sets, threshold, dfCap, hotSalt)
     val out = verifyJaccard(cands, sets, threshold).persist()
     out.count() // the ONLY materializing action: candidates + verify, one job
+    releasePrefix()
     sets.unpersist()
     out
   }
@@ -96,8 +97,10 @@ object Dedup {
       k: Int, threshold: Double, dfCap: Option[Long] = None,
       hotSalt: Option[(Long, Int)] = None): DataFrame = {
     val sets = docShingleSets(df, idCol, textCol, k).persist()
-    val cands = candidatesFromSets(sets, threshold, dfCap, hotSalt).persist()
+    val (cands0, releasePrefix) = candidatesFromSets(sets, threshold, dfCap, hotSalt)
+    val cands = cands0.persist()
     cands.count() // materialize while the set table is cached, then drop it
+    releasePrefix()
     sets.unpersist()
     cands
   }
@@ -110,7 +113,8 @@ object Dedup {
     */
   private def candidatesFromSets(sets: DataFrame, threshold: Double,
                                  dfCap: Option[Long],
-                                 hotSalt: Option[(Long, Int)] = None): DataFrame = {
+                                 hotSalt: Option[(Long, Int)] = None):
+      (DataFrame, () => Unit) = {
     val tok = sets.select(F.col("id"), F.explode(F.col("shs")).as("sh"))
     val sizes = sets.select(F.col("id"), F.col("sz"))
     val dfreq = tok.groupBy("sh").agg(F.count(F.lit(1)).as("df"))
@@ -120,8 +124,17 @@ object Dedup {
           .orderBy(F.col("df").asc, F.col("sh").asc)))
     val prefix0 = ranked.join(sizes, "id")
       .where(F.col("rk") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
+    // PERSISTED (r20): the prefix table feeds BOTH legs of the
+    // candidate self-join — and with hotSalt, both legs of the salted
+    // hot join too, FOUR computations of the explode+dfreq+window
+    // subtree in one plan (measured: the four duplicated map stages
+    // were ~45 s of the 100 s task time behind dedup_components_dist).
+    // One cache entry of (id, sh, df) prefix rows — a fraction of the
+    // shingle table by the prefix theorem — replaces three re-runs;
+    // the caller releases it right after its materializing action.
     val prefix = dfCap.fold(prefix0)(cap => prefix0.where(F.col("df") <= cap))
       .select("id", "sh", "df")
+      .persist()
     def candJoin(p: DataFrame): DataFrame =
       p.as("a").join(p.as("b"), Seq("sh"))
         .where(F.col("a.id") < F.col("b.id"))
@@ -147,7 +160,7 @@ object Dedup {
           .select("id1", "id2")
         candJoin(cold).unionAll(hotPairs)
     }
-    cands.distinct()
+    (cands.distinct(), () => { prefix.unpersist(); () })
   }
 
   /** Per-doc sorted shingle-hash set (id, shs, sz) — built per row
@@ -240,9 +253,36 @@ object Dedup {
     // no distinct() on the doubled edge list: the only consumer is the
     // min-aggregate below, which duplicate edges cannot perturb — the
     // distinct was a full extra shuffle of the edge table per build
-    val edges = p.select(F.col("id1").as("a"), F.col("id2").as("b"))
-      .unionAll(p.select(F.col("id2").as("a"), F.col("id1").as("b")))
-      .persist()
+    //
+    // r20: the cached edge frame feeds EVERY propagation round's map
+    // stage, so its partition count is derived from the measured edge
+    // count (guide §2 — size-adaptive, not the session constant); a
+    // toy graph collapses to single-task rounds instead of paying
+    // parallelism-many near-empty task launches per round, a huge
+    // graph still splits at ~1M rows/task
+    val par = p.sparkSession.sparkContext.defaultParallelism
+    val pE = graft.operators.Pins.partsForRows(2 * nPairs, par)
+    // PINNED, not persisted (r20): a persisted edge frame keeps the
+    // caller's ENTIRE pair-pipeline lineage in its logical plan, and
+    // every round's action (cache fill + convergence probe + broadcast
+    // builds) re-optimizes that whole tree on the driver — measured as
+    // ~0.3-0.5 s of between-stage driver time per job across ~30 loop
+    // jobs while every stage wall sat under 1 s. The eager
+    // localCheckpoint/checkpoint truncates the plan to a leaf once, so
+    // per-round planning cost is constant in the upstream's complexity.
+    val edges = graft.operators.Pins.pin(
+      p.select(F.col("id1").as("a"), F.col("id2").as("b"))
+        .unionAll(p.select(F.col("id2").as("a"), F.col("id1").as("b")))
+        .repartition(pE))
+    // measured-small label tables join with an explicit broadcast hint
+    // (guide §3.1): the per-round label frames are cached/derived
+    // frames with no reliable size statistics, so the planner would
+    // otherwise sort-merge and re-shuffle the edge frame every round;
+    // |labels| ≤ 2·nPairs bounds the broadcast decision by a measured
+    // scalar, and big graphs fall back to the planner's choice
+    def small(df: DataFrame): DataFrame =
+      if (2 * nPairs <= graft.operators.Pins.BroadcastRows) F.broadcast(df)
+      else df
     // cached: round 1 references the label frame on three join sides;
     // uncached, each side re-runs the node-distinct
     var labels = edges.select(F.col("a").as("id")).distinct()
@@ -256,7 +296,7 @@ object Dedup {
     var iter = 0
     while (!converged && iter < maxIter) {
       val neighborMin = edges
-        .join(labels.withColumnRenamed("id", "b2"),
+        .join(small(labels.withColumnRenamed("id", "b2")),
           F.col("b") === F.col("b2"))
         .groupBy(F.col("a").as("id"))
         .agg(F.min("component").as("nmin"))
@@ -266,7 +306,7 @@ object Dedup {
       // materialization barrier (measured 15s -> 38s with a cache);
       // at scale the shuffled exchanges under the self-join are
       // AQE-staged once per side either way
-      val relabeled = labels.join(neighborMin, Seq("id"), "left")
+      val relabeled = labels.join(small(neighborMin), Seq("id"), "left")
         .select(F.col("id"), F.col("component").as("prev"),
           F.least(F.col("component"), F.coalesce(F.col("nmin"), F.col("component")))
             .as("component"))
@@ -278,7 +318,8 @@ object Dedup {
       // the whole round cost at the low end; at scale the saved
       // shuffle is label-table-sized)
       val next = relabeled.as("x")
-        .join(relabeled.select(F.col("id").as("cid"), F.col("component").as("cc")).as("y"),
+        .join(small(relabeled.select(F.col("id").as("cid"),
+            F.col("component").as("cc")).as("y")),
           F.col("x.component") === F.col("y.cid"), "left")
         .select(F.col("x.id").as("id"), F.col("x.prev").as("prev"),
           F.coalesce(F.col("y.cc"), F.col("x.component")).as("component"))
@@ -316,7 +357,7 @@ object Dedup {
         labels.checkpoint()
       else labels.localCheckpoint(true)
     cached.unpersist()
-    edges.unpersist()
+    graft.operators.Pins.release(edges)
     done(pinned)
   }
 

@@ -540,8 +540,16 @@ object Linkage {
   def linkIndexBuild(a: DataFrame, path: String, blockCols: Seq[String],
                      idA: String, nameA: String): Unit = {
     require(blockCols.nonEmpty, "blocking key required")
+    // cluster by the partition key before the write (guide §6: small
+    // files hurt twice — here every input split would otherwise leave
+    // one file in EVERY block directory, |splits|×|blocks| tiny files,
+    // and each pruned serve pays the per-file open cost; the Iceberg
+    // hash write-distribution mode in plain parquet form). Blocks are
+    // low-cardinality and individually task-sized by the blocking
+    // contract, so one exchange yields one file per block dir.
     graft.sources.Sources.writePartitioned(
-      a.select((blockCols.map(F.col) :+ F.col(idA) :+ F.col(nameA)): _*),
+      a.select((blockCols.map(F.col) :+ F.col(idA) :+ F.col(nameA)): _*)
+        .repartition(blockCols.map(F.col): _*),
       path, partitionBy = blockCols)
   }
 

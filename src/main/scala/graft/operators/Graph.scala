@@ -64,28 +64,50 @@ object Graph {
     require(iters >= 1, "at least one iteration")
     val e = edges.select(F.col("src"), F.col("dst"), F.col("w").cast("long").as("w"))
       .persist()
+    // |E| drives the support frames' partition counts (guide §2:
+    // size-derived, not the session constant): the cached edge/node
+    // frames feed EVERY round's map stages, so right-sizing them once
+    // removes rounds × parallelism near-empty task launches on small
+    // graphs while big graphs still split at ~1M rows/task. The count
+    // doubles as e's materializing action.
+    val m = e.count()
+    val par = e.sparkSession.sparkContext.defaultParallelism
+    val pE = Pins.partsForRows(m, par)
     val outw = e.groupBy("src").agg(F.sum("w").as("outw"))
-    val ew = e.join(outw, "src")
+    // ew/nodes are PINNED, not persisted: a persisted support keeps
+    // the caller's whole edge-construction lineage in its plan and
+    // every round's action re-optimizes that tree on the driver
+    // (the dedup components loop measured ~0.3-0.5 s of between-stage
+    // driver time per job from exactly this); the eager pin truncates
+    // the plan to a leaf once
+    val ew = Pins.pin(e.join(outw, "src")
       .select(F.col("src"), F.col("dst"),
         (F.col("w").cast("double") / F.col("outw").cast("double")).as("frac"))
-      .persist()
+      .repartition(pE))
     // node table carries its sink flag (no out-edges) so the per-round
     // dangling-mass aggregate is a filter over the rank frame itself,
     // not an extra join
-    val nodes = e.select(F.col("src").as("node"))
+    val nodes = Pins.pin(e.select(F.col("src").as("node"))
       .unionAll(e.select(F.col("dst").as("node")))
       .distinct()
       .join(outw.select(F.col("src").as("node"), F.lit(false).as("__src")),
         Seq("node"), "left")
       .select(F.col("node"), F.coalesce(F.col("__src"), F.lit(true)).as("is_sink"))
-      .persist()
+      .repartition(pE))
     val n = nodes.count() // the one driver scalar — |V| as a long
     require(n > 0, "pageRank: empty edge list")
+    // checkpointed rank frames carry no size statistics, so without a
+    // hint every round's contribution join re-plans as sort-merge and
+    // re-shuffles the cached edge frame (guide §3.1); when |V| ≤ m is
+    // measured small, broadcast the rank slice instead — the edge side
+    // then never moves
+    def small(df: DataFrame): DataFrame =
+      if (n <= Pins.BroadcastRows) F.broadcast(df) else df
     var ranks = Pins.pin(nodes.select(F.col("node"), F.col("is_sink"),
       F.round(F.lit(1.0 / n), 12).cast("decimal(26,12)").as("rank")))
     for (_ <- 1 to iters) {
       val contrib = ew.join(
-          ranks.select(F.col("node").as("src"), F.col("rank")), "src")
+          small(ranks.select(F.col("node").as("src"), F.col("rank"))), "src")
         .select(F.col("dst").as("node"),
           F.round(F.col("rank").cast("double") * F.col("frac"), 12)
             .cast("decimal(26,12)").as("c"))
@@ -93,7 +115,7 @@ object Graph {
       val dang = ranks.where(F.col("is_sink"))
         .agg(F.coalesce(F.sum("rank"), F.lit(0).cast("decimal(26,12)"))
           .as("dang"))
-      val next = Pins.pin(nodes.join(inSum, Seq("node"), "left")
+      val next = Pins.pin(nodes.join(small(inSum), Seq("node"), "left")
         .crossJoin(F.broadcast(dang))
         .select(F.col("node"), F.col("is_sink"),
           F.round(F.lit((1.0 - damping) / n) + F.lit(damping) *
@@ -103,7 +125,7 @@ object Graph {
       Pins.release(ranks)
       ranks = next
     }
-    e.unpersist(); ew.unpersist(); nodes.unpersist()
+    e.unpersist(); Pins.release(ew); Pins.release(nodes)
     ranks.select("node", "rank")
   }
 
@@ -125,12 +147,17 @@ object Graph {
     require(iters >= 1, "at least one iteration")
     val e = edges.select(F.col("src"), F.col("dst"), F.col("w").cast("long").as("w"))
       .persist()
+    // size-derived support partitioning + measured-small broadcast
+    // hints — see [[pageRank]] (same loop, same round cost anatomy)
+    val m = e.count()
+    val par = e.sparkSession.sparkContext.defaultParallelism
+    val pE = Pins.partsForRows(m, par)
     val outw = e.groupBy("src").agg(F.sum("w").as("outw"))
-    val ew = e.join(outw, "src")
+    val ew = Pins.pin(e.join(outw, "src")
       .select(F.col("src"), F.col("dst"),
         (F.col("w").cast("double") / F.col("outw").cast("double")).as("frac"))
-      .persist()
-    val nodes = e.select(F.col("src").as("node"))
+      .repartition(pE))
+    val nodes = Pins.pin(e.select(F.col("src").as("node"))
       .unionAll(e.select(F.col("dst").as("node")))
       .distinct()
       .join(outw.select(F.col("src").as("node"), F.lit(false).as("__src")),
@@ -140,15 +167,17 @@ object Graph {
       .select(F.col("node"),
         F.coalesce(F.col("__src"), F.lit(true)).as("is_sink"),
         F.coalesce(F.col("__seed"), F.lit(false)).as("is_seed"))
-      .persist()
+      .repartition(pE))
     val s = nodes.where(F.col("is_seed")).count()
     require(s > 0, "personalizedPageRank: no seed present in the graph")
+    def small(df: DataFrame): DataFrame =
+      if (m <= Pins.BroadcastRows) F.broadcast(df) else df
     var ranks = Pins.pin(nodes.select(F.col("node"), F.col("is_sink"), F.col("is_seed"),
       F.when(F.col("is_seed"), F.round(F.lit(1.0 / s), 12))
         .otherwise(F.lit(0.0)).cast("decimal(26,12)").as("rank")))
     for (_ <- 1 to iters) {
       val contrib = ew.join(
-          ranks.select(F.col("node").as("src"), F.col("rank")), "src")
+          small(ranks.select(F.col("node").as("src"), F.col("rank"))), "src")
         .select(F.col("dst").as("node"),
           F.round(F.col("rank").cast("double") * F.col("frac"), 12)
             .cast("decimal(26,12)").as("c"))
@@ -156,7 +185,7 @@ object Graph {
       val dang = ranks.where(F.col("is_sink"))
         .agg(F.coalesce(F.sum("rank"), F.lit(0).cast("decimal(26,12)"))
           .as("dang"))
-      val next = Pins.pin(nodes.join(inSum, Seq("node"), "left")
+      val next = Pins.pin(nodes.join(small(inSum), Seq("node"), "left")
         .crossJoin(F.broadcast(dang))
         .select(F.col("node"), F.col("is_sink"), F.col("is_seed"),
           F.round(
@@ -172,7 +201,7 @@ object Graph {
       Pins.release(ranks)
       ranks = next
     }
-    e.unpersist(); ew.unpersist(); nodes.unpersist()
+    e.unpersist(); Pins.release(ew); Pins.release(nodes)
     ranks.select("node", "rank")
   }
 
@@ -228,10 +257,16 @@ object Graph {
     // not only pre-canonicalized ones (the wired graphs were already
     // canonical; arbitrary callers may not be). One distinct shuffle
     // at |E| — the price of an honest contract.
+    // persisted (r20): the canonicalized pair table feeds the doubled
+    // edge list (twice), the m aggregate and the intra join — four
+    // occurrences of the distinct in one plan, each a full shuffle of
+    // the input when unpersisted (the globalRank cache convention:
+    // Verify/Bench clear per query, long-lived callers clearCache)
     val p = pairs.select(F.least(F.col("a"), F.col("b")).as("a"),
         F.greatest(F.col("a"), F.col("b")).as("b"))
       .where(F.col("a") =!= F.col("b"))
       .distinct()
+      .persist()
     val e = p.unionAll(p.select(F.col("b").as("a"), F.col("a").as("b")))
     val mRow = p.agg(F.count(F.lit(1)).as("m"))
     val deg = e.groupBy(F.col("a").as("node")).agg(F.count(F.lit(1)).as("d"))
@@ -662,7 +697,19 @@ object Graph {
     */
   def triangleParticipationReleasable(
       pairs: DataFrame): (DataFrame, () => Unit) = {
-    val e = orientByDegree(pairs).persist()
+    // persist the undirected input once (r20): orientByDegree
+    // references it FIVE times in one plan (twice per degree-join leg
+    // plus the edge list itself), so an unpersisted upstream — e.g.
+    // the wired co-occurrence self-join + aggregate — re-ran five
+    // times per build (measured: ~5x the upstream's task time behind
+    // graph_clustering/triangles/modularity). An input that arrives
+    // already persisted (clusteringCoefficient shares its own copy)
+    // is not double-cached — the components() discipline.
+    val alreadyCached =
+      pairs.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val und = if (alreadyCached) pairs
+      else pairs.select(F.col("a"), F.col("b")).persist()
+    val e = orientByDegree(und).persist()
     val tri = e.as("e1")
       .join(e.as("e2"),
         F.col("e1.src") === F.col("e2.src") &&
@@ -680,7 +727,10 @@ object Graph {
     // blocking unpersist: the release promise is "no blocks remain",
     // not "blocks will eventually go" — callers (and the spec) may
     // check immediately
-    (out, () => { e.unpersist(true); tri.unpersist(true); () })
+    (out, () => {
+      if (!alreadyCached) und.unpersist(true)
+      e.unpersist(true); tri.unpersist(true); ()
+    })
   }
 
   /** Per-node LOCAL clustering coefficient (Watts & Strogatz '98)
@@ -696,11 +746,15 @@ object Graph {
     * undefined, not zero). Returns (node, deg, n_triangles, lcc_ppm).
     */
   def clusteringCoefficient(pairs: DataFrame): DataFrame = {
-    val und = pairs.select(F.col("a"), F.col("b"))
+    // ONE persisted copy of the undirected input shared between the
+    // degree count here and the triangle pass (which sees it already
+    // cached and does not re-persist) — unpersisted, the upstream pair
+    // builder ran ~7x in one plan (see triangleParticipationReleasable)
+    val und = pairs.select(F.col("a"), F.col("b")).persist()
     val deg = und.select(F.col("a").as("node"))
       .unionAll(und.select(F.col("b").as("node")))
       .groupBy("node").agg(F.count(F.lit(1)).as("deg"))
-    val tri = triangleParticipation(pairs)
+    val tri = triangleParticipation(und)
     deg.where(F.col("deg") >= 2)
       .join(tri, Seq("node"), "left")
       .select(F.col("node"), F.col("deg"),

@@ -19,6 +19,37 @@ import org.apache.spark.sql.execution.LogicalRDD
   */
 object Pins {
 
+  /** Row-count-derived partition count for iterative support frames
+    * (optimization guide §2: derive partitioning from measured input
+    * size, never a constant tuned for one deployment): ramps to full
+    * parallelism once a frame has enough rows to be worth splitting
+    * (~50k rows/task for the narrow rows these loops carry), then
+    * keeps growing past core count for genuinely large frames
+    * (~1M rows/task), so a 1e10-row frontier still gets thousands of
+    * partitions. The small end is the measured problem: a toy graph's
+    * cached supports inherit parallelism-many near-empty partitions,
+    * and every round then pays parallelism-many task launches per map
+    * stage — pageRank's 32-task map stages over a ~50k-row cached
+    * edge frame burned ~28 s of summed task time to move 5 MB.
+    */
+  def partsForRows(rows: Long, parallelism: Int): Int = {
+    val byCpu = math.min(parallelism.toLong, (rows + 49999) / 50000)
+    val byVolume = (rows + 999999) / 1000000
+    math.max(1L, math.max(byCpu, byVolume)).toInt
+  }
+
+  /** Rows below which an iterative loop's per-round small side (rank/
+    * label/frontier tables — narrow rows by construction) is joined
+    * with an explicit broadcast hint instead of a shuffle (guide §3.1:
+    * pick the strategy deliberately; the checkpointed frames these
+    * loops iterate carry NO size statistics, so the planner defaults
+    * to sort-merge and re-shuffles the big cached side every round).
+    * 1M narrow rows is tens of MB framed — comfortably under the
+    * session's 64 MB autoBroadcast bar and far under the 8 GB hard
+    * cap; above it the loop falls back to the planner's choice.
+    */
+  val BroadcastRows: Long = 1L << 20
+
   /** Eager lineage pin: a reliable checkpoint when the session has a
     * checkpoint dir (cluster deployments — survives executor loss),
     * else an eager localCheckpoint (single-JVM runs, where losing an

@@ -612,6 +612,12 @@ object Ann {
       // build) so ivfIndexAppend crash recovery is a partition-filter
       // rewrite
       .withColumn("ingest_batch", F.lit(-1L))
+      // cluster by the partition key before every cell-partitioned
+      // write (r20, guide §6): un-clustered, each of the writer's
+      // input splits leaves one file in EVERY cell directory —
+      // |splits|×|cells| tiny files whose per-file open cost every
+      // pruned serve pays; one exchange yields one file per cell
+      .repartition(F.col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/index")
   }
 
@@ -638,6 +644,7 @@ object Ann {
         F.element_at(topCells(F.col("cv"), cents, 1), 1).as("cell"))
       ++ extraCols.map(F.col)): _*)
       .withColumn("ingest_batch", F.lit(batchId))
+      .repartition(F.col("cell"))
       .write.mode("append").partitionBy("cell").parquet(s"$path/index")
   }
 
@@ -944,6 +951,7 @@ object Ann {
       // without that batch's rows — without the column a partial
       // append is indistinguishable from the corpus
       .withColumn("ingest_batch", F.lit(-1L))
+      .repartition(F.col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
   }
 
@@ -993,6 +1001,7 @@ object Ann {
       ++ extraCols.map(F.col)): _*)
     pqEncode(withCell, subDim, cbs, extra = "cell" +: extraCols)
       .withColumn("ingest_batch", F.lit(batchId))
+      .repartition(F.col("cell"))
       .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
   }
 
