@@ -47,12 +47,23 @@ object GraftSession {
   * (see /root/repo/TESTDATA.md).
   */
 final case class Tables(spark: SparkSession, dir: String) {
-  def load(name: String) = Tables.spread(spark.read.parquet(s"$dir/$name.parquet"))
+  def load(name: String) = spark.read.parquet(s"$dir/$name.parquet")
   lazy val region     = load("region")
   lazy val nation     = load("nation")
-  lazy val customer   = load("customer")
+  // SPREAD tables (r20, guide §2.5 — see Tables.spread): customer,
+  // part, documents and embeddings feed per-row CPU kernels in nearly
+  // every consumer (levenshtein/JW linkage and value matching on
+  // names, shingling/tokenizing, codec decodes, vector math), so the
+  // single-split serial scan was their bottleneck — measured wins of
+  // 1.5-6x per query (er_resolve 5.5→1.7 s, multimodal_image_
+  // phash_dedup 3.3→0.6 s). lineitem/orders/events stay UNSPREAD at
+  // load: their consumers are mostly shuffle-bound aggregates where a
+  // blanket exchange degrades map-side partial aggregation (measured
+  // +0.5-1.0 s per query across ~20 relational rows); the handful of
+  // genuinely scan-CPU-bound consumers spread at THEIR call sites.
+  lazy val customer   = Tables.spread(load("customer"))
   lazy val supplier   = load("supplier")
-  lazy val part       = load("part")
+  lazy val part       = Tables.spread(load("part"))
   lazy val orders     = load("orders")
   lazy val lineitem   = load("lineitem")
   // events.ts has shipped as parquet TIMESTAMP(NANOS) in some rounds
@@ -81,8 +92,8 @@ final case class Tables(spark: SparkSession, dir: String) {
       case _ => raw
     }
   }
-  lazy val documents  = load("documents")
-  lazy val embeddings = load("embeddings")
+  lazy val documents  = Tables.spread(load("documents"))
+  lazy val embeddings = Tables.spread(load("embeddings"))
 }
 
 object Tables {
@@ -96,16 +107,19 @@ object Tables {
     * q1_agg spent 1.7 s of its 2.2 s wall in a single scan task;
     * er_resolve ran its ~1.8M levenshtein candidates in 2 tasks).
     *
-    * Fix: when a scan plans fewer partitions than the session's
-    * parallelism AND the file is big enough to matter (>= 100 KB —
-    * region/nation/supplier stay broadcast-friendly single
-    * partitions), redistribute once with a round-robin exchange right
-    * after the read. The condition derives from the ACTUAL file
-    * layout: on a production deployment (splits >= cores) it is a
-    * NO-OP, so this is not a local-mode constant — it is the guide's
-    * documented remedy for unsplittable inputs. Filters and column
-    * pruning still push past a repartition to the scan (verified via
-    * explain: PushedFilters/ReadSchema unchanged). Opt-out:
+    * When a scan plans fewer partitions than the session's
+    * parallelism AND the file is big enough to matter (>= 100 KB),
+    * redistribute once right after the read. The condition derives
+    * from the ACTUAL file layout: on a production deployment (splits
+    * >= cores) it is a NO-OP, so this is not a local-mode constant —
+    * it is the guide's documented remedy for unsplittable inputs.
+    * Filters and column pruning still push past the repartition to
+    * the scan (verified via explain: PushedFilters/ReadSchema
+    * unchanged). APPLIED SELECTIVELY, not on every load: a blanket
+    * exchange taxes shuffle-bound consumers (worse map-side partial
+    * aggregation, measured +0.5-1.0 s/query on the relational suite),
+    * so only the kernel-heavy tables spread at load and a few
+    * scan-CPU-bound queries spread at their call sites. Opt-out:
     * SPARK_GRAFT_SPREAD_INPUT=0.
     */
   private val spreadInput: Boolean =
@@ -118,7 +132,17 @@ object Tables {
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     if (bytes < SpreadMinBytes ||
         df.rdd.getNumPartitions >= p) df
-    else df.repartition(p)
+    else {
+      // HASH repartition on every column, not round-robin: a keyless
+      // repartition(n) first locally SORTS its input so retried tasks
+      // reproduce the same row→partition map (SPARK-23207, guide
+      // §2.5) — measured at ~+0.7-1.0 s per query on these tables.
+      // Hashing the full row is retry-deterministic without the sort,
+      // and real tables have plenty of distinct tuples so the spread
+      // is even.
+      import org.apache.spark.sql.{functions => F}
+      df.repartition(p, df.columns.map(F.col).toIndexedSeq: _*)
+    }
   }
 
   /** Serializes the nanosAsLong conf toggle in [[Tables.events]] —

@@ -260,7 +260,7 @@ object SparkEntry {
     // one-scan numeric profiling of the fact table — the stats pass
     // the distribution matchers consume; the twin recomputes every
     // column's aggregate independently
-    harmonize.Profile.numeric(t.lineitem,
+    harmonize.Profile.numeric(Tables.spread(t.lineitem),
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
       .orderBy("column")
 
@@ -269,7 +269,7 @@ object SparkEntry {
     // sketch vs the exact count within 4x-rsd relative error —
     // literal-true oracle (the corpus_quantiles_approx pattern); the
     // production profile swaps countDistinct's EXPAND for this sketch
-    harmonize.Profile.numericApproxGate(t.lineitem,
+    harmonize.Profile.numericApproxGate(Tables.spread(t.lineitem),
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
       .orderBy("column")
 
@@ -327,7 +327,10 @@ object SparkEntry {
   private def onePlusTax = (F.lit(1) + decTax).cast("decimal(4,2)")
 
   private def q1(t: Tables): DataFrame =
-    t.lineitem
+    // call-site spread (r20): the decimal-product aggregate is
+    // scan-CPU-bound (1.7 s in ONE task unspread) and the grouping
+    // keys are low-cardinality, so partial aggregation stays perfect
+    Tables.spread(t.lineitem)
       .where(F.col("l_shipdate") <= ts("2000-01-01"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
@@ -3207,12 +3210,14 @@ object SparkEntry {
 
   private def profileCorrelation(t: Tables): DataFrame =
     // exact-decimal Pearson matrix over the fact numerics in ONE scan
-    harmonize.Profile.correlation(t.lineitem,
+    // call-site spread: the one-scan Gram accumulation is per-row
+    // multiply-heavy — scan-CPU-bound, one output row
+    harmonize.Profile.correlation(Tables.spread(t.lineitem),
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
       .orderBy("col_x", "col_y")
 
   private def profileHistogram(t: Tables): DataFrame =
-    harmonize.Profile.histogram(t.lineitem,
+    harmonize.Profile.histogram(Tables.spread(t.lineitem),
       Seq("l_quantity", "l_extendedprice"), nBins = 10)
       .orderBy("column", "bucket")
 
@@ -3872,7 +3877,9 @@ object SparkEntry {
     // oracle pins: o_orderkey determines everything exactly (it is
     // the key), and every 2-column determinant containing it does
     // too; the enum determinants rank by their honest g3 error.
-    harmonize.Discovery.fdDiscover("orders", t.orders,
+    // call-site spread: the C(5,2)+C(5,3) Expand multiplies scan rows
+    // 20x before the partial agg — scan-CPU-bound (guide §2)
+    harmonize.Discovery.fdDiscover("orders", Tables.spread(t.orders),
       Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate",
         "o_orderpriority"), maxErrorPpm = 10000L)
       .orderBy(F.col("error_ppm").asc, F.col("determinant").asc,
@@ -3905,7 +3912,7 @@ object SparkEntry {
     // the fdDiscover column set from ONE grouping-sets scan. Ground
     // truth the oracle pins: o_orderkey (and every pair containing
     // it) is a key; the rest rank by honest dup_rows.
-    harmonize.Discovery.uccDiscover("orders", t.orders,
+    harmonize.Discovery.uccDiscover("orders", Tables.spread(t.orders),
       Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate",
         "o_orderpriority"))
       .orderBy(F.col("dup_rows").asc, F.col("columns").asc)
@@ -3959,7 +3966,8 @@ object SparkEntry {
     // engines — Spark 28,6 vs DuckDB 38,6 — and the driver hashes
     // typed values); gid is built from single-column grouping()
     // bits, whose order the query controls, not the engine
-    t.lineitem.rollup(F.col("l_returnflag"), F.col("l_linestatus"))
+    Tables.spread(t.lineitem) // scan-CPU-bound Expand, low-card keys
+      .rollup(F.col("l_returnflag"), F.col("l_linestatus"))
       .agg(F.count(F.lit(1)).as("n_rows"),
         F.sum(F.col("l_extendedprice").cast("decimal(18,6)"))
           .cast("double").as("revenue"),

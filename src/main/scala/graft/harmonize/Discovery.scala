@@ -438,11 +438,19 @@ object Discovery {
       (1 to maxSize).flatMap(m => cols.combinations(m))
     val gs = df.groupingSets(sets.map(_.map(F.col)), cols.map(F.col): _*)
       .agg(F.count(F.lit(1)).as("cnt"), gidCol.as("gid"))
-    val branches = sets.map { s =>
-      gs.where(F.col("gid") === setGid(s))
-        .select(F.lit(s.mkString("+")).as("columns"), F.col("cnt"))
+    // gid-dispatched literal CASE instead of |sets| unioned filter
+    // branches (r20 — the fdDiscover r19 fix applied to its sibling):
+    // every grouping-sets row belongs to exactly one set, so one
+    // projection labels it; the union paid |sets| post-shuffle read
+    // passes over the Expand exchange (measured: profile_ucc_discover
+    // was the round's largest single-rep regression once scans went
+    // parallel, the 15 branches dominating its wall)
+    val lbl = sets.tail.foldLeft(
+      F.when(F.col("gid") === setGid(sets.head),
+        F.lit(sets.head.mkString("+")))) {
+      (acc, s) => acc.when(F.col("gid") === setGid(s), F.lit(s.mkString("+")))
     }
-    branches.reduce(_.unionAll(_))
+    gs.select(lbl.as("columns"), F.col("cnt"))
       .groupBy("columns")
       .agg(F.count(F.lit(1)).as("n_groups"), F.sum("cnt").as("n_rows"),
         F.max("cnt").as("max_dup"))
