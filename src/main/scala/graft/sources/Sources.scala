@@ -74,7 +74,15 @@ object Sources {
     // delete anything).
     if (mode == SaveMode.Overwrite && !df.sparkSession.catalog.tableExists(table))
       deleteStaleTableLocation(df.sparkSession, table)
-    val w = df.write.format("parquet").mode(mode)
+    // cluster by the bucket key before the write (r20, guide §6): a
+    // bucketed write emits one file PER (input split × bucket) — an
+    // n-split input leaves n files in every bucket, and every bucketed
+    // read then pays n per-file opens per bucket; one exchange on the
+    // bucket key yields one file per bucket and makes any sortBy total
+    // within its bucket
+    import org.apache.spark.sql.{functions => F}
+    val clustered = df.repartition(bucketBy.map(F.col): _*)
+    val w = clustered.write.format("parquet").mode(mode)
       .bucketBy(nBuckets, bucketBy.head, bucketBy.tail: _*)
     (if (sortBy.nonEmpty) w.sortBy(sortBy.head, sortBy.tail: _*) else w)
       .saveAsTable(table)
