@@ -3059,20 +3059,32 @@ object SparkEntry {
     * schema's join paths (l_orderkey ⊆ o_orderkey, c_nationkey ⊆
     * n_nationkey, ...) plus the non-inclusions that prove direction.
     */
-  private def indCandidates(t: Tables): Seq[(String, DataFrame, String)] = Seq(
-    ("nation.n_nationkey", t.nation, "n_nationkey"),
-    ("nation.n_regionkey", t.nation, "n_regionkey"),
-    ("region.r_regionkey", t.region, "r_regionkey"),
-    ("customer.c_custkey", t.customer, "c_custkey"),
-    ("customer.c_nationkey", t.customer, "c_nationkey"),
-    ("supplier.s_suppkey", t.supplier, "s_suppkey"),
-    ("supplier.s_nationkey", t.supplier, "s_nationkey"),
-    ("part.p_partkey", t.part, "p_partkey"),
-    ("orders.o_orderkey", t.orders, "o_orderkey"),
-    ("orders.o_custkey", t.orders, "o_custkey"),
-    ("lineitem.l_orderkey", t.lineitem, "l_orderkey"),
-    ("lineitem.l_partkey", t.lineitem, "l_partkey"),
-    ("lineitem.l_suppkey", t.lineitem, "l_suppkey"))
+  private def indCandidates(t: Tables): Seq[(String, DataFrame, String)] = {
+    // call-site spread (r21, guide §2.5 — the profile_numeric
+    // treatment): orders/lineitem are UNSPREAD at load, so both the
+    // exact side's explode+distinct map work and the sketch side's
+    // per-frame KMV/HLL aggregates ran in ONE task per table
+    // (measured: 1-3-task stages of 1.2-2.5 s summed task time inside
+    // profile_inclusion_sketch). Spread ONCE per table here — the
+    // frames are grouped by reference identity in groupByFrame, so
+    // each table still scans once.
+    val orders = Tables.spread(t.orders)
+    val lineitem = Tables.spread(t.lineitem)
+    Seq(
+      ("nation.n_nationkey", t.nation, "n_nationkey"),
+      ("nation.n_regionkey", t.nation, "n_regionkey"),
+      ("region.r_regionkey", t.region, "r_regionkey"),
+      ("customer.c_custkey", t.customer, "c_custkey"),
+      ("customer.c_nationkey", t.customer, "c_nationkey"),
+      ("supplier.s_suppkey", t.supplier, "s_suppkey"),
+      ("supplier.s_nationkey", t.supplier, "s_nationkey"),
+      ("part.p_partkey", t.part, "p_partkey"),
+      ("orders.o_orderkey", orders, "o_orderkey"),
+      ("orders.o_custkey", orders, "o_custkey"),
+      ("lineitem.l_orderkey", lineitem, "l_orderkey"),
+      ("lineitem.l_partkey", lineitem, "l_partkey"),
+      ("lineitem.l_suppkey", lineitem, "l_suppkey"))
+  }
 
   private def profileInclusion(t: Tables): DataFrame =
     harmonize.Discovery.inclusion(indCandidates(t))
@@ -3131,12 +3143,16 @@ object SparkEntry {
     // All integer cross-multiplied (no per-row division) — see Drift.
     val early = t.orders.where(F.col("o_orderdate") < ts("1998-01-01"))
     val late = t.orders.where(F.col("o_orderdate") >= ts("1998-01-01"))
-    Drift.ksDrift("orders_totalprice:pre1998_vs_post", early, late, "o_totalprice")
-      .unionAll(Drift.ksDrift("lineitem_extprice:R_vs_A",
-        t.lineitem.where(F.col("l_returnflag") === "R"),
-        t.lineitem.where(F.col("l_returnflag") === "A"), "l_extendedprice"))
-      .unionAll(Drift.ksDrift("orders_totalprice:self", t.orders, t.orders,
-        "o_totalprice"))
+    // ONE fused tagged pass for all three comparisons (r21, ksDriftMany
+    // doc): same rows as the three-call unionAll it replaces — each
+    // comparison's KS/TV arithmetic is independent under the tag — but
+    // one shuffle/persist/collect chain instead of three.
+    Drift.ksDriftMany(Seq(
+        ("orders_totalprice:pre1998_vs_post", early, late, "o_totalprice"),
+        ("lineitem_extprice:R_vs_A",
+          t.lineitem.where(F.col("l_returnflag") === "R"),
+          t.lineitem.where(F.col("l_returnflag") === "A"), "l_extendedprice"),
+        ("orders_totalprice:self", t.orders, t.orders, "o_totalprice")))
       .orderBy("comparison")
   }
 

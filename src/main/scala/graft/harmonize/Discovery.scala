@@ -199,7 +199,14 @@ object Discovery {
             F.col(s"__nd_$i").as("nd")) }: _*)).as("s"))
         .select(F.col("s.col").as("col"), F.col("s.sig").as("sig"),
           F.col("s.nd").as("nd"))
-    }.reduce(_ unionAll _)
+      // persisted + materialized (r21, guide §1.2 repeated subtrees):
+      // this frame feeds BOTH sides of the pair cross-join below, and
+      // each side is a separate plan instance — unpersisted, the
+      // KMV+HLL full-scan aggregate over every source table (the
+      // query's dominant CPU) executed TWICE. The cache is one row
+      // per column (|cols| rows of numHashes longs) — driver-small.
+    }.reduce(_ unionAll _).persist()
+    sk.count()
     // the Beyer et al. KMV Jaccard: with S = the k smallest of the
     // merged sketches (array set ops suffice — the sketches are
     // sorted sign-flipped, so signed order IS unsigned hash order),

@@ -48,72 +48,120 @@ object Drift {
     * offsets were read).
     */
   def ksDrift(comparison: String, a: DataFrame, b: DataFrame,
-              valueCol: String, parts: Int = 0): DataFrame = {
-    val spark = a.sparkSession
+              valueCol: String, parts: Int = 0): DataFrame =
+    ksDriftMany(Seq((comparison, a, b, valueCol)), parts)
+
+  /** k [[ksDrift]] comparisons FUSED into one tagged pass (r21,
+    * guide §2.4 — the profile_drift_ks wall was k× fixed costs, not
+    * data): every (comparison, side) input is tagged with its
+    * comparison label, so ONE per-(comparison, value) aggregate, ONE
+    * persisted range layout, ONE p·k-row totals collect and ONE
+    * windowed cumulative pass serve all k comparisons — the
+    * per-comparison shuffle/persist/collect/head fixed costs are paid
+    * once. All value columns must share one union-compatible type
+    * (they group per comparison, so widening never mixes sides).
+    * Arithmetic is per comparison and unchanged: cumulative sums
+    * window PARTITIONED BY (partition ordinal, comparison), offsets
+    * key on (ordinal, comparison), and the final cross-multiplied
+    * integer divisions run on the driver over the k collected
+    * decimal scalars — BigInteger truncating division over
+    * non-negative operands, bit-identical to the SQL `div` it
+    * replaces. Returns k rows (comparison, n_a, n_b, ks_ppm, tv_ppm)
+    * in input order.
+    */
+  def ksDriftMany(inputs: Seq[(String, DataFrame, DataFrame, String)],
+                  parts: Int = 0): DataFrame = {
+    require(inputs.nonEmpty, "ksDriftMany: at least one comparison")
+    require(inputs.map(_._1).distinct.size == inputs.size,
+      "ksDriftMany: comparison labels must be unique")
+    val spark = inputs.head._2.sparkSession
     val p0 = if (parts > 0) parts
              else math.max(1, spark.sessionState.conf.numShufflePartitions)
-    val tagged = a.select(F.col(valueCol).as("__v"),
-        F.lit(1L).as("__ia"), F.lit(0L).as("__ib"))
-      .unionAll(b.select(F.col(valueCol).as("__v"),
-        F.lit(0L).as("__ia"), F.lit(1L).as("__ib")))
-      .where(F.col("__v").isNotNull)
-    val perValue = tagged.groupBy("__v")
+    val tagged = inputs.map { case (cmp, a, b, valueCol) =>
+      a.select(F.lit(cmp).as("__cmp"), F.col(valueCol).as("__v"),
+          F.lit(1L).as("__ia"), F.lit(0L).as("__ib"))
+        .unionAll(b.select(F.lit(cmp).as("__cmp"), F.col(valueCol).as("__v"),
+          F.lit(0L).as("__ia"), F.lit(1L).as("__ib")))
+    }.reduce(_ unionAll _).where(F.col("__v").isNotNull)
+    val perValue = tagged.groupBy("__cmp", "__v")
       .agg(F.sum("__ia").as("ca"), F.sum("__ib").as("cb"))
-    val stamped = perValue.repartitionByRange(p0, F.col("__v"))
-      .sortWithinPartitions("__v")
+    val stamped = perValue.repartitionByRange(p0, F.col("__cmp"), F.col("__v"))
+      .sortWithinPartitions("__cmp", "__v")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // pass 1: per-partition totals (p rows after partial agg) -> driver
-    // prefix sums. Grouping on spark_partition_id projected first
-    // (nondeterministic expressions are legal in a Project only).
+    // pass 1: per-(partition, comparison) totals (<= p*k rows after
+    // partial agg) -> driver prefix sums per comparison. Grouping on
+    // spark_partition_id projected first (nondeterministic
+    // expressions are legal in a Project only). Range partitioning
+    // assigns ascending (__cmp, __v) ranges to ascending ordinals, so
+    // pid order IS each comparison's value order.
     val totals = stamped
       .select(F.spark_partition_id().cast("long").as("__pid"),
-        F.col("ca"), F.col("cb"))
-      .groupBy("__pid")
+        F.col("__cmp"), F.col("ca"), F.col("cb"))
+      .groupBy("__pid", "__cmp")
       .agg(F.sum("ca").as("ta"), F.sum("cb").as("tb"))
-      .orderBy("__pid")
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    val nA = totals.map(_._2).sum
-    val nB = totals.map(_._3).sum
-    require(nA > 0 && nB > 0,
-      s"ksDrift($comparison): both sides need rows (n_a=$nA, n_b=$nB)")
-    var accA = 0L; var accB = 0L
-    val offA = totals.map { case (p, ta, _) => val e = p -> accA; accA += ta; e }.toMap
-    val offB = totals.map { case (p, _, tb) => val e = p -> accB; accB += tb; e }.toMap
+      .orderBy("__cmp", "__pid")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val nA = totals.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val nB = totals.groupBy(_._2).view.mapValues(_.map(_._4).sum).toMap
+    inputs.foreach { case (cmp, _, _, _) =>
+      val (na, nb) = (nA.getOrElse(cmp, 0L), nB.getOrElse(cmp, 0L))
+      require(na > 0 && nb > 0,
+        s"ksDrift($cmp): both sides need rows (n_a=$na, n_b=$nb)")
+    }
+    // offsets keyed "pid|comparison" (totals are already in
+    // (__cmp, __pid) order, so the running sums accumulate per
+    // comparison across ascending ordinals)
+    val accA = collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    val accB = collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    val offA = collection.mutable.Map.empty[String, Long]
+    val offB = collection.mutable.Map.empty[String, Long]
+    totals.foreach { case (p, cmp, ta, tb) =>
+      offA(s"$p|$cmp") = accA(cmp); accA(cmp) += ta
+      offB(s"$p|$cmp") = accB(cmp); accB(cmp) += tb
+    }
     val pid = F.spark_partition_id().cast("long")
-    val w = Window.partitionBy("__pid").orderBy("__v")
+    val offKey = F.concat_ws("|", F.col("__pid").cast("string"), F.col("__cmp"))
+    val w = Window.partitionBy("__pid", "__cmp").orderBy("__v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // pass 2: same persisted layout — local running sums + offsets
+    val nAc = F.element_at(F.typedlit(nA), F.col("__cmp"))
+    val nBc = F.element_at(F.typedlit(nB), F.col("__cmp"))
     val cum = stamped
-      .select(F.col("__v"), F.col("ca"), F.col("cb"), pid.as("__pid"))
+      .select(F.col("__cmp"), F.col("__v"), F.col("ca"), F.col("cb"),
+        pid.as("__pid"))
       .withColumn("cumA",
-        F.element_at(F.typedlit(offA), F.col("__pid")) + F.sum("ca").over(w))
+        F.element_at(F.typedlit(offA.toMap), offKey) + F.sum("ca").over(w))
       .withColumn("cumB",
-        F.element_at(F.typedlit(offB), F.col("__pid")) + F.sum("cb").over(w))
-    val nAl = F.lit(nA); val nBl = F.lit(nB)
-    val row = cum.agg(
-        F.max(F.abs(d38(F.col("cumA")) * d38(nBl) - d38(F.col("cumB")) * d38(nAl)))
+        F.element_at(F.typedlit(offB.toMap), offKey) + F.sum("cb").over(w))
+    val aggRows = cum.groupBy("__cmp").agg(
+        F.max(F.abs(d38(F.col("cumA")) * d38(nBc) - d38(F.col("cumB")) * d38(nAc)))
           .as("__d"),
-        F.sum(F.abs(d38(F.col("ca")) * d38(nBl) - d38(F.col("cb")) * d38(nAl)))
+        F.sum(F.abs(d38(F.col("ca")) * d38(nBc) - d38(F.col("cb")) * d38(nAc)))
           .as("__tv"))
-      .select(
-        F.expr(s"CAST((__d * CAST(1000000 AS DECIMAL(38,0))) div " +
-          s"(CAST($nA AS DECIMAL(38,0)) * CAST($nB AS DECIMAL(38,0))) AS BIGINT)")
-          .as("ks_ppm"),
-        F.expr(s"CAST((__tv * CAST(1000000 AS DECIMAL(38,0))) div " +
-          s"(CAST(2 AS DECIMAL(38,0)) * CAST($nA AS DECIMAL(38,0)) * " +
-          s"CAST($nB AS DECIMAL(38,0))) AS BIGINT)").as("tv_ppm"))
-      .head()
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getDecimal(1).toBigInteger, r.getDecimal(2).toBigInteger))
+      .toMap
     stamped.unpersist(true)
+    val M = java.math.BigInteger.valueOf(1000000L)
     val schema = StructType(Seq(
       StructField("comparison", StringType, nullable = false),
       StructField("n_a", LongType, nullable = false),
       StructField("n_b", LongType, nullable = false),
       StructField("ks_ppm", LongType, nullable = false),
       StructField("tv_ppm", LongType, nullable = false)))
-    spark.createDataFrame(
-      java.util.Arrays.asList(
-        Row(comparison, nA, nB, row.getLong(0), row.getLong(1))),
-      schema)
+    val rows = inputs.map { case (cmp, _, _, _) =>
+      val (d, tv) = aggRows(cmp)
+      val na = java.math.BigInteger.valueOf(nA(cmp))
+      val nb = java.math.BigInteger.valueOf(nB(cmp))
+      val ks = d.multiply(M).divide(na.multiply(nb))
+      val tvp = tv.multiply(M)
+        .divide(java.math.BigInteger.TWO.multiply(na).multiply(nb))
+      Row(cmp, nA(cmp), nB(cmp), ks.longValueExact, tvp.longValueExact)
+    }
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, schema)
   }
 
   /** Bucketed chi-square drift for numeric columns — the 100 TB scale

@@ -168,10 +168,19 @@ object Graph {
         F.coalesce(F.col("__src"), F.lit(true)).as("is_sink"),
         F.coalesce(F.col("__seed"), F.lit(false)).as("is_seed"))
       .repartition(pE))
-    val s = nodes.where(F.col("is_seed")).count()
+    // ONE aggregate yields both driver scalars: |V| (the broadcast
+    // gate — the frames hinted below are |V|-row rank tables, so
+    // gating on m as before could force broadcasts of up to 2m rows,
+    // double the documented Pins.BroadcastRows bound, and conversely
+    // skipped tiny-|V| graphs with many edges) and |S| (the teleport
+    // mass denominator).
+    val nsRow = nodes.agg(F.count(F.lit(1)).as("n"),
+      F.sum(F.when(F.col("is_seed"), 1L).otherwise(0L)).as("s")).head()
+    val n = nsRow.getLong(0)
+    val s = nsRow.getLong(1)
     require(s > 0, "personalizedPageRank: no seed present in the graph")
     def small(df: DataFrame): DataFrame =
-      if (m <= Pins.BroadcastRows) F.broadcast(df) else df
+      if (n <= Pins.BroadcastRows) F.broadcast(df) else df
     var ranks = Pins.pin(nodes.select(F.col("node"), F.col("is_sink"), F.col("is_seed"),
       F.when(F.col("is_seed"), F.round(F.lit(1.0 / s), 12))
         .otherwise(F.lit(0.0)).cast("decimal(26,12)").as("rank")))
@@ -250,7 +259,19 @@ object Graph {
     * driver round-trip. Returns (community, n_nodes, intra_edges,
     * degree_sum, q_num), |communities| rows, unordered.
     */
-  def modularity(pairs: DataFrame, communities: DataFrame): DataFrame = {
+  def modularity(pairs: DataFrame, communities: DataFrame): DataFrame =
+    modularityReleasable(pairs, communities)._1
+
+  /** [[modularity]] plus a release handle that unpersists the pinned
+    * canonical pair table (it feeds the doubled edge list twice, the
+    * m aggregate and the intra join — four occurrences in one plan).
+    * The triangleParticipationReleasable convention: the plain
+    * overload leaves the cache for downstream reuse (Verify/Bench
+    * clear per query); long-lived sessions call the handle once the
+    * |communities|-row result is consumed.
+    */
+  def modularityReleasable(pairs: DataFrame,
+                           communities: DataFrame): (DataFrame, () => Unit) = {
     // canonical-input normalization (r15): self-loops dropped, both
     // orientations + duplicates collapsed to one canonical (a<b) row —
     // so m, degrees and intra counts are well-defined for ANY input,
@@ -260,8 +281,7 @@ object Graph {
     // persisted (r20): the canonicalized pair table feeds the doubled
     // edge list (twice), the m aggregate and the intra join — four
     // occurrences of the distinct in one plan, each a full shuffle of
-    // the input when unpersisted (the globalRank cache convention:
-    // Verify/Bench clear per query, long-lived callers clearCache)
+    // the input when unpersisted
     val p = pairs.select(F.least(F.col("a"), F.col("b")).as("a"),
         F.greatest(F.col("a"), F.col("b")).as("b"))
       .where(F.col("a") =!= F.col("b"))
@@ -289,13 +309,14 @@ object Graph {
     val m19 = F.col("m").cast("decimal(19,0)")
     val intra19 = F.coalesce(F.col("intra_edges"), F.lit(0L)).cast("decimal(19,0)")
     val d19 = F.col("degree_sum").cast("decimal(19,0)")
-    dc.join(intra, Seq("community"), "left")
+    val out = dc.join(intra, Seq("community"), "left")
       .crossJoin(F.broadcast(mRow))
       .select(F.col("community"), F.col("n_nodes"),
         F.coalesce(F.col("intra_edges"), F.lit(0L)).as("intra_edges"),
         F.col("degree_sum"),
         (F.lit(4L).cast("decimal(19,0)") * m19 * intra19 - d19 * d19)
           .cast("long").as("q_num"))
+    (out, () => { p.unpersist(true); () })
   }
 
   /** Community detection by synchronous label propagation (Raghavan,
@@ -745,7 +766,16 @@ object Graph {
     * report lcc 0, degree-1 nodes are excluded (the coefficient is
     * undefined, not zero). Returns (node, deg, n_triangles, lcc_ppm).
     */
-  def clusteringCoefficient(pairs: DataFrame): DataFrame = {
+  def clusteringCoefficient(pairs: DataFrame): DataFrame =
+    clusteringCoefficientReleasable(pairs)._1
+
+  /** [[clusteringCoefficient]] plus a release handle covering BOTH its
+    * own pinned undirected copy and the triangle pass's pinned frames
+    * (oriented edges + triangle list) — the
+    * triangleParticipationReleasable convention, composed.
+    */
+  def clusteringCoefficientReleasable(
+      pairs: DataFrame): (DataFrame, () => Unit) = {
     // ONE persisted copy of the undirected input shared between the
     // degree count here and the triangle pass (which sees it already
     // cached and does not re-persist) — unpersisted, the upstream pair
@@ -754,8 +784,8 @@ object Graph {
     val deg = und.select(F.col("a").as("node"))
       .unionAll(und.select(F.col("b").as("node")))
       .groupBy("node").agg(F.count(F.lit(1)).as("deg"))
-    val tri = triangleParticipation(und)
-    deg.where(F.col("deg") >= 2)
+    val (tri, triRelease) = triangleParticipationReleasable(und)
+    val out = deg.where(F.col("deg") >= 2)
       .join(tri, Seq("node"), "left")
       .select(F.col("node"), F.col("deg"),
         F.coalesce(F.col("n_triangles"), F.lit(0L)).as("n_triangles"),
@@ -764,5 +794,6 @@ object Graph {
           "CAST(1000000 AS DECIMAL(38,0))) div " +
           "(CAST(deg AS DECIMAL(38,0)) * CAST(deg - 1 AS DECIMAL(38,0))) " +
           "AS BIGINT)").as("lcc_ppm"))
+    (out, () => { triRelease(); und.unpersist(true); () })
   }
 }

@@ -441,6 +441,28 @@ object Ann {
     */
   private[similarity] def boundedTrainSample(c: DataFrame, maxTrain: Int,
                                              rowCountHint: Option[Long]): DataFrame = {
+    val m = sampleModulus(c, maxTrain, rowCountHint)
+    val trainSet = c
+      .where(F.pmod(F.xxhash64(F.col("neighbor_id")), F.lit(m)) === 0)
+      .orderBy(F.xxhash64(F.col("neighbor_id")), F.col("neighbor_id"))
+      .limit(maxTrain)
+      // TakeOrdered emits one partition; respread (~25k vectors per
+      // slice at the design bound) so the distributed consumers (the
+      // PCA mean/Gram aggregates) parallelize — the Lloyd trainers
+      // collect in total id order, so layout never reaches them
+      .repartition(math.max(1, maxTrain / 25000))
+      .persist()
+    trainSet.count()
+    trainSet
+  }
+
+  /** The pre-filter modulus shared by [[boundedTrainSample]] and
+    * [[collectBoundedSampleVecs]] — an order-of-magnitude knob, not a
+    * correctness input (the TakeOrdered bound caps the sample
+    * exactly either way).
+    */
+  private def sampleModulus(c: DataFrame, maxTrain: Int,
+                            rowCountHint: Option[Long]): Long = {
     val n = rowCountHint.getOrElse {
       val plan = c.queryExecution.optimizedPlan
       plan.stats.rowCount.map(_.longValue).getOrElse {
@@ -456,19 +478,32 @@ object Ann {
         else c.count()
       }
     }
-    val m = math.max(1L, n / math.max(1L, 2L * maxTrain))
-    val trainSet = c
-      .where(F.pmod(F.xxhash64(F.col("neighbor_id")), F.lit(m)) === 0)
+    math.max(1L, n / math.max(1L, 2L * maxTrain))
+  }
+
+  /** [[boundedTrainSample]] FUSED with [[collectSampleVecs]] for
+    * trainers whose only consumer is the driver Lloyd (r21, guide §5
+    * driver fixed costs): the filtered TakeOrdered slice collects in
+    * ONE job — no persist/count/collect round trips — then sorts by
+    * id on the driver. Membership is the same pure function of the
+    * ids (TakeOrdered on (id hash, id), a total order) and the
+    * returned order is the same total id order collectSampleVecs
+    * produced, so training input is bit-identical. Distributed
+    * consumers (the PCA mean/Gram aggregates) keep the
+    * DataFrame-returning variant.
+    */
+  private[similarity] def collectBoundedSampleVecs(
+      c: DataFrame, maxTrain: Int,
+      rowCountHint: Option[Long]): Array[Array[Double]] = {
+    val m = sampleModulus(c, maxTrain, rowCountHint)
+    c.where(F.pmod(F.xxhash64(F.col("neighbor_id")), F.lit(m)) === 0)
       .orderBy(F.xxhash64(F.col("neighbor_id")), F.col("neighbor_id"))
       .limit(maxTrain)
-      // TakeOrdered emits one partition; respread (~25k vectors per
-      // slice at the design bound) so the distributed consumers (the
-      // PCA mean/Gram aggregates) parallelize — the Lloyd trainers
-      // collect in total id order, so layout never reaches them
-      .repartition(math.max(1, maxTrain / 25000))
-      .persist()
-    trainSet.count()
-    trainSet
+      // the engine-side sort keeps id-type ordering semantics exactly
+      // those of collectSampleVecs' orderBy (maxTrain rows, one task)
+      .orderBy("neighbor_id")
+      .select(F.transform(F.col("cv"), x => x.cast("double")).as("v"))
+      .collect().map(_.getSeq[Double](0).toArray)
   }
 
   /** Lloyd-trained coarse-quantizer centroids over (neighbor_id, cv).
@@ -541,10 +576,10 @@ object Ann {
                              maxTrain: Int,
                              rowCountHint: Option[Long] = None,
                              sharedSample: Option[DataFrame] = None): Seq[Seq[Double]] = {
-    val trainSet = sharedSample.getOrElse(
-      boundedTrainSample(c, maxTrain, rowCountHint))
-    val rows = collectSampleVecs(trainSet)
-    if (sharedSample.isEmpty) trainSet.unpersist()
+    val rows = sharedSample match {
+      case Some(s) => collectSampleVecs(s)
+      case None => collectBoundedSampleVecs(c, maxTrain, rowCountHint)
+    }
     lloydLocal(rows, nCells, iters)
   }
 
@@ -616,8 +651,13 @@ object Ann {
       // write (r20, guide §6): un-clustered, each of the writer's
       // input splits leaves one file in EVERY cell directory —
       // |splits|×|cells| tiny files whose per-file open cost every
-      // pruned serve pays; one exchange yields one file per cell
-      .repartition(F.col("cell"))
+      // pruned serve pays; one exchange yields one file per cell.
+      // COUNT-ALIGNED to nCells (r21): without the explicit count AQE
+      // coalesces the tiny post-shuffle partitions into ONE and the
+      // whole partitioned write runs serially in a single task;
+      // nCells tasks keep the write parallel while each cell still
+      // lands in exactly one task (hence one file per cell dir).
+      .repartition(nCells, F.col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/index")
   }
 
@@ -644,7 +684,8 @@ object Ann {
         F.element_at(topCells(F.col("cv"), cents, 1), 1).as("cell"))
       ++ extraCols.map(F.col)): _*)
       .withColumn("ingest_batch", F.lit(batchId))
-      .repartition(F.col("cell"))
+      // count-aligned cell clustering (r21) — see ivfBuild
+      .repartition(cents.length, F.col("cell"))
       .write.mode("append").partitionBy("cell").parquet(s"$path/index")
   }
 
@@ -689,10 +730,10 @@ object Ann {
                                rowCountHint: Option[Long],
                                sharedSample: Option[DataFrame] = None)
       : (Int, IndexedSeq[IndexedSeq[Seq[Double]]]) = {
-    val sample = sharedSample.getOrElse(
-      boundedTrainSample(c, maxTrain, rowCountHint))
-    val rows = collectSampleVecs(sample)
-    if (sharedSample.isEmpty) sample.unpersist()
+    val rows = sharedSample match {
+      case Some(s) => collectSampleVecs(s)
+      case None => collectBoundedSampleVecs(c, maxTrain, rowCountHint)
+    }
     pqCodebooksLocal(rows, m, ksub, iters)
   }
 
@@ -887,9 +928,7 @@ object Ann {
     // quantizers (the sample is a pure function of the ids, so this
     // is numerically identical to sampling twice — it just halves the
     // training-stage corpus reads)
-    val sample = boundedTrainSample(c, maxTrain, rowCountHint)
-    val rows = collectSampleVecs(sample)
-    sample.unpersist()
+    val rows = collectBoundedSampleVecs(c, maxTrain, rowCountHint)
     val cents = lloydLocal(rows, nCells, iters)
     val (subDim, cbs) = pqCodebooksLocal(rows, m, ksub, iters)
     val withCell = c.select(F.col("neighbor_id"), F.col("cv"),
@@ -924,9 +963,7 @@ object Ann {
       t.select(F.col(cId).as("neighbor_id"), F.col(cVec).as("cv")))
     // one shared sampling pass + driver collect for both quantizers
     // (see ivfpqTopK)
-    val sample = boundedTrainSample(tc, maxTrain, rowCountHint)
-    val rows = collectSampleVecs(sample)
-    sample.unpersist()
+    val rows = collectBoundedSampleVecs(tc, maxTrain, rowCountHint)
     val cents = lloydLocal(rows, nCells, iters)
     val (subDim, cbs) = pqCodebooksLocal(rows, m, ksub, iters)
     val spark = corpus.sparkSession
@@ -951,7 +988,8 @@ object Ann {
       // without that batch's rows — without the column a partial
       // append is indistinguishable from the corpus
       .withColumn("ingest_batch", F.lit(-1L))
-      .repartition(F.col("cell"))
+      // count-aligned cell clustering (r21) — see ivfBuild
+      .repartition(nCells, F.col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
   }
 
@@ -1001,7 +1039,8 @@ object Ann {
       ++ extraCols.map(F.col)): _*)
     pqEncode(withCell, subDim, cbs, extra = "cell" +: extraCols)
       .withColumn("ingest_batch", F.lit(batchId))
-      .repartition(F.col("cell"))
+      // count-aligned cell clustering (r21) — see ivfBuild
+      .repartition(cents.length, F.col("cell"))
       .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
   }
 
@@ -1359,14 +1398,19 @@ object Ann {
     val batchCells =
       semanticCellsWith(incoming, idCol, vecCol, cents, nProbe).persist()
     val allCells = existingCells.select("id", "cell").unionAll(batchCells)
+    var overCap: Option[DataFrame] = None
     val (keptAll, keptBatch) = cellCap match {
       case None => (allCells, batchCells)
       case Some(cap) =>
         // cap on the COMBINED occupancy; the over-cap set is
-        // heavy-hitter-few (<= rows/cap) and AQE picks the strategy
+        // heavy-hitter-few (<= rows/cap) and AQE picks the strategy.
+        // Persisted (r21, guide §1.2): it anti-joins BOTH kept frames
+        // — two plan instances — so unpersisted the full-occupancy
+        // aggregate over corpus ∪ batch cells ran twice.
         val over = allCells.groupBy("cell")
           .agg(F.count(F.lit(1)).as("cn")).where(F.col("cn") > cap)
-          .select("cell")
+          .select("cell").persist()
+        overCap = Some(over)
         (allCells.join(over, Seq("cell"), "left_anti"),
           batchCells.join(over, Seq("cell"), "left_anti"))
     }
@@ -1382,9 +1426,13 @@ object Ann {
       .select(F.explode(F.array(F.col("id1"), F.col("id2"))).as("__cid"))
       .distinct()
     // dedup AFTER the semi-join (candidate-sized): absorbs duplicate
-    // corpus rows from an at-least-once re-appended batch
+    // corpus rows from an at-least-once re-appended batch.
+    // Persisted (r21, guide §1.2): v1 AND v2 below are two plan
+    // instances of this frame — unpersisted, the corpus scan +
+    // semi-join + dedup ran twice. Candidate-sized by construction.
     val candVecs = corpus.join(candIds, F.col("__vid") === F.col("__cid"), "left_semi")
       .dropDuplicates("__vid")
+      .persist()
     val v1 = candVecs.select(F.col("__vid").as("id1"), F.col("__v").as("v1"))
     val v2 = candVecs.select(F.col("__vid").as("id2"), F.col("__v").as("v2"))
     val out = cands.join(v1, "id1").join(v2, "id2")
@@ -1395,6 +1443,8 @@ object Ann {
     out.count()
     batchCells.unpersist()
     cands.unpersist()
+    candVecs.unpersist()
+    overCap.foreach(_.unpersist())
     out
   }
 

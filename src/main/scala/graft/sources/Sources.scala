@@ -77,11 +77,17 @@ object Sources {
     // cluster by the bucket key before the write (r20, guide §6): a
     // bucketed write emits one file PER (input split × bucket) — an
     // n-split input leaves n files in every bucket, and every bucketed
-    // read then pays n per-file opens per bucket; one exchange on the
-    // bucket key yields one file per bucket and makes any sortBy total
-    // within its bucket
+    // read then pays n per-file opens per bucket. The exchange is
+    // ALIGNED to the bucket spec (r21): repartition(nBuckets, cols)
+    // uses the same Murmur3 hash modulo the same count as bucketBy, so
+    // each output task holds exactly ONE bucket — one file per bucket,
+    // any sortBy total within it, and Spark keeps the bucket-sorted
+    // read optimization (it drops it when a bucket spans files). An
+    // unaligned count (the session's shuffle.partitions) only lines up
+    // when nBuckets divides it — otherwise one bucket's rows scatter
+    // over partitions/gcd(partitions, nBuckets) tasks and files.
     import org.apache.spark.sql.{functions => F}
-    val clustered = df.repartition(bucketBy.map(F.col): _*)
+    val clustered = df.repartition(nBuckets, bucketBy.map(F.col): _*)
     val w = clustered.write.format("parquet").mode(mode)
       .bucketBy(nBuckets, bucketBy.head, bucketBy.tail: _*)
     (if (sortBy.nonEmpty) w.sortBy(sortBy.head, sortBy.tail: _*) else w)
