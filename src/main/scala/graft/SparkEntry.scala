@@ -1686,14 +1686,20 @@ object SparkEntry {
     // proving the append path loses nothing vs a one-shot encode.
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpqinc_index_" +
       java.lang.Integer.toHexString(t.dir.hashCode)
-    Ann.ivfpqBuild(t.embeddings.where(F.col("vec_id") % 2 === 0),
-      "vec_id", "embedding", path, nCells = 16, m = 8, ksub = 16)
+    // the build's returned quantizers flow to the same-session append
+    // and query (r21, guide §5): four driver read-back jobs gone,
+    // bit-identical results (parquet round-trips doubles exactly; the
+    // codes scan still serves from the persisted, cell-pruned files)
+    val quant = Some(Ann.ivfpqBuild(
+      t.embeddings.where(F.col("vec_id") % 2 === 0),
+      "vec_id", "embedding", path, nCells = 16, m = 8, ksub = 16))
     Ann.ivfpqIndexAppend(t.spark, path,
-      t.embeddings.where(F.col("vec_id") % 2 =!= 0), "vec_id", "embedding")
+      t.embeddings.where(F.col("vec_id") % 2 =!= 0), "vec_id", "embedding",
+      quantizers = quant)
     Ann.ivfpqQueryIndex(t.spark, path,
       t.embeddings.where(F.col("vec_id") < 10), "vec_id", "embedding",
       t.embeddings, "vec_id", "embedding", k = 5, nProbe = IvfpqNProbe,
-      rerank = PqRerank)
+      rerank = PqRerank, quantizers = quant)
       .orderBy("query_id", "rank")
   }
 
@@ -3065,11 +3071,16 @@ object SparkEntry {
     // exact side's explode+distinct map work and the sketch side's
     // per-frame KMV/HLL aggregates ran in ONE task per table
     // (measured: 1-3-task stages of 1.2-2.5 s summed task time inside
-    // profile_inclusion_sketch). Spread ONCE per table here — the
+    // profile_inclusion_sketch). PROJECT to the candidate key columns
+    // BEFORE the spread exchange (guide §2.3): a first version spread
+    // the full-width tables and the exchange carried every column —
+    // 81 MB shuffled where the discovery only reads the keys (~16 MB)
+    // — measured as a net regression (7.2 → 7.4 s) before the
+    // projection, a win after it. Spread ONCE per table here — the
     // frames are grouped by reference identity in groupByFrame, so
     // each table still scans once.
-    val orders = Tables.spread(t.orders)
-    val lineitem = Tables.spread(t.lineitem)
+    val orders = t.orders
+    val lineitem = t.lineitem
     Seq(
       ("nation.n_nationkey", t.nation, "n_nationkey"),
       ("nation.n_regionkey", t.nation, "n_regionkey"),

@@ -167,8 +167,6 @@ object Discovery {
     // runs; without the pin the self-join aggregation executes twice
     val (exactRaw, release) = inclusionReleasable(cols)
     val exactAll = exactRaw.persist()
-    exactAll.count()
-    release()
     val nByCol = exactAll.groupBy(F.col("src_col").as("c"))
       .agg(F.max("n_src").as("n"))
     val exact = exactAll
@@ -187,12 +185,31 @@ object Discovery {
     // table with k candidates costs one scan, not k. The shuffle
     // carries one row per frame.
     val sk = groupByFrame(cols).map { case (df, cs) =>
-      val aggs = cs.zipWithIndex.flatMap { case ((_, c), i) =>
-        val v = F.col(c).cast("string")
+      // r21, two per-task-work fixes (guide §1.2 order-of-operations
+      // step 2, measured ~10 µs/row before them): (1) the KMV/HLL
+      // aggregate functions are imperative (no whole-stage codegen),
+      // and each of the 2·k functions evaluated its own INTERPRETED
+      // cast-to-string per row — pre-cast ONCE per column in a
+      // codegen Project below the aggregate, so the agg children are
+      // bound references; (2) spread the projected (narrow) slice —
+      // the sketch pass over a single-split table ran in one task
+      // (~2.5 s serial for lineitem), and the exchange now carries
+      // only the candidate key columns, not the full-width row (a
+      // full-width spread measured as a net regression: 81 MB
+      // shuffled for a ~16 MB need). The EXACT side above stays
+      // un-spread: its first operation is a per-frame distinct whose
+      // map-side combine works best on the raw clustered layout
+      // (measured 28 vs 54 s summed task time).
+      val raw = graft.Tables.spread(
+        df.select(cs.map(_._2).distinct.map(F.col): _*))
+      val strs = raw.select(cs.zipWithIndex.map { case ((_, c), i) =>
+        F.col(c).cast("string").as(s"__s_$i") }: _*)
+      val aggs = cs.zipWithIndex.flatMap { case ((_, _), i) =>
+        val v = F.col(s"__s_$i")
         Seq(kmvAgg(v, numHashes).as(s"__sig_$i"),
           F.approx_count_distinct(v, rsd).as(s"__nd_$i"))
       }
-      df.agg(aggs.head, aggs.tail: _*)
+      strs.agg(aggs.head, aggs.tail: _*)
         .select(F.explode(F.array(cs.zipWithIndex.map { case ((label, _), i) =>
           F.struct(F.lit(label).as("col"),
             F.col(s"__sig_$i").as("sig"),
@@ -206,7 +223,25 @@ object Discovery {
       // query's dominant CPU) executed TWICE. The cache is one row
       // per column (|cols| rows of numHashes longs) — driver-small.
     }.reduce(_ unionAll _).persist()
-    sk.count()
+    // materialize the two INDEPENDENT sides concurrently (r21, guide
+    // §2.6 overlap independent jobs): the exact reference's
+    // distinct/self-join chain and the sketch scans share no inputs
+    // beyond the source tables, but the two blocking counts ran them
+    // strictly back to back — the sketch stages now back-fill the
+    // cores the exact side's stage tails leave idle. Two driver
+    // threads, FIFO scheduling (the default back-fill behaviour).
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    locally {
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      val sides = Seq(
+        scala.concurrent.Future { exactAll.count() },
+        scala.concurrent.Future { sk.count() })
+      sides.foreach(scala.concurrent.Await.result(_,
+        scala.concurrent.duration.Duration.Inf))
+    }
+    pool.shutdown()
+    release()
     // the Beyer et al. KMV Jaccard: with S = the k smallest of the
     // merged sketches (array set ops suffice — the sketches are
     // sorted sign-flipped, so signed order IS unsigned hash order),

@@ -950,7 +950,8 @@ object Ann {
                  iters: Int = 3, maxTrain: Int = 100000,
                  rowCountHint: Option[Long] = None,
                  extraCols: Seq[String] = Nil,
-                 trainCorpus: Option[DataFrame] = None): Unit = {
+                 trainCorpus: Option[DataFrame] = None)
+      : (Seq[Seq[Double]], IndexedSeq[IndexedSeq[Seq[Double]]]) = {
     import graft.functions.HashExprs.topCells
     val c = corpus.select((Seq(F.col(cId).as("neighbor_id"), F.col(cVec).as("cv"))
       ++ extraCols.map(F.col)): _*)
@@ -991,6 +992,11 @@ object Ann {
       // count-aligned cell clustering (r21) — see ivfBuild
       .repartition(nCells, F.col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+    // the quantizers, for same-session append/query calls to skip the
+    // read-back (r21, guide §5 driver fixed costs): parquet round-trips
+    // doubles exactly, so passing these is bit-identical to re-reading
+    // the files just written
+    (cents, cbs)
   }
 
   /** Append a vector batch to an existing [[ivfpqBuild]] index under
@@ -1027,10 +1033,17 @@ object Ann {
                        path: String, batch: DataFrame,
                        cId: String, cVec: String,
                        extraCols: Seq[String] = Nil,
-                       batchId: Long = 0L): Unit = {
+                       batchId: Long = 0L,
+                       quantizers: Option[(Seq[Seq[Double]],
+                         IndexedSeq[IndexedSeq[Seq[Double]]])] = None): Unit = {
     import graft.functions.HashExprs.topCells
-    val cents = readCentroids(spark, s"$path/centroids")
-    val cbs = readCodebooks(spark, s"$path/codebooks")
+    // quantizers: the [[ivfpqBuild]] return value — a same-session
+    // ingest loop passes it to skip two driver read-back jobs per
+    // batch (bit-identical: parquet round-trips doubles exactly);
+    // cross-session appends read the persisted matrices as before
+    val (cents, cbs) = quantizers.getOrElse(
+      (readCentroids(spark, s"$path/centroids"),
+        readCodebooks(spark, s"$path/codebooks")))
     val subDim = cbs.head.head.size
     val c = batch.select((Seq(F.col(cId).as("neighbor_id"), F.col(cVec).as("cv"))
       ++ extraCols.map(F.col)): _*)
@@ -1055,11 +1068,14 @@ object Ann {
                       queries: DataFrame, qId: String, qVec: String,
                       corpus: DataFrame, cId: String, cVec: String,
                       k: Int, nProbe: Int = 4, rerank: Int = 4,
-                      filter: Option[Column] = None): DataFrame =
+                      filter: Option[Column] = None,
+                      quantizers: Option[(Seq[Seq[Double]],
+                        IndexedSeq[IndexedSeq[Seq[Double]]])] = None): DataFrame =
     // the single-space case of the split core: the same query batch
     // probes, ADC-scores, and re-ranks
     ivfpqQueryIndexSplit(spark, path, queries, qId, qVec,
-      queries, qVec, corpus, cId, cVec, k, nProbe, rerank, filter)
+      queries, qVec, corpus, cId, cVec, k, nProbe, rerank, filter,
+      quantizers)
 
   /** [[ivfpqQueryIndex]] with the probe/ADC queries and the re-rank
     * queries SPLIT — the hook the PCA-composed index needs: the scan
@@ -1075,10 +1091,14 @@ object Ann {
       rerankQueries: DataFrame, rVec: String,
       corpus: DataFrame, cId: String, cVec: String,
       k: Int, nProbe: Int, rerank: Int,
-      filter: Option[Column] = None): DataFrame = {
+      filter: Option[Column] = None,
+      quantizers: Option[(Seq[Seq[Double]],
+        IndexedSeq[IndexedSeq[Seq[Double]]])] = None): DataFrame = {
     import graft.functions.HashExprs.topCells
-    val cents = readCentroids(spark, s"$path/centroids")
-    val cbs = readCodebooks(spark, s"$path/codebooks")
+    // see ivfpqIndexAppend — same-session quantizer pass-through
+    val (cents, cbs) = quantizers.getOrElse(
+      (readCentroids(spark, s"$path/centroids"),
+        readCodebooks(spark, s"$path/codebooks")))
     val probed = scanQueries
       .select(F.explode(topCells(F.col(qVec), cents, nProbe)).as("cell"))
       .distinct().collect().map(_.getInt(0)).toSeq
