@@ -121,8 +121,15 @@ object Profile {
         F.struct(F.lit(c).as("column"),
           F.col(c).cast("decimal(28,6)").as("v"))): _*)).as("p"))
       .select("p.*").where(F.col("v").isNotNull)
+    // persisted (r21, guide §1.2 repeated subtrees): this frame feeds
+    // THREE subtrees (the per-column totals, the cumulative quartile
+    // walk, and the final fence count) — unpersisted, the unpivot +
+    // per-value aggregate over the source ran three times over. Size
+    // is the distinct (column, value) count, bounded well below the
+    // input. The Verify/Bench harnesses clear cache per query.
     val counts = unpiv.groupBy("column", "v")
       .agg(F.count(F.lit(1)).as("cnt"))
+      .persist()
     val nstats = counts.groupBy("column").agg(F.sum("cnt").as("n"))
     val cum = counts.withColumn("cum",
       F.sum("cnt").over(Window.partitionBy("column").orderBy("v")
@@ -166,8 +173,13 @@ object Profile {
       F.col("xlo75") * 300 - F.col("rem75") * 3 * dx75).cast("decimal(38,6)")
     val hiFx = (F.col("xlo75") * 500 + F.col("rem75") * 5 * dx75 -
       F.col("xlo25") * 300 - F.col("rem25") * 3 * dx25).cast("decimal(38,6)")
+    // persisted (r21): |cols| rows, but its lineage is the whole
+    // window/quartile chain and it feeds BOTH the fence-count
+    // aggregate's broadcast and the final join's left side — two plan
+    // instances of the chain without the pin
     val fences = qs.select(F.col("column"), F.col("n"),
       q1x.as("q1x"), q3x.as("q3x"), loFx.as("lofx"), hiFx.as("hifx"))
+      .persist()
     val out = counts.join(F.broadcast(fences), "column")
       .groupBy("column").agg(
         F.sum(F.when(F.col("v") * 200 < F.col("lofx"), F.col("cnt"))
