@@ -270,10 +270,16 @@ object Dedup {
     // jobs while every stage wall sat under 1 s. The eager
     // localCheckpoint/checkpoint truncates the plan to a leaf once, so
     // per-round planning cost is constant in the upstream's complexity.
+    // HASH-partitioned by a, the per-round aggregation key (r21,
+    // guide §2.4): the neighbor-min join broadcasts the label side at
+    // the measured-small end, so the streamed edge frame keeps this
+    // partitioning and every round's groupBy(a) runs exchange-free;
+    // at the large end (labels not broadcast) the join re-shuffles
+    // either way, so nothing is lost.
     val edges = graft.operators.Pins.pin(
       p.select(F.col("id1").as("a"), F.col("id2").as("b"))
         .unionAll(p.select(F.col("id2").as("a"), F.col("id1").as("b")))
-        .repartition(pE))
+        .repartition(pE, F.col("a")))
     // measured-small label tables join with an explicit broadcast hint
     // (guide §3.1): the per-round label frames are cached/derived
     // frames with no reliable size statistics, so the planner would

@@ -80,10 +80,17 @@ object Graph {
     // (the dedup components loop measured ~0.3-0.5 s of between-stage
     // driver time per job from exactly this); the eager pin truncates
     // the plan to a leaf once
+    // HASH-partitioned by dst, the per-round aggregation key (r21,
+    // guide §2.4 "two operations keyed the same way share one
+    // exchange"): the round's contribution join broadcasts the rank
+    // side, so the streamed edge frame KEEPS this partitioning and
+    // the groupBy(dst) needs no per-round exchange — one setup
+    // shuffle replaces rounds× shuffles (and a keyed repartition
+    // skips the keyless variant's SPARK-23207 local sort).
     val ew = Pins.pin(e.join(outw, "src")
       .select(F.col("src"), F.col("dst"),
         (F.col("w").cast("double") / F.col("outw").cast("double")).as("frac"))
-      .repartition(pE))
+      .repartition(pE, F.col("dst")))
     // node table carries its sink flag (no out-edges) so the per-round
     // dangling-mass aggregate is a filter over the rank frame itself,
     // not an extra join
@@ -153,10 +160,12 @@ object Graph {
     val par = e.sparkSession.sparkContext.defaultParallelism
     val pE = Pins.partsForRows(m, par)
     val outw = e.groupBy("src").agg(F.sum("w").as("outw"))
+    // hash-partitioned by dst — see [[pageRank]] (one setup shuffle
+    // serves every round's groupBy(dst))
     val ew = Pins.pin(e.join(outw, "src")
       .select(F.col("src"), F.col("dst"),
         (F.col("w").cast("double") / F.col("outw").cast("double")).as("frac"))
-      .repartition(pE))
+      .repartition(pE, F.col("dst")))
     val nodes = Pins.pin(e.select(F.col("src").as("node"))
       .unionAll(e.select(F.col("dst").as("node")))
       .distinct()
@@ -343,18 +352,38 @@ object Graph {
     // voting for its own label would bias every round; a node with
     // ONLY self-loops has no neighbors and is dropped from the
     // output), parallel edges collapse in the existing distinct
-    val e = pairs.select(F.col("a"), F.col("b"))
+    val e0 = pairs.select(F.col("a"), F.col("b"))
       .unionAll(pairs.select(F.col("b").as("a"), F.col("a").as("b")))
       .where(F.col("a") =!= F.col("b"))
       .distinct().persist()
+    // r21, the pageRank loop treatment (guide §2.4, §3.1): |E| is
+    // measured once (doubles as e0's materializing action) to
+    // size-derive the support's partition count, the edge frame pins
+    // HASH-PARTITIONED BY `a` — the key of BOTH the per-round vote
+    // aggregate and the tie-break window — and the measured-small
+    // label side joins with an explicit broadcast hint (a pinned
+    // label frame has no stats, so the planner would sort-merge and
+    // re-shuffle the edge frame every round). With the broadcast join
+    // preserving the streamed side's layout, a round's
+    // join → groupBy(a, lbl) → window(a) chain runs with ZERO
+    // exchanges (hash(a) clusters both the aggregate's and the
+    // window's keys); before, each round paid three.
+    val m = e0.count()
+    val par = e0.sparkSession.sparkContext.defaultParallelism
+    val pE = Pins.partsForRows(m, par)
+    val e = Pins.pin(e0.repartition(pE, F.col("a")))
     // every node of an undirected edge list appears as `a`
     var labels = Pins.pin(e.select(F.col("a").as("node")).distinct()
       .select(F.col("node"), F.col("node").as("lbl")))
+    val n = labels.count()
+    e0.unpersist()
+    def small(df: DataFrame): DataFrame =
+      if (n <= Pins.BroadcastRows) F.broadcast(df) else df
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("a").orderBy(F.col("c").desc, F.col("lbl").asc)
     for (_ <- 1 to iters) {
       val next = Pins.pin(e
-        .join(labels.select(F.col("node").as("b2"), F.col("lbl")),
+        .join(small(labels.select(F.col("node").as("b2"), F.col("lbl"))),
           F.col("b") === F.col("b2"))
         .groupBy(F.col("a"), F.col("lbl")).agg(F.count(F.lit(1)).as("c"))
         .withColumn("__rn", F.row_number().over(w))
@@ -363,7 +392,7 @@ object Graph {
       Pins.release(labels)
       labels = next
     }
-    e.unpersist()
+    Pins.release(e)
     labels.select(F.col("node"), F.col("lbl").as("community"))
   }
 
